@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Change-log readers (SURVEY.md A1/A2/A14).
+  *
+  * The reference's source is the coprocessor hook pair `postPut`/`postDelete`
+  * (`observer6/HbaseDataSyncEsObserver.java:83-113,126-136`); ours is any
+  * DataFrame/stream conforming to [[Model.mutationSchema]]. For the driver
+  * test corpus we reinterpret the `events` table as a change-log
+  * (FIXTURES.md §2): `user_id` → row_key, `event_type == "error"` → whole-doc
+  * delete, everything else → a put whose cells carry the typed columns as
+  * UTF-8 strings (the reference's wire model — every value a string,
+  * `observer6/HbaseDataSyncEsObserver.java:98-99`).
+  */
+object ChangeLog {
+
+  /** events columns → `array<struct<family,qualifier,value>>` for op='U';
+    * empty array for op='D'. Kept in one place so the DuckDB oracle SQL in
+    * [[SparkEntry.oracleSql]] can mirror it exactly. */
+  private def cellsExpr = when(col("op") === "D", array().cast(org.apache.spark.sql.types.ArrayType(Model.cellType)))
+    .otherwise(array(
+      struct(lit("ev").as("family"), lit("etype").as("qualifier"), col("event_type").as("value")),
+      struct(lit("ev").as("family"), lit("val").as("qualifier"), format_string("%.2f", col("value")).as("value")),
+      struct(lit("ev").as("family"), lit("k").as("qualifier"), get_json_object(col("props"), "$.k").as("value"))))
+
+  /** Batch change-log from the driver `events` parquet. */
+  def fromEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("op", when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      .select(
+        col("user_id").cast("string").as("row_key"),
+        col("op"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id").as("seq"),
+        cellsExpr.as("cells"))
+
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    fromEvents(queries.Tables.events(spark, sfDir))
+
+  /** Streaming change-log over a parquet directory (A1/A2). Admission control
+    * via maxFilesPerTrigger is the Spark analog of the reference's 10k-op
+    * size trigger (`observer6/ElasticSearchBulkOperator.java:26`). */
+  def readStreamMutations(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(Model.mutationSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+}
