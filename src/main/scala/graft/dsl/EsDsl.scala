@@ -1,0 +1,96 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tier B (SURVEY.md §2): the query surface the composed reference system
+  * delegates to Elasticsearch 6.5 (`/root/reference/pom.xml:25-26` pins the
+  * ES dependency; `README_zh.md:3` states ES serves the queries), re-expressed
+  * as thin wrappers over Catalyst built-ins. Everything here stays inside
+  * whole-stage codegen — no UDFs — so filters push down to the parquet scan
+  * and aggregations get map-side partials for free.
+  */
+object EsDsl {
+
+  // ---- queries (predicates) -------------------------------------------
+  /** B1 `term` */
+  def term(c: Column, v: Any): Column = c === lit(v)
+  /** B1 `terms` */
+  def terms(c: Column, vs: Seq[Any]): Column = c.isin(vs: _*)
+  /** B2 `range` — null bound = unbounded */
+  def range(c: Column, gte: Option[Any] = None, lt: Option[Any] = None,
+            gt: Option[Any] = None, lte: Option[Any] = None): Column =
+    Seq(gte.map(c >= lit(_)), lt.map(c < lit(_)), gt.map(c > lit(_)), lte.map(c <= lit(_)))
+      .flatten.reduceOption(_ && _).getOrElse(lit(true))
+  /** B3 `exists` on a plain column */
+  def exists(c: Column): Column = c.isNotNull
+  /** B3 `exists` on a dynamic map doc (`info['k']` present) */
+  def existsKey(info: Column, key: String): Column = map_contains_key(info, lit(key))
+  /** B4 `prefix` / `wildcard` (ES `*`/`?`) / `regexp` */
+  def prefix(c: Column, p: String): Column = c.startsWith(p)
+  def wildcard(c: Column, pattern: String): Column =
+    c.like(pattern.replace('*', '%').replace('?', '_'))
+  def regexp(c: Column, pattern: String): Column = c.rlike(pattern)
+  /** B5 `match`: analyzed OR-of-terms with minimum_should_match. Term set
+    * is deduped (array_intersect) — ES scores per unique term too. */
+  def matchCount(text: Column, queryTerms: Seq[String]): Column =
+    size(array_intersect(split(lower(text), "\\W+"), lit(queryTerms.map(_.toLowerCase).toArray)))
+  def matchQuery(text: Column, queryTerms: Seq[String], minShouldMatch: Int = 1): Column =
+    matchCount(text, queryTerms) >= minShouldMatch
+  /** B6 `bool` */
+  def bool(must: Seq[Column] = Nil, should: Seq[Column] = Nil,
+           mustNot: Seq[Column] = Nil, minimumShouldMatch: Int = 1): Column = {
+    val m = must.reduceOption(_ && _).getOrElse(lit(true))
+    val s = if (should.isEmpty) lit(true)
+      else should.map(c => when(c, 1).otherwise(0)).reduce(_ + _) >= minimumShouldMatch
+    val n = mustNot.map(!_).reduceOption(_ && _).getOrElse(lit(true))
+    m && s && n
+  }
+  /** B7 `ids` */
+  def ids(idCol: Column, keys: Seq[Any]): Column = idCol.isin(keys: _*)
+
+  // ---- search body ----------------------------------------------------
+  /** B8 `from`/`size` + `sort` — deterministic pagination (caller supplies
+    * a total order, usually with an id tiebreak). */
+  def paginate(df: DataFrame, sort: Seq[Column], from: Int, size: Int): DataFrame =
+    df.orderBy(sort: _*).offset(from).limit(size)
+
+  // ---- aggregations ---------------------------------------------------
+  /** B9 `terms` agg: top-`size` buckets by doc count, count-desc with key
+    * tiebreak (ES default order). Map-side partial agg + a single
+    * TakeOrdered — no full sort at scale. */
+  def termsAgg(df: DataFrame, key: Column, size: Int): DataFrame =
+    df.groupBy(key.as("key")).agg(count(lit(1)).as("doc_count"))
+      .orderBy(desc("doc_count"), col("key")).limit(size)
+  /** B10 `stats` */
+  def statsAgg(df: DataFrame, groups: Seq[Column], value: Column): DataFrame =
+    df.groupBy(groups: _*).agg(
+      count(value).as("value_count"),
+      round(min(value), 4).as("min_v"),
+      round(max(value), 4).as("max_v"),
+      round(sum(value), 4).as("sum_v"),
+      round(avg(value), 6).as("avg_v"))
+  /** B11 `cardinality` — HLL++ like ES; `rsd` mirrors the precision knob. */
+  def cardinality(c: Column, rsd: Double = 0.05): Column = approx_count_distinct(c, rsd)
+  /** B12 `percentiles` (exact; ES uses t-digest — `percentileApprox` below
+    * is the approximate variant). */
+  def percentile_(c: Column, p: Double): Column = percentile(c, lit(p))
+  def percentileApprox(c: Column, p: Seq[Double], accuracy: Int = 10000): Column =
+    percentile_approx(c, lit(p.toArray), lit(accuracy))
+  /** B13 `histogram` (fixed interval) */
+  def histogramBucket(c: Column, interval: Double): Column =
+    (floor(c / interval) * interval).cast("long")
+  /** B14 `date_histogram` (calendar interval: 'day'|'week'|'month'|...) */
+  def dateHistogramBucket(ts: Column, interval: String): Column = date_trunc(interval, ts)
+  /** B15 `top_hits` per bucket: top-`n` docs per group by sort. Window
+    * top-k — at scale AQE splits skewed groups; no global sort. */
+  def topHits(df: DataFrame, bucket: Seq[Column], sort: Seq[Column], n: Int): DataFrame =
+    df.withColumn("rn", row_number().over(Window.partitionBy(bucket: _*).orderBy(sort: _*)))
+      .filter(col("rn") <= n)
+  /** B18 `filters` agg: one count per named predicate, single pass. */
+  def filtersAgg(df: DataFrame, groups: Seq[Column], buckets: (String, Column)*): DataFrame =
+    df.groupBy(groups: _*).agg(
+      count(lit(1)).as("doc_count"),
+      buckets.map { case (name, pred) => sum(when(pred, 1L).otherwise(0L)).as(name) }: _*)
+}

@@ -1,0 +1,126 @@
+package graft.ext
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C1/C2 — deduplication family for a training-data pipeline:
+  *  - exact (hash-group, deterministic representative);
+  *  - MinHash + LSH banding (scalable near-dup candidate generation with
+  *    exact Jaccard verification);
+  *  - SimHash (bit-vote sketch + banded Hamming join);
+  *  - exact n-gram Jaccard (the oracle-grade ground truth).
+  *
+  * Scale shape: shingling/signatures are NARROW (array ops inside codegen,
+  * no shuffle); the only wide stages are the band self-join (shuffle on
+  * band key — small, one row per (doc, band)) and the verification join on
+  * candidate ids. At 100 TB none of the pairwise work is O(n²): LSH bounds
+  * candidates to colliding buckets, and banding for SimHash is exact for
+  * the Hamming radius by pigeonhole.
+  */
+object Dedup {
+
+  /** C1: exact dedup — one deterministic representative (min id) per key
+    * group. (`dropDuplicates` keeps an arbitrary row; min-per-group is the
+    * reproducible form the oracle can check.) */
+  def exact(df: DataFrame, keys: Seq[Column], idCol: Column): DataFrame =
+    df.groupBy(keys: _*).agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word-3gram shingle sets: `(id, grams: array<string>)`.
+    * array_distinct BEFORE explode keeps shingling shuffle-free. */
+  def shingles(df: DataFrame, idCol: Column, text: Column, n: Int = 3): DataFrame =
+    df.select(idCol.as("doc_id"),
+      array_distinct(TextAnalysis.wordNgrams(TextAnalysis.tokens(text), n)).as("grams"))
+
+  /** MinHash signature columns h0..h{k-1}: per-doc min of a seeded 60-bit
+    * hash over the shingle set — `array_min(transform(...))`, fully narrow. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(
+      col("doc_id") +: (0 until numHashes).map(i =>
+        array_min(transform(col("grams"), g => Hashing.seeded(i, g))).as(s"h$i")): _*)
+
+  /** C2: MinHash LSH near-dup pairs, exact-verified.
+    * bands of `bandSize` rows → md5 band key → self-join per band →
+    * distinct candidate pairs → exact Jaccard over shingle sets →
+    * threshold. Returns (doc_a, doc_b, jaccard). */
+  def minhashLsh(df: DataFrame, idCol: Column, text: Column,
+                 numHashes: Int = 16, bandSize: Int = 2,
+                 threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, text, shingleN)
+    val sig = minhashSignatures(sh, numHashes)
+    val nBands = numHashes / bandSize
+    val bands = sig.select(col("doc_id"), posexplode(array((0 until nBands).map { j =>
+      md5(concat_ws(",", (0 until bandSize).map(o => col(s"h${j * bandSize + o}")): _*))
+    }: _*)).as(Seq("band_j", "band")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_j") === col("y.band_j") && col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact Jaccard for candidate pairs over the shingle-set table. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("grams").as("ga")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("grams").as("gb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jac", round(
+        col("inter").cast("double") / (size(col("ga")) + size(col("gb")) - col("inter")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+
+  /** C2b: exact n-gram Jaccard — all pairs via the shared-shingle join (no
+    * sketch; the ground-truth formulation). Pairs sharing zero shingles
+    * never materialize. */
+  def ngramJaccard(df: DataFrame, idCol: Column, text: Column,
+                   threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, text, shingleN)
+    val g = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val sizes = sh.select(col("doc_id"), size(col("grams")).as("n"))
+    val inter = g.as("a").join(g.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jac", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  /** C2c: 60-bit SimHash signature per doc. Token hashes keep multiplicity
+    * (term frequency weights the vote, the standard Charikar form). */
+  def simhash(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val tok = df.select(idCol.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
+    val th = tok.select(col("doc_id"), Hashing.md5Long60(col("t")).as("h"))
+    val bits = th.select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
+    val votes = bits.groupBy("doc_id", "j")
+      .agg(sum(when(expr("(shiftright(h, j) & 1) = 1"), 1).otherwise(-1)).as("v"))
+    votes.groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** C2c pairs: Hamming distance ≤ `maxDist` via banded join. With 4 bands
+    * of 15 bits, any pair within distance 3 shares ≥1 exact band
+    * (pigeonhole) — the join is exact, not approximate. */
+  def simhashPairs(sig: DataFrame, maxDist: Int = 3): DataFrame = {
+    val nBands = maxDist + 1
+    val width = 60 / nBands
+    val mask = (1L << width) - 1
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBands).map(j =>
+        expr(s"shiftright(simhash, ${j * width}) & $mask")): _*)).as(Seq("band_j", "band")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_j") === col("y.band_j") && col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** C3 — similarity search over embedding columns (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline: a broadcast of the query
+  * set against a partition-parallel scan of the corpus — no shuffle of the
+  * corpus, one TakeOrdered per query via window top-k. The IVF variant is
+  * the 100 TB path: assign vectors to centroid cells once (narrow after a
+  * centroid broadcast), then probe only `nprobe` cells per query —
+  * candidate set shrinks by ~|cells|/nprobe.
+  *
+  * Dot products use the higher-order `zip_with`+`aggregate` built-ins
+  * (codegen'd, no UDF) in double precision.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force kNN: for each query row, top-k corpus rows by
+    * cosine (rounded to 1e-6 before ranking so ties break deterministically
+    * by neighbor id). Self-matches excluded. */
+  def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** IVF-style ANN: centroids = a deterministic sample of the corpus
+    * (callers pass the predicate), each corpus vector assigned to its
+    * nearest centroid cell, queries probe the `nprobe` nearest cells. */
+  def knnIvf(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+             nprobe: Int, k: Int): DataFrame = {
+    val cent = broadcast(centroids.select(col("vec_id").as("cell"), col("embedding").as("cem")))
+
+    def nearestCells(df: DataFrame, idOut: String, n: Int): DataFrame = {
+      val scored = df.select(col("vec_id").as(idOut), col("embedding").as("e"))
+        .crossJoin(cent)
+        .withColumn("ccos", round(cosine(col("e"), col("cem")), 6))
+      val w = Window.partitionBy(idOut).orderBy(desc("ccos"), col("cell"))
+      scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= n)
+        .select(col(idOut), col("cell"), col("e"))
+    }
+
+    val assigned = nearestCells(corpus, "neighbor_id", 1)
+      .select(col("neighbor_id"), col("cell"), col("e").as("ce"))
+    val probes = nearestCells(queries, "query_id", nprobe)
+      .select(col("query_id"), col("cell"), col("e").as("qe"))
+
+    val scored = probes.join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** C1d: embedding-cosine near-duplicate pairs (brute pairwise with the
+    * id-ordered triangle; at scale the LSH/IVF bucketing above bounds the
+    * pair space instead). */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** C4 — text analysis for a training-data pipeline: tokenization, language
+  * ID (marker-word heuristic), quality scoring, fingerprinting, tf-idf.
+  * Everything is narrow per-document expression work except the tf-idf
+  * aggregations; nothing leaves codegen, nothing collects to the driver.
+  */
+object TextAnalysis {
+
+  /** Analyzer tokenization: lowercase, split on non-word runs. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\W+"), t => t =!= "")
+
+  /** Word n-grams (1-indexed slices so the DuckDB twin matches). Guarded:
+    * Spark's `sequence(1, 0)` DESCENDS instead of returning empty, so docs
+    * shorter than n tokens get an explicit empty array. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Language-ID marker sets: tiny per-language stopword profiles. On real
+    * corpora these would be learned n-gram profiles; the heuristic shape
+    * (count marker hits per language, argmax with fixed tie order, 'und'
+    * when nothing matches) is the standard fasttext-lite fallback. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "row", "value"),
+    "es" -> Seq("el", "la", "de", "los", "en", "y", "que", "data"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "table"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une", "query"),
+    "zh" -> Seq("spark", "join", "merge")) // romanized-corpus stand-ins
+
+  def markerScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers: _*)))
+
+  /** Predicted language per doc: argmax marker count, first-wins tie order,
+    * 'und' if no marker hits. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.map { case (l, ms) => l -> markerScore(toks, ms) }
+    val mx = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((l, s), acc) => when(mx > 0 && s === mx, lit(l)).otherwise(acc) }
+  }
+  // fold-Right so earlier languages win ties: when-chains evaluate in order
+
+  /** Quality features + a composite score in [0,1]. */
+  def qualityFeatures(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nToks = size(toks)
+    val punct = length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
+    val stop = markerScore(toks, langMarkers.head._2)
+    df.select(
+      idCol.as("doc_id"),
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      round(nChars.cast("double") / nToks, 4).as("avg_tok_len"),
+      round(punct.cast("double") / nChars, 6).as("punct_ratio"),
+      round(stop.cast("double") / nToks, 6).as("stop_ratio"),
+      round(
+        lit(0.5) * (stop.cast("double") / nToks) +
+          lit(0.3) * least(nToks.cast("double") / 100.0, lit(1.0)) +
+          lit(0.2) * (lit(1.0) - punct.cast("double") / nChars), 6).as("quality"))
+  }
+
+  /** Key-collision fingerprint: sorted distinct token set hashed — word
+    * permutations/duplications collapse to one key. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Token counts: whitespace tokens vs BPE-ish regex token count. */
+  def tokenCounts(df: DataFrame, idCol: Column, text: Column): DataFrame =
+    df.select(
+      idCol.as("doc_id"),
+      size(filter(split(text, " +"), t => t =!= "")).as("n_ws"),
+      size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe"))
+
+  /** tf-idf: top-`k` terms per document (natural-log idf). Two hash
+    * aggregations + a broadcast of the doc count; the per-doc top-k is a
+    * bounded window (AQE handles skewed terms). */
+  def tfIdfTopK(docs: DataFrame, idCol: Column, text: Column, k: Int): DataFrame = {
+    val termDoc = docs.select(idCol.as("doc_id"), explode(tokens(text)).as("term"))
+    val tf = termDoc.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = termDoc.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+    tf.join(df_, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("rn"), col("term"), col("tfidf"))
+  }
+}

@@ -50,12 +50,64 @@ object TierA {
     * index, merge second half as a batch — must equal the one-shot fold.
     * Exposed as a query so the oracle verifies incremental == batch. */
   def mergeIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val changes = ChangeLog.readEvents(spark, sfDir).cache()
-    val cut = lit(5000L)
-    val index0 = Merge.fold(changes.filter(col("seq") < cut))
-    val merged = Merge.mergeBatch(index0, changes.filter(col("seq") >= cut))
+    val changes = ChangeLog.readEvents(spark, sfDir)
+    val half = changes.filter(col("seq") < 5000L)
+    val index0 = Merge.fold(half)
+    val merged = Merge.mergeBatch(index0, changes.filter(col("seq") >= 5000L))
     merged
       .select(col("id"), explode(col("info")).as(Seq("qualifier", "value")))
       .orderBy("id", "qualifier")
   }
+
+  /** The change-log mapping shared by every Tier-A oracle (mirrors
+    * [[ChangeLog.fromEvents]] exactly; ts is strictly monotone in event_id
+    * in the driver data, so ordering by seq == ordering by (ts, seq)). */
+  private val chCte =
+    """WITH ch AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS id,
+      |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |         event_id AS seq, event_type, value, props
+      |  FROM events
+      |), dmax AS (
+      |  SELECT id, max(CASE WHEN op = 'D' THEN seq END) AS dseq FROM ch GROUP BY id
+      |), u AS (
+      |  SELECT ch.* FROM ch JOIN dmax USING (id)
+      |  WHERE op = 'U' AND (dseq IS NULL OR seq > dseq)
+      |), cells AS (
+      |  SELECT id, 'etype' AS qualifier, event_type AS value, seq FROM u
+      |  UNION ALL SELECT id, 'val', printf('%.2f', value), seq FROM u
+      |  UNION ALL SELECT id, 'k', json_extract_string(props, '$.k'), seq FROM u
+      |)""".stripMargin
+
+  private val mergeOracle = chCte +
+    """
+      |SELECT id, qualifier, arg_max(value, seq) AS value
+      |FROM cells GROUP BY id, qualifier ORDER BY id, qualifier""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("a05_flatten", flatten,
+      Some("""WITH u AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS id, event_id AS seq, event_type, value, props
+        |  FROM events WHERE event_type <> 'error'
+        |)
+        |SELECT id, seq, qualifier, value FROM (
+        |  SELECT id, seq, 'etype' AS qualifier, event_type AS value FROM u
+        |  UNION ALL SELECT id, seq, 'val', printf('%.2f', value) FROM u
+        |  UNION ALL SELECT id, seq, 'k', json_extract_string(props, '$.k') FROM u
+        |) ORDER BY seq, qualifier""".stripMargin)),
+    Q("a13_merge", mergeFold, Some(mergeOracle)),
+    Q("a13_merge_incremental", mergeIncremental, Some(mergeOracle)),
+    Q("a08_deleted_keys", deletedKeys,
+      Some("""WITH ch AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS id,
+        |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |         event_id AS seq
+        |  FROM events
+        |)
+        |SELECT id FROM ch GROUP BY id
+        |HAVING max(CASE WHEN op = 'D' THEN seq END) IS NOT NULL
+        |   AND (max(CASE WHEN op = 'U' THEN seq END) IS NULL
+        |        OR max(CASE WHEN op = 'U' THEN seq END) < max(CASE WHEN op = 'D' THEN seq END))
+        |ORDER BY id""".stripMargin)),
+  )
 }

@@ -1,0 +1,328 @@
+package graft.queries
+
+import graft.dsl.EsDsl
+import graft.dsl.EsDsl._
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tier B corpus (SURVEY.md §2, B1–B20 + the join surface): the ES-6.5
+  * query-DSL capabilities over the driver tables, each paired with a DuckDB
+  * oracle. Every query carries an explicit total order so hashes are stable.
+  */
+object TierB {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+
+  val all: Seq[Q] = Seq(
+
+    Q("b01_term",
+      (s, d) => ord(s, d)
+        .filter(term(col("o_orderstatus"), "F") &&
+          terms(col("o_orderpriority"), Seq("1-URGENT", "2-HIGH")))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy("o_orderkey").limit(50),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+             |WHERE o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT','2-HIGH')
+             |ORDER BY o_orderkey LIMIT 50""".stripMargin)),
+
+    Q("b02_range",
+      (s, d) => li(s, d)
+        .filter(range(col("l_shipdate"),
+          gte = Some("1996-01-01"), lt = Some("1997-01-01")) &&
+          col("l_quantity").between(10, 20))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_extendedprice")), 4).as("sum_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS cnt, round(sum(l_extendedprice), 4) AS sum_price
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_quantity BETWEEN 10 AND 20
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("b03_exists_semi",
+      (s, d) => Tables.customer(s, d)
+        .join(ord(s, d).select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS cnt FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("b03_missing_anti",
+      (s, d) => Tables.customer(s, d)
+        .join(ord(s, d).filter(col("o_orderstatus") === "P").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS cnt FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("b04_pattern",
+      (s, d) => Tables.part(s, d)
+        .filter(EsDsl.regexp(col("p_name"), "(red|blue) (bolt|ring)"))
+        .select(col("p_partkey"), col("p_name"),
+          prefix(col("p_name"), "red").as("is_red"),
+          wildcard(col("p_name"), "*bolt*").as("is_bolt"))
+        .orderBy("p_partkey").limit(200),
+      Some("""SELECT p_partkey, p_name,
+             |       (p_name LIKE 'red%') AS is_red,
+             |       (p_name LIKE '%bolt%') AS is_bolt
+             |FROM part WHERE regexp_matches(p_name, '(red|blue) (bolt|ring)')
+             |ORDER BY p_partkey LIMIT 200""".stripMargin)),
+
+    Q("b05_match",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("n_match", matchCount(col("text"), Seq("spark", "query", "join")))
+        .filter(col("n_match") >= 2)
+        .select(col("doc_id"), col("n_match"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       (CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END
+             |      + CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END
+             |      + CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS n_match
+             |FROM (SELECT doc_id, string_split_regex(lower(text), '\W+') AS toks FROM documents)
+             |WHERE n_match >= 2 ORDER BY doc_id""".stripMargin)),
+
+    Q("b06_bool",
+      (s, d) => li(s, d)
+        .filter(bool(
+          must = Seq(col("l_quantity") >= 5),
+          should = Seq(term(col("l_returnflag"), "R"), term(col("l_linestatus"), "F")),
+          mustNot = Seq(col("l_discount") > 0.08),
+          minimumShouldMatch = 1))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt, round(sum(l_quantity),4) AS sum_qty
+             |FROM lineitem
+             |WHERE l_quantity >= 5
+             |  AND ((CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END
+             |      + CASE WHEN l_linestatus='F' THEN 1 ELSE 0 END) >= 1)
+             |  AND NOT (l_discount > 0.08)
+             |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("b07_ids",
+      (s, d) => ord(s, d)
+        .filter(ids(col("o_orderkey"), Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L)))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+             |WHERE o_orderkey IN (1,2,3,5,8,13,21,34,55,89) ORDER BY o_orderkey""".stripMargin)),
+
+    Q("b08_pagination",
+      (s, d) => paginate(ord(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        Seq(desc("o_totalprice"), col("o_orderkey")), from = 100, size = 20),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 100""".stripMargin)),
+
+    Q("b09_terms_agg",
+      (s, d) => termsAgg(Tables.events(s, d), col("user_id"), 10),
+      Some("""SELECT user_id AS key, count(*) AS doc_count FROM events
+             |GROUP BY user_id ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
+
+    Q("b10_stats",
+      (s, d) => statsAgg(Tables.customer(s, d), Seq(col("c_mktsegment")), col("c_acctbal"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(c_acctbal) AS value_count,
+             |       round(min(c_acctbal),4) AS min_v, round(max(c_acctbal),4) AS max_v,
+             |       round(sum(c_acctbal),4) AS sum_v, round(avg(c_acctbal),6) AS avg_v
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    Q("b11_cardinality",
+      (s, d) => li(s, d).agg(
+        count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"),
+        count_distinct(col("l_orderkey")).as("n_orders")),
+      Some("""SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
+             |       count(DISTINCT l_orderkey) AS n_orders FROM lineitem""".stripMargin)),
+
+    Q("b12_percentiles",
+      (s, d) => li(s, d).groupBy(col("l_returnflag")).agg(
+        round(percentile_(col("l_quantity"), 0.25), 4).as("p25"),
+        round(percentile_(col("l_quantity"), 0.5), 4).as("p50"),
+        round(percentile_(col("l_quantity"), 0.75), 4).as("p75"),
+        round(percentile_(col("l_quantity"), 0.95), 4).as("p95"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |       round(quantile_cont(l_quantity, 0.25),4) AS p25,
+             |       round(quantile_cont(l_quantity, 0.5),4) AS p50,
+             |       round(quantile_cont(l_quantity, 0.75),4) AS p75,
+             |       round(quantile_cont(l_quantity, 0.95),4) AS p95
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("b13_histogram",
+      (s, d) => Tables.events(s, d)
+        .groupBy(histogramBucket(col("value"), 10.0).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_v"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(floor(value/10.0)*10.0 AS BIGINT) AS bucket, count(*) AS cnt,
+             |       round(sum(value),4) AS sum_v
+             |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    Q("b14_date_histogram",
+      (s, d) => ord(s, d)
+        .groupBy(dateHistogramBucket(col("o_orderdate"), "month").as("month"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 4).as("sum_price"))
+        .orderBy("month"),
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, count(*) AS cnt,
+             |       round(sum(o_totalprice),4) AS sum_price
+             |FROM orders GROUP BY month ORDER BY month""".stripMargin)),
+
+    Q("b15_top_hits",
+      (s, d) => topHits(
+        Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"),
+        bucket = Seq(col("c_mktsegment")),
+        sort = Seq(desc("c_acctbal"), col("c_custkey")), n = 3)
+        .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_acctbal"))
+        .orderBy("c_mktsegment", "rn"),
+      Some("""SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+             |  SELECT c_mktsegment, c_custkey, c_acctbal,
+             |         row_number() OVER (PARTITION BY c_mktsegment
+             |                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+             |  FROM customer)
+             |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin)),
+
+    Q("b16_rollup",
+      (s, d) => li(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"), col("sum_qty"))
+        .orderBy("flag", "status"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+             |       count(*) AS cnt, round(sum(l_quantity),4) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY flag, status""".stripMargin)),
+
+    Q("b16_cube",
+      (s, d) => ord(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"), col("cnt"))
+        .orderBy("status", "priority"),
+      Some("""SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority,
+             |       count(*) AS cnt
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
+    Q("b17_composite",
+      (s, d) => li(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"), year(col("l_shipdate")).as("yr"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus", "yr")
+        .offset(5).limit(10),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(year(l_shipdate) AS INT) AS yr, count(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus, yr
+             |ORDER BY l_returnflag, l_linestatus, yr LIMIT 10 OFFSET 5""".stripMargin)),
+
+    Q("b18_filters_agg",
+      (s, d) => filtersAgg(ord(s, d), Seq(col("o_orderstatus")),
+        "n_urgent" -> term(col("o_orderpriority"), "1-URGENT"),
+        "n_high" -> term(col("o_orderpriority"), "2-HIGH"),
+        "n_low" -> terms(col("o_orderpriority"), Seq("4-NOT SPECIFIED", "5-LOW")))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS doc_count,
+             |       sum(CASE WHEN o_orderpriority='1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+             |       sum(CASE WHEN o_orderpriority='2-HIGH' THEN 1 ELSE 0 END) AS n_high,
+             |       sum(CASE WHEN o_orderpriority IN ('4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END) AS n_low
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    Q("b19_script_fields",
+      (s, d) => ord(s, d)
+        .select(
+          col("o_orderkey"),
+          substring(col("o_orderpriority"), 1, 1).cast("int").as("pri_num"),
+          concat(col("o_orderstatus"), lit("-"), upper(substring(col("o_orderpriority"), 3, 20))).as("label"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+          round(col("o_totalprice") * 1.1, 2).as("price_taxed"),
+          round(log(col("o_totalprice") + 1), 6).as("ln_price"),
+          length(col("o_orderpriority")).as("pri_len"))
+        .orderBy("o_orderkey").limit(100),
+      Some("""SELECT o_orderkey,
+             |       CAST(substr(o_orderpriority,1,1) AS INT) AS pri_num,
+             |       o_orderstatus || '-' || upper(substr(o_orderpriority,3,20)) AS label,
+             |       CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+             |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+             |       round(o_totalprice * 1.1, 2) AS price_taxed,
+             |       round(ln(o_totalprice + 1), 6) AS ln_price,
+             |       CAST(length(o_orderpriority) AS INT) AS pri_len
+             |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin)),
+
+    Q("b20_set_ops",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+        val p = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct()
+        c.intersect(p).withColumn("tag", lit("both"))
+          .unionByName(c.except(p).withColumn("tag", lit("cust_only")))
+          .unionByName(p.except(c).withColumn("tag", lit("supp_only")))
+          .select(col("tag"), col("nationkey"))
+          .orderBy("tag", "nationkey")
+      },
+      Some("""WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+             |     p AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+             |SELECT 'both' AS tag, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM p)
+             |UNION ALL SELECT 'cust_only', nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM p)
+             |UNION ALL SELECT 'supp_only', nationkey FROM (SELECT nationkey FROM p EXCEPT SELECT nationkey FROM c)
+             |ORDER BY tag, nationkey""".stripMargin)),
+
+    Q("b21_join_revenue",
+      (s, d) => {
+        val l = li(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+        val o = ord(s, d).select("o_orderkey", "o_custkey")
+        val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("cnt"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |       count(*) AS cnt
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    Q("b22_join_range",
+      (s, d) => {
+        val l = li(s, d).select("l_orderkey", "l_shipdate")
+        val o = ord(s, d).select("o_orderkey", "o_orderstatus", "o_orderdate")
+        l.join(o, l("l_orderkey") === o("o_orderkey") &&
+          l("l_shipdate") >= o("o_orderdate") &&
+          l("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    Q("b23_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+        AsOfJoin.backward(purchases, signups, keys = Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", rightCols = Seq("signup_id"))
+          .select(col("event_id"), col("user_id"), col("asof_signup_id"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id,
+             |       (SELECT max(s.event_id) FROM events s
+             |        WHERE s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts) AS asof_signup_id
+             |FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin)),
+  )
+}

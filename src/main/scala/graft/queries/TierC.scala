@@ -1,0 +1,356 @@
+package graft.queries
+
+import graft.ext.{Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.functions.Hashing
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tier C corpus (SURVEY.md §2 C1–C6 + the LLM-training-data operators from
+  * the north star): dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force + IVF), text analysis
+  * (lang-ID, quality, tokens, fingerprint, tf-idf), sessionization,
+  * event-time windows, multimodal binary columns. Every oracle reproduces
+  * the Spark pipeline bit-for-bit in DuckDB (shared md5-based hashing,
+  * same-order double arithmetic).
+  */
+object TierC {
+
+  // ---------- shared DuckDB SQL fragments ------------------------------
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+      |  FROM documents
+      |)""".stripMargin
+
+  private val gramsCte =
+    """grams AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(w) >= 3
+      |              THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+      |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |              ELSE [] END AS grams
+      |  FROM toks
+      |)""".stripMargin
+
+  /** Same-order double cosine: Spark `aggregate(zip_with(...))` ==
+    * DuckDB `list_sum(list_transform(...))` — identical fold order. */
+  private def sqlCos(a: String, b: String): String = {
+    def d(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"round(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})), 6)"
+  }
+
+  private val NUM_HASHES = 16
+  private val BAND_SIZE = 2
+
+  private val sigCte = {
+    val hs = (0 until NUM_HASHES)
+      .map(i => s"min(${Hashing.sqlSeeded(i, "g")}) AS h$i").mkString(",\n         ")
+    s"""gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
+       |sig AS (
+       |  SELECT doc_id,
+       |         $hs
+       |  FROM gx GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  private val bandsCte = {
+    val arms = (0 until NUM_HASHES / BAND_SIZE).map { j =>
+      val parts = (0 until BAND_SIZE).map(o => s"CAST(h${j * BAND_SIZE + o} AS VARCHAR)")
+      s"WHEN $j THEN md5(${parts.mkString(" || ',' || ")})"
+    }.mkString(" ")
+    s"""bands AS (
+       |  SELECT doc_id, j, CASE j $arms END AS band
+       |  FROM sig, range(0, ${NUM_HASHES / BAND_SIZE}) s(j)
+       |)""".stripMargin
+  }
+
+  private val simhashSigSql =
+    s"""WITH $toksCte,
+       |tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
+       |th AS (SELECT doc_id, ${Hashing.sqlMd5Long60("t")} AS h FROM tok),
+       |bits AS (SELECT doc_id, h, j FROM th, range(0, 60) s(j)),
+       |votes AS (
+       |  SELECT doc_id, j, sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM bits GROUP BY doc_id, j
+       |),
+       |sig AS (
+       |  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id
+       |)""".stripMargin
+
+  private val langScoreSql = {
+    val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
+      s"len(list_filter(w, t -> t IN (${ms.map(m => s"'$m'").mkString(",")}))) AS s_$l"
+    }.mkString(",\n         ")
+    val mx = s"greatest(${TextAnalysis.langMarkers.map(l => s"s_${l._1}").mkString(", ")})"
+    val pred = TextAnalysis.langMarkers.map { case (l, _) =>
+      s"WHEN mx > 0 AND s_$l = mx THEN '$l'"
+    }.mkString(" ")
+    s"""scores AS (
+       |  SELECT doc_id,
+       |         $scores
+       |  FROM toks
+       |), pred AS (
+       |  SELECT doc_id, CASE $pred ELSE 'und' END AS pred_lang
+       |  FROM (SELECT *, $mx AS mx FROM scores)
+       |)""".stripMargin
+  }
+
+  // ---------- corpus ---------------------------------------------------
+  val all: Seq[Q] = Seq(
+
+    Q("c01_dedup_exact",
+      (s, d) => Dedup.exact(Tables.documents(s, d),
+        Seq(col("lang"), col("source")), col("doc_id"))
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, min(doc_id) AS keep_id, count(*) AS n_dups
+             |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
+    Q("c02_minhash_lsh",
+      (s, d) => Dedup.minhashLsh(Tables.documents(s, d), col("doc_id"), col("text"),
+        numHashes = NUM_HASHES, bandSize = BAND_SIZE, threshold = 0.5)
+        .orderBy("doc_a", "doc_b"),
+      Some(
+        s"""WITH $toksCte,
+           |$gramsCte,
+           |$sigCte,
+           |$bandsCte,
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y ON x.j = y.j AND x.band = y.band AND x.doc_id < y.doc_id
+           |),
+           |sizes AS (SELECT doc_id, len(grams) AS n FROM grams),
+           |inter AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+           |  FROM cand c JOIN gx a ON a.doc_id = c.doc_a JOIN gx b ON b.doc_id = c.doc_b AND b.g = a.g
+           |  GROUP BY c.doc_a, c.doc_b
+           |)
+           |SELECT doc_a, doc_b, round(inter*1.0/(sa.n + sb.n - inter), 6) AS jac
+           |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+           |WHERE round(inter*1.0/(sa.n + sb.n - inter), 6) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("c03_simhash_sig",
+      (s, d) => Dedup.simhash(Tables.documents(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_id"),
+      Some(simhashSigSql + "\nSELECT doc_id, simhash FROM sig ORDER BY doc_id")),
+
+    Q("c03_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(
+        Dedup.simhash(Tables.documents(s, d), col("doc_id"), col("text")), maxDist = 3)
+        .orderBy("doc_a", "doc_b"),
+      Some(simhashSigSql +
+        """,
+          |sbands AS (
+          |  SELECT doc_id, simhash, j, (simhash >> (15*j)) & 32767 AS band
+          |  FROM sig, range(0, 4) s(j)
+          |),
+          |scand AS (
+          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |         x.simhash AS sa, y.simhash AS sb
+          |  FROM sbands x JOIN sbands y ON x.j = y.j AND x.band = y.band AND x.doc_id < y.doc_id
+          |)
+          |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+          |FROM scand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("c04_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccard(Tables.documents(s, d), col("doc_id"), col("text"),
+        threshold = 0.4)
+        .orderBy("doc_a", "doc_b"),
+      Some(
+        s"""WITH $toksCte,
+           |$gramsCte,
+           |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
+           |sizes AS (SELECT doc_id, len(grams) AS n FROM grams),
+           |inter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           |  FROM gx a JOIN gx b ON a.g = b.g AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id
+           |)
+           |SELECT doc_a, doc_b, round(inter*1.0/(sa.n + sb.n - inter), 6) AS jac
+           |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+           |WHERE round(inter*1.0/(sa.n + sb.n - inter), 6) >= 0.4
+           |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    Q("c05_embed_neardup",
+      (s, d) => Similarity.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.45)
+        .orderBy("vec_a", "vec_b"),
+      Some(
+        s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |       ${sqlCos("a.embedding", "b.embedding")} AS cos
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.45
+           |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    Q("c06_knn_brute",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.knnBrute(e.filter(col("vec_id") < 5), e, k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+           |scored AS (
+           |  SELECT query_id, e.vec_id AS neighbor_id, ${sqlCos("qe", "e.embedding")} AS cos
+           |  FROM embeddings e CROSS JOIN q WHERE query_id <> e.vec_id
+           |),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |      FROM scored)
+           |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin)),
+
+    Q("c07_knn_ivf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.knnIvf(
+          queries = e.filter(col("vec_id") < 5),
+          corpus = e,
+          centroids = e.filter(col("vec_id") % 50 === 0),
+          nprobe = 2, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(
+        s"""WITH cent AS (SELECT vec_id AS cell, embedding AS cem FROM embeddings WHERE vec_id % 50 = 0),
+           |asg AS (
+           |  SELECT neighbor_id, cell, ce FROM (
+           |    SELECT e.vec_id AS neighbor_id, cell, e.embedding AS ce,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${sqlCos("e.embedding", "cem")} DESC, cell) AS crank
+           |    FROM embeddings e CROSS JOIN cent)
+           |  WHERE crank = 1
+           |),
+           |probes AS (
+           |  SELECT query_id, cell, qe FROM (
+           |    SELECT e.vec_id AS query_id, cell, e.embedding AS qe,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${sqlCos("e.embedding", "cem")} DESC, cell) AS crank
+           |    FROM embeddings e CROSS JOIN cent WHERE e.vec_id < 5)
+           |  WHERE crank <= 2
+           |),
+           |scored AS (
+           |  SELECT query_id, neighbor_id, ${sqlCos("qe", "ce")} AS cos
+           |  FROM probes JOIN asg USING (cell) WHERE query_id <> neighbor_id
+           |),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |      FROM scored)
+           |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin)),
+
+    Q("c08_langid",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH $toksCte,
+           |$langScoreSql
+           |SELECT doc_id, pred_lang FROM pred ORDER BY doc_id""".stripMargin)),
+
+    Q("c09_quality",
+      (s, d) => TextAnalysis.qualityFeatures(Tables.documents(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_id"),
+      Some {
+        val stop = TextAnalysis.langMarkers.head._2.map(m => s"'$m'").mkString(",")
+        s"""WITH base AS (
+           |  SELECT doc_id, length(text) AS n_chars,
+           |         len(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS n_tokens,
+           |         length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS punct,
+           |         len(list_filter(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> ''),
+           |             t -> t IN ($stop))) AS stop
+           |  FROM documents)
+           |SELECT doc_id, n_chars, CAST(n_tokens AS INT) AS n_tokens,
+           |       round(n_chars*1.0/n_tokens, 4) AS avg_tok_len,
+           |       round(punct*1.0/n_chars, 6) AS punct_ratio,
+           |       round(stop*1.0/n_tokens, 6) AS stop_ratio,
+           |       round(0.5*(stop*1.0/n_tokens) + 0.3*least(n_tokens*1.0/100.0, 1.0)
+           |             + 0.2*(1.0 - punct*1.0/n_chars), 6) AS quality
+           |FROM base ORDER BY doc_id""".stripMargin
+      }),
+
+    Q("c10_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH $toksCte
+           |SELECT doc_id, md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fp
+           |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    Q("c11_token_count",
+      (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |       CAST(len(list_filter(string_split_regex(text, ' +'), x -> x <> '')) AS INT) AS n_ws,
+             |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("c12_sessionize",
+      (s, d) => Sessionize.userStats(Tables.events(s, d), gapMinutes = 30)
+        .orderBy("user_id"),
+      Some("""WITH x AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |), y AS (
+             |  SELECT user_id,
+             |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                             ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM x
+             |), z AS (SELECT user_id, session_id, count(*) AS n_ev FROM y GROUP BY user_id, session_id)
+             |SELECT user_id, count(*) AS n_sessions, sum(n_ev) AS n_events, max(n_ev) AS max_sess_events
+             |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    Q("c13_event_windows",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_v"))
+        .select(col("win.start").as("wstart"), col("event_type"), col("cnt"), col("sum_v"))
+        .orderBy("wstart", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS wstart, event_type, count(*) AS cnt,
+             |       round(sum(value), 4) AS sum_v
+             |FROM events GROUP BY wstart, event_type ORDER BY wstart, event_type""".stripMargin)),
+
+    Q("c14_tfidf",
+      (s, d) => TextAnalysis.tfIdfTopK(Tables.documents(s, d), col("doc_id"), col("text"), k = 3)
+        .filter(col("doc_id") < 20)
+        .orderBy("doc_id", "rn"),
+      Some(
+        s"""WITH $toksCte,
+           |td AS (SELECT doc_id, unnest(w) AS term FROM toks),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM td GROUP BY doc_id, term),
+           |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM td GROUP BY term),
+           |n AS (SELECT count(*) AS n_docs FROM documents),
+           |sc AS (SELECT doc_id, term, round(tf * ln(n_docs*1.0/df), 6) AS tfidf
+           |       FROM tf JOIN dfq USING (term) CROSS JOIN n),
+           |r AS (SELECT doc_id, term, tfidf,
+           |             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+           |      FROM sc)
+           |SELECT doc_id, rn, term, tfidf FROM r WHERE rn <= 3 AND doc_id < 20
+           |ORDER BY doc_id, rn""".stripMargin)),
+
+    Q("c15_mm_decode",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Multimodal.decodeMeta(
+          Multimodal.withFakePayload(Tables.documents(s, d), "doc_id", "text"))
+          .toDF().orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |       CAST(1 + CAST('0x' || substr(md5(text), 1, 2) AS INT) % 64 AS INT) AS width,
+             |       CAST(1 + CAST('0x' || substr(md5(text), 3, 2) AS INT) % 64 AS INT) AS height,
+             |       CAST(octet_length(from_hex(md5(text))) AS INT) AS n_bytes,
+             |       CASE CAST('0x' || substr(md5(text), 5, 2) AS INT) % 3
+             |         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Q("c16_mm_frames",
+      (s, d) => Multimodal.sampleFrames(
+        Multimodal.withFakePayload(Tables.documents(s, d), "doc_id", "text"), stride = 7)
+        .orderBy("doc_id", "frame_idx"),
+      Some("""SELECT doc_id, frame_idx FROM documents,
+             |     unnest(generate_series(0, CAST('0x' || substr(md5(text), 7, 2) AS INT) % 30, 7)) AS u(frame_idx)
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+  )
+}
