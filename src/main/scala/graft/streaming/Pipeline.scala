@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.{ChangeLog, Merge}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** The reference-parity CDC pipeline (SURVEY.md §3), Spark-native:
+  *
+  * reference                         → here
+  * ---------------------------------------------------------------
+  * postPut/postDelete hooks (A1/A2)  → readStream over a change-log dir
+  * 10k-op bulk size trigger (A9)     → maxFilesPerTrigger admission
+  * 30 s scheduled flush (A10)        → Trigger.ProcessingTime("30 seconds")
+  * bulk upsert/delete to ES (A7/A8)  → foreachBatch MERGE into a versioned
+  *                                     parquet index snapshot
+  * reconnect + requeue (A11)         → checkpointed offsets + idempotent
+  *                                     per-batch snapshot (effective
+  *                                     exactly-once, an upgrade over the
+  *                                     reference's at-least-once —
+  *                                     `observer6/ElasticSearchBulkOperator.java:91-99`)
+  * per-row try/catch (A17)           → quarantine side-output of malformed
+  *                                     mutations (`observer6/HbaseDataSyncEsObserver.java:110-112`)
+  * start/stop lifecycle (A15)        → StreamingQuery handle
+  *
+  * Snapshot layout: `indexDir/v<batchId>/` parquet + `indexDir/_CURRENT`
+  * pointer file. A retried batch rewrites the same versioned dir and
+  * pointer — idempotent, so checkpoint recovery gives exactly-once index
+  * state. At scale the snapshot is bucketed by id (Merge.writeIndex) so
+  * the per-batch merge join is co-partitioned; only the batch shuffles.
+  */
+object Pipeline {
+
+  def isMalformed = col("row_key").isNull || !col("op").isin("U", "D")
+
+  /** One micro-batch: quarantine bad rows, merge good rows, publish the
+    * next snapshot version. Public so batch jobs and tests drive the exact
+    * code the stream runs. */
+  def applyBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
+                 batchId: Long, quarantineDir: Option[String] = None): Unit = {
+    val bad = batch.filter(isMalformed)
+    quarantineDir.foreach { qd =>
+      bad.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").parquet(s"$qd/b$batchId")
+    }
+    val good = batch.filter(!isMalformed)
+    val index = currentSnapshot(indexDir)
+      .map(v => Merge.readIndex(spark, s"$indexDir/$v"))
+      .getOrElse(Merge.emptyIndex(spark))
+    val merged = Merge.mergeBatch(index, good)
+    Merge.writeIndex(merged, s"$indexDir/v$batchId")
+    publish(indexDir, s"v$batchId")
+  }
+
+  /** A1/A2 + A9/A10: the streaming shell. */
+  def start(spark: SparkSession, changeLogDir: String, indexDir: String,
+            checkpointDir: String, quarantineDir: Option[String] = None,
+            trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+            maxFilesPerTrigger: Int = 16): StreamingQuery =
+    ChangeLog.readStreamMutations(spark, changeLogDir, maxFilesPerTrigger)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch.sparkSession, batch, indexDir, batchId, quarantineDir)
+      }
+      .start()
+
+  /** Read the published snapshot (the "ES index" visible to queries). */
+  def readCurrent(spark: SparkSession, indexDir: String): DataFrame =
+    currentSnapshot(indexDir)
+      .map(v => Merge.readIndex(spark, s"$indexDir/$v"))
+      .getOrElse(Merge.emptyIndex(spark))
+
+  def currentSnapshot(indexDir: String): Option[String] = {
+    val p = Paths.get(indexDir, "_CURRENT")
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
+  private def publish(indexDir: String, version: String): Unit = {
+    Files.createDirectories(Paths.get(indexDir))
+    val tmp = Paths.get(indexDir, "_CURRENT.tmp")
+    Files.writeString(tmp, version)
+    Files.move(tmp, Paths.get(indexDir, "_CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import graft.dsl.EsDsl
+import graft.ext.{Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val sp = spark
+
+  test("transform flatten: family erasure + last-wins, no shuffle") {
+    val df = mutDf(Seq(mut("k", "U", "2024-01-01 00:00:00", 1,
+      ("f1", "q", "a"), ("f2", "q", "b"), ("f1", "r", "c"))))
+    val doc = Transform.toDocs(df).select("doc.info").collect().head.getMap[String, String](0)
+    assert(doc.toMap == Map("q" -> "b", "r" -> "c"))
+    val plan = Transform.toDocs(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "flatten must be narrow")
+  }
+
+  test("as-of join: backward match, ties, and no-match null") {
+    import sp.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("user_id", "t", "event_id")
+    val right = Seq((1L, 5L, 900L), (1L, 15L, 901L), (3L, 1L, 902L))
+      .toDF("user_id", "t", "rid")
+    val out = AsOfJoin.backward(left, right, Seq("user_id"), "t", "t", Seq("rid"))
+      .orderBy("event_id").collect()
+    assert(out.map(r => Option(r.getAs[Any]("asof_rid"))).toSeq ==
+      Seq(Some(900L), Some(901L), None))
+  }
+
+  test("as-of join: right row at exactly left ts matches (<= semantics)") {
+    import sp.implicits._
+    val left = Seq((1L, 10L, 1L)).toDF("user_id", "t", "event_id")
+    val right = Seq((1L, 10L, 7L)).toDF("user_id", "t", "rid")
+    val out = AsOfJoin.backward(left, right, Seq("user_id"), "t", "t", Seq("rid")).collect()
+    assert(out.head.getAs[Long]("asof_rid") == 7L)
+  }
+
+  test("EsDsl bool: minimum_should_match") {
+    import sp.implicits._
+    val df = Seq(("R", "F"), ("R", "O"), ("N", "O")).toDF("a", "b")
+    val n = df.filter(EsDsl.bool(
+      should = Seq(col("a") === "R", col("b") === "F"), minimumShouldMatch = 2)).count()
+    assert(n == 1)
+  }
+
+  test("EsDsl wildcard translates ES syntax") {
+    import sp.implicits._
+    val df = Seq("red bolt", "blue ring", "red ring").toDF("s")
+    assert(df.filter(EsDsl.wildcard(col("s"), "red*")).count() == 2)
+    assert(df.filter(EsDsl.wildcard(col("s"), "red ?ing")).count() == 1)
+  }
+
+  test("cardinality approx within rsd of exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = li.select(count_distinct(col("l_partkey"))).collect().head.getLong(0).toDouble
+    val approx = li.select(EsDsl.cardinality(col("l_partkey"), 0.05)).collect().head.getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.15)
+  }
+
+  test("wordNgrams guards short docs") {
+    import sp.implicits._
+    val df = Seq("one two", "a b c d").toDF("text")
+    val grams = df.select(TextAnalysis.wordNgrams(TextAnalysis.tokens(col("text")), 3).as("g"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(grams == Seq(Seq.empty, Seq("a b c", "b c d")))
+  }
+
+  test("simhash of identical docs is identical; banded pairs find them") {
+    import sp.implicits._
+    val df = Seq((1L, "spark merge join window batch"), (2L, "spark merge join window batch"),
+      (3L, "totally different content here entirely")).toDF("doc_id", "text")
+    val sig = Dedup.simhash(df, col("doc_id"), col("text"))
+    val sigs = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val pairs = Dedup.simhashPairs(sig, maxDist = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+  }
+
+  test("cosine: orthogonal and identical vectors") {
+    import sp.implicits._
+    val df = Seq((Array(1f, 0f), Array(0f, 1f), Array(1f, 0f))).toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("ab"),
+      Similarity.cosine(col("a"), col("c")).as("ac")).collect().head
+    assert(math.abs(r.getDouble(0)) < 1e-12 && math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("sessionize: gap splits sessions") {
+    import sp.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L), (1L, ts("2024-01-01 00:10:00"), 2L),
+      (1L, ts("2024-01-01 01:00:00"), 3L), (2L, ts("2024-01-01 00:00:00"), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val stats = Sessionize.userStats(df, gapMinutes = 30).orderBy("user_id").collect()
+    assert(stats(0).getAs[Long]("n_sessions") == 2 && stats(0).getAs[Long]("n_events") == 3)
+    assert(stats(1).getAs[Long]("n_sessions") == 1)
+  }
+
+  test("multimodal: mapPartitions stub decode == expression twin") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val payloads = Multimodal.withFakePayload(docs, "doc_id", "text")
+    implicit val s2: org.apache.spark.sql.SparkSession = sp
+    val viaMap = Multimodal.decodeMeta(payloads).toDF().orderBy("doc_id").collect().toSeq
+    val viaExpr = Multimodal.decodeMetaExpr(payloads).orderBy("doc_id").collect().toSeq
+    assert(viaMap == viaExpr)
+  }
+
+  test("langId deterministic tie order and und fallback") {
+    import sp.implicits._
+    val df = Seq("xyzzy plugh", "the row value is here", "el data de los").toDF("text")
+    val out = df.select(TextAnalysis.langId(col("text")).as("l")).collect().map(_.getString(0)).toSeq
+    assert(out == Seq("und", "en", "es"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.Pipeline
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** §5.4 streaming equivalence: the real foreachBatch pipeline over varying
+  * micro-batch splits must equal the batch fold of the same mutation log —
+  * the reference's observable contract (ES state at batch granularity). */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmpDir(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("MemoryStream pipeline == batch fold, including quarantine") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+
+    val log = Seq(
+      mut("u1", "U", "2024-01-01 00:00:00", 1, ("f", "a", "1")),
+      mut("u2", "U", "2024-01-01 00:00:01", 2, ("f", "a", "2")),
+      mut("u1", "D", "2024-01-01 00:00:02", 3),
+      mut("u3", "U", "2024-01-01 00:00:03", 4, ("f", "b", "3"), ("f", "c", "4")),
+      mut("u1", "U", "2024-01-01 00:00:04", 5, ("f", "z", "9")),
+      Mutation(null, "U", ts("2024-01-01 00:00:05"), 6, Seq(Cell("f", "bad", "x"))), // quarantined
+      mut("u2", "X", "2024-01-01 00:00:06", 7, ("f", "bad", "y"))) // bad op → quarantined
+
+    val indexDir = tmpDir("graft-index")
+    val qDir = tmpDir("graft-quarantine")
+    val ms = MemoryStream[Mutation]
+    val q = ms.toDF().writeStream
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("graft-ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Pipeline.applyBatch(b.sparkSession, b, indexDir, id, Some(qDir))
+      }
+      .start()
+
+    // three uneven micro-batches
+    ms.addData(log.slice(0, 2)); q.processAllAvailable()
+    ms.addData(log.slice(2, 3)); q.processAllAvailable()
+    ms.addData(log.slice(3, 7)); q.processAllAvailable()
+    q.stop()
+
+    val streamed = indexMap(Pipeline.readCurrent(spark, indexDir))
+    val batch = indexMap(Merge.fold(mutDf(log).filter(!Pipeline.isMalformed)))
+    assert(streamed == batch)
+    assert(streamed == Map(
+      "u1" -> Map("z" -> "9"),
+      "u2" -> Map("a" -> "2"),
+      "u3" -> Map("b" -> "3", "c" -> "4")))
+
+    val quarantined = spark.read.parquet(s"$qDir/*").count()
+    assert(quarantined == 2)
+  }
+
+  test("file-stream shell end-to-end with processing-time trigger") {
+    val sp = spark
+    val changeDir = tmpDir("graft-changes")
+    val log = mutDf(Seq(
+      mut("a", "U", "2024-01-01 00:00:00", 1, ("f", "x", "1")),
+      mut("b", "U", "2024-01-01 00:00:01", 2, ("f", "y", "2")),
+      mut("a", "D", "2024-01-01 00:00:02", 3)))
+    log.write.mode("overwrite").parquet(changeDir)
+
+    val indexDir = tmpDir("graft-index2")
+    val q = Pipeline.start(sp, changeDir, indexDir, tmpDir("graft-ckpt2"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+    q.processAllAvailable()
+    q.stop()
+    assert(indexMap(Pipeline.readCurrent(sp, indexDir)) == Map("b" -> Map("y" -> "2")))
+  }
+}
