@@ -27,17 +27,21 @@ object Dedup {
     df.groupBy(keys: _*).agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Distinct word-3gram shingle sets: `(id, grams: array<string>)`.
-    * array_distinct BEFORE explode keeps shingling shuffle-free. */
+    * Batched kernel (one JVM pass per doc), shuffle-free. */
   def shingles(df: DataFrame, idCol: Column, text: Column, n: Int = 3): DataFrame =
     df.select(idCol.as("doc_id"),
-      array_distinct(TextAnalysis.wordNgrams(TextAnalysis.tokens(text), n)).as("grams"))
+      graft.functions.TextKernels.wordNgrams(text, n).as("grams"))
 
   /** MinHash signature columns h0..h{k-1}: per-doc min of a seeded 60-bit
-    * hash over the shingle set — `array_min(transform(...))`, fully narrow. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
-    sh.select(
+    * hash over the shingle set. One batched kernel call per row
+    * ([[graft.functions.MinHashSigs]]) — fully narrow, no shuffle. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val sigs = sh.select(col("doc_id"),
+      graft.functions.MinHashSigs(col("grams"), numHashes).as("sigs"))
+    sigs.select(
       col("doc_id") +: (0 until numHashes).map(i =>
-        array_min(transform(col("grams"), g => Hashing.seeded(i, g))).as(s"h$i")): _*)
+        element_at(col("sigs"), i + 1).as(s"h$i")): _*)
+  }
 
   /** C2: MinHash LSH near-dup pairs, exact-verified.
     * bands of `bandSize` rows → md5 band key → self-join per band →
@@ -46,7 +50,9 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: Column, text: Column,
                  numHashes: Int = 16, bandSize: Int = 2,
                  threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
-    val sh = shingles(df, idCol, text, shingleN)
+    // the shingle table feeds the signature AND both sides of the verify
+    // join — persist so the (HOF-interpreted) shingling runs once
+    val sh = shingles(df, idCol, text, shingleN).persist()
     val sig = minhashSignatures(sh, numHashes)
     val nBands = numHashes / bandSize
     val bands = sig.select(col("doc_id"), posexplode(array((0 until nBands).map { j =>
@@ -76,8 +82,11 @@ object Dedup {
     * never materialize. */
   def ngramJaccard(df: DataFrame, idCol: Column, text: Column,
                    threshold: Double, shingleN: Int = 3): DataFrame = {
-    val sh = shingles(df, idCol, text, shingleN)
-    val g = sh.select(col("doc_id"), explode(col("grams")).as("g"))
+    val sh = shingles(df, idCol, text, shingleN).persist()
+    // join grams by their 60-bit hash (long keys shuffle/compare far
+    // cheaper than gram strings; the oracle mirrors the same hash)
+    val g = sh.select(col("doc_id"), explode(col("grams")).as("gs"))
+      .select(col("doc_id"), Hashing.md5Long60(col("gs")).as("g"))
     val sizes = sh.select(col("doc_id"), size(col("grams")).as("n"))
     val inter = g.as("a").join(g.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -92,16 +101,13 @@ object Dedup {
   }
 
   /** C2c: 60-bit SimHash signature per doc. Token hashes keep multiplicity
-    * (term frequency weights the vote, the standard Charikar form). */
-  def simhash(df: DataFrame, idCol: Column, text: Column): DataFrame = {
-    val tok = df.select(idCol.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
-    val th = tok.select(col("doc_id"), Hashing.md5Long60(col("t")).as("h"))
-    val bits = th.select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
-    val votes = bits.groupBy("doc_id", "j")
-      .agg(sum(when(expr("(shiftright(h, j) & 1) = 1"), 1).otherwise(-1)).as("v"))
-    votes.groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("simhash"))
-  }
+    * (term frequency weights the vote, the standard Charikar form).
+    * Fully narrow: the bit-vote runs in a codegen'd kernel per document
+    * ([[graft.functions.VecOps.SimHash60]]) — no explode, no shuffle. */
+  def simhash(df: DataFrame, idCol: Column, text: Column): DataFrame =
+    df.select(idCol.as("doc_id"),
+      graft.functions.VecOps.simhash60(
+        graft.functions.TextKernels.tokenHashes60(text)).as("simhash"))
 
   /** C2c pairs: Hamming distance ≤ `maxDist` via banded join. With 4 bands
     * of 15 bits, any pair within distance 3 shares ≥1 exact band

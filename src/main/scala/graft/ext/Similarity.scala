@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd double dot product (element order — identical numerics to
+    * the `zip_with`+`aggregate` HOF form and the DuckDB oracle, but a tight
+    * primitive loop instead of per-element interpreted lambdas). */
+  def dot(a: Column, b: Column): Column = graft.functions.VecOps.dotF(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -28,13 +29,16 @@ object Similarity {
 
   /** Exact brute-force kNN: for each query row, top-k corpus rows by
     * cosine (rounded to 1e-6 before ranking so ties break deterministically
-    * by neighbor id). Self-matches excluded. */
+    * by neighbor id). Self-matches excluded. Norms are computed once per
+    * vector, not per pair. */
   def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      norm(col("embedding")).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+      .withColumn("cos", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -58,13 +62,13 @@ object Similarity {
     }
 
     val assigned = nearestCells(corpus, "neighbor_id", 1)
-      .select(col("neighbor_id"), col("cell"), col("e").as("ce"))
+      .select(col("neighbor_id"), col("cell"), col("e").as("ce"), norm(col("e")).as("cn"))
     val probes = nearestCells(queries, "query_id", nprobe)
-      .select(col("query_id"), col("cell"), col("e").as("qe"))
+      .select(col("query_id"), col("cell"), col("e").as("qe"), norm(col("e")).as("qn"))
 
     val scored = probes.join(assigned, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+      .withColumn("cos", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -75,10 +79,12 @@ object Similarity {
     * id-ordered triangle; at scale the LSH/IVF bucketing above bounds the
     * pair space instead). */
   def embeddingNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      norm(col("embedding")).as("na"))
+    val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      norm(col("embedding")).as("nb"))
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+      .withColumn("cos", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }

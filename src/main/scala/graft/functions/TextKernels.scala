@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+/** Batched text kernels: tokenization + n-gram / token-hash pipelines as a
+  * single JVM pass per document instead of a chain of interpreted
+  * higher-order functions (split → filter → transform(element_at×n) →
+  * array_distinct), which dominated the dedup wall-clock (~46 µs/gram
+  * interpreted vs ~0.5 µs here).
+  *
+  * Semantics are IDENTICAL to the HOF chain and the DuckDB oracle:
+  * tokens = lower(text) split on `\W+`, empties dropped; n-grams joined
+  * with a single space, set-deduplicated; hashes = first 15 hex chars of
+  * md5 (60 bits). */
+object TextKernels {
+
+  private val splitter = Pattern.compile("\\W+")
+
+  private def tokenize(text: UTF8String): Array[String] =
+    splitter.split(text.toLowerCase.toString, -1).filter(_.nonEmpty)
+
+  private val mdLocal = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+
+  private[functions] def md5Hash60(s: String): Long = {
+    val md = mdLocal.get(); md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    top >>> 4
+  }
+
+  /** Distinct space-joined word n-grams of lower(text). */
+  case class WordNgramsKernel(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      val out = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        out.add(sb.toString)
+        i += 1
+      }
+      val arr = new Array[Any](out.size)
+      val it = out.iterator(); var j = 0
+      while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+      new GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 60-bit md5 hash of every token (multiplicity kept) — feeds SimHash. */
+  case class TokenHashes60(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      val out = new Array[Long](toks.length)
+      var i = 0
+      while (i < toks.length) { out(i) = md5Hash60(toks(i)); i += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def wordNgrams(text: Column, n: Int): Column = column(WordNgramsKernel(expression(text), n))
+  def tokenHashes60(text: Column): Column = column(TokenHashes60(expression(text)))
+}

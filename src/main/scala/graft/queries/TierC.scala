@@ -162,7 +162,8 @@ object TierC {
       Some(
         s"""WITH $toksCte,
            |$gramsCte,
-           |gx AS (SELECT doc_id, unnest(grams) AS g FROM grams),
+           |gx AS (SELECT doc_id, ${Hashing.sqlMd5Long60("g")} AS g
+           |       FROM (SELECT doc_id, unnest(grams) AS g FROM grams)),
            |sizes AS (SELECT doc_id, len(grams) AS n FROM grams),
            |inter AS (
            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

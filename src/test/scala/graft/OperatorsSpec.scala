@@ -110,6 +110,34 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaMap == viaExpr)
   }
 
+  test("batched kernels match the HOF formulations bit-for-bit") {
+    import graft.functions.{Hashing, MinHashSigs, TextKernels}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // shingles kernel vs split/transform/array_distinct chain
+    val hof = docs.select(col("doc_id"),
+      array_distinct(TextAnalysis.wordNgrams(TextAnalysis.tokens(col("text")), 3)).as("g"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1).toSeq).toSeq
+    val ker = docs.select(col("doc_id"), TextKernels.wordNgrams(col("text"), 3).as("g"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1).toSeq).toSeq
+    assert(ker == hof)
+    // token-hash kernel vs transform(tokens, md5Long60)
+    val hofTh = docs.select(col("doc_id"),
+      transform(TextAnalysis.tokens(col("text")), t => Hashing.md5Long60(t)).as("h"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    val kerTh = docs.select(col("doc_id"), TextKernels.tokenHashes60(col("text")).as("h"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    assert(kerTh == hofTh)
+    // minhash kernel vs array_min(transform(...)) per seed
+    val sh = Dedup.shingles(docs, col("doc_id"), col("text"))
+    val hofMh = sh.select(col("doc_id"),
+      array(Seq(0, 7, 15).map(i => array_min(transform(col("grams"), g => Hashing.seeded(i, g)))): _*).as("s"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    val kerMh = sh.select(col("doc_id"), MinHashSigs(col("grams"), 16).as("s"))
+      .orderBy("doc_id").collect()
+      .map(r => { val s = r.getSeq[Long](1); Seq(s(0), s(7), s(15)) }).toSeq
+    assert(kerMh == hofMh)
+  }
+
   test("langId deterministic tie order and und fallback") {
     import sp.implicits._
     val df = Seq("xyzzy plugh", "the row value is here", "el data de los").toDF("text")
