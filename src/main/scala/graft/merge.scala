@@ -45,29 +45,39 @@ object Merge {
       col("row_key").as("id"), col("op"), col("ts"), col("seq"),
       posexplode_outer(col("cells")).as(Seq("pos", "cell")))
 
-    val w = Window.partitionBy("id")
-    val ord = struct(col("ts"), col("seq"))
-    val withD = exploded.withColumn(
-      "last_d", max(when(col("op") === "D", struct(col("ts"), col("seq")))).over(w))
-    val isAfter = col("op") === "U" && (col("last_d").isNull || ord > col("last_d"))
+    // Single pass over the batch: one full-size shuffle on (id, qualifier)
+    // computes per-qualifier last values AND per-op ordinals; the per-id
+    // delete horizon then needs only a window over the ALREADY-AGGREGATED
+    // rows (|keys|·|qualifiers|, orders of magnitude smaller than the
+    // batch), and the final per-id fold reuses that hash(id) partitioning.
+    // (The naive two-branch formulation scanned + windowed the raw batch
+    // twice because column pruning made the branches non-reusable.)
+    val opOrd = struct(col("ts"), col("seq"))
+    val g1 = exploded
+      .groupBy(col("id"), col("cell.qualifier").as("q"))
+      .agg(
+        max(when(col("op") === "D", opOrd)).as("dmax"),
+        max(when(col("op") === "U", opOrd)).as("umax"),
+        max_by(col("cell.value"),
+          when(col("op") === "U" && col("cell").isNotNull,
+            struct(col("ts"), col("seq"), col("pos")))).as("vlast"),
+        max(when(col("op") === "U" && col("cell").isNotNull, opOrd)).as("omax"))
 
-    val summary = withD
-      .groupBy("id")
+    val w = Window.partitionBy("id")
+    val g2 = g1
+      .withColumn("last_d", max(col("dmax")).over(w))
+      .withColumn("alive_i", max(
+        when(col("umax").isNotNull &&
+          (col("last_d").isNull || col("umax") > col("last_d")), 1).otherwise(0)).over(w))
+
+    val keepEntry = col("q").isNotNull && col("omax").isNotNull &&
+      (col("last_d").isNull || col("omax") > col("last_d"))
+    g2.groupBy("id")
       .agg(
         max(col("last_d")).as("last_d"),
-        max(when(isAfter, 1).otherwise(0)).as("alive_i"))
-
-    val perQual = withD
-      .filter(isAfter && col("cell").isNotNull)
-      .groupBy(col("id"), col("cell.qualifier").as("q"))
-      .agg(max_by(col("cell.value"), struct(col("ts"), col("seq"), col("pos"))).as("v"))
-
-    val delta = perQual
-      .groupBy("id")
-      .agg(map_from_entries(collect_list(struct(col("q"), col("v")))).as("delta"))
-
-    summary
-      .join(delta, Seq("id"), "left")
+        max(col("alive_i")).as("alive_i"),
+        map_from_entries(
+          collect_list(when(keepEntry, struct(col("q"), col("vlast"))))).as("delta"))
       .select(
         col("id"),
         col("last_d").isNotNull.as("had_delete"),

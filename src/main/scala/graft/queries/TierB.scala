@@ -17,6 +17,23 @@ object TierB {
 
   val all: Seq[Q] = Seq(
 
+    Q("q1_agg",
+      (s, d) => li(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       round(sum(l_quantity), 4) AS sum_qty,
+             |       round(sum(l_extendedprice), 4) AS sum_price,
+             |       round(avg(l_discount), 6) AS avg_disc,
+             |       count(*) AS cnt
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
     Q("b01_term",
       (s, d) => ord(s, d)
         .filter(term(col("o_orderstatus"), "F") &&
