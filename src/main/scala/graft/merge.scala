@@ -122,4 +122,16 @@ object Merge {
 
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Model.indexSchema).parquet(path)
+
+  /** The 100 TB layout: a bucketed+sorted catalog table. Joins against it
+    * on `id` read bucket metadata and skip the index-side Exchange AND
+    * sort entirely — only the incoming batch shuffles (verified by
+    * MergeSpec "bucketed index merge does not shuffle the index"). */
+  def writeIndexBucketed(index: DataFrame, table: String, buckets: Int = 32): Unit =
+    index.write.mode("overwrite")
+      .bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(table)
+
+  def readIndexBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

@@ -15,6 +15,8 @@ object Tables {
     * to a microsecond timestamp (`ts div 1000`) — exactly DuckDB's ns→µs
     * truncation, so oracle SQL on `ts` agrees. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // defensive: the corpus must work from any session, not just our mains
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -156,6 +156,22 @@ object TierB {
       Some("""SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
              |       count(DISTINCT l_orderkey) AS n_orders FROM lineitem""".stripMargin)),
 
+    // ES's cardinality/percentiles are approximate by default (HLL /
+    // t-digest); these are the faithful approximate twins — no SQL oracle
+    // (approx results are engine-specific), driver records rows-only.
+    Q("b11_cardinality_approx",
+      (s, d) => li(s, d).agg(
+        EsDsl.cardinality(col("l_partkey"), 0.01).as("n_parts"),
+        EsDsl.cardinality(col("l_suppkey"), 0.01).as("n_supps"),
+        EsDsl.cardinality(col("l_orderkey"), 0.01).as("n_orders")),
+      None),
+
+    Q("b12_percentiles_tdigest",
+      (s, d) => li(s, d).groupBy(col("l_returnflag"))
+        .agg(percentileApprox(col("l_quantity"), Seq(0.25, 0.5, 0.75, 0.95)).as("pcts"))
+        .orderBy("l_returnflag"),
+      None),
+
     Q("b12_percentiles",
       (s, d) => li(s, d).groupBy(col("l_returnflag")).agg(
         round(percentile_(col("l_quantity"), 0.25), 4).as("p25"),

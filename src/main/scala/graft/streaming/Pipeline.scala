@@ -32,6 +32,32 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object Pipeline {
 
+  /** A14 — typed config, the analog of the coprocessor attach-string parse
+    * (`readConfiguration(env)`, `observer6/HbaseDataSyncEsObserver.java:36-43`;
+    * attach example `README_zh.md:378`). */
+  case class Config(
+      changeLogDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      quarantineDir: Option[String] = None,
+      triggerSeconds: Int = 30, // reference flush period, `observer6/ElasticSearchBulkOperator.java:61`
+      maxFilesPerTrigger: Int = 16)
+
+  object Config {
+    /** Parse from string options (e.g. spark-submit --conf graft.*). */
+    def fromMap(m: Map[String, String]): Config = Config(
+      changeLogDir = m("graft.changelog.dir"),
+      indexDir = m("graft.index.dir"),
+      checkpointDir = m("graft.checkpoint.dir"),
+      quarantineDir = m.get("graft.quarantine.dir"),
+      triggerSeconds = m.getOrElse("graft.trigger.seconds", "30").toInt,
+      maxFilesPerTrigger = m.getOrElse("graft.maxFilesPerTrigger", "16").toInt)
+  }
+
+  def start(spark: SparkSession, cfg: Config): StreamingQuery =
+    start(spark, cfg.changeLogDir, cfg.indexDir, cfg.checkpointDir, cfg.quarantineDir,
+      Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"), cfg.maxFilesPerTrigger)
+
   def isMalformed = col("row_key").isNull || !col("op").isin("U", "D")
 
   /** One micro-batch: quarantine bad rows, merge good rows, publish the

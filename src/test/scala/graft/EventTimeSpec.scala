@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.EventTime
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+class EventTimeSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ev(id: Long, t: String, u: Long, v: Double) = Ev(id, ts(t), u, v)
+
+  test("streaming tumbling window with watermark drops late data") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val ms = MemoryStream[Ev]
+    val agg = EventTime.windowedAgg(ms.toDF(), "ts", "10 minutes", "1 hour")
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("win_out").start()
+
+    ms.addData(ev(1, "2024-01-01 00:05:00", 1, 1.0), ev(2, "2024-01-01 00:55:00", 1, 2.0))
+    q.processAllAvailable()
+    // advance watermark far past hour 0 so its window finalizes
+    ms.addData(ev(3, "2024-01-01 03:00:00", 2, 4.0))
+    q.processAllAvailable()
+    // this is now too late: hour-0 window already emitted + evicted
+    ms.addData(ev(4, "2024-01-01 00:10:00", 3, 8.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = sp.table("win_out").orderBy("wstart").collect()
+    assert(rows.map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq(("2024-01-01 00:00:00.0", 2L, 3.0)))
+  }
+
+  test("streaming session windows merge within gap") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val ms = MemoryStream[Ev]
+    val agg = EventTime.sessionAgg(ms.toDF(), "ts", "10 minutes", "30 minutes", Seq(col("user_id")))
+    val q = agg.writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+
+    ms.addData(
+      ev(1, "2024-01-01 00:00:00", 1, 1), ev(2, "2024-01-01 00:10:00", 1, 1), // session A
+      ev(3, "2024-01-01 02:00:00", 1, 1)) // session B
+    q.processAllAvailable()
+    ms.addData(ev(4, "2024-01-01 06:00:00", 9, 1)) // push watermark, finalize all
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = sp.table("sess_out").filter(col("user_id") === 1)
+      .orderBy("sstart").collect()
+    assert(rows.map(r => (r.getTimestamp(0).toString, r.getLong(3))).toSeq ==
+      Seq(("2024-01-01 00:00:00.0", 2L), ("2024-01-01 02:00:00.0", 1L)))
+    // batch twin agrees on session structure
+    val batch = ext.Sessionize.userStats(
+      mutDf(Seq()).sparkSession.createDataFrame(Seq(
+        (1L, ts("2024-01-01 00:00:00"), 1L), (2L, ts("2024-01-01 00:10:00"), 1L),
+        (3L, ts("2024-01-01 02:00:00"), 1L))).toDF("event_id", "ts", "user_id"),
+      gapMinutes = 30).collect()
+    assert(batch.head.getAs[Long]("n_sessions") == 2)
+  }
+
+  test("streaming dedup within watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val ms = MemoryStream[Ev]
+    val dd = EventTime.dedupWithinWatermark(ms.toDF(), "ts", "1 hour", Seq("user_id"))
+    val q = dd.writeStream.outputMode("append").format("memory").queryName("dd_out").start()
+    ms.addData(ev(1, "2024-01-01 00:00:00", 1, 1), ev(2, "2024-01-01 00:01:00", 1, 2),
+      ev(3, "2024-01-01 00:02:00", 2, 3))
+    q.processAllAvailable()
+    q.stop()
+    assert(sp.table("dd_out").count() == 2)
+  }
+}
