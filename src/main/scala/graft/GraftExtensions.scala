@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.{MinHashSigs, TextKernels, VecOps}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SQL surface for the engine's custom kernels. Register with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.GraftExtensions`), then:
+  *
+  * {{{
+  *   SELECT dot_f(a.embedding, b.embedding)            -- codegen'd double dot
+  *   SELECT simhash60(token_hashes60(text))            -- SimHash sketch
+  *   SELECT minhash_sigs(word_ngrams(text, 3), 16)     -- MinHash signatures
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("dot_f"),
+      info("dot_f", "dot_f(a, b) - double dot product of two float arrays"),
+      (args: Seq[Expression]) => VecOps.DotProductFloat(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(hashes) - 60-bit SimHash bit-vote over token hashes"),
+      (args: Seq[Expression]) => VecOps.SimHash60(args.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_sigs"),
+      info("minhash_sigs", "minhash_sigs(grams, k) - k seeded 60-bit minhash signatures"),
+      (args: Seq[Expression]) => MinHashSigs(args(0), intArg(args(1), "numHashes"))))
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams", "word_ngrams(text, n) - distinct space-joined word n-grams"),
+      (args: Seq[Expression]) => TextKernels.WordNgramsKernel(args(0), intArg(args(1), "n"))))
+    ext.injectFunction((FunctionIdentifier("token_hashes60"),
+      info("token_hashes60", "token_hashes60(text) - 60-bit md5 hash per token"),
+      (args: Seq[Expression]) => TextKernels.TokenHashes60(args.head)))
+  }
+}

@@ -11,4 +11,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions function-injector to an EXISTING
+    * session's registry (extensions normally only take effect at session
+    * construction). */
+  def registerInto(f: org.apache.spark.sql.SparkSessionExtensions => Unit,
+                   registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit = {
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    f(e)
+    e.registerFunctions(registry)
+  }
 }

@@ -138,6 +138,16 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(kerMh == hofMh)
   }
 
+  test("GraftExtensions registers the kernel functions for SQL") {
+    org.apache.spark.sql.graftbridge.Bridge.registerInto(
+      new GraftExtensions(), spark.sessionState.functionRegistry)
+    val r = spark.sql(
+      "SELECT dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d, " +
+        "simhash60(token_hashes60('spark merge join')) AS sh").collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) > 0)
+  }
+
   test("langId deterministic tie order and und fallback") {
     import sp.implicits._
     val df = Seq("xyzzy plugh", "the row value is here", "el data de los").toDF("text")
