@@ -52,18 +52,28 @@ object Similarity {
              nprobe: Int, k: Int): DataFrame = {
     val cent = broadcast(centroids.select(col("vec_id").as("cell"), col("embedding").as("cem")))
 
-    def nearestCells(df: DataFrame, idOut: String, n: Int): DataFrame = {
-      val scored = df.select(col("vec_id").as(idOut), col("embedding").as("e"))
+    def scoredCells(df: DataFrame, idOut: String) =
+      df.select(col("vec_id").as(idOut), col("embedding").as("e"))
         .crossJoin(cent)
         .withColumn("ccos", round(cosine(col("e"), col("cem")), 6))
-      val w = Window.partitionBy(idOut).orderBy(desc("ccos"), col("cell"))
-      scored.withColumn("crank", row_number().over(w)).filter(col("crank") <= n)
-        .select(col(idOut), col("cell"), col("e"))
-    }
 
-    val assigned = nearestCells(corpus, "neighbor_id", 1)
-      .select(col("neighbor_id"), col("cell"), col("e").as("ce"), norm(col("e")).as("cn"))
-    val probes = nearestCells(queries, "query_id", nprobe)
+    // corpus assignment is an ARGMAX, not a top-k: max_by with map-side
+    // partial aggregation shuffles one row per vector, not |corpus|×|cells|
+    // rows through a window sort — and aggregates only the cell id (the
+    // embedding would bloat every partial buffer; re-join it afterwards).
+    // Tiebreak (max ccos, then min cell) matches the row_number()
+    // (ccos DESC, cell ASC) formulation exactly.
+    val assignedIds = scoredCells(corpus, "neighbor_id")
+      .groupBy("neighbor_id")
+      .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"))
+    val assigned = assignedIds
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        norm(col("embedding")).as("cn")), "neighbor_id")
+
+    // queries are few — the nprobe top-k window is cheap there
+    val w0 = Window.partitionBy("query_id").orderBy(desc("ccos"), col("cell"))
+    val probes = scoredCells(queries, "query_id")
+      .withColumn("crank", row_number().over(w0)).filter(col("crank") <= nprobe)
       .select(col("query_id"), col("cell"), col("e").as("qe"), norm(col("e")).as("qn"))
 
     val scored = probes.join(assigned, "cell")

@@ -1,0 +1,79 @@
+package graft.tools
+
+import graft._
+import graft.ext.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Scale stress (not part of the correctness corpus): synthesizes larger
+  * inputs in /tmp and measures the operators that must survive 100 TB —
+  * the merge fold at 100× the bench change-log, MinHash LSH at 10× the
+  * bench document count, and brute-vs-IVF ANN at a corpus size where the
+  * candidate-set reduction matters. Results go to BASELINE.md ("scale
+  * probes"). */
+object Scale {
+  def t[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local("32")
+    import spark.implicits._
+
+    // ---- 10M-mutation change-log, 200k keys, 5% deletes ----
+    val changes = spark.range(10_000_000).select(
+      concat(lit("u"), (col("id") % 200000).cast("string")).as("row_key"),
+      when(pmod(hash(col("id")), lit(20)) === 0, "D").otherwise("U").as("op"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * 1000).as("ts"),
+      col("id").as("seq"),
+      when(pmod(hash(col("id")), lit(20)) === 0,
+        array().cast("array<struct<family:string,qualifier:string,value:string>>"))
+        .otherwise(array(
+          struct(lit("f").as("family"), lit("q1").as("qualifier"), col("id").cast("string").as("value")),
+          struct(lit("f").as("family"), lit("q2").as("qualifier"), pmod(col("id"), lit(97)).cast("string").as("value")),
+          struct(lit("f").as("family"), concat(lit("q"), pmod(col("id"), lit(8))).as("qualifier"), lit("x").as("value"))))
+        .as("cells"))
+    t("gen-changelog-10M")(changes.write.mode("overwrite").parquet("/tmp/scale/changelog"))
+    val cl = spark.read.parquet("/tmp/scale/changelog")
+    val folded = t("fold-10M")(
+      Merge.fold(cl).write.mode("overwrite").format("noop").save())
+    t("fold-10M-again")(
+      Merge.fold(cl).write.mode("overwrite").format("noop").save())
+
+    // incremental: standing index of 200k docs + a 100k-mutation batch
+    t("index-write")(Merge.writeIndex(Merge.fold(cl), "/tmp/scale/index"))
+    val idx = Merge.readIndex(spark, "/tmp/scale/index")
+    val batch = cl.filter(col("seq") % 100 === 0)
+    t("merge-100k-batch-into-200k-index")(
+      Merge.mergeBatch(idx, batch).write.mode("overwrite").format("noop").save())
+
+    // ---- MinHash LSH at 50k docs (10x bench) ----
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val big = (0 until 10).map(i =>
+      docs.select((col("doc_id") + i * 100000).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    t("gen-docs-50k")(big.write.mode("overwrite").parquet("/tmp/scale/docs"))
+    val docs50k = spark.read.parquet("/tmp/scale/docs")
+    t("minhash-lsh-50k")(
+      Dedup.minhashLsh(docs50k, col("doc_id"), col("text"), threshold = 0.5)
+        .write.mode("overwrite").format("noop").save())
+
+    // ---- ANN: 100k corpus, 1000 queries, brute vs IVF ----
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val corpus = (0 until 20).map(i =>
+      emb.select((col("vec_id") + i * 100000).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    t("gen-vecs-100k")(corpus.write.mode("overwrite").parquet("/tmp/scale/vecs"))
+    val vecs = spark.read.parquet("/tmp/scale/vecs")
+    val queries = vecs.filter(col("vec_id") < 1000)
+    t("knn-brute-1k-queries-100k-corpus")(
+      Similarity.knnBrute(queries, vecs, k = 10)
+        .write.mode("overwrite").format("noop").save())
+    val centroids = vecs.filter(col("vec_id") < 100) // 100 DISTINCT cells
+    t("knn-ivf-1k-queries-100k-corpus")(
+      Similarity.knnIvf(queries, vecs, centroids, nprobe = 2, k = 10)
+        .write.mode("overwrite").format("noop").save())
+
+    spark.stop()
+  }
+}
