@@ -103,6 +103,61 @@ object TierB {
              |FROM (SELECT doc_id, string_split_regex(lower(text), '\W+') AS toks FROM documents)
              |WHERE n_match >= 2 ORDER BY doc_id""".stripMargin)),
 
+    // B5 scoring variant: rank by total term frequency of the query terms
+    // (the ES practical-scoring analog at constant idf), desc + id tiebreak.
+    Q("b05_match_scored",
+      (s, d) => {
+        val toks = graft.ext.TextAnalysis.tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(filter(toks, t => t.isin("spark", "query", "join"))).as("score"))
+          .filter(col("score") > 0)
+          .orderBy(desc("score"), col("doc_id"))
+          .limit(20)
+      },
+      Some("""SELECT doc_id, CAST(len(list_filter(list_filter(string_split_regex(lower(text), '\W+'),
+             |         x -> x <> ''), t -> t IN ('spark','query','join'))) AS INT) AS score
+             |FROM documents
+             |WHERE len(list_filter(list_filter(string_split_regex(lower(text), '\W+'),
+             |         x -> x <> ''), t -> t IN ('spark','query','join'))) > 0
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ES `nested` query: predicate over child docs nested in the parent —
+    // lineitems collected per order, `exists(items, pred)` HOF.
+    Q("b24_nested_exists",
+      (s, d) => {
+        val items = li(s, d).groupBy(col("l_orderkey"))
+          .agg(collect_list(struct(col("l_quantity"), col("l_discount"))).as("items"))
+        val o = ord(s, d).select("o_orderkey", "o_orderstatus")
+        o.join(items, col("o_orderkey") === col("l_orderkey"))
+          .filter(org.apache.spark.sql.functions.exists(col("items"), i =>
+            i.getField("l_quantity") >= 49 && i.getField("l_discount") > 0.09))
+          .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49 AND l_discount > 0.09)
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // B16 third form: GROUPING SETS through the SQL entry point.
+    Q("b16_grouping_sets",
+      (s, d) => {
+        li(s, d).createOrReplaceTempView("graft_lineitem")
+        s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                |       coalesce(l_linestatus, 'ALL') AS status,
+                |       count(*) AS cnt
+                |FROM graft_lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+                |ORDER BY flag, status""".stripMargin)
+      },
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             |       coalesce(l_linestatus, 'ALL') AS status,
+             |       count(*) AS cnt
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+             |ORDER BY flag, status""".stripMargin)),
+
     Q("b06_bool",
       (s, d) => li(s, d)
         .filter(bool(
