@@ -360,6 +360,36 @@ object TierB {
              |UNION ALL SELECT 'supp_only', nationkey FROM (SELECT nationkey FROM p EXCEPT SELECT nationkey FROM c)
              |ORDER BY tag, nationkey""".stripMargin)),
 
+    // Window-function family over per-customer order history: ranking,
+    // offset (lag) and running aggregation in one pass (single shuffle on
+    // o_custkey; all three windows share the partitioning).
+    Q("b25_window_zoo",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byPrice = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+        val byDate = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        ord(s, d).filter(col("o_custkey") < 100)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            rank().over(byPrice).as("rnk"),
+            dense_rank().over(byPrice).as("drnk"),
+            datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(byDate)).as("days_since_prev"),
+            round(sum(col("o_totalprice")).over(
+              byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4).as("run_sum"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |       CAST(rank() OVER wp AS INT) AS rnk,
+             |       CAST(dense_rank() OVER wp AS INT) AS drnk,
+             |       CAST(date_diff('day', CAST(lag(o_orderdate, 1) OVER wd AS DATE),
+             |            CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
+             |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS UNBOUNDED PRECEDING), 4) AS run_sum
+             |FROM orders WHERE o_custkey < 100
+             |WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+             |       wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     Q("b21_join_revenue",
       (s, d) => {
         val l = li(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
