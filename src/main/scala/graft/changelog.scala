@@ -39,6 +39,13 @@ object ChangeLog {
   def readEvents(spark: SparkSession, sfDir: String): DataFrame =
     fromEvents(queries.Tables.events(spark, sfDir))
 
+  /** Typed view of a conforming change-log for the Scala API edge. */
+  def typed(df: DataFrame): org.apache.spark.sql.Dataset[Mutation] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[Mutation]
+  }
+
   /** Streaming change-log over a parquet directory (A1/A2). Admission control
     * via maxFilesPerTrigger is the Spark analog of the reference's 10k-op
     * size trigger (`observer6/ElasticSearchBulkOperator.java:26`). */

@@ -76,6 +76,37 @@ object TextKernels {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** A5 flatten kernel: cells array → {qualifier: value} with the
+    * reference's exact last-wins/remove-reinsert ordering
+    * (`HashMap.put` overwrite, `observer6/HbaseDataSyncEsObserver.java:100`;
+    * key moves to the end on overwrite, matching the HOF
+    * `map_concat(map_filter(...))` formulation bit-for-bit). */
+  case class CellsToMap(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = MapType(StringType, StringType, valueContainsNull = true)
+    override def nullSafeEval(in: Any): Any = {
+      val cells = in.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val m = new java.util.LinkedHashMap[UTF8String, UTF8String]()
+      var i = 0
+      while (i < cells.numElements()) {
+        val row = cells.getStruct(i, 3)
+        if (!row.isNullAt(1)) {
+          val q = row.getUTF8String(1).copy()
+          val v = if (row.isNullAt(2)) null else row.getUTF8String(2).copy()
+          m.remove(q) // re-insert at the end: last-write order
+          m.put(q, v)
+        }
+        i += 1
+      }
+      val keys = new Array[Any](m.size); val vals = new Array[Any](m.size)
+      val it = m.entrySet().iterator(); var j = 0
+      while (it.hasNext) { val e = it.next(); keys(j) = e.getKey; vals(j) = e.getValue; j += 1 }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new GenericArrayData(keys), new GenericArrayData(vals))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def wordNgrams(text: Column, n: Int): Column = column(WordNgramsKernel(expression(text), n))
   def tokenHashes60(text: Column): Column = column(TokenHashes60(expression(text)))
+  def cellsToMap(cells: Column): Column = column(CellsToMap(expression(cells)))
 }

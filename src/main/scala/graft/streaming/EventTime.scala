@@ -33,6 +33,19 @@ object EventTime {
       .select((Seq(col("sess.start").as("sstart"), col("sess.end").as("send"))
         ++ keys :+ col("n_events")): _*)
 
+  /** Stream-stream inner interval join: right rows within `lookback` before
+    * each left row, same key. Watermarks on BOTH sides bound the join state
+    * (Spark evicts right-side state older than watermark + lookback). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, watermark: String,
+                   lookback: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND r.$rightTs >= l.$leftTs - INTERVAL $lookback" +
+        s" AND r.$rightTs <= l.$leftTs"))
+  }
+
   /** C1 streaming: exact dedup with bounded state. */
   def dedupWithinWatermark(events: DataFrame, tsCol: String, watermark: String,
                            keys: Seq[String]): DataFrame =

@@ -16,12 +16,15 @@ object Transform {
     *  - duplicate qualifiers collapse last-wins (`HashMap.put` overwrite),
     *    in cell-array order.
     *
-    * Implemented as a higher-order `aggregate` over the cell array — no
-    * shuffle, no reliance on `spark.sql.mapKeyDedupPolicy`. Cells per row
-    * are bounded (an HBase row's qualifiers), so the quadratic-in-dup-keys
-    * `map_filter` is constant-time in practice.
+    * Batched kernel (one JVM call per row, no shuffle). The equivalent
+    * higher-order-function formulation is kept below for the equivalence
+    * spec — HOFs evaluate interpreted, which made this the ingest hot spot.
     */
   def flattenCells(cells: Column): Column =
+    graft.functions.TextKernels.cellsToMap(cells)
+
+  /** HOF twin of [[flattenCells]] (spec reference implementation). */
+  def flattenCellsHof(cells: Column): Column =
     aggregate(
       cells,
       map().cast("map<string,string>"),

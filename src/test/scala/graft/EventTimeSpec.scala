@@ -64,6 +64,27 @@ class EventTimeSpec extends AnyFunSuite with SparkTestBase {
     assert(batch.head.getAs[Long]("n_sessions") == 2)
   }
 
+  test("stream-stream interval join within lookback") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val purchases = MemoryStream[Ev]
+    val signups = MemoryStream[Ev]
+    val out = EventTime.intervalJoin(
+      purchases.toDF().select(col("event_id").as("pid"), col("user_id"), col("ts")),
+      signups.toDF().select(col("event_id").as("sid"), col("user_id"), col("ts").as("sts")),
+      key = "user_id", leftTs = "ts", rightTs = "sts",
+      watermark = "10 minutes", lookback = "1 HOUR")
+      .select(col("pid"), col("sid"))
+    val query = out.writeStream.outputMode("append").format("memory").queryName("ij_out").start()
+    signups.addData(ev(10, "2024-01-01 00:00:00", 1, 0), ev(11, "2024-01-01 02:00:00", 1, 0))
+    purchases.addData(ev(1, "2024-01-01 00:30:00", 1, 5), ev(2, "2024-01-01 02:30:00", 1, 5))
+    query.processAllAvailable()
+    query.stop()
+    val rows = sp.table("ij_out").orderBy("pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 10L), (2L, 11L))) // each purchase matches only the signup within 1h
+  }
+
   test("streaming dedup within watermark") {
     val sp = spark
     import sp.implicits._

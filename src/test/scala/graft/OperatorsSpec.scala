@@ -110,6 +110,36 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaMap == viaExpr)
   }
 
+  test("flatten kernel matches HOF twin on real change-log, incl. edge cells") {
+    val real = ChangeLog.readEvents(spark, "/root/testdata/sf0.001")
+    val a = real.select(Transform.flattenCells(col("cells")).as("m")).collect()
+      .map(r => Option(r.getMap[String, String](0)).map(_.toMap))
+    val b = real.select(Transform.flattenCellsHof(col("cells")).as("m")).collect()
+      .map(r => Option(r.getMap[String, String](0)).map(_.toMap))
+    assert(a.toSeq == b.toSeq)
+    // null value kept, null qualifier dropped, empty array → empty map
+    val edge = mutDf(Seq(
+      mut("k", "U", "2024-01-01 00:00:00", 1, ("f", "q", null), ("f", null, "x")),
+      mut("k2", "U", "2024-01-01 00:00:00", 2)))
+    val got = edge.select(Transform.flattenCells(col("cells")).as("m")).collect()
+      .map(_.getMap[String, String](0).toMap).toSeq
+    assert(got == Seq(Map("q" -> null), Map.empty))
+  }
+
+  test("typed Dataset[Mutation] round-trips the change-log edge") {
+    val ds = ChangeLog.typed(mutDf(Seq(
+      mut("k", "U", "2024-01-01 00:00:00", 1, ("f", "a", "1")))))
+    val m = ds.collect().head
+    assert(m.row_key == "k" && m.cells == Seq(Cell("f", "a", "1")))
+  }
+
+  test("merge handles empty batch and empty index") {
+    val idx = Merge.fold(mutDf(Seq(mut("k", "U", "2024-01-01 00:00:00", 1, ("f", "a", "1")))))
+    val emptyBatch = mutDf(Seq.empty)
+    assert(indexMap(Merge.mergeBatch(idx, emptyBatch)) == Map("k" -> Map("a" -> "1")))
+    assert(indexMap(Merge.fold(emptyBatch)).isEmpty)
+  }
+
   test("batched kernels match the HOF formulations bit-for-bit") {
     import graft.functions.{Hashing, MinHashSigs, TextKernels}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
