@@ -390,6 +390,48 @@ object TierB {
              |       wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // ES `significant_terms`: terms over-represented in a foreground set
+    // (lang='zh') vs the full corpus — two aggregations + a join, score =
+    // foreground share / background share.
+    Q("b26_significant_terms",
+      (s, d) => {
+        val toks = graft.ext.TextAnalysis.tokens(col("text"))
+        val td = Tables.documents(s, d).select(col("lang"), explode(toks).as("term"))
+        val fg = td.filter(col("lang") === "zh").groupBy("term").agg(count(lit(1)).as("fg"))
+        val bg = td.groupBy("term").agg(count(lit(1)).as("bg"))
+        val totals = td.agg(
+          sum(when(col("lang") === "zh", 1L).otherwise(0L)).as("tot_fg"),
+          count(lit(1)).as("tot_bg"))
+        fg.join(bg, "term").crossJoin(broadcast(totals))
+          .withColumn("score",
+            round((col("fg").cast("double") / col("tot_fg")) /
+              (col("bg").cast("double") / col("tot_bg")), 6))
+          .filter(col("fg") >= 10)
+          .select(col("term"), col("fg"), col("bg"), col("score"))
+          .orderBy(desc("score"), col("term")).limit(15)
+      },
+      Some("""WITH td AS (
+             |  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS term
+             |  FROM documents
+             |), fg AS (SELECT term, count(*) AS fg FROM td WHERE lang = 'zh' GROUP BY term),
+             |bg AS (SELECT term, count(*) AS bg FROM td GROUP BY term),
+             |tot AS (SELECT sum(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS tot_fg, count(*) AS tot_bg FROM td)
+             |SELECT term, fg, bg, round((fg*1.0/tot_fg)/(bg*1.0/tot_bg), 6) AS score
+             |FROM fg JOIN bg USING (term) CROSS JOIN tot
+             |WHERE fg >= 10
+             |ORDER BY score DESC, term LIMIT 15""".stripMargin)),
+
+    // ES `fuzzy` query: edit-distance match on a keyword field.
+    Q("b27_fuzzy",
+      (s, d) => Tables.part(s, d)
+        .withColumn("dist", levenshtein(col("p_name"), lit("red bolt")))
+        .filter(col("dist") <= 2)
+        .select(col("p_partkey"), col("p_name"), col("dist"))
+        .orderBy("p_partkey").limit(100),
+      Some("""SELECT p_partkey, p_name, CAST(levenshtein(p_name, 'red bolt') AS INT) AS dist
+             |FROM part WHERE levenshtein(p_name, 'red bolt') <= 2
+             |ORDER BY p_partkey LIMIT 100""".stripMargin)),
+
     Q("b21_join_revenue",
       (s, d) => {
         val l = li(s, d).select("l_orderkey", "l_extendedprice", "l_discount")

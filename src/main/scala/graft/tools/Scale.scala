@@ -47,6 +47,19 @@ object Scale {
     t("merge-100k-batch-into-200k-index")(
       Merge.mergeBatch(idx, batch).write.mode("overwrite").format("noop").save())
 
+    // ---- skew: 50% of 10M mutations on ONE key ----
+    val skewed = spark.range(10_000_000).select(
+      when(pmod(col("id"), lit(2)) === 0, lit("hotkey"))
+        .otherwise(concat(lit("u"), (col("id") % 200000).cast("string"))).as("row_key"),
+      lit("U").as("op"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * 1000).as("ts"),
+      col("id").as("seq"),
+      array(struct(lit("f").as("family"),
+        concat(lit("q"), pmod(col("id"), lit(16))).as("qualifier"),
+        col("id").cast("string").as("value"))).as("cells"))
+    t("fold-10M-skewed-50pct-one-key")(
+      Merge.fold(skewed).write.mode("overwrite").format("noop").save())
+
     // ---- MinHash LSH at 50k docs (10x bench) ----
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val big = (0 until 10).map(i =>
