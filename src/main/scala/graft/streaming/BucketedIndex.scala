@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.Merge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Incremental, bucket-versioned index — the 100 TB layout.
+  *
+  * The plain snapshot model (Pipeline.applyBatch) rewrites the WHOLE index
+  * every micro-batch: O(|index|) read+write per batch, which cannot survive
+  * a 100 TB index. Here the index is split into `nBuckets` hash buckets of
+  * the doc id, each bucket versioned independently (the Lucene-segment /
+  * LSM idea expressed in parquet):
+  *
+  *   dir/batches/b<batchId>/bucket=<k>/   parquet for bucket k as of batch
+  *   dir/_MANIFEST                        "k=batchId" per live bucket
+  *
+  * A batch folds to per-key deltas, computes its touched buckets, reads
+  * ONLY those buckets' current versions, merges, writes ONLY those buckets
+  * under the new batch id, and atomically swaps the manifest. Untouched
+  * buckets are neither read nor written — per-batch cost is
+  * O(|batch| + |touched buckets|), not O(|index|).
+  *
+  * Exactly-once under retries: the manifest swap is a single atomic file
+  * move, and the merge itself is idempotent (MergeSpec), so re-running a
+  * batch after a crash on either side of the swap converges to the same
+  * state. Superseded bucket dirs are garbage, removed by [[vacuum]].
+  */
+object BucketedIndex {
+
+  private def bucketOf(n: Int) = pmod(hash(col("id")), lit(n))
+
+  def readManifest(dir: String): Map[Int, Long] = {
+    val p = Paths.get(dir, "_MANIFEST")
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+      val Array(k, v) = l.split("="); k.toInt -> v.toLong
+    }.toMap
+  }
+
+  private def writeManifest(dir: String, m: Map[Int, Long]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(dir, "_MANIFEST.tmp")
+    Files.writeString(tmp, m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+    Files.move(tmp, Paths.get(dir, "_MANIFEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def bucketPath(dir: String, bucket: Int, ver: Long) =
+    s"$dir/batches/b$ver/bucket=$bucket"
+
+  /** Read the full current index (id, info). */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val m = readManifest(dir)
+    if (m.isEmpty) Merge.emptyIndex(spark)
+    else spark.read.schema(graft.Model.indexSchema)
+      .parquet(m.toSeq.map { case (k, v) => bucketPath(dir, k, v) }: _*)
+  }
+
+  /** Read only the given buckets' current state. */
+  private def readBuckets(spark: SparkSession, dir: String,
+                          manifest: Map[Int, Long], buckets: Seq[Int]): DataFrame = {
+    val paths = buckets.flatMap(k => manifest.get(k).map(v => bucketPath(dir, k, v)))
+    if (paths.isEmpty) Merge.emptyIndex(spark)
+    else spark.read.schema(graft.Model.indexSchema).parquet(paths: _*)
+  }
+
+  /** Apply one mutation batch. Returns the touched bucket ids. */
+  def applyBatch(spark: SparkSession, dir: String, batch: DataFrame,
+                 batchId: Long, nBuckets: Int = 256): Seq[Int] = {
+    val folded = Merge.foldChanges(batch)
+      .withColumn("bucket", bucketOf(nBuckets)).persist()
+    try {
+      val touched = folded.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) return Seq.empty
+      val manifest = readManifest(dir)
+      val slice = readBuckets(spark, dir, manifest, touched)
+      val merged = Merge.mergeFolded(slice, folded.drop("bucket"))
+        .withColumn("bucket", bucketOf(nBuckets))
+      merged.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$dir/batches/b$batchId")
+      // buckets whose merged state is empty (all docs deleted) leave the
+      // manifest; partitionBy writes no dir for them
+      val live = Files.list(Paths.get(s"$dir/batches/b$batchId")).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toInt).toSet
+      val newManifest = (manifest -- touched) ++ touched.filter(live).map(_ -> batchId)
+      writeManifest(dir, newManifest)
+      touched
+    } finally folded.unpersist()
+  }
+
+  /** Remove bucket dirs no longer referenced by the manifest. */
+  def vacuum(dir: String): Unit = {
+    val m = readManifest(dir)
+    val liveDirs = m.map { case (k, v) => Paths.get(bucketPath(dir, k, v)).normalize }.toSet
+    val batches = Paths.get(dir, "batches")
+    if (!Files.exists(batches)) return
+    Files.list(batches).iterator().asScala.foreach { b =>
+      Files.list(b).iterator().asScala.foreach { bd =>
+        if (bd.getFileName.toString.startsWith("bucket=") && !liveDirs.contains(bd.normalize)) {
+          Files.walk(bd).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(Files.delete)
+        }
+      }
+      if (!Files.list(b).iterator().hasNext) Files.delete(b)
+    }
+  }
+}

@@ -94,6 +94,26 @@ object Pipeline {
       }
       .start()
 
+  /** The 100 TB variant of [[start]]: per-batch cost O(batch + touched
+    * buckets) via [[BucketedIndex]] instead of a full snapshot rewrite. */
+  def startIncremental(spark: SparkSession, cfg: Config, nBuckets: Int = 256): StreamingQuery =
+    ChangeLog.readStreamMutations(spark, cfg.changeLogDir, cfg.maxFilesPerTrigger)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", cfg.checkpointDir)
+      .trigger(Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bad = batch.filter(isMalformed)
+        cfg.quarantineDir.foreach { qd =>
+          bad.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$qd/b$batchId")
+        }
+        BucketedIndex.applyBatch(batch.sparkSession, cfg.indexDir,
+          batch.filter(!isMalformed), batchId, nBuckets)
+        ()
+      }
+      .start()
+
   /** Read the published snapshot (the "ES index" visible to queries). */
   def readCurrent(spark: SparkSession, indexDir: String): DataFrame =
     currentSnapshot(indexDir)

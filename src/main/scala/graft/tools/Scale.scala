@@ -47,6 +47,26 @@ object Scale {
     t("merge-100k-batch-into-200k-index")(
       Merge.mergeBatch(idx, batch).write.mode("overwrite").format("noop").save())
 
+    // ---- incremental bucketed index: small batch into a big index ----
+    import graft.streaming.BucketedIndex
+    val bdir = "/tmp/scale/bucketed"
+    t("bucketed-bootstrap-10M")(
+      BucketedIndex.applyBatch(spark, bdir, cl, batchId = 0, nBuckets = 256))
+    // typical CDC arrival: a small batch over a HOT key set (30 keys),
+    // materialized first so the probes measure merge cost, not source scan
+    cl.filter(col("seq") % 10000 === 0)
+      .withColumn("row_key", concat(lit("u"), pmod(col("seq"), lit(30)).cast("string")))
+      .write.mode("overwrite").parquet("/tmp/scale/hotbatch")
+    val hotBatch = spark.read.parquet("/tmp/scale/hotbatch")
+    val touched = t("bucketed-1k-hot-batch-into-200k-index")(
+      BucketedIndex.applyBatch(spark, bdir, hotBatch, batchId = 1, nBuckets = 256))
+    println(s"SCALEINFO touched ${touched.size}/256 buckets")
+    t("full-snapshot-1k-hot-batch-rewrite-all")({
+      Merge.writeIndex(
+        Merge.mergeBatch(Merge.readIndex(spark, "/tmp/scale/index"), hotBatch),
+        "/tmp/scale/index2")
+    })
+
     // ---- skew: 50% of 10M mutations on ONE key ----
     val skewed = spark.range(10_000_000).select(
       when(pmod(col("id"), lit(2)) === 0, lit("hotkey"))

@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.BucketedIndex
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import scala.util.Random
+
+class BucketedIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp() = Files.createTempDirectory("graft-bidx").toString
+
+  private def randomLog(n: Int, seed: Int): Seq[Mutation] = {
+    val rnd = new Random(seed)
+    val keys = (1 to 30).map(i => s"k$i")
+    (1 to n).map { seq =>
+      val key = keys(rnd.nextInt(keys.size))
+      if (rnd.nextDouble() < 0.2) mut(key, "D", f"2024-01-01 00:${seq / 60}%02d:${seq % 60}%02d", seq)
+      else mut(key, "U", f"2024-01-01 00:${seq / 60}%02d:${seq % 60}%02d", seq,
+        ("f", Seq("a", "b", "c")(rnd.nextInt(3)), s"v$seq"))
+    }
+  }
+
+  test("incremental bucketed apply == one-shot fold; only touched buckets rewritten") {
+    val dir = tmp()
+    val log = randomLog(200, seed = 7)
+    val chunks = log.grouped(50).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val touched = BucketedIndex.applyBatch(spark, dir, mutDf(c), batchId = i, nBuckets = 16)
+      assert(touched.nonEmpty && touched.size <= 16)
+    }
+    assert(indexMap(BucketedIndex.read(spark, dir)) == indexMap(Merge.fold(mutDf(log))))
+    // manifest references multiple batch versions (untouched buckets keep old versions)
+    val vers = BucketedIndex.readManifest(dir).values.toSet
+    assert(vers.size >= 1 && vers.max == chunks.size - 1)
+  }
+
+  test("crash-retry: re-applying the same batch id converges (idempotent)") {
+    val dir = tmp()
+    val b0 = mutDf(Seq(mut("k1", "U", "2024-01-01 00:00:00", 1, ("f", "a", "1"))))
+    val b1 = mutDf(Seq(
+      mut("k1", "D", "2024-01-01 00:00:01", 2),
+      mut("k2", "U", "2024-01-01 00:00:02", 3, ("f", "b", "2"))))
+    BucketedIndex.applyBatch(spark, dir, b0, 0, nBuckets = 8)
+    BucketedIndex.applyBatch(spark, dir, b1, 1, nBuckets = 8)
+    val once = indexMap(BucketedIndex.read(spark, dir))
+    // simulate failure after manifest publish but before checkpoint commit:
+    // the stream re-runs batch 1 against the already-published state
+    BucketedIndex.applyBatch(spark, dir, b1, 1, nBuckets = 8)
+    assert(indexMap(BucketedIndex.read(spark, dir)) == once)
+    assert(once == Map("k2" -> Map("b" -> "2")))
+  }
+
+  test("vacuum removes superseded bucket versions, state still readable") {
+    val dir = tmp()
+    (0 to 3).foreach { i =>
+      BucketedIndex.applyBatch(spark, dir,
+        mutDf(Seq(mut(s"k$i", "U", s"2024-01-01 00:00:0$i", i, ("f", "a", s"$i"),
+          ("f", "b", "x")))), i, nBuckets = 4)
+    }
+    val before = indexMap(BucketedIndex.read(spark, dir))
+    BucketedIndex.vacuum(dir)
+    assert(indexMap(BucketedIndex.read(spark, dir)) == before)
+  }
+}
