@@ -39,6 +39,28 @@ object ChangeLog {
   def readEvents(spark: SparkSession, sfDir: String): DataFrame =
     fromEvents(queries.Tables.events(spark, sfDir))
 
+  /** JSON-lines change-log (one mutation object per line, schema-checked —
+    * the permissive mode routes malformed lines to the quarantine filter
+    * downstream rather than failing the pipeline, reference A17). */
+  def readJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Model.mutationSchema).option("mode", "PERMISSIVE").json(path)
+
+  def readStreamJson(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream.schema(Model.mutationSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("mode", "PERMISSIVE").json(dir)
+
+  /** CSV change-log: flat columns + JSON-encoded cells column. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("row_key string, op string, ts timestamp, seq long, cells_json string")
+      .option("header", "true")
+      .csv(path)
+      .withColumn("cells", coalesce(
+        from_json(col("cells_json"), org.apache.spark.sql.types.ArrayType(Model.cellType)),
+        array().cast(org.apache.spark.sql.types.ArrayType(Model.cellType))))
+      .drop("cells_json")
+
   /** Typed view of a conforming change-log for the Scala API edge. */
   def typed(df: DataFrame): org.apache.spark.sql.Dataset[Mutation] = {
     val spark = df.sparkSession

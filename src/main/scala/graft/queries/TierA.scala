@@ -84,7 +84,35 @@ object TierA {
       |SELECT id, qualifier, arg_max(value, seq) AS value
       |FROM cells GROUP BY id, qualifier ORDER BY id, qualifier""".stripMargin
 
+  /** The composed-system workflow: ES-style DSL query over the MATERIALIZED
+    * index (what the reference exists to enable, `README_zh.md:3`) — fold
+    * the change-log, then term + exists + range over the dynamic map docs. */
+  def indexQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.dsl.EsDsl
+    val index = Merge.fold(ChangeLog.readEvents(spark, sfDir))
+    index
+      .filter(EsDsl.term(element_at(col("info"), "etype"), "purchase") &&
+        EsDsl.existsKey(col("info"), "val") &&
+        element_at(col("info"), "val").cast("double") >= 30.0)
+      .select(col("id"), element_at(col("info"), "val").as("val"),
+        element_at(col("info"), "k").as("k"))
+      .orderBy("id")
+  }
+
   val all: Seq[Q] = Seq(
+    Q("a18_index_query", indexQuery,
+      Some(chCte +
+        """,
+          |docs AS (
+          |  SELECT id,
+          |         arg_max(value, seq) FILTER (WHERE qualifier='etype') AS etype,
+          |         arg_max(value, seq) FILTER (WHERE qualifier='val') AS val,
+          |         arg_max(value, seq) FILTER (WHERE qualifier='k') AS k
+          |  FROM cells GROUP BY id
+          |)
+          |SELECT id, val, k FROM docs
+          |WHERE etype = 'purchase' AND val IS NOT NULL AND CAST(val AS DOUBLE) >= 30.0
+          |ORDER BY id""".stripMargin)),
     Q("a05_flatten", flatten,
       Some("""WITH u AS (
         |  SELECT CAST(user_id AS VARCHAR) AS id, event_id AS seq, event_type, value, props

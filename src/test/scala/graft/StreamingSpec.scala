@@ -56,6 +56,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(quarantined == 2)
   }
 
+  test("restart from checkpoint continues exactly-once") {
+    val sp = spark
+    val changeDir = tmpDir("graft-changes-r")
+    val indexDir = tmpDir("graft-index-r")
+    val ckpt = tmpDir("graft-ckpt-r")
+    mutDf(Seq(
+      mut("a", "U", "2024-01-01 00:00:00", 1, ("f", "x", "1")),
+      mut("b", "U", "2024-01-01 00:00:01", 2, ("f", "y", "2"))))
+      .write.mode("append").parquet(changeDir)
+    val q1 = Pipeline.start(sp, changeDir, indexDir, ckpt)
+    q1.processAllAvailable(); q1.stop()
+    assert(indexMap(Pipeline.readCurrent(sp, indexDir)) ==
+      Map("a" -> Map("x" -> "1"), "b" -> Map("y" -> "2")))
+    // new files arrive while the stream is DOWN; restart picks up only them
+    mutDf(Seq(
+      mut("a", "D", "2024-01-01 00:00:02", 3),
+      mut("c", "U", "2024-01-01 00:00:03", 4, ("f", "z", "9"))))
+      .write.mode("append").parquet(changeDir)
+    val q2 = Pipeline.start(sp, changeDir, indexDir, ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert(indexMap(Pipeline.readCurrent(sp, indexDir)) ==
+      Map("b" -> Map("y" -> "2"), "c" -> Map("z" -> "9")))
+  }
+
+  test("JSON and CSV change-log sources fold identically to parquet") {
+    val sp = spark
+    val log = Seq(
+      mut("j1", "U", "2024-01-01 00:00:00", 1, ("f", "a", "1"), ("f", "b", "2")),
+      mut("j1", "D", "2024-01-01 00:00:01", 2),
+      mut("j2", "U", "2024-01-01 00:00:02", 3, ("f", "c", "3")))
+    val want = indexMap(Merge.fold(mutDf(log)))
+    val jdir = tmpDir("graft-json")
+    mutDf(log).write.mode("overwrite").json(jdir)
+    assert(indexMap(Merge.fold(ChangeLog.readJson(sp, jdir))) == want)
+    val cdir = tmpDir("graft-csv")
+    mutDf(log).select(col("row_key"), col("op"), col("ts"), col("seq"),
+      to_json(col("cells")).as("cells_json"))
+      .write.mode("overwrite").option("header", "true").csv(cdir)
+    assert(indexMap(Merge.fold(ChangeLog.readCsv(sp, cdir))) == want)
+  }
+
   test("file-stream shell end-to-end with processing-time trigger") {
     val sp = spark
     val changeDir = tmpDir("graft-changes")
