@@ -75,7 +75,7 @@ object EsDsl {
   def cardinality(c: Column, rsd: Double = 0.05): Column = approx_count_distinct(c, rsd)
   /** B12 `percentiles` (exact; ES uses t-digest — `percentileApprox` below
     * is the approximate variant). */
-  def percentile_(c: Column, p: Double): Column = percentile(c, lit(p))
+  def percentileExact(c: Column, p: Double): Column = percentile(c, lit(p))
   def percentileApprox(c: Column, p: Seq[Double], accuracy: Int = 10000): Column =
     percentile_approx(c, lit(p.toArray), lit(accuracy))
   /** B13 `histogram` (fixed interval) */

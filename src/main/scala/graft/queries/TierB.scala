@@ -229,10 +229,10 @@ object TierB {
 
     Q("b12_percentiles",
       (s, d) => li(s, d).groupBy(col("l_returnflag")).agg(
-        round(percentile_(col("l_quantity"), 0.25), 4).as("p25"),
-        round(percentile_(col("l_quantity"), 0.5), 4).as("p50"),
-        round(percentile_(col("l_quantity"), 0.75), 4).as("p75"),
-        round(percentile_(col("l_quantity"), 0.95), 4).as("p95"))
+        round(percentileExact(col("l_quantity"), 0.25), 4).as("p25"),
+        round(percentileExact(col("l_quantity"), 0.5), 4).as("p50"),
+        round(percentileExact(col("l_quantity"), 0.75), 4).as("p75"),
+        round(percentileExact(col("l_quantity"), 0.95), 4).as("p95"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              |       round(quantile_cont(l_quantity, 0.25),4) AS p25,
