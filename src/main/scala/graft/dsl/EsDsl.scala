@@ -38,13 +38,15 @@ object EsDsl {
     size(array_intersect(split(lower(text), "\\W+"), lit(queryTerms.map(_.toLowerCase).toArray)))
   def matchQuery(text: Column, queryTerms: Seq[String], minShouldMatch: Int = 1): Column =
     matchCount(text, queryTerms) >= minShouldMatch
-  /** B6 `bool` */
+  /** B6 `bool`. must_not is ES-faithful: a doc where the clause evaluates
+    * NULL (field missing) does NOT match the clause, so it is KEPT —
+    * `!coalesce(pred, false)`, not SQL's null-dropping `NOT pred`. */
   def bool(must: Seq[Column] = Nil, should: Seq[Column] = Nil,
            mustNot: Seq[Column] = Nil, minimumShouldMatch: Int = 1): Column = {
     val m = must.reduceOption(_ && _).getOrElse(lit(true))
     val s = if (should.isEmpty) lit(true)
       else should.map(c => when(c, 1).otherwise(0)).reduce(_ + _) >= minimumShouldMatch
-    val n = mustNot.map(!_).reduceOption(_ && _).getOrElse(lit(true))
+    val n = mustNot.map(c => !coalesce(c, lit(false))).reduceOption(_ && _).getOrElse(lit(true))
     m && s && n
   }
   /** B7 `ids` */

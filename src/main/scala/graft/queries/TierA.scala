@@ -99,7 +99,33 @@ object TierA {
       .orderBy("id")
   }
 
+  /** The full reference-user workflow: an ES-JSON search body executed over
+    * the materialized index (the API surface an ES 6.5 user migrates with). */
+  def esJsonQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val index = Merge.fold(ChangeLog.readEvents(spark, sfDir))
+    graft.dsl.EsQueryJson.search(index,
+      """{"query": {"bool": {
+        |  "must": [{"term": {"info.etype": "click"}},
+        |           {"range": {"info.val": {"gte": "20"}}}],
+        |  "must_not": [{"term": {"info.k": "42"}}]}},
+        | "sort": ["id"]}""".stripMargin)
+      .select(col("id"), element_at(col("info"), "val").as("val"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("a19_es_json_query", esJsonQuery,
+      Some(chCte +
+        """,
+          |docs AS (
+          |  SELECT id,
+          |         arg_max(value, seq) FILTER (WHERE qualifier='etype') AS etype,
+          |         arg_max(value, seq) FILTER (WHERE qualifier='val') AS val,
+          |         arg_max(value, seq) FILTER (WHERE qualifier='k') AS k
+          |  FROM cells GROUP BY id
+          |)
+          |SELECT id, val FROM docs
+          |WHERE etype = 'click' AND val >= '20' AND NOT coalesce(k = '42', FALSE)
+          |ORDER BY id""".stripMargin)),
     Q("a18_index_query", indexQuery,
       Some(chCte +
         """,
