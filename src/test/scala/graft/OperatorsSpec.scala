@@ -178,6 +178,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(1) > 0)
   }
 
+  test("EsDsl range/paginate/filtersAgg units") {
+    import sp.implicits._
+    val df = Seq((1, "a"), (5, "b"), (9, "c"), (12, "d")).toDF("n", "s")
+    assert(df.filter(EsDsl.range(col("n"), gte = Some(5), lt = Some(12))).count() == 2)
+    assert(df.filter(EsDsl.range(col("n"))).count() == 4) // unbounded
+    val page = EsDsl.paginate(df, Seq(col("n").desc), from = 1, size = 2)
+      .select("n").collect().map(_.getInt(0)).toSeq
+    assert(page == Seq(9, 5))
+    val fa = EsDsl.filtersAgg(df, Nil, "big" -> (col("n") >= 9), "small" -> (col("n") < 5))
+      .collect().head
+    assert(fa.getLong(0) == 4 && fa.getLong(1) == 2 && fa.getLong(2) == 1)
+  }
+
+  test("typed Dataset surface composes with the engine") {
+    import sp.implicits._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    case class Line(l_returnflag: String, l_quantity: Double)
+    val ds = li.select("l_returnflag", "l_quantity").as[(String, Double)]
+    val typed = ds.groupByKey(_._1).mapGroups((k, it) => (k, it.map(_._2).sum))
+      .collect().toMap
+    val untyped = li.groupBy("l_returnflag").agg(sum("l_quantity"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(typed.keySet == untyped.keySet &&
+      typed.forall { case (k, v) => math.abs(v - untyped(k)) < 1e-6 })
+  }
+
   test("langId deterministic tie order and und fallback") {
     import sp.implicits._
     val df = Seq("xyzzy plugh", "the row value is here", "el data de los").toDF("text")
