@@ -83,6 +83,8 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: Column, text: Column,
                    threshold: Double, shingleN: Int = 3): DataFrame = {
     val sh = shingles(df, idCol, text, shingleN).persist()
+    sh.count() // materialize once — the self-join's two branches run as
+    // concurrent stages and would otherwise both compute the shingling
     // join grams by their 60-bit hash (long keys shuffle/compare far
     // cheaper than gram strings; the oracle mirrors the same hash)
     val g = sh.select(col("doc_id"), explode(col("grams")).as("gs"))
