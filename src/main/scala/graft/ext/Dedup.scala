@@ -102,6 +102,16 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** C2 applied: the deduplicated corpus — remove the higher-id side of
+    * every verified near-dup pair (greedy, deterministic; the LSH pairs
+    * bound the work, the anti-join is the only extra wide stage). */
+  def removeNearDuplicates(df: DataFrame, idCol: Column, text: Column,
+                           threshold: Double = 0.5): DataFrame = {
+    val dupIds = minhashLsh(df, idCol, text, threshold = threshold)
+      .select(col("doc_b").as("_dup_id")).distinct()
+    df.join(dupIds, idCol === col("_dup_id"), "left_anti")
+  }
+
   /** C2c: 60-bit SimHash signature per doc. Token hashes keep multiplicity
     * (term frequency weights the vote, the standard Charikar form).
     * Fully narrow: the bit-vote runs in a codegen'd kernel per document

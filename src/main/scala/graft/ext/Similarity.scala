@@ -85,6 +85,16 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** C6: symmetric int8 quantization of an embedding column — the standard
+    * 4× storage cut for a 100 TB vector corpus. Per vector: scale =
+    * max(|x|)/127, q[i] = round(x[i]/scale). Narrow, codegen-friendly. */
+  def quantizeInt8(e: Column): (Column, Column) = {
+    val scale = aggregate(e, lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
+    val q = transform(e, x => round(x.cast("double") / scale).cast("int"))
+    (scale, q)
+  }
+
   /** C1d: embedding-cosine near-duplicate pairs (brute pairwise with the
     * id-ordered triangle; at scale the LSH/IVF bucketing above bounds the
     * pair space instead). */

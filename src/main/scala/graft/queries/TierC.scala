@@ -132,6 +132,52 @@ object TierC {
            |WHERE round(inter*1.0/(sa.n + sb.n - inter), 6) >= 0.5
            |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    Q("c02_dedup_apply",
+      (s, d) => Dedup.removeNearDuplicates(Tables.documents(s, d), col("doc_id"), col("text"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang"),
+      Some(
+        s"""WITH $toksCte,
+           |$gramsCte,
+           |$sigCte,
+           |$bandsCte,
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y ON x.j = y.j AND x.band = y.band AND x.doc_id < y.doc_id
+           |),
+           |sizes AS (SELECT doc_id, len(grams) AS n FROM grams),
+           |inter AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+           |  FROM cand c JOIN gx a ON a.doc_id = c.doc_a JOIN gx b ON b.doc_id = c.doc_b AND b.g = a.g
+           |  GROUP BY c.doc_a, c.doc_b
+           |),
+           |dups AS (
+           |  SELECT DISTINCT doc_b FROM inter
+           |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+           |  WHERE round(inter*1.0/(sa.n + sb.n - inter), 6) >= 0.5
+           |)
+           |SELECT lang, count(*) AS n_docs FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_b FROM dups)
+           |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    Q("c17_embed_quantize",
+      (s, d) => {
+        val (scale, q) = Similarity.quantizeInt8(col("embedding"))
+        Tables.embeddings(s, d).select(
+          col("vec_id"),
+          round(scale, 6).as("scale"),
+          aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_min(q).as("q_min"),
+          array_max(q).as("q_max"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id,
+             |       round(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0, 6) AS scale,
+             |       CAST(list_sum(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / (list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max') / 127.0)) AS INT))) AS BIGINT) AS q_sum,
+             |       list_aggregate(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / (list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max') / 127.0)) AS INT)), 'min') AS q_min,
+             |       list_aggregate(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / (list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max') / 127.0)) AS INT)), 'max') AS q_max
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
     Q("c03_simhash_sig",
       (s, d) => Dedup.simhash(Tables.documents(s, d), col("doc_id"), col("text"))
         .orderBy("doc_id"),
