@@ -216,9 +216,9 @@ object TierB {
     // (approx results are engine-specific), driver records rows-only.
     Q("b11_cardinality_approx",
       (s, d) => li(s, d).agg(
-        EsDsl.cardinality(col("l_partkey"), 0.01).as("n_parts"),
-        EsDsl.cardinality(col("l_suppkey"), 0.01).as("n_supps"),
-        EsDsl.cardinality(col("l_orderkey"), 0.01).as("n_orders")),
+        EsDsl.cardinality(col("l_partkey"), 0.02).as("n_parts"),
+        EsDsl.cardinality(col("l_suppkey"), 0.02).as("n_supps"),
+        EsDsl.cardinality(col("l_orderkey"), 0.02).as("n_orders")),
       None),
 
     Q("b12_percentiles_tdigest",
