@@ -127,13 +127,16 @@ object EsQueryJson {
     size.map(offs.limit).getOrElse(offs)
   }
 
-  /** Single-level ES `aggs`: one bucket agg (or none) + metric sub-aggs. */
+  /** Single-level ES `aggs`: one bucket agg (or none) + metric sub-aggs.
+    * Like ES, a `query` in the same body scopes the aggregations. */
   def aggregations(df: DataFrame, bodyJson: String): Map[String, DataFrame] = {
-    val aggs = Option(parse(bodyJson).get("aggs"))
-      .orElse(Option(parse(bodyJson).get("aggregations")))
+    val body = parse(bodyJson)
+    val aggs = Option(body.get("aggs"))
+      .orElse(Option(body.get("aggregations")))
       .getOrElse(throw new IllegalArgumentException("no aggs in body"))
+    val scoped = Option(body.get("query")).map(q => df.filter(predicate(q))).getOrElse(df)
     aggs.fields().asScala.map { e =>
-      e.getKey -> oneAgg(df, e.getValue)
+      e.getKey -> oneAgg(scoped, e.getValue)
     }.toMap
   }
 

@@ -69,6 +69,18 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(m.collect().head.getDouble(0) > 0)
   }
 
+  test("query scopes aggregations in the same body (ES behavior)") {
+    val body =
+      """{"query": {"term": {"o_orderstatus": "F"}},
+        | "aggs": {"by_pri": {"terms": {"field": "o_orderpriority", "size": 10}}}}""".stripMargin
+    val got = EsQueryJson.aggregations(orders, body)("by_pri")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = orders.filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("match query on documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = EsQueryJson.search(docs,
