@@ -221,10 +221,17 @@ object TierB {
         EsDsl.cardinality(col("l_orderkey"), 0.02).as("n_orders")),
       None),
 
+    // Scalar rows (one per percentile) so the driver's rows-only check can
+    // sort the frame — an array<double> column is unsortable in pandas.
     Q("b12_percentiles_tdigest",
       (s, d) => li(s, d).groupBy(col("l_returnflag"))
         .agg(percentileApprox(col("l_quantity"), Seq(0.25, 0.5, 0.75, 0.95)).as("pcts"))
-        .orderBy("l_returnflag"),
+        .select(col("l_returnflag"), posexplode(col("pcts")).as(Seq("pos", "pct_value")))
+        .select(
+          col("l_returnflag"),
+          element_at(array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), col("pos").cast("int") + 1).as("p"),
+          col("pct_value"))
+        .orderBy("l_returnflag", "p"),
       None),
 
     Q("b12_percentiles",
@@ -314,10 +321,13 @@ object TierB {
         "n_high" -> term(col("o_orderpriority"), "2-HIGH"),
         "n_low" -> terms(col("o_orderpriority"), Seq("4-NOT SPECIFIED", "5-LOW")))
         .orderBy("o_orderstatus"),
+      // CAST AS BIGINT: DuckDB sum() over integers yields HUGEINT, which the
+      // driver's pandas bridge renders as float64 ("5.0") and hash-mismatches
+      // Spark's BIGINT ("5") despite identical values.
       Some("""SELECT o_orderstatus, count(*) AS doc_count,
-             |       sum(CASE WHEN o_orderpriority='1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-             |       sum(CASE WHEN o_orderpriority='2-HIGH' THEN 1 ELSE 0 END) AS n_high,
-             |       sum(CASE WHEN o_orderpriority IN ('4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END) AS n_low
+             |       CAST(sum(CASE WHEN o_orderpriority='1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+             |       CAST(sum(CASE WHEN o_orderpriority='2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+             |       CAST(sum(CASE WHEN o_orderpriority IN ('4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END) AS BIGINT) AS n_low
              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     Q("b19_script_fields",

@@ -346,7 +346,7 @@ object TierC {
              |                             ROWS UNBOUNDED PRECEDING) AS session_id
              |  FROM x
              |), z AS (SELECT user_id, session_id, count(*) AS n_ev FROM y GROUP BY user_id, session_id)
-             |SELECT user_id, count(*) AS n_sessions, sum(n_ev) AS n_events, max(n_ev) AS max_sess_events
+             |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events, max(n_ev) AS max_sess_events
              |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
     Q("c13_event_windows",
