@@ -24,9 +24,15 @@ import scala.jdk.CollectionConverters._
   * O(|batch| + |touched buckets|), not O(|index|).
   *
   * Exactly-once under retries: the manifest swap is a single atomic file
-  * move, and the merge itself is idempotent (MergeSpec), so re-running a
-  * batch after a crash on either side of the swap converges to the same
-  * state. Superseded bucket dirs are garbage, removed by [[vacuum]].
+  * move. A crash BEFORE the swap leaves the manifest on the old versions
+  * and the retry rewrites b<batchId> from scratch (reads come only from
+  * older batch dirs — never an ancestor of the overwrite target). A crash
+  * AFTER the swap is detected by the manifest already referencing the
+  * batch id, and the retry is a no-op skip — re-merging would overwrite
+  * the very dirs it reads. Consequence: an index dir belongs to ONE
+  * checkpoint lineage (batch ids must not restart against an existing
+  * index — use a fresh index dir with a fresh checkpoint).
+  * Superseded bucket dirs are garbage, removed by [[vacuum]].
   */
 object BucketedIndex {
 
@@ -70,13 +76,22 @@ object BucketedIndex {
   /** Apply one mutation batch. Returns the touched bucket ids. */
   def applyBatch(spark: SparkSession, dir: String, batch: DataFrame,
                  batchId: Long, nBuckets: Int = 256): Seq[Int] = {
+    // Retry safety: if the manifest already references this batch id, the
+    // previous attempt completed the write AND the atomic swap — the crash
+    // was after publish (e.g. before the checkpoint commit). Re-merging here
+    // would read the live dirs under b<batchId> while overwrite-deleting
+    // their parent (Spark's same-path check misses the ancestor relation),
+    // destroying the touched buckets. The batch is already applied: skip.
+    val manifest0 = readManifest(dir)
+    if (manifest0.values.exists(_ == batchId))
+      return manifest0.collect { case (k, v) if v == batchId => k }.toSeq.sorted
     val folded = Merge.foldChanges(batch)
       .withColumn("bucket", bucketOf(nBuckets)).persist()
     try {
       val touched = folded.select("bucket").distinct()
         .collect().map(_.getInt(0)).toSeq.sorted
       if (touched.isEmpty) return Seq.empty
-      val manifest = readManifest(dir)
+      val manifest = manifest0
       val slice = readBuckets(spark, dir, manifest, touched)
       val merged = Merge.mergeFolded(slice, folded.drop("bucket"))
         .withColumn("bucket", bucketOf(nBuckets))

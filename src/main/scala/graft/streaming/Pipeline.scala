@@ -65,6 +65,12 @@ object Pipeline {
     * code the stream runs. */
   def applyBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
                  batchId: Long, quarantineDir: Option[String] = None): Unit = {
+    // Retry safety: _CURRENT already at this version means the previous
+    // attempt published before crashing (only the checkpoint commit was
+    // lost). Re-merging would read v<batchId> and overwrite the same path —
+    // Spark refuses ("Cannot overwrite a path that is also being read
+    // from") and the stream would never recover. Already applied: skip.
+    if (currentSnapshot(indexDir).contains(s"v$batchId")) return
     val bad = batch.filter(isMalformed)
     quarantineDir.foreach { qd =>
       bad.withColumn("batch_id", lit(batchId))

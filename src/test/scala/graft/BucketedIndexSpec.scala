@@ -2,7 +2,8 @@ package graft
 
 import graft.streaming.BucketedIndex
 import org.scalatest.funsuite.AnyFunSuite
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import scala.util.Random
 
 class BucketedIndexSpec extends AnyFunSuite with SparkTestBase {
@@ -48,6 +49,33 @@ class BucketedIndexSpec extends AnyFunSuite with SparkTestBase {
     BucketedIndex.applyBatch(spark, dir, b1, 1, nBuckets = 8)
     assert(indexMap(BucketedIndex.read(spark, dir)) == once)
     assert(once == Map("k2" -> Map("b" -> "2")))
+  }
+
+  test("retry after manifest swap preserves co-bucketed keys (no overwrite-while-reading)") {
+    // nBuckets=1: every key shares the one bucket. A retried batch whose
+    // manifest swap already happened must NOT re-merge — doing so reads
+    // .../b1/bucket=0 while overwrite-deleting its parent .../b1, losing
+    // k1/k2 (keys the retried batch never touched).
+    val dir = tmp()
+    val b0 = mutDf(Seq(
+      mut("k1", "U", "2024-01-01 00:00:00", 1, ("f", "a", "1")),
+      mut("k2", "U", "2024-01-01 00:00:01", 2, ("f", "a", "2"))))
+    val b1 = mutDf(Seq(mut("k3", "U", "2024-01-01 00:00:02", 3, ("f", "a", "3"))))
+    BucketedIndex.applyBatch(spark, dir, b0, 0, nBuckets = 1)
+    BucketedIndex.applyBatch(spark, dir, b1, 1, nBuckets = 1)
+    val once = indexMap(BucketedIndex.read(spark, dir))
+    assert(once == Map("k1" -> Map("a" -> "1"), "k2" -> Map("a" -> "2"), "k3" -> Map("a" -> "3")))
+    // the published batch dir must not be rewritten by the retry: a re-merge
+    // would emit fresh part-file names (and only survives by AQE
+    // stage-ordering luck — see TmpOverwriteProbe history); the retry must
+    // detect the already-swapped manifest and skip
+    def partFiles() = Files.walk(Paths.get(dir, "batches", "b1")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    val filesBefore = partFiles()
+    val touchedRetry = BucketedIndex.applyBatch(spark, dir, b1, 1, nBuckets = 1)
+    assert(touchedRetry == Seq(0))
+    assert(partFiles() == filesBefore, "retry rewrote the published batch dir")
+    assert(indexMap(BucketedIndex.read(spark, dir)) == once)
   }
 
   test("vacuum removes superseded bucket versions, state still readable") {

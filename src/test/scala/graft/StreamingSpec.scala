@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** §5.4 streaming equivalence: the real foreachBatch pipeline over varying
   * micro-batch splits must equal the batch fold of the same mutation log —
@@ -54,6 +55,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
     val quarantined = spark.read.parquet(s"$qDir/*").count()
     assert(quarantined == 2)
+  }
+
+  test("applyBatch retry after publish is a no-op (stream can recover)") {
+    // Crash between publish and checkpoint commit → the stream re-runs the
+    // same batch id. Re-merging would read v<id> and overwrite the same
+    // path (Spark refuses); the retry must instead skip.
+    val indexDir = tmpDir("graft-index-retry")
+    val b0 = mutDf(Seq(mut("u1", "U", "2024-01-01 00:00:00", 1, ("f", "a", "1"))))
+    val b1 = mutDf(Seq(mut("u2", "U", "2024-01-01 00:00:01", 2, ("f", "a", "2"))))
+    Pipeline.applyBatch(spark, b0, indexDir, 0)
+    Pipeline.applyBatch(spark, b1, indexDir, 1)
+    val once = indexMap(Pipeline.readCurrent(spark, indexDir))
+    def partFiles() = java.nio.file.Files.list(java.nio.file.Paths.get(indexDir, "v1"))
+      .iterator().asScala.map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    val filesBefore = partFiles()
+    Pipeline.applyBatch(spark, b1, indexDir, 1) // retry — must not throw or rewrite
+    assert(partFiles() == filesBefore, "retry rewrote the published snapshot")
+    assert(indexMap(Pipeline.readCurrent(spark, indexDir)) == once)
+    assert(once == Map("u1" -> Map("a" -> "1"), "u2" -> Map("a" -> "2")))
   }
 
   test("restart from checkpoint continues exactly-once") {
