@@ -95,9 +95,50 @@ object Similarity {
     (scale, q)
   }
 
+  /** C1d at scale: embedding-cosine near-dup via sign-random-projection
+    * LSH — NO all-pairs product anywhere in the plan. Each vector gets
+    * nBits/bandBits band values from md5-derived ±1 hyperplanes
+    * ([[graft.functions.VecOps.signPlanes]]); candidate pairs share at
+    * least one band value; candidates alone are exact-cosine verified.
+    * Everything is deterministic, so an oracle recomputing the same planes
+    * reproduces the output bit-for-bit.
+    *
+    * Scale shape: band explode is narrow; the candidate self-join shuffles
+    * on (band_idx, band_val) with bucket sizes set by band selectivity
+    * (2^-bandBits for unrelated pairs); verify joins are id-keyed. Recall
+    * is the standard LSH curve 1-(1-p^r)^b with p = 1-θ/π — tune bandBits
+    * UP for high thresholds (0.8+, near-dup regime: strong pruning AND
+    * recall) and accept the tradeoff at low thresholds, where no
+    * sub-quadratic exact method exists for dense vectors. A hot band value
+    * (skewed bucket) is capped by AQE skew-split at scale.
+    *
+    * Reference analog: none — the reference delegates search to ES and has
+    * no vector surface; this is the BASELINE.json LLM-pipeline component. */
+  def embeddingNearDupsBanded(corpus: DataFrame, threshold: Double,
+                              nBits: Int = 60, bandBits: Int = 5,
+                              dim: Int = 64): DataFrame = {
+    val bandRows = corpus.select(col("vec_id"),
+      posexplode(graft.functions.VecOps.signBands(col("embedding"), nBits, bandBits, dim))
+        .as(Seq("band_idx", "band_val")))
+    val cand = bandRows.alias("x").join(bandRows.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      norm(col("embedding")).as("na"))
+    val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+      norm(col("embedding")).as("nb"))
+    cand.join(a, "vec_a").join(b, "vec_b")
+      .withColumn("cos", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
   /** C1d: embedding-cosine near-duplicate pairs (brute pairwise with the
-    * id-ordered triangle; at scale the LSH/IVF bucketing above bounds the
-    * pair space instead). */
+    * id-ordered triangle — the exact ground truth / oracle twin;
+    * [[embeddingNearDupsBanded]] is the production path). */
   def embeddingNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
     val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       norm(col("embedding")).as("na"))

@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Codegen'd kernels for the hot array math. Spark's higher-order functions
   * (`zip_with`/`aggregate`/`transform`) have no `doGenCode` — they evaluate
@@ -85,6 +85,56 @@ object VecOps {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** ±1 (Rademacher) hyperplanes for sign-random-projection LSH, derived
+    * from md5 so ANY engine with md5 recomputes the identical planes:
+    * s(k,j) = +1 iff the first hex digit of md5("k_j") is even. Computed
+    * once per expression instance — never per row. */
+  def signPlanes(nBits: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Double](nBits * dim)
+    var k = 0
+    while (k < nBits) {
+      var j = 0
+      while (j < dim) {
+        val h = md.digest(s"${k}_${j}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out(k * dim + j) = if ((((h(0) >> 4) & 0xF) % 2) == 0) 1.0 else -1.0
+        j += 1
+      }
+      k += 1
+    }
+    out
+  }
+
+  /** Sign-random-projection LSH band values over an `array<float>`
+    * embedding: bit k of the signature is set iff Σ_j s(k,j)·x[j] ≥ 0
+    * (double accumulation in element order, matching the DuckDB twin's
+    * list_sum fold); bits pack little-endian into nBits/bandBits ints.
+    * One call per row (CodegenFallback, like TextKernels) — the loop body
+    * is primitive double math, no per-element boxing. */
+  case class SignBandsExpr(child: Expression, nBits: Int, bandBits: Int, dim: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(nBits % bandBits == 0, "nBits must be a multiple of bandBits")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val planes: Array[Double] = signPlanes(nBits, dim)
+    override def nullSafeEval(in: Any): Any = {
+      val e = in.asInstanceOf[ArrayData]
+      val n = math.min(dim, e.numElements())
+      val bands = new Array[Int](nBits / bandBits)
+      var k = 0
+      while (k < nBits) {
+        val off = k * dim
+        var acc = 0.0; var j = 0
+        while (j < n) { acc += planes(off + j) * e.getFloat(j).toDouble; j += 1 }
+        if (acc >= 0) bands(k / bandBits) |= (1 << (k % bandBits))
+        k += 1
+      }
+      new GenericArrayData(bands)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def dotF(a: Column, b: Column): Column = column(DotProductFloat(expression(a), expression(b)))
   def simhash60(hashes: Column): Column = column(SimHash60(expression(hashes)))
+  def signBands(e: Column, nBits: Int, bandBits: Int, dim: Int): Column =
+    column(SignBandsExpr(expression(e), nBits, bandBits, dim))
 }

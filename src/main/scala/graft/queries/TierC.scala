@@ -231,6 +231,37 @@ object TierC {
            |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.45
            |ORDER BY vec_a, vec_b""".stripMargin)),
 
+    // The production near-dup path: banded LSH candidates + exact verify,
+    // no all-pairs product in the plan (asserted by OperatorsSpec). The
+    // oracle recomputes the identical md5-derived hyperplanes, so the
+    // approximate result is still exactly reproducible.
+    Q("c05_embed_neardup_banded",
+      (s, d) => Similarity.embeddingNearDupsBanded(Tables.embeddings(s, d), threshold = 0.45)
+        .orderBy("vec_a", "vec_b"),
+      Some(
+        s"""WITH planes AS (
+           |  SELECT k, list(CASE WHEN CAST('0x'||substr(md5(CAST(k AS VARCHAR)||'_'||CAST(j AS VARCHAR)),1,1) AS INT)%2=0
+           |                      THEN 1.0 ELSE -1.0 END ORDER BY j) AS s
+           |  FROM range(60) t1(k), range(64) t2(j) GROUP BY k
+           |), bits AS (
+           |  SELECT e.vec_id, p.k,
+           |         CASE WHEN list_sum(list_transform(generate_series(1,64), j -> p.s[j]*CAST(e.embedding[j] AS DOUBLE))) >= 0
+           |              THEN 1 ELSE 0 END AS bit
+           |  FROM embeddings e CROSS JOIN planes p
+           |), bands AS (
+           |  SELECT vec_id, CAST(k//5 AS INT) AS band_idx,
+           |         CAST(sum(bit << CAST(k%5 AS INT)) AS INT) AS band_val
+           |  FROM bits GROUP BY vec_id, band_idx
+           |), cand AS (
+           |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |  FROM bands x JOIN bands y
+           |    ON x.band_idx=y.band_idx AND x.band_val=y.band_val AND x.vec_id<y.vec_id
+           |)
+           |SELECT c.vec_a, c.vec_b, ${sqlCos("a.embedding", "b.embedding")} AS cos
+           |FROM cand c JOIN embeddings a ON a.vec_id=c.vec_a JOIN embeddings b ON b.vec_id=c.vec_b
+           |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.45
+           |ORDER BY vec_a, vec_b""".stripMargin)),
+
     Q("c06_knn_brute",
       (s, d) => {
         val e = Tables.embeddings(s, d)

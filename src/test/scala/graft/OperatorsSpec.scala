@@ -90,6 +90,40 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(r.getDouble(0)) < 1e-12 && math.abs(r.getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("banded embedding near-dup: no all-pairs product, subset of exact with measured recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val banded = Similarity.embeddingNearDupsBanded(e, 0.45)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs product in plan:\n$plan")
+    val got = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Similarity.embeddingNearDups(e, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.subsetOf(brute), "banded emitted a pair the exact op does not")
+    // deterministic data + deterministic planes → recall is a constant of
+    // the fixture: 5/7 here, 13/14 at sf0.01 — the LSH curve at cos≈0.45
+    // (see Similarity scaladoc; at near-dup thresholds 0.8+ recall ≈ 1)
+    assert(got.size == 5 && brute.size == 7,
+      s"recall changed: ${got.size}/${brute.size}")
+  }
+
+  test("SignBands kernel matches a driver-side recomputation of the planes") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(25)
+    val planes = graft.functions.VecOps.signPlanes(60, 64)
+    e.select(col("vec_id"), col("embedding"),
+        graft.functions.VecOps.signBands(col("embedding"), 60, 5, 64).as("bands"))
+      .collect().foreach { r =>
+        val emb = r.getSeq[Float](1)
+        val expect = new Array[Int](12)
+        for (k <- 0 until 60) {
+          var acc = 0.0
+          for (j <- 0 until 64) acc += planes(k * 64 + j) * emb(j).toDouble
+          if (acc >= 0) expect(k / 5) |= (1 << (k % 5))
+        }
+        assert(r.getSeq[Int](2).toSeq == expect.toSeq, s"vec ${r.getLong(0)}")
+      }
+  }
+
   test("sessionize: gap splits sessions") {
     import sp.implicits._
     val df = Seq(
