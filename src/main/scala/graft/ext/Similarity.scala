@@ -86,9 +86,15 @@ object Similarity {
   }
 
   /** C6: symmetric int8 quantization of an embedding column — the standard
-    * 4× storage cut for a 100 TB vector corpus. Per vector: scale =
-    * max(|x|)/127, q[i] = round(x[i]/scale). Narrow, codegen-friendly. */
-  def quantizeInt8(e: Column): (Column, Column) = {
+    * 4× storage cut for a 100 TB vector corpus. One kernel pass per vector
+    * returning struct(scale, q, q_sum, q_min, q_max)
+    * ([[graft.functions.VecOps.QuantizeInt8]]). */
+  def quantizeInt8(e: Column): Column = graft.functions.VecOps.quantizeInt8(e)
+
+  /** Interpreted HOF formulation of [[quantizeInt8]] — kept ONLY as the
+    * equivalence-spec twin (per-element lambdas re-evaluate `scale` for
+    * every element; never use in a hot path). */
+  def quantizeInt8Hof(e: Column): (Column, Column) = {
     val scale = aggregate(e, lit(0.0d),
       (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
     val q = transform(e, x => round(x.cast("double") / scale).cast("int"))

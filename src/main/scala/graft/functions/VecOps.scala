@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Codegen'd kernels for the hot array math. Spark's higher-order functions
   * (`zip_with`/`aggregate`/`transform`) have no `doGenCode` — they evaluate
@@ -133,8 +133,45 @@ object VecOps {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** One-pass symmetric int8 quantization of an `array<float>`:
+    * scale = max(|x|)/127, q[i] = round_half_away_from_zero(x[i]/scale)
+    * (identical to Spark's `round`+cast-int), plus the summary stats, all
+    * in a single traversal — replaces an interpreted `aggregate` +
+    * `transform` chain that re-evaluated the scale sub-expression inside
+    * every element lambda. One call per row (CodegenFallback). */
+  case class QuantizeInt8(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("scale", DoubleType, nullable = false),
+      StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false),
+      StructField("q_sum", LongType, nullable = false),
+      StructField("q_min", IntegerType, nullable = true),
+      StructField("q_max", IntegerType, nullable = true)))
+    override def nullSafeEval(in: Any): Any = {
+      val e = in.asInstanceOf[ArrayData]
+      val n = e.numElements()
+      var mx = 0.0; var i = 0
+      while (i < n) { val a = math.abs(e.getFloat(i).toDouble); if (a > mx) mx = a; i += 1 }
+      val scale = mx / 127.0
+      val q = new Array[Int](n)
+      var sum = 0L; var qmin = Int.MaxValue; var qmax = Int.MinValue
+      i = 0
+      while (i < n) {
+        val v = e.getFloat(i).toDouble / scale
+        val qi = (if (v >= 0) math.floor(v + 0.5) else math.ceil(v - 0.5)).toInt
+        q(i) = qi; sum += qi
+        if (qi < qmin) qmin = qi
+        if (qi > qmax) qmax = qi
+        i += 1
+      }
+      InternalRow(scale, new GenericArrayData(q), sum,
+        if (n == 0) null else qmin, if (n == 0) null else qmax)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def dotF(a: Column, b: Column): Column = column(DotProductFloat(expression(a), expression(b)))
   def simhash60(hashes: Column): Column = column(SimHash60(expression(hashes)))
   def signBands(e: Column, nBits: Int, bandBits: Int, dim: Int): Column =
     column(SignBandsExpr(expression(e), nBits, bandBits, dim))
+  def quantizeInt8(e: Column): Column = column(QuantizeInt8(expression(e)))
 }

@@ -161,16 +161,15 @@ object TierC {
            |GROUP BY lang ORDER BY lang""".stripMargin)),
 
     Q("c17_embed_quantize",
-      (s, d) => {
-        val (scale, q) = Similarity.quantizeInt8(col("embedding"))
-        Tables.embeddings(s, d).select(
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("z"))
+        .select(
           col("vec_id"),
-          round(scale, 6).as("scale"),
-          aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
-          array_min(q).as("q_min"),
-          array_max(q).as("q_max"))
-          .orderBy("vec_id")
-      },
+          round(col("z.scale"), 6).as("scale"),
+          col("z.q_sum").as("q_sum"),
+          col("z.q_min").as("q_min"),
+          col("z.q_max").as("q_max"))
+        .orderBy("vec_id"),
       Some("""SELECT vec_id,
              |       round(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0, 6) AS scale,
              |       CAST(list_sum(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / (list_aggregate(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))), 'max') / 127.0)) AS INT))) AS BIGINT) AS q_sum,

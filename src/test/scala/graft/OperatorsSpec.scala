@@ -124,6 +124,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       }
   }
 
+  test("QuantizeInt8 kernel matches the HOF formulation bit-for-bit") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (scaleH, qH) = Similarity.quantizeInt8Hof(col("embedding"))
+    val hof = e.select(col("vec_id"), scaleH.as("scale"), qH.as("q"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2).toSeq)).toSeq
+    val ker = e.select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("z"))
+      .select(col("vec_id"), col("z.scale"), col("z.q"), col("z.q_sum"), col("z.q_min"), col("z.q_max"))
+      .orderBy("vec_id").collect()
+    assert(ker.map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2).toSeq)).toSeq == hof)
+    // stats agree with the array they summarize
+    ker.foreach { r =>
+      val q = r.getSeq[Int](2)
+      assert(r.getLong(3) == q.map(_.toLong).sum && r.getInt(4) == q.min && r.getInt(5) == q.max)
+    }
+  }
+
   test("sessionize: gap splits sessions") {
     import sp.implicits._
     val df = Seq(
