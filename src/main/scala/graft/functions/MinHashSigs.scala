@@ -22,9 +22,15 @@ case class MinHashSigs(child: Expression, numHashes: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  // ThreadLocal like TextKernels.mdLocal: a plain lazy val would be shared
+  // if the same expression instance is ever evaluated from two tasks
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+  @transient private lazy val prefixes: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(i => s"$i:".getBytes(StandardCharsets.UTF_8))
 
   private def hash60(prefix: Array[Byte], gram: Array[Byte]): Long = {
+    val md = mdLocal.get()
     md.reset()
     md.update(prefix)
     md.update(gram)
@@ -38,7 +44,6 @@ case class MinHashSigs(child: Expression, numHashes: Int)
 
   override def nullSafeEval(in: Any): Any = {
     val grams = in.asInstanceOf[ArrayData]
-    val prefixes = Array.tabulate(numHashes)(i => s"$i:".getBytes(StandardCharsets.UTF_8))
     val out = Array.fill(numHashes)(Long.MaxValue)
     var g = 0
     while (g < grams.numElements()) {

@@ -22,28 +22,42 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param left       left (probe) rows
-    * @param right      right (quote/state) rows
-    * @param keys       equi-key column names present on both sides
-    * @param leftTs     left event-time column name
-    * @param rightTs    right event-time column name
-    * @param rightCols  right payload columns to carry; emitted as
-    *                   `asof_<name>` (null when no match)
+  /** @param left          left (probe) rows
+    * @param right         right (quote/state) rows
+    * @param keys          equi-key column names present on both sides
+    * @param leftTs        left event-time column name
+    * @param rightTs       right event-time column name
+    * @param rightCols     right payload columns to carry; emitted as
+    *                      `asof_<name>` (null when no match)
+    * @param rightTiebreak optional right column making the per-key order
+    *                      total: among right rows with equal (keys, ts) the
+    *                      HIGHEST tiebreak value wins. Without it, equal-ts
+    *                      right duplicates yield a nondeterministic payload.
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTs: String, rightTs: String, rightCols: Seq[String]): DataFrame = {
+               leftTs: String, rightTs: String, rightCols: Seq[String],
+               rightTiebreak: Option[String] = None): DataFrame = {
     val lCols = left.columns.toSeq
+    val internal = Seq("_ts", "_side", "_tb", "_payload", "_asof")
+    val clash = (lCols ++ right.columns).distinct.filter(internal.contains)
+    require(clash.isEmpty,
+      s"AsOfJoin reserves column names ${internal.mkString(", ")}; rename: ${clash.mkString(", ")}")
     val payload = struct(rightCols.map(col): _*)
 
     val r = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("_ts"), lit(0).as("_side"),
+        rightTiebreak.map(col).getOrElse(lit(0)).as("_tb"),
         payload.as("_payload")) ++ lCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
     val l = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(r.schema("_tb").dataType).as("_tb"), // value irrelevant: left payloads are null
         lit(null).cast(r.schema("_payload").dataType).as("_payload")) ++
         lCols.filterNot(keys.contains).map(col): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_ts"), col("_side"))
+    // right rows (_side 0) sort before left at equal ts, so `<=` holds; the
+    // tiebreak orders equal-ts right rows so `last` is deterministic
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_side"), col("_tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     r.unionByName(l)

@@ -40,6 +40,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.head.getAs[Long]("asof_rid") == 7L)
   }
 
+  test("as-of join: equal-ts right duplicates resolved by tiebreak; reserved names rejected") {
+    import sp.implicits._
+    val left = Seq((1L, 10L, 1L)).toDF("user_id", "t", "event_id")
+    val right = Seq((1L, 10L, 7L, 1L), (1L, 10L, 8L, 2L), (1L, 10L, 6L, 0L))
+      .toDF("user_id", "t", "rid", "seq")
+    val out = AsOfJoin.backward(left, right, Seq("user_id"), "t", "t", Seq("rid"),
+      rightTiebreak = Some("seq")).collect()
+    assert(out.head.getAs[Long]("asof_rid") == 8L) // highest seq wins
+    val bad = left.withColumnRenamed("event_id", "_side")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(bad, right, Seq("user_id"), "t", "t", Seq("rid"))
+    }
+    assert(e.getMessage.contains("_side"))
+  }
+
   test("EsDsl bool: minimum_should_match") {
     import sp.implicits._
     val df = Seq(("R", "F"), ("R", "O"), ("N", "O")).toDF("a", "b")
