@@ -38,6 +38,55 @@ object EsDsl {
     size(array_intersect(split(lower(text), "\\W+"), lit(queryTerms.map(_.toLowerCase).toArray)))
   def matchQuery(text: Column, queryTerms: Seq[String], minShouldMatch: Int = 1): Column =
     matchCount(text, queryTerms) >= minShouldMatch
+
+  /** B5 `match_phrase`: the query terms appear as CONSECUTIVE tokens. The
+    * position scan is a small HOF over the token array — guarded against
+    * Spark's descending `sequence(0, -1)` for too-short docs. */
+  def matchPhrase(text: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "empty phrase")
+    val toks = graft.ext.TextAnalysis.tokens(text)
+    val n = phrase.size
+    // greatest-clamp: both when-branches evaluate, and sequence(1, 0) would
+    // DESCEND; try_element_at: out-of-bounds must be null, not an ANSI error
+    val hit = org.apache.spark.sql.functions.exists(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))), i =>
+      phrase.zipWithIndex.map { case (t, j) =>
+        try_element_at(toks, (i + j).cast("int")) === t.toLowerCase
+      }.reduce(_ && _))
+    when(size(toks) >= n, coalesce(hit, lit(false))).otherwise(lit(false))
+  }
+
+  /** B5 scored `match`: Lucene-shaped BM25 over the corpus itself —
+    * idf(t) = ln(1 + (N − df + ½)/(df + ½)),
+    * score = Σ_t idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    * One corpus pass computes (N, avgdl, df_t) as a 1-row stats frame that
+    * broadcasts back — no driver-side collect, the corpus never shuffles.
+    * Emits the input columns + `_score` (docs with score 0 dropped,
+    * matching ES's should-match-at-least-one). */
+  def matchBm25(docs: DataFrame, text: Column, terms: Seq[String],
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qs = terms.map(_.toLowerCase)
+    val base = docs
+      .withColumn("_toks", graft.ext.TextAnalysis.tokens(text))
+      .withColumn("_dl", size(col("_toks")).cast("double"))
+    val statCols =
+      count(lit(1)).cast("double").as("_n") +:
+        avg(col("_dl")).as("_avgdl") +:
+        qs.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("_toks"), t), 1L).otherwise(0L)).cast("double").as(s"_df$i")
+        }
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val score = qs.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("_toks"), x => x === t)).cast("double")
+      val idf = log(lit(1.0) + (col("_n") - col(s"_df$i") + 0.5) / (col(s"_df$i") + 0.5))
+      val lengthNorm = lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / col("_avgdl"))
+      idf * (tf * (k1 + 1)) / (tf + lengthNorm)
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("_score", round(score, 6))
+      .filter(col("_score") > 0)
+      .drop(Seq("_toks", "_dl", "_n", "_avgdl") ++ qs.indices.map(i => s"_df$i"): _*)
+  }
   /** B6 `bool`. must_not is ES-faithful: a doc where the clause evaluates
     * NULL (field missing) does NOT match the clause, so it is KEPT —
     * `!coalesce(pred, false)`, not SQL's null-dropping `NOT pred`. */

@@ -90,6 +90,10 @@ object EsQueryJson {
               Option(v.get("minimum_should_match")).map(_.asInt()).getOrElse(1))
           else (v.asText(), 1)
         EsDsl.matchQuery(field(f), text.split("\\s+").toSeq, msm)
+      case "match_phrase" =>
+        val (f, v) = single(body)
+        val text = (if (v.isObject) v.get("query") else v).asText()
+        EsDsl.matchPhrase(field(f), text.split("\\s+").toSeq)
       case "bool" =>
         def clauses(name: String): Seq[Column] = Option(body.get(name)).toSeq.flatMap { n =>
           if (n.isArray) n.elements().asScala.map(predicate).toSeq else Seq(predicate(n))
@@ -104,31 +108,63 @@ object EsQueryJson {
     }
   }
 
-  /** Apply `query` + `sort` + `from`/`size` of a search body. */
+  /** Apply `query` + `sort` + `from`/`size` of a search body. A sort on
+    * `_score` attaches a BM25 relevance score (the query must then be a
+    * `match`); like ES, `_score` defaults to DESCENDING order. */
   def search(df: DataFrame, bodyJson: String): DataFrame = {
     val body = parse(bodyJson)
-    val filtered = Option(body.get("query")).map(q => df.filter(predicate(q))).getOrElse(df)
-    val sorted = Option(body.get("sort")) match {
-      case Some(s) =>
-        val cols = s.elements().asScala.toSeq.map { e =>
-          if (e.isTextual) field(e.asText()).asc
-          else {
-            val (f, spec) = single(e)
-            val order = Option(spec.get("order")).map(_.asText()).getOrElse("asc")
-            if (order == "desc") field(f).desc else field(f).asc
-          }
+    // (field, explicitOrder) pairs; _score defaults desc, fields asc
+    val sortSpecs: Seq[(String, Option[String])] =
+      Option(body.get("sort")).toSeq.flatMap(_.elements().asScala.toSeq).map { e =>
+        if (e.isTextual) (e.asText(), None)
+        else {
+          val (f, spec) = single(e)
+          (f, Option(spec.get("order")).map(_.asText()))
         }
-        filtered.orderBy(cols: _*)
-      case None => filtered
+      }
+    val needsScore = sortSpecs.exists(_._1 == "_score")
+    val filtered = Option(body.get("query")) match {
+      case Some(q) if needsScore =>
+        val (kind, mbody) = single(q)
+        require(kind == "match", s"_score sort requires a match query, got $kind")
+        val (f, v) = single(mbody)
+        val (text, msm) =
+          if (v.isObject)
+            (v.get("query").asText(),
+              Option(v.get("minimum_should_match")).map(_.asInt()).getOrElse(1))
+          else (v.asText(), 1)
+        val terms = text.split("\\s+").toSeq
+        val scored = EsDsl.matchBm25(df, field(f), terms)
+        if (msm > 1) scored.filter(EsDsl.matchQuery(field(f), terms, msm)) else scored
+      case Some(q) => df.filter(predicate(q))
+      case None =>
+        require(!needsScore, "_score sort requires a query")
+        df
     }
+    val sorted =
+      if (sortSpecs.isEmpty) filtered
+      else filtered.orderBy(sortSpecs.map { case (f, order) =>
+        val c = if (f == "_score") col("_score") else field(f)
+        order.getOrElse(if (f == "_score") "desc" else "asc") match {
+          case "desc" => c.desc
+          case _ => c.asc
+        }
+      }: _*)
     val from = Option(body.get("from")).map(_.asInt()).getOrElse(0)
     val size = Option(body.get("size")).map(_.asInt())
     val offs = if (from > 0) sorted.offset(from) else sorted
     size.map(offs.limit).getOrElse(offs)
   }
 
-  /** Single-level ES `aggs`: one bucket agg (or none) + metric sub-aggs.
-    * Like ES, a `query` in the same body scopes the aggregations. */
+  /** ES `aggs`: bucket aggs (terms/histogram/date_histogram/filters/
+    * composite) with metric sub-aggs (avg/sum/min/max/value_count/
+    * cardinality/percentiles), `top_hits`, and NESTED bucket aggs —
+    * `terms` inside `date_histogram` etc. A nested chain flattens to one
+    * DataFrame grouped by every level's key (columns named by each level's
+    * agg name); per-level `terms` size prunes top buckets by summed
+    * doc_count within the enclosing bucket, exactly ES's
+    * count-desc-then-key order. Like ES, a `query` in the same body scopes
+    * the aggregations. */
   def aggregations(df: DataFrame, bodyJson: String): Map[String, DataFrame] = {
     val body = parse(bodyJson)
     val aggs = Option(body.get("aggs"))
@@ -136,55 +172,205 @@ object EsQueryJson {
       .getOrElse(throw new IllegalArgumentException("no aggs in body"))
     val scoped = Option(body.get("query")).map(q => df.filter(predicate(q))).getOrElse(df)
     aggs.fields().asScala.map { e =>
-      e.getKey -> oneAgg(scoped, e.getValue)
+      e.getKey -> oneAgg(scoped, e.getKey, e.getValue)
     }.toMap
   }
 
-  private def metric(name: String, spec: JsonNode): Column = {
-    val f = field(spec.get("field").asText())
-    name match {
-      case "avg" => round(avg(f), 6)
-      case "sum" => round(sum(f), 4)
-      case "min" => round(min(f), 4)
-      case "max" => round(max(f), 4)
-      case "value_count" => count(f)
-      case "cardinality" => EsDsl.cardinality(f)
+  /** Metric agg → named column(s); `cond` restricts the metric to rows
+    * matching a filters-bucket predicate (nulls elsewhere are ignored by
+    * every aggregate here). `percentiles` expands to one column per
+    * percent (`<name>_p<pct>`), exact like the typed DSL's b12. */
+  private def metricCols(aggName: String, kind: String, spec: JsonNode,
+                         cond: Option[Column] = None): Seq[(String, Column)] = {
+    val raw = field(spec.get("field").asText())
+    val f = cond.map(c => when(c, raw)).getOrElse(raw)
+    kind match {
+      case "avg" => Seq(aggName -> round(avg(f), 6))
+      case "sum" => Seq(aggName -> round(sum(f), 4))
+      case "min" => Seq(aggName -> round(min(f), 4))
+      case "max" => Seq(aggName -> round(max(f), 4))
+      case "value_count" => Seq(aggName -> count(f))
+      case "cardinality" => Seq(aggName -> EsDsl.cardinality(f))
+      case "percentiles" =>
+        val pcts = Option(spec.get("percents"))
+          .map(_.elements().asScala.map(_.asDouble()).toSeq)
+          .getOrElse(Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0))
+        pcts.map { p =>
+          val nm = if (p.isWhole) s"${aggName}_p${p.toLong}"
+                   else s"${aggName}_p${p.toString.replace('.', '_')}"
+          nm -> round(EsDsl.percentileExact(f, p / 100.0), 4)
+        }
       case other => throw new IllegalArgumentException(s"unsupported metric: $other")
     }
   }
 
-  private def subMetrics(node: JsonNode): Seq[Column] =
-    Option(node.get("aggs")).toSeq.flatMap(_.fields().asScala.toSeq.map { e =>
-      val (kind, spec) = single(e.getValue)
-      metric(kind, spec).as(e.getKey)
-    })
+  private val bucketKinds = Set("terms", "histogram", "date_histogram")
 
-  private def oneAgg(df: DataFrame, node: JsonNode): DataFrame = {
+  /** Split a node's sub-`aggs` into metric columns, nested bucket entries,
+    * and top_hits entries. */
+  private def subAggs(node: JsonNode, cond: Option[Column] = None)
+      : (Seq[(String, Column)], Seq[(String, JsonNode)], Seq[(String, JsonNode)]) = {
+    val entries = Option(node.get("aggs")).toSeq.flatMap(_.fields().asScala.toSeq)
+      .map(e => e.getKey -> e.getValue)
+    val (buckets, rest) = entries.partition { case (_, n) =>
+      n.fieldNames().asScala.exists(k => bucketKinds(k) || k == "filters" || k == "composite")
+    }
+    val (topHits, metrics) = rest.partition { case (_, n) =>
+      n.fieldNames().asScala.contains("top_hits")
+    }
+    val ms = metrics.flatMap { case (nm, n) =>
+      val (kind, spec) = single(n)
+      metricCols(nm, kind, spec, cond)
+    }
+    (ms, buckets, topHits)
+  }
+
+  /** One bucket level of a (possibly nested) chain. */
+  private case class Level(name: String, kind: String, spec: JsonNode, node: JsonNode) {
+    def key: Column = kind match {
+      case "terms" => field(spec.get("field").asText()).as(name)
+      case "histogram" =>
+        EsDsl.histogramBucket(field(spec.get("field").asText()), spec.get("interval").asDouble()).as(name)
+      case "date_histogram" =>
+        val interval = Option(spec.get("calendar_interval")).getOrElse(spec.get("interval")).asText()
+        EsDsl.dateHistogramBucket(field(spec.get("field").asText()), interval).as(name)
+    }
+    def termsSize: Option[Int] =
+      if (kind == "terms") Some(Option(spec.get("size")).map(_.asInt()).getOrElse(10)) else None
+  }
+
+  private def oneAgg(df: DataFrame, name: String, node: JsonNode): DataFrame = {
     val kind = node.fieldNames().asScala.toSeq.filterNot(_ == "aggs").head
     val spec = node.get(kind)
-    val ms = subMetrics(node)
     kind match {
-      case "terms" =>
-        val key = field(spec.get("field").asText()).as("key")
-        val size = Option(spec.get("size")).map(_.asInt()).getOrElse(10)
-        df.groupBy(key).agg(count(lit(1)).as("doc_count"), ms: _*)
-          .orderBy(desc("doc_count"), col("key")).limit(size)
-      case "histogram" =>
-        val interval = spec.get("interval").asDouble()
-        val key = EsDsl.histogramBucket(field(spec.get("field").asText()), interval).as("key")
-        df.groupBy(key).agg(count(lit(1)).as("doc_count"), ms: _*).orderBy("key")
-      case "date_histogram" =>
-        val interval = Option(spec.get("calendar_interval"))
-          .getOrElse(spec.get("interval")).asText()
-        val key = EsDsl.dateHistogramBucket(field(spec.get("field").asText()), interval).as("key")
-        df.groupBy(key).agg(count(lit(1)).as("doc_count"), ms: _*).orderBy("key")
-      case "filters" =>
-        val preds = spec.get("filters").fields().asScala.toSeq.map { e =>
-          e.getKey -> predicate(e.getValue)
+      case "composite" => compositeAgg(df, spec)
+      case "filters" => filtersAgg(df, node)
+      case k if bucketKinds(k) =>
+        // walk the nested-bucket chain; metrics and top_hits live at the
+        // innermost level (ES allows both anywhere; the flat frame doesn't)
+        var levels = Vector(Level(name, k, spec, node))
+        var (ms, buckets, topHits) = subAggs(node)
+        while (buckets.nonEmpty) {
+          require(buckets.size == 1, s"at most one nested bucket agg per level, got ${buckets.map(_._1)}")
+          require(ms.isEmpty && topHits.isEmpty,
+            "metric/top_hits sub-aggs are supported only at the innermost bucket level")
+          val (bName, bNode) = buckets.head
+          val bKind = bNode.fieldNames().asScala.toSeq.filterNot(_ == "aggs").head
+          require(bucketKinds(bKind), s"nested bucket must be terms/histogram/date_histogram, got $bKind")
+          levels :+= Level(bName, bKind, bNode.get(bKind), bNode)
+          val s = subAggs(bNode); ms = s._1; buckets = s._2; topHits = s._3
         }
-        EsDsl.filtersAgg(df, Nil, preds: _*)
+        if (topHits.nonEmpty) {
+          require(levels.size == 1 && ms.isEmpty && topHits.size == 1,
+            "top_hits: single bucket level, no sibling metrics")
+          return topHitsAgg(df, levels.head, topHits.head._1, topHits.head._2.get("top_hits"))
+        }
+        val aliased = ms.map { case (n, c) => c.as(n) }
+        if (levels.size == 1) singleLevel(df, levels.head, aliased)
+        else nestedLevels(df, levels, aliased)
+      case "top_hits" => // bare top_hits: global top-n (one implicit bucket)
+        topHitsAgg(df, null, name, spec)
       case metricKind => // bare metric agg, no bucketing
-        df.agg(metric(metricKind, spec).as("value"))
+        val cols = metricCols("value", metricKind, spec).map { case (n, c) => c.as(n) }
+        df.agg(cols.head, cols.tail: _*)
     }
+  }
+
+  /** The pre-round-2 single-bucket path, byte-compatible with a19 etc. */
+  private def singleLevel(df: DataFrame, l: Level, ms: Seq[Column]): DataFrame = {
+    val g = df.groupBy(l.key.as("key")).agg(count(lit(1)).as("doc_count"), ms: _*)
+    l.termsSize match {
+      case Some(size) => g.orderBy(desc("doc_count"), col("key")).limit(size)
+      case None => g.orderBy("key")
+    }
+  }
+
+  /** Nested chain: one groupBy over every level's key; level i's bucket
+    * doc_count is the window-sum of leaf counts over its key prefix, and a
+    * `terms` size prunes buckets by dense_rank(count desc, key) WITHIN the
+    * enclosing bucket — ES's order, computed without any join. Outer levels
+    * prune first, so a parent's rank reflects its full child population. */
+  private def nestedLevels(df: DataFrame, levels: Seq[Level], ms: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val names = levels.map(_.name)
+    var g = df.groupBy(levels.map(_.key): _*).agg(count(lit(1)).as("doc_count"), ms: _*)
+    levels.zipWithIndex.foreach { case (l, i) =>
+      l.termsSize.foreach { size =>
+        val isLeaf = i == levels.size - 1
+        val withCnt =
+          if (isLeaf) g.withColumn("_cnt", col("doc_count"))
+          else g.withColumn("_cnt",
+            sum(col("doc_count")).over(Window.partitionBy(names.take(i + 1).map(col): _*)))
+        val rk = dense_rank().over(
+          Window.partitionBy(names.take(i).map(col): _*).orderBy(col("_cnt").desc, col(names(i))))
+        g = withCnt.withColumn("_rk", rk).filter(col("_rk") <= size).drop("_cnt", "_rk")
+      }
+    }
+    g
+  }
+
+  /** `filters` bucket agg: one row, a count column per named filter plus
+    * `<filter>_<metric>` columns for metric sub-aggs (previously dropped). */
+  private def filtersAgg(df: DataFrame, node: JsonNode): DataFrame = {
+    val spec = node.get("filters")
+    val preds = spec.get("filters").fields().asScala.toSeq.map { e =>
+      e.getKey -> predicate(e.getValue)
+    }
+    val cols = preds.flatMap { case (nm, p) =>
+      sum(when(p, 1L).otherwise(0L)).as(nm) +:
+        subAggs(node, cond = Some(p))._1.map { case (mn, c) => c.as(s"${nm}_$mn") }
+    }
+    df.agg(count(lit(1)).as("doc_count"), cols: _*)
+  }
+
+  /** `top_hits`: per-bucket (or global, when `level` is null) top-n rows by
+    * the body's sort, emitted flat with the bucket key and rank. */
+  private def topHitsAgg(df: DataFrame, level: Level, name: String, spec: JsonNode): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = Option(spec.get("size")).map(_.asInt()).getOrElse(3)
+    val sortCols = Option(spec.get("sort")).toSeq.flatMap(_.elements().asScala.toSeq).map { e =>
+      if (e.isTextual) field(e.asText()).asc
+      else {
+        val (f, s) = single(e)
+        if (Option(s.get("order")).map(_.asText()).contains("desc")) field(f).desc else field(f).asc
+      }
+    }
+    val source = Option(spec.get("_source")).toSeq
+      .flatMap(_.elements().asScala.toSeq.map(_.asText()))
+    val keyed = if (level == null) df.withColumn("key", lit(0)) else df.withColumn("key", level.key)
+    val effSort = if (sortCols.nonEmpty) sortCols else Seq(monotonically_increasing_id().asc)
+    val w = Window.partitionBy(col("key")).orderBy(effSort: _*)
+    val ranked = keyed.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
+    val out = if (source.nonEmpty) source.map(s => field(s).as(s.replace('.', '_'))) else
+      df.columns.toSeq.map(col)
+    ranked.select((col("key") +: col("rank") +: out): _*)
+  }
+
+  /** `composite` agg: multi-source buckets in key order with `size`/`after`
+    * cursor paging — scroll-style aggregation pagination. Sources are
+    * `terms` over a field. */
+  private def compositeAgg(df: DataFrame, spec: JsonNode): DataFrame = {
+    val sources = spec.get("sources").elements().asScala.toSeq.map { s =>
+      val (nm, body) = single(s)
+      val (k, ks) = single(body)
+      require(k == "terms", s"composite source must be terms, got $k")
+      nm -> field(ks.get("field").asText())
+    }
+    val size = Option(spec.get("size")).map(_.asInt()).getOrElse(10)
+    val g = df.groupBy(sources.map { case (nm, c) => c.as(nm) }: _*)
+      .agg(count(lit(1)).as("doc_count"))
+    val afterFiltered = Option(spec.get("after")) match {
+      case Some(a) =>
+        // lexicographic (k1..kn) > (a1..an)
+        val pred = sources.indices.map { i =>
+          val eqPrefix = (0 until i).map { j =>
+            col(sources(j)._1) === litOf(a.get(sources(j)._1))
+          }.reduceOption(_ && _).getOrElse(lit(true))
+          eqPrefix && col(sources(i)._1) > litOf(a.get(sources(i)._1))
+        }.reduce(_ || _)
+        g.filter(pred)
+      case None => g
+    }
+    afterFiltered.orderBy(sources.map(s => col(s._1).asc): _*).limit(size)
   }
 }

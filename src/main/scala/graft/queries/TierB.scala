@@ -15,6 +15,35 @@ object TierB {
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
 
+  /** DuckDB twin of [[EsDsl.matchBm25]] (k1=1.2, b=0.75) as a CTE chain
+    * ending in `sc(doc_id, score)` — identical fold order and constants. */
+  private def bm25Sql(terms: Seq[String]): String = {
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(toks,'$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
+    }.mkString(",\n         ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n         ")
+    val scoreSum = terms.indices.map { i =>
+      s"ln(1 + (n - df$i + 0.5)/(df$i + 0.5)) * (tf$i*(1.2+1))/(tf$i + 1.2*(1 - 0.75 + 0.75*dl/avgdl))"
+    }.mkString("\n       + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks,
+       |         CAST(len(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS DOUBLE) AS dl
+       |  FROM documents
+       |), st AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+       |         $dfCols
+       |  FROM t
+       |), tf AS (
+       |  SELECT doc_id, dl, n, avgdl, ${terms.indices.map(i => s"df$i").mkString(", ")},
+       |         $tfCols
+       |  FROM t CROSS JOIN st
+       |), sc AS (
+       |  SELECT doc_id, round($scoreSum, 6) AS score FROM tf
+       |)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("q1_agg",
@@ -121,6 +150,37 @@ object TierB {
              |WHERE len(list_filter(list_filter(string_split_regex(lower(text), '\W+'),
              |         x -> x <> ''), t -> t IN ('spark','query','join'))) > 0
              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // B5 BM25: Lucene-shaped practical scoring (idf·tf saturation·length
+    // norm) — what `_score` means to a migrating ES user. The oracle
+    // reproduces the same math from the same corpus stats.
+    Q("b05_match_bm25",
+      (s, d) => EsDsl.matchBm25(Tables.documents(s, d), col("text"), Seq("spark", "query", "join"))
+        .select(col("doc_id"), col("_score").as("score"))
+        .orderBy(desc("score"), col("doc_id")).limit(20),
+      Some(bm25Sql(Seq("spark", "query", "join")) +
+        "\nSELECT doc_id, score FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20")),
+
+    // B5 match_phrase: consecutive-token phrase match.
+    Q("b05_match_phrase",
+      (s, d) => Tables.documents(s, d)
+        .filter(EsDsl.matchPhrase(col("text"), Seq("the", "data")))
+        .select(col("doc_id")).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+             |           FROM documents)
+             |SELECT doc_id FROM t
+             |WHERE len(toks) >= 2 AND len(list_filter(range(1, len(toks)+1-1), i ->
+             |        toks[i] = 'the' AND toks[i+1] = 'data')) > 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ES-JSON search sorting on _score (the default ES result order).
+    Q("a24_es_json_score",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match": {"text": "spark query join"}},
+          | "sort": ["_score", "doc_id"], "size": 15}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some(bm25Sql(Seq("spark", "query", "join")) +
+        "\nSELECT doc_id, score FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15")),
 
     // ES `nested` query: predicate over child docs nested in the parent —
     // lineitems collected per order, `exists(items, pred)` HOF.
@@ -494,5 +554,66 @@ object TierB {
              |       (SELECT max(s.event_id) FROM events s
              |        WHERE s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts) AS asof_signup_id
              |FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin)),
+
+    // ---- ES-JSON front-end coverage (the body a migrating ES user sends;
+    // compiles through dsl.EsQueryJson into the same Catalyst plans) ------
+
+    // Nested bucket aggs: terms inside date_histogram, per-month top-2
+    // statuses by doc count (ES terms order), sum metric at the leaf.
+    Q("a20_es_json_nested_aggs",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"by_month": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |  "aggs": {"by_status": {"terms": {"field": "o_orderstatus", "size": 2},
+          |    "aggs": {"rev": {"sum": {"field": "o_totalprice"}}}}}}}}""".stripMargin)("by_month")
+        .orderBy("by_month", "by_status"),
+      Some("""WITH g AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS by_month,
+             |         o_orderstatus AS by_status, count(*) AS doc_count,
+             |         round(sum(o_totalprice), 4) AS rev
+             |  FROM orders GROUP BY by_month, by_status
+             |), r AS (
+             |  SELECT *, dense_rank() OVER (PARTITION BY by_month ORDER BY doc_count DESC, by_status) AS rk
+             |  FROM g
+             |)
+             |SELECT by_month, by_status, doc_count, rev FROM r WHERE rk <= 2
+             |ORDER BY by_month, by_status""".stripMargin)),
+
+    // top_hits under terms: per-status top-2 orders by price (o_orderkey
+    // tiebreak makes the sort total).
+    Q("a21_es_json_top_hits",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"by_status": {"terms": {"field": "o_orderstatus"},
+          |  "aggs": {"hits": {"top_hits": {"size": 2,
+          |    "sort": [{"o_totalprice": {"order": "desc"}}, "o_orderkey"],
+          |    "_source": ["o_orderkey", "o_totalprice"]}}}}}}""".stripMargin)("by_status")
+        .orderBy("key", "rank"),
+      Some("""SELECT o_orderstatus AS key, CAST(rn AS INT) AS rank, o_orderkey, o_totalprice FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+             |           ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+             |WHERE rn <= 2 ORDER BY key, rank""".stripMargin)),
+
+    // percentiles metric under terms (exact, like the typed DSL's b12).
+    Q("a22_es_json_percentiles",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"by_pri": {"terms": {"field": "o_orderpriority", "size": 10},
+          |  "aggs": {"price": {"percentiles": {"field": "o_totalprice", "percents": [25, 50, 75]}}}}}}""".stripMargin)("by_pri")
+        .orderBy("key"),
+      Some("""SELECT o_orderpriority AS key, count(*) AS doc_count,
+             |       round(quantile_cont(o_totalprice, 0.25), 4) AS price_p25,
+             |       round(quantile_cont(o_totalprice, 0.50), 4) AS price_p50,
+             |       round(quantile_cont(o_totalprice, 0.75), 4) AS price_p75
+             |FROM orders GROUP BY key ORDER BY key""".stripMargin)),
+
+    // composite agg: key-ordered bucket paging with an after cursor.
+    Q("a23_es_json_composite",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"pg": {"composite": {"size": 4,
+          |  "sources": [{"st": {"terms": {"field": "o_orderstatus"}}},
+          |              {"pri": {"terms": {"field": "o_orderpriority"}}}],
+          |  "after": {"st": "F", "pri": "3-MEDIUM"}}}}}""".stripMargin)("pg"),
+      Some("""SELECT o_orderstatus AS st, o_orderpriority AS pri, count(*) AS doc_count
+             |FROM orders GROUP BY st, pri
+             |HAVING (st > 'F') OR (st = 'F' AND pri > '3-MEDIUM')
+             |ORDER BY st, pri LIMIT 4""".stripMargin)),
   )
 }

@@ -81,6 +81,128 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("nested bucket aggs: terms inside date_histogram, ES size semantics") {
+    val body =
+      """{"aggs": {"by_month": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+        |  "aggs": {"by_status": {"terms": {"field": "o_orderstatus", "size": 2},
+        |    "aggs": {"rev": {"sum": {"field": "o_totalprice"}}}}}}}}""".stripMargin
+    val out = EsQueryJson.aggregations(orders, body)("by_month")
+    assert(out.columns.toSeq == Seq("by_month", "by_status", "doc_count", "rev"))
+    // manual: per month, top-2 statuses by count (count desc, key asc)
+    import org.apache.spark.sql.expressions.Window
+    val g = orders.groupBy(date_trunc("month", col("o_orderdate")).as("m"), col("o_orderstatus").as("s"))
+      .agg(count(lit(1)).as("c"), round(sum(col("o_totalprice")), 4).as("rev"))
+    val want = g.withColumn("rk",
+        dense_rank().over(Window.partitionBy("m").orderBy(col("c").desc, col("s"))))
+      .filter(col("rk") <= 2)
+      .select("m", "s", "c", "rev").orderBy("m", "s")
+      .collect().map(r => (r.get(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val got = out.orderBy("by_month", "by_status")
+      .collect().map(r => (r.get(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("nested terms size prunes by parent total, not leaf count") {
+    val body =
+      """{"aggs": {"by_status": {"terms": {"field": "o_orderstatus", "size": 2},
+        |  "aggs": {"by_pri": {"terms": {"field": "o_orderpriority", "size": 1}}}}}}""".stripMargin
+    val out = EsQueryJson.aggregations(orders, body)("by_status").collect()
+    // top-2 statuses overall, 1 top priority within each → exactly 2 rows
+    val topStatuses = orders.groupBy("o_orderstatus").count()
+      .orderBy(desc("count"), col("o_orderstatus")).limit(2)
+      .collect().map(_.getString(0)).toSet
+    assert(out.length == 2 && out.map(_.getString(0)).toSet == topStatuses)
+  }
+
+  test("filters agg computes metric sub-aggs per filter bucket") {
+    val body =
+      """{"aggs": {"split": {"filters": {"filters": {
+        |    "urgent": {"term": {"o_orderpriority": "1-URGENT"}},
+        |    "low": {"terms": {"o_orderpriority": ["4-NOT SPECIFIED", "5-LOW"]}}}},
+        |  "aggs": {"rev": {"sum": {"field": "o_totalprice"}}}}}}""".stripMargin
+    val r = EsQueryJson.aggregations(orders, body)("split").collect().head
+    val urg = orders.filter(col("o_orderpriority") === "1-URGENT")
+    assert(r.getAs[Long]("urgent") == urg.count())
+    assert(r.getAs[Double]("urgent_rev") ==
+      urg.agg(round(sum("o_totalprice"), 4)).collect().head.getDouble(0))
+    assert(r.getAs[Long]("doc_count") == orders.count())
+  }
+
+  test("percentiles metric expands to one column per percent") {
+    val body =
+      """{"aggs": {"by_status": {"terms": {"field": "o_orderstatus", "size": 3},
+        |  "aggs": {"price": {"percentiles": {"field": "o_totalprice", "percents": [25, 50, 75]}}}}}}""".stripMargin
+    val out = EsQueryJson.aggregations(orders, body)("by_status")
+    assert(out.columns.toSeq == Seq("key", "doc_count", "price_p25", "price_p50", "price_p75"))
+    val r = out.orderBy("key").collect()
+    assert(r.forall(x => x.getDouble(2) <= x.getDouble(3) && x.getDouble(3) <= x.getDouble(4)))
+  }
+
+  test("top_hits inside terms returns per-bucket top-n rows") {
+    val body =
+      """{"aggs": {"by_status": {"terms": {"field": "o_orderstatus"},
+        |  "aggs": {"hits": {"top_hits": {"size": 2,
+        |    "sort": [{"o_totalprice": {"order": "desc"}}],
+        |    "_source": ["o_orderkey", "o_totalprice"]}}}}}}""".stripMargin
+    val out = EsQueryJson.aggregations(orders, body)("by_status")
+    assert(out.columns.toSeq == Seq("key", "rank", "o_orderkey", "o_totalprice"))
+    val got = out.orderBy("key", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(3))).toSeq
+    import org.apache.spark.sql.expressions.Window
+    val want = orders.withColumn("rank", row_number().over(
+        Window.partitionBy("o_orderstatus").orderBy(desc("o_totalprice"))))
+      .filter(col("rank") <= 2).orderBy("o_orderstatus", "rank")
+      .collect().map(r => (r.getAs[String]("o_orderstatus"), r.getAs[Int]("rank"), r.getAs[Double]("o_totalprice"))).toSeq
+    assert(got == want && got.size == 6)
+  }
+
+  test("composite agg pages buckets in key order with after cursor") {
+    val body =
+      """{"aggs": {"pg": {"composite": {"size": 4,
+        |  "sources": [{"st": {"terms": {"field": "o_orderstatus"}}},
+        |              {"pri": {"terms": {"field": "o_orderpriority"}}}]}}}}""".stripMargin
+    val p1 = EsQueryJson.aggregations(orders, body)("pg").collect()
+    assert(p1.length == 4 && EsQueryJson.aggregations(orders, body)("pg").columns.toSeq ==
+      Seq("st", "pri", "doc_count"))
+    val (lastSt, lastPri) = (p1.last.getString(0), p1.last.getString(1))
+    val body2 =
+      s"""{"aggs": {"pg": {"composite": {"size": 4,
+         |  "sources": [{"st": {"terms": {"field": "o_orderstatus"}}},
+         |              {"pri": {"terms": {"field": "o_orderpriority"}}}],
+         |  "after": {"st": "$lastSt", "pri": "$lastPri"}}}}}""".stripMargin
+    val p2 = EsQueryJson.aggregations(orders, body2)("pg").collect()
+    // pages tile the full bucket list without overlap
+    val all = orders.groupBy("o_orderstatus", "o_orderpriority").count()
+      .orderBy("o_orderstatus", "o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert((p1 ++ p2).map(r => (r.getString(0), r.getString(1))).toSeq == all.take(8))
+  }
+
+  test("match_phrase: consecutive tokens only, short-doc guard") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "big data systems"), (2L, "data big systems"), (3L, "big"),
+      (4L, ""), (5L, "the big data"), (6L, "big, data!")).toDF("doc_id", "text")
+    val got = EsQueryJson.search(df,
+      """{"query": {"match_phrase": {"text": "big data"}}, "sort": ["doc_id"]}""")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 5L, 6L)) // tokenizer strips punctuation like ES's standard analyzer
+  }
+
+  test("_score sort runs BM25 and orders desc by default") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = EsQueryJson.search(docs,
+      """{"query": {"match": {"text": "spark query join"}}, "sort": ["_score", "doc_id"], "size": 10}""")
+    val scores = out.select("_score").collect().map(_.getDouble(0)).toSeq
+    assert(scores == scores.sorted.reverse && scores.nonEmpty && scores.head > 0)
+    // highest-scored doc beats the rest by BM25, not raw term count alone
+    val direct = graft.dsl.EsDsl.matchBm25(docs, col("text"), Seq("spark", "query", "join"))
+      .orderBy(desc("_score"), col("doc_id")).select("doc_id").limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == direct)
+  }
+
   test("match query on documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = EsQueryJson.search(docs,
