@@ -29,19 +29,53 @@ object Multimodal {
   def withFakePayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"), to_binary(md5(col(textCol)), lit("hex")).as("payload"))
 
-  /** STUB decode — deterministic fake of an image-header parse: "width" and
-    * "height" read from the first payload bytes, format from a byte mod.
-    * A real deployment swaps `decodeHeader` for an actual codec call; the
-    * signature, batching and schema stay identical. */
-  private def decodeHeader(payload: Array[Byte]): (Int, Int, String) = {
-    // ??? real codec goes here; deterministic fake below
-    val w = 1 + (payload(0) & 0xff) % 64
-    val h = 1 + (payload(1) & 0xff) % 64
-    val fmt = ((payload(2) & 0xff) % 3) match {
-      case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
-    }
-    (w, h, fmt)
+  /** REAL pure-JVM image-header parse (no codec libraries): PNG IHDR,
+    * JPEG SOF segment walk, GIF logical-screen descriptor. Returns None for
+    * payloads that are none of these — e.g. the synthetic md5 corpus. */
+  private[graft] def parseRealHeader(p: Array[Byte]): Option[(Int, Int, String)] = {
+    def u8(i: Int) = p(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (p.length >= 24 &&
+        u8(0) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G' &&
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+        p(12) == 'I' && p(13) == 'H' && p(14) == 'D' && p(15) == 'R')
+      Some((be32(16), be32(20), "png"))
+    else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // walk JPEG segments to the first frame header (SOFn); height then
+      // width as big-endian 16-bit after the 1-byte precision
+      var i = 2
+      while (i + 3 < p.length) {
+        if (u8(i) != 0xff) return None
+        val m = u8(i + 1)
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // standalone markers
+        else {
+          val len = be16(i + 2)
+          if (len < 2 || i + 2 + len > p.length) return None
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+            return if (i + 9 <= p.length) Some((be16(i + 7), be16(i + 5), "jpeg")) else None
+          i += 2 + len
+        }
+      }
+      None
+    } else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8')
+      Some((u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8), "gif"))
+    else None
   }
+
+  /** Decode: REAL header parse first ([[parseRealHeader]]); payloads that
+    * are not recognizable images fall back to the deterministic STUB below
+    * (the pixel-decode path — resampling, color — still needs codec
+    * libraries this container doesn't ship; only that part stays faked). */
+  private def decodeHeader(payload: Array[Byte]): (Int, Int, String) =
+    parseRealHeader(payload).getOrElse {
+      val w = 1 + (payload(0) & 0xff) % 64
+      val h = 1 + (payload(1) & 0xff) % 64
+      val fmt = ((payload(2) & 0xff) % 3) match {
+        case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
+      }
+      (w, h, fmt)
+    }
 
   /** Partition-batched decode: one iterator pass per partition (the
     * `mapInPandas` shape), emitting typed metadata. */

@@ -422,6 +422,29 @@ object TierC {
              |         WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // REAL header decode: payloads are genuine PNG byte headers built from
+    // the row (signature + IHDR with big-endian dims); the mapPartitions
+    // decoder must recover the dims by actually parsing the bytes. The
+    // oracle states the round-trip contract decode(encode(w,h)) == (w,h).
+    Q("c18_mm_decode_real",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        val w = (col("doc_id") % 500 + 1).cast("int")
+        val h = ((col("doc_id") * 7) % 300 + 1).cast("int")
+        val pngHex = concat(
+          lit("89504E470D0A1A0A0000000D49484452"), // PNG signature + IHDR length/tag
+          lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+          lit("0806000000")) // bit depth 8, RGBA, default methods
+        val payloads = Tables.documents(s, d)
+          .select(col("doc_id"), unhex(pngHex).as("payload"))
+        Multimodal.decodeMeta(payloads).toDF().orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |       CAST(doc_id % 500 + 1 AS INT) AS width,
+             |       CAST((doc_id * 7) % 300 + 1 AS INT) AS height,
+             |       CAST(29 AS INT) AS n_bytes, 'png' AS fmt
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Q("c16_mm_frames",
       (s, d) => Multimodal.sampleFrames(
         Multimodal.withFakePayload(Tables.documents(s, d), "doc_id", "text"), stride = 7)

@@ -167,6 +167,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(stats(1).getAs[Long]("n_sessions") == 1)
   }
 
+  test("multimodal: real PNG/JPEG/GIF header bytes parse to true dimensions") {
+    import graft.multimodal.Multimodal.parseRealHeader
+    def hex(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // PNG: 640x480
+    val png = hex("89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 08 06 000000")
+    assert(parseRealHeader(png).contains((640, 480, "png")))
+    // JPEG: SOI, APP0 (16 bytes), SOF0 with height=0x0100=256, width=0x0200=512
+    val jpg = hex("FFD8 FFE0 0010 4A46494600 0101 00 0048 0048 0000" +
+      "FFC0 0011 08 0100 0200 03 01 2200 02 1101 03 1101")
+    assert(parseRealHeader(jpg).contains((512, 256, "jpeg")))
+    // GIF89a: 320x200 little-endian
+    val gif = hex("474946383961 4001 C800 F7 00 00")
+    assert(parseRealHeader(gif).contains((320, 200, "gif")))
+    // junk (md5-like) does not parse → stub fallback path
+    assert(parseRealHeader(Array.fill[Byte](16)(0x42)).isEmpty)
+    // truncated JPEG with no SOF → None
+    assert(parseRealHeader(hex("FFD8 FFE0 0004 0000")).isEmpty)
+  }
+
   test("multimodal: mapPartitions stub decode == expression twin") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val payloads = Multimodal.withFakePayload(docs, "doc_id", "text")
