@@ -39,21 +39,16 @@ object EsDsl {
   def matchQuery(text: Column, queryTerms: Seq[String], minShouldMatch: Int = 1): Column =
     matchCount(text, queryTerms) >= minShouldMatch
 
-  /** B5 `match_phrase`: the query terms appear as CONSECUTIVE tokens. The
-    * position scan is a small HOF over the token array — guarded against
-    * Spark's descending `sequence(0, -1)` for too-short docs. */
+  /** B5 `match_phrase`: the query terms appear as CONSECUTIVE tokens.
+    * Tokens are delimiter-joined (`|x|y|z|`) and the phrase becomes one
+    * codegen'd `contains` — the tokenizer strips non-word chars, so the
+    * delimiter cannot occur inside a token. (A positional-HOF scan was 8 s
+    * at sf0.1; this is pure string ops inside WholeStageCodegen.) */
   def matchPhrase(text: Column, phrase: Seq[String]): Column = {
     require(phrase.nonEmpty, "empty phrase")
     val toks = graft.ext.TextAnalysis.tokens(text)
-    val n = phrase.size
-    // greatest-clamp: both when-branches evaluate, and sequence(1, 0) would
-    // DESCEND; try_element_at: out-of-bounds must be null, not an ANSI error
-    val hit = org.apache.spark.sql.functions.exists(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))), i =>
-      phrase.zipWithIndex.map { case (t, j) =>
-        try_element_at(toks, (i + j).cast("int")) === t.toLowerCase
-      }.reduce(_ && _))
-    when(size(toks) >= n, coalesce(hit, lit(false))).otherwise(lit(false))
+    concat(lit("|"), array_join(toks, "|"), lit("|"))
+      .contains(phrase.map(_.toLowerCase).mkString("|", "|", "|"))
   }
 
   /** B5 scored `match`: Lucene-shaped BM25 over the corpus itself —

@@ -169,8 +169,7 @@ object TierB {
       Some("""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
              |           FROM documents)
              |SELECT doc_id FROM t
-             |WHERE len(toks) >= 2 AND len(list_filter(range(1, len(toks)+1-1), i ->
-             |        toks[i] = 'the' AND toks[i+1] = 'data')) > 0
+             |WHERE contains('|' || array_to_string(toks, '|') || '|', '|the|data|')
              |ORDER BY doc_id""".stripMargin)),
 
     // ES-JSON search sorting on _score (the default ES result order).
