@@ -50,6 +50,10 @@ object Scale {
     // ---- incremental bucketed index: small batch into a big index ----
     import graft.streaming.BucketedIndex
     val bdir = "/tmp/scale/bucketed"
+    // an index dir is bound to one checkpoint lineage: a stale manifest
+    // from a previous probe run would make applyBatch skip (retry safety)
+    // and the probe would measure nothing
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bdir))
     t("bucketed-bootstrap-10M")(
       BucketedIndex.applyBatch(spark, bdir, cl, batchId = 0, nBuckets = 256))
     // typical CDC arrival: a small batch over a HOT key set (30 keys),
@@ -105,6 +109,38 @@ object Scale {
     val centroids = vecs.filter(col("vec_id") < 100) // 100 DISTINCT cells
     t("knn-ivf-1k-queries-100k-corpus")(
       Similarity.knnIvf(queries, vecs, centroids, nprobe = 2, k = 10)
+        .write.mode("overwrite").format("noop").save())
+
+    // ---- banded near-dup at 50k DISTINCT vectors, production params ----
+    // The corpus-entry params (60 bits, 5/band) are tuned for the low
+    // 0.45 threshold of the small fixture; at a real near-dup threshold
+    // (0.9+) the bands widen (12 bits × 16 bands) so unrelated pairs
+    // collide at ~0.4% while near-identical twins are still caught. 50k
+    // distinct pseudo-random 64-d vectors + 1000 planted twins
+    // (±1% perturbation, cos ≈ 0.9999); the crossJoin formulation would
+    // be 1.25e9 pairs.
+    def randU(seed: org.apache.spark.sql.Column) =
+      pmod(hash(seed), lit(2001)).cast("double") / 1000.0 - 1.0
+    val base50k = spark.range(50000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        j => randU(col("id") * 64 + j).cast("float")).as("embedding"))
+    val twins = base50k.filter(col("vec_id") < 1000).select(
+      (col("vec_id") + 50000).as("vec_id"),
+      transform(col("embedding"), (x, j) =>
+        (x + (pmod(hash(col("vec_id") * 64 + j), lit(21)).cast("double") / 1000.0 - 0.01))
+          .cast("float")).as("embedding"))
+    t("gen-vecs-51k-distinct")(
+      base50k.unionByName(twins).write.mode("overwrite").parquet("/tmp/scale/vecs51k"))
+    val v51 = spark.read.parquet("/tmp/scale/vecs51k")
+    val planted = t("embed-neardup-banded-51k-t0.9")(
+      Similarity.embeddingNearDupsBanded(v51, threshold = 0.9, nBits = 192, bandBits = 12)
+        .count())
+    println(s"SCALEINFO banded found $planted/1000 planted twins")
+
+    // ---- one-pass int8 quantization of 100k vectors ----
+    t("quantize-int8-100k")(
+      vecs.select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("z"))
+        .select(col("vec_id"), col("z.scale"), col("z.q"))
         .write.mode("overwrite").format("noop").save())
 
     spark.stop()
