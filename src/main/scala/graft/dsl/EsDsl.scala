@@ -61,18 +61,21 @@ object EsDsl {
   def matchBm25(docs: DataFrame, text: Column, terms: Seq[String],
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qs = terms.map(_.toLowerCase)
+    // one tokenize pass per doc: [tf(t0), …, tf(tn-1), doclen] — the HOF
+    // formulation re-evaluated size(filter(tokens)) per term in BOTH the
+    // filter condition and the projection (12 interpreted array scans/row)
     val base = docs
-      .withColumn("_toks", graft.ext.TextAnalysis.tokens(text))
-      .withColumn("_dl", size(col("_toks")).cast("double"))
+      .withColumn("_tfs", graft.functions.TextKernels.termFreqs(text, qs))
+      .withColumn("_dl", element_at(col("_tfs"), qs.size + 1).cast("double"))
     val statCols =
       count(lit(1)).cast("double").as("_n") +:
         avg(col("_dl")).as("_avgdl") +:
-        qs.zipWithIndex.map { case (t, i) =>
-          sum(when(array_contains(col("_toks"), t), 1L).otherwise(0L)).cast("double").as(s"_df$i")
+        qs.indices.map { i =>
+          sum(when(element_at(col("_tfs"), i + 1) > 0, 1L).otherwise(0L)).cast("double").as(s"_df$i")
         }
     val stats = base.agg(statCols.head, statCols.tail: _*)
-    val score = qs.zipWithIndex.map { case (t, i) =>
-      val tf = size(filter(col("_toks"), x => x === t)).cast("double")
+    val score = qs.indices.map { i =>
+      val tf = element_at(col("_tfs"), i + 1).cast("double")
       val idf = log(lit(1.0) + (col("_n") - col(s"_df$i") + 0.5) / (col(s"_df$i") + 0.5))
       val lengthNorm = lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / col("_avgdl"))
       idf * (tf * (k1 + 1)) / (tf + lengthNorm)
@@ -80,7 +83,7 @@ object EsDsl {
     base.crossJoin(broadcast(stats))
       .withColumn("_score", round(score, 6))
       .filter(col("_score") > 0)
-      .drop(Seq("_toks", "_dl", "_n", "_avgdl") ++ qs.indices.map(i => s"_df$i"): _*)
+      .drop(Seq("_tfs", "_dl", "_n", "_avgdl") ++ qs.indices.map(i => s"_df$i"): _*)
   }
   /** B6 `bool`. must_not is ES-faithful: a doc where the clause evaluates
     * NULL (field missing) does NOT match the clause, so it is KEPT —

@@ -106,7 +106,36 @@ object TextKernels {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Per-document term frequencies for a FIXED query-term list, plus the
+    * document token count, in one tokenize pass: result[i] = tf(terms[i]),
+    * result[terms.length] = |tokens|. Replaces per-term interpreted
+    * `size(filter(tokens, = t))` chains in the BM25 scorer (which Catalyst
+    * re-evaluates in both the filter condition and the projection). */
+  case class TermFreqsKernel(child: Expression, terms: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val termArr: Array[String] = terms.toArray
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      val out = new Array[Int](termArr.length + 1)
+      out(termArr.length) = toks.length
+      var i = 0
+      while (i < toks.length) {
+        var j = 0
+        while (j < termArr.length) {
+          if (toks(i) == termArr(j)) out(j) += 1
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def wordNgrams(text: Column, n: Int): Column = column(WordNgramsKernel(expression(text), n))
   def tokenHashes60(text: Column): Column = column(TokenHashes60(expression(text)))
   def cellsToMap(cells: Column): Column = column(CellsToMap(expression(cells)))
+  def termFreqs(text: Column, terms: Seq[String]): Column =
+    column(TermFreqsKernel(expression(text), terms))
 }

@@ -243,6 +243,16 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     val kerTh = docs.select(col("doc_id"), TextKernels.tokenHashes60(col("text")).as("h"))
       .orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq).toSeq
     assert(kerTh == hofTh)
+    // term-freq kernel vs size(filter(tokens)) per term + size(tokens)
+    val hofTf = docs.select(col("doc_id"), array(
+        size(filter(TextAnalysis.tokens(col("text")), t => t === "spark")),
+        size(filter(TextAnalysis.tokens(col("text")), t => t === "join")),
+        size(TextAnalysis.tokens(col("text")))).as("tfs"))
+      .orderBy("doc_id").collect().map(_.getSeq[Int](1).toSeq).toSeq
+    val kerTf = docs.select(col("doc_id"),
+        TextKernels.termFreqs(col("text"), Seq("spark", "join")).as("tfs"))
+      .orderBy("doc_id").collect().map(_.getSeq[Int](1).toSeq).toSeq
+    assert(kerTf == hofTf)
     // minhash kernel vs array_min(transform(...)) per seed
     val sh = Dedup.shingles(docs, col("doc_id"), col("text"))
     val hofMh = sh.select(col("doc_id"),
