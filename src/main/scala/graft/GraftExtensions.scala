@@ -43,5 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("token_hashes60"),
       info("token_hashes60", "token_hashes60(text) - 60-bit md5 hash per token"),
       (args: Seq[Expression]) => TextKernels.TokenHashes60(args.head)))
+    ext.injectFunction((FunctionIdentifier("sign_bands"),
+      info("sign_bands", "sign_bands(embedding, nBits, bandBits, dim) - LSH band values from md5-derived hyperplanes"),
+      (args: Seq[Expression]) => VecOps.SignBandsExpr(args(0),
+        intArg(args(1), "nBits"), intArg(args(2), "bandBits"), intArg(args(3), "dim"))))
+    ext.injectFunction((FunctionIdentifier("quantize_int8"),
+      info("quantize_int8", "quantize_int8(embedding) - struct(scale, q, q_sum, q_min, q_max) in one pass"),
+      (args: Seq[Expression]) => VecOps.QuantizeInt8(args.head)))
   }
 }

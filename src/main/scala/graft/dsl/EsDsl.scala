@@ -39,6 +39,11 @@ object EsDsl {
   def matchQuery(text: Column, queryTerms: Seq[String], minShouldMatch: Int = 1): Column =
     matchCount(text, queryTerms) >= minShouldMatch
 
+  /** B5 `multi_match` (best_fields-style predicate): the match fires if ANY
+    * of the fields satisfies the term match. */
+  def multiMatch(fields: Seq[Column], queryTerms: Seq[String], minShouldMatch: Int = 1): Column =
+    fields.map(f => matchQuery(f, queryTerms, minShouldMatch)).reduce(_ || _)
+
   /** B5 `match_phrase`: the query terms appear as CONSECUTIVE tokens.
     * Tokens are delimiter-joined (`|x|y|z|`) and the phrase becomes one
     * codegen'd `contains` — the tokenizer strips non-word chars, so the

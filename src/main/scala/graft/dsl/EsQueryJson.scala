@@ -94,6 +94,11 @@ object EsQueryJson {
         val (f, v) = single(body)
         val text = (if (v.isObject) v.get("query") else v).asText()
         EsDsl.matchPhrase(field(f), text.split("\\s+").toSeq)
+      case "multi_match" =>
+        val fields = body.get("fields").elements().asScala.toSeq.map(f => field(f.asText()))
+        val terms = body.get("query").asText().split("\\s+").toSeq
+        val msm = Option(body.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
+        EsDsl.multiMatch(fields, terms, msm)
       case "bool" =>
         def clauses(name: String): Seq[Column] = Option(body.get(name)).toSeq.flatMap { n =>
           if (n.isArray) n.elements().asScala.map(predicate).toSeq else Seq(predicate(n))
@@ -237,6 +242,11 @@ object EsQueryJson {
     }
     def termsSize: Option[Int] =
       if (kind == "terms") Some(Option(spec.get("size")).map(_.asInt()).getOrElse(10)) else None
+    /** ES terms `order`: `_count` (default), `_key`, or a metric sub-agg
+      * name → (target, "asc"|"desc"). */
+    def termsOrder: (String, String) =
+      Option(spec.get("order")).map(single).map { case (t, d) => (t, d.asText()) }
+        .getOrElse(("_count", "desc"))
   }
 
   private def oneAgg(df: DataFrame, name: String, node: JsonNode): DataFrame = {
@@ -276,11 +286,21 @@ object EsQueryJson {
     }
   }
 
-  /** The pre-round-2 single-bucket path, byte-compatible with a19 etc. */
+  /** Single-bucket path. ES terms order: `_count` desc by default, or
+    * `_key` / a metric sub-agg name, key tiebreak either way. */
   private def singleLevel(df: DataFrame, l: Level, ms: Seq[Column]): DataFrame = {
     val g = df.groupBy(l.key.as("key")).agg(count(lit(1)).as("doc_count"), ms: _*)
     l.termsSize match {
-      case Some(size) => g.orderBy(desc("doc_count"), col("key")).limit(size)
+      case Some(size) =>
+        val (target, dir) = l.termsOrder
+        val oc = target match {
+          case "_count" => col("doc_count")
+          case "_key" => col("key")
+          case metricName => col(metricName)
+        }
+        val ordered = if (dir == "asc") g.orderBy(oc.asc, col("key"))
+                      else g.orderBy(oc.desc, col("key"))
+        ordered.limit(size)
       case None => g.orderBy("key")
     }
   }

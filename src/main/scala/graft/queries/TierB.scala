@@ -181,6 +181,30 @@ object TierB {
       Some(bm25Sql(Seq("spark", "query", "join")) +
         "\nSELECT doc_id, score FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 15")),
 
+    // B5 multi_match: the match fires on ANY of the fields.
+    Q("b05_multi_match",
+      (s, d) => Tables.documents(s, d)
+        .filter(EsDsl.multiMatch(Seq(col("text"), col("source")), Seq("spark", "web")))
+        .select(col("doc_id")).orderBy("doc_id"),
+      Some("""SELECT doc_id FROM (
+             |  SELECT doc_id,
+             |    (CASE WHEN list_contains(string_split_regex(lower(text),'\W+'),'spark') THEN 1 ELSE 0 END
+             |   + CASE WHEN list_contains(string_split_regex(lower(text),'\W+'),'web') THEN 1 ELSE 0 END) AS m1,
+             |    (CASE WHEN list_contains(string_split_regex(lower(source),'\W+'),'spark') THEN 1 ELSE 0 END
+             |   + CASE WHEN list_contains(string_split_regex(lower(source),'\W+'),'web') THEN 1 ELSE 0 END) AS m2
+             |  FROM documents)
+             |WHERE m1 >= 1 OR m2 >= 1 ORDER BY doc_id""".stripMargin)),
+
+    // ES terms agg ordered by a metric sub-agg (order: {rev: desc}).
+    Q("a25_es_json_terms_order",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"by_pri": {"terms": {"field": "o_orderpriority", "size": 3, "order": {"rev": "desc"}},
+          |  "aggs": {"rev": {"sum": {"field": "o_totalprice"}}}}}}""".stripMargin)("by_pri")
+        .orderBy(desc("rev"), col("key")),
+      Some("""SELECT o_orderpriority AS key, count(*) AS doc_count,
+             |       round(sum(o_totalprice), 4) AS rev
+             |FROM orders GROUP BY key ORDER BY rev DESC, key LIMIT 3""".stripMargin)),
+
     // ES `nested` query: predicate over child docs nested in the parent —
     // lineitems collected per order, `exists(items, pred)` HOF.
     Q("b24_nested_exists",

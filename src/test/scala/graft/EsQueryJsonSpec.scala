@@ -203,6 +203,30 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == direct)
   }
 
+  test("multi_match fires on any field; terms order by metric sub-agg") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = EsQueryJson.search(docs,
+      """{"query": {"multi_match": {"query": "spark web", "fields": ["text", "source"]}}, "sort": ["doc_id"]}""")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = docs.filter(
+        graft.dsl.EsDsl.matchQuery(col("text"), Seq("spark", "web")) ||
+        graft.dsl.EsDsl.matchQuery(col("source"), Seq("spark", "web")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+    // only-source matches must be present (proves the second field counts)
+    val sourceOnly = docs.filter(
+        !graft.dsl.EsDsl.matchQuery(col("text"), Seq("spark", "web")) &&
+        graft.dsl.EsDsl.matchQuery(col("source"), Seq("spark", "web")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sourceOnly.subsetOf(got))
+
+    val byRev = EsQueryJson.aggregations(orders,
+      """{"aggs": {"p": {"terms": {"field": "o_orderpriority", "size": 2, "order": {"rev": "asc"}},
+        |  "aggs": {"rev": {"sum": {"field": "o_totalprice"}}}}}}""".stripMargin)("p")
+      .collect().map(_.getDouble(2)).toSeq
+    assert(byRev == byRev.sorted && byRev.size == 2) // lowest-revenue buckets first
+  }
+
   test("match query on documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = EsQueryJson.search(docs,
