@@ -48,7 +48,12 @@ object EsQueryJson {
   }
 
   /** Translate an ES `query` object to a predicate Column. */
-  def predicate(q: JsonNode): Column = {
+  def predicate(q: JsonNode): Column = predicateWith(q, field)
+
+  /** As [[predicate]], with a pluggable field resolver — the `nested`
+    * query rebinds field names to struct members of the array element. */
+  private def predicateWith(q: JsonNode, fld: String => Column): Column = {
+    def field(name: String): Column = fld(name) // shadow: all cases resolve through fld
     val (kind, body) = single(q)
     kind match {
       case "match_all" => lit(true)
@@ -99,9 +104,25 @@ object EsQueryJson {
         val terms = body.get("query").asText().split("\\s+").toSeq
         val msm = Option(body.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
         EsDsl.multiMatch(fields, terms, msm)
+      case "fuzzy" =>
+        val (f, v) = single(body)
+        val (value, fuzziness) =
+          if (v.isObject)
+            (v.get("value").asText(), Option(v.get("fuzziness")).map(_.asInt()).getOrElse(2))
+          else (v.asText(), 2)
+        levenshtein(field(f), lit(value)) <= fuzziness
+      case "nested" =>
+        // predicate over child docs in an array-of-struct column: fields
+        // inside rebind to struct members of the array element (`path.x`)
+        val path = body.get("path").asText()
+        val inner = body.get("query")
+        org.apache.spark.sql.functions.exists(field(path), x =>
+          predicateWith(inner, name =>
+            x.getField(if (name.startsWith(path + ".")) name.stripPrefix(path + ".") else name)))
       case "bool" =>
         def clauses(name: String): Seq[Column] = Option(body.get(name)).toSeq.flatMap { n =>
-          if (n.isArray) n.elements().asScala.map(predicate).toSeq else Seq(predicate(n))
+          if (n.isArray) n.elements().asScala.map(predicateWith(_, fld)).toSeq
+          else Seq(predicateWith(n, fld))
         }
         val msm = Option(body.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
         EsDsl.bool(
@@ -177,7 +198,7 @@ object EsQueryJson {
       .getOrElse(throw new IllegalArgumentException("no aggs in body"))
     val scoped = Option(body.get("query")).map(q => df.filter(predicate(q))).getOrElse(df)
     aggs.fields().asScala.map { e =>
-      e.getKey -> oneAgg(scoped, e.getKey, e.getValue)
+      e.getKey -> oneAgg(scoped, df, e.getKey, e.getValue)
     }.toMap
   }
 
@@ -249,12 +270,30 @@ object EsQueryJson {
         .getOrElse(("_count", "desc"))
   }
 
-  private def oneAgg(df: DataFrame, name: String, node: JsonNode): DataFrame = {
+  private def oneAgg(df: DataFrame, bg: DataFrame, name: String, node: JsonNode): DataFrame = {
     val kind = node.fieldNames().asScala.toSeq.filterNot(_ == "aggs").head
     val spec = node.get(kind)
     kind match {
       case "composite" => compositeAgg(df, spec)
       case "filters" => filtersAgg(df, node)
+      case "significant_terms" =>
+        // ES semantics: the body's query scopes the FOREGROUND; the whole
+        // index is the background. Score = fg share / bg share (the JLH
+        // ratio core), fg >= min_doc_count, top-size by score.
+        val f = field(spec.get("field").asText())
+        val size = Option(spec.get("size")).map(_.asInt()).getOrElse(10)
+        val minDoc = Option(spec.get("min_doc_count")).map(_.asInt()).getOrElse(3)
+        val fgc = df.groupBy(f.as("key")).agg(count(lit(1)).as("fg"))
+        val bgc = bg.groupBy(f.as("key")).agg(count(lit(1)).as("bg"))
+        val totals = df.agg(count(lit(1)).as("tot_fg"))
+          .crossJoin(bg.agg(count(lit(1)).as("tot_bg")))
+        fgc.join(bgc, "key").crossJoin(broadcast(totals))
+          .withColumn("score",
+            round((col("fg").cast("double") / col("tot_fg")) /
+              (col("bg").cast("double") / col("tot_bg")), 6))
+          .filter(col("fg") >= minDoc)
+          .select(col("key"), col("fg"), col("bg"), col("score"))
+          .orderBy(desc("score"), col("key")).limit(size)
       case k if bucketKinds(k) =>
         // walk the nested-bucket chain; metrics and top_hits live at the
         // innermost level (ES allows both anywhere; the flat frame doesn't)

@@ -205,6 +205,52 @@ object TierB {
              |       round(sum(o_totalprice), 4) AS rev
              |FROM orders GROUP BY key ORDER BY rev DESC, key LIMIT 3""".stripMargin)),
 
+    // ES-JSON fuzzy query.
+    Q("a26_es_json_fuzzy",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),
+        """{"query": {"fuzzy": {"p_name": {"value": "red bolt", "fuzziness": 2}}},
+          | "sort": ["p_partkey"], "size": 100}""".stripMargin)
+        .select(col("p_partkey"), col("p_name")),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE levenshtein(p_name, 'red bolt') <= 2
+             |ORDER BY p_partkey LIMIT 100""".stripMargin)),
+
+    // ES-JSON significant_terms: the body's query scopes the foreground,
+    // the whole table is the background.
+    Q("a27_es_json_significant_terms",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.documents(s, d),
+        """{"query": {"term": {"lang": "zh"}},
+          | "aggs": {"sig": {"significant_terms": {"field": "source", "size": 5, "min_doc_count": 2}}}}""".stripMargin)("sig")
+        .orderBy(desc("score"), col("key")),
+      Some("""WITH fg AS (SELECT source AS key, count(*) AS fg FROM documents WHERE lang='zh' GROUP BY key),
+             |     bg AS (SELECT source AS key, count(*) AS bg FROM documents GROUP BY key),
+             |     t AS (SELECT (SELECT count(*) FROM documents WHERE lang='zh') AS tot_fg,
+             |                  (SELECT count(*) FROM documents) AS tot_bg)
+             |SELECT key, fg, bg,
+             |       round((CAST(fg AS DOUBLE)/tot_fg) / (CAST(bg AS DOUBLE)/tot_bg), 6) AS score
+             |FROM fg JOIN bg USING (key) CROSS JOIN t
+             |WHERE fg >= 2 ORDER BY score DESC, key LIMIT 5""".stripMargin)),
+
+    // ES-JSON nested query: child-doc predicate rebinding fields to the
+    // array element (same shape as b24, driven from a search body).
+    Q("a28_es_json_nested",
+      (s, d) => {
+        val items = li(s, d).groupBy(col("l_orderkey"))
+          .agg(collect_list(struct(col("l_quantity"), col("l_discount"))).as("items"))
+        val joined = ord(s, d).select("o_orderkey", "o_orderstatus")
+          .join(items, col("o_orderkey") === col("l_orderkey"))
+        graft.dsl.EsQueryJson.search(joined,
+          """{"query": {"nested": {"path": "items", "query":
+            |  {"bool": {"must": [{"range": {"items.l_quantity": {"gte": 49}}},
+            |                     {"range": {"items.l_discount": {"gt": 0.09}}}]}}}},
+            | "sort": ["o_orderkey"]}""".stripMargin)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49 AND l_discount > 0.09)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ES `nested` query: predicate over child docs nested in the parent —
     // lineitems collected per order, `exists(items, pred)` HOF.
     Q("b24_nested_exists",

@@ -70,6 +70,18 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(df.filter(EsDsl.wildcard(col("s"), "red ?ing")).count() == 1)
   }
 
+  test("approx (t-digest-like) percentiles within tolerance of exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val row = li.agg(
+      expr("percentile(l_quantity, array(0.25, 0.5, 0.75, 0.95))").as("ex"),
+      expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75, 0.95), 10000)").cast("array<double>").as("ap"))
+      .collect().head
+    val ex = row.getSeq[Double](0); val ap = row.getSeq[Double](1)
+    ex.zip(ap).foreach { case (e, a) =>
+      assert(math.abs(a - e) / math.max(e, 1e-9) < 0.05, s"approx $a vs exact $e")
+    }
+  }
+
   test("cardinality approx within rsd of exact") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val exact = li.select(count_distinct(col("l_partkey"))).collect().head.getLong(0).toDouble
