@@ -106,9 +106,14 @@ object Dedup {
     * every verified near-dup pair (greedy, deterministic; the LSH pairs
     * bound the work, the anti-join is the only extra wide stage). */
   def removeNearDuplicates(df: DataFrame, idCol: Column, text: Column,
-                           threshold: Double = 0.5): DataFrame = {
-    val dupIds = minhashLsh(df, idCol, text, threshold = threshold)
-      .select(col("doc_b").as("_dup_id")).distinct()
+                           threshold: Double = 0.5): DataFrame =
+    removeNearDuplicates(df, idCol, minhashLsh(df, idCol, text, threshold = threshold))
+
+  /** As above with precomputed verified pairs (callers that already ran
+    * [[minhashLsh]] — e.g. reporting AND applying in one job — avoid
+    * recomputing the whole sketch pipeline). */
+  def removeNearDuplicates(df: DataFrame, idCol: Column, pairs: DataFrame): DataFrame = {
+    val dupIds = pairs.select(col("doc_b").as("_dup_id")).distinct()
     df.join(dupIds, idCol === col("_dup_id"), "left_anti")
   }
 
