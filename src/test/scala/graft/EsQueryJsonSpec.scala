@@ -102,6 +102,25 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("three-level nested bucket chain groups once and prunes per level") {
+    val body =
+      """{"aggs": {"by_year": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "year"},
+        |  "aggs": {"by_status": {"terms": {"field": "o_orderstatus", "size": 2},
+        |    "aggs": {"by_pri": {"terms": {"field": "o_orderpriority", "size": 1},
+        |      "aggs": {"rev": {"sum": {"field": "o_totalprice"}}}}}}}}}}""".stripMargin
+    val out = EsQueryJson.aggregations(orders, body)("by_year")
+    assert(out.columns.toSeq == Seq("by_year", "by_status", "by_pri", "doc_count", "rev"))
+    val rows = out.collect()
+    // ≤ 2 statuses per year, exactly 1 priority within each (year, status)
+    val perYearStatus = rows.groupBy(_.get(0)).view.mapValues(_.map(_.getString(1)).distinct.size)
+    assert(perYearStatus.values.forall(_ <= 2))
+    val perPair = rows.groupBy(r => (r.get(0), r.getString(1))).view.mapValues(_.length)
+    assert(perPair.values.forall(_ == 1))
+    // exactly one aggregation Exchange in the plan (plus window/sort ones)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+  }
+
   test("nested terms size prunes by parent total, not leaf count") {
     val body =
       """{"aggs": {"by_status": {"terms": {"field": "o_orderstatus", "size": 2},

@@ -134,6 +134,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       s"recall changed: ${got.size}/${brute.size}")
   }
 
+  test("banded near-dup property: subset of brute for random vector sets") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sp = spark
+    import sp.implicits._
+    val genVecs: Gen[List[Array[Float]]] = Gen.chooseNum(8, 40).flatMap { n =>
+      Gen.listOfN(n, Gen.listOfN(16, Gen.chooseNum(-1.0f, 1.0f)).map(_.toArray))
+    }
+    val prop = Prop.forAll(genVecs) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      def pairs(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val banded = pairs(Similarity.embeddingNearDupsBanded(df, 0.3, nBits = 24, bandBits = 4, dim = 16))
+      val brute = pairs(Similarity.embeddingNearDups(df, 0.3))
+      banded.subsetOf(brute)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("SignBands kernel matches a driver-side recomputation of the planes") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(25)
     val planes = graft.functions.VecOps.signPlanes(60, 64)
