@@ -167,9 +167,32 @@ object EsQueryJson {
         require(!needsScore, "_score sort requires a query")
         df
     }
+    // `search_after`: deep pagination as a cursor on the sort tuple — the
+    // next page is rows strictly after the cursor in sort order (ES's
+    // replacement for deep from/size; no offset scan at scale). Direction-
+    // aware lexicographic comparison over the sort fields.
+    val paged = Option(body.get("search_after")) match {
+      case Some(cursor) =>
+        require(sortSpecs.nonEmpty, "search_after requires sort")
+        val vals = cursor.elements().asScala.toSeq
+        require(vals.size == sortSpecs.size, "search_after arity must match sort")
+        def colOf(f: String) = if (f == "_score") col("_score") else field(f)
+        def dirOf(spec: (String, Option[String])) =
+          spec._2.getOrElse(if (spec._1 == "_score") "desc" else "asc")
+        val pred = sortSpecs.indices.map { i =>
+          val eqPrefix = (0 until i).map { j =>
+            colOf(sortSpecs(j)._1) === litOf(vals(j))
+          }.reduceOption(_ && _).getOrElse(lit(true))
+          val c = colOf(sortSpecs(i)._1)
+          val cmp = if (dirOf(sortSpecs(i)) == "desc") c < litOf(vals(i)) else c > litOf(vals(i))
+          eqPrefix && cmp
+        }.reduce(_ || _)
+        filtered.filter(pred)
+      case None => filtered
+    }
     val sorted =
-      if (sortSpecs.isEmpty) filtered
-      else filtered.orderBy(sortSpecs.map { case (f, order) =>
+      if (sortSpecs.isEmpty) paged
+      else paged.orderBy(sortSpecs.map { case (f, order) =>
         val c = if (f == "_score") col("_score") else field(f)
         order.getOrElse(if (f == "_score") "desc" else "asc") match {
           case "desc" => c.desc

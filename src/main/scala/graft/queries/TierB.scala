@@ -205,6 +205,19 @@ object TierB {
              |       round(sum(o_totalprice), 4) AS rev
              |FROM orders GROUP BY key ORDER BY rev DESC, key LIMIT 3""".stripMargin)),
 
+    // ES-JSON search_after: deep pagination as a sort-tuple cursor (no
+    // offset scan — the scalable replacement for from/size).
+    Q("a29_es_json_search_after",
+      (s, d) => graft.dsl.EsQueryJson.search(ord(s, d),
+        """{"query": {"term": {"o_orderstatus": "F"}},
+          | "sort": [{"o_totalprice": {"order": "desc"}}, "o_orderkey"],
+          | "search_after": [200000.0, 0], "size": 10}""".stripMargin)
+        .select(col("o_orderkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_orderstatus = 'F'
+             |  AND (o_totalprice < 200000.0 OR (o_totalprice = 200000.0 AND o_orderkey > 0))
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

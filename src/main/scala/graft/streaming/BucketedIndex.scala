@@ -121,7 +121,14 @@ object BucketedIndex {
             .iterator().asScala.foreach(Files.delete)
         }
       }
-      if (!Files.list(b).iterator().hasNext) Files.delete(b)
+      // a batch dir whose buckets are all superseded is garbage including
+      // its writer marker files (_SUCCESS)
+      val noBuckets = !Files.list(b).iterator().asScala
+        .exists(_.getFileName.toString.startsWith("bucket="))
+      if (noBuckets) {
+        Files.walk(b).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(Files.delete)
+      }
     }
   }
 }

@@ -41,7 +41,8 @@ object Pipeline {
       checkpointDir: String,
       quarantineDir: Option[String] = None,
       triggerSeconds: Int = 30, // reference flush period, `observer6/ElasticSearchBulkOperator.java:61`
-      maxFilesPerTrigger: Int = 16)
+      maxFilesPerTrigger: Int = 16,
+      vacuumEveryBatches: Int = 0) // incremental mode: GC superseded bucket versions every N batches (0 = never)
 
   object Config {
     /** Parse from string options (e.g. spark-submit --conf graft.*). */
@@ -51,7 +52,8 @@ object Pipeline {
       checkpointDir = m("graft.checkpoint.dir"),
       quarantineDir = m.get("graft.quarantine.dir"),
       triggerSeconds = m.getOrElse("graft.trigger.seconds", "30").toInt,
-      maxFilesPerTrigger = m.getOrElse("graft.maxFilesPerTrigger", "16").toInt)
+      maxFilesPerTrigger = m.getOrElse("graft.maxFilesPerTrigger", "16").toInt,
+      vacuumEveryBatches = m.getOrElse("graft.vacuum.everyBatches", "0").toInt)
   }
 
   def start(spark: SparkSession, cfg: Config): StreamingQuery =
@@ -116,6 +118,13 @@ object Pipeline {
         }
         BucketedIndex.applyBatch(batch.sparkSession, cfg.indexDir,
           batch.filter(!isMalformed), batchId, nBuckets)
+        // periodic GC of superseded bucket versions. Vacuum only deletes
+        // dirs the manifest no longer references; an external reader that
+        // resolved the manifest before the latest swap can still race it
+        // (the Delta-VACUUM-retention tradeoff) — size vacuumEveryBatches
+        // to exceed the longest expected reader
+        if (cfg.vacuumEveryBatches > 0 && batchId > 0 && batchId % cfg.vacuumEveryBatches == 0)
+          BucketedIndex.vacuum(cfg.indexDir)
         ()
       }
       .start()

@@ -222,6 +222,22 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(out.select("doc_id").collect().map(_.getLong(0)).toSeq == direct)
   }
 
+  test("search_after pages tile the sorted result without overlap") {
+    val body = (after: String) =>
+      s"""{"query": {"term": {"o_orderstatus": "F"}},
+         | "sort": [{"o_totalprice": {"order": "desc"}}, "o_orderkey"],
+         | $after"size": 10}""".stripMargin
+    val p1 = EsQueryJson.search(orders, body("")).collect()
+    val last = p1.last
+    val cursor =
+      s""""search_after": [${last.getAs[Double]("o_totalprice")}, ${last.getAs[Long]("o_orderkey")}], """
+    val p2 = EsQueryJson.search(orders, body(cursor)).collect()
+    val all = orders.filter(col("o_orderstatus") === "F")
+      .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(20)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert((p1 ++ p2).map(_.getAs[Long]("o_orderkey")).toSeq == all)
+  }
+
   test("multi_match fires on any field; terms order by metric sub-agg") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = EsQueryJson.search(docs,

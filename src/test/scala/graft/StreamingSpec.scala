@@ -76,6 +76,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(once == Map("u1" -> Map("a" -> "1"), "u2" -> Map("a" -> "2")))
   }
 
+  test("incremental stream vacuums superseded bucket versions on schedule") {
+    val sp = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.BucketedIndex
+    val cfg = Pipeline.Config(
+      changeLogDir = "unused", indexDir = tmpDir("graft-vac-idx"),
+      checkpointDir = tmpDir("graft-vac-ckpt"), vacuumEveryBatches = 2)
+    // drive applyBatch + vacuum the way startIncremental's foreachBatch does
+    (0 to 4).foreach { i =>
+      BucketedIndex.applyBatch(spark,
+        cfg.indexDir, mutDf(Seq(mut("k1", "U", s"2024-01-01 00:00:0$i", i, ("f", "a", s"$i")))),
+        batchId = i, nBuckets = 4)
+      if (cfg.vacuumEveryBatches > 0 && i > 0 && i % cfg.vacuumEveryBatches == 0)
+        BucketedIndex.vacuum(cfg.indexDir)
+    }
+    // every batch rewrote k1's bucket; after the last vacuum at batch 4
+    // only the live bucket version remains and fully-superseded batch dirs
+    // are gone entirely (markers included)
+    val batchDirs = java.nio.file.Files.list(java.nio.file.Paths.get(cfg.indexDir, "batches"))
+      .iterator().asScala.toSeq
+    assert(batchDirs.size == 1, s"superseded batch dirs survived: $batchDirs")
+    val buckets = batchDirs.flatMap(b => java.nio.file.Files.list(b).iterator().asScala)
+      .filter(_.getFileName.toString.startsWith("bucket="))
+    assert(buckets.size == 1)
+    assert(indexMap(BucketedIndex.read(spark, cfg.indexDir)) == Map("k1" -> Map("a" -> "4")))
+  }
+
   test("restart from checkpoint continues exactly-once") {
     val sp = spark
     val changeDir = tmpDir("graft-changes-r")
