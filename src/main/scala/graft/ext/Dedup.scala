@@ -117,6 +117,39 @@ object Dedup {
     df.join(dupIds, idCol === col("_dup_id"), "left_anti")
   }
 
+  /** Scalable n-gram Jaccard: candidate pairs from RARE shared shingles
+    * (document frequency ≤ maxDf) + EXACT verify by array intersection on
+    * candidates only. A shingle shared by k docs contributes k² rows to the
+    * exact self-join — one hot boilerplate gram is quadratic at corpus
+    * scale. Capping df bounds the candidate space; the verified Jaccard is
+    * exact, and only pairs whose EVERY shared gram exceeds the cap are
+    * missed (deterministic, so the oracle reproduces the result exactly).
+    * [[ngramJaccard]] stays as the uncapped ground-truth twin. */
+  def ngramJaccardCapped(df: DataFrame, idCol: Column, text: Column,
+                         threshold: Double, maxDf: Int = 50, shingleN: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, text, shingleN).persist()
+    sh.count() // materialize once (see ngramJaccard)
+    val g = sh.select(col("doc_id"), explode(col("grams")).as("gs"))
+      .select(col("doc_id"), Hashing.md5Long60(col("gs")).as("g"))
+    val rare = g.groupBy(col("g")).agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf).select("g")
+    val gr = g.join(rare, "g")
+    val cand = gr.as("a").join(gr.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    // verify on per-doc HASH arrays (narrow longs — string gram arrays
+    // through two joins were 4× slower); shingles are distinct per doc, so
+    // count == set size, and both engines intersect the same 60-bit hashes
+    val docGrams = g.groupBy(col("doc_id"))
+      .agg(collect_list(col("g")).as("gh"), count(lit(1)).as("n"))
+    val withG = cand
+      .join(docGrams.select(col("doc_id").as("doc_a"), col("gh").as("ga"), col("n").as("na")), "doc_a")
+      .join(docGrams.select(col("doc_id").as("doc_b"), col("gh").as("gb"), col("n").as("nb")), "doc_b")
+    withG.withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jac", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
   /** C2c: 60-bit SimHash signature per doc. Token hashes keep multiplicity
     * (term frequency weights the vote, the standard Charikar form).
     * Fully narrow: the bit-vote runs in a codegen'd kernel per document

@@ -234,6 +234,32 @@ object TierC {
            |WHERE round(inter*1.0/(sa.n + sb.n - inter), 6) >= 0.4
            |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // The production path: candidates from rare shingles (df <= 20) with
+    // exact intersection verify — bounded pair space at corpus scale.
+    Q("c04_ngram_jaccard_capped",
+      (s, d) => Dedup.ngramJaccardCapped(Tables.documents(s, d), col("doc_id"), col("text"),
+        threshold = 0.4, maxDf = 20)
+        .orderBy("doc_a", "doc_b"),
+      Some(
+        s"""WITH $toksCte,
+           |$gramsCte,
+           |gx AS (SELECT doc_id, g, ${Hashing.sqlMd5Long60("g")} AS gh
+           |       FROM (SELECT doc_id, unnest(grams) AS g FROM grams)),
+           |rare AS (SELECT gh FROM gx GROUP BY gh HAVING count(*) <= 20),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM gx a JOIN rare USING (gh) JOIN gx b
+           |    ON a.gh = b.gh AND a.doc_id < b.doc_id
+           |),
+           |docg AS (SELECT doc_id, list(gh) AS gh, count(*) AS n FROM gx GROUP BY doc_id)
+           |SELECT doc_a, doc_b,
+           |       round(len(list_intersect(sa.gh, sb.gh))*1.0
+           |             / (sa.n + sb.n - len(list_intersect(sa.gh, sb.gh))), 6) AS jac
+           |FROM cand JOIN docg sa ON sa.doc_id = doc_a JOIN docg sb ON sb.doc_id = doc_b
+           |WHERE round(len(list_intersect(sa.gh, sb.gh))*1.0
+           |            / (sa.n + sb.n - len(list_intersect(sa.gh, sb.gh))), 6) >= 0.4
+           |ORDER BY doc_a, doc_b""".stripMargin)),
+
     Q("c05_embed_neardup",
       (s, d) => Similarity.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.45)
         .orderBy("vec_a", "vec_b"),

@@ -137,6 +137,19 @@ object Scale {
         .count())
     println(s"SCALEINFO banded found $planted/1000 planted twins")
 
+    // ---- capped n-gram Jaccard under hot boilerplate grams ----
+    // every doc shares a boilerplate prefix → ~8 grams with df = 50k; the
+    // uncapped self-join would route every pair through them
+    // (8 × C(50k,2) ≈ 1e10 rows — not runnable); the df cap drops them
+    // from candidate generation and verifies the rest exactly
+    val bp = "terms of service apply to all content in this corpus please read carefully"
+    val docsHot = docs50k.select(col("doc_id"),
+      concat(lit(bp + " "), col("text")).as("text"))
+    t("ngram-jaccard-capped-50k-hot-boilerplate")(
+      Dedup.ngramJaccardCapped(docsHot, col("doc_id"), col("text"),
+        threshold = 0.4, maxDf = 50)
+        .write.mode("overwrite").format("noop").save())
+
     // ---- one-pass int8 quantization of 100k vectors ----
     t("quantize-int8-100k")(
       vecs.select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("z"))
