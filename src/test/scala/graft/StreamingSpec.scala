@@ -76,6 +76,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(once == Map("u1" -> Map("a" -> "1"), "u2" -> Map("a" -> "2")))
   }
 
+  test("flatMapGroupsWithState fold == batch fold under shuffled arrival and uneven batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.streaming.StatefulFold
+    val rnd = new scala.util.Random(11)
+    val keys = (1 to 12).map(i => s"k$i")
+    val log = (1 to 300).map { seq =>
+      val key = keys(rnd.nextInt(keys.size))
+      if (rnd.nextDouble() < 0.25) mut(key, "D", f"2024-01-01 00:${seq / 60}%02d:${seq % 60}%02d", seq)
+      else mut(key, "U", f"2024-01-01 00:${seq / 60}%02d:${seq % 60}%02d", seq,
+        ("f", Seq("a", "b", "c")(rnd.nextInt(3)), s"v$seq"))
+    }
+    val arrival = rnd.shuffle(log) // late/duplicate-order delivery across batches
+    val ms = MemoryStream[Mutation]
+    val last = scala.collection.mutable.Map[String, StatefulFold.DocUpdate]()
+    val q = StatefulFold.updates(ms.toDS()).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("graft-sfold-ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StatefulFold.DocUpdate], _: Long) =>
+        b.collect().foreach(u => last(u.id) = u)
+      }
+      .start()
+    Seq(arrival.slice(0, 40), arrival.slice(40, 45), arrival.slice(45, 300)).foreach { chunk =>
+      ms.addData(chunk); q.processAllAvailable()
+    }
+    q.stop()
+    val expected = indexMap(Merge.fold(mutDf(log))) // alive docs only
+    val aliveGot = last.collect { case (id, u) if u.alive => id -> u.info }.toMap
+    assert(aliveGot == expected)
+    // every key that ever appeared has an emission; dead ones are tombstones
+    assert(last.keySet == log.map(_.row_key).toSet)
+    last.values.filterNot(_.alive).foreach(u => assert(!expected.contains(u.id)))
+  }
+
   test("incremental stream vacuums superseded bucket versions on schedule") {
     val sp = spark
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
