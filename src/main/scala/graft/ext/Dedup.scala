@@ -131,20 +131,28 @@ object Dedup {
     sh.count() // materialize once (see ngramJaccard)
     val g = sh.select(col("doc_id"), explode(col("grams")).as("gs"))
       .select(col("doc_id"), Hashing.md5Long60(col("gs")).as("g"))
-    val rare = g.groupBy(col("g")).agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf).select("g")
-    val gr = g.join(rare, "g")
-    val cand = gr.as("a").join(gr.as("b"),
+    val dfreq = g.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+    val gRare = g.join(dfreq.filter(col("_df") <= maxDf).select("g"), "g")
+    val gHot = g.join(dfreq.filter(col("_df") > maxDf).select("g"), "g")
+    // exact intersection = rare-shared count (aggregated — candidates come
+    // only from here, so no hot-gram pair blowup) + intersect of the TINY
+    // per-doc hot-gram arrays (≤ distinct hot grams, usually a handful;
+    // carrying FULL per-doc arrays through the verify joins was measured
+    // 2-4× slower than this split)
+    val interRare = gRare.as("a").join(gRare.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-    // verify on per-doc HASH arrays (narrow longs — string gram arrays
-    // through two joins were 4× slower); shingles are distinct per doc, so
-    // count == set size, and both engines intersect the same 60-bit hashes
-    val docGrams = g.groupBy(col("doc_id"))
-      .agg(collect_list(col("g")).as("gh"), count(lit(1)).as("n"))
-    val withG = cand
-      .join(docGrams.select(col("doc_id").as("doc_a"), col("gh").as("ga"), col("n").as("na")), "doc_a")
-      .join(docGrams.select(col("doc_id").as("doc_b"), col("gh").as("gb"), col("n").as("nb")), "doc_b")
-    withG.withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_rare"))
+    val docHot = gHot.groupBy(col("doc_id")).agg(collect_list(col("g")).as("hot"))
+    val sizes = sh.select(col("doc_id"), size(col("grams")).as("n"))
+    val noHot = array().cast("array<long>")
+    interRare
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(docHot.select(col("doc_id").as("doc_a"), col("hot").as("ha")), Seq("doc_a"), "left")
+      .join(docHot.select(col("doc_id").as("doc_b"), col("hot").as("hb")), Seq("doc_b"), "left")
+      .withColumn("inter", col("inter_rare") +
+        size(array_intersect(coalesce(col("ha"), noHot), coalesce(col("hb"), noHot))))
       .withColumn("jac", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))

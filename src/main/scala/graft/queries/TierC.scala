@@ -245,19 +245,26 @@ object TierC {
            |$gramsCte,
            |gx AS (SELECT doc_id, g, ${Hashing.sqlMd5Long60("g")} AS gh
            |       FROM (SELECT doc_id, unnest(grams) AS g FROM grams)),
-           |rare AS (SELECT gh FROM gx GROUP BY gh HAVING count(*) <= 20),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM gx a JOIN rare USING (gh) JOIN gx b
-           |    ON a.gh = b.gh AND a.doc_id < b.doc_id
+           |dfreq AS (SELECT gh, count(*) AS df FROM gx GROUP BY gh),
+           |grare AS (SELECT doc_id, gh FROM gx JOIN dfreq USING (gh) WHERE df <= 20),
+           |ghot AS (SELECT doc_id, gh FROM gx JOIN dfreq USING (gh) WHERE df > 20),
+           |ir AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_rare
+           |  FROM grare a JOIN grare b ON a.gh = b.gh AND a.doc_id < b.doc_id
+           |  GROUP BY doc_a, doc_b
            |),
-           |docg AS (SELECT doc_id, list(gh) AS gh, count(*) AS n FROM gx GROUP BY doc_id)
-           |SELECT doc_a, doc_b,
-           |       round(len(list_intersect(sa.gh, sb.gh))*1.0
-           |             / (sa.n + sb.n - len(list_intersect(sa.gh, sb.gh))), 6) AS jac
-           |FROM cand JOIN docg sa ON sa.doc_id = doc_a JOIN docg sb ON sb.doc_id = doc_b
-           |WHERE round(len(list_intersect(sa.gh, sb.gh))*1.0
-           |            / (sa.n + sb.n - len(list_intersect(sa.gh, sb.gh))), 6) >= 0.4
+           |dh AS (SELECT doc_id, list(gh) AS hot FROM ghot GROUP BY doc_id),
+           |sizes AS (SELECT doc_id, len(grams) AS n FROM grams),
+           |scored AS (
+           |  SELECT doc_a, doc_b,
+           |         inter_rare + len(list_intersect(coalesce(ha.hot, []), coalesce(hb.hot, []))) AS inter,
+           |         sa.n AS na, sb.n AS nb
+           |  FROM ir JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+           |  LEFT JOIN dh ha ON ha.doc_id = doc_a LEFT JOIN dh hb ON hb.doc_id = doc_b
+           |)
+           |SELECT doc_a, doc_b, round(inter*1.0/(na + nb - inter), 6) AS jac
+           |FROM scored
+           |WHERE round(inter*1.0/(na + nb - inter), 6) >= 0.4
            |ORDER BY doc_a, doc_b""".stripMargin)),
 
     Q("c05_embed_neardup",
