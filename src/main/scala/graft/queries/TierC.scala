@@ -499,5 +499,43 @@ object TierC {
       Some("""SELECT doc_id, frame_idx FROM documents,
              |     unnest(generate_series(0, CAST('0x' || substr(md5(text), 7, 2) AS INT) % 30, 7)) AS u(frame_idx)
              |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // REAL pixel decode: payloads are genuine PNG/BMP bytes produced by the
+    // JDK's own codecs (ImageIO.write of a deterministic per-(id,x,y) RGB
+    // pattern — PNG goes through real zlib compression), and the query
+    // decodes them back with ImageIO.read and aggregates exact integer
+    // channel stats. The oracle never sees the bytes: it recomputes the
+    // pattern analytically, stating decode(encode(pattern)) == pattern —
+    // only true if both codec passes are bit-exact.
+    Q("c19_mm_pixels",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Multimodal.decodePixels(
+          Multimodal.encodeTestImages(Tables.documents(s, d)))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |         CAST(doc_id % 9 + 2 AS INT) AS width,
+             |         CAST((doc_id * 3) % 7 + 2 AS INT) AS height,
+             |         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, width, height, fmt,
+             |         (doc_id * 31 + x * 7 + y * 13) % 256 AS r,
+             |         (doc_id * 17 + x * 11 + y * 5) % 256 AS g,
+             |         (doc_id * 23 + x * 3 + y * 19) % 256 AS b
+             |  FROM dims,
+             |       unnest(generate_series(0, width - 1)) AS ux(x),
+             |       unnest(generate_series(0, height - 1)) AS uy(y))
+             |SELECT doc_id, width, height, fmt,
+             |       CAST(count(*) AS BIGINT) AS n_px,
+             |       CAST(sum(r) AS BIGINT) AS sum_r,
+             |       CAST(sum(g) AS BIGINT) AS sum_g,
+             |       CAST(sum(b) AS BIGINT) AS sum_b,
+             |       CAST(min(least(r, g, b)) AS INT) AS min_px,
+             |       CAST(max(greatest(r, g, b)) AS INT) AS max_px
+             |FROM px GROUP BY doc_id, width, height, fmt
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -227,6 +227,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(viaMap == viaExpr)
   }
 
+  test("multimodal: ImageIO pixel decode round-trips the analytic pattern through real codecs") {
+    implicit val s2: org.apache.spark.sql.SparkSession = sp
+    import sp.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val decoded = Multimodal.decodePixels(Multimodal.encodeTestImages(ids))
+      .orderBy("doc_id").collect()
+    assert(decoded.length == 40)
+    decoded.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h) = ((id % 9 + 2).toInt, ((id * 3) % 7 + 2).toInt)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[String]("fmt") == (if (id % 2 == 0) "png" else "bmp"))
+      val px = for { y <- 0 until h; x <- 0 until w }
+        yield (Multimodal.patR(id, x, y), Multimodal.patG(id, x, y), Multimodal.patB(id, x, y))
+      assert(r.getAs[Long]("n_px") == w.toLong * h)
+      assert(r.getAs[Long]("sum_r") == px.map(_._1.toLong).sum)
+      assert(r.getAs[Long]("sum_g") == px.map(_._2.toLong).sum)
+      assert(r.getAs[Long]("sum_b") == px.map(_._3.toLong).sum)
+      assert(r.getAs[Int]("min_px") == px.map(p => p._1 min p._2 min p._3).min)
+      assert(r.getAs[Int]("max_px") == px.map(p => p._1 max p._2 max p._3).max)
+    }
+    // a payload no ImageIO reader recognizes → the explicit unknown row
+    val junk = Seq((99L, Array.fill[Byte](16)(0x42))).toDF("doc_id", "payload")
+    val u = Multimodal.decodePixels(junk).collect()(0)
+    assert(u.getAs[String]("fmt") == "unknown" && u.getAs[Long]("n_px") == 0L)
+  }
+
   test("flatten kernel matches HOF twin on real change-log, incl. edge cells") {
     val real = ChangeLog.readEvents(spark, "/root/testdata/sf0.001")
     val a = real.select(Transform.flattenCells(col("cells")).as("m")).collect()
