@@ -11,7 +11,8 @@ import scala.jdk.CollectionConverters._
   * search body into the engine's DataFrame operators:
   *
   *  - `query`: term/terms/range/exists/prefix/wildcard/regexp/ids/match/
-  *    match_all/bool (must/should/must_not/filter + minimum_should_match)
+  *    match_all/bool (must/should/must_not/filter + minimum_should_match)/
+  *    query_string/simple_query_string (Lucene query-bar syntax, [[QueryString]])
   *  - `sort` + `from`/`size`
   *  - single-level `aggs`: terms/histogram/date_histogram/filters buckets
   *    with avg/sum/min/max/value_count/cardinality metric sub-aggs
@@ -119,6 +120,16 @@ object EsQueryJson {
         org.apache.spark.sql.functions.exists(field(path), x =>
           predicateWith(inner, name =>
             x.getField(if (name.startsWith(path + ".")) name.stripPrefix(path + ".") else name)))
+      case "query_string" | "simple_query_string" =>
+        val q = body.get("query").asText()
+        val defFields =
+          Option(body.get("fields")).map(_.elements().asScala.map(_.asText()).toSeq)
+            .orElse(Option(body.get("default_field")).map(n => Seq(n.asText())))
+            .getOrElse(Seq.empty)
+        val defaultAnd = Option(body.get("default_operator"))
+          .exists(_.asText().equalsIgnoreCase("AND"))
+        if (kind == "query_string") QueryString.lucene(q, fld, defFields, defaultAnd)
+        else QueryString.simple(q, fld, defFields, defaultAnd)
       case "bool" =>
         def clauses(name: String): Seq[Column] = Option(body.get(name)).toSeq.flatMap { n =>
           if (n.isArray) n.elements().asScala.map(predicateWith(_, fld)).toSeq

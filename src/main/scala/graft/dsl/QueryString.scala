@@ -1,0 +1,217 @@
+package graft.dsl
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** `query_string` / `simple_query_string` — the Lucene-syntax query bar
+  * (the single most-typed ES query body; the reference delegates its whole
+  * query surface to ES 6.5, `/root/reference/pom.xml:25-26`). A conservative
+  * subset compiled to the SAME predicates as the structured DSL — this is a
+  * parser front-end, not a second engine:
+  *
+  *   - `field:value`, `field:"a phrase"`, bare terms over the default
+  *     field(s) (OR across fields, multi_match-style)
+  *   - `AND`/`&&`, `OR`/`||`, `NOT` (plus `-term` prefix negation, `+term`
+  *     accepted as a plain term), parentheses; adjacency = default_operator
+  *   - `"quoted phrases"` → consecutive-token match_phrase
+  *   - `*`/`?` wildcards → `like` over the raw field value (keyword
+  *     semantics — analyzed-term wildcards need an inverted index)
+  *
+  * Value semantics without a mapping: a numeric-looking value compiles to
+  * typed equality (numeric/keyword fields); anything else to a one-term
+  * analyzed match (`EsDsl.matchQuery`), which equals term-equality for
+  * single-token values like `lang:en`.
+  *
+  * `simple_query_string` uses the simplified operators (`+` AND, `|` OR,
+  * `-` NOT, quotes, parens, trailing `*`), has no `field:` syntax (fields
+  * come from the `fields` parameter), and NEVER throws: input that fails to
+  * parse degrades to its bare terms combined with the default operator —
+  * ES's documented leniency.
+  */
+object QueryString {
+
+  // ---- AST -------------------------------------------------------------
+  sealed trait Node
+  final case class Term(field: Option[String], text: String) extends Node
+  final case class Phrase(field: Option[String], words: Seq[String]) extends Node
+  final case class Wild(field: Option[String], pattern: String) extends Node
+  final case class And(l: Node, r: Node) extends Node
+  final case class Or(l: Node, r: Node) extends Node
+  final case class Not(n: Node) extends Node
+
+  private sealed trait Tok
+  private case object LP extends Tok
+  private case object RP extends Tok
+  private case object AndT extends Tok
+  private case object OrT extends Tok
+  private case object NotT extends Tok
+  private final case class Atom(n: Node) extends Tok
+
+  private def phraseWords(s: String): Seq[String] =
+    s.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+
+  // ---- tokenizers ------------------------------------------------------
+  private def luceneToks(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    def quoted(from: Int): (String, Int) = {
+      val j = q.indexOf('"', from + 1)
+      require(j > 0, s"unterminated phrase in query string: $q")
+      (q.substring(from + 1, j), j + 1)
+    }
+    while (i < q.length) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { out += LP; i += 1 }
+      else if (c == ')') { out += RP; i += 1 }
+      else if (c == '"') { val (s, j) = quoted(i); out += Atom(Phrase(None, phraseWords(s))); i = j }
+      else {
+        val start = i
+        while (i < q.length && !q(i).isWhitespace && "()\"".indexOf(q(i)) < 0) i += 1
+        var w = q.substring(start, i)
+        w match {
+          case "AND" | "&&" => out += AndT
+          case "OR" | "||" => out += OrT
+          case "NOT" | "!" => out += NotT
+          case _ =>
+            if (w.startsWith("-") && w.length > 1) { out += NotT; w = w.substring(1) }
+            else if (w.startsWith("+") && w.length > 1) w = w.substring(1)
+            val (fld, rest) = w.indexOf(':') match {
+              case k if k > 0 => (Some(w.substring(0, k)), w.substring(k + 1))
+              case _ => (None, w)
+            }
+            if (rest.isEmpty && fld.isDefined && i < q.length && q(i) == '"') {
+              val (s, j) = quoted(i); out += Atom(Phrase(fld, phraseWords(s))); i = j
+            } else if (rest.isEmpty && fld.isDefined)
+              // `f:(a OR b)` field grouping — reject loudly, never silently
+              // drop the field scope
+              throw new IllegalArgumentException(
+                s"field-grouped query (${fld.get}:(...)) is not supported; distribute the field")
+            else if (rest.exists(ch => ch == '*' || ch == '?')) out += Atom(Wild(fld, rest))
+            else if (rest.nonEmpty) out += Atom(Term(fld, rest))
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def simpleToks(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < q.length) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { out += LP; i += 1 }
+      else if (c == ')') { out += RP; i += 1 }
+      else if (c == '|') { out += OrT; i += 1 }
+      else if (c == '+') { out += AndT; i += 1 }
+      else if (c == '-') { out += NotT; i += 1 }
+      else if (c == '"') {
+        val j = q.indexOf('"', i + 1)
+        require(j > 0, s"unterminated phrase: $q")
+        out += Atom(Phrase(None, phraseWords(q.substring(i + 1, j)))); i = j + 1
+      } else {
+        val start = i
+        while (i < q.length && !q(i).isWhitespace && "()|+\"".indexOf(q(i)) < 0) i += 1
+        val w = q.substring(start, i)
+        if (w.nonEmpty) out += Atom(if (w.exists(ch => ch == '*' || ch == '?')) Wild(None, w) else Term(None, w))
+      }
+    }
+    out.result()
+  }
+
+  // ---- parser (precedence NOT > AND > OR; adjacency = defaultOp) -------
+  private final class P(toks: Vector[Tok], defaultAnd: Boolean) {
+    private var i = 0
+    private def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
+    def parse(): Node = {
+      val n = expr()
+      require(i == toks.length, s"trailing tokens at $i")
+      n
+    }
+    private def expr(): Node = {
+      var l = andExpr()
+      var more = true
+      while (more) peek match {
+        case Some(OrT) => i += 1; l = Or(l, andExpr())
+        case Some(NotT) =>
+          // Lucene: an adjacent negated clause is exclusionary (MUST_NOT)
+          // regardless of the default operator — `foo -bar` filters bar out
+          l = And(l, andExpr())
+        case Some(LP) | Some(Atom(_)) => // implicit adjacency
+          val r = andExpr(); l = if (defaultAnd) And(l, r) else Or(l, r)
+        case _ => more = false
+      }
+      l
+    }
+    private def andExpr(): Node = {
+      var l = notExpr()
+      while (peek.contains(AndT)) { i += 1; l = And(l, notExpr()) }
+      l
+    }
+    private def notExpr(): Node = peek match {
+      case Some(NotT) => i += 1; Not(notExpr())
+      case _ => primary()
+    }
+    private def primary(): Node = peek match {
+      case Some(LP) =>
+        i += 1; val e = expr()
+        require(peek.contains(RP), "missing closing paren"); i += 1; e
+      case Some(Atom(n)) => i += 1; n
+      case t => throw new IllegalArgumentException(s"unexpected token: $t")
+    }
+  }
+
+  def parseLucene(q: String, defaultAnd: Boolean = false): Node =
+    new P(luceneToks(q), defaultAnd).parse()
+
+  def parseSimple(q: String, defaultAnd: Boolean = false): Node =
+    new P(simpleToks(q), defaultAnd).parse()
+
+  // ---- compile to Catalyst predicates ----------------------------------
+  private def numericLit(v: String): Option[Column] =
+    v.toLongOption.map(lit(_)).orElse(v.toDoubleOption.map(lit(_)))
+
+  /** AST → predicate Column. `fld` is the caller's field resolver (so
+    * `nested` rebinding and `info.*` map access work unchanged);
+    * `defaultFields` serve unfielded terms, OR across fields. */
+  def compile(n: Node, fld: String => Column, defaultFields: Seq[String]): Column = {
+    def overDefaults(f: Column => Column): Column = {
+      require(defaultFields.nonEmpty,
+        "unfielded term requires default_field/fields in the query-string body")
+      defaultFields.map(d => f(fld(d))).reduce(_ || _)
+    }
+    def go(n: Node): Column = n match {
+      case And(l, r) => go(l) && go(r)
+      case Or(l, r) => go(l) || go(r)
+      // ES must_not semantics: NULL predicate (missing field) != match
+      case Not(x) => !coalesce(go(x), lit(false))
+      case Term(Some(f), v) =>
+        numericLit(v).map(fld(f) === _).getOrElse(EsDsl.matchQuery(fld(f), Seq(v)))
+      case Term(None, v) => overDefaults(EsDsl.matchQuery(_, Seq(v)))
+      case Phrase(Some(f), ws) => EsDsl.matchPhrase(fld(f), ws)
+      case Phrase(None, ws) => overDefaults(EsDsl.matchPhrase(_, ws))
+      case Wild(Some(f), p) => EsDsl.wildcard(fld(f), p)
+      case Wild(None, p) => overDefaults(EsDsl.wildcard(_, p))
+    }
+    go(n)
+  }
+
+  /** `query_string` entry point (strict: malformed syntax throws). */
+  def lucene(q: String, fld: String => Column, defaultFields: Seq[String],
+             defaultAnd: Boolean = false): Column =
+    compile(parseLucene(q, defaultAnd), fld, defaultFields)
+
+  /** `simple_query_string` entry point (lenient: malformed syntax degrades
+    * to the bare terms combined with the default operator, never throws). */
+  def simple(q: String, fld: String => Column, defaultFields: Seq[String],
+             defaultAnd: Boolean = false): Column =
+    try compile(parseSimple(q, defaultAnd), fld, defaultFields)
+    catch {
+      case _: IllegalArgumentException =>
+        val terms = q.split("[\\s()|+\"-]+").filter(_.nonEmpty).toSeq
+        require(terms.nonEmpty, s"no terms in simple_query_string: $q")
+        val preds = terms.map(t => compile(Term(None, t), fld, defaultFields))
+        if (defaultAnd) preds.reduce(_ && _) else preds.reduce(_ || _)
+    }
+}

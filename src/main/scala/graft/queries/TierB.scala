@@ -218,6 +218,49 @@ object TierB {
              |  AND (o_totalprice < 200000.0 OR (o_totalprice = 200000.0 AND o_orderkey > 0))
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
 
+    // ES query_string: the Lucene "kibana-bar" syntax — field:value,
+    // AND/OR/NOT, quoted phrase, trailing wildcard, `-` exclusion, default
+    // field — compiled to the same predicates as the structured DSL.
+    Q("a30_es_json_query_string",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"query_string": {
+          |   "query": "lang:en AND (spark OR \"the data\") AND source:src1* -customer",
+          |   "default_field": "text"}},
+          | "sort": ["doc_id"]}""".stripMargin)
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some("""WITH t AS (SELECT doc_id, lang, source,
+             |                  string_split_regex(lower(text),'\W+') AS tw,
+             |                  list_filter(string_split_regex(lower(text),'\W+'), x -> x <> '') AS tf,
+             |                  string_split_regex(lower(lang),'\W+') AS lw
+             |           FROM documents)
+             |SELECT doc_id, lang, source FROM t
+             |WHERE list_contains(lw, 'en')
+             |  AND (list_contains(tw, 'spark')
+             |       OR contains('|' || array_to_string(tf, '|') || '|', '|the|data|'))
+             |  AND source LIKE 'src1%'
+             |  AND NOT coalesce(list_contains(tw, 'customer'), FALSE)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ES simple_query_string: the simplified end-user syntax (+ | - quotes
+    // parens), fields from the body, lenient by contract. Exercises
+    // precedence: (spark AND phrase) OR merge, then AND NOT customer.
+    Q("a32_es_json_simple_query_string",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"simple_query_string": {
+          |   "query": "spark + \"the data\" | merge -customer",
+          |   "fields": ["text"]}},
+          | "sort": ["doc_id"]}""".stripMargin)
+        .select(col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(text),'\W+') AS tw,
+             |                  list_filter(string_split_regex(lower(text),'\W+'), x -> x <> '') AS tf
+             |           FROM documents)
+             |SELECT doc_id FROM t
+             |WHERE ((list_contains(tw, 'spark')
+             |        AND contains('|' || array_to_string(tf, '|') || '|', '|the|data|'))
+             |       OR list_contains(tw, 'merge'))
+             |  AND NOT coalesce(list_contains(tw, 'customer'), FALSE)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

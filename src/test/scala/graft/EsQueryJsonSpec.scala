@@ -271,4 +271,67 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
       .orderBy("doc_id").select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("query_string: parse shapes, precedence, and exclusion binding") {
+    import graft.dsl.QueryString
+    import graft.dsl.QueryString._
+    // NOT > AND > OR
+    assert(parseLucene("a AND b OR c") ==
+      Or(And(Term(None, "a"), Term(None, "b")), Term(None, "c")))
+    assert(parseLucene("a OR NOT b AND c") ==
+      Or(Term(None, "a"), And(Not(Term(None, "b")), Term(None, "c"))))
+    // field grouping is rejected loudly (never a silent field drop)
+    intercept[IllegalArgumentException](parseLucene("f:(a OR b)"))
+    // parens override; field scoping; phrase; wildcard
+    assert(parseLucene("lang:en AND (x OR t:\"a b\") AND s:src1*") ==
+      And(And(Term(Some("lang"), "en"),
+              Or(Term(None, "x"), Phrase(Some("t"), Seq("a", "b")))),
+          Wild(Some("s"), "src1*")))
+    // adjacency = default operator (OR default, AND when configured)
+    assert(parseLucene("a b") == Or(Term(None, "a"), Term(None, "b")))
+    assert(parseLucene("a b", defaultAnd = true) == And(Term(None, "a"), Term(None, "b")))
+    // `-x` / NOT-adjacency binds as AND NOT even under default OR
+    assert(parseLucene("a -b") == And(Term(None, "a"), Not(Term(None, "b"))))
+    assert(parseLucene("a NOT b") == And(Term(None, "a"), Not(Term(None, "b"))))
+    // simple syntax: + | - parens quotes
+    assert(parseSimple("a + b | c") ==
+      Or(And(Term(None, "a"), Term(None, "b")), Term(None, "c")))
+    assert(parseSimple("a -b") == And(Term(None, "a"), Not(Term(None, "b"))))
+    assert(parseSimple("\"a b\" | c*") == Or(Phrase(None, Seq("a", "b")), Wild(None, "c*")))
+    // strict form throws on malformed input; simple degrades to bare terms
+    intercept[IllegalArgumentException](parseLucene("(a OR b"))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lenient = docs.filter(
+      QueryString.simple("(spark OR", _ => col("text"), Seq("text"))).count()
+    val plain = docs.filter(
+      graft.dsl.EsDsl.matchQuery(col("text"), Seq("spark")) ||
+      graft.dsl.EsDsl.matchQuery(col("text"), Seq("or"))).count()
+    assert(lenient == plain)
+  }
+
+  test("query_string end-to-end == hand-built typed-DSL predicate") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = EsQueryJson.search(docs,
+      """{"query": {"query_string": {
+        |   "query": "lang:en AND (spark OR \"the data\") -customer",
+        |   "default_field": "text"}},
+        | "sort": ["doc_id"]}""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    import graft.dsl.EsDsl
+    val want = docs.filter(
+      EsDsl.matchQuery(col("lang"), Seq("en")) &&
+        (EsDsl.matchQuery(col("text"), Seq("spark")) ||
+          EsDsl.matchPhrase(col("text"), Seq("the", "data"))) &&
+        !coalesce(EsDsl.matchQuery(col("text"), Seq("customer")), lit(false)))
+      .orderBy("doc_id").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == want && got.nonEmpty)
+    // multi-field default list ORs across fields
+    val mf = EsQueryJson.search(docs,
+      """{"query": {"simple_query_string": {"query": "spark | web", "fields": ["text", "source"]}},
+        | "sort": ["doc_id"]}""".stripMargin).count()
+    val mfWant = docs.filter(
+      EsDsl.matchQuery(col("text"), Seq("spark")) || EsDsl.matchQuery(col("source"), Seq("spark")) ||
+      EsDsl.matchQuery(col("text"), Seq("web")) || EsDsl.matchQuery(col("source"), Seq("web"))).count()
+    assert(mf == mfWant)
+  }
 }
