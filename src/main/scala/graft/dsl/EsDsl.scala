@@ -65,30 +65,54 @@ object EsDsl {
     * matching ES's should-match-at-least-one). */
   def matchBm25(docs: DataFrame, text: Column, terms: Seq[String],
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val qs = terms.map(_.toLowerCase)
-    // one tokenize pass per doc: [tf(t0), …, tf(tn-1), doclen] — the HOF
-    // formulation re-evaluated size(filter(tokens)) per term in BOTH the
-    // filter condition and the projection (12 interpreted array scans/row)
-    val base = docs
-      .withColumn("_tfs", graft.functions.TextKernels.termFreqs(text, qs))
-      .withColumn("_dl", element_at(col("_tfs"), qs.size + 1).cast("double"))
-    val statCols =
-      count(lit(1)).cast("double").as("_n") +:
-        avg(col("_dl")).as("_avgdl") +:
-        qs.indices.map { i =>
-          sum(when(element_at(col("_tfs"), i + 1) > 0, 1L).otherwise(0L)).cast("double").as(s"_df$i")
-        }
-    val stats = base.agg(statCols.head, statCols.tail: _*)
-    val score = qs.indices.map { i =>
-      val tf = element_at(col("_tfs"), i + 1).cast("double")
-      val idf = log(lit(1.0) + (col("_n") - col(s"_df$i") + 0.5) / (col(s"_df$i") + 0.5))
-      val lengthNorm = lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / col("_avgdl"))
-      idf * (tf * (k1 + 1)) / (tf + lengthNorm)
-    }.reduce(_ + _)
-    base.crossJoin(broadcast(stats))
-      .withColumn("_score", round(score, 6))
+    val (joined, scores, internals) = bm25Scores(docs, Seq(text -> terms), k1, b)
+    joined.withColumn("_score", round(scores.head, 6))
       .filter(col("_score") > 0)
-      .drop(Seq("_tfs", "_dl", "_n", "_avgdl") ++ qs.indices.map(i => s"_df$i"): _*)
+      .drop(internals: _*)
+  }
+
+  /** BM25 machinery for SEVERAL (field, terms) clauses in ONE corpus pass —
+    * the composable core behind [[matchBm25]] and the scored `bool`
+    * (per-clause boosts summing into a bool-level `_score`). Per clause:
+    * a one-pass term-freq kernel column; then a single shared stats frame
+    * (N, per-clause avgdl, per-clause-term df) broadcast back; per-clause
+    * raw score expressions (0 for a doc matching no term — BM25's natural
+    * zero). Returns (joined frame, per-clause scores, internal col names
+    * for the caller to drop). */
+  def bm25Scores(docs: DataFrame, clauses: Seq[(Column, Seq[String])],
+                 k1: Double = 1.2, b: Double = 0.75): (DataFrame, Seq[Column], Seq[String]) = {
+    val qss = clauses.map { case (_, ts) => ts.map(_.toLowerCase) }
+    // one tokenize pass per doc per clause: [tf(t0), …, tf(tn-1), doclen] —
+    // the HOF formulation re-evaluated size(filter(tokens)) per term in
+    // BOTH the filter condition and the projection (12 interpreted array
+    // scans/row)
+    val base = clauses.zip(qss).zipWithIndex.foldLeft(docs) {
+      case (d, (((text, _), qs), i)) =>
+        d.withColumn(s"_tfs$i", graft.functions.TextKernels.termFreqs(text, qs))
+          .withColumn(s"_dl$i", element_at(col(s"_tfs$i"), qs.size + 1).cast("double"))
+    }
+    val statCols = count(lit(1)).cast("double").as("_n") +:
+      qss.zipWithIndex.flatMap { case (qs, i) =>
+        avg(col(s"_dl$i")).as(s"_avgdl$i") +:
+          qs.indices.map { j =>
+            sum(when(element_at(col(s"_tfs$i"), j + 1) > 0, 1L).otherwise(0L))
+              .cast("double").as(s"_df${i}_$j")
+          }
+      }
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val joined = base.crossJoin(broadcast(stats))
+    val scores = qss.zipWithIndex.map { case (qs, i) =>
+      qs.indices.map { j =>
+        val tf = element_at(col(s"_tfs$i"), j + 1).cast("double")
+        val idf = log(lit(1.0) + (col("_n") - col(s"_df${i}_$j") + 0.5) / (col(s"_df${i}_$j") + 0.5))
+        val lengthNorm = lit(k1) * (lit(1 - b) + lit(b) * col(s"_dl$i") / col(s"_avgdl$i"))
+        idf * (tf * (k1 + 1)) / (tf + lengthNorm)
+      }.reduce(_ + _)
+    }
+    val internals = "_n" +: qss.zipWithIndex.flatMap { case (qs, i) =>
+      Seq(s"_tfs$i", s"_dl$i", s"_avgdl$i") ++ qs.indices.map(j => s"_df${i}_$j")
+    }
+    (joined, scores, internals)
   }
   /** B6 `bool`. must_not is ES-faithful: a doc where the clause evaluates
     * NULL (field missing) does NOT match the clause, so it is KEPT —

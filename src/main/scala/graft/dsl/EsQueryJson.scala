@@ -120,6 +120,8 @@ object EsQueryJson {
         org.apache.spark.sql.functions.exists(field(path), x =>
           predicateWith(inner, name =>
             x.getField(if (name.startsWith(path + ".")) name.stripPrefix(path + ".") else name)))
+      case "constant_score" => // unscored context: just the wrapped filter
+        predicateWith(body.get("filter"), fld)
       case "query_string" | "simple_query_string" =>
         val q = body.get("query").asText()
         val defFields =
@@ -161,18 +163,7 @@ object EsQueryJson {
       }
     val needsScore = sortSpecs.exists(_._1 == "_score")
     val filtered = Option(body.get("query")) match {
-      case Some(q) if needsScore =>
-        val (kind, mbody) = single(q)
-        require(kind == "match", s"_score sort requires a match query, got $kind")
-        val (f, v) = single(mbody)
-        val (text, msm) =
-          if (v.isObject)
-            (v.get("query").asText(),
-              Option(v.get("minimum_should_match")).map(_.asInt()).getOrElse(1))
-          else (v.asText(), 1)
-        val terms = text.split("\\s+").toSeq
-        val scored = EsDsl.matchBm25(df, field(f), terms)
-        if (msm > 1) scored.filter(EsDsl.matchQuery(field(f), terms, msm)) else scored
+      case Some(q) if needsScore => scoredSearch(df, q)
       case Some(q) => df.filter(predicate(q))
       case None =>
         require(!needsScore, "_score sort requires a query")
@@ -214,6 +205,106 @@ object EsQueryJson {
     val size = Option(body.get("size")).map(_.asInt())
     val offs = if (from > 0) sorted.offset(from) else sorted
     size.map(offs.limit).getOrElse(offs)
+  }
+
+  /** The `_score`-producing query kinds. `match` is Lucene-shaped BM25
+    * ([[EsDsl.matchBm25]]); `constant_score` scores its `boost` for every
+    * doc passing the wrapped filter; `bool` accumulates ADDITIVELY over its
+    * scoring clauses (must first, then should, in clause order — the
+    * association the 6-dp oracle mirrors): a `match` clause contributes
+    * boost × BM25, a `constant_score` or boosted `term` clause contributes
+    * its boost when it matches, any other clause kind filters without
+    * scoring. `filter` clauses never score (ES semantics). bool-level
+    * `minimum_should_match` defaults ES-faithfully: 1 when the bool is
+    * should-only, else 0. */
+  private def scoredSearch(df: DataFrame, q: JsonNode): DataFrame = {
+    val (kind, body) = single(q)
+    kind match {
+      case "match" =>
+        val (f, v) = single(body)
+        val (text, msm, boost) =
+          if (v.isObject)
+            (v.get("query").asText(),
+              Option(v.get("minimum_should_match")).map(_.asInt()).getOrElse(1),
+              Option(v.get("boost")).map(_.asDouble()).getOrElse(1.0))
+          else (v.asText(), 1, 1.0)
+        val terms = text.split("\\s+").toSeq
+        val scored =
+          if (boost == 1.0) EsDsl.matchBm25(df, field(f), terms)
+          else {
+            val (joined, scores, internals) = EsDsl.bm25Scores(df, Seq(field(f) -> terms))
+            joined.withColumn("_score", round(lit(boost) * scores.head, 6))
+              .filter(col("_score") > 0).drop(internals: _*)
+          }
+        if (msm > 1) scored.filter(EsDsl.matchQuery(field(f), terms, msm)) else scored
+      case "constant_score" =>
+        val boost = Option(body.get("boost")).map(_.asDouble()).getOrElse(1.0)
+        df.filter(predicate(body.get("filter")))
+          .withColumn("_score", round(lit(boost).cast("double"), 6))
+      case "bool" => scoredBool(df, body)
+      case other =>
+        throw new IllegalArgumentException(
+          s"_score sort requires match/constant_score/bool, got $other")
+    }
+  }
+
+  private def scoredBool(df: DataFrame, body: JsonNode): DataFrame = {
+    def list(nm: String): Seq[JsonNode] = Option(body.get(nm)).toSeq.flatMap { n =>
+      if (n.isArray) n.elements().asScala.toSeq else Seq(n)
+    }
+    val (must, should, filt, mustNot) =
+      (list("must"), list("should"), list("filter"), list("must_not"))
+    // one shared corpus pass for every BM25-scoring clause (must ++ should
+    // in clause order)
+    val scoring = must ++ should
+    val bm25Specs = scoring.flatMap { n =>
+      val (k, b) = single(n)
+      if (k != "match") None
+      else {
+        val (f, v) = single(b)
+        val (text, boost) =
+          if (v.isObject) (v.get("query").asText(),
+            Option(v.get("boost")).map(_.asDouble()).getOrElse(1.0))
+          else (v.asText(), 1.0)
+        Some((f, text.split("\\s+").toSeq, boost))
+      }
+    }
+    val (joined, rawScores, internals) =
+      if (bm25Specs.isEmpty) (df, Seq.empty[Column], Seq.empty[String])
+      else EsDsl.bm25Scores(df, bm25Specs.map { case (f, ts, _) => field(f) -> ts })
+    var bm25Idx = 0
+    // per scoring clause: (match predicate, score contribution)
+    val scoredClauses: Seq[(Column, Option[Column])] = scoring.map { n =>
+      val (k, b) = single(n)
+      k match {
+        case "match" =>
+          val (f, ts, boost) = bm25Specs(bm25Idx)
+          val raw = rawScores(bm25Idx); bm25Idx += 1
+          val sc = if (boost == 1.0) raw else lit(boost) * raw
+          (EsDsl.matchQuery(field(f), ts), Some(sc))
+        case "constant_score" =>
+          val boost = Option(b.get("boost")).map(_.asDouble()).getOrElse(1.0)
+          val p = predicate(b.get("filter"))
+          (p, Some(when(p, lit(boost)).otherwise(lit(0.0))))
+        case "term" =>
+          val (_, v) = single(b)
+          val boost =
+            if (v.isObject) Option(v.get("boost")).map(_.asDouble()).getOrElse(1.0) else 1.0
+          val p = predicate(n)
+          (p, if (boost == 1.0) None else Some(when(p, lit(boost)).otherwise(lit(0.0))))
+        case _ => (predicate(n), None)
+      }
+    }
+    val (mustCl, shouldCl) = scoredClauses.splitAt(must.size)
+    val msm = Option(body.get("minimum_should_match")).map(_.asInt())
+      .getOrElse(if (must.isEmpty && filt.isEmpty) 1 else 0)
+    val pred = EsDsl.bool(
+      must = mustCl.map(_._1) ++ filt.map(predicate),
+      should = if (msm > 0) shouldCl.map(_._1) else Seq.empty,
+      mustNot = mustNot.map(predicate),
+      minimumShouldMatch = msm)
+    val total = scoredClauses.flatMap(_._2).reduceOption(_ + _).getOrElse(lit(0.0))
+    joined.filter(pred).withColumn("_score", round(total, 6)).drop(internals: _*)
   }
 
   /** ES `aggs`: bucket aggs (terms/histogram/date_histogram/filters/

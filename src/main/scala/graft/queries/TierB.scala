@@ -16,8 +16,14 @@ object TierB {
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
 
   /** DuckDB twin of [[EsDsl.matchBm25]] (k1=1.2, b=0.75) as a CTE chain
-    * ending in `sc(doc_id, score)` — identical fold order and constants. */
-  private def bm25Sql(terms: Seq[String]): String = {
+    * ending in `sc(doc_id, score)` — identical fold order and constants.
+    * `extraCols` threads passthrough document columns into `sc` (and a
+    * `toks` list column) for oracles that filter/score on more than the
+    * match field; `raw` emits the unrounded sum as `raw` (for oracles that
+    * boost-scale and add before rounding, mirroring the scored bool's
+    * association). Defaults emit the byte-identical legacy SQL. */
+  private def bm25Sql(terms: Seq[String], extraCols: Seq[String] = Nil,
+                      raw: Boolean = false): String = {
     val dfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(sum(CASE WHEN list_contains(toks,'$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df$i"
     }.mkString(",\n         ")
@@ -27,8 +33,10 @@ object TierB {
     val scoreSum = terms.indices.map { i =>
       s"ln(1 + (n - df$i + 0.5)/(df$i + 0.5)) * (tf$i*(1.2+1))/(tf$i + 1.2*(1 - 0.75 + 0.75*dl/avgdl))"
     }.mkString("\n       + ")
+    val ex = if (extraCols.isEmpty) "" else extraCols.mkString(", ", ", ", "")
+    val exToks = if (extraCols.isEmpty) "" else ", toks"
     s"""WITH t AS (
-       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks,
+       |  SELECT doc_id$ex, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS toks,
        |         CAST(len(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS DOUBLE) AS dl
        |  FROM documents
        |), st AS (
@@ -36,11 +44,11 @@ object TierB {
        |         $dfCols
        |  FROM t
        |), tf AS (
-       |  SELECT doc_id, dl, n, avgdl, ${terms.indices.map(i => s"df$i").mkString(", ")},
+       |  SELECT doc_id$ex$exToks, dl, n, avgdl, ${terms.indices.map(i => s"df$i").mkString(", ")},
        |         $tfCols
        |  FROM t CROSS JOIN st
        |), sc AS (
-       |  SELECT doc_id, round($scoreSum, 6) AS score FROM tf
+       |  SELECT doc_id$ex$exToks, ${if (raw) s"($scoreSum) AS raw" else s"round($scoreSum, 6) AS score"} FROM tf
        |)""".stripMargin
   }
 
@@ -260,6 +268,28 @@ object TierB {
              |       OR list_contains(tw, 'merge'))
              |  AND NOT coalesce(list_contains(tw, 'customer'), FALSE)
              |ORDER BY doc_id""".stripMargin)),
+
+    // Scored bool: additive _score over must/should clauses — boost × BM25
+    // for the match, constant_score boost for a filter clause, boosted term
+    // — ES's bread-and-butter relevance tuning. The oracle mirrors the
+    // exact clause-order association at 6 dp.
+    Q("a31_es_json_bool_score",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"bool": {
+          |   "must": [{"match": {"text": {"query": "spark query", "boost": 2}}}],
+          |   "should": [
+          |     {"constant_score": {"filter": {"term": {"lang": "en"}}, "boost": 0.5}},
+          |     {"term": {"source": {"value": "src3", "boost": 3}}}]}},
+          | "sort": ["_score", "doc_id"], "size": 25}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some(bm25Sql(Seq("spark", "query"), extraCols = Seq("lang", "source"), raw = true) +
+        """
+          |SELECT doc_id, round(2.0 * raw
+          |    + CASE WHEN lang = 'en' THEN 0.5 ELSE 0.0 END
+          |    + CASE WHEN source = 'src3' THEN 3.0 ELSE 0.0 END, 6) AS score
+          |FROM sc
+          |WHERE list_contains(toks, 'spark') OR list_contains(toks, 'query')
+          |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
 
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",

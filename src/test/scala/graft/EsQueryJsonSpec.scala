@@ -272,6 +272,49 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("scored bool: additive boosts, constant_score, filter never scores") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import graft.dsl.EsDsl
+    // constant_score alone: every passing doc scores exactly the boost
+    val cs = EsQueryJson.search(docs,
+      """{"query": {"constant_score": {"filter": {"term": {"lang": "en"}}, "boost": 1.7}},
+        | "sort": ["_score", "doc_id"]}""".stripMargin)
+    assert(cs.select("_score").distinct().collect().map(_.getDouble(0)).toSeq == Seq(1.7))
+    assert(cs.count() == docs.filter(col("lang") === "en").count())
+    // bool: 2×BM25(match) + 0.5 constant + 3.0 term, vs hand-built
+    val got = EsQueryJson.search(docs,
+      """{"query": {"bool": {
+        |   "must": [{"match": {"text": {"query": "spark query", "boost": 2}}}],
+        |   "should": [
+        |     {"constant_score": {"filter": {"term": {"lang": "en"}}, "boost": 0.5}},
+        |     {"term": {"source": {"value": "src3", "boost": 3}}}]}},
+        | "sort": ["_score", "doc_id"], "size": 10}""".stripMargin)
+      .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (joined, scores, internals) = EsDsl.bm25Scores(docs, Seq(col("text") -> Seq("spark", "query")))
+    val want = joined
+      .filter(EsDsl.matchQuery(col("text"), Seq("spark", "query")))
+      .withColumn("_score", round(lit(2.0) * scores.head
+        + when(col("lang") === "en", lit(0.5)).otherwise(lit(0.0))
+        + when(col("source") === "src3", lit(3.0)).otherwise(lit(0.0)), 6))
+      .drop(internals: _*)
+      .orderBy(desc("_score"), col("doc_id")).limit(10)
+      .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want && got.nonEmpty)
+    // a filter clause restricts but adds no score: same docs score equally
+    // with the term moved from should to filter minus its boost
+    val filtered = EsQueryJson.search(docs,
+      """{"query": {"bool": {
+        |   "must": [{"match": {"text": "spark"}}],
+        |   "filter": [{"term": {"lang": "en"}}]}},
+        | "sort": ["_score", "doc_id"]}""".stripMargin)
+      .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val unfiltered = EsQueryJson.search(docs,
+      """{"query": {"match": {"text": "spark"}}, "sort": ["_score", "doc_id"]}""")
+      .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(filtered.nonEmpty)
+    filtered.foreach { case (id, s) => assert(unfiltered(id) == s) }
+  }
+
   test("query_string: parse shapes, precedence, and exclusion binding") {
     import graft.dsl.QueryString
     import graft.dsl.QueryString._
