@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Persist unless this (canonical) plan is already cached — a re-run of
+    * the same query (e.g. the bench's two-pass protocol) re-uses the cache
+    * instead of re-registering it and logging "Asked to cache already
+    * cached data". */
+  private[graft] def persistOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist() else df
+
   /** C1: exact dedup — one deterministic representative (min id) per key
     * group. (`dropDuplicates` keeps an arbitrary row; min-per-group is the
     * reproducible form the oracle can check.) */
@@ -52,7 +59,7 @@ object Dedup {
                  threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
     // the shingle table feeds the signature AND both sides of the verify
     // join — persist so the (HOF-interpreted) shingling runs once
-    val sh = shingles(df, idCol, text, shingleN).persist()
+    val sh = persistOnce(shingles(df, idCol, text, shingleN))
     val sig = minhashSignatures(sh, numHashes)
     val nBands = numHashes / bandSize
     val bands = sig.select(col("doc_id"), posexplode(array((0 until nBands).map { j =>
@@ -77,19 +84,26 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
 
-  /** C2b: exact n-gram Jaccard — all pairs via the shared-shingle join (no
-    * sketch; the ground-truth formulation). Pairs sharing zero shingles
-    * never materialize. */
-  def ngramJaccard(df: DataFrame, idCol: Column, text: Column,
-                   threshold: Double, shingleN: Int = 3): DataFrame = {
-    val sh = shingles(df, idCol, text, shingleN).persist()
-    sh.count() // materialize once — the self-join's two branches run as
-    // concurrent stages and would otherwise both compute the shingling
-    // join grams by their 60-bit hash (long keys shuffle/compare far
-    // cheaper than gram strings; the oracle mirrors the same hash)
+  /** Shared gram machinery: persisted shingle table, hashed exploded grams,
+    * per-doc set sizes. Grams join by their 60-bit hash (long keys shuffle/
+    * compare far cheaper than gram strings; the oracle mirrors the same
+    * hash). The persisted table is materialized once — the self-join's two
+    * branches run as concurrent stages and would otherwise both compute the
+    * shingling. */
+  private def gramTables(df: DataFrame, idCol: Column, text: Column,
+                         shingleN: Int): (DataFrame, DataFrame) = {
+    val sh = persistOnce(shingles(df, idCol, text, shingleN))
+    sh.count()
     val g = sh.select(col("doc_id"), explode(col("grams")).as("gs"))
       .select(col("doc_id"), Hashing.md5Long60(col("gs")).as("g"))
     val sizes = sh.select(col("doc_id"), size(col("grams")).as("n"))
+    (g, sizes)
+  }
+
+  /** All-pairs Jaccard over shared grams: count shared grams per pair, join
+    * set sizes, threshold. Pairs sharing zero grams never materialize. */
+  private def jaccardOverSharedGrams(g: DataFrame, sizes: DataFrame,
+                                     threshold: Double): DataFrame = {
     val inter = g.as("a").join(g.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -100,6 +114,14 @@ object Dedup {
       .withColumn("jac", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  /** C2b: exact n-gram Jaccard — all pairs via the shared-shingle join (no
+    * sketch; the ground-truth formulation). */
+  def ngramJaccard(df: DataFrame, idCol: Column, text: Column,
+                   threshold: Double, shingleN: Int = 3): DataFrame = {
+    val (g, sizes) = gramTables(df, idCol, text, shingleN)
+    jaccardOverSharedGrams(g, sizes, threshold)
   }
 
   /** C2 applied: the deduplicated corpus — remove the higher-id side of
@@ -127,11 +149,14 @@ object Dedup {
     * [[ngramJaccard]] stays as the uncapped ground-truth twin. */
   def ngramJaccardCapped(df: DataFrame, idCol: Column, text: Column,
                          threshold: Double, maxDf: Int = 50, shingleN: Int = 3): DataFrame = {
-    val sh = shingles(df, idCol, text, shingleN).persist()
-    sh.count() // materialize once (see ngramJaccard)
-    val g = sh.select(col("doc_id"), explode(col("grams")).as("gs"))
-      .select(col("doc_id"), Hashing.md5Long60(col("gs")).as("g"))
-    val dfreq = g.groupBy(col("g")).agg(count(lit(1)).as("_df"))
+    val (g, sizes) = gramTables(df, idCol, text, shingleN)
+    val dfreq = persistOnce(g.groupBy(col("g")).agg(count(lit(1)).as("_df")))
+    // Adaptive: when NO gram exceeds the cap, the rare/hot split degenerates
+    // to the uncapped join plus two dead verify joins (measured 1.4× the
+    // uncapped cost on clean corpora) — one scalar agg decides, and the
+    // result is identical by construction (gHot would be empty).
+    val maxObservedDf = dfreq.agg(max(col("_df"))).collect()(0).getLong(0)
+    if (maxObservedDf <= maxDf) return jaccardOverSharedGrams(g, sizes, threshold)
     val gRare = g.join(dfreq.filter(col("_df") <= maxDf).select("g"), "g")
     val gHot = g.join(dfreq.filter(col("_df") > maxDf).select("g"), "g")
     // exact intersection = rare-shared count (aggregated — candidates come
@@ -144,7 +169,6 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter_rare"))
     val docHot = gHot.groupBy(col("doc_id")).agg(collect_list(col("g")).as("hot"))
-    val sizes = sh.select(col("doc_id"), size(col("grams")).as("n"))
     val noHot = array().cast("array<long>")
     interRare
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")

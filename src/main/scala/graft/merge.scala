@@ -52,16 +52,19 @@ object Merge {
     // batch), and the final per-id fold reuses that hash(id) partitioning.
     // (The naive two-branch formulation scanned + windowed the raw batch
     // twice because column pruning made the branches non-reusable.)
-    val opOrd = struct(col("ts"), col("seq"))
+    // The four extrema come from ONE custom object-buffer aggregate
+    // ([[graft.functions.FoldCellAgg]]) so the partial aggregation is
+    // HASH-based (ObjectHashAggregate); the equivalent declarative
+    // max/max_by formulation carries struct-typed buffers and forced
+    // SortAggregate partials over the full exploded batch.
     val g1 = exploded
       .groupBy(col("id"), col("cell.qualifier").as("q"))
-      .agg(
-        max(when(col("op") === "D", opOrd)).as("dmax"),
-        max(when(col("op") === "U", opOrd)).as("umax"),
-        max_by(col("cell.value"),
-          when(col("op") === "U" && col("cell").isNotNull,
-            struct(col("ts"), col("seq"), col("pos")))).as("vlast"),
-        max(when(col("op") === "U" && col("cell").isNotNull, opOrd)).as("omax"))
+      .agg(graft.functions.FoldCellAgg.foldCells(
+        col("op"), unix_micros(col("ts")), col("seq"), col("pos"),
+        col("cell.value"), col("cell").isNull).as("f"))
+      .select(col("id"), col("q"),
+        col("f.dmax").as("dmax"), col("f.umax").as("umax"),
+        col("f.vlast").as("vlast"), col("f.omax").as("omax"))
 
     val w = Window.partitionBy("id")
     val g2 = g1

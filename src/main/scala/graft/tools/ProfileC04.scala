@@ -25,6 +25,8 @@ object ProfileC04 {
     t("inter")(inter.count())
     t("full")(Dedup.ngramJaccard(docs, col("doc_id"), col("text"), 0.4).count())
     t("full2")(Dedup.ngramJaccard(docs, col("doc_id"), col("text"), 0.4).count())
+    t("capped")(Dedup.ngramJaccardCapped(docs, col("doc_id"), col("text"), 0.4, maxDf = 20).count())
+    t("capped2")(Dedup.ngramJaccardCapped(docs, col("doc_id"), col("text"), 0.4, maxDf = 20).count())
     spark.stop()
   }
 }
