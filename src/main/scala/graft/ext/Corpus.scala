@@ -1,0 +1,91 @@
+package graft.ext
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators of an LLM training-data pipeline, beyond
+  * per-document scoring (TextAnalysis) and dedup (Dedup):
+  *
+  *  - repetition signals — the Gopher/C4-style within-document duplication
+  *    fractions used to filter degenerate/boilerplate text;
+  *  - deterministic stratified sampling — hash-Bernoulli per stratum, the
+  *    reproducible way to hit data-mixing rates (no RNG state, any subset
+  *    of the corpus resamples identically);
+  *  - token-window chunking — context-window shaping with stride/overlap.
+  *
+  * Everything is narrow per-document expression work except the
+  * top-token aggregation in [[repetitionSignals]] (two hash aggregations
+  * sharing one shuffle, the tf-idf shape). All signals are deterministic,
+  * so DuckDB oracles reproduce them exactly.
+  */
+object Corpus {
+
+  /** Within-document repetition fractions:
+    *  - `dup_tok_frac`: 1 − distinct/total tokens;
+    *  - `dup_2gram_frac`: 1 − distinct/total word 2-grams (0 for <2 tokens);
+    *  - `top_tok_frac`: share of the most frequent token.
+    * High values mark degenerate/boilerplate documents (the Gopher quality
+    * filter family). */
+  def repetitionSignals(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val toks = TextAnalysis.tokens(text)
+    val g2 = TextAnalysis.wordNgrams(toks, 2)
+    val base = df.select(
+      idCol.as("doc_id"),
+      size(toks).as("n"),
+      size(array_distinct(toks)).as("nd"),
+      size(g2).as("n2"),
+      size(array_distinct(g2)).as("nd2"))
+    // most-frequent-token count: explode + two hash aggs on the same
+    // doc_id-keyed shuffle (per-doc HOF mode-finding would be interpreted)
+    val topTok = df.select(idCol.as("doc_id"), explode(toks).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_c"))
+    base.join(topTok, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n").as("n_tokens"),
+        round(when(col("n") > 0, lit(1.0) - col("nd").cast("double") / col("n"))
+          .otherwise(lit(0.0)), 6).as("dup_tok_frac"),
+        round(when(col("n2") > 0, lit(1.0) - col("nd2").cast("double") / col("n2"))
+          .otherwise(lit(0.0)), 6).as("dup_2gram_frac"),
+        round(when(col("n") > 0, coalesce(col("top_c"), lit(0L)).cast("double") / col("n"))
+          .otherwise(lit(0.0)), 6).as("top_tok_frac"))
+  }
+
+  /** Deterministic stratified Bernoulli sample: keep a row iff
+    * `md5_60(id) mod 1e6 < rate(stratum)·1e6`. Hash-based, so the sample is
+    * reproducible row-by-row on any engine (the DuckDB oracle replays the
+    * identical md5 arithmetic) and needs no RNG coordination across
+    * executors — the property that matters when mixing 100 TB corpora to
+    * target rates. Fully narrow: no shuffle, pushdown-friendly. */
+  def stratifiedSample(df: DataFrame, idCol: Column, stratumCol: Column,
+                       rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val h = pmod(Hashing.md5Long60(idCol.cast("string")), lit(1000000L))
+    val threshold = rates.foldLeft(lit((defaultRate * 1e6).toLong)) {
+      case (acc, (stratum, r)) =>
+        when(stratumCol === stratum, lit((r * 1e6).toLong)).otherwise(acc)
+    }
+    df.filter(h < threshold)
+  }
+
+  /** Context-window chunking: token windows of `chunkSize` starting every
+    * `stride` tokens (overlap = chunkSize − stride), final windows
+    * truncated; empty docs emit nothing. One narrow explode — the standard
+    * sequence-shaping step before tokenizer/packing stages. */
+  def chunkTokens(df: DataFrame, idCol: Column, text: Column,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride, "need 0 < stride <= chunkSize")
+    val toks = TextAnalysis.tokens(text)
+    df.select(idCol.as("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          ceil(col("n").cast("double") / stride).cast("int") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * stride + 1, lit(chunkSize)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ctoks")).as("n_tokens"),
+        concat_ws(" ", col("ctoks")).as("chunk_text"))
+  }
+}

@@ -500,6 +500,66 @@ object TierC {
              |     unnest(generate_series(0, CAST('0x' || substr(md5(text), 7, 2) AS INT) % 30, 7)) AS u(frame_idx)
              |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // Gopher-style within-document repetition signals (duplicate token /
+    // 2-gram fractions, top-token share) — the standard quality filter for
+    // degenerate or boilerplate text in a training-data pipeline.
+    Q("c20_repetition",
+      (s, d) => graft.ext.Corpus.repetitionSignals(Tables.documents(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH $toksCte,
+           |g2 AS (
+           |  SELECT doc_id, w,
+           |         CASE WHEN len(w) >= 2
+           |              THEN list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+           |              ELSE [] END AS g
+           |  FROM toks),
+           |topt AS (
+           |  SELECT doc_id, max(c) AS top_c FROM (
+           |    SELECT doc_id, t, count(*) AS c
+           |    FROM (SELECT doc_id, unnest(w) AS t FROM toks) GROUP BY doc_id, t)
+           |  GROUP BY doc_id)
+           |SELECT g2.doc_id,
+           |       CAST(len(w) AS INT) AS n_tokens,
+           |       round(CASE WHEN len(w) > 0 THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE)/len(w) ELSE 0.0 END, 6) AS dup_tok_frac,
+           |       round(CASE WHEN len(g) > 0 THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE)/len(g) ELSE 0.0 END, 6) AS dup_2gram_frac,
+           |       round(CASE WHEN len(w) > 0 THEN CAST(coalesce(top_c, 0) AS DOUBLE)/len(w) ELSE 0.0 END, 6) AS top_tok_frac
+           |FROM g2 LEFT JOIN topt ON g2.doc_id = topt.doc_id
+           |ORDER BY g2.doc_id""".stripMargin)),
+
+    // Deterministic stratified sampling: md5-hash Bernoulli per language
+    // stratum (en 50%, zh 25%, rest 10%) — reproducible data mixing with
+    // no RNG state; the oracle replays the identical hash arithmetic.
+    Q("c21_sample_stratified",
+      (s, d) => graft.ext.Corpus.stratifiedSample(Tables.documents(s, d),
+        col("doc_id"), col("lang"),
+        rates = Map("en" -> 0.5, "zh" -> 0.25), defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some(
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE ${Hashing.sqlMd5Long60("CAST(doc_id AS VARCHAR)")} % 1000000
+           |      < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 250000 ELSE 100000 END
+           |ORDER BY doc_id""".stripMargin)),
+
+    // Context-window chunking: 50-token windows every 40 tokens (10-token
+    // overlap), final windows truncated — sequence shaping ahead of
+    // tokenizer/packing stages.
+    Q("c22_chunk",
+      (s, d) => graft.ext.Corpus.chunkTokens(Tables.documents(s, d),
+        col("doc_id"), col("text"), chunkSize = 50, stride = 40)
+        .filter(col("doc_id") < 50)
+        .orderBy("doc_id", "chunk_idx"),
+      Some(
+        s"""WITH $toksCte,
+           |c AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0 AND doc_id < 50),
+           |x AS (SELECT doc_id, w, n, unnest(generate_series(0, CAST(ceil(n/40.0) AS INT) - 1)) AS chunk_idx
+           |      FROM c)
+           |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           |       CAST(len(w[chunk_idx*40+1 : chunk_idx*40+50]) AS INT) AS n_tokens,
+           |       array_to_string(w[chunk_idx*40+1 : chunk_idx*40+50], ' ') AS chunk_text
+           |FROM x ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // REAL pixel decode: payloads are genuine PNG/BMP bytes produced by the
     // JDK's own codecs (ImageIO.write of a deterministic per-(id,x,y) RGB
     // pattern — PNG goes through real zlib compression), and the query

@@ -254,6 +254,44 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(u.getAs[String]("fmt") == "unknown" && u.getAs[Long]("n_px") == 0L)
   }
 
+  test("corpus shaping: repetition signals, stratified sample, chunking") {
+    import graft.ext.Corpus
+    val sp2 = sp
+    import sp2.implicits._
+    // repetition: "a a b" → dup_tok 1/3, top_tok 2/3; 2-grams "a a","a b" distinct
+    val docs = Seq((1L, "a a b"), (2L, "x"), (3L, "y y y y")).toDF("doc_id", "text")
+    val rep = Corpus.repetitionSignals(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(rep(0).getAs[Double]("dup_tok_frac") == 0.333333)
+    assert(rep(0).getAs[Double]("dup_2gram_frac") == 0.0)
+    assert(rep(0).getAs[Double]("top_tok_frac") == 0.666667)
+    assert(rep(1).getAs[Double]("dup_tok_frac") == 0.0 && rep(1).getAs[Double]("dup_2gram_frac") == 0.0)
+    assert(rep(2).getAs[Double]("dup_tok_frac") == 0.75 &&
+      rep(2).getAs[Double]("dup_2gram_frac") == 0.666667 &&
+      rep(2).getAs[Double]("top_tok_frac") == 1.0)
+    // stratified sample: deterministic (same rows twice) and subset-stable
+    // (sampling a filtered corpus keeps exactly the filtered sample rows)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rates = Map("en" -> 0.5, "zh" -> 0.25)
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Corpus.stratifiedSample(df, col("doc_id"), col("lang"), rates, 0.1)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = sample(corpus)
+    assert(s1 == sample(corpus) && s1.nonEmpty)
+    val evenIds = sample(corpus.filter(col("doc_id") % 2 === 0))
+    assert(evenIds == s1.filter(_ % 2 == 0))
+    // chunking: 100 tokens, size 50 stride 40 → offsets 0/40/80, len 50/50/20
+    val longDoc = Seq((7L, (0 until 100).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val ch = Corpus.chunkTokens(longDoc, col("doc_id"), col("text"), 50, 40)
+      .orderBy("chunk_idx").collect()
+    assert(ch.map(_.getAs[Int]("n_tokens")).toSeq == Seq(50, 50, 20))
+    assert(ch(1).getAs[String]("chunk_text").startsWith("t40 ") &&
+      ch(1).getAs[String]("chunk_text").endsWith(" t89"))
+    assert(ch(2).getAs[String]("chunk_text") == (80 until 100).map(i => s"t$i").mkString(" "))
+    // empty doc emits nothing
+    assert(Corpus.chunkTokens(Seq((9L, "")).toDF("doc_id", "text"), col("doc_id"), col("text"), 50, 40).count() == 0)
+  }
+
   test("flatten kernel matches HOF twin on real change-log, incl. edge cells") {
     val real = ChangeLog.readEvents(spark, "/root/testdata/sf0.001")
     val a = real.select(Transform.flattenCells(col("cells")).as("m")).collect()
