@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   *   - `"quoted phrases"` → consecutive-token match_phrase
   *   - `*`/`?` wildcards → `like` over the raw field value (keyword
   *     semantics — analyzed-term wildcards need an inverted index)
+  *   - `f:[a TO b]` / `f:{a TO b}` ranges (mixed brackets, `*` unbounded)
+  *     and `f:>=v` / `f:>v` / `f:<=v` / `f:<v` comparisons
+  *   - `term~` / `term~N` fuzzy (edit distance, default 2)
   *
   * Value semantics without a mapping: a numeric-looking value compiles to
   * typed equality (numeric/keyword fields); anything else to a one-term
@@ -35,9 +38,18 @@ object QueryString {
   final case class Term(field: Option[String], text: String) extends Node
   final case class Phrase(field: Option[String], words: Seq[String]) extends Node
   final case class Wild(field: Option[String], pattern: String) extends Node
+  /** `f:[a TO b]` / `f:{a TO b}` (mixed brackets allowed; `*` = unbounded) */
+  final case class Rng(field: String, lo: Option[String], hi: Option[String],
+                       loInc: Boolean, hiInc: Boolean) extends Node
+  /** `f:>=v`, `f:>v`, `f:<=v`, `f:<v` */
+  final case class Cmp(field: String, op: String, v: String) extends Node
+  /** `term~` / `term~N` (Damerau-ish edit distance, default 2) */
+  final case class Fuzzy(field: Option[String], text: String, maxEdits: Int) extends Node
   final case class And(l: Node, r: Node) extends Node
   final case class Or(l: Node, r: Node) extends Node
   final case class Not(n: Node) extends Node
+
+  private val FuzzyRe = "(.+)~([0-9]*)".r
 
   private sealed trait Tok
   private case object LP extends Tok
@@ -67,7 +79,7 @@ object QueryString {
       else if (c == '"') { val (s, j) = quoted(i); out += Atom(Phrase(None, phraseWords(s))); i = j }
       else {
         val start = i
-        while (i < q.length && !q(i).isWhitespace && "()\"".indexOf(q(i)) < 0) i += 1
+        while (i < q.length && !q(i).isWhitespace && "()\"[{".indexOf(q(i)) < 0) i += 1
         var w = q.substring(start, i)
         w match {
           case "AND" | "&&" => out += AndT
@@ -82,13 +94,33 @@ object QueryString {
             }
             if (rest.isEmpty && fld.isDefined && i < q.length && q(i) == '"') {
               val (s, j) = quoted(i); out += Atom(Phrase(fld, phraseWords(s))); i = j
+            } else if (rest.isEmpty && fld.isDefined && i < q.length && (q(i) == '[' || q(i) == '{')) {
+              // `f:[a TO b]` / `f:{a TO b}` — mixed brackets allowed
+              val loInc = q(i) == '['
+              val close = q.indexWhere(c => c == ']' || c == '}', i + 1)
+              require(close > 0, s"unterminated range in query string: $q")
+              val hiInc = q(close) == ']'
+              val parts = q.substring(i + 1, close).trim.split("\\s+TO\\s+")
+              require(parts.length == 2, s"range must be '<lo> TO <hi>': $q")
+              def bound(s: String) = if (s == "*") None else Some(s)
+              out += Atom(Rng(fld.get, bound(parts(0)), bound(parts(1)), loInc, hiInc))
+              i = close + 1
             } else if (rest.isEmpty && fld.isDefined)
               // `f:(a OR b)` field grouping — reject loudly, never silently
               // drop the field scope
               throw new IllegalArgumentException(
                 s"field-grouped query (${fld.get}:(...)) is not supported; distribute the field")
-            else if (rest.exists(ch => ch == '*' || ch == '?')) out += Atom(Wild(fld, rest))
-            else if (rest.nonEmpty) out += Atom(Term(fld, rest))
+            else if (fld.isDefined && (rest.startsWith(">") || rest.startsWith("<"))) {
+              val opLen = if (rest.length > 1 && rest(1) == '=') 2 else 1
+              require(rest.length > opLen, s"empty comparison value: $w")
+              out += Atom(Cmp(fld.get, rest.substring(0, opLen), rest.substring(opLen)))
+            } else rest match {
+              case FuzzyRe(base, n) if !base.exists(ch => ch == '*' || ch == '?') =>
+                out += Atom(Fuzzy(fld, base, if (n.isEmpty) 2 else n.toInt))
+              case _ =>
+                if (rest.exists(ch => ch == '*' || ch == '?')) out += Atom(Wild(fld, rest))
+                else if (rest.nonEmpty) out += Atom(Term(fld, rest))
+            }
         }
       }
     }
@@ -114,7 +146,12 @@ object QueryString {
         val start = i
         while (i < q.length && !q(i).isWhitespace && "()|+\"".indexOf(q(i)) < 0) i += 1
         val w = q.substring(start, i)
-        if (w.nonEmpty) out += Atom(if (w.exists(ch => ch == '*' || ch == '?')) Wild(None, w) else Term(None, w))
+        if (w.nonEmpty) out += Atom(w match {
+          case FuzzyRe(base, n) if !base.exists(ch => ch == '*' || ch == '?') =>
+            Fuzzy(None, base, if (n.isEmpty) 2 else n.toInt)
+          case _ if w.exists(ch => ch == '*' || ch == '?') => Wild(None, w)
+          case _ => Term(None, w)
+        })
       }
     }
     out.result()
@@ -193,6 +230,22 @@ object QueryString {
       case Phrase(None, ws) => overDefaults(EsDsl.matchPhrase(_, ws))
       case Wild(Some(f), p) => EsDsl.wildcard(fld(f), p)
       case Wild(None, p) => overDefaults(EsDsl.wildcard(_, p))
+      case Rng(f, lo, hi, loInc, hiInc) =>
+        def b(s: String): Column = numericLit(s).getOrElse(lit(s))
+        val c = fld(f)
+        Seq(lo.map(v => if (loInc) c >= b(v) else c > b(v)),
+            hi.map(v => if (hiInc) c <= b(v) else c < b(v)))
+          .flatten.reduceOption(_ && _).getOrElse(lit(true))
+      case Cmp(f, op, v) =>
+        val b = numericLit(v).getOrElse(lit(v))
+        op match {
+          case ">=" => fld(f) >= b
+          case ">" => fld(f) > b
+          case "<=" => fld(f) <= b
+          case "<" => fld(f) < b
+        }
+      case Fuzzy(Some(f), t, n) => levenshtein(fld(f), lit(t)) <= n
+      case Fuzzy(None, t, n) => overDefaults(levenshtein(_, lit(t)) <= n)
     }
     go(n)
   }

@@ -291,6 +291,20 @@ object TierB {
           |WHERE list_contains(toks, 'spark') OR list_contains(toks, 'query')
           |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
 
+    // query_string ranges ([a TO b} mixed brackets), comparisons (>=) and
+    // fuzzy (~N) — the rest of the Lucene query-bar syntax.
+    Q("a33_es_json_qs_range",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),
+        """{"query": {"query_string": {
+          |   "query": "p_brand:Brand#43~1 AND p_retailprice:[900 TO 1500} AND p_size:>=25"}},
+          | "sort": ["p_partkey"], "size": 50}""".stripMargin)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("p_size")),
+      Some("""SELECT p_partkey, p_brand, p_retailprice, p_size FROM part
+             |WHERE levenshtein(p_brand, 'Brand#43') <= 1
+             |  AND p_retailprice >= 900 AND p_retailprice < 1500
+             |  AND p_size >= 25
+             |ORDER BY p_partkey LIMIT 50""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

@@ -336,6 +336,13 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     // `-x` / NOT-adjacency binds as AND NOT even under default OR
     assert(parseLucene("a -b") == And(Term(None, "a"), Not(Term(None, "b"))))
     assert(parseLucene("a NOT b") == And(Term(None, "a"), Not(Term(None, "b"))))
+    // ranges, comparisons, fuzzy
+    assert(parseLucene("f:[10 TO 20]") == Rng("f", Some("10"), Some("20"), loInc = true, hiInc = true))
+    assert(parseLucene("f:{a TO *}") == Rng("f", Some("a"), None, loInc = false, hiInc = false))
+    assert(parseLucene("f:>=25 AND g:<3") == And(Cmp("f", ">=", "25"), Cmp("g", "<", "3")))
+    assert(parseLucene("name~1") == Fuzzy(None, "name", 1))
+    assert(parseLucene("f:name~") == Fuzzy(Some("f"), "name", 2))
+    intercept[IllegalArgumentException](parseLucene("f:[10 TO"))
     // simple syntax: + | - parens quotes
     assert(parseSimple("a + b | c") ==
       Or(And(Term(None, "a"), Term(None, "b")), Term(None, "c")))
