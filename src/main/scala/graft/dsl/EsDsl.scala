@@ -71,46 +71,61 @@ object EsDsl {
       .drop(internals: _*)
   }
 
-  /** BM25 machinery for SEVERAL (field, terms) clauses in ONE corpus pass —
-    * the composable core behind [[matchBm25]] and the scored `bool`
-    * (per-clause boosts summing into a bool-level `_score`). Per clause:
-    * a one-pass term-freq kernel column; then a single shared stats frame
-    * (N, per-clause avgdl, per-clause-term df) broadcast back; per-clause
-    * raw score expressions (0 for a doc matching no term — BM25's natural
-    * zero). Returns (joined frame, per-clause scores, internal col names
-    * for the caller to drop). */
+  /** One BM25-scorable clause: an analyzed term set (`match`) or a
+    * consecutive-token phrase (`match_phrase`, scored by Lucene's phrase
+    * frequency — overlapping occurrence count as tf). */
+  sealed trait Bm25Clause { def nFreqs: Int }
+  final case class TermsBm25(text: Column, terms: Seq[String]) extends Bm25Clause {
+    def nFreqs: Int = terms.size
+  }
+  final case class PhraseBm25(text: Column, phrase: Seq[String]) extends Bm25Clause {
+    def nFreqs: Int = 1
+  }
+
   def bm25Scores(docs: DataFrame, clauses: Seq[(Column, Seq[String])],
-                 k1: Double = 1.2, b: Double = 0.75): (DataFrame, Seq[Column], Seq[String]) = {
-    val qss = clauses.map { case (_, ts) => ts.map(_.toLowerCase) }
-    // one tokenize pass per doc per clause: [tf(t0), …, tf(tn-1), doclen] —
-    // the HOF formulation re-evaluated size(filter(tokens)) per term in
-    // BOTH the filter condition and the projection (12 interpreted array
-    // scans/row)
-    val base = clauses.zip(qss).zipWithIndex.foldLeft(docs) {
-      case (d, (((text, _), qs), i)) =>
-        d.withColumn(s"_tfs$i", graft.functions.TextKernels.termFreqs(text, qs))
-          .withColumn(s"_dl$i", element_at(col(s"_tfs$i"), qs.size + 1).cast("double"))
+                 k1: Double = 1.2, b: Double = 0.75): (DataFrame, Seq[Column], Seq[String]) =
+    bm25ScoresMixed(docs, clauses.map { case (t, ts) => TermsBm25(t, ts) }, k1, b)
+
+  /** BM25 machinery for SEVERAL clauses in ONE corpus pass — the composable
+    * core behind [[matchBm25]] and the scored `bool` (per-clause boosts
+    * summing into a bool-level `_score`). Per clause: a one-pass freq
+    * kernel column ([tf…, doclen] for term sets, [phraseFreq, doclen] for
+    * phrases — the HOF formulation re-evaluated size(filter(tokens)) per
+    * term in BOTH the filter condition and the projection); then a single
+    * shared stats frame (N, per-clause avgdl, per-freq df) broadcast back;
+    * per-clause raw score expressions (0 for a doc matching nothing —
+    * BM25's natural zero). Returns (joined frame, per-clause scores,
+    * internal col names for the caller to drop). */
+  def bm25ScoresMixed(docs: DataFrame, clauses: Seq[Bm25Clause],
+                      k1: Double = 1.2, b: Double = 0.75): (DataFrame, Seq[Column], Seq[String]) = {
+    val base = clauses.zipWithIndex.foldLeft(docs) {
+      case (d, (TermsBm25(text, ts), i)) =>
+        d.withColumn(s"_tfs$i", graft.functions.TextKernels.termFreqs(text, ts.map(_.toLowerCase)))
+          .withColumn(s"_dl$i", element_at(col(s"_tfs$i"), ts.size + 1).cast("double"))
+      case (d, (PhraseBm25(text, ph), i)) =>
+        d.withColumn(s"_tfs$i", graft.functions.TextKernels.phraseFreqs(text, ph))
+          .withColumn(s"_dl$i", element_at(col(s"_tfs$i"), 2).cast("double"))
     }
     val statCols = count(lit(1)).cast("double").as("_n") +:
-      qss.zipWithIndex.flatMap { case (qs, i) =>
+      clauses.zipWithIndex.flatMap { case (c, i) =>
         avg(col(s"_dl$i")).as(s"_avgdl$i") +:
-          qs.indices.map { j =>
+          (0 until c.nFreqs).map { j =>
             sum(when(element_at(col(s"_tfs$i"), j + 1) > 0, 1L).otherwise(0L))
               .cast("double").as(s"_df${i}_$j")
           }
       }
     val stats = base.agg(statCols.head, statCols.tail: _*)
     val joined = base.crossJoin(broadcast(stats))
-    val scores = qss.zipWithIndex.map { case (qs, i) =>
-      qs.indices.map { j =>
+    val scores = clauses.zipWithIndex.map { case (c, i) =>
+      (0 until c.nFreqs).map { j =>
         val tf = element_at(col(s"_tfs$i"), j + 1).cast("double")
         val idf = log(lit(1.0) + (col("_n") - col(s"_df${i}_$j") + 0.5) / (col(s"_df${i}_$j") + 0.5))
         val lengthNorm = lit(k1) * (lit(1 - b) + lit(b) * col(s"_dl$i") / col(s"_avgdl$i"))
         idf * (tf * (k1 + 1)) / (tf + lengthNorm)
       }.reduce(_ + _)
     }
-    val internals = "_n" +: qss.zipWithIndex.flatMap { case (qs, i) =>
-      Seq(s"_tfs$i", s"_dl$i", s"_avgdl$i") ++ qs.indices.map(j => s"_df${i}_$j")
+    val internals = "_n" +: clauses.zipWithIndex.flatMap { case (c, i) =>
+      Seq(s"_tfs$i", s"_dl$i", s"_avgdl$i") ++ (0 until c.nFreqs).map(j => s"_df${i}_$j")
     }
     (joined, scores, internals)
   }

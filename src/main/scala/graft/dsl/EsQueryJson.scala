@@ -208,26 +208,24 @@ object EsQueryJson {
   }
 
   /** The `_score`-producing query kinds. `match` is Lucene-shaped BM25
-    * ([[EsDsl.matchBm25]]); `constant_score` scores its `boost` for every
-    * doc passing the wrapped filter; `bool` accumulates ADDITIVELY over its
-    * scoring clauses (must first, then should, in clause order — the
-    * association the 6-dp oracle mirrors): a `match` clause contributes
-    * boost × BM25, a `constant_score` or boosted `term` clause contributes
-    * its boost when it matches, any other clause kind filters without
-    * scoring. `filter` clauses never score (ES semantics). bool-level
-    * `minimum_should_match` defaults ES-faithfully: 1 when the bool is
-    * should-only, else 0. */
+    * ([[EsDsl.matchBm25]]); `match_phrase` scores by phrase frequency
+    * (overlapping occurrence count as tf, Lucene's exact-phrase freq);
+    * `multi_match` is best_fields (max of per-field BM25, ES's default
+    * type); `constant_score` scores its `boost` for every doc passing the
+    * wrapped filter; `bool` accumulates ADDITIVELY over its scoring
+    * clauses (must first, then should, in clause order — the association
+    * the 6-dp oracle mirrors): match/phrase/multi_match clauses contribute
+    * boost × BM25 (sharing ONE corpus pass and stats frame), a
+    * `constant_score` or boosted `term` clause contributes its boost when
+    * it matches, any other clause kind filters without scoring. `filter`
+    * clauses never score (ES semantics). bool-level `minimum_should_match`
+    * defaults ES-faithfully: 1 when the bool is should-only, else 0. */
   private def scoredSearch(df: DataFrame, q: JsonNode): DataFrame = {
     val (kind, body) = single(q)
     kind match {
       case "match" =>
         val (f, v) = single(body)
-        val (text, msm, boost) =
-          if (v.isObject)
-            (v.get("query").asText(),
-              Option(v.get("minimum_should_match")).map(_.asInt()).getOrElse(1),
-              Option(v.get("boost")).map(_.asDouble()).getOrElse(1.0))
-          else (v.asText(), 1, 1.0)
+        val (text, boost, msm) = textBoostMsm(v)
         val terms = text.split("\\s+").toSeq
         val scored =
           if (boost == 1.0) EsDsl.matchBm25(df, field(f), terms)
@@ -237,6 +235,25 @@ object EsQueryJson {
               .filter(col("_score") > 0).drop(internals: _*)
           }
         if (msm > 1) scored.filter(EsDsl.matchQuery(field(f), terms, msm)) else scored
+      case "match_phrase" =>
+        val (f, v) = single(body)
+        val (text, boost, _) = textBoostMsm(v)
+        val ph = text.split("\\s+").toSeq
+        val (joined, scores, internals) =
+          EsDsl.bm25ScoresMixed(df, Seq(EsDsl.PhraseBm25(field(f), ph)))
+        joined.withColumn("_score", round(boosted(boost, scores.head), 6))
+          .filter(col("_score") > 0).drop(internals: _*)
+      case "multi_match" =>
+        val fs = body.get("fields").elements().asScala.map(_.asText()).toSeq
+        val ts = body.get("query").asText().split("\\s+").toSeq
+        val boost = Option(body.get("boost")).map(_.asDouble()).getOrElse(1.0)
+        val msm = Option(body.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
+        val (joined, scores, internals) =
+          EsDsl.bm25ScoresMixed(df, fs.map(f => EsDsl.TermsBm25(field(f), ts)))
+        val best = if (scores.size == 1) scores.head else greatest(scores: _*)
+        val scored = joined.withColumn("_score", round(boosted(boost, best), 6))
+          .filter(col("_score") > 0).drop(internals: _*)
+        if (msm > 1) scored.filter(EsDsl.multiMatch(fs.map(field), ts, msm)) else scored
       case "constant_score" =>
         val boost = Option(body.get("boost")).map(_.asDouble()).getOrElse(1.0)
         df.filter(predicate(body.get("filter")))
@@ -244,9 +261,21 @@ object EsQueryJson {
       case "bool" => scoredBool(df, body)
       case other =>
         throw new IllegalArgumentException(
-          s"_score sort requires match/constant_score/bool, got $other")
+          s"_score sort requires match/match_phrase/multi_match/constant_score/bool, got $other")
     }
   }
+
+  /** Query text + optional boost / minimum_should_match of a clause body
+    * (string shorthand or object form). */
+  private def textBoostMsm(v: JsonNode): (String, Double, Int) =
+    if (v.isObject)
+      (v.get("query").asText(),
+        Option(v.get("boost")).map(_.asDouble()).getOrElse(1.0),
+        Option(v.get("minimum_should_match")).map(_.asInt()).getOrElse(1))
+    else (v.asText(), 1.0, 1)
+
+  private def boosted(boost: Double, raw: Column): Column =
+    if (boost == 1.0) raw else lit(boost) * raw
 
   private def scoredBool(df: DataFrame, body: JsonNode): DataFrame = {
     def list(nm: String): Seq[JsonNode] = Option(body.get(nm)).toSeq.flatMap { n =>
@@ -255,46 +284,55 @@ object EsQueryJson {
     val (must, should, filt, mustNot) =
       (list("must"), list("should"), list("filter"), list("must_not"))
     // one shared corpus pass for every BM25-scoring clause (must ++ should
-    // in clause order)
+    // in clause order): first sweep allocates kernel/stats slots, second
+    // sweep (given the raw score columns) builds (predicate, contribution)
     val scoring = must ++ should
-    val bm25Specs = scoring.flatMap { n =>
-      val (k, b) = single(n)
-      if (k != "match") None
-      else {
-        val (f, v) = single(b)
-        val (text, boost) =
-          if (v.isObject) (v.get("query").asText(),
-            Option(v.get("boost")).map(_.asDouble()).getOrElse(1.0))
-          else (v.asText(), 1.0)
-        Some((f, text.split("\\s+").toSeq, boost))
-      }
-    }
-    val (joined, rawScores, internals) =
-      if (bm25Specs.isEmpty) (df, Seq.empty[Column], Seq.empty[String])
-      else EsDsl.bm25Scores(df, bm25Specs.map { case (f, ts, _) => field(f) -> ts })
-    var bm25Idx = 0
-    // per scoring clause: (match predicate, score contribution)
-    val scoredClauses: Seq[(Column, Option[Column])] = scoring.map { n =>
+    val slots = scala.collection.mutable.ArrayBuffer.empty[EsDsl.Bm25Clause]
+    val mk = scoring.map[Seq[Column] => (Column, Option[Column])] { n =>
       val (k, b) = single(n)
       k match {
         case "match" =>
-          val (f, ts, boost) = bm25Specs(bm25Idx)
-          val raw = rawScores(bm25Idx); bm25Idx += 1
-          val sc = if (boost == 1.0) raw else lit(boost) * raw
-          (EsDsl.matchQuery(field(f), ts), Some(sc))
+          val (f, v) = single(b)
+          val (text, boost, _) = textBoostMsm(v)
+          val ts = text.split("\\s+").toSeq
+          val idx = slots.size; slots += EsDsl.TermsBm25(field(f), ts)
+          raws => (EsDsl.matchQuery(field(f), ts), Some(boosted(boost, raws(idx))))
+        case "match_phrase" =>
+          val (f, v) = single(b)
+          val (text, boost, _) = textBoostMsm(v)
+          val ph = text.split("\\s+").toSeq
+          val idx = slots.size; slots += EsDsl.PhraseBm25(field(f), ph)
+          raws => (EsDsl.matchPhrase(field(f), ph), Some(boosted(boost, raws(idx))))
+        case "multi_match" =>
+          // best_fields: score = max over per-field BM25, ES's default type
+          val fs = b.get("fields").elements().asScala.map(_.asText()).toSeq
+          val ts = b.get("query").asText().split("\\s+").toSeq
+          val boost = Option(b.get("boost")).map(_.asDouble()).getOrElse(1.0)
+          val msm = Option(b.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
+          val idxs = fs.map { f => val i = slots.size; slots += EsDsl.TermsBm25(field(f), ts); i }
+          raws => {
+            val best = if (idxs.size == 1) raws(idxs.head) else greatest(idxs.map(raws): _*)
+            (EsDsl.multiMatch(fs.map(field), ts, msm), Some(boosted(boost, best)))
+          }
         case "constant_score" =>
           val boost = Option(b.get("boost")).map(_.asDouble()).getOrElse(1.0)
           val p = predicate(b.get("filter"))
-          (p, Some(when(p, lit(boost)).otherwise(lit(0.0))))
+          _ => (p, Some(when(p, lit(boost)).otherwise(lit(0.0))))
         case "term" =>
           val (_, v) = single(b)
           val boost =
             if (v.isObject) Option(v.get("boost")).map(_.asDouble()).getOrElse(1.0) else 1.0
           val p = predicate(n)
-          (p, if (boost == 1.0) None else Some(when(p, lit(boost)).otherwise(lit(0.0))))
-        case _ => (predicate(n), None)
+          _ => (p, if (boost == 1.0) None else Some(when(p, lit(boost)).otherwise(lit(0.0))))
+        case _ =>
+          val p = predicate(n)
+          _ => (p, None)
       }
     }
+    val (joined, rawScores, internals) =
+      if (slots.isEmpty) (df, Seq.empty[Column], Seq.empty[String])
+      else EsDsl.bm25ScoresMixed(df, slots.toSeq)
+    val scoredClauses: Seq[(Column, Option[Column])] = mk.map(_(rawScores))
     val (mustCl, shouldCl) = scoredClauses.splitAt(must.size)
     val msm = Option(body.get("minimum_should_match")).map(_.asInt())
       .getOrElse(if (must.isEmpty && filt.isEmpty) 1 else 0)

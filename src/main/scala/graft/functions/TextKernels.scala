@@ -133,9 +133,36 @@ object TextKernels {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** `[phraseFreq, docLen]` in one tokenize pass: phraseFreq counts
+    * OVERLAPPING occurrences of the consecutive-token phrase (Lucene's
+    * exact-phrase freq — "a a a" contains "a a" twice). Feeds BM25 phrase
+    * scoring; the DuckDB twin is the list_filter position scan. */
+  case class PhraseFreqKernel(child: Expression, phrase: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    require(phrase.nonEmpty, "empty phrase")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val p: Array[String] = phrase.toArray
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      var pf = 0
+      var i = 0
+      val last = toks.length - p.length
+      while (i <= last) {
+        var j = 0
+        while (j < p.length && toks(i + j) == p(j)) j += 1
+        if (j == p.length) pf += 1
+        i += 1
+      }
+      new GenericArrayData(Array(pf, toks.length))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   def wordNgrams(text: Column, n: Int): Column = column(WordNgramsKernel(expression(text), n))
   def tokenHashes60(text: Column): Column = column(TokenHashes60(expression(text)))
   def cellsToMap(cells: Column): Column = column(CellsToMap(expression(cells)))
   def termFreqs(text: Column, terms: Seq[String]): Column =
     column(TermFreqsKernel(expression(text), terms))
+  def phraseFreqs(text: Column, phrase: Seq[String]): Column =
+    column(PhraseFreqKernel(expression(text), phrase.map(_.toLowerCase)))
 }

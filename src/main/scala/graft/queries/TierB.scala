@@ -305,6 +305,82 @@ object TierB {
              |  AND p_size >= 25
              |ORDER BY p_partkey LIMIT 50""".stripMargin)),
 
+    // Scored match_phrase inside a bool: phrase frequency (overlapping
+    // occurrences, Lucene's exact-phrase freq) as BM25 tf, 1.5× boosted,
+    // plus an unboosted should match — one shared corpus pass.
+    Q("a34_es_json_phrase_score",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"bool": {
+          |   "must": [{"match_phrase": {"text": {"query": "the data", "boost": 1.5}}}],
+          |   "should": [{"match": {"text": "spark"}}]}},
+          | "sort": ["_score", "doc_id"], "size": 20}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), f AS (
+             |  SELECT doc_id, w,
+             |         CAST(len(list_filter(generate_series(1, len(w)-1),
+             |                i -> w[i] = 'the' AND w[i+1] = 'data')) AS DOUBLE) AS pf,
+             |         CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tfs,
+             |         CAST(len(w) AS DOUBLE) AS dl
+             |  FROM t
+             |), st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |         CAST(sum(CASE WHEN pf > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfp,
+             |         CAST(sum(CASE WHEN tfs > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfs
+             |  FROM f
+             |), sc AS (
+             |  SELECT doc_id, w,
+             |         round(1.5 * (ln(1 + (n - dfp + 0.5)/(dfp + 0.5)) * (pf*(1.2+1))/(pf + 1.2*(1 - 0.75 + 0.75*dl/avgdl)))
+             |             + ln(1 + (n - dfs + 0.5)/(dfs + 0.5)) * (tfs*(1.2+1))/(tfs + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS score
+             |  FROM f CROSS JOIN st
+             |)
+             |SELECT doc_id, score FROM sc
+             |WHERE contains('|' || array_to_string(w, '|') || '|', '|the|data|')
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Scored multi_match (best_fields): 2× max of per-field BM25 over
+    // (text, source) — ES's default multi-field relevance.
+    Q("a35_es_json_multi_match_score",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"bool": {
+          |   "must": [{"multi_match": {"query": "spark web", "fields": ["text", "source"], "boost": 2}}]}},
+          | "sort": ["_score", "doc_id"], "size": 20}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS wt,
+             |         list_filter(string_split_regex(lower(source), '\W+'), x -> x <> '') AS ws
+             |  FROM documents
+             |), f AS (
+             |  SELECT doc_id, wt, ws,
+             |         CAST(len(list_filter(wt, x -> x = 'spark')) AS DOUBLE) AS t0,
+             |         CAST(len(list_filter(wt, x -> x = 'web')) AS DOUBLE) AS t1,
+             |         CAST(len(list_filter(ws, x -> x = 'spark')) AS DOUBLE) AS s0,
+             |         CAST(len(list_filter(ws, x -> x = 'web')) AS DOUBLE) AS s1,
+             |         CAST(len(wt) AS DOUBLE) AS dlt, CAST(len(ws) AS DOUBLE) AS dls
+             |  FROM t
+             |), st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dlt) AS avgdlt, avg(dls) AS avgdls,
+             |         CAST(sum(CASE WHEN t0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dft0,
+             |         CAST(sum(CASE WHEN t1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dft1,
+             |         CAST(sum(CASE WHEN s0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfs0,
+             |         CAST(sum(CASE WHEN s1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfs1
+             |  FROM f
+             |), sc AS (
+             |  SELECT doc_id, wt, ws,
+             |         ln(1 + (n - dft0 + 0.5)/(dft0 + 0.5)) * (t0*(1.2+1))/(t0 + 1.2*(1 - 0.75 + 0.75*dlt/avgdlt))
+             |       + ln(1 + (n - dft1 + 0.5)/(dft1 + 0.5)) * (t1*(1.2+1))/(t1 + 1.2*(1 - 0.75 + 0.75*dlt/avgdlt)) AS sct,
+             |         ln(1 + (n - dfs0 + 0.5)/(dfs0 + 0.5)) * (s0*(1.2+1))/(s0 + 1.2*(1 - 0.75 + 0.75*dls/avgdls))
+             |       + ln(1 + (n - dfs1 + 0.5)/(dfs1 + 0.5)) * (s1*(1.2+1))/(s1 + 1.2*(1 - 0.75 + 0.75*dls/avgdls)) AS scs
+             |  FROM f CROSS JOIN st
+             |)
+             |SELECT doc_id, round(2.0 * greatest(sct, scs), 6) AS score FROM sc
+             |WHERE list_contains(wt, 'spark') OR list_contains(wt, 'web')
+             |   OR list_contains(ws, 'spark') OR list_contains(ws, 'web')
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

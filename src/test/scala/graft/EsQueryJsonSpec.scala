@@ -315,6 +315,42 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     filtered.foreach { case (id, s) => assert(unfiltered(id) == s) }
   }
 
+  test("scored match_phrase and multi_match best_fields") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import graft.dsl.EsDsl
+    // phrase tf counts OVERLAPPING occurrences (Lucene exact-phrase freq)
+    val sp2 = spark
+    import sp2.implicits._
+    val tiny = Seq((1L, "a a a"), (2L, "a b a a")).toDF("doc_id", "text")
+    val pf = tiny.select(col("doc_id"),
+      graft.functions.TextKernels.phraseFreqs(col("text"), Seq("a", "a")).as("f"))
+      .orderBy("doc_id").collect().map(r => r.getSeq[Int](1).head).toSeq
+    assert(pf == Seq(2, 1))
+    // scored phrase: every returned doc contains the phrase; scores desc
+    val ph = EsQueryJson.search(docs,
+      """{"query": {"match_phrase": {"text": "the data"}}, "sort": ["_score", "doc_id"]}""")
+    val phRows = ph.select("doc_id", "_score").collect()
+    assert(phRows.nonEmpty)
+    val phIds = phRows.map(_.getLong(0)).toSet
+    val mustContain = docs.filter(EsDsl.matchPhrase(col("text"), Seq("the", "data")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(phIds == mustContain)
+    // multi_match best_fields == max of the two single-field BM25 scores
+    val mm = EsQueryJson.search(docs,
+      """{"query": {"multi_match": {"query": "spark web", "fields": ["text", "source"]}},
+        | "sort": ["_score", "doc_id"]}""".stripMargin)
+      .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val byText = EsDsl.matchBm25(docs, col("text"), Seq("spark", "web"))
+      .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val bySource = EsDsl.matchBm25(docs, col("source"), Seq("spark", "web"))
+      .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(mm.nonEmpty)
+    mm.foreach { case (id, s) =>
+      val want = math.max(byText.getOrElse(id, 0.0), bySource.getOrElse(id, 0.0))
+      assert(math.abs(s - want) < 1e-6, s"doc $id: $s vs $want")
+    }
+  }
+
   test("query_string: parse shapes, precedence, and exclusion binding") {
     import graft.dsl.QueryString
     import graft.dsl.QueryString._
