@@ -122,6 +122,10 @@ object EsQueryJson {
             x.getField(if (name.startsWith(path + ".")) name.stripPrefix(path + ".") else name)))
       case "constant_score" => // unscored context: just the wrapped filter
         predicateWith(body.get("filter"), fld)
+      case "dis_max" => // unscored: a doc matches if any clause matches
+        body.get("queries").elements().asScala.map(predicateWith(_, fld)).reduce(_ || _)
+      case "boosting" => // unscored: negative only demotes, never filters
+        predicateWith(body.get("positive"), fld)
       case "query_string" | "simple_query_string" =>
         val q = body.get("query").asText()
         val defFields =
@@ -259,9 +263,47 @@ object EsQueryJson {
         df.filter(predicate(body.get("filter")))
           .withColumn("_score", round(lit(boost).cast("double"), 6))
       case "bool" => scoredBool(df, body)
+      case "dis_max" =>
+        // score = best clause + tie_breaker × (sum of the others); a doc
+        // matches if ANY clause matches (ES dis_max semantics)
+        val qs = body.get("queries").elements().asScala.toSeq
+        val tb = Option(body.get("tie_breaker")).map(_.asDouble()).getOrElse(0.0)
+        val slots = scala.collection.mutable.ArrayBuffer.empty[EsDsl.Bm25Clause]
+        val mk = clauseSlots(qs, slots)
+        val (joined, raws, internals) =
+          if (slots.isEmpty) (df, Seq.empty[Column], Seq.empty[String])
+          else EsDsl.bm25ScoresMixed(df, slots.toSeq)
+        val clauses = mk.map(_(raws))
+        // every dis_max clause must score; an unscorable kind contributes
+        // its match as a constant 1.0 (documented simplification)
+        val scores = clauses.map { case (p, c) =>
+          c.getOrElse(when(p, lit(1.0)).otherwise(lit(0.0)))
+        }
+        val best = if (scores.size == 1) scores.head else greatest(scores: _*)
+        val total = scores.reduce(_ + _)
+        val score = if (tb == 0.0) best else best + lit(tb) * (total - best)
+        joined.filter(clauses.map(_._1).reduce(_ || _))
+          .withColumn("_score", round(score, 6))
+          .drop(internals: _*)
+      case "boosting" =>
+        // positive scores normally; matching the negative query multiplies
+        // the score by negative_boost (ES demotion, not exclusion)
+        val nb = Option(body.get("negative_boost")).map(_.asDouble()).getOrElse(0.5)
+        val slots = scala.collection.mutable.ArrayBuffer.empty[EsDsl.Bm25Clause]
+        val mk = clauseSlots(Seq(body.get("positive")), slots)
+        val (joined, raws, internals) =
+          if (slots.isEmpty) (df, Seq.empty[Column], Seq.empty[String])
+          else EsDsl.bm25ScoresMixed(df, slots.toSeq)
+        val (posPred, posScore) = mk.head(raws)
+        val neg = coalesce(predicate(body.get("negative")), lit(false))
+        val score = posScore.getOrElse(when(posPred, lit(1.0)).otherwise(lit(0.0))) *
+          when(neg, lit(nb)).otherwise(lit(1.0))
+        joined.filter(posPred)
+          .withColumn("_score", round(score, 6))
+          .drop(internals: _*)
       case other =>
         throw new IllegalArgumentException(
-          s"_score sort requires match/match_phrase/multi_match/constant_score/bool, got $other")
+          s"_score sort requires match/match_phrase/multi_match/constant_score/bool/dis_max/boosting, got $other")
     }
   }
 
@@ -277,18 +319,14 @@ object EsQueryJson {
   private def boosted(boost: Double, raw: Column): Column =
     if (boost == 1.0) raw else lit(boost) * raw
 
-  private def scoredBool(df: DataFrame, body: JsonNode): DataFrame = {
-    def list(nm: String): Seq[JsonNode] = Option(body.get(nm)).toSeq.flatMap { n =>
-      if (n.isArray) n.elements().asScala.toSeq else Seq(n)
-    }
-    val (must, should, filt, mustNot) =
-      (list("must"), list("should"), list("filter"), list("must_not"))
-    // one shared corpus pass for every BM25-scoring clause (must ++ should
-    // in clause order): first sweep allocates kernel/stats slots, second
-    // sweep (given the raw score columns) builds (predicate, contribution)
-    val scoring = must ++ should
-    val slots = scala.collection.mutable.ArrayBuffer.empty[EsDsl.Bm25Clause]
-    val mk = scoring.map[Seq[Column] => (Column, Option[Column])] { n =>
+  /** Per scoring clause: allocate BM25 kernel/stats slots (first sweep),
+    * then — given the raw score columns — build (predicate, score
+    * contribution) (second sweep). Shared by scored `bool`, `dis_max`, and
+    * `boosting`. A clause kind with no scoring form contributes None. */
+  private def clauseSlots(nodes: Seq[JsonNode],
+                          slots: scala.collection.mutable.ArrayBuffer[EsDsl.Bm25Clause])
+      : Seq[Seq[Column] => (Column, Option[Column])] =
+    nodes.map[Seq[Column] => (Column, Option[Column])] { n =>
       val (k, b) = single(n)
       k match {
         case "match" =>
@@ -329,6 +367,18 @@ object EsQueryJson {
           _ => (p, None)
       }
     }
+
+  private def scoredBool(df: DataFrame, body: JsonNode): DataFrame = {
+    def list(nm: String): Seq[JsonNode] = Option(body.get(nm)).toSeq.flatMap { n =>
+      if (n.isArray) n.elements().asScala.toSeq else Seq(n)
+    }
+    val (must, should, filt, mustNot) =
+      (list("must"), list("should"), list("filter"), list("must_not"))
+    // one shared corpus pass for every BM25-scoring clause (must ++ should
+    // in clause order)
+    val scoring = must ++ should
+    val slots = scala.collection.mutable.ArrayBuffer.empty[EsDsl.Bm25Clause]
+    val mk = clauseSlots(scoring, slots)
     val (joined, rawScores, internals) =
       if (slots.isEmpty) (df, Seq.empty[Column], Seq.empty[String])
       else EsDsl.bm25ScoresMixed(df, slots.toSeq)

@@ -381,6 +381,82 @@ object TierB {
              |   OR list_contains(ws, 'spark') OR list_contains(ws, 'web')
              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // dis_max: per-field disjunction scored as best clause + tie_breaker ×
+    // rest — ES's "don't double-count multi-field hits" compositor.
+    Q("a36_es_json_dis_max",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"dis_max": {"tie_breaker": 0.3, "queries": [
+          |   {"match": {"text": "spark query"}},
+          |   {"match": {"source": "src3"}}]}},
+          | "sort": ["_score", "doc_id"], "size": 20}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS wt,
+             |         list_filter(string_split_regex(lower(source), '\W+'), x -> x <> '') AS ws
+             |  FROM documents
+             |), f AS (
+             |  SELECT doc_id, wt, ws,
+             |         CAST(len(list_filter(wt, x -> x = 'spark')) AS DOUBLE) AS t0,
+             |         CAST(len(list_filter(wt, x -> x = 'query')) AS DOUBLE) AS t1,
+             |         CAST(len(list_filter(ws, x -> x = 'src3')) AS DOUBLE) AS s0,
+             |         CAST(len(wt) AS DOUBLE) AS dlt, CAST(len(ws) AS DOUBLE) AS dls
+             |  FROM t
+             |), st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dlt) AS avgdlt, avg(dls) AS avgdls,
+             |         CAST(sum(CASE WHEN t0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dft0,
+             |         CAST(sum(CASE WHEN t1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dft1,
+             |         CAST(sum(CASE WHEN s0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfs0
+             |  FROM f
+             |), sc AS (
+             |  SELECT doc_id, wt, ws,
+             |         ln(1 + (n - dft0 + 0.5)/(dft0 + 0.5)) * (t0*(1.2+1))/(t0 + 1.2*(1 - 0.75 + 0.75*dlt/avgdlt))
+             |       + ln(1 + (n - dft1 + 0.5)/(dft1 + 0.5)) * (t1*(1.2+1))/(t1 + 1.2*(1 - 0.75 + 0.75*dlt/avgdlt)) AS c1,
+             |         ln(1 + (n - dfs0 + 0.5)/(dfs0 + 0.5)) * (s0*(1.2+1))/(s0 + 1.2*(1 - 0.75 + 0.75*dls/avgdls)) AS c2
+             |  FROM f CROSS JOIN st
+             |)
+             |SELECT doc_id,
+             |       round(greatest(c1, c2) + 0.3 * ((c1 + c2) - greatest(c1, c2)), 6) AS score
+             |FROM sc
+             |WHERE list_contains(wt, 'spark') OR list_contains(wt, 'query') OR list_contains(ws, 'src3')
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // boosting: negative query DEMOTES (score × negative_boost), never
+    // filters — ES's soft-penalty compositor.
+    Q("a37_es_json_boosting",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"boosting": {
+          |   "positive": {"match": {"text": "spark query"}},
+          |   "negative": {"term": {"lang": "zh"}},
+          |   "negative_boost": 0.2}},
+          | "sort": ["_score", "doc_id"], "size": 20}""".stripMargin)
+        .select(col("doc_id"), col("lang"), col("_score").as("score")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), f AS (
+             |  SELECT doc_id, lang, w,
+             |         CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS t0,
+             |         CAST(len(list_filter(w, x -> x = 'query')) AS DOUBLE) AS t1,
+             |         CAST(len(w) AS DOUBLE) AS dl
+             |  FROM t
+             |), st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |         CAST(sum(CASE WHEN t0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             |         CAST(sum(CASE WHEN t1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+             |  FROM f
+             |), sc AS (
+             |  SELECT doc_id, lang, w,
+             |         (ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (t0*(1.2+1))/(t0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+             |        + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (t1*(1.2+1))/(t1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))) AS raw
+             |  FROM f CROSS JOIN st
+             |)
+             |SELECT doc_id, lang,
+             |       round(raw * CASE WHEN coalesce(lang = 'zh', FALSE) THEN 0.2 ELSE 1.0 END, 6) AS score
+             |FROM sc
+             |WHERE list_contains(w, 'spark') OR list_contains(w, 'query')
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

@@ -351,6 +351,41 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dis_max and boosting compositors") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import graft.dsl.EsDsl
+    // tie_breaker 0: dis_max == max of single-query scores
+    val dm0 = EsQueryJson.search(docs,
+      """{"query": {"dis_max": {"queries": [
+        |   {"match": {"text": "spark"}}, {"match": {"source": "src3"}}]}},
+        | "sort": ["_score", "doc_id"]}""".stripMargin)
+      .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val byText = EsDsl.matchBm25(docs, col("text"), Seq("spark"))
+      .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val bySource = EsDsl.matchBm25(docs, col("source"), Seq("src3"))
+      .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(dm0.nonEmpty)
+    dm0.foreach { case (id, s) =>
+      val want = math.max(byText.getOrElse(id, 0.0), bySource.getOrElse(id, 0.0))
+      assert(math.abs(s - want) < 1e-6)
+    }
+    // boosting demotes but never drops: same doc set as the positive alone,
+    // negative-matching docs scored at nb × positive
+    val pos = EsQueryJson.search(docs,
+      """{"query": {"match": {"text": "spark"}}, "sort": ["_score", "doc_id"]}""")
+      .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val bo = EsQueryJson.search(docs,
+      """{"query": {"boosting": {"positive": {"match": {"text": "spark"}},
+        |   "negative": {"term": {"lang": "zh"}}, "negative_boost": 0.2}},
+        | "sort": ["_score", "doc_id"]}""".stripMargin)
+      .select("doc_id", "lang", "_score").collect()
+    assert(bo.map(_.getLong(0)).toSet == pos.keySet)
+    bo.foreach { r =>
+      val want = pos(r.getLong(0)) * (if (r.getString(1) == "zh") 0.2 else 1.0)
+      assert(math.abs(r.getDouble(2) - want) < 1e-5)
+    }
+  }
+
   test("query_string: parse shapes, precedence, and exclusion binding") {
     import graft.dsl.QueryString
     import graft.dsl.QueryString._
