@@ -143,6 +143,28 @@ object EsDsl {
   /** B7 `ids` */
   def ids(idCol: Column, keys: Seq[Any]): Column = idCol.isin(keys: _*)
 
+  /** `more_like_this`: find documents similar to one source doc. Term
+    * selection is ES-faithful (the source doc's top `maxQueryTerms` terms
+    * by tf-idf against the corpus df, deterministic term tiebreak —
+    * [[graft.ext.TextAnalysis.tfIdfTopK]]); the selected terms come to the
+    * driver (k strings — query CONSTRUCTION, the same step ES runs on the
+    * coordinating node) and scoring is the total occurrence count of the
+    * query terms (the practical-scoring analog at constant idf, the
+    * b05_match_scored precedent — exact integers, so the oracle
+    * reproduces it with no float tolerance). The source doc is excluded. */
+  def moreLikeThis(docs: DataFrame, idCol: Column, text: Column, likeId: Long,
+                   maxQueryTerms: Int = 5, topN: Int = 20): DataFrame = {
+    val terms = graft.ext.TextAnalysis.tfIdfTopK(docs, idCol, text, maxQueryTerms)
+      .filter(col("doc_id") === likeId).orderBy("rn")
+      .collect().map(_.getAs[String]("term")).toSeq
+    require(terms.nonEmpty, s"more_like_this: source doc $likeId has no terms")
+    val toks = graft.ext.TextAnalysis.tokens(text)
+    docs.select(idCol.as("doc_id"),
+        size(filter(toks, t => t.isin(terms: _*))).as("score"))
+      .filter(col("score") > 0 && col("doc_id") =!= likeId)
+      .orderBy(desc("score"), col("doc_id")).limit(topN)
+  }
+
   // ---- search body ----------------------------------------------------
   /** B8 `from`/`size` + `sort` — deterministic pagination (caller supplies
     * a total order, usually with an id tiebreak). */

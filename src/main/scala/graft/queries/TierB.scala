@@ -457,6 +457,31 @@ object TierB {
              |WHERE list_contains(w, 'spark') OR list_contains(w, 'query')
              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // more_like_this: find-similar — top tf-idf terms of the source doc
+    // (deterministic term tiebreak) become the query; occurrence-count
+    // scoring (constant-idf analog, exact integers); source excluded.
+    Q("a38_more_like_this",
+      (s, d) => EsDsl.moreLikeThis(Tables.documents(s, d),
+        col("doc_id"), col("text"), likeId = 7L, maxQueryTerms = 5, topN = 20),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents),
+             |td AS (SELECT doc_id, unnest(w) AS term FROM toks),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM td GROUP BY doc_id, term),
+             |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM td GROUP BY term),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |sc0 AS (SELECT doc_id, term, round(tf * ln(n_docs*1.0/df), 6) AS tfidf
+             |        FROM tf JOIN dfq USING (term) CROSS JOIN n),
+             |r AS (SELECT doc_id, term,
+             |             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+             |      FROM sc0),
+             |q AS (SELECT term FROM r WHERE doc_id = 7 AND rn <= 5),
+             |sc AS (SELECT td.doc_id, CAST(count(*) AS INT) AS score
+             |       FROM td JOIN q USING (term) GROUP BY td.doc_id)
+             |SELECT doc_id, score FROM sc
+             |WHERE doc_id <> 7
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

@@ -98,4 +98,42 @@ class EventTimeSpec extends AnyFunSuite with SparkTestBase {
     q.stop()
     assert(sp.table("dd_out").count() == 2)
   }
+
+  test("corpus ops run unchanged on a stream: stratified sample + chunking") {
+    // both are stateless narrow transforms, so the SAME operator code
+    // drives batch and streaming — and the streaming sample equals the
+    // batch sample on the same rows (hash determinism, no RNG state)
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.ext.Corpus
+    val docs = Seq(
+      (1L, "en", (0 until 90).map(i => s"w$i").mkString(" ")),
+      (2L, "zh", "spark join merge"),
+      (3L, "de", "der die das"),
+      (4L, "en", "the a of and"))
+    val rates = Map("en" -> 1.0, "zh" -> 1.0)
+    val ms = MemoryStream[(Long, String, String)]
+    val streamDf = ms.toDF().toDF("doc_id", "lang", "text")
+    val sampled = Corpus.stratifiedSample(streamDf, col("doc_id"), col("lang"), rates, 0.0)
+    val chunked = Corpus.chunkTokens(sampled, col("doc_id"), col("text"), 50, 40)
+    val q = chunked.writeStream.outputMode("append").format("memory").queryName("corpus_out").start()
+    ms.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = sp.table("corpus_out")
+      .select("doc_id", "chunk_idx", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val batch = Corpus.chunkTokens(
+      Corpus.stratifiedSample(docs.toDF("doc_id", "lang", "text"),
+        col("doc_id"), col("lang"), rates, 0.0),
+      col("doc_id"), col("text"), 50, 40)
+      .select("doc_id", "chunk_idx", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got == batch)
+    // rate-1.0 strata kept in full, rate-0.0 stratum dropped entirely
+    assert(got.map(_._1) == Set(1L, 2L, 4L))
+    // doc 1 (90 tokens) chunks as 50/50-overlap windows: 50, 50, 10
+    assert(got.filter(_._1 == 1L).map(c => (c._2, c._3)) == Set((0, 50), (1, 50), (2, 10)))
+  }
 }
