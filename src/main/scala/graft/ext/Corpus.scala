@@ -69,6 +69,52 @@ object Corpus {
     df.filter(h < threshold)
   }
 
+  /** Sequence packing: concatenate the corpus token stream in doc_id order
+    * and cut it into fixed `budget`-token bins (docs may straddle bins) —
+    * the GPT-style packing step that turns documents into training
+    * sequences. Returns per-bin stats (doc count, token count, doc span).
+    *
+    * The global token offset is a DISTRIBUTED PREFIX SUM: range-partition
+    * by doc_id + sort within partitions, per-partition totals to the
+    * driver (#partitions values — bounded, not data-sized), broadcast
+    * offsets back, intra-partition window cumsum. No single-partition
+    * global window, no token-level explode — each doc expands only to the
+    * bins it touches (≤ n/budget + 1 rows), so the wide work is one
+    * groupBy(bin). Deterministic in doc_id order regardless of partition
+    * boundaries. */
+  def packTokens(df: DataFrame, idCol: Column, text: Column, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val base = df.select(idCol.as("doc_id"), size(TextAnalysis.tokens(text)).as("n"))
+      .filter(col("n") > 0)
+    val parted = base.repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("_pid", spark_partition_id())
+    val pidTotals = parted.groupBy("_pid").agg(sum(col("n")).as("_tot"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // offset of pid p = sum of totals of pids < p (exclusive prefix sum)
+    val pidOffsets = pidTotals.map(_._1)
+      .zip(pidTotals.map(_._2).scanLeft(0L)(_ + _))
+    val offsetOf = pidOffsets.foldLeft(lit(0L)) {
+      case (acc, (pid, off)) => when(col("_pid") === pid, lit(off)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withOff = parted
+      .withColumn("off", offsetOf + coalesce(sum(col("n")).over(w), lit(0L)))
+    withOff
+      .select(col("doc_id"), col("n"), col("off"),
+        explode(sequence(expr(s"off DIV $budget"),
+          expr(s"(off + n - 1) DIV $budget"))).as("bin"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n_docs"),
+        sum(least((col("bin") + 1) * budget, col("off") + col("n")) -
+          greatest(col("bin") * budget, col("off"))).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("bin")
+  }
+
   /** Context-window chunking: token windows of `chunkSize` starting every
     * `stride` tokens (overlap = chunkSize − stride), final windows
     * truncated; empty docs emit nothing. One narrow explode — the standard

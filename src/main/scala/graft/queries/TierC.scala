@@ -560,6 +560,29 @@ object TierC {
            |       array_to_string(w[chunk_idx*40+1 : chunk_idx*40+50], ' ') AS chunk_text
            |FROM x ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // Sequence packing: the corpus token stream in doc_id order cut into
+    // 64-token bins (docs straddle bins) — per-bin doc/token counts and
+    // doc span. Exact integers; the oracle replays the same prefix-sum +
+    // bin-span arithmetic with a window cumsum.
+    Q("c23_pack",
+      (s, d) => graft.ext.Corpus.packTokens(Tables.documents(s, d),
+        col("doc_id"), col("text"), budget = 64)
+        .filter(col("bin") < 100),
+      Some(
+        s"""WITH $toksCte,
+           |c AS (SELECT doc_id, len(w) AS n FROM toks WHERE len(w) > 0),
+           |o AS (SELECT doc_id, n,
+           |             CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+           |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+           |      FROM c),
+           |x AS (SELECT doc_id, n, off, unnest(generate_series(off // 64, (off + n - 1) // 64)) AS bin
+           |      FROM o)
+           |SELECT CAST(bin AS BIGINT) AS bin,
+           |       CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(least((bin + 1) * 64, off + n) - greatest(bin * 64, off)) AS BIGINT) AS n_tokens,
+           |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM x WHERE bin < 100 GROUP BY bin ORDER BY bin""".stripMargin)),
+
     // REAL pixel decode: payloads are genuine PNG/BMP bytes produced by the
     // JDK's own codecs (ImageIO.write of a deterministic per-(id,x,y) RGB
     // pattern — PNG goes through real zlib compression), and the query

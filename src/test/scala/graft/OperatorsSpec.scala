@@ -292,6 +292,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(Corpus.chunkTokens(Seq((9L, "")).toDF("doc_id", "text"), col("doc_id"), col("text"), 50, 40).count() == 0)
   }
 
+  test("sequence packing: conservation, full bins, straddling docs") {
+    import graft.ext.Corpus
+    val sp2 = sp
+    import sp2.implicits._
+    // docs of 5/7/3 tokens, budget 6: stream = 15 tokens → bins 6/6/3
+    val docs = Seq(
+      (1L, (0 until 5).map(i => s"a$i").mkString(" ")),
+      (2L, (0 until 7).map(i => s"b$i").mkString(" ")),
+      (3L, "c0 c1 c2")).toDF("doc_id", "text")
+    val bins = Corpus.packTokens(docs, col("doc_id"), col("text"), budget = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    //                 bin, n_docs, n_tokens, first_doc, last_doc
+    // doc1 fills 0..4, doc2 fills 5..11 (straddles bins 0-1), doc3 12..14
+    assert(bins.toSeq == Seq((0L, 2L, 6L, 1L, 2L), (1L, 1L, 6L, 2L, 2L), (2L, 1L, 3L, 3L, 3L)))
+    // real corpus: tokens conserved, every bin but the last exactly full
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val b2 = Corpus.packTokens(corpus, col("doc_id"), col("text"), budget = 128).collect()
+    val totalTokens = corpus.select(sum(size(graft.ext.TextAnalysis.tokens(col("text"))))).collect()(0).getLong(0)
+    assert(b2.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+    assert(b2.dropRight(1).forall(_.getAs[Long]("n_tokens") == 128L))
+    assert(b2.map(_.getAs[Long]("bin")).toSeq == b2.indices.map(_.toLong))
+  }
+
   test("flatten kernel matches HOF twin on real change-log, incl. edge cells") {
     val real = ChangeLog.readEvents(spark, "/root/testdata/sf0.001")
     val a = real.select(Transform.flattenCells(col("cells")).as("m")).collect()
