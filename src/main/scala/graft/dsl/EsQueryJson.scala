@@ -166,10 +166,13 @@ object EsQueryJson {
         }
       }
     val needsScore = sortSpecs.exists(_._1 == "_score")
-    val filtered = Option(body.get("query")) match {
-      case Some(q) if needsScore => scoredSearch(df, q)
-      case Some(q) => df.filter(predicate(q))
-      case None =>
+    val filtered = (Option(body.get("query")), Option(body.get("rescore"))) match {
+      case (Some(q), Some(r)) if needsScore =>
+        val tiebreaks = sortSpecs.filter(_._1 != "_score").map(s => field(s._1))
+        rescoredSearch(df, q, r, tiebreaks)
+      case (Some(q), _) if needsScore => scoredSearch(df, q)
+      case (Some(q), _) => df.filter(predicate(q))
+      case (None, _) =>
         require(!needsScore, "_score sort requires a query")
         df
     }
@@ -367,6 +370,43 @@ object EsQueryJson {
           _ => (p, None)
       }
     }
+
+  /** `rescore`: re-rank the top `window_size` primary-ranked docs by
+    * `primary + rescore_query_weight × secondary`; docs outside the window
+    * keep their primary score. Both queries score in ONE shared corpus
+    * pass; the window rank and all arithmetic use 6-dp-rounded scores with
+    * a doc-order tiebreak, so the result is engine-deterministic. (ES runs
+    * rescore on the coordinating node over window_size docs — the window
+    * is small by construction; here it is a rank filter over the matched
+    * set.) Stats are corpus-level for both queries, like ES. The window
+    * rank breaks primary-score ties by the body's non-`_score` sort fields
+    * (ascending) — a total order both engines reproduce. */
+  private def rescoredSearch(df: DataFrame, q: JsonNode, r: JsonNode,
+                             tiebreaks: Seq[Column]): DataFrame = {
+    require(tiebreaks.nonEmpty,
+      "rescore needs a non-_score sort field as the rank tiebreak")
+    val rq = r.get("query").get("rescore_query")
+    val w = Option(r.get("query").get("rescore_query_weight")).map(_.asDouble()).getOrElse(1.0)
+    val window = Option(r.get("window_size")).map(_.asInt()).getOrElse(10)
+    val slots = scala.collection.mutable.ArrayBuffer.empty[EsDsl.Bm25Clause]
+    val mkP = clauseSlots(Seq(q), slots)
+    val mkR = clauseSlots(Seq(rq), slots)
+    val (joined, raws, internals) = EsDsl.bm25ScoresMixed(df, slots.toSeq)
+    val (pPred, pOpt) = mkP.head(raws)
+    val (_, rOpt) = mkR.head(raws)
+    val primary = round(pOpt.getOrElse(when(pPred, lit(1.0)).otherwise(lit(0.0))), 6)
+    val secondary = round(rOpt.getOrElse(lit(0.0)), 6)
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_primary").desc +: tiebreaks.map(_.asc): _*)
+    joined.filter(pPred)
+      .withColumn("_primary", primary)
+      .withColumn("_secondary", secondary)
+      .withColumn("_rk", row_number().over(ord))
+      .withColumn("_score",
+        when(col("_rk") <= window, round(col("_primary") + lit(w) * col("_secondary"), 6))
+          .otherwise(col("_primary")))
+      .drop((internals ++ Seq("_primary", "_secondary", "_rk")): _*)
+  }
 
   private def scoredBool(df: DataFrame, body: JsonNode): DataFrame = {
     def list(nm: String): Seq[JsonNode] = Option(body.get(nm)).toSeq.flatMap { n =>

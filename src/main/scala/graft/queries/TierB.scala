@@ -482,6 +482,49 @@ object TierB {
              |WHERE doc_id <> 7
              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // rescore: top-10 primary-ranked docs re-scored as primary + 2×phrase
+    // score; the rest keep their primary score. One shared corpus pass.
+    Q("a39_es_json_rescore",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match": {"text": "spark query"}},
+          | "rescore": {"window_size": 10,
+          |   "query": {"rescore_query": {"match_phrase": {"text": "the data"}},
+          |             "rescore_query_weight": 2}},
+          | "sort": ["_score", "doc_id"], "size": 30}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), f AS (
+             |  SELECT doc_id, w,
+             |         CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS t0,
+             |         CAST(len(list_filter(w, x -> x = 'query')) AS DOUBLE) AS t1,
+             |         CAST(len(list_filter(generate_series(1, len(w)-1),
+             |                i -> w[i] = 'the' AND w[i+1] = 'data')) AS DOUBLE) AS pf,
+             |         CAST(len(w) AS DOUBLE) AS dl
+             |  FROM t
+             |), st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |         CAST(sum(CASE WHEN t0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             |         CAST(sum(CASE WHEN t1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             |         CAST(sum(CASE WHEN pf > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfp
+             |  FROM f
+             |), sc AS (
+             |  SELECT doc_id, w,
+             |         round(ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (t0*(1.2+1))/(t0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+             |             + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (t1*(1.2+1))/(t1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS p,
+             |         round(ln(1 + (n - dfp + 0.5)/(dfp + 0.5)) * (pf*(1.2+1))/(pf + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS sec
+             |  FROM f CROSS JOIN st
+             |), m AS (
+             |  SELECT doc_id, p, sec,
+             |         row_number() OVER (ORDER BY p DESC, doc_id) AS rn
+             |  FROM sc
+             |  WHERE list_contains(w, 'spark') OR list_contains(w, 'query')
+             |)
+             |SELECT doc_id,
+             |       CASE WHEN rn <= 10 THEN round(p + 2.0 * sec, 6) ELSE p END AS score
+             |FROM m ORDER BY score DESC, doc_id LIMIT 30""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

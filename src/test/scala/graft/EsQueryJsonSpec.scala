@@ -386,6 +386,28 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("rescore re-ranks only the window; outside keeps primary score") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plain = EsQueryJson.search(docs,
+      """{"query": {"match": {"text": "spark query"}}, "sort": ["_score", "doc_id"]}""")
+      .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val rescored = EsQueryJson.search(docs,
+      """{"query": {"match": {"text": "spark query"}},
+        | "rescore": {"window_size": 5,
+        |   "query": {"rescore_query": {"match_phrase": {"text": "the data"}},
+        |             "rescore_query_weight": 2}},
+        | "sort": ["_score", "doc_id"]}""".stripMargin)
+      .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(rescored.size == plain.length) // rescore never drops or adds docs
+    // the primary top-5 (by score desc, id) got >= their primary score;
+    // everyone else is byte-identical to the primary score
+    val top5 = plain.sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+    plain.foreach { case (id, p) =>
+      if (top5(id)) assert(rescored(id) >= p)
+      else assert(rescored(id) == p)
+    }
+  }
+
   test("query_string: parse shapes, precedence, and exclusion binding") {
     import graft.dsl.QueryString
     import graft.dsl.QueryString._
