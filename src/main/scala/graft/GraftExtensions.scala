@@ -50,5 +50,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("quantize_int8"),
       info("quantize_int8", "quantize_int8(embedding) - struct(scale, q, q_sum, q_min, q_max) in one pass"),
       (args: Seq[Expression]) => VecOps.QuantizeInt8(args.head)))
+    ext.injectFunction((FunctionIdentifier("term_freqs"),
+      info("term_freqs", "term_freqs(text, terms...) - [tf per term, doclen] in one tokenize pass"),
+      (args: Seq[Expression]) => TextKernels.TermFreqsKernel(args.head,
+        args.tail.map { case Literal(s, _) => s.toString
+                        case other => throw new IllegalArgumentException(s"term must be a literal, got $other") })))
+    ext.injectFunction((FunctionIdentifier("phrase_freqs"),
+      info("phrase_freqs", "phrase_freqs(text, words...) - [overlapping phrase freq, doclen]"),
+      (args: Seq[Expression]) => TextKernels.PhraseFreqKernel(args.head,
+        args.tail.map { case Literal(s, _) => s.toString.toLowerCase
+                        case other => throw new IllegalArgumentException(s"word must be a literal, got $other") })))
+    ext.injectFunction((FunctionIdentifier("repetition_stats"),
+      info("repetition_stats", "repetition_stats(text) - [n_tokens, n_distinct, n_2grams, n_distinct_2grams, top_token_count]"),
+      (args: Seq[Expression]) => TextKernels.RepetitionStatsKernel(args.head)))
   }
 }

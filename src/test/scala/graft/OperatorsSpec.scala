@@ -391,6 +391,13 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         "simhash60(token_hashes60('spark merge join')) AS sh").collect().head
     assert(r.getDouble(0) == 11.0)
     assert(r.getLong(1) > 0)
+    val r2 = spark.sql(
+      "SELECT term_freqs('a b a c', 'a', 'b') AS tf, " +
+        "phrase_freqs('a a a', 'a', 'a') AS pf, " +
+        "repetition_stats('a a b') AS rs").collect().head
+    assert(r2.getSeq[Int](0) == Seq(2, 1, 4)) // tf(a)=2, tf(b)=1, doclen 4
+    assert(r2.getSeq[Int](1) == Seq(2, 3))    // overlapping "a a" twice in 3 tokens
+    assert(r2.getSeq[Int](2) == Seq(3, 2, 2, 2, 2)) // n, nd, n2, nd2, top
   }
 
   test("EsDsl range/paginate/filtersAgg units") {
