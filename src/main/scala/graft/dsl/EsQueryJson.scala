@@ -176,6 +176,32 @@ object EsQueryJson {
         require(!needsScore, "_score sort requires a query")
         df
     }
+    // `highlight`: a `_highlight` fragment column — window of
+    // `fragment_size` chars around the first query-term occurrence (terms
+    // tried in query order) over the lowercased field, occurrences wrapped
+    // in <em> tags. Pure deterministic string ops (strpos/substr/replace),
+    // so the oracle reproduces fragments byte-for-byte. Conservative
+    // subset: the body's query must be match/match_phrase.
+    val highlighted = Option(body.get("highlight")) match {
+      case Some(h) =>
+        val (fname, spec) = single(h.get("fields"))
+        val fragSize = Option(spec.get("fragment_size")).map(_.asInt()).getOrElse(100)
+        val (kind, qb) = single(body.get("query"))
+        require(kind == "match" || kind == "match_phrase",
+          s"highlight supports match/match_phrase queries, got $kind")
+        val (_, v) = single(qb)
+        val terms = (if (v.isObject) v.get("query").asText() else v.asText())
+          .toLowerCase.split("\\s+").toSeq
+        val lowered = lower(field(fname))
+        val pos = terms.map(t => when(instr(lowered, t) > 0, instr(lowered, t)))
+          .reduce(coalesce(_, _))
+        val start = greatest(pos - 30, lit(1))
+        val frag = lowered.substr(start, lit(fragSize))
+        val wrapped = terms.foldLeft(frag)((acc, t) =>
+          replace(acc, lit(t), lit(s"<em>$t</em>")))
+        filtered.withColumn("_highlight", when(pos.isNotNull, wrapped))
+      case None => filtered
+    }
     // `search_after`: deep pagination as a cursor on the sort tuple — the
     // next page is rows strictly after the cursor in sort order (ES's
     // replacement for deep from/size; no offset scan at scale). Direction-
@@ -196,8 +222,8 @@ object EsQueryJson {
           val cmp = if (dirOf(sortSpecs(i)) == "desc") c < litOf(vals(i)) else c > litOf(vals(i))
           eqPrefix && cmp
         }.reduce(_ || _)
-        filtered.filter(pred)
-      case None => filtered
+        highlighted.filter(pred)
+      case None => highlighted
     }
     val sorted =
       if (sortSpecs.isEmpty) paged

@@ -525,6 +525,34 @@ object TierB {
              |       CASE WHEN rn <= 10 THEN round(p + 2.0 * sec, 6) ELSE p END AS score
              |FROM m ORDER BY score DESC, doc_id LIMIT 30""".stripMargin)),
 
+    // highlight: deterministic fragment extraction — a fragment_size
+    // window around the first query-term occurrence over the lowercased
+    // field, occurrences <em>-wrapped; byte-exact across engines.
+    Q("a40_es_json_highlight",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match": {"text": "spark query"}},
+          | "highlight": {"fields": {"text": {"fragment_size": 80}}},
+          | "sort": ["doc_id"], "size": 50}""".stripMargin)
+        .select(col("doc_id"), col("_highlight").as("fragment")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lower(text) AS l,
+             |         string_split_regex(lower(text), '\W+') AS tw
+             |  FROM documents
+             |), p AS (
+             |  SELECT doc_id, l,
+             |         coalesce(CASE WHEN strpos(l, 'spark') > 0 THEN strpos(l, 'spark') END,
+             |                  CASE WHEN strpos(l, 'query') > 0 THEN strpos(l, 'query') END) AS pos
+             |  FROM t
+             |  WHERE list_contains(tw, 'spark') OR list_contains(tw, 'query')
+             |)
+             |SELECT doc_id,
+             |       CASE WHEN pos IS NOT NULL THEN
+             |         replace(replace(substr(l, greatest(pos - 30, 1), 80),
+             |                 'spark', '<em>spark</em>'),
+             |                 'query', '<em>query</em>')
+             |       END AS fragment
+             |FROM p ORDER BY doc_id LIMIT 50""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

@@ -408,6 +408,25 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("highlight: fragment window, em-wrapping, early-position clamp") {
+    val sp2 = spark
+    import sp2.implicits._
+    val docs = Seq(
+      (1L, "Spark at the very start of this document with much more text following after it"),
+      (2L, "a long preamble that goes on for quite a while before we see spark appear here"),
+      (3L, "nothing relevant at all")).toDF("doc_id", "text")
+    val got = EsQueryJson.search(docs,
+      """{"query": {"match": {"text": "spark"}},
+        | "highlight": {"fields": {"text": {"fragment_size": 40}}},
+        | "sort": ["doc_id"]}""".stripMargin)
+      .select("doc_id", "_highlight").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // doc 3 doesn't match
+    val f1 = got(0).getString(1)
+    assert(f1.startsWith("<em>spark</em>") && f1.length <= 40 + "<em></em>".length)
+    val f2 = got(1).getString(1)
+    assert(f2.contains("<em>spark</em>") && !f2.startsWith("<em>"))
+  }
+
   test("query_string: parse shapes, precedence, and exclusion binding") {
     import graft.dsl.QueryString
     import graft.dsl.QueryString._
