@@ -422,16 +422,29 @@ object EsQueryJson {
     val (_, rOpt) = mkR.head(raws)
     val primary = round(pOpt.getOrElse(when(pPred, lit(1.0)).otherwise(lit(0.0))), 6)
     val secondary = round(rOpt.getOrElse(lit(0.0)), 6)
-    val ord = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_primary").desc +: tiebreaks.map(_.asc): _*)
-    joined.filter(pPred)
+    val matched = joined.filter(pPred)
       .withColumn("_primary", primary)
       .withColumn("_secondary", secondary)
-      .withColumn("_rk", row_number().over(ord))
+    // The in-window set is the top `window` rows of a TOTAL order
+    // (_primary desc, tiebreaks asc), so a distributed sort-limit
+    // (TakeOrdered: per-partition top-k, driver merge of k·p rows) finds it
+    // without the global single-partition Window a row_number() would need;
+    // the tiny result then broadcast-joins back as the in-window flag.
+    val winKeys = matched
+      .orderBy(col("_primary").desc +: tiebreaks.map(_.asc): _*)
+      .limit(window)
+      .select(col("_primary").as("_w_primary") +:
+        tiebreaks.zipWithIndex.map { case (c, i) => c.as(s"_w_tb$i") }: _*)
+    val joinCond = ((col("_primary") === col("_w_primary")) +:
+      tiebreaks.zipWithIndex.map { case (c, i) => c === col(s"_w_tb$i") })
+      .reduce(_ && _)
+    val wCols = "_w_primary" +: tiebreaks.indices.map(i => s"_w_tb$i")
+    matched.join(broadcast(winKeys), joinCond, "left_outer")
       .withColumn("_score",
-        when(col("_rk") <= window, round(col("_primary") + lit(w) * col("_secondary"), 6))
+        when(col("_w_primary").isNotNull,
+          round(col("_primary") + lit(w) * col("_secondary"), 6))
           .otherwise(col("_primary")))
-      .drop((internals ++ Seq("_primary", "_secondary", "_rk")): _*)
+      .drop((internals ++ Seq("_primary", "_secondary") ++ wCols): _*)
   }
 
   private def scoredBool(df: DataFrame, body: JsonNode): DataFrame = {
