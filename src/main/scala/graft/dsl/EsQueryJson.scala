@@ -151,6 +151,35 @@ object EsQueryJson {
     }
   }
 
+  /** ES `suggest` body — one named suggester per call (term / phrase /
+    * completion), dispatched to [[Suggest]]. The result shape follows the
+    * suggester kind, as in the ES response. */
+  def suggest(df: DataFrame, bodyJson: String, idField: String = "doc_id"): DataFrame = {
+    val root = parse(bodyJson)
+    val sug = Option(root.get("suggest")).getOrElse(root)
+    val (_, spec) = single(sug)
+    val idCol = field(idField)
+    if (spec.has("term")) {
+      val t = spec.get("term")
+      Suggest.termSuggest(df, idCol, field(t.get("field").asText()),
+        spec.get("text").asText(),
+        size = Option(t.get("size")).map(_.asInt()).getOrElse(5),
+        maxEdits = Option(t.get("max_edits")).map(_.asInt()).getOrElse(2))
+    } else if (spec.has("phrase")) {
+      val p = spec.get("phrase")
+      Suggest.phraseSuggest(df, idCol, field(p.get("field").asText()),
+        spec.get("text").asText(),
+        size = Option(p.get("size")).map(_.asInt()).getOrElse(3),
+        shardSize = Option(p.get("shard_size")).map(_.asInt()).getOrElse(5),
+        maxEdits = Option(p.get("max_edits")).map(_.asInt()).getOrElse(1))
+    } else if (spec.has("completion")) {
+      val c = spec.get("completion")
+      Suggest.completionSuggest(df, idCol, field(c.get("field").asText()),
+        spec.get("prefix").asText(),
+        size = Option(c.get("size")).map(_.asInt()).getOrElse(5))
+    } else sys.error(s"unsupported suggester: ${spec.fieldNames().asScala.toSeq}")
+  }
+
   /** Apply `query` + `sort` + `from`/`size` of a search body. A sort on
     * `_score` attaches a BM25 relevance score (the query must then be a
     * `match`); like ES, `_score` defaults to DESCENDING order. */

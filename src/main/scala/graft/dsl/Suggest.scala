@@ -1,0 +1,102 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ES suggesters (term / phrase / completion) over an analyzed text field.
+  *
+  * The reference's query surface is Elasticsearch 6.5
+  * (`/root/reference/pom.xml:25-26`); its suggest API proposes corrections
+  * (term), rephrased candidates scored by a language model (phrase), and
+  * prefix completions from a weighted dictionary (completion). Here the
+  * "index" is the corpus itself: the candidate dictionary is the corpus
+  * vocabulary with document/term frequencies — one distributed aggregation;
+  * ES builds the same per-shard term dictionary in its inverted index.
+  *
+  * Scale: the vocabulary aggregation is a hash groupBy on the term (the
+  * only full-corpus pass); the suggest texts are a handful of literal
+  * tokens broadcast against it. Per-token top-k uses a window PARTITIONED
+  * by input token (bounded partitions); single-list top-k uses sort-limit
+  * (TakeOrdered) — no global single-partition window anywhere.
+  */
+object Suggest {
+
+  /** Analyzer (must match [[graft.ext.TextAnalysis.tokens]] and the DuckDB
+    * oracle twin: lowercase, split on non-word runs). */
+  private def analyze(text: String): Seq[String] =
+    text.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+
+  /** Corpus term dictionary: one row per distinct term of `field` with
+    * document frequency and total term frequency. */
+  def vocabulary(df: DataFrame, idCol: Column, field: Column): DataFrame =
+    df.select(idCol.as("_doc"), explode(graft.ext.TextAnalysis.tokens(field)).as("term"))
+      .groupBy("term")
+      .agg(count_distinct(col("_doc")).as("doc_freq"), count(lit(1)).as("term_freq"))
+
+  /** ES term suggester, `sort: frequency` mode: for each token of the
+    * suggest text, corpus terms within `maxEdits` Levenshtein edits
+    * (excluding the token itself), ranked by doc_freq desc, distance asc,
+    * term asc; top `size` per token. The length pre-filter bounds the
+    * Levenshtein evaluations (|len(term) − len(token)| ≤ maxEdits is a
+    * necessary condition for distance ≤ maxEdits). */
+  def termSuggest(df: DataFrame, idCol: Column, field: Column, text: String,
+                  size: Int = 5, maxEdits: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val inputs = analyze(text).distinct.toDF("token")
+    vocabulary(df, idCol, field)
+      .join(broadcast(inputs),
+        abs(length(col("term")) - length(col("token"))) <= maxEdits &&
+          col("term") =!= col("token") &&
+          levenshtein(col("term"), col("token")) <= maxEdits)
+      .withColumn("distance", levenshtein(col("term"), col("token")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("token")
+          .orderBy(desc("doc_freq"), col("distance"), col("term"))))
+      .filter(col("rank") <= size)
+      .select(col("token"), col("rank"), col("term").as("suggestion"),
+        col("distance"), col("doc_freq"))
+  }
+
+  /** ES completion suggester: prefix completions from the corpus term
+    * dictionary weighted by total term frequency, top `size` by weight
+    * desc, term asc. Sort-limit — no window. */
+  def completionSuggest(df: DataFrame, idCol: Column, field: Column,
+                        prefix: String, size: Int = 5): DataFrame =
+    vocabulary(df, idCol, field)
+      .filter(col("term").startsWith(prefix.toLowerCase))
+      .orderBy(desc("term_freq"), col("term"))
+      .limit(size)
+      .select(col("term").as("suggestion"), col("term_freq").as("weight"))
+
+  /** ES phrase suggester (two-token form): per-position candidates within
+    * one edit (the original token included, ES `always` mode), top
+    * `shardSize` each by doc_freq; candidate phrases = the cross of the two
+    * tiny candidate sets, scored by the corpus bigram count (an
+    * exact-integer stand-in for ES's Stupid-Backoff LM — deterministic
+    * across engines, same ranking on in-corpus bigrams). Top `size` by
+    * score desc, phrase asc. */
+  def phraseSuggest(df: DataFrame, idCol: Column, field: Column, text: String,
+                    size: Int = 3, shardSize: Int = 5, maxEdits: Int = 1): DataFrame = {
+    val toks = analyze(text)
+    require(toks.length == 2, s"phrase suggester implemented for 2-token inputs, got $toks")
+    val vocab = vocabulary(df, idCol, field)
+    def cands(tok: String, pos: Int): DataFrame = vocab
+      .filter(abs(length(col("term")) - lit(tok.length)) <= maxEdits &&
+        levenshtein(col("term"), lit(tok)) <= maxEdits)
+      .orderBy(desc("doc_freq"), col("term"))
+      .limit(shardSize)
+      .select(col("term").as(s"_w$pos"))
+    val toksCol = graft.ext.TextAnalysis.tokens(field)
+    val bigrams = df
+      .select(explode(graft.ext.TextAnalysis.wordNgrams(toksCol, 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("_bg"))
+    cands(toks(0), 0).crossJoin(cands(toks(1), 1))
+      .withColumn("suggestion", concat_ws(" ", col("_w0"), col("_w1")))
+      .join(bigrams, col("suggestion") === col("gram"), "left_outer")
+      .select(col("suggestion"), coalesce(col("_bg"), lit(0L)).as("score"))
+      .orderBy(desc("score"), col("suggestion"))
+      .limit(size)
+  }
+}

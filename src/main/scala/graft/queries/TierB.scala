@@ -553,6 +553,75 @@ object TierB {
              |       END AS fragment
              |FROM p ORDER BY doc_id LIMIT 50""".stripMargin)),
 
+    // ES term suggester: per input token, corpus terms within 2 edits
+    // ranked by doc_freq (frequency sort mode). Vocabulary = one hash agg;
+    // the two suggest tokens broadcast against it.
+    Q("a41_es_json_term_suggest",
+      (s, d) => graft.dsl.EsQueryJson.suggest(Tables.documents(s, d),
+        """{"suggest": {"fix": {"text": "sprk tabel",
+          |  "term": {"field": "text", "size": 3, "max_edits": 2}}}}""".stripMargin)
+        .orderBy("token", "rank"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), td AS (SELECT doc_id, unnest(w) AS term FROM toks),
+             |vocab AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM td GROUP BY term),
+             |inp AS (SELECT unnest(['sprk','tabel']) AS token),
+             |cand AS (
+             |  SELECT token, term, levenshtein(term, token) AS distance, doc_freq
+             |  FROM vocab CROSS JOIN inp
+             |  WHERE abs(length(term) - length(token)) <= 2 AND term <> token
+             |    AND levenshtein(term, token) <= 2),
+             |r AS (SELECT token, term, distance, doc_freq,
+             |        row_number() OVER (PARTITION BY token
+             |          ORDER BY doc_freq DESC, distance, term) AS rank
+             |      FROM cand)
+             |SELECT token, rank, term AS suggestion, distance, doc_freq
+             |FROM r WHERE rank <= 3 ORDER BY token, rank""".stripMargin)),
+
+    // ES completion suggester: prefix completions from the corpus term
+    // dictionary, weighted by total term frequency. Sort-limit, no window.
+    Q("a42_es_json_completion",
+      (s, d) => graft.dsl.EsQueryJson.suggest(Tables.documents(s, d),
+        """{"suggest": {"c": {"prefix": "s",
+          |  "completion": {"field": "text", "size": 5}}}}""".stripMargin),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), td AS (SELECT doc_id, unnest(w) AS term FROM toks),
+             |vocab AS (SELECT term, count(*) AS weight FROM td GROUP BY term)
+             |SELECT term AS suggestion, weight FROM vocab
+             |WHERE term LIKE 's%'
+             |ORDER BY weight DESC, suggestion LIMIT 5""".stripMargin)),
+
+    // ES phrase suggester (2-token): per-position edit-distance candidates,
+    // phrases reranked by exact-integer corpus bigram counts.
+    Q("a43_es_json_phrase_suggest",
+      (s, d) => graft.dsl.EsQueryJson.suggest(Tables.documents(s, d),
+        """{"suggest": {"p": {"text": "sprk querry",
+          |  "phrase": {"field": "text", "size": 3, "max_edits": 2}}}}""".stripMargin),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), td AS (SELECT doc_id, unnest(w) AS term FROM toks),
+             |vocab AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM td GROUP BY term),
+             |c0 AS (SELECT term FROM (
+             |  SELECT term, row_number() OVER (ORDER BY doc_freq DESC, term) AS rn
+             |  FROM vocab WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'sprk') <= 2)
+             |  WHERE rn <= 5),
+             |c1 AS (SELECT term FROM (
+             |  SELECT term, row_number() OVER (ORDER BY doc_freq DESC, term) AS rn
+             |  FROM vocab WHERE abs(length(term) - 6) <= 2 AND levenshtein(term, 'querry') <= 2)
+             |  WHERE rn <= 5),
+             |bg AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+             |                i -> w[i] || ' ' || w[i+1])) AS gram FROM toks),
+             |bgc AS (SELECT gram, count(*) AS bgcount FROM bg GROUP BY gram),
+             |ph AS (SELECT c0.term || ' ' || c1.term AS suggestion FROM c0 CROSS JOIN c1),
+             |sc AS (SELECT suggestion, coalesce(bgcount, 0) AS score
+             |       FROM ph LEFT JOIN bgc ON suggestion = gram)
+             |SELECT suggestion, score FROM sc
+             |ORDER BY score DESC, suggestion LIMIT 3""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),
