@@ -58,6 +58,18 @@ object EsQueryJson {
     val (kind, body) = single(q)
     kind match {
       case "match_all" => lit(true)
+      case "span_near" =>
+        val clauses = body.get("clauses").elements().asScala.toSeq
+        require(clauses.size == 2, s"span_near supports exactly 2 clauses, got ${clauses.size}")
+        val (f1, v1) = single(clauses(0).get("span_term"))
+        val (f2, v2) = single(clauses(1).get("span_term"))
+        require(f1 == f2, s"span_near clauses must target one field, got $f1/$f2")
+        graft.functions.Spans.spanNear(field(f1), v1.asText(), v2.asText(),
+          slop = Option(body.get("slop")).map(_.asInt()).getOrElse(0),
+          inOrder = Option(body.get("in_order")).map(_.asBoolean()).getOrElse(false))
+      case "span_first" =>
+        val (f, v) = single(body.get("match").get("span_term"))
+        graft.functions.Spans.spanFirst(field(f), v.asText(), body.get("end").asInt())
       case "term" =>
         val (f, v) = single(body)
         EsDsl.term(field(f), if (v.isObject) litOf(v.get("value")) else litOf(v))

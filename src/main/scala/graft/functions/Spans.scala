@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import java.util.regex.Pattern
+
+/** ES span queries (`span_near`, `span_first`) as one-pass positional
+  * kernels. ES evaluates spans by walking postings lists with positions;
+  * here the positions come from a single tokenize pass per document — a
+  * narrow boolean predicate (no explode, no join, no shuffle) that pushes
+  * into any `bool` combinator like every other query predicate.
+  *
+  * Positions are 1-indexed (matching the DuckDB oracle's
+  * `generate_subscripts`). `slop` = max intervening tokens between the two
+  * spans, ES semantics: in_order requires p2 > p1 with p2 − p1 − 1 ≤ slop;
+  * unordered allows either direction (distinct positions). */
+object Spans {
+
+  private val splitter = Pattern.compile("\\W+")
+
+  private def tokenize(text: UTF8String): Array[String] =
+    splitter.split(text.toLowerCase.toString, -1).filter(_.nonEmpty)
+
+  /** True iff `t1` and `t2` occur within `slop` intervening tokens
+    * (ordered or not). One pass: track the most recent position of each
+    * term; every occurrence closes the smallest gap with the other term's
+    * latest position, so the running minimum is exact. */
+  case class SpanNearMatch(child: Expression, t1: String, t2: String,
+                           slop: Int, inOrder: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      var last1 = -1; var last2 = -1
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        val isT1 = t == t1; val isT2 = t == t2
+        // check against positions BEFORE this token, then update — so a
+        // token matching both terms (t1 == t2) never pairs with itself
+        if (isT2 && last1 >= 0 && i - last1 - 1 <= slop) return true
+        if (!inOrder && isT1 && last2 >= 0 && i - last2 - 1 <= slop) return true
+        if (isT1) last1 = i
+        if (isT2) last2 = i
+        i += 1
+      }
+      false
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** True iff `term` occurs at 1-indexed position ≤ `end`. */
+  case class SpanFirstMatch(child: Expression, term: String, end: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      val n = math.min(end, toks.length)
+      var i = 0
+      while (i < n) {
+        if (toks(i) == term) return true
+        i += 1
+      }
+      false
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def spanNear(text: Column, t1: String, t2: String, slop: Int, inOrder: Boolean): Column =
+    column(SpanNearMatch(expression(text), t1, t2, slop, inOrder))
+
+  def spanFirst(text: Column, term: String, end: Int): Column =
+    column(SpanFirstMatch(expression(text), term, end))
+}

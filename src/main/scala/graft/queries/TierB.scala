@@ -622,6 +622,44 @@ object TierB {
              |SELECT suggestion, score FROM sc
              |ORDER BY score DESC, suggestion LIMIT 3""".stripMargin)),
 
+    // ES span_near: positional proximity as a one-pass kernel predicate
+    // (the oracle is the postings-list formulation: positions join).
+    Q("a44_es_json_span_near",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"span_near": {
+          |   "clauses": [{"span_term": {"text": "spark"}},
+          |               {"span_term": {"text": "table"}}],
+          |   "slop": 2, "in_order": true}},
+          | "sort": ["doc_id"], "size": 1000}""".stripMargin)
+        .select(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), pos AS (
+             |  SELECT doc_id, unnest(w) AS term, unnest(range(1, len(w) + 1)) AS p
+             |  FROM toks)
+             |SELECT DISTINCT a.doc_id FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+             |WHERE a.term = 'spark' AND b.term = 'table'
+             |  AND b.p > a.p AND b.p - a.p - 1 <= 2
+             |ORDER BY a.doc_id LIMIT 1000""".stripMargin)),
+
+    // ES span_first: the term must occur within the first `end` positions.
+    Q("a45_es_json_span_first",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"span_first": {
+          |   "match": {"span_term": {"text": "spark"}}, "end": 3}},
+          | "sort": ["doc_id"], "size": 1000}""".stripMargin)
+        .select(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), pos AS (
+             |  SELECT doc_id, unnest(w) AS term, unnest(range(1, len(w) + 1)) AS p
+             |  FROM toks)
+             |SELECT DISTINCT doc_id FROM pos
+             |WHERE term = 'spark' AND p <= 3
+             |ORDER BY doc_id LIMIT 1000""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),
