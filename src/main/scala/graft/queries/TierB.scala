@@ -660,6 +660,35 @@ object TierB {
              |WHERE term = 'spark' AND p <= 3
              |ORDER BY doc_id LIMIT 1000""".stripMargin)),
 
+    // ES percolate (reverse search): stored queries evaluated per incoming
+    // document, all predicates in one narrow SELECT — the alerting shape.
+    Q("a46_percolate",
+      (s, d) => graft.dsl.Percolator.percolate(Tables.documents(s, d), col("doc_id"), Seq(
+        "q_big" -> """{"query": {"range": {"n_chars": {"gte": 400}}}}""",
+        "q_near" -> """{"query": {"span_near": {
+                      |  "clauses": [{"span_term": {"text": "spark"}},
+                      |              {"span_term": {"text": "table"}}],
+                      |  "slop": 2, "in_order": true}}}""".stripMargin,
+        "q_spark" -> """{"query": {"match": {"text": "spark"}}}""",
+        "q_src1_not_en" -> """{"query": {"bool": {"must": [{"term": {"source": "src1"}}],
+                             |  "must_not": [{"term": {"lang": "en"}}]}}}""".stripMargin))
+        .orderBy("doc_id", "query_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), pos AS (
+             |  SELECT doc_id, unnest(w) AS term, unnest(range(1, len(w) + 1)) AS p FROM toks
+             |), near AS (
+             |  SELECT DISTINCT a.doc_id FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+             |  WHERE a.term = 'spark' AND b.term = 'table' AND b.p > a.p AND b.p - a.p - 1 <= 2)
+             |SELECT doc_id, query_id FROM (
+             |  SELECT doc_id, 'q_big' AS query_id FROM documents WHERE n_chars >= 400
+             |  UNION ALL SELECT doc_id, 'q_near' FROM near
+             |  UNION ALL SELECT doc_id, 'q_spark' FROM toks WHERE list_contains(w, 'spark')
+             |  UNION ALL SELECT doc_id, 'q_src1_not_en' FROM documents
+             |            WHERE source = 'src1' AND lang <> 'en')
+             |ORDER BY doc_id, query_id""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),
