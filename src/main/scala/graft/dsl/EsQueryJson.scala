@@ -70,6 +70,20 @@ object EsQueryJson {
       case "span_first" =>
         val (f, v) = single(body.get("match").get("span_term"))
         graft.functions.Spans.spanFirst(field(f), v.asText(), body.get("end").asInt())
+      case "geo_distance" =>
+        val dist = body.get("distance").asText()
+        require(dist.endsWith("km"), s"geo_distance supports km distances, got $dist")
+        val km = dist.stripSuffix("km").toDouble
+        val f = body.fieldNames().asScala.toSeq.filterNot(_ == "distance").head
+        val pt = body.get(f)
+        Geo.haversineKm(field(s"${f}_lat"), field(s"${f}_lon"),
+          lit(pt.get("lat").asDouble()), lit(pt.get("lon").asDouble())) <= lit(km)
+      case "geo_bounding_box" =>
+        val (f, b) = single(body)
+        val tl = b.get("top_left"); val br = b.get("bottom_right")
+        Geo.boundingBox(field(s"${f}_lat"), field(s"${f}_lon"),
+          tl.get("lat").asDouble(), tl.get("lon").asDouble(),
+          br.get("lat").asDouble(), br.get("lon").asDouble())
       case "term" =>
         val (f, v) = single(body)
         EsDsl.term(field(f), if (v.isObject) litOf(v.get("value")) else litOf(v))
@@ -563,7 +577,7 @@ object EsQueryJson {
     }
   }
 
-  private val bucketKinds = Set("terms", "histogram", "date_histogram")
+  private val bucketKinds = Set("terms", "histogram", "date_histogram", "geotile_grid")
 
   /** Split a node's sub-`aggs` into metric columns, nested bucket entries,
     * and top_hits entries. */
@@ -593,6 +607,10 @@ object EsQueryJson {
       case "date_histogram" =>
         val interval = Option(spec.get("calendar_interval")).getOrElse(spec.get("interval")).asText()
         EsDsl.dateHistogramBucket(field(spec.get("field").asText()), interval).as(name)
+      case "geotile_grid" =>
+        val f = spec.get("field").asText()
+        Geo.geotileKey(field(s"${f}_lat"), field(s"${f}_lon"),
+          Option(spec.get("precision")).map(_.asInt()).getOrElse(7)).as(name)
     }
     def termsSize: Option[Int] =
       if (kind == "terms") Some(Option(spec.get("size")).map(_.asInt()).getOrElse(10)) else None

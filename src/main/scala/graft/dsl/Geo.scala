@@ -1,0 +1,80 @@
+package graft.dsl
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ES geo queries: `geo_distance`, `geo_bounding_box`, `geotile_grid`.
+  *
+  * A geo point field `F` is the column pair `F_lat`/`F_lon` (degrees,
+  * doubles). The driver tables carry no coordinates, so
+  * [[withDerivedCoords]] derives a deterministic point from a key column
+  * via the md5-60 hash family — the same cross-engine-deterministic
+  * pattern as the LSH planes ([[graft.functions.Hashing]]): the DuckDB
+  * oracle recomputes identical coordinates, so geo results hash-check
+  * exactly like any other query.
+  *
+  * All math is plain codegen'd double arithmetic with the association
+  * written identically in the oracle SQL (NOTES.md cross-engine rule);
+  * distances round to 4 dp before any filter/sort so boundary rows are
+  * engine-stable. Scale: every predicate is narrow scan work; geotile_grid
+  * is a hash groupBy on the tile key.
+  */
+object Geo {
+
+  /** Latitude in [-85, 85) (inside the web-mercator domain) and longitude
+    * in [-180, 180), 1e-4° resolution, derived from `key`. */
+  def derivedLat(key: Column): Column =
+    (Hashing.md5Long60(concat(lit("lat:"), key.cast("string"))) % 1700000) / 10000.0 - 85.0
+  def derivedLon(key: Column): Column =
+    (Hashing.md5Long60(concat(lit("lon:"), key.cast("string"))) % 3600000) / 10000.0 - 180.0
+
+  def withDerivedCoords(df: DataFrame, key: Column, name: String): DataFrame =
+    df.withColumn(s"${name}_lat", derivedLat(key))
+      .withColumn(s"${name}_lon", derivedLon(key))
+
+  /** DuckDB twins of the coordinate derivation (oracle builders). */
+  def sqlDerivedLat(key: String): String =
+    s"(${Hashing.sqlMd5Long60(s"'lat:' || CAST($key AS VARCHAR)")} % 1700000) / 10000.0 - 85.0"
+  def sqlDerivedLon(key: String): String =
+    s"(${Hashing.sqlMd5Long60(s"'lon:' || CAST($key AS VARCHAR)")} % 3600000) / 10000.0 - 180.0"
+
+  /** Haversine great-circle distance in km, 4 dp. 12742.0176 = 2 × the
+    * IUGG mean earth radius 6371.0088 km. */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    round(lit(12742.0176) * asin(least(sqrt(
+      pow(sin(radians(lat2 - lat1) / 2), 2) +
+        cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)),
+      lit(1.0))), 4)
+
+  /** DuckDB twin of [[haversineKm]] — identical association, term order,
+    * and rounding, so the doubles match bit-for-bit. */
+  def sqlHaversineKm(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"round(12742.0176 * asin(least(sqrt(" +
+      s"pow(sin(radians($lat2 - $lat1) / 2), 2) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / 2), 2)), " +
+      s"1.0)), 4)"
+
+  def boundingBox(lat: Column, lon: Column,
+                  topLeftLat: Double, topLeftLon: Double,
+                  bottomRightLat: Double, bottomRightLon: Double): Column =
+    lat <= topLeftLat && lat >= bottomRightLat &&
+      lon >= topLeftLon && lon <= bottomRightLon
+
+  /** Web-mercator tile key `z/x/y` at `precision` = zoom z (ES
+    * geotile_grid key format). Latitude must already be inside the
+    * mercator domain (±85.05113°) — [[derivedLat]] guarantees it. */
+  def geotileKey(lat: Column, lon: Column, precision: Int): Column = {
+    val n = lit((1L << precision).toDouble)
+    val x = floor((lon + 180.0) / 360.0 * n)
+    val y = floor((lit(1.0) - log(tan(radians(lat)) + lit(1.0) / cos(radians(lat))) / lit(math.Pi)) / 2.0 * n)
+    concat_ws("/", lit(precision), x.cast("long"), y.cast("long"))
+  }
+
+  /** DuckDB twin of [[geotileKey]]. */
+  def sqlGeotileKey(lat: String, lon: String, precision: Int): String = {
+    val n = s"${(1L << precision).toDouble}"
+    s"($precision || '/' || CAST(floor(($lon + 180.0) / 360.0 * $n) AS BIGINT) || '/' || " +
+      s"CAST(floor((1.0 - ln(tan(radians($lat)) + 1.0 / cos(radians($lat))) / pi()) / 2.0 * $n) AS BIGINT))"
+  }
+}

@@ -689,6 +689,53 @@ object TierB {
              |            WHERE source = 'src1' AND lang <> 'en')
              |ORDER BY doc_id, query_id""".stripMargin)),
 
+    // ES geo_distance over md5-derived coordinates: the oracle recomputes
+    // identical lat/lon and the identical haversine association (4 dp).
+    Q("a47_es_json_geo_distance",
+      (s, d) => {
+        val c = graft.dsl.Geo.withDerivedCoords(Tables.customer(s, d), col("c_custkey"), "location")
+        graft.dsl.EsQueryJson.search(c,
+          """{"query": {"geo_distance": {"distance": "3000km",
+            |  "location": {"lat": 10.0, "lon": 20.0}}},
+            | "sort": ["c_custkey"], "size": 100000}""".stripMargin)
+          .select(col("c_custkey"),
+            graft.dsl.Geo.haversineKm(col("location_lat"), col("location_lon"),
+              lit(10.0), lit(20.0)).as("dist_km"))
+      },
+      Some {
+        val hv = graft.dsl.Geo.sqlHaversineKm("lat", "lon", "10.0", "20.0")
+        s"""WITH c AS (
+           |  SELECT c_custkey, ${graft.dsl.Geo.sqlDerivedLat("c_custkey")} AS lat,
+           |         ${graft.dsl.Geo.sqlDerivedLon("c_custkey")} AS lon
+           |  FROM customer)
+           |SELECT c_custkey, $hv AS dist_km FROM c
+           |WHERE $hv <= 3000.0
+           |ORDER BY c_custkey LIMIT 100000""".stripMargin
+      }),
+
+    // ES geotile_grid agg (web-mercator z/x/y keys) scoped by a
+    // geo_bounding_box query — hash groupBy on the tile key.
+    Q("a48_es_json_geotile_grid",
+      (s, d) => {
+        val c = graft.dsl.Geo.withDerivedCoords(Tables.customer(s, d), col("c_custkey"), "location")
+        graft.dsl.EsQueryJson.aggregations(c,
+          """{"query": {"geo_bounding_box": {"location": {
+            |    "top_left": {"lat": 60.0, "lon": -120.0},
+            |    "bottom_right": {"lat": -60.0, "lon": 120.0}}}},
+            | "aggs": {"grid": {"geotile_grid": {"field": "location", "precision": 3}}}}""".stripMargin)("grid")
+          .orderBy(desc("doc_count"), col("key"))
+      },
+      Some {
+        val tile = graft.dsl.Geo.sqlGeotileKey("lat", "lon", 3)
+        s"""WITH c AS (
+           |  SELECT c_custkey, ${graft.dsl.Geo.sqlDerivedLat("c_custkey")} AS lat,
+           |         ${graft.dsl.Geo.sqlDerivedLon("c_custkey")} AS lon
+           |  FROM customer)
+           |SELECT $tile AS key, count(*) AS doc_count FROM c
+           |WHERE lat <= 60.0 AND lat >= -60.0 AND lon >= -120.0 AND lon <= 120.0
+           |GROUP BY key ORDER BY doc_count DESC, key""".stripMargin
+      }),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),
