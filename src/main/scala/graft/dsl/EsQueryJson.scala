@@ -28,6 +28,15 @@ object EsQueryJson {
 
   def parse(json: String): JsonNode = mapper.readTree(json)
 
+  /** Injected clock for date math ([[DateMath]]) — pin `now` around query
+    * CONSTRUCTION (resolution happens on the driver while the plan is
+    * built): `EsQueryJson.withNow("1996-06-15T08:30:00Z") { search(...) }`.
+    * A `"now"` key inside a range body overrides it per-query. */
+  private val clock = new scala.util.DynamicVariable[Option[java.time.Instant]](None)
+
+  def withNow[T](isoInstant: String)(f: => T): T =
+    clock.withValue(Some(java.time.Instant.parse(isoInstant)))(f)
+
   /** ES field name → Column (map-doc aware). */
   def field(name: String): Column =
     if (name.startsWith("info.")) element_at(col("info"), name.stripPrefix("info."))
@@ -93,11 +102,19 @@ object EsQueryJson {
           if (n.isNumber) n.asLong().asInstanceOf[Any] else n.asText().asInstanceOf[Any]).toSeq: _*)
       case "range" =>
         val (f, b) = single(body)
+        def bound(n: JsonNode): Column =
+          if (n.isTextual && n.asText().startsWith("now")) {
+            val anchor = Option(b.get("now")).map(x => java.time.Instant.parse(x.asText()))
+              .orElse(clock.value)
+              .getOrElse(throw new IllegalArgumentException(
+                s"date math '${n.asText()}' needs an injected clock (withNow or a 'now' body key)"))
+            to_timestamp(lit(DateMath.literal(n.asText(), anchor)))
+          } else litOf(n)
         Seq(
-          Option(b.get("gte")).map(field(f) >= litOf(_)),
-          Option(b.get("gt")).map(field(f) > litOf(_)),
-          Option(b.get("lte")).map(field(f) <= litOf(_)),
-          Option(b.get("lt")).map(field(f) < litOf(_)))
+          Option(b.get("gte")).map(field(f) >= bound(_)),
+          Option(b.get("gt")).map(field(f) > bound(_)),
+          Option(b.get("lte")).map(field(f) <= bound(_)),
+          Option(b.get("lt")).map(field(f) < bound(_)))
           .flatten.reduceOption(_ && _).getOrElse(lit(true))
       case "exists" =>
         val f = body.get("field").asText()

@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   *     semantics — analyzed-term wildcards need an inverted index)
   *   - `f:[a TO b]` / `f:{a TO b}` ranges (mixed brackets, `*` unbounded)
   *     and `f:>=v` / `f:>v` / `f:<=v` / `f:<v` comparisons
+  *   - `f:(a b "p q")` field grouping — unfielded atoms inside the group
+  *     rebind to the field, nested groups allowed
   *   - `term~` / `term~N` fuzzy (edit distance, default 2)
   *
   * Value semantics without a mapping: a numeric-looking value compiles to
@@ -105,11 +107,29 @@ object QueryString {
               def bound(s: String) = if (s == "*") None else Some(s)
               out += Atom(Rng(fld.get, bound(parts(0)), bound(parts(1)), loInc, hiInc))
               i = close + 1
+            } else if (rest.isEmpty && fld.isDefined && i < q.length && q(i) == '(') {
+              // `f:(a b "p q" ...)` field grouping: tokenize the group and
+              // rebind its unfielded atoms to the field (Lucene semantics —
+              // explicitly-fielded atoms inside the group keep their own)
+              var depth = 1; var j = i + 1
+              while (depth > 0) {
+                require(j < q.length, s"unterminated field group in query string: $q")
+                if (q(j) == '(') depth += 1 else if (q(j) == ')') depth -= 1
+                if (depth > 0) j += 1
+              }
+              out += LP
+              luceneToks(q.substring(i + 1, j)).foreach {
+                case Atom(Term(None, t)) => out += Atom(Term(fld, t))
+                case Atom(Phrase(None, ws)) => out += Atom(Phrase(fld, ws))
+                case Atom(Wild(None, p)) => out += Atom(Wild(fld, p))
+                case Atom(Fuzzy(None, t, n)) => out += Atom(Fuzzy(fld, t, n))
+                case other => out += other
+              }
+              out += RP
+              i = j + 1
             } else if (rest.isEmpty && fld.isDefined)
-              // `f:(a OR b)` field grouping — reject loudly, never silently
-              // drop the field scope
               throw new IllegalArgumentException(
-                s"field-grouped query (${fld.get}:(...)) is not supported; distribute the field")
+                s"dangling field '${fld.get}:' with no value in query string: $q")
             else if (fld.isDefined && (rest.startsWith(">") || rest.startsWith("<"))) {
               val opLen = if (rest.length > 1 && rest(1) == '=') 2 else 1
               require(rest.length > opLen, s"empty comparison value: $w")

@@ -736,6 +736,36 @@ object TierB {
            |GROUP BY key ORDER BY doc_count DESC, key""".stripMargin
       }),
 
+    // ES date math against an injected clock: now=1996-06-15T08:30:00Z,
+    // so now-400d/d = 1995-05-12 00:00 and now/d = 1996-06-15 00:00 —
+    // resolved on the driver to plain pushable timestamp literals.
+    Q("a49_es_json_date_math",
+      (s, d) => graft.dsl.EsQueryJson.withNow("1996-06-15T08:30:00Z") {
+        graft.dsl.EsQueryJson.search(Tables.orders(s, d),
+          """{"query": {"range": {"o_orderdate": {"gte": "now-400d/d", "lt": "now/d"}}},
+            | "sort": ["o_orderkey"], "size": 500}""".stripMargin)
+          .select(col("o_orderkey"), col("o_orderdate"))
+      },
+      Some("""SELECT o_orderkey, o_orderdate FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1995-05-12 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1996-06-15 00:00:00'
+             |ORDER BY o_orderkey LIMIT 500""".stripMargin)),
+
+    // query_string field grouping: lang:(zh es) distributes the field over
+    // the group's terms with the default operator (OR).
+    Q("a50_es_json_qs_field_group",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"query_string": {"query": "lang:(zh es) AND text:spark",
+          |  "default_field": "text"}},
+          | "sort": ["doc_id"], "size": 1000}""".stripMargin)
+        .select(col("doc_id"), col("lang")),
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents)
+             |WHERE (lang = 'zh' OR lang = 'es') AND list_contains(w, 'spark')
+             |ORDER BY doc_id LIMIT 1000""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),
