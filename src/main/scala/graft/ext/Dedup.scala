@@ -211,4 +211,50 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Near-dup CLUSTERS: connected components over a pair list, labels =
+    * min reachable id (the canonical representative — pair-level anti-join
+    * dedup under-removes when A~B and B~C but A!~C; cluster-level keeps
+    * exactly one doc per component).
+    *
+    * Iterative min-label propagation: per round one shuffle join
+    * (neighbor-min) + one hash agg, every step distributed; the driver sees
+    * only a one-row convergence aggregate. Labels are monotone
+    * non-increasing and any change strictly decreases their sum, so the
+    * decimal sum is an exact fixpoint test. Rounds = eccentricity of each
+    * component's min node — dedup components from banded LSH are
+    * near-cliques, so 2–3 rounds in practice; `maxIter` guards adversarial
+    * chains (a 100 TB run would switch to star-contraction rounds, same
+    * per-round plan shape, O(log n) rounds).
+    *
+    * Each round's labels are persisted and the previous round explicitly
+    * unpersisted — lineage stays O(1) across iterations. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    val e = persistOnce(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var labels = e.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
+    var prev = labelSum(labels)
+    var it = 0; var converged = false
+    while (!converged && it < maxIter) {
+      val neighborMin = e.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min("label").as("_nlabel"))
+      val next = labels.join(neighborMin, col("id") === col("src"), "left_outer")
+        .select(col("id"), least(col("label"), coalesce(col("_nlabel"), col("label"))).as("label"))
+        .persist()
+      val cur = labelSum(next) // also materializes `next`, freeing the old cache
+      labels.unpersist()
+      labels = next
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id"), col("label").as("cluster"))
+  }
 }

@@ -174,6 +174,44 @@ object TierC {
            |WHERE doc_id NOT IN (SELECT doc_b FROM dups)
            |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Connected components over the verified LSH pairs: cluster = min
+    // reachable doc id. The oracle computes the same fixpoint as a
+    // transitive closure (recursive CTE) — pair-level dedup under-removes
+    // on A~B~C chains; this is the cluster-level form.
+    Q("c24_dedup_clusters",
+      (s, d) => Dedup.connectedComponents(lshPairs(s, d))
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH RECURSIVE $toksCte,
+           |$gramsCte,
+           |$sigCte,
+           |$bandsCte,
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y ON x.j = y.j AND x.band = y.band AND x.doc_id < y.doc_id
+           |),
+           |sizes AS (SELECT doc_id, len(grams) AS n FROM grams),
+           |inter AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+           |  FROM cand c JOIN gx a ON a.doc_id = c.doc_a JOIN gx b ON b.doc_id = c.doc_b AND b.g = a.g
+           |  GROUP BY c.doc_a, c.doc_b
+           |),
+           |pairs AS (
+           |  SELECT doc_a, doc_b FROM inter
+           |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+           |  WHERE round(inter*1.0/(sa.n + sb.n - inter), 6) >= 0.5
+           |),
+           |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |      UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT src AS id, src AS r FROM e
+           |  UNION
+           |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+           |)
+           |SELECT id AS doc_id, min(r) AS cluster FROM reach
+           |GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     Q("c17_embed_quantize",
       (s, d) => Tables.embeddings(s, d)
         .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("z"))

@@ -1,0 +1,37 @@
+package graft
+
+import graft.ext.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClusterSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val sp = spark
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import sp.implicits._
+    Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("components: disjoint clusters get their own min label") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("components: a long chain converges (propagation over diameter)") {
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == (1L to 12L).toSet)
+  }
+
+  test("components: min label wins regardless of pair orientation") {
+    val got = cc(Seq((7L, 2L), (9L, 7L), (2L, 5L)))
+    assert(got == Map(2L -> 2L, 5L -> 2L, 7L -> 2L, 9L -> 2L))
+  }
+
+  test("components: triangle + bridge merges into one component") {
+    val got = cc(Seq((4L, 5L), (5L, 6L), (4L, 6L), (6L, 20L), (20L, 21L)))
+    assert(got.values.toSet == Set(4L))
+  }
+}
