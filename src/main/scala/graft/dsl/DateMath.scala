@@ -62,4 +62,12 @@ object DateMath {
     * timestamp). */
   def literal(expr: String, now: Instant): String =
     Fmt.format(resolve(expr, now).atZone(ZoneOffset.UTC))
+
+  /** True iff `expr` is well-formed date math (`now` + valid steps +
+    * optional valid rounding). ES applies date math only to date-MAPPED
+    * fields; without a mapping, a string like `"nowhere"` must compile to a
+    * plain string bound, not an error — callers gate on this. */
+  def isDateMath(expr: String): Boolean =
+    expr.startsWith("now") && (try { resolve(expr, Instant.EPOCH); true }
+      catch { case _: RuntimeException => false })
 }

@@ -83,7 +83,11 @@ object EsQueryJson {
         val dist = body.get("distance").asText()
         require(dist.endsWith("km"), s"geo_distance supports km distances, got $dist")
         val km = dist.stripSuffix("km").toDouble
-        val f = body.fieldNames().asScala.toSeq.filterNot(_ == "distance").head
+        val rest = body.fieldNames().asScala.toSeq.filterNot(_ == "distance")
+        require(rest.size == 1,
+          s"geo_distance body must be 'distance' + exactly one point field " +
+            s"(options like distance_type are unsupported), got $rest")
+        val f = rest.head
         val pt = body.get(f)
         Geo.haversineKm(field(s"${f}_lat"), field(s"${f}_lon"),
           lit(pt.get("lat").asDouble()), lit(pt.get("lon").asDouble())) <= lit(km)
@@ -103,7 +107,7 @@ object EsQueryJson {
       case "range" =>
         val (f, b) = single(body)
         def bound(n: JsonNode): Column =
-          if (n.isTextual && n.asText().startsWith("now")) {
+          if (n.isTextual && DateMath.isDateMath(n.asText())) {
             val anchor = Option(b.get("now")).map(x => java.time.Instant.parse(x.asText()))
               .orElse(clock.value)
               .getOrElse(throw new IllegalArgumentException(
@@ -502,13 +506,18 @@ object EsQueryJson {
     // (TakeOrdered: per-partition top-k, driver merge of k·p rows) finds it
     // without the global single-partition Window a row_number() would need;
     // the tiny result then broadcast-joins back as the in-window flag.
+    // distinct: if the tiebreaks are not a unique key, duplicate key tuples
+    // in the window would multiply rows through the join (the rank filter
+    // this replaced never changed the row count); null-safe equality (<=>):
+    // an in-window row with a NULL sort field must still match itself.
     val winKeys = matched
       .orderBy(col("_primary").desc +: tiebreaks.map(_.asc): _*)
       .limit(window)
       .select(col("_primary").as("_w_primary") +:
         tiebreaks.zipWithIndex.map { case (c, i) => c.as(s"_w_tb$i") }: _*)
-    val joinCond = ((col("_primary") === col("_w_primary")) +:
-      tiebreaks.zipWithIndex.map { case (c, i) => c === col(s"_w_tb$i") })
+      .distinct()
+    val joinCond = ((col("_primary") <=> col("_w_primary")) +:
+      tiebreaks.zipWithIndex.map { case (c, i) => c <=> col(s"_w_tb$i") })
       .reduce(_ && _)
     val wCols = "_w_primary" +: tiebreaks.indices.map(i => s"_w_tb$i")
     matched.join(broadcast(winKeys), joinCond, "left_outer")

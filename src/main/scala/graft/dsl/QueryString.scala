@@ -111,10 +111,15 @@ object QueryString {
               // `f:(a b "p q" ...)` field grouping: tokenize the group and
               // rebind its unfielded atoms to the field (Lucene semantics —
               // explicitly-fielded atoms inside the group keep their own)
-              var depth = 1; var j = i + 1
+              // depth scan mirrors the tokenizer's phrase handling: parens
+              // inside double quotes don't open/close groups
+              var depth = 1; var j = i + 1; var inQuote = false
               while (depth > 0) {
                 require(j < q.length, s"unterminated field group in query string: $q")
-                if (q(j) == '(') depth += 1 else if (q(j) == ')') depth -= 1
+                if (q(j) == '"') inQuote = !inQuote
+                else if (!inQuote) {
+                  if (q(j) == '(') depth += 1 else if (q(j) == ')') depth -= 1
+                }
                 if (depth > 0) j += 1
               }
               out += LP

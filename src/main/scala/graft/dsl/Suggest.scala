@@ -76,23 +76,35 @@ object Suggest {
     * tiny candidate sets, scored by the corpus bigram count (an
     * exact-integer stand-in for ES's Stupid-Backoff LM — deterministic
     * across engines, same ranking on in-corpus bigrams). Top `size` by
-    * score desc, phrase asc. */
+    * score desc, phrase asc.
+    *
+    * Exactly two corpus passes: the vocabulary aggregation (persisted —
+    * both candidate positions rank over ONE pass, window partitioned by
+    * position, the [[termSuggest]] shape) and the bigram count. The
+    * previous per-position `cands` closure rebuilt the vocabulary — and
+    * paid a full-vocab Levenshtein scan — once per position. */
   def phraseSuggest(df: DataFrame, idCol: Column, field: Column, text: String,
                     size: Int = 3, shardSize: Int = 5, maxEdits: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val toks = analyze(text)
     require(toks.length == 2, s"phrase suggester implemented for 2-token inputs, got $toks")
-    val vocab = vocabulary(df, idCol, field)
-    def cands(tok: String, pos: Int): DataFrame = vocab
-      .filter(abs(length(col("term")) - lit(tok.length)) <= maxEdits &&
-        levenshtein(col("term"), lit(tok)) <= maxEdits)
-      .orderBy(desc("doc_freq"), col("term"))
-      .limit(shardSize)
-      .select(col("term").as(s"_w$pos"))
+    val vocab = graft.ext.Dedup.persistOnce(vocabulary(df, idCol, field))
+    val inputs = toks.zipWithIndex.toDF("token", "pos")
+    val cands = graft.ext.Dedup.persistOnce(vocab
+      .join(broadcast(inputs),
+        abs(length(col("term")) - length(col("token"))) <= maxEdits &&
+          levenshtein(col("term"), col("token")) <= maxEdits)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("pos").orderBy(desc("doc_freq"), col("term"))))
+      .filter(col("rank") <= shardSize)
+      .select(col("pos"), col("term")))
     val toksCol = graft.ext.TextAnalysis.tokens(field)
     val bigrams = df
       .select(explode(graft.ext.TextAnalysis.wordNgrams(toksCol, 2)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("_bg"))
-    cands(toks(0), 0).crossJoin(cands(toks(1), 1))
+    cands.filter(col("pos") === 0).select(col("term").as("_w0"))
+      .crossJoin(cands.filter(col("pos") === 1).select(col("term").as("_w1")))
       .withColumn("suggestion", concat_ws(" ", col("_w0"), col("_w1")))
       .join(bigrams, col("suggestion") === col("gram"), "left_outer")
       .select(col("suggestion"), coalesce(col("_bg"), lit(0L)).as("score"))

@@ -227,34 +227,95 @@ object Dedup {
     * chains (a 100 TB run would switch to star-contraction rounds, same
     * per-round plan shape, O(log n) rounds).
     *
-    * Each round's labels are persisted and the previous round explicitly
-    * unpersisted — lineage stays O(1) across iterations. */
+    * Each round is materialized through
+    * [[org.apache.spark.sql.graftbridge.Bridge.truncateLineage]] — a bare
+    * `persist()` caches data but NOT the plan, so the iterative join doubled
+    * the logical plan every round (2^rounds nodes; a diameter-11 chain OOM'd
+    * inside the explain string). The RDD round-trip keeps plan AND lineage
+    * O(1) per round, and the previous round's cache is freed as soon as the
+    * next is materialized. If min-label does not converge within `maxIter`
+    * (high-diameter graph), falls back to [[connectedComponentsFast]]
+    * (pointer-jumping, O(log diameter) rounds) instead of failing. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
                           bCol: String = "doc_b", maxIter: Int = 25): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
     val e = persistOnce(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
-    var labels = e.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
-        .collect()(0).getDecimal(0)
+    var (labels, handle) = bridge.truncateLineage(
+      e.select(col("src").as("id")).distinct().withColumn("label", col("id")))
     var prev = labelSum(labels)
     var it = 0; var converged = false
     while (!converged && it < maxIter) {
-      val neighborMin = e.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min("label").as("_nlabel"))
-      val next = labels.join(neighborMin, col("id") === col("src"), "left_outer")
-        .select(col("id"), least(col("label"), coalesce(col("_nlabel"), col("label"))).as("label"))
-        .persist()
-      val cur = labelSum(next) // also materializes `next`, freeing the old cache
-      labels.unpersist()
+      val (next, nextHandle) = bridge.truncateLineage(propagateMin(e, labels))
+      val cur = labelSum(next)
+      handle.unpersist(); handle = nextHandle
       labels = next
       converged = cur.compareTo(prev) == 0
       prev = cur
       it += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    if (!converged) { // adversarial diameter: switch to the O(log d) form
+      handle.unpersist(); e.unpersist()
+      return connectedComponentsFast(pairs, aCol, bCol)
+    }
+    e.unpersist()
+    // the returned labels stay cached (callers consume them immediately;
+    // one bounded (id,label) table per call)
     labels.select(col("id"), col("label").as("cluster"))
   }
+
+  /** Connected components in O(log diameter) rounds: each round combines
+    * the neighbor-min step with POINTER JUMPING (`l(v) := min(l(v),
+    * l(l(v)))`, the Shiloach–Vishkin shortcutting step — every label is
+    * itself a node id, so one self-join halves every propagation chain;
+    * star contraction in the min-label formulation). Output is identical to
+    * [[connectedComponents]] (min reachable id per node — ClusterSpec holds
+    * a ScalaCheck equivalence spec); use this form directly for graphs with
+    * long chains, e.g. transitive near-dup paths at 100 TB. */
+  def connectedComponentsFast(pairs: DataFrame, aCol: String = "doc_a",
+                              bCol: String = "doc_b", maxIter: Int = 64): DataFrame = {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val e = persistOnce(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var (labels, handle) = bridge.truncateLineage(
+      e.select(col("src").as("id")).distinct().withColumn("label", col("id")))
+    var prev = labelSum(labels)
+    var it = 0; var converged = false
+    while (!converged && it < maxIter) {
+      val stepped = propagateMin(e, labels)
+      // shortcut: follow each node's label to THAT node's label
+      val jumped = stepped.as("x").join(
+          stepped.select(col("id").as("_lid"), col("label").as("_llabel")).as("y"),
+          col("x.label") === col("_lid"), "left_outer")
+        .select(col("x.id").as("id"),
+          least(col("x.label"), coalesce(col("_llabel"), col("x.label"))).as("label"))
+      val (next, nextHandle) = bridge.truncateLineage(jumped)
+      val cur = labelSum(next)
+      handle.unpersist(); handle = nextHandle
+      labels = next
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      it += 1
+    }
+    e.unpersist()
+    require(converged, s"connectedComponentsFast did not converge in $maxIter rounds")
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** One min-label round: each node takes the min of its own label and its
+    * neighbors' labels (one shuffle join + one hash agg, fully distributed). */
+  private def propagateMin(e: DataFrame, labels: DataFrame): DataFrame = {
+    val neighborMin = e.join(labels, col("dst") === col("id"))
+      .groupBy(col("src")).agg(min("label").as("_nlabel"))
+    labels.join(neighborMin, col("id") === col("src"), "left_outer")
+      .select(col("id"), least(col("label"), coalesce(col("_nlabel"), col("label"))).as("label"))
+  }
+
+  /** Exact fixpoint test: labels are monotone non-increasing and any change
+    * strictly decreases the sum; the driver sees one decimal scalar. */
+  private def labelSum(l: DataFrame): java.math.BigDecimal =
+    l.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+      .collect()(0).getDecimal(0)
 }

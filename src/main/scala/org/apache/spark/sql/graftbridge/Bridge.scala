@@ -1,8 +1,11 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.storage.StorageLevel
 
 /** Spark 4 removed the public `new Column(expr)` constructor; the sanctioned
   * conversion lives in `classic.ExpressionUtils`, which is `private[sql]`.
@@ -11,6 +14,22 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Materialize `df` into a persisted internal-row RDD and rebuild a fresh
+    * DataFrame over it. Unlike `persist()` (which caches DATA but keeps the
+    * full logical plan) this truncates BOTH plan and RDD lineage to O(1) —
+    * an iterative self-join loop otherwise doubles its plan every round
+    * (2^rounds nodes; even the explain string OOMs past ~10 rounds).
+    * Returns the RDD handle so the caller can `unpersist()` the previous
+    * round once the next one is materialized. Eager: the returned frame is
+    * already computed. */
+  def truncateLineage(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val rdd = cdf.queryExecution.toRdd.map(_.copy())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // materialize now so the source plan can be freed
+    (cdf.sparkSession.internalCreateDataFrame(rdd, cdf.schema), rdd)
+  }
 
   /** Apply a SparkSessionExtensions function-injector to an EXISTING
     * session's registry (extensions normally only take effect at session

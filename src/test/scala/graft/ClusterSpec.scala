@@ -34,4 +34,35 @@ class ClusterSpec extends AnyFunSuite with SparkTestBase {
     val got = cc(Seq((4L, 5L), (5L, 6L), (4L, 6L), (6L, 20L), (20L, 21L)))
     assert(got.values.toSet == Set(4L))
   }
+
+  private def ccFast(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import sp.implicits._
+    Dedup.connectedComponentsFast(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("components: pointer-jumping variant handles a diameter-40 chain in O(log d) rounds") {
+    val chain = (1L until 41L).map(i => (i, i + 1))
+    val got = ccFast(chain)
+    assert(got.values.toSet == Set(1L))
+    assert(got.keySet == (1L to 41L).toSet)
+  }
+
+  test("components: pointer-jumping variant equals min-label on random graphs (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 24)
+      m <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(1L, n.toLong)
+        b <- Gen.choose(1L, n.toLong) if a != b
+      } yield (a, b))
+      if edges.nonEmpty
+    } yield edges
+    val prop = Prop.forAll(genEdges) { edges =>
+      cc(edges) == ccFast(edges)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

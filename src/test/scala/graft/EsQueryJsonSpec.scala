@@ -435,8 +435,14 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
       Or(And(Term(None, "a"), Term(None, "b")), Term(None, "c")))
     assert(parseLucene("a OR NOT b AND c") ==
       Or(Term(None, "a"), And(Not(Term(None, "b")), Term(None, "c"))))
-    // field grouping is rejected loudly (never a silent field drop)
-    intercept[IllegalArgumentException](parseLucene("f:(a OR b)"))
+    // field grouping rebinds unfielded atoms to the field
+    assert(parseLucene("f:(a OR b)") ==
+      Or(Term(Some("f"), "a"), Term(Some("f"), "b")))
+    // quoted parens inside a group don't close it early
+    assert(parseLucene("f:(\"a (b\" c)") ==
+      Or(Phrase(Some("f"), Seq("a", "b")), Term(Some("f"), "c")))
+    // a dangling field with no value is rejected loudly (never a silent drop)
+    intercept[IllegalArgumentException](parseLucene("lang: AND x"))
     // parens override; field scoping; phrase; wildcard
     assert(parseLucene("lang:en AND (x OR t:\"a b\") AND s:src1*") ==
       And(And(Term(Some("lang"), "en"),
