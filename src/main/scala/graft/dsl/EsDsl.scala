@@ -186,6 +186,19 @@ object EsDsl {
       round(max(value), 4).as("max_v"),
       round(sum(value), 4).as("sum_v"),
       round(avg(value), 6).as("avg_v"))
+  /** B10+ `extended_stats`: [[statsAgg]] plus sample variance / std-dev
+    * (6 dp — ES reports population moments; sample is the
+    * DuckDB-checkable twin, difference is the n/(n−1) factor). */
+  def extendedStatsAgg(df: DataFrame, groups: Seq[Column], value: Column): DataFrame =
+    df.groupBy(groups: _*).agg(
+      count(value).as("value_count"),
+      round(min(value), 4).as("min_v"),
+      round(max(value), 4).as("max_v"),
+      round(sum(value), 4).as("sum_v"),
+      round(avg(value), 6).as("avg_v"),
+      round(var_samp(value), 6).as("variance_v"),
+      round(stddev_samp(value), 6).as("stddev_v"))
+
   /** B11 `cardinality` — HLL++ like ES; `rsd` mirrors the precision knob. */
   def cardinality(c: Column, rsd: Double = 0.05): Column = approx_count_distinct(c, rsd)
   /** B12 `percentiles` (exact; ES uses t-digest — `percentileApprox` below

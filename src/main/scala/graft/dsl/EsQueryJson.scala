@@ -169,6 +169,8 @@ object EsQueryJson {
             x.getField(if (name.startsWith(path + ".")) name.stripPrefix(path + ".") else name)))
       case "constant_score" => // unscored context: just the wrapped filter
         predicateWith(body.get("filter"), fld)
+      case "function_score" => // unscored context: the inner query's filter
+        Option(body.get("query")).map(predicateWith(_, fld)).getOrElse(lit(true))
       case "dis_max" => // unscored: a doc matches if any clause matches
         body.get("queries").elements().asScala.map(predicateWith(_, fld)).reduce(_ || _)
       case "boosting" => // unscored: negative only demotes, never filters
@@ -368,6 +370,7 @@ object EsQueryJson {
         df.filter(predicate(body.get("filter")))
           .withColumn("_score", round(lit(boost).cast("double"), 6))
       case "bool" => scoredBool(df, body)
+      case "function_score" => functionScore(df, body)
       case "dis_max" =>
         // score = best clause + tie_breaker × (sum of the others); a doc
         // matches if ANY clause matches (ES dis_max semantics)
@@ -408,8 +411,93 @@ object EsQueryJson {
           .drop(internals: _*)
       case other =>
         throw new IllegalArgumentException(
-          s"_score sort requires match/match_phrase/multi_match/constant_score/bool/dis_max/boosting, got $other")
+          s"_score sort requires match/match_phrase/multi_match/constant_score/bool/dis_max/boosting/function_score, got $other")
     }
+  }
+
+  /** Query kinds [[scoredSearch]] can attach a `_score` to. */
+  private val scoringKinds = Set("match", "match_phrase", "multi_match",
+    "constant_score", "bool", "dis_max", "boosting", "function_score")
+
+  /** `function_score`: reshape the inner query's score with document-value
+    * functions — ES's "boost by recency/popularity" workhorse. Supported
+    * subset: `field_value_factor` (modifiers none/log1p/sqrt/square,
+    * `missing` default), `gauss` decay on a numeric field
+    * (origin/scale/offset/decay), and bare `weight` functions; each with an
+    * optional `filter` (a non-matching function contributes the
+    * score_mode's neutral element, ES behavior); `score_mode`
+    * multiply (default) | sum combines the functions, `boost_mode`
+    * multiply (default) | sum | replace combines with the query score.
+    *
+    * All function math is plain codegen'd double arithmetic with the
+    * association mirrored textually by the oracle (NOTES.md cross-engine
+    * rule); the final score rounds to 6 dp. A non-scoring inner query
+    * filters with base score 1.0 (`constant_score` analog); no inner query
+    * means match_all at 1.0. */
+  private def functionScore(df: DataFrame, body: JsonNode): DataFrame = {
+    val base = Option(body.get("query")) match {
+      case Some(qn) =>
+        val (k, _) = single(qn)
+        if (scoringKinds(k)) scoredSearch(df, qn)
+        else df.filter(predicate(qn)).withColumn("_score", lit(1.0))
+      case None => df.withColumn("_score", lit(1.0))
+    }
+    val scoreMode = Option(body.get("score_mode")).map(_.asText()).getOrElse("multiply")
+    val boostMode = Option(body.get("boost_mode")).map(_.asText()).getOrElse("multiply")
+    require(Set("multiply", "sum")(scoreMode), s"unsupported score_mode: $scoreMode")
+    val neutral = if (scoreMode == "sum") 0.0 else 1.0
+    val fns = Option(body.get("functions")).toSeq.flatMap(_.elements().asScala.toSeq)
+    val fVals = fns.map { fn =>
+      val weight = Option(fn.get("weight")).map(_.asDouble())
+      val value: Option[Column] =
+        if (fn.has("field_value_factor")) {
+          val s = fn.get("field_value_factor")
+          val raw = field(s.get("field").asText())
+          val x = Option(s.get("missing")).map(m => coalesce(raw, lit(m.asDouble()))).getOrElse(raw)
+          val factor = Option(s.get("factor")).map(_.asDouble()).getOrElse(1.0)
+          val fv = if (factor == 1.0) x.cast("double") else lit(factor) * x
+          Some(Option(s.get("modifier")).map(_.asText()).getOrElse("none") match {
+            case "none" => fv
+            case "log1p" => log(lit(1.0) + fv) // written as ln(1 + fv), the oracle's exact shape
+            case "sqrt" => sqrt(fv)
+            case "square" => pow(fv, lit(2.0))
+            case m => throw new IllegalArgumentException(s"unsupported field_value_factor modifier: $m")
+          })
+        } else if (fn.has("gauss")) {
+          val (f, s) = single(fn.get("gauss"))
+          val origin = s.get("origin").asDouble()
+          val scale = s.get("scale").asDouble()
+          val offset = Option(s.get("offset")).map(_.asDouble()).getOrElse(0.0)
+          val decay = Option(s.get("decay")).map(_.asDouble()).getOrElse(0.5)
+          // gauss(x) = decay ^ ((max(|x−origin|−offset, 0)/scale)²) — the
+          // closed form of exp(−dist²/2σ²) with σ² = −scale²/(2 ln decay)
+          val dist0 = abs(field(f) - lit(origin))
+          val dist = if (offset == 0.0) dist0 else greatest(dist0 - lit(offset), lit(0.0))
+          Some(pow(lit(decay), pow(dist / lit(scale), lit(2.0))))
+        } else None
+      val v = (value, weight) match {
+        case (Some(c), Some(w)) => lit(w) * c
+        case (Some(c), None) => c
+        case (None, Some(w)) => lit(w).cast("double")
+        case (None, None) => throw new IllegalArgumentException(
+          "function_score function needs field_value_factor, gauss, or weight")
+      }
+      Option(fn.get("filter")).map(predicate) match {
+        case Some(p) => when(p, v).otherwise(lit(neutral))
+        case None => v
+      }
+    }
+    val fScore =
+      if (fVals.isEmpty) lit(1.0)
+      else if (scoreMode == "sum") fVals.reduce(_ + _)
+      else fVals.reduce(_ * _)
+    val combined = boostMode match {
+      case "multiply" => col("_score") * fScore
+      case "sum" => col("_score") + fScore
+      case "replace" => fScore
+      case m => throw new IllegalArgumentException(s"unsupported boost_mode: $m")
+    }
+    base.withColumn("_score", round(combined, 6))
   }
 
   /** Query text + optional boost / minimum_should_match of a clause body
@@ -590,6 +678,18 @@ object EsQueryJson {
       case "max" => Seq(aggName -> round(max(f), 4))
       case "value_count" => Seq(aggName -> count(f))
       case "cardinality" => Seq(aggName -> EsDsl.cardinality(f))
+      case "extended_stats" =>
+        // stats + sample variance/std-dev (6 dp both engines; ES reports
+        // population moments — sample is the DuckDB-checkable twin and the
+        // difference is n/(n−1), documented)
+        Seq(
+          s"${aggName}_count" -> count(f),
+          s"${aggName}_min" -> round(min(f), 4),
+          s"${aggName}_max" -> round(max(f), 4),
+          s"${aggName}_sum" -> round(sum(f), 4),
+          s"${aggName}_avg" -> round(avg(f), 6),
+          s"${aggName}_variance" -> round(var_samp(f), 6),
+          s"${aggName}_std_deviation" -> round(stddev_samp(f), 6))
       case "percentiles" =>
         val pcts = Option(spec.get("percents"))
           .map(_.elements().asScala.map(_.asDouble()).toSeq)
@@ -653,6 +753,8 @@ object EsQueryJson {
     kind match {
       case "composite" => compositeAgg(df, spec)
       case "filters" => filtersAgg(df, node)
+      case "range" => rangeAgg(df, node, dateRange = false)
+      case "date_range" => rangeAgg(df, node, dateRange = true)
       case "significant_terms" =>
         // ES semantics: the body's query scopes the FOREGROUND; the whole
         // index is the background. Score = fg share / bg share (the JLH
@@ -743,6 +845,43 @@ object EsQueryJson {
       }
     }
     g
+  }
+
+  /** `range` / `date_range` bucket aggs: named bucket ranges (`from`
+    * inclusive, `to` exclusive — ES semantics) with metric sub-aggs, in ONE
+    * pass: per-bucket conditional aggregates as columns of a single row,
+    * unpivoted to one row per bucket with `stack` and ordered by `key`
+    * (ES allows OVERLAPPING ranges — conditional counts handle that where
+    * a CASE-assigned bucket id could not). Default bucket key is
+    * `from-to` with `*` for an open bound; a `key` in the range spec
+    * overrides it. */
+  private def rangeAgg(df: DataFrame, node: JsonNode, dateRange: Boolean): DataFrame = {
+    val spec = node.get(if (dateRange) "date_range" else "range")
+    val f = field(spec.get("field").asText())
+    val ranges = spec.get("ranges").elements().asScala.toSeq
+    val buckets = ranges.map { r =>
+      def bound(nm: String): Option[Column] = Option(r.get(nm)).map(n =>
+        if (dateRange) to_timestamp(lit(n.asText())) else litOf(n))
+      def txt(nm: String): String = Option(r.get(nm)).map(_.asText()).getOrElse("*")
+      val key = Option(r.get("key")).map(_.asText()).getOrElse(s"${txt("from")}-${txt("to")}")
+      val pred = Seq(bound("from").map(f >= _), bound("to").map(f < _))
+        .flatten.reduceOption(_ && _).getOrElse(lit(true))
+      key -> pred
+    }
+    require(buckets.map(_._1).distinct.size == buckets.size,
+      s"range bucket keys must be unique, got ${buckets.map(_._1)}")
+    val metricNames = subAggs(node)._1.map(_._1)
+    val aggCols = buckets.zipWithIndex.flatMap { case ((_, p), i) =>
+      sum(when(p, 1L).otherwise(0L)).as(s"_c$i") +:
+        subAggs(node, cond = Some(p))._1.map { case (mn, c) => c.as(s"_m${i}_$mn") }
+    }
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = buckets.zipWithIndex.map { case ((k, _), i) =>
+      (s"'$k'" +: s"_c$i" +: metricNames.map(mn => s"_m${i}_$mn")).mkString(", ")
+    }.mkString(", ")
+    val outNames = ("key" +: "doc_count" +: metricNames).mkString(", ")
+    one.selectExpr(s"stack(${buckets.size}, $stackArgs) AS ($outNames)")
+      .orderBy("key")
   }
 
   /** `filters` bucket agg: one row, a count column per named filter plus

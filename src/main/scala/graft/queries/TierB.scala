@@ -766,6 +766,77 @@ object TierB {
              |WHERE (lang = 'zh' OR lang = 'es') AND list_contains(w, 'spark')
              |ORDER BY doc_id LIMIT 1000""".stripMargin)),
 
+    // ES function_score: BM25 base × field_value_factor(log1p) × gauss
+    // decay × a filtered weight — the "boost by popularity/recency"
+    // composite every production search app uses. The oracle mirrors the
+    // exact multiply association at 6 dp.
+    Q("a51_es_json_function_score",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"function_score": {
+          |   "query": {"match": {"text": "spark"}},
+          |   "functions": [
+          |     {"field_value_factor": {"field": "n_chars", "factor": 0.01, "modifier": "log1p"}},
+          |     {"gauss": {"n_chars": {"origin": 250, "scale": 200}}},
+          |     {"filter": {"term": {"lang": "en"}}, "weight": 1.2}],
+          |   "score_mode": "multiply", "boost_mode": "multiply"}},
+          | "sort": [{"_score": {}}, "doc_id"], "size": 30}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("fscore")),
+      Some(bm25Sql(Seq("spark"), extraCols = Seq("n_chars", "lang")) +
+        """
+          |SELECT doc_id, round(score * (ln(1 + 0.01 * n_chars) * pow(0.5, pow(abs(n_chars - 250.0) / 200.0, 2)) * (CASE WHEN lang = 'en' THEN 1.2 ELSE 1.0 END)), 6) AS fscore
+          |FROM sc WHERE score > 0
+          |ORDER BY fscore DESC, doc_id LIMIT 30""".stripMargin)),
+
+    // ES extended_stats: stats + variance/std-dev per bucket (sample
+    // moments — the DuckDB-checkable twin of ES's population form).
+    Q("a52_es_json_extended_stats",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(li(s, d),
+        """{"aggs": {"qty": {"terms": {"field": "l_returnflag", "size": 10},
+          | "aggs": {"st": {"extended_stats": {"field": "l_quantity"}}}}}}""".stripMargin)("qty"),
+      Some("""SELECT l_returnflag AS key, count(*) AS doc_count,
+             |       count(l_quantity) AS st_count, round(min(l_quantity), 4) AS st_min,
+             |       round(max(l_quantity), 4) AS st_max, round(sum(l_quantity), 4) AS st_sum,
+             |       round(avg(l_quantity), 6) AS st_avg,
+             |       round(var_samp(l_quantity), 6) AS st_variance,
+             |       round(stddev_samp(l_quantity), 6) AS st_std_deviation
+             |FROM lineitem GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
+
+    // ES range agg: named price buckets (from inclusive, to exclusive)
+    // with a per-bucket avg metric — one conditional-aggregate pass,
+    // unpivoted to bucket rows.
+    Q("a53_es_json_range_agg",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"price": {"range": {"field": "o_totalprice", "ranges": [
+          |  {"key": "r1_cheap", "to": 100000},
+          |  {"key": "r2_mid", "from": 100000, "to": 250000},
+          |  {"key": "r3_big", "from": 250000}]},
+          | "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}}}}}""".stripMargin)("price"),
+      Some("""SELECT key, doc_count, avg_price FROM (
+             |  SELECT 'r1_cheap' AS key, count(CASE WHEN o_totalprice < 100000 THEN 1 END) AS doc_count,
+             |         round(avg(CASE WHEN o_totalprice < 100000 THEN o_totalprice END), 6) AS avg_price FROM orders
+             |  UNION ALL
+             |  SELECT 'r2_mid', count(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 250000 THEN 1 END),
+             |         round(avg(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 250000 THEN o_totalprice END), 6) FROM orders
+             |  UNION ALL
+             |  SELECT 'r3_big', count(CASE WHEN o_totalprice >= 250000 THEN 1 END),
+             |         round(avg(CASE WHEN o_totalprice >= 250000 THEN o_totalprice END), 6) FROM orders)
+             |ORDER BY key""".stripMargin)),
+
+    // ES date_range agg over the order date (timestamp bounds).
+    Q("a54_es_json_date_range_agg",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"dr": {"date_range": {"field": "o_orderdate", "ranges": [
+          |  {"key": "d1_early", "to": "1995-01-01"},
+          |  {"key": "d2_mid", "from": "1995-01-01", "to": "1997-01-01"},
+          |  {"key": "d3_late", "from": "1997-01-01"}]}}}}""".stripMargin)("dr"),
+      Some("""SELECT key, doc_count FROM (
+             |  SELECT 'd1_early' AS key, count(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 1 END) AS doc_count FROM orders
+             |  UNION ALL
+             |  SELECT 'd2_mid', count(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' THEN 1 END) FROM orders
+             |  UNION ALL
+             |  SELECT 'd3_late', count(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 1 END) FROM orders)
+             |ORDER BY key""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

@@ -69,6 +69,80 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(m.collect().head.getDouble(0) > 0)
   }
 
+  test("function_score: functions reshape the base score; filters gate functions") {
+    // weight-only function over a filter query: score = 1.0 × weight when
+    // the function filter matches, else 1.0 × neutral(=1 for multiply)
+    val body =
+      """{"query": {"function_score": {
+        |   "query": {"term": {"o_orderstatus": "F"}},
+        |   "functions": [
+        |     {"filter": {"term": {"o_orderpriority": "1-URGENT"}}, "weight": 3.0},
+        |     {"field_value_factor": {"field": "o_totalprice", "factor": 0.00001, "modifier": "log1p"}}]}},
+        | "sort": [{"_score": {}}, "o_orderkey"], "size": 5}""".stripMargin
+    val got = EsQueryJson.search(orders, body).select("o_orderkey", "_score").collect()
+    val expect = orders.filter(col("o_orderstatus") === "F")
+      .withColumn("_score", round(
+        lit(1.0) * (when(col("o_orderpriority") === "1-URGENT", lit(3.0)).otherwise(lit(1.0)) *
+          log(lit(1.0) + lit(0.00001) * col("o_totalprice"))), 6))
+      .orderBy(desc("_score"), col("o_orderkey")).limit(5)
+      .select("o_orderkey", "_score").collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      expect.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // every top doc got the 3× urgent boost
+    assert(got.nonEmpty)
+    // boost_mode replace ignores the query score entirely
+    val rep = EsQueryJson.search(orders,
+      """{"query": {"function_score": {
+        |   "query": {"term": {"o_orderstatus": "F"}},
+        |   "functions": [{"weight": 2.5}], "boost_mode": "replace"}},
+        | "sort": [{"_score": {}}, "o_orderkey"], "size": 3}""".stripMargin)
+      .select("_score").collect().map(_.getDouble(0)).toSeq
+    assert(rep == Seq(2.5, 2.5, 2.5))
+    // unscored context: function_score degrades to the inner query's filter
+    val unscored = EsQueryJson.search(orders,
+      """{"query": {"function_score": {"query": {"term": {"o_orderstatus": "P"}}}},
+        | "sort": ["o_orderkey"], "size": 100000}""".stripMargin).count()
+    assert(unscored == orders.filter(col("o_orderstatus") === "P").count())
+  }
+
+  test("range and date_range aggs bucket with from-inclusive/to-exclusive bounds") {
+    val out = EsQueryJson.aggregations(orders,
+      """{"aggs": {"pr": {"range": {"field": "o_totalprice", "ranges": [
+        |  {"key": "a_low", "to": 150000}, {"key": "b_high", "from": 150000}]},
+        | "aggs": {"mx": {"max": {"field": "o_totalprice"}}}}}}""".stripMargin)("pr")
+    val rows = out.collect()
+    assert(out.columns.toSeq == Seq("key", "doc_count", "mx"))
+    val lo = orders.filter(col("o_totalprice") < 150000).count()
+    val hi = orders.filter(col("o_totalprice") >= 150000).count()
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a_low" -> lo, "b_high" -> hi))
+    assert(lo + hi == orders.count()) // disjoint cover, no row lost
+    // overlapping ranges count rows in BOTH buckets (ES semantics)
+    val ov = EsQueryJson.aggregations(orders,
+      """{"aggs": {"pr": {"range": {"field": "o_totalprice", "ranges": [
+        |  {"key": "all", "from": 0}, {"key": "some", "from": 150000}]}}}}""".stripMargin)("pr")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ov("all") == orders.count() && ov("some") == hi)
+    // default keys are "from-to" with * for open bounds
+    val dk = EsQueryJson.aggregations(orders,
+      """{"aggs": {"pr": {"range": {"field": "o_totalprice",
+        |  "ranges": [{"to": 150000}]}}}}""".stripMargin)("pr").collect()
+    assert(dk.head.getString(0) == "*-150000")
+  }
+
+  test("extended_stats metric matches direct variance/stddev") {
+    val out = EsQueryJson.aggregations(orders,
+      """{"aggs": {"st": {"extended_stats": {"field": "o_totalprice"}}}}""")("st")
+    val r = out.collect().head
+    val want = orders.agg(
+      round(var_samp(col("o_totalprice")), 6).as("v"),
+      round(stddev_samp(col("o_totalprice")), 6).as("s")).collect().head
+    assert(out.columns.contains("value_variance") || out.columns.exists(_.endsWith("_variance")))
+    val vIdx = out.columns.indexWhere(_.endsWith("_variance"))
+    val sIdx = out.columns.indexWhere(_.endsWith("_std_deviation"))
+    assert(r.getDouble(vIdx) == want.getDouble(0) && r.getDouble(sIdx) == want.getDouble(1))
+  }
+
   test("query scopes aggregations in the same body (ES behavior)") {
     val body =
       """{"query": {"term": {"o_orderstatus": "F"}},
