@@ -39,6 +39,20 @@ object EsDsl {
   def matchQuery(text: Column, queryTerms: Seq[String], minShouldMatch: Int = 1): Column =
     matchCount(text, queryTerms) >= minShouldMatch
 
+  /** B5 `match` with the opt-in English analyzer: stopword removal +
+    * S-stemming applied to BOTH the document tokens (one kernel pass) and
+    * the query terms (driver-side, same JVM function) — recall on
+    * inflected forms ("tables" matches "table"). Opt-in per query via
+    * `"analyzer": "english"`; the default analyzer is untouched. */
+  def matchQueryEnglish(text: Column, queryTerms: Seq[String], minShouldMatch: Int = 1): Column = {
+    import graft.functions.TextKernels
+    val analyzed = queryTerms.map(_.toLowerCase)
+      .filterNot(TextKernels.englishStopwords.contains)
+      .map(TextKernels.stemEnglish).distinct
+    require(analyzed.nonEmpty, s"english analyzer removed every query term: $queryTerms")
+    size(array_intersect(TextKernels.englishTokens(text), lit(analyzed.toArray))) >= minShouldMatch
+  }
+
   /** B5 `multi_match` (best_fields-style predicate): the match fires if ANY
     * of the fields satisfies the term match. */
   def multiMatch(fields: Seq[Column], queryTerms: Seq[String], minShouldMatch: Int = 1): Column =

@@ -79,6 +79,19 @@ object EsQueryJson {
       case "span_first" =>
         val (f, v) = single(body.get("match").get("span_term"))
         graft.functions.Spans.spanFirst(field(f), v.asText(), body.get("end").asInt())
+      case "span_or" =>
+        // any span_term clause matches — over one field, a token-set test
+        val terms = body.get("clauses").elements().asScala.toSeq.map(c => single(c.get("span_term")))
+        require(terms.map(_._1).distinct.size == 1,
+          s"span_or clauses must target one field, got ${terms.map(_._1).distinct}")
+        EsDsl.matchQuery(field(terms.head._1), terms.map(_._2.asText()))
+      case "span_not" =>
+        val (f1, v1) = single(body.get("include").get("span_term"))
+        val (f2, v2) = single(body.get("exclude").get("span_term"))
+        require(f1 == f2, s"span_not include/exclude must target one field, got $f1/$f2")
+        graft.functions.Spans.spanNot(field(f1), v1.asText(), v2.asText(),
+          pre = Option(body.get("pre")).map(_.asInt()).getOrElse(0),
+          post = Option(body.get("post")).map(_.asInt()).getOrElse(0))
       case "geo_distance" =>
         val dist = body.get("distance").asText()
         require(dist.endsWith("km"), s"geo_distance supports km distances, got $dist")
@@ -97,6 +110,11 @@ object EsQueryJson {
         Geo.boundingBox(field(s"${f}_lat"), field(s"${f}_lon"),
           tl.get("lat").asDouble(), tl.get("lon").asDouble(),
           br.get("lat").asDouble(), br.get("lon").asDouble())
+      case "geo_polygon" =>
+        val (f, b) = single(body)
+        val pts = b.get("points").elements().asScala.toSeq
+          .map(p => (p.get("lat").asDouble(), p.get("lon").asDouble()))
+        Geo.pointInPolygon(field(s"${f}_lat"), field(s"${f}_lon"), pts)
       case "term" =>
         val (f, v) = single(body)
         EsDsl.term(field(f), if (v.isObject) litOf(v.get("value")) else litOf(v))
@@ -142,7 +160,13 @@ object EsQueryJson {
             (v.get("query").asText(),
               Option(v.get("minimum_should_match")).map(_.asInt()).getOrElse(1))
           else (v.asText(), 1)
-        EsDsl.matchQuery(field(f), text.split("\\s+").toSeq, msm)
+        val analyzer = if (v.isObject) Option(v.get("analyzer")).map(_.asText()) else None
+        analyzer match {
+          case Some("english") => EsDsl.matchQueryEnglish(field(f), text.split("\\s+").toSeq, msm)
+          case Some(other) => throw new IllegalArgumentException(
+            s"unsupported analyzer: $other (only 'english' beyond the default)")
+          case None => EsDsl.matchQuery(field(f), text.split("\\s+").toSeq, msm)
+        }
       case "match_phrase" =>
         val (f, v) = single(body)
         val text = (if (v.isObject) v.get("query") else v).asText()

@@ -61,6 +61,33 @@ object Geo {
     lat <= topLeftLat && lat >= bottomRightLat &&
       lon >= topLeftLon && lon <= bottomRightLon
 
+  /** `geo_polygon`: point-in-polygon by ray casting — odd count of polygon
+    * edges crossed by the horizontal ray from the point to +∞ lon. Plain
+    * double arithmetic per edge (no trig), association mirrored textually
+    * by [[sqlPointInPolygon]]; a horizontal edge divides by zero into ±inf,
+    * which both engines compare identically (the crossing guard already
+    * excludes it). */
+  def pointInPolygon(lat: Column, lon: Column, pts: Seq[(Double, Double)]): Column = {
+    require(pts.length >= 3, s"polygon needs >= 3 points, got ${pts.length}")
+    val crossings = pts.indices.map { i =>
+      val (yi, xi) = pts(i); val (yj, xj) = pts((i + 1) % pts.length)
+      val crosses = (lit(yi) > lat) =!= (lit(yj) > lat)
+      val xAt = (lit(xj) - lit(xi)) * (lat - lit(yi)) / (lit(yj) - lit(yi)) + lit(xi)
+      when(crosses && lon < xAt, 1).otherwise(0)
+    }
+    crossings.reduce(_ + _) % 2 === 1
+  }
+
+  /** DuckDB twin of [[pointInPolygon]] — identical per-edge expression. */
+  def sqlPointInPolygon(lat: String, lon: String, pts: Seq[(Double, Double)]): String = {
+    val terms = pts.indices.map { i =>
+      val (yi, xi) = pts(i); val (yj, xj) = pts((i + 1) % pts.length)
+      s"(CASE WHEN (($yi > $lat) <> ($yj > $lat)) AND " +
+        s"$lon < ($xj - $xi) * ($lat - $yi) / ($yj - $yi) + $xi THEN 1 ELSE 0 END)"
+    }
+    s"(${terms.mkString(" + ")}) % 2 = 1"
+  }
+
   /** Web-mercator tile key `z/x/y` at `precision` = zoom z (ES
     * geotile_grid key format). Latitude must already be inside the
     * mercator domain (±85.05113°) — [[derivedLat]] guarantees it. */

@@ -53,6 +53,35 @@ object Spans {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** `span_not`: true iff SOME occurrence of `incl` has NO occurrence of
+    * `excl` within `pre` positions before or `post` after it (ES's dilated
+    * overlap test). One tokenize pass + a bounded window scan per
+    * include-occurrence. */
+  case class SpanNotMatch(child: Expression, incl: String, excl: String,
+                          pre: Int, post: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      var i = 0
+      while (i < toks.length) {
+        if (toks(i) == incl) {
+          var clean = true
+          var q = math.max(i - pre, 0)
+          val hi = math.min(i + post, toks.length - 1)
+          while (clean && q <= hi) {
+            if (toks(q) == excl) clean = false
+            q += 1
+          }
+          if (clean) return true
+        }
+        i += 1
+      }
+      false
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** True iff `term` occurs at 1-indexed position ≤ `end`. */
   case class SpanFirstMatch(child: Expression, term: String, end: Int)
       extends UnaryExpression with CodegenFallback {
@@ -75,4 +104,7 @@ object Spans {
 
   def spanFirst(text: Column, term: String, end: Int): Column =
     column(SpanFirstMatch(expression(text), term, end))
+
+  def spanNot(text: Column, incl: String, excl: String, pre: Int, post: Int): Column =
+    column(SpanNotMatch(expression(text), incl, excl, pre, post))
 }

@@ -184,6 +184,64 @@ object TextKernels {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Lucene's default English stopword set (35 words, public constant) —
+    * the opt-in `analyzer: "english"` filter. */
+  val englishStopwordList: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+  private[graft] val englishStopwords: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    englishStopwordList.foreach(s.add)
+    s
+  }
+
+  /** Harman S-stemmer: three deterministic plural-conflation rules
+    * ("tables"→"table", "ponies"→"pony"; "-ss"/"-us" never touched) —
+    * chosen over Porter/Snowball because the whole stemmer is a CASE chain
+    * the DuckDB oracle mirrors byte-for-byte. */
+  private[graft] def stemEnglish(t: String): String =
+    if (t.endsWith("ies") && !t.endsWith("eies") && !t.endsWith("aies"))
+      t.substring(0, t.length - 3) + "y"
+    else if (t.endsWith("es") && !t.endsWith("aes") && !t.endsWith("ees") && !t.endsWith("oes"))
+      t.substring(0, t.length - 1)
+    else if (t.endsWith("s") && !t.endsWith("us") && !t.endsWith("ss"))
+      t.substring(0, t.length - 1)
+    else t
+
+  /** Opt-in English analysis in ONE pass per document: tokenize, drop
+    * stopwords, S-stem. The default analyzer everywhere else stays
+    * lowercase+`\W+` so existing oracles never shift. */
+  case class EnglishTokensKernel(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      val out = new java.util.ArrayList[Any](toks.length)
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        if (!englishStopwords.contains(t)) out.add(UTF8String.fromString(stemEnglish(t)))
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** DuckDB twin of [[EnglishTokensKernel]] over a `text` column ref. */
+  def sqlEnglishTokens(textCol: String): String = {
+    val stops = englishStopwordList.map(w => s"'$w'").mkString("[", ",", "]")
+    s"list_transform(list_filter(string_split_regex(lower($textCol), '\\W+'), " +
+      s"x -> x <> '' AND NOT list_contains($stops, x)), x -> CASE " +
+      "WHEN x LIKE '%ies' AND x NOT LIKE '%eies' AND x NOT LIKE '%aies' THEN substr(x, 1, len(x)-3) || 'y' " +
+      "WHEN x LIKE '%es' AND x NOT LIKE '%aes' AND x NOT LIKE '%ees' AND x NOT LIKE '%oes' THEN substr(x, 1, len(x)-1) " +
+      "WHEN x LIKE '%s' AND x NOT LIKE '%us' AND x NOT LIKE '%ss' THEN substr(x, 1, len(x)-1) " +
+      "ELSE x END)"
+  }
+
+  def englishTokens(text: Column): Column = column(EnglishTokensKernel(expression(text)))
   def wordNgrams(text: Column, n: Int): Column = column(WordNgramsKernel(expression(text), n))
   def repetitionStats(text: Column): Column = column(RepetitionStatsKernel(expression(text)))
   def tokenHashes60(text: Column): Column = column(TokenHashes60(expression(text)))

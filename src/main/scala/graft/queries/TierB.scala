@@ -837,6 +837,80 @@ object TierB {
              |  SELECT 'd3_late', count(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01' THEN 1 END) FROM orders)
              |ORDER BY key""".stripMargin)),
 
+    // Opt-in English analyzer: stopword removal + S-stemming on BOTH the
+    // document and query sides — "tables" recalls documents that only
+    // contain "table" (the default-analyzer twin misses them).
+    Q("a55_es_json_match_stemmed",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match": {"text": {"query": "tables", "analyzer": "english"}}},
+          | "sort": ["doc_id"], "size": 2000}""".stripMargin)
+        .select(col("doc_id"), col("lang")),
+      Some(s"""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang, ${graft.functions.TextKernels.sqlEnglishTokens("text")} AS st
+             |  FROM documents)
+             |WHERE list_contains(st, 'table')
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // ES span_or: any span_term clause occurs (token-set test over the
+    // shared field).
+    Q("a56_es_json_span_or",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"span_or": {"clauses": [
+          |  {"span_term": {"text": "spark"}}, {"span_term": {"text": "table"}}]}},
+          | "sort": ["doc_id"], "size": 2000}""".stripMargin)
+        .select(col("doc_id")),
+      Some("""SELECT doc_id FROM (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents)
+             |WHERE list_contains(w, 'spark') OR list_contains(w, 'table')
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // ES span_not: an occurrence of the include term with NO exclude term
+    // inside the dilated window [p-pre, p+post] — the postings-join twin
+    // is a correlated NOT EXISTS over positions (a44 pattern).
+    Q("a57_es_json_span_not",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"span_not": {
+          |   "include": {"span_term": {"text": "spark"}},
+          |   "exclude": {"span_term": {"text": "table"}},
+          |   "pre": 0, "post": 2}},
+          | "sort": ["doc_id"], "size": 2000}""".stripMargin)
+        .select(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), pos AS (
+             |  SELECT doc_id, unnest(w) AS term, unnest(range(1, len(w) + 1)) AS p
+             |  FROM toks)
+             |SELECT DISTINCT a.doc_id FROM pos a
+             |WHERE a.term = 'spark' AND NOT EXISTS (
+             |  SELECT 1 FROM pos b WHERE b.doc_id = a.doc_id AND b.term = 'table'
+             |    AND b.p BETWEEN a.p - 0 AND a.p + 2)
+             |ORDER BY a.doc_id LIMIT 2000""".stripMargin)),
+
+    // ES geo_polygon over md5-derived coordinates: ray-casting
+    // point-in-polygon, identical per-edge double association in the twin.
+    Q("a58_es_json_geo_polygon",
+      (s, d) => {
+        val c = graft.dsl.Geo.withDerivedCoords(Tables.customer(s, d), col("c_custkey"), "location")
+        graft.dsl.EsQueryJson.search(c,
+          """{"query": {"geo_polygon": {"location": {"points": [
+            |  {"lat": 70.0, "lon": -150.0}, {"lat": 60.0, "lon": 140.0},
+            |  {"lat": -65.0, "lon": 30.0}, {"lat": 10.0, "lon": -120.0}]}}},
+            | "sort": ["c_custkey"], "size": 100000}""".stripMargin)
+          .select(col("c_custkey"))
+      },
+      Some {
+        val pts = Seq((70.0, -150.0), (60.0, 140.0), (-65.0, 30.0), (10.0, -120.0))
+        s"""WITH c AS (
+           |  SELECT c_custkey, ${graft.dsl.Geo.sqlDerivedLat("c_custkey")} AS lat,
+           |         ${graft.dsl.Geo.sqlDerivedLon("c_custkey")} AS lon
+           |  FROM customer)
+           |SELECT c_custkey FROM c
+           |WHERE ${graft.dsl.Geo.sqlPointInPolygon("lat", "lon", pts)}
+           |ORDER BY c_custkey LIMIT 100000""".stripMargin
+      }),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

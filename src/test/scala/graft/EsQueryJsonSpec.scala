@@ -105,6 +105,27 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(unscored == orders.filter(col("o_orderstatus") === "P").count())
   }
 
+  test("match analyzer=english: stemmed recall, stopwords dropped, -ss untouched") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "the shiny tables"), (2L, "a table"), (3L, "pony rides"),
+      (4L, "ponies ride"), (5L, "gloss finish")).toDF("doc_id", "text")
+    def q(term: String): Seq[Long] = EsQueryJson.search(docs,
+      s"""{"query": {"match": {"text": {"query": "$term", "analyzer": "english"}}},
+         | "sort": ["doc_id"]}""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(q("tables") == Seq(1L, 2L)) // plural query hits singular doc
+    assert(q("ponies") == Seq(3L, 4L)) // ies→y conflation both directions
+    assert(q("gloss") == Seq(5L))      // -ss never stripped
+    // default analyzer unchanged: "tables" misses the "table" doc
+    val plain = EsQueryJson.search(docs,
+      """{"query": {"match": {"text": "tables"}}, "sort": ["doc_id"]}""")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(plain == Seq(1L))
+    // a stopword-only query is rejected loudly
+    intercept[IllegalArgumentException](q("the"))
+  }
+
   test("range and date_range aggs bucket with from-inclusive/to-exclusive bounds") {
     val out = EsQueryJson.aggregations(orders,
       """{"aggs": {"pr": {"range": {"field": "o_totalprice", "ranges": [

@@ -50,4 +50,19 @@ class GeoSpec extends AnyFunSuite with SparkTestBase {
     val out = Geo.boundingBox(lit(10.1), lit(20.0), 10.0, 20.0, -10.0, 40.0)
     assert(one(out) == false)
   }
+
+  test("point-in-polygon: ray casting on a square and a concave polygon") {
+    val square = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0))
+    def in(lat: Double, lon: Double, pts: Seq[(Double, Double)]) =
+      one(Geo.pointInPolygon(lit(lat), lit(lon), pts)) == true
+    assert(in(5.0, 5.0, square))
+    assert(!in(15.0, 5.0, square))
+    assert(!in(5.0, -1.0, square))
+    // concave "C" shape: the notch is outside
+    val c = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (8.0, 10.0),
+      (8.0, 2.0), (2.0, 2.0), (2.0, 10.0), (0.0, 10.0))
+    assert(in(1.0, 5.0, c))   // bottom bar
+    assert(!in(5.0, 5.0, c))  // inside the notch
+    assert(in(9.0, 5.0, c))   // top bar
+  }
 }

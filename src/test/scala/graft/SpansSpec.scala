@@ -47,6 +47,35 @@ class SpansSpec extends AnyFunSuite with SparkTestBase {
     assert(!matches("x x x x", q(10)))
   }
 
+  test("span_not: include occurrence must be clear of exclude in the window") {
+    val q = (pre: Int, post: Int) => Spans.spanNot(col("text"), "a", "b", pre, post)
+    assert(!matches("a b", q(0, 1)))      // b at +1 inside post window
+    assert(matches("a b", q(0, 0)))       // window excludes +1
+    assert(!matches("b a", q(1, 0)))      // b at -1 inside pre window
+    assert(matches("b a", q(0, 0)))
+    assert(matches("a b x x a", q(0, 1))) // second occurrence is clear
+    assert(!matches("x y z", q(2, 2)))    // no include occurrence at all
+  }
+
+  test("span_or / span_not via the ES-JSON front-end") {
+    import sp.implicits._
+    val df = Seq((1L, "spark big table"), (2L, "flink stream"), (3L, "spark value"))
+      .toDF("doc_id", "text")
+    val or = graft.dsl.EsQueryJson.search(df,
+      """{"query": {"span_or": {"clauses": [
+        |  {"span_term": {"text": "spark"}}, {"span_term": {"text": "flink"}}]}},
+        | "sort": ["doc_id"]}""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(or == Seq(1L, 2L, 3L))
+    val not = graft.dsl.EsQueryJson.search(df,
+      """{"query": {"span_not": {
+        |  "include": {"span_term": {"text": "spark"}},
+        |  "exclude": {"span_term": {"text": "table"}}, "post": 2}},
+        | "sort": ["doc_id"]}""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(not == Seq(3L)) // doc 1's spark has table at +2
+  }
+
   test("span predicates compose inside bool via the ES-JSON front-end") {
     import sp.implicits._
     val df = Seq((1L, "spark big table"), (2L, "table spark"), (3L, "spark value"))
