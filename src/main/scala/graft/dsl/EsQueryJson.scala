@@ -92,6 +92,18 @@ object EsQueryJson {
         graft.functions.Spans.spanNot(field(f1), v1.asText(), v2.asText(),
           pre = Option(body.get("pre")).map(_.asInt()).getOrElse(0),
           post = Option(body.get("post")).map(_.asInt()).getOrElse(0))
+      case "span_containing" =>
+        // big = span_near of two span_terms (in_order), little = span_term
+        val big = body.get("big").get("span_near")
+        val clauses = big.get("clauses").elements().asScala.toSeq
+        require(clauses.size == 2, s"span_containing big must have 2 clauses, got ${clauses.size}")
+        val (f1, v1) = single(clauses(0).get("span_term"))
+        val (f2, v2) = single(clauses(1).get("span_term"))
+        val (f3, v3) = single(body.get("little").get("span_term"))
+        require(f1 == f2 && f2 == f3,
+          s"span_containing clauses must target one field, got $f1/$f2/$f3")
+        graft.functions.Spans.spanContaining(field(f1), v1.asText(), v2.asText(),
+          slop = Option(big.get("slop")).map(_.asInt()).getOrElse(0), little = v3.asText())
       case "geo_distance" =>
         val dist = body.get("distance").asText()
         require(dist.endsWith("km"), s"geo_distance supports km distances, got $dist")
@@ -327,15 +339,28 @@ object EsQueryJson {
         highlighted.filter(pred)
       case None => highlighted
     }
+    val sortCols = sortSpecs.map { case (f, order) =>
+      val c = if (f == "_score") col("_score") else field(f)
+      order.getOrElse(if (f == "_score") "desc" else "asc") match {
+        case "desc" => c.desc
+        case _ => c.asc
+      }
+    }
+    // `collapse`: one hit per distinct field value — the TOP hit by the
+    // body's sort (per-group row_number over a partitioned window; bounded
+    // partitions, no global sort).
+    val collapsed = Option(body.get("collapse")) match {
+      case Some(c) =>
+        require(sortSpecs.nonEmpty, "collapse requires an explicit sort")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(field(c.get("field").asText())).orderBy(sortCols: _*)
+        paged.withColumn("_collapse_rn", row_number().over(w))
+          .filter(col("_collapse_rn") === 1).drop("_collapse_rn")
+      case None => paged
+    }
     val sorted =
-      if (sortSpecs.isEmpty) paged
-      else paged.orderBy(sortSpecs.map { case (f, order) =>
-        val c = if (f == "_score") col("_score") else field(f)
-        order.getOrElse(if (f == "_score") "desc" else "asc") match {
-          case "desc" => c.desc
-          case _ => c.asc
-        }
-      }: _*)
+      if (sortSpecs.isEmpty) collapsed
+      else collapsed.orderBy(sortCols: _*)
     val from = Option(body.get("from")).map(_.asInt()).getOrElse(0)
     val size = Option(body.get("size")).map(_.asInt())
     val offs = if (from > 0) sorted.offset(from) else sorted

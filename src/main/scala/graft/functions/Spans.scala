@@ -82,6 +82,40 @@ object Spans {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** `span_containing`: true iff some `big` span — an in-order (t1, t2)
+    * pair within `slop` intervening tokens — CONTAINS an occurrence of the
+    * `little` term (t1-pos ≤ q ≤ t2-pos). One tokenize pass; the pair scan
+    * is bounded by the slop window. */
+  case class SpanContainingMatch(child: Expression, t1: String, t2: String,
+                                 slop: Int, little: String)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      var i = 0
+      while (i < toks.length) {
+        if (toks(i) == t1) {
+          // candidate big spans starting here end within the slop window
+          var j = i + 1
+          val hi = math.min(i + slop + 1, toks.length - 1)
+          while (j <= hi) {
+            if (toks(j) == t2) {
+              var q = i
+              while (q <= j) {
+                if (toks(q) == little) return true
+                q += 1
+              }
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
+      false
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** True iff `term` occurs at 1-indexed position ≤ `end`. */
   case class SpanFirstMatch(child: Expression, term: String, end: Int)
       extends UnaryExpression with CodegenFallback {
@@ -107,4 +141,7 @@ object Spans {
 
   def spanNot(text: Column, incl: String, excl: String, pre: Int, post: Int): Column =
     column(SpanNotMatch(expression(text), incl, excl, pre, post))
+
+  def spanContaining(text: Column, t1: String, t2: String, slop: Int, little: String): Column =
+    column(SpanContainingMatch(expression(text), t1, t2, slop, little))
 }

@@ -911,6 +911,45 @@ object TierB {
            |ORDER BY c_custkey LIMIT 100000""".stripMargin
       }),
 
+    // ES field collapsing: one hit per distinct collapse-field value, the
+    // top hit by the body's sort (per-group window, bounded partitions).
+    Q("a59_es_json_collapse",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match_all": {}},
+          | "collapse": {"field": "lang"},
+          | "sort": [{"n_chars": {"order": "desc"}}, "doc_id"], "size": 10}""".stripMargin)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      Some("""SELECT doc_id, lang, n_chars FROM (
+             |  SELECT doc_id, lang, n_chars,
+             |         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn = 1
+             |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ES span_containing: an in-order (spark, table) span within slop 4
+    // that contains "window" — the positions-join twin mirrors the
+    // endpoint-inclusive containment.
+    Q("a60_es_json_span_containing",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"span_containing": {
+          |   "big": {"span_near": {"clauses": [
+          |     {"span_term": {"text": "spark"}}, {"span_term": {"text": "table"}}],
+          |     "slop": 4, "in_order": true}},
+          |   "little": {"span_term": {"text": "window"}}}},
+          | "sort": ["doc_id"], "size": 2000}""".stripMargin)
+        .select(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), pos AS (
+             |  SELECT doc_id, unnest(w) AS term, unnest(range(1, len(w) + 1)) AS p
+             |  FROM toks)
+             |SELECT DISTINCT a.doc_id
+             |FROM pos a JOIN pos b ON a.doc_id = b.doc_id JOIN pos c ON a.doc_id = c.doc_id
+             |WHERE a.term = 'spark' AND b.term = 'table' AND b.p > a.p AND b.p - a.p - 1 <= 4
+             |  AND c.term = 'window' AND c.p >= a.p AND c.p <= b.p
+             |ORDER BY a.doc_id LIMIT 2000""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

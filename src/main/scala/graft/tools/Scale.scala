@@ -150,6 +150,24 @@ object Scale {
         threshold = 0.4, maxDf = 50)
         .write.mode("overwrite").format("noop").save())
 
+    // ---- connected components: 2M-edge near-clique graph (both forms)
+    // and a diameter-50k chain (pointer-jumping only — min-label would
+    // need 50k label-propagation rounds; the fast form does O(log d)) ----
+    val cliqueEdges = spark.range(2_000_000).select(
+      col("id").as("doc_a"), (col("id") - pmod(col("id"), lit(20))).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    t("gen-cc-edges-2M")(cliqueEdges.write.mode("overwrite").parquet("/tmp/scale/ccedges"))
+    val ce = spark.read.parquet("/tmp/scale/ccedges")
+    t("cc-minlabel-2M-edges-100k-components")(
+      Dedup.connectedComponents(ce).write.mode("overwrite").format("noop").save())
+    t("cc-pointer-jump-2M-edges")(
+      Dedup.connectedComponentsFast(ce).write.mode("overwrite").format("noop").save())
+    val chain = spark.range(50_000).select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val chainComponents = t("cc-pointer-jump-chain-diameter-50k")(
+      Dedup.connectedComponentsFast(chain)
+        .agg(count_distinct(col("cluster"))).collect()(0).getLong(0))
+    println(s"SCALEINFO chain components: $chainComponents (want 1)")
+
     // ---- one-pass int8 quantization of 100k vectors ----
     t("quantize-int8-100k")(
       vecs.select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("z"))

@@ -151,6 +151,26 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(dk.head.getString(0) == "*-150000")
   }
 
+  test("collapse keeps the top hit per field value by the body's sort") {
+    val body =
+      """{"query": {"term": {"o_orderstatus": "F"}},
+        | "collapse": {"field": "o_orderpriority"},
+        | "sort": [{"o_totalprice": {"order": "desc"}}, "o_orderkey"], "size": 10}""".stripMargin
+    val got = EsQueryJson.search(orders, body)
+      .select("o_orderpriority", "o_orderkey").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    import org.apache.spark.sql.expressions.Window
+    val want = orders.filter(col("o_orderstatus") === "F")
+      .withColumn("rn", row_number().over(Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))))
+      .filter(col("rn") === 1)
+      .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(10)
+      .select("o_orderpriority", "o_orderkey").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == want)
+    assert(got.map(_._1).distinct.size == got.size) // one hit per value
+  }
+
   test("extended_stats metric matches direct variance/stddev") {
     val out = EsQueryJson.aggregations(orders,
       """{"aggs": {"st": {"extended_stats": {"field": "o_totalprice"}}}}""")("st")

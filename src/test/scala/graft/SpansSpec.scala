@@ -76,6 +76,18 @@ class SpansSpec extends AnyFunSuite with SparkTestBase {
     assert(not == Seq(3L)) // doc 1's spark has table at +2
   }
 
+  test("span_containing: little must sit inside a valid big span") {
+    val q = (slop: Int, little: String) =>
+      Spans.spanContaining(col("text"), "a", "b", slop, little)
+    assert(matches("a x b", q(1, "x")))     // inside
+    assert(!matches("a b x", q(1, "x")))    // after the span
+    assert(!matches("x a b", q(1, "x")))    // before the span
+    assert(matches("a x b", q(1, "a")))     // endpoint counts (ES containment)
+    assert(!matches("a x x b", q(1, "x")))  // no valid big span at slop 1
+    // the CLOSER big span decides: (a y b) has no x, but (a x b) does
+    assert(matches("a y b a x b", q(1, "x")))
+  }
+
   test("span predicates compose inside bool via the ES-JSON front-end") {
     import sp.implicits._
     val df = Seq((1L, "spark big table"), (2L, "table spark"), (3L, "spark value"))
