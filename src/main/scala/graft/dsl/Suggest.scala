@@ -80,9 +80,15 @@ object Suggest {
     *
     * Exactly two corpus passes: the vocabulary aggregation (persisted —
     * both candidate positions rank over ONE pass, window partitioned by
-    * position, the [[termSuggest]] shape) and the bigram count. The
-    * previous per-position `cands` closure rebuilt the vocabulary — and
-    * paid a full-vocab Levenshtein scan — once per position. */
+    * position, the [[termSuggest]] shape) and ONE fixed-list bigram-count
+    * kernel pass scoring all ≤ shardSize² candidate phrases
+    * ([[graft.functions.TextKernels.BigramFreqsKernel]] — the
+    * explode-all-bigrams + groupBy + join formulation shuffled the
+    * corpus's ENTIRE bigram set to score ~25 candidates, 5.5 s of the old
+    * 7.4 s at sf0.1). The candidate terms come to the driver (≤ 2×shardSize
+    * strings — query construction, the same step ES runs on the
+    * coordinating node; more_like_this precedent), and the final ranking
+    * is over the summed exact-integer counts. */
   def phraseSuggest(df: DataFrame, idCol: Column, field: Column, text: String,
                     size: Int = 3, shardSize: Int = 5, maxEdits: Int = 1): DataFrame = {
     val spark = df.sparkSession
@@ -91,23 +97,28 @@ object Suggest {
     require(toks.length == 2, s"phrase suggester implemented for 2-token inputs, got $toks")
     val vocab = graft.ext.Dedup.persistOnce(vocabulary(df, idCol, field))
     val inputs = toks.zipWithIndex.toDF("token", "pos")
-    val cands = graft.ext.Dedup.persistOnce(vocab
+    val cands = vocab
       .join(broadcast(inputs),
         abs(length(col("term")) - length(col("token"))) <= maxEdits &&
           levenshtein(col("term"), col("token")) <= maxEdits)
       .withColumn("rank", row_number().over(
         Window.partitionBy("pos").orderBy(desc("doc_freq"), col("term"))))
       .filter(col("rank") <= shardSize)
-      .select(col("pos"), col("term")))
-    val toksCol = graft.ext.TextAnalysis.tokens(field)
-    val bigrams = df
-      .select(explode(graft.ext.TextAnalysis.wordNgrams(toksCol, 2)).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("_bg"))
-    cands.filter(col("pos") === 0).select(col("term").as("_w0"))
-      .crossJoin(cands.filter(col("pos") === 1).select(col("term").as("_w1")))
-      .withColumn("suggestion", concat_ws(" ", col("_w0"), col("_w1")))
-      .join(bigrams, col("suggestion") === col("gram"), "left_outer")
-      .select(col("suggestion"), coalesce(col("_bg"), lit(0L)).as("score"))
+      .select(col("pos"), col("term"))
+      .collect()
+    val c0 = cands.filter(_.getInt(0) == 0).map(_.getString(1)).toSeq
+    val c1 = cands.filter(_.getInt(0) == 1).map(_.getString(1)).toSeq
+    val phrases = for (a <- c0; b <- c1) yield s"$a $b"
+    if (phrases.isEmpty) return Seq.empty[(String, Long)].toDF("suggestion", "score")
+    val sums = phrases.indices.map(i =>
+      sum(element_at(col("_bf"), i + 1)).cast("long").as(s"_s$i"))
+    val freqs = df
+      .select(graft.functions.TextKernels.bigramFreqs(field, phrases).as("_bf"))
+      .agg(sums.head, sums.tail: _*)
+      .collect()(0)
+    phrases.zipWithIndex
+      .map { case (p, i) => (p, if (freqs.isNullAt(i)) 0L else freqs.getLong(i)) }
+      .toDF("suggestion", "score")
       .orderBy(desc("score"), col("suggestion"))
       .limit(size)
   }

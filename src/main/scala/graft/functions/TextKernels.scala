@@ -158,6 +158,33 @@ object TextKernels {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Occurrence counts of a FIXED list of space-joined word bigrams in one
+    * tokenize pass: result[i] = overlapping count of phrases(i). Feeds the
+    * phrase suggester's LM lookups — the explode-ALL-bigrams + groupBy +
+    * join formulation shuffled the corpus's entire bigram set to score ~25
+    * candidate phrases (5.5 s of the old 7.4 s a43 at sf0.1). */
+  case class BigramFreqsKernel(child: Expression, phrases: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val idx: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      phrases.zipWithIndex.foreach { case (p, i) => m.put(p, i) }
+      m
+    }
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      val out = new Array[Int](phrases.length)
+      var i = 0
+      while (i + 1 < toks.length) {
+        val k = idx.get(toks(i) + " " + toks(i + 1))
+        if (k != null) out(k.intValue()) += 1
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** `[n_tokens, n_distinct_tokens, n_2grams, n_distinct_2grams,
     * top_token_count]` in ONE tokenize pass — the repetition-signal
     * counters (the HOF formulation re-evaluated interpreted
@@ -242,6 +269,8 @@ object TextKernels {
   }
 
   def englishTokens(text: Column): Column = column(EnglishTokensKernel(expression(text)))
+  def bigramFreqs(text: Column, phrases: Seq[String]): Column =
+    column(BigramFreqsKernel(expression(text), phrases))
   def wordNgrams(text: Column, n: Int): Column = column(WordNgramsKernel(expression(text), n))
   def repetitionStats(text: Column): Column = column(RepetitionStatsKernel(expression(text)))
   def tokenHashes60(text: Column): Column = column(TokenHashes60(expression(text)))
