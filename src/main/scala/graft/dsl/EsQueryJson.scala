@@ -92,8 +92,11 @@ object EsQueryJson {
         graft.functions.Spans.spanNot(field(f1), v1.asText(), v2.asText(),
           pre = Option(body.get("pre")).map(_.asInt()).getOrElse(0),
           post = Option(body.get("post")).map(_.asInt()).getOrElse(0))
-      case "span_containing" =>
-        // big = span_near of two span_terms (in_order), little = span_term
+      case "span_containing" | "span_within" =>
+        // span_containing returns big spans, span_within little spans — as
+        // document-level predicates both are "a big span contains a little
+        // occurrence". big = span_near of two span_terms (in_order),
+        // little = span_term.
         val big = body.get("big").get("span_near")
         val clauses = big.get("clauses").elements().asScala.toSeq
         require(clauses.size == 2, s"span_containing big must have 2 clauses, got ${clauses.size}")
@@ -127,6 +130,28 @@ object EsQueryJson {
         val pts = b.get("points").elements().asScala.toSeq
           .map(p => (p.get("lat").asDouble(), p.get("lon").asDouble()))
         Geo.pointInPolygon(field(s"${f}_lat"), field(s"${f}_lon"), pts)
+      case "geo_shape" =>
+        // documents carry POINTS; a shape query with relation=intersects is
+        // then point-in-shape. envelope = bbox; polygon = GeoJSON ring
+        // ([lon, lat] pairs, closing point repeated) via ray casting.
+        val (f, b) = single(body)
+        val shape = b.get("shape")
+        val rel = Option(b.get("relation")).map(_.asText()).getOrElse("intersects")
+        require(rel == "intersects", s"geo_shape over point fields supports intersects, got $rel")
+        shape.get("type").asText() match {
+          case "envelope" =>
+            val cs = shape.get("coordinates")
+            Geo.boundingBox(field(s"${f}_lat"), field(s"${f}_lon"),
+              topLeftLat = cs.get(0).get(1).asDouble(), topLeftLon = cs.get(0).get(0).asDouble(),
+              bottomRightLat = cs.get(1).get(1).asDouble(), bottomRightLon = cs.get(1).get(0).asDouble())
+          case "polygon" =>
+            val ring = shape.get("coordinates").get(0).elements().asScala.toSeq
+              .map(p => (p.get(1).asDouble(), p.get(0).asDouble()))
+            require(ring.length >= 4 && ring.head == ring.last,
+              "GeoJSON polygon ring must close (first point repeated last)")
+            Geo.pointInPolygon(field(s"${f}_lat"), field(s"${f}_lon"), ring.dropRight(1))
+          case t => throw new IllegalArgumentException(s"unsupported geo_shape type: $t")
+        }
       case "term" =>
         val (f, v) = single(body)
         EsDsl.term(field(f), if (v.isObject) litOf(v.get("value")) else litOf(v))
@@ -647,6 +672,9 @@ object EsQueryJson {
     // in the window would multiply rows through the join (the rank filter
     // this replaced never changed the row count); null-safe equality (<=>):
     // an in-window row with a NULL sort field must still match itself.
+    // (A driver-collected OR-predicate variant measured within noise of
+    // this join under repeated runs — the join keeps everything one action
+    // so the corpus-pass exchange can be reused.)
     val winKeys = matched
       .orderBy(col("_primary").desc +: tiebreaks.map(_.asc): _*)
       .limit(window)
@@ -718,8 +746,9 @@ object EsQueryJson {
     * percent (`<name>_p<pct>`), exact like the typed DSL's b12. */
   private def metricCols(aggName: String, kind: String, spec: JsonNode,
                          cond: Option[Column] = None): Seq[(String, Column)] = {
-    val raw = field(spec.get("field").asText())
-    val f = cond.map(c => when(c, raw)).getOrElse(raw)
+    // lazy: weighted_avg has no top-level "field" key
+    lazy val raw = field(spec.get("field").asText())
+    lazy val f = cond.map(c => when(c, raw)).getOrElse(raw)
     kind match {
       case "avg" => Seq(aggName -> round(avg(f), 6))
       case "sum" => Seq(aggName -> round(sum(f), 4))
@@ -748,6 +777,22 @@ object EsQueryJson {
                    else s"${aggName}_p${p.toString.replace('.', '_')}"
           nm -> round(EsDsl.percentileExact(f, p / 100.0), 4)
         }
+      case "percentile_ranks" =>
+        // inverse percentiles: % of values ≤ each given bound (exact —
+        // ES's t-digest estimate of the same quantity), 4 dp
+        val vals = spec.get("values").elements().asScala.map(_.asDouble()).toSeq
+        vals.map { v =>
+          val nm = s"${aggName}_r${if (v.isWhole) v.toLong.toString else v.toString.replace('.', '_')}"
+          nm -> round(sum(when(f <= v, 1.0).otherwise(0.0)) * lit(100.0) / count(f), 4)
+        }
+      case "weighted_avg" =>
+        // {"value": {"field": f}, "weight": {"field": w}} — Σ(v·w)/Σ(w)
+        // over rows where BOTH sides are present (ES skips missing)
+        val vf = field(spec.get("value").get("field").asText())
+        val wf = field(spec.get("weight").get("field").asText())
+        val bothV = cond.map(c => when(c && wf.isNotNull, vf)).getOrElse(when(wf.isNotNull, vf))
+        val bothW = cond.map(c => when(c && vf.isNotNull, wf)).getOrElse(when(vf.isNotNull, wf))
+        Seq(aggName -> round(sum(bothV * bothW) / sum(bothW), 6))
       case other => throw new IllegalArgumentException(s"unsupported metric: $other")
     }
   }
@@ -804,6 +849,7 @@ object EsQueryJson {
       case "filters" => filtersAgg(df, node)
       case "range" => rangeAgg(df, node, dateRange = false)
       case "date_range" => rangeAgg(df, node, dateRange = true)
+      case "adjacency_matrix" => adjacencyMatrixAgg(df, spec)
       case "significant_terms" =>
         // ES semantics: the body's query scopes the FOREGROUND; the whole
         // index is the background. Score = fg share / bg share (the JLH
@@ -931,6 +977,27 @@ object EsQueryJson {
     val outNames = ("key" +: "doc_count" +: metricNames).mkString(", ")
     one.selectExpr(s"stack(${buckets.size}, $stackArgs) AS ($outNames)")
       .orderBy("key")
+  }
+
+  /** `adjacency_matrix`: one bucket per named filter plus one per pairwise
+    * intersection (key `a&b`, filters in body order) — co-occurrence
+    * counting in ONE conditional-aggregate pass, empty buckets omitted
+    * (ES behavior). */
+  private def adjacencyMatrixAgg(df: DataFrame, spec: JsonNode): DataFrame = {
+    val named = spec.get("filters").fields().asScala.toSeq.map { e =>
+      e.getKey -> predicate(e.getValue)
+    }
+    val buckets = named ++ (for {
+      i <- named.indices
+      j <- i + 1 until named.size
+    } yield s"${named(i)._1}&${named(j)._1}" -> (named(i)._2 && named(j)._2))
+    val aggCols = buckets.zipWithIndex.map { case ((_, p), i) =>
+      sum(when(p, 1L).otherwise(0L)).as(s"_c$i")
+    }
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = buckets.zipWithIndex.map { case ((k, _), i) => s"'$k', _c$i" }.mkString(", ")
+    one.selectExpr(s"stack(${buckets.size}, $stackArgs) AS (key, doc_count)")
+      .filter(col("doc_count") > 0).orderBy("key")
   }
 
   /** `filters` bucket agg: one row, a count column per named filter plus

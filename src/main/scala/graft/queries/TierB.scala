@@ -950,6 +950,71 @@ object TierB {
              |  AND c.term = 'window' AND c.p >= a.p AND c.p <= b.p
              |ORDER BY a.doc_id LIMIT 2000""".stripMargin)),
 
+    // ES weighted_avg metric: Σ(v·w)/Σ(w) per bucket.
+    Q("a61_es_json_weighted_avg",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(li(s, d),
+        """{"aggs": {"wa": {"terms": {"field": "l_returnflag", "size": 10},
+          | "aggs": {"wavg": {"weighted_avg": {
+          |   "value": {"field": "l_extendedprice"}, "weight": {"field": "l_quantity"}}}}}}}""".stripMargin)("wa"),
+      Some("""SELECT l_returnflag AS key, count(*) AS doc_count,
+             |       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wavg
+             |FROM lineitem GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
+
+    // ES percentile_ranks: % of values ≤ each bound (exact form of the
+    // t-digest estimate).
+    Q("a62_es_json_percentile_ranks",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"pr": {"percentile_ranks": {"field": "o_totalprice",
+          |  "values": [50000, 150000, 300000]}}}}""".stripMargin)("pr"),
+      Some("""SELECT round(sum(CASE WHEN o_totalprice <= 50000 THEN 1.0 ELSE 0.0 END) * 100.0 / count(o_totalprice), 4) AS value_r50000,
+             |       round(sum(CASE WHEN o_totalprice <= 150000 THEN 1.0 ELSE 0.0 END) * 100.0 / count(o_totalprice), 4) AS value_r150000,
+             |       round(sum(CASE WHEN o_totalprice <= 300000 THEN 1.0 ELSE 0.0 END) * 100.0 / count(o_totalprice), 4) AS value_r300000
+             |FROM orders""".stripMargin)),
+
+    // ES adjacency_matrix: per-filter buckets plus pairwise intersections
+    // (key "a&b"), one conditional-aggregate pass, empty buckets omitted.
+    Q("a63_es_json_adjacency_matrix",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.documents(s, d),
+        """{"aggs": {"adj": {"adjacency_matrix": {"filters": {
+          |  "big": {"range": {"n_chars": {"gte": 300}}},
+          |  "en": {"term": {"lang": "en"}},
+          |  "spark": {"match": {"text": "spark"}}}}}}}""".stripMargin)("adj"),
+      Some("""SELECT key, doc_count FROM (
+             |  SELECT 'big' AS key, count(CASE WHEN n_chars >= 300 THEN 1 END) AS doc_count FROM documents
+             |  UNION ALL SELECT 'en', count(CASE WHEN lang = 'en' THEN 1 END) FROM documents
+             |  UNION ALL SELECT 'spark', count(CASE WHEN has_spark THEN 1 END) FROM (
+             |    SELECT list_contains(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''), 'spark') AS has_spark FROM documents)
+             |  UNION ALL SELECT 'big&en', count(CASE WHEN n_chars >= 300 AND lang = 'en' THEN 1 END) FROM documents
+             |  UNION ALL SELECT 'big&spark', count(CASE WHEN n_chars >= 300 AND has_spark THEN 1 END) FROM (
+             |    SELECT n_chars, list_contains(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''), 'spark') AS has_spark FROM documents)
+             |  UNION ALL SELECT 'en&spark', count(CASE WHEN lang = 'en' AND has_spark THEN 1 END) FROM (
+             |    SELECT lang, list_contains(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''), 'spark') AS has_spark FROM documents))
+             |WHERE doc_count > 0 ORDER BY key""".stripMargin)),
+
+    // ES geo_shape (point docs, intersects): GeoJSON polygon ring in
+    // [lon, lat] order — same ray casting as geo_polygon.
+    Q("a64_es_json_geo_shape",
+      (s, d) => {
+        val c = graft.dsl.Geo.withDerivedCoords(Tables.customer(s, d), col("c_custkey"), "location")
+        graft.dsl.EsQueryJson.search(c,
+          """{"query": {"geo_shape": {"location": {
+            |   "shape": {"type": "polygon", "coordinates": [[
+            |     [-100.0, 65.0], [120.0, 55.0], [40.0, -60.0], [-100.0, 65.0]]]},
+            |   "relation": "intersects"}}},
+            | "sort": ["c_custkey"], "size": 100000}""".stripMargin)
+          .select(col("c_custkey"))
+      },
+      Some {
+        val pts = Seq((65.0, -100.0), (55.0, 120.0), (-60.0, 40.0))
+        s"""WITH c AS (
+           |  SELECT c_custkey, ${graft.dsl.Geo.sqlDerivedLat("c_custkey")} AS lat,
+           |         ${graft.dsl.Geo.sqlDerivedLon("c_custkey")} AS lon
+           |  FROM customer)
+           |SELECT c_custkey FROM c
+           |WHERE ${graft.dsl.Geo.sqlPointInPolygon("lat", "lon", pts)}
+           |ORDER BY c_custkey LIMIT 100000""".stripMargin
+      }),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

@@ -171,6 +171,28 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._1).distinct.size == got.size) // one hit per value
   }
 
+  test("weighted_avg, percentile_ranks, adjacency_matrix aggs") {
+    val wa2 = EsQueryJson.aggregations(orders,
+      """{"aggs": {"w": {"weighted_avg": {
+        |  "value": {"field": "o_totalprice"}, "weight": {"field": "o_custkey"}}}}}""".stripMargin)("w")
+    val want = orders.agg(round(sum(col("o_totalprice") * col("o_custkey")) / sum(col("o_custkey")), 6))
+      .collect().head.getDouble(0)
+    assert(wa2.collect().head.getDouble(0) == want)
+    val pr = EsQueryJson.aggregations(orders,
+      """{"aggs": {"p": {"percentile_ranks": {"field": "o_totalprice", "values": [0, 10000000]}}}}""")("p")
+    val r = pr.collect().head
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 100.0) // below min / above max
+    val adj = EsQueryJson.aggregations(orders,
+      """{"aggs": {"a": {"adjacency_matrix": {"filters": {
+        |  "f": {"term": {"o_orderstatus": "F"}},
+        |  "urgent": {"term": {"o_orderpriority": "1-URGENT"}}}}}}}""".stripMargin)("a")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val nF = orders.filter(col("o_orderstatus") === "F").count()
+    val nU = orders.filter(col("o_orderpriority") === "1-URGENT").count()
+    val nFU = orders.filter(col("o_orderstatus") === "F" && col("o_orderpriority") === "1-URGENT").count()
+    assert(adj == Map("f" -> nF, "urgent" -> nU, "f&urgent" -> nFU))
+  }
+
   test("extended_stats metric matches direct variance/stddev") {
     val out = EsQueryJson.aggregations(orders,
       """{"aggs": {"st": {"extended_stats": {"field": "o_totalprice"}}}}""")("st")
