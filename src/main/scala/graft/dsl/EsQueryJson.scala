@@ -735,9 +735,29 @@ object EsQueryJson {
       .orElse(Option(body.get("aggregations")))
       .getOrElse(throw new IllegalArgumentException("no aggs in body"))
     val scoped = Option(body.get("query")).map(q => df.filter(predicate(q))).getOrElse(df)
-    aggs.fields().asScala.map { e =>
-      e.getKey -> oneAgg(scoped, df, e.getKey, e.getValue)
-    }.toMap
+    val entries = aggs.fields().asScala.toSeq.map(e => e.getKey -> e.getValue)
+    val (siblingPipes, normal) = entries.partition { case (_, n) =>
+      n.fieldNames().asScala.exists(siblingPipelineKinds)
+    }
+    val base = normal.map { case (k, v) => k -> oneAgg(scoped, df, k, v) }.toMap
+    // sibling pipeline aggs: a scalar over another agg's bucket metrics
+    // (`buckets_path: "sibling>metric"`), evaluated on the finished frame
+    base ++ siblingPipes.map { case (k, v) =>
+      val (kind, spec) = single(v)
+      val parts = spec.get("buckets_path").asText().split(">")
+      require(parts.length == 2, s"sibling buckets_path must be 'agg>metric', got ${parts.toSeq}")
+      val src = base.getOrElse(parts(0),
+        throw new IllegalArgumentException(s"unknown sibling agg: ${parts(0)}"))
+      val m = if (parts(1) == "_count") col("doc_count") else col(parts(1))
+      val agg = kind match {
+        case "avg_bucket" => round(avg(m), 6)
+        case "sum_bucket" => round(sum(m), 4)
+        case "max_bucket" => round(max(m), 4)
+        case "min_bucket" => round(min(m), 4)
+      }
+      // double like ES's value field (a _count path would otherwise stay long)
+      k -> src.agg(agg.cast("double").as("value"))
+    }
   }
 
   /** Metric agg → named column(s); `cond` restricts the metric to rows
@@ -799,14 +819,26 @@ object EsQueryJson {
 
   private val bucketKinds = Set("terms", "histogram", "date_histogram", "geotile_grid")
 
+  /** Parent pipeline aggs: computed over the finished bucket frame (a
+    * window ordered by bucket key — ES evaluates these on the coordinator
+    * over the returned buckets, so the single-partition window sees only
+    * the bounded bucket set, never raw rows). */
+  private val bucketPipelineKinds = Set("cumulative_sum", "derivative", "moving_avg", "bucket_sort")
+  /** Sibling pipeline aggs: a scalar over another agg's bucket metrics. */
+  private val siblingPipelineKinds = Set("avg_bucket", "sum_bucket", "max_bucket", "min_bucket")
+
   /** Split a node's sub-`aggs` into metric columns, nested bucket entries,
-    * and top_hits entries. */
+    * top_hits entries, and parent-pipeline entries. */
   private def subAggs(node: JsonNode, cond: Option[Column] = None)
-      : (Seq[(String, Column)], Seq[(String, JsonNode)], Seq[(String, JsonNode)]) = {
+      : (Seq[(String, Column)], Seq[(String, JsonNode)], Seq[(String, JsonNode)],
+         Seq[(String, String, JsonNode)]) = {
     val entries = Option(node.get("aggs")).toSeq.flatMap(_.fields().asScala.toSeq)
       .map(e => e.getKey -> e.getValue)
-    val (buckets, rest) = entries.partition { case (_, n) =>
+    val (buckets, rest0) = entries.partition { case (_, n) =>
       n.fieldNames().asScala.exists(k => bucketKinds(k) || k == "filters" || k == "composite")
+    }
+    val (pipeEntries, rest) = rest0.partition { case (_, n) =>
+      n.fieldNames().asScala.exists(bucketPipelineKinds)
     }
     val (topHits, metrics) = rest.partition { case (_, n) =>
       n.fieldNames().asScala.contains("top_hits")
@@ -815,7 +847,10 @@ object EsQueryJson {
       val (kind, spec) = single(n)
       metricCols(nm, kind, spec, cond)
     }
-    (ms, buckets, topHits)
+    val pipes = pipeEntries.map { case (nm, n) =>
+      val (kind, spec) = single(n); (nm, kind, spec)
+    }
+    (ms, buckets, topHits, pipes)
   }
 
   /** One bucket level of a (possibly nested) chain. */
@@ -872,16 +907,16 @@ object EsQueryJson {
         // walk the nested-bucket chain; metrics and top_hits live at the
         // innermost level (ES allows both anywhere; the flat frame doesn't)
         var levels = Vector(Level(name, k, spec, node))
-        var (ms, buckets, topHits) = subAggs(node)
+        var (ms, buckets, topHits, pipes) = subAggs(node)
         while (buckets.nonEmpty) {
           require(buckets.size == 1, s"at most one nested bucket agg per level, got ${buckets.map(_._1)}")
-          require(ms.isEmpty && topHits.isEmpty,
-            "metric/top_hits sub-aggs are supported only at the innermost bucket level")
+          require(ms.isEmpty && topHits.isEmpty && pipes.isEmpty,
+            "metric/top_hits/pipeline sub-aggs are supported only at the innermost bucket level")
           val (bName, bNode) = buckets.head
           val bKind = bNode.fieldNames().asScala.toSeq.filterNot(_ == "aggs").head
           require(bucketKinds(bKind), s"nested bucket must be terms/histogram/date_histogram, got $bKind")
           levels :+= Level(bName, bKind, bNode.get(bKind), bNode)
-          val s = subAggs(bNode); ms = s._1; buckets = s._2; topHits = s._3
+          val s = subAggs(bNode); ms = s._1; buckets = s._2; topHits = s._3; pipes = s._4
         }
         if (topHits.nonEmpty) {
           require(levels.size == 1 && ms.isEmpty && topHits.size == 1,
@@ -889,8 +924,11 @@ object EsQueryJson {
           return topHitsAgg(df, levels.head, topHits.head._1, topHits.head._2.get("top_hits"))
         }
         val aliased = ms.map { case (n, c) => c.as(n) }
-        if (levels.size == 1) singleLevel(df, levels.head, aliased)
-        else nestedLevels(df, levels, aliased)
+        if (levels.size == 1) singleLevel(df, levels.head, aliased, pipes)
+        else {
+          require(pipes.isEmpty, "pipeline aggs are supported on single-level buckets")
+          nestedLevels(df, levels, aliased)
+        }
       case "top_hits" => // bare top_hits: global top-n (one implicit bucket)
         topHitsAgg(df, null, name, spec)
       case metricKind => // bare metric agg, no bucketing
@@ -900,10 +938,14 @@ object EsQueryJson {
   }
 
   /** Single-bucket path. ES terms order: `_count` desc by default, or
-    * `_key` / a metric sub-agg name, key tiebreak either way. */
-  private def singleLevel(df: DataFrame, l: Level, ms: Seq[Column]): DataFrame = {
+    * `_key` / a metric sub-agg name, key tiebreak either way. Parent
+    * pipeline aggs (`pipes`) run over the FINISHED bucket frame with a
+    * window ordered by key — the frame is the bounded bucket set (what ES's
+    * coordinator holds), so the single-partition window is fine. */
+  private def singleLevel(df: DataFrame, l: Level, ms: Seq[Column],
+                          pipes: Seq[(String, String, JsonNode)] = Nil): DataFrame = {
     val g = df.groupBy(l.key.as("key")).agg(count(lit(1)).as("doc_count"), ms: _*)
-    l.termsSize match {
+    val based = l.termsSize match {
       case Some(size) =>
         val (target, dir) = l.termsOrder
         val oc = target match {
@@ -916,6 +958,36 @@ object EsQueryJson {
         ordered.limit(size)
       case None => g.orderBy("key")
     }
+    if (pipes.isEmpty) return based
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.orderBy(col("key"))
+    var out = based
+    pipes.foreach { case (nm, kind, spec) =>
+      def path: Column = spec.get("buckets_path").asText() match {
+        case "_count" => col("doc_count")
+        case p => col(p)
+      }
+      kind match {
+        case "cumulative_sum" => // double like ES's value (a _count path is long)
+          out = out.withColumn(nm, round(sum(path).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4).cast("double"))
+        case "derivative" => // null for the first bucket, ES behavior
+          out = out.withColumn(nm, round(path - lag(path, 1).over(wOrd), 4).cast("double"))
+        case "moving_avg" => // simple model over a trailing window
+          val n = Option(spec.get("window")).map(_.asInt()).getOrElse(5)
+          out = out.withColumn(nm, round(avg(path).over(
+            wOrd.rowsBetween(-(n - 1), 0)), 6).cast("double"))
+        case "bucket_sort" => // reorder/truncate the bucket list itself
+          val sorts = spec.get("sort").elements().asScala.toSeq.map { e =>
+            val (f, s) = single(e)
+            if (Option(s.get("order")).map(_.asText()).contains("desc")) col(f).desc else col(f).asc
+          }
+          out = out.orderBy(sorts: _*)
+          Option(spec.get("size")).map(_.asInt()).foreach(n => out = out.limit(n))
+      }
+    }
+    // deterministic output order: key order unless bucket_sort chose one
+    if (pipes.exists(_._2 == "bucket_sort")) out else out.orderBy("key")
   }
 
   /** Nested chain: one groupBy over every level's key; level i's bucket

@@ -1015,6 +1015,43 @@ object TierB {
            |ORDER BY c_custkey LIMIT 100000""".stripMargin
       }),
 
+    // ES parent pipeline aggs over a date_histogram: cumulative_sum,
+    // derivative (null first bucket), moving_avg — a window over the
+    // bounded bucket frame (what ES's coordinator holds), never raw rows.
+    Q("a65_es_json_pipeline_aggs",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"by_m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          | "aggs": {"rev": {"sum": {"field": "o_totalprice"}},
+          |          "cum": {"cumulative_sum": {"buckets_path": "rev"}},
+          |          "deriv": {"derivative": {"buckets_path": "rev"}},
+          |          "ma3": {"moving_avg": {"buckets_path": "rev", "window": 3}}}}}}""".stripMargin)("by_m"),
+      Some("""WITH b AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS key, count(*) AS doc_count,
+             |         round(sum(o_totalprice), 4) AS rev
+             |  FROM orders GROUP BY key)
+             |SELECT key, doc_count, rev,
+             |       round(sum(rev) OVER (ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum,
+             |       round(rev - lag(rev) OVER (ORDER BY key), 4) AS deriv,
+             |       round(avg(rev) OVER (ORDER BY key ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+             |FROM b ORDER BY key""".stripMargin)),
+
+    // ES sibling pipeline aggs: scalars over another agg's buckets.
+    Q("a66_es_json_sibling_pipeline",
+      (s, d) => {
+        val m = graft.dsl.EsQueryJson.aggregations(ord(s, d),
+          """{"aggs": {"by_m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+            |  "aggs": {"rev": {"sum": {"field": "o_totalprice"}}}},
+            | "avg_rev": {"avg_bucket": {"buckets_path": "by_m>rev"}},
+            | "max_cnt": {"max_bucket": {"buckets_path": "by_m>_count"}}}}""".stripMargin)
+        m("avg_rev").select(col("value").as("avg_rev"))
+          .crossJoin(m("max_cnt").select(col("value").as("max_cnt")))
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS key, count(*) AS doc_count,
+             |         round(sum(o_totalprice), 4) AS rev
+             |  FROM orders GROUP BY key)
+             |SELECT round(avg(rev), 6) AS avg_rev, round(max(doc_count), 4) AS max_cnt FROM b""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

@@ -193,6 +193,29 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(adj == Map("f" -> nF, "urgent" -> nU, "f&urgent" -> nFU))
   }
 
+  test("pipeline aggs: cumulative_sum/derivative/moving_avg/bucket_sort + siblings") {
+    val m = EsQueryJson.aggregations(orders,
+      """{"aggs": {"by_m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "year"},
+        |  "aggs": {"cnt2": {"value_count": {"field": "o_orderkey"}},
+        |           "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+        |           "d": {"derivative": {"buckets_path": "_count"}}}},
+        | "total": {"sum_bucket": {"buckets_path": "by_m>_count"}}}}""".stripMargin)
+    val rows = m("by_m").collect()
+    // cumulative_sum of counts ends at the table size; derivative null first
+    assert(rows.last.getAs[Double]("cum") == orders.count().toDouble)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("d")))
+    assert((1 until rows.length).forall { i =>
+      rows(i).getAs[Double]("d") == rows(i).getLong(1).toDouble - rows(i - 1).getLong(1).toDouble })
+    assert(m("total").collect().head.getDouble(0) == orders.count().toDouble)
+    // bucket_sort truncates and reorders the bucket list
+    val bs = EsQueryJson.aggregations(orders,
+      """{"aggs": {"by_m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "year"},
+        |  "aggs": {"srt": {"bucket_sort": {"sort": [{"doc_count": {"order": "desc"}}], "size": 2}}}}}}""".stripMargin)("by_m")
+      .collect()
+    assert(bs.length == 2 && bs(0).getLong(1) >= bs(1).getLong(1))
+    assert(bs(0).getLong(1) == rows.map(_.getLong(1)).max)
+  }
+
   test("extended_stats metric matches direct variance/stddev") {
     val out = EsQueryJson.aggregations(orders,
       """{"aggs": {"st": {"extended_stats": {"field": "o_totalprice"}}}}""")("st")
