@@ -70,6 +70,38 @@ object Corpus {
     df.filter(h < threshold)
   }
 
+  /** Benchmark decontamination — the eval-overlap scrub every training
+    * corpus needs: a corpus doc is CONTAMINATED when it shares at least one
+    * exact word `nGram`-gram with the benchmark set. Returns
+    * `(doc_id, shared_grams)` for contaminated docs (distinct shared
+    * grams — [[graft.functions.TextKernels.WordNgramsKernel]] emits sets).
+    *
+    * Scale shape: the benchmark side is tiny by construction (eval suites,
+    * not corpora) — its distinct gram hashes BROADCAST; the corpus side is
+    * a narrow kernel + explode into a broadcast semi-ish join, so the only
+    * shuffle is the per-doc count of MATCHED grams (rare). Grams join by
+    * their 60-bit md5 (long keys; the oracle replays the same hash). */
+  def contamination(corpus: DataFrame, idCol: Column, text: Column,
+                    bench: DataFrame, benchText: Column, nGram: Int = 8): DataFrame = {
+    val bg = bench
+      .select(explode(graft.functions.TextKernels.wordNgrams(benchText, nGram)).as("g"))
+      .select(Hashing.md5Long60(col("g")).as("gh")).distinct()
+    val cg = corpus.select(idCol.as("doc_id"),
+        explode(graft.functions.TextKernels.wordNgrams(text, nGram)).as("g"))
+      .select(col("doc_id"), Hashing.md5Long60(col("g")).as("gh"))
+    cg.join(broadcast(bg), "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
+  }
+
+  /** The applied form: the corpus minus contaminated docs (anti-join on
+    * the flagged ids — the only extra wide stage). */
+  def decontaminate(corpus: DataFrame, idCol: Column, text: Column,
+                    bench: DataFrame, benchText: Column, nGram: Int = 8): DataFrame =
+    corpus.join(
+      contamination(corpus, idCol, text, bench, benchText, nGram)
+        .select(col("doc_id").as("_contaminated_id")),
+      idCol === col("_contaminated_id"), "left_anti")
+
   /** Sequence packing: concatenate the corpus token stream in doc_id order
     * and cut it into fixed `budget`-token bins (docs may straddle bins) —
     * the GPT-style packing step that turns documents into training

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, Sessionize, Similarity, TextAnalysis}
 import graft.functions.Hashing
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -211,6 +211,60 @@ object TierC {
            |)
            |SELECT id AS doc_id, min(r) AS cluster FROM reach
            |GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination: corpus docs sharing an exact word 4-gram
+    // with the (deterministic) eval subset. The benchmark grams broadcast;
+    // the only shuffle is the per-doc matched-gram count.
+    Q("c25_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Corpus.contamination(
+          docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 97 === 0), col("text"), nGram = 4)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $toksCte,
+           |g4 AS (
+           |  SELECT doc_id, CASE WHEN len(w) >= 4
+           |    THEN list_distinct(list_transform(generate_series(1, len(w)-3),
+           |         i -> list_aggregate(w[i:i+3], 'string_agg', ' ')))
+           |    ELSE [] END AS grams
+           |  FROM toks),
+           |bg AS (SELECT DISTINCT ${graft.functions.Hashing.sqlMd5Long60("g")} AS gh
+           |       FROM (SELECT unnest(grams) AS g FROM g4 WHERE doc_id % 97 = 0)),
+           |cg AS (SELECT doc_id, ${graft.functions.Hashing.sqlMd5Long60("g")} AS gh
+           |       FROM (SELECT doc_id, unnest(grams) AS g FROM g4 WHERE doc_id % 97 <> 0))
+           |SELECT doc_id, count(*) AS shared_grams
+           |FROM cg JOIN bg USING (gh)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // The applied form: the corpus minus contaminated docs.
+    Q("c25_decontaminate_apply",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Corpus.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 97 === 0), col("text"), nGram = 4)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $toksCte,
+           |g4 AS (
+           |  SELECT doc_id, CASE WHEN len(w) >= 4
+           |    THEN list_distinct(list_transform(generate_series(1, len(w)-3),
+           |         i -> list_aggregate(w[i:i+3], 'string_agg', ' ')))
+           |    ELSE [] END AS grams
+           |  FROM toks),
+           |bg AS (SELECT DISTINCT ${graft.functions.Hashing.sqlMd5Long60("g")} AS gh
+           |       FROM (SELECT unnest(grams) AS g FROM g4 WHERE doc_id % 97 = 0)),
+           |cg AS (SELECT doc_id, ${graft.functions.Hashing.sqlMd5Long60("g")} AS gh
+           |       FROM (SELECT doc_id, unnest(grams) AS g FROM g4 WHERE doc_id % 97 <> 0)),
+           |bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gh))
+           |SELECT doc_id, lang FROM documents
+           |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+           |ORDER BY doc_id""".stripMargin)),
 
     Q("c17_embed_quantize",
       (s, d) => Tables.embeddings(s, d)

@@ -432,4 +432,27 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     val out = df.select(TextAnalysis.langId(col("text")).as("l")).collect().map(_.getString(0)).toSeq
     assert(out == Seq("und", "en", "es"))
   }
+
+  test("decontamination: exact n-gram overlap with a benchmark set, broadcast plan") {
+    import sp.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares the 3-gram "beta gamma delta"
+      (2L, "one two three four five"),        // clean
+      (3L, "beta gamma delta beta gamma delta x")) // shares it too (set-counted once)
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "zz beta gamma delta yy")).toDF("doc_id", "text")
+    val got = graft.ext.Corpus.contamination(
+      corpus, col("doc_id"), col("text"), bench, col("text"), nGram = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L))
+    val kept = graft.ext.Corpus.decontaminate(
+      corpus, col("doc_id"), col("text"), bench, col("text"), nGram = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L))
+    // the benchmark gram side must broadcast — no shuffle of corpus grams
+    val plan = graft.ext.Corpus.contamination(
+      corpus, col("doc_id"), col("text"), bench, col("text"), nGram = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
 }
