@@ -749,14 +749,19 @@ object EsQueryJson {
       val src = base.getOrElse(parts(0),
         throw new IllegalArgumentException(s"unknown sibling agg: ${parts(0)}"))
       val m = if (parts(1) == "_count") col("doc_count") else col(parts(1))
-      val agg = kind match {
-        case "avg_bucket" => round(avg(m), 6)
-        case "sum_bucket" => round(sum(m), 4)
-        case "max_bucket" => round(max(m), 4)
-        case "min_bucket" => round(min(m), 4)
-      }
-      // double like ES's value field (a _count path would otherwise stay long)
-      k -> src.agg(agg.cast("double").as("value"))
+      // double like ES's value fields (a _count path would otherwise stay long)
+      k -> (kind match {
+        case "stats_bucket" => src.agg(
+          count(m).as("count"),
+          round(min(m), 4).cast("double").as("min"),
+          round(max(m), 4).cast("double").as("max"),
+          round(avg(m), 6).cast("double").as("avg"),
+          round(sum(m), 4).cast("double").as("sum"))
+        case "avg_bucket" => src.agg(round(avg(m), 6).cast("double").as("value"))
+        case "sum_bucket" => src.agg(round(sum(m), 4).cast("double").as("value"))
+        case "max_bucket" => src.agg(round(max(m), 4).cast("double").as("value"))
+        case "min_bucket" => src.agg(round(min(m), 4).cast("double").as("value"))
+      })
     }
   }
 
@@ -823,9 +828,11 @@ object EsQueryJson {
     * window ordered by bucket key — ES evaluates these on the coordinator
     * over the returned buckets, so the single-partition window sees only
     * the bounded bucket set, never raw rows). */
-  private val bucketPipelineKinds = Set("cumulative_sum", "derivative", "moving_avg", "bucket_sort")
+  private val bucketPipelineKinds =
+    Set("cumulative_sum", "derivative", "moving_avg", "serial_diff", "bucket_sort")
   /** Sibling pipeline aggs: a scalar over another agg's bucket metrics. */
-  private val siblingPipelineKinds = Set("avg_bucket", "sum_bucket", "max_bucket", "min_bucket")
+  private val siblingPipelineKinds =
+    Set("avg_bucket", "sum_bucket", "max_bucket", "min_bucket", "stats_bucket")
 
   /** Split a node's sub-`aggs` into metric columns, nested bucket entries,
     * top_hits entries, and parent-pipeline entries. */
@@ -882,6 +889,14 @@ object EsQueryJson {
     kind match {
       case "composite" => compositeAgg(df, spec)
       case "filters" => filtersAgg(df, node)
+      case "global" =>
+        // escape the body's query scope: metric sub-aggs over the WHOLE
+        // index (`bg`), the ES way to show filtered vs total side by side
+        val (ms, buckets, topHits, pipes) = subAggs(node)
+        require(buckets.isEmpty && topHits.isEmpty && pipes.isEmpty,
+          "global supports metric sub-aggs only")
+        val cols = ms.map { case (n, c) => c.as(n) }
+        bg.agg(count(lit(1)).as("doc_count"), cols: _*)
       case "range" => rangeAgg(df, node, dateRange = false)
       case "date_range" => rangeAgg(df, node, dateRange = true)
       case "adjacency_matrix" => adjacencyMatrixAgg(df, spec)
@@ -944,7 +959,8 @@ object EsQueryJson {
     * coordinator holds), so the single-partition window is fine. */
   private def singleLevel(df: DataFrame, l: Level, ms: Seq[Column],
                           pipes: Seq[(String, String, JsonNode)] = Nil): DataFrame = {
-    val g = df.groupBy(l.key.as("key")).agg(count(lit(1)).as("doc_count"), ms: _*)
+    val g = zeroFill(df, l,
+      df.groupBy(l.key.as("key")).agg(count(lit(1)).as("doc_count"), ms: _*))
     val based = l.termsSize match {
       case Some(size) =>
         val (target, dir) = l.termsOrder
@@ -973,6 +989,9 @@ object EsQueryJson {
             wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4).cast("double"))
         case "derivative" => // null for the first bucket, ES behavior
           out = out.withColumn(nm, round(path - lag(path, 1).over(wOrd), 4).cast("double"))
+        case "serial_diff" => // derivative at a configurable lag
+          val lagN = Option(spec.get("lag")).map(_.asInt()).getOrElse(1)
+          out = out.withColumn(nm, round(path - lag(path, lagN).over(wOrd), 4).cast("double"))
         case "moving_avg" => // simple model over a trailing window
           val n = Option(spec.get("window")).map(_.asInt()).getOrElse(5)
           out = out.withColumn(nm, round(avg(path).over(
@@ -988,6 +1007,35 @@ object EsQueryJson {
     }
     // deterministic output order: key order unless bucket_sort chose one
     if (pipes.exists(_._2 == "bucket_sort")) out else out.orderBy("key")
+  }
+
+  /** `min_doc_count: 0` + `extended_bounds` on histogram/date_histogram:
+    * emit EVERY bucket of the bounded range, zero for empty ones (the
+    * gap-free series dashboards chart). The full key range generates from
+    * one `sequence` (bounded by the bounds, not the data) and left-joins
+    * the aggregated buckets; metric sub-aggs stay null in empty buckets
+    * (ES behavior). */
+  private def zeroFill(df: DataFrame, l: Level, g: DataFrame): DataFrame = {
+    val wantsFill = Option(l.spec.get("min_doc_count")).exists(_.asInt() == 0) &&
+      l.spec.has("extended_bounds") &&
+      (l.kind == "histogram" || l.kind == "date_histogram")
+    if (!wantsFill) return g
+    val b = l.spec.get("extended_bounds")
+    val one = df.sparkSession.range(1)
+    val full = l.kind match {
+      case "histogram" =>
+        val iv = l.spec.get("interval").asDouble().toLong
+        val (lo, hi) = (b.get("min").asLong(), b.get("max").asLong())
+        require(lo % iv == 0 && hi % iv == 0,
+          s"extended_bounds must align to the interval, got [$lo, $hi] @ $iv")
+        one.select(explode(sequence(lit(lo), lit(hi), lit(iv))).as("key"))
+      case _ =>
+        val iv = Option(l.spec.get("calendar_interval")).getOrElse(l.spec.get("interval")).asText()
+        one.select(explode(expr(
+          s"sequence(timestamp'${b.get("min").asText()}', " +
+            s"timestamp'${b.get("max").asText()}', interval 1 $iv)")).as("key"))
+    }
+    full.join(g, Seq("key"), "left_outer").na.fill(0L, Seq("doc_count"))
   }
 
   /** Nested chain: one groupBy over every level's key; level i's bucket

@@ -1052,6 +1052,65 @@ object TierB {
              |  FROM orders GROUP BY key)
              |SELECT round(avg(rev), 6) AS avg_rev, round(max(doc_count), 4) AS max_cnt FROM b""".stripMargin)),
 
+    // Zero-filled date_histogram (min_doc_count 0 + extended_bounds) with
+    // cumulative_sum and serial_diff pipelines over the gap-free series —
+    // the dashboard shape: every month of the bounded range appears, empty
+    // months count 0.
+    Q("a67_es_json_zero_filled_histogram",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"query": {"bool": {"must": [
+          |   {"term": {"o_orderpriority": "1-URGENT"}},
+          |   {"range": {"o_totalprice": {"gte": 400000}}}]}},
+          | "aggs": {"by_m": {
+          |   "date_histogram": {"field": "o_orderdate", "calendar_interval": "month",
+          |     "min_doc_count": 0,
+          |     "extended_bounds": {"min": "1994-01-01", "max": "1998-08-01"}},
+          |   "aggs": {"cum": {"cumulative_sum": {"buckets_path": "_count"}},
+          |            "sd2": {"serial_diff": {"buckets_path": "_count", "lag": 2}}}}}}""".stripMargin)("by_m"),
+      Some("""WITH b AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS key, count(*) AS doc_count
+             |  FROM orders
+             |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 400000
+             |  GROUP BY key),
+             |f AS (SELECT unnest(generate_series(TIMESTAMP '1994-01-01', TIMESTAMP '1998-08-01', INTERVAL 1 MONTH)) AS key)
+             |SELECT f.key AS key, coalesce(b.doc_count, 0) AS doc_count,
+             |       CAST(CAST(sum(coalesce(b.doc_count, 0)) OVER (ORDER BY f.key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE) AS cum,
+             |       CAST(coalesce(b.doc_count, 0) - lag(coalesce(b.doc_count, 0), 2) OVER (ORDER BY f.key) AS DOUBLE) AS sd2
+             |FROM f LEFT JOIN b ON f.key = b.key
+             |ORDER BY key""".stripMargin)),
+
+    // ES global agg: metric sub-aggs escape the body's query scope — the
+    // filtered-vs-total side-by-side.
+    Q("a68_es_json_global_agg",
+      (s, d) => {
+        val m = graft.dsl.EsQueryJson.aggregations(ord(s, d),
+          """{"query": {"term": {"o_orderstatus": "P"}},
+            | "aggs": {"p_avg": {"avg": {"field": "o_totalprice"}},
+            |          "all": {"global": {},
+            |                  "aggs": {"g_avg": {"avg": {"field": "o_totalprice"}}}}}}""".stripMargin)
+        m("all").select(col("doc_count").as("total_docs"), col("g_avg"))
+          .crossJoin(m("p_avg").select(col("value").as("p_avg")))
+      },
+      Some("""SELECT (SELECT count(*) FROM orders) AS total_docs,
+             |       (SELECT round(avg(o_totalprice), 6) FROM orders) AS g_avg,
+             |       (SELECT round(avg(o_totalprice), 6) FROM orders WHERE o_orderstatus = 'P') AS p_avg""".stripMargin)),
+
+    // ES stats_bucket sibling: full stats over another agg's buckets.
+    Q("a69_es_json_stats_bucket",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"by_m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |  "aggs": {"rev": {"sum": {"field": "o_totalprice"}}}},
+          | "st": {"stats_bucket": {"buckets_path": "by_m>rev"}}}}""".stripMargin)("st"),
+      Some("""WITH b AS (
+             |  SELECT date_trunc('month', o_orderdate) AS key, round(sum(o_totalprice), 4) AS rev
+             |  FROM orders GROUP BY key)
+             |SELECT count(rev) AS "count",
+             |       CAST(round(min(rev), 4) AS DOUBLE) AS "min",
+             |       CAST(round(max(rev), 4) AS DOUBLE) AS "max",
+             |       CAST(round(avg(rev), 6) AS DOUBLE) AS "avg",
+             |       CAST(round(sum(rev), 4) AS DOUBLE) AS "sum"
+             |FROM b""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

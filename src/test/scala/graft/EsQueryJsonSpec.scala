@@ -216,6 +216,22 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(bs(0).getLong(1) == rows.map(_.getLong(1)).max)
   }
 
+  test("zero-filled histogram emits every bounded bucket; global escapes the query") {
+    val filled = EsQueryJson.aggregations(orders,
+      """{"query": {"range": {"o_totalprice": {"gte": 999999999}}},
+        | "aggs": {"h": {"histogram": {"field": "o_totalprice", "interval": 100000,
+        |   "min_doc_count": 0, "extended_bounds": {"min": 0, "max": 400000}}}}}""".stripMargin)("h")
+      .collect()
+    // nothing matches the query, yet all 5 bounded buckets appear at 0
+    assert(filled.map(r => r.getLong(0) -> r.getLong(1)).toSeq ==
+      Seq(0L -> 0L, 100000L -> 0L, 200000L -> 0L, 300000L -> 0L, 400000L -> 0L))
+    val g = EsQueryJson.aggregations(orders,
+      """{"query": {"range": {"o_totalprice": {"gte": 999999999}}},
+        | "aggs": {"all": {"global": {}, "aggs": {"n": {"value_count": {"field": "o_orderkey"}}}}}}""".stripMargin)("all")
+      .collect().head
+    assert(g.getLong(0) == orders.count() && g.getLong(1) == orders.count())
+  }
+
   test("extended_stats metric matches direct variance/stddev") {
     val out = EsQueryJson.aggregations(orders,
       """{"aggs": {"st": {"extended_stats": {"field": "o_totalprice"}}}}""")("st")
