@@ -37,6 +37,16 @@ object EsQueryJson {
   def withNow[T](isoInstant: String)(f: => T): T =
     clock.withValue(Some(java.time.Instant.parse(isoInstant)))(f)
 
+  /** Named-table registry for the `terms` lookup query (ES fetches the
+    * lookup doc from another index on the coordinating node, then inlines
+    * its values — the registry is the "other index" set). Scoped like the
+    * clock: `withTables("nation" -> nationDf) { search(...) }`. */
+  private val lookupTables =
+    new scala.util.DynamicVariable[Map[String, DataFrame]](Map.empty)
+
+  def withTables[T](tables: (String, DataFrame)*)(f: => T): T =
+    lookupTables.withValue(tables.toMap)(f)
+
   /** ES field name → Column (map-doc aware). */
   def field(name: String): Column =
     if (name.startsWith("info.")) element_at(col("info"), name.stripPrefix("info."))
@@ -55,6 +65,25 @@ object EsQueryJson {
     val names = n.fieldNames().asScala.toSeq
     require(names.size == 1, s"expected a single-key object, got $names")
     (names.head, n.get(names.head))
+  }
+
+  /** Collect `_name`-tagged leaf clauses anywhere in a query tree: the
+    * name plus the clause node itself (the `_name` key rides inside the
+    * field spec and every leaf compiler ignores it, as ES does). */
+  private def namedClauses(q: JsonNode): Seq[(String, JsonNode)] = {
+    val (kind, body) = single(q)
+    kind match {
+      case "bool" =>
+        Seq("must", "should", "filter", "must_not").flatMap(k =>
+          Option(body.get(k)).toSeq
+            .flatMap(b => if (b.isArray) b.elements().asScala.toSeq else Seq(b))
+            .flatMap(namedClauses))
+      case _ =>
+        body.fields().asScala.toSeq.collect {
+          case e if e.getValue.isObject && e.getValue.has("_name") =>
+            e.getValue.get("_name").asText() -> q
+        }
+    }
   }
 
   /** Translate an ES `query` object to a predicate Column. */
@@ -157,8 +186,27 @@ object EsQueryJson {
         EsDsl.term(field(f), if (v.isObject) litOf(v.get("value")) else litOf(v))
       case "terms" =>
         val (f, vs) = single(body)
-        field(f).isin(vs.elements().asScala.map(n =>
-          if (n.isNumber) n.asLong().asInstanceOf[Any] else n.asText().asInstanceOf[Any]).toSeq: _*)
+        if (vs.isObject && vs.has("index")) {
+          // terms LOOKUP: values come from another index's doc(s). ES
+          // resolves the lookup on the coordinating node and inlines the
+          // (bounded: one doc's field) term list into the query — the
+          // driver-side collect here is that same step, not a distributed
+          // anti-pattern. `id` matches the lookup table's first column
+          // (the doc-id convention all driver tables follow).
+          val idx = vs.get("index").asText()
+          val t = lookupTables.value.getOrElse(idx, throw new IllegalArgumentException(
+            s"terms lookup index '$idx' not registered (use EsQueryJson.withTables)"))
+          val path = vs.get("path").asText()
+          val lookedUp = Option(vs.get("id")) match {
+            case Some(id) => t.filter(col(t.columns.head) === litOf(id))
+            case None => t
+          }
+          val values = lookedUp.select(col(path)).collect().map(_.get(0)).toSeq
+          require(values.nonEmpty, s"terms lookup $idx/$path resolved no values")
+          field(f).isin(values: _*)
+        } else
+          field(f).isin(vs.elements().asScala.map(n =>
+            if (n.isNumber) n.asLong().asInstanceOf[Any] else n.asText().asInstanceOf[Any]).toSeq: _*)
       case "range" =>
         val (f, b) = single(body)
         def bound(n: JsonNode): Column =
@@ -251,10 +299,14 @@ object EsQueryJson {
           if (n.isArray) n.elements().asScala.map(predicateWith(_, fld)).toSeq
           else Seq(predicateWith(n, fld))
         }
-        val msm = Option(body.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
+        val mustCl = clauses("must") ++ clauses("filter")
+        // ES default: should is optional when must/filter constrain the
+        // query (msm 0), required (msm 1) when should stands alone
+        val msm = Option(body.get("minimum_should_match")).map(_.asInt())
+          .getOrElse(if (mustCl.isEmpty) 1 else 0)
         EsDsl.bool(
-          must = clauses("must") ++ clauses("filter"),
-          should = clauses("should"),
+          must = mustCl,
+          should = if (msm > 0) clauses("should") else Seq.empty,
           mustNot = clauses("must_not"),
           minimumShouldMatch = msm)
       case other => throw new IllegalArgumentException(s"unsupported query kind: $other")
@@ -315,6 +367,16 @@ object EsQueryJson {
         require(!needsScore, "_score sort requires a query")
         df
     }
+    // `_name`-tagged clauses → `matched_queries`: per returned hit, the
+    // names of the tagged clauses it satisfies (one extra codegen'd
+    // boolean per name — no second pass). Sorted: ES emits a set in match
+    // order; sorting keeps the output hash deterministic.
+    val named = Option(body.get("query")).toSeq.flatMap(namedClauses)
+    val withNames =
+      if (named.isEmpty) filtered
+      else filtered.withColumn("matched_queries", array_sort(
+        filter(array(named.map { case (n, cl) => when(predicate(cl), lit(n)) }: _*),
+          x => x.isNotNull)))
     // `highlight`: a `_highlight` fragment column — window of
     // `fragment_size` chars around the first query-term occurrence (terms
     // tried in query order) over the lowercased field, occurrences wrapped
@@ -338,8 +400,8 @@ object EsQueryJson {
         val frag = lowered.substr(start, lit(fragSize))
         val wrapped = terms.foldLeft(frag)((acc, t) =>
           replace(acc, lit(t), lit(s"<em>$t</em>")))
-        filtered.withColumn("_highlight", when(pos.isNotNull, wrapped))
-      case None => filtered
+        withNames.withColumn("_highlight", when(pos.isNotNull, wrapped))
+      case None => withNames
     }
     // `search_after`: deep pagination as a cursor on the sort tuple — the
     // next page is rows strictly after the cursor in sort order (ES's
@@ -734,8 +796,13 @@ object EsQueryJson {
     val aggs = Option(body.get("aggs"))
       .orElse(Option(body.get("aggregations")))
       .getOrElse(throw new IllegalArgumentException("no aggs in body"))
-    val scoped = Option(body.get("query")).map(q => df.filter(predicate(q))).getOrElse(df)
     val entries = aggs.fields().asScala.toSeq.map(e => e.getKey -> e.getValue)
+    // `sampler` ranks by relevance: score the scope when the query can
+    val wantsScore = entries.exists(_._2.has("sampler"))
+    val scoped = Option(body.get("query")).map { q =>
+      if (wantsScore && scoringKinds(single(q)._1)) scoredSearch(df, q)
+      else df.filter(predicate(q))
+    }.getOrElse(df)
     val (siblingPipes, normal) = entries.partition { case (_, n) =>
       n.fieldNames().asScala.exists(siblingPipelineKinds)
     }
@@ -900,6 +967,64 @@ object EsQueryJson {
       case "range" => rangeAgg(df, node, dateRange = false)
       case "date_range" => rangeAgg(df, node, dateRange = true)
       case "adjacency_matrix" => adjacencyMatrixAgg(df, spec)
+      case "missing" =>
+        // bucket of docs where the field is null + metric sub-aggs
+        val (ms, buckets, topHits, pipes) = subAggs(node)
+        require(buckets.isEmpty && topHits.isEmpty && pipes.isEmpty,
+          "missing supports metric sub-aggs only")
+        df.filter(field(spec.get("field").asText()).isNull)
+          .agg(count(lit(1)).as("doc_count"), ms.map { case (n, c) => c.as(n) }: _*)
+      case "sampler" =>
+        // metric sub-aggs over the top-`shard_size` hits. ES samples the
+        // best-scoring docs; ties (and the unscored case) break on the
+        // frame's first column — the doc-id convention — so the sample is
+        // deterministic. The sort is bounded by a limit (TakeOrdered plan,
+        // no global sort at scale).
+        val shard = Option(spec.get("shard_size")).map(_.asInt()).getOrElse(100)
+        val (ms, buckets, topHits, pipes) = subAggs(node)
+        require(buckets.isEmpty && topHits.isEmpty && pipes.isEmpty,
+          "sampler supports metric sub-aggs only")
+        val ordered =
+          if (df.columns.contains("_score"))
+            df.orderBy(col("_score").desc, col(df.columns.head).asc)
+          else df.orderBy(col(df.columns.head).asc)
+        ordered.limit(shard)
+          .agg(count(lit(1)).as("doc_count"), ms.map { case (n, c) => c.as(n) }: _*)
+      case "matrix_stats" =>
+        // ES matrix_stats plugin: pairwise sample covariance + Pearson
+        // correlation over numeric fields, unpivoted to upper-triangle
+        // rows. One aggregate pass; the explode runs over a 1-row frame.
+        val fs = spec.get("fields").elements().asScala.toSeq.map(_.asText())
+        val pairs = for { i <- fs.indices; j <- i until fs.size } yield (fs(i), fs(j))
+        val aggCols = pairs.zipWithIndex.flatMap { case ((a, b), i) => Seq(
+          round(covar_samp(field(a), field(b)), 6).as(s"_cov$i"),
+          round(corr(field(a), field(b)), 6).as(s"_cor$i")) }
+        val one = df.agg(aggCols.head, aggCols.tail: _*)
+        val rows = array(pairs.zipWithIndex.map { case ((a, b), i) =>
+          struct(lit(a).as("field_a"), lit(b).as("field_b"),
+            col(s"_cov$i").as("covariance"), col(s"_cor$i").as("correlation")) }: _*)
+        one.select(explode(rows).as("_p")).select(col("_p.*"))
+          .orderBy("field_a", "field_b")
+      case "significant_text" =>
+        // significant_terms over the ANALYZED tokens of a text field: each
+        // doc votes once per distinct term (ES's filter_duplicate_text
+        // spirit); fg = query scope, bg = whole index; JLH-core ratio.
+        val f = graft.ext.TextAnalysis.tokens(field(spec.get("field").asText()))
+        val size0 = Option(spec.get("size")).map(_.asInt()).getOrElse(10)
+        val minDoc = Option(spec.get("min_doc_count")).map(_.asInt()).getOrElse(3)
+        def termVotes(frame: DataFrame) =
+          frame.select(explode(array_distinct(f)).as("key"))
+        val fgc = termVotes(df).groupBy("key").agg(count(lit(1)).as("fg"))
+        val bgc = termVotes(bg).groupBy("key").agg(count(lit(1)).as("bg"))
+        val totals = df.agg(count(lit(1)).as("tot_fg"))
+          .crossJoin(bg.agg(count(lit(1)).as("tot_bg")))
+        fgc.join(bgc, "key").crossJoin(broadcast(totals))
+          .withColumn("score",
+            round((col("fg").cast("double") / col("tot_fg")) /
+              (col("bg").cast("double") / col("tot_bg")), 6))
+          .filter(col("fg") >= minDoc)
+          .select(col("key"), col("fg"), col("bg"), col("score"))
+          .orderBy(desc("score"), col("key")).limit(size0)
       case "significant_terms" =>
         // ES semantics: the body's query scopes the FOREGROUND; the whole
         // index is the background. Score = fg share / bg share (the JLH
@@ -992,10 +1117,32 @@ object EsQueryJson {
         case "serial_diff" => // derivative at a configurable lag
           val lagN = Option(spec.get("lag")).map(_.asInt()).getOrElse(1)
           out = out.withColumn(nm, round(path - lag(path, lagN).over(wOrd), 4).cast("double"))
-        case "moving_avg" => // simple model over a trailing window
+        case "moving_avg" =>
           val n = Option(spec.get("window")).map(_.asInt()).getOrElse(5)
-          out = out.withColumn(nm, round(avg(path).over(
-            wOrd.rowsBetween(-(n - 1), 0)), 6).cast("double"))
+          Option(spec.get("model")).map(_.asText()).getOrElse("simple") match {
+            case "simple" => // plain trailing-window mean
+              out = out.withColumn(nm, round(avg(path).over(
+                wOrd.rowsBetween(-(n - 1), 0)), 6).cast("double"))
+            case "ewma" =>
+              // ES ewma model: s₁=x₁, sₜ=α·xₜ+(1−α)·sₜ₋₁ over the trailing
+              // window — expanded to its closed-form weighted sum so both
+              // engines fold the same left-to-right term list:
+              //   w₁=(1−α)^(m−1), wᵢ=α·(1−α)^(m−i) for i>1
+              val alpha = Option(spec.get("settings"))
+                .flatMap(s => Option(s.get("alpha"))).map(_.asDouble()).getOrElse(0.3)
+              out = out
+                .withColumn("_mvals",
+                  collect_list(path.cast("double")).over(wOrd.rowsBetween(-(n - 1), 0)))
+                .withColumn(nm, round(expr(
+                  s"""aggregate(
+                     |  transform(_mvals, (x, i) ->
+                     |    CASE WHEN i = 0 THEN pow(1.0d - $alpha, size(_mvals) - 1) * x
+                     |         ELSE $alpha * pow(1.0d - $alpha, size(_mvals) - 1 - i) * x END),
+                     |  0.0d, (acc, x) -> acc + x)""".stripMargin), 6).cast("double"))
+                .drop("_mvals")
+            case other => throw new IllegalArgumentException(
+              s"unsupported moving_avg model: $other")
+          }
         case "bucket_sort" => // reorder/truncate the bucket list itself
           val sorts = spec.get("sort").elements().asScala.toSeq.map { e =>
             val (f, s) = single(e)

@@ -1111,6 +1111,135 @@ object TierB {
              |       CAST(round(sum(rev), 4) AS DOUBLE) AS "sum"
              |FROM b""".stripMargin)),
 
+    // ES sampler agg: metric sub-aggs over the top-`shard_size` hits by
+    // relevance (score desc, doc id tiebreak — a bounded TakeOrdered, no
+    // global sort).
+    Q("a70_es_json_sampler",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.documents(s, d),
+        """{"query": {"match": {"text": "spark"}},
+          | "aggs": {"sample": {"sampler": {"shard_size": 100},
+          |   "aggs": {"avg_len": {"avg": {"field": "n_chars"}}}}}}""".stripMargin)("sample"),
+      Some(bm25Sql(Seq("spark"), extraCols = Seq("n_chars")) +
+        """
+          |SELECT count(*) AS doc_count, round(avg(n_chars), 6) AS avg_len
+          |FROM (SELECT * FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 100)""".stripMargin)),
+
+    // ES significant_text: significant terms over the ANALYZED tokens of a
+    // text field (each doc votes once per distinct term), foreground =
+    // query scope vs whole-index background.
+    Q("a71_es_json_significant_text",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.documents(s, d),
+        """{"query": {"term": {"source": "src1"}},
+          | "aggs": {"st": {"significant_text": {"field": "text", "size": 8, "min_doc_count": 5}}}}""".stripMargin)("st"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source,
+             |         list_distinct(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS w
+             |  FROM documents
+             |), fg AS (
+             |  SELECT key, count(*) AS fg FROM (SELECT unnest(w) AS key FROM toks WHERE source = 'src1') GROUP BY key
+             |), bg AS (
+             |  SELECT key, count(*) AS bg FROM (SELECT unnest(w) AS key FROM toks) GROUP BY key
+             |), tot AS (
+             |  SELECT count(CASE WHEN source = 'src1' THEN 1 END) AS tot_fg, count(*) AS tot_bg FROM documents)
+             |SELECT key, fg, bg, round((fg::DOUBLE / tot_fg) / (bg::DOUBLE / tot_bg), 6) AS score
+             |FROM fg JOIN bg USING (key) CROSS JOIN tot
+             |WHERE fg >= 5 ORDER BY score DESC, key LIMIT 8""".stripMargin)),
+
+    // ES missing agg: the bucket of docs with a null field + metric
+    // sub-aggs (the nullable column derives from p_type, the ES pattern of
+    // sparse optional fields).
+    Q("a72_es_json_missing_agg",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(
+        Tables.part(s, d).withColumn("promo_type",
+          when(col("p_type").startsWith("PROMO"), col("p_type"))),
+        """{"aggs": {"no_promo": {"missing": {"field": "promo_type"},
+          |   "aggs": {"avg_price": {"avg": {"field": "p_retailprice"}}}}}}""".stripMargin)("no_promo"),
+      Some("""SELECT count(*) AS doc_count, round(avg(p_retailprice), 6) AS avg_price
+             |FROM part WHERE p_type NOT LIKE 'PROMO%'""".stripMargin)),
+
+    // ES terms LOOKUP: the term list comes from another index's doc,
+    // fetched coordinating-node-side (here: customers in the same nation
+    // as supplier 5).
+    Q("a73_es_json_terms_lookup",
+      (s, d) => graft.dsl.EsQueryJson.withTables("supplier" -> Tables.supplier(s, d)) {
+        graft.dsl.EsQueryJson.search(Tables.customer(s, d),
+          """{"query": {"terms": {"c_nationkey": {
+            |   "index": "supplier", "id": 5, "path": "s_nationkey"}}},
+            | "sort": ["c_custkey"], "size": 100}""".stripMargin)
+          .select(col("c_custkey"), col("c_nationkey"))
+      },
+      Some("""SELECT c_custkey, c_nationkey FROM customer
+             |WHERE c_nationkey IN (SELECT s_nationkey FROM supplier WHERE s_suppkey = 5)
+             |ORDER BY c_custkey LIMIT 100""".stripMargin)),
+
+    // Named queries: `_name`-tagged clauses → a `matched_queries` column
+    // listing which tagged clauses each hit satisfied.
+    Q("a74_es_json_named_queries",
+      (s, d) => graft.dsl.EsQueryJson.search(ord(s, d),
+        """{"query": {"bool": {
+          |   "must": [{"range": {"o_totalprice": {"gte": 100000, "_name": "big"}}}],
+          |   "should": [
+          |     {"term": {"o_orderstatus": {"value": "F", "_name": "finished"}}},
+          |     {"term": {"o_orderpriority": {"value": "1-URGENT", "_name": "urgent"}}}]}},
+          | "sort": ["o_orderkey"], "size": 200}""".stripMargin)
+        .select(col("o_orderkey"), col("matched_queries")),
+      Some("""SELECT o_orderkey, list_sort(list_filter(
+             |  [CASE WHEN o_totalprice >= 100000 THEN 'big' END,
+             |   CASE WHEN o_orderstatus = 'F' THEN 'finished' END,
+             |   CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' END],
+             |  x -> x IS NOT NULL)) AS matched_queries
+             |FROM orders WHERE o_totalprice >= 100000
+             |ORDER BY o_orderkey LIMIT 200""".stripMargin)),
+
+    // ES matrix_stats: pairwise sample covariance + Pearson correlation,
+    // unpivoted to upper-triangle rows.
+    Q("a75_es_json_matrix_stats",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(li(s, d),
+        """{"aggs": {"ms": {"matrix_stats": {
+          |   "fields": ["l_discount", "l_quantity", "l_tax"]}}}}""".stripMargin)("ms"),
+      Some("""SELECT field_a, field_b, covariance, correlation FROM (
+             |  SELECT 'l_discount' AS field_a, 'l_discount' AS field_b,
+             |         round(covar_samp(l_discount, l_discount), 6) AS covariance,
+             |         round(corr(l_discount, l_discount), 6) AS correlation FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_discount', 'l_quantity',
+             |         round(covar_samp(l_discount, l_quantity), 6), round(corr(l_discount, l_quantity), 6) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_discount', 'l_tax',
+             |         round(covar_samp(l_discount, l_tax), 6), round(corr(l_discount, l_tax), 6) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_quantity', 'l_quantity',
+             |         round(covar_samp(l_quantity, l_quantity), 6), round(corr(l_quantity, l_quantity), 6) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_quantity', 'l_tax',
+             |         round(covar_samp(l_quantity, l_tax), 6), round(corr(l_quantity, l_tax), 6) FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_tax', 'l_tax',
+             |         round(covar_samp(l_tax, l_tax), 6), round(corr(l_tax, l_tax), 6) FROM lineitem)
+             |ORDER BY field_a, field_b""".stripMargin)),
+
+    // moving_avg with the ewma model (α = 0.5 — every weight an exact
+    // power of two, so both engines' weighted folds are bit-identical).
+    Q("a76_es_json_moving_avg_ewma",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"by_m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          | "aggs": {"rev": {"sum": {"field": "o_totalprice"}},
+          |          "ewma": {"moving_avg": {"buckets_path": "rev", "window": 4,
+          |                   "model": "ewma", "settings": {"alpha": 0.5}}}}}}}""".stripMargin)("by_m"),
+      Some("""WITH b AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS key, count(*) AS doc_count,
+             |         round(sum(o_totalprice), 4) AS rev
+             |  FROM orders GROUP BY key),
+             |w AS (
+             |  SELECT key, doc_count, rev,
+             |         list(rev) OVER (ORDER BY key ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS vals
+             |  FROM b)
+             |SELECT key, doc_count, rev,
+             |       CAST(round(list_sum(list_transform(vals, (x, i) ->
+             |         CASE WHEN i = 1 THEN pow(0.5, len(vals) - 1) * x
+             |              ELSE 0.5 * pow(0.5, len(vals) - i) * x END)), 6) AS DOUBLE) AS ewma
+             |FROM w ORDER BY key""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),
