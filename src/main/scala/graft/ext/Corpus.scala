@@ -70,6 +70,66 @@ object Corpus {
     df.filter(h < threshold)
   }
 
+  /** Gopher-style composite quality filter: every rule evaluated in one
+    * narrow pass (the [[repetitionSignals]] kernel supplies the counters),
+    * returning a verdict plus the sorted list of failed rule names — the
+    * audit trail a data pipeline keeps alongside the kept/dropped split.
+    * Rules (Rae et al. 2021 "Scaling Language Models" table A1 family):
+    * word count bounds, mean-word-length bounds, minimum distinct
+    * stopwords, top-token concentration. */
+  def gopherFilter(df: DataFrame, idCol: Column, text: Column,
+                   minWords: Int = 20, maxWords: Int = 100000,
+                   minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
+                   minStopwords: Int = 2, maxTopTokFrac: Double = 0.2): DataFrame = {
+    val toks = TextAnalysis.tokens(text)
+    val s = graft.functions.TextKernels.repetitionStats(text)
+    val stopArr = array(graft.functions.TextKernels.englishStopwordList.map(lit): _*)
+    val base = df.select(idCol.as("doc_id"), toks.as("_w"), s.as("_s"))
+      .select(col("doc_id"),
+        element_at(col("_s"), 1).as("_n"),
+        element_at(col("_s"), 5).as("_top_c"),
+        // int sum of lengths — exact, so the mean is the same double on
+        // both engines regardless of fold order
+        aggregate(col("_w"), lit(0), (a, x) => a + length(x)).as("_lensum"),
+        size(array_intersect(col("_w"), stopArr)).as("_nstop"))
+      .withColumn("_meanlen",
+        when(col("_n") > 0, col("_lensum").cast("double") / col("_n")).otherwise(lit(0.0)))
+      .withColumn("_topfrac",
+        when(col("_n") > 0, col("_top_c").cast("double") / col("_n")).otherwise(lit(0.0)))
+    val rules: Seq[(String, Column)] = Seq(
+      "too_few_words" -> (col("_n") < minWords),
+      "too_many_words" -> (col("_n") > maxWords),
+      "mean_word_length" -> (col("_meanlen") < minMeanLen || col("_meanlen") > maxMeanLen),
+      "too_few_stopwords" -> (col("_nstop") < minStopwords),
+      "repetitive" -> (col("_topfrac") > maxTopTokFrac))
+    base.select(col("doc_id"),
+        col("_n").as("n_tokens"),
+        array_sort(filter(array(rules.map { case (nm, c) => when(c, lit(nm)) }: _*),
+          x => x.isNotNull)).as("fail_reasons"))
+      .withColumn("pass", size(col("fail_reasons")) === 0)
+  }
+
+  /** Temperature-scaled source mixing (the multilingual/multi-source
+    * sampling rule: p(source) ∝ n^alpha, alpha<1 upweights small sources):
+    * per-source keep-rates hit an expected `targetTotal` docs, applied by
+    * the same deterministic md5-Bernoulli as [[stratifiedSample]]. Rates
+    * live in a broadcast side table (one tiny agg + broadcast join — no
+    * driver collect, any number of sources), so the whole op is one narrow
+    * filter over the corpus. */
+  def temperatureMixture(df: DataFrame, idCol: Column, sourceCol: Column,
+                         alpha: Double, targetTotal: Long): DataFrame = {
+    val counts = df.groupBy(sourceCol.as("_src")).agg(count(lit(1)).as("_n"))
+    val wsum = counts.agg(sum(pow(col("_n").cast("double"), alpha)).as("_wsum"))
+    val rates = counts.crossJoin(broadcast(wsum))
+      .withColumn("_thr", floor(least(lit(1.0),
+        lit(targetTotal.toDouble) * pow(col("_n").cast("double"), alpha) /
+          col("_wsum") / col("_n")) * 1e6).cast("long"))
+      .select(col("_src"), col("_thr"))
+    df.join(broadcast(rates), sourceCol === col("_src"))
+      .filter(pmod(Hashing.md5Long60(idCol.cast("string")), lit(1000000L)) < col("_thr"))
+      .drop("_src", "_thr")
+  }
+
   /** Benchmark decontamination — the eval-overlap scrub every training
     * corpus needs: a corpus doc is CONTAMINATED when it shares at least one
     * exact word `nGram`-gram with the benchmark set. Returns

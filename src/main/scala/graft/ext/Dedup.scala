@@ -182,6 +182,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** Duplicate-span signal (the cross-document exact-substring redundancy
+    * measure behind suffix-array dedup, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better", §4 — n-gram formulation):
+    * a doc's span is DUPLICATED when its word `n`-gram occurs in ≥
+    * `minDocs` distinct docs. Returns per-doc
+    * `(doc_id, n_grams, dup_grams, dup_frac)` — the fraction of the doc
+    * covered by corpus-repeated spans, the signal a pipeline thresholds to
+    * route docs into span-removal.
+    *
+    * Scale shape: grams dedup per-doc first (set semantics), join by
+    * 60-bit hash; the df-agg and the doc-agg are two hash aggregations
+    * sharing the exploded gram table — no pairwise work at all (unlike
+    * near-dup joins, the gram doc-frequency is enough). */
+  def duplicateSpans(df: DataFrame, idCol: Column, text: Column,
+                     n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val grams = persistOnce(
+      df.select(idCol.as("doc_id"),
+          explode(graft.functions.TextKernels.wordNgrams(text, n)).as("g"))
+        .select(col("doc_id"), Hashing.md5Long60(col("g")).as("gh")))
+    val dfreq = grams.groupBy("gh").agg(count_distinct(col("doc_id")).as("_df"))
+    grams.join(dfreq, "gh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("_df") >= minDocs, 1L).otherwise(0L)).as("dup_grams"))
+      .withColumn("dup_frac",
+        round(col("dup_grams").cast("double") / col("n_grams"), 6))
+  }
+
   /** C2c: 60-bit SimHash signature per doc. Token hashes keep multiplicity
     * (term frequency weights the vote, the standard Charikar form).
     * Fully narrow: the bit-vote runs in a codegen'd kernel per document

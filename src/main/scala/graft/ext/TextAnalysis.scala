@@ -81,6 +81,29 @@ object TextAnalysis {
       size(filter(split(text, " +"), t => t =!= "")).as("n_ws"),
       size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe"))
 
+  /** Unigram language-model cross-entropy per document (nats): the
+    * deterministic stand-in for the KenLM-perplexity quality signal CCNet
+    * uses — corpus-fit unigram probabilities P(t) = count(t)/total, score
+    * = −mean ln P(t) over the doc's tokens. High = improbable/junk text,
+    * low = repetitive/common text; pipelines keep the middle band.
+    *
+    * Two wide stages sharing one tokenize: the vocabulary hash-agg and the
+    * per-doc mean (token rows join the vocab on the term — broadcast when
+    * the vocab is small, AQE decides). A 1-row total crossJoins in; no
+    * driver-side state. */
+  def unigramCrossEntropy(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val toks = graft.ext.Dedup.persistOnce(
+      df.select(idCol.as("doc_id"), explode(tokens(text)).as("t")))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(vocab, "t")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(-avg(log(col("cnt").cast("double") / col("total"))), 6).as("cross_entropy"))
+  }
+
   /** tf-idf: top-`k` terms per document (natural-log idf). Two hash
     * aggregations + a broadcast of the doc count; the per-doc top-k is a
     * bounded window (AQE handles skewed terms). */

@@ -712,5 +712,133 @@ object TierC {
              |       CAST(max(greatest(r, g, b)) AS INT) AS max_px
              |FROM px GROUP BY doc_id, width, height, fmt
              |ORDER BY doc_id""".stripMargin)),
+
+    // Unigram-LM cross-entropy (nats): the deterministic stand-in for the
+    // CCNet KenLM-perplexity quality signal — corpus-fit unigram probs,
+    // −mean ln P(token) per doc.
+    Q("c26_unigram_xent",
+      (s, d) => TextAnalysis.unigramCrossEntropy(
+        Tables.documents(s, d), col("doc_id"), col("text"))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH $toksCte,
+           |tk AS (SELECT doc_id, unnest(w) AS t FROM toks),
+           |v AS (SELECT t, count(*) AS cnt FROM tk GROUP BY t),
+           |tot AS (SELECT count(*) AS total FROM tk)
+           |SELECT doc_id, count(*) AS n_tokens,
+           |       round(-avg(ln(cnt::DOUBLE / total)), 6) AS cross_entropy
+           |FROM tk JOIN v USING (t) CROSS JOIN tot
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style composite quality filter: verdict + sorted failed-rule
+    // audit trail, all counters from one narrow kernel pass.
+    Q("c27_gopher_filter",
+      (s, d) => Corpus.gopherFilter(Tables.documents(s, d), col("doc_id"), col("text"),
+        minWords = 40, maxWords = 100000, minMeanLen = 3.5, maxMeanLen = 6.0,
+        minStopwords = 2, maxTopTokFrac = 0.15)
+        .orderBy("doc_id"),
+      Some {
+        val stopList = graft.functions.TextKernels.englishStopwordList
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH $toksCte,
+           |topt AS (
+           |  SELECT doc_id, max(c) AS top_c FROM (
+           |    SELECT doc_id, t, count(*) AS c
+           |    FROM (SELECT doc_id, unnest(w) AS t FROM toks) GROUP BY doc_id, t)
+           |  GROUP BY doc_id),
+           |b AS (
+           |  SELECT toks.doc_id, len(w) AS n,
+           |         CASE WHEN len(w) > 0
+           |              THEN CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+           |              ELSE 0.0 END AS meanlen,
+           |         len(list_filter(list_distinct(w), x -> list_contains($stopList, x))) AS nstop,
+           |         CASE WHEN len(w) > 0
+           |              THEN CAST(coalesce(top_c, 0) AS DOUBLE) / len(w)
+           |              ELSE 0.0 END AS topfrac
+           |  FROM toks LEFT JOIN topt ON toks.doc_id = topt.doc_id)
+           |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+           |       list_sort(list_filter(
+           |         [CASE WHEN n < 40 THEN 'too_few_words' END,
+           |          CASE WHEN n > 100000 THEN 'too_many_words' END,
+           |          CASE WHEN meanlen < 3.5 OR meanlen > 6.0 THEN 'mean_word_length' END,
+           |          CASE WHEN nstop < 2 THEN 'too_few_stopwords' END,
+           |          CASE WHEN topfrac > 0.15 THEN 'repetitive' END],
+           |         x -> x IS NOT NULL)) AS fail_reasons,
+           |       (len(list_filter(
+           |         [CASE WHEN n < 40 THEN 'too_few_words' END,
+           |          CASE WHEN n > 100000 THEN 'too_many_words' END,
+           |          CASE WHEN meanlen < 3.5 OR meanlen > 6.0 THEN 'mean_word_length' END,
+           |          CASE WHEN nstop < 2 THEN 'too_few_stopwords' END,
+           |          CASE WHEN topfrac > 0.15 THEN 'repetitive' END],
+           |         x -> x IS NOT NULL)) = 0) AS pass
+           |FROM b ORDER BY doc_id""".stripMargin
+      }),
+
+    // PII redaction: regex-mask emails / IPv4 / phone-shaped numbers with
+    // per-category counts; the PII derives deterministically from row
+    // values (the corpus text itself is synthetic and PII-free).
+    Q("c28_pii_redact",
+      (s, d) => graft.ext.Redact.redactPii(
+        Tables.documents(s, d).withColumn("contact",
+          concat(col("text"), lit(" contact "), col("source"), lit("@example.com ip 10.0."),
+            expr("CAST(doc_id % 256 AS STRING)"), lit("."),
+            expr("CAST(doc_id DIV 256 % 256 AS STRING)"), lit(" call 555-"),
+            lpad(expr("CAST(doc_id % 10000 AS STRING)"), 4, "0"))),
+        col("doc_id"), col("contact"))
+        .orderBy("doc_id"),
+      Some(
+        """WITH p AS (
+          |  SELECT doc_id,
+          |         text || ' contact ' || source || '@example.com ip 10.0.' ||
+          |         CAST(doc_id % 256 AS VARCHAR) || '.' ||
+          |         CAST((doc_id // 256) % 256 AS VARCHAR) || ' call 555-' ||
+          |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS contact
+          |  FROM documents)
+          |SELECT doc_id,
+          |       regexp_replace(regexp_replace(regexp_replace(contact,
+          |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          |         '\b555-\d{4}\b', '<PHONE>', 'g') AS redacted,
+          |       len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+          |       len(regexp_extract_all(contact, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+          |       len(regexp_extract_all(contact, '\b555-\d{4}\b')) AS n_phone
+          |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // Temperature-scaled source mixing: keep-rate per source ∝ n^0.6
+    // normalized to an expected 150 docs, applied by the md5-Bernoulli —
+    // the multilingual upsampling rule, fully deterministic.
+    Q("c29_temperature_mix",
+      (s, d) => Corpus.temperatureMixture(Tables.documents(s, d),
+        col("doc_id"), col("source"), alpha = 0.6, targetTotal = 150)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH c AS (SELECT source AS src, count(*) AS n FROM documents GROUP BY source),
+           |s AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.6)) AS wsum FROM c),
+           |r AS (SELECT src, CAST(floor(least(1.0,
+           |        150.0 * pow(CAST(n AS DOUBLE), 0.6) / wsum / n) * 1e6) AS BIGINT) AS thr
+           |      FROM c CROSS JOIN s)
+           |SELECT doc_id, source FROM documents JOIN r ON source = src
+           |WHERE ${Hashing.sqlMd5Long60("CAST(doc_id AS VARCHAR)")} % 1000000 < thr
+           |ORDER BY doc_id""".stripMargin)),
+
+    // Duplicate-span signal (suffix-array-dedup n-gram formulation, Lee et
+    // al. 2022): fraction of a doc's distinct 3-grams that recur in other
+    // docs — no pairwise join, just two hash aggs over the gram table.
+    Q("c30_dup_spans",
+      (s, d) => Dedup.duplicateSpans(Tables.documents(s, d),
+        col("doc_id"), col("text"), n = 3, minDocs = 2)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH $toksCte,
+           |$gramsCte,
+           |gx AS (SELECT doc_id, ${Hashing.sqlMd5Long60("gr")} AS gh
+           |       FROM (SELECT doc_id, unnest(grams) AS gr FROM grams)),
+           |dfq AS (SELECT gh, count(DISTINCT doc_id) AS df FROM gx GROUP BY gh)
+           |SELECT doc_id, count(*) AS n_grams,
+           |       sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_grams,
+           |       round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+           |FROM gx JOIN dfq USING (gh)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }
