@@ -356,17 +356,20 @@ object EsQueryJson {
           (f, Option(spec.get("order")).map(_.asText()))
         }
       }
-    val needsScore = sortSpecs.exists(_._1 == "_score")
-    val filtered = (Option(body.get("query")), Option(body.get("rescore"))) match {
+    val minScore = Option(body.get("min_score")).map(_.asDouble())
+    // `min_score` forces scoring even when the sort doesn't use _score
+    val needsScore = sortSpecs.exists(_._1 == "_score") || minScore.isDefined
+    val scored = (Option(body.get("query")), Option(body.get("rescore"))) match {
       case (Some(q), Some(r)) if needsScore =>
         val tiebreaks = sortSpecs.filter(_._1 != "_score").map(s => field(s._1))
         rescoredSearch(df, q, r, tiebreaks)
       case (Some(q), _) if needsScore => scoredSearch(df, q)
       case (Some(q), _) => df.filter(predicate(q))
       case (None, _) =>
-        require(!needsScore, "_score sort requires a query")
+        require(!needsScore, "_score sort / min_score requires a query")
         df
     }
+    val filtered = minScore.map(ms => scored.filter(col("_score") >= ms)).getOrElse(scored)
     // `_name`-tagged clauses → `matched_queries`: per returned hit, the
     // names of the tagged clauses it satisfies (one extra codegen'd
     // boolean per name — no second pass). Sorted: ES emits a set in match
@@ -610,6 +613,18 @@ object EsQueryJson {
           val dist0 = abs(field(f) - lit(origin))
           val dist = if (offset == 0.0) dist0 else greatest(dist0 - lit(offset), lit(0.0))
           Some(pow(lit(decay), pow(dist / lit(scale), lit(2.0))))
+        } else if (fn.has("random_score")) {
+          // deterministic uniform [0,1): md5 of seed:field — ES's seeded
+          // random_score is likewise a hash of (seed, field value), not an
+          // RNG, so results are reproducible across runs and engines
+          val s = fn.get("random_score")
+          val seed = Option(s.get("seed")).map(_.asText()).getOrElse("0")
+          val f = Option(s.get("field")).map(_.asText()).getOrElse(
+            throw new IllegalArgumentException(
+              "random_score needs a field (the deterministic hash basis)"))
+          Some(pmod(graft.functions.Hashing.md5Long60(
+              concat_ws(":", lit(seed), field(f).cast("string"))), lit(1000000L))
+            .cast("double") / lit(1000000.0))
         } else None
       val v = (value, weight) match {
         case (Some(c), Some(w)) => lit(w) * c

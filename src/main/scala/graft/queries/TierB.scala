@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.dsl.EsDsl
 import graft.dsl.EsDsl._
+import graft.functions.Hashing
 import graft.operators.AsOfJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1239,6 +1240,32 @@ object TierB {
              |         CASE WHEN i = 1 THEN pow(0.5, len(vals) - 1) * x
              |              ELSE 0.5 * pow(0.5, len(vals) - i) * x END)), 6) AS DOUBLE) AS ewma
              |FROM w ORDER BY key""".stripMargin)),
+
+    // `min_score`: scoring forced by the cutoff even though the sort is by
+    // id — hits below the BM25 threshold drop out.
+    Q("a77_es_json_min_score",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match": {"text": "spark"}}, "min_score": 1.0,
+          | "sort": ["doc_id"], "size": 2000}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some(bm25Sql(Seq("spark")) +
+        """
+          |SELECT doc_id, score FROM sc WHERE score >= 1.0
+          |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // function_score random_score: seeded deterministic shuffle (md5 of
+    // seed:field, the reproducible-sampling idiom) — same hash replayed by
+    // the oracle.
+    Q("a78_es_json_random_score",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"function_score": {
+          |   "functions": [{"random_score": {"seed": "42", "field": "doc_id"}}]}},
+          | "sort": [{"_score": {}}, "doc_id"], "size": 25}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some(s"""SELECT doc_id,
+             |       round(CAST(${Hashing.sqlMd5Long60("'42:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS DOUBLE) / 1000000.0, 6) AS score
+             |FROM documents
+             |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
 
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",

@@ -678,4 +678,123 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
       EsDsl.matchQuery(col("text"), Seq("web")) || EsDsl.matchQuery(col("source"), Seq("web"))).count()
     assert(mf == mfWant)
   }
+
+  test("missing agg buckets the null-field docs") {
+    val p = orders.withColumn("maybe",
+      when(col("o_orderstatus") === "F", col("o_totalprice")))
+    val row = EsQueryJson.aggregations(p,
+      """{"aggs": {"no_f": {"missing": {"field": "maybe"},
+        |  "aggs": {"avg_tp": {"avg": {"field": "o_totalprice"}}}}}}""".stripMargin)("no_f")
+      .collect()(0)
+    assert(row.getLong(0) == orders.filter(col("o_orderstatus") =!= "F").count())
+  }
+
+  test("matrix_stats emits upper-triangle covariance/correlation rows") {
+    val rows = EsQueryJson.aggregations(orders,
+      """{"aggs": {"m": {"matrix_stats": {"fields": ["o_totalprice", "o_custkey"]}}}}""")("m")
+      .collect()
+    // upper triangle in the listed-fields order, rows sorted by name
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(
+      ("o_custkey", "o_custkey"), ("o_totalprice", "o_custkey"),
+      ("o_totalprice", "o_totalprice")))
+    // self-correlation is exactly 1
+    assert(rows.filter(r => r.getString(0) == r.getString(1))
+      .forall(_.getDouble(3) == 1.0))
+  }
+
+  test("sampler agg bounds the metric scope to the top hits by score") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val row = EsQueryJson.aggregations(docs,
+      """{"query": {"match": {"text": "spark"}},
+        | "aggs": {"s": {"sampler": {"shard_size": 10},
+        |   "aggs": {"avg_len": {"avg": {"field": "n_chars"}}}}}}""".stripMargin)("s")
+      .collect()(0)
+    assert(row.getLong(0) == 10) // more than 10 matches exist; capped
+    val want = EsQueryJson.search(docs,
+      """{"query": {"match": {"text": "spark"}}, "sort": ["_score", "doc_id"], "size": 10}""")
+      .agg(round(avg(col("n_chars")), 6)).collect()(0).getDouble(0)
+    assert(row.getDouble(1) == want)
+  }
+
+  test("significant_text surfaces query-correlated tokens") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = EsQueryJson.aggregations(docs,
+      """{"query": {"term": {"lang": "zh"}},
+        | "aggs": {"st": {"significant_text": {"field": "text", "size": 5, "min_doc_count": 2}}}}""".stripMargin)("st")
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    assert(out.columns.toSeq == Seq("key", "fg", "bg", "score"))
+    // scores are fg-share over bg-share: every surfaced token is enriched
+    assert(rows.forall(_.getDouble(3) >= 1.0))
+  }
+
+  test("terms lookup inlines values from a registered table") {
+    import spark.implicits._
+    val lookup = Seq((1L, 10L), (2L, 20L), (3L, 10L)).toDF("id", "val")
+    val got = EsQueryJson.withTables("lk" -> lookup) {
+      EsQueryJson.search(orders.limit(0).withColumn("o_custkey", col("o_custkey")),
+        """{"query": {"terms": {"o_custkey": {"index": "lk", "id": 2, "path": "val"}}}}""")
+    } // compiles the isin against [20]
+    assert(got.count() == 0)
+    val pred = EsQueryJson.withTables("lk" -> lookup) {
+      EsQueryJson.predicate(EsQueryJson.parse(
+        """{"terms": {"x": {"index": "lk", "path": "val"}}}"""))
+    }
+    val hit = Seq(10L, 15L, 20L, 25L).toDF("x").filter(pred)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hit == Seq(10L, 20L)) // no id -> all rows' values
+    intercept[IllegalArgumentException] {
+      EsQueryJson.predicate(EsQueryJson.parse(
+        """{"terms": {"x": {"index": "nope", "path": "val"}}}"""))
+    }
+  }
+
+  test("named queries populate matched_queries per hit") {
+    val out = EsQueryJson.search(orders,
+      """{"query": {"bool": {
+        |   "must": [{"range": {"o_totalprice": {"gte": 0, "_name": "any"}}}],
+        |   "should": [{"term": {"o_orderstatus": {"value": "F", "_name": "fin"}}}]}},
+        | "sort": ["o_orderkey"], "size": 50}""".stripMargin)
+    val byStatus = out.select(col("o_orderstatus"), col("matched_queries")).collect()
+    assert(byStatus.forall { r =>
+      val names = r.getSeq[String](1)
+      if (r.getString(0) == "F") names == Seq("any", "fin") else names == Seq("any")
+    })
+  }
+
+  test("moving_avg ewma model follows the s_t = a*x_t + (1-a)*s_{t-1} recursion") {
+    import spark.implicits._
+    val df = Seq((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0)).toDF("k", "x")
+    val got = EsQueryJson.aggregations(df,
+      """{"aggs": {"h": {"histogram": {"field": "k", "interval": 1},
+        | "aggs": {"v": {"sum": {"field": "x"}},
+        |          "e": {"moving_avg": {"buckets_path": "v", "window": 4,
+        |                "model": "ewma", "settings": {"alpha": 0.5}}}}}}}""".stripMargin)("h")
+      .orderBy("key").select("e").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(10.0, 15.0, 22.5, 31.25, 41.25))
+  }
+
+  test("min_score cuts scored hits; random_score is a seeded deterministic shuffle") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val all = EsQueryJson.search(docs,
+      """{"query": {"match": {"text": "spark"}}, "sort": ["_score", "doc_id"]}""")
+    val cut = EsQueryJson.search(docs,
+      """{"query": {"match": {"text": "spark"}}, "min_score": 1.0, "sort": ["_score", "doc_id"]}""")
+    assert(cut.count() == all.filter(col("_score") >= 1.0).count())
+    assert(cut.count() < all.count())
+    val r1 = EsQueryJson.search(docs,
+      """{"query": {"function_score": {"functions": [{"random_score": {"seed": "7", "field": "doc_id"}}]}},
+        | "sort": [{"_score": {}}, "doc_id"], "size": 5}""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val r2 = EsQueryJson.search(docs,
+      """{"query": {"function_score": {"functions": [{"random_score": {"seed": "7", "field": "doc_id"}}]}},
+        | "sort": [{"_score": {}}, "doc_id"], "size": 5}""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val r3 = EsQueryJson.search(docs,
+      """{"query": {"function_score": {"functions": [{"random_score": {"seed": "8", "field": "doc_id"}}]}},
+        | "sort": [{"_score": {}}, "doc_id"], "size": 5}""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(r1 == r2) // same seed -> same order
+    assert(r1 != r3) // different seed -> different order
+  }
 }

@@ -455,4 +455,85 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("unigram cross-entropy: uniform corpus scores ln(V), rarer mix scores higher") {
+    import sp.implicits._
+    // 4 docs over a 4-token uniform vocabulary: every token P=1/4, so
+    // every doc's cross-entropy is exactly ln 4
+    val uniform = Seq((1L, "a b"), (2L, "c d"), (3L, "a c"), (4L, "b d"))
+      .toDF("doc_id", "text")
+    val xe = TextAnalysis.unigramCrossEntropy(uniform, col("doc_id"), col("text"))
+      .collect().map(_.getDouble(2)).toSeq
+    val ln4 = BigDecimal(math.log(4.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(xe.forall(_ == ln4))
+    // a doc of rare tokens scores strictly higher than one of common tokens
+    val skewed = Seq((1L, "x x x x x x"), (2L, "y z")).toDF("doc_id", "text")
+    val m = TextAnalysis.unigramCrossEntropy(skewed, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(2L) > m(1L))
+  }
+
+  test("gopher filter: rules compose into sorted fail_reasons") {
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat with a dog and a bird by the door"), // short but stopworded
+      (2L, "spam spam spam spam spam spam spam spam spam spam")) // repetitive, no stopwords
+      .toDF("doc_id", "text")
+    val out = graft.ext.Corpus.gopherFilter(docs, col("doc_id"), col("text"),
+      minWords = 5, maxWords = 100, minMeanLen = 1.0, maxMeanLen = 10.0,
+      minStopwords = 2, maxTopTokFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](2), r.getBoolean(3))).toMap
+    assert(out(1L) == (Seq.empty[String], true))
+    assert(out(2L) == (Seq("repetitive", "too_few_stopwords"), false))
+  }
+
+  test("pii redaction masks and counts every category") {
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "mail a@b.co or c.d@e-f.org ip 10.0.0.1 call 555-1234"),
+      (2L, "clean text, no pii here"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Redact.redactPii(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "mail <EMAIL> or <EMAIL> ip <IP> call <PHONE>")
+    assert((out(0).getInt(2), out(0).getInt(3), out(0).getInt(4)) == ((2, 1, 1)))
+    assert(out(1).getString(1) == "clean text, no pii here")
+    assert((out(1).getInt(2), out(1).getInt(3), out(1).getInt(4)) == ((0, 0, 0)))
+  }
+
+  test("temperature mixture: alpha < 1 upweights the small source") {
+    import sp.implicits._
+    // big source 200 docs, small source 20 docs; alpha 0.5 compresses the
+    // count ratio 10:1 to sqrt -> the small source's keep-RATE must exceed
+    // the big one's even though its expected count is lower
+    val docs = ((1 to 200).map(i => (i.toLong, "big")) ++
+      (201 to 220).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val kept = graft.ext.Corpus.temperatureMixture(
+      docs, col("doc_id"), col("source"), alpha = 0.5, targetTotal = 60)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rateBig = kept.getOrElse("big", 0L).toDouble / 200
+    val rateSmall = kept.getOrElse("small", 0L).toDouble / 20
+    assert(rateSmall > rateBig)
+    // deterministic: a second run keeps the identical rows
+    val a = graft.ext.Corpus.temperatureMixture(
+      docs, col("doc_id"), col("source"), alpha = 0.5, targetTotal = 60)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = graft.ext.Corpus.temperatureMixture(
+      docs, col("doc_id"), col("source"), alpha = 0.5, targetTotal = 60)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("duplicate spans: cross-doc n-gram recurrence, set-counted per doc") {
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),          // grams: abg, bgd -> bgd shared with doc 3
+      (2L, "one two three four"),              // clean
+      (3L, "x beta gamma delta beta gamma delta")) // bgd (set-counted once) + others
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), n = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._2 == 1L && out(2L)._2 == 0L && out(3L)._2 == 1L)
+    assert(out(1L)._1 == 2L) // distinct grams
+  }
 }
