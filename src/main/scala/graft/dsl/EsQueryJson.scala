@@ -263,10 +263,15 @@ object EsQueryJson {
         EsDsl.multiMatch(fields, terms, msm)
       case "fuzzy" =>
         val (f, v) = single(body)
-        val (value, fuzziness) =
-          if (v.isObject)
-            (v.get("value").asText(), Option(v.get("fuzziness")).map(_.asInt()).getOrElse(2))
-          else (v.asText(), 2)
+        val value = (if (v.isObject) v.get("value") else v).asText()
+        // ES AUTO fuzziness: edits by query-term length (0 / 1 / 2)
+        def auto(t: String) = if (t.length < 3) 0 else if (t.length <= 5) 1 else 2
+        val fuzziness =
+          if (v.isObject) Option(v.get("fuzziness")).map(n =>
+            if (n.isTextual) { require(n.asText() == "AUTO",
+              s"fuzziness must be an int or AUTO, got ${n.asText()}"); auto(value) }
+            else n.asInt()).getOrElse(2)
+          else 2
         levenshtein(field(f), lit(value)) <= fuzziness
       case "nested" =>
         // predicate over child docs in an array-of-struct column: fields
@@ -982,6 +987,16 @@ object EsQueryJson {
       case "range" => rangeAgg(df, node, dateRange = false)
       case "date_range" => rangeAgg(df, node, dateRange = true)
       case "adjacency_matrix" => adjacencyMatrixAgg(df, spec)
+      case "nested" =>
+        // ES nested agg: sub-aggs over the CHILD docs of an array-of-
+        // struct field — one explode rebinds the path, then the normal agg
+        // walk runs with `path.member` field names resolving into the
+        // exploded struct. doc_count counts child docs, ES behavior.
+        val path = spec.get("path").asText()
+        val exploded = df.withColumn(path, explode(col(path)))
+        val inner = Option(node.get("aggs")).map(_.fields().asScala.toSeq).getOrElse(Seq.empty)
+        require(inner.size == 1, s"nested agg needs exactly one sub-agg, got ${inner.size}")
+        oneAgg(exploded, exploded, inner.head.getKey, inner.head.getValue)
       case "missing" =>
         // bucket of docs where the field is null + metric sub-aggs
         val (ms, buckets, topHits, pipes) = subAggs(node)
@@ -1154,6 +1169,19 @@ object EsQueryJson {
                      |    CASE WHEN i = 0 THEN pow(1.0d - $alpha, size(_mvals) - 1) * x
                      |         ELSE $alpha * pow(1.0d - $alpha, size(_mvals) - 1 - i) * x END),
                      |  0.0d, (acc, x) -> acc + x)""".stripMargin), 6).cast("double"))
+                .drop("_mvals")
+            case "linear" =>
+              // ES linear model: weights 1..m increasing toward the newest
+              // bucket — integer weights and an exact int divisor, so both
+              // engines fold identical doubles
+              out = out
+                .withColumn("_mvals",
+                  collect_list(path.cast("double")).over(wOrd.rowsBetween(-(n - 1), 0)))
+                .withColumn(nm, round(expr(
+                  """aggregate(transform(_mvals, (x, i) -> (i + 1) * x),
+                    |  0.0d, (acc, x) -> acc + x)
+                    |/ (size(_mvals) * (size(_mvals) + 1) / 2)""".stripMargin), 6)
+                  .cast("double"))
                 .drop("_mvals")
             case other => throw new IllegalArgumentException(
               s"unsupported moving_avg model: $other")

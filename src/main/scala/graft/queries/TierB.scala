@@ -1267,6 +1267,55 @@ object TierB {
              |FROM documents
              |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
 
+    // ES nested AGG: sub-aggs over the child docs of an array-of-struct
+    // field (the items built per order, the b24 shape) — the flat-table
+    // twin proves the explode-rebind is lossless.
+    Q("a79_es_json_nested_agg",
+      (s, d) => {
+        val items = li(s, d).groupBy(col("l_orderkey"))
+          .agg(collect_list(struct(col("l_quantity"), col("l_returnflag"))).as("items"))
+        val o = ord(s, d).select("o_orderkey").join(items, col("o_orderkey") === col("l_orderkey"))
+        graft.dsl.EsQueryJson.aggregations(o,
+          """{"aggs": {"items_agg": {"nested": {"path": "items"},
+            | "aggs": {"by_flag": {"terms": {"field": "items.l_returnflag", "size": 10},
+            |   "aggs": {"avg_qty": {"avg": {"field": "items.l_quantity"}}}}}}}}""".stripMargin)("items_agg")
+      },
+      Some("""SELECT l_returnflag AS key, count(*) AS doc_count,
+             |       round(avg(l_quantity), 6) AS avg_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
+
+    // moving_avg linear model: position-weighted trailing window (weights
+    // 1..m toward the newest bucket).
+    Q("a80_es_json_moving_avg_linear",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"by_m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          | "aggs": {"rev": {"sum": {"field": "o_totalprice"}},
+          |          "lin": {"moving_avg": {"buckets_path": "rev", "window": 3, "model": "linear"}}}}}}""".stripMargin)("by_m"),
+      Some("""WITH b AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS key, count(*) AS doc_count,
+             |         round(sum(o_totalprice), 4) AS rev
+             |  FROM orders GROUP BY key),
+             |w AS (
+             |  SELECT key, doc_count, rev,
+             |         list(rev) OVER (ORDER BY key ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS vals
+             |  FROM b)
+             |SELECT key, doc_count, rev,
+             |       CAST(round(list_sum(list_transform(vals, (x, i) -> i * x))
+             |              / (len(vals) * (len(vals) + 1) / 2.0), 6) AS DOUBLE) AS lin
+             |FROM w ORDER BY key""".stripMargin)),
+
+    // fuzziness AUTO: edit budget from the query-term length (8 chars -> 2
+    // edits, same cutoff the explicit form pins).
+    Q("a81_es_json_fuzzy_auto",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),
+        """{"query": {"fuzzy": {"p_name": {"value": "red bolt", "fuzziness": "AUTO"}}},
+          | "sort": ["p_partkey"], "size": 100}""".stripMargin)
+        .select(col("p_partkey"), col("p_name")),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE levenshtein(p_name, 'red bolt') <= 2
+             |ORDER BY p_partkey LIMIT 100""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),
