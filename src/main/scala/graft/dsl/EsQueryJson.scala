@@ -848,6 +848,17 @@ object EsQueryJson {
         case "sum_bucket" => src.agg(round(sum(m), 4).cast("double").as("value"))
         case "max_bucket" => src.agg(round(max(m), 4).cast("double").as("value"))
         case "min_bucket" => src.agg(round(min(m), 4).cast("double").as("value"))
+        case "percentiles_bucket" =>
+          // exact percentiles over the sibling's bucket metric (the bucket
+          // set is bounded — coordinator-side in ES, a tiny agg here)
+          val pcts = Option(spec.get("percents"))
+            .map(_.elements().asScala.map(_.asDouble()).toSeq)
+            .getOrElse(Seq(25.0, 50.0, 75.0))
+          val cols = pcts.map { p =>
+            val nm = if (p.isWhole) s"p${p.toLong}" else s"p${p.toString.replace('.', '_')}"
+            round(EsDsl.percentileExact(m, p / 100.0), 4).cast("double").as(nm)
+          }
+          src.agg(cols.head, cols.tail: _*)
       })
     }
   }
@@ -919,7 +930,8 @@ object EsQueryJson {
     Set("cumulative_sum", "derivative", "moving_avg", "serial_diff", "bucket_sort")
   /** Sibling pipeline aggs: a scalar over another agg's bucket metrics. */
   private val siblingPipelineKinds =
-    Set("avg_bucket", "sum_bucket", "max_bucket", "min_bucket", "stats_bucket")
+    Set("avg_bucket", "sum_bucket", "max_bucket", "min_bucket", "stats_bucket",
+      "percentiles_bucket")
 
   /** Split a node's sub-`aggs` into metric columns, nested bucket entries,
     * top_hits entries, and parent-pipeline entries. */
@@ -963,6 +975,18 @@ object EsQueryJson {
     }
     def termsSize: Option[Int] =
       if (kind == "terms") Some(Option(spec.get("size")).map(_.asInt()).getOrElse(10)) else None
+    /** ES terms `include`/`exclude`: bucket keys must (not) FULLY match
+      * the regex — anchored here because ES matches whole terms. */
+    def termsKeyFilter: Option[Column] =
+      if (kind != "terms") None
+      else {
+        val f = field(spec.get("field").asText())
+        def anchored(r: JsonNode) = "^(?:" + r.asText() + ")$"
+        val preds =
+          Option(spec.get("include")).map(r => f.rlike(anchored(r))).toSeq ++
+          Option(spec.get("exclude")).map(r => !f.rlike(anchored(r))).toSeq
+        preds.reduceOption(_ && _)
+      }
     /** ES terms `order`: `_count` (default), `_key`, or a metric sub-agg
       * name → (target, "asc"|"desc"). */
     def termsOrder: (String, String) =
@@ -1094,10 +1118,15 @@ object EsQueryJson {
           return topHitsAgg(df, levels.head, topHits.head._1, topHits.head._2.get("top_hits"))
         }
         val aliased = ms.map { case (n, c) => c.as(n) }
-        if (levels.size == 1) singleLevel(df, levels.head, aliased, pipes)
+        // terms include/exclude prune bucket keys; filtering the rows by
+        // key regex before grouping is equivalent (surviving buckets keep
+        // their full doc_count) and pushes toward the scan
+        val keyFiltered = levels.flatMap(_.termsKeyFilter)
+          .foldLeft(df)((acc, p) => acc.filter(p))
+        if (levels.size == 1) singleLevel(keyFiltered, levels.head, aliased, pipes)
         else {
           require(pipes.isEmpty, "pipeline aggs are supported on single-level buckets")
-          nestedLevels(df, levels, aliased)
+          nestedLevels(keyFiltered, levels, aliased)
         }
       case "top_hits" => // bare top_hits: global top-n (one implicit bucket)
         topHitsAgg(df, null, name, spec)

@@ -1316,6 +1316,36 @@ object TierB {
              |WHERE levenshtein(p_name, 'red bolt') <= 2
              |ORDER BY p_partkey LIMIT 100""".stripMargin)),
 
+    // percentiles_bucket sibling: exact percentiles over another agg's
+    // bucket metric (the bounded bucket set, a coordinator-side step).
+    Q("a82_es_json_percentiles_bucket",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"by_m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |  "aggs": {"rev": {"sum": {"field": "o_totalprice"}}}},
+          | "pb": {"percentiles_bucket": {"buckets_path": "by_m>rev", "percents": [25, 50, 75, 95]}}}}""".stripMargin)("pb"),
+      Some("""WITH b AS (
+             |  SELECT date_trunc('month', o_orderdate) AS key, round(sum(o_totalprice), 4) AS rev
+             |  FROM orders GROUP BY key)
+             |SELECT CAST(round(quantile_cont(rev, 0.25), 4) AS DOUBLE) AS p25,
+             |       CAST(round(quantile_cont(rev, 0.50), 4) AS DOUBLE) AS p50,
+             |       CAST(round(quantile_cont(rev, 0.75), 4) AS DOUBLE) AS p75,
+             |       CAST(round(quantile_cont(rev, 0.95), 4) AS DOUBLE) AS p95
+             |FROM b""".stripMargin)),
+
+    // terms agg include/exclude: bucket keys pruned by anchored regex
+    // (full-term match, ES semantics) before grouping.
+    Q("a83_es_json_terms_include",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"pri": {"terms": {"field": "o_orderpriority", "size": 10,
+          |   "include": "[1-3]-.*", "exclude": "2-.*"},
+          | "aggs": {"avg_tp": {"avg": {"field": "o_totalprice"}}}}}}""".stripMargin)("pri"),
+      Some("""SELECT o_orderpriority AS key, count(*) AS doc_count,
+             |       round(avg(o_totalprice), 6) AS avg_tp
+             |FROM orders
+             |WHERE regexp_full_match(o_orderpriority, '[1-3]-.*')
+             |  AND NOT regexp_full_match(o_orderpriority, '2-.*')
+             |GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

@@ -174,6 +174,24 @@ object Scale {
         .select(col("vec_id"), col("z.scale"), col("z.q"))
         .write.mode("overwrite").format("noop").save())
 
+    // ---- round-6 corpus ops at 50k docs ----
+    // duplicate spans: gram df-agg + join — the no-pairwise shape must
+    // hold when every doc is 10x duplicated (every gram df >= 10)
+    t("dup-spans-50k-all-duplicated")(
+      Dedup.duplicateSpans(docs50k, col("doc_id"), col("text"), n = 5)
+        .write.mode("overwrite").format("noop").save())
+    // unigram cross-entropy: vocab agg + token join
+    t("unigram-xent-50k")(
+      graft.ext.TextAnalysis.unigramCrossEntropy(docs50k, col("doc_id"), col("text"))
+        .write.mode("overwrite").format("noop").save())
+    // the narrow per-doc trio (kernel/regex work, no shuffle at all)
+    t("gopher-filter-50k")(
+      graft.ext.Corpus.gopherFilter(docs50k, col("doc_id"), col("text"))
+        .write.mode("overwrite").format("noop").save())
+    t("pii-redact-50k")(
+      graft.ext.Redact.redactPii(docs50k, col("doc_id"), col("text"))
+        .write.mode("overwrite").format("noop").save())
+
     spark.stop()
   }
 }
