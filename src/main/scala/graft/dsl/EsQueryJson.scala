@@ -927,7 +927,8 @@ object EsQueryJson {
     * over the returned buckets, so the single-partition window sees only
     * the bounded bucket set, never raw rows). */
   private val bucketPipelineKinds =
-    Set("cumulative_sum", "derivative", "moving_avg", "serial_diff", "bucket_sort")
+    Set("cumulative_sum", "derivative", "moving_avg", "serial_diff", "bucket_sort",
+      "bucket_script", "bucket_selector")
   /** Sibling pipeline aggs: a scalar over another agg's bucket metrics. */
   private val siblingPipelineKinds =
     Set("avg_bucket", "sum_bucket", "max_bucket", "min_bucket", "stats_bucket",
@@ -1000,6 +1001,14 @@ object EsQueryJson {
     kind match {
       case "composite" => compositeAgg(df, spec)
       case "filters" => filtersAgg(df, node)
+      case "filter" =>
+        // single-filter bucket: metric sub-aggs scoped to one predicate
+        // (the 1-ary `filters` form)
+        val (ms, buckets, topHits, pipes) = subAggs(node)
+        require(buckets.isEmpty && topHits.isEmpty && pipes.isEmpty,
+          "filter agg supports metric sub-aggs only")
+        df.filter(predicate(spec))
+          .agg(count(lit(1)).as("doc_count"), ms.map { case (n, c) => c.as(n) }: _*)
       case "global" =>
         // escape the body's query scope: metric sub-aggs over the WHOLE
         // index (`bg`), the ES way to show filtered vs total side by side
@@ -1215,6 +1224,21 @@ object EsQueryJson {
             case other => throw new IllegalArgumentException(
               s"unsupported moving_avg model: $other")
           }
+        case "bucket_script" | "bucket_selector" =>
+          // painless-arithmetic subset: `params.<name>` refs bind to the
+          // buckets_path metric columns, the rest must be plain
+          // arithmetic/comparison — substituted and handed to the SQL
+          // parser (same codegen as any expression; no interpreter)
+          val paths = spec.get("buckets_path").fields().asScala.toSeq
+            .map(e => e.getKey -> (e.getValue.asText() match {
+              case "_count" => "doc_count"; case p => p }))
+          val script = paths.foldLeft(spec.get("script").asText()) {
+            case (acc, (p, c)) => acc.replace(s"params.$p", c) }
+          require(script.matches("[A-Za-z0-9_.+\\-*/()<>=!& |]+"),
+            s"unsupported bucket script after param binding: $script")
+          if (kind == "bucket_script")
+            out = out.withColumn(nm, round(expr(script), 6).cast("double"))
+          else out = out.filter(expr(script))
         case "bucket_sort" => // reorder/truncate the bucket list itself
           val sorts = spec.get("sort").elements().asScala.toSeq.map { e =>
             val (f, s) = single(e)

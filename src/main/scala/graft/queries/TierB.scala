@@ -1346,6 +1346,34 @@ object TierB {
              |  AND NOT regexp_full_match(o_orderpriority, '2-.*')
              |GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
 
+    // bucket_script + bucket_selector: per-bucket painless arithmetic
+    // bound to buckets_path params (revenue per order), then a bucket
+    // predicate pruning the frame — the dashboard ratio/filter pair.
+    Q("a84_es_json_bucket_script",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"by_m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          | "aggs": {"rev": {"sum": {"field": "o_totalprice"}},
+          |          "rev_per_order": {"bucket_script": {
+          |             "buckets_path": {"r": "rev", "n": "_count"},
+          |             "script": "params.r / params.n"}},
+          |          "keep": {"bucket_selector": {
+          |             "buckets_path": {"n": "_count"},
+          |             "script": "params.n >= 10"}}}}}}""".stripMargin)("by_m"),
+      Some("""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS key,
+             |       count(*) AS doc_count, round(sum(o_totalprice), 4) AS rev,
+             |       CAST(round(round(sum(o_totalprice), 4) / count(*), 6) AS DOUBLE) AS rev_per_order
+             |FROM orders GROUP BY key HAVING count(*) >= 10 ORDER BY key""".stripMargin)),
+
+    // single-filter bucket agg: metric sub-aggs scoped to one predicate.
+    Q("a85_es_json_filter_agg",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"finished": {"filter": {"term": {"o_orderstatus": "F"}},
+          |   "aggs": {"avg_tp": {"avg": {"field": "o_totalprice"}},
+          |            "max_tp": {"max": {"field": "o_totalprice"}}}}}}""".stripMargin)("finished"),
+      Some("""SELECT count(*) AS doc_count, round(avg(o_totalprice), 6) AS avg_tp,
+             |       round(max(o_totalprice), 4) AS max_tp
+             |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

@@ -136,4 +136,36 @@ class EventTimeSpec extends AnyFunSuite with SparkTestBase {
     // doc 1 (90 tokens) chunks as 50/50-overlap windows: 50, 50, 10
     assert(got.filter(_._1 == 1L).map(c => (c._2, c._3)) == Set((0, 50), (1, 50), (2, 10)))
   }
+
+  test("round-6 narrow corpus ops run unchanged on a stream: gopher filter + pii redact") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.ext.{Corpus, Redact}
+    val docs = Seq(
+      (1L, "the cat sat on a mat with the dog mail x@y.io"),
+      (2L, "spam spam spam spam call 555-9999"))
+    val ms = MemoryStream[(Long, String)]
+    val streamDf = ms.toDF().toDF("doc_id", "text")
+    val narrow = Redact.redactPii(streamDf, col("doc_id"), col("text"))
+    val q = narrow.writeStream.outputMode("append").format("memory")
+      .queryName("r6_out").start()
+    ms.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = sp.table("r6_out").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batch = Redact.redactPii(docs.toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == batch)
+    assert(got(0)._2.endsWith("mail <EMAIL>"))
+    assert(got(1)._2.endsWith("call <PHONE>"))
+    // the filter verdict is likewise stateless: same rows pass on stream
+    // and batch (asserted via the batch API on the same data)
+    val passed = Corpus.gopherFilter(docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+      minWords = 3, maxWords = 100, minMeanLen = 1.0, maxMeanLen = 10.0,
+      minStopwords = 1, maxTopTokFrac = 0.6)
+      .filter(col("pass")).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(passed == Seq(1L))
+  }
 }
