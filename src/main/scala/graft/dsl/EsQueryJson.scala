@@ -459,7 +459,22 @@ object EsQueryJson {
     val from = Option(body.get("from")).map(_.asInt()).getOrElse(0)
     val size = Option(body.get("size")).map(_.asInt())
     val offs = if (from > 0) sorted.offset(from) else sorted
-    size.map(offs.limit).getOrElse(offs)
+    val limited = size.map(offs.limit).getOrElse(offs)
+    // `_source` filtering: project the hit down to the named fields (plus
+    // any engine-computed columns already requested by the body) — the
+    // column-pruning hint Catalyst pushes all the way into the scan
+    Option(body.get("_source")) match {
+      case Some(src) if src.isArray =>
+        val wanted = src.elements().asScala.map(_.asText()).toSeq
+        val computed = Seq("_score", "matched_queries", "_highlight")
+          .filter(limited.columns.contains)
+        limited.select((wanted.map(f => field(f).as(f)) ++ computed.map(col)): _*)
+      case Some(other) =>
+        require(other.isBoolean && other.asBoolean(),
+          "_source supports an include list or true")
+        limited
+      case None => limited
+    }
   }
 
   /** The `_score`-producing query kinds. `match` is Lucene-shaped BM25

@@ -211,6 +211,48 @@ object Dedup {
         round(col("dup_grams").cast("double") / col("n_grams"), 6))
   }
 
+  /** The APPLY form of [[duplicateSpans]] — the Lee et al. 2022 dedup
+    * step itself: drop every token covered by a corpus-duplicated word
+    * `n`-gram (an occurrence of a gram found in ≥ `minDocs` distinct docs
+    * covers its n token positions) and rebuild the scrubbed text from the
+    * survivors. Returns `(doc_id, scrubbed, n_tokens, n_kept)`.
+    *
+    * Scale shape: positions explode per doc (linear), the duplicated-gram
+    * set comes from the same df-agg as the signal form and joins back by
+    * 60-bit hash (broadcast while it fits, AQE otherwise); the rebuild is
+    * one per-doc hash agg over surviving positions — sorted inside the
+    * row, so no global or per-doc window. No pairwise work anywhere. */
+  def scrubDuplicateSpans(df: DataFrame, idCol: Column, text: Column,
+                          n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val toks = df.select(idCol.as("doc_id"),
+      graft.ext.TextAnalysis.tokens(text).as("w"))
+    // every gram occurrence with its 1-based start position
+    val occ = persistOnce(toks
+      .select(col("doc_id"), col("w"),
+        posexplode(graft.ext.TextAnalysis.wordNgrams(col("w"), n)).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), Hashing.md5Long60(col("g")).as("gh")))
+    val dup = occ.select(col("doc_id"), col("gh")).distinct()
+      .groupBy("gh").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs).select("gh")
+    // positions covered by any duplicated occurrence, deduped per doc
+    val covered = occ.join(dup, "gh")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("cp"))
+      .distinct()
+    val posToks = toks
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("tp"), col("tok"), col("n_tokens"))
+    posToks.join(covered,
+        posToks("doc_id") === covered("doc_id") && col("tp") === col("cp"), "left_anti")
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tp"), col("tok")))),
+          s => s.getField("tok"))).as("scrubbed"),
+        count(lit(1)).as("n_kept"))
+      .select(col("doc_id"), col("scrubbed"), col("n_tokens"), col("n_kept"))
+  }
+
   /** C2c: 60-bit SimHash signature per doc. Token hashes keep multiplicity
     * (term frequency weights the vote, the standard Charikar form).
     * Fully narrow: the bit-vote runs in a codegen'd kernel per document

@@ -1374,6 +1374,16 @@ object TierB {
              |       round(max(o_totalprice), 4) AS max_tp
              |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)),
 
+    // _source filtering: the hit projects down to the named fields inside
+    // the engine (column pruning reaches the scan).
+    Q("a86_es_json_source_filter",
+      (s, d) => graft.dsl.EsQueryJson.search(ord(s, d),
+        """{"query": {"term": {"o_orderstatus": "O"}},
+          | "_source": ["o_orderkey", "o_totalprice"],
+          | "sort": ["o_orderkey"], "size": 50}""".stripMargin),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_orderstatus = 'O' ORDER BY o_orderkey LIMIT 50""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

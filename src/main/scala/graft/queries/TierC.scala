@@ -840,5 +840,35 @@ object TierC {
            |       round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
            |FROM gx JOIN dfq USING (gh)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // The APPLY form — the Lee et al. 2022 dedup step: drop every token
+    // covered by a corpus-duplicated 3-gram occurrence and rebuild the
+    // scrubbed text; fully-covered docs drop out.
+    Q("c31_dup_span_scrub",
+      (s, d) => Dedup.scrubDuplicateSpans(Tables.documents(s, d),
+        col("doc_id"), col("text"), n = 3, minDocs = 2)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH $toksCte,
+           |occ AS (
+           |  SELECT doc_id, i AS pos,
+           |         ${Hashing.sqlMd5Long60("list_aggregate(w[i:i+2], 'string_agg', ' ')")} AS gh
+           |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)),
+           |dup AS (
+           |  SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM occ)
+           |  GROUP BY gh HAVING count(*) >= 2),
+           |cov AS (
+           |  SELECT DISTINCT doc_id, pos + o AS cp
+           |  FROM occ JOIN dup USING (gh) CROSS JOIN range(0, 3) r(o)),
+           |pt AS (
+           |  SELECT doc_id, unnest(generate_series(1, len(w))) AS tp, w, len(w) AS n_tokens
+           |  FROM toks),
+           |kept AS (
+           |  SELECT pt.doc_id, tp, w[tp] AS tok, n_tokens
+           |  FROM pt LEFT JOIN cov ON pt.doc_id = cov.doc_id AND tp = cp
+           |  WHERE cp IS NULL)
+           |SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS scrubbed,
+           |       CAST(n_tokens AS INT) AS n_tokens, count(*) AS n_kept
+           |FROM kept GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -536,4 +536,18 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L)._2 == 1L && out(2L)._2 == 0L && out(3L)._2 == 1L)
     assert(out(1L)._1 == 2L) // distinct grams
   }
+
+  test("duplicate-span scrub drops covered tokens, keeps the rest in order") {
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "intro beta gamma delta outro"), // "beta gamma delta" duplicated -> covers pos 2-4
+      (2L, "one two three four"),           // untouched
+      (3L, "beta gamma delta"))             // fully covered -> drops out
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicateSpans(docs, col("doc_id"), col("text"), n = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getLong(3))).toMap
+    assert(out(1L) == (("intro outro", 5, 2L)))
+    assert(out(2L) == (("one two three four", 4, 4L)))
+    assert(!out.contains(3L))
+  }
 }
