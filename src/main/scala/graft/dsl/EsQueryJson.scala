@@ -935,7 +935,8 @@ object EsQueryJson {
     }
   }
 
-  private val bucketKinds = Set("terms", "histogram", "date_histogram", "geotile_grid")
+  private val bucketKinds =
+    Set("terms", "histogram", "date_histogram", "geotile_grid", "geohash_grid")
 
   /** Parent pipeline aggs: computed over the finished bucket frame (a
     * window ordered by bucket key — ES evaluates these on the coordinator
@@ -988,6 +989,10 @@ object EsQueryJson {
         val f = spec.get("field").asText()
         Geo.geotileKey(field(s"${f}_lat"), field(s"${f}_lon"),
           Option(spec.get("precision")).map(_.asInt()).getOrElse(7)).as(name)
+      case "geohash_grid" =>
+        val f = spec.get("field").asText()
+        Geo.geohashKey(field(s"${f}_lat"), field(s"${f}_lon"),
+          Option(spec.get("precision")).map(_.asInt()).getOrElse(5)).as(name)
     }
     def termsSize: Option[Int] =
       if (kind == "terms") Some(Option(spec.get("size")).map(_.asInt()).getOrElse(10)) else None

@@ -104,4 +104,54 @@ object Geo {
     s"($precision || '/' || CAST(floor(($lon + 180.0) / 360.0 * $n) AS BIGINT) || '/' || " +
       s"CAST(floor((1.0 - ln(tan(radians($lat)) + 1.0 / cos(radians($lat))) / pi()) / 2.0 * $n) AS BIGINT))"
   }
+
+  // ---- geohash (ES geohash_grid): base32 cell key of `precision` chars.
+  // 5·p bits total — lon takes the even bit positions from the MSB (one
+  // extra bit when 5·p is odd), lat the odd ones; both quantized by a
+  // plain floor, so the whole key is integer math both engines compute
+  // identically (no trig, no float folds).
+
+  private val geohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** The interleaved 5·p-bit geohash integer. */
+  def geohashKey(lat: Column, lon: Column, precision: Int): Column = {
+    require(precision >= 1 && precision <= 12, s"geohash precision 1..12, got $precision")
+    val total = 5 * precision
+    val lonBits = (total + 1) / 2
+    val latBits = total / 2
+    val lonq = floor((lon + 180.0) / 360.0 * (1L << lonBits).toDouble).cast("long")
+    val latq = floor((lat + 90.0) / 180.0 * (1L << latBits).toDouble).cast("long")
+    val terms =
+      (0 until lonBits).map(i =>
+        shiftright(lonq, lonBits - 1 - i).bitwiseAND(lit(1L)) * lit(1L << (total - 1 - 2 * i))) ++
+      (0 until latBits).map(j =>
+        shiftright(latq, latBits - 1 - j).bitwiseAND(lit(1L)) * lit(1L << (total - 2 - 2 * j)))
+    val gh = terms.reduce(_ + _)
+    val chars = array(geohashAlphabet.map(c => lit(c.toString)): _*)
+    concat((0 until precision).map(k =>
+      element_at(chars,
+        (shiftright(gh, 5 * (precision - 1 - k)).bitwiseAND(lit(31L)) + 1).cast("int"))): _*)
+  }
+
+  /** DuckDB twins — [[sqlGeohashInt]] emits the interleaved integer (bind
+    * it to a column in a CTE), [[sqlGeohashChars]] the base32 string over
+    * that bound name. */
+  def sqlGeohashInt(lat: String, lon: String, precision: Int): String = {
+    val total = 5 * precision
+    val lonBits = (total + 1) / 2
+    val latBits = total / 2
+    val lonq = s"CAST(floor(($lon + 180.0) / 360.0 * ${(1L << lonBits).toDouble}) AS BIGINT)"
+    val latq = s"CAST(floor(($lat + 90.0) / 180.0 * ${(1L << latBits).toDouble}) AS BIGINT)"
+    val terms =
+      (0 until lonBits).map(i =>
+        s"((($lonq >> ${lonBits - 1 - i}) & 1) * ${1L << (total - 1 - 2 * i)})") ++
+      (0 until latBits).map(j =>
+        s"((($latq >> ${latBits - 1 - j}) & 1) * ${1L << (total - 2 - 2 * j)})")
+    terms.mkString("(", " + ", ")")
+  }
+
+  def sqlGeohashChars(gh: String, precision: Int): String =
+    (0 until precision).map(k =>
+      s"substr('$geohashAlphabet', CAST((($gh >> ${5 * (precision - 1 - k)}) & 31) AS INT) + 1, 1)")
+      .mkString("(", " || ", ")")
 }

@@ -737,6 +737,27 @@ object TierB {
            |GROUP BY key ORDER BY doc_count DESC, key""".stripMargin
       }),
 
+    // ES geohash_grid: base32 geohash cells — pure interleaved-bit integer
+    // math, the oracle computes the identical key.
+    Q("a87_es_json_geohash_grid",
+      (s, d) => {
+        val c = graft.dsl.Geo.withDerivedCoords(Tables.customer(s, d), col("c_custkey"), "location")
+        graft.dsl.EsQueryJson.aggregations(c,
+          """{"aggs": {"grid": {"geohash_grid": {"field": "location", "precision": 2}}}}""")("grid")
+          .orderBy(desc("doc_count"), col("key"))
+      },
+      Some {
+        val ghInt = graft.dsl.Geo.sqlGeohashInt("lat", "lon", 2)
+        val ghChars = graft.dsl.Geo.sqlGeohashChars("gh", 2)
+        s"""WITH c AS (
+           |  SELECT c_custkey, ${graft.dsl.Geo.sqlDerivedLat("c_custkey")} AS lat,
+           |         ${graft.dsl.Geo.sqlDerivedLon("c_custkey")} AS lon
+           |  FROM customer),
+           |g AS (SELECT c_custkey, $ghInt AS gh FROM c)
+           |SELECT $ghChars AS key, count(*) AS doc_count FROM g
+           |GROUP BY key ORDER BY doc_count DESC, key""".stripMargin
+      }),
+
     // ES date math against an injected clock: now=1996-06-15T08:30:00Z,
     // so now-400d/d = 1995-05-12 00:00 and now/d = 1996-06-15 00:00 —
     // resolved on the driver to plain pushable timestamp literals.
