@@ -240,11 +240,7 @@ object EsQueryJson {
         EsDsl.ids(col("id"), body.get("values").elements().asScala.map(_.asText(): Any).toSeq)
       case "match" =>
         val (f, v) = single(body)
-        val (text, msm) =
-          if (v.isObject)
-            (v.get("query").asText(),
-              Option(v.get("minimum_should_match")).map(_.asInt()).getOrElse(1))
-          else (v.asText(), 1)
+        val (text, _, msm) = textBoostMsm(v)
         val analyzer = if (v.isObject) Option(v.get("analyzer")).map(_.asText()) else None
         analyzer match {
           case Some("english") => EsDsl.matchQueryEnglish(field(f), text.split("\\s+").toSeq, msm)
@@ -674,11 +670,18 @@ object EsQueryJson {
   /** Query text + optional boost / minimum_should_match of a clause body
     * (string shorthand or object form). */
   private def textBoostMsm(v: JsonNode): (String, Double, Int) =
-    if (v.isObject)
-      (v.get("query").asText(),
+    if (v.isObject) {
+      val text = v.get("query").asText()
+      // `operator: and` is ES sugar for minimum_should_match = all terms
+      val opMsm = Option(v.get("operator")).map(_.asText()).map {
+        case "and" => text.split("\\s+").length
+        case "or" => 1
+        case other => throw new IllegalArgumentException(s"unsupported match operator: $other")
+      }
+      (text,
         Option(v.get("boost")).map(_.asDouble()).getOrElse(1.0),
-        Option(v.get("minimum_should_match")).map(_.asInt()).getOrElse(1))
-    else (v.asText(), 1.0, 1)
+        Option(v.get("minimum_should_match")).map(_.asInt()).orElse(opMsm).getOrElse(1))
+    } else (v.asText(), 1.0, 1)
 
   private def boosted(boost: Double, raw: Column): Column =
     if (boost == 1.0) raw else lit(boost) * raw
@@ -979,9 +982,21 @@ object EsQueryJson {
   /** One bucket level of a (possibly nested) chain. */
   private case class Level(name: String, kind: String, spec: JsonNode, node: JsonNode) {
     def key: Column = kind match {
-      case "terms" => field(spec.get("field").asText()).as(name)
+      case "terms" =>
+        // `missing`: docs with a null key bucket under the given value
+        val raw = field(spec.get("field").asText())
+        Option(spec.get("missing")).map(m => coalesce(raw, litOf(m)))
+          .getOrElse(raw).as(name)
       case "histogram" =>
-        EsDsl.histogramBucket(field(spec.get("field").asText()), spec.get("interval").asDouble()).as(name)
+        // `offset` shifts the bucket boundaries (integral offsets — keys
+        // stay longs like the unshifted form)
+        val f = field(spec.get("field").asText())
+        val interval = spec.get("interval").asDouble()
+        Option(spec.get("offset")).map(_.asDouble()) match {
+          case Some(off) =>
+            (floor((f - off) / interval) * interval + off).cast("long").as(name)
+          case None => EsDsl.histogramBucket(f, interval).as(name)
+        }
       case "date_histogram" =>
         val interval = Option(spec.get("calendar_interval")).getOrElse(spec.get("interval")).asText()
         EsDsl.dateHistogramBucket(field(spec.get("field").asText()), interval).as(name)
@@ -1427,8 +1442,19 @@ object EsQueryJson {
     val sources = spec.get("sources").elements().asScala.toSeq.map { s =>
       val (nm, body) = single(s)
       val (k, ks) = single(body)
-      require(k == "terms", s"composite source must be terms, got $k")
-      nm -> field(ks.get("field").asText())
+      val c = k match {
+        case "terms" => field(ks.get("field").asText())
+        case "histogram" =>
+          EsDsl.histogramBucket(field(ks.get("field").asText()),
+            ks.get("interval").asDouble())
+        case "date_histogram" =>
+          val interval = Option(ks.get("calendar_interval"))
+            .getOrElse(ks.get("interval")).asText()
+          EsDsl.dateHistogramBucket(field(ks.get("field").asText()), interval)
+        case other => throw new IllegalArgumentException(
+          s"composite source must be terms/histogram/date_histogram, got $other")
+      }
+      nm -> c
     }
     val size = Option(spec.get("size")).map(_.asInt()).getOrElse(10)
     val g = df.groupBy(sources.map { case (nm, c) => c.as(nm) }: _*)

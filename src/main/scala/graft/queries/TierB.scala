@@ -1405,6 +1405,53 @@ object TierB {
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |WHERE o_orderstatus = 'O' ORDER BY o_orderkey LIMIT 50""".stripMargin)),
 
+    // match operator:and — all terms required (ES sugar for msm = 100%).
+    Q("a88_es_json_match_and",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match": {"text": {"query": "spark join", "operator": "and"}}},
+          | "sort": ["doc_id"], "size": 2000}""".stripMargin)
+        .select(col("doc_id")),
+      Some("""SELECT doc_id FROM (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents)
+             |WHERE list_contains(w, 'spark') AND list_contains(w, 'join')
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // terms agg `missing`: null keys bucket under the given value.
+    Q("a89_es_json_terms_missing",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(
+        Tables.documents(s, d)
+          .withColumn("maybe_src", when(col("doc_id") % 7 =!= 0, col("source"))),
+        """{"aggs": {"src": {"terms": {"field": "maybe_src", "size": 5, "missing": "none"},
+          | "aggs": {"avg_len": {"avg": {"field": "n_chars"}}}}}}""".stripMargin)("src"),
+      Some("""SELECT coalesce(CASE WHEN doc_id % 7 <> 0 THEN source END, 'none') AS key,
+             |       count(*) AS doc_count, round(avg(n_chars), 6) AS avg_len
+             |FROM documents GROUP BY key ORDER BY doc_count DESC, key LIMIT 5""".stripMargin)),
+
+    // histogram `offset`: shifted bucket boundaries.
+    Q("a90_es_json_histogram_offset",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"h": {"histogram": {"field": "o_totalprice", "interval": 50000, "offset": 12500}}}}""")("h"),
+      Some("""SELECT CAST(floor((o_totalprice - 12500.0) / 50000.0) * 50000.0 + 12500.0 AS BIGINT) AS key,
+             |       count(*) AS doc_count
+             |FROM orders GROUP BY key ORDER BY key""".stripMargin)),
+
+    // composite agg with histogram + terms sources and an `after` cursor —
+    // the bucket-pagination form over binned keys.
+    Q("a91_es_json_composite_histogram",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"comp": {"composite": {"size": 8, "sources": [
+          |   {"price_bin": {"histogram": {"field": "o_totalprice", "interval": 100000}}},
+          |   {"status": {"terms": {"field": "o_orderstatus"}}}],
+          |  "after": {"price_bin": 100000, "status": "F"}}}}}""".stripMargin)("comp"),
+      Some("""WITH g AS (
+             |  SELECT CAST(floor(o_totalprice / 100000.0) * 100000.0 AS BIGINT) AS price_bin,
+             |         o_orderstatus AS status, count(*) AS doc_count
+             |  FROM orders GROUP BY price_bin, status)
+             |SELECT price_bin, status, doc_count FROM g
+             |WHERE price_bin > 100000 OR (price_bin = 100000 AND status > 'F')
+             |ORDER BY price_bin, status LIMIT 8""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),
