@@ -201,8 +201,13 @@ object EsQueryJson {
             case Some(id) => t.filter(col(t.columns.head) === litOf(id))
             case None => t
           }
-          val values = lookedUp.select(col(path)).collect().map(_.get(0)).toSeq
+          val values = lookedUp.select(col(path)).limit(65537).collect().map(_.get(0)).toSeq
           require(values.nonEmpty, s"terms lookup $idx/$path resolved no values")
+          // ES caps inlined lookup terms (index.max_terms_count, default
+          // 65536) — same guard here, so an unbounded lookup table can't
+          // silently become a driver-side collect of the world
+          require(values.size <= 65536,
+            s"terms lookup $idx/$path exceeds 65536 values (ES max_terms_count)")
           field(f).isin(values: _*)
         } else
           field(f).isin(vs.elements().asScala.map(n =>
@@ -516,8 +521,8 @@ object EsQueryJson {
         val msm = Option(body.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
         val (joined, scores, internals) =
           EsDsl.bm25ScoresMixed(df, fs.map(f => EsDsl.TermsBm25(field(f), ts)))
-        val best = if (scores.size == 1) scores.head else greatest(scores: _*)
-        val scored = joined.withColumn("_score", round(boosted(boost, best), 6))
+        val combined = mmCombine(body, scores)
+        val scored = joined.withColumn("_score", round(boosted(boost, combined), 6))
           .filter(col("_score") > 0).drop(internals: _*)
         if (msm > 1) scored.filter(EsDsl.multiMatch(fs.map(field), ts, msm)) else scored
       case "constant_score" =>
@@ -686,6 +691,16 @@ object EsQueryJson {
   private def boosted(boost: Double, raw: Column): Column =
     if (boost == 1.0) raw else lit(boost) * raw
 
+  /** multi_match type: best_fields (max, the ES default) or most_fields
+    * (sum — the multi-analyzer recall type). */
+  private def mmCombine(body: JsonNode, scores: Seq[Column]): Column =
+    Option(body.get("type")).map(_.asText()).getOrElse("best_fields") match {
+      case "best_fields" => if (scores.size == 1) scores.head else greatest(scores: _*)
+      case "most_fields" => scores.reduce(_ + _)
+      case other => throw new IllegalArgumentException(
+        s"unsupported multi_match type: $other")
+    }
+
   /** Per scoring clause: allocate BM25 kernel/stats slots (first sweep),
     * then — given the raw score columns — build (predicate, score
     * contribution) (second sweep). Shared by scored `bool`, `dis_max`, and
@@ -709,15 +724,16 @@ object EsQueryJson {
           val idx = slots.size; slots += EsDsl.PhraseBm25(field(f), ph)
           raws => (EsDsl.matchPhrase(field(f), ph), Some(boosted(boost, raws(idx))))
         case "multi_match" =>
-          // best_fields: score = max over per-field BM25, ES's default type
+          // best_fields (default): max over per-field BM25; most_fields:
+          // sum (ES's multi-analyzer recall type)
           val fs = b.get("fields").elements().asScala.map(_.asText()).toSeq
           val ts = b.get("query").asText().split("\\s+").toSeq
           val boost = Option(b.get("boost")).map(_.asDouble()).getOrElse(1.0)
           val msm = Option(b.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
           val idxs = fs.map { f => val i = slots.size; slots += EsDsl.TermsBm25(field(f), ts); i }
           raws => {
-            val best = if (idxs.size == 1) raws(idxs.head) else greatest(idxs.map(raws): _*)
-            (EsDsl.multiMatch(fs.map(field), ts, msm), Some(boosted(boost, best)))
+            val combined = mmCombine(b, idxs.map(raws))
+            (EsDsl.multiMatch(fs.map(field), ts, msm), Some(boosted(boost, combined)))
           }
         case "constant_score" =>
           val boost = Option(b.get("boost")).map(_.asDouble()).getOrElse(1.0)
@@ -1125,8 +1141,11 @@ object EsQueryJson {
           .orderBy(desc("score"), col("key")).limit(size0)
       case "significant_terms" =>
         // ES semantics: the body's query scopes the FOREGROUND; the whole
-        // index is the background. Score = fg share / bg share (the JLH
-        // ratio core), fg >= min_doc_count, top-size by score.
+        // index is the background. Default score = fg share / bg share
+        // (the JLH ratio core); a `chi_square` key selects the Pearson
+        // chi-square statistic over the disjoint 2×2 contingency
+        // (term present/absent × in-scope/out-of-scope). fg >=
+        // min_doc_count, top-size by score either way.
         val f = field(spec.get("field").asText())
         val size = Option(spec.get("size")).map(_.asInt()).getOrElse(10)
         val minDoc = Option(spec.get("min_doc_count")).map(_.asInt()).getOrElse(3)
@@ -1134,10 +1153,19 @@ object EsQueryJson {
         val bgc = bg.groupBy(f.as("key")).agg(count(lit(1)).as("bg"))
         val totals = df.agg(count(lit(1)).as("tot_fg"))
           .crossJoin(bg.agg(count(lit(1)).as("tot_bg")))
-        fgc.join(bgc, "key").crossJoin(broadcast(totals))
-          .withColumn("score",
+        val scoreCol =
+          if (spec.has("chi_square")) {
+            val a = col("fg").cast("double")
+            val b = col("bg").cast("double") - col("fg")
+            val c = col("tot_fg").cast("double") - col("fg")
+            val d = (col("tot_bg").cast("double") - col("tot_fg")) - (col("bg") - col("fg"))
+            round(col("tot_bg").cast("double") * pow(a * d - b * c, 2.0) /
+              ((a + b) * (c + d) * (a + c) * (b + d)), 6)
+          } else
             round((col("fg").cast("double") / col("tot_fg")) /
-              (col("bg").cast("double") / col("tot_bg")), 6))
+              (col("bg").cast("double") / col("tot_bg")), 6)
+        fgc.join(bgc, "key").crossJoin(broadcast(totals))
+          .withColumn("score", scoreCol)
           .filter(col("fg") >= minDoc)
           .select(col("key"), col("fg"), col("bg"), col("score"))
           .orderBy(desc("score"), col("key")).limit(size)

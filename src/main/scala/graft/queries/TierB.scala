@@ -1452,6 +1452,63 @@ object TierB {
              |WHERE price_bin > 100000 OR (price_bin = 100000 AND status > 'F')
              |ORDER BY price_bin, status LIMIT 8""".stripMargin)),
 
+    // multi_match most_fields: score = SUM of per-field BM25 (vs
+    // best_fields' max) — the multi-analyzer recall type.
+    Q("a92_es_json_multi_match_most_fields",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"multi_match": {"query": "spark web", "type": "most_fields",
+          |   "fields": ["text", "source"]}},
+          | "sort": ["_score", "doc_id"], "size": 20}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS wt,
+             |         list_filter(string_split_regex(lower(source), '\W+'), x -> x <> '') AS ws
+             |  FROM documents
+             |), f AS (
+             |  SELECT doc_id, wt, ws,
+             |         CAST(len(list_filter(wt, x -> x = 'spark')) AS DOUBLE) AS t0,
+             |         CAST(len(list_filter(wt, x -> x = 'web')) AS DOUBLE) AS t1,
+             |         CAST(len(list_filter(ws, x -> x = 'spark')) AS DOUBLE) AS s0,
+             |         CAST(len(list_filter(ws, x -> x = 'web')) AS DOUBLE) AS s1,
+             |         CAST(len(wt) AS DOUBLE) AS dlt, CAST(len(ws) AS DOUBLE) AS dls
+             |  FROM t
+             |), st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dlt) AS avgdlt, avg(dls) AS avgdls,
+             |         CAST(sum(CASE WHEN t0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dft0,
+             |         CAST(sum(CASE WHEN t1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dft1,
+             |         CAST(sum(CASE WHEN s0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfs0,
+             |         CAST(sum(CASE WHEN s1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfs1
+             |  FROM f
+             |), sc AS (
+             |  SELECT doc_id, wt, ws,
+             |         (ln(1 + (n - dft0 + 0.5)/(dft0 + 0.5)) * (t0*(1.2+1))/(t0 + 1.2*(1 - 0.75 + 0.75*dlt/avgdlt))
+             |        + ln(1 + (n - dft1 + 0.5)/(dft1 + 0.5)) * (t1*(1.2+1))/(t1 + 1.2*(1 - 0.75 + 0.75*dlt/avgdlt))) AS sct,
+             |         (ln(1 + (n - dfs0 + 0.5)/(dfs0 + 0.5)) * (s0*(1.2+1))/(s0 + 1.2*(1 - 0.75 + 0.75*dls/avgdls))
+             |        + ln(1 + (n - dfs1 + 0.5)/(dfs1 + 0.5)) * (s1*(1.2+1))/(s1 + 1.2*(1 - 0.75 + 0.75*dls/avgdls))) AS scs
+             |  FROM f CROSS JOIN st
+             |)
+             |SELECT doc_id, round(sct + scs, 6) AS score FROM sc
+             |WHERE round(sct + scs, 6) > 0
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // significant_terms with the chi_square heuristic: Pearson chi-square
+    // over the disjoint 2x2 contingency, identical double association in
+    // the twin.
+    Q("a93_es_json_significant_chi2",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.documents(s, d),
+        """{"query": {"term": {"lang": "zh"}},
+          | "aggs": {"sig": {"significant_terms": {"field": "source", "size": 5,
+          |   "min_doc_count": 2, "chi_square": {}}}}}""".stripMargin)("sig"),
+      Some("""WITH fgc AS (SELECT source AS key, count(*) AS fg FROM documents WHERE lang = 'zh' GROUP BY source),
+             |bgc AS (SELECT source AS key, count(*) AS bg FROM documents GROUP BY source),
+             |tot AS (SELECT count(CASE WHEN lang = 'zh' THEN 1 END) AS tot_fg, count(*) AS tot_bg FROM documents)
+             |SELECT key, fg, bg,
+             |       round(CAST(tot_bg AS DOUBLE) * pow(CAST(fg AS DOUBLE) * ((CAST(tot_bg AS DOUBLE) - tot_fg) - (bg - fg)) - (CAST(bg AS DOUBLE) - fg) * (CAST(tot_fg AS DOUBLE) - fg), 2.0) /
+             |         ((CAST(fg AS DOUBLE) + (CAST(bg AS DOUBLE) - fg)) * ((CAST(tot_fg AS DOUBLE) - fg) + ((CAST(tot_bg AS DOUBLE) - tot_fg) - (bg - fg))) * (CAST(fg AS DOUBLE) + (CAST(tot_fg AS DOUBLE) - fg)) * ((CAST(bg AS DOUBLE) - fg) + ((CAST(tot_bg AS DOUBLE) - tot_fg) - (bg - fg)))), 6) AS score
+             |FROM fgc JOIN bgc USING (key) CROSS JOIN tot
+             |WHERE fg >= 2 ORDER BY score DESC, key LIMIT 5""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),
