@@ -1080,7 +1080,29 @@ object EsQueryJson {
         val exploded = df.withColumn(path, explode(col(path)))
         val inner = Option(node.get("aggs")).map(_.fields().asScala.toSeq).getOrElse(Seq.empty)
         require(inner.size == 1, s"nested agg needs exactly one sub-agg, got ${inner.size}")
-        oneAgg(exploded, exploded, inner.head.getKey, inner.head.getValue)
+        val (bName, bNode) = (inner.head.getKey, inner.head.getValue)
+        // `reverse_nested` inside the nested bucket agg: the bucket's
+        // doc_count stays child docs; the reverse_nested column counts
+        // DISTINCT parent docs (parent id = the frame's first column, the
+        // doc-id convention) — "how many parents per child term"
+        val rn = Option(bNode.get("aggs")).toSeq
+          .flatMap(_.fields().asScala.toSeq)
+          .filter(_.getValue.has("reverse_nested"))
+        if (rn.nonEmpty && bNode.has("terms")) {
+          require(rn.size == 1 && rn.head.getValue.get("reverse_nested").size() == 0,
+            "reverse_nested supports a single bare {} entry only")
+          val l = Level(bName, "terms", bNode.get("terms"), bNode)
+          val parentId = col(df.columns.head)
+          val ms = Option(bNode.get("aggs")).toSeq.flatMap(_.fields().asScala.toSeq)
+            .filterNot(_.getValue.has("reverse_nested"))
+            .flatMap { e => val (k, sp) = single(e.getValue); metricCols(e.getKey, k, sp) }
+          exploded.groupBy(l.key.as("key"))
+            .agg(count(lit(1)).as("doc_count"),
+              count_distinct(parentId).as(rn.head.getKey) +:
+                ms.map { case (n2, c) => c.as(n2) }: _*)
+            .orderBy(desc("doc_count"), col("key"))
+            .limit(l.termsSize.getOrElse(10))
+        } else oneAgg(exploded, exploded, bName, bNode)
       case "missing" =>
         // bucket of docs where the field is null + metric sub-aggs
         val (ms, buckets, topHits, pipes) = subAggs(node)

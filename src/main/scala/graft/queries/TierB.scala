@@ -1509,6 +1509,26 @@ object TierB {
              |FROM fgc JOIN bgc USING (key) CROSS JOIN tot
              |WHERE fg >= 2 ORDER BY score DESC, key LIMIT 5""".stripMargin)),
 
+    // reverse_nested: per child-term bucket, the distinct-parent count
+    // beside the child doc_count ("how many orders contain this flag").
+    Q("a94_es_json_reverse_nested",
+      (s, d) => {
+        val items = li(s, d).groupBy(col("l_orderkey"))
+          .agg(collect_list(struct(col("l_quantity"), col("l_returnflag"))).as("items"))
+        val o = ord(s, d).select("o_orderkey").join(items, col("o_orderkey") === col("l_orderkey"))
+          .select("o_orderkey", "items")
+        graft.dsl.EsQueryJson.aggregations(o,
+          """{"aggs": {"items_agg": {"nested": {"path": "items"},
+            | "aggs": {"by_flag": {"terms": {"field": "items.l_returnflag", "size": 10},
+            |   "aggs": {"parents": {"reverse_nested": {}},
+            |            "avg_qty": {"avg": {"field": "items.l_quantity"}}}}}}}}""".stripMargin)("items_agg")
+      },
+      Some("""SELECT l_returnflag AS key, count(*) AS doc_count,
+             |       count(DISTINCT o_orderkey) AS parents,
+             |       round(avg(l_quantity), 6) AS avg_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),
