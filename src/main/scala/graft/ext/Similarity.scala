@@ -45,6 +45,51 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Deterministic k-means (Lloyd) training for the IVF path — closes the
+    * ANN loop so [[knnIvf]]'s centroids can be FIT, not just sampled:
+    *  - init: the `k` vectors with the smallest md5(id) (hash-seeded,
+    *    reproducible on any engine — no RNG state);
+    *  - assign: nearest centroid by squared L2, distance rounded to 6 dp
+    *    with (distance, cluster) tie order, so assignment is engine-stable;
+    *  - update: per-dimension mean, ROUNDED TO 6 DP — after each update
+    *    both engines hold bit-identical centroids again, so cross-engine
+    *    float drift cannot compound across iterations.
+    * Returns `(cluster, n_assigned, centroid)` after `iters` rounds; empty
+    * clusters drop out. Scale shape: centroids broadcast (k rows), the
+    * assignment is one narrow pass over the corpus, the update is a
+    * (cluster, dim) hash agg — the standard distributed Lloyd layout. */
+  def kmeansFit(vecs: DataFrame, idCol: Column, vecCol: Column,
+                k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
+    val base = Dedup.persistOnce(
+      vecs.select(idCol.as("_vid"), vecCol.cast("array<double>").as("_v")))
+    val seedKey = graft.functions.Hashing.md5Long60(col("_vid").cast("string"))
+    // TakeOrdered down to k rows FIRST; the numbering window then sees only
+    // those k rows (never a global single-partition sort of the corpus)
+    var cents = base
+      .orderBy(seedKey, col("_vid")).limit(k)
+      .withColumn("cluster", row_number().over(Window.orderBy(seedKey, col("_vid"))))
+      .select(col("cluster"), col("_v").as("cvec"))
+    val d2 = round(expr(
+      "aggregate(zip_with(_v, cvec, (x, y) -> (x - y) * (x - y)), 0.0d, (a, x) -> a + x)"), 6)
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = base.crossJoin(broadcast(cents))
+        .withColumn("_d", d2)
+        .groupBy("_vid")
+        .agg(min_by(col("cluster"), struct(col("_d"), col("cluster"))).as("cluster"),
+          first(col("_v")).as("_v"))
+      cents = assigned
+        .select(col("cluster"), posexplode(col("_v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim").agg(round(avg("x"), 6).as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+    }
+    cents.join(assigned.groupBy("cluster").agg(count(lit(1)).as("n_assigned")), "cluster")
+      .select(col("cluster"), col("n_assigned"), col("cvec").as("centroid"))
+  }
+
   /** IVF-style ANN: centroids = a deterministic sample of the corpus
     * (callers pass the predicate), each corpus vector assigned to its
     * nearest centroid cell, queries probe the `nprobe` nearest cells. */

@@ -870,5 +870,42 @@ object TierC {
            |SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS scrubbed,
            |       CAST(n_tokens AS INT) AS n_tokens, count(*) AS n_kept
            |FROM kept GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic k-means training (2 Lloyd rounds, k=8): hash-seeded
+    // init, 6-dp re-sync after every update so both engines hold
+    // bit-identical centroids — the IVF training step, closing the ANN
+    // loop (c07 consumes centroids; this FITS them).
+    Q("c32_kmeans_fit",
+      (s, d) => Similarity.kmeansFit(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), k = 8, iters = 2)
+        .orderBy("cluster"),
+      Some {
+        val h = Hashing.sqlMd5Long60("CAST(vec_id AS VARCHAR)")
+        def dist(c: String) =
+          s"round(list_sum(list_transform(generate_series(1, len(v)), i -> (v[i] - $c.cvec[i]) * (v[i] - $c.cvec[i]))), 6)"
+        def assign(cents: String) =
+          s"""SELECT vec_id, v, cluster FROM (
+             |    SELECT vec_id, v, $cents.cluster AS cluster, ${dist(cents)} AS d
+             |    FROM v CROSS JOIN $cents)
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1""".stripMargin
+        def update(asg: String) =
+          s"""SELECT cluster, list(m ORDER BY dim) AS cvec FROM (
+             |    SELECT cluster, dim, round(avg(x), 6) AS m FROM (
+             |      SELECT cluster, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x
+             |      FROM $asg) GROUP BY cluster, dim) GROUP BY cluster""".stripMargin
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |init AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY $h, vec_id) AS INT) AS cluster, v AS cvec
+           |  FROM v QUALIFY row_number() OVER (ORDER BY $h, vec_id) <= 8),
+           |a1 AS (${assign("init")}),
+           |c1 AS (${update("a1")}),
+           |a2 AS (${assign("c1")}),
+           |c2 AS (${update("a2")}),
+           |n AS (SELECT cluster, count(*) AS n_assigned FROM a2 GROUP BY cluster)
+           |SELECT c2.cluster, n_assigned, c2.cvec AS centroid
+           |FROM c2 JOIN n USING (cluster) ORDER BY cluster""".stripMargin
+      }),
   )
 }

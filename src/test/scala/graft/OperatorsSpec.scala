@@ -537,6 +537,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L)._1 == 2L) // distinct grams
   }
 
+  test("kmeans fit: deterministic, partitions the corpus, k centroids of the right dim") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.kmeansFit(emb, col("vec_id"), col("embedding"), k = 4, iters = 2)
+      .orderBy("cluster").collect()
+    val b = Similarity.kmeansFit(emb, col("vec_id"), col("embedding"), k = 4, iters = 2)
+      .orderBy("cluster").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq) // fully deterministic
+    assert(a.length <= 4 && a.nonEmpty)
+    assert(a.map(_.getLong(1)).sum == emb.count()) // every vector assigned once
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    assert(a.forall(_.getSeq[Double](2).length == dim))
+  }
+
   test("duplicate-span scrub drops covered tokens, keeps the rest in order") {
     import sp.implicits._
     val docs = Seq(
