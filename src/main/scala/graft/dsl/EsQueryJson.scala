@@ -1015,7 +1015,23 @@ object EsQueryJson {
         }
       case "date_histogram" =>
         val interval = Option(spec.get("calendar_interval")).getOrElse(spec.get("interval")).asText()
-        EsDsl.dateHistogramBucket(field(spec.get("field").asText()), interval).as(name)
+        val f = field(spec.get("field").asText())
+        // `offset` ("+6h"/"-1d"/"+30m"): bucket = trunc(ts − off) + off
+        Option(spec.get("offset")).map(_.asText()) match {
+          case Some(off) =>
+            val m = "([+-]?)(\\d+)([hdm])".r
+            val (neg, n, unit) = off match {
+              case m(sign, num, u) => (sign == "-", num,
+                u match { case "h" => "HOUR"; case "d" => "DAY"; case "m" => "MINUTE" })
+              case other => throw new IllegalArgumentException(
+                s"unsupported date_histogram offset: $other")
+            }
+            val iv = expr(s"INTERVAL '$n' $unit")
+            val shifted = if (neg) f + iv else f - iv
+            val bucket = EsDsl.dateHistogramBucket(shifted, interval)
+            (if (neg) bucket - iv else bucket + iv).as(name)
+          case None => EsDsl.dateHistogramBucket(f, interval).as(name)
+        }
       case "geotile_grid" =>
         val f = spec.get("field").asText()
         Geo.geotileKey(field(s"${f}_lat"), field(s"${f}_lon"),

@@ -162,6 +162,29 @@ object Corpus {
         .select(col("doc_id").as("_contaminated_id")),
       idCol === col("_contaminated_id"), "left_anti")
 
+  /** The benchmark gram-hash set as a driver-side value — bounded by
+    * construction (eval suites, not corpora), the same boundedness the
+    * broadcast in [[contamination]] relies on. Feed it to
+    * [[decontaminateWithGramSet]] for the STREAMING form. */
+  def benchGramHashes(bench: DataFrame, benchText: Column, nGram: Int = 8): Seq[Long] =
+    bench.select(explode(graft.functions.TextKernels.wordNgrams(benchText, nGram)).as("g"))
+      .select(Hashing.md5Long60(col("g")).as("gh")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+
+  /** Streaming-safe decontamination: the batch form's agg + anti-join
+    * cannot run inside a streaming query, but with the (bounded) bench
+    * gram set inlined the whole scrub is ONE NARROW FILTER — the shape a
+    * CDC ingest pipeline wants: no state, no watermark, per-row decision.
+    * Works identically on batch frames. */
+  def decontaminateWithGramSet(corpus: DataFrame, idCol: Column, text: Column,
+                               gramHashes: Seq[Long], nGram: Int = 8): DataFrame = {
+    val docGrams = transform(
+      graft.functions.TextKernels.wordNgrams(text, nGram),
+      g => Hashing.md5Long60(g))
+    corpus.filter(
+      size(array_intersect(docGrams, lit(gramHashes.toArray))) === 0)
+  }
+
   /** Sequence packing: concatenate the corpus token stream in doc_id order
     * and cut it into fixed `budget`-token bins (docs may straddle bins) —
     * the GPT-style packing step that turns documents into training

@@ -104,6 +104,23 @@ object TextAnalysis {
         round(-avg(log(col("cnt").cast("double") / col("total"))), 6).as("cross_entropy"))
   }
 
+  /** CCNet-style quality banding over [[unigramCrossEntropy]]: keep docs
+    * whose cross-entropy lies inside the corpus [lo, hi] percentile band —
+    * the low tail is degenerate/repetitive text, the high tail is
+    * improbable junk; pipelines train on the middle. Quantile bounds are a
+    * 1-row broadcast (exact percentiles over the scored frame), the band
+    * filter is narrow. */
+  def qualityBand(df: DataFrame, idCol: Column, text: Column,
+                  lo: Double = 0.25, hi: Double = 0.75): DataFrame = {
+    val xent = graft.ext.Dedup.persistOnce(unigramCrossEntropy(df, idCol, text))
+    val bounds = xent.agg(
+      round(percentile(col("cross_entropy"), lit(lo)), 6).as("_lo"),
+      round(percentile(col("cross_entropy"), lit(hi)), 6).as("_hi"))
+    xent.crossJoin(broadcast(bounds))
+      .filter(col("cross_entropy") >= col("_lo") && col("cross_entropy") <= col("_hi"))
+      .select(col("doc_id"), col("n_tokens"), col("cross_entropy"))
+  }
+
   /** tf-idf: top-`k` terms per document (natural-log idf). Two hash
     * aggregations + a broadcast of the doc count; the per-doc top-k is a
     * bounded window (AQE handles skewed terms). */

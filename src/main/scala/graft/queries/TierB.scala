@@ -1529,6 +1529,16 @@ object TierB {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
 
+    // date_histogram offset: day buckets anchored at 18:00 of the prior
+    // day (+6h shift), trunc(ts - off) + off on both engines.
+    Q("a95_es_json_date_histogram_offset",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"h": {"date_histogram": {"field": "o_orderdate",
+          |   "calendar_interval": "month", "offset": "+6h"}}}}""".stripMargin)("h"),
+      Some("""SELECT date_trunc('month', o_orderdate - INTERVAL 6 HOUR) + INTERVAL 6 HOUR AS key,
+             |       count(*) AS doc_count
+             |FROM orders GROUP BY key ORDER BY key""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

@@ -871,6 +871,27 @@ object TierC {
            |       CAST(n_tokens AS INT) AS n_tokens, count(*) AS n_kept
            |FROM kept GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin)),
 
+    // CCNet-style quality banding: keep the [p25, p75] cross-entropy band
+    // (low tail = repetitive, high tail = junk; train on the middle).
+    Q("c33_quality_band",
+      (s, d) => TextAnalysis.qualityBand(Tables.documents(s, d),
+        col("doc_id"), col("text"), lo = 0.25, hi = 0.75)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH $toksCte,
+           |tk AS (SELECT doc_id, unnest(w) AS t FROM toks),
+           |v AS (SELECT t, count(*) AS cnt FROM tk GROUP BY t),
+           |tot AS (SELECT count(*) AS total FROM tk),
+           |xe AS (
+           |  SELECT doc_id, count(*) AS n_tokens,
+           |         round(-avg(ln(cnt::DOUBLE / total)), 6) AS cross_entropy
+           |  FROM tk JOIN v USING (t) CROSS JOIN tot GROUP BY doc_id),
+           |b AS (SELECT round(quantile_cont(cross_entropy, 0.25), 6) AS lo,
+           |             round(quantile_cont(cross_entropy, 0.75), 6) AS hi FROM xe)
+           |SELECT doc_id, n_tokens, cross_entropy FROM xe CROSS JOIN b
+           |WHERE cross_entropy >= lo AND cross_entropy <= hi
+           |ORDER BY doc_id""".stripMargin)),
+
     // Deterministic k-means training (2 Lloyd rounds, k=8): hash-seeded
     // init, 6-dp re-sync after every update so both engines hold
     // bit-identical centroids — the IVF training step, closing the ANN

@@ -168,4 +168,33 @@ class EventTimeSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("pass")).select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(passed == Seq(1L))
   }
+
+  test("streaming decontamination: bench gram set inlined, one narrow filter") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.ext.Corpus
+    val bench = Seq((100L, "zz beta gamma delta yy")).toDF("doc_id", "text")
+    val hashes = Corpus.benchGramHashes(bench, col("text"), nGram = 3)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares "beta gamma delta" -> dropped
+      (2L, "one two three four five"))        // clean -> kept
+    val ms = MemoryStream[(Long, String)]
+    val streamDf = ms.toDF().toDF("doc_id", "text")
+    val q = Corpus.decontaminateWithGramSet(streamDf, col("doc_id"), col("text"), hashes, nGram = 3)
+      .writeStream.outputMode("append").format("memory").queryName("decon_out").start()
+    ms.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val kept = sp.table("decon_out").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L))
+    // equals both the batch gram-set form and the batch agg/anti-join form
+    val batchSet = Corpus.decontaminateWithGramSet(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"), hashes, nGram = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val batchJoin = Corpus.decontaminate(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"), bench, col("text"), nGram = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(batchSet == kept && batchJoin == kept)
+  }
 }
