@@ -90,6 +90,40 @@ object Similarity {
       .select(col("cluster"), col("n_assigned"), col("cvec").as("centroid"))
   }
 
+  /** Top principal component by matrix-free POWER ITERATION — the
+    * embedding-whitening/dim-reduction prep step: v ← normalize(Xᵀ X v)
+    * without ever materializing the covariance matrix. Each round is one
+    * narrow pass (s = x·v per row against a broadcast 1-row v) + one
+    * (dim) hash agg (aₔ = Σ s·xₔ), then a normalize over `dim` rows; the
+    * component is ROUNDED TO 6 DP per round, so both engines re-sync to
+    * bit-identical vectors across iterations (the [[kmeansFit]] trick).
+    * Deterministic init: the normalized all-ones vector. Returns
+    * `(dim, component)` rows (dim 0-based). */
+  def topPrincipalComponent(vecs: DataFrame, vecCol: Column, iters: Int = 3): DataFrame = {
+    require(iters >= 1, "need iters >= 1")
+    val base = Dedup.persistOnce(vecs.select(vecCol.cast("array<double>").as("_v")))
+    val spark = base.sparkSession
+    val d = base.select(size(col("_v"))).head().getInt(0) // bounded scalar
+    import spark.implicits._
+    var v = Seq(Seq.fill(d)(BigDecimal(1.0 / math.sqrt(d.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toDF("varr")
+    for (_ <- 1 to iters) {
+      val acc = base.crossJoin(broadcast(v))
+        .withColumn("_s", expr(
+          "aggregate(zip_with(_v, varr, (x, y) -> x * y), 0.0d, (a, x) -> a + x)"))
+        .select(col("_s"), posexplode(col("_v")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(sum(col("x") * col("_s")).as("a"))
+      val withNorm = acc.crossJoin(broadcast(
+        acc.agg(sqrt(sum(col("a") * col("a"))).as("_n"))))
+      v = withNorm
+        .select(col("dim"), round(col("a") / col("_n"), 6).as("c"))
+        .groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("varr"))
+    }
+    v.select(posexplode(col("varr")).as(Seq("dim", "component")))
+  }
+
   /** IVF-style ANN: centroids = a deterministic sample of the corpus
     * (callers pass the predicate), each corpus vector assigned to its
     * nearest centroid cell, queries probe the `nprobe` nearest cells. */

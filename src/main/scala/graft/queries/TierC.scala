@@ -892,6 +892,38 @@ object TierC {
            |WHERE cross_entropy >= lo AND cross_entropy <= hi
            |ORDER BY doc_id""".stripMargin)),
 
+    // Top principal component by matrix-free power iteration (3 rounds,
+    // 6-dp re-sync per round): the embedding whitening/dim-reduction prep.
+    Q("c34_top_pc",
+      (s, d) => Similarity.topPrincipalComponent(Tables.embeddings(s, d),
+        col("embedding"), iters = 3)
+        .orderBy("dim"),
+      Some {
+        def step(prev: String, k: Int): String =
+          s"""s$k AS (
+             |  SELECT vec_id, x,
+             |         list_sum(list_transform(generate_series(1, len(x)), i -> x[i] * $prev.varr[i])) AS s
+             |  FROM v CROSS JOIN $prev),
+             |a$k AS (
+             |  SELECT dim, sum(x * s) AS a FROM (
+             |    SELECT s, unnest(generate_series(1, len(x))) AS dim, unnest(x) AS x FROM s$k)
+             |  GROUP BY dim),
+             |n$k AS (SELECT sqrt(sum(a * a)) AS nrm FROM a$k),
+             |v$k AS (SELECT list(round(a / nrm, 6) ORDER BY dim) AS varr FROM a$k CROSS JOIN n$k)""".stripMargin
+        s"""WITH v AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+           |  FROM embeddings),
+           |dd AS (SELECT len(x) AS d FROM v LIMIT 1),
+           |v0 AS (SELECT list_transform(generate_series(1, d),
+           |         i -> round(1.0 / sqrt(CAST(d AS DOUBLE)), 6)) AS varr FROM dd),
+           |${step("v0", 1)},
+           |${step("v1", 2)},
+           |${step("v2", 3)}
+           |SELECT CAST(unnest(generate_series(1, len(varr))) - 1 AS INT) AS dim,
+           |       unnest(varr) AS component
+           |FROM v3 ORDER BY dim""".stripMargin
+      }),
+
     // Deterministic k-means training (2 Lloyd rounds, k=8): hash-seeded
     // init, 6-dp re-sync after every update so both engines hold
     // bit-identical centroids — the IVF training step, closing the ANN

@@ -550,6 +550,18 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(a.forall(_.getSeq[Double](2).length == dim))
   }
 
+  test("power iteration: unit-norm deterministic top component") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.topPrincipalComponent(emb, col("embedding"), iters = 3)
+      .orderBy("dim").collect().map(_.getDouble(1)).toSeq
+    val b = Similarity.topPrincipalComponent(emb, col("embedding"), iters = 3)
+      .orderBy("dim").collect().map(_.getDouble(1)).toSeq
+    assert(a == b) // deterministic
+    assert(a.length == emb.select(size(col("embedding"))).head().getInt(0))
+    val norm = math.sqrt(a.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4) // unit up to 6-dp component rounding
+  }
+
   test("duplicate-span scrub drops covered tokens, keeps the rest in order") {
     import sp.implicits._
     val docs = Seq(
