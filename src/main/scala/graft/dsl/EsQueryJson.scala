@@ -634,6 +634,18 @@ object EsQueryJson {
           val dist0 = abs(field(f) - lit(origin))
           val dist = if (offset == 0.0) dist0 else greatest(dist0 - lit(offset), lit(0.0))
           Some(pow(lit(decay), pow(dist / lit(scale), lit(2.0))))
+        } else if (fn.has("script_score")) {
+          // painless-arithmetic subset: `doc['f'].value` refs become
+          // column refs, the rest must be plain arithmetic — compiled
+          // through the SQL parser (codegen, no interpreter), the
+          // bucket_script approach at the document level
+          val sNode = fn.get("script_score").get("script")
+          val raw = (if (sNode.isObject) sNode.get("source") else sNode).asText()
+          val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
+            .replaceAllIn(raw, m => m.group(1))
+          require(bound.matches("[A-Za-z0-9_.+\\-*/() ]+"),
+            s"unsupported script_score after doc-ref binding: $bound")
+          Some(expr(bound))
         } else if (fn.has("random_score")) {
           // deterministic uniform [0,1): md5 of seed:field — ES's seeded
           // random_score is likewise a hash of (seed, field value), not an

@@ -1539,6 +1539,24 @@ object TierB {
              |       count(*) AS doc_count
              |FROM orders GROUP BY key ORDER BY key""".stripMargin)),
 
+    // function_score script_score: doc['f'].value arithmetic composed
+    // with the BM25 base (multiply boost_mode), the "custom ranking
+    // formula" form.
+    Q("a96_es_json_script_score",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"function_score": {
+          |   "query": {"match": {"text": "spark"}},
+          |   "functions": [{"script_score": {"script": {
+          |      "source": "1.0 + ln(1.0 + 0.01 * doc['n_chars'].value)"}}}],
+          |   "boost_mode": "multiply"}},
+          | "sort": [{"_score": {}}, "doc_id"], "size": 25}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("fscore")),
+      Some(bm25Sql(Seq("spark"), extraCols = Seq("n_chars")) +
+        """
+          |SELECT doc_id, round(score * (1.0 + ln(1.0 + 0.01 * n_chars)), 6) AS fscore
+          |FROM sc WHERE score > 0
+          |ORDER BY fscore DESC, doc_id LIMIT 25""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),

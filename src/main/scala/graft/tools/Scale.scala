@@ -184,6 +184,14 @@ object Scale {
     t("unigram-xent-50k")(
       graft.ext.TextAnalysis.unigramCrossEntropy(docs50k, col("doc_id"), col("text"))
         .write.mode("overwrite").format("noop").save())
+    // kmeans training + power iteration over the 100k-vector corpus —
+    // per-round cost must stay (narrow pass + small hash agg)
+    t("kmeans-fit-100k-k64-2rounds")(
+      Similarity.kmeansFit(vecs, col("vec_id"), col("embedding"), k = 64, iters = 2)
+        .write.mode("overwrite").format("noop").save())
+    t("power-iteration-100k-3rounds")(
+      Similarity.topPrincipalComponent(vecs, col("embedding"), iters = 3)
+        .write.mode("overwrite").format("noop").save())
     // the narrow per-doc trio (kernel/regex work, no shuffle at all)
     t("gopher-filter-50k")(
       graft.ext.Corpus.gopherFilter(docs50k, col("doc_id"), col("text"))
