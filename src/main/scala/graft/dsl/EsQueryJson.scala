@@ -262,6 +262,36 @@ object EsQueryJson {
         val terms = body.get("query").asText().split("\\s+").toSeq
         val msm = Option(body.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
         EsDsl.multiMatch(fields, terms, msm)
+      case "match_phrase_prefix" =>
+        // phrase with the LAST term a prefix — the search-as-you-type
+        // query: positions i..i+n−1 match exactly except the last, which
+        // startsWith. One HOF exists over start positions, codegen'd.
+        val (f, v) = single(body)
+        val text = (if (v.isObject) v.get("query") else v).asText()
+        val ws = text.toLowerCase.split("\\s+").toSeq
+        require(ws.nonEmpty, "match_phrase_prefix needs at least one term")
+        val toks = graft.ext.TextAnalysis.tokens(field(f))
+        val n = ws.size
+        when(size(toks) >= n,
+          exists(sequence(lit(1), size(toks) - (n - 1)), i =>
+            ws.zipWithIndex.map { case (wrd, o) =>
+              if (o == n - 1) element_at(toks, i + o).startsWith(wrd)
+              else element_at(toks, i + o) === wrd
+            }.reduce(_ && _)))
+          .otherwise(lit(false))
+      case "terms_set" =>
+        // array-field match with a per-document minimum: at least
+        // `minimum_should_match_field` of the given terms present
+        val (f, spec2) = single(body)
+        val terms = spec2.get("terms").elements().asScala.map(_.asText()).toSeq
+        val msmField = spec2.get("minimum_should_match_field").asText()
+        size(array_intersect(field(f), lit(terms.toArray))) >= field(msmField)
+      case "wrapper" =>
+        // base64-wrapped query body, decoded and compiled like any other
+        val decoded = new String(
+          java.util.Base64.getDecoder.decode(body.get("query").asText()),
+          java.nio.charset.StandardCharsets.UTF_8)
+        predicateWith(parse(decoded), fld)
       case "fuzzy" =>
         val (f, v) = single(body)
         val value = (if (v.isObject) v.get("value") else v).asText()

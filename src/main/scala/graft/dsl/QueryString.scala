@@ -47,6 +47,8 @@ object QueryString {
   final case class Cmp(field: String, op: String, v: String) extends Node
   /** `term~` / `term~N` (Damerau-ish edit distance, default 2) */
   final case class Fuzzy(field: Option[String], text: String, maxEdits: Int) extends Node
+  /** `_exists_:f` — the Lucene field-presence atom */
+  final case class Exists(field: String) extends Node
   final case class And(l: Node, r: Node) extends Node
   final case class Or(l: Node, r: Node) extends Node
   final case class Not(n: Node) extends Node
@@ -139,6 +141,8 @@ object QueryString {
               val opLen = if (rest.length > 1 && rest(1) == '=') 2 else 1
               require(rest.length > opLen, s"empty comparison value: $w")
               out += Atom(Cmp(fld.get, rest.substring(0, opLen), rest.substring(opLen)))
+            } else if (fld.contains("_exists_")) {
+              out += Atom(Exists(rest))
             } else rest match {
               case FuzzyRe(base, n) if !base.exists(ch => ch == '*' || ch == '?') =>
                 out += Atom(Fuzzy(fld, base, if (n.isEmpty) 2 else n.toInt))
@@ -248,6 +252,7 @@ object QueryString {
       case Or(l, r) => go(l) || go(r)
       // ES must_not semantics: NULL predicate (missing field) != match
       case Not(x) => !coalesce(go(x), lit(false))
+      case Exists(f) => EsDsl.exists(fld(f))
       case Term(Some(f), v) =>
         numericLit(v).map(fld(f) === _).getOrElse(EsDsl.matchQuery(fld(f), Seq(v)))
       case Term(None, v) => overDefaults(EsDsl.matchQuery(_, Seq(v)))

@@ -1557,6 +1557,67 @@ object TierB {
           |FROM sc WHERE score > 0
           |ORDER BY fscore DESC, doc_id LIMIT 25""".stripMargin)),
 
+    // match_phrase_prefix: phrase with the last term a prefix — the
+    // search-as-you-type query ("the da" recalls "the data...").
+    Q("a97_es_json_match_phrase_prefix",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match_phrase_prefix": {"text": "the da"}},
+          | "sort": ["doc_id"], "size": 2000}""".stripMargin)
+        .select(col("doc_id")),
+      Some("""SELECT doc_id FROM (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents)
+             |WHERE len(w) >= 2 AND len(list_filter(generate_series(1, len(w) - 1),
+             |  i -> w[i] = 'the' AND starts_with(w[i + 1], 'da'))) > 0
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // terms_set: array-field match with a per-document minimum term count
+    // (the derived token array + a constant requirement column).
+    Q("a98_es_json_terms_set",
+      (s, d) => graft.dsl.EsQueryJson.search(
+        Tables.part(s, d)
+          .withColumn("name_toks", graft.ext.TextAnalysis.tokens(col("p_name")))
+          .withColumn("req", lit(2)),
+        """{"query": {"terms_set": {"name_toks": {
+          |   "terms": ["red", "blue", "bolt", "gear"],
+          |   "minimum_should_match_field": "req"}}},
+          | "sort": ["p_partkey"], "size": 200}""".stripMargin)
+        .select(col("p_partkey"), col("p_type")),
+      Some("""SELECT p_partkey, p_type FROM (
+             |  SELECT p_partkey, p_type,
+             |         list_filter(string_split_regex(lower(p_name), '\W+'), x -> x <> '') AS tt
+             |  FROM part)
+             |WHERE len(list_filter(list_distinct(tt),
+             |        x -> list_contains(['red', 'blue', 'bolt', 'gear'], x))) >= 2
+             |ORDER BY p_partkey LIMIT 200""".stripMargin)),
+
+    // wrapper: base64-wrapped body decoded and compiled like any other
+    // (the escape hatch clients use to smuggle raw queries through JSON).
+    Q("a99_es_json_wrapper",
+      (s, d) => {
+        val inner = """{"term": {"o_orderstatus": "F"}}"""
+        val b64 = java.util.Base64.getEncoder.encodeToString(
+          inner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        graft.dsl.EsQueryJson.search(ord(s, d),
+          s"""{"query": {"wrapper": {"query": "$b64"}},
+             | "sort": ["o_orderkey"], "size": 50}""".stripMargin)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE o_orderstatus = 'F' ORDER BY o_orderkey LIMIT 50""".stripMargin)),
+
+    // query_string `_exists_:field` — the Lucene field-presence atom.
+    Q("a100_es_json_qs_exists",
+      (s, d) => graft.dsl.EsQueryJson.search(
+        Tables.part(s, d).withColumn("promo_type",
+          when(col("p_type").startsWith("PROMO"), col("p_type"))),
+        """{"query": {"query_string": {"query": "_exists_:promo_type AND p_size:>=40"}},
+          | "sort": ["p_partkey"], "size": 200}""".stripMargin)
+        .select(col("p_partkey"), col("p_size")),
+      Some("""SELECT p_partkey, p_size FROM part
+             |WHERE p_type LIKE 'PROMO%' AND p_size >= 40
+             |ORDER BY p_partkey LIMIT 200""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),
