@@ -264,21 +264,14 @@ object EsQueryJson {
         EsDsl.multiMatch(fields, terms, msm)
       case "match_phrase_prefix" =>
         // phrase with the LAST term a prefix — the search-as-you-type
-        // query: positions i..i+n−1 match exactly except the last, which
-        // startsWith. One HOF exists over start positions, codegen'd.
+        // query. One-pass positional kernel ([[graft.functions.Spans
+        // .PhrasePrefixMatch]]): the HOF-exists formulation re-interpreted
+        // per-position lambdas and ran ~6× slower at sf0.1.
         val (f, v) = single(body)
         val text = (if (v.isObject) v.get("query") else v).asText()
         val ws = text.toLowerCase.split("\\s+").toSeq
         require(ws.nonEmpty, "match_phrase_prefix needs at least one term")
-        val toks = graft.ext.TextAnalysis.tokens(field(f))
-        val n = ws.size
-        when(size(toks) >= n,
-          exists(sequence(lit(1), size(toks) - (n - 1)), i =>
-            ws.zipWithIndex.map { case (wrd, o) =>
-              if (o == n - 1) element_at(toks, i + o).startsWith(wrd)
-              else element_at(toks, i + o) === wrd
-            }.reduce(_ && _)))
-          .otherwise(lit(false))
+        graft.functions.Spans.phrasePrefix(field(f), ws.init, ws.last)
       case "terms_set" =>
         // array-field match with a per-document minimum: at least
         // `minimum_should_match_field` of the given terms present

@@ -133,6 +133,37 @@ object Spans {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** `match_phrase_prefix`: consecutive exact terms with the LAST a
+    * prefix — one tokenize pass, a rolling window compare per position
+    * (the search-as-you-type query; the HOF formulation re-interpreted
+    * per-position lambdas and was ~6× slower at sf0.1). */
+  case class PhrasePrefixMatch(child: Expression, terms: Seq[String], prefix: String)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      val n = terms.length + 1
+      if (toks.length < n) return false
+      var i = 0
+      val last = toks.length - n
+      while (i <= last) {
+        var ok = true
+        var o = 0
+        while (ok && o < terms.length) {
+          if (toks(i + o) != terms(o)) ok = false
+          o += 1
+        }
+        if (ok && toks(i + terms.length).startsWith(prefix)) return true
+        i += 1
+      }
+      false
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def phrasePrefix(text: Column, terms: Seq[String], prefix: String): Column =
+    column(PhrasePrefixMatch(expression(text), terms, prefix))
+
   def spanNear(text: Column, t1: String, t2: String, slop: Int, inOrder: Boolean): Column =
     column(SpanNearMatch(expression(text), t1, t2, slop, inOrder))
 
