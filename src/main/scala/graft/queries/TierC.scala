@@ -871,6 +871,53 @@ object TierC {
            |       CAST(n_tokens AS INT) AS n_tokens, count(*) AS n_kept
            |FROM kept GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin)),
 
+    // The full dedup pipeline end-to-end at CLUSTER level: LSH pairs →
+    // connected components → keep the min-id representative per component
+    // (plus every unclustered doc) → per-lang corpus counts. Pair-level
+    // dedup (c02_dedup_apply) under-removes on A~B~C chains; this is the
+    // production composition.
+    Q("c35_dedup_pipeline",
+      (s, d) => {
+        val labels = Dedup.connectedComponents(lshPairs(s, d))
+        val dupIds = labels.filter(col("id") =!= col("cluster"))
+          .select(col("id").as("_dup"))
+        Tables.documents(s, d)
+          .join(dupIds, col("doc_id") === col("_dup"), "left_anti")
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang")
+      },
+      Some(
+        s"""WITH RECURSIVE $toksCte,
+           |$gramsCte,
+           |$sigCte,
+           |$bandsCte,
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y ON x.j = y.j AND x.band = y.band AND x.doc_id < y.doc_id
+           |),
+           |sizes AS (SELECT doc_id, len(grams) AS n FROM grams),
+           |inter AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+           |  FROM cand c JOIN gx a ON a.doc_id = c.doc_a JOIN gx b ON b.doc_id = c.doc_b AND b.g = a.g
+           |  GROUP BY c.doc_a, c.doc_b
+           |),
+           |pairs AS (
+           |  SELECT doc_a, doc_b FROM inter
+           |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+           |  WHERE round(inter*1.0/(sa.n + sb.n - inter), 6) >= 0.5
+           |),
+           |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |      UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT src AS id, src AS r FROM e
+           |  UNION
+           |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+           |),
+           |dup AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+           |SELECT lang, count(*) AS n_docs FROM documents
+           |WHERE doc_id NOT IN (SELECT id FROM dup)
+           |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // CCNet-style quality banding: keep the [p25, p75] cross-entropy band
     // (low tail = repetitive, high tail = junk; train on the middle).
     Q("c33_quality_band",
