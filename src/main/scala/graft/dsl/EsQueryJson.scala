@@ -1270,8 +1270,19 @@ object EsQueryJson {
           .foldLeft(df)((acc, p) => acc.filter(p))
         if (levels.size == 1) singleLevel(keyFiltered, levels.head, aliased, pipes)
         else {
-          require(pipes.isEmpty, "pipeline aggs are supported on single-level buckets")
-          nestedLevels(keyFiltered, levels, aliased)
+          val g = nestedLevels(keyFiltered, levels, aliased)
+          if (pipes.isEmpty) g
+          else {
+            // per-series pipelines: window partitioned by the outer bucket
+            // keys, ordered by the innermost key (derivative per term, the
+            // dashboard shape)
+            val part = levels.init.map(l => col(l.name))
+            val ord = col(levels.last.name)
+            applyBucketPipes(g,
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(part: _*).orderBy(ord),
+              part :+ ord, pipes)
+          }
         }
       case "top_hits" => // bare top_hits: global top-n (one implicit bucket)
         topHitsAgg(df, null, name, spec)
@@ -1304,8 +1315,22 @@ object EsQueryJson {
       case None => g.orderBy("key")
     }
     if (pipes.isEmpty) return based
+    applyBucketPipes(based,
+      org.apache.spark.sql.expressions.Window.orderBy(col("key")),
+      Seq(col("key")), pipes)
+  }
+
+  /** Parent pipeline aggs over a finished bucket frame. `wOrd` supplies
+    * the series window — key-ordered for single-level buckets,
+    * PARTITIONED BY the outer bucket keys for nested ones (derivative /
+    * moving_avg PER SERIES, the terms×date_histogram dashboard shape);
+    * each partition is one series' bounded bucket list, so the window
+    * never sees raw rows. */
+  private def applyBucketPipes(based: DataFrame,
+      wOrd: org.apache.spark.sql.expressions.WindowSpec,
+      defaultOrder: Seq[Column],
+      pipes: Seq[(String, String, JsonNode)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wOrd = Window.orderBy(col("key"))
     var out = based
     pipes.foreach { case (nm, kind, spec) =>
       def path: Column = spec.get("buckets_path").asText() match {
@@ -1385,7 +1410,7 @@ object EsQueryJson {
       }
     }
     // deterministic output order: key order unless bucket_sort chose one
-    if (pipes.exists(_._2 == "bucket_sort")) out else out.orderBy("key")
+    if (pipes.exists(_._2 == "bucket_sort")) out else out.orderBy(defaultOrder: _*)
   }
 
   /** `min_doc_count: 0` + `extended_bounds` on histogram/date_histogram:

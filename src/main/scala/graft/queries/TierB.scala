@@ -1618,6 +1618,25 @@ object TierB {
              |WHERE p_type LIKE 'PROMO%' AND p_size >= 40
              |ORDER BY p_partkey LIMIT 200""".stripMargin)),
 
+    // Per-series pipeline aggs: derivative + cumulative_sum inside a
+    // terms × date_histogram nest — the window partitions by the outer
+    // bucket key (each series' bounded bucket list), the dashboard shape.
+    Q("a101_es_json_nested_pipeline",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"pri": {"terms": {"field": "o_orderpriority", "size": 5},
+          | "aggs": {"by_m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          |   "aggs": {"rev": {"sum": {"field": "o_totalprice"}},
+          |            "deriv": {"derivative": {"buckets_path": "rev"}},
+          |            "cum": {"cumulative_sum": {"buckets_path": "rev"}}}}}}}}""".stripMargin)("pri"),
+      Some("""WITH b AS (
+             |  SELECT o_orderpriority AS pri, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS by_m,
+             |         count(*) AS doc_count, round(sum(o_totalprice), 4) AS rev
+             |  FROM orders GROUP BY pri, by_m)
+             |SELECT pri, by_m, doc_count, rev,
+             |       CAST(round(rev - lag(rev) OVER (PARTITION BY pri ORDER BY by_m), 4) AS DOUBLE) AS deriv,
+             |       CAST(round(sum(rev) OVER (PARTITION BY pri ORDER BY by_m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS cum
+             |FROM b ORDER BY pri, by_m""".stripMargin)),
+
     // ES-JSON fuzzy query.
     Q("a26_es_json_fuzzy",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.part(s, d),
