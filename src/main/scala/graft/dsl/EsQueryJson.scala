@@ -78,6 +78,20 @@ object EsQueryJson {
           Option(body.get(k)).toSeq
             .flatMap(b => if (b.isArray) b.elements().asScala.toSeq else Seq(b))
             .flatMap(namedClauses))
+      case "constant_score" | "function_score" =>
+        // inner clauses evaluate in the top-level field context — recurse
+        Seq("filter", "query").flatMap(k => Option(body.get(k)).toSeq).flatMap(namedClauses)
+      case "dis_max" =>
+        Option(body.get("queries")).toSeq
+          .flatMap(_.elements().asScala.toSeq).flatMap(namedClauses)
+      case "boosting" =>
+        Seq("positive", "negative").flatMap(k => Option(body.get(k)).toSeq).flatMap(namedClauses)
+      case "nested" | "has_child" | "has_parent" =>
+        // inner fields bind to a different resolver; a _name there cannot
+        // be re-evaluated per top-level row — reject loudly, don't drop it
+        require(!subtreeHasName(body),
+          s"_name inside a '$kind' query is not supported")
+        Seq.empty
       case _ =>
         body.fields().asScala.toSeq.collect {
           case e if e.getValue.isObject && e.getValue.has("_name") =>
@@ -85,6 +99,9 @@ object EsQueryJson {
         }
     }
   }
+
+  private def subtreeHasName(n: JsonNode): Boolean =
+    (n.isObject && n.has("_name")) || n.elements().asScala.exists(subtreeHasName)
 
   /** Translate an ES `query` object to a predicate Column. */
   def predicate(q: JsonNode): Column = predicateWith(q, field)
@@ -1079,11 +1096,15 @@ object EsQueryJson {
     def termsSize: Option[Int] =
       if (kind == "terms") Some(Option(spec.get("size")).map(_.asInt()).getOrElse(10)) else None
     /** ES terms `include`/`exclude`: bucket keys must (not) FULLY match
-      * the regex — anchored here because ES matches whole terms. */
+      * the regex — anchored here because ES matches whole terms. Matches
+      * against the `missing`-substituted key (as ES does), so a null-key
+      * row is bucketed first and only then include/exclude-tested — a raw
+      * rlike would silently drop it via the null predicate. */
     def termsKeyFilter: Option[Column] =
       if (kind != "terms") None
       else {
-        val f = field(spec.get("field").asText())
+        val raw = field(spec.get("field").asText())
+        val f = Option(spec.get("missing")).map(m => coalesce(raw, litOf(m))).getOrElse(raw)
         def anchored(r: JsonNode) = "^(?:" + r.asText() + ")$"
         val preds =
           Option(spec.get("include")).map(r => f.rlike(anchored(r))).toSeq ++

@@ -93,16 +93,19 @@ object Geo {
     * mercator domain (±85.05113°) — [[derivedLat]] guarantees it. */
   def geotileKey(lat: Column, lon: Column, precision: Int): Column = {
     val n = lit((1L << precision).toDouble)
-    val x = floor((lon + 180.0) / 360.0 * n)
-    val y = floor((lit(1.0) - log(tan(radians(lat)) + lit(1.0) / cos(radians(lat))) / lit(math.Pi)) / 2.0 * n)
-    concat_ws("/", lit(precision), x.cast("long"), y.cast("long"))
+    val hi = lit((1L << precision) - 1)
+    // clamp lon=180 (x would quantize to 2^z) into the last tile, as ES does
+    val x = least(floor((lon + 180.0) / 360.0 * n).cast("long"), hi)
+    val y = least(floor((lit(1.0) - log(tan(radians(lat)) + lit(1.0) / cos(radians(lat))) / lit(math.Pi)) / 2.0 * n).cast("long"), hi)
+    concat_ws("/", lit(precision), x, y)
   }
 
   /** DuckDB twin of [[geotileKey]]. */
   def sqlGeotileKey(lat: String, lon: String, precision: Int): String = {
     val n = s"${(1L << precision).toDouble}"
-    s"($precision || '/' || CAST(floor(($lon + 180.0) / 360.0 * $n) AS BIGINT) || '/' || " +
-      s"CAST(floor((1.0 - ln(tan(radians($lat)) + 1.0 / cos(radians($lat))) / pi()) / 2.0 * $n) AS BIGINT))"
+    val hi = (1L << precision) - 1
+    s"($precision || '/' || least(CAST(floor(($lon + 180.0) / 360.0 * $n) AS BIGINT), $hi) || '/' || " +
+      s"least(CAST(floor((1.0 - ln(tan(radians($lat)) + 1.0 / cos(radians($lat))) / pi()) / 2.0 * $n) AS BIGINT), $hi))"
   }
 
   // ---- geohash (ES geohash_grid): base32 cell key of `precision` chars.
@@ -119,8 +122,12 @@ object Geo {
     val total = 5 * precision
     val lonBits = (total + 1) / 2
     val latBits = total / 2
-    val lonq = floor((lon + 180.0) / 360.0 * (1L << lonBits).toDouble).cast("long")
-    val latq = floor((lat + 90.0) / 180.0 * (1L << latBits).toDouble).cast("long")
+    // clamp: lon=180 / lat=90 quantize to 2^bits, whose extra bit would
+    // corrupt the interleave — ES maps the boundary into the last cell
+    val lonq = least(floor((lon + 180.0) / 360.0 * (1L << lonBits).toDouble).cast("long"),
+      lit((1L << lonBits) - 1))
+    val latq = least(floor((lat + 90.0) / 180.0 * (1L << latBits).toDouble).cast("long"),
+      lit((1L << latBits) - 1))
     val terms =
       (0 until lonBits).map(i =>
         shiftright(lonq, lonBits - 1 - i).bitwiseAND(lit(1L)) * lit(1L << (total - 1 - 2 * i))) ++
@@ -140,8 +147,8 @@ object Geo {
     val total = 5 * precision
     val lonBits = (total + 1) / 2
     val latBits = total / 2
-    val lonq = s"CAST(floor(($lon + 180.0) / 360.0 * ${(1L << lonBits).toDouble}) AS BIGINT)"
-    val latq = s"CAST(floor(($lat + 90.0) / 180.0 * ${(1L << latBits).toDouble}) AS BIGINT)"
+    val lonq = s"least(CAST(floor(($lon + 180.0) / 360.0 * ${(1L << lonBits).toDouble}) AS BIGINT), ${(1L << lonBits) - 1})"
+    val latq = s"least(CAST(floor(($lat + 90.0) / 180.0 * ${(1L << latBits).toDouble}) AS BIGINT), ${(1L << latBits) - 1})"
     val terms =
       (0 until lonBits).map(i =>
         s"((($lonq >> ${lonBits - 1 - i}) & 1) * ${1L << (total - 1 - 2 * i)})") ++

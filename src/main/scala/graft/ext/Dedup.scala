@@ -269,9 +269,12 @@ object Dedup {
     val nBands = maxDist + 1
     val width = 60 / nBands
     val mask = (1L << width) - 1
-    val bands = sig.select(col("doc_id"), col("simhash"),
+    // persist the banded signatures: the subtree (SimHash kernel + band
+    // posexplode over the whole corpus) feeds BOTH sides of the self-join
+    // and would otherwise be computed twice
+    val bands = persistOnce(sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nBands).map(j =>
-        expr(s"shiftright(simhash, ${j * width}) & $mask")): _*)).as(Seq("band_j", "band")))
+        expr(s"shiftright(simhash, ${j * width}) & $mask")): _*)).as(Seq("band_j", "band"))))
     bands.as("x").join(bands.as("y"),
         col("x.band_j") === col("y.band_j") && col("x.band") === col("y.band") &&
           col("x.doc_id") < col("y.doc_id"))

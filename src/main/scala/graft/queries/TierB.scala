@@ -1195,7 +1195,10 @@ object TierB {
              |ORDER BY c_custkey LIMIT 100""".stripMargin)),
 
     // Named queries: `_name`-tagged clauses → a `matched_queries` column
-    // listing which tagged clauses each hit satisfied.
+    // listing which tagged clauses each hit satisfied. The list is
+    // serialized to a '|'-joined string for the oracle gate (array-typed
+    // output columns crash the driver's comparer); NamedQueriesSpec covers
+    // the array form.
     Q("a74_es_json_named_queries",
       (s, d) => graft.dsl.EsQueryJson.search(ord(s, d),
         """{"query": {"bool": {
@@ -1204,12 +1207,13 @@ object TierB {
           |     {"term": {"o_orderstatus": {"value": "F", "_name": "finished"}}},
           |     {"term": {"o_orderpriority": {"value": "1-URGENT", "_name": "urgent"}}}]}},
           | "sort": ["o_orderkey"], "size": 200}""".stripMargin)
-        .select(col("o_orderkey"), col("matched_queries")),
-      Some("""SELECT o_orderkey, list_sort(list_filter(
+        .select(col("o_orderkey"),
+          concat_ws("|", array_sort(col("matched_queries"))).as("matched_queries")),
+      Some("""SELECT o_orderkey, coalesce(list_aggregate(list_sort(list_filter(
              |  [CASE WHEN o_totalprice >= 100000 THEN 'big' END,
              |   CASE WHEN o_orderstatus = 'F' THEN 'finished' END,
              |   CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' END],
-             |  x -> x IS NOT NULL)) AS matched_queries
+             |  x -> x IS NOT NULL)), 'string_agg', '|'), '') AS matched_queries
              |FROM orders WHERE o_totalprice >= 100000
              |ORDER BY o_orderkey LIMIT 200""".stripMargin)),
 

@@ -731,11 +731,14 @@ object TierC {
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // Gopher-style composite quality filter: verdict + sorted failed-rule
-    // audit trail, all counters from one narrow kernel pass.
+    // audit trail, all counters from one narrow kernel pass. fail_reasons
+    // is serialized to a '|'-joined string for the oracle gate (array
+    // output crashes the driver comparer); CorpusSpec covers the array form.
     Q("c27_gopher_filter",
       (s, d) => Corpus.gopherFilter(Tables.documents(s, d), col("doc_id"), col("text"),
         minWords = 40, maxWords = 100000, minMeanLen = 3.5, maxMeanLen = 6.0,
         minStopwords = 2, maxTopTokFrac = 0.15)
+        .withColumn("fail_reasons", concat_ws("|", col("fail_reasons")))
         .orderBy("doc_id"),
       Some {
         val stopList = graft.functions.TextKernels.englishStopwordList
@@ -757,13 +760,13 @@ object TierC {
            |              ELSE 0.0 END AS topfrac
            |  FROM toks LEFT JOIN topt ON toks.doc_id = topt.doc_id)
            |SELECT doc_id, CAST(n AS INT) AS n_tokens,
-           |       list_sort(list_filter(
+           |       coalesce(list_aggregate(list_sort(list_filter(
            |         [CASE WHEN n < 40 THEN 'too_few_words' END,
            |          CASE WHEN n > 100000 THEN 'too_many_words' END,
            |          CASE WHEN meanlen < 3.5 OR meanlen > 6.0 THEN 'mean_word_length' END,
            |          CASE WHEN nstop < 2 THEN 'too_few_stopwords' END,
            |          CASE WHEN topfrac > 0.15 THEN 'repetitive' END],
-           |         x -> x IS NOT NULL)) AS fail_reasons,
+           |         x -> x IS NOT NULL)), 'string_agg', '|'), '') AS fail_reasons,
            |       (len(list_filter(
            |         [CASE WHEN n < 40 THEN 'too_few_words' END,
            |          CASE WHEN n > 100000 THEN 'too_many_words' END,
@@ -835,8 +838,8 @@ object TierC {
            |gx AS (SELECT doc_id, ${Hashing.sqlMd5Long60("gr")} AS gh
            |       FROM (SELECT doc_id, unnest(grams) AS gr FROM grams)),
            |dfq AS (SELECT gh, count(DISTINCT doc_id) AS df FROM gx GROUP BY gh)
-           |SELECT doc_id, count(*) AS n_grams,
-           |       sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_grams,
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
            |       round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
            |FROM gx JOIN dfq USING (gh)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
@@ -976,8 +979,15 @@ object TierC {
     // bit-identical centroids — the IVF training step, closing the ANN
     // loop (c07 consumes centroids; this FITS them).
     Q("c32_kmeans_fit",
+      // centroid is serialized to a '|'-joined 6-dp string for the oracle
+      // gate (array output crashes the driver comparer); the `+ 0.0`
+      // normalizes -0.0 so both engines print "0.000000". SimilaritySpec
+      // covers the array form.
       (s, d) => Similarity.kmeansFit(Tables.embeddings(s, d),
         col("vec_id"), col("embedding"), k = 8, iters = 2)
+        .withColumn("centroid",
+          concat_ws("|", transform(col("centroid"),
+            x => format_string("%.6f", x + lit(0.0)))))
         .orderBy("cluster"),
       Some {
         val h = Hashing.sqlMd5Long60("CAST(vec_id AS VARCHAR)")
@@ -1004,7 +1014,9 @@ object TierC {
            |a2 AS (${assign("c1")}),
            |c2 AS (${update("a2")}),
            |n AS (SELECT cluster, count(*) AS n_assigned FROM a2 GROUP BY cluster)
-           |SELECT c2.cluster, n_assigned, c2.cvec AS centroid
+           |SELECT c2.cluster, n_assigned,
+           |       list_aggregate(list_transform(c2.cvec,
+           |         x -> format('{:.6f}', x + 0.0)), 'string_agg', '|') AS centroid
            |FROM c2 JOIN n USING (cluster) ORDER BY cluster""".stripMargin
       }),
   )
