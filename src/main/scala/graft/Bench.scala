@@ -42,7 +42,11 @@ object Bench {
 
     // fixed sorted order: a hash-Map iteration order would shift which
     // query pays shared warm-up costs between rounds
+    // optional args: run only the named queries (local iteration; the
+    // driver always calls with no args → full corpus)
+    val only = args.toSet
     val corpus = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
     val best = scala.collection.mutable.Map[String, Double]()
     for (_ <- 1 to passes; (name, fn) <- corpus) {
       val t0 = System.nanoTime()
@@ -81,7 +85,7 @@ object Bench {
         .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(shortNames, fmt)},"failed":$failed,"names":"abbrev; full in bench_full.json","sf":"$sfDir"}"""
     val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(identity, fmt)},"failed":$failed,"passes":$passes,"sf":"$sfDir"}"""
-    try {
+    if (only.isEmpty) try { // subset runs must not clobber the full record
       val w = new java.io.PrintWriter("bench_full.json")
       try w.println(fullLine) finally w.close()
     } catch { case _: Throwable => () }
