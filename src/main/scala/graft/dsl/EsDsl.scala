@@ -58,6 +58,17 @@ object EsDsl {
   def multiMatch(fields: Seq[Column], queryTerms: Seq[String], minShouldMatch: Int = 1): Column =
     fields.map(f => matchQuery(f, queryTerms, minShouldMatch)).reduce(_ || _)
 
+  /** `multi_match` `cross_fields` predicate — TERM-centric (the fields act
+    * as one logical field): a query term matches when ANY field contains
+    * it, and `minShouldMatch` counts matched TERMS (so `operator: and`
+    * requires every term somewhere, not every term in one field — the
+    * first-name/last-name-split-fields semantics). */
+  def multiMatchCrossFields(fields: Seq[Column], queryTerms: Seq[String],
+                            minShouldMatch: Int = 1): Column =
+    queryTerms.map { t =>
+      when(fields.map(f => matchQuery(f, Seq(t))).reduce(_ || _), 1).otherwise(0)
+    }.reduce(_ + _) >= minShouldMatch
+
   /** B5 `match_phrase`: the query terms appear as CONSECUTIVE tokens.
     * Tokens are delimiter-joined (`|x|y|z|`) and the phrase becomes one
     * codegen'd `contains` — the tokenizer strips non-word chars, so the
@@ -143,6 +154,34 @@ object EsDsl {
     }
     (joined, scores, internals)
   }
+
+  /** `multi_match` `cross_fields` score over slots that [[bm25ScoresMixed]]
+    * allocated (one [[TermsBm25]] slot per field, all with the SAME term
+    * list): Lucene's blended term query in its dis-max form — per query
+    * term the idf uses the BLENDED df (max of that term's df across the
+    * fields, so a term common in ANY field is cheap everywhere), the tf
+    * side is the best field's normalized tf plus `tieBreaker` × the rest,
+    * and the per-term scores SUM. Term-centric where best/most_fields are
+    * field-centric. Must be applied while the internal `_df/_tfs/_dl/
+    * _avgdl/_n` columns are still in scope (before the caller drops them). */
+  def crossFieldsScore(slotIdxs: Seq[Int], nTerms: Int,
+                       k1: Double = 1.2, b: Double = 0.75,
+                       tieBreaker: Double = 0.0): Column =
+    (0 until nTerms).map { j =>
+      val dfs = slotIdxs.map(i => col(s"_df${i}_$j"))
+      val dfBlend = if (dfs.size == 1) dfs.head else greatest(dfs: _*)
+      val idf = log(lit(1.0) + (col("_n") - dfBlend + 0.5) / (dfBlend + 0.5))
+      val tfn = slotIdxs.map { i =>
+        val tf = element_at(col(s"_tfs$i"), j + 1).cast("double")
+        val lengthNorm = lit(k1) * (lit(1 - b) + lit(b) * col(s"_dl$i") / col(s"_avgdl$i"))
+        tf * (k1 + 1) / (tf + lengthNorm)
+      }
+      val best = if (tfn.size == 1) tfn.head else greatest(tfn: _*)
+      val withTb =
+        if (tieBreaker == 0.0 || tfn.size == 1) best
+        else best + lit(tieBreaker) * (tfn.reduce(_ + _) - best)
+      idf * withTb
+    }.reduce(_ + _)
   /** B6 `bool`. must_not is ES-faithful: a doc where the clause evaluates
     * NULL (field missing) does NOT match the clause, so it is KEPT —
     * `!coalesce(pred, false)`, not SQL's null-dropping `NOT pred`. */

@@ -277,8 +277,16 @@ object EsQueryJson {
       case "multi_match" =>
         val fields = body.get("fields").elements().asScala.toSeq.map(f => field(f.asText()))
         val terms = body.get("query").asText().split("\\s+").toSeq
-        val msm = Option(body.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
-        EsDsl.multiMatch(fields, terms, msm)
+        // cross_fields `operator: and` = every term in SOME field
+        // (term-centric); field-centric types leave msm within one field
+        val crossFields = Option(body.get("type")).map(_.asText()).contains("cross_fields")
+        val opMsm = Option(body.get("operator")).map(_.asText()).collect {
+          case "and" => terms.size
+        }
+        val msm = Option(body.get("minimum_should_match")).map(_.asInt())
+          .orElse(if (crossFields) opMsm else None).getOrElse(1)
+        if (crossFields) EsDsl.multiMatchCrossFields(fields, terms, msm)
+        else EsDsl.multiMatch(fields, terms, msm)
       case "match_phrase_prefix" =>
         // phrase with the LAST term a prefix — the search-as-you-type
         // query. One-pass positional kernel ([[graft.functions.Spans
@@ -558,13 +566,25 @@ object EsQueryJson {
         val fs = body.get("fields").elements().asScala.map(_.asText()).toSeq
         val ts = body.get("query").asText().split("\\s+").toSeq
         val boost = Option(body.get("boost")).map(_.asDouble()).getOrElse(1.0)
-        val msm = Option(body.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
+        val crossFields = Option(body.get("type")).map(_.asText()).contains("cross_fields")
+        val opMsm = Option(body.get("operator")).map(_.asText()).collect {
+          case "and" => ts.size
+        }
+        val msm = Option(body.get("minimum_should_match")).map(_.asInt())
+          .orElse(if (crossFields) opMsm else None).getOrElse(1)
         val (joined, scores, internals) =
           EsDsl.bm25ScoresMixed(df, fs.map(f => EsDsl.TermsBm25(field(f), ts)))
-        val combined = mmCombine(body, scores)
+        val combined =
+          if (crossFields)
+            EsDsl.crossFieldsScore(fs.indices, ts.size,
+              tieBreaker = Option(body.get("tie_breaker")).map(_.asDouble()).getOrElse(0.0))
+          else mmCombine(body, scores)
         val scored = joined.withColumn("_score", round(boosted(boost, combined), 6))
           .filter(col("_score") > 0).drop(internals: _*)
-        if (msm > 1) scored.filter(EsDsl.multiMatch(fs.map(field), ts, msm)) else scored
+        if (msm > 1) scored.filter(
+          if (crossFields) EsDsl.multiMatchCrossFields(fs.map(field), ts, msm)
+          else EsDsl.multiMatch(fs.map(field), ts, msm))
+        else scored
       case "constant_score" =>
         val boost = Option(body.get("boost")).map(_.asDouble()).getOrElse(1.0)
         df.filter(predicate(body.get("filter")))
@@ -777,15 +797,24 @@ object EsQueryJson {
           raws => (EsDsl.matchPhrase(field(f), ph), Some(boosted(boost, raws(idx))))
         case "multi_match" =>
           // best_fields (default): max over per-field BM25; most_fields:
-          // sum (ES's multi-analyzer recall type)
+          // sum (ES's multi-analyzer recall type); cross_fields: term-
+          // centric blended-df dis-max (the score expression reads the
+          // slot-internal columns, still in scope inside scoredBool)
           val fs = b.get("fields").elements().asScala.map(_.asText()).toSeq
           val ts = b.get("query").asText().split("\\s+").toSeq
           val boost = Option(b.get("boost")).map(_.asDouble()).getOrElse(1.0)
+          val crossFields = Option(b.get("type")).map(_.asText()).contains("cross_fields")
           val msm = Option(b.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
           val idxs = fs.map { f => val i = slots.size; slots += EsDsl.TermsBm25(field(f), ts); i }
           raws => {
-            val combined = mmCombine(b, idxs.map(raws))
-            (EsDsl.multiMatch(fs.map(field), ts, msm), Some(boosted(boost, combined)))
+            if (crossFields) {
+              val sc = EsDsl.crossFieldsScore(idxs, ts.size,
+                tieBreaker = Option(b.get("tie_breaker")).map(_.asDouble()).getOrElse(0.0))
+              (EsDsl.multiMatchCrossFields(fs.map(field), ts, msm), Some(boosted(boost, sc)))
+            } else {
+              val combined = mmCombine(b, idxs.map(raws))
+              (EsDsl.multiMatch(fs.map(field), ts, msm), Some(boosted(boost, combined)))
+            }
           }
         case "constant_score" =>
           val boost = Option(b.get("boost")).map(_.asDouble()).getOrElse(1.0)
