@@ -177,9 +177,12 @@ object EsDsl {
         tf * (k1 + 1) / (tf + lengthNorm)
       }
       val best = if (tfn.size == 1) tfn.head else greatest(tfn: _*)
+      // greatest() skips NULLs but + does not: a doc missing one nullable
+      // field would null-poison the tie_breaker sum and get dropped by the
+      // `_score > 0` filter where ES still scores it — coalesce each slot
       val withTb =
         if (tieBreaker == 0.0 || tfn.size == 1) best
-        else best + lit(tieBreaker) * (tfn.reduce(_ + _) - best)
+        else best + lit(tieBreaker) * (tfn.map(coalesce(_, lit(0.0))).reduce(_ + _) - best)
       idf * withTb
     }.reduce(_ + _)
   /** B6 `bool`. must_not is ES-faithful: a doc where the clause evaluates

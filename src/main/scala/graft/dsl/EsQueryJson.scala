@@ -79,8 +79,14 @@ object EsQueryJson {
             .flatMap(b => if (b.isArray) b.elements().asScala.toSeq else Seq(b))
             .flatMap(namedClauses))
       case "constant_score" | "function_score" =>
-        // inner clauses evaluate in the top-level field context — recurse
-        Seq("filter", "query").flatMap(k => Option(body.get(k)).toSeq).flatMap(namedClauses)
+        // inner clauses evaluate in the top-level field context — recurse,
+        // including function_score's per-function filters (a _name there
+        // was silently dropped before round 8)
+        Seq("filter", "query").flatMap(k => Option(body.get(k)).toSeq).flatMap(namedClauses) ++
+          Option(body.get("functions")).toSeq
+            .flatMap(_.elements().asScala.toSeq)
+            .flatMap(fn => Option(fn.get("filter")).toSeq)
+            .flatMap(namedClauses)
       case "dis_max" =>
         Option(body.get("queries")).toSeq
           .flatMap(_.elements().asScala.toSeq).flatMap(namedClauses)
@@ -278,13 +284,14 @@ object EsQueryJson {
         val fields = body.get("fields").elements().asScala.toSeq.map(f => field(f.asText()))
         val terms = body.get("query").asText().split("\\s+").toSeq
         // cross_fields `operator: and` = every term in SOME field
-        // (term-centric); field-centric types leave msm within one field
+        // (term-centric); field-centric types leave msm within one field.
+        // In ES operator:and makes EVERY term a must regardless of any
+        // explicit minimum_should_match — and wins, msm is ignored.
         val crossFields = Option(body.get("type")).map(_.asText()).contains("cross_fields")
-        val opMsm = Option(body.get("operator")).map(_.asText()).collect {
-          case "and" => terms.size
-        }
-        val msm = Option(body.get("minimum_should_match")).map(_.asInt())
-          .orElse(if (crossFields) opMsm else None).getOrElse(1)
+        val opAnd = Option(body.get("operator")).map(_.asText()).contains("and")
+        val msm =
+          if (crossFields && opAnd) terms.size
+          else Option(body.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
         if (crossFields) EsDsl.multiMatchCrossFields(fields, terms, msm)
         else EsDsl.multiMatch(fields, terms, msm)
       case "match_phrase_prefix" =>
@@ -567,11 +574,12 @@ object EsQueryJson {
         val ts = body.get("query").asText().split("\\s+").toSeq
         val boost = Option(body.get("boost")).map(_.asDouble()).getOrElse(1.0)
         val crossFields = Option(body.get("type")).map(_.asText()).contains("cross_fields")
-        val opMsm = Option(body.get("operator")).map(_.asText()).collect {
-          case "and" => ts.size
-        }
-        val msm = Option(body.get("minimum_should_match")).map(_.asInt())
-          .orElse(if (crossFields) opMsm else None).getOrElse(1)
+        // operator:and wins over an explicit minimum_should_match (ES: and
+        // makes every term a must, msm is ignored)
+        val opAnd = Option(body.get("operator")).map(_.asText()).contains("and")
+        val msm =
+          if (crossFields && opAnd) ts.size
+          else Option(body.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
         val (joined, scores, internals) =
           EsDsl.bm25ScoresMixed(df, fs.map(f => EsDsl.TermsBm25(field(f), ts)))
         val combined =
@@ -804,7 +812,13 @@ object EsQueryJson {
           val ts = b.get("query").asText().split("\\s+").toSeq
           val boost = Option(b.get("boost")).map(_.asDouble()).getOrElse(1.0)
           val crossFields = Option(b.get("type")).map(_.asText()).contains("cross_fields")
-          val msm = Option(b.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
+          // same operator:and → all-terms rule as the top-level paths — a
+          // cross_fields clause nested in a scored bool must not match more
+          // docs than the identical query at top level
+          val opAnd = Option(b.get("operator")).map(_.asText()).contains("and")
+          val msm =
+            if (crossFields && opAnd) ts.size
+            else Option(b.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
           val idxs = fs.map { f => val i = slots.size; slots += EsDsl.TermsBm25(field(f), ts); i }
           raws => {
             if (crossFields) {

@@ -2120,5 +2120,58 @@ object TierB {
              |FROM orders GROUP BY st, pri
              |HAVING (st > 'F') OR (st = 'F' AND pri > '3-MEDIUM')
              |ORDER BY st, pri LIMIT 4""".stripMargin)),
+
+    // multi_match cross_fields: term-centric blended-df dis-max
+    // ([[EsDsl.crossFieldsScore]]) — per query term the idf uses the
+    // BLENDED df (max across fields), the tf side is the best field's
+    // normalized tf + tie_breaker × the rest, per-term scores SUM;
+    // `operator: and` requires every term in SOME field (term-centric, the
+    // split-first-name/last-name semantics) and overrides any msm.
+    Q("a102_es_json_cross_fields",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"multi_match": {"query": "spark src3", "fields": ["text", "source"],
+          |   "type": "cross_fields", "tie_breaker": 0.3, "operator": "and"}},
+          | "sort": ["_score", "doc_id"], "size": 20}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS wt,
+             |         list_filter(string_split_regex(lower(source), '\W+'), x -> x <> '') AS ws
+             |  FROM documents
+             |), f AS (
+             |  SELECT doc_id, wt, ws,
+             |         CAST(len(list_filter(wt, x -> x = 'spark')) AS DOUBLE) AS t0,
+             |         CAST(len(list_filter(wt, x -> x = 'src3')) AS DOUBLE) AS t1,
+             |         CAST(len(list_filter(ws, x -> x = 'spark')) AS DOUBLE) AS s0,
+             |         CAST(len(list_filter(ws, x -> x = 'src3')) AS DOUBLE) AS s1,
+             |         CAST(len(wt) AS DOUBLE) AS dlt, CAST(len(ws) AS DOUBLE) AS dls
+             |  FROM t
+             |), st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dlt) AS avgdlt, avg(dls) AS avgdls,
+             |         CAST(sum(CASE WHEN t0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dft0,
+             |         CAST(sum(CASE WHEN t1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dft1,
+             |         CAST(sum(CASE WHEN s0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfs0,
+             |         CAST(sum(CASE WHEN s1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfs1
+             |  FROM f
+             |), tfn AS (
+             |  SELECT doc_id, wt, ws, n, dft0, dft1, dfs0, dfs1,
+             |         (t0*(1.2+1))/(t0 + 1.2*(1 - 0.75 + 0.75*dlt/avgdlt)) AS tt0,
+             |         (t1*(1.2+1))/(t1 + 1.2*(1 - 0.75 + 0.75*dlt/avgdlt)) AS tt1,
+             |         (s0*(1.2+1))/(s0 + 1.2*(1 - 0.75 + 0.75*dls/avgdls)) AS ts0,
+             |         (s1*(1.2+1))/(s1 + 1.2*(1 - 0.75 + 0.75*dls/avgdls)) AS ts1
+             |  FROM f CROSS JOIN st
+             |), sc AS (
+             |  SELECT doc_id, wt, ws,
+             |         round(ln(1 + (n - greatest(dft0, dfs0) + 0.5)/(greatest(dft0, dfs0) + 0.5))
+             |                 * (greatest(tt0, ts0) + 0.3 * ((tt0 + ts0) - greatest(tt0, ts0)))
+             |             + ln(1 + (n - greatest(dft1, dfs1) + 0.5)/(greatest(dft1, dfs1) + 0.5))
+             |                 * (greatest(tt1, ts1) + 0.3 * ((tt1 + ts1) - greatest(tt1, ts1))), 6) AS score
+             |  FROM tfn
+             |)
+             |SELECT doc_id, score FROM sc
+             |WHERE score > 0
+             |  AND (list_contains(wt, 'spark') OR list_contains(ws, 'spark'))
+             |  AND (list_contains(wt, 'src3') OR list_contains(ws, 'src3'))
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
   )
 }

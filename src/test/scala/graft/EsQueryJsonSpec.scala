@@ -797,4 +797,84 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(r1 == r2) // same seed -> same order
     assert(r1 != r3) // different seed -> different order
   }
+
+  test("cross_fields is term-centric where best_fields is field-centric (split-name fixture)") {
+    import spark.implicits._
+    val people = Seq((1L, "ada", "lovelace"), (2L, "alan", "turing"),
+      (3L, "ada", "turing"), (4L, "grace", "hopper"))
+      .toDF("id", "first", "last")
+    // cross_fields operator:and = every term in SOME field -> only the doc
+    // whose first+last together cover both terms
+    val cross = EsQueryJson.search(people,
+      """{"query": {"multi_match": {"query": "ada turing", "fields": ["first", "last"],
+        |   "type": "cross_fields", "operator": "and"}}, "sort": ["id"]}""".stripMargin)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(cross == Seq(3L))
+    // best_fields msm=2 = both terms in ONE field -> nothing on split names
+    val best = EsQueryJson.search(people,
+      """{"query": {"multi_match": {"query": "ada turing", "fields": ["first", "last"],
+        |   "minimum_should_match": 2}}, "sort": ["id"]}""".stripMargin)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(best.isEmpty)
+    // ES rule: operator:and overrides an explicit (weaker) msm
+    val both = EsQueryJson.search(people,
+      """{"query": {"multi_match": {"query": "ada turing", "fields": ["first", "last"],
+        |   "type": "cross_fields", "operator": "and", "minimum_should_match": 1}},
+        | "sort": ["id"]}""".stripMargin)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(both == Seq(3L))
+  }
+
+  test("cross_fields scored: bool clause path agrees with the top-level path") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val body =
+      """{"query": {"multi_match": {"query": "spark src3", "fields": ["text", "source"],
+        |   "type": "cross_fields", "tie_breaker": 0.4, "operator": "and"}},
+        | "sort": ["_score", "doc_id"], "size": 50}""".stripMargin
+    val top = EsQueryJson.search(docs, body)
+      .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top.nonEmpty && top.forall(_._2 > 0))
+    val inBool = EsQueryJson.search(docs,
+      """{"query": {"bool": {"must": [
+        |   {"multi_match": {"query": "spark src3", "fields": ["text", "source"],
+        |      "type": "cross_fields", "tie_breaker": 0.4, "operator": "and"}}]}},
+        | "sort": ["_score", "doc_id"], "size": 50}""".stripMargin)
+      .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(inBool == top) // same hits, same 6-dp scores
+    // and it differs from best_fields on the same terms: cross_fields blends
+    // df across fields, best_fields maxes per-field scores
+    val bestScores = EsQueryJson.search(docs,
+      """{"query": {"multi_match": {"query": "spark src3", "fields": ["text", "source"]}},
+        | "sort": ["_score", "doc_id"], "size": 50}""".stripMargin)
+      .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bestScores.toMap != top.toMap)
+  }
+
+  test("cross_fields tie_breaker tolerates a NULL field (no score poisoning)") {
+    import spark.implicits._
+    val people = Seq((1L, "grace", "hopper"), (2L, "grace", null.asInstanceOf[String]),
+      (3L, "alan", "turing")).toDF("id", "first", "last")
+    val got = EsQueryJson.search(people,
+      """{"query": {"multi_match": {"query": "grace", "fields": ["first", "last"],
+        |   "type": "cross_fields", "tie_breaker": 0.5}},
+        | "sort": ["_score", "id"]}""".stripMargin)
+      .select("id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // doc 2 (NULL last) must still be scored, not dropped by a NULL sum
+    assert(got.map(_._1).sorted == Seq(1L, 2L) && got.forall(_._2 > 0))
+  }
+
+  test("_name inside function_score functions[].filter reaches matched_queries") {
+    val out = EsQueryJson.search(orders,
+      """{"query": {"function_score": {
+        |   "query": {"term": {"o_orderstatus": "F"}},
+        |   "functions": [{"filter": {"term": {"o_orderpriority": {"value": "5-LOW", "_name": "lowpri"}}},
+        |                  "weight": 2}]}},
+        | "sort": ["o_orderkey"], "size": 50}""".stripMargin)
+      .select(col("o_orderpriority"), col("matched_queries")).collect()
+    assert(out.nonEmpty)
+    assert(out.forall { r =>
+      val names = r.getSeq[String](1)
+      if (r.getString(0) == "5-LOW") names == Seq("lowpri") else names.isEmpty
+    })
+  }
 }
