@@ -337,6 +337,40 @@ object EsQueryJson {
         org.apache.spark.sql.functions.exists(field(path), x =>
           predicateWith(inner, name =>
             x.getField(if (name.startsWith(path + ".")) name.stripPrefix(path + ".") else name)))
+      case "has_child" =>
+        // ES parent-join, child→parent direction: return PARENT docs with
+        // >= min_children (default 1, ES default) and <= max_children
+        // children matching the inner query. Children ride as an
+        // array-of-struct column named by `type` — the same data shape the
+        // `nested` query uses (b24); the count is a row-local
+        // size(filter(...)), no join at query time.
+        val ctype = body.get("type").asText()
+        val matched = size(filter(field(ctype), x =>
+          predicateWith(body.get("query"), name =>
+            x.getField(if (name.startsWith(ctype + ".")) name.stripPrefix(ctype + ".") else name))))
+        val minC = Option(body.get("min_children")).map(_.asInt()).getOrElse(1)
+        Option(body.get("max_children")).map(_.asInt()) match {
+          case Some(mx) => matched >= minC && matched <= mx
+          case None => matched >= minC
+        }
+      case "has_parent" =>
+        // parent→child direction: return CHILD docs whose parent matches
+        // the inner query. Data shape: the child row carries its parent doc
+        // denormalized as a struct column named by `parent_type` — the
+        // declarative Spark analog of ES's shard-local parent lookup (the
+        // denormalizing child→parent join is declared once upstream and
+        // Catalyst picks broadcast/sort-merge; the predicate itself stays
+        // row-local and codegen'd). A child with no parent never matches.
+        val ptype = body.get("parent_type").asText()
+        val parent = field(ptype)
+        parent.isNotNull && predicateWith(body.get("query"), name =>
+          parent.getField(if (name.startsWith(ptype + ".")) name.stripPrefix(ptype + ".") else name))
+      case "parent_id" =>
+        // children of ONE parent: the child row's `_parent` column (the
+        // ES-6.5 `_parent` metadata field) equals the given id; `type`
+        // names the child relation and is implicit in the single-frame
+        // data model.
+        field("_parent") === litOf(body.get("id"))
       case "constant_score" => // unscored context: just the wrapped filter
         predicateWith(body.get("filter"), fld)
       case "function_score" => // unscored context: the inner query's filter

@@ -2173,5 +2173,41 @@ object TierB {
              |  AND (list_contains(wt, 'spark') OR list_contains(ws, 'spark'))
              |  AND (list_contains(wt, 'src3') OR list_contains(ws, 'src3'))
              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ES parent-join surface, BOTH directions composed in one bool:
+    // has_parent (child rows keep a denormalized parent struct; the
+    // child→parent join is declared once upstream), has_child with
+    // min_children (children as the b24 array-of-struct shape), and
+    // parent_id over the `_parent` metadata column — here orders are the
+    // docs, customer the parent, lineitems the children.
+    Q("a103_es_json_parent_join",
+      (s, d) => {
+        val cust = Tables.customer(s, d).select(col("c_custkey"),
+          struct(col("c_mktsegment"), col("c_acctbal")).as("customer"))
+        val items = li(s, d).groupBy(col("l_orderkey"))
+          .agg(collect_list(struct(col("l_quantity"), col("l_extendedprice"))).as("item"))
+        val df = ord(s, d).select("o_orderkey", "o_custkey", "o_orderstatus")
+          .join(cust, col("o_custkey") === col("c_custkey"), "left").drop("c_custkey")
+          .join(items, col("o_orderkey") === col("l_orderkey"), "left").drop("l_orderkey")
+          .withColumn("_parent", col("o_custkey"))
+        graft.dsl.EsQueryJson.search(df,
+          """{"query": {"bool": {
+            |   "must": [
+            |     {"has_parent": {"parent_type": "customer",
+            |        "query": {"bool": {"must": [{"term": {"c_mktsegment": "BUILDING"}},
+            |                                    {"range": {"c_acctbal": {"gte": 0}}}]}}}},
+            |     {"has_child": {"type": "item", "min_children": 2,
+            |        "query": {"range": {"item.l_quantity": {"gte": 48}}}}}],
+            |   "must_not": [{"parent_id": {"type": "order", "id": 1}}]}},
+            | "sort": ["o_orderkey"]}""".stripMargin)
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+             |WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey
+             |              AND c_mktsegment = 'BUILDING' AND c_acctbal >= 0)
+             |  AND (SELECT count(*) FROM lineitem
+             |       WHERE l_orderkey = o_orderkey AND l_quantity >= 48) >= 2
+             |  AND NOT coalesce(o_custkey = 1, FALSE)
+             |ORDER BY o_orderkey""".stripMargin)),
   )
 }

@@ -877,4 +877,49 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
       if (r.getString(0) == "5-LOW") names == Seq("lowpri") else names.isEmpty
     })
   }
+
+  test("parent-join: has_parent/has_child/parent_id compose inside bool") {
+    import spark.implicits._
+    // orders with a customer parent struct and an items child array; order
+    // 40 is an orphan (no parent), order 30 has one matching child only
+    val df = Seq(
+      (10L, 1L, Some(("BUILDING", 100.0)), Seq((50.0, 1.0), (49.0, 2.0))),
+      (20L, 2L, Some(("MACHINERY", 50.0)), Seq((50.0, 1.0), (50.0, 2.0))),
+      (30L, 1L, Some(("BUILDING", 100.0)), Seq((50.0, 1.0), (1.0, 2.0))),
+      (40L, 3L, None, Seq((50.0, 1.0), (50.0, 2.0))))
+      .toDF("o_orderkey", "o_custkey", "cust", "itemraw")
+      .withColumn("customer", col("cust").cast("struct<c_mktsegment:string,c_acctbal:double>"))
+      .withColumn("item",
+        expr("transform(itemraw, x -> named_struct('l_quantity', x._1, 'l_extendedprice', x._2))"))
+      .withColumn("_parent", col("o_custkey"))
+    def ids(body: String): Seq[Long] =
+      EsQueryJson.search(df, body).select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    // has_parent: orphan 40 never matches even though its children would
+    assert(ids("""{"query": {"has_parent": {"parent_type": "customer",
+                 |  "query": {"term": {"c_mktsegment": "BUILDING"}}}}, "sort": ["o_orderkey"]}""".stripMargin)
+      == Seq(10L, 30L))
+    // has_child min_children=2 drops order 30 (one matching child)
+    assert(ids("""{"query": {"has_child": {"type": "item", "min_children": 2,
+                 |  "query": {"range": {"item.l_quantity": {"gte": 49}}}}}, "sort": ["o_orderkey"]}""".stripMargin)
+      == Seq(10L, 20L, 40L))
+    // max_children=1 keeps exactly the single-match parent
+    assert(ids("""{"query": {"has_child": {"type": "item", "max_children": 1,
+                 |  "query": {"range": {"item.l_quantity": {"gte": 49}}}}}, "sort": ["o_orderkey"]}""".stripMargin)
+      == Seq(30L))
+    // both directions + parent_id exclusion inside one bool
+    assert(ids("""{"query": {"bool": {
+                 |  "must": [{"has_parent": {"parent_type": "customer",
+                 |              "query": {"term": {"c_mktsegment": "BUILDING"}}}},
+                 |           {"has_child": {"type": "item",
+                 |              "query": {"range": {"item.l_quantity": {"gte": 49}}}}}],
+                 |  "must_not": [{"parent_id": {"type": "order", "id": 1}}]}},
+                 | "sort": ["o_orderkey"]}""".stripMargin)
+      == Seq.empty) // BUILDING parents are custkey 1, all excluded by parent_id
+    assert(ids("""{"query": {"bool": {
+                 |  "must": [{"parent_id": {"type": "order", "id": 1}},
+                 |           {"has_child": {"type": "item", "min_children": 2,
+                 |              "query": {"range": {"item.l_quantity": {"gte": 49}}}}}]}},
+                 | "sort": ["o_orderkey"]}""".stripMargin)
+      == Seq(10L))
+  }
 }
