@@ -452,17 +452,34 @@ object EsQueryJson {
         }
       }
     val minScore = Option(body.get("min_score")).map(_.asDouble())
+    // `slice`: parallel scroll export — slice i of max owns the docs with
+    // hash(slice field) % max == i. The hash is the engine's md5-60 family
+    // (cross-engine deterministic, so the oracle can recompute membership);
+    // the field defaults to the materialized-index `id`, as ES defaults to
+    // `_id`. A narrow filter, so it composes with query/sort/search_after
+    // and pushes into the scan; the N slices partition the export exactly.
+    val df0 = Option(body.get("slice")) match {
+      case Some(sl) =>
+        val max = sl.get("max").asInt()
+        val sid = sl.get("id").asInt()
+        require(max >= 1 && sid >= 0 && sid < max,
+          s"slice id must be in [0, max), got id=$sid max=$max")
+        val f = Option(sl.get("field")).map(_.asText()).getOrElse("id")
+        df.filter(pmod(graft.functions.Hashing.md5Long60(field(f).cast("string")),
+          lit(max.toLong)) === lit(sid.toLong))
+      case None => df
+    }
     // `min_score` forces scoring even when the sort doesn't use _score
     val needsScore = sortSpecs.exists(_._1 == "_score") || minScore.isDefined
     val scored = (Option(body.get("query")), Option(body.get("rescore"))) match {
       case (Some(q), Some(r)) if needsScore =>
         val tiebreaks = sortSpecs.filter(_._1 != "_score").map(s => field(s._1))
-        rescoredSearch(df, q, r, tiebreaks)
-      case (Some(q), _) if needsScore => scoredSearch(df, q)
-      case (Some(q), _) => df.filter(predicate(q))
+        rescoredSearch(df0, q, r, tiebreaks)
+      case (Some(q), _) if needsScore => scoredSearch(df0, q)
+      case (Some(q), _) => df0.filter(predicate(q))
       case (None, _) =>
         require(!needsScore, "_score sort / min_score requires a query")
-        df
+        df0
     }
     val filtered = minScore.map(ms => scored.filter(col("_score") >= ms)).getOrElse(scored)
     // `_name`-tagged clauses → `matched_queries`: per returned hit, the
@@ -1079,6 +1096,75 @@ object EsQueryJson {
         val bothV = cond.map(c => when(c && wf.isNotNull, vf)).getOrElse(when(wf.isNotNull, vf))
         val bothW = cond.map(c => when(c && vf.isNotNull, wf)).getOrElse(when(vf.isNotNull, wf))
         Seq(aggName -> round(sum(bothV * bothW) / sum(bothW), 6))
+      case "geo_centroid" =>
+        // centroid of a point field (pair `F_lat`/`F_lon`, the [[Geo]]
+        // convention): per-component avg — ES's centroid over points.
+        // One hash agg with map-side partials, like any avg.
+        val fn = spec.get("field").asText()
+        def comp(nm: String) = cond.map(c => when(c, field(nm))).getOrElse(field(nm))
+        Seq(
+          s"${aggName}_lat" -> round(avg(comp(s"${fn}_lat")), 6),
+          s"${aggName}_lon" -> round(avg(comp(s"${fn}_lon")), 6))
+      case "geo_bounds" =>
+        // smallest box covering the bucket's points: top_left = (max lat,
+        // min lon), bottom_right = (min lat, max lon) — ES response shape
+        // flattened to 4 columns. (wrap_longitude dateline wrapping is not
+        // supported; the derived-coordinate domain never crosses it.)
+        val fn = spec.get("field").asText()
+        def comp(nm: String) = cond.map(c => when(c, field(nm))).getOrElse(field(nm))
+        val (la, lo) = (comp(s"${fn}_lat"), comp(s"${fn}_lon"))
+        Seq(
+          s"${aggName}_top_left_lat" -> round(max(la), 6),
+          s"${aggName}_top_left_lon" -> round(min(lo), 6),
+          s"${aggName}_bottom_right_lat" -> round(min(la), 6),
+          s"${aggName}_bottom_right_lon" -> round(max(lo), 6))
+      case "scripted_metric" =>
+        // ES's escape-hatch agg, supported in its distributed-safe
+        // canonical form: `map_script` accumulates per-row arithmetic into
+        // state sums (`state.x += <expr>` statements; painless
+        // doc['f'].value refs; one top-level ternary per expression),
+        // `combine_script` is the identity shard merge, and
+        // `reduce_script` is arithmetic over `states.<x>` — bound here to
+        // the cross-partition SUM of each state, exactly what the
+        // canonical for-loop-over-states reduce computes. The whole thing
+        // compiles to sum() partials + scalar arithmetic inside ONE hash
+        // aggregate: map-side combine for free, no per-doc interpreter,
+        // same codegen as any built-in metric.
+        require(cond.isEmpty, "scripted_metric inside a filters bucket is not supported")
+        def painless(raw: String): String = {
+          val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
+            .replaceAllIn(raw.trim, m => m.group(1))
+          require(!bound.startsWith("info."),
+            s"scripted_metric doc refs must be plain columns, got $bound")
+          val sql =
+            if (bound.contains("?")) { // one top-level ternary, painless `c ? a : b`
+              val Array(c, rest) = bound.split("\\?", 2)
+              val Array(a, b) = rest.split(":", 2)
+              s"IF(${c.trim}, ${a.trim}, ${b.trim})"
+            } else bound
+          require(sql.matches("[A-Za-z0-9_.+\\-*/()<>=!,' ]+"),
+            s"unsupported scripted_metric expression after binding: $sql")
+          sql
+        }
+        val stateRe = "state\\.([A-Za-z_][A-Za-z0-9_]*)\\s*\\+=\\s*(.+)".r
+        val sums = spec.get("map_script").asText().split(";").map(_.trim).filter(_.nonEmpty)
+          .map {
+            case stateRe(name, rhs) => name -> s"sum(${painless(rhs)})"
+            case other => throw new IllegalArgumentException(
+              s"unsupported map_script statement (need `state.x += expr`): $other")
+          }.toSeq
+        // init is the sum identity (states start at 0); combine must be the
+        // identity shard merge — anything else would not be sum-mergeable
+        Option(spec.get("combine_script")).map(_.asText().trim).foreach(c =>
+          require(c == "return state" || c == "state",
+            s"combine_script must be the identity shard merge ('return state'), got: $c"))
+        val reduceRaw = spec.get("reduce_script").asText().trim.stripPrefix("return").trim
+        val reduceSql = sums.sortBy(-_._1.length).foldLeft(reduceRaw) {
+          case (acc, (n, s)) => acc.replace(s"states.$n", s)
+        }
+        require(!reduceSql.contains("states."),
+          s"reduce_script references a state the map_script never accumulated: $reduceRaw")
+        Seq(aggName -> round(expr(painless(reduceSql)), 6).cast("double"))
       case other => throw new IllegalArgumentException(s"unsupported metric: $other")
     }
   }

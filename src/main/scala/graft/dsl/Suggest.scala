@@ -70,31 +70,36 @@ object Suggest {
       .limit(size)
       .select(col("term").as("suggestion"), col("term_freq").as("weight"))
 
-  /** ES phrase suggester (two-token form): per-position candidates within
-    * one edit (the original token included, ES `always` mode), top
-    * `shardSize` each by doc_freq; candidate phrases = the cross of the two
-    * tiny candidate sets, scored by the corpus bigram count (an
-    * exact-integer stand-in for ES's Stupid-Backoff LM — deterministic
-    * across engines, same ranking on in-corpus bigrams). Top `size` by
-    * score desc, phrase asc.
+  /** ES phrase suggester (n-token form): per-position candidates within
+    * `maxEdits` (the original token included, ES `always` mode), top
+    * `shardSize` each by doc_freq; candidate phrases = the cross product
+    * of the tiny per-position sets, scored by the SUM of the phrase's
+    * consecutive-bigram corpus counts (an exact-integer stand-in for ES's
+    * Stupid-Backoff LM — deterministic across engines, same ranking on
+    * in-corpus bigrams; for a 2-token input this is exactly the single
+    * bigram count). A 1-token input ranks by unigram term_freq. Top
+    * `size` by score desc, phrase asc.
     *
     * Exactly two corpus passes: the vocabulary aggregation (persisted —
-    * both candidate positions rank over ONE pass, window partitioned by
+    * all candidate positions rank over ONE pass, window partitioned by
     * position, the [[termSuggest]] shape) and ONE fixed-list bigram-count
-    * kernel pass scoring all ≤ shardSize² candidate phrases
+    * kernel pass scoring the DISTINCT bigrams of all candidate phrases
     * ([[graft.functions.TextKernels.BigramFreqsKernel]] — the
     * explode-all-bigrams + groupBy + join formulation shuffled the
     * corpus's ENTIRE bigram set to score ~25 candidates, 5.5 s of the old
-    * 7.4 s at sf0.1). The candidate terms come to the driver (≤ 2×shardSize
-    * strings — query construction, the same step ES runs on the
-    * coordinating node; more_like_this precedent), and the final ranking
-    * is over the summed exact-integer counts. */
+    * 7.4 s at sf0.1). The candidate terms come to the driver
+    * (≤ n×shardSize strings — query construction, the same step ES runs
+    * on the coordinating node; more_like_this precedent), and the final
+    * ranking is over the summed exact-integer counts. The driver-side
+    * phrase product is bounded at 4096 (shardSize^n is the caller's knob —
+    * ES likewise caps the candidate generator, and per-position top-
+    * shard_size keeps each factor small). */
   def phraseSuggest(df: DataFrame, idCol: Column, field: Column, text: String,
                     size: Int = 3, shardSize: Int = 5, maxEdits: Int = 1): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val toks = analyze(text)
-    require(toks.length == 2, s"phrase suggester implemented for 2-token inputs, got $toks")
+    require(toks.nonEmpty, "phrase suggester needs at least one token")
     val vocab = graft.ext.Dedup.persistOnce(vocabulary(df, idCol, field))
     val inputs = toks.zipWithIndex.toDF("token", "pos")
     val cands = vocab
@@ -104,20 +109,38 @@ object Suggest {
       .withColumn("rank", row_number().over(
         Window.partitionBy("pos").orderBy(desc("doc_freq"), col("term"))))
       .filter(col("rank") <= shardSize)
-      .select(col("pos"), col("term"))
+      .select(col("pos"), col("term"), col("term_freq"))
       .collect()
-    val c0 = cands.filter(_.getInt(0) == 0).map(_.getString(1)).toSeq
-    val c1 = cands.filter(_.getInt(0) == 1).map(_.getString(1)).toSeq
-    val phrases = for (a <- c0; b <- c1) yield s"$a $b"
-    if (phrases.isEmpty) return Seq.empty[(String, Long)].toDF("suggestion", "score")
-    val sums = phrases.indices.map(i =>
+    if (toks.length == 1) {
+      // no bigram context: rank the candidates by unigram frequency (the
+      // backoff floor of the LM), already in hand from the vocab pass
+      return cands.map(r => (r.getString(1), r.getLong(2)))
+        .toSeq.toDF("suggestion", "score")
+        .orderBy(desc("score"), col("suggestion"))
+        .limit(size)
+    }
+    val byPos: Seq[Seq[String]] = toks.indices.map(p =>
+      cands.filter(_.getInt(0) == p).map(_.getString(1)).toSeq.sorted)
+    val phraseToks: Seq[Seq[String]] =
+      byPos.foldLeft(Seq(Seq.empty[String])) { (acc, cs) =>
+        for (a <- acc; c <- cs) yield a :+ c
+      }.filter(_.length == toks.length) // empty if any position has no candidate
+    require(phraseToks.size <= 4096,
+      s"phrase candidate product ${phraseToks.size} exceeds 4096 — lower shard_size")
+    if (phraseToks.isEmpty) return Seq.empty[(String, Long)].toDF("suggestion", "score")
+    val grams = phraseToks.map(_.sliding(2).map(_.mkString(" ")).toSeq)
+    val distinctGrams = grams.flatten.distinct
+    val sums = distinctGrams.indices.map(i =>
       sum(element_at(col("_bf"), i + 1)).cast("long").as(s"_s$i"))
     val freqs = df
-      .select(graft.functions.TextKernels.bigramFreqs(field, phrases).as("_bf"))
+      .select(graft.functions.TextKernels.bigramFreqs(field, distinctGrams).as("_bf"))
       .agg(sums.head, sums.tail: _*)
       .collect()(0)
-    phrases.zipWithIndex
-      .map { case (p, i) => (p, if (freqs.isNullAt(i)) 0L else freqs.getLong(i)) }
+    val gramCount: Map[String, Long] = distinctGrams.zipWithIndex.map { case (g, i) =>
+      g -> (if (freqs.isNullAt(i)) 0L else freqs.getLong(i))
+    }.toMap
+    phraseToks.zip(grams)
+      .map { case (ts, gs) => (ts.mkString(" "), gs.map(gramCount).sum) }
       .toDF("suggestion", "score")
       .orderBy(desc("score"), col("suggestion"))
       .limit(size)

@@ -2209,5 +2209,100 @@ object TierB {
              |       WHERE l_orderkey = o_orderkey AND l_quantity >= 48) >= 2
              |  AND NOT coalesce(o_custkey = 1, FALSE)
              |ORDER BY o_orderkey""".stripMargin)),
+
+    // scripted_metric in its canonical map/combine/reduce form: per
+    // priority bucket, the F-status share of revenue — a conditional
+    // ratio-of-sums no single built-in metric expresses. Compiles to sum()
+    // partials + scalar arithmetic in one hash aggregate.
+    Q("a104_es_json_scripted_metric",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"by_pri": {"terms": {"field": "o_orderpriority", "size": 10},
+          |  "aggs": {"f_share": {"scripted_metric": {
+          |    "init_script": "state.f = 0; state.t = 0",
+          |    "map_script": "state.f += doc['o_orderstatus'].value == 'F' ? doc['o_totalprice'].value : 0; state.t += doc['o_totalprice'].value",
+          |    "combine_script": "return state",
+          |    "reduce_script": "return states.t == 0 ? 0 : states.f / states.t"}}}}}}""".stripMargin)("by_pri")
+        .orderBy("key"),
+      Some("""SELECT o_orderpriority AS key, count(*) AS doc_count,
+             |       round(CASE WHEN sum(o_totalprice) = 0 THEN 0
+             |             ELSE sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END) / sum(o_totalprice) END, 6) AS f_share
+             |FROM orders GROUP BY key ORDER BY key""".stripMargin)),
+
+    // geo_centroid + geo_bounds metric aggs under terms buckets over the
+    // md5-derived coordinates (oracle recomputes identical points).
+    Q("a105_es_json_geo_centroid_bounds",
+      (s, d) => {
+        val df = graft.dsl.Geo.withDerivedCoords(
+          Tables.customer(s, d), col("c_custkey"), "location")
+        graft.dsl.EsQueryJson.aggregations(df,
+          """{"aggs": {"by_seg": {"terms": {"field": "c_mktsegment", "size": 10},
+            |  "aggs": {"c": {"geo_centroid": {"field": "location"}},
+            |           "b": {"geo_bounds": {"field": "location"}}}}}}""".stripMargin)("by_seg")
+          .orderBy("key")
+      },
+      Some(s"""WITH g AS (
+             |  SELECT c_mktsegment,
+             |         ${graft.dsl.Geo.sqlDerivedLat("c_custkey")} AS lat,
+             |         ${graft.dsl.Geo.sqlDerivedLon("c_custkey")} AS lon
+             |  FROM customer)
+             |SELECT c_mktsegment AS key, count(*) AS doc_count,
+             |       round(avg(lat), 6) AS c_lat, round(avg(lon), 6) AS c_lon,
+             |       round(max(lat), 6) AS b_top_left_lat, round(min(lon), 6) AS b_top_left_lon,
+             |       round(min(lat), 6) AS b_bottom_right_lat, round(max(lon), 6) AS b_bottom_right_lon
+             |FROM g GROUP BY key ORDER BY key""".stripMargin)),
+
+    // sliced scroll: 3 parallel export slices (hash(doc_id) % 3) unioned
+    // WITHOUT dedup must reproduce the unsliced export exactly — proves
+    // the slices partition (disjoint + covering); each slice is a narrow
+    // pushed-down filter, the parallel-export idiom at scale.
+    Q("a106_es_json_sliced_scroll",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        (0 until 3).map { i =>
+          graft.dsl.EsQueryJson.search(docs,
+            s"""{"query": {"range": {"n_chars": {"gte": 100}}},
+               | "slice": {"id": $i, "max": 3, "field": "doc_id"},
+               | "sort": ["doc_id"]}""".stripMargin)
+            .select(col("doc_id"), col("n_chars"))
+        }.reduce(_ unionAll _).orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars FROM documents
+             |WHERE n_chars >= 100 ORDER BY doc_id""".stripMargin)),
+
+    // ES phrase suggester, 3-token form: per-position candidates, phrase
+    // score = SUM of the phrase's consecutive-bigram corpus counts (the
+    // Stupid-Backoff stand-in generalized past one bigram).
+    Q("a107_es_json_phrase_suggest_3tok",
+      (s, d) => graft.dsl.EsQueryJson.suggest(Tables.documents(s, d),
+        """{"suggest": {"p": {"text": "sprk querry tble",
+          |  "phrase": {"field": "text", "size": 3, "max_edits": 2}}}}""".stripMargin),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), td AS (SELECT doc_id, unnest(w) AS term FROM toks),
+             |vocab AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM td GROUP BY term),
+             |c0 AS (SELECT term FROM (
+             |  SELECT term, row_number() OVER (ORDER BY doc_freq DESC, term) AS rn
+             |  FROM vocab WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'sprk') <= 2)
+             |  WHERE rn <= 5),
+             |c1 AS (SELECT term FROM (
+             |  SELECT term, row_number() OVER (ORDER BY doc_freq DESC, term) AS rn
+             |  FROM vocab WHERE abs(length(term) - 6) <= 2 AND levenshtein(term, 'querry') <= 2)
+             |  WHERE rn <= 5),
+             |c2 AS (SELECT term FROM (
+             |  SELECT term, row_number() OVER (ORDER BY doc_freq DESC, term) AS rn
+             |  FROM vocab WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'tble') <= 2)
+             |  WHERE rn <= 5),
+             |bg AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+             |                i -> w[i] || ' ' || w[i+1])) AS gram FROM toks),
+             |bgc AS (SELECT gram, count(*) AS bgcount FROM bg GROUP BY gram),
+             |ph AS (SELECT c0.term AS t0, c1.term AS t1, c2.term AS t2
+             |       FROM c0 CROSS JOIN c1 CROSS JOIN c2),
+             |sc AS (SELECT t0 || ' ' || t1 || ' ' || t2 AS suggestion,
+             |              coalesce(b1.bgcount, 0) + coalesce(b2.bgcount, 0) AS score
+             |       FROM ph LEFT JOIN bgc b1 ON t0 || ' ' || t1 = b1.gram
+             |               LEFT JOIN bgc b2 ON t1 || ' ' || t2 = b2.gram)
+             |SELECT suggestion, score FROM sc
+             |ORDER BY score DESC, suggestion LIMIT 3""".stripMargin)),
   )
 }

@@ -922,4 +922,27 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
                  | "sort": ["o_orderkey"]}""".stripMargin)
       == Seq(10L))
   }
+
+  test("sliced scroll partitions the export and composes with search_after") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val total = docs.count()
+    val parts = (0 until 3).map { i =>
+      EsQueryJson.search(docs,
+        s"""{"slice": {"id": $i, "max": 3, "field": "doc_id"}, "sort": ["doc_id"]}""")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    }
+    assert(parts.map(_.size.toLong).sum == total)      // covering
+    assert(parts.flatten.toSet.size.toLong == total)   // disjoint
+    assert(parts.forall(_.nonEmpty))
+    // search_after inside a slice: the page after cursor s0(4) is rows 5..9
+    val s0 = parts(0)
+    val page = EsQueryJson.search(docs,
+      s"""{"slice": {"id": 0, "max": 3, "field": "doc_id"},
+         | "sort": ["doc_id"], "search_after": [${s0(4)}], "size": 5}""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(page == s0.slice(5, 10))
+    intercept[IllegalArgumentException] {
+      EsQueryJson.search(docs, """{"slice": {"id": 3, "max": 3, "field": "doc_id"}}""")
+    }
+  }
 }

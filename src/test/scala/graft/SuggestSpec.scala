@@ -65,4 +65,19 @@ class SuggestSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!cPlan.contains("Window"), "completion is sort-limit, no window")
   }
+
+  test("phrase suggester: n-token bigram-sum and 1-token unigram paths") {
+    // 3 tokens: score = bigram(t0 t1) + bigram(t1 t2); "spark table scan"
+    // appears twice (docs 1 and 5) -> spark-table=3, table-scan=2 -> 5
+    val out3 = Suggest.phraseSuggest(docs, col("doc_id"), col("text"),
+      "sprk tble scn", size = 5, maxEdits = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out3.head == ("spark table scan", 5L))
+    assert(out3.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // 1 token: unigram term_freq ranking
+    val out1 = Suggest.phraseSuggest(docs, col("doc_id"), col("text"),
+      "sprk", size = 3, maxEdits = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out1.head == ("spark", 4L))
+  }
 }
