@@ -76,4 +76,47 @@ object ChangeLog {
       .schema(Model.mutationSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
+
+  // ---- Kafka (SURVEY §1.3's third source kind) --------------------------
+  // The reference's observer publishes its postPut/postDelete batches to a
+  // transport; a Kafka topic carrying one mutation JSON per record value is
+  // the streaming-platform shape of that same change-log. The format is
+  // resolved by NAME ("kafka"), so this library compiles and links without
+  // the connector jar; at runtime Spark resolves the standard
+  // spark-sql-kafka-0-10 artifact from the session's classpath (it is part
+  // of the Spark distribution, not an extra dependency of this library).
+
+  /** Kafka wire frame (key/value/...) → [[Model.mutationSchema]].
+    * PERMISSIVE like [[readJson]]: a malformed record becomes a
+    * null-field row for the downstream quarantine filter (reference A17)
+    * instead of failing the pipeline. Factored out of the readers so the
+    * decode plumbing is testable without a broker. */
+  def decodeKafka(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast("string"), Model.mutationSchema).as("m"))
+      .select(col("m.row_key"), col("m.op"), col("m.ts"), col("m.seq"), col("m.cells"))
+
+  /** Streaming Kafka change-log. `startingOffsets=earliest` replays the
+    * topic into the index exactly like the file sources replay a
+    * directory; `maxOffsetsPerTrigger` is the admission-control knob (the
+    * reference's 10k-op size trigger, A9, in offset units). Partition
+    * parallelism comes from the topic's partitioning — each Kafka
+    * partition maps to Spark tasks without a shuffle, and the merge's
+    * own key repartitioning downstream is unchanged. */
+  def readStreamKafka(spark: SparkSession, bootstrapServers: String, topic: String,
+                      maxOffsetsPerTrigger: Long = 10000L): DataFrame =
+    decodeKafka(spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load())
+
+  /** Batch replay of a Kafka topic (bounded backfill of the same log). */
+  def readKafka(spark: SparkSession, bootstrapServers: String, topic: String): DataFrame =
+    decodeKafka(spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("endingOffsets", "latest")
+      .load())
 }

@@ -122,12 +122,57 @@ object EsQueryJson {
       case "span_near" =>
         val clauses = body.get("clauses").elements().asScala.toSeq
         require(clauses.size == 2, s"span_near supports exactly 2 clauses, got ${clauses.size}")
-        val (f1, v1) = single(clauses(0).get("span_term"))
-        val (f2, v2) = single(clauses(1).get("span_term"))
+        // each clause: span_term, or span_multi wrapping prefix/wildcard/regexp
+        def side(c: JsonNode): (String, String, String) = {
+          val (ck, cb) = single(c)
+          ck match {
+            case "span_term" =>
+              val (f, v) = single(cb); (f, "term", v.asText())
+            case "span_multi" =>
+              val (mk, mb) = single(cb.get("match"))
+              require(Set("prefix", "wildcard", "regexp")(mk),
+                s"span_multi supports prefix/wildcard/regexp, got $mk")
+              val (f, vn) = single(mb)
+              (f, mk, (if (vn.isObject) vn.get("value") else vn).asText())
+            case other => throw new IllegalArgumentException(
+              s"span_near clause must be span_term or span_multi, got $other")
+          }
+        }
+        val (f1, k1, v1) = side(clauses(0))
+        val (f2, k2, v2) = side(clauses(1))
         require(f1 == f2, s"span_near clauses must target one field, got $f1/$f2")
-        graft.functions.Spans.spanNear(field(f1), v1.asText(), v2.asText(),
-          slop = Option(body.get("slop")).map(_.asInt()).getOrElse(0),
-          inOrder = Option(body.get("in_order")).map(_.asBoolean()).getOrElse(false))
+        val slop = Option(body.get("slop")).map(_.asInt()).getOrElse(0)
+        val inOrder = Option(body.get("in_order")).map(_.asBoolean()).getOrElse(false)
+        if (k1 == "term" && k2 == "term")
+          graft.functions.Spans.spanNear(field(f1), v1, v2, slop, inOrder)
+        else
+          graft.functions.Spans.spanNearMulti(field(f1), k1, v1.toLowerCase,
+            k2, v2.toLowerCase, slop, inOrder)
+      case "span_multi" =>
+        // a multi-term query lifted to a span. Standalone it degenerates to
+        // "SOME token matches", evaluated over the delimiter-joined token
+        // string (the matchPhrase trick): prefix stays one codegen'd
+        // `contains`, wildcard/regexp one anchored `rlike` — no kernel, no
+        // HOF. (Inside span_near the positional kernel side handles it.)
+        val (mk, mb) = single(body.get("match"))
+        val (f, vn) = single(mb)
+        val v = (if (vn.isObject) vn.get("value") else vn).asText().toLowerCase
+        val joined = concat(lit("|"),
+          array_join(graft.ext.TextAnalysis.tokens(field(f)), "|"), lit("|"))
+        mk match {
+          case "prefix" => joined.contains("|" + v)
+          case "wildcard" =>
+            val re = v.flatMap {
+              case '*' => "[^|]*"
+              case '?' => "[^|]"
+              case c if "\\.[]{}()^$+|".contains(c) => "\\" + c
+              case c => c.toString
+            }
+            joined.rlike("\\|" + re + "\\|")
+          case "regexp" => joined.rlike("\\|(?:" + v + ")\\|")
+          case other => throw new IllegalArgumentException(
+            s"span_multi supports prefix/wildcard/regexp, got $other")
+        }
       case "span_first" =>
         val (f, v) = single(body.get("match").get("span_term"))
         graft.functions.Spans.spanFirst(field(f), v.asText(), body.get("end").asInt())

@@ -116,6 +116,56 @@ object Spans {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Token matcher for a `span_multi` side: exact term, prefix, ES
+    * wildcard (`*`/`?`, whole-token), or anchored regexp (whole-token, as
+    * ES anchors `regexp`). Compiled once per expression instance. */
+  private[graft] def tokenMatcher(kind: String, value: String): String => Boolean =
+    kind match {
+      case "term" => _ == value
+      case "prefix" => _.startsWith(value)
+      case "wildcard" =>
+        val sb = new StringBuilder
+        value.foreach {
+          case '*' => sb.append(".*")
+          case '?' => sb.append('.')
+          case c => sb.append(Pattern.quote(c.toString))
+        }
+        val p = Pattern.compile(sb.toString)
+        t => p.matcher(t).matches()
+      case "regexp" =>
+        val p = Pattern.compile(value)
+        t => p.matcher(t).matches()
+      case other => throw new IllegalArgumentException(s"unsupported span_multi kind: $other")
+    }
+
+  /** [[SpanNearMatch]] generalized so each side is a token MATCHER rather
+    * than an exact term — the `span_multi` wrapper inside `span_near`
+    * (prefix/wildcard/regexp sides). Same one-pass latest-position
+    * algorithm, same self-pairing guard. */
+  case class SpanNearMultiMatch(child: Expression, k1: String, v1: String,
+                                k2: String, v2: String, slop: Int, inOrder: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    @transient private lazy val p1 = tokenMatcher(k1, v1)
+    @transient private lazy val p2 = tokenMatcher(k2, v2)
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      var last1 = -1; var last2 = -1
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        val is1 = p1(t); val is2 = p2(t)
+        if (is2 && last1 >= 0 && i - last1 - 1 <= slop) return true
+        if (!inOrder && is1 && last2 >= 0 && i - last2 - 1 <= slop) return true
+        if (is1) last1 = i
+        if (is2) last2 = i
+        i += 1
+      }
+      false
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** True iff `term` occurs at 1-indexed position ≤ `end`. */
   case class SpanFirstMatch(child: Expression, term: String, end: Int)
       extends UnaryExpression with CodegenFallback {
@@ -164,6 +214,9 @@ object Spans {
   def phrasePrefix(text: Column, terms: Seq[String], prefix: String): Column =
     column(PhrasePrefixMatch(expression(text), terms, prefix))
 
+  def spanNearMulti(text: Column, k1: String, v1: String, k2: String, v2: String,
+                    slop: Int, inOrder: Boolean): Column =
+    column(SpanNearMultiMatch(expression(text), k1, v1, k2, v2, slop, inOrder))
   def spanNear(text: Column, t1: String, t2: String, slop: Int, inOrder: Boolean): Column =
     column(SpanNearMatch(expression(text), t1, t2, slop, inOrder))
 

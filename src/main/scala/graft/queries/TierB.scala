@@ -2304,5 +2304,31 @@ object TierB {
              |               LEFT JOIN bgc b2 ON t1 || ' ' || t2 = b2.gram)
              |SELECT suggestion, score FROM sc
              |ORDER BY score DESC, suggestion LIMIT 3""".stripMargin)),
+
+    // span_multi inside span_near (prefix side via the positional kernel)
+    // AND standalone (wildcard over the joined-token string) — composed in
+    // one bool so both forms are exercised.
+    Q("a108_es_json_span_multi",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"bool": {"must": [
+          |   {"span_near": {
+          |      "clauses": [{"span_term": {"text": "spark"}},
+          |                  {"span_multi": {"match": {"prefix": {"text": {"value": "tab"}}}}}],
+          |      "slop": 3, "in_order": true}},
+          |   {"span_multi": {"match": {"wildcard": {"text": {"value": "quer?"}}}}}]}},
+          | "sort": ["doc_id"], "size": 1000}""".stripMargin)
+        .select(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), pos AS (
+             |  SELECT doc_id, unnest(w) AS term, unnest(range(1, len(w) + 1)) AS p
+             |  FROM toks)
+             |SELECT DISTINCT a.doc_id FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+             |WHERE a.term = 'spark' AND b.term LIKE 'tab%'
+             |  AND b.p > a.p AND b.p - a.p - 1 <= 3
+             |  AND EXISTS (SELECT 1 FROM pos c
+             |              WHERE c.doc_id = a.doc_id AND c.term LIKE 'quer_')
+             |ORDER BY a.doc_id LIMIT 1000""".stripMargin)),
   )
 }

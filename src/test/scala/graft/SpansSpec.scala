@@ -102,4 +102,41 @@ class SpansSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(out == Seq(1L))
   }
+
+  test("span_multi: prefix/wildcard/regexp standalone and inside span_near") {
+    import sp.implicits._
+    val df = Seq(
+      (1L, "spark writes table rows"),
+      (2L, "spark scans a big index table"),   // 'table' 4 past 'spark' (slop 4)
+      (3L, "tablet spark"),                    // prefix hit but wrong order
+      (4L, "spark query fast"))
+      .toDF("doc_id", "text")
+    def ids(body: String): Seq[Long] =
+      graft.dsl.EsQueryJson.search(df, body)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // standalone prefix: any token starting 'tab'
+    assert(ids("""{"query": {"span_multi": {"match": {"prefix": {"text": {"value": "tab"}}}}},
+                 | "sort": ["doc_id"]}""".stripMargin) == Seq(1L, 2L, 3L))
+    // standalone wildcard: whole-token match ('quer?' hits 'query' only)
+    assert(ids("""{"query": {"span_multi": {"match": {"wildcard": {"text": {"value": "quer?"}}}}},
+                 | "sort": ["doc_id"]}""".stripMargin) == Seq(4L))
+    // standalone regexp, anchored to the whole token
+    assert(ids("""{"query": {"span_multi": {"match": {"regexp": {"text": {"value": "tab(le|let)"}}}}},
+                 | "sort": ["doc_id"]}""".stripMargin) == Seq(1L, 2L, 3L))
+    // the regexp is whole-token anchored (ES semantics): a mid-token match
+    // like 'able' inside 'table' does NOT fire
+    assert(ids("""{"query": {"span_multi": {"match": {"regexp": {"text": {"value": "able"}}}}},
+                 | "sort": ["doc_id"]}""".stripMargin).isEmpty)
+    // inside span_near: in_order + slop bound the prefix side
+    assert(ids("""{"query": {"span_near": {
+                 |   "clauses": [{"span_term": {"text": "spark"}},
+                 |               {"span_multi": {"match": {"prefix": {"text": {"value": "tab"}}}}}],
+                 |   "slop": 1, "in_order": true}}, "sort": ["doc_id"]}""".stripMargin)
+      == Seq(1L)) // doc 2 needs slop 4, doc 3 is out of order
+    assert(ids("""{"query": {"span_near": {
+                 |   "clauses": [{"span_term": {"text": "spark"}},
+                 |               {"span_multi": {"match": {"prefix": {"text": {"value": "tab"}}}}}],
+                 |   "slop": 4, "in_order": false}}, "sort": ["doc_id"]}""".stripMargin)
+      == Seq(1L, 2L, 3L))
+  }
 }
