@@ -53,6 +53,19 @@ object EsDsl {
     size(array_intersect(TextKernels.englishTokens(text), lit(analyzed.toArray))) >= minShouldMatch
   }
 
+  /** B5 `match` with the opt-in `cjk` analyzer: the RAW query string (not
+    * pre-split terms — bigramming needs the original character runs) and
+    * the document both tokenize through [[graft.functions.TextKernels
+    * .analyzeCjk]] (latin words + overlapping CJK bigrams), so 中文 text is
+    * searchable without a segmenter, exactly ES 6.5's `cjk` analyzer
+    * shape. */
+  def matchQueryCjk(text: Column, query: String, minShouldMatch: Int = 1): Column = {
+    import graft.functions.TextKernels
+    val analyzed = TextKernels.analyzeCjk(query).distinct
+    require(analyzed.nonEmpty, s"cjk analyzer produced no tokens from: $query")
+    size(array_intersect(TextKernels.cjkTokens(text), lit(analyzed))) >= minShouldMatch
+  }
+
   /** B5 `multi_match` (best_fields-style predicate): the match fires if ANY
     * of the fields satisfies the term match. */
   def multiMatch(fields: Seq[Column], queryTerms: Seq[String], minShouldMatch: Int = 1): Column =
@@ -242,9 +255,8 @@ object EsDsl {
       round(max(value), 4).as("max_v"),
       round(sum(value), 4).as("sum_v"),
       round(avg(value), 6).as("avg_v"))
-  /** B10+ `extended_stats`: [[statsAgg]] plus sample variance / std-dev
-    * (6 dp — ES reports population moments; sample is the
-    * DuckDB-checkable twin, difference is the n/(n−1) factor). */
+  /** B10+ `extended_stats`: [[statsAgg]] plus POPULATION variance /
+    * std-dev (6 dp) — the moments ES 6.5 reports. */
   def extendedStatsAgg(df: DataFrame, groups: Seq[Column], value: Column): DataFrame =
     df.groupBy(groups: _*).agg(
       count(value).as("value_count"),
@@ -252,8 +264,8 @@ object EsDsl {
       round(max(value), 4).as("max_v"),
       round(sum(value), 4).as("sum_v"),
       round(avg(value), 6).as("avg_v"),
-      round(var_samp(value), 6).as("variance_v"),
-      round(stddev_samp(value), 6).as("stddev_v"))
+      round(var_pop(value), 6).as("variance_v"),
+      round(stddev_pop(value), 6).as("stddev_v"))
 
   /** B11 `cardinality` — HLL++ like ES; `rsd` mirrors the precision knob. */
   def cardinality(c: Column, rsd: Double = 0.05): Column = approx_count_distinct(c, rsd)

@@ -317,8 +317,19 @@ object EsQueryJson {
         val analyzer = if (v.isObject) Option(v.get("analyzer")).map(_.asText()) else None
         analyzer match {
           case Some("english") => EsDsl.matchQueryEnglish(field(f), text.split("\\s+").toSeq, msm)
+          case Some("cjk") =>
+            // operator:and counts ANALYZED tokens (bigrams), not the
+            // whitespace split the generic msm derivation uses
+            val opAnd = v.isObject &&
+              Option(v.get("operator")).map(_.asText()).contains("and")
+            val cjkMsm =
+              if (opAnd) graft.functions.TextKernels.analyzeCjk(text).distinct.length
+              else if (v.isObject)
+                Option(v.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
+              else 1
+            EsDsl.matchQueryCjk(field(f), text, cjkMsm)
           case Some(other) => throw new IllegalArgumentException(
-            s"unsupported analyzer: $other (only 'english' beyond the default)")
+            s"unsupported analyzer: $other (english and cjk beyond the default)")
           case None => EsDsl.matchQuery(field(f), text.split("\\s+").toSeq, msm)
         }
       case "match_phrase" =>
@@ -521,6 +532,8 @@ object EsQueryJson {
         val tiebreaks = sortSpecs.filter(_._1 != "_score").map(s => field(s._1))
         rescoredSearch(df0, q, r, tiebreaks)
       case (Some(q), _) if needsScore => scoredSearch(df0, q)
+      case (Some(q), _) if single(q)._1 == "common" =>
+        df0.filter(commonTermsPredicate(df0, q.get("common")))
       case (Some(q), _) => df0.filter(predicate(q))
       case (None, _) =>
         require(!needsScore, "_score sort / min_score requires a query")
@@ -627,6 +640,45 @@ object EsQueryJson {
         limited
       case None => limited
     }
+  }
+
+  /** ES `common` terms query (the pre-BM25 stopword-aware match): terms
+    * whose document frequency exceeds `cutoff_frequency` (a fraction of N
+    * when < 1, an absolute count when ≥ 1) are "high frequency" and stop
+    * filtering; the low-frequency terms form the required match
+    * (`low_freq_operator` and/or, `minimum_should_match.low_freq`). When
+    * EVERY term is high-frequency the high group becomes the query with
+    * `minimum_should_match.high_freq` (ES's all-stopwords fallback). The
+    * df fetch is one tiny scalar aggregate collected on the driver — the
+    * same coordinating-node step ES runs against its term dictionary —
+    * and the resulting predicate is an ordinary codegen'd token-set test.
+    * Supported at the top level of a search body (filter context). */
+  private def commonTermsPredicate(df: DataFrame, body: JsonNode): Column = {
+    val (f, spec) = single(body)
+    val v = spec.get("query").asText()
+    val terms = v.toLowerCase.split("\\s+").toSeq.distinct
+    val cutoff = Option(spec.get("cutoff_frequency")).map(_.asDouble()).getOrElse(0.01)
+    val toks = graft.ext.TextAnalysis.tokens(field(f))
+    val aggCols = count(lit(1)).cast("double").as("_n") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(toks, t), 1L).otherwise(0L)).cast("double").as(s"_df$i")
+      }
+    val r = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val n = r.getDouble(0)
+    val threshold = if (cutoff < 1.0) cutoff * n else cutoff
+    val isHigh = terms.indices.map(i => r.getDouble(i + 1) > threshold)
+    val low = terms.zip(isHigh).collect { case (t, false) => t }
+    val high = terms.zip(isHigh).collect { case (t, true) => t }
+    val lowOp = Option(spec.get("low_freq_operator")).map(_.asText()).getOrElse("or")
+    val msmNode = Option(spec.get("minimum_should_match"))
+    def msmOf(key: String, default: Int) = msmNode.flatMap(m =>
+      if (m.isObject) Option(m.get(key)).map(_.asInt()) else Some(m.asInt()))
+      .getOrElse(default)
+    if (low.nonEmpty)
+      EsDsl.matchQuery(field(f), low,
+        if (lowOp == "and") low.size else msmOf("low_freq", 1))
+    else
+      EsDsl.matchQuery(field(f), high, msmOf("high_freq", 1))
   }
 
   /** The `_score`-producing query kinds. `match` is Lucene-shaped BM25
@@ -1043,7 +1095,8 @@ object EsQueryJson {
       .getOrElse(throw new IllegalArgumentException("no aggs in body"))
     val entries = aggs.fields().asScala.toSeq.map(e => e.getKey -> e.getValue)
     // `sampler` ranks by relevance: score the scope when the query can
-    val wantsScore = entries.exists(_._2.has("sampler"))
+    val wantsScore = entries.exists(e =>
+      e._2.has("sampler") || e._2.has("diversified_sampler"))
     val scoped = Option(body.get("query")).map { q =>
       if (wantsScore && scoringKinds(single(q)._1)) scoredSearch(df, q)
       else df.filter(predicate(q))
@@ -1105,17 +1158,17 @@ object EsQueryJson {
       case "value_count" => Seq(aggName -> count(f))
       case "cardinality" => Seq(aggName -> EsDsl.cardinality(f))
       case "extended_stats" =>
-        // stats + sample variance/std-dev (6 dp both engines; ES reports
-        // population moments — sample is the DuckDB-checkable twin and the
-        // difference is n/(n−1), documented)
+        // stats + POPULATION variance/std-dev (6 dp both engines) — the
+        // exact ES-6.5 response moments (DuckDB var_pop/stddev_pop are the
+        // oracle twins; sample moments were the pre-round-8 interim)
         Seq(
           s"${aggName}_count" -> count(f),
           s"${aggName}_min" -> round(min(f), 4),
           s"${aggName}_max" -> round(max(f), 4),
           s"${aggName}_sum" -> round(sum(f), 4),
           s"${aggName}_avg" -> round(avg(f), 6),
-          s"${aggName}_variance" -> round(var_samp(f), 6),
-          s"${aggName}_std_deviation" -> round(stddev_samp(f), 6))
+          s"${aggName}_variance" -> round(var_pop(f), 6),
+          s"${aggName}_std_deviation" -> round(stddev_pop(f), 6))
       case "percentiles" =>
         val pcts = Option(spec.get("percents"))
           .map(_.elements().asScala.map(_.asDouble()).toSeq)
@@ -1405,6 +1458,29 @@ object EsQueryJson {
             df.orderBy(col("_score").desc, col(df.columns.head).asc)
           else df.orderBy(col(df.columns.head).asc)
         ordered.limit(shard)
+          .agg(count(lit(1)).as("doc_count"), ms.map { case (n, c) => c.as(n) }: _*)
+      case "diversified_sampler" =>
+        // sampler with a diversity constraint: at most `max_docs_per_value`
+        // docs per distinct `field` value enter the sample (ES's de-bias
+        // against one dominant key). Per-value cap = row_number over a
+        // window keyed by the field (bounded partitions — cardinality of
+        // the dedup field); the global top-shard_size is a sort-limit
+        // (TakeOrdered). Same determinism convention as `sampler`: score
+        // desc when present, doc-id (first column) tiebreak.
+        val shard = Option(spec.get("shard_size")).map(_.asInt()).getOrElse(100)
+        val maxPer = Option(spec.get("max_docs_per_value")).map(_.asInt()).getOrElse(1)
+        val divField = field(spec.get("field").asText())
+        val (ms, buckets, topHits, pipes) = subAggs(node)
+        require(buckets.isEmpty && topHits.isEmpty && pipes.isEmpty,
+          "diversified_sampler supports metric sub-aggs only")
+        val ord: Seq[Column] =
+          if (df.columns.contains("_score")) Seq(col("_score").desc, col(df.columns.head).asc)
+          else Seq(col(df.columns.head).asc)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(divField).orderBy(ord: _*)
+        df.withColumn("_dvs_rn", row_number().over(w))
+          .filter(col("_dvs_rn") <= maxPer)
+          .orderBy(ord: _*)
+          .limit(shard)
           .agg(count(lit(1)).as("doc_count"), ms.map { case (n, c) => c.as(n) }: _*)
       case "matrix_stats" =>
         // ES matrix_stats plugin: pairwise sample covariance + Pearson

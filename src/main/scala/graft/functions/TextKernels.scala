@@ -257,6 +257,60 @@ object TextKernels {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** ES `cjk` analyzer core: non-CJK alphanumeric runs become lowercased
+    * word tokens; runs of CJK codepoints (Han, Hiragana, Katakana, Hangul
+    * — the cjk_bigram filter's script set) become OVERLAPPING BIGRAMS, an
+    * isolated CJK char staying a unigram. This is how ES 6.5 makes CJK
+    * text searchable without a segmenter, and the reference indexes
+    * Chinese content (`README_zh.md`). Shared by the per-document kernel
+    * and the driver-side query analysis so both sides tokenize
+    * identically. */
+  private[graft] def analyzeCjk(s: String): Array[String] = {
+    val out = new java.util.ArrayList[String]()
+    val word = new java.lang.StringBuilder
+    val run = new java.util.ArrayList[String]()
+    def isCjk(cp: Int): Boolean = {
+      val b = Character.UnicodeBlock.of(cp)
+      b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+        b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS_EXTENSION_A ||
+        b == Character.UnicodeBlock.CJK_COMPATIBILITY_IDEOGRAPHS ||
+        b == Character.UnicodeBlock.HIRAGANA ||
+        b == Character.UnicodeBlock.KATAKANA ||
+        b == Character.UnicodeBlock.HANGUL_SYLLABLES
+    }
+    def flushWord(): Unit =
+      if (word.length > 0) { out.add(word.toString.toLowerCase); word.setLength(0) }
+    def flushRun(): Unit = {
+      val n = run.size()
+      if (n == 1) out.add(run.get(0))
+      else {
+        var i = 0
+        while (i + 1 < n) { out.add(run.get(i) + run.get(i + 1)); i += 1 }
+      }
+      run.clear()
+    }
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (isCjk(cp)) { flushWord(); run.add(new String(Character.toChars(cp))) }
+      else if (Character.isLetterOrDigit(cp)) { flushRun(); word.appendCodePoint(cp) }
+      else { flushWord(); flushRun() }
+      i += Character.charCount(cp)
+    }
+    flushWord(); flushRun()
+    out.toArray(new Array[String](out.size()))
+  }
+
+  /** [[analyzeCjk]] as a one-pass per-document kernel. */
+  case class CjkTokensKernel(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(in: Any): Any =
+      new GenericArrayData(analyzeCjk(in.asInstanceOf[UTF8String].toString)
+        .map(UTF8String.fromString(_: String)).toArray[Any])
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** DuckDB twin of [[EnglishTokensKernel]] over a `text` column ref. */
   def sqlEnglishTokens(textCol: String): String = {
     val stops = englishStopwordList.map(w => s"'$w'").mkString("[", ",", "]")
@@ -269,6 +323,7 @@ object TextKernels {
   }
 
   def englishTokens(text: Column): Column = column(EnglishTokensKernel(expression(text)))
+  def cjkTokens(text: Column): Column = column(CjkTokensKernel(expression(text)))
   def bigramFreqs(text: Column, phrases: Seq[String]): Column =
     column(BigramFreqsKernel(expression(text), phrases))
   def wordNgrams(text: Column, n: Int): Column = column(WordNgramsKernel(expression(text), n))

@@ -809,8 +809,8 @@ object TierB {
           |FROM sc WHERE score > 0
           |ORDER BY fscore DESC, doc_id LIMIT 30""".stripMargin)),
 
-    // ES extended_stats: stats + variance/std-dev per bucket (sample
-    // moments — the DuckDB-checkable twin of ES's population form).
+    // ES extended_stats: stats + variance/std-dev per bucket (POPULATION
+    // moments, the ES-6.5 response form).
     Q("a52_es_json_extended_stats",
       (s, d) => graft.dsl.EsQueryJson.aggregations(li(s, d),
         """{"aggs": {"qty": {"terms": {"field": "l_returnflag", "size": 10},
@@ -819,8 +819,8 @@ object TierB {
              |       count(l_quantity) AS st_count, round(min(l_quantity), 4) AS st_min,
              |       round(max(l_quantity), 4) AS st_max, round(sum(l_quantity), 4) AS st_sum,
              |       round(avg(l_quantity), 6) AS st_avg,
-             |       round(var_samp(l_quantity), 6) AS st_variance,
-             |       round(stddev_samp(l_quantity), 6) AS st_std_deviation
+             |       round(var_pop(l_quantity), 6) AS st_variance,
+             |       round(stddev_pop(l_quantity), 6) AS st_std_deviation
              |FROM lineitem GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
 
     // ES range agg: named price buckets (from inclusive, to exclusive)
@@ -2330,5 +2330,51 @@ object TierB {
              |  AND EXISTS (SELECT 1 FROM pos c
              |              WHERE c.doc_id = a.doc_id AND c.term LIKE 'quer_')
              |ORDER BY a.doc_id LIMIT 1000""".stripMargin)),
+
+    // diversified_sampler: the sampler agg with a per-value cap — at most
+    // max_docs_per_value docs per lang enter the top-shard_size sample
+    // (ES's de-bias against one dominant key).
+    Q("a109_es_json_diversified_sampler",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.documents(s, d),
+        """{"query": {"match": {"text": "spark"}},
+          | "aggs": {"sample": {"diversified_sampler": {
+          |     "shard_size": 10, "field": "lang", "max_docs_per_value": 2},
+          |   "aggs": {"avg_len": {"avg": {"field": "n_chars"}}}}}}""".stripMargin)("sample"),
+      Some(bm25Sql(Seq("spark"), extraCols = Seq("lang", "n_chars")) +
+        """
+          |SELECT count(*) AS doc_count, round(avg(n_chars), 6) AS avg_len
+          |FROM (
+          |  SELECT * FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn
+          |    FROM sc WHERE score > 0)
+          |  WHERE rn <= 2 ORDER BY score DESC, doc_id LIMIT 10)""".stripMargin)),
+
+    // ES `common` terms query: df-classified terms — high-frequency terms
+    // ('the', df ≈ 0.38N > cutoff 0.1) stop filtering, the low-frequency
+    // term ('dup') is required. The oracle re-derives the classification
+    // from the same dfs rather than hard-coding it.
+    Q("a110_es_json_common_terms",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"common": {"text": {
+          |   "query": "the dup", "cutoff_frequency": 0.1}}},
+          | "sort": ["doc_id"], "size": 1000}""".stripMargin)
+        .select(col("doc_id"), col("lang")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n,
+             |         CAST(sum(CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             |         CAST(sum(CASE WHEN list_contains(w, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+             |  FROM toks)
+             |SELECT doc_id, lang FROM toks CROSS JOIN st
+             |WHERE CASE WHEN df0 > 0.1 * n AND df1 > 0.1 * n
+             |       THEN (CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END
+             |           + CASE WHEN list_contains(w, 'dup') THEN 1 ELSE 0 END) >= 1
+             |       ELSE (CASE WHEN df0 <= 0.1 * n AND list_contains(w, 'the') THEN 1 ELSE 0 END
+             |           + CASE WHEN df1 <= 0.1 * n AND list_contains(w, 'dup') THEN 1 ELSE 0 END) >= 1
+             |      END
+             |ORDER BY doc_id LIMIT 1000""".stripMargin)),
   )
 }

@@ -236,9 +236,10 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     val out = EsQueryJson.aggregations(orders,
       """{"aggs": {"st": {"extended_stats": {"field": "o_totalprice"}}}}""")("st")
     val r = out.collect().head
+    // POPULATION moments — the ES-6.5 response form (round 8)
     val want = orders.agg(
-      round(var_samp(col("o_totalprice")), 6).as("v"),
-      round(stddev_samp(col("o_totalprice")), 6).as("s")).collect().head
+      round(var_pop(col("o_totalprice")), 6).as("v"),
+      round(stddev_pop(col("o_totalprice")), 6).as("s")).collect().head
     assert(out.columns.contains("value_variance") || out.columns.exists(_.endsWith("_variance")))
     val vIdx = out.columns.indexWhere(_.endsWith("_variance"))
     val sIdx = out.columns.indexWhere(_.endsWith("_std_deviation"))
@@ -944,5 +945,36 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException] {
       EsQueryJson.search(docs, """{"slice": {"id": 3, "max": 3, "field": "doc_id"}}""")
     }
+  }
+
+  test("cjk analyzer: overlapping bigrams make CJK text searchable") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "\u5927\u6570\u636e\u5904\u7406\u5f15\u64ce"),        // 大数据处理引擎
+      (2L, "spark \u6570\u636e\u5f15\u64ce"),                       // spark 数据引擎
+      (3L, "\u5c0f\u732b"),                                           // 小猫
+      (4L, "plain latin text"))
+      .toDF("doc_id", "text")
+    def ids(body: String): Seq[Long] =
+      EsQueryJson.search(df, body).select("doc_id").collect().map(_.getLong(0)).toSeq
+    // the bigram 数据 occurs in docs 1 and 2
+    assert(ids("""{"query": {"match": {"text": {"query": "\u6570\u636e", "analyzer": "cjk"}}},
+                 | "sort": ["doc_id"]}""".stripMargin) == Seq(1L, 2L))
+    // 处理引擎 analyzes to 3 bigrams; any-match hits 1 and 2, operator:and
+    // (every analyzed bigram) hits only the doc with the full run
+    assert(ids("""{"query": {"match": {"text": {"query": "\u5904\u7406\u5f15\u64ce", "analyzer": "cjk"}}},
+                 | "sort": ["doc_id"]}""".stripMargin) == Seq(1L, 2L))
+    assert(ids("""{"query": {"match": {"text": {"query": "\u5904\u7406\u5f15\u64ce", "analyzer": "cjk", "operator": "and"}}},
+                 | "sort": ["doc_id"]}""".stripMargin) == Seq(1L))
+    // mixed latin + CJK: the latin word tokenizes normally beside bigrams
+    assert(ids("""{"query": {"match": {"text": {"query": "spark \u5f15\u64ce", "analyzer": "cjk", "operator": "and"}}},
+                 | "sort": ["doc_id"]}""".stripMargin) == Seq(2L))
+    // the 2-char doc is found by its bigram; a single-char query emits a
+    // unigram which (as in ES cjk_bigram without output_unigrams) does NOT
+    // match bigram-indexed text
+    assert(ids("""{"query": {"match": {"text": {"query": "\u5c0f\u732b", "analyzer": "cjk"}}},
+                 | "sort": ["doc_id"]}""".stripMargin) == Seq(3L))
+    assert(ids("""{"query": {"match": {"text": {"query": "\u732b", "analyzer": "cjk"}}},
+                 | "sort": ["doc_id"]}""".stripMargin).isEmpty)
   }
 }
