@@ -224,6 +224,44 @@ object Similarity {
   /** C1d: embedding-cosine near-duplicate pairs (brute pairwise with the
     * id-ordered triangle — the exact ground truth / oracle twin;
     * [[embeddingNearDupsBanded]] is the production path). */
+  /** SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic dedup with
+    * the quadratic pairwise term bounded by CLUSTERING — exact cosine
+    * comparisons run only within a k-means cluster (the paper's trick: k
+    * scales the pairwise work down by ~k, so the job stays feasible at
+    * corpus scale where all-pairs is not). Pipeline, all deterministic so
+    * the oracle replays it end-to-end: [[kmeansFit]] centroids (broadcast)
+    * → nearest-centroid assignment with the same 6-dp-rounded distance +
+    * cluster tiebreak as the fit → within-cluster self-join on
+    * cos ≥ threshold (shuffle keyed by cluster, pairs bounded per
+    * cluster) → [[graft.ext.Dedup.connectedComponents]] closes duplicate
+    * groups under transitivity → the min-id member of each group is kept.
+    * Returns the KEPT (vec_id, cluster) rows. */
+  def semDedup(vecs: DataFrame, k: Int, iters: Int, threshold: Double): DataFrame = {
+    val base = Dedup.persistOnce(vecs.select(col("vec_id"), col("embedding"),
+      col("embedding").cast("array<double>").as("_v")))
+    val cents = broadcast(kmeansFit(base, col("vec_id"), col("embedding"), k, iters)
+      .select(col("cluster").as("_c"), col("centroid").as("cvec")))
+    val d2 = round(expr(
+      "aggregate(zip_with(_v, cvec, (x, y) -> (x - y) * (x - y)), 0.0d, (a, x) -> a + x)"), 6)
+    val assigned = Dedup.persistOnce(base.crossJoin(cents)
+      .withColumn("_d", d2)
+      .groupBy("vec_id")
+      .agg(min_by(col("_c"), struct(col("_d"), col("_c"))).as("cluster"),
+        first(col("embedding")).as("embedding")))
+    val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), norm(col("embedding")).as("na"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), norm(col("embedding")).as("nb"))
+    val edges = a.join(b, "cluster").filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"))
+    val dups = Dedup.connectedComponents(edges, "vec_a", "vec_b")
+      .filter(col("id") =!= col("cluster")).select(col("id").as("_dup"))
+    assigned.join(dups, col("vec_id") === col("_dup"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
+
   def embeddingNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
     val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       norm(col("embedding")).as("na"))

@@ -41,6 +41,36 @@ object TierC {
     s"round(${d(a, b)} / (sqrt(${d(a, a)}) * sqrt(${d(b, b)})), 6)"
   }
 
+  /** DuckDB replay of [[Similarity.kmeansFit]] (k clusters, hash-seeded
+    * init, 2 Lloyd rounds, 6-dp re-sync): CTE chain ending in
+    * `a2(vec_id, v, cluster)` (final assignment) and `c2(cluster, cvec)`
+    * (final centroids). Shared by c32 (fit output) and c36 (SemDeDup). */
+  private def kmeansSqlCtes(k: Int): String = {
+    val h = Hashing.sqlMd5Long60("CAST(vec_id AS VARCHAR)")
+    def dist(c: String) =
+      s"round(list_sum(list_transform(generate_series(1, len(v)), i -> (v[i] - $c.cvec[i]) * (v[i] - $c.cvec[i]))), 6)"
+    def assign(cents: String) =
+      s"""SELECT vec_id, v, cluster FROM (
+         |    SELECT vec_id, v, $cents.cluster AS cluster, ${dist(cents)} AS d
+         |    FROM v CROSS JOIN $cents)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1""".stripMargin
+    def update(asg: String) =
+      s"""SELECT cluster, list(m ORDER BY dim) AS cvec FROM (
+         |    SELECT cluster, dim, round(avg(x), 6) AS m FROM (
+         |      SELECT cluster, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x
+         |      FROM $asg) GROUP BY cluster, dim) GROUP BY cluster""".stripMargin
+    s"""v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |init AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY $h, vec_id) AS INT) AS cluster, v AS cvec
+       |  FROM v QUALIFY row_number() OVER (ORDER BY $h, vec_id) <= $k),
+       |a1 AS (${assign("init")}),
+       |c1 AS (${update("a1")}),
+       |a2 AS (${assign("c1")}),
+       |c2 AS (${update("a2")})""".stripMargin
+  }
+
   private val NUM_HASHES = 16
   private val BAND_SIZE = 2
 
@@ -989,35 +1019,48 @@ object TierC {
           concat_ws("|", transform(col("centroid"),
             x => format_string("%.6f", x + lit(0.0)))))
         .orderBy("cluster"),
-      Some {
-        val h = Hashing.sqlMd5Long60("CAST(vec_id AS VARCHAR)")
-        def dist(c: String) =
-          s"round(list_sum(list_transform(generate_series(1, len(v)), i -> (v[i] - $c.cvec[i]) * (v[i] - $c.cvec[i]))), 6)"
-        def assign(cents: String) =
-          s"""SELECT vec_id, v, cluster FROM (
-             |    SELECT vec_id, v, $cents.cluster AS cluster, ${dist(cents)} AS d
-             |    FROM v CROSS JOIN $cents)
-             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1""".stripMargin
-        def update(asg: String) =
-          s"""SELECT cluster, list(m ORDER BY dim) AS cvec FROM (
-             |    SELECT cluster, dim, round(avg(x), 6) AS m FROM (
-             |      SELECT cluster, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x
-             |      FROM $asg) GROUP BY cluster, dim) GROUP BY cluster""".stripMargin
-        s"""WITH v AS (
-           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           |  FROM embeddings),
-           |init AS (
-           |  SELECT CAST(row_number() OVER (ORDER BY $h, vec_id) AS INT) AS cluster, v AS cvec
-           |  FROM v QUALIFY row_number() OVER (ORDER BY $h, vec_id) <= 8),
-           |a1 AS (${assign("init")}),
-           |c1 AS (${update("a1")}),
-           |a2 AS (${assign("c1")}),
-           |c2 AS (${update("a2")}),
+      Some(
+        s"""WITH ${kmeansSqlCtes(8)},
            |n AS (SELECT cluster, count(*) AS n_assigned FROM a2 GROUP BY cluster)
            |SELECT c2.cluster, n_assigned,
            |       list_aggregate(list_transform(c2.cvec,
            |         x -> format('{:.6f}', x + 0.0)), 'string_agg', '|') AS centroid
-           |FROM c2 JOIN n USING (cluster) ORDER BY cluster""".stripMargin
-      }),
+           |FROM c2 JOIN n USING (cluster) ORDER BY cluster""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup with the quadratic
+    // pairwise term bounded by k-means clustering — exact cosine only
+    // WITHIN a cluster, duplicate groups closed transitively, min-id kept.
+    // The oracle replays the whole chain: k-means fit + assignment (the
+    // c32 CTEs), within-cluster cosine edges, recursive-CTE components.
+    Q("c36_semdedup",
+      (s, d) => Similarity.semDedup(Tables.embeddings(s, d),
+        k = 8, iters = 2, threshold = 0.45)
+        .orderBy("vec_id"),
+      Some(
+        s"""WITH RECURSIVE ${kmeansSqlCtes(8)},
+           |a3 AS (
+           |  SELECT vec_id, v, cluster FROM (
+           |    SELECT vec_id, v, c2.cluster AS cluster,
+           |           round(list_sum(list_transform(generate_series(1, len(v)), i -> (v[i] - c2.cvec[i]) * (v[i] - c2.cvec[i]))), 6) AS d
+           |    FROM v CROSS JOIN c2)
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1),
+           |edges AS (
+           |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |  FROM a3 x JOIN a3 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+           |  JOIN embeddings ea ON ea.vec_id = x.vec_id
+           |  JOIN embeddings eb ON eb.vec_id = y.vec_id
+           |  WHERE ${sqlCos("ea.embedding", "eb.embedding")} >= 0.45
+           |),
+           |e AS (SELECT vec_a AS src, vec_b AS dst FROM edges
+           |      UNION SELECT vec_b, vec_a FROM edges),
+           |reach(id, r) AS (
+           |  SELECT src AS id, src AS r FROM e
+           |  UNION
+           |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+           |),
+           |dup AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+           |SELECT vec_id, cluster FROM a3
+           |WHERE vec_id NOT IN (SELECT id FROM dup)
+           |ORDER BY vec_id""".stripMargin)),
   )
 }

@@ -977,4 +977,31 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(ids("""{"query": {"match": {"text": {"query": "\u732b", "analyzer": "cjk"}}},
                  | "sort": ["doc_id"]}""".stripMargin).isEmpty)
   }
+
+  test("round-8 operators keep distributed-safe plans") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // cross_fields: the shared stats frame broadcasts back (1-row), the
+    // corpus never cross-joins itself
+    val p102 = EsQueryJson.search(docs,
+      """{"query": {"multi_match": {"query": "spark src3", "fields": ["text", "source"],
+        |   "type": "cross_fields", "tie_breaker": 0.3, "operator": "and"}},
+        | "sort": ["_score", "doc_id"], "size": 20}""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(p102.contains("BroadcastNestedLoopJoin") || p102.contains("BroadcastExchange"))
+    assert(!p102.contains("CartesianProduct"))
+    // slice: a narrow filter over the scan — no shuffle at all
+    val p106 = EsQueryJson.search(docs,
+      """{"slice": {"id": 0, "max": 3, "field": "doc_id"}}""")
+      .queryExecution.executedPlan.toString
+    assert(!p106.contains("Exchange"))
+    // diversified_sampler: the per-value window is PARTITIONED (by lang),
+    // never a single-partition global window
+    val p109 = EsQueryJson.aggregations(docs,
+      """{"aggs": {"sample": {"diversified_sampler": {
+        |    "shard_size": 10, "field": "lang", "max_docs_per_value": 2},
+        |  "aggs": {"avg_len": {"avg": {"field": "n_chars"}}}}}}""".stripMargin)("sample")
+      .queryExecution.executedPlan.toString
+    val windowLines = p109.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("lang")))
+  }
 }

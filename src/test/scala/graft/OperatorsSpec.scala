@@ -575,4 +575,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2L) == (("one two three four", 4, 4L)))
     assert(!out.contains(3L))
   }
+
+  test("semDedup: within-cluster dedup keeps the min-id member of each near-set") {
+    val sp = spark
+    import sp.implicits._
+    // two planted duplicate groups (identical vectors -> cos 1.0, same
+    // cluster by construction) + distinct singles
+    def v(seed: Int): Seq[Float] = (0 until 8).map(i => (((seed * 31 + i * 7) % 13) - 6).toFloat)
+    val df = Seq(
+      (1L, v(1)), (7L, v(1)), (9L, v(1)),        // group A -> keep 1
+      (2L, v(2)), (8L, v(2)),                     // group B -> keep 2
+      (3L, v(3)), (4L, v(4)), (5L, v(5)))         // singles
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(df, k = 3, iters = 2, threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept.contains(1L) && !kept.contains(7L) && !kept.contains(9L))
+    assert(kept.contains(2L) && !kept.contains(8L))
+    assert(Seq(3L, 4L, 5L).forall(kept.contains))
+    // every vector appears exactly once across kept + deduped
+    assert(kept.size == 5)
+    // the pairwise join is keyed by cluster — never an all-pairs product
+    // of the corpus with itself (the broadcast-centroid BNLJ is k rows)
+    val plan = Similarity.semDedup(df, k = 3, iters = 2, threshold = 0.99)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"corpus cartesian in plan")
+  }
 }
