@@ -339,17 +339,23 @@ object EsQueryJson {
       case "multi_match" =>
         val fields = body.get("fields").elements().asScala.toSeq.map(f => field(f.asText()))
         val terms = body.get("query").asText().split("\\s+").toSeq
-        // cross_fields `operator: and` = every term in SOME field
-        // (term-centric); field-centric types leave msm within one field.
-        // In ES operator:and makes EVERY term a must regardless of any
-        // explicit minimum_should_match — and wins, msm is ignored.
-        val crossFields = Option(body.get("type")).map(_.asText()).contains("cross_fields")
-        val opAnd = Option(body.get("operator")).map(_.asText()).contains("and")
-        val msm =
-          if (crossFields && opAnd) terms.size
-          else Option(body.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
-        if (crossFields) EsDsl.multiMatchCrossFields(fields, terms, msm)
-        else EsDsl.multiMatch(fields, terms, msm)
+        val mmType = Option(body.get("type")).map(_.asText())
+        // type:phrase = match_phrase in ANY field (ES runs one phrase
+        // query per field, dis-max'd; as a predicate that's an OR)
+        if (mmType.contains("phrase")) fields.map(EsDsl.matchPhrase(_, terms)).reduce(_ || _)
+        else {
+          // cross_fields `operator: and` = every term in SOME field
+          // (term-centric); field-centric types leave msm within one field.
+          // In ES operator:and makes EVERY term a must regardless of any
+          // explicit minimum_should_match — and wins, msm is ignored.
+          val crossFields = mmType.contains("cross_fields")
+          val opAnd = Option(body.get("operator")).map(_.asText()).contains("and")
+          val msm =
+            if (crossFields && opAnd) terms.size
+            else Option(body.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
+          if (crossFields) EsDsl.multiMatchCrossFields(fields, terms, msm)
+          else EsDsl.multiMatch(fields, terms, msm)
+        }
       case "match_phrase_prefix" =>
         // phrase with the LAST term a prefix — the search-as-you-type
         // query. One-pass positional kernel ([[graft.functions.Spans
@@ -721,6 +727,16 @@ object EsQueryJson {
         val fs = body.get("fields").elements().asScala.map(_.asText()).toSeq
         val ts = body.get("query").asText().split("\\s+").toSeq
         val boost = Option(body.get("boost")).map(_.asDouble()).getOrElse(1.0)
+        if (Option(body.get("type")).map(_.asText()).contains("phrase")) {
+          // type:phrase scored: per-field phrase-frequency BM25, dis-max'd
+          // (best field wins, ES's per-field phrase run) — one corpus pass
+          // for all fields via the shared slot machinery
+          val (joined, scores, internals) =
+            EsDsl.bm25ScoresMixed(df, fs.map(f => EsDsl.PhraseBm25(field(f), ts)))
+          val best = if (scores.size == 1) scores.head else greatest(scores: _*)
+          return joined.withColumn("_score", round(boosted(boost, best), 6))
+            .filter(col("_score") > 0).drop(internals: _*)
+        }
         val crossFields = Option(body.get("type")).map(_.asText()).contains("cross_fields")
         // operator:and wins over an explicit minimum_should_match (ES: and
         // makes every term a must, msm is ignored)
@@ -1122,6 +1138,14 @@ object EsQueryJson {
           round(max(m), 4).cast("double").as("max"),
           round(avg(m), 6).cast("double").as("avg"),
           round(sum(m), 4).cast("double").as("sum"))
+        case "extended_stats_bucket" => src.agg(
+          count(m).as("count"),
+          round(min(m), 4).cast("double").as("min"),
+          round(max(m), 4).cast("double").as("max"),
+          round(avg(m), 6).cast("double").as("avg"),
+          round(sum(m), 4).cast("double").as("sum"),
+          round(var_pop(m), 6).cast("double").as("variance"),
+          round(stddev_pop(m), 6).cast("double").as("std_deviation"))
         case "avg_bucket" => src.agg(round(avg(m), 6).cast("double").as("value"))
         case "sum_bucket" => src.agg(round(sum(m), 4).cast("double").as("value"))
         case "max_bucket" => src.agg(round(max(m), 4).cast("double").as("value"))
@@ -1280,6 +1304,7 @@ object EsQueryJson {
   /** Sibling pipeline aggs: a scalar over another agg's bucket metrics. */
   private val siblingPipelineKinds =
     Set("avg_bucket", "sum_bucket", "max_bucket", "min_bucket", "stats_bucket",
+      "extended_stats_bucket",
       "percentiles_bucket")
 
   /** Split a node's sub-`aggs` into metric columns, nested bucket entries,
@@ -1401,8 +1426,9 @@ object EsQueryJson {
           "global supports metric sub-aggs only")
         val cols = ms.map { case (n, c) => c.as(n) }
         bg.agg(count(lit(1)).as("doc_count"), cols: _*)
-      case "range" => rangeAgg(df, node, dateRange = false)
-      case "date_range" => rangeAgg(df, node, dateRange = true)
+      case "range" => rangeAgg(df, node, "range")
+      case "date_range" => rangeAgg(df, node, "date_range")
+      case "geo_distance" => rangeAgg(df, node, "geo_distance")
       case "adjacency_matrix" => adjacencyMatrixAgg(df, spec)
       case "nested" =>
         // ES nested agg: sub-aggs over the CHILD docs of an array-of-
@@ -1436,6 +1462,17 @@ object EsQueryJson {
             .orderBy(desc("doc_count"), col("key"))
             .limit(l.termsSize.getOrElse(10))
         } else oneAgg(exploded, exploded, bName, bNode)
+      case "children" =>
+        // ES parent-join `children` agg: sub-aggs switch scope to the
+        // CHILD docs. In the array-of-struct data shape (`has_child`, b24)
+        // this is the nested agg with `type` naming the child column —
+        // one explode, then the normal agg walk with `type.member` names
+        // resolving into the exploded struct. doc_count counts children.
+        val ctype = spec.get("type").asText()
+        val exploded = df.withColumn(ctype, explode(col(ctype)))
+        val inner = Option(node.get("aggs")).map(_.fields().asScala.toSeq).getOrElse(Seq.empty)
+        require(inner.size == 1, s"children agg needs exactly one sub-agg, got ${inner.size}")
+        oneAgg(exploded, exploded, inner.head.getKey, inner.head.getValue)
       case "missing" =>
         // bucket of docs where the field is null + metric sub-aggs
         val (ms, buckets, topHits, pipes) = subAggs(node)
@@ -1778,10 +1815,22 @@ object EsQueryJson {
     * (ES allows OVERLAPPING ranges — conditional counts handle that where
     * a CASE-assigned bucket id could not). Default bucket key is
     * `from-to` with `*` for an open bound; a `key` in the range spec
-    * overrides it. */
-  private def rangeAgg(df: DataFrame, node: JsonNode, dateRange: Boolean): DataFrame = {
-    val spec = node.get(if (dateRange) "date_range" else "range")
-    val f = field(spec.get("field").asText())
+    * overrides it. `geo_distance` is the same machinery over a computed
+    * ring value — haversine km from `origin` ([[Geo.haversineKm]], 4 dp
+    * like the geo_distance query, so ring membership is engine-stable). */
+  private def rangeAgg(df: DataFrame, node: JsonNode, kind: String): DataFrame = {
+    val dateRange = kind == "date_range"
+    val spec = node.get(kind)
+    val f = kind match {
+      case "geo_distance" =>
+        val fld0 = spec.get("field").asText()
+        val o = spec.get("origin")
+        val unit = Option(spec.get("unit")).map(_.asText()).getOrElse("km")
+        require(unit == "km", s"geo_distance agg supports km, got $unit")
+        Geo.haversineKm(field(s"${fld0}_lat"), field(s"${fld0}_lon"),
+          lit(o.get("lat").asDouble()), lit(o.get("lon").asDouble()))
+      case _ => field(spec.get("field").asText())
+    }
     val ranges = spec.get("ranges").elements().asScala.toSeq
     val buckets = ranges.map { r =>
       def bound(nm: String): Option[Column] = Option(r.get(nm)).map(n =>

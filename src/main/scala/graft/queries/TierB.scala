@@ -2376,5 +2376,108 @@ object TierB {
              |           + CASE WHEN df1 <= 0.1 * n AND list_contains(w, 'dup') THEN 1 ELSE 0 END) >= 1
              |      END
              |ORDER BY doc_id LIMIT 1000""".stripMargin)),
+
+    // extended_stats_bucket sibling: population variance/std-dev over a
+    // date_histogram's monthly revenue sums (the coordinator-side scalar).
+    Q("a111_es_json_extended_stats_bucket",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"by_m": {"date_histogram": {"field": "o_orderdate", "interval": "month"},
+          |   "aggs": {"rev": {"sum": {"field": "o_totalprice"}}}},
+          | "st": {"extended_stats_bucket": {"buckets_path": "by_m>rev"}}}}""".stripMargin)("st"),
+      Some("""WITH m AS (
+             |  SELECT date_trunc('month', o_orderdate) AS mth, round(sum(o_totalprice), 4) AS rev
+             |  FROM orders GROUP BY mth)
+             |SELECT count(rev) AS count, round(min(rev), 4) AS min, round(max(rev), 4) AS max,
+             |       round(avg(rev), 6) AS avg, round(sum(rev), 4) AS sum,
+             |       round(var_pop(rev), 6) AS variance, round(stddev_pop(rev), 6) AS std_deviation
+             |FROM m""".stripMargin)),
+
+    // geo_distance agg: ring buckets of haversine km from an origin over
+    // the md5-derived coords, with a per-ring metric — the range-agg
+    // machinery over a computed ring value, one conditional-agg pass.
+    Q("a112_es_json_geo_distance_agg",
+      (s, d) => {
+        val df = graft.dsl.Geo.withDerivedCoords(
+          Tables.customer(s, d), col("c_custkey"), "location")
+        graft.dsl.EsQueryJson.aggregations(df,
+          """{"aggs": {"rings": {"geo_distance": {
+            |    "field": "location", "origin": {"lat": 0, "lon": 0}, "unit": "km",
+            |    "ranges": [{"key": "near", "to": 5000},
+            |               {"key": "mid", "from": 5000, "to": 10000},
+            |               {"key": "far", "from": 10000}]},
+            |  "aggs": {"avg_bal": {"avg": {"field": "c_acctbal"}}}}}}""".stripMargin)("rings")
+      },
+      // NB: derive lat/lon in a CTE first — sqlDerivedLat ends in an
+      // unparenthesized `- 85.0`, so inlining it into haversine's
+      // `$lat2 - $lat1` slots flips the sign of the offset.
+      Some(s"""WITH p AS (
+             |  SELECT c_acctbal, ${graft.dsl.Geo.sqlDerivedLat("c_custkey")} AS lat,
+             |         ${graft.dsl.Geo.sqlDerivedLon("c_custkey")} AS lon
+             |  FROM customer
+             |), g AS (
+             |  SELECT c_acctbal,
+             |         ${graft.dsl.Geo.sqlHaversineKm("lat", "lon", "0.0", "0.0")} AS dkm
+             |  FROM p)
+             |SELECT 'near' AS key, count(CASE WHEN dkm < 5000 THEN 1 END) AS doc_count,
+             |       round(avg(CASE WHEN dkm < 5000 THEN c_acctbal END), 6) AS avg_bal FROM g
+             |UNION ALL
+             |SELECT 'mid', count(CASE WHEN dkm >= 5000 AND dkm < 10000 THEN 1 END),
+             |       round(avg(CASE WHEN dkm >= 5000 AND dkm < 10000 THEN c_acctbal END), 6) FROM g
+             |UNION ALL
+             |SELECT 'far', count(CASE WHEN dkm >= 10000 THEN 1 END),
+             |       round(avg(CASE WHEN dkm >= 10000 THEN c_acctbal END), 6) FROM g
+             |ORDER BY key""".stripMargin)),
+
+    // children agg (parent-join agg form): sub-aggs switch scope to the
+    // child docs — top child quantities by child doc_count under the
+    // array-of-struct shape.
+    Q("a113_es_json_children_agg",
+      (s, d) => {
+        val items = li(s, d).groupBy(col("l_orderkey"))
+          .agg(collect_list(struct(col("l_quantity"))).as("item"))
+        val df = ord(s, d).select("o_orderkey", "o_orderstatus")
+          .join(items, col("o_orderkey") === col("l_orderkey"), "left").drop("l_orderkey")
+        graft.dsl.EsQueryJson.aggregations(df,
+          """{"aggs": {"kids": {"children": {"type": "item"},
+            |  "aggs": {"qty": {"terms": {"field": "item.l_quantity", "size": 5}}}}}}""".stripMargin)("kids")
+      },
+      Some("""SELECT l_quantity AS key, count(*) AS doc_count FROM lineitem
+             |GROUP BY key ORDER BY doc_count DESC, key LIMIT 5""".stripMargin)),
+
+    // multi_match type:phrase — per-field phrase-frequency BM25, best
+    // field wins (ES runs one phrase query per field, dis-max'd).
+    Q("a114_es_json_multi_match_phrase",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"multi_match": {"query": "the data",
+          |   "fields": ["text", "source"], "type": "phrase"}},
+          | "sort": ["_score", "doc_id"], "size": 20}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS wt,
+             |         list_filter(string_split_regex(lower(source), '\W+'), x -> x <> '') AS ws
+             |  FROM documents
+             |), f AS (
+             |  SELECT doc_id,
+             |         CAST(len(list_filter(generate_series(1, len(wt)-1),
+             |                i -> wt[i] = 'the' AND wt[i+1] = 'data')) AS DOUBLE) AS pt,
+             |         CAST(len(list_filter(generate_series(1, len(ws)-1),
+             |                i -> ws[i] = 'the' AND ws[i+1] = 'data')) AS DOUBLE) AS ps,
+             |         CAST(len(wt) AS DOUBLE) AS dlt, CAST(len(ws) AS DOUBLE) AS dls
+             |  FROM t
+             |), st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dlt) AS avgdlt, avg(dls) AS avgdls,
+             |         CAST(sum(CASE WHEN pt > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dft,
+             |         CAST(sum(CASE WHEN ps > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfs
+             |  FROM f
+             |), sc AS (
+             |  SELECT doc_id,
+             |         ln(1 + (n - dft + 0.5)/(dft + 0.5)) * (pt*(1.2+1))/(pt + 1.2*(1 - 0.75 + 0.75*dlt/avgdlt)) AS ct,
+             |         ln(1 + (n - dfs + 0.5)/(dfs + 0.5)) * (ps*(1.2+1))/(ps + 1.2*(1 - 0.75 + 0.75*dls/avgdls)) AS cs
+             |  FROM f CROSS JOIN st
+             |)
+             |SELECT doc_id, round(greatest(ct, cs), 6) AS score FROM sc
+             |WHERE round(greatest(ct, cs), 6) > 0
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
   )
 }
