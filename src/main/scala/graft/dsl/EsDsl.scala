@@ -234,6 +234,30 @@ object EsDsl {
       .orderBy(desc("score"), col("doc_id")).limit(topN)
   }
 
+  /** [[moreLikeThis]] with FULL BM25 scoring (what ES actually runs —
+    * [[moreLikeThis]] remains the exact-integer oracle twin). Same
+    * ES-faithful term selection; the selected terms are SORTED so the
+    * per-term score sum folds left-to-right over a deterministic term
+    * order — an oracle can reproduce the double bit-for-bit with the same
+    * ordered fold (list_reduce over a term-sorted list), which is what
+    * made data-dependent-term BM25 hash-safe (zero-tf terms contribute an
+    * exact +0.0 and cannot perturb the sum). One corpus pass via
+    * [[bm25Scores]]; the only driver-side step is the k-term query
+    * construction ES's coordinator also performs. */
+  def moreLikeThisBm25(docs: DataFrame, idCol: Column, text: Column, likeId: Long,
+                       maxQueryTerms: Int = 5, topN: Int = 20,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = graft.ext.TextAnalysis.tfIdfTopK(docs, idCol, text, maxQueryTerms)
+      .filter(col("doc_id") === likeId)
+      .collect().map(_.getAs[String]("term")).toSeq.sorted
+    require(terms.nonEmpty, s"more_like_this: source doc $likeId has no terms")
+    val (joined, scores, internals) = bm25Scores(docs, Seq(text -> terms), k1, b)
+    joined.withColumn("_score", round(scores.head, 6))
+      .filter(col("_score") > 0 && idCol =!= likeId)
+      .select(idCol.as("doc_id"), col("_score").as("score"))
+      .orderBy(desc("score"), col("doc_id")).limit(topN)
+  }
+
   // ---- search body ----------------------------------------------------
   /** B8 `from`/`size` + `sort` — deterministic pagination (caller supplies
     * a total order, usually with an id tiebreak). */

@@ -1299,7 +1299,7 @@ object EsQueryJson {
     * over the returned buckets, so the single-partition window sees only
     * the bounded bucket set, never raw rows). */
   private val bucketPipelineKinds =
-    Set("cumulative_sum", "derivative", "moving_avg", "serial_diff", "bucket_sort",
+    Set("cumulative_sum", "derivative", "moving_avg", "moving_fn", "serial_diff", "bucket_sort",
       "bucket_script", "bucket_selector")
   /** Sibling pipeline aggs: a scalar over another agg's bucket metrics. */
   private val siblingPipelineKinds =
@@ -1429,6 +1429,7 @@ object EsQueryJson {
       case "range" => rangeAgg(df, node, "range")
       case "date_range" => rangeAgg(df, node, "date_range")
       case "geo_distance" => rangeAgg(df, node, "geo_distance")
+      case "ip_range" => rangeAgg(df, node, "ip_range")
       case "adjacency_matrix" => adjacencyMatrixAgg(df, spec)
       case "nested" =>
         // ES nested agg: sub-aggs over the CHILD docs of an array-of-
@@ -1473,6 +1474,36 @@ object EsQueryJson {
         val inner = Option(node.get("aggs")).map(_.fields().asScala.toSeq).getOrElse(Seq.empty)
         require(inner.size == 1, s"children agg needs exactly one sub-agg, got ${inner.size}")
         oneAgg(exploded, exploded, inner.head.getKey, inner.head.getValue)
+      case "auto_date_histogram" =>
+        // ES 6.1+ auto_date_histogram: pick the coarsest-necessary
+        // rounding from a fixed ladder so the SPANNED bucket count (empty
+        // buckets included — ES merges rounded buckets as it collects)
+        // stays ≤ `buckets` (default 10). Ladder here: day → month → year,
+        // the calendar rungs a DATE field can need (ES's finer
+        // second/minute/hour rungs serve sub-day timestamps). The min/max
+        // fetch is one 1-row aggregate — the same bounded coordinator-side
+        // step as the terms-lookup fetch; everything after is one
+        // date_trunc groupBy, identical plan shape to date_histogram.
+        val f = field(spec.get("field").asText())
+        val target = Option(spec.get("buckets")).map(_.asInt()).getOrElse(10)
+        val (ms2, buckets2, topHits2, pipes2) = subAggs(node)
+        require(buckets2.isEmpty && topHits2.isEmpty && pipes2.isEmpty,
+          "auto_date_histogram supports metric sub-aggs only")
+        val mm = df.agg(min(f).cast("date").as("mn"), max(f).cast("date").as("mx"))
+          .collect().head
+        val (mn, mx) = (mm.getDate(0).toLocalDate, mm.getDate(1).toLocalDate)
+        val days = java.time.temporal.ChronoUnit.DAYS.between(mn, mx) + 1
+        val months = (mx.getYear - mn.getYear) * 12L + (mx.getMonthValue - mn.getMonthValue) + 1
+        val unit =
+          if (days <= target) "day"
+          else if (months <= target) "month"
+          else "year"
+        val cols2 = ms2.map { case (n2, c) => c.as(n2) }
+        df.groupBy(EsDsl.dateHistogramBucket(f, unit).as("key"))
+          .agg(count(lit(1)).as("doc_count"), cols2: _*)
+          .withColumn("interval", lit(
+            unit match { case "day" => "1d"; case "month" => "1M"; case _ => "1y" }))
+          .orderBy("key")
       case "missing" =>
         // bucket of docs where the field is null + metric sub-aggs
         val (ms, buckets, topHits, pipes) = subAggs(node)
@@ -1727,6 +1758,26 @@ object EsQueryJson {
             case other => throw new IllegalArgumentException(
               s"unsupported moving_avg model: $other")
           }
+        case "moving_fn" =>
+          // ES 6.4+ moving_fn: a whitelisted MovingFunctions.<fn>(values)
+          // script over a sliding window that by default EXCLUDES the
+          // current bucket (shift 0 → frame [-window, -1]; shift = window
+          // is moving_avg's trailing-inclusive frame). Each fn maps to the
+          // matching SQL window aggregate — no interpreter.
+          val n = spec.get("window").asInt()
+          val shift = Option(spec.get("shift")).map(_.asInt()).getOrElse(0)
+          val frame = wOrd.rowsBetween(-n + shift, shift - 1)
+          val script = spec.get("script").asText().trim
+          val fnName = "MovingFunctions\\.(\\w+)\\(values.*".r
+          out = out.withColumn(nm, script match {
+            case fnName("max") => round(max(path).over(frame), 4).cast("double")
+            case fnName("min") => round(min(path).over(frame), 4).cast("double")
+            case fnName("sum") => round(sum(path).over(frame), 4).cast("double")
+            case fnName("unweightedAvg") => round(avg(path).over(frame), 6).cast("double")
+            case fnName("stdDev") => round(stddev_pop(path).over(frame), 6).cast("double")
+            case other => throw new IllegalArgumentException(
+              s"unsupported moving_fn script: $other")
+          })
         case "bucket_script" | "bucket_selector" =>
           // painless-arithmetic subset: `params.<name>` refs bind to the
           // buckets_path metric columns, the rest must be plain
@@ -1817,7 +1868,9 @@ object EsQueryJson {
     * `from-to` with `*` for an open bound; a `key` in the range spec
     * overrides it. `geo_distance` is the same machinery over a computed
     * ring value — haversine km from `origin` ([[Geo.haversineKm]], 4 dp
-    * like the geo_distance query, so ring membership is engine-stable). */
+    * like the geo_distance query, so ring membership is engine-stable).
+    * `ip_range` compares the numeric address ([[Net.aton]]) and also
+    * accepts ES's `mask` (CIDR) bucket form. */
   private def rangeAgg(df: DataFrame, node: JsonNode, kind: String): DataFrame = {
     val dateRange = kind == "date_range"
     val spec = node.get(kind)
@@ -1829,17 +1882,28 @@ object EsQueryJson {
         require(unit == "km", s"geo_distance agg supports km, got $unit")
         Geo.haversineKm(field(s"${fld0}_lat"), field(s"${fld0}_lon"),
           lit(o.get("lat").asDouble()), lit(o.get("lon").asDouble()))
+      case "ip_range" => Net.aton(field(spec.get("field").asText()))
       case _ => field(spec.get("field").asText())
     }
     val ranges = spec.get("ranges").elements().asScala.toSeq
     val buckets = ranges.map { r =>
       def bound(nm: String): Option[Column] = Option(r.get(nm)).map(n =>
-        if (dateRange) to_timestamp(lit(n.asText())) else litOf(n))
+        if (dateRange) to_timestamp(lit(n.asText()))
+        else if (kind == "ip_range") lit(Net.ipToLong(n.asText()))
+        else litOf(n))
       def txt(nm: String): String = Option(r.get(nm)).map(_.asText()).getOrElse("*")
       val key = Option(r.get("key")).map(_.asText()).getOrElse(s"${txt("from")}-${txt("to")}")
-      val pred = Seq(bound("from").map(f >= _), bound("to").map(f < _))
-        .flatten.reduceOption(_ && _).getOrElse(lit(true))
-      key -> pred
+      val pred = Option(r.get("mask")) match {
+        case Some(m) => // CIDR bucket: [network base, broadcast+1)
+          require(kind == "ip_range", "mask ranges are ip_range-only")
+          val (lo, hi) = Net.cidrRange(m.asText())
+          f >= lo && f < hi
+        case None => Seq(bound("from").map(f >= _), bound("to").map(f < _))
+          .flatten.reduceOption(_ && _).getOrElse(lit(true))
+      }
+      val keyed = Option(r.get("key")).map(_.asText())
+        .orElse(Option(r.get("mask")).map(_.asText())).getOrElse(key)
+      keyed -> pred
     }
     require(buckets.map(_._1).distinct.size == buckets.size,
       s"range bucket keys must be unique, got ${buckets.map(_._1)}")

@@ -121,6 +121,27 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("cross_entropy"))
   }
 
+  /** One BPE-training iteration, distributed (Sennrich et al. 2016 — the
+    * merge-pair count GPT-2-style tokenizer training repeats): word
+    * frequencies (ONE corpus-sized hash agg), then adjacent-symbol-pair
+    * counts weighted by word frequency. The pair explode runs over the
+    * DISTINCT-word table — vocabulary-sized, not corpus-sized — so the
+    * per-word HOF costs nothing at scale; the corpus-proportional work is
+    * the single word-count agg. Pairs use the "a b" space-joined BPE
+    * convention; single-char words carry no pairs and are filtered before
+    * the explode. */
+  def bpePairCounts(docs: DataFrame, text: Column, k: Int): DataFrame = {
+    val wf = docs.select(explode(tokens(text)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    wf.filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, length(word) - 1),
+          |  i -> concat(substring(word, i, 1), ' ', substring(word, i + 1, 1)))""".stripMargin))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("freq"))
+      .orderBy(desc("freq"), col("pair")).limit(k)
+  }
+
   /** tf-idf: top-`k` terms per document (natural-log idf). Two hash
     * aggregations + a broadcast of the doc count; the per-doc top-k is a
     * bounded window (AQE handles skewed terms). */

@@ -2479,5 +2479,115 @@ object TierB {
              |SELECT doc_id, round(greatest(ct, cs), 6) AS score FROM sc
              |WHERE round(greatest(ct, cs), 6) > 0
              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // moving_fn (ES 6.4+): whitelisted MovingFunctions scripts over a
+    // sliding bucket window that by default EXCLUDES the current bucket
+    // (shift 0); shift=window gives moving_avg's trailing-inclusive frame.
+    Q("a115_es_json_moving_fn",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"by_m": {"date_histogram": {"field": "o_orderdate", "interval": "month"},
+          |  "aggs": {"rev": {"sum": {"field": "o_totalprice"}},
+          |    "prev_max": {"moving_fn": {"buckets_path": "rev", "window": 3,
+          |                 "script": "MovingFunctions.max(values)"}},
+          |    "trail_sd": {"moving_fn": {"buckets_path": "rev", "window": 3, "shift": 1,
+          |                 "script": "MovingFunctions.stdDev(values, MovingFunctions.unweightedAvg(values))"}}}}}}""".stripMargin)("by_m"),
+      Some("""WITH m AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS key,
+             |         count(*) AS doc_count, round(sum(o_totalprice), 4) AS rev
+             |  FROM orders GROUP BY key)
+             |SELECT key, doc_count, rev,
+             |       CAST(round(max(rev) OVER (ORDER BY key ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS DOUBLE) AS prev_max,
+             |       CAST(round(stddev_pop(rev) OVER (ORDER BY key ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS DOUBLE) AS trail_sd
+             |FROM m ORDER BY key""".stripMargin)),
+
+    // auto_date_histogram (ES 6.1+): the engine picks the coarsest rung of
+    // the day→month→year ladder that keeps the spanned bucket count ≤
+    // `buckets` (orders spans ~83 months, so 100 → month), and reports the
+    // chosen interval alongside the buckets.
+    Q("a116_es_json_auto_date_histogram",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"auto": {"auto_date_histogram": {"field": "o_orderdate", "buckets": 100},
+          |  "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}}}}}""".stripMargin)("auto"),
+      Some("""WITH s AS (SELECT min(o_orderdate) AS mn, max(o_orderdate) AS mx FROM orders),
+             |u AS (SELECT CASE WHEN date_diff('day', mn, mx) + 1 <= 100 THEN 'day'
+             |                  WHEN (year(mx) - year(mn)) * 12 + (month(mx) - month(mn)) + 1 <= 100 THEN 'month'
+             |                  ELSE 'year' END AS unit FROM s)
+             |SELECT CAST(CASE (SELECT unit FROM u)
+             |         WHEN 'day' THEN date_trunc('day', o_orderdate)
+             |         WHEN 'month' THEN date_trunc('month', o_orderdate)
+             |         ELSE date_trunc('year', o_orderdate) END AS TIMESTAMP) AS key,
+             |       count(*) AS doc_count, round(avg(o_totalprice), 6) AS avg_price,
+             |       CASE (SELECT unit FROM u) WHEN 'day' THEN '1d' WHEN 'month' THEN '1M' ELSE '1y' END AS interval
+             |FROM orders GROUP BY key, interval ORDER BY key""".stripMargin)),
+
+    // ip_range agg over a derived ip field: from/to buckets PLUS ES's CIDR
+    // `mask` form, numeric-address compare ([[graft.dsl.Net.aton]]), with a
+    // per-bucket metric — ES allows the overlap (mask ⊂ low), conditional
+    // counts handle it.
+    Q("a117_es_json_ip_range",
+      (s, d) => {
+        val df = graft.dsl.Net.withDerivedIp(Tables.customer(s, d), col("c_custkey"), "ip")
+        graft.dsl.EsQueryJson.aggregations(df,
+          """{"aggs": {"ips": {"ip_range": {"field": "ip",
+            |    "ranges": [{"key": "low", "to": "64.0.0.0"},
+            |               {"key": "mid", "from": "64.0.0.0", "to": "192.0.0.0"},
+            |               {"mask": "10.0.0.0/8"},
+            |               {"key": "high", "from": "192.0.0.0"}]},
+            |  "aggs": {"bal": {"avg": {"field": "c_acctbal"}}}}}}""".stripMargin)("ips")
+      },
+      Some(s"""WITH g AS (
+             |  SELECT c_acctbal,
+             |         (${graft.functions.Hashing.sqlMd5Long60("'ip:' || CAST(c_custkey AS VARCHAR)")} % 4294967296) AS ipl
+             |  FROM customer)
+             |SELECT '10.0.0.0/8' AS key, count(CASE WHEN ipl >= 167772160 AND ipl < 184549376 THEN 1 END) AS doc_count,
+             |       round(avg(CASE WHEN ipl >= 167772160 AND ipl < 184549376 THEN c_acctbal END), 6) AS bal FROM g
+             |UNION ALL
+             |SELECT 'high', count(CASE WHEN ipl >= 3221225472 THEN 1 END),
+             |       round(avg(CASE WHEN ipl >= 3221225472 THEN c_acctbal END), 6) FROM g
+             |UNION ALL
+             |SELECT 'low', count(CASE WHEN ipl < 1073741824 THEN 1 END),
+             |       round(avg(CASE WHEN ipl < 1073741824 THEN c_acctbal END), 6) FROM g
+             |UNION ALL
+             |SELECT 'mid', count(CASE WHEN ipl >= 1073741824 AND ipl < 3221225472 THEN 1 END),
+             |       round(avg(CASE WHEN ipl >= 1073741824 AND ipl < 3221225472 THEN c_acctbal END), 6) FROM g
+             |ORDER BY key""".stripMargin)),
+
+    // more_like_this with FULL BM25 scoring (what ES runs; a38 is the
+    // exact-integer constant-idf twin). Hash-safe despite data-dependent
+    // query terms: both engines fold per-term contributions left-to-right
+    // over the SAME sorted term order (Spark: sorted column sum; DuckDB:
+    // list_reduce over a term-ordered list), and a zero-tf term adds an
+    // exact +0.0, so the doubles match bit-for-bit.
+    Q("a118_more_like_this_bm25",
+      (s, d) => EsDsl.moreLikeThisBm25(Tables.documents(s, d),
+        col("doc_id"), col("text"), likeId = 7L, maxQueryTerms = 5, topN = 20),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents),
+             |td AS (SELECT doc_id, unnest(w) AS term FROM toks),
+             |tf0 AS (SELECT doc_id, term, count(*) AS tf FROM td GROUP BY doc_id, term),
+             |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM td GROUP BY term),
+             |nn AS (SELECT count(*) AS n_docs FROM documents),
+             |sc0 AS (SELECT doc_id, term, round(tf * ln(n_docs*1.0/df), 6) AS tfidf
+             |        FROM tf0 JOIN dfq USING (term) CROSS JOIN nn),
+             |r AS (SELECT doc_id, term,
+             |             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+             |      FROM sc0),
+             |q AS (SELECT term FROM r WHERE doc_id = 7 AND rn <= 5),
+             |dls AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dls),
+             |c AS (SELECT d.doc_id, q.term,
+             |             ln(1 + (st.n - dfq.df + 0.5)/(dfq.df + 0.5))
+             |               * (COALESCE(tf0.tf, 0)*(1.2+1))
+             |               / (COALESCE(tf0.tf, 0) + 1.2*(1 - 0.75 + 0.75*d.dl/st.avgdl)) AS contrib
+             |      FROM dls d CROSS JOIN q
+             |      JOIN dfq ON dfq.term = q.term CROSS JOIN st
+             |      LEFT JOIN tf0 ON tf0.doc_id = d.doc_id AND tf0.term = q.term),
+             |s AS (SELECT doc_id,
+             |             list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS raw
+             |      FROM c GROUP BY doc_id)
+             |SELECT doc_id, round(raw, 6) AS score FROM s
+             |WHERE round(raw, 6) > 0 AND doc_id <> 7
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
   )
 }

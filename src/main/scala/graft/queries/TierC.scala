@@ -1062,5 +1062,79 @@ object TierC {
            |SELECT vec_id, cluster FROM a3
            |WHERE vec_id NOT IN (SELECT id FROM dup)
            |ORDER BY vec_id""".stripMargin)),
+
+    // One BPE-training iteration (Sennrich et al. 2016): word-frequency
+    // agg (the only corpus-sized pass), then frequency-weighted
+    // adjacent-character-pair counts over the DISTINCT-word table — the
+    // top merge candidates a GPT-2-style tokenizer trainer would fuse.
+    Q("c37_bpe_pairs",
+      (s, d) => TextAnalysis.bpePairCounts(
+        Tables.documents(s, d), col("text"), k = 20),
+      Some(s"""WITH $toksCte,
+             |wf AS (SELECT unnest(w) AS word FROM toks),
+             |wc AS (SELECT word, count(*) AS freq FROM wf GROUP BY word),
+             |p AS (SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+             |               i -> substr(word, i, 1) || ' ' || substr(word, i + 1, 1))) AS pair,
+             |             freq
+             |      FROM wc WHERE len(word) >= 2)
+             |SELECT pair, sum(freq) AS freq FROM p
+             |GROUP BY pair ORDER BY freq DESC, pair LIMIT 20""".stripMargin)),
+
+    // URL canonicalization + URL-level dedup (the CCNet/RefinedWeb
+    // pre-dedup normalization): synthetic per-doc URLs (md5-derived, the
+    // geo/ip fixture pattern) decorated with scheme/www/case/tracking/
+    // slash noise; the operator strips the noise and keeps one doc per
+    // canonical URL. One hash agg on the canonical key — c01's shape.
+    Q("c38_url_dedup", {
+      (s, d) => {
+        def h(tag: String) =
+          Hashing.md5Long60(concat(lit(s"$tag:"), col("doc_id").cast("string")))
+        val hostC = concat(lit("site"), (h("host") % 50).cast("string"), lit(".example.com"))
+        val url = concat(
+          when(h("b1") % 2 === 0, "http://").otherwise("https://"),
+          when(h("b2") % 2 === 0, "www.").otherwise(""),
+          when(h("b3") % 2 === 0, upper(hostC)).otherwise(hostC),
+          lit("/p/"), (h("path") % 40).cast("string"),
+          when(h("b4") % 2 === 0, "/").otherwise(""),
+          when(h("b5") % 2 === 0, "?utm_source=feed&utm_medium=rss").otherwise(""))
+        graft.ext.Web.dedupByUrl(
+          Tables.documents(s, d).withColumn("url", url), col("doc_id"), col("url"))
+          .orderBy("doc_id")
+      }
+    },
+      Some {
+        def sqlH(tag: String) =
+          Hashing.sqlMd5Long60(s"'$tag:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH u0 AS (
+           |  SELECT doc_id,
+           |         'site' || CAST(${sqlH("host")} % 50 AS VARCHAR) || '.example.com' AS h0,
+           |         ${sqlH("b1")} % 2 AS b1, ${sqlH("b2")} % 2 AS b2,
+           |         ${sqlH("b3")} % 2 AS b3, ${sqlH("b4")} % 2 AS b4,
+           |         ${sqlH("b5")} % 2 AS b5,
+           |         CAST(${sqlH("path")} % 40 AS VARCHAR) AS p0
+           |  FROM documents),
+           |u AS (
+           |  SELECT doc_id,
+           |         (CASE WHEN b1 = 0 THEN 'http://' ELSE 'https://' END)
+           |           || (CASE WHEN b2 = 0 THEN 'www.' ELSE '' END)
+           |           || (CASE WHEN b3 = 0 THEN upper(h0) ELSE h0 END)
+           |           || '/p/' || p0
+           |           || (CASE WHEN b4 = 0 THEN '/' ELSE '' END)
+           |           || (CASE WHEN b5 = 0 THEN '?utm_source=feed&utm_medium=rss' ELSE '' END) AS url
+           |  FROM u0),
+           |c1 AS (SELECT doc_id, regexp_replace(url, '^https?://', '') AS s1 FROM u),
+           |c2 AS (SELECT doc_id,
+           |              lower(regexp_extract(s1, '^[^/?]+')) || substr(s1, len(regexp_extract(s1, '^[^/?]+')) + 1) AS s2
+           |       FROM c1),
+           |c3 AS (SELECT doc_id, regexp_replace(s2, '^www\\.', '') AS s3 FROM c2),
+           |c4 AS (SELECT doc_id, regexp_replace(s3,
+           |              '\\?(?:utm_[a-z]+|fbclid|gclid)=[^&]*(?:&(?:utm_[a-z]+|fbclid|gclid)=[^&]*)*$$', '') AS s4
+           |       FROM c3),
+           |c5 AS (SELECT doc_id, regexp_replace(s4, '/$$', '') AS url_canon FROM c4),
+           |g AS (SELECT url_canon, min(doc_id) AS doc_id, count(*) AS dup_count
+           |      FROM c5 GROUP BY url_canon)
+           |SELECT doc_id, url_canon, regexp_extract(url_canon, '^[^/?]+') AS host, dup_count
+           |FROM g ORDER BY doc_id""".stripMargin
+      }),
   )
 }

@@ -775,6 +775,56 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq(10.0, 15.0, 22.5, 31.25, 41.25))
   }
 
+  test("moving_fn: default window excludes the current bucket; shift=window is trailing-inclusive") {
+    import spark.implicits._
+    val df = Seq((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)).toDF("k", "x")
+    val got = EsQueryJson.aggregations(df,
+      """{"aggs": {"h": {"histogram": {"field": "k", "interval": 1},
+        | "aggs": {"v": {"sum": {"field": "x"}},
+        |          "pm": {"moving_fn": {"buckets_path": "v", "window": 2,
+        |                 "script": "MovingFunctions.max(values)"}},
+        |          "ts": {"moving_fn": {"buckets_path": "v", "window": 2, "shift": 2,
+        |                 "script": "MovingFunctions.sum(values)"}}}}}}""".stripMargin)("h")
+      .orderBy("key").select("pm", "ts").collect()
+    // pm: frame [-2,-1] -> null, 10, 20, 30 ; ts: frame [0,1] -> 30, 50, 70, 40
+    assert(got.map(r => Option(r.get(0))).toSeq ==
+      Seq(None, Some(10.0), Some(20.0), Some(30.0)))
+    assert(got.map(_.getDouble(1)).toSeq == Seq(30.0, 50.0, 70.0, 40.0))
+  }
+
+  test("auto_date_histogram climbs the day->month->year ladder to honor the buckets cap") {
+    import spark.implicits._
+    val df = Seq("2020-01-01", "2020-01-03", "2020-03-15", "2021-07-01")
+      .toDF("s").select(col("s").cast("date").as("d"))
+    def run(target: Int) = EsQueryJson.aggregations(df,
+      s"""{"aggs": {"a": {"auto_date_histogram": {"field": "d", "buckets": $target}}}}""")("a")
+      .select("key", "doc_count", "interval").collect()
+    val byDay = run(600) // 548-day span fits -> day rung
+    assert(byDay.forall(_.getString(2) == "1d") && byDay.length == 4)
+    val byMonth = run(20) // 19 spanned months fit -> month rung
+    assert(byMonth.forall(_.getString(2) == "1M") && byMonth.length == 3)
+    val byYear = run(2) // months overflow -> year rung
+    assert(byYear.forall(_.getString(2) == "1y") && byYear.length == 2)
+    assert(byYear.map(_.getLong(1)).toSeq == Seq(3L, 1L)) // 2020: 3 docs, 2021: 1
+  }
+
+  test("ip_range buckets compare numeric addresses, not strings; mask honors CIDR bounds") {
+    import spark.implicits._
+    // "9.x" > "10.x" lexicographically but NOT numerically — the classic
+    // string-typed-ip bug the numeric compare must not have
+    val df = Seq((1L, "9.0.0.1"), (2L, "10.1.2.3"), (3L, "10.255.0.1"),
+      (4L, "192.168.0.7"), (5L, "10.128.0.0")).toDF("id", "ip")
+    val out = EsQueryJson.aggregations(df,
+      """{"aggs": {"r": {"ip_range": {"field": "ip",
+        |  "ranges": [{"key": "below10", "to": "10.0.0.0"},
+        |             {"mask": "10.0.0.0/9"},
+        |             {"key": "rest", "from": "11.0.0.0"}]}}}}""".stripMargin)("r")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("below10") == 1)    // 9.0.0.1 only (numeric, not lexicographic)
+    assert(out("10.0.0.0/9") == 1) // /9 spans 10.0.0.0-10.127.255.255: 10.1.2.3 in; 10.128.0.0 and 10.255.0.1 out
+    assert(out("rest") == 1)       // 192.168.0.7; the two 10.128+ addresses land in no bucket (ES allows gaps)
+  }
+
   test("min_score cuts scored hits; random_score is a seeded deterministic shuffle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val all = EsQueryJson.search(docs,

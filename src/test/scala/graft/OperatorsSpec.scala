@@ -600,4 +600,46 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"corpus cartesian in plan")
   }
+
+  test("bpe pair counts: frequency-weighted adjacent pairs, single-char words dropped") {
+    val sp = spark
+    import sp.implicits._
+    // "ab ab cd a" -> pairs: "a b" freq 2, "c d" freq 1; "a" contributes none
+    val df = Seq((1L, "ab ab cd a")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(df, col("text"), k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("a b" -> 2L, "c d" -> 1L))
+  }
+
+  test("url canonicalization strips noise, keeps real query strings; dedup keeps min id") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "https://WWW.Site.COM/p/1/?utm_source=x&utm_medium=y"),
+      (2L, "http://site.com/p/1"),                  // same page as 1
+      (3L, "https://site.com/p/1?id=2"),            // real param -> distinct
+      (4L, "https://www.other.com/"),
+      (5L, "http://other.com")                      // same page as 4
+    ).toDF("doc_id", "url")
+    val out = graft.ext.Web.dedupByUrl(df, col("doc_id"), col("url"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val byUrl = out.map(t => t._2 -> t).toMap
+    assert(byUrl("site.com/p/1") == ((1L, "site.com/p/1", "site.com", 2L)))
+    assert(byUrl("site.com/p/1?id=2")._1 == 3L)
+    assert(byUrl("other.com") == ((4L, "other.com", "other.com", 2L)))
+    assert(out.length == 3)
+  }
+
+  test("more_like_this BM25 twin agrees with the constant-idf twin on WHO matches") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bm25 = graft.dsl.EsDsl.moreLikeThisBm25(docs, col("doc_id"), col("text"),
+      likeId = 7L, maxQueryTerms = 5, topN = 1000)
+    val cnt = graft.dsl.EsDsl.moreLikeThis(docs, col("doc_id"), col("text"),
+      likeId = 7L, maxQueryTerms = 5, topN = 1000)
+    // same term selection -> same match SET (any query-term occurrence);
+    // only the ranking differs (idf + length norm vs raw counts)
+    val a = bm25.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = cnt.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
