@@ -501,18 +501,34 @@ object EsQueryJson {
 
   /** Apply `query` + `sort` + `from`/`size` of a search body. A sort on
     * `_score` attaches a BM25 relevance score (the query must then be a
-    * `match`); like ES, `_score` defaults to DESCENDING order. */
+    * `match`); like ES, `_score` defaults to DESCENDING order. A
+    * `_script` sort entry compiles its painless-arithmetic subset
+    * (`doc['f'].value` refs) through the SQL parser into a codegen'd
+    * sort-key column (6 dp, engine-stable order), dropped from the hit. */
   def search(df: DataFrame, bodyJson: String): DataFrame = {
     val body = parse(bodyJson)
-    // (field, explicitOrder) pairs; _score defaults desc, fields asc
+    // (field, explicitOrder) pairs; _score defaults desc, fields asc;
+    // _script entries materialize as internal computed columns
+    var scriptSorts = Vector.empty[(String, Column)]
     val sortSpecs: Seq[(String, Option[String])] =
       Option(body.get("sort")).toSeq.flatMap(_.elements().asScala.toSeq).map { e =>
         if (e.isTextual) (e.asText(), None)
         else {
           val (f, spec) = single(e)
-          (f, Option(spec.get("order")).map(_.asText()))
+          if (f == "_script") {
+            val sNode = spec.get("script")
+            val raw = (if (sNode.isObject) sNode.get("source") else sNode).asText()
+            val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
+              .replaceAllIn(raw, m => m.group(1))
+            require(bound.matches("[A-Za-z0-9_.+\\-*/() ]+"),
+              s"unsupported sort script after doc-ref binding: $bound")
+            val nm = s"_sort_script_${scriptSorts.size}"
+            scriptSorts :+= nm -> round(expr(bound), 6)
+            (nm, Option(spec.get("order")).map(_.asText()))
+          } else (f, Option(spec.get("order")).map(_.asText()))
         }
       }
+    val dfScripted = scriptSorts.foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
     val minScore = Option(body.get("min_score")).map(_.asDouble())
     // `slice`: parallel scroll export — slice i of max owns the docs with
     // hash(slice field) % max == i. The hash is the engine's md5-60 family
@@ -527,9 +543,9 @@ object EsQueryJson {
         require(max >= 1 && sid >= 0 && sid < max,
           s"slice id must be in [0, max), got id=$sid max=$max")
         val f = Option(sl.get("field")).map(_.asText()).getOrElse("id")
-        df.filter(pmod(graft.functions.Hashing.md5Long60(field(f).cast("string")),
+        dfScripted.filter(pmod(graft.functions.Hashing.md5Long60(field(f).cast("string")),
           lit(max.toLong)) === lit(sid.toLong))
-      case None => df
+      case None => dfScripted
     }
     // `min_score` forces scoring even when the sort doesn't use _score
     val needsScore = sortSpecs.exists(_._1 == "_score") || minScore.isDefined
@@ -634,7 +650,7 @@ object EsQueryJson {
     // `_source` filtering: project the hit down to the named fields (plus
     // any engine-computed columns already requested by the body) — the
     // column-pruning hint Catalyst pushes all the way into the scan
-    Option(body.get("_source")) match {
+    val projected = Option(body.get("_source")) match {
       case Some(src) if src.isArray =>
         val wanted = src.elements().asScala.map(_.asText()).toSeq
         val computed = Seq("_score", "matched_queries", "_highlight")
@@ -646,6 +662,8 @@ object EsQueryJson {
         limited
       case None => limited
     }
+    // script-sort keys are sort machinery, not part of the hit
+    scriptSorts.map(_._1).foldLeft(projected)(_ drop _)
   }
 
   /** ES `common` terms query (the pre-BM25 stopword-aware match): terms

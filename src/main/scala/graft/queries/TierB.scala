@@ -2589,5 +2589,20 @@ object TierB {
              |SELECT doc_id, round(raw, 6) AS score FROM s
              |WHERE round(raw, 6) > 0 AND doc_id <> 7
              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // _script sort: painless-arithmetic sort key (the classic
+    // discounted-revenue ranking) compiled to a codegen'd column, 6 dp for
+    // engine-stable order, dropped from the hit.
+    Q("a119_es_json_script_sort",
+      (s, d) => graft.dsl.EsQueryJson.search(li(s, d),
+        """{"query": {"range": {"l_quantity": {"gte": 45}}},
+          | "sort": [{"_script": {"type": "number", "order": "desc",
+          |            "script": {"source": "doc['l_extendedprice'].value * (1 - doc['l_discount'].value)"}}},
+          |          "l_orderkey", "l_linenumber"],
+          | "size": 25, "_source": ["l_orderkey", "l_linenumber", "l_extendedprice"]}""".stripMargin),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |WHERE l_quantity >= 45
+             |ORDER BY round(l_extendedprice * (1 - l_discount), 6) DESC, l_orderkey, l_linenumber
+             |LIMIT 25""".stripMargin)),
   )
 }

@@ -45,6 +45,55 @@ object TierC {
     * init, 2 Lloyd rounds, 6-dp re-sync): CTE chain ending in
     * `a2(vec_id, v, cluster)` (final assignment) and `c2(cluster, cvec)`
     * (final centroids). Shared by c32 (fit output) and c36 (SemDeDup). */
+  /** Unrolled full-batch logistic-regression training (10 iterations,
+    * lr=8, dim hash buckets, CENTERED presence features, y = lexical
+    * diversity >= 26 distinct tokens) — the DuckDB twin of
+    * [[graft.ext.Classifier.trainLogReg]]. Same determinism protocol as
+    * the k-means CTEs: per-doc dots, probabilities, the centering scalar,
+    * and all gradient aggregates round to 6 dp, so both engines re-sync
+    * each iteration. Ends with CTEs `mm` (fidx → μ), `w10` (fidx →
+    * weight) and `bb10` (bias). */
+  private def logRegSqlCtes(dim: Int): String = {
+    val h = s"(${Hashing.sqlMd5Long60("tok")} % $dim)"
+    def iter(i: Int): String = {
+      val (pw, pb) = (s"w${i - 1}", s"bb${i - 1}")
+      s"""cc$i AS MATERIALIZED (SELECT round(COALESCE(sum(m * wv), 0.0), 6) AS c
+         |         FROM mm JOIN $pw USING (fidx)),
+         |d$i AS (
+         |  SELECT f.doc_id, f.y, round(sum(COALESCE(wp.wv, 0.0)), 6) AS dots
+         |  FROM f LEFT JOIN $pw wp USING (fidx) GROUP BY f.doc_id, f.y),
+         |p$i AS MATERIALIZED (
+         |  SELECT doc_id, y,
+         |         round(1.0/(1.0 + exp(-(dots - (SELECT c FROM cc$i)
+         |           + (SELECT b FROM $pb)))), 6) - y AS err
+         |  FROM d$i),
+         |se$i AS MATERIALIZED (SELECT round(sum(err) / (SELECT nd FROM nn), 6) AS s FROM p$i),
+         |g$i AS (
+         |  SELECT fidx, round(sum(p$i.err) / (SELECT nd FROM nn), 6) AS g
+         |  FROM f JOIN p$i USING (doc_id) GROUP BY fidx),
+         |w$i AS MATERIALIZED (
+         |  SELECT mm.fidx,
+         |         COALESCE(wp.wv, 0.0)
+         |           - 8.0 * (COALESCE(g$i.g, 0.0) - mm.m * (SELECT s FROM se$i)) AS wv
+         |  FROM mm LEFT JOIN $pw wp USING (fidx) LEFT JOIN g$i USING (fidx)),
+         |bb$i AS MATERIALIZED (SELECT (SELECT b FROM $pb) - 8.0 * (SELECT s FROM se$i) AS b)""".stripMargin
+    }
+    s"""t00 AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS w
+       |  FROM documents),
+       |t0 AS (
+       |  SELECT doc_id, CASE WHEN len(list_distinct(w)) >= 26 THEN 1.0 ELSE 0.0 END AS y, w
+       |  FROM t00),
+       |f AS MATERIALIZED (SELECT DISTINCT doc_id, y, $h AS fidx
+       |      FROM (SELECT doc_id, y, unnest(w) AS tok FROM t0)),
+       |nn AS MATERIALIZED (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM f),
+       |mm AS MATERIALIZED (SELECT fidx, round(count(*) / (SELECT nd FROM nn), 6) AS m
+       |       FROM f GROUP BY fidx),
+       |w0 AS (SELECT fidx, 0.0 AS wv FROM mm),
+       |bb0 AS (SELECT 0.0 AS b),
+       |${(1 to 10).map(iter).mkString(",\n")}""".stripMargin
+  }
+
   private def kmeansSqlCtes(k: Int): String = {
     val h = Hashing.sqlMd5Long60("CAST(vec_id AS VARCHAR)")
     def dist(c: String) =
@@ -1136,5 +1185,57 @@ object TierC {
            |SELECT doc_id, url_canon, regexp_extract(url_canon, '^[^/?]+') AS host, dup_count
            |FROM g ORDER BY doc_id""".stripMargin
       }),
+
+    // FastText-style classifier TRAINING, distributed (the GPT-3/CCNet
+    // quality-filter step): hashed bag-of-words + full-batch logistic
+    // regression, 3 GD iterations, every per-row value and aggregate
+    // rounded to 6 dp so the DuckDB replay is bit-identical (the c32
+    // k-means protocol). The label distills a Gopher-style lexical-
+    // diversity rule (>= 26 distinct tokens, ~48% positive) into the
+    // model — the realistic shape: pipelines train fast classifiers to
+    // mimic expensive quality signals. Centered presence features
+    // express it (dot = sum of present-bucket weights minus a scalar,
+    // monotone in diversity) and keep GD conditioned.
+    // Output per bucket: weight + centering mean, intercept at -1.
+    Q("c39_quality_classifier_train",
+      (s, d) => graft.ext.Classifier.trainLogReg(
+        Tables.documents(s, d), col("doc_id"), col("text"),
+        size(array_distinct(TextAnalysis.tokens(col("text")))) >= 26,
+        dim = 64, iters = 10),
+      Some(s"""WITH ${logRegSqlCtes(64)}
+             |SELECT CAST(-1 AS BIGINT) AS feature, (SELECT b FROM bb10) AS weight, 0.0 AS mu
+             |UNION ALL
+             |SELECT gs.j, COALESCE(w10.wv, 0.0), COALESCE(mm.m, 0.0)
+             |FROM (SELECT unnest(generate_series(0, 63)) AS j) gs
+             |LEFT JOIN w10 ON w10.fidx = gs.j
+             |LEFT JOIN mm ON mm.fidx = gs.j
+             |ORDER BY feature""".stripMargin)),
+
+    // The APPLY step: score every doc with the trained model (weights +
+    // centering means broadcast as literal arrays, one narrow pass + one
+    // dot-product agg) and threshold at 0.5 — keep/drop quality filtering.
+    Q("c40_quality_classifier_apply",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = graft.ext.Classifier.trainLogReg(docs, col("doc_id"), col("text"),
+          size(array_distinct(TextAnalysis.tokens(col("text")))) >= 26, dim = 64, iters = 10)
+          .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+        graft.ext.Classifier.scoreLogReg(docs, col("doc_id"), col("text"),
+          Array.tabulate(64)(j => m(j.toLong)._1), Array.tabulate(64)(j => m(j.toLong)._2),
+          m(-1L)._1, threshold = 0.5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${logRegSqlCtes(64)},
+             |ccf AS (SELECT round(COALESCE(sum(m * wv), 0.0), 6) AS c
+             |        FROM mm JOIN w10 USING (fidx)),
+             |sc AS (
+             |  SELECT f.doc_id, round(sum(COALESCE(w10.wv, 0.0)), 6) AS dots
+             |  FROM f LEFT JOIN w10 USING (fidx) GROUP BY f.doc_id),
+             |pr AS (
+             |  SELECT doc_id,
+             |         round(1.0/(1.0 + exp(-(dots - (SELECT c FROM ccf)
+             |           + (SELECT b FROM bb10)))), 6) AS p
+             |  FROM sc)
+             |SELECT doc_id, p, p >= 0.5 AS keep FROM pr ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -630,6 +630,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out.length == 3)
   }
 
+  test("logreg classifier: learns a separable marker, model frame carries weights+mu") {
+    val sp = spark
+    import sp.implicits._
+    // label = doc contains "good"; the base tokens appear in EVERY doc
+    // (mu=1 -> centered feature 0, no gradient), so the marker's bucket is
+    // the only informative feature and GD must drive its weight positive
+    val docs = (1L to 40L).map { i =>
+      val base = "alpha beta gamma delta"
+      (i, if (i % 2 == 0) s"$base good" else base)
+    }.toDF("doc_id", "text")
+    val label = array_contains(graft.ext.TextAnalysis.tokens(col("text")), "good")
+    val model = graft.ext.Classifier.trainLogReg(docs, col("doc_id"), col("text"),
+      label, dim = 32, iters = 10, lr = 8.0)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(model.size == 33) // 32 buckets + intercept
+    assert(model.keys.min == -1L && model(-1L)._2 == 0.0)
+    assert(model.forall { case (_, (_, mu)) => mu >= 0.0 && mu <= 1.0 })
+    val scored = graft.ext.Classifier.scoreLogReg(docs, col("doc_id"), col("text"),
+      Array.tabulate(32)(j => model(j.toLong)._1),
+      Array.tabulate(32)(j => model(j.toLong)._2), model(-1L)._1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val (pos, neg) = scored.partition(_._1 % 2 == 0)
+    assert(pos.map(_._2).min > neg.map(_._2).max, "classes must separate")
+    assert(pos.forall(_._3) && neg.forall(!_._3))
+  }
+
   test("more_like_this BM25 twin agrees with the constant-idf twin on WHO matches") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bm25 = graft.dsl.EsDsl.moreLikeThisBm25(docs, col("doc_id"), col("text"),
