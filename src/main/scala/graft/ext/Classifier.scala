@@ -39,7 +39,7 @@ object Classifier {
     * exactly representable (8.0, 0.5) so update arithmetic stays
     * cross-engine exact. */
   def trainLogReg(docs: DataFrame, id: Column, text: Column, label: Column,
-                  dim: Int = 64, iters: Int = 10, lr: Double = 8.0): DataFrame = {
+                  dim: Int = 64, iters: Int = 5, lr: Double = 8.0): DataFrame = {
     val sp = docs.sparkSession
     import sp.implicits._
     val feat = docs.select(id.as("doc_id"), label.cast("double").as("y"),
@@ -61,11 +61,13 @@ object Classifier {
         .withColumn("p", round(lit(1.0) /
           (lit(1.0) + exp(-(col("dots") - lit(c) + lit(b)))), 6))
         .withColumn("err", col("p") - col("y"))
+        .persist() // read twice per iteration (bias grad + feature grads)
       val serr = perDoc.agg(round(sum(col("err")) / lit(nDocs), 6)).head().getDouble(0)
       val gpart = feat.join(perDoc.select("doc_id", "err"), "doc_id")
         .groupBy("fidx")
         .agg(round(sum(col("err")) / lit(nDocs), 6).as("g"))
         .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+      perDoc.unpersist()
       w = Array.tabulate(dim)(j => w(j) - lr * (gpart.getOrElse(j, 0.0) - mu(j) * serr))
       b = b - lr * serr
     }

@@ -45,14 +45,14 @@ object TierC {
     * init, 2 Lloyd rounds, 6-dp re-sync): CTE chain ending in
     * `a2(vec_id, v, cluster)` (final assignment) and `c2(cluster, cvec)`
     * (final centroids). Shared by c32 (fit output) and c36 (SemDeDup). */
-  /** Unrolled full-batch logistic-regression training (10 iterations,
+  /** Unrolled full-batch logistic-regression training (5 iterations,
     * lr=8, dim hash buckets, CENTERED presence features, y = lexical
     * diversity >= 26 distinct tokens) — the DuckDB twin of
     * [[graft.ext.Classifier.trainLogReg]]. Same determinism protocol as
     * the k-means CTEs: per-doc dots, probabilities, the centering scalar,
     * and all gradient aggregates round to 6 dp, so both engines re-sync
-    * each iteration. Ends with CTEs `mm` (fidx → μ), `w10` (fidx →
-    * weight) and `bb10` (bias). */
+    * each iteration. Ends with CTEs `mm` (fidx → μ), `w5` (fidx →
+    * weight) and `bb5` (bias). */
   private def logRegSqlCtes(dim: Int): String = {
     val h = s"(${Hashing.sqlMd5Long60("tok")} % $dim)"
     def iter(i: Int): String = {
@@ -91,7 +91,7 @@ object TierC {
        |       FROM f GROUP BY fidx),
        |w0 AS (SELECT fidx, 0.0 AS wv FROM mm),
        |bb0 AS (SELECT 0.0 AS b),
-       |${(1 to 10).map(iter).mkString(",\n")}""".stripMargin
+       |${(1 to 5).map(iter).mkString(",\n")}""".stripMargin
   }
 
   private def kmeansSqlCtes(k: Int): String = {
@@ -1201,13 +1201,13 @@ object TierC {
       (s, d) => graft.ext.Classifier.trainLogReg(
         Tables.documents(s, d), col("doc_id"), col("text"),
         size(array_distinct(TextAnalysis.tokens(col("text")))) >= 26,
-        dim = 64, iters = 10),
+        dim = 64, iters = 5),
       Some(s"""WITH ${logRegSqlCtes(64)}
-             |SELECT CAST(-1 AS BIGINT) AS feature, (SELECT b FROM bb10) AS weight, 0.0 AS mu
+             |SELECT CAST(-1 AS BIGINT) AS feature, (SELECT b FROM bb5) AS weight, 0.0 AS mu
              |UNION ALL
-             |SELECT gs.j, COALESCE(w10.wv, 0.0), COALESCE(mm.m, 0.0)
+             |SELECT gs.j, COALESCE(w5.wv, 0.0), COALESCE(mm.m, 0.0)
              |FROM (SELECT unnest(generate_series(0, 63)) AS j) gs
-             |LEFT JOIN w10 ON w10.fidx = gs.j
+             |LEFT JOIN w5 ON w5.fidx = gs.j
              |LEFT JOIN mm ON mm.fidx = gs.j
              |ORDER BY feature""".stripMargin)),
 
@@ -1218,7 +1218,7 @@ object TierC {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val m = graft.ext.Classifier.trainLogReg(docs, col("doc_id"), col("text"),
-          size(array_distinct(TextAnalysis.tokens(col("text")))) >= 26, dim = 64, iters = 10)
+          size(array_distinct(TextAnalysis.tokens(col("text")))) >= 26, dim = 64, iters = 5)
           .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
         graft.ext.Classifier.scoreLogReg(docs, col("doc_id"), col("text"),
           Array.tabulate(64)(j => m(j.toLong)._1), Array.tabulate(64)(j => m(j.toLong)._2),
@@ -1227,14 +1227,14 @@ object TierC {
       },
       Some(s"""WITH ${logRegSqlCtes(64)},
              |ccf AS (SELECT round(COALESCE(sum(m * wv), 0.0), 6) AS c
-             |        FROM mm JOIN w10 USING (fidx)),
+             |        FROM mm JOIN w5 USING (fidx)),
              |sc AS (
-             |  SELECT f.doc_id, round(sum(COALESCE(w10.wv, 0.0)), 6) AS dots
-             |  FROM f LEFT JOIN w10 USING (fidx) GROUP BY f.doc_id),
+             |  SELECT f.doc_id, round(sum(COALESCE(w5.wv, 0.0)), 6) AS dots
+             |  FROM f LEFT JOIN w5 USING (fidx) GROUP BY f.doc_id),
              |pr AS (
              |  SELECT doc_id,
              |         round(1.0/(1.0 + exp(-(dots - (SELECT c FROM ccf)
-             |           + (SELECT b FROM bb10)))), 6) AS p
+             |           + (SELECT b FROM bb5)))), 6) AS p
              |  FROM sc)
              |SELECT doc_id, p, p >= 0.5 AS keep FROM pr ORDER BY doc_id""".stripMargin)),
   )
