@@ -258,6 +258,20 @@ object EsDsl {
       .orderBy(desc("score"), col("doc_id")).limit(topN)
   }
 
+  /** ES `termvectors` API: per-term frequency + 0-based token positions
+    * for one document (the read side of what MLT's term selection and the
+    * span queries consume). One row's tokenization — bounded work; the
+    * positions stringify (sorted, comma-joined) per the array-output
+    * convention. */
+  def termVectors(docs: DataFrame, idCol: Column, text: Column, docId: Long): DataFrame =
+    docs.filter(idCol === docId)
+      .select(idCol.as("doc_id"),
+        posexplode(graft.ext.TextAnalysis.tokens(text)).as(Seq("pos", "term")))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("term_freq"),
+        concat_ws(",", sort_array(collect_list(col("pos")))).as("positions"))
+      .orderBy("term")
+
   // ---- search body ----------------------------------------------------
   /** B8 `from`/`size` + `sort` — deterministic pagination (caller supplies
     * a total order, usually with an id tiebreak). */

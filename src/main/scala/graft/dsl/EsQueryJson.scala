@@ -300,6 +300,21 @@ object EsQueryJson {
         val f = body.get("field").asText()
         if (f.startsWith("info.")) EsDsl.existsKey(col("info"), f.stripPrefix("info."))
         else EsDsl.exists(col(f))
+      case "script" =>
+        // filter-context `script` query: the painless-arithmetic/boolean
+        // subset — doc['f'].value refs bind to columns, painless's
+        // && / || / == spell SQL's AND / OR / =, and the result compiles
+        // through the SQL parser (codegen'd predicate, no interpreter —
+        // the script_score approach in filter position)
+        val sNode = body.get("script")
+        val raw = (if (sNode.isObject) sNode.get("source") else sNode).asText()
+        val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
+          .replaceAllIn(raw, m => m.group(1))
+          .replace("&&", " AND ").replace("||", " OR ")
+          .replace("!=", " <> ").replace("==", " = ")
+        require(bound.matches("[A-Za-z0-9_.+\\-*/()<>= ]+"),
+          s"unsupported script query after doc-ref binding: $bound")
+        expr(bound)
       case "prefix" =>
         val (f, v) = single(body)
         EsDsl.prefix(field(f), (if (v.isObject) v.get("value") else v).asText())
@@ -504,17 +519,27 @@ object EsQueryJson {
     * `match`); like ES, `_score` defaults to DESCENDING order. A
     * `_script` sort entry compiles its painless-arithmetic subset
     * (`doc['f'].value` refs) through the SQL parser into a codegen'd
-    * sort-key column (6 dp, engine-stable order), dropped from the hit. */
+    * sort-key column (6 dp, engine-stable order), dropped from the hit;
+    * a `mode` (min/max/sum/avg over a multi-valued field) or a `missing`
+    * substitute likewise materialize internal computed sort keys. */
   def search(df: DataFrame, bodyJson: String): DataFrame = {
     val body = parse(bodyJson)
-    // (field, explicitOrder) pairs; _score defaults desc, fields asc;
-    // _script entries materialize as internal computed columns
+    // (field, explicitOrder, nullsPlacement) triples; _score defaults
+    // desc, fields asc, missing docs last (the ES default). _script /
+    // mode / custom-missing entries materialize as internal computed
+    // columns so downstream sort/search_after machinery sees plain fields.
     var scriptSorts = Vector.empty[(String, Column)]
-    val sortSpecs: Seq[(String, Option[String])] =
+    def computed(c: Column): String = {
+      val nm = s"_sort_key_${scriptSorts.size}"
+      scriptSorts :+= nm -> c
+      nm
+    }
+    val sortSpecs: Seq[(String, Option[String], Option[String])] =
       Option(body.get("sort")).toSeq.flatMap(_.elements().asScala.toSeq).map { e =>
-        if (e.isTextual) (e.asText(), None)
+        if (e.isTextual) (e.asText(), None, None)
         else {
           val (f, spec) = single(e)
+          val order = Option(spec.get("order")).map(_.asText())
           if (f == "_script") {
             val sNode = spec.get("script")
             val raw = (if (sNode.isObject) sNode.get("source") else sNode).asText()
@@ -522,10 +547,28 @@ object EsQueryJson {
               .replaceAllIn(raw, m => m.group(1))
             require(bound.matches("[A-Za-z0-9_.+\\-*/() ]+"),
               s"unsupported sort script after doc-ref binding: $bound")
-            val nm = s"_sort_script_${scriptSorts.size}"
-            scriptSorts :+= nm -> round(expr(bound), 6)
-            (nm, Option(spec.get("order")).map(_.asText()))
-          } else (f, Option(spec.get("order")).map(_.asText()))
+            (computed(round(expr(bound), 6)), order, None)
+          } else if (spec.has("mode")) {
+            // multi-valued field sort: reduce the array to one key per doc
+            // (ES sort modes; array columns arise from the parent/nested
+            // array-of-struct shape, e.g. item.l_quantity)
+            val arr = field(f)
+            val key = spec.get("mode").asText() match {
+              case "min" => array_min(arr)
+              case "max" => array_max(arr)
+              case "sum" => aggregate(arr, lit(0.0), (acc, x) => acc + x)
+              case "avg" => round(aggregate(arr, lit(0.0), (acc, x) => acc + x) /
+                org.apache.spark.sql.functions.size(arr), 6)
+              case m => throw new IllegalArgumentException(s"unsupported sort mode: $m")
+            }
+            (computed(key), order, None)
+          } else if (spec.has("missing")) {
+            spec.get("missing").asText() match {
+              case p @ ("_first" | "_last") => (f, order, Some(p))
+              // custom substitute: missing docs sort AS the given value
+              case _ => (computed(coalesce(field(f), litOf(spec.get("missing")))), order, None)
+            }
+          } else (f, order, None)
         }
       }
     val dfScripted = scriptSorts.foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
@@ -608,7 +651,7 @@ object EsQueryJson {
         val vals = cursor.elements().asScala.toSeq
         require(vals.size == sortSpecs.size, "search_after arity must match sort")
         def colOf(f: String) = if (f == "_score") col("_score") else field(f)
-        def dirOf(spec: (String, Option[String])) =
+        def dirOf(spec: (String, Option[String], Option[String])) =
           spec._2.getOrElse(if (spec._1 == "_score") "desc" else "asc")
         val pred = sortSpecs.indices.map { i =>
           val eqPrefix = (0 until i).map { j =>
@@ -621,11 +664,15 @@ object EsQueryJson {
         highlighted.filter(pred)
       case None => highlighted
     }
-    val sortCols = sortSpecs.map { case (f, order) =>
+    val sortCols = sortSpecs.map { case (f, order, missing) =>
       val c = if (f == "_score") col("_score") else field(f)
-      order.getOrElse(if (f == "_score") "desc" else "asc") match {
-        case "desc" => c.desc
-        case _ => c.asc
+      val dir = order.getOrElse(if (f == "_score") "desc" else "asc")
+      // ES default: missing docs last in either direction; "_first" flips
+      (dir, missing) match {
+        case ("desc", Some("_first")) => c.desc_nulls_first
+        case ("desc", _) => c.desc_nulls_last
+        case (_, Some("_first")) => c.asc_nulls_first
+        case (_, _) => c.asc_nulls_last
       }
     }
     // `collapse`: one hit per distinct field value — the TOP hit by the
@@ -1690,8 +1737,13 @@ object EsQueryJson {
     * coordinator holds), so the single-partition window is fine. */
   private def singleLevel(df: DataFrame, l: Level, ms: Seq[Column],
                           pipes: Seq[(String, String, JsonNode)] = Nil): DataFrame = {
-    val g = zeroFill(df, l,
+    val g0 = zeroFill(df, l,
       df.groupBy(l.key.as("key")).agg(count(lit(1)).as("doc_count"), ms: _*))
+    // terms `min_doc_count` > 1: prune rare buckets BEFORE the size
+    // truncation (ES semantics; 1 is the default and a no-op, 0 is the
+    // histogram zero-fill path handled above)
+    val g = Option(l.spec.get("min_doc_count")).map(_.asInt()).filter(_ > 1)
+      .map(m => g0.filter(col("doc_count") >= m)).getOrElse(g0)
     val based = l.termsSize match {
       case Some(size) =>
         val (target, dir) = l.termsOrder

@@ -142,6 +142,32 @@ object TextAnalysis {
       .orderBy(desc("freq"), col("pair")).limit(k)
   }
 
+  /** BPE ENCODE with a learned merge list — the apply step of
+    * [[bpePairCounts]]'s training iteration. Each word becomes a
+    * marker-wrapped symbol sequence (`"ab"` → `"<a><b>"`; markers make
+    * every merge replace token-boundary-exact with NO lookbehind, which
+    * DuckDB's RE2 lacks) and the merges apply in rank order as plain
+    * left-to-right global replaces — the greedy merge-table walk a
+    * trained BPE tokenizer performs (one pass per merge). Words join on
+    * `|` so merges never cross word boundaries. Emits per-doc symbol
+    * counts before/after and the compression ratio. The merge list is a
+    * driver-side constant (the trained artifact, `"a b"` pair strings).
+    * One narrow pass — no shuffle at any corpus size. */
+  def bpeEncode(docs: DataFrame, id: Column, text: Column,
+                merges: Seq[String]): DataFrame = {
+    val wrapped = concat_ws("|",
+      transform(tokens(text), w => regexp_replace(w, "(.)", "<$1>")))
+    val encoded = merges.foldLeft(wrapped) { (acc, m) =>
+      val Array(a, b) = m.split(' ')
+      replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+    }
+    def nSym(c: Column): Column = length(c) - length(replace(c, lit("<"), lit("")))
+    docs.select(id.as("doc_id"), nSym(wrapped).cast("long").as("n_chars"),
+        nSym(encoded).cast("long").as("n_bpe_tokens"))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+  }
+
   /** tf-idf: top-`k` terms per document (natural-log idf). Two hash
     * aggregations + a broadcast of the doc count; the per-doc top-k is a
     * bounded window (AQE handles skewed terms). */

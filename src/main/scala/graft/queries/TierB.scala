@@ -2604,5 +2604,85 @@ object TierB {
              |WHERE l_quantity >= 45
              |ORDER BY round(l_extendedprice * (1 - l_discount), 6) DESC, l_orderkey, l_linenumber
              |LIMIT 25""".stripMargin)),
+
+    // `script` query (filter context): painless arithmetic/boolean over
+    // doc values compiled to a codegen'd predicate — ES's escape hatch
+    // when no structured query expresses the condition.
+    Q("a120_es_json_script_query",
+      (s, d) => graft.dsl.EsQueryJson.search(li(s, d),
+        """{"query": {"bool": {"filter": [
+          |    {"script": {"script": {"source":
+          |      "doc['l_extendedprice'].value * (1 - doc['l_discount'].value) > 90000 && doc['l_quantity'].value >= 30"}}},
+          |    {"term": {"l_returnflag": "N"}}]}},
+          | "sort": ["l_orderkey", "l_linenumber"], "size": 100}""".stripMargin)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |WHERE l_extendedprice * (1 - l_discount) > 90000 AND l_quantity >= 30
+             |  AND l_returnflag = 'N'
+             |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    // termvectors API: per-term tf + 0-based positions of one doc (the
+    // read side of MLT term selection / span machinery).
+    Q("a121_es_json_term_vectors",
+      (s, d) => EsDsl.termVectors(Tables.documents(s, d),
+        col("doc_id"), col("text"), docId = 7L),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents WHERE doc_id = 7),
+             |p AS (SELECT doc_id, unnest(w) AS term,
+             |             unnest(generate_series(0, len(w) - 1)) AS pos
+             |      FROM t)
+             |SELECT doc_id, term, count(*) AS term_freq,
+             |       string_agg(pos, ',' ORDER BY pos) AS positions
+             |FROM p GROUP BY doc_id, term ORDER BY term""".stripMargin)),
+
+    // multi-valued sort `mode` (ES sort over array fields): orders parent
+    // docs by the MIN child quantity — the array reduces to one key per
+    // doc, computed narrow and dropped from the hit.
+    Q("a122_es_json_sort_mode",
+      (s, d) => {
+        val items = li(s, d).groupBy(col("l_orderkey"))
+          .agg(collect_list(struct(col("l_quantity"))).as("item"))
+        val df = ord(s, d).select("o_orderkey", "o_totalprice")
+          .join(items, col("o_orderkey") === col("l_orderkey"), "inner").drop("l_orderkey")
+        graft.dsl.EsQueryJson.search(df,
+          """{"sort": [{"item.l_quantity": {"mode": "min", "order": "asc"}}, "o_orderkey"],
+            | "size": 40}""".stripMargin)
+          .select("o_orderkey", "o_totalprice")
+      },
+      Some("""WITH q AS (
+             |  SELECT l_orderkey, min(l_quantity) AS minq FROM lineitem GROUP BY l_orderkey)
+             |SELECT o_orderkey, o_totalprice FROM orders JOIN q ON o_orderkey = l_orderkey
+             |ORDER BY minq ASC, o_orderkey LIMIT 40""".stripMargin)),
+
+    // sort `missing`: "_first" flips the ES default (missing last) via
+    // nulls placement; a custom substitute sorts missing docs AS that
+    // value. Null keys come from the left join's childless orders.
+    Q("a123_es_json_sort_missing",
+      (s, d) => {
+        val hi = li(s, d).filter(col("l_quantity") >= 49)
+          .groupBy(col("l_orderkey")).agg(round(max(col("l_extendedprice")), 4).as("hi_price"))
+        val df = ord(s, d).select("o_orderkey")
+          .join(hi, col("o_orderkey") === col("l_orderkey"), "left").drop("l_orderkey")
+        graft.dsl.EsQueryJson.search(df,
+          """{"sort": [{"hi_price": {"order": "desc", "missing": "_first"}}, "o_orderkey"],
+            | "size": 30}""".stripMargin)
+      },
+      Some("""WITH h AS (
+             |  SELECT l_orderkey, round(max(l_extendedprice), 4) AS hi_price
+             |  FROM lineitem WHERE l_quantity >= 49 GROUP BY l_orderkey)
+             |SELECT o_orderkey, hi_price FROM orders LEFT JOIN h ON o_orderkey = l_orderkey
+             |ORDER BY hi_price DESC NULLS FIRST, o_orderkey LIMIT 30""".stripMargin)),
+
+    // terms `min_doc_count` > 1: rare buckets pruned BEFORE size
+    // truncation (customers with at least 14 orders, count-ascending —
+    // without the prune the ascending order would surface the rare tail).
+    Q("a124_es_json_terms_min_doc_count",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"cust": {"terms": {"field": "o_custkey", "size": 15,
+          |   "min_doc_count": 14, "order": {"_count": "asc"}}}}}""".stripMargin)("cust"),
+      Some("""SELECT o_custkey AS key, count(*) AS doc_count FROM orders
+             |GROUP BY key HAVING doc_count >= 14
+             |ORDER BY doc_count ASC, key LIMIT 15""".stripMargin)),
   )
 }

@@ -1186,6 +1186,50 @@ object TierC {
            |FROM g ORDER BY doc_id""".stripMargin
       }),
 
+    // BPE ENCODE — the apply step completing c37's train half: top-10
+    // learned merges (driver-collected trained artifact) applied in rank
+    // order as boundary-exact marker replaces; per-doc symbol counts +
+    // compression. One-round merge list (full training would loop c37
+    // once per merge); the oracle replays the merge walk with a
+    // recursive CTE in the same rank order.
+    Q("c41_bpe_encode",
+      (s, d) => {
+        val merges = TextAnalysis.bpePairCounts(
+          Tables.documents(s, d), col("text"), k = 10)
+          .collect().map(_.getString(0)).toSeq
+        TextAnalysis.bpeEncode(Tables.documents(s, d), col("doc_id"), col("text"), merges)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $toksCte,
+             |wf AS (SELECT unnest(w) AS word FROM toks),
+             |wc AS (SELECT word, count(*) AS freq FROM wf GROUP BY word),
+             |pp AS (SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+             |               i -> substr(word, i, 1) || ' ' || substr(word, i + 1, 1))) AS pair,
+             |             freq
+             |       FROM wc WHERE len(word) >= 2),
+             |tp AS (SELECT pair, sum(freq) AS f FROM pp GROUP BY pair
+             |       ORDER BY f DESC, pair LIMIT 10),
+             |m AS (SELECT row_number() OVER (ORDER BY f DESC, pair) AS rk,
+             |             '<' || split_part(pair, ' ', 1) || '><' || split_part(pair, ' ', 2) || '>' AS pat,
+             |             '<' || replace(pair, ' ', '') || '>' AS rep
+             |      FROM tp),
+             |w0 AS (SELECT doc_id,
+             |              list_aggregate(list_transform(w, x -> regexp_replace(x, '(.)', '<\\1>', 'g')),
+             |                             'string_agg', '|') AS s
+             |       FROM toks),
+             |rec(doc_id, k, s) AS (
+             |  SELECT doc_id, 0, s FROM w0
+             |  UNION ALL
+             |  SELECT rec.doc_id, rec.k + 1, replace(rec.s, m.pat, m.rep)
+             |  FROM rec JOIN m ON m.rk = rec.k + 1),
+             |enc AS (SELECT doc_id, s FROM rec WHERE k = (SELECT count(*) FROM m))
+             |SELECT w0.doc_id,
+             |       len(w0.s) - len(replace(w0.s, '<', '')) AS n_chars,
+             |       len(enc.s) - len(replace(enc.s, '<', '')) AS n_bpe_tokens,
+             |       round((len(w0.s) - len(replace(w0.s, '<', ''))) * 1.0
+             |             / (len(enc.s) - len(replace(enc.s, '<', ''))), 6) AS compression
+             |FROM w0 JOIN enc USING (doc_id) ORDER BY w0.doc_id""".stripMargin)),
+
     // FastText-style classifier TRAINING, distributed (the GPT-3/CCNet
     // quality-filter step): hashed bag-of-words + full-batch logistic
     // regression, 3 GD iterations, every per-row value and aggregate
