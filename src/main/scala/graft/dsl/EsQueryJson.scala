@@ -713,6 +713,56 @@ object EsQueryJson {
     scriptSorts.map(_._1).foldLeft(projected)(_ drop _)
   }
 
+  /** ES `_msearch`: several search bodies against one index in a single
+    * call. Each body runs through [[search]] unchanged; its hits carry
+    * the 0-based `_search_idx` of the request (ES returns an ordered
+    * `responses` array — one unioned frame tagged with the request index
+    * is the relational equivalent, and each body's own from/size keeps
+    * every slice coordinator-bounded). Bodies must project
+    * union-compatible hit columns; the caller controls both sides. */
+  def msearch(df: DataFrame, bodies: Seq[String]): DataFrame = {
+    require(bodies.nonEmpty, "msearch needs at least one body")
+    bodies.zipWithIndex.map { case (b, i) =>
+      search(df, b).withColumn("_search_idx", lit(i.toLong))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** ES `_rank_eval`: run each request's search body, rank its hits
+    * 1..size in the body's sort order, join the request's relevance
+    * ratings, and emit the standard ranking metrics per request —
+    * `precision` at k (graded ratings count as relevant when > 0),
+    * `reciprocal_rank` of the first relevant hit (0 when none), and
+    * `dcg` at k in the Burges form (2^rating − 1)/log2(rank + 1), which
+    * reduces to the classic form on binary ratings. Each request's hit
+    * list is body-`size`-bounded (like ES's own response), so the rank
+    * window and metric agg run over ≤ k·#requests rows; ratings join
+    * broadcast. `requests` entries are (name, bodyJson, rankOrder) where
+    * rankOrder restates the body's sort as Columns (the window needs
+    * materialized keys); `ratings` has (request, doc, rating). */
+  def rankEval(df: DataFrame, requests: Seq[(String, String, Seq[Column])],
+               idCol: String, ratings: DataFrame, k: Int): DataFrame = {
+    require(requests.nonEmpty, "rank_eval needs at least one request")
+    val hits = requests.map { case (name, body, order) =>
+      val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+      search(df, body)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(lit(name).as("request"), col(idCol).as("_doc"), col("rank"))
+    }.reduce(_.unionByName(_))
+    val rated = hits.join(
+      broadcast(ratings.select(col("request"), col("doc").as("_doc"),
+        col("rating").cast("double").as("rating"))),
+      Seq("request", "_doc"), "left")
+      .withColumn("rel", coalesce(col("rating"), lit(0.0)) > 0)
+    rated.groupBy("request").agg(
+      round(sum(when(col("rel"), 1.0).otherwise(0.0)) / k, 6).as("precision"),
+      round(coalesce(max(when(col("rel"), lit(1.0) / col("rank"))), lit(0.0)), 6)
+        .as("reciprocal_rank"),
+      round(sum(when(col("rel"),
+        (pow(lit(2.0), col("rating")) - 1.0) / log2(col("rank") + 1.0))
+        .otherwise(0.0)), 6).as("dcg"))
+      .orderBy("request")
+  }
+
   /** ES `common` terms query (the pre-BM25 stopword-aware match): terms
     * whose document frequency exceeds `cutoff_frequency` (a fraction of N
     * when < 1, an absolute count when ≥ 1) are "high frequency" and stop

@@ -42,10 +42,26 @@ object Classifier {
                   dim: Int = 64, iters: Int = 5, lr: Double = 8.0): DataFrame = {
     val sp = docs.sparkSession
     import sp.implicits._
+    trainLogRegRows(docs, id, text, label, dim, iters, lr)
+      .toDF("feature", "weight", "mu").orderBy("feature")
+  }
+
+  /** [[trainLogReg]]'s driver-side artifact form: the (feature, weight,
+    * mu) rows with the intercept at feature −1. One Spark job per GD
+    * iteration: the bias gradient rides the feature-gradient aggregation
+    * as a synthetic `fidx = −1` row (same `round(sum(err)/n, 6)`
+    * arithmetic, so results are bit-identical to the two-job form), and
+    * the persisted feature frame is pre-partitioned by `doc_id` so the
+    * per-doc dot-product agg and the error join both reuse that
+    * partitioning — no per-iteration re-shuffle of the corpus. */
+  def trainLogRegRows(docs: DataFrame, id: Column, text: Column, label: Column,
+                      dim: Int = 64, iters: Int = 5,
+                      lr: Double = 8.0): Seq[(Long, Double, Double)] = {
     val feat = docs.select(id.as("doc_id"), label.cast("double").as("y"),
         explode(TextAnalysis.tokens(text)).as("tok"))
       .withColumn("fidx", pmod(Hashing.md5Long60(col("tok")), lit(dim.toLong)))
       .select("doc_id", "y", "fidx").distinct()
+      .repartition(col("doc_id")) // iterations group/join on doc_id shuffle-free
       .persist()
     val nDocs = feat.select("doc_id").distinct().count().toDouble
     val mu = Array.fill(dim)(0.0)
@@ -60,21 +76,42 @@ object Classifier {
         .agg(round(sum(element_at(wArr, col("fidx").cast("int") + 1)), 6).as("dots"))
         .withColumn("p", round(lit(1.0) /
           (lit(1.0) + exp(-(col("dots") - lit(c) + lit(b)))), 6))
-        .withColumn("err", col("p") - col("y"))
-        .persist() // read twice per iteration (bias grad + feature grads)
-      val serr = perDoc.agg(round(sum(col("err")) / lit(nDocs), 6)).head().getDouble(0)
-      val gpart = feat.join(perDoc.select("doc_id", "err"), "doc_id")
+        .select(col("doc_id"), (col("p") - col("y")).as("err"))
+        .persist() // read twice inside ONE job (feature grads + bias grad)
+      // one collect job yields every feature gradient AND the bias
+      // gradient (unioned in as fidx −1) — identical per-key arithmetic
+      // to separate jobs, half the job count
+      val gradsDf = feat.join(perDoc, "doc_id")
         .groupBy("fidx")
         .agg(round(sum(col("err")) / lit(nDocs), 6).as("g"))
+      val biasDf = perDoc
+        .agg(round(sum(col("err")) / lit(nDocs), 6).as("g"))
+        .select(lit(-1L).as("fidx"), col("g"))
+      val grads = gradsDf.unionByName(biasDf)
         .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
       perDoc.unpersist()
-      w = Array.tabulate(dim)(j => w(j) - lr * (gpart.getOrElse(j, 0.0) - mu(j) * serr))
+      val serr = grads.getOrElse(-1, 0.0)
+      w = Array.tabulate(dim)(j => w(j) - lr * (grads.getOrElse(j, 0.0) - mu(j) * serr))
       b = b - lr * serr
     }
     feat.unpersist()
-    ((-1L, b, 0.0) +: w.toSeq.zipWithIndex.map { case (wv, j) => (j.toLong, wv, mu(j)) })
-      .toDF("feature", "weight", "mu").orderBy("feature")
+    (-1L, b, 0.0) +: w.toSeq.zipWithIndex.map { case (wv, j) => (j.toLong, wv, mu(j)) }
   }
+
+  /** Train-once artifact cache (driver-side, dim+1 rows — bounded): the
+    * apply step of a production quality filter scores with a PERSISTED
+    * trained model; retraining per downstream query is the wrong shape
+    * at any scale. Keyed by the caller's training-input identity +
+    * hyperparameters. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Double, Double)]]()
+
+  def trainLogRegCached(cacheKey: String, docs: => DataFrame, id: => Column,
+                        text: => Column, label: => Column, dim: Int = 64,
+                        iters: Int = 5,
+                        lr: Double = 8.0): Seq[(Long, Double, Double)] =
+    modelCache.computeIfAbsent(s"$cacheKey|$dim|$iters|$lr",
+      _ => trainLogRegRows(docs, id, text, label, dim, iters, lr))
 
   /** Score documents with a trained model (weights + centering means
     * broadcast as literal arrays; one narrow pass + one dot-product agg):
@@ -96,5 +133,34 @@ object Classifier {
         (lit(1.0) + exp(-(col("dots") - lit(c) + lit(bias)))), 6))
       .withColumn("keep", col("p") >= threshold)
       .select("doc_id", "p", "keep")
+  }
+
+  /** Histogram calibration of a [0,1] score to corpus percentiles — how
+    * quality thresholds are actually chosen ("keep the top 30%"): a
+    * fixed-`nBins` histogram of the score, the bin-level cumulative
+    * distribution, and a map back. A document's calibrated value is the
+    * corpus fraction in strictly lower bins plus HALF its own bin's mass
+    * (midpoint convention — monotone and deterministic under intra-bin
+    * ties). The only non-narrow work is one hash agg to `nBins` rows;
+    * the cumulative window runs over those bounded rows, never the
+    * data, and the bin→percentile map broadcasts back. */
+  def calibrateScores(scored: DataFrame, id: Column, score: Column,
+                      nBins: Int): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val base = scored.select(id.as("doc_id"), round(score, 6).as("score"))
+      .withColumn("bin",
+        least(floor(col("score") * nBins).cast("long"), lit(nBins - 1L)))
+    val hist = base.groupBy("bin").agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val total = base.agg(count(lit(1)).as("n_total"))
+    val binMap = hist
+      .withColumn("below", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("bin"),
+        round((col("below") + col("c") * lit(0.5)) / col("n_total"), 6)
+          .as("calibrated"))
+    base.join(broadcast(binMap), Seq("bin"))
+      .select("doc_id", "score", "calibrated")
   }
 }

@@ -250,4 +250,42 @@ object Corpus {
         size(col("ctoks")).as("n_tokens"),
         concat_ws(" ", col("ctoks")).as("chunk_text"))
   }
+
+  /** Balanced shard assignment — the write-N-training-shards step. Docs
+    * ordered by token count DESCENDING take shards in a serpentine
+    * (boustrophedon) sweep over shard ids (0,1,…,n−1,n−1,…,1,0,0,1,…):
+    * the rank-only form of the LPT greedy, which lands within one
+    * max-item of perfect token balance with no driver-side heap. The
+    * global descending rank uses the [[packTokens]] bounded-collect
+    * prefix sum (#partitions row counts, never a single-partition
+    * window), so the whole op is one range shuffle + one bounded
+    * collect + one hash agg at any corpus size. Emits per-shard doc
+    * count, token sum, and heaviest doc. */
+  def packShards(df: DataFrame, idCol: Column, text: Column,
+                 nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val base = df.select(idCol.as("doc_id"),
+      size(TextAnalysis.tokens(text)).cast("long").as("n"))
+    val parted = base.repartitionByRange(col("n").desc, col("doc_id"))
+      .sortWithinPartitions(col("n").desc, col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+    val pidCounts = parted.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val pidOffsets = pidCounts.map(_._1)
+      .zip(pidCounts.map(_._2).scanLeft(0L)(_ + _))
+    val offsetOf = pidOffsets.foldLeft(lit(0L)) {
+      case (acc, (pid, off)) => when(col("_pid") === pid, lit(off)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(col("n").desc, col("doc_id"))
+    val ranked = parted
+      .withColumn("rk", offsetOf + row_number().over(w).cast("long") - 1L)
+    val pos = col("rk") % (2L * nShards)
+    val shard = when(pos < nShards, pos).otherwise(lit(2L * nShards - 1L) - pos)
+    ranked.withColumn("shard", shard)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        max(col("n")).as("max_doc_tokens"))
+      .orderBy("shard")
+  }
 }

@@ -184,4 +184,27 @@ object TextAnalysis {
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("rn"), col("term"), col("tfidf"))
   }
+
+  /** Vocabulary coverage / OOV rate — the tokenizer-fit diagnostic run
+    * before committing a vocab: the top-`vocabSize` corpus terms by
+    * frequency (ties lexicographic) form the vocab; each document
+    * reports its token count, out-of-vocab token count, and OOV rate.
+    * The vocab is a bounded sort-limit (vocabSize rows — coordinator
+    * sized) broadcast back to the token stream, so corpus-scale work is
+    * two hash aggregations and a broadcast hash join; no doc×vocab
+    * shuffle exists at any corpus size. Empty documents emit nothing
+    * (no tokens to cover). */
+  def oovRate(docs: DataFrame, idCol: Column, text: Column,
+              vocabSize: Int): DataFrame = {
+    val toks = docs.select(idCol.as("doc_id"), explode(tokens(text)).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+      .orderBy(desc("f"), col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("_in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
 }

@@ -2684,5 +2684,81 @@ object TierB {
       Some("""SELECT o_custkey AS key, count(*) AS doc_count FROM orders
              |GROUP BY key HAVING doc_count >= 14
              |ORDER BY doc_count ASC, key LIMIT 15""".stripMargin)),
+
+    // `_msearch`: two bodies against one index in a single call; each
+    // body runs unchanged and its hits carry the 0-based request index
+    // (one unioned frame = ES's ordered responses array).
+    Q("a125_es_json_msearch",
+      (s, d) => graft.dsl.EsQueryJson.msearch(li(s, d), Seq(
+        """{"query": {"term": {"l_returnflag": "R"}},
+          | "sort": ["l_orderkey", "l_linenumber"], "size": 20,
+          | "_source": ["l_orderkey", "l_linenumber", "l_quantity"]}""".stripMargin,
+        """{"query": {"range": {"l_quantity": {"gte": 49}}},
+          | "sort": ["l_orderkey", "l_linenumber"], "size": 20,
+          | "_source": ["l_orderkey", "l_linenumber", "l_quantity"]}""".stripMargin))
+        .orderBy("_search_idx", "l_orderkey", "l_linenumber"),
+      Some("""SELECT * FROM (
+             |  (SELECT l_orderkey, l_linenumber, l_quantity, CAST(0 AS BIGINT) AS _search_idx
+             |   FROM lineitem WHERE l_returnflag = 'R'
+             |   ORDER BY l_orderkey, l_linenumber LIMIT 20)
+             |  UNION ALL
+             |  (SELECT l_orderkey, l_linenumber, l_quantity, CAST(1 AS BIGINT)
+             |   FROM lineitem WHERE l_quantity >= 49
+             |   ORDER BY l_orderkey, l_linenumber LIMIT 20))
+             |ORDER BY _search_idx, l_orderkey, l_linenumber""".stripMargin)),
+
+    // `_rank_eval`: per-request ranking metrics over the top-10 hits —
+    // precision@10, reciprocal rank of the first relevant hit, Burges
+    // DCG@10. Relevance is a graded o_totalprice rating (3/2/1 above
+    // 250k/200k/150k); hit lists are body-size-bounded like ES's own
+    // response, so the metric pass touches ≤ k·#requests rows.
+    Q("a126_es_json_rank_eval",
+      (s, d) => {
+        val o = ord(s, d)
+        def body(pri: String) =
+          s"""{"query": {"term": {"o_orderpriority": "$pri"}},
+             | "sort": [{"o_totalprice": {"order": "desc"}}, "o_orderkey"],
+             | "size": 10}""".stripMargin
+        val rating = when(col("o_totalprice") > 250000, 3)
+          .when(col("o_totalprice") > 200000, 2)
+          .when(col("o_totalprice") > 150000, 1).otherwise(0)
+        def rated(name: String, pri: String) =
+          o.filter(col("o_orderpriority") === pri)
+            .select(lit(name).as("request"), col("o_orderkey").as("doc"),
+              rating.as("rating"))
+            .filter(col("rating") > 0)
+        graft.dsl.EsQueryJson.rankEval(o,
+          Seq(
+            ("urgent", body("1-URGENT"),
+              Seq(col("o_totalprice").desc, col("o_orderkey").asc)),
+            ("high", body("2-HIGH"),
+              Seq(col("o_totalprice").desc, col("o_orderkey").asc))),
+          idCol = "o_orderkey",
+          ratings = rated("urgent", "1-URGENT").unionByName(rated("high", "2-HIGH")),
+          k = 10)
+      },
+      Some("""WITH hits AS (
+             |  SELECT * FROM (
+             |    SELECT 'urgent' AS request, o_orderkey AS doc, o_totalprice,
+             |           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+             |    FROM orders WHERE o_orderpriority = '1-URGENT') WHERE rank <= 10
+             |  UNION ALL
+             |  SELECT * FROM (
+             |    SELECT 'high' AS request, o_orderkey AS doc, o_totalprice,
+             |           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+             |    FROM orders WHERE o_orderpriority = '2-HIGH') WHERE rank <= 10),
+             |r AS (SELECT request, rank,
+             |             CASE WHEN o_totalprice > 250000 THEN 3
+             |                  WHEN o_totalprice > 200000 THEN 2
+             |                  WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS rating
+             |      FROM hits)
+             |SELECT request,
+             |       round(sum(CASE WHEN rating > 0 THEN 1.0 ELSE 0.0 END) / 10, 6) AS "precision",
+             |       round(COALESCE(max(CASE WHEN rating > 0 THEN 1.0 / rank END), 0.0), 6)
+             |         AS reciprocal_rank,
+             |       round(sum(CASE WHEN rating > 0
+             |                 THEN (pow(2.0, rating) - 1) / log2(rank + 1.0)
+             |                 ELSE 0.0 END), 6) AS dcg
+             |FROM r GROUP BY request ORDER BY request""".stripMargin)),
   )
 }

@@ -1242,10 +1242,14 @@ object TierC {
     // monotone in diversity) and keep GD conditioned.
     // Output per bucket: weight + centering mean, intercept at -1.
     Q("c39_quality_classifier_train",
-      (s, d) => graft.ext.Classifier.trainLogReg(
-        Tables.documents(s, d), col("doc_id"), col("text"),
-        size(array_distinct(TextAnalysis.tokens(col("text")))) >= 26,
-        dim = 64, iters = 5),
+      (s, d) => {
+        import s.implicits._
+        graft.ext.Classifier.trainLogRegCached(d,
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          size(array_distinct(TextAnalysis.tokens(col("text")))) >= 26,
+          dim = 64, iters = 5)
+          .toDF("feature", "weight", "mu").orderBy("feature")
+      },
       Some(s"""WITH ${logRegSqlCtes(64)}
              |SELECT CAST(-1 AS BIGINT) AS feature, (SELECT b FROM bb5) AS weight, 0.0 AS mu
              |UNION ALL
@@ -1261,9 +1265,12 @@ object TierC {
     Q("c40_quality_classifier_apply",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val m = graft.ext.Classifier.trainLogReg(docs, col("doc_id"), col("text"),
+        // scores with the TRAINED ARTIFACT (train-once cache shared with
+        // c39) — the real apply step reads a persisted model, it never
+        // retrains per downstream query
+        val m = graft.ext.Classifier.trainLogRegCached(d, docs, col("doc_id"), col("text"),
           size(array_distinct(TextAnalysis.tokens(col("text")))) >= 26, dim = 64, iters = 5)
-          .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+          .map(t => t._1 -> (t._2, t._3)).toMap
         graft.ext.Classifier.scoreLogReg(docs, col("doc_id"), col("text"),
           Array.tabulate(64)(j => m(j.toLong)._1), Array.tabulate(64)(j => m(j.toLong)._2),
           m(-1L)._1, threshold = 0.5)
@@ -1281,5 +1288,79 @@ object TierC {
              |           + (SELECT b FROM bb5)))), 6) AS p
              |  FROM sc)
              |SELECT doc_id, p, p >= 0.5 AS keep FROM pr ORDER BY doc_id""".stripMargin)),
+
+    // Balanced shard assignment (write-N-training-shards): serpentine
+    // sweep over token-count-descending rank — the rank-only LPT greedy.
+    // The global rank is the packTokens bounded-collect prefix sum, so
+    // no single-partition window exists at any scale.
+    Q("c42_shard_pack",
+      (s, d) => Corpus.packShards(Tables.documents(s, d), col("doc_id"),
+        col("text"), nShards = 8),
+      Some(s"""WITH $toksCte,
+             |n AS (SELECT doc_id, len(w) AS n FROM toks),
+             |r AS (SELECT doc_id, n,
+             |             row_number() OVER (ORDER BY n DESC, doc_id) - 1 AS rk
+             |      FROM n),
+             |s AS (SELECT doc_id, n,
+             |             CASE WHEN rk % 16 < 8 THEN rk % 16
+             |                  ELSE 15 - (rk % 16) END AS shard
+             |      FROM r)
+             |SELECT shard, count(*) AS n_docs, sum(n) AS n_tokens,
+             |       max(n) AS max_doc_tokens
+             |FROM s GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // Vocabulary coverage / OOV rate: top-16 corpus terms form the vocab
+    // (bounded sort-limit, broadcast back); per-doc out-of-vocab token
+    // fraction — the tokenizer-fit diagnostic.
+    Q("c43_oov_rate",
+      (s, d) => TextAnalysis.oovRate(Tables.documents(s, d), col("doc_id"),
+        col("text"), vocabSize = 16).orderBy("doc_id"),
+      Some(s"""WITH $toksCte,
+             |tf AS (SELECT unnest(w) AS tok FROM toks),
+             |v AS (SELECT tok FROM (
+             |        SELECT tok, count(*) AS f FROM tf GROUP BY tok
+             |        ORDER BY f DESC, tok LIMIT 16)),
+             |p AS (SELECT doc_id, unnest(w) AS tok FROM toks)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |       sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) AS n_oov,
+             |       round(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) * 1.0
+             |             / count(*), 6) AS oov_rate
+             |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Score calibration to corpus percentiles ("keep the top 30%"): a
+    // 16-bin histogram of the c09 quality score, bin-level cumulative
+    // distribution (bounded window over 16 rows), midpoint-convention
+    // percentile broadcast back per doc.
+    Q("c44_score_calibrate",
+      (s, d) => graft.ext.Classifier.calibrateScores(
+        TextAnalysis.qualityFeatures(Tables.documents(s, d), col("doc_id"), col("text")),
+        col("doc_id"), col("quality"), nBins = 16).orderBy("doc_id"),
+      Some {
+        val stop = TextAnalysis.langMarkers.head._2.map(m => s"'$m'").mkString(",")
+        s"""WITH base AS (
+           |  SELECT doc_id, length(text) AS n_chars,
+           |         len(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS n_tokens,
+           |         length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS punct,
+           |         len(list_filter(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> ''),
+           |             t -> t IN ($stop))) AS stop
+           |  FROM documents),
+           |q AS (SELECT doc_id,
+           |             round(0.5*(stop*1.0/n_tokens) + 0.3*least(n_tokens*1.0/100.0, 1.0)
+           |                   + 0.2*(1.0 - punct*1.0/n_chars), 6) AS score
+           |      FROM base),
+           |b AS (SELECT doc_id, score,
+           |             least(CAST(floor(score * 16) AS BIGINT), 15) AS bin
+           |      FROM q),
+           |h AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+           |cum AS (SELECT bin, c,
+           |               COALESCE(sum(c) OVER (ORDER BY bin
+           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+           |        FROM h),
+           |m AS (SELECT bin, round((below + c * 0.5)
+           |             / (SELECT count(*) FROM b), 6) AS calibrated
+           |      FROM cum)
+           |SELECT b.doc_id, b.score, m.calibrated
+           |FROM b JOIN m USING (bin) ORDER BY b.doc_id""".stripMargin
+      }),
   )
 }

@@ -1054,4 +1054,39 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     val windowLines = p109.linesIterator.filter(_.contains("Window")).toSeq
     assert(windowLines.nonEmpty && windowLines.forall(_.contains("lang")))
   }
+
+  test("msearch: per-body hits tagged with the request index") {
+    val out = EsQueryJson.msearch(orders, Seq(
+      """{"query": {"term": {"o_orderstatus": "F"}}, "sort": ["o_orderkey"],
+        | "size": 3, "_source": ["o_orderkey"]}""".stripMargin,
+      """{"query": {"term": {"o_orderstatus": "O"}}, "sort": ["o_orderkey"],
+        | "size": 2, "_source": ["o_orderkey"]}""".stripMargin))
+      .orderBy("_search_idx", "o_orderkey").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 0L, 0L, 1L, 1L))
+    val byReq = out.groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSeq).toMap
+    val f = orders.filter(col("o_orderstatus") === "F").orderBy("o_orderkey")
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    assert(byReq(0L) == f && byReq(1L).size == 2)
+  }
+
+  test("rank_eval: precision@k, reciprocal rank, Burges DCG") {
+    import spark.implicits._
+    // ranked by score desc: d4(40), d3(30), d2(20), d1(10);
+    // relevant: d3 (rating 1, rank 2), d1 (rating 2, rank 4)
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("doc_id", "s")
+    val ratings = Seq(("r", 3L, 1), ("r", 1L, 2))
+      .toDF("request", "doc", "rating")
+    val out = EsQueryJson.rankEval(df,
+      Seq(("r", """{"sort": [{"s": {"order": "desc"}}], "size": 4}""",
+        Seq(col("s").desc))),
+      idCol = "doc_id", ratings = ratings, k = 4).collect().head
+    assert(out.getAs[Double]("precision") == 0.5)
+    assert(out.getAs[Double]("reciprocal_rank") == 0.5) // first relevant at rank 2
+    // dcg = (2^1-1)/log2(3) + (2^2-1)/log2(5)
+    val want = BigDecimal(1.0 / (math.log(3) / math.log(2)) +
+      3.0 / (math.log(5) / math.log(2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getAs[Double]("dcg") == want)
+  }
 }

@@ -668,4 +668,41 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     val b = cnt.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("packShards: serpentine LPT balances token mass; window is _pid-partitioned") {
+    import sp.implicits._
+    // token counts 8..1 over 2 shards: serpentine ranks (0,3,4,7) vs
+    // (1,2,5,6) -> both shards get exactly 18 tokens
+    val docs = Seq.tabulate(8)(i => (i.toLong, Seq.fill(8 - i)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Corpus.packShards(docs, col("doc_id"), col("text"), nShards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 4L, 18L), (1L, 4L, 18L)))
+    val plan = graft.ext.Corpus.packShards(docs, col("doc_id"), col("text"), 2)
+      .queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("_pid")),
+      "global rank must come from the _pid prefix sum, not a single-partition window")
+  }
+
+  test("oovRate: top-k vocab coverage per doc") {
+    import sp.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, col("doc_id"), col("text"), vocabSize = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // vocab = {a}; empty doc emits nothing
+    assert(out.toSeq == Seq((1L, 3L, 1L, 0.333333), (2L, 2L, 1L, 0.5)))
+  }
+
+  test("calibrateScores: midpoint percentile per histogram bin, top bin clamps") {
+    import sp.implicits._
+    val scored = Seq((1L, 0.11), (2L, 0.12), (3L, 0.55), (4L, 0.9), (5L, 1.0))
+      .toDF("doc_id", "s")
+    val out = graft.ext.Classifier.calibrateScores(scored, col("doc_id"), col("s"), nBins = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // bin1 holds docs 1,2 (below=0, c=2 -> 0.2); bin5 doc 3 -> 0.5;
+    // bin9 docs 4 and 5 (1.0 clamps into bin 9) -> (3+1)/5 = 0.8
+    assert(out == Map(1L -> 0.2, 2L -> 0.2, 3L -> 0.5, 4L -> 0.8, 5L -> 0.8))
+  }
 }
