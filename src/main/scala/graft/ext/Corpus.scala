@@ -288,4 +288,22 @@ object Corpus {
         max(col("n")).as("max_doc_tokens"))
       .orderBy("shard")
   }
+
+  /** Dataset-card rollup — the corpus composition report every release
+    * ships (docs/tokens/doc-length by source × language, with all the
+    * marginal and grand totals): one CUBE aggregation, which Spark
+    * executes as a single Expand + hash agg (one shuffle for every
+    * grouping set at once — no per-slice re-scan of the corpus).
+    * `gid` is the grouping bitmask (source bit 2, lang bit 1)
+    * disambiguating rolled-up NULLs from data NULLs. */
+  def corpusReport(df: DataFrame, idCol: Column, text: Column,
+                   source: Column, lang: Column): DataFrame =
+    df.select(source.as("source"), lang.as("lang"),
+        size(TextAnalysis.tokens(text)).cast("long").as("n"))
+      .cube("source", "lang")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        round(sum(col("n")).cast("double") / count(lit(1)), 4).as("avg_doc_tokens"))
+      .select("source", "lang", "gid", "n_docs", "n_tokens", "avg_doc_tokens")
+      .orderBy(col("gid"), col("source").asc_nulls_first, col("lang").asc_nulls_first)
 }

@@ -272,4 +272,46 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
   }
+
+  /** Farthest-point (greedy k-center) sampling — diverse coreset
+    * selection over embeddings, [[semDedup]]'s complement (keep the
+    * SPREAD rather than prune the dense). Deterministic: seed = min id;
+    * each round picks the argmax of min cosine distance to the chosen
+    * set, ties to the smaller id. `k` driver rounds; each is one narrow
+    * pass against the BROADCAST chosen set (≤ k×dim doubles) + one
+    * TakeOrdered(1) — the corpus never shuffles and nothing bigger than
+    * one row is ever collected per round. Cosines round to 6 dp (the
+    * [[kmeansFit]] cross-engine re-sync protocol). Returns
+    * (round, vec_id, dist): the selection order and each pick's
+    * min-distance at selection time (the k-center radius trace; 0 for
+    * the seed). */
+  def farthestPointSample(vecs: DataFrame, idCol: Column, vecCol: Column,
+                          k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val sp = vecs.sparkSession
+    import sp.implicits._
+    val base = Dedup.persistOnce(
+      vecs.select(idCol.as("_vid"), vecCol.cast("array<double>").as("_v")))
+    val seed = base.orderBy("_vid").limit(1).collect().head
+    var chosen = Vector((seed.getLong(0), seed.getSeq[Double](1), 0.0))
+    def dotAgg(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    // per-center cosine as a flat expression list (k of them, k small) —
+    // the whole round is narrow scan + TakeOrdered(1), zero shuffles
+    def distTo(cv: Column): Column = lit(1.0) - round(
+      dotAgg(col("_v"), cv) /
+        (sqrt(dotAgg(col("_v"), col("_v"))) * sqrt(dotAgg(cv, cv))), 6)
+    for (_ <- 1 until k) {
+      val ds = chosen.map(c => distTo(array(c._2.map(lit): _*)))
+      val dmin = if (ds.size == 1) ds.head else least(ds: _*)
+      val next = base.withColumn("dmin", dmin)
+        .orderBy(desc("dmin"), col("_vid")).limit(1)
+        .collect().head
+      chosen :+= ((next.getLong(0), next.getSeq[Double](1), next.getDouble(2)))
+    }
+    base.unpersist()
+    chosen.zipWithIndex
+      .map { case ((vid, _, d), i) => (i.toLong, vid, d) }
+      .toDF("round", "vec_id", "dist")
+  }
 }

@@ -185,6 +185,73 @@ object TextAnalysis {
       .select(col("doc_id"), col("rn"), col("term"), col("tfidf"))
   }
 
+  /** Bigram-LM perplexity per document — the CCNet/KenLM perplexity
+    * filter with an add-k-smoothed bigram model standing in for KenLM
+    * (same pipeline shape: fit an n-gram LM on the corpus, score every
+    * doc, band by perplexity). P(w2|w1) = (c12 + k)/(c1 + k·V) where c1
+    * counts w1 as a LEFT context, V = corpus distinct unigrams. Per doc:
+    * log-likelihood over its bigrams and ppl = exp(−ll/n). Scale shape:
+    * two hash aggs build the LM, one (w1,w2) shuffle join scores (AQE
+    * handles stopword-pair skew), V is a 1-row broadcast. Per-bigram
+    * log-probs round to 6 dp and the per-doc sum re-rounds, so both
+    * engines stay bit-identical (the c32/c39 determinism protocol).
+    * Docs with <2 tokens emit nothing. */
+  def bigramPerplexity(docs: DataFrame, idCol: Column, text: Column,
+                       k: Double = 0.5): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), tokens(text).as("w"))
+      .withColumn("n", size(col("w"))).filter(col("n") >= 2)
+    val big = base
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), col("n") - 1)).as("i"))
+      .select(col("doc_id"), element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2"))
+    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = docs.select(explode(tokens(text)).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    val lm = c12.join(c1, "w1").crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        round(log((col("c12") + lit(k)) / (col("c1") + lit(k) * col("v"))), 6)
+          .as("logp"))
+    big.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(sum(col("logp")), 6).as("ll"))
+      .withColumn("ppl", round(exp(-col("ll") / col("n_bigrams")), 4))
+  }
+
+  /** PMI collocation mining — phrase-vocabulary induction (the word2vec
+    * phrases / tokenizer-merge-candidate step): pointwise mutual
+    * information of adjacent token pairs, ln(p(w1w2)/(p(w1)·p(w2))) with
+    * p(w1w2) over the bigram total and p(w) over the token total,
+    * low-support pairs pruned (`minCount`). Two hash aggs + two joins
+    * against the unigram table; totals are 1-row broadcasts; top-k is a
+    * bounded sort-limit. */
+  def pmiCollocations(docs: DataFrame, idCol: Column, text: Column,
+                      minCount: Int, topK: Int): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), tokens(text).as("w"))
+      .withColumn("n", size(col("w"))).filter(col("n") >= 2)
+    val big = base
+      .select(col("w"), explode(sequence(lit(1), col("n") - 1)).as("i"))
+      .select(element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2"))
+    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val uni = docs.select(explode(tokens(text)).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cu"))
+    val nTok = docs.select(explode(tokens(text)).as("t"))
+      .agg(count(lit(1)).as("n_tok"))
+    val nBig = big.agg(count(lit(1)).as("n_big"))
+    c12
+      .join(uni.select(col("t").as("w1"), col("cu").as("cu1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("cu").as("cu2")), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast("double") / col("n_big")) /
+          ((col("cu1").cast("double") / col("n_tok")) *
+            (col("cu2").cast("double") / col("n_tok")))), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2")).limit(topK)
+  }
+
   /** Vocabulary coverage / OOV rate — the tokenizer-fit diagnostic run
     * before committing a vocab: the top-`vocabSize` corpus terms by
     * frequency (ties lexicographic) form the vocab; each document

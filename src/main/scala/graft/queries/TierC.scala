@@ -1362,5 +1362,99 @@ object TierC {
            |SELECT b.doc_id, b.score, m.calibrated
            |FROM b JOIN m USING (bin) ORDER BY b.doc_id""".stripMargin
       }),
+
+    // Bigram-LM perplexity per doc (the CCNet/KenLM perplexity filter,
+    // add-k bigram LM standing in for KenLM): two hash aggs fit the LM,
+    // one (w1,w2) join scores; 6-dp logp + re-rounded per-doc sum keep
+    // both engines bit-identical.
+    Q("c45_bigram_ppl",
+      (s, d) => TextAnalysis.bigramPerplexity(Tables.documents(s, d),
+        col("doc_id"), col("text"), k = 0.5).orderBy("doc_id"),
+      Some(s"""WITH $toksCte,
+             |b AS (SELECT doc_id, w FROM toks WHERE len(w) >= 2),
+             |big AS (
+             |  SELECT doc_id,
+             |         unnest(list_transform(generate_series(1, len(w)-1), i -> w[i])) AS w1,
+             |         unnest(list_transform(generate_series(1, len(w)-1), i -> w[i+1])) AS w2
+             |  FROM b),
+             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+             |v AS (SELECT count(DISTINCT tok) AS v
+             |      FROM (SELECT unnest(w) AS tok FROM toks)),
+             |lm AS (SELECT w1, w2,
+             |              round(ln((c12 + 0.5) / (c1 + 0.5 * (SELECT v FROM v))), 6) AS logp
+             |       FROM c12 JOIN c1 USING (w1)),
+             |sc AS (SELECT doc_id, count(*) AS n_bigrams, round(sum(logp), 6) AS ll
+             |       FROM big JOIN lm USING (w1, w2) GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams, ll, round(exp(-ll / n_bigrams), 4) AS ppl
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // PMI collocation mining (phrase-vocab induction): adjacent-pair
+    // pointwise mutual information, support-pruned, top-20.
+    Q("c46_pmi_collocations",
+      (s, d) => TextAnalysis.pmiCollocations(Tables.documents(s, d),
+        col("doc_id"), col("text"), minCount = 5, topK = 20),
+      Some(s"""WITH $toksCte,
+             |b AS (SELECT doc_id, w FROM toks WHERE len(w) >= 2),
+             |big AS (
+             |  SELECT unnest(list_transform(generate_series(1, len(w)-1), i -> w[i])) AS w1,
+             |         unnest(list_transform(generate_series(1, len(w)-1), i -> w[i+1])) AS w2
+             |  FROM b),
+             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big
+             |        GROUP BY w1, w2 HAVING count(*) >= 5),
+             |uni AS (SELECT tok, count(*) AS cu
+             |        FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok),
+             |nt AS (SELECT count(*) AS n_tok FROM (SELECT unnest(w) FROM toks)),
+             |nb AS (SELECT count(*) AS n_big FROM big)
+             |SELECT w1, w2, c12,
+             |       round(ln((c12 * 1.0 / (SELECT n_big FROM nb)) /
+             |             ((u1.cu * 1.0 / (SELECT n_tok FROM nt)) *
+             |              (u2.cu * 1.0 / (SELECT n_tok FROM nt)))), 6) AS pmi
+             |FROM c12 JOIN uni u1 ON u1.tok = w1 JOIN uni u2 ON u2.tok = w2
+             |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin)),
+
+    // Dataset-card rollup: docs/tokens/doc-length by source × lang with
+    // all marginals + grand total — ONE Expand + hash agg (CUBE), no
+    // per-slice re-scan; gid disambiguates rolled-up NULLs.
+    Q("c47_corpus_report",
+      (s, d) => Corpus.corpusReport(Tables.documents(s, d), col("doc_id"),
+        col("text"), col("source"), col("lang")),
+      Some("""WITH d AS (
+             |  SELECT source, lang,
+             |         CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
+             |              x -> x <> '')) AS BIGINT) AS n
+             |  FROM documents)
+             |SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+             |       count(*) AS n_docs, sum(n) AS n_tokens,
+             |       round(sum(n) * 1.0 / count(*), 4) AS avg_doc_tokens
+             |FROM d GROUP BY CUBE (source, lang)
+             |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin)),
+
+    // Farthest-point (greedy k-center) sampling: diverse coreset
+    // selection — the spread-keeping complement of SemDeDup. Seed = min
+    // id; per round, argmax of min 6-dp cosine distance to the chosen
+    // set. Narrow scan + TakeOrdered per round, zero shuffles. The
+    // oracle unrolls the k=4 greedy exactly.
+    Q("c48_fps_coreset",
+      (s, d) => Similarity.farthestPointSample(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), k = 4).orderBy("round"),
+      Some(s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+             |s0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+             |d1 AS (SELECT e.vec_id, e.v, 1 - ${sqlCos("e.v", "s0.v")} AS dmin
+             |       FROM e, s0),
+             |s1 AS (SELECT * FROM d1 ORDER BY dmin DESC, vec_id LIMIT 1),
+             |d2 AS (SELECT d1.vec_id, d1.v,
+             |              least(d1.dmin, 1 - ${sqlCos("d1.v", "s1.v")}) AS dmin
+             |       FROM d1, s1),
+             |s2 AS (SELECT * FROM d2 ORDER BY dmin DESC, vec_id LIMIT 1),
+             |d3 AS (SELECT d2.vec_id, d2.v,
+             |              least(d2.dmin, 1 - ${sqlCos("d2.v", "s2.v")}) AS dmin
+             |       FROM d2, s2),
+             |s3 AS (SELECT * FROM d3 ORDER BY dmin DESC, vec_id LIMIT 1)
+             |SELECT CAST(0 AS BIGINT) AS "round", vec_id, 0.0 AS dist FROM s0
+             |UNION ALL SELECT 1, vec_id, dmin FROM s1
+             |UNION ALL SELECT 2, vec_id, dmin FROM s2
+             |UNION ALL SELECT 3, vec_id, dmin FROM s3
+             |ORDER BY "round"""".stripMargin)),
   )
 }

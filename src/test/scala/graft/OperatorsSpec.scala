@@ -705,4 +705,49 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // bin9 docs 4 and 5 (1.0 clamps into bin 9) -> (3+1)/5 = 0.8
     assert(out == Map(1L -> 0.2, 2L -> 0.2, 3L -> 0.5, 4L -> 0.8, 5L -> 0.8))
   }
+
+  test("bigramPerplexity: add-k LM, short docs excluded") {
+    import sp.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "a"), (3L, "b a")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPerplexity(docs, col("doc_id"), col("text"), k = 0.5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // c12(a,b)=2 c12(b,a)=2, left counts a=2 b=2, V=2:
+    // every logp = ln(2.5/3) = -0.182322 -> ppl = exp(0.182322) = 1.2
+    assert(out.toSeq == Seq((1L, 3L, 1.2), (3L, 1L, 1.2)))
+  }
+
+  test("pmiCollocations: support prune + pmi order") {
+    import sp.implicits._
+    val docs = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, col("doc_id"), col("text"),
+      minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // nTok=6 nBig=5; pmi(x,y)=ln((3/5)/(0.5*0.5)); pmi(y,x)=ln((2/5)/0.25)
+    assert(out.toSeq == Seq(("x", "y", 3L, 0.875469), ("y", "x", 2L, 0.470004)))
+  }
+
+  test("corpusReport: CUBE emits data, marginal, and total slices with gid") {
+    import sp.implicits._
+    val docs = Seq((1L, "a b", "s1", "en"), (2L, "a", "s1", "fr"),
+      (3L, "a b c", "s2", "en")).toDF("doc_id", "text", "source", "lang")
+    val out = graft.ext.Corpus.corpusReport(docs, col("doc_id"), col("text"),
+      col("source"), col("lang"))
+      .collect().map(r => (Option(r.getString(0)).orNull,
+        Option(r.getString(1)).orNull, r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 8) // 3 data + 2 source-marginal + 2 lang-marginal + 1 total
+    assert(out.last == ((null, null, 3L, 3L, 6L)), "grand total sorts last")
+    assert(out.count(_._3 == 1L) == 2 && out.count(_._3 == 2L) == 2)
+  }
+
+  test("farthestPointSample: greedy k-center picks the spread, plan stays narrow") {
+    import sp.implicits._
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0.01f)),
+      (4L, Seq(-1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.farthestPointSample(vecs, col("vec_id"), col("embedding"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // seed 1 -> opposite vector 4 (dist 2) -> orthogonal 2 (dist 1);
+    // the near-duplicate of the seed (3) is never picked
+    assert(out == Seq((0L, 1L, 0.0), (1L, 4L, 2.0), (2L, 2L, 1.0)))
+  }
 }
