@@ -548,6 +548,19 @@ object EsQueryJson {
             require(bound.matches("[A-Za-z0-9_.+\\-*/() ]+"),
               s"unsupported sort script after doc-ref binding: $bound")
             (computed(round(expr(bound), 6)), order, None)
+          } else if (f == "_geo_distance") {
+            // geo sort: great-circle distance from an origin. The key is
+            // the 4-dp haversine km ([[Geo.haversineKm]]) so boundary rows
+            // are engine-stable; callers should add an id tiebreak for a
+            // total order, as with any ES distance sort.
+            val unit = Option(spec.get("unit")).map(_.asText()).getOrElse("km")
+            require(unit == "km", s"unsupported _geo_distance unit: $unit")
+            val reserved = Set("order", "unit", "mode", "distance_type")
+            val gf = spec.fieldNames().asScala.toSeq.filterNot(reserved)
+            require(gf.size == 1, s"_geo_distance needs exactly one geo field, got $gf")
+            val o = spec.get(gf.head)
+            (computed(Geo.haversineKm(field(s"${gf.head}_lat"), field(s"${gf.head}_lon"),
+              lit(o.get("lat").asDouble()), lit(o.get("lon").asDouble()))), order, None)
           } else if (spec.has("mode")) {
             // multi-valued field sort: reduce the array to one key per doc
             // (ES sort modes; array columns arise from the parent/nested
@@ -929,12 +942,13 @@ object EsQueryJson {
   /** `function_score`: reshape the inner query's score with document-value
     * functions — ES's "boost by recency/popularity" workhorse. Supported
     * subset: `field_value_factor` (modifiers none/log1p/sqrt/square,
-    * `missing` default), `gauss` decay on a numeric field
-    * (origin/scale/offset/decay), and bare `weight` functions; each with an
-    * optional `filter` (a non-matching function contributes the
-    * score_mode's neutral element, ES behavior); `score_mode`
-    * multiply (default) | sum combines the functions, `boost_mode`
-    * multiply (default) | sum | replace combines with the query score.
+    * `missing` default), `gauss`/`exp`/`linear` decay on a numeric field
+    * (origin/scale/offset/decay), `script_score`, seeded `random_score`,
+    * and bare `weight` functions; each with an optional `filter` (a
+    * non-matching function is skipped, ES behavior); `score_mode`
+    * multiply (default) | sum | avg | max | min | first combines the
+    * functions, `boost_mode` multiply (default) | sum | replace combines
+    * with the query score.
     *
     * All function math is plain codegen'd double arithmetic with the
     * association mirrored textually by the oracle (NOTES.md cross-engine
@@ -951,8 +965,9 @@ object EsQueryJson {
     }
     val scoreMode = Option(body.get("score_mode")).map(_.asText()).getOrElse("multiply")
     val boostMode = Option(body.get("boost_mode")).map(_.asText()).getOrElse("multiply")
-    require(Set("multiply", "sum")(scoreMode), s"unsupported score_mode: $scoreMode")
-    val neutral = if (scoreMode == "sum") 0.0 else 1.0
+    require(Set("multiply", "sum", "avg", "max", "min", "first")(scoreMode),
+      s"unsupported score_mode: $scoreMode")
+    val neutral = if (scoreMode == "multiply") 1.0 else 0.0
     val fns = Option(body.get("functions")).toSeq.flatMap(_.elements().asScala.toSeq)
     val fVals = fns.map { fn =>
       val weight = Option(fn.get("weight")).map(_.asDouble())
@@ -970,17 +985,25 @@ object EsQueryJson {
             case "square" => pow(fv, lit(2.0))
             case m => throw new IllegalArgumentException(s"unsupported field_value_factor modifier: $m")
           })
-        } else if (fn.has("gauss")) {
-          val (f, s) = single(fn.get("gauss"))
+        } else if (Seq("gauss", "exp", "linear").exists(fn.has)) {
+          val shape = Seq("gauss", "exp", "linear").find(fn.has).get
+          val (f, s) = single(fn.get(shape))
           val origin = s.get("origin").asDouble()
           val scale = s.get("scale").asDouble()
           val offset = Option(s.get("offset")).map(_.asDouble()).getOrElse(0.0)
           val decay = Option(s.get("decay")).map(_.asDouble()).getOrElse(0.5)
-          // gauss(x) = decay ^ ((max(|x−origin|−offset, 0)/scale)²) — the
-          // closed form of exp(−dist²/2σ²) with σ² = −scale²/(2 ln decay)
           val dist0 = abs(field(f) - lit(origin))
           val dist = if (offset == 0.0) dist0 else greatest(dist0 - lit(offset), lit(0.0))
-          Some(pow(lit(decay), pow(dist / lit(scale), lit(2.0))))
+          Some(shape match {
+            // gauss(x) = decay ^ ((dist/scale)²) — the closed form of
+            // exp(−dist²/2σ²) with σ² = −scale²/(2 ln decay)
+            case "gauss" => pow(lit(decay), pow(dist / lit(scale), lit(2.0)))
+            // exp(x) = decay ^ (dist/scale) — exp(−λ·dist), λ = −ln(decay)/scale
+            case "exp" => pow(lit(decay), dist / lit(scale))
+            // linear(x) = max(1 − dist·(1−decay)/scale, 0) — the only shape
+            // that reaches exactly zero (past scale/(1−decay) from origin)
+            case _ => greatest(lit(1.0) - lit(1.0 - decay) * dist / lit(scale), lit(0.0))
+          })
         } else if (fn.has("script_score")) {
           // painless-arithmetic subset: `doc['f'].value` refs become
           // column refs, the rest must be plain arithmetic — compiled
@@ -1013,15 +1036,33 @@ object EsQueryJson {
         case (None, None) => throw new IllegalArgumentException(
           "function_score function needs field_value_factor, gauss, or weight")
       }
-      Option(fn.get("filter")).map(predicate) match {
-        case Some(p) => when(p, v).otherwise(lit(neutral))
-        case None => v
-      }
+      (Option(fn.get("filter")).map(predicate), v)
     }
+    // multiply/sum fold every function in with the mode's neutral element
+    // for a missed filter; max/min/first/avg see only MATCHING functions
+    // (ES skips non-matching ones entirely), expressed as null-masked
+    // values — greatest/least/coalesce all skip nulls. A row matching NO
+    // function keeps the query score unmodified (factor 1.0).
+    def masked = fVals.map { case (p, v) =>
+      p.map(c => when(c, v).otherwise(lit(neutral))).getOrElse(v) }
+    def nullMasked = fVals.map { case (p, v) => p.map(c => when(c, v)).getOrElse(v) }
     val fScore =
       if (fVals.isEmpty) lit(1.0)
-      else if (scoreMode == "sum") fVals.reduce(_ + _)
-      else fVals.reduce(_ * _)
+      else scoreMode match {
+        case "multiply" => masked.reduce(_ * _)
+        case "sum" => masked.reduce(_ + _)
+        case "max" => coalesce(
+          (if (fVals.size == 1) nullMasked else Seq(greatest(nullMasked: _*))) :+
+            lit(1.0).cast("double"): _*)
+        case "min" => coalesce(
+          (if (fVals.size == 1) nullMasked else Seq(least(nullMasked: _*))) :+
+            lit(1.0).cast("double"): _*)
+        case "first" => coalesce(nullMasked :+ lit(1.0).cast("double"): _*)
+        case "avg" =>
+          val cnt = fVals.map { case (p, _) =>
+            p.map(c => when(c, 1).otherwise(0)).getOrElse(lit(1)) }.reduce(_ + _)
+          when(cnt > 0, masked.reduce(_ + _) / cnt).otherwise(lit(1.0))
+      }
     val combined = boostMode match {
       case "multiply" => col("_score") * fScore
       case "sum" => col("_score") + fScore

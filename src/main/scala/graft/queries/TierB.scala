@@ -2760,5 +2760,55 @@ object TierB {
              |                 THEN (pow(2.0, rating) - 1) / log2(rank + 1.0)
              |                 ELSE 0.0 END), 6) AS dcg
              |FROM r GROUP BY request ORDER BY request""".stripMargin)),
+
+    // `_geo_distance` sort: nearest-first over the md5-derived coords —
+    // the "closest stores" ES idiom. The sort key is the 4-dp haversine
+    // km; c_custkey tiebreaks to a total order. Narrow: the distance is
+    // scan-side arithmetic feeding one TakeOrdered(20).
+    Q("a127_es_json_geo_sort",
+      (s, d) => {
+        val df = graft.dsl.Geo.withDerivedCoords(
+          Tables.customer(s, d), col("c_custkey"), "location")
+        graft.dsl.EsQueryJson.search(df,
+          """{"query": {"range": {"c_acctbal": {"gte": 0}}},
+            | "sort": [{"_geo_distance": {"location": {"lat": 0, "lon": 0},
+            |            "order": "asc", "unit": "km"}}, "c_custkey"],
+            | "size": 20, "_source": ["c_custkey", "c_acctbal"]}""".stripMargin)
+      },
+      // NB: derive lat/lon in a CTE first (a112's sign-flip footgun)
+      Some(s"""WITH p AS (
+             |  SELECT c_custkey, c_acctbal, ${graft.dsl.Geo.sqlDerivedLat("c_custkey")} AS lat,
+             |         ${graft.dsl.Geo.sqlDerivedLon("c_custkey")} AS lon
+             |  FROM customer WHERE c_acctbal >= 0),
+             |g AS (SELECT c_custkey, c_acctbal,
+             |             ${graft.dsl.Geo.sqlHaversineKm("lat", "lon", "0.0", "0.0")} AS dkm
+             |      FROM p)
+             |SELECT c_custkey, c_acctbal FROM g ORDER BY dkm, c_custkey LIMIT 20""".stripMargin)),
+
+    // function_score exp + linear decay under score_mode max: the decay
+    // shapes ES ships beyond gauss, and the null-skip max combine (a
+    // filtered-out function is SKIPPED, not neutral-folded). boost_mode
+    // replace isolates the function math from BM25.
+    Q("a128_es_json_decay_max",
+      (s, d) => graft.dsl.EsQueryJson.search(ord(s, d),
+        """{"query": {"function_score": {
+          |   "query": {"term": {"o_orderpriority": "1-URGENT"}},
+          |   "functions": [
+          |     {"filter": {"range": {"o_totalprice": {"gte": 100000}}},
+          |      "exp": {"o_totalprice": {"origin": 150000, "scale": 50000, "decay": 0.5}}},
+          |     {"linear": {"o_totalprice": {"origin": 150000, "scale": 200000, "decay": 0.25}},
+          |      "weight": 2}],
+          |   "score_mode": "max", "boost_mode": "replace"}},
+          | "sort": [{"_score": {}}, "o_orderkey"], "size": 25}""".stripMargin)
+        .select(col("o_orderkey"), col("_score").as("fscore")),
+      Some("""WITH f AS (
+             |  SELECT o_orderkey,
+             |         CASE WHEN o_totalprice >= 100000
+             |              THEN pow(0.5, abs(o_totalprice - 150000.0) / 50000.0) END AS f1,
+             |         2.0 * greatest(1.0 - (0.75 * abs(o_totalprice - 150000.0)) / 200000.0, 0.0) AS f2
+             |  FROM orders WHERE o_orderpriority = '1-URGENT')
+             |SELECT o_orderkey,
+             |       round(CASE WHEN f1 IS NULL THEN f2 ELSE greatest(f1, f2) END, 6) AS fscore
+             |FROM f ORDER BY fscore DESC, o_orderkey LIMIT 25""".stripMargin)),
   )
 }

@@ -1089,4 +1089,58 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out.getAs[Double]("dcg") == want)
   }
+
+  test("decay shapes: exp and linear, and linear hits exact zero past the support") {
+    import org.apache.spark.sql.SparkSession
+    val sp: SparkSession = spark
+    import sp.implicits._
+    val df = Seq((1L, 150000.0), (2L, 200000.0), (3L, 450000.0)).toDF("id", "x")
+    def score(shape: String) = EsQueryJson.search(df,
+      s"""{"query": {"function_score": {
+         |   "functions": [{"$shape": {"x": {"origin": 150000, "scale": 50000, "decay": 0.5}}}],
+         |   "boost_mode": "replace"}}, "sort": [{"_score": {}}, "id"]}""".stripMargin)
+      .select("id", "_score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val e = score("exp")
+    assert(e(1L) == 1.0 && e(2L) == 0.5)          // decay^(dist/scale)
+    assert(e(3L) == 0.015625)                     // 0.5^6
+    val l = score("linear")
+    assert(l(1L) == 1.0 && l(2L) == 0.5)          // 1 − 0.5·dist/scale
+    assert(l(3L) == 0.0)                          // clamped at zero, not negative
+    val g = score("gauss")
+    assert(g(2L) == 0.5 && g(3L) == 0.0)          // 0.5^36 rounds to 0 at 6 dp
+  }
+
+  test("score_mode max/first skip non-matching functions; no-match keeps score 1") {
+    import org.apache.spark.sql.SparkSession
+    val sp: SparkSession = spark
+    import sp.implicits._
+    val df = Seq((1L, 5.0), (2L, 50.0)).toDF("id", "x")
+    def run(mode: String) = EsQueryJson.search(df,
+      s"""{"query": {"function_score": {
+         |   "functions": [
+         |     {"filter": {"range": {"x": {"gte": 10}}}, "weight": 7},
+         |     {"filter": {"range": {"x": {"gte": 40}}}, "weight": 3}],
+         |   "score_mode": "$mode", "boost_mode": "replace"}},
+         | "sort": [{"_score": {}}, "id"]}""".stripMargin)
+      .select("id", "_score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run("max") == Map(1L -> 1.0, 2L -> 7.0))   // doc 1 matches nothing → 1.0
+    assert(run("min") == Map(1L -> 1.0, 2L -> 3.0))
+    assert(run("first") == Map(1L -> 1.0, 2L -> 7.0))
+    assert(run("avg") == Map(1L -> 1.0, 2L -> 5.0))   // (7+3)/2 over MATCHING only
+  }
+
+  test("_geo_distance sort orders by haversine km from the origin") {
+    import org.apache.spark.sql.SparkSession
+    val sp: SparkSession = spark
+    import sp.implicits._
+    // fixed coordinates: 1° lon ≈ 111 km, so distances order 3 < 1 < 2
+    val df = Seq((1L, 0.0, 2.0), (2L, 0.0, -5.0), (3L, 1.0, 0.0))
+      .toDF("id", "location_lat", "location_lon")
+    val got = EsQueryJson.search(df,
+      """{"sort": [{"_geo_distance": {"location": {"lat": 0, "lon": 0},
+        |            "order": "asc", "unit": "km"}}, "id"],
+        | "_source": ["id"]}""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 1L, 2L))
+  }
 }
