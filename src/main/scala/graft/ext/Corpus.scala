@@ -306,4 +306,124 @@ object Corpus {
         round(sum(col("n")).cast("double") / count(lit(1)), 4).as("avg_doc_tokens"))
       .select("source", "lang", "gid", "n_docs", "n_tokens", "avg_doc_tokens")
       .orderBy(col("gid"), col("source").asc_nulls_first, col("lang").asc_nulls_first)
+
+  /** DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hashed-unigram bag
+    * features; add-½-smoothed bucket distributions p (TARGET corpus) and
+    * q (RAW corpus) over `buckets` hash buckets; the per-doc weight is
+    * log(p(doc)/q(doc)) = Σ_b count_b · ln(p_b/q_b).
+    *
+    * Scale shape: both distributions are hash aggs capped at `buckets`
+    * rows, broadcast back as the per-bucket log-ratio table; the doc pass
+    * is one (doc,bucket) hash agg + a broadcast join + one per-doc agg —
+    * the raw corpus shuffles only its (doc,bucket) counts, never text.
+    * Per-bucket log-ratios round to 6 dp and the per-doc sum re-rounds
+    * (the cross-engine float protocol). */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: Column,
+                     text: Column, buckets: Int): DataFrame = {
+    def bucket(t: Column): Column =
+      pmod(graft.functions.Hashing.md5Long60(concat(lit("dsir:"), t)), lit(buckets.toLong))
+    def bucketCounts(df: DataFrame, cnt: String) =
+      df.select(explode(TextAnalysis.tokens(text)).as("t"))
+        .select(bucket(col("t")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as(cnt))
+    val tgt = bucketCounts(target, "ct")
+    val rw = bucketCounts(raw, "cr")
+    val tTot = tgt.agg(sum(col("ct")).cast("double").as("tt"))
+    val rTot = rw.agg(sum(col("cr")).cast("double").as("rt"))
+    // every bucket a raw doc can hit appears in rw; smoothing covers the
+    // target side's empties
+    val ratio = rw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("b"), round(
+        log((coalesce(col("ct"), lit(0L)) + lit(0.5)) / (col("tt") + lit(0.5) * lit(buckets))) -
+          log((col("cr") + lit(0.5)) / (col("rt") + lit(0.5) * lit(buckets))), 6).as("logr"))
+    raw.select(idCol.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
+      .select(col("doc_id"), bucket(col("t")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(round(sum(col("n") * col("logr")), 6).as("logw"))
+  }
+
+  /** DSIR resampling: top-`k` of [[dsirLogWeights]] under the Gumbel
+    * trick — adding Gumbel(0,1) noise to each log-weight and taking the
+    * top-k IS sampling k docs without replacement with probability ∝
+    * weight. The uniforms are md5-derived from (seed, doc_id), so the
+    * "random" sample is deterministic and the oracle replays it exactly.
+    * One narrow column + a TakeOrdered(k) on top of the weight pass. */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: Column,
+                   text: Column, buckets: Int, k: Int, seed: String): DataFrame = {
+    val u = (pmod(graft.functions.Hashing.md5Long60(
+        concat(lit(s"dsirg:$seed:"), col("doc_id").cast("string"))), lit(1000000L)) + lit(1L))
+      .cast("double") / lit(1000001.0)
+    dsirLogWeights(raw, target, idCol, text, buckets)
+      .withColumn("gkey", round(col("logw") - log(-log(u)), 6))
+      .orderBy(desc("gkey"), col("doc_id")).limit(k)
+  }
+
+  /** Cross-source n-gram overlap matrix — the between-source contamination
+    * report run before fixing mixture weights (shared boilerplate or
+    * mirrored content across crawls shows up as high Jaccard). Per source:
+    * the DISTINCT word-`n`-gram set; per source pair (a < b): exact
+    * Jaccard |A∩B| / (|A|+|B|−|A∩B|).
+    *
+    * Scale shape: the (source, gram) table is distinct-deduped (one hash
+    * agg), the pair intersection is a gram-keyed self-join whose fan-out
+    * per gram is bounded by C(#sources, 2) — source-count bounded, never
+    * corpus-quadratic; set sizes broadcast onto the ≤ C(S,2)-row result. */
+  def sourceOverlap(df: DataFrame, idCol: Column, text: Column,
+                    sourceCol: Column, n: Int = 3): DataFrame = {
+    val grams = df
+      .select(sourceCol.as("source"), TextAnalysis.tokens(text).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("source"), explode(TextAnalysis.wordNgrams(col("w"), n)).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = grams.select(col("source").as("src_a"), col("g"))
+      .join(grams.select(col("source").as("src_b"), col("g")), "g")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sza"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("szb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")), 6).as("jaccard"))
+      .orderBy(desc("jaccard"), col("src_a"), col("src_b"))
+  }
+
+  /** Per-source distribution drift: the two-sample Kolmogorov–Smirnov
+    * statistic between a source's doc-token-length distribution and the
+    * rest of the corpus — the "did this crawl/source shift?" monitor for
+    * mixture rebalancing. KS_s = max_x |F_s(x) − F_rest(x)| evaluated at
+    * every observed length.
+    *
+    * Scale shape: one (source, length) hash agg, a per-length global agg,
+    * a (distinct lengths × sources) grid join — bounded by value
+    * cardinality × source count, not docs — and two cumulative windows
+    * partitioned by source. CDF differences round to 6 dp before the max
+    * so boundary rows are engine-stable. */
+  def ksDrift(df: DataFrame, idCol: Column, text: Column,
+              sourceCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val len = df.select(sourceCol.as("source"), size(TextAnalysis.tokens(text)).as("n"))
+    val perSN = len.groupBy("source", "n").agg(count(lit(1)).as("cs"))
+    val perN = len.groupBy("n").agg(count(lit(1)).as("ca"))
+    val perS = len.groupBy("source").agg(count(lit(1)).as("ns"))
+    val nAll = len.agg(count(lit(1)).as("na"))
+    val grid = perN.crossJoin(broadcast(perS))
+      .join(perSN, Seq("source", "n"), "left")
+      .na.fill(0L, Seq("cs"))
+      .crossJoin(broadcast(nAll))
+    val w = Window.partitionBy("source").orderBy("n")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("fs", sum(col("cs")).over(w).cast("double") / col("ns"))
+      .withColumn("fr", (sum(col("ca")).over(w) - sum(col("cs")).over(w)).cast("double") /
+        (col("na") - col("ns")))
+      .withColumn("d", round(abs(col("fs") - col("fr")), 6))
+      .groupBy("source").agg(max(col("d")).as("ks"))
+      .orderBy(desc("ks"), col("source"))
+  }
 }

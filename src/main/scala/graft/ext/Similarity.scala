@@ -314,4 +314,76 @@ object Similarity {
       .map { case ((vid, _, d), i) => (i.toLong, vid, d) }
       .toDF("round", "vec_id", "dist")
   }
+
+  // ---- product quantization (PQ) --------------------------------------
+  // The memory-bound ANN scale path: store m small codes per vector
+  // instead of the vector (d·4 bytes → m bytes), search via per-query
+  // distance lookup tables (ADC, Jégou et al. 2011). Composes with
+  // [[knnIvf]] as IVF-PQ: coarse cells prune, codes rank.
+
+  /** Deterministic seeded codebook: the `k` smallest-id vectors'
+    * subvectors, one codebook per subspace. The production trainer is
+    * [[kmeansFit]] run per subspace (same 6-dp re-sync protocol); this
+    * seeded form keeps the oracle replayable without m unrolled Lloyd CTE
+    * chains. Driver-side size: m × k × (d/m) doubles = k·d — one
+    * codebook row set, broadcast as literals. */
+  def pqCodebookFromIds(vecs: DataFrame, idCol: Column, vecCol: Column,
+                        m: Int, k: Int): Seq[Seq[Seq[Double]]] = {
+    val rows = vecs.select(idCol.as("_vid"), vecCol.cast("array<double>").as("_v"))
+      .orderBy("_vid").limit(k).collect()
+    require(rows.nonEmpty, "empty codebook sample")
+    val d = rows.head.getSeq[Double](1).size
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val sub = d / m
+    (0 until m).map(s => rows.toSeq.map(_.getSeq[Double](1).slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** PQ encode: per subspace, the index of the nearest codebook centroid
+    * by squared L2 (6-dp rounded, ties to the smaller code — the
+    * engine-stable argmin). Entirely narrow: m·k codegen'd distance
+    * expressions per row against literal centroids; emits
+    * (vec_id, codes array<int>) — the 8-byte-per-vector index that
+    * replaces the raw embedding at serving time. */
+  def pqEncode(vecs: DataFrame, idCol: Column, vecCol: Column,
+               codebook: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebook.size
+    val sub = codebook.head.head.size
+    val v = vecCol.cast("array<double>")
+    val codes = (0 until m).map { s =>
+      val sv = slice(v, s * sub + 1, sub)
+      val dists = codebook(s).map { cent =>
+        round(aggregate(zip_with(sv, array(cent.map(lit): _*), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, x) => acc + x), 6)
+      }
+      val arr = array(dists: _*)
+      (array_position(arr, array_min(arr)) - 1).cast("int")
+    }
+    vecs.select(idCol.as("vec_id"), array(codes: _*).as("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: the
+    * query's distance to every codebook centroid is a driver-side
+    * m×k lookup table (same ascending fold + 6-dp round as the encode
+    * side); each code row scores as the sum of its m table entries —
+    * a narrow element_at chain into literal arrays, no vector math per
+    * row — then one TakeOrdered(k). This is why PQ serves at 100 TB:
+    * the scan touches codes (bytes), not embeddings (KBs). */
+  def pqAdcSearch(codes: DataFrame, codebook: Seq[Seq[Seq[Double]]],
+                  query: Seq[Double], topK: Int): DataFrame = {
+    val m = codebook.size
+    val sub = codebook.head.head.size
+    val lut: Seq[Seq[Double]] = (0 until m).map { s =>
+      val q = query.slice(s * sub, (s + 1) * sub)
+      codebook(s).map { cent =>
+        val raw = q.indices.foldLeft(0.0)((acc, i) =>
+          acc + (q(i) - cent(i)) * (q(i) - cent(i)))
+        BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val adist = (0 until m).map { s =>
+      element_at(array(lut(s).map(lit): _*), element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    codes.select(col("vec_id"), round(adist, 6).as("adist"))
+      .orderBy(col("adist"), col("vec_id")).limit(topK)
+  }
 }

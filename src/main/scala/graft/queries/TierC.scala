@@ -1456,5 +1456,126 @@ object TierC {
              |UNION ALL SELECT 2, vec_id, dmin FROM s2
              |UNION ALL SELECT 3, vec_id, dmin FROM s3
              |ORDER BY "round"""".stripMargin)),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    // importance weights toward a target distribution (source src0),
+    // Gumbel-top-k deterministic resample. Two bucket-table hash aggs +
+    // one broadcast-joined doc pass; the md5-derived Gumbel keys make the
+    // "random" sample exactly replayable.
+    Q("c49_dsir_resample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Corpus.dsirResample(docs, docs.filter(col("source") === "src0"),
+          col("doc_id"), col("text"), buckets = 512, k = 50, seed = "42")
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, source,
+             |         unnest(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS t
+             |  FROM documents),
+             |tb AS (SELECT doc_id, source,
+             |              ${Hashing.sqlMd5Long60("'dsir:' || t")} % 512 AS b FROM tok),
+             |tgt AS (SELECT b, count(*) AS ct FROM tb WHERE source = 'src0' GROUP BY b),
+             |rw AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
+             |tots AS (SELECT (SELECT CAST(sum(ct) AS DOUBLE) FROM tgt) AS tt,
+             |                (SELECT CAST(sum(cr) AS DOUBLE) FROM rw) AS rt),
+             |ratio AS (
+             |  SELECT rw.b, round(ln((COALESCE(ct, 0) + 0.5) / (tt + 0.5 * 512))
+             |                   - ln((cr + 0.5) / (rt + 0.5 * 512)), 6) AS logr
+             |  FROM rw LEFT JOIN tgt ON rw.b = tgt.b, tots),
+             |db AS (SELECT doc_id, b, count(*) AS n FROM tb GROUP BY doc_id, b),
+             |w AS (SELECT doc_id, round(sum(n * logr), 6) AS logw
+             |      FROM db JOIN ratio USING (b) GROUP BY doc_id)
+             |SELECT doc_id, logw,
+             |       round(logw - ln(-ln((${Hashing.sqlMd5Long60("'dsirg:42:' || CAST(doc_id AS VARCHAR)")} % 1000000 + 1) / 1000001.0)), 6) AS gkey
+             |FROM w ORDER BY gkey DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // Product quantization + ADC search (Jégou et al. 2011): 64-dim
+    // embeddings → 4 subspaces × 8-centroid seeded codebook; per-vector
+    // 4-byte codes; the query scores by a driver-side lookup table — the
+    // scan touches codes, never embeddings. The oracle replays encode and
+    // ADC bit-for-bit (6-dp squared-L2, ties to the smaller code).
+    Q("c50_pq_adc",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cb = Similarity.pqCodebookFromIds(e, col("vec_id"), col("embedding"), m = 4, k = 8)
+        val q = e.filter(col("vec_id") === 123)
+          .select(col("embedding").cast("array<double>"))
+          .collect().head.getSeq[Double](0)
+        Similarity.pqAdcSearch(
+          Similarity.pqEncode(e, col("vec_id"), col("embedding"), cb), cb, q, topK = 10)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+             |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
+             |       FROM embeddings ORDER BY vec_id LIMIT 8),
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 123),
+             |sd AS (SELECT e.vec_id, t.s, cb.j,
+             |         round(list_sum(list_transform(generate_series(1, 16),
+             |           i -> (CAST(e.v[t.s*16+i] AS DOUBLE) - CAST(cb.c[t.s*16+i] AS DOUBLE))
+             |              * (CAST(e.v[t.s*16+i] AS DOUBLE) - CAST(cb.c[t.s*16+i] AS DOUBLE)))), 6) AS d
+             |       FROM e, generate_series(0, 3) t(s), cb),
+             |enc AS (SELECT vec_id, s, j AS code FROM (
+             |          SELECT vec_id, s, j,
+             |                 row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+             |          FROM sd) WHERE rn = 1),
+             |lut AS (SELECT t.s, cb.j,
+             |          round(list_sum(list_transform(generate_series(1, 16),
+             |            i -> (CAST(q.qv[t.s*16+i] AS DOUBLE) - CAST(cb.c[t.s*16+i] AS DOUBLE))
+             |               * (CAST(q.qv[t.s*16+i] AS DOUBLE) - CAST(cb.c[t.s*16+i] AS DOUBLE)))), 6) AS ld
+             |        FROM q, generate_series(0, 3) t(s), cb),
+             |jx AS (SELECT enc.vec_id, enc.s, lut.ld
+             |       FROM enc JOIN lut ON lut.s = enc.s AND lut.j = enc.code),
+             |p AS (SELECT vec_id,
+             |        max(CASE WHEN s = 0 THEN ld END) AS l0, max(CASE WHEN s = 1 THEN ld END) AS l1,
+             |        max(CASE WHEN s = 2 THEN ld END) AS l2, max(CASE WHEN s = 3 THEN ld END) AS l3
+             |      FROM jx GROUP BY vec_id)
+             |SELECT vec_id, round(l0 + l1 + l2 + l3, 6) AS adist
+             |FROM p ORDER BY adist, vec_id LIMIT 10""".stripMargin)),
+
+    // Cross-source n-gram overlap matrix: the between-source contamination
+    // report before fixing mixture weights. Distinct (source, 3-gram)
+    // pairs self-join on the gram — fan-out bounded by C(#sources, 2),
+    // never corpus-quadratic. Top-30 most overlapping pairs.
+    Q("c51_source_overlap",
+      (s, d) => Corpus.sourceOverlap(Tables.documents(s, d), col("doc_id"),
+        col("text"), col("source"), n = 3).limit(30),
+      Some(s"""WITH $toksCte,
+             |j AS (SELECT doc_id, source, w FROM toks JOIN documents USING (doc_id)),
+             |g AS (SELECT DISTINCT source,
+             |             unnest(list_transform(generate_series(1, len(w)-2),
+             |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+             |      FROM j WHERE len(w) >= 3),
+             |sz AS (SELECT source, count(*) AS sz FROM g GROUP BY source),
+             |iv AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+             |       FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+             |       GROUP BY 1, 2)
+             |SELECT src_a, src_b, inter,
+             |       round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+             |FROM iv JOIN sz sa ON sa.source = src_a JOIN sz sb ON sb.source = src_b
+             |ORDER BY jaccard DESC, src_a, src_b LIMIT 30""".stripMargin)),
+
+    // Per-source KS drift: two-sample Kolmogorov–Smirnov between each
+    // source's doc-length distribution and the rest of the corpus — the
+    // "did this crawl shift?" monitor. Value-cardinality-bounded grid +
+    // two cumulative windows; CDF gaps round to 6 dp before the max.
+    Q("c52_ks_drift",
+      (s, d) => Corpus.ksDrift(Tables.documents(s, d), col("doc_id"),
+        col("text"), col("source")),
+      Some(s"""WITH $toksCte,
+             |len AS (SELECT t.doc_id, d.source, len(t.w) AS n
+             |        FROM toks t JOIN documents d USING (doc_id)),
+             |psn AS (SELECT source, n, count(*) AS cs FROM len GROUP BY source, n),
+             |pn AS (SELECT n, count(*) AS ca FROM len GROUP BY n),
+             |ps AS (SELECT source, count(*) AS ns FROM len GROUP BY source),
+             |na AS (SELECT count(*) AS na FROM len),
+             |grid AS (SELECT ps.source, pn.n, pn.ca, ps.ns, COALESCE(psn.cs, 0) AS cs, na.na
+             |         FROM pn CROSS JOIN ps
+             |         LEFT JOIN psn ON psn.source = ps.source AND psn.n = pn.n, na),
+             |cum AS (SELECT source, n,
+             |          CAST(sum(cs) OVER w AS DOUBLE) / ns AS fs,
+             |          CAST(sum(ca) OVER w - sum(cs) OVER w AS DOUBLE) / (na - ns) AS fr
+             |        FROM grid WINDOW w AS (PARTITION BY source ORDER BY n
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT source, max(round(abs(fs - fr), 6)) AS ks
+             |FROM cum GROUP BY source ORDER BY ks DESC, source""".stripMargin)),
   )
 }

@@ -750,4 +750,62 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     // the near-duplicate of the seed (3) is never picked
     assert(out == Seq((0L, 1L, 0.0), (1L, 4L, 2.0), (2L, 2L, 1.0)))
   }
+
+  test("dsir: target-like docs outweigh off-target docs; resample is deterministic") {
+    import sp.implicits._
+    val raw = Seq((1L, "a a a"), (2L, "z z z"), (3L, "a z")).toDF("doc_id", "text")
+    val target = Seq((10L, "a a a a")).toDF("doc_id", "text")
+    val w = graft.ext.Corpus.dsirLogWeights(raw, target, col("doc_id"), col("text"), 512)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 'a' is the whole target distribution; 'z' never appears in it
+    assert(w(1L) > w(3L) && w(3L) > w(2L))
+    def sample = graft.ext.Corpus.dsirResample(raw, target, col("doc_id"), col("text"),
+      512, k = 2, seed = "7").collect().map(_.getLong(0)).toSeq
+    assert(sample == sample && sample.size == 2)
+  }
+
+  test("pq: encode argmin with ties to the smaller code, ADC ranks by table sum") {
+    import sp.implicits._
+    val vecs = Seq(
+      (1L, Seq(0f, 0f, 0f, 0f)), (2L, Seq(1f, 1f, 1f, 1f)),
+      (3L, Seq(0.1f, 0f, 1f, 1f)), (4L, Seq(0.5f, 0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebookFromIds(vecs, col("vec_id"), col("embedding"), m = 2, k = 2)
+    val enc = Similarity.pqEncode(vecs, col("vec_id"), col("embedding"), cb)
+    val codes = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codes(1L) == Seq(0, 0) && codes(2L) == Seq(1, 1))
+    assert(codes(3L) == Seq(0, 1))
+    // equidistant subvectors tie to the SMALLER code
+    assert(codes(4L) == Seq(0, 0))
+    val got = Similarity.pqAdcSearch(enc, cb, Seq(0.0, 0.0, 1.0, 1.0), topK = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // v3 reconstructs exactly to the query's cells (0 + 0); v1/v2 tie at 2
+    assert(got == Seq((3L, 0.0), (1L, 2.0), (2L, 2.0), (4L, 2.0)))
+    // ADC is a narrow scan + TakeOrdered — no shuffle anywhere (topK must
+    // stay below the row count or EliminateLimits leaves a global Sort)
+    val plan = Similarity.pqAdcSearch(enc, cb, Seq(0.0, 0.0, 1.0, 1.0), 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "ADC must be narrow")
+  }
+
+  test("sourceOverlap: shared 3-grams only, exact Jaccard on distinct sets") {
+    import sp.implicits._
+    val docs = Seq((1L, "a b c d", "s1"), (2L, "a b c", "s2"), (3L, "x y z", "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ext.Corpus.sourceOverlap(docs, col("doc_id"), col("text"),
+      col("source"), n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    // s1 {abc,bcd} ∩ s2 {abc} = 1 → 1/(2+1−1); s3 shares nothing → no row
+    assert(out == Seq(("s1", "s2", 1L, 0.5)))
+  }
+
+  test("ksDrift: disjoint length distributions give KS = 1") {
+    import sp.implicits._
+    val docs = Seq((1L, "a", "s1"), (2L, "b", "s1"),
+      (3L, "a b c", "s2"), (4L, "x y z", "s2")).toDF("doc_id", "text", "source")
+    val out = graft.ext.Corpus.ksDrift(docs, col("doc_id"), col("text"), col("source"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // s1 all length 1, s2 all length 3: at n=1 the CDFs are 1 vs 0
+    assert(out == Map("s1" -> 1.0, "s2" -> 1.0))
+  }
 }
