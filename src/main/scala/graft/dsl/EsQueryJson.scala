@@ -740,6 +740,35 @@ object EsQueryJson {
     }.reduce(_.unionByName(_))
   }
 
+  /** ES `_mget`: fetch documents by id, PRESERVING request order (ES
+    * returns `docs` in the order the ids were asked). The (id, position)
+    * list broadcasts against the index — the corpus never shuffles and
+    * the id equality pushes into the scan; a missing id simply yields no
+    * row (ES emits a `found: false` stub — the relational form drops it,
+    * and the caller can left-join the request list if stubs matter). */
+  def mget(df: DataFrame, idCol: String, ids: Seq[Any]): DataFrame = {
+    require(ids.nonEmpty, "mget needs at least one id")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val order = ids.zipWithIndex.map { case (v, i) => (v.toString, i.toLong) }
+      .toDF("_mget_id", "_mget_idx")
+    df.join(broadcast(order), df(idCol).cast("string") === col("_mget_id"))
+      .drop("_mget_id")
+      .orderBy("_mget_idx")
+  }
+
+  /** ES `_count`: the hit count of a query body without materializing
+    * hits — predicate + one scalar aggregate (the count runs map-side
+    * partial, no row ever leaves the executors). */
+  def countApi(df: DataFrame, bodyJson: String): DataFrame = {
+    val body = parse(bodyJson)
+    val base = Option(body.get("query")) match {
+      case Some(q) => df.filter(predicate(q))
+      case None => df
+    }
+    base.agg(count(lit(1)).as("count"))
+  }
+
   /** ES `_rank_eval`: run each request's search body, rank its hits
     * 1..size in the body's sort order, join the request's relevance
     * ratings, and emit the standard ranking metrics per request —

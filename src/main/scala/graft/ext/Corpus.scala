@@ -323,12 +323,17 @@ object Corpus {
                      text: Column, buckets: Int): DataFrame = {
     def bucket(t: Column): Column =
       pmod(graft.functions.Hashing.md5Long60(concat(lit("dsir:"), t)), lit(buckets.toLong))
-    def bucketCounts(df: DataFrame, cnt: String) =
-      df.select(explode(TextAnalysis.tokens(text)).as("t"))
-        .select(bucket(col("t")).as("b"))
-        .groupBy("b").agg(count(lit(1)).as(cnt))
-    val tgt = bucketCounts(target, "ct")
-    val rw = bucketCounts(raw, "cr")
+    val tgt = target.select(explode(TextAnalysis.tokens(text)).as("t"))
+      .select(bucket(col("t")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    // the raw corpus tokenizes ONCE: the (doc,bucket) counts serve both
+    // the q distribution (one more tiny agg over ≤ docs·buckets rows)
+    // and the per-doc scoring pass
+    val docBuckets = Dedup.persistOnce(
+      raw.select(idCol.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
+        .select(col("doc_id"), bucket(col("t")).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("n")))
+    val rw = docBuckets.groupBy("b").agg(sum(col("n")).as("cr"))
     val tTot = tgt.agg(sum(col("ct")).cast("double").as("tt"))
     val rTot = rw.agg(sum(col("cr")).cast("double").as("rt"))
     // every bucket a raw doc can hit appears in rw; smoothing covers the
@@ -338,9 +343,7 @@ object Corpus {
       .select(col("b"), round(
         log((coalesce(col("ct"), lit(0L)) + lit(0.5)) / (col("tt") + lit(0.5) * lit(buckets))) -
           log((col("cr") + lit(0.5)) / (col("rt") + lit(0.5) * lit(buckets))), 6).as("logr"))
-    raw.select(idCol.as("doc_id"), explode(TextAnalysis.tokens(text)).as("t"))
-      .select(col("doc_id"), bucket(col("t")).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+    docBuckets
       .join(broadcast(ratio), "b")
       .groupBy("doc_id")
       .agg(round(sum(col("n") * col("logr")), 6).as("logw"))
@@ -374,10 +377,14 @@ object Corpus {
     * corpus-quadratic; set sizes broadcast onto the ≤ C(S,2)-row result. */
   def sourceOverlap(df: DataFrame, idCol: Column, text: Column,
                     sourceCol: Column, n: Int = 3): DataFrame = {
+    // grams travel as 60-bit md5 hashes, not strings — the distinct and
+    // the self-join shuffle 8-byte keys (the oracle applies the same
+    // hash, so counts match exactly; 60-bit collisions are negligible)
     val grams = df
       .select(sourceCol.as("source"), TextAnalysis.tokens(text).as("w"))
       .filter(size(col("w")) >= n)
-      .select(col("source"), explode(TextAnalysis.wordNgrams(col("w"), n)).as("g"))
+      .select(col("source"), explode(TextAnalysis.wordNgrams(col("w"), n)).as("gs"))
+      .select(col("source"), graft.functions.Hashing.md5Long60(col("gs")).as("g"))
       .distinct()
     val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
     val inter = grams.select(col("source").as("src_a"), col("g"))

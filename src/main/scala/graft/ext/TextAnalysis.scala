@@ -200,11 +200,13 @@ object TextAnalysis {
                        k: Double = 0.5): DataFrame = {
     val base = docs.select(idCol.as("doc_id"), tokens(text).as("w"))
       .withColumn("n", size(col("w"))).filter(col("n") >= 2)
-    val big = base
+    // three consumers (c12 agg, c1 agg, the scoring join) — materialize
+    // the exploded bigrams once instead of re-tokenizing per subtree
+    val big = Dedup.persistOnce(base
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(1), col("n") - 1)).as("i"))
       .select(col("doc_id"), element_at(col("w"), col("i")).as("w1"),
-        element_at(col("w"), col("i") + 1).as("w2"))
+        element_at(col("w"), col("i") + 1).as("w2")))
     val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = docs.select(explode(tokens(text)).as("t"))

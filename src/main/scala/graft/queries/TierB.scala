@@ -2810,5 +2810,32 @@ object TierB {
              |SELECT o_orderkey,
              |       round(CASE WHEN f1 IS NULL THEN f2 ELSE greatest(f1, f2) END, 6) AS fscore
              |FROM f ORDER BY fscore DESC, o_orderkey LIMIT 25""".stripMargin)),
+
+    // `_mget`: fetch by id preserving REQUEST order (the ES response
+    // contract) — broadcast (id, position) list, corpus never shuffles;
+    // the missing id (999999999) drops out.
+    Q("a129_es_json_mget",
+      (s, d) => graft.dsl.EsQueryJson.mget(ord(s, d), "o_orderkey",
+          Seq(32L, 1L, 999999999L, 7L, 5L))
+        .select(col("o_orderkey"), col("o_totalprice"), col("_mget_idx")),
+      Some("""SELECT o_orderkey, o_totalprice, _mget_idx
+             |FROM orders JOIN (VALUES (CAST(32 AS BIGINT), CAST(0 AS BIGINT)),
+             |                         (CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+             |                         (CAST(999999999 AS BIGINT), CAST(2 AS BIGINT)),
+             |                         (CAST(7 AS BIGINT), CAST(3 AS BIGINT)),
+             |                         (CAST(5 AS BIGINT), CAST(4 AS BIGINT))) v(id, _mget_idx)
+             |  ON o_orderkey = v.id
+             |ORDER BY _mget_idx""".stripMargin)),
+
+    // `_count`: query-match count without hit materialization — one
+    // map-side-partial scalar agg.
+    Q("a130_es_json_count",
+      (s, d) => graft.dsl.EsQueryJson.countApi(li(s, d),
+        """{"query": {"bool": {
+          |   "must": [{"term": {"l_returnflag": "R"}},
+          |            {"range": {"l_quantity": {"gte": 30}}}],
+          |   "must_not": [{"term": {"l_linestatus": "O"}}]}}}""".stripMargin),
+      Some("""SELECT count(*) AS "count" FROM lineitem
+             |WHERE l_returnflag = 'R' AND l_quantity >= 30 AND NOT l_linestatus = 'O'""".stripMargin)),
   )
 }

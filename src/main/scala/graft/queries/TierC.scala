@@ -1540,10 +1540,11 @@ object TierC {
         col("text"), col("source"), n = 3).limit(30),
       Some(s"""WITH $toksCte,
              |j AS (SELECT doc_id, source, w FROM toks JOIN documents USING (doc_id)),
-             |g AS (SELECT DISTINCT source,
-             |             unnest(list_transform(generate_series(1, len(w)-2),
-             |               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
-             |      FROM j WHERE len(w) >= 3),
+             |gs AS (SELECT source,
+             |              unnest(list_transform(generate_series(1, len(w)-2),
+             |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+             |       FROM j WHERE len(w) >= 3),
+             |g AS (SELECT DISTINCT source, ${Hashing.sqlMd5Long60("g")} AS g FROM gs),
              |sz AS (SELECT source, count(*) AS sz FROM g GROUP BY source),
              |iv AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
              |       FROM g a JOIN g b ON a.g = b.g AND a.source < b.source

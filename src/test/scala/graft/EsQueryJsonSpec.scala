@@ -1129,6 +1129,16 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(run("avg") == Map(1L -> 1.0, 2L -> 5.0))   // (7+3)/2 over MATCHING only
   }
 
+  test("mget preserves request order and drops missing ids; _count matches filter") {
+    val got = EsQueryJson.mget(orders, "o_orderkey", Seq(7L, 1L, 999999999L, 5L))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(7L, 1L, 5L), "request order, missing id dropped")
+    val n = EsQueryJson.countApi(orders,
+      """{"query": {"term": {"o_orderstatus": "F"}}}""")
+      .collect().head.getLong(0)
+    assert(n == orders.filter(col("o_orderstatus") === "F").count())
+  }
+
   test("_geo_distance sort orders by haversine km from the origin") {
     import org.apache.spark.sql.SparkSession
     val sp: SparkSession = spark
