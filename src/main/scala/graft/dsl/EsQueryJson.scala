@@ -564,8 +564,27 @@ object EsQueryJson {
           } else if (spec.has("mode")) {
             // multi-valued field sort: reduce the array to one key per doc
             // (ES sort modes; array columns arise from the parent/nested
-            // array-of-struct shape, e.g. item.l_quantity)
-            val arr = field(f)
+            // array-of-struct shape, e.g. item.l_quantity). A `nested`
+            // block restricts the reduction to child docs passing its
+            // filter (ES nested sort); no surviving child → null key →
+            // the usual missing-last placement.
+            val arr = Option(spec.get("nested")) match {
+              case Some(nn) =>
+                val path = nn.get("path").asText()
+                require(f.startsWith(path + "."),
+                  s"nested sort field $f must live under path $path")
+                val member = f.stripPrefix(path + ".")
+                val kept = Option(nn.get("filter")) match {
+                  case Some(fq) =>
+                    org.apache.spark.sql.functions.filter(field(path), x =>
+                      predicateWith(fq, nm =>
+                        if (nm.startsWith(path + ".")) x.getField(nm.stripPrefix(path + "."))
+                        else field(nm)))
+                  case None => field(path)
+                }
+                transform(kept, x => x.getField(member))
+              case None => field(f)
+            }
             val key = spec.get("mode").asText() match {
               case "min" => array_min(arr)
               case "max" => array_max(arr)
@@ -1523,9 +1542,8 @@ object EsQueryJson {
     def key: Column = kind match {
       case "terms" =>
         // `missing`: docs with a null key bucket under the given value
-        val raw = field(spec.get("field").asText())
-        Option(spec.get("missing")).map(m => coalesce(raw, litOf(m)))
-          .getOrElse(raw).as(name)
+        Option(spec.get("missing")).map(m => coalesce(termsRawKey, litOf(m)))
+          .getOrElse(termsRawKey).as(name)
       case "histogram" =>
         // `offset` shifts the bucket boundaries (integral offsets — keys
         // stay longs like the unshifted form)
@@ -1566,16 +1584,32 @@ object EsQueryJson {
     }
     def termsSize: Option[Int] =
       if (kind == "terms") Some(Option(spec.get("size")).map(_.asInt()).getOrElse(10)) else None
+    /** Terms value source: a plain field, or a `script` computed key —
+      * the painless subset (doc['f'].value refs, arithmetic; with
+      * value_type string the painless `+` concatenation becomes SQL ||),
+      * codegen'd like script_fields but at the bucket-key level. */
+    private def termsRawKey: Column = Option(spec.get("script")) match {
+      case Some(sNode) =>
+        val src = (if (sNode.isObject) sNode.get("source") else sNode).asText()
+        val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
+          .replaceAllIn(src, m => m.group(1))
+        val sql = if (Option(spec.get("value_type")).map(_.asText()).contains("string"))
+          bound.replace("+", "||") else bound
+        require(sql.matches("[A-Za-z0-9_.+\\-*/()|' ]+"),
+          s"unsupported terms script after doc-ref binding: $sql")
+        expr(sql)
+      case None => field(spec.get("field").asText())
+    }
     /** ES terms `include`/`exclude`: bucket keys must (not) FULLY match
       * the regex — anchored here because ES matches whole terms. Matches
       * against the `missing`-substituted key (as ES does), so a null-key
       * row is bucketed first and only then include/exclude-tested — a raw
       * rlike would silently drop it via the null predicate. */
     def termsKeyFilter: Option[Column] =
-      if (kind != "terms") None
+      if (kind != "terms" || (!spec.has("include") && !spec.has("exclude"))) None
       else {
-        val raw = field(spec.get("field").asText())
-        val f = Option(spec.get("missing")).map(m => coalesce(raw, litOf(m))).getOrElse(raw)
+        val f = Option(spec.get("missing")).map(m => coalesce(termsRawKey, litOf(m)))
+          .getOrElse(termsRawKey)
         def anchored(r: JsonNode) = "^(?:" + r.asText() + ")$"
         val preds =
           Option(spec.get("include")).map(r => f.rlike(anchored(r))).toSeq ++

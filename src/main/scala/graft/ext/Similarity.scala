@@ -344,22 +344,27 @@ object Similarity {
     * expressions per row against literal centroids; emits
     * (vec_id, codes array<int>) — the 8-byte-per-vector index that
     * replaces the raw embedding at serving time. */
-  def pqEncode(vecs: DataFrame, idCol: Column, vecCol: Column,
-               codebook: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val m = codebook.size
-    val sub = codebook.head.head.size
-    val v = vecCol.cast("array<double>")
-    val codes = (0 until m).map { s =>
-      val sv = slice(v, s * sub + 1, sub)
-      val dists = codebook(s).map { cent =>
-        round(aggregate(zip_with(sv, array(cent.map(lit): _*), (x, c) => (x - c) * (x - c)),
-          lit(0.0), (acc, x) => acc + x), 6)
-      }
-      val arr = array(dists: _*)
-      (array_position(arr, array_min(arr)) - 1).cast("int")
-    }
-    vecs.select(idCol.as("vec_id"), array(codes: _*).as("codes"))
+  /** 6-dp squared L2 from an array column to a literal centroid —
+    * ascending-index fold, the engine-stable distance all PQ/IVF argmins
+    * share. */
+  private def d2ToCent(x: Column, cent: Seq[Double]): Column =
+    round(aggregate(zip_with(x, array(cent.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, t) => acc + t), 6)
+
+  /** argmin over literal centroids (ties to the smaller index). */
+  private def nearestCent(x: Column, cents: Seq[Seq[Double]]): Column = {
+    val arr = array(cents.map(d2ToCent(x, _)): _*)
+    (array_position(arr, array_min(arr)) - 1).cast("int")
   }
+
+  private def pqCodes(v: Column, codebook: Seq[Seq[Seq[Double]]]): Column = {
+    val sub = codebook.head.head.size
+    array(codebook.indices.map(s => nearestCent(slice(v, s * sub + 1, sub), codebook(s))): _*)
+  }
+
+  def pqEncode(vecs: DataFrame, idCol: Column, vecCol: Column,
+               codebook: Seq[Seq[Seq[Double]]]): DataFrame =
+    vecs.select(idCol.as("vec_id"), pqCodes(vecCol.cast("array<double>"), codebook).as("codes"))
 
   /** ADC (asymmetric distance computation) top-k over PQ codes: the
     * query's distance to every codebook centroid is a driver-side
@@ -385,5 +390,31 @@ object Similarity {
     }.reduce(_ + _)
     codes.select(col("vec_id"), round(adist, 6).as("adist"))
       .orderBy(col("adist"), col("vec_id")).limit(topK)
+  }
+
+  /** IVF-PQ: coarse cells prune, PQ codes rank — the composed serving
+    * index for a 100 TB vector corpus. Vectors are assigned once to the
+    * nearest coarse centroid (at scale: [[kmeansFit]] output; a seeded
+    * centroid set keeps the oracle replayable) and PQ-encoded once; a
+    * query probes its `nprobe` nearest cells (driver-side argmin over the
+    * broadcast-size centroid list) and ADC-ranks ONLY those cells'
+    * members. The probed scan touches codes (bytes/vector), the cell
+    * filter prunes ~(1 − nprobe/#cells) of the corpus before any
+    * distance work, and at scale `cell` is the partition key so a probe
+    * is a partition-pruned read. */
+  def ivfPqSearch(vecs: DataFrame, idCol: Column, vecCol: Column,
+                  coarse: Seq[Seq[Double]], codebook: Seq[Seq[Seq[Double]]],
+                  query: Seq[Double], nprobe: Int, topK: Int): DataFrame = {
+    val v = vecCol.cast("array<double>")
+    val enc = vecs.select(idCol.as("vec_id"), nearestCent(v, coarse).as("cell"),
+      pqCodes(v, codebook).as("codes"))
+    // query-side probe list: same 6-dp distance + smaller-id tiebreak
+    val qCells = coarse.zipWithIndex.map { case (c, j) =>
+      val raw = query.indices.foldLeft(0.0)((a, i) =>
+        a + (query(i) - c(i)) * (query(i) - c(i)))
+      (BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, j)
+    }.sortBy(identity).take(nprobe).map(_._2)
+    pqAdcSearch(enc.filter(col("cell").isin(qCells: _*)).select("vec_id", "codes"),
+      codebook, query, topK)
   }
 }

@@ -254,6 +254,20 @@ object TextAnalysis {
       .orderBy(desc("pmi"), col("w1"), col("w2")).limit(topK)
   }
 
+  /** Distinct-n diversity (Li et al. 2016's distinct-1/2, the NLG
+    * self-repetition metric turned corpus-quality signal): per document
+    * the ratio of DISTINCT word n-grams to total n-grams — low values
+    * flag template/boilerplate text the repetition filters should see.
+    * Entirely narrow: tokenize, n-gram, distinct-count per row, no
+    * shuffle until the caller aggregates. Docs with < n tokens emit
+    * nothing (no n-grams to judge). */
+  def distinctN(df: DataFrame, idCol: Column, text: Column, n: Int): DataFrame =
+    df.select(idCol.as("doc_id"), wordNgrams(tokens(text), n).as("g"))
+      .filter(size(col("g")) >= 1)
+      .select(col("doc_id"), size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+      .withColumn("ratio", round(col("n_distinct").cast("double") / col("n_grams"), 6))
+
   /** Vocabulary coverage / OOV rate — the tokenizer-fit diagnostic run
     * before committing a vocab: the top-`vocabSize` corpus terms by
     * frequency (ties lexicographic) form the vocab; each document

@@ -2837,5 +2837,41 @@ object TierB {
           |   "must_not": [{"term": {"l_linestatus": "O"}}]}}}""".stripMargin),
       Some("""SELECT count(*) AS "count" FROM lineitem
              |WHERE l_returnflag = 'R' AND l_quantity >= 30 AND NOT l_linestatus = 'O'""".stripMargin)),
+
+    // ES nested sort: the sort-mode reduction restricted to child docs
+    // passing a nested filter — orders rank by their cheapest DISCOUNTED
+    // line; orders with no discounted line get a null key and sort last.
+    Q("a131_es_json_nested_sort",
+      (s, d) => {
+        val items = li(s, d).groupBy(col("l_orderkey"))
+          .agg(collect_list(struct(col("l_quantity"), col("l_discount"))).as("item"))
+        val df = ord(s, d).select("o_orderkey", "o_totalprice")
+          .join(items, col("o_orderkey") === col("l_orderkey"), "inner").drop("l_orderkey")
+        graft.dsl.EsQueryJson.search(df,
+          """{"sort": [{"item.l_quantity": {"mode": "min", "order": "asc",
+            |            "nested": {"path": "item",
+            |              "filter": {"range": {"item.l_discount": {"gte": 0.05}}}}}},
+            |           "o_orderkey"],
+            | "size": 40}""".stripMargin)
+          .select("o_orderkey", "o_totalprice")
+      },
+      Some("""WITH q AS (
+             |  SELECT l_orderkey,
+             |         min(CASE WHEN l_discount >= 0.05 THEN l_quantity END) AS minq
+             |  FROM lineitem GROUP BY l_orderkey)
+             |SELECT o_orderkey, o_totalprice FROM orders JOIN q ON o_orderkey = l_orderkey
+             |ORDER BY minq ASC NULLS LAST, o_orderkey LIMIT 40""".stripMargin)),
+
+    // terms agg on a SCRIPT value source (value_type string: painless `+`
+    // concatenation → ||): buckets on a computed composite key.
+    Q("a132_es_json_terms_script",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(li(s, d),
+        """{"aggs": {"combo": {"terms": {
+          |   "script": {"source": "doc['l_returnflag'].value + '_' + doc['l_linestatus'].value"},
+          |   "value_type": "string", "size": 10},
+          | "aggs": {"avg_qty": {"avg": {"field": "l_quantity"}}}}}}""".stripMargin)("combo"),
+      Some("""SELECT l_returnflag || '_' || l_linestatus AS key, count(*) AS doc_count,
+             |       round(avg(l_quantity), 6) AS avg_qty
+             |FROM lineitem GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
   )
 }

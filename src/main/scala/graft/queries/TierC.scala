@@ -1578,5 +1578,81 @@ object TierC {
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
              |SELECT source, max(round(abs(fs - fr), 6)) AS ks
              |FROM cum GROUP BY source ORDER BY ks DESC, source""".stripMargin)),
+
+    // IVF-PQ: coarse cells prune, PQ codes rank — the composed serving
+    // index (c07's IVF pruning over c50's code ranking). nprobe=2 of 8
+    // cells → ~3/4 of the corpus never reaches distance work, and the
+    // probed scan touches 4-byte codes, not 256-byte vectors.
+    Q("c53_ivfpq",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val coarse = Similarity.pqCodebookFromIds(e, col("vec_id"), col("embedding"),
+          m = 1, k = 8).head
+        val cb = Similarity.pqCodebookFromIds(e, col("vec_id"), col("embedding"), m = 4, k = 8)
+        val q = e.filter(col("vec_id") === 123)
+          .select(col("embedding").cast("array<double>"))
+          .collect().head.getSeq[Double](0)
+        Similarity.ivfPqSearch(e, col("vec_id"), col("embedding"), coarse, cb, q,
+          nprobe = 2, topK = 10)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+             |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
+             |       FROM embeddings ORDER BY vec_id LIMIT 8),
+             |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 123),
+             |cd AS (SELECT e.vec_id, cb.j,
+             |         round(list_sum(list_transform(generate_series(1, 64),
+             |           i -> (CAST(e.v[i] AS DOUBLE) - CAST(cb.c[i] AS DOUBLE))
+             |              * (CAST(e.v[i] AS DOUBLE) - CAST(cb.c[i] AS DOUBLE)))), 6) AS d
+             |       FROM e, cb),
+             |cell AS (SELECT vec_id, j AS cell FROM (
+             |           SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+             |           FROM cd) WHERE rn = 1),
+             |qd AS (SELECT cb.j,
+             |         round(list_sum(list_transform(generate_series(1, 64),
+             |           i -> (CAST(q.qv[i] AS DOUBLE) - CAST(cb.c[i] AS DOUBLE))
+             |              * (CAST(q.qv[i] AS DOUBLE) - CAST(cb.c[i] AS DOUBLE)))), 6) AS d
+             |       FROM q, cb),
+             |qc AS (SELECT j FROM (SELECT j, row_number() OVER (ORDER BY d, j) AS rn FROM qd)
+             |       WHERE rn <= 2),
+             |cand AS (SELECT e.* FROM e JOIN cell USING (vec_id)
+             |         WHERE cell IN (SELECT j FROM qc)),
+             |sd AS (SELECT cand.vec_id, t.s, cb.j,
+             |         round(list_sum(list_transform(generate_series(1, 16),
+             |           i -> (CAST(cand.v[t.s*16+i] AS DOUBLE) - CAST(cb.c[t.s*16+i] AS DOUBLE))
+             |              * (CAST(cand.v[t.s*16+i] AS DOUBLE) - CAST(cb.c[t.s*16+i] AS DOUBLE)))), 6) AS d
+             |       FROM cand, generate_series(0, 3) t(s), cb),
+             |enc AS (SELECT vec_id, s, j AS code FROM (
+             |          SELECT vec_id, s, j,
+             |                 row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+             |          FROM sd) WHERE rn = 1),
+             |lut AS (SELECT t.s, cb.j,
+             |          round(list_sum(list_transform(generate_series(1, 16),
+             |            i -> (CAST(q.qv[t.s*16+i] AS DOUBLE) - CAST(cb.c[t.s*16+i] AS DOUBLE))
+             |               * (CAST(q.qv[t.s*16+i] AS DOUBLE) - CAST(cb.c[t.s*16+i] AS DOUBLE)))), 6) AS ld
+             |        FROM q, generate_series(0, 3) t(s), cb),
+             |jx AS (SELECT enc.vec_id, enc.s, lut.ld
+             |       FROM enc JOIN lut ON lut.s = enc.s AND lut.j = enc.code),
+             |p AS (SELECT vec_id,
+             |        max(CASE WHEN s = 0 THEN ld END) AS l0, max(CASE WHEN s = 1 THEN ld END) AS l1,
+             |        max(CASE WHEN s = 2 THEN ld END) AS l2, max(CASE WHEN s = 3 THEN ld END) AS l3
+             |      FROM jx GROUP BY vec_id)
+             |SELECT vec_id, round(l0 + l1 + l2 + l3, 6) AS adist
+             |FROM p ORDER BY adist, vec_id LIMIT 10""".stripMargin)),
+
+    // Distinct-n diversity (Li et al. 2016): per-doc distinct-bigram
+    // ratio — the template/boilerplate flag. Fully narrow until the
+    // final sort.
+    Q("c54_distinct_n",
+      (s, d) => TextAnalysis.distinctN(Tables.documents(s, d), col("doc_id"),
+        col("text"), n = 2).orderBy("ratio", "doc_id").limit(50),
+      Some(s"""WITH $toksCte,
+             |g AS (SELECT doc_id,
+             |             list_transform(generate_series(1, len(w)-1),
+             |               i -> w[i] || ' ' || w[i+1]) AS g
+             |      FROM toks WHERE len(w) >= 2)
+             |SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+             |       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+             |       round(CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6) AS ratio
+             |FROM g ORDER BY ratio, doc_id LIMIT 50""".stripMargin)),
   )
 }

@@ -1129,6 +1129,40 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(run("avg") == Map(1L -> 1.0, 2L -> 5.0))   // (7+3)/2 over MATCHING only
   }
 
+  test("nested sort: mode reduction sees only filter-passing children") {
+    import org.apache.spark.sql.SparkSession
+    val sp: SparkSession = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, Seq((10.0, 0.01), (50.0, 0.09))),   // only the 50-qty line is discounted
+      (2L, Seq((20.0, 0.08))),                  // discounted 20
+      (3L, Seq((1.0, 0.0))))                    // nothing discounted → null key, last
+      .toDF("id", "raw")
+      .select(col("id"), expr(
+        "transform(raw, x -> named_struct('l_quantity', x._1, 'l_discount', x._2))").as("item"))
+    val got = EsQueryJson.search(df,
+      """{"sort": [{"item.l_quantity": {"mode": "min", "order": "asc",
+        |            "nested": {"path": "item",
+        |              "filter": {"range": {"item.l_discount": {"gte": 0.05}}}}}}, "id"],
+        | "_source": ["id"]}""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    // unfiltered min would order 3 (1.0), 1 (10.0), 2 (20.0); filtered
+    // mins are 1→50, 2→20, 3→null
+    assert(got == Seq(2L, 1L, 3L))
+  }
+
+  test("terms agg on a script key: value_type string concatenates") {
+    val got = EsQueryJson.aggregations(orders,
+      """{"aggs": {"combo": {"terms": {
+        |   "script": {"source": "doc['o_orderstatus'].value + '|' + doc['o_orderpriority'].value"},
+        |   "value_type": "string", "size": 3}}}}""".stripMargin)("combo")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = orders.groupBy(concat(col("o_orderstatus"), lit("|"), col("o_orderpriority")).as("k"))
+      .count().orderBy(desc("count"), col("k")).limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(want))
+  }
+
   test("mget preserves request order and drops missing ids; _count matches filter") {
     val got = EsQueryJson.mget(orders, "o_orderkey", Seq(7L, 1L, 999999999L, 5L))
       .select("o_orderkey").collect().map(_.getLong(0)).toSeq

@@ -788,6 +788,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), "ADC must be narrow")
   }
 
+  test("ivfPq: only probed cells are ranked; unprobed members never surface") {
+    import sp.implicits._
+    val vecs = Seq(
+      (1L, Seq(0f, 0f, 0f, 0f)), (2L, Seq(1f, 1f, 1f, 1f)),
+      (3L, Seq(0.1f, 0f, 1f, 1f)), (4L, Seq(0.5f, 0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val coarse = Similarity.pqCodebookFromIds(vecs, col("vec_id"), col("embedding"),
+      m = 1, k = 2).head
+    val cb = Similarity.pqCodebookFromIds(vecs, col("vec_id"), col("embedding"), m = 2, k = 2)
+    val got = Similarity.ivfPqSearch(vecs, col("vec_id"), col("embedding"),
+      coarse, cb, Seq(0.9, 0.9, 0.9, 0.9), nprobe = 1, topK = 10)
+      .collect().map(_.getLong(0)).toSet
+    // the query probes cell 1 ([1,1,1,1]); v1 (cell 0) and v4 (equidistant,
+    // tie → cell 0) are pruned before any ranking; v2/v3 live in cell 1
+    assert(got == Set(2L, 3L))
+  }
+
   test("sourceOverlap: shared 3-grams only, exact Jaccard on distinct sets") {
     import sp.implicits._
     val docs = Seq((1L, "a b c d", "s1"), (2L, "a b c", "s2"), (3L, "x y z", "s3"))
