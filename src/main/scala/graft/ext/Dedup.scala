@@ -73,6 +73,46 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
+  /** Incremental near-dup admission — the streaming-ingest shape of
+    * [[minhashLsh]]: the standing corpus keeps its shingle/signature
+    * tables (at scale: persisted next to the index, appended per batch);
+    * an arriving batch hashes ONLY itself and band-joins against the
+    * standing bands — new-vs-old only, no old-vs-old rework, which is
+    * what makes ingest O(batch) instead of O(corpus). An incoming doc is
+    * admitted unless some existing doc verifies at ≥ `threshold` exact
+    * Jaccard. Returns every incoming doc with its verified match count
+    * and the admission flag. */
+  def dedupIncremental(existing: DataFrame, incoming: DataFrame, idCol: Column,
+                       text: Column, numHashes: Int = 16, bandSize: Int = 2,
+                       threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    val shOld = persistOnce(shingles(existing, idCol, text, shingleN))
+    val shNew = persistOnce(shingles(incoming, idCol, text, shingleN))
+    val nBands = numHashes / bandSize
+    def bandsOf(sh: DataFrame) = {
+      val sig = minhashSignatures(sh, numHashes)
+      sig.select(col("doc_id"), posexplode(array((0 until nBands).map { j =>
+        md5(concat_ws(",", (0 until bandSize).map(o => col(s"h${j * bandSize + o}")): _*))
+      }: _*)).as(Seq("band_j", "band")))
+    }
+    val cand = bandsOf(shNew).as("x").join(bandsOf(shOld).as("y"),
+        col("x.band_j") === col("y.band_j") && col("x.band") === col("y.band"))
+      .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_old"))
+      .distinct()
+    val matched = cand
+      .join(shNew.select(col("doc_id").as("doc_new"), col("grams").as("ga")), "doc_new")
+      .join(shOld.select(col("doc_id").as("doc_old"), col("grams").as("gb")), "doc_old")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jac", round(col("inter").cast("double") /
+        (size(col("ga")) + size(col("gb")) - col("inter")), 6))
+      .filter(col("jac") >= threshold)
+      .groupBy("doc_new").agg(count(lit(1)).as("n_matches"))
+    incoming.select(idCol.as("doc_id"))
+      .join(matched.withColumnRenamed("doc_new", "doc_id"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_matches"))
+      .withColumn("admitted", col("n_matches") === 0)
+      .orderBy("doc_id")
+  }
+
   /** Exact Jaccard for candidate pairs over the shingle-set table. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
     cand

@@ -1654,5 +1654,42 @@ object TierC {
              |       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
              |       round(CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6) AS ratio
              |FROM g ORDER BY ratio, doc_id LIMIT 50""".stripMargin)),
+
+    // Incremental near-dup admission: the arriving half (doc_id >= 250)
+    // band-joins against the standing half only — ingest is O(batch),
+    // never O(corpus). Per incoming doc: verified existing-match count +
+    // admission flag.
+    Q("c55_dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.dedupIncremental(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+          col("doc_id"), col("text"), numHashes = NUM_HASHES,
+          bandSize = BAND_SIZE, threshold = 0.5)
+      },
+      Some(s"""WITH $toksCte,
+             |$gramsCte,
+             |$sigCte,
+             |$bandsCte,
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS doc_new, y.doc_id AS doc_old
+             |  FROM bands x JOIN bands y ON x.j = y.j AND x.band = y.band
+             |  WHERE x.doc_id >= 250 AND y.doc_id < 250),
+             |sizes AS (SELECT doc_id, len(grams) AS n FROM grams),
+             |inter AS (
+             |  SELECT c.doc_new, c.doc_old, count(*) AS inter
+             |  FROM cand c JOIN gx a ON a.doc_id = c.doc_new
+             |              JOIN gx b ON b.doc_id = c.doc_old AND b.g = a.g
+             |  GROUP BY c.doc_new, c.doc_old),
+             |m AS (SELECT doc_new, count(*) AS n_matches FROM (
+             |        SELECT i.doc_new FROM inter i
+             |        JOIN sizes sa ON sa.doc_id = i.doc_new
+             |        JOIN sizes sb ON sb.doc_id = i.doc_old
+             |        WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.5)
+             |      GROUP BY doc_new)
+             |SELECT d.doc_id, COALESCE(m.n_matches, 0) AS n_matches,
+             |       m.doc_new IS NULL AS admitted
+             |FROM documents d LEFT JOIN m ON m.doc_new = d.doc_id
+             |WHERE d.doc_id >= 250 ORDER BY d.doc_id""".stripMargin)),
   )
 }

@@ -200,6 +200,58 @@ object Scale {
       graft.ext.Redact.redactPii(docs50k, col("doc_id"), col("text"))
         .write.mode("overwrite").format("noop").save())
 
+    // ---- round-8 ops ----
+    // PQ: codebook (driver-side, k·d doubles), 100k-vector encode (narrow
+    // m·k-expression scan), ADC top-10 (codes-only scan + TakeOrdered),
+    // and the IVF-PQ composition (coarse prune, then ADC over ~nprobe/
+    // #cells of the corpus)
+    val pqCb = t("pq-codebook-m8-k16")(
+      Similarity.pqCodebookFromIds(vecs, col("vec_id"), col("embedding"), m = 8, k = 16))
+    t("pq-encode-100k")(
+      Similarity.pqEncode(vecs, col("vec_id"), col("embedding"), pqCb)
+        .write.mode("overwrite").parquet("/tmp/scale/pqcodes"))
+    val pqCodes = spark.read.parquet("/tmp/scale/pqcodes")
+    val qv = vecs.filter(col("vec_id") === 123)
+      .select(col("embedding").cast("array<double>")).collect().head.getSeq[Double](0)
+    t("pq-adc-top10-100k")(
+      Similarity.pqAdcSearch(pqCodes, pqCb, qv, topK = 10).collect())
+    val coarse64 = Similarity.pqCodebookFromIds(vecs, col("vec_id"), col("embedding"),
+      m = 1, k = 64).head
+    t("ivfpq-top10-100k-nprobe4-of-64")(
+      Similarity.ivfPqSearch(vecs, col("vec_id"), col("embedding"), coarse64, pqCb, qv,
+        nprobe = 4, topK = 10).collect())
+
+    // DSIR: 50k raw docs vs a 5k-doc target — two bucket aggs + one
+    // broadcast-joined doc pass (the corpus tokenizes once)
+    t("dsir-resample-50k")(
+      graft.ext.Corpus.dsirResample(docs50k, docs50k.filter(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"), buckets = 4096, k = 1000, seed = "s")
+        .write.mode("overwrite").format("noop").save())
+
+    // incremental dedup: a 5k batch against a 45k standing corpus —
+    // must cost O(batch), not O(corpus²)
+    t("dedup-incremental-5k-into-45k")(
+      Dedup.dedupIncremental(
+        docs50k.filter(col("doc_id") % 10 =!= 0), docs50k.filter(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"))
+        .write.mode("overwrite").format("noop").save())
+
+    // source-overlap + KS drift over 20 synthetic sources (hashed grams;
+    // the pair fan-out is C(20,2)-bounded)
+    val sourced = docs50k.withColumn("source",
+      concat(lit("s"), pmod(col("doc_id"), lit(20)).cast("string")))
+    t("source-overlap-50k-20src")(
+      graft.ext.Corpus.sourceOverlap(sourced, col("doc_id"), col("text"), col("source"))
+        .write.mode("overwrite").format("noop").save())
+    t("ks-drift-50k-20src")(
+      graft.ext.Corpus.ksDrift(sourced, col("doc_id"), col("text"), col("source"))
+        .write.mode("overwrite").format("noop").save())
+
+    // bigram-LM perplexity: LM fit (two hash aggs) + scoring join at 50k
+    t("bigram-ppl-50k")(
+      graft.ext.TextAnalysis.bigramPerplexity(docs50k, col("doc_id"), col("text"))
+        .write.mode("overwrite").format("noop").save())
+
     spark.stop()
   }
 }

@@ -805,6 +805,20 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Set(2L, 3L))
   }
 
+  test("dedupIncremental: rejects near-dups of EXISTING docs only") {
+    import sp.implicits._
+    val existing = Seq((1L, "a b c d e f g h"), (2L, "x y z w q r s t"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (3L, "a b c d e f g h"),          // exact copy of existing 1 → rejected
+      (4L, "m n o p u v i j"),          // fresh → admitted
+      (5L, "m n o p u v i j"))          // dup of INCOMING 4, not of existing → admitted
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupIncremental(existing, incoming, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == Seq((3L, 1L, false), (4L, 0L, true), (5L, 0L, true)))
+  }
+
   test("sourceOverlap: shared 3-grams only, exact Jaccard on distinct sets") {
     import sp.implicits._
     val docs = Seq((1L, "a b c d", "s1"), (2L, "a b c", "s2"), (3L, "x y z", "s3"))
