@@ -379,11 +379,12 @@ object Corpus {
                     sourceCol: Column, n: Int = 3): DataFrame = {
     // grams travel as 60-bit md5 hashes, not strings — the distinct and
     // the self-join shuffle 8-byte keys (the oracle applies the same
-    // hash, so counts match exactly; 60-bit collisions are negligible)
+    // hash, so counts match exactly; 60-bit collisions are negligible).
+    // Gramming runs in the one-pass TextKernels kernel (per-doc distinct,
+    // which the source-level distinct subsumes), not the interpreted HOF.
     val grams = df
-      .select(sourceCol.as("source"), TextAnalysis.tokens(text).as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col("source"), explode(TextAnalysis.wordNgrams(col("w"), n)).as("gs"))
+      .select(sourceCol.as("source"),
+        explode(graft.functions.TextKernels.wordNgrams(text, n)).as("gs"))
       .select(col("source"), graft.functions.Hashing.md5Long60(col("gs")).as("g"))
       .distinct()
     val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))

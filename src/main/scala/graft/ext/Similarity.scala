@@ -344,12 +344,17 @@ object Similarity {
     * expressions per row against literal centroids; emits
     * (vec_id, codes array<int>) — the 8-byte-per-vector index that
     * replaces the raw embedding at serving time. */
-  /** 6-dp squared L2 from an array column to a literal centroid —
-    * ascending-index fold, the engine-stable distance all PQ/IVF argmins
-    * share. */
-  private def d2ToCent(x: Column, cent: Seq[Double]): Column =
-    round(aggregate(zip_with(x, array(cent.map(lit): _*), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, t) => acc + t), 6)
+  /** 6-dp squared L2 from an array column to a literal centroid via the
+    * ‖x‖² − 2x·c + ‖c‖² expansion: the dots are the codegen'd
+    * [[graft.functions.VecOps.dotD]] kernel (a zip_with/aggregate fold
+    * is interpreted — the known 10–25× HOF tax), ‖c‖² is the identical
+    * ascending fold run driver-side, and the oracle mirrors the same
+    * three-list_sum expression textually. */
+  private def d2ToCent(x: Column, cent: Seq[Double]): Column = {
+    val cc = cent.foldLeft(0.0)((acc, c) => acc + c * c)
+    round(graft.functions.VecOps.dotD(x, x) -
+      lit(2.0) * graft.functions.VecOps.dotD(x, array(cent.map(lit): _*)) + lit(cc), 6)
+  }
 
   /** argmin over literal centroids (ties to the smaller index). */
   private def nearestCent(x: Column, cents: Seq[Seq[Double]]): Column = {
@@ -379,10 +384,14 @@ object Similarity {
     val sub = codebook.head.head.size
     val lut: Seq[Seq[Double]] = (0 until m).map { s =>
       val q = query.slice(s * sub, (s + 1) * sub)
+      val qq = q.foldLeft(0.0)((acc, x) => acc + x * x)
       codebook(s).map { cent =>
-        val raw = q.indices.foldLeft(0.0)((acc, i) =>
-          acc + (q(i) - cent(i)) * (q(i) - cent(i)))
-        BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // same ‖q‖² − 2q·c + ‖c‖² expansion and fold order as the encode
+        // side and the oracle
+        val qc = q.indices.foldLeft(0.0)((acc, i) => acc + q(i) * cent(i))
+        val cc = cent.foldLeft(0.0)((acc, x) => acc + x * x)
+        BigDecimal(qq - 2.0 * qc + cc)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
     }
     val adist = (0 until m).map { s =>
@@ -408,11 +417,14 @@ object Similarity {
     val v = vecCol.cast("array<double>")
     val enc = vecs.select(idCol.as("vec_id"), nearestCent(v, coarse).as("cell"),
       pqCodes(v, codebook).as("codes"))
-    // query-side probe list: same 6-dp distance + smaller-id tiebreak
+    // query-side probe list: same 6-dp expanded distance + smaller-id
+    // tiebreak
+    val qq = query.foldLeft(0.0)((a, x) => a + x * x)
     val qCells = coarse.zipWithIndex.map { case (c, j) =>
-      val raw = query.indices.foldLeft(0.0)((a, i) =>
-        a + (query(i) - c(i)) * (query(i) - c(i)))
-      (BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, j)
+      val qc = query.indices.foldLeft(0.0)((a, i) => a + query(i) * c(i))
+      val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+      (BigDecimal(qq - 2.0 * qc + cc)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, j)
     }.sortBy(identity).take(nprobe).map(_._2)
     pqAdcSearch(enc.filter(col("cell").isin(qCells: _*)).select("vec_id", "codes"),
       codebook, query, topK)

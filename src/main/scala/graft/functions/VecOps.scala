@@ -47,6 +47,34 @@ object VecOps {
       copy(left = l, right = r)
   }
 
+  /** As [[DotProductFloat]] over `array<double>` inputs (the PQ paths
+    * cast to double for oracle exactness before any arithmetic). */
+  case class DotProductDouble(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** 60-bit SimHash bit-vote over an array of (60-bit) token hashes with
     * multiplicity: bit j of the result is set iff
     * Σ_tokens (bit j set ? +1 : −1) > 0. */
@@ -170,6 +198,7 @@ object VecOps {
   }
 
   def dotF(a: Column, b: Column): Column = column(DotProductFloat(expression(a), expression(b)))
+  def dotD(a: Column, b: Column): Column = column(DotProductDouble(expression(a), expression(b)))
   def simhash60(hashes: Column): Column = column(SimHash60(expression(hashes)))
   def signBands(e: Column, nBits: Int, bandBits: Int, dim: Int): Column =
     column(SignBandsExpr(expression(e), nBits, bandBits, dim))

@@ -1504,14 +1504,20 @@ object TierC {
         Similarity.pqAdcSearch(
           Similarity.pqEncode(e, col("vec_id"), col("embedding"), cb), cb, q, topK = 10)
       },
+      // distance = the ‖x‖² − 2x·c + ‖c‖² expansion (three ascending-fold
+      // list_sums) — the exact association of the codegen'd VecOps.dotD
+      // path on the Spark side
       Some("""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
              |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
              |       FROM embeddings ORDER BY vec_id LIMIT 8),
              |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 123),
              |sd AS (SELECT e.vec_id, t.s, cb.j,
              |         round(list_sum(list_transform(generate_series(1, 16),
-             |           i -> (CAST(e.v[t.s*16+i] AS DOUBLE) - CAST(cb.c[t.s*16+i] AS DOUBLE))
-             |              * (CAST(e.v[t.s*16+i] AS DOUBLE) - CAST(cb.c[t.s*16+i] AS DOUBLE)))), 6) AS d
+             |                 i -> CAST(e.v[t.s*16+i] AS DOUBLE) * CAST(e.v[t.s*16+i] AS DOUBLE)))
+             |             - 2.0 * list_sum(list_transform(generate_series(1, 16),
+             |                 i -> CAST(e.v[t.s*16+i] AS DOUBLE) * CAST(cb.c[t.s*16+i] AS DOUBLE)))
+             |             + list_sum(list_transform(generate_series(1, 16),
+             |                 i -> CAST(cb.c[t.s*16+i] AS DOUBLE) * CAST(cb.c[t.s*16+i] AS DOUBLE))), 6) AS d
              |       FROM e, generate_series(0, 3) t(s), cb),
              |enc AS (SELECT vec_id, s, j AS code FROM (
              |          SELECT vec_id, s, j,
@@ -1519,8 +1525,11 @@ object TierC {
              |          FROM sd) WHERE rn = 1),
              |lut AS (SELECT t.s, cb.j,
              |          round(list_sum(list_transform(generate_series(1, 16),
-             |            i -> (CAST(q.qv[t.s*16+i] AS DOUBLE) - CAST(cb.c[t.s*16+i] AS DOUBLE))
-             |               * (CAST(q.qv[t.s*16+i] AS DOUBLE) - CAST(cb.c[t.s*16+i] AS DOUBLE)))), 6) AS ld
+             |                  i -> CAST(q.qv[t.s*16+i] AS DOUBLE) * CAST(q.qv[t.s*16+i] AS DOUBLE)))
+             |              - 2.0 * list_sum(list_transform(generate_series(1, 16),
+             |                  i -> CAST(q.qv[t.s*16+i] AS DOUBLE) * CAST(cb.c[t.s*16+i] AS DOUBLE)))
+             |              + list_sum(list_transform(generate_series(1, 16),
+             |                  i -> CAST(cb.c[t.s*16+i] AS DOUBLE) * CAST(cb.c[t.s*16+i] AS DOUBLE))), 6) AS ld
              |        FROM q, generate_series(0, 3) t(s), cb),
              |jx AS (SELECT enc.vec_id, enc.s, lut.ld
              |       FROM enc JOIN lut ON lut.s = enc.s AND lut.j = enc.code),
@@ -1595,22 +1604,30 @@ object TierC {
         Similarity.ivfPqSearch(e, col("vec_id"), col("embedding"), coarse, cb, q,
           nprobe = 2, topK = 10)
       },
+      // every distance is the ‖x‖² − 2x·c + ‖c‖² expansion (the codegen'd
+      // dotD association), mirrored textually
       Some("""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
              |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS c
              |       FROM embeddings ORDER BY vec_id LIMIT 8),
              |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 123),
              |cd AS (SELECT e.vec_id, cb.j,
              |         round(list_sum(list_transform(generate_series(1, 64),
-             |           i -> (CAST(e.v[i] AS DOUBLE) - CAST(cb.c[i] AS DOUBLE))
-             |              * (CAST(e.v[i] AS DOUBLE) - CAST(cb.c[i] AS DOUBLE)))), 6) AS d
+             |                 i -> CAST(e.v[i] AS DOUBLE) * CAST(e.v[i] AS DOUBLE)))
+             |             - 2.0 * list_sum(list_transform(generate_series(1, 64),
+             |                 i -> CAST(e.v[i] AS DOUBLE) * CAST(cb.c[i] AS DOUBLE)))
+             |             + list_sum(list_transform(generate_series(1, 64),
+             |                 i -> CAST(cb.c[i] AS DOUBLE) * CAST(cb.c[i] AS DOUBLE))), 6) AS d
              |       FROM e, cb),
              |cell AS (SELECT vec_id, j AS cell FROM (
              |           SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
              |           FROM cd) WHERE rn = 1),
              |qd AS (SELECT cb.j,
              |         round(list_sum(list_transform(generate_series(1, 64),
-             |           i -> (CAST(q.qv[i] AS DOUBLE) - CAST(cb.c[i] AS DOUBLE))
-             |              * (CAST(q.qv[i] AS DOUBLE) - CAST(cb.c[i] AS DOUBLE)))), 6) AS d
+             |                 i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+             |             - 2.0 * list_sum(list_transform(generate_series(1, 64),
+             |                 i -> CAST(q.qv[i] AS DOUBLE) * CAST(cb.c[i] AS DOUBLE)))
+             |             + list_sum(list_transform(generate_series(1, 64),
+             |                 i -> CAST(cb.c[i] AS DOUBLE) * CAST(cb.c[i] AS DOUBLE))), 6) AS d
              |       FROM q, cb),
              |qc AS (SELECT j FROM (SELECT j, row_number() OVER (ORDER BY d, j) AS rn FROM qd)
              |       WHERE rn <= 2),
@@ -1618,8 +1635,11 @@ object TierC {
              |         WHERE cell IN (SELECT j FROM qc)),
              |sd AS (SELECT cand.vec_id, t.s, cb.j,
              |         round(list_sum(list_transform(generate_series(1, 16),
-             |           i -> (CAST(cand.v[t.s*16+i] AS DOUBLE) - CAST(cb.c[t.s*16+i] AS DOUBLE))
-             |              * (CAST(cand.v[t.s*16+i] AS DOUBLE) - CAST(cb.c[t.s*16+i] AS DOUBLE)))), 6) AS d
+             |                 i -> CAST(cand.v[t.s*16+i] AS DOUBLE) * CAST(cand.v[t.s*16+i] AS DOUBLE)))
+             |             - 2.0 * list_sum(list_transform(generate_series(1, 16),
+             |                 i -> CAST(cand.v[t.s*16+i] AS DOUBLE) * CAST(cb.c[t.s*16+i] AS DOUBLE)))
+             |             + list_sum(list_transform(generate_series(1, 16),
+             |                 i -> CAST(cb.c[t.s*16+i] AS DOUBLE) * CAST(cb.c[t.s*16+i] AS DOUBLE))), 6) AS d
              |       FROM cand, generate_series(0, 3) t(s), cb),
              |enc AS (SELECT vec_id, s, j AS code FROM (
              |          SELECT vec_id, s, j,
@@ -1627,8 +1647,11 @@ object TierC {
              |          FROM sd) WHERE rn = 1),
              |lut AS (SELECT t.s, cb.j,
              |          round(list_sum(list_transform(generate_series(1, 16),
-             |            i -> (CAST(q.qv[t.s*16+i] AS DOUBLE) - CAST(cb.c[t.s*16+i] AS DOUBLE))
-             |               * (CAST(q.qv[t.s*16+i] AS DOUBLE) - CAST(cb.c[t.s*16+i] AS DOUBLE)))), 6) AS ld
+             |                  i -> CAST(q.qv[t.s*16+i] AS DOUBLE) * CAST(q.qv[t.s*16+i] AS DOUBLE)))
+             |              - 2.0 * list_sum(list_transform(generate_series(1, 16),
+             |                  i -> CAST(q.qv[t.s*16+i] AS DOUBLE) * CAST(cb.c[t.s*16+i] AS DOUBLE)))
+             |              + list_sum(list_transform(generate_series(1, 16),
+             |                  i -> CAST(cb.c[t.s*16+i] AS DOUBLE) * CAST(cb.c[t.s*16+i] AS DOUBLE))), 6) AS ld
              |        FROM q, generate_series(0, 3) t(s), cb),
              |jx AS (SELECT enc.vec_id, enc.s, lut.ld
              |       FROM enc JOIN lut ON lut.s = enc.s AND lut.j = enc.code),
