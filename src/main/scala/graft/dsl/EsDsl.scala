@@ -53,6 +53,14 @@ object EsDsl {
     size(array_intersect(TextKernels.englishTokens(text), lit(analyzed.toArray))) >= minShouldMatch
   }
 
+  /** B5 `match` with the `whitespace` analyzer: tokens split on
+    * whitespace ONLY — case and punctuation survive (ES's whitespace
+    * analyzer has no lowercase filter), so "Spark!" matches "Spark!"
+    * and not "spark". */
+  def matchQueryWhitespace(text: Column, queryTerms: Seq[String],
+                           minShouldMatch: Int = 1): Column =
+    size(array_intersect(split(text, "\\s+"), lit(queryTerms.distinct.toArray))) >= minShouldMatch
+
   /** B5 `match` with the opt-in `cjk` analyzer: the RAW query string (not
     * pre-split terms — bigramming needs the original character runs) and
     * the document both tokenize through [[graft.functions.TextKernels

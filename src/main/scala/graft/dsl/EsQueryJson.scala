@@ -343,8 +343,14 @@ object EsQueryJson {
                 Option(v.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
               else 1
             EsDsl.matchQueryCjk(field(f), text, cjkMsm)
+          case Some("whitespace") =>
+            EsDsl.matchQueryWhitespace(field(f), text.split("\\s+").toSeq, msm)
+          case Some("keyword") =>
+            // keyword analyzer: the whole query is ONE token and the whole
+            // field one term — the match degenerates to exact equality
+            field(f) === lit(text)
           case Some(other) => throw new IllegalArgumentException(
-            s"unsupported analyzer: $other (english and cjk beyond the default)")
+            s"unsupported analyzer: $other (english/cjk/whitespace/keyword beyond the default)")
           case None => EsDsl.matchQuery(field(f), text.split("\\s+").toSeq, msm)
         }
       case "match_phrase" =>
@@ -774,6 +780,53 @@ object EsQueryJson {
     df.join(broadcast(order), df(idCol).cast("string") === col("_mget_id"))
       .drop("_mget_id")
       .orderBy("_mget_idx")
+  }
+
+  /** ES `_search/template`: inline mustache-subset rendering — every
+    * `{{name}}` placeholder in `source` is replaced by the matching
+    * `params` value (numbers/booleans verbatim, strings raw — the
+    * template supplies its own quotes, ES mustache behavior) and the
+    * rendered body runs through [[search]]. Unresolved placeholders are
+    * rejected loudly rather than silently rendered as ES's empty
+    * string (an empty term is never what a relational caller wants). */
+  def searchTemplate(df: DataFrame, templateJson: String): DataFrame = {
+    val t = parse(templateJson)
+    val src = t.get("source").asText()
+    val params = Option(t.get("params")).map(_.properties().asScala.toSeq
+        .map(e => e.getKey -> e.getValue)).getOrElse(Seq.empty)
+    val rendered = params.foldLeft(src) { case (acc, (k, v)) =>
+      acc.replace(s"{{$k}}", if (v.isTextual) v.asText() else v.toString)
+    }
+    require(!rendered.matches("(?s).*\\{\\{[A-Za-z0-9_]+\\}\\}.*"),
+      s"unresolved template placeholders in: $rendered")
+    search(df, rendered)
+  }
+
+  /** ES `_explain`-style score decomposition for a `match` query: each
+    * hit row is exploded per query term with (term, tf, df, idf, weight)
+    * next to the total `_score` — "why did this doc score X". The
+    * breakdown columns are the VERY expressions [[EsDsl.bm25ScoresMixed]]
+    * sums (same one corpus-stats pass), so the parts provably add up to
+    * the total; idf/weight round to 6 dp like every score surface. */
+  def explainMatch(df: DataFrame, fieldName: String, queryText: String,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryText.toLowerCase.split("\\s+").toSeq.distinct
+    val (joined, scores, internals) = EsDsl.bm25ScoresMixed(df,
+      Seq(EsDsl.TermsBm25(field(fieldName), terms)), k1, b)
+    val scored = joined.withColumn("_score", round(scores.head, 6))
+      .filter(col("_score") > 0)
+    val parts = terms.zipWithIndex.map { case (t, j) =>
+      val tf = element_at(col("_tfs0"), j + 1).cast("double")
+      val dfc = col(s"_df0_$j")
+      val idf = log(lit(1.0) + (col("_n") - dfc + 0.5) / (dfc + 0.5))
+      val lengthNorm = lit(k1) * (lit(1 - b) + lit(b) * col("_dl0") / col("_avgdl0"))
+      struct(lit(t).as("term"), tf.as("tf"), dfc.as("df"), round(idf, 6).as("idf"),
+        round(idf * (tf * (k1 + 1)) / (tf + lengthNorm), 6).as("weight"))
+    }
+    scored.withColumn("_e", explode(array(parts: _*)))
+      .select(df.columns.map(col) ++ Seq(col("_e.term").as("term"),
+        col("_e.tf").as("tf"), col("_e.df").as("df"), col("_e.idf").as("idf"),
+        col("_e.weight").as("weight"), col("_score")): _*)
   }
 
   /** ES `_count`: the hit count of a query body without materializing

@@ -2873,5 +2873,58 @@ object TierB {
       Some("""SELECT l_returnflag || '_' || l_linestatus AS key, count(*) AS doc_count,
              |       round(avg(l_quantity), 6) AS avg_qty
              |FROM lineitem GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
+
+    // `_search/template`: inline mustache-subset rendering ({{param}}
+    // substitution from `params`), then a normal search.
+    Q("a133_es_json_search_template",
+      (s, d) => graft.dsl.EsQueryJson.searchTemplate(ord(s, d),
+        """{"source": "{\"query\": {\"bool\": {\"must\": [{\"term\": {\"o_orderpriority\": \"{{pri}}\"}}, {\"range\": {\"o_totalprice\": {\"gte\": {{floor}}}}}]}}, \"sort\": [\"o_orderkey\"], \"size\": {{n}}, \"_source\": [\"o_orderkey\", \"o_totalprice\"]}",
+          | "params": {"pri": "1-URGENT", "floor": 250000, "n": 25}}""".stripMargin),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 250000
+             |ORDER BY o_orderkey LIMIT 25""".stripMargin)),
+
+    // `_explain`-style score breakdown: per hit × query term the (tf, df,
+    // idf, weight) components next to the total _score — the components
+    // are the same expressions the scorer sums, so they add up exactly.
+    Q("a134_es_json_explain",
+      (s, d) => graft.dsl.EsQueryJson.explainMatch(
+          Tables.documents(s, d), "text", "spark merge")
+        .select("doc_id", "term", "tf", "df", "idf", "weight", "_score")
+        .orderBy("doc_id", "term"),
+      Some(bm25Sql(Seq("spark", "merge")) +
+        """,
+          |e AS (
+          |  SELECT doc_id, dl, n, avgdl, df0, df1, tf0, tf1,
+          |         round(ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0*(1.2+1))/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+          |             + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1*(1.2+1))/(tf1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS _score
+          |  FROM tf)
+          |SELECT doc_id, term, tf, df, idf, weight, _score FROM (
+          |  SELECT doc_id, 'spark' AS term, tf0 AS tf, df0 AS df,
+          |         round(ln(1 + (n - df0 + 0.5)/(df0 + 0.5)), 6) AS idf,
+          |         round(ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0*(1.2+1))/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS weight,
+          |         _score
+          |  FROM e WHERE _score > 0
+          |  UNION ALL
+          |  SELECT doc_id, 'merge', tf1, df1,
+          |         round(ln(1 + (n - df1 + 0.5)/(df1 + 0.5)), 6),
+          |         round(ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1*(1.2+1))/(tf1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6),
+          |         _score
+          |  FROM e WHERE _score > 0)
+          |ORDER BY doc_id, term""".stripMargin)),
+
+    // whitespace + keyword analyzers: whitespace splits on \s+ only (no
+    // lowercase/punctuation strip); keyword treats the whole field as one
+    // term (match degenerates to equality).
+    Q("a135_es_json_analyzers",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"bool": {"must": [
+          |   {"match": {"text": {"query": "spark table", "analyzer": "whitespace", "operator": "and"}}},
+          |   {"match": {"lang": {"query": "en", "analyzer": "keyword"}}}]}},
+          | "sort": ["doc_id"], "_source": ["doc_id", "lang"]}""".stripMargin),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE len(list_intersect(string_split_regex(text, '\s+'), ['spark', 'table'])) >= 2
+             |  AND lang = 'en'
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -1163,6 +1163,52 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got.sameElements(want))
   }
 
+  test("search template renders params; unresolved placeholders reject loudly") {
+    val got = EsQueryJson.searchTemplate(orders,
+      """{"source": "{\"query\": {\"term\": {\"o_orderstatus\": \"{{st}}\"}}, \"sort\": [\"o_orderkey\"], \"size\": {{n}}}",
+        | "params": {"st": "F", "n": 5}}""".stripMargin)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val want = orders.filter(col("o_orderstatus") === "F")
+      .orderBy("o_orderkey").limit(5)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    val e = intercept[IllegalArgumentException](EsQueryJson.searchTemplate(orders,
+      """{"source": "{\"size\": {{missing}}}", "params": {}}"""))
+    assert(e.getMessage.contains("unresolved"))
+  }
+
+  test("explainMatch: per-term weights sum to _score") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = EsQueryJson.explainMatch(docs, "text", "spark merge")
+      .select("doc_id", "weight", "_score").collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rs) =>
+      val sum = rs.map(_.getDouble(1)).sum
+      val score = rs.head.getDouble(2)
+      // components round at 6 dp individually; allow the last-digit slack
+      assert(math.abs(sum - score) < 2e-6, s"sum $sum vs score $score")
+    }
+  }
+
+  test("whitespace analyzer keeps case/punctuation; keyword is whole-string equality") {
+    import org.apache.spark.sql.SparkSession
+    val sp: SparkSession = spark
+    import sp.implicits._
+    val df = Seq((1L, "Spark! rocks", "en"), (2L, "spark rocks", "en"),
+      (3L, "spark", "en-US")).toDF("id", "text", "lang")
+    def ids(body: String) = EsQueryJson.search(df, body).collect().map(_.getLong(0)).toSeq
+    // whitespace: "Spark!" only matches the doc with that exact token
+    assert(ids("""{"query": {"match": {"text": {"query": "Spark!", "analyzer": "whitespace"}}},
+                 | "sort": ["id"], "_source": ["id"]}""".stripMargin) == Seq(1L))
+    // default analyzer lowercases + strips punctuation: both docs match
+    assert(ids("""{"query": {"match": {"text": "spark"}},
+                 | "sort": ["id"], "_source": ["id"]}""".stripMargin) == Seq(1L, 2L, 3L))
+    // keyword: whole-field equality — "en" does not match "en-US"
+    assert(ids("""{"query": {"match": {"lang": {"query": "en", "analyzer": "keyword"}}},
+                 | "sort": ["id"], "_source": ["id"]}""".stripMargin) == Seq(1L, 2L))
+  }
+
   test("mget preserves request order and drops missing ids; _count matches filter") {
     val got = EsQueryJson.mget(orders, "o_orderkey", Seq(7L, 1L, 999999999L, 5L))
       .select("o_orderkey").collect().map(_.getLong(0)).toSeq
