@@ -307,6 +307,30 @@ object Corpus {
       .select("source", "lang", "gid", "n_docs", "n_tokens", "avg_doc_tokens")
       .orderBy(col("gid"), col("source").asc_nulls_first, col("lang").asc_nulls_first)
 
+  /** Token-budget allocation — the pretraining mixture planning table:
+    * per-source natural token counts, temperature-smoothed target shares
+    * (w_s ∝ n_s^(1/T), the [[temperatureMixture]] convention), and the
+    * allocated tokens under a total budget with an epoch cap
+    * (alloc_s = min(budget·w_s, maxEpochs·n_s)). Epochs = alloc/natural.
+    * Capped sources strand budget; production reruns with the leftover —
+    * single pass here keeps the plan (and its oracle) closed-form. One
+    * token-count agg + source-cardinality-bounded arithmetic. */
+  def tokenBudget(df: DataFrame, idCol: Column, text: Column, sourceCol: Column,
+                  budget: Long, temperature: Double, maxEpochs: Double): DataFrame = {
+    val n = df.select(sourceCol.as("source"),
+        size(TextAnalysis.tokens(text)).cast("long").as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+    val pw = n.withColumn("p", pow(col("n_tokens").cast("double"), lit(1.0 / temperature)))
+    val tot = pw.agg(sum(col("p")).as("tp"))
+    pw.crossJoin(broadcast(tot))
+      .withColumn("weight", round(col("p") / col("tp"), 6))
+      .withColumn("alloc_tokens", round(
+        least(lit(budget.toDouble) * col("weight"), lit(maxEpochs) * col("n_tokens")), 4))
+      .withColumn("epochs", round(col("alloc_tokens") / col("n_tokens"), 6))
+      .select("source", "n_tokens", "weight", "alloc_tokens", "epochs")
+      .orderBy("source")
+  }
+
   /** DSIR importance log-weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): hashed-unigram bag
     * features; add-½-smoothed bucket distributions p (TARGET corpus) and

@@ -1714,5 +1714,27 @@ object TierC {
              |       m.doc_new IS NULL AS admitted
              |FROM documents d LEFT JOIN m ON m.doc_new = d.doc_id
              |WHERE d.doc_id >= 250 ORDER BY d.doc_id""".stripMargin)),
+
+    // Token-budget allocation: temperature-smoothed target shares under a
+    // 1M-token budget with a 2-epoch cap — the "how many epochs of each
+    // source" planning table every pretraining mixture needs.
+    Q("c56_token_budget",
+      (s, d) => Corpus.tokenBudget(Tables.documents(s, d), col("doc_id"),
+        col("text"), col("source"), budget = 1000000L, temperature = 2.0,
+        maxEpochs = 2.0),
+      Some("""WITH n AS (
+             |  SELECT source,
+             |         sum(len(list_filter(string_split_regex(lower(text), '\W+'),
+             |             x -> x <> ''))) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |p AS (SELECT source, n_tokens, pow(CAST(n_tokens AS DOUBLE), 0.5) AS p FROM n),
+             |t AS (SELECT sum(p) AS tp FROM p),
+             |w AS (SELECT source, n_tokens, round(p / tp, 6) AS weight FROM p, t),
+             |a AS (SELECT source, n_tokens, weight,
+             |             round(least(1000000.0 * weight, 2.0 * n_tokens), 4) AS alloc_tokens
+             |      FROM w)
+             |SELECT source, n_tokens, weight, alloc_tokens,
+             |       round(alloc_tokens / n_tokens, 6) AS epochs
+             |FROM a ORDER BY source""".stripMargin)),
   )
 }

@@ -830,6 +830,20 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Seq(("s1", "s2", 1L, 0.5)))
   }
 
+  test("tokenBudget: epoch cap binds small sources, weights sum to ~1") {
+    import sp.implicits._
+    // s1: 16 tokens, s2: 4 → sqrt smoothing gives shares 2/3 and 1/3
+    val docs = Seq((1L, ("a " * 16).trim, "s1"), (2L, "a b c d", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ext.Corpus.tokenBudget(docs, col("doc_id"), col("text"),
+      col("source"), budget = 30L, temperature = 2.0, maxEpochs = 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // s1 wants 30·(2/3) = 20 ≤ 2·16 → uncapped; s2 wants 10 > 2·4 = 8 → capped
+    assert(out == Seq(("s1", 16L, 0.666667, 20.0, 1.25),
+      ("s2", 4L, 0.333333, 8.0, 2.0)))
+  }
+
   test("ksDrift: disjoint length distributions give KS = 1") {
     import sp.implicits._
     val docs = Seq((1L, "a", "s1"), (2L, "b", "s1"),
