@@ -1137,16 +1137,16 @@ object EsQueryJson {
         case (None, None) => throw new IllegalArgumentException(
           "function_score function needs field_value_factor, gauss, or weight")
       }
-      (Option(fn.get("filter")).map(predicate), v)
+      (Option(fn.get("filter")).map(predicate), v, weight.getOrElse(1.0))
     }
     // multiply/sum fold every function in with the mode's neutral element
     // for a missed filter; max/min/first/avg see only MATCHING functions
     // (ES skips non-matching ones entirely), expressed as null-masked
     // values — greatest/least/coalesce all skip nulls. A row matching NO
     // function keeps the query score unmodified (factor 1.0).
-    def masked = fVals.map { case (p, v) =>
+    def masked = fVals.map { case (p, v, _) =>
       p.map(c => when(c, v).otherwise(lit(neutral))).getOrElse(v) }
-    def nullMasked = fVals.map { case (p, v) => p.map(c => when(c, v)).getOrElse(v) }
+    def nullMasked = fVals.map { case (p, v, _) => p.map(c => when(c, v)).getOrElse(v) }
     val fScore =
       if (fVals.isEmpty) lit(1.0)
       else scoreMode match {
@@ -1160,9 +1160,12 @@ object EsQueryJson {
             lit(1.0).cast("double"): _*)
         case "first" => coalesce(nullMasked :+ lit(1.0).cast("double"): _*)
         case "avg" =>
-          val cnt = fVals.map { case (p, _) =>
-            p.map(c => when(c, 1).otherwise(0)).getOrElse(lit(1)) }.reduce(_ + _)
-          when(cnt > 0, masked.reduce(_ + _) / cnt).otherwise(lit(1.0))
+          // ES avg is the WEIGHTED mean: Σ weighted-scores of matching
+          // functions / Σ their weights (a bare-weight function thus
+          // contributes exactly its weight to both sides)
+          val wsum = fVals.map { case (p, _, w) =>
+            p.map(c => when(c, lit(w)).otherwise(lit(0.0))).getOrElse(lit(w)) }.reduce(_ + _)
+          when(wsum > 0, masked.reduce(_ + _) / wsum).otherwise(lit(1.0))
       }
     val combined = boostMode match {
       case "multiply" => col("_score") * fScore

@@ -1126,7 +1126,22 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(run("max") == Map(1L -> 1.0, 2L -> 7.0))   // doc 1 matches nothing → 1.0
     assert(run("min") == Map(1L -> 1.0, 2L -> 3.0))
     assert(run("first") == Map(1L -> 1.0, 2L -> 7.0))
-    assert(run("avg") == Map(1L -> 1.0, 2L -> 5.0))   // (7+3)/2 over MATCHING only
+    // ES avg is the WEIGHTED mean over matching functions: a bare-weight
+    // function contributes w to numerator AND denominator → (7+3)/(7+3)
+    assert(run("avg") == Map(1L -> 1.0, 2L -> 1.0))
+    // with a real value function the weighting shows: doc x=50 matches
+    // {2×x w=2} and {w=3} → (2·50 + 3)/(2+3) = 20.6
+    val mixed = EsQueryJson.search(
+      Seq((1L, 5.0), (2L, 50.0)).toDF("id", "x"),
+      """{"query": {"function_score": {
+        |   "functions": [
+        |     {"filter": {"range": {"x": {"gte": 10}}},
+        |      "field_value_factor": {"field": "x"}, "weight": 2},
+        |     {"filter": {"range": {"x": {"gte": 40}}}, "weight": 3}],
+        |   "score_mode": "avg", "boost_mode": "replace"}},
+        | "sort": [{"_score": {}}, "id"]}""".stripMargin)
+      .select("id", "_score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(mixed == Map(1L -> 1.0, 2L -> 20.6))
   }
 
   test("nested sort: mode reduction sees only filter-passing children") {
