@@ -362,8 +362,12 @@ object EsQueryJson {
         val terms = body.get("query").asText().split("\\s+").toSeq
         val mmType = Option(body.get("type")).map(_.asText())
         // type:phrase = match_phrase in ANY field (ES runs one phrase
-        // query per field, dis-max'd; as a predicate that's an OR)
-        if (mmType.contains("phrase")) fields.map(EsDsl.matchPhrase(_, terms)).reduce(_ || _)
+        // query per field, dis-max'd; as a predicate that's an OR);
+        // type:phrase_prefix likewise with the last term a prefix
+        if (mmType.contains("phrase_prefix")) {
+          val ws = terms.map(_.toLowerCase)
+          fields.map(f => graft.functions.Spans.phrasePrefix(f, ws.init, ws.last)).reduce(_ || _)
+        } else if (mmType.contains("phrase")) fields.map(EsDsl.matchPhrase(_, terms)).reduce(_ || _)
         else {
           // cross_fields `operator: and` = every term in SOME field
           // (term-centric); field-centric types leave msm within one field.

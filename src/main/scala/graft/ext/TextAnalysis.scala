@@ -262,10 +262,14 @@ object TextAnalysis {
     * shuffle until the caller aggregates. Docs with < n tokens emit
     * nothing (no n-grams to judge). */
   def distinctN(df: DataFrame, idCol: Column, text: Column, n: Int): DataFrame =
-    df.select(idCol.as("doc_id"), wordNgrams(tokens(text), n).as("g"))
-      .filter(size(col("g")) >= 1)
-      .select(col("doc_id"), size(col("g")).cast("long").as("n_grams"),
-        size(array_distinct(col("g"))).cast("long").as("n_distinct"))
+    // total grams is arithmetic on the token count; distinct grams come
+    // from the one-pass TextKernels kernel (which dedups internally) —
+    // NOT the wordNgrams HOF, whose lambda re-tokenizes per element_at
+    // (12 s vs 0.5 s at sf0.1)
+    df.select(idCol.as("doc_id"),
+        (size(tokens(text)) - (n - 1)).cast("long").as("n_grams"),
+        size(graft.functions.TextKernels.wordNgrams(text, n)).cast("long").as("n_distinct"))
+      .filter(col("n_grams") >= 1)
       .withColumn("ratio", round(col("n_distinct").cast("double") / col("n_grams"), 6))
 
   /** Vocabulary coverage / OOV rate — the tokenizer-fit diagnostic run

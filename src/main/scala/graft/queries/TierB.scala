@@ -2926,5 +2926,23 @@ object TierB {
              |WHERE len(list_intersect(string_split_regex(text, '\s+'), ['spark', 'table'])) >= 2
              |  AND lang = 'en'
              |ORDER BY doc_id""".stripMargin)),
+
+    // multi_match type:phrase_prefix — the search-as-you-type query over
+    // several fields (ES dis-maxes per field; the predicate is the OR).
+    Q("a136_es_json_mm_phrase_prefix",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"multi_match": {"query": "the da", "type": "phrase_prefix",
+          |   "fields": ["text", "source"]}},
+          | "sort": ["doc_id"], "size": 2000, "_source": ["doc_id"]}""".stripMargin),
+      Some("""SELECT doc_id FROM (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w,
+             |         list_filter(string_split_regex(lower(source), '\W+'), x -> x <> '') AS w2
+             |  FROM documents)
+             |WHERE (len(w) >= 2 AND len(list_filter(generate_series(1, len(w) - 1),
+             |        i -> w[i] = 'the' AND starts_with(w[i + 1], 'da'))) > 0)
+             |   OR (len(w2) >= 2 AND len(list_filter(generate_series(1, len(w2) - 1),
+             |        i -> w2[i] = 'the' AND starts_with(w2[i + 1], 'da'))) > 0)
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
   )
 }

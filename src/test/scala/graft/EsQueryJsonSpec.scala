@@ -1178,6 +1178,19 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got.sameElements(want))
   }
 
+  test("multi_match phrase_prefix fires on ANY field") {
+    import org.apache.spark.sql.SparkSession
+    val sp: SparkSession = spark
+    import sp.implicits._
+    val df = Seq((1L, "alpha beta", "the dawn breaks"), (2L, "the day", "x y"),
+      (3L, "nothing here", "nor here")).toDF("id", "a", "b")
+    val got = EsQueryJson.search(df,
+      """{"query": {"multi_match": {"query": "the da", "type": "phrase_prefix",
+        |   "fields": ["a", "b"]}}, "sort": ["id"], "_source": ["id"]}""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
   test("search template renders params; unresolved placeholders reject loudly") {
     val got = EsQueryJson.searchTemplate(orders,
       """{"source": "{\"query\": {\"term\": {\"o_orderstatus\": \"{{st}}\"}}, \"sort\": [\"o_orderkey\"], \"size\": {{n}}}",
