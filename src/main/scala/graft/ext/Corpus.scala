@@ -448,6 +448,9 @@ object Corpus {
       .join(perSN, Seq("source", "n"), "left")
       .na.fill(0L, Seq("cs"))
       .crossJoin(broadcast(nAll))
+      // a source that IS the whole corpus has no "rest" — drop it rather
+      // than divide by zero into a null ks
+      .filter(col("na") > col("ns"))
     val w = Window.partitionBy("source").orderBy("n")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid

@@ -220,6 +220,22 @@ object Scale {
     t("ivfpq-top10-100k-nprobe4-of-64")(
       Similarity.ivfPqSearch(vecs, col("vec_id"), col("embedding"), coarse64, pqCb, qv,
         nprobe = 4, topK = 10).collect())
+    // recall@10 of the PQ approximations vs exact squared-L2 (the quality
+    // side of the 64×-compression trade; larger k per subspace buys it up)
+    locally {
+      val qvArr = array(qv.map(lit): _*)
+      val exact = vecs
+        .select(col("vec_id"), (graft.functions.VecOps.dotD(col("embedding").cast("array<double>"), col("embedding").cast("array<double>"))
+          - lit(2.0) * graft.functions.VecOps.dotD(col("embedding").cast("array<double>"), qvArr)).as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val adc = Similarity.pqAdcSearch(pqCodes, pqCb, qv, topK = 10)
+        .collect().map(_.getLong(0)).toSet
+      val ivf = Similarity.ivfPqSearch(vecs, col("vec_id"), col("embedding"), coarse64,
+        pqCb, qv, nprobe = 4, topK = 10).collect().map(_.getLong(0)).toSet
+      println(s"SCALEINFO pq recall@10 adc=${adc.intersect(exact).size}/10 " +
+        s"ivfpq(nprobe4)=${ivf.intersect(exact).size}/10")
+    }
 
     // DSIR: 50k raw docs vs a 5k-doc target — two bucket aggs + one
     // broadcast-joined doc pass (the corpus tokenizes once)
