@@ -139,6 +139,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(indexMap(BucketedIndex.read(spark, cfg.indexDir)) == Map("k1" -> Map("a" -> "4")))
   }
 
+  test("streaming incremental dedup: standing corpus grows per batch, later dups rejected") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val corpusDir = tmpDir("graft-dedup-corpus")
+    // seed the standing corpus with one already-admitted doc
+    Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpusDir)
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .outputMode("update")
+      .option("checkpointLocation", tmpDir("graft-dedup-ckpt"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val standing = b.sparkSession.read.parquet(corpusDir)
+        val admitted = graft.ext.Dedup.dedupIncremental(standing, b,
+            col("doc_id"), col("text"))
+          .filter(col("admitted"))
+          .collect().map(_.getLong(0)).toSeq
+        if (admitted.nonEmpty)
+          b.filter(col("doc_id").isin(admitted: _*))
+            .write.mode("append").parquet(corpusDir)
+      }
+      .start()
+    ms.addData((2L, "alpha beta gamma delta epsilon zeta")) // dup of seeded 1 → out
+    ms.addData((3L, "one two three four five six"))          // fresh → admitted
+    q.processAllAvailable()
+    ms.addData((4L, "one two three four five six"))          // dup of batch-1's 3 → out
+    ms.addData((5L, "seven eight nine ten eleven twelve"))   // fresh → admitted
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(corpusDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 5L))
+  }
+
   test("restart from checkpoint continues exactly-once") {
     val sp = spark
     val changeDir = tmpDir("graft-changes-r")
