@@ -113,6 +113,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Mod-p fingerprint sampling (Manber 1994, "Finding similar files" —
+    * the pre-winnowing selection scheme): per doc, the word-`n`-gram
+    * hashes ≡ 0 (mod p) form its fingerprint set. The selection is a
+    * pure function of the CONTENT, so overlapping regions of two docs
+    * sample the SAME grams — deterministic ~1/p sampling that needs no
+    * coordination (unlike random sampling, which would sample disjoint
+    * grams per doc). Pairs sharing ≥ `minShared` fingerprints are
+    * local-overlap candidates. Honest limitation vs winnowing: no
+    * per-window guarantee — a ~p·n-token overlap can go unsampled;
+    * density is 1/p in expectation. Scale shape: kernel gramming, the
+    * mod filter drops (p−1)/p of rows before the ONLY shuffle, and the
+    * pair join fans out solely on shared fingerprints. */
+  def modpFingerprintPairs(df: DataFrame, idCol: Column, text: Column,
+                           n: Int = 5, p: Int = 8, minShared: Int = 2): DataFrame = {
+    val fp = df.select(idCol.as("doc_id"),
+        explode(graft.functions.TextKernels.wordNgrams(text, n)).as("g"))
+      .select(col("doc_id"), graft.functions.Hashing.md5Long60(col("g")).as("h"))
+      .filter(pmod(col("h"), lit(p.toLong)) === 0)
+      .distinct()
+    fp.as("a").join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(desc("n_shared"), col("doc_a"), col("doc_b"))
+  }
+
   /** Exact Jaccard for candidate pairs over the shingle-set table. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
     cand

@@ -1736,5 +1736,24 @@ object TierC {
              |SELECT source, n_tokens, weight, alloc_tokens,
              |       round(alloc_tokens / n_tokens, 6) AS epochs
              |FROM a ORDER BY source""".stripMargin)),
+
+    // Mod-p fingerprint sampling (Manber 1994): content-keyed ~1/p gram
+    // sampling — overlapping regions sample the SAME grams in both docs,
+    // so shared fingerprints witness local overlap. (p−1)/p of rows drop
+    // before the only shuffle.
+    Q("c57_modp_fingerprints",
+      (s, d) => Dedup.modpFingerprintPairs(Tables.documents(s, d), col("doc_id"),
+        col("text"), n = 5, p = 8, minShared = 2),
+      Some(s"""WITH $toksCte,
+             |gs AS (SELECT doc_id,
+             |              unnest(list_transform(generate_series(1, len(w)-4),
+             |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+             |       FROM toks WHERE len(w) >= 5),
+             |fp AS (SELECT DISTINCT doc_id, ${Hashing.sqlMd5Long60("g")} AS h FROM gs),
+             |fp8 AS (SELECT * FROM fp WHERE h % 8 = 0)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+             |FROM fp8 a JOIN fp8 b ON a.h = b.h AND a.doc_id < b.doc_id
+             |GROUP BY doc_a, doc_b HAVING count(*) >= 2
+             |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin)),
   )
 }

@@ -819,6 +819,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Seq((3L, 1L, false), (4L, 0L, true), (5L, 0L, true)))
   }
 
+  test("modpFingerprints: shared-content pairs surface, content selection is deterministic") {
+    import sp.implicits._
+    val shared = "one two three four five six seven eight nine ten eleven twelve " * 4
+    val docs = Seq(
+      (1L, shared + "tail a"), (2L, shared + "tail b"),   // big shared region
+      (3L, "totally different words with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.modpFingerprintPairs(docs, col("doc_id"), col("text"),
+      n = 3, p = 2, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L)), "only the overlapping pair; selection keyed on content")
+  }
+
   test("sourceOverlap: shared 3-grams only, exact Jaccard on distinct sets") {
     import sp.implicits._
     val docs = Seq((1L, "a b c d", "s1"), (2L, "a b c", "s2"), (3L, "x y z", "s3"))
