@@ -2227,13 +2227,22 @@ object EsQueryJson {
   }
 
   /** `filters` bucket agg: one row, a count column per named filter plus
-    * `<filter>_<metric>` columns for metric sub-aggs (previously dropped). */
+    * `<filter>_<metric>` columns for metric sub-aggs (previously dropped).
+    * `other_bucket: true` adds a bucket (named by `other_bucket_key`,
+    * default `_other_`) counting docs matching NONE of the filters, with
+    * the same metric sub-aggs — all still one conditional-aggregate
+    * pass. */
   private def filtersAgg(df: DataFrame, node: JsonNode): DataFrame = {
     val spec = node.get("filters")
     val preds = spec.get("filters").fields().asScala.toSeq.map { e =>
       e.getKey -> predicate(e.getValue)
     }
-    val cols = preds.flatMap { case (nm, p) =>
+    val withOther =
+      if (Option(spec.get("other_bucket")).exists(_.asBoolean())) {
+        val nm = Option(spec.get("other_bucket_key")).map(_.asText()).getOrElse("_other_")
+        preds :+ (nm -> preds.map(p => !coalesce(p._2, lit(false))).reduce(_ && _))
+      } else preds
+    val cols = withOther.flatMap { case (nm, p) =>
       sum(when(p, 1L).otherwise(0L)).as(nm) +:
         subAggs(node, cond = Some(p))._1.map { case (mn, c) => c.as(s"${nm}_$mn") }
     }

@@ -2944,5 +2944,26 @@ object TierB {
              |   OR (len(w2) >= 2 AND len(list_filter(generate_series(1, len(w2) - 1),
              |        i -> w2[i] = 'the' AND starts_with(w2[i + 1], 'da'))) > 0)
              |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // filters agg `other_bucket`: the none-of-the-above bucket (named via
+    // other_bucket_key) with the same metric sub-aggs — still ONE
+    // conditional-aggregate pass.
+    Q("a137_es_json_filters_other",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(li(s, d),
+        """{"aggs": {"flags": {"filters": {
+          |   "filters": {"returned": {"term": {"l_returnflag": "R"}},
+          |               "accepted": {"term": {"l_returnflag": "A"}}},
+          |   "other_bucket": true, "other_bucket_key": "neither"},
+          | "aggs": {"avg_qty": {"avg": {"field": "l_quantity"}}}}}}""".stripMargin)("flags"),
+      Some("""SELECT count(*) AS doc_count,
+             |       CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned,
+             |       round(avg(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 6) AS returned_avg_qty,
+             |       CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS accepted,
+             |       round(avg(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 6) AS accepted_avg_qty,
+             |       CAST(sum(CASE WHEN NOT COALESCE(l_returnflag = 'R', FALSE)
+             |                     AND NOT COALESCE(l_returnflag = 'A', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS neither,
+             |       round(avg(CASE WHEN NOT COALESCE(l_returnflag = 'R', FALSE)
+             |                      AND NOT COALESCE(l_returnflag = 'A', FALSE) THEN l_quantity END), 6) AS neither_avg_qty
+             |FROM lineitem""".stripMargin)),
   )
 }

@@ -324,6 +324,22 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getAs[Long]("doc_count") == orders.count())
   }
 
+  test("filters agg other_bucket counts none-of-the-above with its metrics") {
+    val body =
+      """{"aggs": {"split": {"filters": {"filters": {
+        |    "urgent": {"term": {"o_orderpriority": "1-URGENT"}},
+        |    "high": {"term": {"o_orderpriority": "2-HIGH"}}},
+        |  "other_bucket": true},
+        |  "aggs": {"rev": {"sum": {"field": "o_totalprice"}}}}}}""".stripMargin
+    val r = EsQueryJson.aggregations(orders, body)("split").collect().head
+    val rest = orders.filter(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    assert(r.getAs[Long]("_other_") == rest.count())
+    assert(r.getAs[Double]("_other__rev") ==
+      rest.agg(round(sum("o_totalprice"), 4)).collect().head.getDouble(0))
+    assert(r.getAs[Long]("urgent") + r.getAs[Long]("high") + r.getAs[Long]("_other_")
+      == r.getAs[Long]("doc_count"))
+  }
+
   test("percentiles metric expands to one column per percent") {
     val body =
       """{"aggs": {"by_status": {"terms": {"field": "o_orderstatus", "size": 3},
