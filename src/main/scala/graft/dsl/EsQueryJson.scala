@@ -1436,7 +1436,11 @@ object EsQueryJson {
   private def metricCols(aggName: String, kind: String, spec: JsonNode,
                          cond: Option[Column] = None): Seq[(String, Column)] = {
     // lazy: weighted_avg has no top-level "field" key
-    lazy val raw = field(spec.get("field").asText())
+    lazy val raw0 = field(spec.get("field").asText())
+    // metric `missing`: docs without the field aggregate AS this value
+    // (ES behavior); without it nulls are simply skipped by the aggregate
+    lazy val raw = Option(spec.get("missing")).map(m => coalesce(raw0, litOf(m)))
+      .getOrElse(raw0)
     lazy val f = cond.map(c => when(c, raw)).getOrElse(raw)
     kind match {
       case "avg" => Seq(aggName -> round(avg(f), 6))
@@ -1671,9 +1675,15 @@ object EsQueryJson {
         val f = Option(spec.get("missing")).map(m => coalesce(termsRawKey, litOf(m)))
           .getOrElse(termsRawKey)
         def anchored(r: JsonNode) = "^(?:" + r.asText() + ")$"
+        // ES accepts either a regex string or an exact-value array for
+        // include/exclude — the array form is a plain isin
+        def pred(r: JsonNode): Column =
+          if (r.isArray) f.isin(r.elements().asScala.toSeq.map(n =>
+            if (n.isNumber) n.asLong().asInstanceOf[Any] else n.asText().asInstanceOf[Any]): _*)
+          else f.rlike(anchored(r))
         val preds =
-          Option(spec.get("include")).map(r => f.rlike(anchored(r))).toSeq ++
-          Option(spec.get("exclude")).map(r => !f.rlike(anchored(r))).toSeq
+          Option(spec.get("include")).map(pred).toSeq ++
+          Option(spec.get("exclude")).map(r => !pred(r)).toSeq
         preds.reduceOption(_ && _)
       }
     /** ES terms `order`: `_count` (default), `_key`, or a metric sub-agg

@@ -2965,5 +2965,16 @@ object TierB {
              |       round(avg(CASE WHEN NOT COALESCE(l_returnflag = 'R', FALSE)
              |                      AND NOT COALESCE(l_returnflag = 'A', FALSE) THEN l_quantity END), 6) AS neither_avg_qty
              |FROM lineitem""".stripMargin)),
+
+    // terms include as an exact-value ARRAY (the non-regex ES form).
+    Q("a138_es_json_terms_include_array",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"pri": {"terms": {"field": "o_orderpriority",
+          |   "include": ["1-URGENT", "2-HIGH", "3-MEDIUM"], "size": 10},
+          | "aggs": {"avg_tp": {"avg": {"field": "o_totalprice"}}}}}}""".stripMargin)("pri"),
+      Some("""SELECT o_orderpriority AS key, count(*) AS doc_count,
+             |       round(avg(o_totalprice), 6) AS avg_tp
+             |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+             |GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
   )
 }

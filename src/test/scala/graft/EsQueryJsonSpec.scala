@@ -340,6 +340,24 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
       == r.getAs[Long]("doc_count"))
   }
 
+  test("metric agg `missing` substitutes for null field values") {
+    import org.apache.spark.sql.SparkSession
+    val sp: SparkSession = spark
+    import sp.implicits._
+    val df = Seq((1L, Some(4.0)), (2L, None), (3L, Some(8.0)))
+      .toDF("id", "x")
+    def one(body: String) = EsQueryJson.aggregations(df, body)("m").collect().head
+    // without missing: nulls skipped → avg(4, 8) = 6
+    assert(one("""{"aggs": {"m": {"avg": {"field": "x"}}}}""").getAs[Double]("value") == 6.0)
+    // with missing 10: avg(4, 10, 8)
+    assert(one("""{"aggs": {"m": {"avg": {"field": "x", "missing": 10}}}}""")
+      .getAs[Double]("value") == BigDecimal(22.0 / 3)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // count counts the substituted docs too
+    assert(one("""{"aggs": {"m": {"value_count": {"field": "x", "missing": 10}}}}""")
+      .getAs[Long]("value") == 3L)
+  }
+
   test("percentiles metric expands to one column per percent") {
     val body =
       """{"aggs": {"by_status": {"terms": {"field": "o_orderstatus", "size": 3},
