@@ -646,7 +646,15 @@ object EsQueryJson {
         require(!needsScore, "_score sort / min_score requires a query")
         df0
     }
-    val filtered = minScore.map(ms => scored.filter(col("_score") >= ms)).getOrElse(scored)
+    val minScored = minScore.map(ms => scored.filter(col("_score") >= ms)).getOrElse(scored)
+    // `post_filter`: narrows the HITS only, after scoring — by ES contract
+    // the body's aggregations still see the full query scope (the faceted-
+    // navigation idiom: facet counts stay global while the hit list honors
+    // the selected facet). [[aggregations]] reads only `query`, so the
+    // contract holds structurally; a plain narrow filter here, pushed into
+    // the scan when the query itself is unscored.
+    val filtered = Option(body.get("post_filter"))
+      .map(pf => minScored.filter(predicate(pf))).getOrElse(minScored)
     // `_name`-tagged clauses → `matched_queries`: per returned hit, the
     // names of the tagged clauses it satisfies (one extra codegen'd
     // boolean per name — no second pass). Sorted: ES emits a set in match

@@ -2976,5 +2976,19 @@ object TierB {
              |       round(avg(o_totalprice), 6) AS avg_tp
              |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
              |GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
+
+    // `post_filter`: the faceted-navigation idiom — the hit list honors
+    // the selected facet while the body's aggregations keep the full
+    // query scope (the scope split is asserted in EsQueryJsonSpec; the
+    // oracle checks the narrowed hit list).
+    Q("a139_es_json_post_filter",
+      (s, d) => graft.dsl.EsQueryJson.search(ord(s, d),
+        """{"query": {"range": {"o_totalprice": {"gte": 100000}}},
+          | "post_filter": {"term": {"o_orderstatus": "F"}},
+          | "sort": [{"o_totalprice": {"order": "desc"}}, "o_orderkey"], "size": 30,
+          | "_source": ["o_orderkey", "o_orderstatus", "o_totalprice"]}""".stripMargin),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+             |WHERE o_totalprice >= 100000 AND o_orderstatus = 'F'
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 30""".stripMargin)),
   )
 }

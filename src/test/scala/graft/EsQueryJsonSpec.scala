@@ -171,6 +171,25 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._1).distinct.size == got.size) // one hit per value
   }
 
+  test("post_filter narrows hits but not aggregations (faceted navigation)") {
+    val body =
+      """{"query": {"range": {"o_totalprice": {"gte": 100000}}},
+        | "post_filter": {"term": {"o_orderstatus": "F"}},
+        | "aggs": {"st": {"terms": {"field": "o_orderstatus", "size": 10}}},
+        | "sort": ["o_orderkey"]}""".stripMargin
+    val hits = EsQueryJson.search(orders, body)
+    // hits honor BOTH the query and the post_filter
+    assert(hits.count() ==
+      orders.filter(col("o_totalprice") >= 100000 && col("o_orderstatus") === "F").count())
+    // the facet keeps full query scope: every status bucket, not just F
+    val buckets = EsQueryJson.aggregations(orders, body)("st")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = orders.filter(col("o_totalprice") >= 100000)
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(buckets == want && buckets.size > 1)
+  }
+
   test("weighted_avg, percentile_ranks, adjacency_matrix aggs") {
     val wa2 = EsQueryJson.aggregations(orders,
       """{"aggs": {"w": {"weighted_avg": {
