@@ -140,6 +140,35 @@ object Dedup {
       .orderBy(desc("n_shared"), col("doc_a"), col("doc_b"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    * hash every word n-gram, then keep the MINIMUM hash of every
+    * `w`-hash window. The guarantee mod-p sampling lacks: any shared run
+    * of ≥ w+n−1 tokens contributes at least one shared fingerprint, at
+    * expected density 2/(w+1) of the grams. Scale shape mirrors
+    * [[modpFingerprintPairs]]: the gram hashing and window minima are
+    * per-doc HOFs inside codegen (no explode of the full gram stream —
+    * the O(m·w) comparisons stay narrow), only the ~2m/(w+1) DISTINCT
+    * fingerprints reach the one shuffle, and the pair join fans out
+    * solely on shared fingerprint values. */
+  def winnowingPairs(df: DataFrame, idCol: Column, text: Column,
+                     n: Int = 5, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val hashes = transform(graft.functions.TextKernels.wordNgrams(text, n),
+      g => Hashing.md5Long60(g))
+    val fps = array_distinct(transform(
+      sequence(lit(1), size(col("_wh")) - w + 1),
+      i => array_min(slice(col("_wh"), i, lit(w)))))
+    val fp = df.withColumn("_wh", hashes)
+      .filter(size(col("_wh")) >= w)
+      .select(idCol.as("doc_id"), explode(fps).as("h"))
+      .distinct()
+    fp.as("a").join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(desc("n_shared"), col("doc_a"), col("doc_b"))
+  }
+
   /** Exact Jaccard for candidate pairs over the shingle-set table. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
     cand

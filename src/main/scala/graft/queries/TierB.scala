@@ -2990,5 +2990,28 @@ object TierB {
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
              |WHERE o_totalprice >= 100000 AND o_orderstatus = 'F'
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 30""".stripMargin)),
+
+    // span_within: the little-span-side view of span_containing — docs
+    // where a "value" occurrence sits inside a "key ... row" span.
+    Q("a140_es_json_span_within",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"span_within": {
+          |   "big": {"span_near": {"clauses": [
+          |     {"span_term": {"text": "key"}}, {"span_term": {"text": "row"}}],
+          |     "slop": 3, "in_order": true}},
+          |   "little": {"span_term": {"text": "value"}}}},
+          | "sort": ["doc_id"], "size": 2000}""".stripMargin)
+        .select(col("doc_id")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), pos AS (
+             |  SELECT doc_id, unnest(w) AS term, unnest(range(1, len(w) + 1)) AS p
+             |  FROM toks)
+             |SELECT DISTINCT a.doc_id
+             |FROM pos a JOIN pos b ON a.doc_id = b.doc_id JOIN pos c ON a.doc_id = c.doc_id
+             |WHERE a.term = 'key' AND b.term = 'row' AND b.p > a.p AND b.p - a.p - 1 <= 3
+             |  AND c.term = 'value' AND c.p >= a.p AND c.p <= b.p
+             |ORDER BY a.doc_id LIMIT 2000""".stripMargin)),
   )
 }

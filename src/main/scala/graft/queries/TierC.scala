@@ -1755,5 +1755,26 @@ object TierC {
              |FROM fp8 a JOIN fp8 b ON a.h = b.h AND a.doc_id < b.doc_id
              |GROUP BY doc_a, doc_b HAVING count(*) >= 2
              |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin)),
+
+    // Winnowing (Schleimer 2003): window-min fingerprints with the
+    // guarantee c57's mod-p sampling lacks — every shared run of
+    // ≥ w+n−1 tokens shares a fingerprint. All per-doc work is narrow
+    // HOFs; only distinct fingerprints reach the shuffle.
+    Q("c58_winnowing",
+      (s, d) => Dedup.winnowingPairs(Tables.documents(s, d), col("doc_id"),
+        col("text"), n = 5, w = 4, minShared = 3),
+      Some(s"""WITH $toksCte,
+             |hs AS (SELECT doc_id,
+             |         list_transform(generate_series(1, len(w)-4),
+             |           i -> ${Hashing.sqlMd5Long60("w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]")}) AS h
+             |       FROM toks WHERE len(w) >= 8),
+             |fp AS (SELECT DISTINCT doc_id,
+             |         unnest(list_transform(generate_series(1, len(h)-3),
+             |           i -> list_min(h[i:i+3]))) AS f
+             |       FROM hs)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+             |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+             |GROUP BY doc_a, doc_b HAVING count(*) >= 3
+             |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin)),
   )
 }

@@ -832,6 +832,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Seq((1L, 2L)), "only the overlapping pair; selection keyed on content")
   }
 
+  test("winnowing: shared run >= w+n-1 tokens GUARANTEES a shared fingerprint") {
+    import sp.implicits._
+    // n=3, w=2: guarantee threshold is a 4-token shared run. Docs 1/2
+    // share exactly 4 tokens ("p q r s") embedded in different contexts —
+    // mod-p sampling could miss it; winnowing cannot.
+    val docs = Seq(
+      (1L, "a b c p q r s d e f"),
+      (2L, "u v w p q r s x y z"),
+      (3L, "totally different words with no overlap at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.winnowingPairs(docs, col("doc_id"), col("text"),
+      n = 3, w = 2, minShared = 1)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "winnowing pair join must be keyed on fingerprints, not all-pairs")
+  }
+
   test("sourceOverlap: shared 3-grams only, exact Jaccard on distinct sets") {
     import sp.implicits._
     val docs = Seq((1L, "a b c d", "s1"), (2L, "a b c", "s2"), (3L, "x y z", "s3"))
