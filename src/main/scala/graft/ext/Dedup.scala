@@ -235,6 +235,28 @@ object Dedup {
     df.join(dupIds, idCol === col("_dup_id"), "left_anti")
   }
 
+  /** SOFT dedup: keep every doc but weight it 1/|cluster|, so each
+    * near-duplicate cluster contributes one unit of sampling mass to the
+    * training mixture (the reweighting alternative to removal — upstream
+    * of a weighted sampler like [[graft.ext.Corpus.temperatureMixture]]).
+    * Singletons keep weight 1 and their own id as cluster. Scale shape:
+    * the cluster table from [[connectedComponents]] covers only
+    * edge-touched docs (the duplicates), typically a small fraction of
+    * the corpus, so the weight attach is a join on id against a much
+    * smaller side — the corpus itself never shuffles (left join on the
+    * id key, broadcast when the duplicate set is small). */
+  def softDedupWeights(df: DataFrame, idCol: Column, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val sizes = cc.groupBy(col("cluster")).agg(count(lit(1)).as("_csize"))
+    val weights = cc.join(sizes, "cluster")
+      .select(col("id").as("_w_id"), col("cluster").as("_w_cluster"), col("_csize"))
+    df.join(weights, idCol === col("_w_id"), "left")
+      .select(idCol.as("doc_id"),
+        coalesce(col("_w_cluster"), idCol).as("cluster"),
+        round(lit(1.0) / coalesce(col("_csize"), lit(1L)), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
   /** Scalable n-gram Jaccard: candidate pairs from RARE shared shingles
     * (document frequency ≤ maxDf) + EXACT verify by array intersection on
     * candidates only. A shingle shared by k docs contributes k² rows to the

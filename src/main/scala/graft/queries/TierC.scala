@@ -1776,5 +1776,46 @@ object TierC {
              |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
              |GROUP BY doc_a, doc_b HAVING count(*) >= 3
              |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin)),
+
+    // Soft dedup: weight docs 1/|cluster| instead of dropping them — each
+    // near-dup cluster contributes one unit of sampling mass. Shares the
+    // memoized LSH pair pipeline with c24/c02; corpus never shuffles.
+    Q("c59_soft_dedup_weights",
+      (s, d) => Dedup.softDedupWeights(Tables.documents(s, d), col("doc_id"),
+        lshPairs(s, d)),
+      Some(
+        s"""WITH RECURSIVE $toksCte,
+           |$gramsCte,
+           |$sigCte,
+           |$bandsCte,
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y ON x.j = y.j AND x.band = y.band AND x.doc_id < y.doc_id
+           |),
+           |sizes AS (SELECT doc_id, len(grams) AS n FROM grams),
+           |inter AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+           |  FROM cand c JOIN gx a ON a.doc_id = c.doc_a JOIN gx b ON b.doc_id = c.doc_b AND b.g = a.g
+           |  GROUP BY c.doc_a, c.doc_b
+           |),
+           |pairs AS (
+           |  SELECT doc_a, doc_b FROM inter
+           |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+           |  WHERE round(inter*1.0/(sa.n + sb.n - inter), 6) >= 0.5
+           |),
+           |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |      UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT src AS id, src AS r FROM e
+           |  UNION
+           |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+           |),
+           |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+           |cs AS (SELECT cluster, count(*) AS k FROM cc GROUP BY cluster)
+           |SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster,
+           |       round(CAST(1.0 AS DOUBLE) / COALESCE(cs.k, 1), 6) AS weight
+           |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+           |               LEFT JOIN cs ON cs.cluster = cc.cluster
+           |ORDER BY d.doc_id""".stripMargin)),
   )
 }

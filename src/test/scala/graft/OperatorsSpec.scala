@@ -850,6 +850,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       "winnowing pair join must be keyed on fingerprints, not all-pairs")
   }
 
+  test("softDedupWeights: 1/|cluster| mass, singletons keep weight 1") {
+    import sp.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    // chain 1~2~3 is ONE cluster of 3 (pair-level would miss 1~3)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.softDedupWeights(docs, col("doc_id"), pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 1L, 0.333333), (2L, 1L, 0.333333),
+      (3L, 1L, 0.333333), (4L, 4L, 1.0)))
+    // total mass = #clusters: 1 unit for {1,2,3} (±rounding), 1 for {4}
+    assert(math.abs(out.map(_._3).sum - 2.0) < 1e-5)
+  }
+
   test("sourceOverlap: shared 3-grams only, exact Jaccard on distinct sets") {
     import sp.implicits._
     val docs = Seq((1L, "a b c d", "s1"), (2L, "a b c", "s2"), (3L, "x y z", "s3"))
