@@ -794,6 +794,55 @@ object EsQueryJson {
       .orderBy("_mget_idx")
   }
 
+  /** ES `_delete_by_query`: the index minus every doc matching the body's
+    * query — the relational anti-filter over the same predicate translator
+    * [[search]] uses, so any filter-context query works. Docs where the
+    * predicate is NULL (missing fields) do not match and are KEPT, the ES
+    * three-valued-match behavior (`!coalesce(p, false)`, not SQL's
+    * null-dropping NOT). Version conflicts are the snapshot layer's job
+    * (BucketedIndex versioned publishes), not the plan's. */
+  def deleteByQuery(df: DataFrame, bodyJson: String): DataFrame = {
+    val body = parse(bodyJson)
+    val q = Option(body.get("query")).getOrElse(
+      throw new IllegalArgumentException("_delete_by_query needs a query"))
+    df.filter(!coalesce(predicate(q), lit(false)))
+  }
+
+  /** ES `_update_by_query` with a painless-subset script: docs matching
+    * the body's query get `ctx._source.<field> = <arithmetic over
+    * ctx._source / doc refs>`; everything else passes through unchanged.
+    * The assignment compiles to one conditional column (codegen'd, no
+    * interpreter); the target keeps its original type when it already
+    * exists. A scriptless body degenerates to the identity (ES uses that
+    * form to bump versions — no relational effect). */
+  def updateByQuery(df: DataFrame, bodyJson: String): DataFrame = {
+    val body = parse(bodyJson)
+    val matches = Option(body.get("query"))
+      .map(q => coalesce(predicate(q), lit(false))).getOrElse(lit(true))
+    Option(body.get("script")) match {
+      case None => df
+      case Some(sNode) =>
+        val raw = (if (sNode.isObject) sNode.get("source") else sNode).asText()
+        val asn = "ctx\\._source\\.([A-Za-z0-9_]+)\\s*=\\s*(.+)".r
+        raw match {
+          case asn(target, rhs) =>
+            val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r.replaceAllIn(
+              "ctx\\._source\\.([A-Za-z0-9_.]+)".r.replaceAllIn(rhs, m => m.group(1)),
+              m => m.group(1))
+            require(bound.matches("[A-Za-z0-9_.+\\-*/() ]+"),
+              s"unsupported update script rhs after binding: $bound")
+            val value =
+              if (df.columns.contains(target)) expr(bound).cast(df.schema(target).dataType)
+              else expr(bound)
+            if (df.columns.contains(target))
+              df.withColumn(target, when(matches, value).otherwise(col(target)))
+            else df.withColumn(target, when(matches, value))
+          case _ => throw new IllegalArgumentException(
+            s"update script must be 'ctx._source.<field> = <expr>', got: $raw")
+        }
+    }
+  }
+
   /** ES `_search/template`: inline mustache-subset rendering — every
     * `{{name}}` placeholder in `source` is replaced by the matching
     * `params` value (numbers/booleans verbatim, strings raw — the

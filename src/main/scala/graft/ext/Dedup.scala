@@ -145,22 +145,18 @@ object Dedup {
     * `w`-hash window. The guarantee mod-p sampling lacks: any shared run
     * of ≥ w+n−1 tokens contributes at least one shared fingerprint, at
     * expected density 2/(w+1) of the grams. Scale shape mirrors
-    * [[modpFingerprintPairs]]: the gram hashing and window minima are
-    * per-doc HOFs inside codegen (no explode of the full gram stream —
-    * the O(m·w) comparisons stay narrow), only the ~2m/(w+1) DISTINCT
-    * fingerprints reach the one shuffle, and the pair join fans out
-    * solely on shared fingerprint values. */
+    * [[modpFingerprintPairs]]: gram hashing + window minima run in ONE
+    * compiled kernel pass per doc ([[graft.functions.TextKernels
+    * .WinnowKernel]] — positional grams, no gram strings materialized,
+    * no shuffle), only the ~2m/(w+1) distinct fingerprints explode into
+    * the one shuffle, and the pair join fans out solely on shared
+    * fingerprint values. */
   def winnowingPairs(df: DataFrame, idCol: Column, text: Column,
                      n: Int = 5, w: Int = 4, minShared: Int = 2): DataFrame = {
-    val hashes = transform(graft.functions.TextKernels.wordNgrams(text, n),
-      g => Hashing.md5Long60(g))
-    val fps = array_distinct(transform(
-      sequence(lit(1), size(col("_wh")) - w + 1),
-      i => array_min(slice(col("_wh"), i, lit(w)))))
-    val fp = df.withColumn("_wh", hashes)
-      .filter(size(col("_wh")) >= w)
-      .select(idCol.as("doc_id"), explode(fps).as("h"))
-      .distinct()
+    // the kernel emits per-doc DISTINCT fingerprints, so (doc_id, h) rows
+    // are distinct by construction — no dedup shuffle before the join
+    val fp = df.select(idCol.as("doc_id"),
+      explode(graft.functions.TextKernels.winnowFingerprints(text, n, w)).as("h"))
     fp.as("a").join(fp.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -62,6 +62,43 @@ object TextKernels {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    * 60-bit hashes of ALL POSITIONAL word n-grams (multiplicity kept —
+    * unlike [[WordNgramsKernel]]'s distinct set, window selection is
+    * positional), then the distinct minima of every `w`-hash window, in
+    * one compiled pass with no gram strings leaving the kernel. */
+  case class WinnowKernel(child: Expression, n: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      val m = toks.length - n + 1
+      if (m < w) return new GenericArrayData(Array.empty[Long])
+      val hs = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        hs(i) = md5Hash60(sb.toString)
+        i += 1
+      }
+      val out = new java.util.LinkedHashSet[java.lang.Long]()
+      i = 0
+      while (i + w <= m) {
+        var mn = hs(i); var j = i + 1
+        while (j < i + w) { if (hs(j) < mn) mn = hs(j); j += 1 }
+        out.add(mn)
+        i += 1
+      }
+      val arr = new Array[Long](out.size)
+      val it = out.iterator(); var j = 0
+      while (it.hasNext) { arr(j) = it.next(); j += 1 }
+      new GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** 60-bit md5 hash of every token (multiplicity kept) — feeds SimHash. */
   case class TokenHashes60(child: Expression)
       extends UnaryExpression with CodegenFallback {
@@ -327,6 +364,8 @@ object TextKernels {
   def bigramFreqs(text: Column, phrases: Seq[String]): Column =
     column(BigramFreqsKernel(expression(text), phrases))
   def wordNgrams(text: Column, n: Int): Column = column(WordNgramsKernel(expression(text), n))
+  def winnowFingerprints(text: Column, n: Int, w: Int): Column =
+    column(WinnowKernel(expression(text), n, w))
   def repetitionStats(text: Column): Column = column(RepetitionStatsKernel(expression(text)))
   def tokenHashes60(text: Column): Column = column(TokenHashes60(expression(text)))
   def cellsToMap(cells: Column): Column = column(CellsToMap(expression(cells)))

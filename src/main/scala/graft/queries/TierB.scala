@@ -3013,5 +3013,33 @@ object TierB {
              |WHERE a.term = 'key' AND b.term = 'row' AND b.p > a.p AND b.p - a.p - 1 <= 3
              |  AND c.term = 'value' AND c.p >= a.p AND c.p <= b.p
              |ORDER BY a.doc_id LIMIT 2000""".stripMargin)),
+
+    // _delete_by_query: anti-filter over the search predicate translator;
+    // per-priority survivor counts keep the oracle frame bounded.
+    Q("a141_es_json_delete_by_query",
+      (s, d) => graft.dsl.EsQueryJson.deleteByQuery(ord(s, d),
+        """{"query": {"bool": {
+          |  "must": [{"term": {"o_orderstatus": "F"}},
+          |           {"range": {"o_totalprice": {"gte": 150000}}}]}}}""".stripMargin)
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("remaining"))
+        .orderBy("pri"),
+      Some("""SELECT o_orderpriority AS pri, count(*) AS remaining FROM orders
+             |WHERE NOT (o_orderstatus = 'F' AND o_totalprice >= 150000)
+             |GROUP BY pri ORDER BY pri""".stripMargin)),
+
+    // _update_by_query: painless assignment applied to matching docs only,
+    // one codegen'd conditional column — non-matching rows pass through.
+    Q("a142_es_json_update_by_query",
+      (s, d) => graft.dsl.EsQueryJson.updateByQuery(ord(s, d),
+        """{"query": {"term": {"o_orderstatus": "O"}},
+          | "script": {"source": "ctx._source.o_totalprice = ctx._source.o_totalprice * 1.1"}}""".stripMargin)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("o_totalprice"))
+        .orderBy("o_orderkey")
+        .limit(200),
+      Some("""SELECT o_orderkey,
+             |       round(CASE WHEN o_orderstatus = 'O'
+             |                  THEN o_totalprice * 1.1 ELSE o_totalprice END, 4) AS o_totalprice
+             |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin)),
   )
 }

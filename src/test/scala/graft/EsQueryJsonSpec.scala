@@ -171,6 +171,25 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._1).distinct.size == got.size) // one hit per value
   }
 
+  test("delete_by_query keeps NULL-predicate docs; update_by_query touches matches only") {
+    val sp2 = spark
+    import sp2.implicits._
+    val df = Seq((1L, Some("a"), 10.0), (2L, None, 20.0), (3L, Some("b"), 30.0))
+      .toDF("id", "tag", "price")
+    // ES match semantics: doc 2's NULL tag does not match term(tag=a) → KEPT
+    val kept = EsQueryJson.deleteByQuery(df, """{"query": {"term": {"tag": "a"}}}""")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    val upd = EsQueryJson.updateByQuery(df,
+      """{"query": {"range": {"price": {"gte": 20}}},
+        | "script": {"source": "ctx._source.price = ctx._source.price * 2"}}""".stripMargin)
+      .select("id", "price").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(upd == Map(1L -> 10.0, 2L -> 40.0, 3L -> 60.0))
+    // scriptless body = identity (ES version-bump form)
+    assert(EsQueryJson.updateByQuery(df, """{"query": {"match_all": {}}}""")
+      .collect().length == 3)
+  }
+
   test("post_filter narrows hits but not aggregations (faceted navigation)") {
     val body =
       """{"query": {"range": {"o_totalprice": {"gte": 100000}}},
