@@ -268,6 +268,14 @@ object Scale {
       graft.ext.TextAnalysis.bigramPerplexity(docs50k, col("doc_id"), col("text"))
         .write.mode("overwrite").format("noop").save())
 
+    // winnowing: one compiled kernel pass per doc; only the ~2m/(w+1)
+    // distinct fingerprints reach the shuffle — the pair join must stay
+    // keyed on fingerprints even when every doc shares boilerplate runs
+    t("winnowing-50k")(
+      Dedup.winnowingPairs(docs50k, col("doc_id"), col("text"),
+        n = 5, w = 4, minShared = 3)
+        .write.mode("overwrite").format("noop").save())
+
     spark.stop()
   }
 }
