@@ -744,20 +744,61 @@ object EsQueryJson {
     val size = Option(body.get("size")).map(_.asInt())
     val offs = if (from > 0) sorted.offset(from) else sorted
     val limited = size.map(offs.limit).getOrElse(offs)
+    // `inner_hits` on a top-level `nested` query: per returned PARENT hit,
+    // the matching child docs land in an `_inner` struct column — one row
+    // per inner hit (ES returns a per-hit child list; the exploded rows
+    // are the relational equivalent). Children sort by the inner_hits
+    // `sort` entries (give a unique tie-break member for a total order)
+    // and cap at `size` (ES default 3). All per-parent work is narrow
+    // HOFs AFTER pagination, so the fan-out never touches the parent
+    // sort/from/size — and a parent that passed the nested predicate has
+    // ≥1 matching child, so the explode drops no hits.
+    val withInner = Option(body.get("query")).map(single).collect {
+      case ("nested", nb) if nb.has("inner_hits") => nb
+    } match {
+      case Some(nb) =>
+        val path = nb.get("path").asText()
+        val ih = nb.get("inner_hits")
+        val ihSize = Option(ih.get("size")).map(_.asInt()).getOrElse(3)
+        def member(name: String) =
+          if (name.startsWith(path + ".")) name.stripPrefix(path + ".") else name
+        val matched = filter(field(path), x =>
+          predicateWith(nb.get("query"), name => x.getField(member(name))))
+        val ordered = Option(ih.get("sort")) match {
+          case Some(sn) =>
+            val entries = sn.elements().asScala.toSeq.map { e =>
+              if (e.isTextual) (member(e.asText()), "asc")
+              else {
+                val (f, sp) = single(e)
+                (member(f), Option(sp.get("order")).map(_.asText()).getOrElse("asc"))
+              }
+            }
+            val cmp = (a: Column, b: Column) =>
+              entries.map { case (m, ord) =>
+                val (x, y) = if (ord == "desc") (b.getField(m), a.getField(m))
+                             else (a.getField(m), b.getField(m))
+                when(x < y, lit(-1)).when(x > y, lit(1)).otherwise(lit(0))
+              }.reduceRight((c, acc) => when(c =!= 0, c).otherwise(acc))
+            array_sort(matched, cmp)
+          case None => matched
+        }
+        limited.withColumn("_inner", explode(slice(ordered, 1, ihSize)))
+      case None => limited
+    }
     // `_source` filtering: project the hit down to the named fields (plus
     // any engine-computed columns already requested by the body) — the
     // column-pruning hint Catalyst pushes all the way into the scan
     val projected = Option(body.get("_source")) match {
       case Some(src) if src.isArray =>
         val wanted = src.elements().asScala.map(_.asText()).toSeq
-        val computed = Seq("_score", "matched_queries", "_highlight")
-          .filter(limited.columns.contains)
-        limited.select((wanted.map(f => field(f).as(f)) ++ computed.map(col)): _*)
+        val computed = Seq("_score", "matched_queries", "_highlight", "_inner")
+          .filter(withInner.columns.contains)
+        withInner.select((wanted.map(f => field(f).as(f)) ++ computed.map(col)): _*)
       case Some(other) =>
         require(other.isBoolean && other.asBoolean(),
           "_source supports an include list or true")
-        limited
-      case None => limited
+        withInner
+      case None => withInner
     }
     // script-sort keys are sort machinery, not part of the hit
     scriptSorts.map(_._1).foldLeft(projected)(_ drop _)

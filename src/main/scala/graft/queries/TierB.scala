@@ -3041,5 +3041,40 @@ object TierB {
              |       round(CASE WHEN o_orderstatus = 'O'
              |                  THEN o_totalprice * 1.1 ELSE o_totalprice END, 4) AS o_totalprice
              |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin)),
+
+    // nested + inner_hits: per parent hit, the matching CHILD docs
+    // (sorted within the parent, size-capped) explode into rows — the
+    // fan-out happens after parent pagination, all per-parent work in
+    // narrow HOFs. l_linenumber tie-breaks the child sort to a total
+    // order so both engines rank ties identically.
+    Q("a143_es_json_inner_hits",
+      (s, d) => {
+        val items = li(s, d).groupBy(col("l_orderkey"))
+          .agg(collect_list(struct(col("l_quantity"), col("l_discount"),
+            col("l_linenumber"))).as("items"))
+        val joined = ord(s, d).select("o_orderkey", "o_orderstatus")
+          .join(items, col("o_orderkey") === col("l_orderkey"))
+        graft.dsl.EsQueryJson.search(joined,
+          """{"query": {"nested": {"path": "items",
+            |  "query": {"range": {"items.l_quantity": {"gte": 48}}},
+            |  "inner_hits": {"size": 2, "sort": [
+            |    {"items.l_quantity": {"order": "desc"}}, "items.l_linenumber"]}}},
+            | "sort": ["o_orderkey"], "size": 300}""".stripMargin)
+          .select(col("o_orderkey"),
+            col("_inner.l_quantity").as("iq"),
+            col("_inner.l_linenumber").as("iln"))
+      },
+      Some("""WITH m AS (
+             |  SELECT l_orderkey, l_quantity, l_linenumber,
+             |         row_number() OVER (PARTITION BY l_orderkey
+             |                            ORDER BY l_quantity DESC, l_linenumber) AS rn
+             |  FROM lineitem WHERE l_quantity >= 48),
+             |p AS (SELECT DISTINCT l_orderkey FROM m),
+             |top AS (SELECT o_orderkey FROM orders JOIN p ON o_orderkey = l_orderkey
+             |        ORDER BY o_orderkey LIMIT 300)
+             |SELECT t.o_orderkey, m.l_quantity AS iq, m.l_linenumber AS iln
+             |FROM top t JOIN m ON m.l_orderkey = t.o_orderkey
+             |WHERE m.rn <= 2
+             |ORDER BY t.o_orderkey, iln""".stripMargin)),
   )
 }

@@ -171,6 +171,29 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._1).distinct.size == got.size) // one hit per value
   }
 
+  test("inner_hits: matched children only, sorted within parent, size-capped") {
+    val sp2 = spark
+    import sp2.implicits._
+    val df = Seq(
+      (1L, Seq((5.0, 1L), (9.0, 2L), (9.0, 3L), (2.0, 4L))),
+      (2L, Seq((1.0, 1L))),
+      (3L, Seq((7.0, 1L))))
+      .toDF("pid", "kids")
+      .select(col("pid"), col("kids").cast(
+        "array<struct<score:double,kid:bigint>>"))
+    val got = EsQueryJson.search(df,
+      """{"query": {"nested": {"path": "kids",
+        |  "query": {"range": {"kids.score": {"gte": 5}}},
+        |  "inner_hits": {"size": 2, "sort": [
+        |    {"kids.score": {"order": "desc"}}, "kids.kid"]}}},
+        | "sort": ["pid"]}""".stripMargin)
+      .select(col("pid"), col("_inner.score"), col("_inner.kid"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    // parent 2 has no matching child -> no hit; parent 1's ties break on kid;
+    // the 5.0 child is cut by size=2
+    assert(got == Seq((1L, 9.0, 2L), (1L, 9.0, 3L), (3L, 7.0, 1L)))
+  }
+
   test("delete_by_query keeps NULL-predicate docs; update_by_query touches matches only") {
     val sp2 = spark
     import sp2.implicits._
