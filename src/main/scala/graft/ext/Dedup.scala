@@ -506,4 +506,49 @@ object Dedup {
   private def labelSum(l: DataFrame): java.math.BigDecimal =
     l.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
       .collect()(0).getDecimal(0)
+
+  /** CCNet-style duplicate-SEGMENT removal (Wenzek et al. 2020 §3.1 —
+    * paragraph-hash dedup, the step CommonCrawl pipelines run before any
+    * doc-level near-dup): the corpus is cut into fixed-`segTokens`
+    * non-overlapping token segments (the deterministic stand-in for
+    * newline paragraphs), each segment is 60-bit-hashed, and every
+    * occurrence of a corpus-repeated segment except the FIRST (minimum
+    * `(doc_id, seg_idx)`) is dropped; surviving segments reassemble into
+    * `text_dedup`. Returns `(doc_id, n_segs, kept_segs, text_dedup)`.
+    *
+    * Scale shape: segmentation is one narrow HOF pass (no per-token
+    * explode — segments explode, corpus/segTokens rows); the keeper
+    * choice is ONE hash agg keyed by segment hash whose output joins back
+    * on the same key (exchange reuse, no second shuffle of the agg side),
+    * and the reassembly is one doc-keyed hash agg with the in-row sort
+    * trick from [[scrubDuplicateSpans]]. No pairwise work at any
+    * duplication rate — 100 TB-sane. */
+  def segmentDedup(df: DataFrame, idCol: Column, text: Column,
+                   segTokens: Int = 64): DataFrame = {
+    val toks = df.select(idCol.cast("long").as("doc_id"),
+        graft.ext.TextAnalysis.tokens(text).as("w"))
+      .filter(size(col("w")) > 0)
+    val segs = toks.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("w")) - 1) / lit(segTokens.toDouble)).cast("int")),
+          i => array_join(slice(col("w"), i * segTokens + 1, segTokens), " ")))
+          .as(Seq("seg_idx", "seg")))
+    // packed occurrence key: deterministic "first occurrence" without a
+    // struct-min (both engines order by the same scalar)
+    val occ = segs.select(col("doc_id"), col("seg_idx"), col("seg"),
+      Hashing.md5Long60(col("seg")).as("h"),
+      (col("doc_id") * 1000000L + col("seg_idx")).as("k"))
+    val keepers = occ.groupBy("h")
+      .agg(min("k").as("_keep_k"), count(lit(1)).as("_occ"))
+    occ.join(keepers, "h")
+      .withColumn("_keep", col("_occ") === 1 || col("k") === col("_keep_k"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("kept_segs"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg")), " ").as("text_dedup"))
+  }
 }
