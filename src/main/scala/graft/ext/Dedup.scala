@@ -525,23 +525,22 @@ object Dedup {
     * duplication rate — 100 TB-sane. */
   def segmentDedup(df: DataFrame, idCol: Column, text: Column,
                    segTokens: Int = 64): DataFrame = {
-    val toks = df.select(idCol.cast("long").as("doc_id"),
+    val toks = df.select(idCol.as("doc_id"),
         graft.ext.TextAnalysis.tokens(text).as("w"))
       .filter(size(col("w")) > 0)
     val segs = toks.select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0), floor((size(col("w")) - 1) / lit(segTokens.toDouble)).cast("int")),
-          i => array_join(slice(col("w"), i * segTokens + 1, segTokens), " ")))
+          i => array_join(slice(col("w"), i * lit(segTokens) + lit(1), lit(segTokens)), " ")))
           .as(Seq("seg_idx", "seg")))
-    // packed occurrence key: deterministic "first occurrence" without a
-    // struct-min (both engines order by the same scalar)
+    // first occurrence = min (doc_id, seg_idx) — a struct-min, so it is
+    // injective for every id type (no packed-scalar overflow/collision)
     val occ = segs.select(col("doc_id"), col("seg_idx"), col("seg"),
       Hashing.md5Long60(col("seg")).as("h"),
-      (col("doc_id") * 1000000L + col("seg_idx")).as("k"))
-    val keepers = occ.groupBy("h")
-      .agg(min("k").as("_keep_k"), count(lit(1)).as("_occ"))
+      struct(col("doc_id"), col("seg_idx")).as("k"))
+    val keepers = occ.groupBy("h").agg(min("k").as("_keep_k"))
     occ.join(keepers, "h")
-      .withColumn("_keep", col("_occ") === 1 || col("k") === col("_keep_k"))
+      .withColumn("_keep", col("k") === col("_keep_k"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segs"),

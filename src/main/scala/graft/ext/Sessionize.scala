@@ -17,8 +17,12 @@ object Sessionize {
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_sess",
+        // second-truncated whole-second gap == DuckDB date_diff('second',…)
+        // boundary count; works for TIMESTAMP and TIMESTAMP_NTZ alike
+        // (a plain cast("long") breaks on NTZ inputs)
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > gapMinutes * 60L, 1)
+          expr("timestampdiff(SECOND, date_trunc('second', prev_ts), date_trunc('second', ts))")
+            > gapMinutes * 60L, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_sess")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

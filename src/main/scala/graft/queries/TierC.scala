@@ -1817,5 +1817,31 @@ object TierC {
            |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
            |               LEFT JOIN cs ON cs.cluster = cc.cluster
            |ORDER BY d.doc_id""".stripMargin)),
+
+    // CCNet-style duplicate-SEGMENT removal (Wenzek et al. 2020 §3.1):
+    // fixed-8-token segments, keep only the corpus-FIRST occurrence
+    // (min (doc_id, seg_idx)) of each repeated segment, reassemble.
+    Q("c60_segment_dedup",
+      (s, d) => Dedup.segmentDedup(Tables.documents(s, d), col("doc_id"),
+        col("text"), segTokens = 8).orderBy("doc_id"),
+      Some(
+        s"""WITH $toksCte,
+           |segs AS (
+           |  SELECT doc_id, i AS seg_idx,
+           |         list_aggregate(w[i*8+1 : i*8+8], 'string_agg', ' ') AS seg
+           |  FROM (SELECT doc_id, w,
+           |               unnest(generate_series(0, CAST(floor((len(w)-1)/8.0) AS INT))) AS i
+           |        FROM toks WHERE len(w) > 0)),
+           |k AS (
+           |  SELECT doc_id, seg_idx, seg,
+           |         row_number() OVER (
+           |           PARTITION BY ${Hashing.sqlMd5Long60("seg")}
+           |           ORDER BY doc_id, seg_idx) AS rn
+           |  FROM segs)
+           |SELECT doc_id, count(*) AS n_segs,
+           |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
+           |       COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')
+           |         AS text_dedup
+           |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

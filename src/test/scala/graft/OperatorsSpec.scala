@@ -576,6 +576,32 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.contains(3L))
   }
 
+  test("segment dedup keeps first (doc_id, seg_idx) occurrence, drops fully-dup docs") {
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // segs [a b], [c d] — both first occurrences
+      (2L, "a b x y"),   // [a b] repeated (keeper is (1,0)) -> dropped; [x y] kept
+      (3L, "a b c d"))   // both segs repeated -> kept_segs 0, text_dedup ""
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, col("doc_id"), col("text"), segTokens = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 2L, "a b c d")))
+    assert(out(2L) == ((2L, 1L, "x y")))
+    assert(out(3L) == ((2L, 0L, "")))
+  }
+
+  test("segment dedup: non-numeric ids order lexicographically, partial tail segment kept") {
+    import sp.implicits._
+    val docs = Seq(
+      ("zeta", "p q r"),   // segs [p q], [r] — [p q] repeated, keeper is "alpha" < "zeta"
+      ("alpha", "p q"))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, col("doc_id"), col("text"), segTokens = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out("alpha") == ((1L, 1L, "p q")))
+    assert(out("zeta") == ((2L, 1L, "r"))) // tail segment survives, dup segment dropped
+  }
+
   test("semDedup: within-cluster dedup keeps the min-id member of each near-set") {
     val sp = spark
     import sp.implicits._
