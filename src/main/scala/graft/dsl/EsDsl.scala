@@ -280,6 +280,49 @@ object EsDsl {
         concat_ws(",", sort_array(collect_list(col("pos")))).as("positions"))
       .orderBy("term")
 
+  /** ES `_analyze` API over a table column: per-doc token stream for the
+    * named analyzer with 0-based `position` and the ES token `type`
+    * (`<NUM>`/`<ALPHANUM>` for standard, `word` otherwise — offsets are
+    * not tracked; positions/types are what the query surface consumes).
+    * Fully narrow: tokenize + posexplode inside codegen, no shuffle. */
+  def analyzeApi(docs: DataFrame, idCol: Column, text: Column,
+                 analyzer: String = "standard"): DataFrame = {
+    val toks = analyzer match {
+      case "standard"   => graft.ext.TextAnalysis.tokens(text)
+      case "whitespace" => filter(split(text, "\\s+"), t => t =!= "")
+      case "keyword"    => array(text)
+      case "english"    => graft.functions.TextKernels.englishTokens(text)
+      case other => throw new IllegalArgumentException(s"_analyze: unsupported analyzer $other")
+    }
+    val out = docs.select(idCol.as("doc_id"),
+      posexplode(toks).as(Seq("position", "token")))
+    val ttype =
+      if (analyzer == "standard")
+        when(col("token").rlike("^[0-9]+$"), "<NUM>").otherwise("<ALPHANUM>")
+      else lit("word")
+    out.withColumn("token_type", ttype)
+  }
+
+  /** ES `terminate_after`: each shard stops collecting after `n` matching
+    * docs. Shards are the deterministic hash slices of the `slice` API
+    * (`md5·60(id) mod shards`); "first n per shard" is the id order within
+    * the slice. Per-shard `terminated_early` reports whether the cap hit.
+    * Scale shape: one shuffle on the shard key; the rank window and the
+    * per-shard count reuse that partitioning (no second exchange). */
+  def terminateAfter(docs: DataFrame, idCol: Column, n: Int,
+                     shards: Int): DataFrame = {
+    val sharded = docs.withColumn("_shard",
+      pmod(graft.functions.Hashing.md5Long60(idCol.cast("string")), lit(shards.toLong)))
+    val w = Window.partitionBy("_shard").orderBy(idCol)
+    sharded
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("terminated_early",
+        (count(lit(1)).over(Window.partitionBy("_shard")) > n).cast("boolean"))
+      .filter(col("_rk") <= n)
+      .withColumn("shard", col("_shard").cast("int"))
+      .drop("_shard", "_rk")
+  }
+
   // ---- search body ----------------------------------------------------
   /** B8 `from`/`size` + `sort` — deterministic pagination (caller supplies
     * a total order, usually with an id tiebreak). */

@@ -508,7 +508,8 @@ object EsQueryJson {
       Suggest.termSuggest(df, idCol, field(t.get("field").asText()),
         spec.get("text").asText(),
         size = Option(t.get("size")).map(_.asInt()).getOrElse(5),
-        maxEdits = Option(t.get("max_edits")).map(_.asInt()).getOrElse(2))
+        maxEdits = Option(t.get("max_edits")).map(_.asInt()).getOrElse(2),
+        mode = Option(t.get("suggest_mode")).map(_.asText()).getOrElse("always"))
     } else if (spec.has("phrase")) {
       val p = spec.get("phrase")
       Suggest.phraseSuggest(df, idCol, field(p.get("field").asText()),

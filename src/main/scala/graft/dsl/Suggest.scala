@@ -41,16 +41,29 @@ object Suggest {
     * Levenshtein evaluations (|len(term) − len(token)| ≤ maxEdits is a
     * necessary condition for distance ≤ maxEdits). */
   def termSuggest(df: DataFrame, idCol: Column, field: Column, text: String,
-                  size: Int = 5, maxEdits: Int = 2): DataFrame = {
+                  size: Int = 5, maxEdits: Int = 2,
+                  mode: String = "always"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val inputs = analyze(text).distinct.toDF("token")
-    vocabulary(df, idCol, field)
+    // distance-0 rows ride along so the input token's own doc_freq (the
+    // `suggest_mode` gate) comes out of the SAME vocabulary pass — no
+    // second corpus aggregation; they are dropped before ranking.
+    val cands = vocabulary(df, idCol, field)
       .join(broadcast(inputs),
         abs(length(col("term")) - length(col("token"))) <= maxEdits &&
-          col("term") =!= col("token") &&
           levenshtein(col("term"), col("token")) <= maxEdits)
       .withColumn("distance", levenshtein(col("term"), col("token")))
+      .withColumn("_in_df", coalesce(
+        max(when(col("distance") === 0, col("doc_freq")))
+          .over(Window.partitionBy("token")), lit(0L)))
+    val gate = mode match {
+      case "always"  => lit(true)
+      case "missing" => col("_in_df") === 0   // only correct absent terms
+      case "popular" => col("doc_freq") > col("_in_df") // strictly more frequent
+      case other => throw new IllegalArgumentException(s"suggest_mode: $other")
+    }
+    cands.filter(col("distance") > 0 && gate)
       .withColumn("rank", row_number().over(
         Window.partitionBy("token")
           .orderBy(desc("doc_freq"), col("distance"), col("term"))))

@@ -70,6 +70,24 @@ object Corpus {
     df.filter(h < threshold)
   }
 
+  /** Deterministic train/validation/test split by id hash — the standard
+    * leakage-safe corpus split (assignment is a pure function of the id:
+    * stable under re-runs, re-partitioning, and incremental appends, and a
+    * doc can never migrate between splits as the corpus grows). Returns
+    * the per-(source, split) doc/token counts a pipeline records as its
+    * split manifest. One narrow pass + one hash agg — 100 TB-sane. */
+  def hashSplit(df: DataFrame, idCol: Column, sourceCol: Column, text: Column,
+                valPct: Int = 1, testPct: Int = 1): DataFrame = {
+    require(valPct + testPct < 100, "val+test must leave room for train")
+    val b = pmod(Hashing.md5Long60(concat(lit("split:"), idCol.cast("string"))), lit(100L))
+    val split = when(b < 100L - valPct - testPct, "train")
+      .when(b < 100L - testPct, "validation").otherwise("test")
+    df.select(sourceCol.as("source"), split.as("split"),
+        size(graft.ext.TextAnalysis.tokens(text)).as("_n"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n").cast("long")).as("n_tokens"))
+  }
+
   /** Gopher-style composite quality filter: every rule evaluated in one
     * narrow pass (the [[repetitionSignals]] kernel supplies the counters),
     * returning a verdict plus the sorted list of failed rule names — the

@@ -429,4 +429,36 @@ object Similarity {
     pqAdcSearch(enc.filter(col("cell").isin(qCells: _*)).select("vec_id", "codes"),
       codebook, query, topK)
   }
+
+  /** Embedding-space outlier detection: per-label centroid (6-dp
+    * re-synced, the c32 determinism trick), per-vector Euclidean distance
+    * to its centroid (ascending-dim HOF fold — deterministic order), then
+    * the per-label z-score of that distance. |z| > `zThreshold` flags the
+    * mislabeled/degenerate embeddings a pipeline quarantines before
+    * ANN-index builds.
+    *
+    * Scale shape: centroids are a (label, dim) hash agg (map-side partial
+    * absorbs skew) folded to #labels rows and broadcast back; the distance
+    * pass is narrow; the z-stats are one more #labels-row agg, broadcast.
+    * The corpus is scanned twice, shuffled never. */
+  def centroidOutliers(vecs: DataFrame, idCol: Column, vecCol: Column,
+                       labelCol: Column, zThreshold: Double = 2.0): DataFrame = {
+    val x = Dedup.persistOnce(vecs.select(idCol.as("vec_id"),
+      labelCol.as("label"), vecCol.cast("array<double>").as("_v")))
+    val cent = x.select(col("label"), posexplode(col("_v")).as(Seq("_dim", "_xd")))
+      .groupBy("label", "_dim").agg(round(avg("_xd"), 6).as("_c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("_dim"), col("_c")))),
+        s => s.getField("_c")).as("_cvec"))
+    val dist = x.join(broadcast(cent), "label")
+      .withColumn("dist", round(sqrt(aggregate(
+        zip_with(col("_v"), col("_cvec"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, y) => acc + y)), 6))
+    val stats = dist.groupBy("label")
+      .agg(avg("dist").as("_mu"), stddev_samp("dist").as("_sd"))
+    dist.join(broadcast(stats), "label")
+      .withColumn("z", round((col("dist") - col("_mu")) / col("_sd"), 6))
+      .select(col("vec_id"), col("label"), col("dist"), col("z"),
+        (abs(col("z")) > zThreshold).as("is_outlier"))
+  }
 }

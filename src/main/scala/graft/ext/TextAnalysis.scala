@@ -74,6 +74,27 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Text normalization — the cheap-clean pass a pipeline runs before any
+    * tokenization: typographic quotes/dashes/nbsp mapped to ASCII
+    * (single-char `translate`, no regex), C0/DEL control characters
+    * stripped, whitespace runs collapsed to one space, ends trimmed.
+    * U+000B/U+000C are stripped in the control pass BEFORE the `\s+`
+    * collapse on purpose: Java's `\s` matches them but RE2's (DuckDB's)
+    * does not, so removing them first keeps both engines identical.
+    * Entirely narrow — three codegen'd string kernels, no shuffle. */
+  def normalizeText(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val t1 = translate(text,
+      "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0", "''\"\"-- ")
+    val t2 = regexp_replace(t1,
+      "[\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F]", "")
+    val t3 = trim(regexp_replace(t2, "\\s+", " "))
+    df.select(idCol.as("doc_id"), text.as("_orig"), t3.as("text_norm"))
+      .select(col("doc_id"), col("text_norm"),
+        length(col("_orig")).as("n_chars_raw"),
+        length(col("text_norm")).as("n_chars_norm"),
+        (col("_orig") =!= col("text_norm")).as("changed"))
+  }
+
   /** Token counts: whitespace tokens vs BPE-ish regex token count. */
   def tokenCounts(df: DataFrame, idCol: Column, text: Column): DataFrame =
     df.select(

@@ -3076,5 +3076,71 @@ object TierB {
              |FROM top t JOIN m ON m.l_orderkey = t.o_orderkey
              |WHERE m.rn <= 2
              |ORDER BY t.o_orderkey, iln""".stripMargin)),
+
+    // `_analyze` API: the standard-analyzer token stream with 0-based
+    // positions and ES token types (<NUM> vs <ALPHANUM>). Narrow pass.
+    Q("a144_es_json_analyze",
+      (s, d) => EsDsl.analyzeApi(
+        Tables.documents(s, d).filter(col("doc_id") < 8),
+        col("doc_id"), col("text"), analyzer = "standard")
+        .orderBy("doc_id", "position"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents WHERE doc_id < 8)
+             |SELECT doc_id, i - 1 AS position, w[i] AS token,
+             |       CASE WHEN regexp_matches(w[i], '^[0-9]+$') THEN '<NUM>'
+             |            ELSE '<ALPHANUM>' END AS token_type
+             |FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM toks)
+             |ORDER BY doc_id, position""".stripMargin)),
+
+    // `terminate_after`: per-shard collection cap over the deterministic
+    // hash slices (shard = md5·60(id) mod shards), with the ES
+    // terminated_early flag per shard.
+    Q("a145_es_json_terminate_after",
+      (s, d) => EsDsl.terminateAfter(
+        Tables.documents(s, d).select("doc_id", "lang"),
+        col("doc_id"), n = 20, shards = 4)
+        .select("doc_id", "lang", "shard", "terminated_early")
+        .orderBy("shard", "doc_id"),
+      Some(s"""WITH s AS (
+             |  SELECT doc_id, lang,
+             |         CAST(${graft.functions.Hashing.sqlMd5Long60("CAST(doc_id AS VARCHAR)")} % 4 AS INT) AS shard
+             |  FROM documents),
+             |r AS (SELECT doc_id, lang, shard,
+             |             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rk,
+             |             count(*) OVER (PARTITION BY shard) AS cnt
+             |      FROM s)
+             |SELECT doc_id, lang, shard, cnt > 20 AS terminated_early
+             |FROM r WHERE rk <= 20 ORDER BY shard, doc_id""".stripMargin)),
+
+    // term suggester `suggest_mode: popular` — only corrections strictly
+    // more document-frequent than the input term (the did-you-mean gate
+    // for typo'd-but-present terms).
+    Q("a146_es_json_suggest_popular",
+      (s, d) => graft.dsl.EsQueryJson.suggest(Tables.documents(s, d),
+        """{"suggest": {"fix": {"text": "tabel spark",
+          |  "term": {"field": "text", "size": 3, "max_edits": 2,
+          |           "suggest_mode": "popular"}}}}""".stripMargin)
+        .orderBy("token", "rank"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), td AS (SELECT doc_id, unnest(w) AS term FROM toks),
+             |vocab AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM td GROUP BY term),
+             |inp AS (SELECT unnest(['tabel','spark']) AS token),
+             |indf AS (SELECT token, COALESCE(max(doc_freq), 0) AS in_df
+             |         FROM inp LEFT JOIN vocab ON term = token GROUP BY token),
+             |cand AS (
+             |  SELECT i.token, term, levenshtein(term, i.token) AS distance, doc_freq
+             |  FROM vocab CROSS JOIN inp i JOIN indf ON indf.token = i.token
+             |  WHERE abs(length(term) - length(i.token)) <= 2 AND term <> i.token
+             |    AND levenshtein(term, i.token) <= 2
+             |    AND doc_freq > in_df),
+             |r AS (SELECT token, term, distance, doc_freq,
+             |        row_number() OVER (PARTITION BY token
+             |          ORDER BY doc_freq DESC, distance, term) AS rank
+             |      FROM cand)
+             |SELECT token, rank, term AS suggestion, distance, doc_freq
+             |FROM r WHERE rank <= 3 ORDER BY token, rank""".stripMargin)),
   )
 }

@@ -1843,5 +1843,75 @@ object TierC {
            |       COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')
            |         AS text_dedup
            |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic train/val/test split manifest: assignment is a pure
+    // function of the doc id (stable under re-runs and corpus growth);
+    // output is the per-(source, split) doc/token counts.
+    Q("c61_hash_split",
+      (s, d) => Corpus.hashSplit(Tables.documents(s, d), col("doc_id"),
+        col("source"), col("text"), valPct = 1, testPct = 1)
+        .orderBy("source", "split"),
+      Some(s"""WITH $toksCte,
+             |b AS (
+             |  SELECT doc_id,
+             |         ${Hashing.sqlMd5Long60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bkt,
+             |         len(w) AS n
+             |  FROM toks),
+             |sp AS (
+             |  SELECT doc_id, n,
+             |         CASE WHEN bkt < 98 THEN 'train'
+             |              WHEN bkt < 99 THEN 'validation' ELSE 'test' END AS split
+             |  FROM b)
+             |SELECT source, split, count(*) AS n_docs,
+             |       CAST(sum(n) AS BIGINT) AS n_tokens
+             |FROM documents JOIN sp USING (doc_id)
+             |GROUP BY source, split ORDER BY source, split""".stripMargin)),
+
+    // Pre-tokenization text normalization: typographic chars -> ASCII,
+    // control chars stripped, whitespace runs collapsed. Narrow kernels.
+    Q("c62_normalize_text",
+      (s, d) => TextAnalysis.normalizeText(Tables.documents(s, d),
+        col("doc_id"), col("text")).orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(
+             |    regexp_replace(
+             |      translate(text, '‘’“”–— ', '''''""-- '),
+             |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |    '\s+', ' ', 'g')) AS text_norm,
+             |  length(text) AS n_chars_raw,
+             |  length(trim(regexp_replace(
+             |    regexp_replace(
+             |      translate(text, '‘’“”–— ', '''''""-- '),
+             |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |    '\s+', ' ', 'g'))) AS n_chars_norm,
+             |  text <> trim(regexp_replace(
+             |    regexp_replace(
+             |      translate(text, '‘’“”–— ', '''''""-- '),
+             |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |    '\s+', ' ', 'g')) AS changed
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Embedding outliers: per-label 6-dp centroid, Euclidean distance in
+    // ascending-dim fold order, per-label z-score, |z| > 2 flag.
+    Q("c63_embedding_outliers",
+      (s, d) => Similarity.centroidOutliers(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), col("label")).orderBy("vec_id"),
+      Some("""WITH x AS (
+             |  SELECT vec_id, label, embedding AS v FROM embeddings),
+             |e AS (
+             |  SELECT label, i AS dim, CAST(v[i] AS DOUBLE) AS xd
+             |  FROM (SELECT label, v, unnest(generate_series(1, len(v))) AS i FROM x)),
+             |c AS (SELECT label, dim, round(avg(xd), 6) AS cd FROM e GROUP BY label, dim),
+             |cv AS (SELECT label, list(cd ORDER BY dim) AS cvec FROM c GROUP BY label),
+             |dd AS (
+             |  SELECT vec_id, x.label,
+             |         round(sqrt(list_sum(list_transform(generate_series(1, len(v)),
+             |           i -> (CAST(v[i] AS DOUBLE) - cvec[i]) * (CAST(v[i] AS DOUBLE) - cvec[i])))), 6) AS dist
+             |  FROM x JOIN cv ON x.label = cv.label),
+             |st AS (SELECT label, avg(dist) AS mu, stddev(dist) AS sd FROM dd GROUP BY label)
+             |SELECT vec_id, dd.label, dist,
+             |       round((dist - mu) / sd, 6) AS z,
+             |       abs(round((dist - mu) / sd, 6)) > 2.0 AS is_outlier
+             |FROM dd JOIN st ON dd.label = st.label ORDER BY vec_id""".stripMargin)),
   )
 }

@@ -413,6 +413,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(fa.getLong(0) == 4 && fa.getLong(1) == 2 && fa.getLong(2) == 1)
   }
 
+  test("_analyze API: standard types/positions, whitespace keeps case, keyword is one token") {
+    import sp.implicits._
+    val docs = Seq((1L, "Spark 42 runs")).toDF("doc_id", "text")
+    val std = EsDsl.analyzeApi(docs, col("doc_id"), col("text"), "standard")
+      .orderBy("position").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3))).toSeq
+    assert(std == Seq((0, "spark", "<ALPHANUM>"), (1, "42", "<NUM>"), (2, "runs", "<ALPHANUM>")))
+    val ws = EsDsl.analyzeApi(docs, col("doc_id"), col("text"), "whitespace")
+      .orderBy("position").collect().map(_.getString(2)).toSeq
+    assert(ws == Seq("Spark", "42", "runs")) // no lowercasing, ES semantics
+    val kw = EsDsl.analyzeApi(docs, col("doc_id"), col("text"), "keyword").collect()
+    assert(kw.length == 1 && kw(0).getString(2) == "Spark 42 runs")
+  }
+
+  test("terminate_after caps per shard and flags only capped shards") {
+    import sp.implicits._
+    val docs = (1L to 30L).map(i => (i, s"d$i")).toDF("doc_id", "v")
+    val out = EsDsl.terminateAfter(docs, col("doc_id"), n = 3, shards = 2).collect()
+    val byShard = out.groupBy(_.getAs[Int]("shard"))
+    assert(byShard.values.forall(_.length <= 3))
+    // 30 docs over 2 shards: both shards exceed 3 -> every kept row flagged
+    assert(out.forall(_.getAs[Boolean]("terminated_early")))
+    // and with a cap nothing hits, no flag
+    val loose = EsDsl.terminateAfter(docs, col("doc_id"), n = 100, shards = 2).collect()
+    assert(loose.length == 30 && loose.forall(!_.getAs[Boolean]("terminated_early")))
+  }
+
   test("typed Dataset surface composes with the engine") {
     import sp.implicits._
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
@@ -600,6 +627,49 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(out("alpha") == ((1L, 1L, "p q")))
     assert(out("zeta") == ((2L, 1L, "r"))) // tail segment survives, dup segment dropped
+  }
+
+  test("hash split: pure function of id, exhaustive and stable under re-run") {
+    import sp.implicits._
+    val docs = (1L to 200L).map(i => (i, if (i % 2 == 0) "web" else "code", s"tok$i text"))
+      .toDF("doc_id", "source", "text")
+    val a = graft.ext.Corpus.hashSplit(docs, col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val b = graft.ext.Corpus.hashSplit(docs, col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(a == b)                                    // deterministic
+    assert(a.values.map(_._1).sum == 200L)            // every doc in exactly one split
+    assert(a.keys.map(_._2).forall(Set("train", "validation", "test")))
+    assert(a.filter(_._1._2 == "train").values.map(_._1).sum > 150L) // 98% nominal
+  }
+
+  test("normalize text: quotes/dashes/nbsp to ASCII, controls stripped, whitespace collapsed") {
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "“quoted” ‘x’\u00A0– y\u0007z\u000B w"),
+      (2L, "already clean")).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeText(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(4)))).toMap
+    assert(out(1L) == (("\"quoted\" 'x' - yz w", true)))
+    assert(out(2L) == (("already clean", false)))
+    val plan = TextAnalysis.normalizeText(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "normalization must be narrow")
+  }
+
+  test("centroid outliers: planted far vector flagged, cohesive group not") {
+    import sp.implicits._
+    // label 0: eight near-identical vectors + one far outlier
+    val rows = (1L to 8L).map(i => (i, 0, Seq(1.0f, 1.0f, 0.0f))) :+
+      (9L, 0, Seq(-40.0f, 50.0f, 12.0f))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidOutliers(df, col("vec_id"), col("embedding"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(9L))                      // the planted outlier
+    assert((1L to 8L).forall(i => !out(i)))
+    val plan = Similarity.centroidOutliers(df, col("vec_id"), col("embedding"), col("label"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "stats joins must be keyed/broadcast")
   }
 
   test("semDedup: within-cluster dedup keeps the min-id member of each near-set") {

@@ -27,6 +27,21 @@ class SuggestSpec extends AnyFunSuite with SparkTestBase {
     assert(v("query") == (2L, 2L))
   }
 
+  test("suggest_mode popular only keeps corrections beating the input's doc_freq") {
+    import sp.implicits._
+    // vocab: cat df 4, hat df 2, bat df 1. For input "hat": always mode
+    // suggests both 1-edit neighbors; popular keeps only cat (4 > 2) and
+    // gates bat (1 < 2).
+    val d2 = Seq((1L, "cat hat"), (2L, "cat hat"), (3L, "cat bat"), (4L, "cat"))
+      .toDF("doc_id", "text")
+    def sugg(mode: String) =
+      Suggest.termSuggest(d2, col("doc_id"), col("text"), "hat", mode = mode)
+        .collect().map(_.getString(2)).toSet
+    assert(sugg("always") == Set("cat", "bat"))
+    assert(sugg("popular") == Set("cat"))
+    assert(sugg("missing").isEmpty) // "hat" exists -> nothing to correct
+  }
+
   test("term suggester: excludes the input token, ranks by doc_freq, caps edits") {
     val out = Suggest.termSuggest(docs, col("doc_id"), col("text"),
       "sprk spark", size = 3, maxEdits = 2).collect()
