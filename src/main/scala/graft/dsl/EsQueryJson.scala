@@ -836,6 +836,34 @@ object EsQueryJson {
       .orderBy("_mget_idx")
   }
 
+  /** ES `_field_caps` API: per-field capabilities from the mapping — the
+    * ES type name, and whether the field is searchable/aggregatable (text
+    * needs fielddata for aggs in ES, so it reports non-aggregatable).
+    * Pure schema reflection: no data is scanned, the rows come from the
+    * driver-side StructType — constant cost at any corpus size. */
+  def fieldCaps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sp = df.sparkSession
+    import sp.implicits._
+    df.schema.fields.toSeq.map { f =>
+      val es = f.dataType match {
+        case LongType                        => "long"
+        case IntegerType                     => "integer"
+        case DoubleType                      => "double"
+        case FloatType                       => "float"
+        case BooleanType                     => "boolean"
+        case StringType                      => "text"
+        case TimestampType | TimestampNTZType => "date"
+        case BinaryType                      => "binary"
+        case _: ArrayType                    => "nested"
+        case _: MapType | _: StructType      => "object"
+        case other                           => other.simpleString
+      }
+      (f.name, es, true, es != "text" && es != "object")
+    }.toDF("field", "es_type", "searchable", "aggregatable")
+      .orderBy("field")
+  }
+
   /** ES `_delete_by_query`: the index minus every doc matching the body's
     * query — the relational anti-filter over the same predicate translator
     * [[search]] uses, so any filter-context query works. Docs where the
@@ -1534,8 +1562,21 @@ object EsQueryJson {
     * percent (`<name>_p<pct>`), exact like the typed DSL's b12. */
   private def metricCols(aggName: String, kind: String, spec: JsonNode,
                          cond: Option[Column] = None): Seq[(String, Column)] = {
-    // lazy: weighted_avg has no top-level "field" key
-    lazy val raw0 = field(spec.get("field").asText())
+    // lazy: weighted_avg has no top-level "field" key. Metric aggs also
+    // accept a `script` instead of `field` (ES 6.5): the painless
+    // arithmetic subset binds doc refs and compiles through the SQL
+    // parser — the metric aggregates a codegen'd expression, same cost
+    // shape as a plain column.
+    lazy val raw0 = Option(spec.get("script")) match {
+      case Some(sNode) =>
+        val src = (if (sNode.isObject) sNode.get("source") else sNode).asText()
+        val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
+          .replaceAllIn(src, m => m.group(1))
+        require(bound.matches("[A-Za-z0-9_.+\\-*/() ]+"),
+          s"unsupported metric script after doc-ref binding: $bound")
+        expr(bound)
+      case None => field(spec.get("field").asText())
+    }
     // metric `missing`: docs without the field aggregate AS this value
     // (ES behavior); without it nulls are simply skipped by the aggregate
     lazy val raw = Option(spec.get("missing")).map(m => coalesce(raw0, litOf(m)))

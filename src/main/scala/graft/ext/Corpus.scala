@@ -88,6 +88,45 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum(col("_n").cast("long")).as("n_tokens"))
   }
 
+  /** Filter-funnel report — the per-stage attrition manifest a cleaning
+    * pipeline publishes: gopher quality gate → language known → exact-dup
+    * representative (fingerprint min-id among survivors). Returns one row
+    * per stage: (stage_idx, stage, n_in, n_kept, n_dropped).
+    *
+    * Scale shape: the three per-doc signals (gopher counters, langId,
+    * fingerprint) are narrow; the only wide stages are one doc_id-keyed
+    * join of the gopher verdict to the signal frame, the funnel's single
+    * count-aggregate, and the fingerprint distinct-count agg over the
+    * survivors. The 4-row report materializes from two 1-row aggregates —
+    * nothing collects to the driver. */
+  def filterFunnel(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val g = gopherFilter(df, idCol, text, minWords = 40, maxWords = 100000,
+      minMeanLen = 3.5, maxMeanLen = 6.0, minStopwords = 2, maxTopTokFrac = 0.15)
+      .select(col("doc_id"), col("pass").as("_g"))
+    val sig = df.select(idCol.as("doc_id"),
+      graft.ext.TextAnalysis.langId(text).as("_lang"),
+      graft.ext.TextAnalysis.fingerprint(text).as("_fp"))
+    val scored = graft.ext.Dedup.persistOnce(g.join(sig, "doc_id"))
+    val counts = scored.agg(
+      count(lit(1)).as("c0"),
+      sum(when(col("_g"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("_g") && col("_lang") =!= "und", 1L).otherwise(0L)).as("c2"))
+    val dedup = scored.filter(col("_g") && col("_lang") =!= "und")
+      .groupBy("_fp").agg(min("doc_id")).agg(count(lit(1)).as("c3"))
+    counts.crossJoin(dedup)
+      .select(explode(array(
+        struct(lit(0).as("stage_idx"), lit("input").as("stage"),
+          col("c0").as("n_in"), col("c0").as("n_kept")),
+        struct(lit(1).as("stage_idx"), lit("gopher_quality").as("stage"),
+          col("c0").as("n_in"), col("c1").as("n_kept")),
+        struct(lit(2).as("stage_idx"), lit("lang_id").as("stage"),
+          col("c1").as("n_in"), col("c2").as("n_kept")),
+        struct(lit(3).as("stage_idx"), lit("exact_dedup").as("stage"),
+          col("c2").as("n_in"), col("c3").as("n_kept")))).as("r"))
+      .select(col("r.*"))
+      .withColumn("n_dropped", col("n_in") - col("n_kept"))
+  }
+
   /** Gopher-style composite quality filter: every rule evaluated in one
     * narrow pass (the [[repetitionSignals]] kernel supplies the counters),
     * returning a verdict plus the sorted list of failed rule names — the

@@ -523,8 +523,13 @@ object Dedup {
     * and the reassembly is one doc-keyed hash agg with the in-row sort
     * trick from [[scrubDuplicateSpans]]. No pairwise work at any
     * duplication rate — 100 TB-sane. */
+  /** `withinDoc = true` restricts the dedup scope to each document —
+    * repeated boilerplate INSIDE a doc (headers, navigation chrome)
+    * collapses to its first occurrence while cross-doc repeats survive;
+    * the keeper agg keys on (doc_id, hash) instead of hash, so the plan
+    * shape is identical (one hash agg + one same-key join). */
   def segmentDedup(df: DataFrame, idCol: Column, text: Column,
-                   segTokens: Int = 64): DataFrame = {
+                   segTokens: Int = 64, withinDoc: Boolean = false): DataFrame = {
     val toks = df.select(idCol.as("doc_id"),
         graft.ext.TextAnalysis.tokens(text).as("w"))
       .filter(size(col("w")) > 0)
@@ -538,8 +543,9 @@ object Dedup {
     val occ = segs.select(col("doc_id"), col("seg_idx"), col("seg"),
       Hashing.md5Long60(col("seg")).as("h"),
       struct(col("doc_id"), col("seg_idx")).as("k"))
-    val keepers = occ.groupBy("h").agg(min("k").as("_keep_k"))
-    occ.join(keepers, "h")
+    val keyCols = if (withinDoc) Seq("doc_id", "h") else Seq("h")
+    val keepers = occ.groupBy(keyCols.map(col): _*).agg(min("k").as("_keep_k"))
+    occ.join(keepers, keyCols)
       .withColumn("_keep", col("k") === col("_keep_k"))
       .groupBy("doc_id")
       .agg(

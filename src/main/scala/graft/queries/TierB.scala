@@ -3142,5 +3142,38 @@ object TierB {
              |      FROM cand)
              |SELECT token, rank, term AS suggestion, distance, doc_freq
              |FROM r WHERE rank <= 3 ORDER BY token, rank""".stripMargin)),
+
+    // `_field_caps` API: per-field type + searchable/aggregatable from the
+    // mapping. Schema reflection — zero data scanned at any corpus size.
+    Q("a147_es_json_field_caps",
+      (s, d) => graft.dsl.EsQueryJson.fieldCaps(Tables.documents(s, d)),
+      Some("""SELECT column_name AS field,
+             |       CASE data_type WHEN 'BIGINT' THEN 'long'
+             |                      WHEN 'INTEGER' THEN 'integer'
+             |                      WHEN 'DOUBLE' THEN 'double'
+             |                      WHEN 'FLOAT' THEN 'float'
+             |                      WHEN 'BOOLEAN' THEN 'boolean'
+             |                      WHEN 'VARCHAR' THEN 'text'
+             |                      ELSE lower(data_type) END AS es_type,
+             |       true AS searchable,
+             |       data_type <> 'VARCHAR' AS aggregatable
+             |FROM information_schema.columns WHERE table_name = 'documents'
+             |ORDER BY field""".stripMargin)),
+
+    // Metric agg with a `script` instead of a field: the painless subset
+    // compiles to one codegen'd expression under the aggregate — here the
+    // net-revenue avg/sum per return flag.
+    Q("a148_es_json_metric_script",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(li(s, d),
+        """{"aggs": {"flags": {"terms": {"field": "l_returnflag", "size": 10},
+          | "aggs": {
+          |   "net_avg": {"avg": {"script":
+          |     "doc['l_extendedprice'].value * (1 - doc['l_discount'].value)"}},
+          |   "net_sum": {"sum": {"script":
+          |     "doc['l_extendedprice'].value * (1 - doc['l_discount'].value)"}}}}}}""".stripMargin)("flags"),
+      Some("""SELECT l_returnflag AS key, count(*) AS doc_count,
+             |       round(avg(l_extendedprice * (1 - l_discount)), 6) AS net_avg,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS net_sum
+             |FROM lineitem GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
   )
 }

@@ -1913,5 +1913,78 @@ object TierC {
              |       round((dist - mu) / sd, 6) AS z,
              |       abs(round((dist - mu) / sd, 6)) > 2.0 AS is_outlier
              |FROM dd JOIN st ON dd.label = st.label ORDER BY vec_id""".stripMargin)),
+
+    // Within-document segment dedup: repeated boilerplate INSIDE a doc
+    // collapses to its first occurrence; cross-doc repeats survive.
+    Q("c64_segment_dedup_intradoc",
+      (s, d) => Dedup.segmentDedup(Tables.documents(s, d), col("doc_id"),
+        col("text"), segTokens = 4, withinDoc = true).orderBy("doc_id"),
+      Some(
+        s"""WITH $toksCte,
+           |segs AS (
+           |  SELECT doc_id, i AS seg_idx,
+           |         list_aggregate(w[i*4+1 : i*4+4], 'string_agg', ' ') AS seg
+           |  FROM (SELECT doc_id, w,
+           |               unnest(generate_series(0, CAST(floor((len(w)-1)/4.0) AS INT))) AS i
+           |        FROM toks WHERE len(w) > 0)),
+           |k AS (
+           |  SELECT doc_id, seg_idx, seg,
+           |         row_number() OVER (
+           |           PARTITION BY doc_id, ${Hashing.sqlMd5Long60("seg")}
+           |           ORDER BY seg_idx) AS rn
+           |  FROM segs)
+           |SELECT doc_id, count(*) AS n_segs,
+           |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
+           |       COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '')
+           |         AS text_dedup
+           |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Filter-funnel manifest: gopher gate -> language known -> exact-dup
+    // representative; one row per stage with the attrition counts.
+    Q("c65_filter_funnel",
+      (s, d) => Corpus.filterFunnel(Tables.documents(s, d), col("doc_id"),
+        col("text")).orderBy("stage_idx"),
+      Some {
+        val stopList = graft.functions.TextKernels.englishStopwordList
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH $toksCte,
+           |topt AS (
+           |  SELECT doc_id, max(c) AS top_c FROM (
+           |    SELECT doc_id, t, count(*) AS c
+           |    FROM (SELECT doc_id, unnest(w) AS t FROM toks) GROUP BY doc_id, t)
+           |  GROUP BY doc_id),
+           |b AS (
+           |  SELECT toks.doc_id, len(w) AS n,
+           |         CASE WHEN len(w) > 0
+           |              THEN CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+           |              ELSE 0.0 END AS meanlen,
+           |         len(list_filter(list_distinct(w), x -> list_contains($stopList, x))) AS nstop,
+           |         CASE WHEN len(w) > 0
+           |              THEN CAST(coalesce(top_c, 0) AS DOUBLE) / len(w)
+           |              ELSE 0.0 END AS topfrac
+           |  FROM toks LEFT JOIN topt ON toks.doc_id = topt.doc_id),
+           |gp AS (
+           |  SELECT doc_id, (n >= 40 AND n <= 100000 AND meanlen >= 3.5
+           |          AND meanlen <= 6.0 AND nstop >= 2 AND topfrac <= 0.15) AS g
+           |  FROM b),
+           |$langScoreSql,
+           |fp AS (SELECT doc_id,
+           |              md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS f
+           |       FROM toks),
+           |j AS (SELECT gp.doc_id, g, pred_lang, f
+           |      FROM gp JOIN pred USING (doc_id) JOIN fp USING (doc_id)),
+           |c AS (SELECT count(*) AS c0,
+           |             CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           |             CAST(sum(CASE WHEN g AND pred_lang <> 'und' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           |      FROM j),
+           |dd AS (SELECT count(*) AS c3 FROM
+           |        (SELECT f FROM j WHERE g AND pred_lang <> 'und' GROUP BY f))
+           |SELECT stage_idx, stage, n_in, n_kept, n_in - n_kept AS n_dropped FROM (
+           |  SELECT 0 AS stage_idx, 'input' AS stage, c0 AS n_in, c0 AS n_kept FROM c
+           |  UNION ALL SELECT 1, 'gopher_quality', c0, c1 FROM c
+           |  UNION ALL SELECT 2, 'lang_id', c1, c2 FROM c
+           |  UNION ALL SELECT 3, 'exact_dedup', c2, c3 FROM c CROSS JOIN dd)
+           |ORDER BY stage_idx""".stripMargin
+      }),
   )
 }

@@ -276,6 +276,19 @@ object Scale {
         n = 5, w = 4, minShared = 3)
         .write.mode("overwrite").format("noop").save())
 
+    // segment dedup: worst case is heavy cross-doc boilerplate — every
+    // doc shares its leading segment, so one hash key carries 50k
+    // occurrences; the keeper agg must absorb that skew in map-side
+    // partials (one hash agg + same-key join, no pairwise work)
+    val boiler = docs50k.select(col("doc_id"),
+      concat(lit("shared header boilerplate tokens here now ok go "), col("text")).as("text"))
+    t("segment-dedup-50k-shared-header")(
+      Dedup.segmentDedup(boiler, col("doc_id"), col("text"), segTokens = 8)
+        .write.mode("overwrite").format("noop").save())
+    t("filter-funnel-50k")(
+      graft.ext.Corpus.filterFunnel(docs50k, col("doc_id"), col("text"))
+        .write.mode("overwrite").format("noop").save())
+
     spark.stop()
   }
 }

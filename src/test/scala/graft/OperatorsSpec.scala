@@ -617,6 +617,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) == ((2L, 0L, "")))
   }
 
+  test("segment dedup withinDoc: intra-doc repeats collapse, cross-doc repeats survive") {
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "a b a b x y"),  // [a b] repeated inside doc 1 -> second dropped
+      (2L, "a b c d"))      // [a b] also here, but cross-doc -> kept
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, col("doc_id"), col("text"),
+      segTokens = 2, withinDoc = true)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, "a b x y")))
+    assert(out(2L) == ((2L, "a b c d")))
+  }
+
   test("segment dedup: non-numeric ids order lexicographically, partial tail segment kept") {
     import sp.implicits._
     val docs = Seq(
@@ -627,6 +640,18 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(out("alpha") == ((1L, 1L, "p q")))
     assert(out("zeta") == ((2L, 1L, "r"))) // tail segment survives, dup segment dropped
+  }
+
+  test("filter funnel: stages chain (n_in = previous n_kept), counts monotone") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = graft.ext.Corpus.filterFunnel(docs, col("doc_id"), col("text"))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._2).toSeq == Seq("input", "gopher_quality", "lang_id", "exact_dedup"))
+    assert(rows(0)._3 == docs.count() && rows(0)._4 == rows(0)._3) // input keeps all
+    rows.sliding(2).foreach { case Array(prev, next) =>
+      assert(next._3 == prev._4, s"stage ${next._2} n_in must chain") }
+    rows.foreach { r => assert(r._4 <= r._3 && r._5 == r._3 - r._4) }
   }
 
   test("hash split: pure function of id, exhaustive and stable under re-run") {
