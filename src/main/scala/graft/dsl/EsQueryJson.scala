@@ -47,6 +47,27 @@ object EsQueryJson {
   def withTables[T](tables: (String, DataFrame)*)(f: => T): T =
     lookupTables.withValue(tables.toMap)(f)
 
+  /** Stored-script registry (ES `PUT _scripts/{id}` / `GET _scripts/{id}`):
+    * wherever a body accepts an inline painless `source`, `{"script":
+    * {"id": "..."}}` resolves through here instead — same scoping
+    * discipline as [[withTables]]. */
+  private val storedScripts =
+    new scala.util.DynamicVariable[Map[String, String]](Map.empty)
+
+  def withScripts[T](scripts: (String, String)*)(f: => T): T =
+    storedScripts.withValue(scripts.toMap)(f)
+
+  /** Script node → painless source: inline string, `{"source": ...}`, or
+    * a stored-script `{"id": ...}` reference. */
+  private def scriptSource(sNode: JsonNode): String =
+    if (sNode.isObject) Option(sNode.get("source")).map(_.asText()).getOrElse {
+      val id = Option(sNode.get("id")).map(_.asText()).getOrElse(
+        throw new IllegalArgumentException("script needs source or id"))
+      storedScripts.value.getOrElse(id, throw new IllegalArgumentException(
+        s"stored script '$id' not registered (use EsQueryJson.withScripts)"))
+    }
+    else sNode.asText()
+
   /** ES field name → Column (map-doc aware). */
   def field(name: String): Column =
     if (name.startsWith("info.")) element_at(col("info"), name.stripPrefix("info."))
@@ -307,7 +328,7 @@ object EsQueryJson {
         // through the SQL parser (codegen'd predicate, no interpreter —
         // the script_score approach in filter position)
         val sNode = body.get("script")
-        val raw = (if (sNode.isObject) sNode.get("source") else sNode).asText()
+        val raw = scriptSource(sNode)
         val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
           .replaceAllIn(raw, m => m.group(1))
           .replace("&&", " AND ").replace("||", " OR ")
@@ -553,7 +574,7 @@ object EsQueryJson {
           val order = Option(spec.get("order")).map(_.asText())
           if (f == "_script") {
             val sNode = spec.get("script")
-            val raw = (if (sNode.isObject) sNode.get("source") else sNode).asText()
+            val raw = scriptSource(sNode)
             val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
               .replaceAllIn(raw, m => m.group(1))
             require(bound.matches("[A-Za-z0-9_.+\\-*/() ]+"),
@@ -892,7 +913,7 @@ object EsQueryJson {
     Option(body.get("script")) match {
       case None => df
       case Some(sNode) =>
-        val raw = (if (sNode.isObject) sNode.get("source") else sNode).asText()
+        val raw = scriptSource(sNode)
         val asn = "ctx\\._source\\.([A-Za-z0-9_]+)\\s*=\\s*(.+)".r
         raw match {
           case asn(target, rhs) =>
@@ -922,7 +943,10 @@ object EsQueryJson {
     * string (an empty term is never what a relational caller wants). */
   def searchTemplate(df: DataFrame, templateJson: String): DataFrame = {
     val t = parse(templateJson)
-    val src = t.get("source").asText()
+    // stored search templates live in the same `_scripts/{id}` namespace
+    // as stored painless scripts (ES 6.5), so `{"id": ...}` resolves
+    // through the same registry
+    val src = scriptSource(t)
     val params = Option(t.get("params")).map(_.properties().asScala.toSeq
         .map(e => e.getKey -> e.getValue)).getOrElse(Seq.empty)
     val rendered = params.foldLeft(src) { case (acc, (k, v)) =>
@@ -1242,7 +1266,7 @@ object EsQueryJson {
           // through the SQL parser (codegen, no interpreter), the
           // bucket_script approach at the document level
           val sNode = fn.get("script_score").get("script")
-          val raw = (if (sNode.isObject) sNode.get("source") else sNode).asText()
+          val raw = scriptSource(sNode)
           val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
             .replaceAllIn(raw, m => m.group(1))
           require(bound.matches("[A-Za-z0-9_.+\\-*/() ]+"),
@@ -1569,7 +1593,7 @@ object EsQueryJson {
     // shape as a plain column.
     lazy val raw0 = Option(spec.get("script")) match {
       case Some(sNode) =>
-        val src = (if (sNode.isObject) sNode.get("source") else sNode).asText()
+        val src = scriptSource(sNode)
         val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
           .replaceAllIn(src, m => m.group(1))
         require(bound.matches("[A-Za-z0-9_.+\\-*/() ]+"),
@@ -1794,7 +1818,7 @@ object EsQueryJson {
       * codegen'd like script_fields but at the bucket-key level. */
     private def termsRawKey: Column = Option(spec.get("script")) match {
       case Some(sNode) =>
-        val src = (if (sNode.isObject) sNode.get("source") else sNode).asText()
+        val src = scriptSource(sNode)
         val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
           .replaceAllIn(src, m => m.group(1))
         val sql = if (Option(spec.get("value_type")).map(_.asText()).contains("string"))

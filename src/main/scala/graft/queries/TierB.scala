@@ -3175,5 +3175,28 @@ object TierB {
              |       round(avg(l_extendedprice * (1 - l_discount)), 6) AS net_avg,
              |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS net_sum
              |FROM lineitem GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
+
+    // Stored scripts (`PUT _scripts/{id}`): a filter-context script query
+    // and a metric-agg script both resolve `{"id": ...}` through the
+    // registry; the compiled plans are identical to their inline twins.
+    Q("a149_es_json_stored_script",
+      (s, d) => graft.dsl.EsQueryJson.withScripts(
+        "big_order" -> "doc['o_totalprice'].value > 200000",
+        "half_price" -> "doc['o_totalprice'].value / 2") {
+        val hits = graft.dsl.EsQueryJson.search(ord(s, d),
+          """{"query": {"bool": {"filter": [
+            |   {"script": {"script": {"id": "big_order"}}}]}},
+            | "sort": ["o_orderkey"], "size": 40,
+            | "_source": ["o_orderkey", "o_totalprice"]}""".stripMargin)
+        val agg = graft.dsl.EsQueryJson.aggregations(ord(s, d),
+          """{"query": {"script": {"script": {"id": "big_order"}}},
+            | "aggs": {"h": {"avg": {"script": {"id": "half_price"}}}}}""".stripMargin)("h")
+        hits.crossJoin(agg.select(col("value").as("half_avg")))
+      },
+      Some("""WITH big AS (SELECT * FROM orders WHERE o_totalprice > 200000),
+             |a AS (SELECT round(avg(o_totalprice / 2), 6) AS half_avg FROM big)
+             |SELECT o_orderkey, o_totalprice, half_avg
+             |FROM (SELECT o_orderkey, o_totalprice FROM big
+             |      ORDER BY o_orderkey LIMIT 40) CROSS JOIN a""".stripMargin)),
   )
 }

@@ -9,6 +9,52 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
 
   private lazy val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
 
+  test("_field_caps maps nested/object/date types and gates aggregatable") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "t", Seq(1.0), Map("k" -> "v"),
+      new java.sql.Timestamp(0L), 1.5f, true))
+      .toDF("id", "txt", "arr", "m", "ts", "f", "b")
+    val caps = EsQueryJson.fieldCaps(df).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(caps("id") == (("long", true, true)))
+    assert(caps("txt") == (("text", true, false)))   // text: no fielddata -> not aggregatable
+    assert(caps("arr") == (("nested", true, true)))
+    assert(caps("m") == (("object", true, false)))
+    assert(caps("ts") == (("date", true, true)))
+    assert(caps("f") == (("float", true, true)))
+    assert(caps("b") == (("boolean", true, true)))
+  }
+
+  test("metric agg script: expression metric matches the hand-built aggregate") {
+    val got = EsQueryJson.aggregations(orders,
+      """{"aggs": {"s": {"terms": {"field": "o_orderstatus", "size": 5},
+        | "aggs": {"half": {"avg": {"script": "doc['o_totalprice'].value / 2"}}}}}}""".stripMargin)("s")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val want = orders.groupBy("o_orderstatus")
+      .agg(round(avg(col("o_totalprice") / 2), 6).as("half"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("stored scripts: id resolves to the inline twin, unregistered id fails loudly") {
+    val inline = EsQueryJson.search(orders,
+      """{"query": {"script": {"script": "doc['o_totalprice'].value > 300000"}},
+        | "sort": ["o_orderkey"], "size": 10}""".stripMargin)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val stored = EsQueryJson.withScripts("big" -> "doc['o_totalprice'].value > 300000") {
+      EsQueryJson.search(orders,
+        """{"query": {"script": {"script": {"id": "big"}}},
+          | "sort": ["o_orderkey"], "size": 10}""".stripMargin)
+    }.select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(stored == inline && stored.nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      EsQueryJson.search(orders,
+        """{"query": {"script": {"script": {"id": "nope"}}}}""")
+    }
+    assert(e.getMessage.contains("not registered"))
+  }
+
   test("bool/term/range/sort/from/size body") {
     val body =
       """{"query": {"bool": {
