@@ -753,10 +753,46 @@ object EsQueryJson {
     val collapsed = Option(body.get("collapse")) match {
       case Some(c) =>
         require(sortSpecs.nonEmpty, "collapse requires an explicit sort")
+        val fieldCol = field(c.get("field").asText())
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(field(c.get("field").asText())).orderBy(sortCols: _*)
-        paged.withColumn("_collapse_rn", row_number().over(w))
-          .filter(col("_collapse_rn") === 1).drop("_collapse_rn")
+          .partitionBy(fieldCol).orderBy(sortCols: _*)
+        val base = paged.withColumn("_collapse_rn", row_number().over(w))
+        // collapse `inner_hits`: the top-k group members by the inner sort
+        // ride the representative row as a list (built by a collect over
+        // the SAME collapse-key partitioning — rank window, collect
+        // window, and the collapse window share one exchange) and explode
+        // into `_inner` rows only AFTER parent sort/from/size.
+        Option(c.get("inner_hits")) match {
+          case None => base.filter(col("_collapse_rn") === 1).drop("_collapse_rn")
+          case Some(ih) =>
+            val ihSize = Option(ih.get("size")).map(_.asInt()).getOrElse(3)
+            val srcFields = Option(ih.get("_source"))
+              .map(_.elements().asScala.map(_.asText()).toSeq)
+              .getOrElse(throw new IllegalArgumentException(
+                "collapse inner_hits requires _source (the inner-hit projection)"))
+            val innerSort: Seq[Column] =
+              Option(ih.get("sort")).map(_.elements().asScala.toSeq.map { e =>
+                if (e.isTextual) field(e.asText()).asc
+                else {
+                  val (f, sp) = single(e)
+                  if (Option(sp.get("order")).map(_.asText()).contains("desc"))
+                    field(f).desc else field(f).asc
+                }
+              }).getOrElse(Seq.empty)
+            require(innerSort.nonEmpty,
+              "collapse inner_hits requires sort (give a unique tie-break)")
+            val wI = org.apache.spark.sql.expressions.Window
+              .partitionBy(fieldCol).orderBy(innerSort: _*)
+            val wAll = org.apache.spark.sql.expressions.Window.partitionBy(fieldCol)
+            val st = struct(col("_ih_rn").as("_rank") +:
+              srcFields.map(f => field(f).as(f.replace('.', '_'))): _*)
+            base
+              .withColumn("_ih_rn", row_number().over(wI))
+              .withColumn("_inner_list",
+                array_sort(collect_list(when(col("_ih_rn") <= ihSize, st)).over(wAll)))
+              .filter(col("_collapse_rn") === 1)
+              .drop("_collapse_rn", "_ih_rn")
+        }
       case None => paged
     }
     val sorted =
@@ -805,7 +841,12 @@ object EsQueryJson {
           case None => matched
         }
         limited.withColumn("_inner", explode(slice(ordered, 1, ihSize)))
-      case None => limited
+      case None =>
+        // collapse inner_hits: the per-group list was attached during the
+        // collapse window pass; fan out after parent pagination
+        if (limited.columns.contains("_inner_list"))
+          limited.withColumn("_inner", explode(col("_inner_list"))).drop("_inner_list")
+        else limited
     }
     // `_source` filtering: project the hit down to the named fields (plus
     // any engine-computed columns already requested by the body) — the

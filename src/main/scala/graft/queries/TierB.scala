@@ -3198,5 +3198,34 @@ object TierB {
              |SELECT o_orderkey, o_totalprice, half_avg
              |FROM (SELECT o_orderkey, o_totalprice FROM big
              |      ORDER BY o_orderkey LIMIT 40) CROSS JOIN a""".stripMargin)),
+
+    // collapse + inner_hits: one representative per customer (top by
+    // totalprice) with that customer's 2 earliest orders exploded as
+    // inner hits — rank, collect, and collapse windows share ONE exchange
+    // on the collapse key; the fan-out happens after parent pagination.
+    Q("a150_es_json_collapse_inner_hits",
+      (s, d) => graft.dsl.EsQueryJson.search(ord(s, d),
+        """{"collapse": {"field": "o_custkey", "inner_hits": {
+          |   "size": 2, "sort": ["o_orderdate", "o_orderkey"],
+          |   "_source": ["o_orderkey", "o_orderdate"]}},
+          | "sort": [{"o_totalprice": {"order": "desc"}}, "o_orderkey"],
+          | "size": 30}""".stripMargin)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("_inner.o_orderkey").as("i_orderkey"),
+          col("_inner.o_orderdate").as("i_orderdate"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"), col("i_orderkey")),
+      Some("""WITH r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+             |              ORDER BY o_totalprice DESC, o_orderkey) AS crn
+             |  FROM orders),
+             |p AS (SELECT o_orderkey, o_custkey, o_totalprice FROM r WHERE crn = 1
+             |      ORDER BY o_totalprice DESC, o_orderkey LIMIT 30),
+             |i AS (SELECT o_custkey, o_orderkey AS i_orderkey, o_orderdate AS i_orderdate,
+             |             row_number() OVER (PARTITION BY o_custkey
+             |               ORDER BY o_orderdate, o_orderkey) AS irn
+             |      FROM orders)
+             |SELECT p.o_orderkey, p.o_custkey, p.o_totalprice, i_orderkey, i_orderdate
+             |FROM p JOIN i USING (o_custkey) WHERE irn <= 2
+             |ORDER BY p.o_totalprice DESC, p.o_orderkey, i_orderkey""".stripMargin)),
   )
 }

@@ -37,6 +37,22 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("collapse inner_hits: rank/collect/collapse windows share ONE exchange") {
+    val q = EsQueryJson.search(orders,
+      """{"collapse": {"field": "o_custkey", "inner_hits": {
+        |   "size": 2, "sort": ["o_orderdate", "o_orderkey"],
+        |   "_source": ["o_orderkey", "o_orderdate"]}},
+        | "sort": [{"o_totalprice": {"order": "desc"}}, "o_orderkey"],
+        | "size": 10}""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    val keyExchanges = "hashpartitioning\\(o_custkey".r.findAllIn(plan).size
+    assert(keyExchanges == 1, s"collapse-key windows must share one exchange:\n$plan")
+    // parent rows: one per customer; inner rows: ≤2 per kept parent
+    val rows = q.select("o_custkey", "_inner.o_orderkey").collect()
+    val perParent = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perParent.values.forall(n => n >= 1 && n <= 2) && perParent.size == 10)
+  }
+
   test("stored scripts: id resolves to the inline twin, unregistered id fails loudly") {
     val inline = EsQueryJson.search(orders,
       """{"query": {"script": {"script": "doc['o_totalprice'].value > 300000"}},
