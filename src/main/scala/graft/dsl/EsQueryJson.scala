@@ -361,7 +361,9 @@ object EsQueryJson {
             val cjkMsm =
               if (opAnd) graft.functions.TextKernels.analyzeCjk(text).distinct.length
               else if (v.isObject)
-                Option(v.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
+                Option(v.get("minimum_should_match"))
+                  .map(msmOf(_, graft.functions.TextKernels.analyzeCjk(text).distinct.length))
+                  .getOrElse(1)
               else 1
             EsDsl.matchQueryCjk(field(f), text, cjkMsm)
           case Some("whitespace") =>
@@ -398,7 +400,7 @@ object EsQueryJson {
           val opAnd = Option(body.get("operator")).map(_.asText()).contains("and")
           val msm =
             if (crossFields && opAnd) terms.size
-            else Option(body.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
+            else Option(body.get("minimum_should_match")).map(msmOf(_, terms.size)).getOrElse(1)
           if (crossFields) EsDsl.multiMatchCrossFields(fields, terms, msm)
           else EsDsl.multiMatch(fields, terms, msm)
         }
@@ -503,13 +505,14 @@ object EsQueryJson {
           else Seq(predicateWith(n, fld))
         }
         val mustCl = clauses("must") ++ clauses("filter")
+        val shouldCl = clauses("should")
         // ES default: should is optional when must/filter constrain the
         // query (msm 0), required (msm 1) when should stands alone
-        val msm = Option(body.get("minimum_should_match")).map(_.asInt())
+        val msm = Option(body.get("minimum_should_match")).map(msmOf(_, shouldCl.size))
           .getOrElse(if (mustCl.isEmpty) 1 else 0)
         EsDsl.bool(
           must = mustCl,
-          should = if (msm > 0) clauses("should") else Seq.empty,
+          should = if (msm > 0) shouldCl else Seq.empty,
           mustNot = clauses("must_not"),
           minimumShouldMatch = msm)
       case other => throw new IllegalArgumentException(s"unsupported query kind: $other")
@@ -1374,18 +1377,37 @@ object EsQueryJson {
 
   /** Query text + optional boost / minimum_should_match of a clause body
     * (string shorthand or object form). */
+  /** ES `minimum_should_match` value forms (ES 6.5 common-options page):
+    * positive integer; negative integer (total minus that many may be
+    * missing); `"N%"` (floor of the total, ES rounds down); `"-N%"`
+    * (that percent may be missing). Combinations (`"3<90%"`) are not
+    * supported — rejected loudly. */
+  private def msmOf(node: JsonNode, total: Int): Int = {
+    def fromInt(v: Int) = if (v >= 0) v else math.max(total + v, 0)
+    if (node.isNumber) fromInt(node.asInt())
+    else {
+      val s = node.asText().trim
+      require(!s.contains("<"), s"unsupported minimum_should_match form: $s")
+      if (s.endsWith("%")) {
+        val p = s.stripSuffix("%").trim.toInt
+        if (p >= 0) total * p / 100 else math.max(total - (total * (-p) / 100), 0)
+      } else fromInt(s.toInt)
+    }
+  }
+
   private def textBoostMsm(v: JsonNode): (String, Double, Int) =
     if (v.isObject) {
       val text = v.get("query").asText()
+      val nTerms = text.split("\\s+").length
       // `operator: and` is ES sugar for minimum_should_match = all terms
       val opMsm = Option(v.get("operator")).map(_.asText()).map {
-        case "and" => text.split("\\s+").length
+        case "and" => nTerms
         case "or" => 1
         case other => throw new IllegalArgumentException(s"unsupported match operator: $other")
       }
       (text,
         Option(v.get("boost")).map(_.asDouble()).getOrElse(1.0),
-        Option(v.get("minimum_should_match")).map(_.asInt()).orElse(opMsm).getOrElse(1))
+        Option(v.get("minimum_should_match")).map(msmOf(_, nTerms)).orElse(opMsm).getOrElse(1))
     } else (v.asText(), 1.0, 1)
 
   private def boosted(boost: Double, raw: Column): Column =

@@ -3227,5 +3227,23 @@ object TierB {
              |SELECT p.o_orderkey, p.o_custkey, p.o_totalprice, i_orderkey, i_orderdate
              |FROM p JOIN i USING (o_custkey) WHERE irn <= 2
              |ORDER BY p.o_totalprice DESC, p.o_orderkey, i_orderkey""".stripMargin)),
+
+    // minimum_should_match percentage form: "50%" of 4 should clauses
+    // (ES rounds down) — at least 2 must hold.
+    Q("a151_es_json_msm_percent",
+      (s, d) => graft.dsl.EsQueryJson.search(ord(s, d),
+        """{"query": {"bool": {"should": [
+          |   {"term": {"o_orderstatus": "F"}},
+          |   {"term": {"o_orderpriority": "1-URGENT"}},
+          |   {"range": {"o_totalprice": {"gte": 100000}}},
+          |   {"range": {"o_orderdate": {"lt": "1995-01-01"}}}],
+          |  "minimum_should_match": "50%"}},
+          | "sort": ["o_orderkey"], "size": 200, "_source": ["o_orderkey"]}""".stripMargin),
+      Some("""SELECT o_orderkey FROM orders
+             |WHERE (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END +
+             |       CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END +
+             |       CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END +
+             |       CASE WHEN o_orderdate < DATE '1995-01-01' THEN 1 ELSE 0 END) >= 2
+             |ORDER BY o_orderkey LIMIT 200""".stripMargin)),
   )
 }

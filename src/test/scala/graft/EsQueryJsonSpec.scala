@@ -37,6 +37,22 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("minimum_should_match forms: percentage, negative int, negative percentage") {
+    def n(msm: String): Long = EsQueryJson.search(orders,
+      s"""{"query": {"bool": {"should": [
+         |   {"term": {"o_orderstatus": "F"}},
+         |   {"term": {"o_orderpriority": "1-URGENT"}},
+         |   {"range": {"o_totalprice": {"gte": 100000}}},
+         |   {"range": {"o_orderdate": {"lt": "1995-01-01"}}}],
+         |  "minimum_should_match": $msm}}}""".stripMargin).count()
+    assert(n("\"50%\"") == n("2"))   // floor(4 * 50%) = 2
+    assert(n("\"75%\"") == n("3"))
+    assert(n("-1") == n("3"))        // 4 optional - 1 allowed missing
+    assert(n("\"-25%\"") == n("3"))  // 25% of 4 may be missing
+    assert(n("\"100%\"") == n("4"))
+    assert(n("1") > n("3"))          // sanity: looser matches more
+  }
+
   test("collapse inner_hits: rank/collect/collapse windows share ONE exchange") {
     val q = EsQueryJson.search(orders,
       """{"collapse": {"field": "o_custkey", "inner_hits": {
