@@ -70,6 +70,19 @@ object Corpus {
     df.filter(h < threshold)
   }
 
+  /** Deterministic EXACT-k uniform sample: the k docs with the smallest
+    * seeded md5 sampling keys. Complements [[stratifiedSample]] (rate-based,
+    * approximate count) when a pipeline needs "exactly k docs" — e.g. a
+    * fixed-size eval set. Top-k is a sort-limit (TakeOrdered: per-partition
+    * heaps + one k-row merge on the driver side of the exchange), never a
+    * global sort; no RNG, so re-runs and repartitioning cannot change the
+    * sample. */
+  def exactKSample(df: DataFrame, idCol: Column, k: Int,
+                   seed: String = "sample"): DataFrame = {
+    val key = Hashing.md5Long60(concat(lit(s"$seed:"), idCol.cast("string")))
+    df.withColumn("_sk", key).orderBy(col("_sk"), idCol).limit(k).drop("_sk")
+  }
+
   /** Deterministic train/validation/test split by id hash — the standard
     * leakage-safe corpus split (assignment is a pure function of the id:
     * stable under re-runs, re-partitioning, and incremental appends, and a

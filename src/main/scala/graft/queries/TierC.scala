@@ -1986,5 +1986,17 @@ object TierC {
            |  UNION ALL SELECT 3, 'exact_dedup', c2, c3 FROM c CROSS JOIN dd)
            |ORDER BY stage_idx""".stripMargin
       }),
+
+    // Deterministic EXACT-k uniform sample: smallest k seeded hash keys —
+    // a fixed-size eval set that re-runs and repartitioning cannot change.
+    Q("c66_exact_k_sample",
+      (s, d) => Corpus.exactKSample(Tables.documents(s, d), col("doc_id"), k = 50)
+        .select("doc_id", "lang", "source").orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, source FROM (
+             |  SELECT doc_id, lang, source
+             |  FROM documents
+             |  ORDER BY ${Hashing.sqlMd5Long60("'sample:' || CAST(doc_id AS VARCHAR)")}, doc_id
+             |  LIMIT 50)
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -654,6 +654,20 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     rows.foreach { r => assert(r._4 <= r._3 && r._5 == r._3 - r._4) }
   }
 
+  test("exact-k sample: exactly k, deterministic, stable under repartitioning, TakeOrdered plan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Corpus.exactKSample(df, col("doc_id"), k = 20)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(docs)
+    assert(a.size == 20)
+    assert(a == ids(docs.repartition(7)))   // partitioning-independent
+    assert(ids(docs) == a)                   // re-run stable
+    val plan = graft.ext.Corpus.exactKSample(docs, col("doc_id"), k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"expected TakeOrdered, got:\n$plan")
+  }
+
   test("hash split: pure function of id, exhaustive and stable under re-run") {
     import sp.implicits._
     val docs = (1L to 200L).map(i => (i, if (i % 2 == 0) "web" else "code", s"tok$i text"))
