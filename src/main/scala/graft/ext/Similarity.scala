@@ -457,7 +457,10 @@ object Similarity {
     val stats = dist.groupBy("label")
       .agg(avg("dist").as("_mu"), stddev_samp("dist").as("_sd"))
     dist.join(broadcast(stats), "label")
-      .withColumn("z", round((col("dist") - col("_mu")) / col("_sd"), 6))
+      // single-member labels (sd null) and zero-variance clusters (sd 0)
+      // have no spread to score against: z defined as 0, never an outlier
+      .withColumn("z", when(col("_sd").isNull || col("_sd") === 0, lit(0.0))
+        .otherwise(round((col("dist") - col("_mu")) / col("_sd"), 6)))
       .select(col("vec_id"), col("label"), col("dist"), col("z"),
         (abs(col("z")) > zThreshold).as("is_outlier"))
   }

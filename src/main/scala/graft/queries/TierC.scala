@@ -1910,8 +1910,10 @@ object TierC {
              |  FROM x JOIN cv ON x.label = cv.label),
              |st AS (SELECT label, avg(dist) AS mu, stddev(dist) AS sd FROM dd GROUP BY label)
              |SELECT vec_id, dd.label, dist,
-             |       round((dist - mu) / sd, 6) AS z,
-             |       abs(round((dist - mu) / sd, 6)) > 2.0 AS is_outlier
+             |       CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+             |            ELSE round((dist - mu) / sd, 6) END AS z,
+             |       abs(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+             |                ELSE round((dist - mu) / sd, 6) END) > 2.0 AS is_outlier
              |FROM dd JOIN st ON dd.label = st.label ORDER BY vec_id""".stripMargin)),
 
     // Within-document segment dedup: repeated boilerplate INSIDE a doc

@@ -711,6 +711,17 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("CartesianProduct"), "stats joins must be keyed/broadcast")
   }
 
+  test("centroid outliers: degenerate labels (singleton, zero variance) score z=0, no NaN") {
+    import sp.implicits._
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 2.0f)),                       // singleton label -> sd null
+      (2L, 1, Seq(3.0f, 4.0f)), (3L, 1, Seq(3.0f, 4.0f))) // identical pair -> sd 0
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.centroidOutliers(df, col("vec_id"), col("embedding"), col("label"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out.values.forall { case (z, o) => z == 0.0 && !o })
+  }
+
   test("semDedup: within-cluster dedup keeps the min-id member of each near-set") {
     val sp = spark
     import sp.implicits._
