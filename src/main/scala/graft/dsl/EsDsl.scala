@@ -44,13 +44,23 @@ object EsDsl {
     * the query terms (driver-side, same JVM function) — recall on
     * inflected forms ("tables" matches "table"). Opt-in per query via
     * `"analyzer": "english"`; the default analyzer is untouched. */
-  def matchQueryEnglish(text: Column, queryTerms: Seq[String], minShouldMatch: Int = 1): Column = {
+  /** `zeroTermsAll`: ES `zero_terms_query` — when the analyzer strips
+    * every query term, `none` (ES default) matches nothing and `all`
+    * matches everything (the match_all fallback stopword-only queries
+    * want). Without an explicit choice the degenerate query still fails
+    * loudly at the JSON layer. */
+  def matchQueryEnglish(text: Column, queryTerms: Seq[String], minShouldMatch: Int = 1,
+                        zeroTermsAll: Option[Boolean] = None): Column = {
     import graft.functions.TextKernels
     val analyzed = queryTerms.map(_.toLowerCase)
       .filterNot(TextKernels.englishStopwords.contains)
       .map(TextKernels.stemEnglish).distinct
-    require(analyzed.nonEmpty, s"english analyzer removed every query term: $queryTerms")
-    size(array_intersect(TextKernels.englishTokens(text), lit(analyzed.toArray))) >= minShouldMatch
+    if (analyzed.isEmpty) zeroTermsAll match {
+      case Some(all) => lit(all)
+      case None => throw new IllegalArgumentException(
+        s"english analyzer removed every query term: $queryTerms (set zero_terms_query)")
+    }
+    else size(array_intersect(TextKernels.englishTokens(text), lit(analyzed.toArray))) >= minShouldMatch
   }
 
   /** B5 `match` with the `whitespace` analyzer: tokens split on

@@ -352,7 +352,15 @@ object EsQueryJson {
         val (text, _, msm) = textBoostMsm(v)
         val analyzer = if (v.isObject) Option(v.get("analyzer")).map(_.asText()) else None
         analyzer match {
-          case Some("english") => EsDsl.matchQueryEnglish(field(f), text.split("\\s+").toSeq, msm)
+          case Some("english") =>
+            val ztq = if (v.isObject)
+              Option(v.get("zero_terms_query")).map(_.asText()).map {
+                case "all" => true
+                case "none" => false
+                case other => throw new IllegalArgumentException(
+                  s"unsupported zero_terms_query: $other")
+              } else None
+            EsDsl.matchQueryEnglish(field(f), text.split("\\s+").toSeq, msm, ztq)
           case Some("cjk") =>
             // operator:and counts ANALYZED tokens (bigrams), not the
             // whitespace split the generic msm derivation uses

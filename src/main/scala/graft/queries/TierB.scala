@@ -3245,5 +3245,15 @@ object TierB {
              |       CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END +
              |       CASE WHEN o_orderdate < DATE '1995-01-01' THEN 1 ELSE 0 END) >= 2
              |ORDER BY o_orderkey LIMIT 200""".stripMargin)),
+
+    // zero_terms_query: a stopword-only english-analyzed match with
+    // "all" degenerates to match_all (ES semantics); "none"/unset covered
+    // by spec (none = empty result, unset = loud rejection).
+    Q("a152_es_json_zero_terms",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match": {"text": {"query": "the of and",
+          |  "analyzer": "english", "zero_terms_query": "all"}}},
+          | "sort": ["doc_id"], "size": 100, "_source": ["doc_id", "lang"]}""".stripMargin),
+      Some("""SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 100""")),
   )
 }

@@ -37,6 +37,16 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("zero_terms_query: stopword-only english match -> all / none / loud default") {
+    def q(extra: String) = EsQueryJson.search(orders.limit(50),
+      s"""{"query": {"match": {"o_orderpriority":
+         |  {"query": "the and of", "analyzer": "english"$extra}}}}""".stripMargin).count()
+    assert(q(""", "zero_terms_query": "all"""") == 50)
+    assert(q(""", "zero_terms_query": "none"""") == 0)
+    val e = intercept[IllegalArgumentException] { q("") }
+    assert(e.getMessage.contains("zero_terms_query"))
+  }
+
   test("minimum_should_match forms: percentage, negative int, negative percentage") {
     def n(msm: String): Long = EsQueryJson.search(orders,
       s"""{"query": {"bool": {"should": [
