@@ -446,7 +446,18 @@ object EsQueryJson {
               s"fuzziness must be an int or AUTO, got ${n.asText()}"); auto(value) }
             else n.asInt()).getOrElse(2)
           else 2
-        levenshtein(field(f), lit(value)) <= fuzziness
+        // `prefix_length`: candidates must share the first p characters
+        // (ES prunes the automaton; here it is a cheap conjunct evaluated
+        // BEFORE the levenshtein). `transpositions: true` (Damerau) is
+        // rejected loudly — this engine's distance is classic Levenshtein,
+        // i.e. ES's transpositions:false.
+        val prefixLen =
+          if (v.isObject) Option(v.get("prefix_length")).map(_.asInt()).getOrElse(0) else 0
+        if (v.isObject) Option(v.get("transpositions")).foreach(t => require(!t.asBoolean(),
+          "transpositions: true (Damerau) unsupported - distance is classic Levenshtein"))
+        val base = levenshtein(field(f), lit(value)) <= fuzziness
+        if (prefixLen == 0) base
+        else substring(field(f), 1, prefixLen) === lit(value.take(prefixLen)) && base
       case "nested" =>
         // predicate over child docs in an array-of-struct column: fields
         // inside rebind to struct members of the array element (`path.x`)

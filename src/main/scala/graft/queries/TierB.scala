@@ -3255,5 +3255,17 @@ object TierB {
           |  "analyzer": "english", "zero_terms_query": "all"}}},
           | "sort": ["doc_id"], "size": 100, "_source": ["doc_id", "lang"]}""".stripMargin),
       Some("""SELECT doc_id, lang FROM documents ORDER BY doc_id LIMIT 100""")),
+
+    // fuzzy prefix_length: candidates must share the first p chars before
+    // the edit-distance test (the ES automaton-pruning option).
+    Q("a153_es_json_fuzzy_prefix",
+      (s, d) => graft.dsl.EsQueryJson.search(ord(s, d),
+        """{"query": {"fuzzy": {"o_orderpriority":
+          |  {"value": "2-HIGHH", "fuzziness": 1, "prefix_length": 2}}},
+          | "sort": ["o_orderkey"], "size": 100, "_source": ["o_orderkey", "o_orderpriority"]}""".stripMargin),
+      Some("""SELECT o_orderkey, o_orderpriority FROM orders
+             |WHERE substr(o_orderpriority, 1, 2) = '2-'
+             |  AND levenshtein(o_orderpriority, '2-HIGHH') <= 1
+             |ORDER BY o_orderkey LIMIT 100""".stripMargin)),
   )
 }

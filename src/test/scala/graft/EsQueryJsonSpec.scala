@@ -37,6 +37,24 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("fuzzy prefix_length prunes non-matching prefixes; transpositions:true rejected") {
+    def ids(body: String) = EsQueryJson.search(orders, body)
+      .select("o_orderpriority").distinct().collect().map(_.getString(0)).toSet
+    // without prefix_length, "3-MEDIUMX" (1 edit) matches 3-MEDIUM
+    val loose = ids("""{"query": {"fuzzy": {"o_orderpriority":
+      | {"value": "3-MEDIUMX", "fuzziness": 1}}}}""".stripMargin)
+    assert(loose == Set("3-MEDIUM"))
+    // prefix_length 3 vs a value whose 3rd char differs -> nothing
+    val pruned = ids("""{"query": {"fuzzy": {"o_orderpriority":
+      | {"value": "3xMEDIUM", "fuzziness": 1, "prefix_length": 3}}}}""".stripMargin)
+    assert(pruned.isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      EsQueryJson.search(orders, """{"query": {"fuzzy": {"o_orderpriority":
+        | {"value": "x", "transpositions": true}}}}""".stripMargin)
+    }
+    assert(e.getMessage.contains("transpositions"))
+  }
+
   test("zero_terms_query: stopword-only english match -> all / none / loud default") {
     def q(extra: String) = EsQueryJson.search(orders.limit(50),
       s"""{"query": {"match": {"o_orderpriority":
