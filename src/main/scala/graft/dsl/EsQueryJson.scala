@@ -1698,7 +1698,9 @@ object EsQueryJson {
       case "extended_stats" =>
         // stats + POPULATION variance/std-dev (6 dp both engines) — the
         // exact ES-6.5 response moments (DuckDB var_pop/stddev_pop are the
-        // oracle twins; sample moments were the pre-round-8 interim)
+        // oracle twins; sample moments were the pre-round-8 interim).
+        // `sigma` adds the std_deviation_bounds columns (default 2σ).
+        val sigma = Option(spec.get("sigma")).map(_.asDouble())
         Seq(
           s"${aggName}_count" -> count(f),
           s"${aggName}_min" -> round(min(f), 4),
@@ -1706,7 +1708,12 @@ object EsQueryJson {
           s"${aggName}_sum" -> round(sum(f), 4),
           s"${aggName}_avg" -> round(avg(f), 6),
           s"${aggName}_variance" -> round(var_pop(f), 6),
-          s"${aggName}_std_deviation" -> round(stddev_pop(f), 6))
+          s"${aggName}_std_deviation" -> round(stddev_pop(f), 6)) ++
+          sigma.toSeq.flatMap { sg =>
+            Seq(
+              s"${aggName}_upper" -> round(avg(f) + lit(sg) * stddev_pop(f), 6),
+              s"${aggName}_lower" -> round(avg(f) - lit(sg) * stddev_pop(f), 6))
+          }
       case "percentiles" =>
         val pcts = Option(spec.get("percents"))
           .map(_.elements().asScala.map(_.asDouble()).toSeq)

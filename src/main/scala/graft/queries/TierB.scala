@@ -3267,5 +3267,23 @@ object TierB {
              |WHERE substr(o_orderpriority, 1, 2) = '2-'
              |  AND levenshtein(o_orderpriority, '2-HIGHH') <= 1
              |ORDER BY o_orderkey LIMIT 100""".stripMargin)),
+
+    // extended_stats `sigma`: the ±kσ std_deviation_bounds columns
+    // (population moments, 6 dp both engines).
+    Q("a154_es_json_extended_stats_sigma",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(li(s, d),
+        """{"aggs": {"q": {"terms": {"field": "l_returnflag", "size": 5},
+          | "aggs": {"es": {"extended_stats": {"field": "l_quantity", "sigma": 3}}}}}}""".stripMargin)("q"),
+      Some("""SELECT l_returnflag AS key, count(*) AS doc_count,
+             |       count(l_quantity) AS es_count,
+             |       round(min(l_quantity), 4) AS es_min,
+             |       round(max(l_quantity), 4) AS es_max,
+             |       round(sum(l_quantity), 4) AS es_sum,
+             |       round(avg(l_quantity), 6) AS es_avg,
+             |       round(var_pop(l_quantity), 6) AS es_variance,
+             |       round(stddev_pop(l_quantity), 6) AS es_std_deviation,
+             |       round(avg(l_quantity) + 3 * stddev_pop(l_quantity), 6) AS es_upper,
+             |       round(avg(l_quantity) - 3 * stddev_pop(l_quantity), 6) AS es_lower
+             |FROM lineitem GROUP BY key ORDER BY doc_count DESC, key LIMIT 5""".stripMargin)),
   )
 }
