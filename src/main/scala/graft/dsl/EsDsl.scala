@@ -297,15 +297,37 @@ object EsDsl {
     * Fully narrow: tokenize + posexplode inside codegen, no shuffle. */
   def analyzeApi(docs: DataFrame, idCol: Column, text: Column,
                  analyzer: String = "standard"): DataFrame = {
-    val toks = analyzer match {
-      case "standard"   => graft.ext.TextAnalysis.tokens(text)
-      case "whitespace" => filter(split(text, "\\s+"), t => t =!= "")
-      case "keyword"    => array(text)
-      case "english"    => graft.functions.TextKernels.englishTokens(text)
+    val out = analyzer match {
+      case "standard" =>
+        docs.select(idCol.as("doc_id"),
+          posexplode(graft.ext.TextAnalysis.tokens(text)).as(Seq("position", "token")))
+      case "whitespace" =>
+        docs.select(idCol.as("doc_id"),
+          posexplode(filter(split(text, "\\s+"), t => t =!= "")).as(Seq("position", "token")))
+      case "keyword" =>
+        docs.select(idCol.as("doc_id"),
+          posexplode(array(text)).as(Seq("position", "token")))
+      case "english" =>
+        // ES's english analyzer PRESERVES position increments across
+        // removed stopwords ("the quick fox" -> quick@1, fox@2, not 0,1):
+        // positions come from the pre-filter standard token stream, then
+        // the stopword filter drops rows and the S-stemmer rewrites the
+        // surviving tokens (same rules as TextKernels.stemEnglish)
+        val t = col("token")
+        val stemmed =
+          when(t.endsWith("ies") && !t.endsWith("eies") && !t.endsWith("aies"),
+            concat(t.substr(lit(1), length(t) - 3), lit("y")))
+          .when(t.endsWith("es") && !t.endsWith("aes") && !t.endsWith("ees") && !t.endsWith("oes"),
+            t.substr(lit(1), length(t) - 1))
+          .when(t.endsWith("s") && !t.endsWith("us") && !t.endsWith("ss"),
+            t.substr(lit(1), length(t) - 1))
+          .otherwise(t)
+        docs.select(idCol.as("doc_id"),
+            posexplode(graft.ext.TextAnalysis.tokens(text)).as(Seq("position", "token")))
+          .filter(!t.isin(graft.functions.TextKernels.englishStopwordList: _*))
+          .withColumn("token", stemmed)
       case other => throw new IllegalArgumentException(s"_analyze: unsupported analyzer $other")
     }
-    val out = docs.select(idCol.as("doc_id"),
-      posexplode(toks).as(Seq("position", "token")))
     val ttype =
       if (analyzer == "standard")
         when(col("token").rlike("^[0-9]+$"), "<NUM>").otherwise("<ALPHANUM>")

@@ -360,7 +360,22 @@ object EsQueryJson {
                 case other => throw new IllegalArgumentException(
                   s"unsupported zero_terms_query: $other")
               } else None
-            EsDsl.matchQueryEnglish(field(f), text.split("\\s+").toSeq, msm, ztq)
+            // msm counts ANALYZED optional clauses (stopword-filtered,
+            // stemmed, distinct) — like the cjk branch below, NOT the raw
+            // whitespace split textBoostMsm uses: "the quick foxes" with
+            // 100% must need 2 analyzed terms, not 3 raw ones
+            val enTotal = text.split("\\s+").toSeq.map(_.toLowerCase)
+              .filterNot(graft.functions.TextKernels.englishStopwords.contains)
+              .map(graft.functions.TextKernels.stemEnglish).distinct.length
+            val enOpAnd = v.isObject &&
+              Option(v.get("operator")).map(_.asText()).contains("and")
+            val enMsm =
+              if (enOpAnd) enTotal
+              else if (v.isObject)
+                Option(v.get("minimum_should_match"))
+                  .map(msmOf(_, enTotal)).getOrElse(1)
+              else 1
+            EsDsl.matchQueryEnglish(field(f), text.split("\\s+").toSeq, enMsm, ztq)
           case Some("cjk") =>
             // operator:and counts ANALYZED tokens (bigrams), not the
             // whitespace split the generic msm derivation uses
@@ -837,6 +852,11 @@ object EsQueryJson {
       case ("nested", nb) if nb.has("inner_hits") => nb
     } match {
       case Some(nb) =>
+        // fail loud: combining nested inner_hits with collapse.inner_hits
+        // would silently drop the collapse side (the _inner_list column
+        // attached by the collapse pass never explodes in this branch)
+        require(!limited.columns.contains("_inner_list"),
+          "nested-query inner_hits cannot be combined with collapse inner_hits")
         val path = nb.get("path").asText()
         val ih = nb.get("inner_hits")
         val ihSize = Option(ih.get("size")).map(_.asInt()).getOrElse(3)
@@ -929,21 +949,26 @@ object EsQueryJson {
     import org.apache.spark.sql.types._
     val sp = df.sparkSession
     import sp.implicits._
+    // ES has no array type: an array of scalars reports the ELEMENT type
+    // (array<string> is just a multi-valued "text" field); only arrays of
+    // objects are "nested"
+    def esType(dt: DataType): String = dt match {
+      case LongType                        => "long"
+      case IntegerType                     => "integer"
+      case DoubleType                      => "double"
+      case FloatType                       => "float"
+      case BooleanType                     => "boolean"
+      case StringType                      => "text"
+      case TimestampType | TimestampNTZType => "date"
+      case BinaryType                      => "binary"
+      case ArrayType(_: StructType, _)     => "nested"
+      case ArrayType(elem, _)              => esType(elem)
+      case _: MapType | _: StructType      => "object"
+      case other                           => other.simpleString
+    }
     df.schema.fields.toSeq.map { f =>
-      val es = f.dataType match {
-        case LongType                        => "long"
-        case IntegerType                     => "integer"
-        case DoubleType                      => "double"
-        case FloatType                       => "float"
-        case BooleanType                     => "boolean"
-        case StringType                      => "text"
-        case TimestampType | TimestampNTZType => "date"
-        case BinaryType                      => "binary"
-        case _: ArrayType                    => "nested"
-        case _: MapType | _: StructType      => "object"
-        case other                           => other.simpleString
-      }
-      (f.name, es, true, es != "text" && es != "object")
+      val es = esType(f.dataType)
+      (f.name, es, true, es != "text" && es != "object" && es != "nested")
     }.toDF("field", "es_type", "searchable", "aggregatable")
       .orderBy("field")
   }

@@ -96,7 +96,9 @@ object Corpus {
     val split = when(b < 100L - valPct - testPct, "train")
       .when(b < 100L - testPct, "validation").otherwise("test")
     df.select(sourceCol.as("source"), split.as("split"),
-        size(graft.ext.TextAnalysis.tokens(text)).as("_n"))
+        // null text must count 0 tokens (size() yields null/-1 on null
+        // input depending on legacy config; the oracle's sum skips nulls)
+        coalesce(size(graft.ext.TextAnalysis.tokens(text)), lit(0)).as("_n"))
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"), sum(col("_n").cast("long")).as("n_tokens"))
   }

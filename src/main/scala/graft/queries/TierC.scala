@@ -1126,7 +1126,7 @@ object TierC {
              |               i -> substr(word, i, 1) || ' ' || substr(word, i + 1, 1))) AS pair,
              |             freq
              |      FROM wc WHERE len(word) >= 2)
-             |SELECT pair, sum(freq) AS freq FROM p
+             |SELECT pair, CAST(sum(freq) AS BIGINT) AS freq FROM p
              |GROUP BY pair ORDER BY freq DESC, pair LIMIT 20""".stripMargin)),
 
     // URL canonicalization + URL-level dedup (the CCNet/RefinedWeb
@@ -1305,7 +1305,7 @@ object TierC {
              |             CASE WHEN rk % 16 < 8 THEN rk % 16
              |                  ELSE 15 - (rk % 16) END AS shard
              |      FROM r)
-             |SELECT shard, count(*) AS n_docs, sum(n) AS n_tokens,
+             |SELECT shard, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
              |       max(n) AS max_doc_tokens
              |FROM s GROUP BY shard ORDER BY shard""".stripMargin)),
 
@@ -1322,7 +1322,7 @@ object TierC {
              |        ORDER BY f DESC, tok LIMIT 16)),
              |p AS (SELECT doc_id, unnest(w) AS tok FROM toks)
              |SELECT doc_id, count(*) AS n_tokens,
-             |       sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) AS n_oov,
+             |       CAST(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
              |       round(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) * 1.0
              |             / count(*), 6) AS oov_rate
              |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
@@ -1425,7 +1425,7 @@ object TierC {
              |              x -> x <> '')) AS BIGINT) AS n
              |  FROM documents)
              |SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
-             |       count(*) AS n_docs, sum(n) AS n_tokens,
+             |       count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
              |       round(sum(n) * 1.0 / count(*), 4) AS avg_doc_tokens
              |FROM d GROUP BY CUBE (source, lang)
              |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin)),
@@ -1724,8 +1724,8 @@ object TierC {
         maxEpochs = 2.0),
       Some("""WITH n AS (
              |  SELECT source,
-             |         sum(len(list_filter(string_split_regex(lower(text), '\W+'),
-             |             x -> x <> ''))) AS n_tokens
+             |         CAST(sum(len(list_filter(string_split_regex(lower(text), '\W+'),
+             |             x -> x <> ''))) AS BIGINT) AS n_tokens
              |  FROM documents GROUP BY source),
              |p AS (SELECT source, n_tokens, pow(CAST(n_tokens AS DOUBLE), 0.5) AS p FROM n),
              |t AS (SELECT sum(p) AS tp FROM p),

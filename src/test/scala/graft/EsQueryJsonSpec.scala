@@ -13,13 +13,17 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     val sp = spark
     import sp.implicits._
     val df = Seq((1L, "t", Seq(1.0), Map("k" -> "v"),
-      new java.sql.Timestamp(0L), 1.5f, true))
-      .toDF("id", "txt", "arr", "m", "ts", "f", "b")
+      new java.sql.Timestamp(0L), 1.5f, true, Seq("a"), Seq((1L, "x"))))
+      .toDF("id", "txt", "arr", "m", "ts", "f", "b", "tags", "objs")
     val caps = EsQueryJson.fieldCaps(df).collect()
       .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2), r.getBoolean(3)))).toMap
     assert(caps("id") == (("long", true, true)))
     assert(caps("txt") == (("text", true, false)))   // text: no fielddata -> not aggregatable
-    assert(caps("arr") == (("nested", true, true)))
+    // ES has no array type: arrays of scalars report the element type
+    // (multi-valued field); only arrays of objects are nested
+    assert(caps("arr") == (("double", true, true)))
+    assert(caps("tags") == (("text", true, false)))
+    assert(caps("objs") == (("nested", true, false)))
     assert(caps("m") == (("object", true, false)))
     assert(caps("ts") == (("date", true, true)))
     assert(caps("f") == (("float", true, true)))

@@ -425,6 +425,11 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(ws == Seq("Spark", "42", "runs")) // no lowercasing, ES semantics
     val kw = EsDsl.analyzeApi(docs, col("doc_id"), col("text"), "keyword").collect()
     assert(kw.length == 1 && kw(0).getString(2) == "Spark 42 runs")
+    // english: stopword GAPS survive in positions (ES position increments)
+    val en = EsDsl.analyzeApi(Seq((1L, "the quick brown foxes")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), "english")
+      .orderBy("position").collect().map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(en == Seq((1, "quick"), (2, "brown"), (3, "foxe")))
   }
 
   test("terminate_after caps per shard and flags only capped shards") {
