@@ -463,14 +463,17 @@ object EsQueryJson {
           else 2
         // `prefix_length`: candidates must share the first p characters
         // (ES prunes the automaton; here it is a cheap conjunct evaluated
-        // BEFORE the levenshtein). `transpositions: true` (Damerau) is
-        // rejected loudly — this engine's distance is classic Levenshtein,
-        // i.e. ES's transpositions:false.
+        // BEFORE the edit distance). `transpositions` defaults TRUE as in
+        // ES 6.5 — Damerau distance (a swapped adjacent pair = 1 edit);
+        // `transpositions: false` opts back into classic Levenshtein.
         val prefixLen =
           if (v.isObject) Option(v.get("prefix_length")).map(_.asInt()).getOrElse(0) else 0
-        if (v.isObject) Option(v.get("transpositions")).foreach(t => require(!t.asBoolean(),
-          "transpositions: true (Damerau) unsupported - distance is classic Levenshtein"))
-        val base = levenshtein(field(f), lit(value)) <= fuzziness
+        val transpositions =
+          if (v.isObject) Option(v.get("transpositions")).forall(_.asBoolean()) else true
+        val dist =
+          if (transpositions) graft.functions.EditDistance.damerauLev(field(f), lit(value))
+          else levenshtein(field(f), lit(value))
+        val base = dist <= fuzziness
         if (prefixLen == 0) base
         else substring(field(f), 1, prefixLen) === lit(value.take(prefixLen)) && base
       case "nested" =>

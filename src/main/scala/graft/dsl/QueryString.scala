@@ -274,8 +274,12 @@ object QueryString {
           case "<=" => fld(f) <= b
           case "<" => fld(f) < b
         }
-      case Fuzzy(Some(f), t, n) => levenshtein(fld(f), lit(t)) <= n
-      case Fuzzy(None, t, n) => overDefaults(levenshtein(_, lit(t)) <= n)
+      // Lucene's `~` fuzzy defaults to transpositions (Damerau), same as
+      // the fuzzy query's ES-6.5 default
+      case Fuzzy(Some(f), t, n) =>
+        graft.functions.EditDistance.damerauLev(fld(f), lit(t)) <= n
+      case Fuzzy(None, t, n) =>
+        overDefaults(graft.functions.EditDistance.damerauLev(_, lit(t)) <= n)
     }
     go(n)
   }

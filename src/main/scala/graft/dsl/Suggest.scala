@@ -35,11 +35,13 @@ object Suggest {
       .agg(count_distinct(col("_doc")).as("doc_freq"), count(lit(1)).as("term_freq"))
 
   /** ES term suggester, `sort: frequency` mode: for each token of the
-    * suggest text, corpus terms within `maxEdits` Levenshtein edits
-    * (excluding the token itself), ranked by doc_freq desc, distance asc,
+    * suggest text, corpus terms within `maxEdits` DAMERAU edits (ES's
+    * `string_distance: internal` counts a transposition as one edit;
+    * excluding the token itself), ranked by doc_freq desc, distance asc,
     * term asc; top `size` per token. The length pre-filter bounds the
-    * Levenshtein evaluations (|len(term) − len(token)| ≤ maxEdits is a
-    * necessary condition for distance ≤ maxEdits). */
+    * distance evaluations (|len(term) − len(token)| ≤ maxEdits is a
+    * necessary condition for Damerau distance ≤ maxEdits — transpositions
+    * preserve length). */
   def termSuggest(df: DataFrame, idCol: Column, field: Column, text: String,
                   size: Int = 5, maxEdits: Int = 2,
                   mode: String = "always"): DataFrame = {
@@ -52,8 +54,9 @@ object Suggest {
     val cands = vocabulary(df, idCol, field)
       .join(broadcast(inputs),
         abs(length(col("term")) - length(col("token"))) <= maxEdits &&
-          levenshtein(col("term"), col("token")) <= maxEdits)
-      .withColumn("distance", levenshtein(col("term"), col("token")))
+          graft.functions.EditDistance.damerauLev(col("term"), col("token")) <= maxEdits)
+      .withColumn("distance",
+        graft.functions.EditDistance.damerauLev(col("term"), col("token")))
       .withColumn("_in_df", coalesce(
         max(when(col("distance") === 0, col("doc_freq")))
           .over(Window.partitionBy("token")), lit(0L)))
@@ -118,7 +121,7 @@ object Suggest {
     val cands = vocab
       .join(broadcast(inputs),
         abs(length(col("term")) - length(col("token"))) <= maxEdits &&
-          levenshtein(col("term"), col("token")) <= maxEdits)
+          graft.functions.EditDistance.damerauLev(col("term"), col("token")) <= maxEdits)
       .withColumn("rank", row_number().over(
         Window.partitionBy("pos").orderBy(desc("doc_freq"), col("term"))))
       .filter(col("rank") <= shardSize)

@@ -301,7 +301,7 @@ object TierB {
           | "sort": ["p_partkey"], "size": 50}""".stripMargin)
         .select(col("p_partkey"), col("p_brand"), col("p_retailprice"), col("p_size")),
       Some("""SELECT p_partkey, p_brand, p_retailprice, p_size FROM part
-             |WHERE levenshtein(p_brand, 'Brand#43') <= 1
+             |WHERE damerau_levenshtein(p_brand, 'Brand#43') <= 1
              |  AND p_retailprice >= 900 AND p_retailprice < 1500
              |  AND p_size >= 25
              |ORDER BY p_partkey LIMIT 50""".stripMargin)),
@@ -569,10 +569,10 @@ object TierB {
              |vocab AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM td GROUP BY term),
              |inp AS (SELECT unnest(['sprk','tabel']) AS token),
              |cand AS (
-             |  SELECT token, term, levenshtein(term, token) AS distance, doc_freq
+             |  SELECT token, term, damerau_levenshtein(term, token) AS distance, doc_freq
              |  FROM vocab CROSS JOIN inp
              |  WHERE abs(length(term) - length(token)) <= 2 AND term <> token
-             |    AND levenshtein(term, token) <= 2),
+             |    AND damerau_levenshtein(term, token) <= 2),
              |r AS (SELECT token, term, distance, doc_freq,
              |        row_number() OVER (PARTITION BY token
              |          ORDER BY doc_freq DESC, distance, term) AS rank
@@ -608,11 +608,11 @@ object TierB {
              |vocab AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM td GROUP BY term),
              |c0 AS (SELECT term FROM (
              |  SELECT term, row_number() OVER (ORDER BY doc_freq DESC, term) AS rn
-             |  FROM vocab WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'sprk') <= 2)
+             |  FROM vocab WHERE abs(length(term) - 4) <= 2 AND damerau_levenshtein(term, 'sprk') <= 2)
              |  WHERE rn <= 5),
              |c1 AS (SELECT term FROM (
              |  SELECT term, row_number() OVER (ORDER BY doc_freq DESC, term) AS rn
-             |  FROM vocab WHERE abs(length(term) - 6) <= 2 AND levenshtein(term, 'querry') <= 2)
+             |  FROM vocab WHERE abs(length(term) - 6) <= 2 AND damerau_levenshtein(term, 'querry') <= 2)
              |  WHERE rn <= 5),
              |bg AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
              |                i -> w[i] || ' ' || w[i+1])) AS gram FROM toks),
@@ -1338,7 +1338,7 @@ object TierB {
           | "sort": ["p_partkey"], "size": 100}""".stripMargin)
         .select(col("p_partkey"), col("p_name")),
       Some("""SELECT p_partkey, p_name FROM part
-             |WHERE levenshtein(p_name, 'red bolt') <= 2
+             |WHERE damerau_levenshtein(p_name, 'red bolt') <= 2
              |ORDER BY p_partkey LIMIT 100""".stripMargin)),
 
     // percentiles_bucket sibling: exact percentiles over another agg's
@@ -1648,7 +1648,7 @@ object TierB {
           | "sort": ["p_partkey"], "size": 100}""".stripMargin)
         .select(col("p_partkey"), col("p_name")),
       Some("""SELECT p_partkey, p_name FROM part
-             |WHERE levenshtein(p_name, 'red bolt') <= 2
+             |WHERE damerau_levenshtein(p_name, 'red bolt') <= 2
              |ORDER BY p_partkey LIMIT 100""".stripMargin)),
 
     // ES-JSON significant_terms: the body's query scopes the foreground,
@@ -1999,12 +1999,12 @@ object TierB {
     // ES `fuzzy` query: edit-distance match on a keyword field.
     Q("b27_fuzzy",
       (s, d) => Tables.part(s, d)
-        .withColumn("dist", levenshtein(col("p_name"), lit("red bolt")))
+        .withColumn("dist", graft.functions.EditDistance.damerauLev(col("p_name"), lit("red bolt")))
         .filter(col("dist") <= 2)
         .select(col("p_partkey"), col("p_name"), col("dist"))
         .orderBy("p_partkey").limit(100),
-      Some("""SELECT p_partkey, p_name, CAST(levenshtein(p_name, 'red bolt') AS INT) AS dist
-             |FROM part WHERE levenshtein(p_name, 'red bolt') <= 2
+      Some("""SELECT p_partkey, p_name, CAST(damerau_levenshtein(p_name, 'red bolt') AS INT) AS dist
+             |FROM part WHERE damerau_levenshtein(p_name, 'red bolt') <= 2
              |ORDER BY p_partkey LIMIT 100""".stripMargin)),
 
     Q("b21_join_revenue",
@@ -2283,15 +2283,15 @@ object TierB {
              |vocab AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM td GROUP BY term),
              |c0 AS (SELECT term FROM (
              |  SELECT term, row_number() OVER (ORDER BY doc_freq DESC, term) AS rn
-             |  FROM vocab WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'sprk') <= 2)
+             |  FROM vocab WHERE abs(length(term) - 4) <= 2 AND damerau_levenshtein(term, 'sprk') <= 2)
              |  WHERE rn <= 5),
              |c1 AS (SELECT term FROM (
              |  SELECT term, row_number() OVER (ORDER BY doc_freq DESC, term) AS rn
-             |  FROM vocab WHERE abs(length(term) - 6) <= 2 AND levenshtein(term, 'querry') <= 2)
+             |  FROM vocab WHERE abs(length(term) - 6) <= 2 AND damerau_levenshtein(term, 'querry') <= 2)
              |  WHERE rn <= 5),
              |c2 AS (SELECT term FROM (
              |  SELECT term, row_number() OVER (ORDER BY doc_freq DESC, term) AS rn
-             |  FROM vocab WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'tble') <= 2)
+             |  FROM vocab WHERE abs(length(term) - 4) <= 2 AND damerau_levenshtein(term, 'tble') <= 2)
              |  WHERE rn <= 5),
              |bg AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
              |                i -> w[i] || ' ' || w[i+1])) AS gram FROM toks),
@@ -3131,10 +3131,10 @@ object TierB {
              |indf AS (SELECT token, COALESCE(max(doc_freq), 0) AS in_df
              |         FROM inp LEFT JOIN vocab ON term = token GROUP BY token),
              |cand AS (
-             |  SELECT i.token, term, levenshtein(term, i.token) AS distance, doc_freq
+             |  SELECT i.token, term, damerau_levenshtein(term, i.token) AS distance, doc_freq
              |  FROM vocab CROSS JOIN inp i JOIN indf ON indf.token = i.token
              |  WHERE abs(length(term) - length(i.token)) <= 2 AND term <> i.token
-             |    AND levenshtein(term, i.token) <= 2
+             |    AND damerau_levenshtein(term, i.token) <= 2
              |    AND doc_freq > in_df),
              |r AS (SELECT token, term, distance, doc_freq,
              |        row_number() OVER (PARTITION BY token
@@ -3265,7 +3265,20 @@ object TierB {
           | "sort": ["o_orderkey"], "size": 100, "_source": ["o_orderkey", "o_orderpriority"]}""".stripMargin),
       Some("""SELECT o_orderkey, o_orderpriority FROM orders
              |WHERE substr(o_orderpriority, 1, 2) = '2-'
-             |  AND levenshtein(o_orderpriority, '2-HIGHH') <= 1
+             |  AND damerau_levenshtein(o_orderpriority, '2-HIGHH') <= 1
+             |ORDER BY o_orderkey LIMIT 100""".stripMargin)),
+
+    // fuzzy `transpositions` (ES 6.5 default TRUE): a swapped adjacent
+    // pair is ONE Damerau edit — "2-HGIH" matches "2-HIGH" at fuzziness 1
+    // where classic Levenshtein needs 2. Oracle mirrors DuckDB's
+    // damerau_levenshtein (the same true-DL variant as the kernel).
+    Q("a155_es_json_fuzzy_transpositions",
+      (s, d) => graft.dsl.EsQueryJson.search(ord(s, d),
+        """{"query": {"fuzzy": {"o_orderpriority":
+          |  {"value": "2-HGIH", "fuzziness": 1}}},
+          | "sort": ["o_orderkey"], "size": 100, "_source": ["o_orderkey", "o_orderpriority"]}""".stripMargin),
+      Some("""SELECT o_orderkey, o_orderpriority FROM orders
+             |WHERE damerau_levenshtein(o_orderpriority, '2-HGIH') <= 1
              |ORDER BY o_orderkey LIMIT 100""".stripMargin)),
 
     // extended_stats `sigma`: the ±kσ std_deviation_bounds columns

@@ -41,7 +41,7 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
-  test("fuzzy prefix_length prunes non-matching prefixes; transpositions:true rejected") {
+  test("fuzzy prefix_length prunes non-matching prefixes; transpositions default Damerau") {
     def ids(body: String) = EsQueryJson.search(orders, body)
       .select("o_orderpriority").distinct().collect().map(_.getString(0)).toSet
     // without prefix_length, "3-MEDIUMX" (1 edit) matches 3-MEDIUM
@@ -52,11 +52,31 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     val pruned = ids("""{"query": {"fuzzy": {"o_orderpriority":
       | {"value": "3xMEDIUM", "fuzziness": 1, "prefix_length": 3}}}}""".stripMargin)
     assert(pruned.isEmpty)
-    val e = intercept[IllegalArgumentException] {
-      EsQueryJson.search(orders, """{"query": {"fuzzy": {"o_orderpriority":
-        | {"value": "x", "transpositions": true}}}}""".stripMargin)
-    }
-    assert(e.getMessage.contains("transpositions"))
+    // ES default transpositions:true — a swapped pair is ONE edit
+    val swapped = ids("""{"query": {"fuzzy": {"o_orderpriority":
+      | {"value": "2-HGIH", "fuzziness": 1}}}}""".stripMargin)
+    assert(swapped == Set("2-HIGH"))
+    // transpositions:false opts back into classic Levenshtein (2 edits)
+    val classic = ids("""{"query": {"fuzzy": {"o_orderpriority":
+      | {"value": "2-HGIH", "fuzziness": 1, "transpositions": false}}}}""".stripMargin)
+    assert(classic.isEmpty)
+  }
+
+  test("damerau kernel: true (unrestricted) DL matching DuckDB's variant") {
+    import graft.functions.EditDistance.damerauStr
+    assert(damerauStr("ab", "ba") == 1)       // transposition = 1 edit
+    assert(damerauStr("abcd", "acbd") == 1)
+    assert(damerauStr("ca", "abc") == 2)      // true DL (OSA would say 3)
+    assert(damerauStr("kitten", "sitting") == 3)
+    assert(damerauStr("", "abc") == 3 && damerauStr("abc", "") == 3)
+    assert(damerauStr("same", "same") == 0)
+    // codegen'd column expression agrees with the scala kernel
+    val sp = spark
+    import sp.implicits._
+    val got = Seq(("ab", "ba"), ("ca", "abc"), ("x", "x")).toDF("a", "b")
+      .select(graft.functions.EditDistance.damerauLev(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 2, 0))
   }
 
   test("zero_terms_query: stopword-only english match -> all / none / loud default") {
