@@ -57,6 +57,43 @@ object EsQueryJson {
   def withScripts[T](scripts: (String, String)*)(f: => T): T =
     storedScripts.withValue(scripts.toMap)(f)
 
+  /** Custom-analyzer registry for the `synonym` token filter — the day-one
+    * ES index configuration this engine previously lacked. An analyzer
+    * name registered here is usable wherever a body says `"analyzer":
+    * "<name>"`; its behavior is standard tokenization + SEARCH-TIME
+    * synonym expansion (the ES `synonym` filter on a search analyzer):
+    * each query term expands to its synonym set and matches if the doc
+    * contains ANY member; msm counts original term positions, exactly as
+    * ES counts one position per expanded synonym group.
+    *
+    * Rules use Lucene/Solr synonym syntax, one rule per string:
+    *   - `"quick, fast, speedy"` — equivalence class: each member expands
+    *     to the whole class;
+    *   - `"db, rdbms => database"` — explicit mapping: LHS terms are
+    *     REPLACED by the RHS set (LHS no longer matches itself unless
+    *     listed on the RHS).
+    * Scoped like [[withTables]]: `withSynonyms("syn", rules) { search(...) }`.
+    */
+  private val synonymAnalyzers =
+    new scala.util.DynamicVariable[Map[String, Map[String, Seq[String]]]](Map.empty)
+
+  def withSynonyms[T](name: String, rules: Seq[String])(f: => T): T = {
+    val m = scala.collection.mutable.Map.empty[String, Seq[String]]
+    rules.foreach { rule =>
+      def toks(s: String) = s.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
+      rule.split("=>") match {
+        case Array(lhs, rhs) =>
+          val to = toks(rhs)
+          toks(lhs).foreach(t => m(t) = (m.getOrElse(t, Seq.empty) ++ to).distinct)
+        case Array(eq) =>
+          val cls = toks(eq)
+          cls.foreach(t => m(t) = (m.getOrElse(t, Seq.empty) ++ cls).distinct)
+        case _ => throw new IllegalArgumentException(s"bad synonym rule: $rule")
+      }
+    }
+    synonymAnalyzers.withValue(synonymAnalyzers.value + (name -> m.toMap))(f)
+  }
+
   /** Script node → painless source: inline string, `{"source": ...}`, or
     * a stored-script `{"id": ...}` reference. */
   private def scriptSource(sNode: JsonNode): String =
@@ -352,6 +389,26 @@ object EsQueryJson {
         val (text, _, msm) = textBoostMsm(v)
         val analyzer = if (v.isObject) Option(v.get("analyzer")).map(_.asText()) else None
         analyzer match {
+          case Some(name) if synonymAnalyzers.value.contains(name) =>
+            // search-time synonym expansion: one clause per ORIGINAL query
+            // term position (ES's msm counting over synonym groups); a
+            // clause matches if the doc contains any member of the set
+            val syn = synonymAnalyzers.value(name)
+            val qTerms = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq.distinct
+            require(qTerms.nonEmpty, "synonym match needs at least one query term")
+            val synOpAnd = v.isObject &&
+              Option(v.get("operator")).map(_.asText()).contains("and")
+            val synMsm =
+              if (synOpAnd) qTerms.length
+              else if (v.isObject)
+                Option(v.get("minimum_should_match"))
+                  .map(msmOf(_, qTerms.length)).getOrElse(1)
+              else 1
+            val docToks = graft.ext.TextAnalysis.tokens(field(f))
+            qTerms.map { t =>
+              val set = syn.getOrElse(t, Seq(t))
+              arrays_overlap(docToks, lit(set.toArray)).cast("int")
+            }.reduce(_ + _) >= synMsm
           case Some("english") =>
             val ztq = if (v.isObject)
               Option(v.get("zero_terms_query")).map(_.asText()).map {
@@ -396,7 +453,8 @@ object EsQueryJson {
             // field one term — the match degenerates to exact equality
             field(f) === lit(text)
           case Some(other) => throw new IllegalArgumentException(
-            s"unsupported analyzer: $other (english/cjk/whitespace/keyword beyond the default)")
+            s"unsupported analyzer: $other (english/cjk/whitespace/keyword or a " +
+              "withSynonyms-registered analyzer beyond the default)")
           case None => EsDsl.matchQuery(field(f), text.split("\\s+").toSeq, msm)
         }
       case "match_phrase" =>
@@ -1901,7 +1959,14 @@ object EsQueryJson {
         }
       case "date_histogram" =>
         val interval = Option(spec.get("calendar_interval")).getOrElse(spec.get("interval")).asText()
-        val f = field(spec.get("field").asText())
+        val f0 = field(spec.get("field").asText())
+        // `time_zone`: buckets align to LOCAL interval boundaries and keys
+        // come back as the UTC instant of the local bucket start — convert
+        // to the zone, truncate there, convert back (the ES rounding
+        // pipeline; offset applies AFTER the zone conversion, as in ES)
+        val tz = Option(spec.get("time_zone")).map(_.asText())
+        val f = tz.map(z => from_utc_timestamp(f0, z)).getOrElse(f0)
+        def backToUtc(c: Column) = tz.map(z => to_utc_timestamp(c, z)).getOrElse(c)
         // `offset` ("+6h"/"-1d"/"+30m"): bucket = trunc(ts − off) + off
         Option(spec.get("offset")).map(_.asText()) match {
           case Some(off) =>
@@ -1915,8 +1980,8 @@ object EsQueryJson {
             val iv = expr(s"INTERVAL '$n' $unit")
             val shifted = if (neg) f + iv else f - iv
             val bucket = EsDsl.dateHistogramBucket(shifted, interval)
-            (if (neg) bucket - iv else bucket + iv).as(name)
-          case None => EsDsl.dateHistogramBucket(f, interval).as(name)
+            backToUtc(if (neg) bucket - iv else bucket + iv).as(name)
+          case None => backToUtc(EsDsl.dateHistogramBucket(f, interval)).as(name)
         }
       case "geotile_grid" =>
         val f = spec.get("field").asText()

@@ -3281,6 +3281,39 @@ object TierB {
              |WHERE damerau_levenshtein(o_orderpriority, '2-HGIH') <= 1
              |ORDER BY o_orderkey LIMIT 100""".stripMargin)),
 
+    // synonym token filter (search-time expansion): the query term
+    // "rapid" appears nowhere in the corpus — every hit matches ONLY via
+    // the registered synonym class {rapid, quick, spark}. msm counts
+    // original term positions ("rapid zebra" operator:and needs both).
+    Q("a156_es_json_synonym",
+      (s, d) => graft.dsl.EsQueryJson.withSynonyms("syn",
+        Seq("rapid, quick, spark")) {
+        graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+          """{"query": {"match": {"text": {"query": "rapid", "analyzer": "syn"}}},
+            | "sort": ["doc_id"], "_source": ["doc_id", "lang"]}""".stripMargin)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents)
+             |SELECT doc_id, lang FROM t
+             |WHERE len(list_intersect(w, ['rapid', 'quick', 'spark'])) > 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    // date_histogram `time_zone`: day buckets aligned to LOCAL midnight in
+    // a +05:30 zone (keys are the UTC instants of local bucket starts —
+    // 18:30 UTC of the prior day), metric sub-agg rides along unaffected.
+    // Fixed-offset zone keeps the oracle pure interval arithmetic (the
+    // sandbox DuckDB has no ICU tz database).
+    Q("a157_es_json_date_histogram_tz",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.events(s, d),
+        """{"aggs": {"h": {"date_histogram": {"field": "ts",
+          |   "calendar_interval": "day", "time_zone": "+05:30"},
+          |  "aggs": {"v": {"sum": {"field": "value"}}}}}}""".stripMargin)("h"),
+      Some("""SELECT date_trunc('day', ts + INTERVAL 330 MINUTE) - INTERVAL 330 MINUTE AS key,
+             |       count(*) AS doc_count, round(sum(value), 4) AS v
+             |FROM events GROUP BY key ORDER BY key""".stripMargin)),
+
     // extended_stats `sigma`: the ±kσ std_deviation_bounds columns
     // (population moments, 6 dp both engines).
     Q("a154_es_json_extended_stats_sigma",

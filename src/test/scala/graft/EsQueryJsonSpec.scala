@@ -62,6 +62,33 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(classic.isEmpty)
   }
 
+  test("synonym analyzer: expansion classes, explicit mapping, msm over positions") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "spark engines win"), (2L, "fast zebra runs"),
+      (3L, "database admin"), (4L, "db admin"), (5L, "nothing here"))
+      .toDF("doc_id", "text")
+    def ids(body: String) = EsQueryJson.withSynonyms("syn",
+      Seq("rapid, quick, spark", "fast => quick", "db, rdbms => database")) {
+      EsQueryJson.search(docs, body)
+    }.select("doc_id").collect().map(_.getLong(0)).toSet
+    // equivalence class: "rapid" matches docs containing spark
+    assert(ids("""{"query": {"match": {"text": {"query": "rapid", "analyzer": "syn"}}}}""") == Set(1L))
+    // explicit mapping: "fast" is REPLACED by quick -> doc 2's literal
+    // "fast" no longer matches itself
+    assert(ids("""{"query": {"match": {"text": {"query": "fast", "analyzer": "syn"}}}}""") == Set.empty)
+    // db => database: query "rdbms" finds the database doc, not the db doc
+    assert(ids("""{"query": {"match": {"text": {"query": "rdbms", "analyzer": "syn"}}}}""") == Set(3L))
+    // msm over original positions: both terms required under operator:and
+    assert(ids("""{"query": {"match": {"text":
+      | {"query": "rapid zebra", "analyzer": "syn", "operator": "and"}}}}""".stripMargin) == Set.empty)
+    assert(ids("""{"query": {"match": {"text":
+      | {"query": "rapid engines", "analyzer": "syn", "operator": "and"}}}}""".stripMargin) == Set(1L))
+    // unregistered term passes through unexpanded
+    assert(ids("""{"query": {"match": {"text": {"query": "admin", "analyzer": "syn"}}}}""") == Set(3L, 4L))
+  }
+
   test("damerau kernel: true (unrestricted) DL matching DuckDB's variant") {
     import graft.functions.EditDistance.damerauStr
     assert(damerauStr("ab", "ba") == 1)       // transposition = 1 edit
