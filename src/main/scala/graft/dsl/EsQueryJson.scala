@@ -638,9 +638,32 @@ object EsQueryJson {
         maxEdits = Option(p.get("max_edits")).map(_.asInt()).getOrElse(1))
     } else if (spec.has("completion")) {
       val c = spec.get("completion")
+      // `fuzzy` may be `true` (defaults: fuzziness AUTO over the prefix
+      // length, prefix_length 1) or an options object, as in ES
+      val prefix = spec.get("prefix").asText()
+      def autoFuzz = if (prefix.length < 3) 0 else if (prefix.length <= 5) 1 else 2
+      val (fz, fpl) = Option(c.get("fuzzy")) match {
+        case None => (0, 1)
+        case Some(fn) if fn.isBoolean =>
+          (if (fn.asBoolean()) autoFuzz else 0, 1)
+        case Some(fn) =>
+          (Option(fn.get("fuzziness")).map(n =>
+            if (n.isTextual) { require(n.asText() == "AUTO",
+              s"fuzziness must be an int or AUTO, got ${n.asText()}"); autoFuzz }
+            else n.asInt()).getOrElse(autoFuzz),
+           Option(fn.get("prefix_length")).map(_.asInt()).getOrElse(1))
+      }
+      val ctxs = Option(c.get("contexts")).toSeq.flatMap(cn =>
+        cn.fieldNames().asScala.toSeq.map { fn =>
+          val vals = cn.get(fn)
+          val vs = if (vals.isArray) vals.elements().asScala.map(_.asText()).toSeq
+                   else Seq(vals.asText())
+          (field(fn), vs)
+        })
       Suggest.completionSuggest(df, idCol, field(c.get("field").asText()),
-        spec.get("prefix").asText(),
-        size = Option(c.get("size")).map(_.asInt()).getOrElse(5))
+        prefix,
+        size = Option(c.get("size")).map(_.asInt()).getOrElse(5),
+        fuzziness = fz, fuzzyPrefixLength = fpl, contexts = ctxs)
     } else sys.error(s"unsupported suggester: ${spec.fieldNames().asScala.toSeq}")
   }
 

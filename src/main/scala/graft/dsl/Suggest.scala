@@ -77,14 +77,49 @@ object Suggest {
 
   /** ES completion suggester: prefix completions from the corpus term
     * dictionary weighted by total term frequency, top `size` by weight
-    * desc, term asc. Sort-limit — no window. */
+    * desc, term asc. Sort-limit — no window.
+    *
+    * ES 6.5 extensions:
+    *  - `fuzziness` > 0: tolerant prefix match — a term completes the
+    *    typed prefix if SOME prefix of the term (length within ±fuzziness
+    *    of the typed length, insertions/deletions shift it) is within
+    *    `fuzziness` Damerau edits of the input; the first
+    *    `fuzzyPrefixLength` characters must still match exactly (ES's
+    *    fuzzy.prefix_length default 1 — prunes the automaton, and here
+    *    prunes before any distance evaluation).
+    *  - `contexts`: (column, allowed values) pre-filters the corpus BEFORE
+    *    the vocabulary aggregation — the ES context-filtered completion
+    *    index. A context filter both narrows candidates and changes
+    *    weights to in-context frequencies, exactly like a per-context
+    *    completion field.
+    * Scale shape unchanged: context filter pushes into the scan; the fuzzy
+    * distance evaluates on the DISTINCT vocabulary (post-aggregation),
+    * ≤ 2·fuzziness+1 short-prefix Damerau calls per distinct term. */
   def completionSuggest(df: DataFrame, idCol: Column, field: Column,
-                        prefix: String, size: Int = 5): DataFrame =
-    vocabulary(df, idCol, field)
-      .filter(col("term").startsWith(prefix.toLowerCase))
+                        prefix: String, size: Int = 5,
+                        fuzziness: Int = 0, fuzzyPrefixLength: Int = 1,
+                        contexts: Seq[(Column, Seq[String])] = Nil): DataFrame = {
+    val p = prefix.toLowerCase
+    val scoped = contexts.foldLeft(df) { case (acc, (c, vs)) =>
+      acc.filter(c.isin(vs: _*))
+    }
+    val matches =
+      if (fuzziness == 0) col("term").startsWith(p)
+      else {
+        val exact = substring(col("term"), 1, fuzzyPrefixLength) ===
+          lit(p.take(fuzzyPrefixLength))
+        val lens = (math.max(fuzzyPrefixLength, p.length - fuzziness) to
+          (p.length + fuzziness)).toSeq
+        val dists = lens.map(j => graft.functions.EditDistance.damerauLev(
+          substring(col("term"), 1, j), lit(p)))
+        exact && dists.reduce(least(_, _)) <= fuzziness
+      }
+    vocabulary(scoped, idCol, field)
+      .filter(matches)
       .orderBy(desc("term_freq"), col("term"))
       .limit(size)
       .select(col("term").as("suggestion"), col("term_freq").as("weight"))
+  }
 
   /** ES phrase suggester (n-token form): per-position candidates within
     * `maxEdits` (the original token included, ES `always` mode), top

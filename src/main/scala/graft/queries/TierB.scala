@@ -3314,6 +3314,28 @@ object TierB {
              |       count(*) AS doc_count, round(sum(value), 4) AS v
              |FROM events GROUP BY key ORDER BY key""".stripMargin)),
 
+    // completion suggester, fuzzy + contexts: the typo'd prefix "sprk"
+    // still completes to spark-ish vocabulary (some term prefix within 1
+    // Damerau edit, first char exact), and the `lang` context restricts
+    // the dictionary to en docs — weights become in-context frequencies.
+    Q("a158_es_json_completion_fuzzy_ctx",
+      (s, d) => graft.dsl.EsQueryJson.suggest(Tables.documents(s, d),
+        """{"suggest": {"c": {"prefix": "sprk",
+          |  "completion": {"field": "text", "size": 5,
+          |    "fuzzy": {"fuzziness": 1, "prefix_length": 1},
+          |    "contexts": {"lang": ["en"]}}}}}""".stripMargin),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents WHERE lang = 'en'
+             |), td AS (SELECT doc_id, unnest(w) AS term FROM toks),
+             |vocab AS (SELECT term, count(*) AS weight FROM td GROUP BY term)
+             |SELECT term AS suggestion, weight FROM vocab
+             |WHERE substr(term, 1, 1) = 's'
+             |  AND least(damerau_levenshtein(substr(term, 1, 3), 'sprk'),
+             |            damerau_levenshtein(substr(term, 1, 4), 'sprk'),
+             |            damerau_levenshtein(substr(term, 1, 5), 'sprk')) <= 1
+             |ORDER BY weight DESC, suggestion LIMIT 5""".stripMargin)),
+
     // extended_stats `sigma`: the ±kσ std_deviation_bounds columns
     // (population moments, 6 dp both engines).
     Q("a154_es_json_extended_stats_sigma",

@@ -60,6 +60,30 @@ class SuggestSpec extends AnyFunSuite with SparkTestBase {
     assert(out.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("completion suggester: fuzzy prefix + contexts") {
+    import sp.implicits._
+    val ctxDocs = Seq(
+      (1L, "spark table", "en"), (2L, "spark merge", "en"),
+      (3L, "spark query", "de"), (4L, "sort things", "en"))
+      .toDF("doc_id", "text", "lang")
+    // typo'd prefix: "sprk" completes to spark via 1 Damerau edit
+    val fz = Suggest.completionSuggest(ctxDocs, col("doc_id"), col("text"),
+      "sprk", fuzziness = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(fz.head == ("spark", 3L))
+    // fuzzy prefix_length pins the first char: "xprk" matches nothing
+    assert(Suggest.completionSuggest(ctxDocs, col("doc_id"), col("text"),
+      "xprk", fuzziness = 1).collect().isEmpty)
+    // context narrows the dictionary AND the weights (en-only spark = 2)
+    val ctx = Suggest.completionSuggest(ctxDocs, col("doc_id"), col("text"),
+      "sprk", fuzziness = 1, contexts = Seq((col("lang"), Seq("en"))))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(ctx.head == ("spark", 2L))
+    // fuzziness 0 stays exact-prefix
+    assert(Suggest.completionSuggest(ctxDocs, col("doc_id"), col("text"),
+      "sprk").collect().isEmpty)
+  }
+
   test("phrase suggester: bigram counts rerank candidate phrases") {
     // "sprk tble": position-0 candidates {spark}, position-1 {table};
     // with max_edits=2 position-0 also admits 'sort' — 'spark table'
