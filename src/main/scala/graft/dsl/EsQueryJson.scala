@@ -818,6 +818,18 @@ object EsQueryJson {
       case Some(h) =>
         val (fname, spec) = single(h.get("fields"))
         val fragSize = Option(spec.get("fragment_size")).map(_.asInt()).getOrElse(100)
+        // `number_of_fragments` > 1 switches `_highlight` to an ARRAY of
+        // fragments — one per distinct first-occurrence position of each
+        // query term, ordered by position in the text (ES's default
+        // fragment order), capped at N. `pre_tags`/`post_tags` (first
+        // entry, as ES uses for the default highlighter) replace <em>.
+        val nFrags = Option(spec.get("number_of_fragments"))
+          .orElse(Option(h.get("number_of_fragments"))).map(_.asInt()).getOrElse(1)
+        def firstTag(key: String, dflt: String) =
+          Option(h.get(key)).orElse(Option(spec.get(key)))
+            .map(_.elements().asScala.next().asText()).getOrElse(dflt)
+        val preTag = firstTag("pre_tags", "<em>")
+        val postTag = firstTag("post_tags", "</em>")
         val (kind, qb) = single(body.get("query"))
         require(kind == "match" || kind == "match_phrase",
           s"highlight supports match/match_phrase queries, got $kind")
@@ -825,13 +837,23 @@ object EsQueryJson {
         val terms = (if (v.isObject) v.get("query").asText() else v.asText())
           .toLowerCase.split("\\s+").toSeq
         val lowered = lower(field(fname))
-        val pos = terms.map(t => when(instr(lowered, t) > 0, instr(lowered, t)))
-          .reduce(coalesce(_, _))
-        val start = greatest(pos - 30, lit(1))
-        val frag = lowered.substr(start, lit(fragSize))
-        val wrapped = terms.foldLeft(frag)((acc, t) =>
-          replace(acc, lit(t), lit(s"<em>$t</em>")))
-        withNames.withColumn("_highlight", when(pos.isNotNull, wrapped))
+        def wrapTerms(frag: Column) = terms.foldLeft(frag)((acc, t) =>
+          replace(acc, lit(t), lit(s"$preTag$t$postTag")))
+        if (nFrags == 1) {
+          val pos = terms.map(t => when(instr(lowered, t) > 0, instr(lowered, t)))
+            .reduce(coalesce(_, _))
+          val start = greatest(pos - 30, lit(1))
+          val wrapped = wrapTerms(lowered.substr(start, lit(fragSize)))
+          withNames.withColumn("_highlight", when(pos.isNotNull, wrapped))
+        } else {
+          val posArr = array(terms.map(t => instr(lowered, t)): _*)
+          val hits = slice(array_sort(array_distinct(
+            filter(posArr, p => p > 0))), 1, nFrags)
+          val frags = transform(hits, p =>
+            wrapTerms(lowered.substr(greatest(p - 30, lit(1)), lit(fragSize))))
+          withNames.withColumn("_highlight",
+            when(org.apache.spark.sql.functions.size(frags) > 0, frags))
+        }
       case None => withNames
     }
     // `search_after`: deep pagination as a cursor on the sort tuple — the

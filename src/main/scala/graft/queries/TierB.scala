@@ -3336,6 +3336,34 @@ object TierB {
              |            damerau_levenshtein(substr(term, 1, 5), 'sprk')) <= 1
              |ORDER BY weight DESC, suggestion LIMIT 5""".stripMargin)),
 
+    // highlight options: number_of_fragments 2 (one window per distinct
+    // term position, position order — ES's default fragment order),
+    // fragment_size 40, custom pre/post tags. Fragments stringify
+    // '||'-joined per the array-output convention.
+    Q("a159_es_json_highlight_fragments",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match": {"text": "spark query"}},
+          | "highlight": {"pre_tags": ["["], "post_tags": ["]"],
+          |   "fields": {"text": {"fragment_size": 40, "number_of_fragments": 2}}},
+          | "sort": ["doc_id"], "size": 50}""".stripMargin)
+        .select(col("doc_id"), concat_ws("||", col("_highlight")).as("fragments")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lower(text) AS l,
+             |         string_split_regex(lower(text), '\W+') AS tw
+             |  FROM documents
+             |), p AS (
+             |  SELECT doc_id, l,
+             |         (list_sort(list_distinct(list_filter(
+             |            [strpos(l, 'spark'), strpos(l, 'query')], x -> x > 0))))[1:2] AS hits
+             |  FROM t
+             |  WHERE list_contains(tw, 'spark') OR list_contains(tw, 'query')
+             |)
+             |SELECT doc_id,
+             |       array_to_string(list_transform(hits, x ->
+             |         replace(replace(substr(l, greatest(x - 30, 1), 40),
+             |                 'spark', '[spark]'), 'query', '[query]')), '||') AS fragments
+             |FROM p ORDER BY doc_id LIMIT 50""".stripMargin)),
+
     // extended_stats `sigma`: the ±kσ std_deviation_bounds columns
     // (population moments, 6 dp both engines).
     Q("a154_es_json_extended_stats_sigma",
