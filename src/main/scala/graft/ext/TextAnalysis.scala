@@ -163,6 +163,63 @@ object TextAnalysis {
       .orderBy(desc("freq"), col("pair")).limit(k)
   }
 
+  /** The full BPE TRAINING loop (Sennrich et al. 2016): [[bpePairCounts]]'s
+    * single iteration repeated `nMerges` times with re-segmentation between
+    * rounds — learn the argmax pair, merge it everywhere, recount. Emits
+    * the trained merge table `(rank, pair, freq, n_tokens_after)` — the
+    * artifact [[bpeEncode]] consumes — where `freq` is the pair's count at
+    * selection time and `n_tokens_after` the corpus symbol count once
+    * merges 1..rank applied (the compression trajectory, i.e. the
+    * train→encode round-trip at every rank).
+    *
+    * Scale shape: the ONLY corpus-sized pass is the initial word-frequency
+    * aggregation. Every iteration then works on the DISTINCT-word table
+    * (vocabulary-sized): one pair-count hash agg, a 1-row driver argmax
+    * (the coordinator step — same bounded-collect class as phraseSuggest's
+    * candidate pull), and a narrow merge replace; each round re-persists
+    * to truncate lineage (the connected-components precedent). Words wear
+    * the `<a><b>` marker form so a merge is boundary-exact string replace
+    * in BOTH engines ([[bpeEncode]]'s convention). Production tokenizers
+    * run ~50k merges — there you'd batch top-B non-overlapping pairs per
+    * round; this per-merge-exact form is the oracle-checkable algorithm. */
+  def bpeTrain(docs: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var wf = Dedup.persistOnce(docs.select(explode(tokens(text)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), regexp_replace(col("word"), "(.)", "<$1>").as("w")))
+    val rows = Seq.newBuilder[(Int, String, Long, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val best = wf
+        .select(col("freq"), expr("regexp_extract_all(w, '<([^<>]*)>', 1)").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(s) - 1),
+            |  i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))""".stripMargin))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("pf"))
+        .orderBy(desc("pf"), col("pair")).limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val pair = best(0).getString(0)
+        val pf = best(0).getLong(1)
+        val Array(a, b) = pair.split(' ')
+        val next = Dedup.persistOnce(wf.select(col("freq"),
+          replace(col("w"), lit(s"<$a><$b>"), lit(s"<$a$b>")).as("w")))
+        val nTok = next.agg(sum(col("freq") *
+            (length(col("w")) - length(replace(col("w"), lit("<"), lit("")))))
+          .cast("long")).collect()(0).getLong(0)
+        rows += ((r, pair, pf, nTok))
+        wf = next
+        r += 1
+      }
+    }
+    rows.result().toDF("rank", "pair", "freq", "n_tokens_after")
+  }
+
   /** BPE ENCODE with a learned merge list — the apply step of
     * [[bpePairCounts]]'s training iteration. Each word becomes a
     * marker-wrapped symbol sequence (`"ab"` → `"<a><b>"`; markers make

@@ -1989,6 +1989,46 @@ object TierC {
            |ORDER BY stage_idx""".stripMargin
       }),
 
+    // Full BPE TRAIN loop (c37's iteration × N with re-segmentation): the
+    // oracle REPLAYS the same N merges — per-iteration argmax pair is
+    // computed, not hardcoded, on both sides, so the whole learn→merge→
+    // recount loop must agree at every rank (train→encode round-trip:
+    // n_tokens_after is the corpus symbol count with merges 1..rank).
+    Q("c67_bpe_train",
+      (s, d) => TextAnalysis.bpeTrain(Tables.documents(s, d), col("text"),
+        nMerges = 6).orderBy("rank"),
+      Some {
+        val n = 6
+        val iters = (1 to n).map { i =>
+          val prev = if (i == 1) "w0" else s"w${i - 1}"
+          s"""p$i AS (
+             |  SELECT pair, CAST(sum(freq) AS BIGINT) AS pf FROM (
+             |    SELECT freq, unnest(list_transform(generate_series(1, len(s) - 1),
+             |             j -> s[j] || ' ' || s[j + 1])) AS pair
+             |    FROM (SELECT freq, regexp_extract_all(w, '<([^<>]*)>', 1) AS s FROM $prev)
+             |    WHERE len(s) >= 2)
+             |  GROUP BY pair),
+             |b$i AS (SELECT pair, pf FROM p$i ORDER BY pf DESC, pair LIMIT 1),
+             |w$i AS (SELECT freq,
+             |          replace(w, '<' || split_part(b$i.pair, ' ', 1) ||
+             |                     '><' || split_part(b$i.pair, ' ', 2) || '>',
+             |                  '<' || replace(b$i.pair, ' ', '') || '>') AS w
+             |        FROM $prev, b$i),
+             |t$i AS (SELECT CAST(sum(freq * (len(w) - len(replace(w, '<', '')))) AS BIGINT) AS nt
+             |        FROM w$i)""".stripMargin
+        }.mkString(",\n")
+        val unions = (1 to n).map(i =>
+          s"SELECT $i AS rank, b$i.pair, b$i.pf AS freq, t$i.nt AS n_tokens_after FROM b$i, t$i")
+          .mkString("\n|UNION ALL ").stripMargin
+        s"""WITH $toksCte,
+           |tf AS (SELECT unnest(w) AS word FROM toks),
+           |w0 AS (SELECT count(*) AS freq, regexp_replace(word, '(.)', '<\\1>', 'g') AS w
+           |       FROM tf GROUP BY word),
+           |$iters
+           |$unions
+           |ORDER BY rank""".stripMargin
+      }),
+
     // Deterministic EXACT-k uniform sample: smallest k seeded hash keys —
     // a fixed-size eval set that re-runs and repartitioning cannot change.
     Q("c66_exact_k_sample",

@@ -762,6 +762,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq("a b" -> 2L, "c d" -> 1L))
   }
 
+  test("bpe train loop: learns merges in order, re-segments, tracks token counts") {
+    val sp = spark
+    import sp.implicits._
+    // corpus words: abab x3, abc x1 -> chars: <a><b><a><b> etc.
+    // iter1 pairs: "a b" 7 (2 per abab + 1 in abc), "b a" 3, "b c" 1 -> merge "a b"
+    // iter2: abab -> <ab><ab>, abc -> <ab><c>; pairs: "ab ab" 3, "ab c" 1 -> merge "ab ab"
+    // iter3: "ab c" 1 -> merge; then no pairs left -> loop stops early
+    val df = Seq((1L, "abab abab abab abc")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(df, col("text"), nMerges = 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "a b", 7L, 8L),     // 3*<ab><ab> + <ab><c> = 8 symbols
+      (2, "ab ab", 3L, 5L),   // 3*<abab> + <ab><c> = 5
+      (3, "ab c", 1L, 4L)))   // 3*<abab> + <abc> = 4, then dry
+  }
+
   test("url canonicalization strips noise, keeps real query strings; dedup keeps min id") {
     val sp = spark
     import sp.implicits._
