@@ -39,6 +39,53 @@ object EsDsl {
   def matchQuery(text: Column, queryTerms: Seq[String], minShouldMatch: Int = 1): Column =
     matchCount(text, queryTerms) >= minShouldMatch
 
+  /** B5 `match` with `fuzziness`: each (deduped) query term is one clause
+    * that matches when SOME doc token is within its edit budget — Damerau
+    * distance, ES's `fuzzy_transpositions: true` default; AUTO budgets are
+    * per-TERM length (ES semantics), and `prefix_length` prunes with an
+    * exact-prefix check before any distance evaluates. msm counts term
+    * clauses, as in the exact-match path. The per-token existential is a
+    * HOF (interpreted) but evaluates the cheap prefix conjunct first; the
+    * distance kernel itself is one static call per surviving token. */
+  def matchQueryFuzzy(text: Column, queryTerms: Seq[String],
+                      fuzzinessOf: String => Int, minShouldMatch: Int = 1,
+                      prefixLength: Int = 0): Column = {
+    // empty split artifacts are NOT tokens (damerau("", t) = len(t) would
+    // let short terms match punctuation-only gaps; the oracle's token CTE
+    // filters '' too)
+    val toks = filter(split(lower(text), "\\W+"), t => t =!= "")
+    queryTerms.map(_.toLowerCase).distinct.map { t =>
+      val fz = fuzzinessOf(t)
+      org.apache.spark.sql.functions.exists(toks, tok => {
+        val dist = graft.functions.EditDistance.damerauLev(tok, lit(t)) <= fz
+        if (prefixLength > 0)
+          substring(tok, 1, prefixLength) === lit(t.take(prefixLength)) && dist
+        else dist
+      }).cast("int")
+    }.reduce(_ + _) >= minShouldMatch
+  }
+
+  /** B5 `match` with a SHINGLE analyzer (ES `shingle` token filter): the
+    * token stream is word n-grams for every size in `sizes` (plus the
+    * unigrams when `outputUnigrams`, the filter's `output_unigrams`
+    * option). Each query shingle is one term clause; a doc matches a
+    * clause when it contains that shingle, msm counts DISTINCT matched
+    * shingles (matchCount's dedup convention). Doc shingles come from the
+    * [[graft.functions.TextKernels.WordNgramsKernel]] one-pass kernel —
+    * narrow, no shuffle. */
+  def matchQueryShingles(text: Column, queryText: String, sizes: Seq[Int],
+                         outputUnigrams: Boolean, minShouldMatch: Int = 1): Column = {
+    import graft.functions.TextKernels
+    val qToks = queryText.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+    val qShingles = (sizes.flatMap(n => qToks.sliding(n).filter(_.length == n)
+        .map(_.mkString(" "))) ++ (if (outputUnigrams) qToks else Nil)).distinct
+    require(qShingles.nonEmpty, "shingle match needs at least one query shingle")
+    val docParts = sizes.map(n => TextKernels.wordNgrams(text, n)) ++
+      (if (outputUnigrams) Seq(graft.ext.TextAnalysis.tokens(text)) else Nil)
+    val docAll = docParts.reduce(concat(_, _))
+    size(array_intersect(docAll, lit(qShingles.toArray))) >= minShouldMatch
+  }
+
   /** B5 `match` with the opt-in English analyzer: stopword removal +
     * S-stemming applied to BOTH the document tokens (one kernel pass) and
     * the query terms (driver-side, same JVM function) — recall on

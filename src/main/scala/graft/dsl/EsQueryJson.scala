@@ -77,6 +77,23 @@ object EsQueryJson {
   private val synonymAnalyzers =
     new scala.util.DynamicVariable[Map[String, Map[String, Seq[String]]]](Map.empty)
 
+  /** Shingle-analyzer registry (ES `shingle` token filter in a custom
+    * analyzer): `withShingles("sh", min, max, outputUnigrams) { ... }`
+    * makes `"analyzer": "sh"` tokenize into word n-grams of every size in
+    * [min, max] (plus unigrams when requested) — the phrase-ish matching /
+    * n-gram-agg building block. Same DynamicVariable scoping as
+    * [[withTables]]. */
+  private val shingleAnalyzers =
+    new scala.util.DynamicVariable[Map[String, (Int, Int, Boolean)]](Map.empty)
+
+  def withShingles[T](name: String, minSize: Int = 2, maxSize: Int = 2,
+                      outputUnigrams: Boolean = false)(f: => T): T = {
+    require(minSize >= 2 && maxSize >= minSize,
+      s"shingle sizes must satisfy 2 <= min <= max, got [$minSize, $maxSize]")
+    shingleAnalyzers.withValue(
+      shingleAnalyzers.value + (name -> ((minSize, maxSize, outputUnigrams))))(f)
+  }
+
   def withSynonyms[T](name: String, rules: Seq[String])(f: => T): T = {
     val m = scala.collection.mutable.Map.empty[String, Seq[String]]
     rules.foreach { rule =>
@@ -389,6 +406,22 @@ object EsQueryJson {
         val (text, _, msm) = textBoostMsm(v)
         val analyzer = if (v.isObject) Option(v.get("analyzer")).map(_.asText()) else None
         analyzer match {
+          case Some(name) if shingleAnalyzers.value.contains(name) =>
+            val (mn, mx, uni) = shingleAnalyzers.value(name)
+            val shOpAnd = v.isObject &&
+              Option(v.get("operator")).map(_.asText()).contains("and")
+            // total optional clauses = the query's shingle count
+            val qToks = text.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+            val nClauses = ((mn to mx).flatMap(n => qToks.sliding(n)
+              .filter(_.length == n).map(_.mkString(" "))) ++
+              (if (uni) qToks else Nil)).distinct.length
+            val shMsm =
+              if (shOpAnd) nClauses
+              else if (v.isObject)
+                Option(v.get("minimum_should_match"))
+                  .map(msmOf(_, nClauses)).getOrElse(1)
+              else 1
+            EsDsl.matchQueryShingles(field(f), text, (mn to mx).toSeq, uni, shMsm)
           case Some(name) if synonymAnalyzers.value.contains(name) =>
             // search-time synonym expansion: one clause per ORIGINAL query
             // term position (ES's msm counting over synonym groups); a
@@ -455,7 +488,20 @@ object EsQueryJson {
           case Some(other) => throw new IllegalArgumentException(
             s"unsupported analyzer: $other (english/cjk/whitespace/keyword or a " +
               "withSynonyms-registered analyzer beyond the default)")
-          case None => EsDsl.matchQuery(field(f), text.split("\\s+").toSeq, msm)
+          case None =>
+            // `fuzziness` on match: per-TERM AUTO budgets (ES), Damerau
+            // default; prefix_length prunes before the distance
+            (if (v.isObject) Option(v.get("fuzziness")) else None) match {
+              case Some(n) =>
+                def autoOf(t: String) = if (t.length < 3) 0 else if (t.length <= 5) 1 else 2
+                val fOf: String => Int =
+                  if (n.isTextual) { require(n.asText() == "AUTO",
+                    s"fuzziness must be an int or AUTO, got ${n.asText()}"); autoOf }
+                  else { val k = n.asInt(); _ => k }
+                val pl = Option(v.get("prefix_length")).map(_.asInt()).getOrElse(0)
+                EsDsl.matchQueryFuzzy(field(f), text.split("\\s+").toSeq, fOf, msm, pl)
+              case None => EsDsl.matchQuery(field(f), text.split("\\s+").toSeq, msm)
+            }
         }
       case "match_phrase" =>
         val (f, v) = single(body)

@@ -3364,6 +3364,47 @@ object TierB {
              |                 'spark', '[spark]'), 'query', '[query]')), '||') AS fragments
              |FROM p ORDER BY doc_id LIMIT 50""".stripMargin)),
 
+    // shingle token filter: the analyzer tokenizes into word bigrams, so
+    // the query's two shingles ("the data" / "data merge") are the term
+    // clauses; msm=2 needs BOTH shingles in the doc (both engines count
+    // DISTINCT matched shingles — array_intersect/list_intersect dedup).
+    Q("a160_es_json_shingle",
+      (s, d) => graft.dsl.EsQueryJson.withShingles("sh2") {
+        graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+          """{"query": {"match": {"text": {"query": "the data merge",
+            |  "analyzer": "sh2", "minimum_should_match": 2}}},
+            | "sort": ["doc_id"], "_source": ["doc_id", "source"]}""".stripMargin)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), b AS (
+             |  SELECT doc_id, source,
+             |         list_distinct(list_transform(generate_series(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i + 1])) AS bg
+             |  FROM t)
+             |SELECT doc_id, source FROM b
+             |WHERE len(list_intersect(bg, ['the data', 'data merge'])) >= 2
+             |ORDER BY doc_id""".stripMargin)),
+
+    // match `fuzziness`: per-TERM AUTO edit budgets (both typo'd terms are
+    // 4 chars -> 1 Damerau edit each), msm=2 = both clauses; a clause
+    // matches when SOME doc token is within budget.
+    Q("a161_es_json_match_fuzziness",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match": {"text": {"query": "sprk tble",
+          |  "fuzziness": "AUTO", "minimum_should_match": 2}}},
+          | "sort": ["doc_id"], "_source": ["doc_id", "source"]}""".stripMargin),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents)
+             |SELECT doc_id, source FROM t
+             |WHERE len(list_filter(w, x -> damerau_levenshtein(x, 'sprk') <= 1)) > 0
+             |  AND len(list_filter(w, x -> damerau_levenshtein(x, 'tble') <= 1)) > 0
+             |ORDER BY doc_id""".stripMargin)),
+
     // extended_stats `sigma`: the ±kσ std_deviation_bounds columns
     // (population moments, 6 dp both engines).
     Q("a154_es_json_extended_stats_sigma",

@@ -89,6 +89,49 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(ids("""{"query": {"match": {"text": {"query": "admin", "analyzer": "syn"}}}}""") == Set(3L, 4L))
   }
 
+  test("shingle analyzer: bigram clauses, msm, output_unigrams") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "the data merge runs"), (2L, "the data lake"), (3L, "data merge"))
+      .toDF("doc_id", "text")
+    def ids(body: String) = EsQueryJson.withShingles("sh2") {
+      EsQueryJson.search(docs, body)
+    }.select("doc_id").collect().map(_.getLong(0)).toSet
+    // both bigrams required under msm=2: only doc 1 has "the data" AND "data merge"
+    assert(ids("""{"query": {"match": {"text": {"query": "the data merge",
+      | "analyzer": "sh2", "minimum_should_match": 2}}}}""".stripMargin) == Set(1L))
+    // msm default 1: any shingle
+    assert(ids("""{"query": {"match": {"text": {"query": "the data merge",
+      | "analyzer": "sh2"}}}}""".stripMargin) == Set(1L, 2L, 3L))
+    // output_unigrams: a unigram clause alone can match
+    val uni = EsQueryJson.withShingles("shu", outputUnigrams = true) {
+      EsQueryJson.search(docs,
+        """{"query": {"match": {"text": {"query": "lake", "analyzer": "shu"}}}}""")
+    }.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(uni == Set(2L))
+  }
+
+  test("match fuzziness: per-term AUTO budgets, prefix_length, msm") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "spark table scan"), (2L, "spork bable"), (3L, "nothing here"))
+      .toDF("doc_id", "text")
+    def ids(body: String) = EsQueryJson.search(docs, body)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // "sprk" (4 chars -> AUTO 1) matches spark (insert) and spork (sub)
+    assert(ids("""{"query": {"match": {"text": {"query": "sprk", "fuzziness": "AUTO"}}}}""") == Set(1L, 2L))
+    // msm=2: both typo'd terms must fuzzy-match somewhere in the doc
+    assert(ids("""{"query": {"match": {"text": {"query": "sprk tble",
+      | "fuzziness": "AUTO", "minimum_should_match": 2}}}}""".stripMargin) == Set(1L))
+    // prefix_length=2 kills the spark match for "eprk"-style typos
+    assert(ids("""{"query": {"match": {"text": {"query": "xprk",
+      | "fuzziness": 1, "prefix_length": 2}}}}""".stripMargin) == Set.empty)
+    // fuzziness 0 behaves like the exact path
+    assert(ids("""{"query": {"match": {"text": {"query": "spark", "fuzziness": 0}}}}""") == Set(1L))
+  }
+
   test("damerau kernel: true (unrestricted) DL matching DuckDB's variant") {
     import graft.functions.EditDistance.damerauStr
     assert(damerauStr("ab", "ba") == 1)       // transposition = 1 edit
