@@ -506,7 +506,12 @@ object EsQueryJson {
       case "match_phrase" =>
         val (f, v) = single(body)
         val text = (if (v.isObject) v.get("query") else v).asText()
-        EsDsl.matchPhrase(field(f), text.split("\\s+").toSeq)
+        // `slop`: in-order window with ≤ slop extra positions (the
+        // PhraseSlopMatch kernel; out-of-order Lucene arrangements are a
+        // documented deviation)
+        val slop = if (v.isObject) Option(v.get("slop")).map(_.asInt()).getOrElse(0) else 0
+        if (slop == 0) EsDsl.matchPhrase(field(f), text.split("\\s+").toSeq)
+        else graft.functions.Spans.phraseSlop(field(f), text.split("\\s+").toSeq, slop)
       case "multi_match" =>
         val fields = body.get("fields").elements().asScala.toSeq.map(f => field(f.asText()))
         val terms = body.get("query").asText().split("\\s+").toSeq
@@ -1342,6 +1347,10 @@ object EsQueryJson {
       case "match_phrase" =>
         val (f, v) = single(body)
         val (text, boost, _) = textBoostMsm(v)
+        // scored phrase freq counts EXACT-phrase occurrences; a slop there
+        // would change tf — reject loudly rather than silently ignore
+        if (v.isObject) Option(v.get("slop")).foreach(s => require(s.asInt() == 0,
+          "slop on a SCORED match_phrase is unsupported (predicate context supports it)"))
         val ph = text.split("\\s+").toSeq
         val (joined, scores, internals) =
           EsDsl.bm25ScoresMixed(df, Seq(EsDsl.PhraseBm25(field(f), ph)))

@@ -211,6 +211,48 @@ object Spans {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** `match_phrase` with `slop`: true iff the phrase terms occur IN ORDER
+    * with at most `slop` extra intervening positions — exists q1<…<qn with
+    * tok(qk)=term_k and (qn−q1)−(n−1) ≤ slop. One tokenize pass + an
+    * O(n)-per-token DP: `start(k)` holds the LATEST possible phrase start
+    * over matchings of the first k+1 terms seen so far (max start ⇒ min
+    * window per end); k updates descending so a token matching two
+    * adjacent duplicate phrase terms never pairs with itself.
+    *
+    * Documented deviation from Lucene's SloppyPhraseScorer: out-of-order
+    * arrangements (a transposed pair costs 2 slop in Lucene) do NOT match
+    * here — in-order windows only, which is the overwhelmingly common use
+    * of `slop` ("words near each other, phrase-ish"). */
+  case class PhraseSlopMatch(child: Expression, terms: Seq[String], slop: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      val n = terms.length
+      if (n == 1) return toks.contains(terms.head)
+      val start = Array.fill(n)(-1)
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        var k = n - 1
+        while (k >= 1) {
+          if (t == terms(k) && start(k - 1) >= 0) {
+            if (k == n - 1 && (i - start(k - 1)) - (n - 1) <= slop) return true
+            if (k < n - 1 && start(k - 1) > start(k)) start(k) = start(k - 1)
+          }
+          k -= 1
+        }
+        if (t == terms(0) && i > start(0)) start(0) = i
+        i += 1
+      }
+      false
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def phraseSlop(text: Column, terms: Seq[String], slop: Int): Column =
+    column(PhraseSlopMatch(expression(text), terms.map(_.toLowerCase), slop))
+
   def phrasePrefix(text: Column, terms: Seq[String], prefix: String): Column =
     column(PhrasePrefixMatch(expression(text), terms, prefix))
 

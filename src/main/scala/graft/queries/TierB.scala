@@ -3405,6 +3405,31 @@ object TierB {
              |  AND len(list_filter(w, x -> damerau_levenshtein(x, 'tble') <= 1)) > 0
              |ORDER BY doc_id""".stripMargin)),
 
+    // match_phrase `slop`: 3-term in-order window with ≤1 extra position
+    // (kernel DP side; the oracle is the postings-list formulation — the
+    // a44 span_near pattern generalized to three position lists).
+    Q("a162_es_json_phrase_slop",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match_phrase": {"text": {"query": "the data merge", "slop": 1}}},
+          | "sort": ["doc_id"], "_source": ["doc_id", "source"]}""".stripMargin),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id, unnest(w) AS tk,
+             |         unnest(generate_series(1, len(w))) AS pos
+             |  FROM t),
+             |p1 AS (SELECT doc_id, pos FROM tok WHERE tk = 'the'),
+             |p2 AS (SELECT doc_id, pos FROM tok WHERE tk = 'data'),
+             |p3 AS (SELECT doc_id, pos FROM tok WHERE tk = 'merge'),
+             |m AS (SELECT DISTINCT a.doc_id
+             |      FROM p1 a JOIN p2 b ON b.doc_id = a.doc_id AND b.pos > a.pos
+             |                JOIN p3 c ON c.doc_id = a.doc_id AND c.pos > b.pos
+             |      WHERE (c.pos - a.pos) - 2 <= 1)
+             |SELECT t.doc_id, t.source FROM t JOIN m ON m.doc_id = t.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
     // extended_stats `sigma`: the ±kσ std_deviation_bounds columns
     // (population moments, 6 dp both engines).
     Q("a154_es_json_extended_stats_sigma",

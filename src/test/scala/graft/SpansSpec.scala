@@ -139,4 +139,26 @@ class SpansSpec extends AnyFunSuite with SparkTestBase {
                  |   "slop": 4, "in_order": false}}, "sort": ["doc_id"]}""".stripMargin)
       == Seq(1L, 2L, 3L))
   }
+
+  test("phrase slop: in-order window DP, duplicate terms, slop budget") {
+    val sp = spark
+    import sp.implicits._
+    def hit(text: String, phrase: String, slop: Int): Boolean = {
+      val df = Seq(Tuple1(text)).toDF("t")
+      df.filter(graft.functions.Spans.phraseSlop(
+        org.apache.spark.sql.functions.col("t"),
+        phrase.split(" ").toSeq, slop)).count() == 1
+    }
+    assert(hit("the data merge runs", "the data merge", 0))
+    assert(!hit("the data lake merge", "the data merge", 0))
+    assert(hit("the data lake merge", "the data merge", 1))      // 1 gap
+    assert(!hit("the data lake house merge", "the data merge", 1))
+    assert(hit("the data lake house merge", "the data merge", 2))
+    // in-order only: transposed pair never matches (documented deviation)
+    assert(!hit("merge data the", "the data merge", 3))
+    // duplicate phrase terms cannot reuse one token
+    assert(!hit("a b", "a a", 1) && hit("a x a", "a a", 1) && !hit("a x a", "a a", 0))
+    // later restart beats stale earlier start
+    assert(hit("the x x x x the data merge", "the data merge", 0))
+  }
 }
