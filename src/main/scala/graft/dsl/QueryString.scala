@@ -38,7 +38,9 @@ object QueryString {
   // ---- AST -------------------------------------------------------------
   sealed trait Node
   final case class Term(field: Option[String], text: String) extends Node
-  final case class Phrase(field: Option[String], words: Seq[String]) extends Node
+  /** `"a b"` exact, `"a b"~N` in-order proximity (slop) */
+  final case class Phrase(field: Option[String], words: Seq[String],
+                          slop: Int = 0) extends Node
   final case class Wild(field: Option[String], pattern: String) extends Node
   /** `f:[a TO b]` / `f:{a TO b}` (mixed brackets allowed; `*` = unbounded) */
   final case class Rng(field: String, lo: Option[String], hi: Option[String],
@@ -75,12 +77,23 @@ object QueryString {
       require(j > 0, s"unterminated phrase in query string: $q")
       (q.substring(from + 1, j), j + 1)
     }
+    // Lucene proximity suffix on a closed phrase: `"a b"~2`
+    def slopSuffix(j: Int): (Int, Int) = {
+      if (j < q.length && q(j) == '~') {
+        var k = j + 1
+        while (k < q.length && q(k).isDigit) k += 1
+        if (k > j + 1) (q.substring(j + 1, k).toInt, k) else (0, j)
+      } else (0, j)
+    }
     while (i < q.length) {
       val c = q(i)
       if (c.isWhitespace) i += 1
       else if (c == '(') { out += LP; i += 1 }
       else if (c == ')') { out += RP; i += 1 }
-      else if (c == '"') { val (s, j) = quoted(i); out += Atom(Phrase(None, phraseWords(s))); i = j }
+      else if (c == '"') {
+        val (s, j0) = quoted(i); val (sl, j) = slopSuffix(j0)
+        out += Atom(Phrase(None, phraseWords(s), sl)); i = j
+      }
       else {
         val start = i
         while (i < q.length && !q(i).isWhitespace && "()\"[{".indexOf(q(i)) < 0) i += 1
@@ -97,7 +110,8 @@ object QueryString {
               case _ => (None, w)
             }
             if (rest.isEmpty && fld.isDefined && i < q.length && q(i) == '"') {
-              val (s, j) = quoted(i); out += Atom(Phrase(fld, phraseWords(s))); i = j
+              val (s, j0) = quoted(i); val (sl, j) = slopSuffix(j0)
+              out += Atom(Phrase(fld, phraseWords(s), sl)); i = j
             } else if (rest.isEmpty && fld.isDefined && i < q.length && (q(i) == '[' || q(i) == '{')) {
               // `f:[a TO b]` / `f:{a TO b}` — mixed brackets allowed
               val loInc = q(i) == '['
@@ -127,7 +141,7 @@ object QueryString {
               out += LP
               luceneToks(q.substring(i + 1, j)).foreach {
                 case Atom(Term(None, t)) => out += Atom(Term(fld, t))
-                case Atom(Phrase(None, ws)) => out += Atom(Phrase(fld, ws))
+                case Atom(Phrase(None, ws, sl)) => out += Atom(Phrase(fld, ws, sl))
                 case Atom(Wild(None, p)) => out += Atom(Wild(fld, p))
                 case Atom(Fuzzy(None, t, n)) => out += Atom(Fuzzy(fld, t, n))
                 case other => out += other
@@ -170,7 +184,14 @@ object QueryString {
       else if (c == '"') {
         val j = q.indexOf('"', i + 1)
         require(j > 0, s"unterminated phrase: $q")
-        out += Atom(Phrase(None, phraseWords(q.substring(i + 1, j)))); i = j + 1
+        // simple_query_string NEAR operator: `"a b"~N`
+        var j2 = j + 1; var sl = 0
+        if (j2 < q.length && q(j2) == '~') {
+          var k = j2 + 1
+          while (k < q.length && q(k).isDigit) k += 1
+          if (k > j2 + 1) { sl = q.substring(j2 + 1, k).toInt; j2 = k }
+        }
+        out += Atom(Phrase(None, phraseWords(q.substring(i + 1, j)), sl)); i = j2
       } else {
         val start = i
         while (i < q.length && !q(i).isWhitespace && "()|+\"".indexOf(q(i)) < 0) i += 1
@@ -256,8 +277,10 @@ object QueryString {
       case Term(Some(f), v) =>
         numericLit(v).map(fld(f) === _).getOrElse(EsDsl.matchQuery(fld(f), Seq(v)))
       case Term(None, v) => overDefaults(EsDsl.matchQuery(_, Seq(v)))
-      case Phrase(Some(f), ws) => EsDsl.matchPhrase(fld(f), ws)
-      case Phrase(None, ws) => overDefaults(EsDsl.matchPhrase(_, ws))
+      case Phrase(Some(f), ws, 0) => EsDsl.matchPhrase(fld(f), ws)
+      case Phrase(None, ws, 0) => overDefaults(EsDsl.matchPhrase(_, ws))
+      case Phrase(Some(f), ws, sl) => graft.functions.Spans.phraseSlop(fld(f), ws, sl)
+      case Phrase(None, ws, sl) => overDefaults(graft.functions.Spans.phraseSlop(_, ws, sl))
       case Wild(Some(f), p) => EsDsl.wildcard(fld(f), p)
       case Wild(None, p) => overDefaults(EsDsl.wildcard(_, p))
       case Rng(f, lo, hi, loInc, hiInc) =>

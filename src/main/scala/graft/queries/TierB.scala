@@ -3430,6 +3430,29 @@ object TierB {
              |SELECT t.doc_id, t.source FROM t JOIN m ON m.doc_id = t.doc_id
              |ORDER BY t.doc_id""".stripMargin)),
 
+    // query_string phrase proximity `"spark merge"~3`: the Lucene quoted
+    // NEAR suffix — in-order window, ≤3 extra positions between the terms.
+    Q("a163_es_json_qs_proximity",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"query_string": {
+          |   "query": "\"spark merge\"~3", "default_field": "text"}},
+          | "sort": ["doc_id"], "_source": ["doc_id", "source"]}""".stripMargin),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id, unnest(w) AS tk,
+             |         unnest(generate_series(1, len(w))) AS pos
+             |  FROM t),
+             |p1 AS (SELECT doc_id, pos FROM tok WHERE tk = 'spark'),
+             |p2 AS (SELECT doc_id, pos FROM tok WHERE tk = 'merge'),
+             |m AS (SELECT DISTINCT a.doc_id
+             |      FROM p1 a JOIN p2 b ON b.doc_id = a.doc_id AND b.pos > a.pos
+             |      WHERE (b.pos - a.pos) - 1 <= 3)
+             |SELECT t.doc_id, t.source FROM t JOIN m ON m.doc_id = t.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
     // extended_stats `sigma`: the ±kσ std_deviation_bounds columns
     // (population moments, 6 dp both engines).
     Q("a154_es_json_extended_stats_sigma",

@@ -132,6 +132,31 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(ids("""{"query": {"match": {"text": {"query": "spark", "fuzziness": 0}}}}""") == Set(1L))
   }
 
+  test("query_string phrase proximity and match_phrase slop share semantics") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "spark table merge"), (2L, "spark a b c d merge"), (3L, "merge spark"))
+      .toDF("doc_id", "text")
+    def ids(body: String) = EsQueryJson.search(docs, body)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // qs NEAR: 1 gap within budget, 4 gaps out, reversed never
+    assert(ids("""{"query": {"query_string": {
+      | "query": "\"spark merge\"~1", "default_field": "text"}}}""".stripMargin) == Set(1L))
+    assert(ids("""{"query": {"query_string": {
+      | "query": "\"spark merge\"~4", "default_field": "text"}}}""".stripMargin) == Set(1L, 2L))
+    // match_phrase slop agrees
+    assert(ids("""{"query": {"match_phrase": {"text": {"query": "spark merge", "slop": 1}}}}""") == Set(1L))
+    // simple_query_string NEAR operator
+    val sq = EsQueryJson.search(docs, """{"query": {"simple_query_string": {
+      | "query": "\"spark merge\"~4", "fields": ["text"]}}}""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sq == Set(1L, 2L))
+    // slop 0 phrase unchanged (exact consecutive)
+    assert(ids("""{"query": {"query_string": {
+      | "query": "\"spark table\"", "default_field": "text"}}}""".stripMargin) == Set(1L))
+  }
+
   test("damerau kernel: true (unrestricted) DL matching DuckDB's variant") {
     import graft.functions.EditDistance.damerauStr
     assert(damerauStr("ab", "ba") == 1)       // transposition = 1 edit
