@@ -533,8 +533,23 @@ object EsQueryJson {
           val msm =
             if (crossFields && opAnd) terms.size
             else Option(body.get("minimum_should_match")).map(msmOf(_, terms.size)).getOrElse(1)
-          if (crossFields) EsDsl.multiMatchCrossFields(fields, terms, msm)
-          else EsDsl.multiMatch(fields, terms, msm)
+          // `fuzziness` (best_fields/most_fields only — ES rejects it for
+          // cross_fields too): the per-field clause becomes the fuzzy
+          // match, doc matches if ANY field satisfies it
+          Option(body.get("fuzziness")) match {
+            case Some(n) =>
+              require(!crossFields, "fuzziness is not supported with cross_fields (as in ES)")
+              def autoOf(t: String) = if (t.length < 3) 0 else if (t.length <= 5) 1 else 2
+              val fOf: String => Int =
+                if (n.isTextual) { require(n.asText() == "AUTO",
+                  s"fuzziness must be an int or AUTO, got ${n.asText()}"); autoOf }
+                else { val k = n.asInt(); _ => k }
+              val pl = Option(body.get("prefix_length")).map(_.asInt()).getOrElse(0)
+              fields.map(f => EsDsl.matchQueryFuzzy(f, terms, fOf, msm, pl)).reduce(_ || _)
+            case None =>
+              if (crossFields) EsDsl.multiMatchCrossFields(fields, terms, msm)
+              else EsDsl.multiMatch(fields, terms, msm)
+          }
         }
       case "match_phrase_prefix" =>
         // phrase with the LAST term a prefix — the search-as-you-type

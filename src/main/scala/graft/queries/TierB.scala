@@ -3453,6 +3453,23 @@ object TierB {
              |SELECT t.doc_id, t.source FROM t JOIN m ON m.doc_id = t.doc_id
              |ORDER BY t.doc_id""".stripMargin)),
 
+    // multi_match `fuzziness`: the typo'd term fuzzy-matches in ANY of the
+    // two fields (per-field clause OR, per-term AUTO budget).
+    Q("a164_es_json_multi_match_fuzzy",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"multi_match": {"query": "sprk",
+          |  "fields": ["text", "source"], "fuzziness": "AUTO"}},
+          | "sort": ["doc_id"], "_source": ["doc_id", "source"]}""".stripMargin),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS wt,
+             |         list_filter(string_split_regex(lower(source), '\W+'), x -> x <> '') AS ws
+             |  FROM documents)
+             |SELECT doc_id, source FROM t
+             |WHERE len(list_filter(wt, x -> damerau_levenshtein(x, 'sprk') <= 1)) > 0
+             |   OR len(list_filter(ws, x -> damerau_levenshtein(x, 'sprk') <= 1)) > 0
+             |ORDER BY doc_id""".stripMargin)),
+
     // extended_stats `sigma`: the ±kσ std_deviation_bounds columns
     // (population moments, 6 dp both engines).
     Q("a154_es_json_extended_stats_sigma",
