@@ -246,6 +246,35 @@ object TextAnalysis {
         round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
   }
 
+  /** Tokenizer FERTILITY per language — the "how many subword tokens per
+    * word does this tokenizer cost each language" diagnostic every
+    * multilingual-tokenizer evaluation reports (high fertility = the
+    * language is expensive to model). Applies a learned BPE merge list
+    * ([[bpeEncode]]'s marker-replace walk) and aggregates per language:
+    * doc/word/subword counts, fertility = subwords/word, chars/subword.
+    * One narrow pass + one small hash agg (|langs| rows) — 100 TB-sane. */
+  def tokenizerFertility(docs: DataFrame, text: Column, lang: Column,
+                         merges: Seq[String]): DataFrame = {
+    val wrapped = concat_ws("|",
+      transform(tokens(text), w => regexp_replace(w, "(.)", "<$1>")))
+    val encoded = merges.foldLeft(wrapped) { (acc, m) =>
+      val Array(a, b) = m.split(' ')
+      replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+    }
+    def nSym(c: Column): Column = length(c) - length(replace(c, lit("<"), lit("")))
+    docs.filter(text.isNotNull)
+      .select(lang.as("lang"),
+        size(tokens(text)).cast("long").as("_w"),
+        nSym(wrapped).cast("long").as("_c"),
+        nSym(encoded).cast("long").as("_t"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_w")).as("n_words"),
+        sum(col("_t")).as("n_bpe_tokens"),
+        round(sum(col("_t")) * 1.0 / sum(col("_w")), 6).as("fertility"),
+        round(sum(col("_c")) * 1.0 / sum(col("_t")), 6).as("chars_per_token"))
+  }
+
   /** tf-idf: top-`k` terms per document (natural-log idf). Two hash
     * aggregations + a broadcast of the doc count; the per-doc top-k is a
     * bounded window (AQE handles skewed terms). */

@@ -2029,6 +2029,55 @@ object TierC {
            |ORDER BY rank""".stripMargin
       }),
 
+    // Tokenizer fertility per language: subword-tokens-per-word under the
+    // corpus-trained 10-merge BPE — the multilingual tokenizer-cost
+    // diagnostic. Oracle replays the same merges (c41's recursive replay)
+    // and aggregates by lang.
+    Q("c68_tokenizer_fertility",
+      (s, d) => {
+        val merges = TextAnalysis.bpePairCounts(
+          Tables.documents(s, d), col("text"), k = 10)
+          .collect().map(_.getString(0)).toSeq
+        TextAnalysis.tokenizerFertility(Tables.documents(s, d), col("text"),
+          col("lang"), merges).orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE $toksCte,
+             |wf AS (SELECT unnest(w) AS word FROM toks),
+             |wc AS (SELECT word, count(*) AS freq FROM wf GROUP BY word),
+             |pp AS (SELECT unnest(list_transform(generate_series(1, len(word) - 1),
+             |               i -> substr(word, i, 1) || ' ' || substr(word, i + 1, 1))) AS pair,
+             |             freq
+             |       FROM wc WHERE len(word) >= 2),
+             |tp AS (SELECT pair, sum(freq) AS f FROM pp GROUP BY pair
+             |       ORDER BY f DESC, pair LIMIT 10),
+             |m AS (SELECT row_number() OVER (ORDER BY f DESC, pair) AS rk,
+             |             '<' || split_part(pair, ' ', 1) || '><' || split_part(pair, ' ', 2) || '>' AS pat,
+             |             '<' || replace(pair, ' ', '') || '>' AS rep
+             |      FROM tp),
+             |w0 AS (SELECT doc_id,
+             |              list_aggregate(list_transform(w, x -> regexp_replace(x, '(.)', '<\\1>', 'g')),
+             |                             'string_agg', '|') AS s,
+             |              len(w) AS nw
+             |       FROM toks),
+             |rec(doc_id, k, s) AS (
+             |  SELECT doc_id, 0, s FROM w0
+             |  UNION ALL
+             |  SELECT rec.doc_id, rec.k + 1, replace(rec.s, m.pat, m.rep)
+             |  FROM rec JOIN m ON m.rk = rec.k + 1),
+             |enc AS (SELECT doc_id, s FROM rec WHERE k = (SELECT count(*) FROM m)),
+             |per AS (SELECT d.lang, w0.nw AS nw,
+             |               len(w0.s) - len(replace(w0.s, '<', '')) AS nc,
+             |               len(enc.s) - len(replace(enc.s, '<', '')) AS nt
+             |        FROM w0 JOIN enc USING (doc_id)
+             |        JOIN documents d ON d.doc_id = w0.doc_id
+             |        WHERE d.text IS NOT NULL)
+             |SELECT lang, count(*) AS n_docs,
+             |       CAST(sum(nw) AS BIGINT) AS n_words,
+             |       CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
+             |       round(sum(nt) * 1.0 / sum(nw), 6) AS fertility,
+             |       round(sum(nc) * 1.0 / sum(nt), 6) AS chars_per_token
+             |FROM per GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Deterministic EXACT-k uniform sample: smallest k seeded hash keys —
     // a fixed-size eval set that re-runs and repartitioning cannot change.
     Q("c66_exact_k_sample",
