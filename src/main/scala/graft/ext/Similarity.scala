@@ -45,6 +45,30 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Hard-NEGATIVE mining for contrastive/metric training data: per
+    * anchor, the top-k most-cosine-similar corpus vectors with a DIFFERENT
+    * label — the near-miss negatives that actually carry gradient (random
+    * negatives are trivially separable; Schroff et al. 2015's semi-hard
+    * insight applied corpus-wide). Same scale shape as [[knnBrute]]:
+    * anchors broadcast, the corpus never shuffles, per-anchor top-k is a
+    * bounded window. The label filter runs BEFORE the dot product, so
+    * same-label pairs cost nothing. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = anchors.select(col("vec_id").as("anchor_id"),
+      col("label").as("anchor_label"), col("embedding").as("qe"),
+      norm(col("embedding")).as("qn"))
+    val c = corpus.select(col("vec_id").as("neg_id"), col("label").as("neg_label"),
+      col("embedding").as("ce"), norm(col("embedding")).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neg_label") =!= col("anchor_label"))
+      .withColumn("cos", round(dot(col("qe"), col("ce")) / (col("qn") * col("cn")), 6))
+    val w = Window.partitionBy("anchor_id").orderBy(desc("cos"), col("neg_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("neg_id"),
+        col("neg_label"), col("cos"))
+  }
+
   /** Deterministic k-means (Lloyd) training for the IVF path — closes the
     * ANN loop so [[knnIvf]]'s centroids can be FIT, not just sampled:
     *  - init: the `k` vectors with the smallest md5(id) (hash-seeded,

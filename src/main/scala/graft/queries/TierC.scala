@@ -2078,6 +2078,30 @@ object TierC {
              |       round(sum(nc) * 1.0 / sum(nt), 6) AS chars_per_token
              |FROM per GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // Hard-negative mining (contrastive-training data prep): per anchor,
+    // the top-5 most-similar DIFFERENT-label vectors — the near-miss
+    // negatives metric learning needs. Broadcast anchors, corpus never
+    // shuffles (the c06 shape + a label anti-filter).
+    Q("c69_hard_negatives",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Similarity.hardNegatives(e.filter(col("vec_id") < 5), e, k = 5)
+          .orderBy("anchor_id", "rank")
+      },
+      Some(
+        s"""WITH q AS (SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS qe
+           |           FROM embeddings WHERE vec_id < 5),
+           |scored AS (
+           |  SELECT anchor_id, e.vec_id AS neg_id, e.label AS neg_label,
+           |         ${sqlCos("qe", "e.embedding")} AS cos
+           |  FROM embeddings e CROSS JOIN q WHERE e.label <> anchor_label
+           |),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+           |                ORDER BY cos DESC, neg_id) AS rank
+           |      FROM scored)
+           |SELECT anchor_id, rank, neg_id, neg_label, cos FROM r WHERE rank <= 5
+           |ORDER BY anchor_id, rank""".stripMargin)),
+
     // Deterministic EXACT-k uniform sample: smallest k seeded hash keys —
     // a fixed-size eval set that re-runs and repartitioning cannot change.
     Q("c66_exact_k_sample",
