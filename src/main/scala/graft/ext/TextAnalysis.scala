@@ -328,6 +328,44 @@ object TextAnalysis {
       .withColumn("ppl", round(exp(-col("ll") / col("n_bigrams")), 4))
   }
 
+  /** Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995; the
+    * smoothing real LM-based quality filters use, vs [[bigramPerplexity]]'s
+    * add-k stand-in): with absolute discount D,
+    *   P(w2|w1) = max(c12−D,0)/c1 + D·N1+(w1,·)/c1 · N1+(·,w2)/N1+(··)
+    * where the continuation counts N1+ are DISTINCT-neighbor counts from
+    * the bigram TYPE table (a word common only inside one collocation gets
+    * a low continuation probability — KN's whole point). Per-doc scoring
+    * mirrors c45's determinism protocol: 6-dp log-probs, re-rounded sum.
+    * Scale shape: the type-table aggregations are vocabulary²-bounded (in
+    * practice far smaller); the only corpus-sized work is the bigram
+    * explode and the (w1,w2) scoring join — identical to c45's plan. */
+  def knPerplexity(docs: DataFrame, idCol: Column, text: Column,
+                   discount: Double = 0.75): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), tokens(text).as("w"))
+      .withColumn("n", size(col("w"))).filter(col("n") >= 2)
+    val big = Dedup.persistOnce(base
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), col("n") - 1)).as("i"))
+      .select(col("doc_id"), element_at(col("w"), col("i")).as("w1"),
+        element_at(col("w"), col("i") + 1).as("w2")))
+    val c12 = Dedup.persistOnce(
+      big.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    val byW1 = c12.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_l"))
+    val byW2 = c12.groupBy("w2").agg(count(lit(1)).as("n1p_r"))
+    val nAll = c12.agg(count(lit(1)).as("n_all"))
+    val d = lit(discount)
+    val lm = c12.join(byW1, "w1").join(byW2, "w2").crossJoin(broadcast(nAll))
+      .select(col("w1"), col("w2"),
+        round(log(greatest(col("c12") - d, lit(0.0)) / col("c1")
+          + d * col("n1p_l") / col("c1") * (col("n1p_r") / col("n_all"))), 6)
+          .as("logp"))
+    big.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(sum(col("logp")), 6).as("ll"))
+      .withColumn("ppl", round(exp(-col("ll") / col("n_bigrams")), 4))
+  }
+
   /** PMI collocation mining — phrase-vocabulary induction (the word2vec
     * phrases / tokenizer-merge-candidate step): pointwise mutual
     * information of adjacent token pairs, ln(p(w1w2)/(p(w1)·p(w2))) with

@@ -1389,6 +1389,33 @@ object TierC {
              |SELECT doc_id, n_bigrams, ll, round(exp(-ll / n_bigrams), 4) AS ppl
              |FROM sc ORDER BY doc_id""".stripMargin)),
 
+    // Kneser-Ney bigram perplexity: the real-LM smoothing (continuation
+    // counts from the bigram TYPE table) — same plan shape as c45, same
+    // 6-dp determinism protocol.
+    Q("c70_kn_ppl",
+      (s, d) => TextAnalysis.knPerplexity(Tables.documents(s, d),
+        col("doc_id"), col("text"), discount = 0.75).orderBy("doc_id"),
+      Some(s"""WITH $toksCte,
+             |b AS (SELECT doc_id, w FROM toks WHERE len(w) >= 2),
+             |big AS (
+             |  SELECT doc_id,
+             |         unnest(list_transform(generate_series(1, len(w)-1), i -> w[i])) AS w1,
+             |         unnest(list_transform(generate_series(1, len(w)-1), i -> w[i+1])) AS w2
+             |  FROM b),
+             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+             |s1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p_l
+             |       FROM c12 GROUP BY w1),
+             |s2 AS (SELECT w2, count(*) AS n1p_r FROM c12 GROUP BY w2),
+             |na AS (SELECT count(*) AS n_all FROM c12),
+             |lm AS (SELECT w1, w2,
+             |              round(ln(greatest(c12 - 0.75, 0.0) / c1
+             |                + 0.75 * n1p_l / c1 * (n1p_r / n_all)), 6) AS logp
+             |       FROM c12 JOIN s1 USING (w1) JOIN s2 USING (w2) CROSS JOIN na),
+             |sc AS (SELECT doc_id, count(*) AS n_bigrams, round(sum(logp), 6) AS ll
+             |       FROM big JOIN lm USING (w1, w2) GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams, ll, round(exp(-ll / n_bigrams), 4) AS ppl
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+
     // PMI collocation mining (phrase-vocab induction): adjacent-pair
     // pointwise mutual information, support-pruned, top-20.
     Q("c46_pmi_collocations",
