@@ -24,6 +24,36 @@ object Dedup {
     * the same query (e.g. the bench's two-pass protocol) re-uses the cache
     * instead of re-registering it and logging "Asked to cache already
     * cached data". */
+  /** Sentence-level shared-boilerplate signal (CCNet dedups at PARAGRAPH
+    * granularity; this is the same pipeline at sentence granularity —
+    * `[.!?]+` segmentation instead of fixed token windows, the natural
+    * unit for cookie banners / legal footers that punctuate normally).
+    * Sentences are token-normalized (lowercase `\W+` split re-joined) so
+    * whitespace/punctuation variants hash together; the unit is the
+    * per-doc DISTINCT sentence. Emits per doc: sentence count, how many
+    * also appear in ≥ minDocs−1 other docs, and the shared fraction — the
+    * scrub-or-keep signal. Scale shape: one narrow segmentation pass, one
+    * 60-bit-key hash agg (df), one join back; no pairwise work (c60's
+    * shape at a different granularity). */
+  def sentenceShared(docs: DataFrame, idCol: Column, text: Column,
+                     minDocs: Int = 2): DataFrame = {
+    import graft.functions.Hashing
+    val sents = persistOnce(docs.select(idCol.as("doc_id"),
+        explode(filter(
+          transform(split(text, "[.!?]+"),
+            s => array_join(graft.ext.TextAnalysis.tokens(s), " ")),
+          s => s =!= "")).as("sent"))
+      .select(col("doc_id"), Hashing.md5Long60(col("sent")).as("h"))
+      .distinct())
+    val byH = sents.groupBy("h").agg(count(lit(1)).as("df"))
+    sents.join(byH, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ratio",
+        round(col("n_shared") * 1.0 / col("n_sentences"), 6))
+  }
+
   private[graft] def persistOnce(df: DataFrame): DataFrame =
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist() else df
 

@@ -2129,6 +2129,31 @@ object TierC {
            |SELECT anchor_id, rank, neg_id, neg_label, cos FROM r WHERE rank <= 5
            |ORDER BY anchor_id, rank""".stripMargin)),
 
+    // Sentence-level shared-boilerplate signal: `[.!?]+` segmentation,
+    // token-normalized sentences, 60-bit df agg + join-back — CCNet's
+    // paragraph dedup at the sentence granularity (c60's plan shape).
+    Q("c71_sentence_shared",
+      (s, d) => graft.ext.Dedup.sentenceShared(Tables.documents(s, d),
+        col("doc_id"), col("text"), minDocs = 2).orderBy("doc_id"),
+      Some(s"""WITH sen AS (
+             |  SELECT DISTINCT doc_id,
+             |    ${Hashing.sqlMd5Long60("sent")} AS h
+             |  FROM (
+             |    SELECT doc_id,
+             |           unnest(list_filter(
+             |             list_transform(string_split_regex(text, '[.!?]+'),
+             |               s -> array_to_string(list_filter(
+             |                      string_split_regex(lower(s), '\\W+'), x -> x <> ''), ' ')),
+             |             s -> s <> '')) AS sent
+             |    FROM documents)),
+             |df AS (SELECT h, count(*) AS df FROM sen GROUP BY h)
+             |SELECT doc_id, count(*) AS n_sentences,
+             |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             |       round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             |         AS shared_ratio
+             |FROM sen JOIN df USING (h)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Deterministic EXACT-k uniform sample: smallest k seeded hash keys —
     // a fixed-size eval set that re-runs and repartitioning cannot change.
     Q("c66_exact_k_sample",
