@@ -289,6 +289,34 @@ object Scale {
       graft.ext.Corpus.filterFunnel(docs50k, col("doc_id"), col("text"))
         .write.mode("overwrite").format("noop").save())
 
+    // sentence-shared: same skew worst case as segment dedup — EVERY doc
+    // opens with one shared sentence, so a single 60-bit key carries 50k
+    // rows into the df agg; map-side partials must absorb it
+    val sentBoiler = docs50k.select(col("doc_id"),
+      concat(lit("accept all cookies to continue. "), col("text")).as("text"))
+    t("sentence-shared-50k-boilerplate")(
+      Dedup.sentenceShared(sentBoiler, col("doc_id"), col("text"))
+        .write.mode("overwrite").format("noop").save())
+
+    // Damerau fuzzy over 50k docs: the kernel is one static call per
+    // token; budget-0 terms must stay cheap (the AUTO fast path)
+    t("damerau-fuzzy-50k")(
+      docs50k.filter(graft.dsl.EsDsl.matchQueryFuzzy(col("text"),
+          Seq("sprk", "tble"), t => if (t.length < 3) 0 else if (t.length <= 5) 1 else 2, 2))
+        .write.mode("overwrite").format("noop").save())
+
+    // BPE train: 8 merges over the 50k-doc vocabulary — per-iteration work
+    // must be vocab-sized (the corpus-sized pass happens once)
+    t("bpe-train-8-merges-50k")(
+      graft.ext.TextAnalysis.bpeTrain(docs50k, col("text"), nMerges = 8)
+        .write.mode("overwrite").format("noop").save())
+
+    // KN perplexity: type-table aggs + scoring join at 50k (c45's shape
+    // with two extra vocabulary-sized aggregations)
+    t("kn-ppl-50k")(
+      graft.ext.TextAnalysis.knPerplexity(docs50k, col("doc_id"), col("text"))
+        .write.mode("overwrite").format("noop").save())
+
     spark.stop()
   }
 }
