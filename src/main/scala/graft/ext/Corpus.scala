@@ -303,6 +303,60 @@ object Corpus {
       .orderBy("bin")
   }
 
+  /** Padding-waste diagnostic for fixed-size batching — the "is length
+    * bucketing worth it" report a training pipeline runs before choosing
+    * its batching strategy. Docs (token counts clipped at `seqLen`) form
+    * batches of `batchSize` under two orderings: `arrival` (doc_id — the
+    * naive loader) and `length` ((n, doc_id) — length bucketing); every
+    * sequence pads to its batch max, so padded slots = count·max(n) per
+    * batch. Emits one row per strategy with total docs/batches/tokens/
+    * padded slots and the waste fraction.
+    *
+    * Scale shape: the global batch index is the distributed ROW index —
+    * range partition on the ordering key, per-partition row_number, plus
+    * collected per-partition COUNT offsets (the [[packTokens]] prefix-sum
+    * trick; the collect is #partitions-bounded). Per-batch and final aggs
+    * are hash aggs. */
+  def paddingWaste(df: DataFrame, idCol: Column, text: Column,
+                   seqLen: Int, batchSize: Int): DataFrame = {
+    require(seqLen > 0 && batchSize > 0, "seqLen and batchSize must be positive")
+    val base = graft.ext.Dedup.persistOnce(
+      df.select(idCol.as("doc_id"),
+          least(size(TextAnalysis.tokens(text)), lit(seqLen)).as("n"))
+        .filter(col("n") > 0))
+    def strategy(name: String, sortCols: Seq[Column]): DataFrame = {
+      val parted = base.repartitionByRange(sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .withColumn("_pid", spark_partition_id())
+      val pidCounts = parted.groupBy("_pid").agg(count(lit(1)).as("_c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val pidOffsets = pidCounts.map(_._1)
+        .zip(pidCounts.map(_._2).scanLeft(0L)(_ + _))
+      val offsetOf = pidOffsets.foldLeft(lit(0L)) {
+        case (acc, (pid, off)) => when(col("_pid") === pid, lit(off)).otherwise(acc)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("_pid").orderBy(sortCols: _*)
+      val batched = parted
+        .withColumn("_rank", offsetOf + row_number().over(w) - 1)
+        .withColumn("_batch", (col("_rank") / batchSize).cast("long"))
+        .groupBy("_batch")
+        .agg(count(lit(1)).as("_cnt"), max(col("n")).as("_mx"),
+          sum(col("n").cast("long")).as("_tok"))
+      batched.agg(
+        count(lit(1)).as("n_batches"),
+        sum(col("_cnt")).as("n_docs"),
+        sum(col("_tok")).as("n_tokens"),
+        sum(col("_cnt") * col("_mx")).as("n_padded_slots"))
+        .select(lit(name).as("strategy"), col("n_batches"), col("n_docs"),
+          col("n_tokens"), col("n_padded_slots"),
+          round((col("n_padded_slots") - col("n_tokens")) * 1.0
+            / col("n_padded_slots"), 6).as("waste_ratio"))
+    }
+    strategy("arrival", Seq(col("doc_id")))
+      .unionAll(strategy("length", Seq(col("n"), col("doc_id"))))
+  }
+
   /** Context-window chunking: token windows of `chunkSize` starting every
     * `stride` tokens (overlap = chunkSize − stride), final windows
     * truncated; empty docs emit nothing. One narrow explode — the standard

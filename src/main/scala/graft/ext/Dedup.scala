@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.functions.Hashing
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** C1/C2 — deduplication family for a training-data pipeline:
@@ -193,6 +194,29 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy(desc("n_shared"), col("doc_a"), col("doc_b"))
+  }
+
+  /** LSH threshold-calibration sweep — the "which Jaccard cutoff do we
+    * commit to" diagnostic run BEFORE a full dedup: exact-verified Jaccard
+    * of every LSH candidate pair, binned into `nBins` uniform bins, with
+    * the at-or-above cumulative count (= pairs a given threshold would
+    * remove). Reuses the whole [[minhashLsh]] pipeline at threshold 0;
+    * the histogram adds one bounded hash agg and one ≤ nBins-row window —
+    * nothing new touches the corpus. */
+  def lshThresholdSweep(df: DataFrame, idCol: Column, text: Column,
+                        numHashes: Int = 16, bandSize: Int = 2,
+                        shingleN: Int = 3, nBins: Int = 10): DataFrame = {
+    val pairs = minhashLsh(df, idCol, text, numHashes, bandSize,
+      threshold = 0.0, shingleN = shingleN)
+    val binned = pairs
+      .withColumn("bin", least(floor(col("jac") * nBins), lit(nBins.toLong - 1)).cast("int"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    binned
+      .withColumn("threshold", round(col("bin") / lit(nBins.toDouble), 2))
+      .withColumn("n_pairs_at_or_above",
+        sum(col("n_pairs")).over(Window.orderBy(desc("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bin"), col("threshold"), col("n_pairs"), col("n_pairs_at_or_above"))
   }
 
   /** Exact Jaccard for candidate pairs over the shingle-set table. */

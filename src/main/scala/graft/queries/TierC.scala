@@ -2154,6 +2154,73 @@ object TierC {
              |FROM sen JOIN df USING (h)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // LSH threshold calibration: exact Jaccard of EVERY candidate pair
+    // binned 0.1-wide, with the at-or-above cumulative — the sweep a
+    // pipeline runs before committing to a dedup threshold. Whole c02
+    // pipeline at threshold 0 + one bounded histogram agg.
+    Q("c72_lsh_threshold_sweep",
+      (s, d) => Dedup.lshThresholdSweep(Tables.documents(s, d),
+        col("doc_id"), col("text"),
+        numHashes = NUM_HASHES, bandSize = BAND_SIZE).orderBy("bin"),
+      Some(
+        s"""WITH $toksCte,
+           |$gramsCte,
+           |$sigCte,
+           |$bandsCte,
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y ON x.j = y.j AND x.band = y.band AND x.doc_id < y.doc_id
+           |),
+           |sizes AS (SELECT doc_id, len(grams) AS n FROM grams),
+           |inter AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+           |  FROM cand c JOIN gx a ON a.doc_id = c.doc_a JOIN gx b ON b.doc_id = c.doc_b AND b.g = a.g
+           |  GROUP BY c.doc_a, c.doc_b
+           |),
+           |jac AS (
+           |  SELECT round(inter*1.0/(sa.n + sb.n - inter), 6) AS jac
+           |  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+           |),
+           |h AS (SELECT CAST(least(floor(jac * 10), 9) AS INT) AS bin, count(*) AS n_pairs
+           |      FROM jac GROUP BY bin)
+           |SELECT bin, round(bin / 10.0, 2) AS threshold, n_pairs,
+           |       CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |         AS n_pairs_at_or_above
+           |FROM h ORDER BY bin""".stripMargin)),
+
+    // Padding-waste report: fixed batches of 16 at seq_len 256 under
+    // arrival order vs length bucketing — the batching-strategy decision
+    // table. Global batch index = distributed row index (packTokens'
+    // prefix-sum trick); oracle uses a plain global row_number.
+    Q("c73_padding_waste",
+      (s, d) => Corpus.paddingWaste(Tables.documents(s, d), col("doc_id"),
+        col("text"), seqLen = 256, batchSize = 16).orderBy("strategy"),
+      Some(s"""WITH $toksCte,
+             |base AS (SELECT doc_id, least(len(w), 256) AS n FROM toks WHERE len(w) > 0),
+             |ra AS (SELECT doc_id, n,
+             |              (row_number() OVER (ORDER BY doc_id) - 1) // 16 AS b
+             |       FROM base),
+             |rl AS (SELECT doc_id, n,
+             |              (row_number() OVER (ORDER BY n, doc_id) - 1) // 16 AS b
+             |       FROM base),
+             |ba AS (SELECT b, count(*) AS cnt, max(n) AS mx, sum(n) AS tok FROM ra GROUP BY b),
+             |bl AS (SELECT b, count(*) AS cnt, max(n) AS mx, sum(n) AS tok FROM rl GROUP BY b),
+             |sa AS (SELECT 'arrival' AS strategy, count(*) AS n_batches,
+             |              CAST(sum(cnt) AS BIGINT) AS n_docs,
+             |              CAST(sum(tok) AS BIGINT) AS n_tokens,
+             |              CAST(sum(cnt * mx) AS BIGINT) AS n_padded_slots
+             |       FROM ba),
+             |sl AS (SELECT 'length' AS strategy, count(*) AS n_batches,
+             |              CAST(sum(cnt) AS BIGINT) AS n_docs,
+             |              CAST(sum(tok) AS BIGINT) AS n_tokens,
+             |              CAST(sum(cnt * mx) AS BIGINT) AS n_padded_slots
+             |       FROM bl)
+             |SELECT strategy, n_batches, n_docs, n_tokens, n_padded_slots,
+             |       round((n_padded_slots - n_tokens) * 1.0 / n_padded_slots, 6) AS waste_ratio
+             |FROM (SELECT * FROM sa UNION ALL SELECT * FROM sl)
+             |ORDER BY strategy""".stripMargin)),
+
     // Deterministic EXACT-k uniform sample: smallest k seeded hash keys —
     // a fixed-size eval set that re-runs and repartitioning cannot change.
     Q("c66_exact_k_sample",
