@@ -1,0 +1,114 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property checks of the round-10 text kernels against independent
+  * brute-force references:
+  *  - [[graft.functions.EditDistance.damerauStr]] vs a BFS over actual
+  *    edit sequences (insert / delete / substitute / transpose-adjacent
+  *    as unit operations on the evolving string). With unit costs the
+  *    minimal edit-sequence length IS the unrestricted (Lowrance-Wagner)
+  *    Damerau distance — the variant DuckDB's `damerau_levenshtein`
+  *    implements ("ca"→"abc" = 2: transpose, then insert between);
+  *  - [[graft.functions.Spans]].PhraseSlopMatch vs exhaustive enumeration
+  *    of every in-order position assignment.
+  */
+class EditDistanceModelSpec extends AnyFunSuite {
+
+  /** Reference true-DL: BFS from `a` applying every unit edit until `b`
+    * is reached. Strings are ≤ 4 chars over a 3-letter alphabet, so the
+    * reachable state space is tiny. */
+  private def refDamerau(a: String, b: String): Int = {
+    if (a == b) return 0
+    val alphabet = "abc"
+    val bound = math.max(a.length, b.length) // substitutions + indels
+    var frontier = Set(a)
+    val visited = scala.collection.mutable.Set(a)
+    var depth = 0
+    while (depth < bound) {
+      depth += 1
+      val next = scala.collection.mutable.Set[String]()
+      for (s <- frontier) {
+        val edits = scala.collection.mutable.Buffer[String]()
+        for (i <- 0 to s.length; c <- alphabet)
+          edits += s.substring(0, i) + c + s.substring(i)       // insert
+        for (i <- 0 until s.length)
+          edits += s.substring(0, i) + s.substring(i + 1)       // delete
+        for (i <- 0 until s.length; c <- alphabet if c != s(i))
+          edits += s.substring(0, i) + c + s.substring(i + 1)   // substitute
+        for (i <- 0 until s.length - 1 if s(i) != s(i + 1))
+          edits += s.substring(0, i) + s(i + 1) + s(i) + s.substring(i + 2) // transpose
+        for (e <- edits if !visited.contains(e) && e.length <= b.length + bound) {
+          if (e == b) return depth
+          visited += e
+          next += e
+        }
+      }
+      frontier = next.toSet
+    }
+    bound
+  }
+
+  test("damerau kernel == BFS edit-sequence reference on short strings") {
+    val genStr = for {
+      n <- Gen.choose(0, 4)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val prop = Prop.forAll(genStr, genStr) { (a, b) =>
+      graft.functions.EditDistance.damerauStr(a, b) == refDamerau(a, b)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(400), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("damerau kernel: metric axioms on random strings") {
+    val genStr = for {
+      n <- Gen.choose(0, 10)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString
+    import graft.functions.EditDistance.damerauStr
+    val prop = Prop.forAll(genStr, genStr, genStr) { (a, b, c) =>
+      val ab = damerauStr(a, b)
+      ab == damerauStr(b, a) &&                       // symmetry
+      (ab == 0) == (a == b) &&                        // identity
+      ab <= damerauStr(a, c) + damerauStr(c, b) &&    // triangle
+      ab <= math.max(a.length, b.length)              // trivial upper bound
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Brute in-order sloppy phrase: every strictly-increasing assignment. */
+  private def refPhraseSlop(toks: Seq[String], terms: Seq[String], slop: Int): Boolean = {
+    def choose(k: Int, from: Int, acc: List[Int]): Boolean =
+      if (k == terms.length) {
+        val qs = acc.reverse
+        (qs.last - qs.head) - (terms.length - 1) <= slop
+      } else (from until toks.length).exists(i =>
+        toks(i) == terms(k) && choose(k + 1, i + 1, i :: acc))
+    choose(0, 0, Nil)
+  }
+
+  test("phrase slop kernel == brute enumeration on random token streams") {
+    val vocab = Seq("a", "b", "c")
+    val genToks = for {
+      n <- Gen.choose(0, 9)
+      ts <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ts
+    val genPhrase = for {
+      n <- Gen.choose(1, 3)
+      ts <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ts
+    val prop = Prop.forAll(genToks, genPhrase, Gen.choose(0, 3)) { (toks, phrase, slop) =>
+      val text = toks.mkString(" ")
+      val got = graft.functions.Spans.PhraseSlopMatch(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text)),
+        phrase, slop).eval(null).asInstanceOf[Boolean]
+      got == refPhraseSlop(toks, phrase, slop)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
