@@ -3470,6 +3470,63 @@ object TierB {
              |   OR len(list_filter(ws, x -> damerau_levenshtein(x, 'sprk') <= 1)) > 0
              |ORDER BY doc_id""".stripMargin)),
 
+    // `_rank_eval` API: precision@k / MRR / DCG@k / NDCG@k over hash-
+    // deterministic synthetic runs + graded judgments (both engines build
+    // the identical fixture from `part` via md5, the geo/ip pattern).
+    Q("a165_es_json_rank_eval",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val qs = (1 to 3).foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+          (acc, i) =>
+            val one = Tables.part(s, d).select(col("p_partkey"), lit(i).as("query_id"))
+            Some(acc.map(_.unionAll(one)).getOrElse(one))
+        }.get
+        val rkHash = graft.functions.Hashing.md5Long60(
+          concat(lit("rk:"), col("query_id"), lit(":"), col("p_partkey")))
+        val hits = qs.withColumn("rank", row_number().over(
+            Window.partitionBy("query_id").orderBy(rkHash, col("p_partkey"))))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("p_partkey").as("doc_id"), col("rank"))
+        val judgments = qs.filter(col("p_partkey") % 7 === 0)
+          .select(col("query_id"), col("p_partkey").as("doc_id"),
+            pmod(graft.functions.Hashing.md5Long60(
+              concat(lit("g:"), col("query_id"), lit(":"), col("p_partkey"))),
+              lit(4L)).cast("int").as("grade"))
+        graft.dsl.RankEval.rankEval(hits, judgments, k = 10).orderBy("query_id")
+      },
+      Some(s"""WITH qs AS (SELECT unnest([1, 2, 3]) AS query_id),
+             |px AS (SELECT query_id, p_partkey FROM part CROSS JOIN qs),
+             |hits AS (
+             |  SELECT query_id, p_partkey AS doc_id,
+             |         row_number() OVER (PARTITION BY query_id ORDER BY
+             |           ${Hashing.sqlMd5Long60("'rk:' || query_id || ':' || p_partkey")},
+             |           p_partkey) AS rank
+             |  FROM px),
+             |hk AS (SELECT * FROM hits WHERE rank <= 10),
+             |jd AS (SELECT query_id, p_partkey AS doc_id,
+             |              CAST(${Hashing.sqlMd5Long60("'g:' || query_id || ':' || p_partkey")} % 4 AS INT) AS grade
+             |       FROM px WHERE p_partkey % 7 = 0),
+             |tk AS (SELECT h.query_id, h.rank, COALESCE(j.grade, 0) AS grade
+             |       FROM hk h LEFT JOIN jd j
+             |         ON j.query_id = h.query_id AND j.doc_id = h.doc_id),
+             |pq AS (SELECT query_id,
+             |              round(sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) / 10.0, 6) AS precision_k,
+             |              round(COALESCE(1.0 / min(CASE WHEN grade > 0 THEN rank END), 0.0), 6) AS mrr,
+             |              round(sum((pow(2.0, grade) - 1.0) / log2(rank + 1.0)), 6) AS dcg_k
+             |       FROM tk GROUP BY query_id),
+             |ideal AS (SELECT query_id,
+             |                 round(sum((pow(2.0, grade) - 1.0) / log2(ir + 1.0)), 6) AS idcg_k
+             |          FROM (SELECT query_id, grade,
+             |                       row_number() OVER (PARTITION BY query_id
+             |                         ORDER BY grade DESC, doc_id) AS ir
+             |                FROM jd WHERE grade > 0)
+             |          WHERE ir <= 10 GROUP BY query_id)
+             |SELECT pq.query_id, precision_k, mrr, dcg_k,
+             |       CASE WHEN idcg_k IS NULL OR idcg_k = 0 THEN 0.0
+             |            ELSE round(dcg_k / idcg_k, 6) END AS ndcg_k
+             |FROM pq LEFT JOIN ideal ON ideal.query_id = pq.query_id
+             |ORDER BY pq.query_id""".stripMargin)),
+
     // extended_stats `sigma`: the ±kσ std_deviation_bounds columns
     // (population moments, 6 dp both engines).
     Q("a154_es_json_extended_stats_sigma",

@@ -157,6 +157,31 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
       | "query": "\"spark table\"", "default_field": "text"}}}""".stripMargin) == Set(1L))
   }
 
+  test("rank_eval: hand-computed precision/mrr/dcg/ndcg") {
+    val sp = spark
+    import sp.implicits._
+    // q1 top-3: d1 (unjudged=0), d2 (grade 2), d3 (grade 1); judged but
+    // unretrieved: d9 (grade 3) -> caps the ideal DCG
+    val hits = Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val judgments = Seq((1L, 2L, 2), (1L, 3L, 1), (1L, 9L, 3), (1L, 1L, 0))
+      .toDF("query_id", "doc_id", "grade")
+    val r = graft.dsl.RankEval.rankEval(hits, judgments, k = 3).collect().head
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val log2_3 = math.log(3) / math.log(2)
+    val dcg = r6(3.0 / log2_3 + 1.0 / 2.0)                    // ranks 2, 3
+    val idcg = r6(7.0 / 1.0 + 3.0 / log2_3 + 1.0 / 2.0)      // grades 3,2,1
+    assert(r.getAs[Double]("precision_k") == r6(2.0 / 3.0))
+    assert(r.getAs[Double]("mrr") == 0.5)                     // first rel at rank 2
+    assert(r.getAs[Double]("dcg_k") == dcg)
+    assert(r.getAs[Double]("ndcg_k") == r6(dcg / idcg))
+    // no relevant hits at all -> mrr 0, ndcg 0
+    val none = graft.dsl.RankEval.rankEval(
+      Seq((2L, 5L, 1)).toDF("query_id", "doc_id", "rank"),
+      Seq((2L, 6L, 0)).toDF("query_id", "doc_id", "grade"), k = 3).collect().head
+    assert(none.getAs[Double]("mrr") == 0.0 && none.getAs[Double]("ndcg_k") == 0.0)
+  }
+
   test("damerau kernel: true (unrestricted) DL matching DuckDB's variant") {
     import graft.functions.EditDistance.damerauStr
     assert(damerauStr("ab", "ba") == 1)       // transposition = 1 edit
