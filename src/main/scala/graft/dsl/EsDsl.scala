@@ -31,7 +31,14 @@ object EsDsl {
   def prefix(c: Column, p: String): Column = c.startsWith(p)
   def wildcard(c: Column, pattern: String): Column =
     c.like(pattern.replace('*', '%').replace('?', '_'))
-  def regexp(c: Column, pattern: String): Column = c.rlike(pattern)
+  /** B4 `regexp`: ES regexp queries are ANCHORED — the pattern must match
+    * the ENTIRE term (Lucene RegexpQuery semantics; substring behavior
+    * needs explicit `.*…​.*`). `rlike` is find()-shaped, so wrap in a
+    * non-capturing full anchor. (The span_multi and terms-agg
+    * include/exclude paths were already anchored; this closes the last
+    * substring-semantics regexp site.) */
+  def regexp(c: Column, pattern: String): Column =
+    c.rlike("^(?:" + pattern + ")$")
   /** B5 `match`: analyzed OR-of-terms with minimum_should_match. Term set
     * is deduped (array_intersect) — ES scores per unique term too. */
   def matchCount(text: Column, queryTerms: Seq[String]): Column =

@@ -115,9 +115,11 @@ object TierB {
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
+    // regexp is ANCHORED (Lucene full-term semantics, round-10 fix) — an
+    // ES user wanting substring writes the explicit `.*…​.*` form, as here.
     Q("b04_pattern",
       (s, d) => Tables.part(s, d)
-        .filter(EsDsl.regexp(col("p_name"), "(red|blue) (bolt|ring)"))
+        .filter(EsDsl.regexp(col("p_name"), ".*(red|blue) (bolt|ring).*"))
         .select(col("p_partkey"), col("p_name"),
           prefix(col("p_name"), "red").as("is_red"),
           wildcard(col("p_name"), "*bolt*").as("is_bolt"))
@@ -125,7 +127,7 @@ object TierB {
       Some("""SELECT p_partkey, p_name,
              |       (p_name LIKE 'red%') AS is_red,
              |       (p_name LIKE '%bolt%') AS is_bolt
-             |FROM part WHERE regexp_matches(p_name, '(red|blue) (bolt|ring)')
+             |FROM part WHERE regexp_full_match(p_name, '.*(red|blue) (bolt|ring).*')
              |ORDER BY p_partkey LIMIT 200""".stripMargin)),
 
     Q("b05_match",
