@@ -194,6 +194,7 @@ object EsQueryJson {
     val (kind, body) = single(q)
     kind match {
       case "match_all" => lit(true)
+      case "match_none" => lit(false)
       case "span_near" =>
         val clauses = body.get("clauses").elements().asScala.toSeq
         require(clauses.size == 2, s"span_near supports exactly 2 clauses, got ${clauses.size}")

@@ -110,9 +110,14 @@ object Suggest {
           lit(p.take(fuzzyPrefixLength))
         val lens = (math.max(fuzzyPrefixLength, p.length - fuzziness) to
           (p.length + fuzziness)).toSeq
-        val dists = lens.map(j => graft.functions.EditDistance.damerauLev(
-          substring(col("term"), 1, j), lit(p)))
-        exact && dists.reduce(least(_, _)) <= fuzziness
+        // prefix_length >= |prefix|+fuzziness pins the whole typed prefix
+        // exactly — the fuzzy clause degenerates to exact-prefix
+        if (lens.isEmpty) col("term").startsWith(p)
+        else {
+          val dists = lens.map(j => graft.functions.EditDistance.damerauLev(
+            substring(col("term"), 1, j), lit(p)))
+          exact && dists.reduce(least(_, _)) <= fuzziness
+        }
       }
     vocabulary(scoped, idCol, field)
       .filter(matches)
