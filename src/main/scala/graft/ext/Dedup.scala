@@ -205,9 +205,15 @@ object Dedup {
     * nothing new touches the corpus. */
   def lshThresholdSweep(df: DataFrame, idCol: Column, text: Column,
                         numHashes: Int = 16, bandSize: Int = 2,
-                        shingleN: Int = 3, nBins: Int = 10): DataFrame = {
-    val pairs = minhashLsh(df, idCol, text, numHashes, bandSize,
-      threshold = 0.0, shingleN = shingleN)
+                        shingleN: Int = 3, nBins: Int = 10): DataFrame =
+    thresholdHistogram(minhashLsh(df, idCol, text, numHashes, bandSize,
+      threshold = 0.0, shingleN = shingleN), nBins)
+
+  /** The binning half of [[lshThresholdSweep]], exposed separately so a
+    * caller holding an already-materialized all-candidates pair table
+    * (e.g. the corpus-shared threshold-0 LSH cache) pays only the
+    * bounded histogram. */
+  def thresholdHistogram(pairs: DataFrame, nBins: Int = 10): DataFrame = {
     val binned = pairs
       .withColumn("bin", least(floor(col("jac") * nBins), lit(nBins.toLong - 1)).cast("int"))
       .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
