@@ -303,6 +303,31 @@ object Corpus {
       .orderBy("bin")
   }
 
+  /** Corpus snapshot DIFF — the dataset-versioning report between two
+    * crawls/releases: per source, how many docs were added, removed,
+    * changed (same id, different content fingerprint), or unchanged.
+    * Content identity is the md5-60 of the text (the exact-dedup
+    * fingerprint), so a whitespace-identical doc is "unchanged" and any
+    * byte change is "changed". One full-outer join on the id — the only
+    * wide stage; fingerprints are narrow. */
+  def corpusDiff(prev: DataFrame, cur: DataFrame, idCol: Column,
+                 text: Column, sourceCol: Column): DataFrame = {
+    def fp(df: DataFrame, side: String) =
+      df.select(idCol.as("doc_id"), sourceCol.as(s"_src_$side"),
+        Hashing.md5Long60(text).as(s"_fp_$side"))
+    fp(prev, "p").join(fp(cur, "c"), Seq("doc_id"), "full_outer")
+      .select(coalesce(col("_src_c"), col("_src_p")).as("source"),
+        when(col("_fp_p").isNull, "added")
+          .when(col("_fp_c").isNull, "removed")
+          .when(col("_fp_p") === col("_fp_c"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy("source")
+      .agg(sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+  }
+
   /** Padding-waste diagnostic for fixed-size batching — the "is length
     * bucketing worth it" report a training pipeline runs before choosing
     * its batching strategy. Docs (token counts clipped at `seqLen`) form

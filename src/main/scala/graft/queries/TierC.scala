@@ -2224,6 +2224,40 @@ object TierC {
              |FROM (SELECT * FROM sa UNION ALL SELECT * FROM sl)
              |ORDER BY strategy""".stripMargin)),
 
+    // Corpus snapshot diff: v1 = docs with id%10!=0, v2 = all docs with
+    // id%7==0 texts edited — per-source added/removed/changed/unchanged,
+    // content identity by md5-60 text fingerprint. One full-outer join.
+    Q("c74_corpus_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val prev = docs.filter(col("doc_id") % 10 =!= 0)
+        val cur = docs.withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        Corpus.corpusDiff(prev, cur, col("doc_id"), col("text"), col("source"))
+          .orderBy("source")
+      },
+      Some(s"""WITH prev AS (
+             |  SELECT doc_id, source, ${Hashing.sqlMd5Long60("text")} AS fp
+             |  FROM documents WHERE doc_id % 10 <> 0),
+             |cur AS (
+             |  SELECT doc_id, source,
+             |         ${Hashing.sqlMd5Long60("CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END")} AS fp
+             |  FROM documents),
+             |j AS (
+             |  SELECT COALESCE(c.source, p.source) AS source,
+             |         CASE WHEN p.fp IS NULL THEN 'added'
+             |              WHEN c.fp IS NULL THEN 'removed'
+             |              WHEN p.fp = c.fp THEN 'unchanged'
+             |              ELSE 'changed' END AS status
+             |  FROM prev p FULL OUTER JOIN cur c ON c.doc_id = p.doc_id)
+             |SELECT source,
+             |       CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+             |       CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             |       CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             |       CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+             |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
     // Deterministic EXACT-k uniform sample: smallest k seeded hash keys —
     // a fixed-size eval set that re-runs and repartitioning cannot change.
     Q("c66_exact_k_sample",
