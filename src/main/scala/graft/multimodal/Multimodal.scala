@@ -201,4 +201,95 @@ object Multimodal {
         }
       }.toDF()
   }
+
+  // ---- audio ----------------------------------------------------------
+
+  case class WavStats(doc_id: Long, sample_rate: Int, channels: Int,
+                      bits: Int, n_samples: Long, duration_ms: Long,
+                      sum_sq: Long, peak: Int, rms: Double)
+
+  /** The deterministic test waveform: sample i of doc `id` (16-bit signed,
+    * the md5-free analog of the image pattern — a closed form any engine
+    * replays). */
+  @inline private[graft] def patS(id: Long, i: Int): Int =
+    (((id * 31 + i * 7) % 65536) - 32768).toInt
+
+  /** Audio fixture generator: the test waveform encoded into GENUINE WAV
+    * bytes by the JDK's own audio writer (`javax.sound.sampled
+    * .AudioSystem.write`, PCM_SIGNED 16-bit little-endian mono) — a real
+    * RIFF/WAVE container, not hand-laid bytes; sample rate varies by id
+    * (8/12/16/20 kHz). */
+  def encodeTestWavs(ids: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rate = (8000 + (id % 4) * 4000).toInt
+        val n = (64 + id % 64).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = patS(id, i)
+          pcm(i * 2) = (s & 0xff).toByte          // little-endian
+          pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          rate.toFloat, 16, 1, 2, rate.toFloat, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the WAV
+    * container (format fields from the actual fmt chunk) and streams PCM
+    * frames; per doc the exact-integer sample aggregates a pipeline
+    * filters on — duration, energy (Σs², in LONG, so the later float rms
+    * is a deterministic function of exact integers), clip peak. Same
+    * partition-batched shape as [[decodePixels]]; non-audio payloads
+    * yield a -1-rate row rather than an error (per-row isolation). */
+  def decodeWav(payloads: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(p))
+            try {
+              val f = ais.getFormat
+              val rate = f.getSampleRate.toInt
+              val bytes = ais.readAllBytes()
+              val n = bytes.length / 2
+              var sumSq = 0L
+              var peak = 0
+              var i = 0
+              while (i < n) {
+                val lo = bytes(i * 2) & 0xff
+                val hi = bytes(i * 2 + 1).toInt
+                val s = (hi << 8) | lo
+                val a = math.abs(s)
+                sumSq += s.toLong * s
+                if (a > peak) peak = a
+                i += 1
+              }
+              val rms = if (n == 0) 0.0
+                else BigDecimal(math.sqrt(sumSq.toDouble / n))
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              WavStats(id, rate, f.getChannels, f.getSampleSizeInBits,
+                n.toLong, n.toLong * 1000L / rate, sumSq, peak, rms)
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException =>
+              WavStats(id, -1, 0, 0, 0L, 0L, 0L, 0, 0.0)
+          }
+        }
+      }.toDF()
+  }
 }

@@ -2224,6 +2224,35 @@ object TierC {
              |FROM (SELECT * FROM sa UNION ALL SELECT * FROM sl)
              |ORDER BY strategy""".stripMargin)),
 
+    // WAV audio round trip through the JDK's REAL audio codec
+    // (AudioSystem write + parse): the oracle never sees bytes — it
+    // recomputes the closed-form waveform, so decode(encode(wave)) must be
+    // bit-exact through the RIFF container. Energy stays exact-integer
+    // (Σs² in LONG); rms is a deterministic function of it.
+    Q("c75_wav_decode",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Multimodal.decodeWav(
+          Multimodal.encodeTestWavs(Tables.documents(s, d)))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+             |sm AS (
+             |  SELECT doc_id, ((doc_id * 31 + i * 7) % 65536) - 32768 AS s
+             |  FROM ids, unnest(generate_series(0, CAST(64 + doc_id % 64 AS INT) - 1)) AS u(i)),
+             |a AS (
+             |  SELECT doc_id, count(*) AS n_samples,
+             |         CAST(sum(s * s) AS BIGINT) AS sum_sq,
+             |         CAST(max(abs(s)) AS INT) AS peak
+             |  FROM sm GROUP BY doc_id)
+             |SELECT a.doc_id,
+             |       CAST(8000 + (a.doc_id % 4) * 4000 AS INT) AS sample_rate,
+             |       1 AS channels, 16 AS bits, n_samples,
+             |       n_samples * 1000 // (8000 + (a.doc_id % 4) * 4000) AS duration_ms,
+             |       sum_sq, peak,
+             |       round(sqrt(sum_sq * 1.0 / n_samples), 4) AS rms
+             |FROM a ORDER BY a.doc_id""".stripMargin)),
+
     // Corpus snapshot diff: v1 = docs with id%10!=0, v2 = all docs with
     // id%7==0 texts edited — per-source added/removed/changed/unchanged,
     // content identity by md5-60 text fingerprint. One full-outer join.

@@ -254,6 +254,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(u.getAs[String]("fmt") == "unknown" && u.getAs[Long]("n_px") == 0L)
   }
 
+  test("wav round trip: JDK codec encode/decode is bit-exact; junk isolated") {
+    import graft.multimodal.Multimodal
+    implicit val sp2: org.apache.spark.sql.SparkSession = sp
+    import sp2.implicits._
+    val ids = (1L to 20L).toDF("doc_id")
+    val rows = Multimodal.decodeWav(Multimodal.encodeTestWavs(ids))
+      .orderBy("doc_id").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = (64 + id % 64).toInt
+      val samples = (0 until n).map(Multimodal.patS(id, _))
+      assert(r.getAs[Int]("sample_rate") == (8000 + (id % 4) * 4000).toInt)
+      assert(r.getAs[Int]("channels") == 1 && r.getAs[Int]("bits") == 16)
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      assert(r.getAs[Long]("sum_sq") == samples.map(s => s.toLong * s).sum)
+      assert(r.getAs[Int]("peak") == samples.map(math.abs).max)
+    }
+    val junk = Seq((99L, Array.fill[Byte](16)(0x42))).toDF("doc_id", "payload")
+    val j = Multimodal.decodeWav(junk).collect()(0)
+    assert(j.getAs[Int]("sample_rate") == -1 && j.getAs[Long]("n_samples") == 0L)
+  }
+
   test("corpus shaping: repetition signals, stratified sample, chunking") {
     import graft.ext.Corpus
     val sp2 = sp
