@@ -246,6 +246,58 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  case class WavFrames(doc_id: Long, n_frames: Long, n_active: Long,
+                       zero_crossings: Long, max_frame_energy: Long)
+
+  /** Frame-level audio analysis — the MFCC/VAD precursor shape: fixed
+    * `frameSize`-sample windows (tail truncated), per-frame energy Σs²
+    * (exact LONG), frames whose energy exceeds `activeThreshold` ("voice
+    * activity"), plus whole-signal zero-crossing count (the classic
+    * cheap speech/tone discriminator). Same real-codec parse as
+    * [[decodeWav]]; per-doc work is one linear pass. */
+  def audioFrames(payloads: DataFrame, frameSize: Int, activeThreshold: Long)
+                 (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(p))
+            try {
+              val bytes = ais.readAllBytes()
+              val n = bytes.length / 2
+              def sample(i: Int): Int =
+                ((bytes(i * 2 + 1).toInt << 8) | (bytes(i * 2) & 0xff))
+              var zc = 0L
+              var i = 1
+              while (i < n) {
+                if ((sample(i - 1) < 0) != (sample(i) < 0)) zc += 1
+                i += 1
+              }
+              val nFrames = n / frameSize
+              var active = 0L
+              var maxE = 0L
+              var f = 0
+              while (f < nFrames) {
+                var e = 0L
+                var j = f * frameSize
+                val end = j + frameSize
+                while (j < end) { val s = sample(j); e += s.toLong * s; j += 1 }
+                if (e > activeThreshold) active += 1
+                if (e > maxE) maxE = e
+                f += 1
+              }
+              WavFrames(id, nFrames.toLong, active, zc, maxE)
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException => WavFrames(id, 0L, 0L, 0L, 0L)
+          }
+        }
+      }.toDF()
+  }
+
   /** REAL audio decode: `AudioSystem.getAudioInputStream` parses the WAV
     * container (format fields from the actual fmt chunk) and streams PCM
     * frames; per doc the exact-integer sample aggregates a pipeline

@@ -2253,6 +2253,41 @@ object TierC {
              |       round(sqrt(sum_sq * 1.0 / n_samples), 4) AS rms
              |FROM a ORDER BY a.doc_id""".stripMargin)),
 
+    // Frame-level audio analysis (the VAD/MFCC precursor): 16-sample
+    // frame energies with an activity threshold + whole-signal zero
+    // crossings — all exact integers through the real codec round trip.
+    Q("c76_audio_frames",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Multimodal.audioFrames(
+          Multimodal.encodeTestWavs(Tables.documents(s, d)),
+          frameSize = 16, activeThreshold = 5000000000L)
+          .orderBy("doc_id")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+             |sm AS (
+             |  SELECT doc_id, i, ((doc_id * 31 + i * 7) % 65536) - 32768 AS s
+             |  FROM ids, unnest(generate_series(0, CAST(64 + doc_id % 64 AS INT) - 1)) AS u(i)),
+             |zc AS (
+             |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS zero_crossings
+             |  FROM sm a JOIN sm b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+             |  WHERE (a.s < 0) <> (b.s < 0) GROUP BY a.doc_id),
+             |fr AS (
+             |  SELECT doc_id, i // 16 AS f, CAST(sum(s * s) AS BIGINT) AS e
+             |  FROM sm WHERE i // 16 < (64 + doc_id % 64) // 16
+             |  GROUP BY doc_id, f),
+             |ag AS (
+             |  SELECT doc_id, count(*) AS n_frames,
+             |         CAST(sum(CASE WHEN e > 5000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+             |         max(e) AS max_frame_energy
+             |  FROM fr GROUP BY doc_id)
+             |SELECT i.doc_id, ag.n_frames, ag.n_active,
+             |       COALESCE(zc.zero_crossings, 0) AS zero_crossings,
+             |       ag.max_frame_energy
+             |FROM ids i JOIN ag ON ag.doc_id = i.doc_id
+             |LEFT JOIN zc ON zc.doc_id = i.doc_id
+             |ORDER BY i.doc_id""".stripMargin)),
+
     // Corpus snapshot diff: v1 = docs with id%10!=0, v2 = all docs with
     // id%7==0 texts edited — per-source added/removed/changed/unchanged,
     // content identity by md5-60 text fingerprint. One full-outer join.
