@@ -202,6 +202,54 @@ object Multimodal {
       }.toDF()
   }
 
+  case class AHash(doc_id: Long, width: Int, height: Int, ahash: Long)
+
+  /** Perceptual average-hash (aHash) — the standard cheap image-near-dup
+    * sketch: integer luminance (r+g+b)/3 per pixel, threshold against the
+    * image's integer mean luminance, one bit per pixel in row-major order
+    * (first 64 pixels). All-integer math, so the hash is bit-identical
+    * across engines and through the real codec round trip; downstream
+    * dedup is plain exact/Hamming grouping on the LONG (the SimHash
+    * machinery's shape). Unrecognized payloads hash to -1 dimensions. */
+  def imageAHash(payloads: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, p) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          if (img == null) AHash(id, -1, -1, 0L)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val n = w * h
+            val gray = new Array[Int](n)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                gray(y * w + x) = g
+                sum += g
+                x += 1
+              }
+              y += 1
+            }
+            val mean = sum / n
+            var hash = 0L
+            var i = 0
+            val lim = math.min(64, n)
+            while (i < lim) {
+              if (gray(i) > mean) hash |= (1L << i)
+              i += 1
+            }
+            AHash(id, w, h, hash)
+          }
+        }
+      }.toDF()
+  }
+
   // ---- audio ----------------------------------------------------------
 
   case class WavStats(doc_id: Long, sample_rate: Int, channels: Int,

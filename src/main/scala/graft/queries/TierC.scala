@@ -2253,6 +2253,39 @@ object TierC {
              |       round(sqrt(sum_sq * 1.0 / n_samples), 4) AS rms
              |FROM a ORDER BY a.doc_id""".stripMargin)),
 
+    // Perceptual average-hash over REAL codec-round-tripped images: all-
+    // integer luminance/mean/threshold math, so the 64-bit hash is
+    // engine-exact; the oracle replays the pattern analytically.
+    Q("c77_image_ahash",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Multimodal.imageAHash(
+          Multimodal.encodeTestImages(Tables.documents(s, d)))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |         CAST(doc_id % 9 + 2 AS INT) AS width,
+             |         CAST((doc_id * 3) % 7 + 2 AS INT) AS height
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, width, height, y * width + x AS i,
+             |         ((doc_id * 31 + x * 7 + y * 13) % 256
+             |          + (doc_id * 17 + x * 11 + y * 5) % 256
+             |          + (doc_id * 23 + x * 3 + y * 19) % 256) // 3 AS g
+             |  FROM dims,
+             |       unnest(generate_series(0, width - 1)) AS ux(x),
+             |       unnest(generate_series(0, height - 1)) AS uy(y)),
+             |m AS (SELECT doc_id, sum(g) // count(*) AS mean FROM px GROUP BY doc_id)
+             |SELECT px.doc_id, width, height,
+             |       CAST(COALESCE(sum(CASE WHEN i < 64 AND g > mean THEN
+             |                       CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+             |                            ELSE CAST(CAST(1 AS BIGINT) << CAST(i AS INT) AS HUGEINT) END
+             |                     ELSE 0 END), 0) AS BIGINT) AS ahash
+             |FROM px JOIN m ON m.doc_id = px.doc_id
+             |GROUP BY px.doc_id, width, height
+             |ORDER BY px.doc_id""".stripMargin)),
+
     // Frame-level audio analysis (the VAD/MFCC precursor): 16-sample
     // frame energies with an activity threshold + whole-signal zero
     // crossings — all exact integers through the real codec round trip.
