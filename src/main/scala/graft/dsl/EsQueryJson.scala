@@ -441,7 +441,16 @@ object EsQueryJson {
             val docToks = graft.ext.TextAnalysis.tokens(field(f))
             qTerms.map { t =>
               val set = syn.getOrElse(t, Seq(t))
-              arrays_overlap(docToks, lit(set.toArray)).cast("int")
+              // multi-word members ("usa => united states") are PHRASE
+              // alternatives (the synonym_graph behavior); single-token
+              // members batch into one arrays_overlap
+              val (multi, single) = set.partition(_.contains(" "))
+              val singleCl =
+                if (single.isEmpty) Nil
+                else Seq(arrays_overlap(docToks, lit(single.toArray)))
+              val multiCl = multi.map(m =>
+                EsDsl.matchPhrase(field(f), m.split(" ").toSeq))
+              (singleCl ++ multiCl).reduce(_ || _).cast("int")
             }.reduce(_ + _) >= synMsm
           case Some("english") =>
             val ztq = if (v.isObject)

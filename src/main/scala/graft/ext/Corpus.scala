@@ -313,8 +313,10 @@ object Corpus {
   def corpusDiff(prev: DataFrame, cur: DataFrame, idCol: Column,
                  text: Column, sourceCol: Column): DataFrame = {
     def fp(df: DataFrame, side: String) =
+      // null text fingerprints as the empty doc — a present-but-empty row
+      // must diff as changed/unchanged, never as added/removed
       df.select(idCol.as("doc_id"), sourceCol.as(s"_src_$side"),
-        Hashing.md5Long60(text).as(s"_fp_$side"))
+        Hashing.md5Long60(coalesce(text, lit(""))).as(s"_fp_$side"))
     fp(prev, "p").join(fp(cur, "c"), Seq("doc_id"), "full_outer")
       .select(coalesce(col("_src_c"), col("_src_p")).as("source"),
         when(col("_fp_p").isNull, "added")

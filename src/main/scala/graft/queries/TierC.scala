@@ -2335,11 +2335,11 @@ object TierC {
           .orderBy("source")
       },
       Some(s"""WITH prev AS (
-             |  SELECT doc_id, source, ${Hashing.sqlMd5Long60("text")} AS fp
+             |  SELECT doc_id, source, ${Hashing.sqlMd5Long60("COALESCE(text, '')")} AS fp
              |  FROM documents WHERE doc_id % 10 <> 0),
              |cur AS (
              |  SELECT doc_id, source,
-             |         ${Hashing.sqlMd5Long60("CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END")} AS fp
+             |         ${Hashing.sqlMd5Long60("COALESCE(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END, '')")} AS fp
              |  FROM documents),
              |j AS (
              |  SELECT COALESCE(c.source, p.source) AS source,

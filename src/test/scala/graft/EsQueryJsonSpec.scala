@@ -87,6 +87,14 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
       | {"query": "rapid engines", "analyzer": "syn", "operator": "and"}}}}""".stripMargin) == Set(1L))
     // unregistered term passes through unexpanded
     assert(ids("""{"query": {"match": {"text": {"query": "admin", "analyzer": "syn"}}}}""") == Set(3L, 4L))
+    // multi-word expansion is a PHRASE alternative (synonym_graph shape)
+    val mw = EsQueryJson.withSynonyms("syn", Seq("usa => united states")) {
+      EsQueryJson.search(
+        Seq((10L, "the united states of america"), (11L, "united airlines states"))
+          .toDF("doc_id", "text"),
+        """{"query": {"match": {"text": {"query": "usa", "analyzer": "syn"}}}}""")
+    }.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mw == Set(10L)) // consecutive "united states" only
   }
 
   test("shingle analyzer: bigram clauses, msm, output_unigrams") {
