@@ -94,6 +94,44 @@ object EsQueryJson {
       shingleAnalyzers.value + (name -> ((minSize, maxSize, outputUnigrams))))(f)
   }
 
+  /** ES `_analyze` honoring the REGISTERED analyzer chains: a synonym
+    * analyzer emits expansion members at the ORIGINAL token's position
+    * (type `SYNONYM` for added members, `word` for the surviving
+    * original — ES's token-type convention; a multi-word member emits as
+    * one token, the [[withSynonyms]] subset); a shingle analyzer emits
+    * positional word n-grams (position = starting token index, type
+    * `shingle`, unigrams `word`). Unregistered names fall through to the
+    * built-in [[EsDsl.analyzeApi]] analyzers. Narrow passes throughout. */
+  def analyzeApi(df: DataFrame, idCol: Column, text: Column,
+                 analyzer: String): DataFrame =
+    if (synonymAnalyzers.value.contains(analyzer)) {
+      val syn = synonymAnalyzers.value(analyzer)
+      df.select(idCol.as("doc_id"),
+          posexplode(graft.ext.TextAnalysis.tokens(text)).as(Seq("position", "_tok")))
+        .withColumn("_members",
+          coalesce(element_at(typedLit(syn), col("_tok")), array(col("_tok"))))
+        .select(col("doc_id"), col("position"), col("_tok"),
+          explode(col("_members")).as("token"))
+        .withColumn("token_type",
+          when(col("token") === col("_tok"), "word").otherwise("SYNONYM"))
+        .drop("_tok")
+    } else if (shingleAnalyzers.value.contains(analyzer)) {
+      val (mn, mx, uni) = shingleAnalyzers.value(analyzer)
+      val toksC = graft.ext.TextAnalysis.tokens(text)
+      val base = df.select(idCol.as("doc_id"), toksC.as("_w"))
+      val parts = (mn to mx).map { n =>
+        base.filter(org.apache.spark.sql.functions.size(col("_w")) >= n)
+          .select(col("doc_id"), posexplode(expr(
+            s"transform(sequence(1, size(_w) - ${n - 1}), i -> concat_ws(' ', slice(_w, i, $n)))"))
+            .as(Seq("position", "token")))
+          .withColumn("token_type", lit("shingle"))
+      } ++ (if (uni)
+        Seq(base.select(col("doc_id"), posexplode(col("_w")).as(Seq("position", "token")))
+          .withColumn("token_type", lit("word")))
+      else Nil)
+      parts.reduce(_ unionAll _)
+    } else EsDsl.analyzeApi(df, idCol, text, analyzer)
+
   def withSynonyms[T](name: String, rules: Seq[String])(f: => T): T = {
     val m = scala.collection.mutable.Map.empty[String, Seq[String]]
     rules.foreach { rule =>

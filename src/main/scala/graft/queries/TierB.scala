@@ -3529,6 +3529,50 @@ object TierB {
              |FROM pq LEFT JOIN ideal ON ideal.query_id = pq.query_id
              |ORDER BY pq.query_id""".stripMargin)),
 
+    // `_analyze` through a REGISTERED synonym analyzer: expansion members
+    // ride the original token's position; added members are type SYNONYM,
+    // `data => information` REPLACES (no original row).
+    Q("a166_es_json_analyze_synonym",
+      (s, d) => graft.dsl.EsQueryJson.withSynonyms("syn",
+        Seq("merge, upsert", "data => information")) {
+        graft.dsl.EsQueryJson.analyzeApi(
+          Tables.documents(s, d).filter(col("doc_id") < 8),
+          col("doc_id"), col("text"), "syn")
+          .orderBy("doc_id", "position", "token")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents WHERE doc_id < 8),
+             |p AS (SELECT doc_id, i - 1 AS position, w[i] AS tok
+             |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM toks)),
+             |e AS (SELECT doc_id, position, tok,
+             |             unnest(CASE tok WHEN 'merge' THEN ['merge', 'upsert']
+             |                             WHEN 'upsert' THEN ['merge', 'upsert']
+             |                             WHEN 'data' THEN ['information']
+             |                             ELSE [tok] END) AS token
+             |      FROM p)
+             |SELECT doc_id, position, token,
+             |       CASE WHEN token = tok THEN 'word' ELSE 'SYNONYM' END AS token_type
+             |FROM e ORDER BY doc_id, position, token""".stripMargin)),
+
+    // `_analyze` through a REGISTERED shingle analyzer: positional word
+    // bigrams, position = starting token index.
+    Q("a167_es_json_analyze_shingle",
+      (s, d) => graft.dsl.EsQueryJson.withShingles("sh2") {
+        graft.dsl.EsQueryJson.analyzeApi(
+          Tables.documents(s, d).filter(col("doc_id") < 8),
+          col("doc_id"), col("text"), "sh2")
+          .orderBy("doc_id", "position")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents WHERE doc_id < 8)
+             |SELECT doc_id, i - 1 AS position, w[i] || ' ' || w[i + 1] AS token,
+             |       'shingle' AS token_type
+             |FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+             |      FROM toks WHERE len(w) >= 2)
+             |ORDER BY doc_id, position""".stripMargin)),
+
     // extended_stats `sigma`: the ±kσ std_deviation_bounds columns
     // (population moments, 6 dp both engines).
     Q("a154_es_json_extended_stats_sigma",
