@@ -460,6 +460,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Banded Hamming pairs over a 64-BIT signature column (the perceptual
+    * image-hash near-dup join — [[simhashPairs]]'s shape widened from the
+    * 60-bit text sketch to aHash's full long). Pigeonhole-exact: maxDist+1
+    * bands mean any pair within `maxDist` bits shares at least one whole
+    * band, so the banded self-join loses nothing and the result is EXACTLY
+    * all pairs at Hamming ≤ maxDist. Requires (maxDist+1) | 64. */
+  def hammingPairs64(sig: DataFrame, hashCol: String, maxDist: Int = 3): DataFrame = {
+    val nBands = maxDist + 1
+    require(64 % nBands == 0, s"maxDist+1 = $nBands must divide 64")
+    val width = 64 / nBands
+    val mask = (1L << width) - 1
+    val bands = persistOnce(sig.select(col("doc_id"), col(hashCol).as("_h"),
+      posexplode(array((0 until nBands).map(j =>
+        expr(s"shiftright($hashCol, ${j * width}) & $mask")): _*)).as(Seq("band_j", "band"))))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_j") === col("y.band_j") && col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x._h").as("ha"), col("y._h").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Near-dup CLUSTERS: connected components over a pair list, labels =
     * min reachable id (the canonical representative — pair-level anti-join
     * dedup under-removes when A~B and B~C but A!~C; cluster-level keeps

@@ -2286,6 +2286,45 @@ object TierC {
              |GROUP BY px.doc_id, width, height
              |ORDER BY px.doc_id""".stripMargin)),
 
+    // Image NEAR-dup: banded Hamming self-join over the c77 aHash (4×16-bit
+    // bands, pigeonhole-exact at ≤3 bits) — the multimodal analog of the
+    // SimHash text path. Oracle computes the full pairwise ground truth,
+    // which the banding must reproduce exactly.
+    Q("c78_image_neardup",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Dedup.hammingPairs64(
+          Multimodal.imageAHash(
+            Multimodal.encodeTestImages(Tables.documents(s, d))),
+          hashCol = "ahash", maxDist = 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |         CAST(doc_id % 9 + 2 AS INT) AS width,
+             |         CAST((doc_id * 3) % 7 + 2 AS INT) AS height
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, width, height, y * width + x AS i,
+             |         ((doc_id * 31 + x * 7 + y * 13) % 256
+             |          + (doc_id * 17 + x * 11 + y * 5) % 256
+             |          + (doc_id * 23 + x * 3 + y * 19) % 256) // 3 AS g
+             |  FROM dims,
+             |       unnest(generate_series(0, width - 1)) AS ux(x),
+             |       unnest(generate_series(0, height - 1)) AS uy(y)),
+             |m AS (SELECT doc_id, sum(g) // count(*) AS mean FROM px GROUP BY doc_id),
+             |h AS (SELECT px.doc_id,
+             |             CAST(COALESCE(sum(CASE WHEN i < 64 AND g > mean THEN
+             |                    CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+             |                         ELSE CAST(CAST(1 AS BIGINT) << CAST(i AS INT) AS HUGEINT) END
+             |                  ELSE 0 END), 0) AS BIGINT) AS ahash
+             |      FROM px JOIN m ON m.doc_id = px.doc_id GROUP BY px.doc_id)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       bit_count(xor(a.ahash, b.ahash)) AS hamming
+             |FROM h a JOIN h b ON b.doc_id > a.doc_id
+             |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Frame-level audio analysis (the VAD/MFCC precursor): 16-sample
     // frame energies with an activity threshold + whole-signal zero
     // crossings — all exact integers through the real codec round trip.
