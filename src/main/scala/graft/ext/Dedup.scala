@@ -438,51 +438,147 @@ object Dedup {
 
   /** C2c pairs: Hamming distance ≤ `maxDist` via banded join. With 4 bands
     * of 15 bits, any pair within distance 3 shares ≥1 exact band
-    * (pigeonhole) — the join is exact, not approximate. */
-  def simhashPairs(sig: DataFrame, maxDist: Int = 3): DataFrame = {
-    val nBands = maxDist + 1
-    val width = 60 / nBands
-    val mask = (1L << width) - 1
-    // persist the banded signatures: the subtree (SimHash kernel + band
-    // posexplode over the whole corpus) feeds BOTH sides of the self-join
-    // and would otherwise be computed twice
-    val bands = persistOnce(sig.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until nBands).map(j =>
-        expr(s"shiftright(simhash, ${j * width}) & $mask")): _*)).as(Seq("band_j", "band"))))
-    bands.as("x").join(bands.as("y"),
-        col("x.band_j") === col("y.band_j") && col("x.band") === col("y.band") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
-      .filter(col("hamming") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-  }
+    * (pigeonhole) — the join is exact, not approximate. Skew-guarded: see
+    * [[hammingPairsBanded]]. */
+  def simhashPairs(sig: DataFrame, maxDist: Int = 3): DataFrame =
+    hammingPairsBanded(sig, "simhash", bits = 60, maxDist = maxDist)
 
   /** Banded Hamming pairs over a 64-BIT signature column (the perceptual
     * image-hash near-dup join — [[simhashPairs]]'s shape widened from the
-    * 60-bit text sketch to aHash's full long). Pigeonhole-exact: maxDist+1
-    * bands mean any pair within `maxDist` bits shares at least one whole
-    * band, so the banded self-join loses nothing and the result is EXACTLY
-    * all pairs at Hamming ≤ maxDist. Requires (maxDist+1) | 64. */
-  def hammingPairs64(sig: DataFrame, hashCol: String, maxDist: Int = 3): DataFrame = {
-    val nBands = maxDist + 1
-    require(64 % nBands == 0, s"maxDist+1 = $nBands must divide 64")
-    val width = 64 / nBands
-    val mask = (1L << width) - 1
-    val bands = persistOnce(sig.select(col("doc_id"), col(hashCol).as("_h"),
-      posexplode(array((0 until nBands).map(j =>
-        expr(s"shiftright($hashCol, ${j * width}) & $mask")): _*)).as(Seq("band_j", "band"))))
-    bands.as("x").join(bands.as("y"),
-        col("x.band_j") === col("y.band_j") && col("x.band") === col("y.band") &&
-          col("x.doc_id") < col("y.doc_id"))
+    * 60-bit text sketch to aHash's full long). Pigeonhole-exact and
+    * skew-guarded: see [[hammingPairsBanded]]. Requires (maxDist+1) | 64. */
+  def hammingPairs64(sig: DataFrame, hashCol: String, maxDist: Int = 3,
+                     hotBandCap: Int = 4096): DataFrame =
+    hammingPairsBanded(sig, hashCol, bits = 64, maxDist = maxDist,
+      hotBandCap = hotBandCap)
+
+  /** Shared exact banded-Hamming kernel: ALL pairs at Hamming ≤ `maxDist`
+    * over a `bits`-wide long signature, with two skew guards that keep the
+    * candidate join sub-quadratic at 100 TB:
+    *
+    *  1. '''Distinct-hash collapse.''' The pairwise work runs over DISTINCT
+    *     signature values, never rows — a million blank frames all hashing
+    *     to 0x0 contribute ONE row to the band join. Identical-signature
+    *     doc pairs (distance 0) are emitted by a separate per-hash
+    *     expansion that is output-sized by definition (each such pair IS in
+    *     the answer).
+    *  2. '''Hot-band sub-band refinement.''' A `bits/(maxDist+1)`-bit band
+    *     key has a bounded value space (65 536 values at 16 bits), so at
+    *     web scale a popular band value (letterboxed borders, solid
+    *     backgrounds) collects ~N/65k distinct hashes and the self-join on
+    *     that one key goes quadratic. Band values whose distinct-hash
+    *     frequency exceeds `hotBandCap` are re-banded on their FREE bits:
+    *     all members agree on the hot band exactly, so a pair at distance
+    *     ≤ maxDist differs only in the remaining `bits − width` bits —
+    *     splitting those into maxDist+1 sub-bands re-applies the pigeonhole
+    *     argument (the pair shares ≥1 whole sub-band). The refinement is
+    *     therefore EXACT, not approximate, and shrinks a hot group's join
+    *     key space by 2^subWidth (4096× at the 16-bit default).
+    *
+    * Adaptive: one scalar agg decides whether any band is hot; clean inputs
+    * (the common case at bench SF) take the plain rare-band join with zero
+    * extra stages. */
+  private[graft] def hammingPairsBanded(sig: DataFrame, hashCol: String, bits: Int,
+      maxDist: Int, hotBandCap: Int = 4096): DataFrame = {
+    val docs = persistOnce(sig.select(col("doc_id"), col(hashCol).cast("long").as("_h")))
+    val hashPairs = distinctHashPairs(docs, bits, maxDist, hotBandCap)
+    // expand distinct-hash pairs back to doc pairs; the candidate set is
+    // small, so AQE broadcasts it into the two doc joins
+    val cross = hashPairs
+      .join(docs.select(col("doc_id").as("da"), col("_h").as("ha")), "ha")
+      .join(docs.select(col("doc_id").as("db"), col("_h").as("hb")), "hb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        expr("bit_count(ha ^ hb)").as("hamming"))
+    val intra = docs.as("x").join(docs.as("y"),
+        col("x._h") === col("y._h") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x._h").as("ha"), col("y._h").as("hb"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
-      .filter(col("hamming") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+        lit(0).as("hamming"))
+    cross.union(intra)
+  }
+
+  /** Near-dup CLUSTERS over a `bits`-wide signature WITHOUT pair
+    * enumeration: `(doc_id, cluster)` where cluster = min doc_id reachable
+    * through Hamming-≤-maxDist edges. When duplicates are massive (a blank
+    * frame repeated millions of times), the pair list is Θ(Σ mᵢ²) — larger
+    * than the corpus — while this assignment stays Θ(N): the connected
+    * components run over the DISTINCT-hash graph (one node per signature
+    * value regardless of multiplicity), and docs map onto their hash's
+    * component with one join. This is the production form at 100 TB;
+    * [[hammingPairs64]] is the pair-contract twin. */
+  def hammingClusters64(sig: DataFrame, hashCol: String, maxDist: Int = 3,
+                        hotBandCap: Int = 4096): DataFrame = {
+    val docs = persistOnce(sig.select(col("doc_id"), col(hashCol).cast("long").as("_h")))
+    val hp = persistOnce(distinctHashPairs(docs, 64, maxDist, hotBandCap))
+    val byHash =
+      if (hp.isEmpty)
+        docs.select(col("doc_id"), col("_h").as("_hc"))
+      else {
+        val cc = connectedComponents(hp, "ha", "hb")
+        docs.join(cc, docs("_h") === cc("id"), "left")
+          .select(col("doc_id"), coalesce(col("cluster"), col("_h")).as("_hc"))
+      }
+    val reps = byHash.groupBy("_hc").agg(min(col("doc_id")).as("cluster"))
+    byHash.join(reps, "_hc").select(col("doc_id"), col("cluster"))
+  }
+
+  /** All DISTINCT-signature pairs `(ha, hb)` (ha < hb) at Hamming ≤
+    * `maxDist`, via the skew-guarded banded self-join described at
+    * [[hammingPairsBanded]]. `docs` must carry the signature as `_h`. */
+  private def distinctHashPairs(docs: DataFrame, bits: Int,
+      maxDist: Int, hotBandCap: Int): DataFrame = {
+    val nBands = maxDist + 1
+    require(bits % nBands == 0, s"maxDist+1 = $nBands must divide $bits")
+    require(bits <= 64, s"bits = $bits exceeds a long")
+    val width = bits / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val hashes = docs.select(col("_h")).distinct()
+    // persist the banded DISTINCT signatures: the subtree feeds the df agg
+    // and both sides of the self-join
+    val bands = persistOnce(hashes.select(col("_h"),
+      posexplode(array((0 until nBands).map(j =>
+        expr(s"shiftrightunsigned(_h, ${j * width}) & $mask")): _*)).as(Seq("band_j", "band"))))
+    val dfreq = bands.groupBy("band_j", "band").agg(count(lit(1)).as("_bdf"))
+    val maxObservedDf = dfreq.agg(max(col("_bdf"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L   // empty input
+      case r                  => r.getLong(0)
+    }
+    val freeBits = bits - width
+    val subW = freeBits / nBands
+    def bandSelfJoin(b: DataFrame, keys: Seq[String]): DataFrame = {
+      val cond = keys.map(k => col(s"x.$k") === col(s"y.$k"))
+        .reduce(_ && _) && col("x._h") < col("y._h")
+      b.as("x").join(b.as("y"), cond)
+        .select(col("x._h").as("ha"), col("y._h").as("hb"))
+    }
+    val candidates =
+      if (maxObservedDf <= hotBandCap || subW == 0)
+        bandSelfJoin(bands, Seq("band_j", "band"))
+      else {
+        val withDf = bands.join(dfreq, Seq("band_j", "band"))
+        val rare = withDf.filter(col("_bdf") <= hotBandCap).select("band_j", "band", "_h")
+        // compact the free bits (everything outside band_j's slice) into a
+        // contiguous value, then split it into nBands sub-bands. Unsigned
+        // shifts; the high part is 0 when band_j is the top band.
+        val highShiftOk = s"(band_j + 1) * $width < 64"
+        val freeExpr =
+          s"""(shiftleft(IF($highShiftOk, shiftrightunsigned(_h, (band_j + 1) * $width), 0L),
+             |           band_j * $width)
+             | | (_h & (shiftleft(1L, band_j * $width) - 1L)))""".stripMargin.replace("\n", " ")
+        val subCols = (0 until nBands).map { k =>
+          val lo = k * subW
+          val w = if (k == nBands - 1) freeBits - lo else subW
+          val m = if (w == 64) -1L else (1L << w) - 1L
+          expr(s"shiftrightunsigned($freeExpr, $lo) & $m")
+        }
+        val hotSub = persistOnce(withDf.filter(col("_bdf") > hotBandCap)
+          .select(col("band_j"), col("band"), col("_h"),
+            posexplode(array(subCols: _*)).as(Seq("sub_j", "sub"))))
+        bandSelfJoin(rare, Seq("band_j", "band"))
+          .union(bandSelfJoin(hotSub, Seq("band_j", "band", "sub_j", "sub")))
+      }
+    candidates.distinct()
+      .filter(expr(s"bit_count(ha ^ hb) <= $maxDist"))
   }
 
   /** Near-dup CLUSTERS: connected components over a pair list, labels =

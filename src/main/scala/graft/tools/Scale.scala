@@ -317,6 +317,47 @@ object Scale {
       graft.ext.TextAnalysis.knPerplexity(docs50k, col("doc_id"), col("text"))
         .write.mode("overwrite").format("noop").save())
 
+    hammingSkewProbes(spark)
+
+    spark.stop()
+  }
+
+  /** The c78 skew probes, separately runnable (`graft.tools.ScaleHamming`). */
+  def hammingSkewProbes(spark: org.apache.spark.sql.SparkSession): Unit = {
+    // ---- banded 64-bit Hamming under hot-band skew (the c78 shape) ----
+    // 50k images whose aHash all share band 0 == 0 (letterboxed black
+    // bottom rows) with pseudo-random high 48 bits: the unguarded banded
+    // self-join piles all 50k rows onto ONE (band_j=0, band=0) key —
+    // 2.5e9 candidate pairs before the bit_count filter. The hot-band
+    // sub-band refinement re-bands the group on its free 48 bits (12-bit
+    // sub-bands → ~12 rows per key) and stays pigeonhole-exact.
+    val hotBandSig = spark.range(50_000).select(col("id").as("doc_id"),
+      expr("""shiftleft(
+                shiftleft(cast(hash(id, 1) as bigint) & 16777215, 24)
+                | (cast(hash(id, 2) as bigint) & 16777215), 16)""").as("ahash"))
+    val hotPairs = t("hamming64-50k-hot-band")(
+      Dedup.hammingPairs64(hotBandSig, "ahash", maxDist = 3).count())
+    println(s"SCALEINFO hot-band hamming pairs: $hotPairs (random high bits => ~0)")
+
+    // mass duplicates: 50k blank frames (aHash == 0) + 10k distinct. The
+    // pair contract is Θ(dup²) = 1.25e9 rows by definition; the cluster
+    // form assigns all 60k docs in one distinct-hash CC + one join.
+    val blankSig = spark.range(60_000).select(col("id").as("doc_id"),
+      when(col("id") < 50_000, lit(0L))
+        .otherwise(expr("shiftleft(cast(hash(id, 3) as bigint), 17)")).as("ahash"))
+    val nClusters = t("hamming64-clusters-50k-identical-blanks")(
+      Dedup.hammingClusters64(blankSig, "ahash", maxDist = 3)
+        .agg(count_distinct(col("cluster"))).collect()(0).getLong(0))
+    println(s"SCALEINFO blank-frame clusters: $nClusters of 60000 docs")
+  }
+}
+
+/** Just the banded-Hamming skew probes (fast iteration on the c78 path). */
+object ScaleHamming {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    Scale.hammingSkewProbes(spark)
     spark.stop()
   }
 }

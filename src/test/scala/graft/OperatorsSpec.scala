@@ -108,6 +108,46 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
   }
 
+  test("hammingPairs64: hot-band refinement is exact vs brute force") {
+    import sp.implicits._
+    // 40 hashes ALL sharing band 0 == 0 (low 16 bits zero) — a hot band at
+    // hotBandCap = 8 — with pseudo-random high bits, plus planted
+    // near-pairs at distance 1..3 and an identical-hash triple (intra path)
+    val rng = new scala.util.Random(7)
+    val base = (0 until 40).map(i => (i.toLong, rng.nextLong() << 16))
+    val planted = Seq(
+      (100L, base(3)._2 ^ (1L << 20)),                              // dist 1
+      (101L, base(7)._2 ^ (1L << 33) ^ (1L << 50)),                 // dist 2
+      (102L, base(11)._2 ^ (1L << 17) ^ (1L << 40) ^ (1L << 63)),   // dist 3
+      (103L, base(0)._2), (104L, base(0)._2))                       // dist 0
+    val sig = (base ++ planted).toDF("doc_id", "ahash")
+    def brute(maxDist: Int) = {
+      val rows = (base ++ planted)
+      (for { a <- rows; b <- rows if a._1 < b._1
+             d = java.lang.Long.bitCount(a._2 ^ b._2) if d <= maxDist }
+        yield (a._1, b._1, d)).toSet
+    }
+    for (maxDist <- Seq(0, 1, 3)) {
+      val got = Dedup.hammingPairs64(sig, "ahash", maxDist = maxDist, hotBandCap = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute(maxDist), s"maxDist=$maxDist mismatch")
+    }
+  }
+
+  test("hammingClusters64: component labels match CC over the pair list") {
+    import sp.implicits._
+    // two near-dup chains (0-1-2 via distance-2 hops, 10-11 identical)
+    // plus isolated docs
+    val sig = Seq(
+      (0L, 0x00L), (1L, 0x03L), (2L, 0x0FL),       // 0~1 (d2), 1~2 (d2), 0~2 d4 — chain
+      (10L, 0xF0F0L), (11L, 0xF0F0L),              // identical
+      (20L, 0x7777777700000000L)                   // isolated
+    ).toDF("doc_id", "ahash")
+    val clusters = Dedup.hammingClusters64(sig, "ahash", maxDist = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("cosine: orthogonal and identical vectors") {
     import sp.implicits._
     val df = Seq((Array(1f, 0f), Array(0f, 1f), Array(1f, 0f))).toDF("a", "b", "c")
