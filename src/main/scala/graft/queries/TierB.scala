@@ -1779,27 +1779,74 @@ object TierB {
              |       count(DISTINCT l_orderkey) AS n_orders FROM lineitem""".stripMargin)),
 
     // ES's cardinality/percentiles are approximate by default (HLL /
-    // t-digest); these are the faithful approximate twins — no SQL oracle
-    // (approx results are engine-specific), driver records rows-only.
+    // t-digest). These twins keep the approximate operator in the plan but
+    // emit a machine-checkable BOUNDED-ERROR assertion instead of the raw
+    // engine-specific estimate: the oracle computes exact ground truth and
+    // expects the within-bounds flag to be TRUE. A sketch regression
+    // (broken merge, wrong rsd plumbing) flips the flag → red row.
+    //
+    // HLL bound: rsd is the standard deviation of the estimate's relative
+    // error, so |est − exact| ≤ 5·rsd·exact is a ~5σ band — tight enough
+    // to catch any real defect, loose enough to never flake.
     Q("b11_cardinality_approx",
-      (s, d) => li(s, d).agg(
-        EsDsl.cardinality(col("l_partkey"), 0.02).as("n_parts"),
-        EsDsl.cardinality(col("l_suppkey"), 0.02).as("n_supps"),
-        EsDsl.cardinality(col("l_orderkey"), 0.02).as("n_orders")),
-      None),
+      (s, d) => {
+        val rsd = 0.02
+        def m(name: String, alias: String) = struct(lit(name).as("metric"),
+          col(s"e_$alias").as("exact_n"),
+          (abs(col(s"a_$alias") - col(s"e_$alias")).cast("double") <=
+            lit(5 * rsd) * col(s"e_$alias")).as("within_bounds"))
+        li(s, d).agg(
+            EsDsl.cardinality(col("l_partkey"), rsd).as("a_parts"),
+            count_distinct(col("l_partkey")).as("e_parts"),
+            EsDsl.cardinality(col("l_suppkey"), rsd).as("a_supps"),
+            count_distinct(col("l_suppkey")).as("e_supps"),
+            EsDsl.cardinality(col("l_orderkey"), rsd).as("a_orders"),
+            count_distinct(col("l_orderkey")).as("e_orders"))
+          .select(explode(array(
+            m("l_orderkey", "orders"), m("l_partkey", "parts"),
+            m("l_suppkey", "supps"))).as("r"))
+          .select(col("r.*"))
+          .orderBy("metric")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'l_orderkey' AS metric, count(DISTINCT l_orderkey) AS exact_n, TRUE AS within_bounds FROM lineitem
+             |  UNION ALL SELECT 'l_partkey', count(DISTINCT l_partkey), TRUE FROM lineitem
+             |  UNION ALL SELECT 'l_suppkey', count(DISTINCT l_suppkey), TRUE FROM lineitem)
+             |ORDER BY metric""".stripMargin)),
 
-    // Scalar rows (one per percentile) so the driver's rows-only check can
-    // sort the frame — an array<double> column is unsortable in pandas.
+    // Percentile-sketch bound: the documented rank-error guarantee is
+    // ε = 1/accuracy — the returned element's rank window [cnt_lt+1,
+    // cnt_le] must intersect [(p−ε)·n, (p+ε)·n] within its group (±1 row
+    // of slack for the floor/ceil boundary). The estimate joins back
+    // against the group's rows to measure its true rank; the oracle
+    // expects TRUE for every (group, percentile).
     Q("b12_percentiles_tdigest",
-      (s, d) => li(s, d).groupBy(col("l_returnflag"))
-        .agg(percentileApprox(col("l_quantity"), Seq(0.25, 0.5, 0.75, 0.95)).as("pcts"))
-        .select(col("l_returnflag"), posexplode(col("pcts")).as(Seq("pos", "pct_value")))
-        .select(
-          col("l_returnflag"),
-          element_at(array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), col("pos").cast("int") + 1).as("p"),
-          col("pct_value"))
-        .orderBy("l_returnflag", "p"),
-      None),
+      (s, d) => {
+        val accuracy = 10000
+        val eps = 1.0 / accuracy
+        val ps = Seq(0.25, 0.5, 0.75, 0.95)
+        val sketch = li(s, d).groupBy(col("l_returnflag"))
+          .agg(percentileApprox(col("l_quantity"), ps, accuracy).as("pcts"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("n"),
+            posexplode(col("pcts")).as(Seq("pos", "v")))
+          .select(col("l_returnflag"), col("n"),
+            element_at(array(ps.map(lit): _*), col("pos").cast("int") + 1).as("p"),
+            col("v"))
+        li(s, d).select(col("l_returnflag").as("f"), col("l_quantity").as("q"))
+          .join(broadcast(sketch), col("f") === col("l_returnflag"))
+          .groupBy(col("l_returnflag"), col("p"), col("n"))
+          .agg(sum(when(col("q") <= col("v"), 1L).otherwise(0L)).as("cnt_le"),
+            sum(when(col("q") < col("v"), 1L).otherwise(0L)).as("cnt_lt"))
+          .select(col("l_returnflag"), col("p"),
+            (col("cnt_le") >= floor((col("p") - eps) * col("n")) - 1 &&
+             col("cnt_lt") <= ceil((col("p") + eps) * col("n"))).as("within_band"))
+          .orderBy("l_returnflag", "p")
+      },
+      Some("""SELECT l_returnflag, CAST(p AS DOUBLE) AS p, TRUE AS within_band
+             |FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+             |CROSS JOIN (VALUES (0.25),(0.5),(0.75),(0.95)) v(p)
+             |ORDER BY l_returnflag, p""".stripMargin)),
 
     Q("b12_percentiles",
       (s, d) => li(s, d).groupBy(col("l_returnflag")).agg(
