@@ -939,8 +939,10 @@ object EsQueryJson {
         // entry, as ES uses for the default highlighter) replace <em>.
         val nFrags = Option(spec.get("number_of_fragments"))
           .orElse(Option(h.get("number_of_fragments"))).map(_.asInt()).getOrElse(1)
+        // field-level settings override the global highlight object (ES
+        // precedence, same as the nFrags lookup above)
         def firstTag(key: String, dflt: String) =
-          Option(h.get(key)).orElse(Option(spec.get(key)))
+          Option(spec.get(key)).orElse(Option(h.get(key)))
             .map(_.elements().asScala.next().asText()).getOrElse(dflt)
         val preTag = firstTag("pre_tags", "<em>")
         val postTag = firstTag("post_tags", "</em>")

@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   * `/root/reference/pom.xml:25-26`): given ranked search hits and graded
   * relevance judgments, per-query ranking metrics —
   *
-  *  - `precision@k`   relevant-in-top-k / k (ES's precision metric with
-  *                    `ignore_unlabeled: false` — unlabeled counts
-  *                    irrelevant);
+  *  - `precision@k`   relevant-in-top-k / retrieved-in-top-k (ES's
+  *                    Precision metric with `ignore_unlabeled: false` —
+  *                    unlabeled counts irrelevant; the denominator is the
+  *                    RETRIEVED count capped at k, not k itself, so a
+  *                    query returning fewer than k hits is not
+  *                    underreported);
   *  - `mrr`           1 / rank of the first relevant hit (0 if none in
   *                    the top k);
   *  - `dcg@k`         Σ (2^grade − 1) / log2(rank + 1) over the top k
@@ -36,7 +39,7 @@ object RankEval {
       .withColumn("grade", coalesce(col("grade"), lit(0)))
       .withColumn("rel", (col("grade") > 0).cast("int"))
     val perQ = topk.groupBy("query_id").agg(
-      round(sum(col("rel")) / lit(k.toDouble), 6).as("precision_k"),
+      round(sum(col("rel")) / count(lit(1)).cast("double"), 6).as("precision_k"),
       round(coalesce(
         lit(1.0) / min(when(col("rel") === 1, col("rank"))), lit(0.0)), 6).as("mrr"),
       round(sum((pow(lit(2.0), col("grade")) - 1.0) /

@@ -17,7 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * This is the TRUE (unrestricted) Damerau distance via Lowrance-Wagner
   * — the variant DuckDB's `damerau_levenshtein` implements, so oracles
   * mirror bit-for-bit ("ca"→"abc" = 2: transpose then insert between the
-  * transposed pair, which restricted/OSA forbids and scores 3). Distances
+  * transposed pair, which restricted/OSA forbids and scores 3). NOTE the
+  * documented deviation from Lucene here: ES/Lucene's fuzzy automata
+  * implement the RESTRICTED (OSA) variant, where a substring may not be
+  * edited after a transposition — so corner cases like "ca"→"abc" (2
+  * true-DL vs 3 OSA) match this engine at fuzziness 2 where ES 6.5 would
+  * not. The oracle-mirroring choice is deliberate (DuckDB has no OSA
+  * kernel); for real-word typos the two variants agree. Distances
   * operate on UTF-16 code units (both engines agree on ASCII; the test
   * corpus is ASCII).
   *

@@ -3525,9 +3525,12 @@ object TierB {
     Q("a165_es_json_rank_eval",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val qs = (1 to 3).foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+        // query 4 retrieves fewer than k hits (9 candidate docs, partkeys 0–8) — the
+        // Precision denominator must be the retrieved count, not k
+        val qs = (1 to 4).foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
           (acc, i) =>
-            val one = Tables.part(s, d).select(col("p_partkey"), lit(i).as("query_id"))
+            val base = Tables.part(s, d).select(col("p_partkey"), lit(i).as("query_id"))
+            val one = if (i == 4) base.filter(col("p_partkey") <= 8) else base
             Some(acc.map(_.unionAll(one)).getOrElse(one))
         }.get
         val rkHash = graft.functions.Hashing.md5Long60(
@@ -3543,8 +3546,9 @@ object TierB {
               lit(4L)).cast("int").as("grade"))
         graft.dsl.RankEval.rankEval(hits, judgments, k = 10).orderBy("query_id")
       },
-      Some(s"""WITH qs AS (SELECT unnest([1, 2, 3]) AS query_id),
-             |px AS (SELECT query_id, p_partkey FROM part CROSS JOIN qs),
+      Some(s"""WITH qs AS (SELECT unnest([1, 2, 3, 4]) AS query_id),
+             |px AS (SELECT query_id, p_partkey FROM part CROSS JOIN qs
+             |       WHERE query_id <= 3 OR p_partkey <= 8),
              |hits AS (
              |  SELECT query_id, p_partkey AS doc_id,
              |         row_number() OVER (PARTITION BY query_id ORDER BY
@@ -3559,7 +3563,7 @@ object TierB {
              |       FROM hk h LEFT JOIN jd j
              |         ON j.query_id = h.query_id AND j.doc_id = h.doc_id),
              |pq AS (SELECT query_id,
-             |              round(sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) / 10.0, 6) AS precision_k,
+             |              round(sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS precision_k,
              |              round(COALESCE(1.0 / min(CASE WHEN grade > 0 THEN rank END), 0.0), 6) AS mrr,
              |              round(sum((pow(2.0, grade) - 1.0) / log2(rank + 1.0)), 6) AS dcg_k
              |       FROM tk GROUP BY query_id),
