@@ -3363,6 +3363,46 @@ object TierB {
              |       count(*) AS doc_count, round(sum(value), 4) AS v
              |FROM events GROUP BY key ORDER BY key""".stripMargin)),
 
+    // date_histogram with a NAMED DST zone: day buckets in
+    // America/New_York across both 2024 US transitions (spring-forward
+    // Mar 10 = a 23-hour bucket, fall-back Nov 3 = 25 hours). Spark uses
+    // its full tz database; the sandbox DuckDB has no ICU, so the oracle
+    // pins the EST/EDT offsets analytically: instants before
+    // 2024-03-10T07:00Z and from 2024-11-03T06:00Z are UTC-5, between
+    // they are UTC-4, and a local day's midnight instant uses the offset
+    // in effect AT that midnight (Mar 10 00:00 local is still EST; Nov 3
+    // 00:00 local is still EDT). No fixed offset reproduces these keys.
+    Q("a168_es_json_date_histogram_dst",
+      (s, d) => {
+        val fix = Tables.orders(s, d).select(col("o_orderkey").as("id"),
+          when(col("o_orderkey") % 2 === 0,
+            expr("timestamp'2024-03-09 00:30:00' + make_interval(0, 0, 0, 0, cast(o_orderkey % 96 as int), 0, 0)"))
+          .otherwise(
+            expr("timestamp'2024-11-01 00:30:00' + make_interval(0, 0, 0, 0, cast(o_orderkey % 96 as int), 0, 0)")).as("ts"),
+          (col("o_orderkey") % 10).cast("double").as("value"))
+        graft.dsl.EsQueryJson.aggregations(fix,
+          """{"aggs": {"h": {"date_histogram": {"field": "ts",
+            |   "calendar_interval": "day", "time_zone": "America/New_York"},
+            |  "aggs": {"v": {"sum": {"field": "value"}}}}}}""".stripMargin)("h")
+      },
+      Some("""WITH fix AS (
+             |  SELECT CASE WHEN o_orderkey % 2 = 0
+             |           THEN TIMESTAMP '2024-03-09 00:30:00' + to_hours(o_orderkey % 96)
+             |           ELSE TIMESTAMP '2024-11-01 00:30:00' + to_hours(o_orderkey % 96) END AS ts,
+             |         CAST(o_orderkey % 10 AS DOUBLE) AS value
+             |  FROM orders),
+             |z AS (SELECT *,
+             |        CASE WHEN ts < TIMESTAMP '2024-03-10 07:00:00' THEN 300
+             |             WHEN ts < TIMESTAMP '2024-11-03 06:00:00' THEN 240
+             |             ELSE 300 END AS off_min FROM fix),
+             |l AS (SELECT *, date_trunc('day', ts - to_minutes(off_min)) AS local_day FROM z)
+             |SELECT local_day + to_minutes(
+             |         CASE WHEN local_day <= TIMESTAMP '2024-03-10 00:00:00' THEN 300
+             |              WHEN local_day <= TIMESTAMP '2024-11-03 00:00:00' THEN 240
+             |              ELSE 300 END) AS key,
+             |       count(*) AS doc_count, round(sum(value), 4) AS v
+             |FROM l GROUP BY key ORDER BY key""".stripMargin)),
+
     // completion suggester, fuzzy + contexts: the typo'd prefix "sprk"
     // still completes to spark-ish vocabulary (some term prefix within 1
     // Damerau edit, first char exact), and the `lang` context restricts
