@@ -554,9 +554,9 @@ object EsQueryJson {
       case "match_phrase" =>
         val (f, v) = single(body)
         val text = (if (v.isObject) v.get("query") else v).asText()
-        // `slop`: in-order window with ≤ slop extra positions (the
-        // PhraseSlopMatch kernel; out-of-order Lucene arrangements are a
-        // documented deviation)
+        // `slop`: Lucene SloppyPhraseScorer semantics (the PhraseSlopMatch
+        // kernel) — shifted-position span ≤ slop, out-of-order
+        // arrangements included (a transposed pair costs 2)
         val slop = if (v.isObject) Option(v.get("slop")).map(_.asInt()).getOrElse(0) else 0
         if (slop == 0) EsDsl.matchPhrase(field(f), text.split("\\s+").toSeq)
         else graft.functions.Spans.phraseSlop(field(f), text.split("\\s+").toSeq, slop)

@@ -38,7 +38,7 @@ object QueryString {
   // ---- AST -------------------------------------------------------------
   sealed trait Node
   final case class Term(field: Option[String], text: String) extends Node
-  /** `"a b"` exact, `"a b"~N` in-order proximity (slop) */
+  /** `"a b"` exact, `"a b"~N` sloppy proximity (Lucene slop, out-of-order within budget) */
   final case class Phrase(field: Option[String], words: Seq[String],
                           slop: Int = 0) extends Node
   final case class Wild(field: Option[String], pattern: String) extends Node

@@ -211,18 +211,21 @@ object Spans {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** `match_phrase` with `slop`: true iff the phrase terms occur IN ORDER
-    * with at most `slop` extra intervening positions — exists q1<…<qn with
-    * tok(qk)=term_k and (qn−q1)−(n−1) ≤ slop. One tokenize pass + an
-    * O(n)-per-token DP: `start(k)` holds the LATEST possible phrase start
-    * over matchings of the first k+1 terms seen so far (max start ⇒ min
-    * window per end); k updates descending so a token matching two
-    * adjacent duplicate phrase terms never pairs with itself.
+  /** `match_phrase` with `slop` — Lucene SloppyPhraseScorer semantics:
+    * true iff there is an injective assignment of phrase terms to token
+    * positions (a repeated phrase term needs distinct tokens) whose
+    * SHIFTED positions s_k = p_k − k span at most `slop`
+    * (max s − min s ≤ slop). This is PhraseQuery's "edit distance in term
+    * moves" model: each slop unit moves one term one position out of its
+    * query slot, so a transposed adjacent pair costs 2 and OUT-OF-ORDER
+    * arrangements match once the budget covers them. An in-order match
+    * reduces to the familiar (q_n − q_1) − (n−1) ≤ slop window.
     *
-    * Documented deviation from Lucene's SloppyPhraseScorer: out-of-order
-    * arrangements (a transposed pair costs 2 slop in Lucene) do NOT match
-    * here — in-order windows only, which is the overwhelmingly common use
-    * of `slop` ("words near each other, phrase-ish"). */
+    * One tokenize pass collects occurrences (s, k, p); sorted by shift, a
+    * two-pointer window of span ≤ slop slides over them, and coverage
+    * inside a window is an augmenting-path bipartite matching — n is a
+    * handful and a window holds O(slop·dup) entries, so per-doc cost stays
+    * ~O(T log T) with T = phrase-term occurrences. */
   case class PhraseSlopMatch(child: Expression, terms: Seq[String], slop: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BooleanType
@@ -230,22 +233,43 @@ object Spans {
       val toks = tokenize(in.asInstanceOf[UTF8String])
       val n = terms.length
       if (n == 1) return toks.contains(terms.head)
-      val start = Array.fill(n)(-1)
+      val occ = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
       var i = 0
       while (i < toks.length) {
-        val t = toks(i)
-        var k = n - 1
-        while (k >= 1) {
-          if (t == terms(k) && start(k - 1) >= 0) {
-            if (k == n - 1 && (i - start(k - 1)) - (n - 1) <= slop) return true
-            if (k < n - 1 && start(k - 1) > start(k)) start(k) = start(k - 1)
-          }
-          k -= 1
+        var k = 0
+        while (k < n) {
+          if (toks(i) == terms(k)) occ += ((i - k, k, i))
+          k += 1
         }
-        if (t == terms(0) && i > start(0)) start(0) = i
         i += 1
       }
+      if (occ.length < n) return false
+      val arr = occ.sortBy(_._1).toArray
+      var lo = 0
+      var hi = 0
+      while (hi < arr.length) {
+        while (arr(hi)._1 - arr(lo)._1 > slop) lo += 1
+        if (hi - lo + 1 >= n && covers(arr, lo, hi, n)) return true
+        hi += 1
+      }
       false
+    }
+    /** Injective term→position matching within the window. */
+    private def covers(arr: Array[(Int, Int, Int)], lo: Int, hi: Int, n: Int): Boolean = {
+      val byTerm = Array.fill(n)(List.empty[Int])
+      var j = lo
+      while (j <= hi) { val (_, k, p) = arr(j); byTerm(k) ::= p; j += 1 }
+      val owner = scala.collection.mutable.HashMap.empty[Int, Int] // pos → term
+      def augment(k: Int, seen: scala.collection.mutable.HashSet[Int]): Boolean =
+        byTerm(k).exists { p =>
+          seen.add(p) && (owner.get(p) match {
+            case None => owner(p) = k; true
+            case Some(o) if augment(o, seen) => owner(p) = k; true
+            case _ => false
+          })
+        }
+      (0 until n).forall(k =>
+        byTerm(k).nonEmpty && augment(k, new scala.collection.mutable.HashSet[Int]))
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }

@@ -3363,6 +3363,45 @@ object TierB {
              |       count(*) AS doc_count, round(sum(value), 4) AS v
              |FROM events GROUP BY key ORDER BY key""".stripMargin)),
 
+    // `cjk` analyzer against a DuckDB oracle: the driver tables carry no
+    // CJK text, so both engines derive the SAME synthetic fixture from
+    // md5 (the ip/geo fixture pattern) — per doc a 3-char Han run + a
+    // 2-char run drawn from an 8-char alphabet, every third doc prefixed
+    // "spark ". The engine analyzes query and field through the real cjk
+    // path (latin words + overlapping CJK bigrams); the oracle KNOWS the
+    // fixture structure, so it reproduces the bigram-match predicate
+    // positionally ("数据" hits iff chars (0,1) or (1,2) of the run are
+    // 数,据 — never the isolated unigram), `operator: and` requiring the
+    // latin term too.
+    Q("a169_es_json_match_cjk",
+      (s, d) => {
+        val cs = Seq("数", "据", "处", "理", "引", "擎", "查", "询")
+        val arr = array(cs.map(lit): _*)
+        def ch(i: Int) = element_at(arr,
+          (pmod(Hashing.md5Long60(concat(lit(s"cjk:$i:"), col("doc_id"))), lit(8)) + 1).cast("int"))
+        val fix = Tables.documents(s, d).filter(col("doc_id") < 300)
+          .select(col("doc_id"),
+            concat(when(col("doc_id") % 3 === 0, lit("spark ")).otherwise(lit("")),
+              ch(0), ch(1), ch(2), lit(" "), ch(3), ch(4)).as("text"))
+        graft.dsl.EsQueryJson.search(fix,
+          """{"query": {"match": {"text": {"query": "spark 数据",
+            |   "analyzer": "cjk", "operator": "and"}}},
+            | "sort": ["doc_id"], "_source": ["doc_id"]}""".stripMargin)
+      },
+      Some({
+        def ch(i: Int) =
+          s"['数','据','处','理','引','擎','查','询'][CAST(${Hashing.sqlMd5Long60(s"'cjk:$i:' || doc_id")} % 8 + 1 AS INT)]"
+        s"""WITH fx AS (
+           |  SELECT doc_id, ${ch(0)} AS c0, ${ch(1)} AS c1, ${ch(2)} AS c2,
+           |         ${ch(3)} AS c3, ${ch(4)} AS c4
+           |  FROM documents WHERE doc_id < 300)
+           |SELECT doc_id FROM fx
+           |WHERE doc_id % 3 = 0
+           |  AND ((c0 = '数' AND c1 = '据') OR (c1 = '数' AND c2 = '据')
+           |       OR (c3 = '数' AND c4 = '据'))
+           |ORDER BY doc_id""".stripMargin
+      })),
+
     // date_histogram with a NAMED DST zone: day buckets in
     // America/New_York across both 2024 US transitions (spring-forward
     // Mar 10 = a 23-hour bucket, fall-back Nov 3 = 25 hours). Spark uses
@@ -3494,7 +3533,7 @@ object TierB {
              |  AND len(list_filter(w, x -> damerau_levenshtein(x, 'tble') <= 1)) > 0
              |ORDER BY doc_id""".stripMargin)),
 
-    // match_phrase `slop`: 3-term in-order window with ≤1 extra position
+    // match_phrase `slop`: 3-term sloppy window, ≤1 slop (at slop ≤1 Lucene admits no out-of-order arrangement, so the in-order oracle form is exact)
     // (kernel DP side; the oracle is the postings-list formulation — the
     // a44 span_near pattern generalized to three position lists).
     Q("a162_es_json_phrase_slop",
@@ -3520,7 +3559,9 @@ object TierB {
              |ORDER BY t.doc_id""".stripMargin)),
 
     // query_string phrase proximity `"spark merge"~3`: the Lucene quoted
-    // NEAR suffix — in-order window, ≤3 extra positions between the terms.
+    // NEAR suffix — SloppyPhraseScorer semantics: shifted positions
+    // (pos − query offset) must span ≤ 3, so "merge" up to 2 positions
+    // BEFORE "spark" also matches (out-of-order costs the transposition).
     Q("a163_es_json_qs_proximity",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
         """{"query": {"query_string": {
@@ -3537,8 +3578,33 @@ object TierB {
              |p1 AS (SELECT doc_id, pos FROM tok WHERE tk = 'spark'),
              |p2 AS (SELECT doc_id, pos FROM tok WHERE tk = 'merge'),
              |m AS (SELECT DISTINCT a.doc_id
-             |      FROM p1 a JOIN p2 b ON b.doc_id = a.doc_id AND b.pos > a.pos
-             |      WHERE (b.pos - a.pos) - 1 <= 3)
+             |      FROM p1 a JOIN p2 b ON b.doc_id = a.doc_id
+             |      WHERE abs((b.pos - 1) - a.pos) <= 3)
+             |SELECT t.doc_id, t.source FROM t JOIN m ON m.doc_id = t.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
+    // match_phrase slop with an OUT-OF-ORDER match: "merge data" at slop 2
+    // hits docs where the terms appear transposed ("data merge" adjacent:
+    // shifts span exactly 2 = the transposition cost) — rows the in-order
+    // window form provably rejects. Oracle = the same shifted-span
+    // predicate over positions.
+    Q("a170_es_json_phrase_slop_transposed",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match_phrase": {"text": {"query": "merge data", "slop": 2}}},
+          | "sort": ["doc_id"], "_source": ["doc_id", "source"]}""".stripMargin),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents
+             |), tok AS (
+             |  SELECT doc_id, unnest(w) AS tk,
+             |         unnest(generate_series(1, len(w))) AS pos
+             |  FROM t),
+             |p1 AS (SELECT doc_id, pos FROM tok WHERE tk = 'merge'),
+             |p2 AS (SELECT doc_id, pos FROM tok WHERE tk = 'data'),
+             |m AS (SELECT DISTINCT a.doc_id
+             |      FROM p1 a JOIN p2 b ON b.doc_id = a.doc_id
+             |      WHERE abs((b.pos - 1) - a.pos) <= 2)
              |SELECT t.doc_id, t.source FROM t JOIN m ON m.doc_id = t.doc_id
              |ORDER BY t.doc_id""".stripMargin)),
 

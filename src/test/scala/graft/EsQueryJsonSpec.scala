@@ -148,18 +148,21 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
       .toDF("doc_id", "text")
     def ids(body: String) = EsQueryJson.search(docs, body)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    // qs NEAR: 1 gap within budget, 4 gaps out, reversed never
+    // qs NEAR: 1 gap within budget, 4 gaps out; the reversed adjacent
+    // pair (doc 3) spans 2 shifted positions — in at slop ≥ 2 (Lucene
+    // transposition cost), out at slop 1
     assert(ids("""{"query": {"query_string": {
       | "query": "\"spark merge\"~1", "default_field": "text"}}}""".stripMargin) == Set(1L))
     assert(ids("""{"query": {"query_string": {
-      | "query": "\"spark merge\"~4", "default_field": "text"}}}""".stripMargin) == Set(1L, 2L))
+      | "query": "\"spark merge\"~4", "default_field": "text"}}}""".stripMargin) == Set(1L, 2L, 3L))
     // match_phrase slop agrees
     assert(ids("""{"query": {"match_phrase": {"text": {"query": "spark merge", "slop": 1}}}}""") == Set(1L))
+    assert(ids("""{"query": {"match_phrase": {"text": {"query": "spark merge", "slop": 2}}}}""") == Set(1L, 3L))
     // simple_query_string NEAR operator
     val sq = EsQueryJson.search(docs, """{"query": {"simple_query_string": {
       | "query": "\"spark merge\"~4", "fields": ["text"]}}}""".stripMargin)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(sq == Set(1L, 2L))
+    assert(sq == Set(1L, 2L, 3L))
     // slop 0 phrase unchanged (exact consecutive)
     assert(ids("""{"query": {"query_string": {
       | "query": "\"spark table\"", "default_field": "text"}}}""".stripMargin) == Set(1L))

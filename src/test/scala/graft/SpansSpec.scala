@@ -140,7 +140,7 @@ class SpansSpec extends AnyFunSuite with SparkTestBase {
       == Seq(1L, 2L, 3L))
   }
 
-  test("phrase slop: in-order window DP, duplicate terms, slop budget") {
+  test("phrase slop: Lucene sloppy semantics, duplicate terms, slop budget") {
     val sp = spark
     import sp.implicits._
     def hit(text: String, phrase: String, slop: Int): Boolean = {
@@ -154,8 +154,12 @@ class SpansSpec extends AnyFunSuite with SparkTestBase {
     assert(hit("the data lake merge", "the data merge", 1))      // 1 gap
     assert(!hit("the data lake house merge", "the data merge", 1))
     assert(hit("the data lake house merge", "the data merge", 2))
-    // in-order only: transposed pair never matches (documented deviation)
+    // out-of-order arrangements: full reversal of 3 terms needs slop 4
+    // (shifts 2,0,-2), a transposed adjacent pair exactly 2
     assert(!hit("merge data the", "the data merge", 3))
+    assert(hit("merge data the", "the data merge", 4))
+    assert(hit("data the merge", "the data merge", 2))
+    assert(!hit("data the merge", "the data merge", 1))
     // duplicate phrase terms cannot reuse one token
     assert(!hit("a b", "a a", 1) && hit("a x a", "a a", 1) && !hit("a x a", "a a", 0))
     // later restart beats stale earlier start
