@@ -132,6 +132,44 @@ object EsQueryJson {
       parts.reduce(_ unionAll _)
     } else EsDsl.analyzeApi(df, idCol, text, analyzer)
 
+  /** Per-FIELD index-time analyzer binding — the ES mapping's `analyzer`
+    * property (vs the body-level `analyzer`, which is the SEARCH
+    * analyzer). `withIndexAnalyzer("text", "syn") { search(...) }` makes
+    * match queries over that field run against the index-time-EXPANDED
+    * token stream: tf counts every stacked member, df counts docs
+    * containing ANY member, and the field length (Lucene counts stacked
+    * tokens in FieldInvertState.length) inflates accordingly — so BM25
+    * scores genuinely differ from search-time-only expansion. Query terms
+    * go through the standard search analyzer (the mapping's
+    * `search_analyzer: "standard"` configuration — ES 6.5's recommended
+    * setup once synonyms live in the index analyzer). Single-token
+    * synonym members only: ES itself documents that multi-word synonyms
+    * at index time corrupt positions (use search-time expansion there,
+    * which [[withSynonyms]] + body `analyzer` already provide). */
+  private val indexAnalyzers =
+    new scala.util.DynamicVariable[Map[String, String]](Map.empty)
+
+  def withIndexAnalyzer[T](fieldName: String, analyzer: String)(f: => T): T =
+    indexAnalyzers.withValue(indexAnalyzers.value + (fieldName -> analyzer))(f)
+
+  /** The STORED view of a field: the raw text, or — when the field has a
+    * registered index analyzer — the expanded token stream re-joined to
+    * text (tokens are `\W+`-free, so a space join round-trips through the
+    * standard tokenizer losslessly). Narrow HOF, stays in codegen. */
+  private def storedField(f: String): Column =
+    indexAnalyzers.value.get(f) match {
+      case None => field(f)
+      case Some(an) =>
+        val syn = synonymAnalyzers.value.getOrElse(an,
+          throw new IllegalArgumentException(
+            s"index analyzer '$an' is not a withSynonyms-registered analyzer"))
+        require(syn.values.forall(_.forall(!_.contains(" "))),
+          s"index-time analyzer '$an' has multi-word synonym members — " +
+            "ES corrupts positions there; use search-time expansion")
+        array_join(flatten(transform(graft.ext.TextAnalysis.tokens(field(f)),
+          t => coalesce(element_at(typedLit(syn), t), array(t)))), " ")
+    }
+
   def withSynonyms[T](name: String, rules: Seq[String])(f: => T): T = {
     val m = scala.collection.mutable.Map.empty[String, Seq[String]]
     rules.foreach { rule =>
@@ -548,7 +586,10 @@ object EsQueryJson {
                   else { val k = n.asInt(); _ => k }
                 val pl = Option(v.get("prefix_length")).map(_.asInt()).getOrElse(0)
                 EsDsl.matchQueryFuzzy(field(f), text.split("\\s+").toSeq, fOf, msm, pl)
-              case None => EsDsl.matchQuery(field(f), text.split("\\s+").toSeq, msm)
+              // plain match consults the field's INDEX analyzer (mapping-
+              // scoped): the doc side is the expanded stream, query terms
+              // stay standard-analyzed
+              case None => EsDsl.matchQuery(storedField(f), text.split("\\s+").toSeq, msm)
             }
         }
       case "match_phrase" =>
@@ -1401,14 +1442,19 @@ object EsQueryJson {
         val (f, v) = single(body)
         val (text, boost, msm) = textBoostMsm(v)
         val terms = text.split("\\s+").toSeq
+        // scored match runs over the STORED field view: with an index-time
+        // analyzer on the field, tf/df/avgdl all reflect the expanded
+        // stream (index-time synonym scoring, provably different from
+        // search-time expansion)
+        val stored = storedField(f)
         val scored =
-          if (boost == 1.0) EsDsl.matchBm25(df, field(f), terms)
+          if (boost == 1.0) EsDsl.matchBm25(df, stored, terms)
           else {
-            val (joined, scores, internals) = EsDsl.bm25Scores(df, Seq(field(f) -> terms))
+            val (joined, scores, internals) = EsDsl.bm25Scores(df, Seq(stored -> terms))
             joined.withColumn("_score", round(lit(boost) * scores.head, 6))
               .filter(col("_score") > 0).drop(internals: _*)
           }
-        if (msm > 1) scored.filter(EsDsl.matchQuery(field(f), terms, msm)) else scored
+        if (msm > 1) scored.filter(EsDsl.matchQuery(stored, terms, msm)) else scored
       case "match_phrase" =>
         val (f, v) = single(body)
         val (text, boost, _) = textBoostMsm(v)

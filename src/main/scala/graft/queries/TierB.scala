@@ -3608,6 +3608,43 @@ object TierB {
              |SELECT t.doc_id, t.source FROM t JOIN m ON m.doc_id = t.doc_id
              |ORDER BY t.doc_id""".stripMargin)),
 
+    // INDEX-TIME synonym scoring: the synonym filter lives in the FIELD's
+    // index analyzer (the ES mapping workflow, search_analyzer standard),
+    // so df/tf/field-length all reflect the expanded token stream — docs
+    // containing only "fast"/"rapid" score on the query term "quick", and
+    // every expanded doc's length inflates by its member count (Lucene
+    // counts stacked tokens). Search-time-only expansion (a156's path)
+    // provably scores differently: it cannot give those docs a "quick" tf
+    // at all. Oracle recomputes BM25 over the SAME expanded stream.
+    Q("a171_es_json_index_time_synonyms",
+      (s, d) => graft.dsl.EsQueryJson.withSynonyms("syn", Seq("quick, fast, rapid")) {
+        graft.dsl.EsQueryJson.withIndexAnalyzer("text", "syn") {
+          graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+            """{"query": {"match": {"text": "quick"}},
+              | "sort": ["_score", "doc_id"], "size": 25}""".stripMargin)
+            .select(col("doc_id"), col("_score").as("score"))
+        }
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         flatten(list_transform(
+             |           list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''),
+             |           tk -> CASE WHEN tk IN ('quick','fast','rapid')
+             |                      THEN ['quick','fast','rapid'] ELSE [tk] END)) AS toks
+             |  FROM documents),
+             |t2 AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |              CAST(sum(CASE WHEN list_contains(toks, 'quick') THEN 1 ELSE 0 END) AS DOUBLE) AS df0
+             |       FROM t2),
+             |tf AS (SELECT doc_id, dl, n, avgdl, df0,
+             |              CAST(len(list_filter(toks, x -> x = 'quick')) AS DOUBLE) AS tf0
+             |       FROM t2 CROSS JOIN st),
+             |sc AS (SELECT doc_id,
+             |              round(ln(1 + (n - df0 + 0.5)/(df0 + 0.5))
+             |                    * (tf0*(1.2+1))/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS score
+             |       FROM tf WHERE tf0 > 0)
+             |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
+
     // multi_match `fuzziness`: the typo'd term fuzzy-matches in ANY of the
     // two fields (per-field clause OR, per-term AUTO budget).
     Q("a164_es_json_multi_match_fuzzy",

@@ -1617,4 +1617,31 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(3L, 1L, 2L))
   }
+
+  test("index-time synonym analyzer changes df/tf/dl and therefore BM25") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "quick merge"), (2L, "fast merge"), (3L, "rapid results arrive"),
+      (4L, "slow batch job")).toDF("doc_id", "text")
+    def scores(body: String)(in: => org.apache.spark.sql.DataFrame) =
+      in.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("_score")).toMap
+    val body = """{"query": {"match": {"text": "quick"}}, "sort": ["_score", "doc_id"]}"""
+    val idx = EsQueryJson.withSynonyms("syn", Seq("quick, fast, rapid")) {
+      EsQueryJson.withIndexAnalyzer("text", "syn") {
+        scores(body)(EsQueryJson.search(docs, body))
+      }
+    }
+    // docs 2 and 3 match only via index-time expansion...
+    assert(idx.keySet == Set(1L, 2L, 3L))
+    // ...and plain search (no index analyzer) finds only the literal term
+    val plain = scores(body)(EsQueryJson.search(docs, body))
+    assert(plain.keySet == Set(1L))
+    // expansion changes the stats the literal doc is scored with (df 1→3,
+    // dl 2→4), so even doc 1's score differs from the unexpanded corpus
+    assert(idx(1L) != plain(1L))
+    // expanded stream: every member counts tf 1 for "quick"; doc 3's
+    // longer field length norms its score below docs 1/2
+    assert(idx(1L) == idx(2L) && idx(3L) < idx(1L))
+  }
 }
