@@ -522,6 +522,95 @@ object Dedup {
     byHash.join(reps, "_hc").select(col("doc_id"), col("cluster"))
   }
 
+  /** Incremental image near-dup ADMISSION — [[dedupIncremental]]'s O(batch)
+    * ingest pattern over a 64-bit perceptual hash: the standing corpus
+    * keeps its (persisted, index-side) band table; an arriving batch bands
+    * ONLY its own distinct hashes and joins new-vs-standing — no
+    * standing-vs-standing rework, so ingest cost is O(batch + touched
+    * bands). Hot standing bands (df > `hotBandCap` distinct hashes — the
+    * letterboxed-border skew) are refined on their free bits exactly as in
+    * [[hammingPairsBanded]]; the pigeonhole argument applies unchanged to
+    * a new-old pair sharing the hot band. Returns every incoming doc with
+    * the count of standing DOCS within `maxDist` bits and the admission
+    * flag (no standing near-dup). */
+  def hammingIncremental64(existing: DataFrame, incoming: DataFrame, hashCol: String,
+                           maxDist: Int = 3, hotBandCap: Int = 4096): DataFrame = {
+    val nBands = maxDist + 1
+    require(64 % nBands == 0, s"maxDist+1 = $nBands must divide 64")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val oldDocs = persistOnce(existing.select(col("doc_id"), col(hashCol).cast("long").as("_h")))
+    val newDocs = persistOnce(incoming.select(col("doc_id"), col(hashCol).cast("long").as("_h")))
+    val oldBands = bandTable(oldDocs, nBands, width, mask)
+    val newBands = bandTable(newDocs, nBands, width, mask)
+    // the STANDING side decides the hot set — that's where a 16-bit band
+    // key accumulates corpus-scale frequency
+    val dfreq = oldBands.groupBy("band_j", "band").agg(count(lit(1)).as("_bdf"))
+    val subW = (64 - width) / nBands
+    def joinOn(n: DataFrame, o: DataFrame, keys: Seq[String]): DataFrame =
+      n.as("x").join(o.as("y"),
+          keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _))
+        .select(col("x._h").as("hn"), col("y._h").as("ho"))
+    val candidates =
+      if (maxBandDf(dfreq) <= hotBandCap || subW == 0)
+        joinOn(newBands, oldBands, Seq("band_j", "band"))
+      else {
+        val oldWith = oldBands.join(dfreq, Seq("band_j", "band"))
+        val newWith = newBands.join(dfreq, Seq("band_j", "band"))  // inner: bands absent standing-side match nothing
+        def split(b: DataFrame, hot: Boolean) = {
+          val f = b.filter(if (hot) col("_bdf") > hotBandCap else col("_bdf") <= hotBandCap)
+          if (!hot) f.select("band_j", "band", "_h")
+          else f.select(col("band_j"), col("band"), col("_h"),
+            posexplode(array(subBandCols(64, nBands, width): _*)).as(Seq("sub_j", "sub")))
+        }
+        joinOn(split(newWith, hot = false), split(oldWith, hot = false), Seq("band_j", "band"))
+          .union(joinOn(split(newWith, hot = true), split(oldWith, hot = true),
+            Seq("band_j", "band", "sub_j", "sub")))
+      }
+    val hashPairs = candidates.distinct()
+      .filter(expr(s"bit_count(hn ^ ho) <= $maxDist"))
+    val matched = hashPairs
+      .join(oldDocs.groupBy("_h").agg(count(lit(1)).as("_nOld"))
+        .withColumnRenamed("_h", "ho"), "ho")
+      .groupBy("hn").agg(sum(col("_nOld")).as("n_matches"))
+    newDocs.join(matched.withColumnRenamed("hn", "_h"), Seq("_h"), "left")
+      .na.fill(0L, Seq("n_matches"))
+      .select(col("doc_id"), col("n_matches"), (col("n_matches") === 0).as("admitted"))
+      .orderBy("doc_id")
+  }
+
+  /** Banded DISTINCT signatures of `docs._h`: one row per (hash, band). */
+  private def bandTable(docs: DataFrame, nBands: Int, width: Int, mask: Long): DataFrame =
+    persistOnce(docs.select(col("_h")).distinct().select(col("_h"),
+      posexplode(array((0 until nBands).map(j =>
+        expr(s"shiftrightunsigned(_h, ${j * width}) & $mask")): _*)).as(Seq("band_j", "band"))))
+
+  /** Sub-band key columns over the FREE bits (everything outside band_j's
+    * slice), compacted to a contiguous value then split into nBands
+    * chunks — the hot-band refinement's join keys. Unsigned shifts; the
+    * high part is 0 when band_j is the top band. */
+  private def subBandCols(bits: Int, nBands: Int, width: Int): Seq[Column] = {
+    val freeBits = bits - width
+    val subW = freeBits / nBands
+    val highShiftOk = s"(band_j + 1) * $width < 64"
+    val freeExpr =
+      s"""(shiftleft(IF($highShiftOk, shiftrightunsigned(_h, (band_j + 1) * $width), 0L),
+         |           band_j * $width)
+         | | (_h & (shiftleft(1L, band_j * $width) - 1L)))""".stripMargin.replace("\n", " ")
+    (0 until nBands).map { k =>
+      val lo = k * subW
+      val w = if (k == nBands - 1) freeBits - lo else subW
+      val m = if (w == 64) -1L else (1L << w) - 1L
+      expr(s"shiftrightunsigned($freeExpr, $lo) & $m")
+    }
+  }
+
+  private def maxBandDf(dfreq: DataFrame): Long =
+    dfreq.agg(max(col("_bdf"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L   // empty input
+      case r                  => r.getLong(0)
+    }
+
   /** All DISTINCT-signature pairs `(ha, hb)` (ha < hb) at Hamming ≤
     * `maxDist`, via the skew-guarded banded self-join described at
     * [[hammingPairsBanded]]. `docs` must carry the signature as `_h`. */
@@ -532,19 +621,11 @@ object Dedup {
     require(bits <= 64, s"bits = $bits exceeds a long")
     val width = bits / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val hashes = docs.select(col("_h")).distinct()
     // persist the banded DISTINCT signatures: the subtree feeds the df agg
     // and both sides of the self-join
-    val bands = persistOnce(hashes.select(col("_h"),
-      posexplode(array((0 until nBands).map(j =>
-        expr(s"shiftrightunsigned(_h, ${j * width}) & $mask")): _*)).as(Seq("band_j", "band"))))
+    val bands = bandTable(docs, nBands, width, mask)
     val dfreq = bands.groupBy("band_j", "band").agg(count(lit(1)).as("_bdf"))
-    val maxObservedDf = dfreq.agg(max(col("_bdf"))).collect()(0) match {
-      case r if r.isNullAt(0) => 0L   // empty input
-      case r                  => r.getLong(0)
-    }
-    val freeBits = bits - width
-    val subW = freeBits / nBands
+    val subW = (bits - width) / nBands
     def bandSelfJoin(b: DataFrame, keys: Seq[String]): DataFrame = {
       val cond = keys.map(k => col(s"x.$k") === col(s"y.$k"))
         .reduce(_ && _) && col("x._h") < col("y._h")
@@ -552,28 +633,14 @@ object Dedup {
         .select(col("x._h").as("ha"), col("y._h").as("hb"))
     }
     val candidates =
-      if (maxObservedDf <= hotBandCap || subW == 0)
+      if (maxBandDf(dfreq) <= hotBandCap || subW == 0)
         bandSelfJoin(bands, Seq("band_j", "band"))
       else {
         val withDf = bands.join(dfreq, Seq("band_j", "band"))
         val rare = withDf.filter(col("_bdf") <= hotBandCap).select("band_j", "band", "_h")
-        // compact the free bits (everything outside band_j's slice) into a
-        // contiguous value, then split it into nBands sub-bands. Unsigned
-        // shifts; the high part is 0 when band_j is the top band.
-        val highShiftOk = s"(band_j + 1) * $width < 64"
-        val freeExpr =
-          s"""(shiftleft(IF($highShiftOk, shiftrightunsigned(_h, (band_j + 1) * $width), 0L),
-             |           band_j * $width)
-             | | (_h & (shiftleft(1L, band_j * $width) - 1L)))""".stripMargin.replace("\n", " ")
-        val subCols = (0 until nBands).map { k =>
-          val lo = k * subW
-          val w = if (k == nBands - 1) freeBits - lo else subW
-          val m = if (w == 64) -1L else (1L << w) - 1L
-          expr(s"shiftrightunsigned($freeExpr, $lo) & $m")
-        }
         val hotSub = persistOnce(withDf.filter(col("_bdf") > hotBandCap)
           .select(col("band_j"), col("band"), col("_h"),
-            posexplode(array(subCols: _*)).as(Seq("sub_j", "sub"))))
+            posexplode(array(subBandCols(bits, nBands, width): _*)).as(Seq("sub_j", "sub"))))
         bandSelfJoin(rare, Seq("band_j", "band"))
           .union(bandSelfJoin(hotSub, Seq("band_j", "band", "sub_j", "sub")))
       }

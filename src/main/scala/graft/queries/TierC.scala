@@ -2325,6 +2325,49 @@ object TierC {
              |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Incremental image near-dup ADMISSION (c55's O(batch) ingest pattern
+    // over the c77 aHash): every 10th image arrives as the batch, the rest
+    // stand as the index; the batch bands only itself and joins
+    // new-vs-standing — no standing-vs-standing rework. Oracle = full
+    // pairwise recompute of each incoming image's standing neighbors.
+    Q("c79_image_neardup_incremental",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        val sig = Dedup.persistOnce(Multimodal.imageAHash(
+          Multimodal.encodeTestImages(Tables.documents(s, d))))
+        Dedup.hammingIncremental64(
+          sig.filter(col("doc_id") % 10 =!= 0),
+          sig.filter(col("doc_id") % 10 === 0),
+          hashCol = "ahash", maxDist = 3)
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |         CAST(doc_id % 9 + 2 AS INT) AS width,
+             |         CAST((doc_id * 3) % 7 + 2 AS INT) AS height
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, width, height, y * width + x AS i,
+             |         ((doc_id * 31 + x * 7 + y * 13) % 256
+             |          + (doc_id * 17 + x * 11 + y * 5) % 256
+             |          + (doc_id * 23 + x * 3 + y * 19) % 256) // 3 AS g
+             |  FROM dims,
+             |       unnest(generate_series(0, width - 1)) AS ux(x),
+             |       unnest(generate_series(0, height - 1)) AS uy(y)),
+             |m AS (SELECT doc_id, sum(g) // count(*) AS mean FROM px GROUP BY doc_id),
+             |h AS (SELECT px.doc_id,
+             |             CAST(COALESCE(sum(CASE WHEN i < 64 AND g > mean THEN
+             |                    CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+             |                         ELSE CAST(CAST(1 AS BIGINT) << CAST(i AS INT) AS HUGEINT) END
+             |                  ELSE 0 END), 0) AS BIGINT) AS ahash
+             |      FROM px JOIN m ON m.doc_id = px.doc_id GROUP BY px.doc_id)
+             |SELECT n.doc_id, count(o.doc_id) AS n_matches,
+             |       count(o.doc_id) = 0 AS admitted
+             |FROM (SELECT * FROM h WHERE doc_id % 10 = 0) n
+             |LEFT JOIN (SELECT * FROM h WHERE doc_id % 10 <> 0) o
+             |  ON bit_count(xor(n.ahash, o.ahash)) <= 3
+             |GROUP BY n.doc_id
+             |ORDER BY n.doc_id""".stripMargin)),
+
     // Frame-level audio analysis (the VAD/MFCC precursor): 16-sample
     // frame energies with an activity threshold + whole-signal zero
     // crossings — all exact integers through the real codec round trip.

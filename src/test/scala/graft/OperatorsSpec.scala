@@ -134,6 +134,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hammingIncremental64: equals full recompute, hot standing bands forced") {
+    import sp.implicits._
+    // standing corpus all sharing band 0 == 0 (hot at cap 8); batch mixes
+    // an exact dup, near-dups at dist 1/3, and a non-match
+    val rng = new scala.util.Random(11)
+    val standing = (0 until 30).map(i => (i.toLong, rng.nextLong() << 16))
+    val batch = Seq(
+      (100L, standing(4)._2),
+      (101L, standing(9)._2 ^ (1L << 37)),
+      (102L, rng.nextLong() << 16),
+      (103L, standing(2)._2 ^ (1L << 17) ^ (1L << 52) ^ (1L << 63)))
+    val got = Dedup.hammingIncremental64(
+        standing.toDF("doc_id", "ahash"), batch.toDF("doc_id", "ahash"),
+        "ahash", maxDist = 3, hotBandCap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val expected = batch.map { case (id, h) =>
+      val n = standing.count(s => java.lang.Long.bitCount(s._2 ^ h) <= 3).toLong
+      (id, n, n == 0L)
+    }.toSet
+    assert(got == expected)
+  }
+
   test("hammingClusters64: component labels match CC over the pair list") {
     import sp.implicits._
     // two near-dup chains (0-1-2 via distance-2 hops, 10-11 identical)
