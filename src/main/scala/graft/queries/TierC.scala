@@ -2368,6 +2368,68 @@ object TierC {
              |GROUP BY n.doc_id
              |ORDER BY n.doc_id""".stripMargin)),
 
+    // ANN serving-quality GATE: rank_eval's Precision@10 over the c53
+    // IVF-PQ index (nprobe 2 of 8 cells, m=4 PQ) against exact L2 top-10
+    // (same ‖x‖²−2x·q association) for three fixed query vectors —
+    // precision against an exact-kNN judgment set IS recall@10. The row
+    // asserts a pinned floor, so an index-quality regression (codebook,
+    // cell assignment, ADC math) flips a flag the DuckDB oracle
+    // adjudicates instead of drifting silently in a probe note. IVF-PQ
+    // retrieves 11 and drops the query vector itself (exact kNN excludes
+    // self; the self-hit must not occupy a scored slot).
+    Q("c80_ann_recall_gate",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e0 = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val qids = Seq(5L, 123L, 240L)
+        // the driver embeddings are UNSTRUCTURED random vectors (no
+        // cluster geometry), so raw ANN recall on them is noise by
+        // construction; the gate plants 10 deterministic near-twins
+        // (±2% coordinate perturbation) per query — exact L2 top-10 IS
+        // the twin set, and losing twins means a real index regression
+        // (cell assignment, codebook, ADC math), not data geometry
+        val twins = qids.flatMap { qid =>
+          (0 until 10).map { t =>
+            e0.filter(col("vec_id") === qid)
+              .select(lit(10000L + qid * 100 + t).as("vec_id"),
+                transform(col("embedding"), (x, j) => x * (lit(1.0) +
+                  (pmod(hash(lit(qid), lit(t), j), lit(2001)) - 1000)
+                    .cast("double") / 50000.0)).as("embedding"))
+          }
+        }.reduce(_ unionAll _)
+        val e = Dedup.persistOnce(e0.unionAll(twins))
+        val coarse = Similarity.pqCodebookFromIds(e, col("vec_id"), col("embedding"),
+          m = 1, k = 8).head
+        val cb = Similarity.pqCodebookFromIds(e, col("vec_id"), col("embedding"), m = 8, k = 16)
+        val qvs = e.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id"), col("embedding"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+        val hits = qids.map { qid =>
+          val w = Window.orderBy(col("adist"), col("vec_id")) // ≤11 rows
+          Similarity.ivfPqSearch(e, col("vec_id"), col("embedding"), coarse, cb,
+              qvs(qid), nprobe = 2, topK = 11)
+            .filter(col("vec_id") =!= qid)
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 10)
+            .select(lit(qid).as("query_id"), col("vec_id").as("doc_id"), col("rank"))
+        }.reduce(_ unionAll _)
+        val judgments = qids.map { qid =>
+          val qvArr = array(qvs(qid).map(lit): _*)
+          val vd = col("embedding")
+          e.filter(col("vec_id") =!= qid)
+            .select(col("vec_id"), (graft.functions.VecOps.dotD(vd, vd)
+              - lit(2.0) * graft.functions.VecOps.dotD(vd, qvArr)).as("d"))
+            .orderBy(col("d"), col("vec_id")).limit(10)
+            .select(lit(qid).as("query_id"), col("vec_id").as("doc_id"), lit(1).as("grade"))
+        }.reduce(_ unionAll _)
+        graft.dsl.RankEval.rankEval(hits, judgments, k = 10)
+          .select(col("query_id"), (col("precision_k") >= 0.7).as("recall_floor_met"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT query_id, TRUE AS recall_floor_met
+             |FROM (VALUES (5), (123), (240)) v(query_id) ORDER BY query_id""".stripMargin)),
+
     // Frame-level audio analysis (the VAD/MFCC precursor): 16-sample
     // frame energies with an activity threshold + whole-signal zero
     // crossings — all exact integers through the real codec round trip.
