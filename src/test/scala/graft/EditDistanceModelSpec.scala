@@ -79,15 +79,17 @@ class EditDistanceModelSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  /** Brute in-order sloppy phrase: every strictly-increasing assignment. */
+  /** Brute Lucene sloppy phrase: every INJECTIVE assignment of phrase
+    * terms to matching token positions (any order, distinct tokens);
+    * matches when the shifted positions pᵏ − k span ≤ slop — the
+    * SloppyPhraseScorer edit-distance-in-term-moves model the kernel
+    * implements. */
   private def refPhraseSlop(toks: Seq[String], terms: Seq[String], slop: Int): Boolean = {
-    def choose(k: Int, from: Int, acc: List[Int]): Boolean =
-      if (k == terms.length) {
-        val qs = acc.reverse
-        (qs.last - qs.head) - (terms.length - 1) <= slop
-      } else (from until toks.length).exists(i =>
-        toks(i) == terms(k) && choose(k + 1, i + 1, i :: acc))
-    choose(0, 0, Nil)
+    def choose(k: Int, used: Set[Int], shifts: List[Int]): Boolean =
+      if (k == terms.length) shifts.max - shifts.min <= slop
+      else toks.indices.exists(i =>
+        toks(i) == terms(k) && !used(i) && choose(k + 1, used + i, (i - k) :: shifts))
+    choose(0, Set.empty, Nil)
   }
 
   test("phrase slop kernel == brute enumeration on random token streams") {
