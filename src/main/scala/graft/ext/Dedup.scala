@@ -480,20 +480,30 @@ object Dedup {
     * extra stages. */
   private[graft] def hammingPairsBanded(sig: DataFrame, hashCol: String, bits: Int,
       maxDist: Int, hotBandCap: Int = 4096): DataFrame = {
-    val docs = persistOnce(sig.select(col("doc_id"), col(hashCol).cast("long").as("_h")))
-    val hashPairs = distinctHashPairs(docs, bits, maxDist, hotBandCap)
-    // expand distinct-hash pairs back to doc pairs; the candidate set is
-    // small, so AQE broadcasts it into the two doc joins
+    // ONE shuffle groups docs by signature (sorted id list per hash) —
+    // this is simultaneously the distinct-hash set for the band join, the
+    // expansion table for cross pairs, and (narrow HOF, no join) the
+    // intra-hash distance-0 pair source
+    val byHash = persistOnce(sig
+      .select(col("doc_id"), col(hashCol).cast("long").as("_h"))
+      .groupBy("_h").agg(collect_list(col("doc_id")).as("_ids")))
+    val hashPairs = distinctHashPairs(byHash.select(col("_h")), bits, maxDist, hotBandCap)
+    // expand hash pairs to doc pairs; the candidate set is small, so AQE
+    // broadcasts it into the two list joins
     val cross = hashPairs
-      .join(docs.select(col("doc_id").as("da"), col("_h").as("ha")), "ha")
-      .join(docs.select(col("doc_id").as("db"), col("_h").as("hb")), "hb")
+      .join(byHash.select(col("_h").as("ha"), col("_ids").as("_ia")), "ha")
+      .join(byHash.select(col("_h").as("hb"), col("_ids").as("_ib")), "hb")
+      .select(explode(col("_ia")).as("da"), col("_ib"), col("ha"), col("hb"))
+      .select(col("da"), explode(col("_ib")).as("db"), col("ha"), col("hb"))
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"),
         expr("bit_count(ha ^ hb)").as("hamming"))
-    val intra = docs.as("x").join(docs.as("y"),
-        col("x._h") === col("y._h") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(0).as("hamming"))
+    val intra = byHash.filter(size(col("_ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(_ids, (a, i) ->
+          |  transform(slice(_ids, i + 2, size(_ids)), b ->
+          |    struct(least(a, b) AS doc_a, greatest(a, b) AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), lit(0).as("hamming"))
     cross.union(intra)
   }
 
@@ -509,7 +519,8 @@ object Dedup {
   def hammingClusters64(sig: DataFrame, hashCol: String, maxDist: Int = 3,
                         hotBandCap: Int = 4096): DataFrame = {
     val docs = persistOnce(sig.select(col("doc_id"), col(hashCol).cast("long").as("_h")))
-    val hp = persistOnce(distinctHashPairs(docs, 64, maxDist, hotBandCap))
+    val hp = persistOnce(distinctHashPairs(docs.select(col("_h")).distinct(),
+      64, maxDist, hotBandCap))
     val byHash =
       if (hp.isEmpty)
         docs.select(col("doc_id"), col("_h").as("_hc"))
@@ -613,17 +624,21 @@ object Dedup {
 
   /** All DISTINCT-signature pairs `(ha, hb)` (ha < hb) at Hamming ≤
     * `maxDist`, via the skew-guarded banded self-join described at
-    * [[hammingPairsBanded]]. `docs` must carry the signature as `_h`. */
-  private def distinctHashPairs(docs: DataFrame, bits: Int,
+    * [[hammingPairsBanded]]. `hashes` must carry one row per UNIQUE
+    * signature as `_h` (callers dedup — usually as a groupBy they need
+    * anyway). */
+  private def distinctHashPairs(hashes: DataFrame, bits: Int,
       maxDist: Int, hotBandCap: Int): DataFrame = {
     val nBands = maxDist + 1
     require(bits % nBands == 0, s"maxDist+1 = $nBands must divide $bits")
     require(bits <= 64, s"bits = $bits exceeds a long")
     val width = bits / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    // persist the banded DISTINCT signatures: the subtree feeds the df agg
-    // and both sides of the self-join
-    val bands = bandTable(docs, nBands, width, mask)
+    // persist the banded signatures: the subtree feeds the df agg and
+    // both sides of the self-join
+    val bands = persistOnce(hashes.select(col("_h"),
+      posexplode(array((0 until nBands).map(j =>
+        expr(s"shiftrightunsigned(_h, ${j * width}) & $mask")): _*)).as(Seq("band_j", "band"))))
     val dfreq = bands.groupBy("band_j", "band").agg(count(lit(1)).as("_bdf"))
     val subW = (bits - width) / nBands
     def bandSelfJoin(b: DataFrame, keys: Seq[String]): DataFrame = {

@@ -454,6 +454,32 @@ object Similarity {
       codebook, query, topK)
   }
 
+  /** Batched IVF-PQ serving: the corpus is cell-assigned and PQ-encoded
+    * ONCE (persisted — the stored serving index), then every query probes
+    * and ADC-ranks against those codes. [[ivfPqSearch]] re-encodes per
+    * call, which is fine for one ad-hoc lookup but 3× the cost for 3
+    * queries; at serving scale the encode amortizes to zero here. Returns
+    * `(query_id, vec_id, adist)` — top-`topK` rows per query. */
+  def ivfPqSearchMany(vecs: DataFrame, idCol: Column, vecCol: Column,
+                      coarse: Seq[Seq[Double]], codebook: Seq[Seq[Seq[Double]]],
+                      queries: Seq[(Long, Seq[Double])], nprobe: Int, topK: Int): DataFrame = {
+    val v = vecCol.cast("array<double>")
+    val enc = Dedup.persistOnce(vecs.select(idCol.as("vec_id"),
+      nearestCent(v, coarse).as("cell"), pqCodes(v, codebook).as("codes")))
+    queries.map { case (qid, query) =>
+      val qq = query.foldLeft(0.0)((a, x) => a + x * x)
+      val qCells = coarse.zipWithIndex.map { case (c, j) =>
+        val qc = query.indices.foldLeft(0.0)((a, i) => a + query(i) * c(i))
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        (BigDecimal(qq - 2.0 * qc + cc)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, j)
+      }.sortBy(identity).take(nprobe).map(_._2)
+      pqAdcSearch(enc.filter(col("cell").isin(qCells: _*)).select("vec_id", "codes"),
+        codebook, query, topK)
+        .select(lit(qid).as("query_id"), col("vec_id"), col("adist"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Embedding-space outlier detection: per-label centroid (6-dp
     * re-synced, the c32 determinism trick), per-vector Euclidean distance
     * to its centroid (ascending-dim HOF fold — deterministic order), then

@@ -250,6 +250,61 @@ object Multimodal {
       }.toDF()
   }
 
+  case class ResizedPx(doc_id: Long, width: Int, height: Int,
+                       ox: Int, oy: Int, r: Int, g: Int, b: Int)
+
+  /** REAL-codec image RESIZE — block-mean (area-average) downscale to
+    * `outW`×`outH` through `ImageIO.read`: source pixel (x, y) belongs to
+    * output cell (x·outW / w, y·outH / h) (the standard area partition),
+    * each cell emits the integer mean per channel (sum / count, exact
+    * integer division — so the oracle replays the means analytically from
+    * the fixture's closed-form pattern). One output row per cell keeps
+    * the schema flat and the compare sortable; images smaller than the
+    * target emit only their populated cells (no upsampling — a pipeline
+    * resizes down for thumbnailing/feature extraction). Same
+    * partition-batched mapPartitions shape as [[decodePixels]];
+    * unrecognized payloads emit nothing. */
+  def imageResize(payloads: DataFrame, outW: Int, outH: Int)
+                 (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, p) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          if (img == null) Iterator.empty
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val sums = Array.ofDim[Long](outH, outW, 3)
+            val cnts = Array.ofDim[Long](outH, outW)
+            var y = 0
+            while (y < h) {
+              val oy = y * outH / h
+              var x = 0
+              while (x < w) {
+                val ox = x * outW / w
+                val rgb = img.getRGB(x, y)
+                sums(oy)(ox)(0) += (rgb >> 16) & 0xff
+                sums(oy)(ox)(1) += (rgb >> 8) & 0xff
+                sums(oy)(ox)(2) += rgb & 0xff
+                cnts(oy)(ox) += 1
+                x += 1
+              }
+              y += 1
+            }
+            for {
+              oy <- Iterator.range(0, outH)
+              ox <- Iterator.range(0, outW)
+              if cnts(oy)(ox) > 0
+            } yield ResizedPx(id, w, h, ox, oy,
+              (sums(oy)(ox)(0) / cnts(oy)(ox)).toInt,
+              (sums(oy)(ox)(1) / cnts(oy)(ox)).toInt,
+              (sums(oy)(ox)(2) / cnts(oy)(ox)).toInt)
+          }
+        }
+      }.toDF()
+  }
+
   // ---- audio ----------------------------------------------------------
 
   case class WavStats(doc_id: Long, sample_rate: Int, channels: Int,
@@ -341,6 +396,54 @@ object Multimodal {
           } catch {
             case _: javax.sound.sampled.UnsupportedAudioFileException |
                  _: java.io.IOException => WavFrames(id, 0L, 0L, 0L, 0L)
+          }
+        }
+      }.toDF()
+  }
+
+  case class WavDecimated(doc_id: Long, factor: Int, n_in: Long, n_out: Long,
+                          sum_sq: Long, peak: Int, zero_crossings: Long)
+
+  /** Audio RESAMPLE by integer decimation — keep every `factor`-th sample
+    * through the real codec parse (the cheap rate-reduction a pipeline
+    * applies before feature extraction; proper low-pass decimation swaps
+    * in here, the plumbing is identical). Emits exact integers over the
+    * KEPT samples: count, energy Σs² (LONG), |peak|, and sign changes
+    * between consecutive kept samples — all analytically replayable by
+    * the oracle from the fixture's closed-form waveform. */
+  def audioDecimate(payloads: DataFrame, factor: Int)
+                   (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(factor >= 1, s"decimation factor must be >= 1, got $factor")
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(p))
+            try {
+              val bytes = ais.readAllBytes()
+              val n = bytes.length / 2
+              def sample(i: Int): Int =
+                ((bytes(i * 2 + 1).toInt << 8) | (bytes(i * 2) & 0xff))
+              var (nOut, sumSq, peak, zc) = (0L, 0L, 0, 0L)
+              var prev = 0
+              var havePrev = false
+              var i = 0
+              while (i < n) {
+                val s = sample(i)
+                nOut += 1
+                sumSq += s.toLong * s
+                if (math.abs(s) > peak) peak = math.abs(s)
+                if (havePrev && (prev < 0) != (s < 0)) zc += 1
+                prev = s; havePrev = true
+                i += factor
+              }
+              WavDecimated(id, factor, n.toLong, nOut, sumSq, peak, zc)
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException => WavDecimated(id, factor, 0L, 0L, 0L, 0, 0L)
           }
         }
       }.toDF()

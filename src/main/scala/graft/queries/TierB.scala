@@ -1791,21 +1791,23 @@ object TierB {
     Q("b11_cardinality_approx",
       (s, d) => {
         val rsd = 0.02
-        def m(name: String, alias: String) = struct(lit(name).as("metric"),
-          col(s"e_$alias").as("exact_n"),
-          (abs(col(s"a_$alias") - col(s"e_$alias")).cast("double") <=
-            lit(5 * rsd) * col(s"e_$alias")).as("within_bounds"))
-        li(s, d).agg(
-            EsDsl.cardinality(col("l_partkey"), rsd).as("a_parts"),
-            count_distinct(col("l_partkey")).as("e_parts"),
-            EsDsl.cardinality(col("l_suppkey"), rsd).as("a_supps"),
-            count_distinct(col("l_suppkey")).as("e_supps"),
-            EsDsl.cardinality(col("l_orderkey"), rsd).as("a_orders"),
-            count_distinct(col("l_orderkey")).as("e_orders"))
-          .select(explode(array(
-            m("l_orderkey", "orders"), m("l_partkey", "parts"),
-            m("l_suppkey", "supps"))).as("r"))
-          .select(col("r.*"))
+        // per column: hash-distinct first (map-side partials), then ONE
+        // tiny agg computes exact count + the HLL over the distinct set
+        // (HLL is duplicate-insensitive, so the estimate is identical to
+        // sketching the raw column) — mixing exact count_distinct with the
+        // sketches in one agg planned a 3-way Expand over the fact table
+        // (measured 6.1 s at sf0.1 vs ~0.6 s for this shape)
+        def m(name: String, c: org.apache.spark.sql.Column) =
+          li(s, d).select(c.as("v")).distinct()
+            .agg(count(lit(1)).as("exact_n"),
+              EsDsl.cardinality(col("v"), rsd).as("approx_n"))
+            .select(lit(name).as("metric"), col("exact_n"), col("approx_n"))
+        m("l_orderkey", col("l_orderkey"))
+          .unionAll(m("l_partkey", col("l_partkey")))
+          .unionAll(m("l_suppkey", col("l_suppkey")))
+          .select(col("metric"), col("exact_n"),
+            (abs(col("approx_n") - col("exact_n")).cast("double") <=
+              lit(5 * rsd) * col("exact_n")).as("within_bounds"))
           .orderBy("metric")
       },
       Some("""SELECT * FROM (

@@ -2405,15 +2405,14 @@ object TierC {
         val qvs = e.filter(col("vec_id").isin(qids: _*))
           .select(col("vec_id"), col("embedding"))
           .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-        val hits = qids.map { qid =>
-          val w = Window.orderBy(col("adist"), col("vec_id")) // ≤11 rows
-          Similarity.ivfPqSearch(e, col("vec_id"), col("embedding"), coarse, cb,
-              qvs(qid), nprobe = 2, topK = 11)
-            .filter(col("vec_id") =!= qid)
-            .withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= 10)
-            .select(lit(qid).as("query_id"), col("vec_id").as("doc_id"), col("rank"))
-        }.reduce(_ unionAll _)
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("adist"), col("vec_id")) // ≤11 rows per query
+        val hits = Similarity.ivfPqSearchMany(e, col("vec_id"), col("embedding"),
+            coarse, cb, qids.map(q => q -> qvs(q)), nprobe = 2, topK = 11)
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
         val judgments = qids.map { qid =>
           val qvArr = array(qvs(qid).map(lit): _*)
           val vd = col("embedding")
@@ -2429,6 +2428,71 @@ object TierC {
       },
       Some("""SELECT query_id, TRUE AS recall_floor_met
              |FROM (VALUES (5), (123), (240)) v(query_id) ORDER BY query_id""".stripMargin)),
+
+    // Image RESIZE through the real codec: block-mean (area-average)
+    // downscale to 2×2 — source pixel (x,y) belongs to output cell
+    // (x·2//w, y·2//h), each cell emits integer channel means. The oracle
+    // replays the exact means from the closed-form pattern; the codec
+    // round trip must be bit-exact for them to agree.
+    Q("c81_image_resize",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Multimodal.imageResize(
+          Multimodal.encodeTestImages(Tables.documents(s, d)), outW = 2, outH = 2)
+          .orderBy("doc_id", "oy", "ox")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |         CAST(doc_id % 9 + 2 AS INT) AS width,
+             |         CAST((doc_id * 3) % 7 + 2 AS INT) AS height
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, width, height,
+             |         CAST((x * 2) // width AS INT) AS ox,
+             |         CAST((y * 2) // height AS INT) AS oy,
+             |         (doc_id * 31 + x * 7 + y * 13) % 256 AS pr,
+             |         (doc_id * 17 + x * 11 + y * 5) % 256 AS pg,
+             |         (doc_id * 23 + x * 3 + y * 19) % 256 AS pb
+             |  FROM dims,
+             |       unnest(generate_series(0, width - 1)) AS ux(x),
+             |       unnest(generate_series(0, height - 1)) AS uy(y))
+             |SELECT doc_id, width, height, ox, oy,
+             |       CAST(sum(pr) // count(*) AS INT) AS r,
+             |       CAST(sum(pg) // count(*) AS INT) AS g,
+             |       CAST(sum(pb) // count(*) AS INT) AS b
+             |FROM px GROUP BY doc_id, width, height, ox, oy
+             |ORDER BY doc_id, oy, ox""".stripMargin)),
+
+    // Audio RESAMPLE by decimation through the real codec: every 3rd
+    // sample kept; exact count/energy/|peak|/sign-change aggregates over
+    // the kept sequence, replayed analytically by the oracle.
+    Q("c82_audio_decimate",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Multimodal.audioDecimate(
+          Multimodal.encodeTestWavs(Tables.documents(s, d)), factor = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+             |sm AS (
+             |  SELECT doc_id, i, ((doc_id * 31 + i * 7) % 65536) - 32768 AS s
+             |  FROM ids, unnest(generate_series(0, CAST(64 + doc_id % 64 AS INT) - 1)) AS u(i)),
+             |k AS (SELECT doc_id, i, s FROM sm WHERE i % 3 = 0),
+             |zc AS (
+             |  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS zero_crossings
+             |  FROM k a JOIN k b ON b.doc_id = a.doc_id AND b.i = a.i + 3
+             |  WHERE (a.s < 0) <> (b.s < 0) GROUP BY a.doc_id),
+             |ag AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_out,
+             |         CAST(sum(s * s) AS BIGINT) AS sum_sq,
+             |         CAST(max(abs(s)) AS INT) AS peak
+             |  FROM k GROUP BY doc_id)
+             |SELECT i.doc_id, 3 AS factor,
+             |       CAST(64 + i.doc_id % 64 AS BIGINT) AS n_in,
+             |       ag.n_out, ag.sum_sq, ag.peak,
+             |       COALESCE(zc.zero_crossings, 0) AS zero_crossings
+             |FROM ids i JOIN ag USING (doc_id) LEFT JOIN zc USING (doc_id)
+             |ORDER BY i.doc_id""".stripMargin)),
 
     // Frame-level audio analysis (the VAD/MFCC precursor): 16-sample
     // frame energies with an activity threshold + whole-signal zero
