@@ -344,6 +344,21 @@ object EsDsl {
         concat_ws(",", sort_array(collect_list(col("pos")))).as("positions"))
       .orderBy("term")
 
+  /** ES `_mtermvectors`: [[termVectors]] for a batch of ids in one call
+    * (ES returns a `docs` array; one frame keyed by doc_id is the
+    * relational equivalent). The id set is an `isin` literal — it pushes
+    * into the scan, and the grouped agg keys by (doc_id, term), so the
+    * batch costs one narrow pass however many ids ride along. */
+  def mTermVectors(docs: DataFrame, idCol: Column, text: Column,
+                   docIds: Seq[Long]): DataFrame =
+    docs.filter(idCol.isin(docIds: _*))
+      .select(idCol.as("doc_id"),
+        posexplode(graft.ext.TextAnalysis.tokens(text)).as(Seq("pos", "term")))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("term_freq"),
+        concat_ws(",", sort_array(collect_list(col("pos")))).as("positions"))
+      .orderBy("doc_id", "term")
+
   /** ES `_analyze` API over a table column: per-doc token stream for the
     * named analyzer with 0-based `position` and the ES token `type`
     * (`<NUM>`/`<ALPHANUM>` for standard, `word` otherwise — offsets are

@@ -274,32 +274,68 @@ object EsQueryJson {
       case "span_near" =>
         val clauses = body.get("clauses").elements().asScala.toSeq
         require(clauses.size == 2, s"span_near supports exactly 2 clauses, got ${clauses.size}")
-        // each clause: span_term, or span_multi wrapping prefix/wildcard/regexp
-        def side(c: JsonNode): (String, String, String) = {
+        // each clause: span_term, span_multi wrapping prefix/wildcard/
+        // regexp, or field_masking_span lifting a span_term from ANOTHER
+        // field into this one's position space. The tuple is (field the
+        // clause CLAIMS to be on, kind, value, field the tokens actually
+        // come from) — masking makes the two differ.
+        def side(c: JsonNode): (String, String, String, String) = {
           val (ck, cb) = single(c)
           ck match {
             case "span_term" =>
-              val (f, v) = single(cb); (f, "term", v.asText())
+              val (f, v) = single(cb); (f, "term", v.asText(), f)
             case "span_multi" =>
               val (mk, mb) = single(cb.get("match"))
               require(Set("prefix", "wildcard", "regexp")(mk),
                 s"span_multi supports prefix/wildcard/regexp, got $mk")
               val (f, vn) = single(mb)
-              (f, mk, (if (vn.isObject) vn.get("value") else vn).asText())
+              (f, mk, (if (vn.isObject) vn.get("value") else vn).asText(), f)
+            case "field_masking_span" =>
+              val masked = cb.get("field").asText()
+              val (iq, ib) = single(cb.get("query"))
+              require(iq == "span_term",
+                s"field_masking_span supports a span_term inner query, got $iq")
+              val (actual, v) = single(ib)
+              (masked, "term", v.asText(), actual)
             case other => throw new IllegalArgumentException(
-              s"span_near clause must be span_term or span_multi, got $other")
+              s"span_near clause must be span_term, span_multi or field_masking_span, got $other")
           }
         }
-        val (f1, k1, v1) = side(clauses(0))
-        val (f2, k2, v2) = side(clauses(1))
+        val (f1, k1, v1, a1) = side(clauses(0))
+        val (f2, k2, v2, a2) = side(clauses(1))
         require(f1 == f2, s"span_near clauses must target one field, got $f1/$f2")
         val slop = Option(body.get("slop")).map(_.asInt()).getOrElse(0)
         val inOrder = Option(body.get("in_order")).map(_.asBoolean()).getOrElse(false)
-        if (k1 == "term" && k2 == "term")
-          graft.functions.Spans.spanNear(field(f1), v1, v2, slop, inOrder)
-        else
-          graft.functions.Spans.spanNearMulti(field(f1), k1, v1.toLowerCase,
-            k2, v2.toLowerCase, slop, inOrder)
+        if (a1 == a2) {
+          if (k1 == "term" && k2 == "term")
+            graft.functions.Spans.spanNear(field(f1), v1, v2, slop, inOrder)
+          else
+            graft.functions.Spans.spanNearMulti(field(f1), k1, v1.toLowerCase,
+              k2, v2.toLowerCase, slop, inOrder)
+        } else {
+          // masked cross-field near: positions of v1 in a1's token stream
+          // against positions of v2 in a2's — the Lucene field-masking
+          // contract (one shared position space; useful when the columns
+          // are parallel token streams, e.g. raw vs stemmed). Same
+          // distance rule as [[Spans.SpanNearMatch]]; cross-field tokens
+          // at the SAME position count as overlapping spans and match
+          // (distance 0 — there is no self-pairing to guard against).
+          // Builtin HOFs over posexploded positions — codegen'd, narrow.
+          require(k1 == "term" && k2 == "term",
+            "field_masking_span composes with span_term clauses only")
+          def positions(fieldName: String, term: String): Column =
+            org.apache.spark.sql.functions.filter(
+              transform(graft.ext.TextAnalysis.tokens(field(fieldName)),
+                (t, i) => when(t === term, i)),
+              p => p.isNotNull)
+          val p1 = positions(a1, v1)
+          val p2 = positions(a2, v2)
+          exists(p1, p => exists(p2, q => {
+            val ordered = q > p && q - p - 1 <= slop
+            if (inOrder) ordered
+            else ordered || (q === p) || (p > q && p - q - 1 <= slop)
+          }))
+        }
       case "span_multi" =>
         // a multi-term query lifted to a span. Standalone it degenerates to
         // "SOME token matches", evaluated over the delimiter-joined token
@@ -930,8 +966,13 @@ object EsQueryJson {
           lit(max.toLong)) === lit(sid.toLong))
       case None => dfScripted
     }
-    // `min_score` forces scoring even when the sort doesn't use _score
-    val needsScore = sortSpecs.exists(_._1 == "_score") || minScore.isDefined
+    // `min_score` forces scoring even when the sort doesn't use _score;
+    // so does `track_scores: true` (ES contract: compute _score for each
+    // hit even though the sort is by field — the per-hit relevance rides
+    // along without changing the order)
+    val trackScores = Option(body.get("track_scores")).exists(_.asBoolean())
+    val needsScore =
+      sortSpecs.exists(_._1 == "_score") || minScore.isDefined || trackScores
     val scored = (Option(body.get("query")), Option(body.get("rescore"))) match {
       case (Some(q), Some(r)) if needsScore =>
         val tiebreaks = sortSpecs.filter(_._1 != "_score").map(s => field(s._1))
@@ -944,7 +985,30 @@ object EsQueryJson {
         require(!needsScore, "_score sort / min_score requires a query")
         df0
     }
-    val minScored = minScore.map(ms => scored.filter(col("_score") >= ms)).getOrElse(scored)
+    // `indices_boost`: multiplicative per-index score factor on a
+    // multi-index frame (rows tagged with `_index`, the [[msearch]]-style
+    // union convention). ES 6.5 accepts the object form {"idx": boost};
+    // unlisted indices keep factor 1.0. Applied BEFORE min_score, as ES
+    // compares the final (boosted) score. One codegen'd CASE — no
+    // per-index pass.
+    val ibScored = Option(body.get("indices_boost")) match {
+      case Some(ib) =>
+        require(scored.columns.contains("_score"),
+          "indices_boost requires a scored query (sort by _score, min_score or track_scores)")
+        require(scored.columns.contains("_index"),
+          "indices_boost requires an _index column (multi-index frame)")
+        val entries: Seq[(String, Double)] =
+          if (ib.isArray) ib.elements().asScala.toSeq.map { e =>
+            val (n, v) = single(e); n -> v.asDouble()
+          }
+          else ib.fields().asScala.toSeq.map(e => e.getKey -> e.getValue.asDouble())
+        val factor = entries.foldLeft(lit(1.0)) { case (acc, (n, b)) =>
+          when(col("_index") === n, lit(b)).otherwise(acc)
+        }
+        scored.withColumn("_score", round(col("_score") * factor, 6))
+      case None => scored
+    }
+    val minScored = minScore.map(ms => ibScored.filter(col("_score") >= ms)).getOrElse(ibScored)
     // `post_filter`: narrows the HITS only, after scoring — by ES contract
     // the body's aggregations still see the full query scope (the faceted-
     // navigation idiom: facet counts stay global while the hit list honors
@@ -987,7 +1051,15 @@ object EsQueryJson {
             .map(_.elements().asScala.next().asText()).getOrElse(dflt)
         val preTag = firstTag("pre_tags", "<em>")
         val postTag = firstTag("post_tags", "</em>")
-        val (kind, qb) = single(body.get("query"))
+        // `highlight_query`: highlight with a DIFFERENT query than the one
+        // that selected the hits (the ES idiom for rescore/synonym-aware
+        // highlighting). Field-level overrides global, global overrides the
+        // body query — the same precedence as the tag options above. Only
+        // the highlight terms change; hit selection already happened.
+        val hlq = Option(spec.get("highlight_query"))
+          .orElse(Option(h.get("highlight_query")))
+          .getOrElse(body.get("query"))
+        val (kind, qb) = single(hlq)
         require(kind == "match" || kind == "match_phrase",
           s"highlight supports match/match_phrase queries, got $kind")
         val (_, v) = single(qb)
@@ -1153,20 +1225,67 @@ object EsQueryJson {
           limited.withColumn("_inner", explode(col("_inner_list"))).drop("_inner_list")
         else limited
     }
+    // `docvalue_fields`: per-hit values rendered from doc values rather
+    // than `_source` — relationally, extra `<field>_dv` columns with the
+    // requested `format` applied (`epoch_millis` → the long instant; a
+    // date pattern → the formatted string; no format → the raw value).
+    // Narrow computed columns, so they prune into the scan like any other.
+    val withDv = Option(body.get("docvalue_fields")) match {
+      case Some(dvf) =>
+        dvf.elements().asScala.toSeq.foldLeft(withInner) { (acc, e) =>
+          val (fname, fmt) =
+            if (e.isTextual) (e.asText(), None)
+            else (e.get("field").asText(), Option(e.get("format")).map(_.asText()))
+          val c = fmt match {
+            // cast handles TIMESTAMP_NTZ columns (parquet naive
+            // timestamps); the session zone is pinned UTC, so the cast is
+            // instant-preserving — the same reading DuckDB's epoch_ms gives
+            case Some("epoch_millis") => unix_millis(field(fname).cast("timestamp"))
+            case Some(p) => date_format(field(fname), p)
+            case None => field(fname)
+          }
+          acc.withColumn(s"${fname}_dv", c)
+        }
+      case None => withInner
+    }
+    // `stored_fields`: the explicit field-return list ("_none_" = return
+    // no stored fields at all — metadata-only hits). The named fields join
+    // the projection alongside `_source`; with `"_source": false` they ARE
+    // the projection (plus whatever the body computed: _score, highlight…).
+    val storedWanted: Seq[String] = Option(body.get("stored_fields")) match {
+      case Some(sf) if sf.isTextual =>
+        require(sf.asText() == "_none_",
+          s"stored_fields accepts a field list or \"_none_\", got ${sf.asText()}")
+        Seq.empty
+      case Some(sf) =>
+        sf.elements().asScala.map(_.asText()).toSeq
+      case None => Seq.empty
+    }
     // `_source` filtering: project the hit down to the named fields (plus
     // any engine-computed columns already requested by the body) — the
     // column-pruning hint Catalyst pushes all the way into the scan
+    def computedCols = (Seq("_score", "matched_queries", "_highlight", "_inner")
+      ++ withDv.columns.filter(_.endsWith("_dv"))).filter(withDv.columns.contains)
     val projected = Option(body.get("_source")) match {
       case Some(src) if src.isArray =>
-        val wanted = src.elements().asScala.map(_.asText()).toSeq
-        val computed = Seq("_score", "matched_queries", "_highlight", "_inner")
-          .filter(withInner.columns.contains)
-        withInner.select((wanted.map(f => field(f).as(f)) ++ computed.map(col)): _*)
+        val wanted = (src.elements().asScala.map(_.asText()).toSeq
+          ++ storedWanted).distinct
+        withDv.select((wanted.map(f => field(f).as(f)) ++ computedCols.map(col)): _*)
       case Some(other) =>
-        require(other.isBoolean && other.asBoolean(),
-          "_source supports an include list or true")
-        withInner
-      case None => withInner
+        require(other.isBoolean, "_source supports an include list or a boolean")
+        if (other.asBoolean()) withDv
+        else {
+          // `"_source": false`: hits carry only stored fields + computed
+          // columns (the ES metadata-only / fields-only response shape)
+          val cols = (storedWanted.map(f => field(f).as(f)) ++ computedCols.map(col))
+          require(cols.nonEmpty,
+            "_source:false needs stored_fields or computed columns to return")
+          withDv.select(cols: _*)
+        }
+      case None =>
+        if (storedWanted.isEmpty) withDv
+        else withDv.select((storedWanted.map(f => field(f).as(f))
+          ++ computedCols.map(col)): _*)
     }
     // script-sort keys are sort machinery, not part of the hit
     scriptSorts.map(_._1).foldLeft(projected)(_ drop _)
@@ -1263,25 +1382,69 @@ object EsQueryJson {
       .map(q => coalesce(predicate(q), lit(false))).getOrElse(lit(true))
     Option(body.get("script")) match {
       case None => df
-      case Some(sNode) =>
-        val raw = scriptSource(sNode)
-        val asn = "ctx\\._source\\.([A-Za-z0-9_]+)\\s*=\\s*(.+)".r
-        raw match {
-          case asn(target, rhs) =>
-            val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r.replaceAllIn(
-              "ctx\\._source\\.([A-Za-z0-9_.]+)".r.replaceAllIn(rhs, m => m.group(1)),
-              m => m.group(1))
-            require(bound.matches("[A-Za-z0-9_.+\\-*/() ]+"),
-              s"unsupported update script rhs after binding: $bound")
-            val value =
-              if (df.columns.contains(target)) expr(bound).cast(df.schema(target).dataType)
-              else expr(bound)
-            if (df.columns.contains(target))
-              df.withColumn(target, when(matches, value).otherwise(col(target)))
-            else df.withColumn(target, when(matches, value))
-          case _ => throw new IllegalArgumentException(
-            s"update script must be 'ctx._source.<field> = <expr>', got: $raw")
-        }
+      case Some(sNode) => scriptAssign(df, sNode, matches)
+    }
+  }
+
+  /** Compile the painless-subset assignment `ctx._source.<field> = <expr>`
+    * into one conditional column on `df` (rows failing `matches` pass
+    * through unchanged). Shared by [[updateByQuery]] and [[reindex]]. */
+  private def scriptAssign(df: DataFrame, sNode: JsonNode, matches: Column): DataFrame = {
+    val raw = scriptSource(sNode)
+    val asn = "ctx\\._source\\.([A-Za-z0-9_]+)\\s*=\\s*(.+)".r
+    raw match {
+      case asn(target, rhs) =>
+        val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r.replaceAllIn(
+          "ctx\\._source\\.([A-Za-z0-9_.]+)".r.replaceAllIn(rhs, m => m.group(1)),
+          m => m.group(1))
+        require(bound.matches("[A-Za-z0-9_.+\\-*/() ]+"),
+          s"unsupported update script rhs after binding: $bound")
+        val value =
+          if (df.columns.contains(target)) expr(bound).cast(df.schema(target).dataType)
+          else expr(bound)
+        if (df.columns.contains(target))
+          df.withColumn(target, when(matches, value).otherwise(col(target)))
+        else df.withColumn(target, when(matches, value))
+      case _ => throw new IllegalArgumentException(
+        s"update script must be 'ctx._source.<field> = <expr>', got: $raw")
+    }
+  }
+
+  /** ES `_reindex`: copy a source index's docs into a destination index —
+    * optional `source.query` filter, optional painless-subset `script`
+    * (the [[updateByQuery]] assignment grammar, applied to every copied
+    * doc), and the ES id-conflict semantics: the default `op_type`
+    * ("index") overwrites destination docs sharing an id with a copied
+    * doc; `"op_type": "create"` with `"conflicts": "proceed"` keeps the
+    * existing destination doc and admits only new ids (without
+    * `conflicts: proceed` ES aborts on the first conflict — rejected
+    * loudly here). Returns the post-reindex destination index. Plan
+    * shape: a narrow filtered/transformed source scan + ONE id-keyed
+    * left-anti join — at scale the only shuffle keys by doc id, and the
+    * union adds no exchange. */
+  def reindex(source: DataFrame, dest: DataFrame, bodyJson: String,
+              idField: String = "id"): DataFrame = {
+    val body = parse(bodyJson)
+    val filtered = Option(body.get("source")).flatMap(s => Option(s.get("query")))
+      .map(q => source.filter(coalesce(predicate(q), lit(false))))
+      .getOrElse(source)
+    val copied = Option(body.get("script")) match {
+      case None => filtered
+      case Some(sNode) => scriptAssign(filtered, sNode, lit(true))
+    }
+    val opType = Option(body.get("dest")).flatMap(d => Option(d.get("op_type")))
+      .map(_.asText()).getOrElse("index")
+    opType match {
+      case "index" =>
+        dest.join(copied.select(col(idField)), Seq(idField), "left_anti")
+          .unionByName(copied)
+      case "create" =>
+        require(Option(body.get("conflicts")).map(_.asText()).contains("proceed"),
+          "op_type create without conflicts:proceed aborts on the first conflict — pass \"conflicts\": \"proceed\"")
+        dest.unionByName(
+          copied.join(dest.select(col(idField)), Seq(idField), "left_anti"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported reindex op_type: $other")
     }
   }
 

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.functions.Hashing
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-shaping operators of an LLM training-data pipeline, beyond
@@ -613,5 +614,30 @@ object Corpus {
       .withColumn("d", round(abs(col("fs") - col("fr")), 6))
       .groupBy("source").agg(max(col("d")).as("ks"))
       .orderBy(desc("ks"), col("source"))
+  }
+
+  /** Per-domain document quota: keep at most `cap` docs per domain, best
+    * `rank` first (ties → lowest id — a total order), the per-host cap
+    * web-scale pretraining mixes apply so no single domain dominates the
+    * corpus. Two-phase top-k, NOT one global window: phase 1 ranks within
+    * (domain, input partition) and keeps ≤ cap candidates per group — any
+    * row outside its partition-local top-cap has ≥ cap better same-domain
+    * rows in that partition alone, so pruning it is exact regardless of
+    * how the input happens to be partitioned. Phase 2 ranks the ≤ cap·P
+    * survivors per domain. A mega-domain (the 100 TB skew case: one host
+    * = 10% of the web) therefore never funnels through a single sort
+    * partition — the hot key is split P ways before the global window
+    * sees it. */
+  def domainCap(docs: DataFrame, idCol: Column, domain: Column, rank: Column,
+                cap: Int): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), domain.as("domain"), rank.as("r"))
+    val order = Seq(col("r").desc, col("doc_id").asc)
+    val local = Window.partitionBy(col("domain"), spark_partition_id()).orderBy(order: _*)
+    val global = Window.partitionBy(col("domain")).orderBy(order: _*)
+    base
+      .withColumn("_lrn", row_number().over(local))
+      .filter(col("_lrn") <= cap).drop("_lrn")
+      .withColumn("rn", row_number().over(global))
+      .filter(col("rn") <= cap)
   }
 }

@@ -313,6 +313,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware canonical selection: [[removeNearDuplicates]] keeps an
+    * arbitrary representative (the pair orientation's survivor); real
+    * pipelines keep the BEST doc of each near-dup cluster — highest
+    * `rank`, ties to the lowest id (a total order). Cluster labels come
+    * from the pair graph's [[connectedComponents]]; singletons are their
+    * own keeper. Scale shape mirrors [[softDedupWeights]]: the cluster
+    * table covers only edge-touched docs, the per-cluster argmax is one
+    * agg over that (bounded) table via a lexicographic struct-max — no
+    * window, no per-cluster sort — and the keeper attach is a
+    * cluster-keyed join back. The corpus shuffles once on id. */
+  def canonicalByQuality(df: DataFrame, idCol: Column, pairs: DataFrame,
+                         rank: Column): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val lab = df.select(idCol.as("doc_id"), rank.as("q"))
+      .join(cc, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), col("q"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    val keep = lab.groupBy("cluster")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("_negid"))).as("_top"))
+      .select(col("cluster"), (-col("_top._negid")).as("keeper_id"))
+    lab.join(keep, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("q"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   /** Scalable n-gram Jaccard: candidate pairs from RARE shared shingles
     * (document frequency ≤ maxDf) + EXACT verify by array intersection on
     * candidates only. A shingle shared by k docs contributes k² rows to the

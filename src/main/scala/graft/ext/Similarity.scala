@@ -514,4 +514,37 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("dist"), col("z"),
         (abs(col("z")) > zThreshold).as("is_outlier"))
   }
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (outDim rows ×
+    * inDim cols): entry (j,i) is the parity of md5("jl:j:i")'s first
+    * byte (Achlioptas 2003's database-friendly ±1 projections — the
+    * dense-Gaussian guarantees hold with sign entries). A pure function
+    * of the dims, so every engine — and the DuckDB oracle, via an
+    * inlined literal — derives the same matrix with no shipped state. */
+  def jlSigns(inDim: Int, outDim: Int): Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(outDim, inDim) { (j, i) =>
+      md.reset()
+      val h = md.digest(s"jl:$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1 else -1
+    }
+  }
+
+  /** JL random projection: inDim-float embedding → outDim-double sketch,
+    * component j = Σ_i v_i·s_ji (no 1/√k scale — cosine is
+    * scale-invariant, and downstream consumers here are cosine rankers).
+    * Per-row O(inDim·outDim) narrow arithmetic — embarrassingly parallel,
+    * no shuffle, the right 100 TB shape for shrinking embeddings before
+    * ANN index build or banding. Each component rounds to 6 dp (the
+    * engine-resync convention), and each row-dot folds in element order
+    * (zip_with+aggregate == the oracle's list_sum association). */
+  def jlProject(vecs: DataFrame, idCol: Column, vecCol: Column,
+                signs: Seq[Seq[Int]]): DataFrame = {
+    val proj = array(signs.map { row =>
+      round(aggregate(
+        zip_with(vecCol, lit(row.toArray), (v, s0) => v.cast("double") * s0),
+        lit(0.0), (acc, x) => acc + x), 6)
+    }: _*)
+    vecs.select(idCol.as("vec_id"), proj.as("proj"))
+  }
 }

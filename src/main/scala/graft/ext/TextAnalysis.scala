@@ -439,4 +439,33 @@ object TextAnalysis {
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
+
+  /** Encoding-damage / mojibake signals — the cheap pre-filter a web
+    * crawl runs before any model-based quality scoring: count of U+FFFD
+    * replacement characters (the scar a mis-decoded byte stream leaves),
+    * count of C0 control characters (excluding tab/LF/CR), and the doc's
+    * token-level Shannon entropy (low entropy = repeated-token boilerplate,
+    * pathological for LM training). Everything is a narrow string kernel —
+    * per-row regexp/length arithmetic plus an in-row HOF fold, no shuffle,
+    * no explode. The entropy fold runs over the ASCENDING distinct token
+    * list (both engines sort first), so the double association is
+    * cross-engine deterministic; `0.0 - sum` keeps a zero entropy at
+    * +0.0 on both sides. */
+  def encodingDamage(docs: DataFrame, idCol: Column, text: Column): DataFrame = {
+    val nRepl = length(text) - length(regexp_replace(text, "\uFFFD", ""))
+    val nCtrl = length(text) -
+      length(regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+    val toks = tokens(text)
+    val dl = size(toks).cast("double")
+    val dist = array_sort(array_distinct(toks))
+    val ent = aggregate(dist, lit(0.0), (acc, t) => {
+      val p = size(filter(toks, x => x === t)).cast("double") / dl
+      acc + p * log2(p)
+    })
+    docs.select(idCol.as("doc_id"),
+        nRepl.as("n_repl"), nCtrl.as("n_ctrl"),
+        when(size(toks) > 0, round(lit(0.0) - ent, 4)).otherwise(lit(0.0))
+          .as("tok_entropy"))
+      .withColumn("damaged", col("n_repl") > 0 || col("n_ctrl") > 0)
+  }
 }

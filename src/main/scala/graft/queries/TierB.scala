@@ -3786,5 +3786,150 @@ object TierB {
              |       round(avg(l_quantity) + 3 * stddev_pop(l_quantity), 6) AS es_upper,
              |       round(avg(l_quantity) - 3 * stddev_pop(l_quantity), 6) AS es_lower
              |FROM lineitem GROUP BY key ORDER BY doc_count DESC, key LIMIT 5""".stripMargin)),
+
+    // `track_scores`: sort by a FIELD but still compute the per-hit BM25
+    // _score (the ES contract — scoring is forced without changing the
+    // order). doc_id order proves the score column rides along rather
+    // than drives the sort.
+    Q("a172_es_json_track_scores",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match": {"text": "spark"}},
+          | "track_scores": true,
+          | "sort": ["doc_id"], "_source": ["doc_id"], "size": 60}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some(bm25Sql(Seq("spark")) +
+        """
+          |SELECT doc_id, score FROM sc WHERE score > 0
+          |ORDER BY doc_id LIMIT 60""".stripMargin)),
+
+    // `docvalue_fields`: per-hit values rendered from doc values —
+    // `epoch_millis` for the timestamp, raw passthrough for the double —
+    // as `_dv` columns next to a minimal `_source` projection.
+    Q("a173_es_json_docvalue_fields",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.events(s, d),
+        """{"query": {"range": {"value": {"gte": 9}}},
+          | "docvalue_fields": [{"field": "ts", "format": "epoch_millis"}, "value"],
+          | "sort": ["event_id"], "_source": ["event_id"], "size": 50}""".stripMargin),
+      Some("""SELECT event_id, epoch_ms(ts) AS ts_dv, value AS value_dv
+             |FROM events WHERE value >= 9
+             |ORDER BY event_id LIMIT 50""".stripMargin)),
+
+    // `stored_fields` + `_source: false`: the explicit field-return list
+    // IS the hit projection — the ES fields-only response shape.
+    Q("a174_es_json_stored_fields",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"term": {"source": "src2"}},
+          | "stored_fields": ["doc_id", "lang"], "_source": false,
+          | "sort": ["doc_id"], "size": 40}""".stripMargin),
+      Some("""SELECT doc_id, lang FROM documents WHERE source = 'src2'
+             |ORDER BY doc_id LIMIT 40""".stripMargin)),
+
+    // `highlight_query`: hits selected by one query (match "spark"),
+    // fragments built from a DIFFERENT one (match "data") — the ES idiom
+    // for synonym/rescore-aware highlighting. Docs without the highlight
+    // term keep a null fragment.
+    Q("a175_es_json_highlight_query",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match": {"text": "spark"}},
+          | "highlight": {"fields": {"text": {
+          |    "highlight_query": {"match": {"text": "data"}}}}},
+          | "sort": ["doc_id"], "_source": ["doc_id"], "size": 40}""".stripMargin),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lower(text) AS lt,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents),
+             |m AS (SELECT doc_id, lt, strpos(lt, 'data') AS pos
+             |      FROM t WHERE list_contains(w, 'spark'))
+             |SELECT doc_id,
+             |       CASE WHEN pos > 0 THEN replace(substr(lt, greatest(pos - 30, 1), 100),
+             |                                      'data', '<em>data</em>') END AS _highlight
+             |FROM m ORDER BY doc_id LIMIT 40""".stripMargin)),
+
+    // `_mtermvectors`: [[EsDsl.termVectors]] for a batch of ids in one
+    // call — one narrow pass, the id set pushed into the scan.
+    Q("a176_es_json_mtermvectors",
+      (s, d) => EsDsl.mTermVectors(Tables.documents(s, d),
+        col("doc_id"), col("text"), Seq(3L, 7L, 11L)),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents WHERE doc_id IN (3, 7, 11)),
+             |p AS (SELECT doc_id, unnest(w) AS term,
+             |             unnest(generate_series(0, len(w) - 1)) AS pos
+             |      FROM t)
+             |SELECT doc_id, term, count(*) AS term_freq,
+             |       string_agg(pos, ',' ORDER BY pos) AS positions
+             |FROM p GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin)),
+
+    // `field_masking_span`: a span over an annotation layer (`tags`, a
+    // position-parallel token stream derived from the text — the
+    // NER/stem-subfield pattern) masked into the text's position space
+    // and combined with a text span in one span_near. "spark" within
+    // slop 2 of an entity-tagged token, either order.
+    Q("a177_es_json_field_masking_span",
+      (s, d) => {
+        val docs = Tables.documents(s, d).withColumn("tags",
+          array_join(transform(graft.ext.TextAnalysis.tokens(col("text")),
+            t => when(t.isin("data", "merge"), lit("ent")).otherwise(lit("w"))), " "))
+        graft.dsl.EsQueryJson.search(docs,
+          """{"query": {"span_near": {"clauses": [
+            |    {"span_term": {"text": "spark"}},
+            |    {"field_masking_span": {"query": {"span_term": {"tags": "ent"}}, "field": "text"}}],
+            |  "slop": 2, "in_order": false}},
+            | "sort": ["doc_id"], "_source": ["doc_id"]}""".stripMargin)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents)
+             |SELECT doc_id FROM t
+             |WHERE len(list_filter(generate_series(1, len(w)), i ->
+             |        w[i] = 'spark' AND len(list_filter(generate_series(1, len(w)), j ->
+             |          (w[j] = 'data' OR w[j] = 'merge') AND
+             |          ((j > i AND j - i - 1 <= 2) OR j = i OR (i > j AND i - j - 1 <= 2)))) > 0)) > 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    // `_reindex`: filtered + script-transformed copy of a source index
+    // into a standing destination, source winning id conflicts (the
+    // default op_type). One narrow source scan + one id-keyed anti join.
+    Q("a178_es_json_reindex",
+      (s, d) => {
+        val cols = Seq("doc_id", "lang", "source", "n_chars").map(col)
+        val src = Tables.documents(s, d).select(cols: _*)
+        val dst = Tables.documents(s, d).filter(col("source") === "src1").select(cols: _*)
+        graft.dsl.EsQueryJson.reindex(src, dst,
+          """{"source": {"query": {"term": {"lang": "en"}}},
+            | "script": {"source": "ctx._source.n_chars = ctx._source.n_chars + 1000"}}""".stripMargin,
+          idField = "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id, lang, source, n_chars + 1000 AS n_chars
+             |  FROM documents WHERE lang = 'en'),
+             |dst AS (SELECT doc_id, lang, source, n_chars FROM documents WHERE source = 'src1')
+             |SELECT * FROM dst WHERE doc_id NOT IN (SELECT doc_id FROM src)
+             |UNION ALL SELECT * FROM src
+             |ORDER BY doc_id""".stripMargin)),
+
+    // `indices_boost`: one scored search over a two-index frame (rows
+    // tagged `_index`), each index's hits scale by its boost before the
+    // score sort — BM25 stats come from the union, so they equal the
+    // single-table stats (the indices partition the corpus).
+    Q("a179_es_json_indices_boost",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val union = docs.filter(col("lang") === "en").withColumn("_index", lit("docs_en"))
+          .unionByName(docs.filter(col("lang") =!= "en").withColumn("_index", lit("docs_rest")))
+        graft.dsl.EsQueryJson.search(union,
+          """{"query": {"match": {"text": "vector"}},
+            | "indices_boost": [{"docs_en": 2.0}, {"docs_rest": 0.5}],
+            | "sort": ["_score", "doc_id"], "size": 30,
+            | "_source": ["doc_id", "lang"]}""".stripMargin)
+          .select(col("doc_id"), col("lang"), col("_score").as("score"))
+      },
+      Some(bm25Sql(Seq("vector"), extraCols = Seq("lang")) +
+        """
+          |SELECT doc_id, lang,
+          |       round(score * CASE WHEN lang = 'en' THEN 2.0 ELSE 0.5 END, 6) AS score
+          |FROM sc WHERE score > 0
+          |ORDER BY score DESC, doc_id LIMIT 30""".stripMargin)),
   )
 }

@@ -2574,5 +2574,238 @@ object TierC {
              |  ORDER BY ${Hashing.sqlMd5Long60("'sample:' || CAST(doc_id AS VARCHAR)")}, doc_id
              |  LIMIT 50)
              |ORDER BY doc_id""".stripMargin)),
+
+    // Bloom-filter decontamination (Sketch.bloomContamination): the
+    // benchmark 4-gram set compressed into a 16384-bit filter (k=3
+    // Kirsch–Mitzenmacher probes) — constant-size broadcast however big
+    // the benchmark, one-sided error. The oracle rebuilds the SAME filter
+    // as a position set (membership = all 3 probe positions present), so
+    // the comparison covers false positives bit-for-bit.
+    Q("c83_bloom_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val words = graft.ext.Sketch.bloomBuild(
+          docs.filter(col("doc_id") % 97 === 0), col("text"),
+          nGram = 4, mBits = 16384, k = 3)
+        graft.ext.Sketch.bloomContamination(
+          docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+          words, nGram = 4, k = 3)
+          .orderBy("doc_id")
+      },
+      Some {
+        val h1 = Hashing.sqlMd5Long60("g")
+        val h2 = Hashing.sqlMd5Long60("'bloom2:' || g")
+        s"""WITH $toksCte,
+           |g4 AS (
+           |  SELECT doc_id, CASE WHEN len(w) >= 4
+           |    THEN list_distinct(list_transform(generate_series(1, len(w)-3),
+           |         i -> list_aggregate(w[i:i+3], 'string_agg', ' ')))
+           |    ELSE [] END AS grams
+           |  FROM toks),
+           |bh AS (SELECT $h1 AS h1, $h2 AS h2
+           |       FROM (SELECT DISTINCT unnest(grams) AS g FROM g4 WHERE doc_id % 97 = 0)),
+           |bp AS (SELECT DISTINCT unnest([h1 % 16384, (h1 + h2) % 16384, (h1 + 2*h2) % 16384]) AS p
+           |       FROM bh),
+           |cg AS (SELECT doc_id, $h1 AS h1, $h2 AS h2
+           |       FROM (SELECT doc_id, unnest(grams) AS g FROM g4 WHERE doc_id % 97 <> 0)),
+           |hits AS (
+           |  SELECT doc_id, count(*) AS cnt FROM cg
+           |  WHERE (h1 % 16384) IN (SELECT p FROM bp)
+           |    AND ((h1 + h2) % 16384) IN (SELECT p FROM bp)
+           |    AND ((h1 + 2*h2) % 16384) IN (SELECT p FROM bp)
+           |  GROUP BY doc_id)
+           |SELECT g4.doc_id, len(g4.grams) AS n_grams,
+           |       COALESCE(hits.cnt, 0) AS hit_grams,
+           |       COALESCE(hits.cnt, 0) > 0 AS flagged
+           |FROM g4 LEFT JOIN hits USING (doc_id)
+           |WHERE g4.doc_id % 97 <> 0
+           |ORDER BY g4.doc_id""".stripMargin
+      }),
+
+    // Count-Min heavy hitters (Sketch.cmsHeavyHitters): d=3 × w=16 sketch
+    // of the token counts — small enough that collisions are certain, so
+    // the one-sided overestimate is VISIBLE and the oracle checks the
+    // exact collision arithmetic, not just a pass-through. The corpus is
+    // touched once (vocab agg); the sketch never grows with vocabulary.
+    Q("c84_cms_heavy_hitters",
+      (s, d) => graft.ext.Sketch.cmsHeavyHitters(Tables.documents(s, d),
+        col("text"), d = 3, w = 16, topK = 20),
+      Some {
+        val cell = s"${Hashing.sqlMd5Long60("'cms' || r || ':' || t")} % 16"
+        s"""WITH $toksCte,
+           |tok AS (SELECT unnest(w) AS t FROM toks),
+           |counts AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+           |cells AS (
+           |  SELECT r, $cell AS cell, sum(cnt) AS mass
+           |  FROM counts CROSS JOIN range(0, 3) s(r) GROUP BY 1, 2),
+           |top AS (SELECT t, cnt FROM counts ORDER BY cnt DESC, t LIMIT 20),
+           |probes AS (
+           |  SELECT t, cnt, r, $cell AS cell
+           |  FROM top CROSS JOIN range(0, 3) s(r))
+           |SELECT t AS tok, cnt, min(mass) AS estimate
+           |FROM probes JOIN cells USING (r, cell)
+           |GROUP BY tok, cnt ORDER BY cnt DESC, tok""".stripMargin
+      }),
+
+    // Per-domain quota (Corpus.domainCap): ≤ 15 docs per source, best
+    // lexical-diversity rank first — the host-cap every web-scale mix
+    // applies. The engine's two-phase top-k (partition-local prune, then
+    // the global rank) returns exactly the oracle's one-window answer.
+    Q("c85_domain_cap",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Corpus.domainCap(docs, col("doc_id"), col("source"),
+          size(array_distinct(TextAnalysis.tokens(col("text")))), cap = 15)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksCte,
+             |q AS (SELECT d.doc_id, d.source AS domain, len(list_distinct(w)) AS r
+             |      FROM documents d JOIN toks ON toks.doc_id = d.doc_id),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY domain ORDER BY r DESC, doc_id) AS rn
+             |       FROM q)
+             |SELECT doc_id, domain, r, rn FROM rk WHERE rn <= 15
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Encoding-damage triage (TextAnalysis.encodingDamage): U+FFFD
+    // replacement-char count, C0 control-char count, token Shannon
+    // entropy — the crawl-ingest pre-filter. Damage is injected by a
+    // shared md5-free fixture (doc_id arithmetic) since the driver tables
+    // are clean; entropy folds over the ASCENDING distinct token list on
+    // both engines (DuckDB list_sort, Spark array_sort) at 4 dp.
+    Q("c86_encoding_damage",
+      (s, d) => {
+        val fix = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0, lit(" \uFFFD\uFFFD")).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0, lit("\u0001")).otherwise(lit(""))).as("text"))
+        TextAnalysis.encodingDamage(fix, col("doc_id"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH fx AS (
+             |  SELECT doc_id, text ||
+             |         CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(65533) || chr(65533) ELSE '' END ||
+             |         CASE WHEN doc_id % 11 = 0 THEN chr(1) ELSE '' END AS text
+             |  FROM documents),
+             |t AS (SELECT doc_id, text,
+             |             list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |      FROM fx),
+             |sig AS (
+             |  SELECT doc_id,
+             |         len(text) - len(replace(text, chr(65533), '')) AS n_repl,
+             |         len(text) - len(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_ctrl,
+             |         CASE WHEN len(w) > 0 THEN
+             |           round(0.0 - list_sum(list_transform(list_sort(list_distinct(w)),
+             |             tk -> (len(list_filter(w, x -> x = tk)) * 1.0 / len(w))
+             |                   * log2(len(list_filter(w, x -> x = tk)) * 1.0 / len(w)))), 4)
+             |         ELSE 0.0 END AS tok_entropy
+             |  FROM t)
+             |SELECT doc_id, n_repl, n_ctrl, tok_entropy,
+             |       (n_repl > 0 OR n_ctrl > 0) AS damaged
+             |FROM sig ORDER BY doc_id""".stripMargin)),
+
+    // JL projection fidelity (Similarity.jlProject): 64-float embeddings
+    // → 16-double ±1-sign sketches, then per-query top-10 overlap between
+    // projected-space and exact cosine kNN — the dimension-reduction
+    // recall check run before committing a compressed ANN index. The
+    // oracle inlines the SAME deterministic sign matrix.
+    Q("c87_jl_recall",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val signs = Similarity.jlSigns(64, 16)
+        val proj = Similarity.jlProject(e, col("vec_id"), col("embedding"), signs)
+        def dotd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          graft.functions.VecOps.dotD(a, b)
+        val q = proj.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("proj").as("qp"))
+        val scored = proj.select(col("vec_id").as("neighbor_id"), col("proj").as("cp"))
+          .crossJoin(broadcast(q)).filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", round(dotd(col("qp"), col("cp")) /
+            (sqrt(dotd(col("qp"), col("qp"))) * sqrt(dotd(col("cp"), col("cp")))), 6))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+        val projTop = scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10).select("query_id", "neighbor_id")
+        val exact = Similarity.knnBrute(e.filter(col("vec_id") < 8), e, 10)
+          .select("query_id", "neighbor_id")
+        exact.join(projTop.withColumn("_hit", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id").agg(count(col("_hit")).as("overlap"))
+          .orderBy("query_id")
+      },
+      Some {
+        val signs = Similarity.jlSigns(64, 16)
+        val projList = signs.map(row =>
+          s"round(list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * ([${row.mkString(",")}])[i])), 6)")
+          .mkString("[", ", ", "]")
+        def dot16(a: String, b: String) =
+          s"list_sum(list_transform(generate_series(1, 16), i -> $a[i] * $b[i]))"
+        s"""WITH pr AS (SELECT vec_id, $projList AS proj FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, proj AS qp FROM pr WHERE vec_id < 8),
+           |ps AS (SELECT query_id, pr.vec_id AS neighbor_id,
+           |         round(${dot16("qp", "pr.proj")} /
+           |               (sqrt(${dot16("qp", "qp")}) * sqrt(${dot16("pr.proj", "pr.proj")})), 6) AS cos
+           |       FROM pr CROSS JOIN q WHERE query_id <> pr.vec_id),
+           |pt AS (SELECT query_id, neighbor_id FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |         FROM ps) WHERE rank <= 10),
+           |qe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           |es AS (SELECT query_id, e.vec_id AS neighbor_id, ${sqlCos("qv", "e.embedding")} AS cos
+           |       FROM embeddings e CROSS JOIN qe WHERE query_id <> e.vec_id),
+           |et AS (SELECT query_id, neighbor_id FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |         FROM es) WHERE rank <= 10)
+           |SELECT et.query_id, count(pt.neighbor_id) AS overlap
+           |FROM et LEFT JOIN pt ON et.query_id = pt.query_id AND et.neighbor_id = pt.neighbor_id
+           |GROUP BY et.query_id ORDER BY et.query_id""".stripMargin
+      }),
+
+    // Quality-aware canonical selection (Dedup.canonicalByQuality): per
+    // near-dup cluster keep the highest-lexical-diversity doc (ties →
+    // lowest id) instead of an arbitrary survivor. Shares the memoized
+    // LSH pair pipeline with c02/c24/c59; the per-cluster argmax is a
+    // lexicographic struct-max agg, no window.
+    Q("c88_canonical_keeper",
+      (s, d) => Dedup.canonicalByQuality(Tables.documents(s, d), col("doc_id"),
+        lshPairs(s, d),
+        size(array_distinct(TextAnalysis.tokens(col("text"))))),
+      Some(
+        s"""WITH RECURSIVE $toksCte,
+           |$gramsCte,
+           |$sigCte,
+           |$bandsCte,
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y ON x.j = y.j AND x.band = y.band AND x.doc_id < y.doc_id
+           |),
+           |sizes AS (SELECT doc_id, len(grams) AS n FROM grams),
+           |inter AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+           |  FROM cand c JOIN gx a ON a.doc_id = c.doc_a JOIN gx b ON b.doc_id = c.doc_b AND b.g = a.g
+           |  GROUP BY c.doc_a, c.doc_b
+           |),
+           |pairs AS (
+           |  SELECT doc_a, doc_b FROM inter
+           |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+           |  WHERE round(inter*1.0/(sa.n + sb.n - inter), 6) >= 0.5
+           |),
+           |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |      UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT src AS id, src AS r FROM e
+           |  UNION
+           |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+           |),
+           |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+           |qq AS (SELECT doc_id, len(list_distinct(w)) AS q FROM toks),
+           |lab AS (SELECT d.doc_id, qq.q, COALESCE(cc.cluster, d.doc_id) AS cluster
+           |        FROM documents d JOIN qq ON qq.doc_id = d.doc_id
+           |        LEFT JOIN cc ON cc.id = d.doc_id),
+           |keep AS (SELECT cluster, doc_id AS keeper_id FROM (
+           |           SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) AS rn
+           |           FROM lab) WHERE rn = 1)
+           |SELECT lab.doc_id, lab.cluster, lab.q, keep.keeper_id,
+           |       lab.doc_id = keep.keeper_id AS is_keeper
+           |FROM lab JOIN keep ON keep.cluster = lab.cluster
+           |ORDER BY lab.doc_id""".stripMargin)),
   )
 }

@@ -1,0 +1,124 @@
+package graft
+
+import graft.ext.{Corpus, Dedup, Similarity, Sketch, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 additions: sketches (Bloom, Count-Min), domain quota,
+  * encoding-damage triage, JL projection, quality-canonical dedup keeper,
+  * `_reindex`, and the masked cross-field span. Oracle rows cover the
+  * corpus-level numbers; these specs pin the semantic contracts (one-sided
+  * error, partitioning invariance, tie orders, conflict modes). */
+class SketchOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val sp = spark
+
+  test("bloom contamination: no false negatives on shared grams") {
+    import sp.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (2L, "alpha beta gamma delta trailing words here"),
+      (3L, "totally different words with no shared grams at all")).toDF("doc_id", "text")
+    val words = Sketch.bloomBuild(bench, col("text"), nGram = 4, mBits = 4096, k = 3)
+    val out = Sketch.bloomContamination(corpus, col("doc_id"), col("text"),
+        words, nGram = 4, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out(2L), "doc sharing a benchmark 4-gram must flag — bloom error is one-sided")
+  }
+
+  test("cms heavy hitters: estimates one-sided, collisions visible at tiny w") {
+    import sp.implicits._
+    val docs = Seq((1L,
+      "a a a b b c d e f g h i j k l m n o p q r s t u v w x y z aa bb cc"))
+      .toDF("doc_id", "text")
+    val hh = Sketch.cmsHeavyHitters(docs, col("text"), d = 2, w = 4, topK = 40).collect()
+    assert(hh.nonEmpty)
+    hh.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"CMS estimate must upper-bound the true count: $r"))
+    assert(hh.exists(r => r.getLong(2) > r.getLong(1)),
+      "w=4 over a 29-token vocab must collide somewhere")
+  }
+
+  test("domainCap: global top-cap per domain, invariant to input partitioning") {
+    import sp.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"d${i % 3}", i * 37 % 11)).toDF("id", "dom", "q0")
+    def run(parts: Int) =
+      Corpus.domainCap(df.repartition(parts), col("id"), col("dom"), col("q0"), cap = 4)
+        .select("doc_id", "domain", "rn").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val one = run(1)
+    assert(one == run(7), "two-phase prune must not depend on partitioning")
+    assert(one.size == 12, "3 domains x cap 4")
+  }
+
+  test("encodingDamage: damage counts and token entropy") {
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "x \uFFFD y \u0001 z"),
+      (2L, "a a a a"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val m = TextAnalysis.encodingDamage(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getInt(1) == 1 && m(1L).getInt(2) == 1 && m(1L).getBoolean(4))
+    assert(m(2L).getDouble(3) == 0.0 && !m(2L).getBoolean(4),
+      "single-token-type doc has zero entropy (and +0.0, not -0.0)")
+    assert(m(3L).getDouble(3) == 1.0, "two equiprobable tokens = 1 bit")
+  }
+
+  test("jlProject: deterministic sign matrix, exact per-component dots") {
+    import sp.implicits._
+    val signs = Similarity.jlSigns(4, 2)
+    assert(signs == Similarity.jlSigns(4, 2))
+    assert(signs.flatten.forall(s => s == 1 || s == -1))
+    val vecs = Seq((1L, Seq(1f, 2f, 3f, 4f)), (2L, Seq(1f, 2f, 3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val p = Similarity.jlProject(vecs, col("vec_id"), col("embedding"), signs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p(1L) == p(2L) && p(1L).length == 2)
+    val expected = signs.map(row => row.zip(Seq(1d, 2d, 3d, 4d)).map { case (s, v) => s * v }.sum)
+    assert(p(1L) == expected)
+  }
+
+  test("canonicalByQuality: highest rank wins, ties to lowest id, singletons self-keep") {
+    import sp.implicits._
+    val docs = Seq((1L, 5), (2L, 9), (3L, 9), (4L, 7)).toDF("doc_id", "q0")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.canonicalByQuality(docs, col("doc_id"), pairs, col("q0"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4))).toSet
+    assert(out == Set((1L, 2L, false), (2L, 2L, true), (3L, 2L, false), (4L, 4L, true)))
+  }
+
+  test("reindex: index overwrites on conflict; create+proceed keeps existing; create alone rejected") {
+    import sp.implicits._
+    val src = Seq((1L, "n1"), (2L, "n2")).toDF("id", "v")
+    val dst = Seq((1L, "o1"), (3L, "o3")).toDF("id", "v")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(asMap(graft.dsl.EsQueryJson.reindex(src, dst, "{}")) ==
+      Map(1L -> "n1", 2L -> "n2", 3L -> "o3"))
+    assert(asMap(graft.dsl.EsQueryJson.reindex(src, dst,
+      """{"conflicts": "proceed", "dest": {"op_type": "create"}}""")) ==
+      Map(1L -> "o1", 2L -> "n2", 3L -> "o3"))
+    intercept[IllegalArgumentException] {
+      graft.dsl.EsQueryJson.reindex(src, dst, """{"dest": {"op_type": "create"}}""")
+    }
+  }
+
+  test("field_masking_span: slop + order across parallel token streams") {
+    import sp.implicits._
+    val df = Seq(
+      (1L, "spark x data", "w w ent"),
+      (2L, "data x spark", "ent w w"),
+      (3L, "spark x y z data", "w w w w ent")).toDF("doc_id", "text", "tags")
+    def hits(slop: Int, inOrder: Boolean) = graft.dsl.EsQueryJson.search(df,
+      s"""{"query": {"span_near": {"clauses": [
+         |   {"span_term": {"text": "spark"}},
+         |   {"field_masking_span": {"query": {"span_term": {"tags": "ent"}}, "field": "text"}}],
+         | "slop": $slop, "in_order": $inOrder}},
+         | "sort": ["doc_id"], "_source": ["doc_id"]}""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits(1, inOrder = true) == Set(1L))
+    assert(hits(1, inOrder = false) == Set(1L, 2L))
+    assert(hits(3, inOrder = true) == Set(1L, 3L))
+  }
+}
