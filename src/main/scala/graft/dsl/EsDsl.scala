@@ -363,19 +363,45 @@ object EsDsl {
     * named analyzer with 0-based `position` and the ES token `type`
     * (`<NUM>`/`<ALPHANUM>` for standard, `word` otherwise — offsets are
     * not tracked; positions/types are what the query surface consumes).
-    * Fully narrow: tokenize + posexplode inside codegen, no shuffle. */
+    * `pattern` feeds the `pattern` analyzer's split regex (ES default
+    * `\W+`); `htmlStrip: true` applies the `html_strip` char filter
+    * BEFORE tokenization (tag removal + entity decode — the char-filter
+    * stage of an ES analysis chain). Fully narrow: strip + tokenize +
+    * posexplode inside codegen, no shuffle. */
   def analyzeApi(docs: DataFrame, idCol: Column, text: Column,
-                 analyzer: String = "standard"): DataFrame = {
+                 analyzer: String = "standard",
+                 pattern: String = "\\W+", htmlStrip: Boolean = false): DataFrame = {
+    val src = if (htmlStrip) graft.ext.TextAnalysis.htmlStrip(text) else text
     val out = analyzer match {
       case "standard" =>
         docs.select(idCol.as("doc_id"),
-          posexplode(graft.ext.TextAnalysis.tokens(text)).as(Seq("position", "token")))
+          posexplode(graft.ext.TextAnalysis.tokens(src)).as(Seq("position", "token")))
       case "whitespace" =>
         docs.select(idCol.as("doc_id"),
-          posexplode(filter(split(text, "\\s+"), t => t =!= "")).as(Seq("position", "token")))
+          posexplode(filter(split(src, "\\s+"), t => t =!= "")).as(Seq("position", "token")))
       case "keyword" =>
         docs.select(idCol.as("doc_id"),
-          posexplode(array(text)).as(Seq("position", "token")))
+          posexplode(array(src)).as(Seq("position", "token")))
+      // ES `simple` = lowercase tokenizer: token boundaries at every
+      // NON-LETTER (digits split too, unlike standard)
+      case "simple" =>
+        docs.select(idCol.as("doc_id"),
+          posexplode(filter(split(lower(src), "[^a-z]+"), t => t =!= ""))
+            .as(Seq("position", "token")))
+      // ES `stop` = the lowercase tokenizer + english stop filter;
+      // position increments across removed stopwords are PRESERVED (the
+      // same convention the english analyzer keeps)
+      case "stop" =>
+        docs.select(idCol.as("doc_id"),
+            posexplode(filter(split(lower(src), "[^a-z]+"), t => t =!= ""))
+              .as(Seq("position", "token")))
+          .filter(!col("token").isin(graft.functions.TextKernels.englishStopwordList: _*))
+      // ES `pattern` analyzer: the regex SPLITS (it matches separators,
+      // not tokens), lowercase on by default
+      case "pattern" =>
+        docs.select(idCol.as("doc_id"),
+          posexplode(filter(split(lower(src), pattern), t => t =!= ""))
+            .as(Seq("position", "token")))
       case "english" =>
         // ES's english analyzer PRESERVES position increments across
         // removed stopwords ("the quick fox" -> quick@1, fox@2, not 0,1):
@@ -392,7 +418,7 @@ object EsDsl {
             t.substr(lit(1), length(t) - 1))
           .otherwise(t)
         docs.select(idCol.as("doc_id"),
-            posexplode(graft.ext.TextAnalysis.tokens(text)).as(Seq("position", "token")))
+            posexplode(graft.ext.TextAnalysis.tokens(src)).as(Seq("position", "token")))
           .filter(!t.isin(graft.functions.TextKernels.englishStopwordList: _*))
           .withColumn("token", stemmed)
       case other => throw new IllegalArgumentException(s"_analyze: unsupported analyzer $other")

@@ -198,9 +198,15 @@ object EsQueryJson {
     }
     else sNode.asText()
 
-  /** ES field name → Column (map-doc aware). */
+  /** ES field name → Column (map-doc aware). `<field>.keyword` resolves
+    * to the raw column: ES's default text mapping adds an UN-ANALYZED
+    * keyword sub-field holding the source string verbatim, and
+    * relationally the raw column IS that sub-field (term/sort/agg on
+    * `.keyword` = whole-string semantics, match on the base field =
+    * analyzed semantics — same column, two access paths). */
   def field(name: String): Column =
     if (name.startsWith("info.")) element_at(col("info"), name.stripPrefix("info."))
+    else if (name.endsWith(".keyword")) col(name.stripSuffix(".keyword"))
     else col(name)
 
   private def litOf(n: JsonNode): Column = {

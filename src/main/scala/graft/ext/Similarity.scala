@@ -515,6 +515,39 @@ object Similarity {
         (abs(col("z")) > zThreshold).as("is_outlier"))
   }
 
+  /** Simplified (centroid-based) silhouette over a fitted clustering —
+    * the clustering-quality gate run after [[kmeansFit]] before trusting
+    * an IVF/SemDeDup partition: per vector, a = distance to the nearest
+    * centroid (its cluster), b = the runner-up distance, s = (b−a)/max(a,b)
+    * ∈ [0,1] here (a ≤ b by construction); s near 0 = the vector sits on a
+    * cluster boundary. Per-cluster mean + size. Scale shape: centroids
+    * broadcast (k rows), the vecs×k distance frame ranks inside a window
+    * partitioned by vec_id (≤ k rows per partition — bounded), one final
+    * cluster agg. Distances round at 6 dp (the engine-resync convention),
+    * same association as [[kmeansFit]]'s assignment distance. */
+  def silhouette(vecs: DataFrame, idCol: Column, vecCol: Column,
+                 centroids: DataFrame): DataFrame = {
+    val base = vecs.select(idCol.as("vec_id"), vecCol.cast("array<double>").as("_v"))
+    val cents = centroids.select(col("cluster"), col("centroid").as("_c"))
+    val d = round(sqrt(round(expr(
+      "aggregate(zip_with(_v, _c, (x, y) -> (x - y) * (x - y)), 0.0d, (a, x) -> a + x)"), 6)), 6)
+    val w = Window.partitionBy("vec_id").orderBy(col("_d"), col("cluster"))
+    val ranked = base.crossJoin(broadcast(cents))
+      .withColumn("_d", d)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= 2)
+    val ab = ranked.groupBy("vec_id")
+      .agg(max(when(col("_rk") === 1, col("cluster"))).as("cluster"),
+        max(when(col("_rk") === 1, col("_d"))).as("_a"),
+        max(when(col("_rk") === 2, col("_d"))).as("_b"))
+    ab.withColumn("_s",
+        when(greatest(col("_a"), col("_b")) === 0, lit(0.0))
+          .otherwise(round((col("_b") - col("_a")) / greatest(col("_a"), col("_b")), 6)))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), round(avg(col("_s")), 6).as("silhouette"))
+      .orderBy("cluster")
+  }
+
   /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (outDim rows ×
     * inDim cols): entry (j,i) is the parity of md5("jl:j:i")'s first
     * byte (Achlioptas 2003's database-friendly ±1 projections — the

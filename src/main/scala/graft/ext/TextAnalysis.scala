@@ -440,6 +440,41 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
 
+  /** ES `html_strip` char filter / web-corpus tag removal: `<script>` and
+    * `<style>` BLOCKS go entirely (content included, as Lucene's
+    * HTMLStripCharFilter does), remaining tags become one space, and the
+    * five ubiquitous entities decode — `&amp;` LAST, so `&amp;lt;` yields
+    * the literal `&lt;` rather than double-decoding (the classic entity
+    * pitfall). Narrow regexp/replace chain; RE2-compatible patterns (no
+    * backreferences), so the DuckDB oracle runs the same regexes. */
+  def htmlStrip(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&nbsp;" -> " ",
+      "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+  }
+
+  /** Web-page text extraction + link-density boilerplate signal: the
+    * stripped text, anchor count, and the fraction of tokens living
+    * inside `<a>…</a>` — high link density marks navigation/boilerplate
+    * pages (the jusText/boilerpipe headline feature). All narrow: two
+    * regexp extractions + in-row HOF token counts, no shuffle. */
+  def htmlExtract(docs: DataFrame, idCol: Column, html: Column): DataFrame = {
+    val stripped = trim(regexp_replace(htmlStrip(html), "\\s+", " "))
+    val anchors = regexp_extract_all(html, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))
+    val linkToks = size(flatten(transform(anchors, a => tokens(a))))
+    val total = size(tokens(stripped))
+    docs.select(idCol.as("doc_id"), stripped.as("text_extracted"),
+        size(anchors).as("n_links"), total.as("n_tokens"),
+        linkToks.as("n_link_tokens"))
+      .withColumn("link_density",
+        when(col("n_tokens") > 0,
+          round(col("n_link_tokens").cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Encoding-damage / mojibake signals — the cheap pre-filter a web
     * crawl runs before any model-based quality scoring: count of U+FFFD
     * replacement characters (the scar a mis-decoded byte stream leaves),

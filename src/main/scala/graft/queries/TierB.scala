@@ -3931,5 +3931,101 @@ object TierB {
           |       round(score * CASE WHEN lang = 'en' THEN 2.0 ELSE 0.5 END, 6) AS score
           |FROM sc WHERE score > 0
           |ORDER BY score DESC, doc_id LIMIT 30""".stripMargin)),
+
+    // `pattern` analyzer: the regex splits (separators, not tokens),
+    // lowercase by default — run over the events `props` JSON strings,
+    // where \W+ splitting yields the key/value token stream.
+    Q("a180_es_json_analyze_pattern",
+      (s, d) => EsDsl.analyzeApi(Tables.events(s, d).filter(col("event_id") < 8),
+        col("event_id"), col("props"), "pattern")
+        .orderBy("doc_id", "position"),
+      Some("""WITH t AS (
+             |  SELECT event_id AS doc_id,
+             |         list_filter(string_split_regex(lower(props), '\W+'), x -> x <> '') AS w
+             |  FROM events WHERE event_id < 8)
+             |SELECT doc_id, unnest(generate_series(0, len(w) - 1)) AS position,
+             |       unnest(w) AS token, 'word' AS token_type
+             |FROM t ORDER BY doc_id, position""".stripMargin)),
+
+    // `stop` analyzer: lowercase (letters-only) tokenizer + english stop
+    // filter, position increments across removed stopwords preserved
+    // (the english-analyzer convention).
+    Q("a181_es_json_analyze_stop",
+      (s, d) => EsDsl.analyzeApi(Tables.documents(s, d).filter(col("doc_id") < 6),
+        col("doc_id"), col("text"), "stop")
+        .orderBy("doc_id", "position"),
+      Some {
+        val stops = graft.functions.TextKernels.englishStopwordList
+          .map(w => s"'$w'").mkString("[", ",", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS w
+           |  FROM documents WHERE doc_id < 6),
+           |p AS (SELECT doc_id, unnest(generate_series(0, len(w) - 1)) AS position,
+           |             unnest(w) AS token FROM t)
+           |SELECT doc_id, position, token, 'word' AS token_type
+           |FROM p WHERE NOT list_contains($stops, token)
+           |ORDER BY doc_id, position""".stripMargin
+      }),
+
+    // `html_strip` char filter ahead of the standard tokenizer: script
+    // blocks vanish wholly, tags become spaces, entities decode (&amp;
+    // LAST — no double-decode), then the usual token stream. The html
+    // fixture wraps each doc's text with markup + an anchor + a script.
+    Q("a182_es_json_analyze_html_strip",
+      (s, d) => {
+        val fix = Tables.documents(s, d).filter(col("doc_id") < 6)
+          .select(col("doc_id"),
+            concat(lit("<p>"), col("text"), lit("</p> <a href=\"http://h\">"),
+              when(col("doc_id") % 2 === 0, lit("nav menu home")).otherwise(lit("read more")),
+              lit("</a> &amp; <script>var x = 1;</script>")).as("html"))
+        EsDsl.analyzeApi(fix, col("doc_id"), col("html"), "standard", htmlStrip = true)
+          .orderBy("doc_id", "position")
+      },
+      Some("""WITH fx AS (
+             |  SELECT doc_id, '<p>' || text || '</p> <a href="http://h">' ||
+             |         CASE WHEN doc_id % 2 = 0 THEN 'nav menu home' ELSE 'read more' END ||
+             |         '</a> &amp; <script>var x = 1;</script>' AS html
+             |  FROM documents WHERE doc_id < 6),
+             |st AS (
+             |  SELECT doc_id,
+             |         replace(replace(replace(replace(replace(
+             |           regexp_replace(regexp_replace(regexp_replace(html,
+             |             '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |             '<[^>]*>', ' ', 'g'),
+             |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&') AS txt
+             |  FROM fx),
+             |t AS (SELECT doc_id, list_filter(string_split_regex(lower(txt), '\W+'), x -> x <> '') AS w
+             |      FROM st),
+             |p AS (SELECT doc_id, unnest(generate_series(0, len(w) - 1)) AS position,
+             |             unnest(w) AS token FROM t)
+             |SELECT doc_id, position, token,
+             |       CASE WHEN regexp_full_match(token, '[0-9]+') THEN '<NUM>' ELSE '<ALPHANUM>' END AS token_type
+             |FROM p ORDER BY doc_id, position""".stripMargin)),
+
+    // `.keyword` multi-field: ES's default text mapping adds an
+    // un-analyzed keyword sub-field — match on the base field is
+    // ANALYZED (token 'big' hits 'big data' AND 'data big'), term on
+    // `.keyword` is WHOLE-STRING (excludes exactly 'data big'). Same
+    // column, two access paths.
+    Q("a183_es_json_keyword_subfield",
+      (s, d) => {
+        val cats = array(lit("big data"), lit("data big"), lit("small data"))
+        val fix = Tables.documents(s, d).select(col("doc_id"),
+          element_at(cats, (col("doc_id") % 3 + 1).cast("int")).as("category"))
+        graft.dsl.EsQueryJson.search(fix,
+          """{"query": {"bool": {
+            |   "must": [{"match": {"category": "big"}}],
+            |   "must_not": [{"term": {"category.keyword": "data big"}}]}},
+            | "sort": ["doc_id"], "size": 60}""".stripMargin)
+      },
+      Some("""WITH fx AS (
+             |  SELECT doc_id,
+             |         ['big data','data big','small data'][CAST(doc_id % 3 + 1 AS INT)] AS category
+             |  FROM documents)
+             |SELECT doc_id, category FROM fx
+             |WHERE list_contains(list_filter(string_split_regex(lower(category), '\W+'), x -> x <> ''), 'big')
+             |  AND category <> 'data big'
+             |ORDER BY doc_id LIMIT 60""".stripMargin)),
   )
 }

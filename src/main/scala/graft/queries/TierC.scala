@@ -2807,5 +2807,126 @@ object TierC {
            |       lab.doc_id = keep.keeper_id AS is_keeper
            |FROM lab JOIN keep ON keep.cluster = lab.cluster
            |ORDER BY lab.doc_id""".stripMargin)),
+
+    // Dedup-path quality gate (the c80 idea applied to the TEXT dedup
+    // path): banded-LSH recall against the exact n-gram-Jaccard ground
+    // truth at threshold 0.5. Precision is 1.0 by construction (LSH
+    // candidates verify with the exact Jaccard); recall < 1 exposes
+    // pairs the banding scheme misses — a banding regression flips this
+    // row red instead of silently shipping an under-deduped corpus.
+    Q("c89_lsh_quality_gate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val truth = Dedup.ngramJaccard(docs, col("doc_id"), col("text"), threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"), lit(1).as("_t"))
+        val lsh = lshPairs(s, d).select(col("doc_a"), col("doc_b"), lit(1).as("_l"))
+        truth.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+          .agg(count(col("_t")).as("n_true"), count(col("_l")).as("n_lsh"),
+            sum(when(col("_t").isNotNull && col("_l").isNotNull, 1L).otherwise(0L)).as("n_common"))
+          .withColumn("recall", round(col("n_common").cast("double") / col("n_true"), 6))
+          .withColumn("precision", round(col("n_common").cast("double") / col("n_lsh"), 6))
+      },
+      Some(
+        s"""WITH $toksCte,
+           |$gramsCte,
+           |$sigCte,
+           |$bandsCte,
+           |sizes AS (SELECT doc_id, len(grams) AS n FROM grams),
+           |allinter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           |  FROM gx a JOIN gx b ON a.g = b.g AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |tp AS (
+           |  SELECT doc_a, doc_b FROM allinter
+           |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+           |  WHERE round(inter*1.0/(sa.n + sb.n - inter), 6) >= 0.5),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y ON x.j = y.j AND x.band = y.band AND x.doc_id < y.doc_id),
+           |lp AS (SELECT doc_a, doc_b FROM tp JOIN cand USING (doc_a, doc_b))
+           |SELECT (SELECT count(*) FROM tp) AS n_true,
+           |       (SELECT count(*) FROM lp) AS n_lsh,
+           |       (SELECT count(*) FROM lp) AS n_common,
+           |       round((SELECT count(*) FROM lp) * 1.0 / (SELECT count(*) FROM tp), 6) AS recall,
+           |       round((SELECT count(*) FROM lp) * 1.0 / (SELECT count(*) FROM lp), 6) AS precision""".stripMargin)),
+
+    // Clustering-quality gate for the IVF/SemDeDup partition: simplified
+    // (centroid-based) silhouette over the c32 k-means fit — per-cluster
+    // mean of (b−a)/max(a,b) with a = nearest-centroid distance, b =
+    // runner-up. Low silhouette = boundary-heavy clusters = bad ANN
+    // probe behavior; the oracle replays the fit AND the scoring.
+    Q("c90_silhouette",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val fit = Similarity.kmeansFit(e, col("vec_id"), col("embedding"), k = 8, iters = 2)
+        Similarity.silhouette(e, col("vec_id"), col("embedding"),
+          fit.select(col("cluster"), col("centroid")))
+      },
+      Some(
+        s"""WITH ${kmeansSqlCtes(8)},
+           |dd AS (
+           |  SELECT vec_id, c2.cluster AS cluster,
+           |         round(sqrt(round(list_sum(list_transform(generate_series(1, len(v)),
+           |           i -> (v[i] - c2.cvec[i]) * (v[i] - c2.cvec[i]))), 6)), 6) AS d
+           |  FROM v CROSS JOIN c2),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk FROM dd),
+           |ab AS (SELECT vec_id, max(CASE WHEN rk = 1 THEN cluster END) AS cluster,
+           |              max(CASE WHEN rk = 1 THEN d END) AS a,
+           |              max(CASE WHEN rk = 2 THEN d END) AS b
+           |       FROM r WHERE rk <= 2 GROUP BY vec_id),
+           |sv AS (SELECT cluster, CASE WHEN greatest(a, b) = 0 THEN 0.0
+           |              ELSE round((b - a) / greatest(a, b), 6) END AS s FROM ab)
+           |SELECT cluster, count(*) AS n, round(avg(s), 6) AS silhouette
+           |FROM sv GROUP BY cluster ORDER BY cluster""".stripMargin)),
+
+    // HTML text extraction + link-density boilerplate signal
+    // (TextAnalysis.htmlExtract): tag strip with entity decode, anchor
+    // count, and the fraction of tokens inside <a>…</a> — the
+    // jusText/boilerpipe headline feature for nav-page detection. The
+    // html fixture wraps each doc with markup, 1–2 anchors and a script.
+    Q("c91_html_extract",
+      (s, d) => {
+        val fix = Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("<html><body><p>"), col("text"),
+            lit("</p> <a href=\"/a\">"),
+            when(col("doc_id") % 2 === 0, lit("nav menu home")).otherwise(lit("read more")),
+            lit("</a>"),
+            when(col("doc_id") % 4 === 0, lit(" <a href=\"/b\">next page</a>")).otherwise(lit("")),
+            lit(" &amp; <script>var x = 1;</script></body></html>")).as("html"))
+        TextAnalysis.htmlExtract(fix, col("doc_id"), col("html"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH fx AS (
+             |  SELECT doc_id, '<html><body><p>' || text || '</p> <a href="/a">' ||
+             |         CASE WHEN doc_id % 2 = 0 THEN 'nav menu home' ELSE 'read more' END ||
+             |         '</a>' ||
+             |         CASE WHEN doc_id % 4 = 0 THEN ' <a href="/b">next page</a>' ELSE '' END ||
+             |         ' &amp; <script>var x = 1;</script></body></html>' AS html
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, html,
+             |         trim(regexp_replace(
+             |           replace(replace(replace(replace(replace(
+             |             regexp_replace(regexp_replace(regexp_replace(html,
+             |               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |               '<[^>]*>', ' ', 'g'),
+             |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&'),
+             |           '\s+', ' ', 'g')) AS txt
+             |  FROM fx),
+             |an AS (
+             |  SELECT doc_id, txt,
+             |         regexp_extract_all(html, '(?is)<a\b[^>]*>(.*?)</a>', 1) AS anchors
+             |  FROM st),
+             |m AS (
+             |  SELECT doc_id, txt AS text_extracted, len(anchors) AS n_links,
+             |         len(list_filter(string_split_regex(lower(txt), '\W+'), x -> x <> '')) AS n_tokens,
+             |         len(flatten(list_transform(anchors,
+             |           a2 -> list_filter(string_split_regex(lower(a2), '\W+'), x -> x <> '')))) AS n_link_tokens
+             |  FROM an)
+             |SELECT doc_id, text_extracted, n_links, n_tokens, n_link_tokens,
+             |       CASE WHEN n_tokens > 0 THEN round(n_link_tokens * 1.0 / n_tokens, 6)
+             |            ELSE 0.0 END AS link_density
+             |FROM m ORDER BY doc_id""".stripMargin)),
   )
 }

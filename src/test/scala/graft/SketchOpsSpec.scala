@@ -104,6 +104,59 @@ class SketchOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("htmlStrip: script blocks vanish, tags become spaces, &amp; decodes last") {
+    import sp.implicits._
+    val df = Seq((1L,
+      "<p>a &amp;lt; b</p><script>drop tables</script><a href=\"x\">link</a> &nbsp;&gt;end"))
+      .toDF("id", "h")
+    val out = df.select(TextAnalysis.htmlStrip($"h")).collect().head.getString(0)
+    assert(!out.contains("drop"), "script CONTENT must be stripped, not just the tags")
+    assert(out.contains("a &lt; b"), "&amp;lt; must decode to the literal '&lt;' — never twice")
+    assert(out.contains(">end") && out.contains("link"))
+  }
+
+  test("analyzeApi: simple splits digits, stop preserves position increments, pattern splits on the regex") {
+    import sp.implicits._
+    val df = Seq((1L, "The X11 and b2b")).toDF("doc_id", "text")
+    def toks(an: String, pat: String = "\\W+") =
+      graft.dsl.EsDsl.analyzeApi(df, col("doc_id"), col("text"), an, pattern = pat)
+        .orderBy("position").collect().map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(toks("simple") == Seq(0 -> "the", 1 -> "x", 2 -> "and", 3 -> "b", 4 -> "b"),
+      "simple tokenizes on non-LETTERS: digits split")
+    assert(toks("stop") == Seq(1 -> "x", 3 -> "b", 4 -> "b"),
+      "stop removes stopwords but keeps the pre-filter positions")
+    assert(toks("pattern", pat = "[0-9]+") == Seq(0 -> "the x", 1 -> " and b", 2 -> "b"),
+      "pattern splits on the given regex, lowercased")
+  }
+
+  test("keyword sub-field: term on .keyword is whole-string, match on base is analyzed") {
+    import sp.implicits._
+    val df = Seq((1L, "big data"), (2L, "data big"), (3L, "small data")).toDF("doc_id", "cat")
+    def ids(body: String) = graft.dsl.EsQueryJson.search(df, body)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids("""{"query": {"term": {"cat.keyword": "big data"}}, "sort": ["doc_id"]}""") == Set(1L))
+    assert(ids("""{"query": {"match": {"cat": "big"}}, "sort": ["doc_id"]}""") == Set(1L, 2L))
+  }
+
+  test("silhouette: separated clusters score high, boundary vector scores low") {
+    import sp.implicits._
+    val vecs = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(0.1f, 0f)),   // cluster A
+      (3L, Seq(10f, 0f)), (4L, Seq(10.1f, 0f)), // cluster B
+      (5L, Seq(5f, 0f))                          // boundary
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((1, Seq(0.05d, 0d)), (2, Seq(10.05d, 0d))).toDF("cluster", "centroid")
+    val clean = Similarity.silhouette(vecs.filter(col("vec_id") <= 4),
+        col("vec_id"), col("embedding"), cents)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(clean(1) > 0.9 && clean(2) > 0.9, s"tight clusters must score high: $clean")
+    // the boundary vector (s ≈ 0.02) joins cluster 1 and drags its mean down
+    val all = Similarity.silhouette(vecs, col("vec_id"), col("embedding"), cents)
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(all(1)._1 + all(2)._1 == 5L)
+    assert(all(1)._2 < all(2)._2, "boundary vector must lower its cluster's mean")
+  }
+
   test("field_masking_span: slop + order across parallel token streams") {
     import sp.implicits._
     val df = Seq(
