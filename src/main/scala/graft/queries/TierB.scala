@@ -4027,5 +4027,91 @@ object TierB {
              |WHERE list_contains(list_filter(string_split_regex(lower(category), '\W+'), x -> x <> ''), 'big')
              |  AND category <> 'data big'
              |ORDER BY doc_id LIMIT 60""".stripMargin)),
+
+    // significant_terms `background_filter`: the background becomes a
+    // TAILORED slice (src1∪src2) instead of the whole index — "which
+    // languages are over-represented in src1 vs its peer group", the ES
+    // baseline-narrowing form. Scores shift vs the whole-index baseline.
+    Q("a184_es_json_sig_terms_bg_filter",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.documents(s, d),
+        """{"query": {"term": {"source": "src1"}},
+          | "aggs": {"sig": {"significant_terms": {"field": "lang", "size": 5,
+          |    "min_doc_count": 1,
+          |    "background_filter": {"terms": {"source": ["src1", "src2"]}}}}}}""".stripMargin)("sig"),
+      Some("""WITH fg AS (SELECT lang AS key, count(*) AS fg FROM documents
+             |           WHERE source = 'src1' GROUP BY 1),
+             |bgt AS (SELECT lang AS key, count(*) AS bg FROM documents
+             |        WHERE source IN ('src1', 'src2') GROUP BY 1),
+             |tot AS (SELECT (SELECT count(*) FROM documents WHERE source = 'src1') AS tot_fg,
+             |               (SELECT count(*) FROM documents WHERE source IN ('src1', 'src2')) AS tot_bg)
+             |SELECT key, fg, bg, round((fg * 1.0 / tot_fg) / (bg * 1.0 / tot_bg), 6) AS score
+             |FROM fg JOIN bgt USING (key) CROSS JOIN tot
+             |WHERE fg >= 1 ORDER BY score DESC, key LIMIT 5""".stripMargin)),
+
+    // composite `missing_bucket: true`: docs with a null source value
+    // form an explicit null-keyed bucket ordered FIRST ascending; the
+    // default EXCLUDES them (the ES 6.5 contract — made explicit in the
+    // engine with a null filter, since Spark's groupBy would otherwise
+    // keep a null group silently).
+    Q("a185_es_json_composite_missing_bucket",
+      (s, d) => {
+        val fix = Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, lit(null: String))
+            .otherwise(col("source")).as("src2"),
+          col("lang"))
+        graft.dsl.EsQueryJson.aggregations(fix,
+          """{"aggs": {"c": {"composite": {"size": 30, "sources": [
+            |   {"src": {"terms": {"field": "src2", "missing_bucket": true}}},
+            |   {"lg": {"terms": {"field": "lang"}}}]}}}}""".stripMargin)("c")
+      },
+      Some("""WITH fx AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END AS src,
+             |         lang AS lg
+             |  FROM documents)
+             |SELECT src, lg, count(*) AS doc_count FROM fx
+             |GROUP BY src, lg
+             |ORDER BY src ASC NULLS FIRST, lg ASC LIMIT 30""".stripMargin)),
+
+    // multi_match per-field `^boost` ("text^2" vs "source"): each field's
+    // BM25 raw scales by its boost BEFORE the best_fields max — the ES
+    // title-weighting idiom. Same corpus pass as the unboosted form.
+    Q("a186_es_json_multi_match_field_boost",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"multi_match": {"query": "spark web",
+          |   "fields": ["text^2", "source"]}},
+          | "sort": ["_score", "doc_id"], "size": 20}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS wt,
+             |         list_filter(string_split_regex(lower(source), '\W+'), x -> x <> '') AS ws
+             |  FROM documents
+             |), f AS (
+             |  SELECT doc_id, wt, ws,
+             |         CAST(len(list_filter(wt, x -> x = 'spark')) AS DOUBLE) AS t0,
+             |         CAST(len(list_filter(wt, x -> x = 'web')) AS DOUBLE) AS t1,
+             |         CAST(len(list_filter(ws, x -> x = 'spark')) AS DOUBLE) AS s0,
+             |         CAST(len(list_filter(ws, x -> x = 'web')) AS DOUBLE) AS s1,
+             |         CAST(len(wt) AS DOUBLE) AS dlt, CAST(len(ws) AS DOUBLE) AS dls
+             |  FROM t
+             |), st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dlt) AS avgdlt, avg(dls) AS avgdls,
+             |         CAST(sum(CASE WHEN t0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dft0,
+             |         CAST(sum(CASE WHEN t1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dft1,
+             |         CAST(sum(CASE WHEN s0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfs0,
+             |         CAST(sum(CASE WHEN s1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfs1
+             |  FROM f
+             |), sc AS (
+             |  SELECT doc_id, wt, ws,
+             |         (ln(1 + (n - dft0 + 0.5)/(dft0 + 0.5)) * (t0*(1.2+1))/(t0 + 1.2*(1 - 0.75 + 0.75*dlt/avgdlt))
+             |        + ln(1 + (n - dft1 + 0.5)/(dft1 + 0.5)) * (t1*(1.2+1))/(t1 + 1.2*(1 - 0.75 + 0.75*dlt/avgdlt))) * 2.0 AS sct,
+             |         ln(1 + (n - dfs0 + 0.5)/(dfs0 + 0.5)) * (s0*(1.2+1))/(s0 + 1.2*(1 - 0.75 + 0.75*dls/avgdls))
+             |       + ln(1 + (n - dfs1 + 0.5)/(dfs1 + 0.5)) * (s1*(1.2+1))/(s1 + 1.2*(1 - 0.75 + 0.75*dls/avgdls)) AS scs
+             |  FROM f CROSS JOIN st
+             |)
+             |SELECT doc_id, round(greatest(sct, scs), 6) AS score FROM sc
+             |WHERE list_contains(wt, 'spark') OR list_contains(wt, 'web')
+             |   OR list_contains(ws, 'spark') OR list_contains(ws, 'web')
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
   )
 }

@@ -2928,5 +2928,106 @@ object TierC {
              |       CASE WHEN n_tokens > 0 THEN round(n_link_tokens * 1.0 / n_tokens, 6)
              |            ELSE 0.0 END AS link_density
              |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Feature-hashed doc vectors (hashing trick) + cosine top-5: the
+    // model-free text embedding — signed-tf cells, INTEGER accumulation
+    // (order-independent, no float-fold protocol), cosine cast to double
+    // once at ranking time. Bridges the text side to every embedding
+    // operator (near-dup banding, JL, IVF) without a model.
+    Q("c92_feature_hash_knn",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val v = TextAnalysis.featureHashVectors(docs, col("doc_id"), col("text"), 16)
+        def dotL(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+        val q = v.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"), col("vec").as("qv"))
+        val scored = v.select(col("doc_id").as("neighbor_id"), col("vec").as("nv"))
+          .crossJoin(broadcast(q)).filter(col("query_id") =!= col("neighbor_id"))
+          .filter(dotL(col("qv"), col("qv")) > 0 && dotL(col("nv"), col("nv")) > 0)
+          .withColumn("cos", round(dotL(col("qv"), col("nv")).cast("double") /
+            (sqrt(dotL(col("qv"), col("qv")).cast("double")) *
+             sqrt(dotL(col("nv"), col("nv")).cast("double"))), 6))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+        scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+          .select("query_id", "rank", "neighbor_id", "cos")
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val h = Hashing.sqlMd5Long60("tok")
+        val hs = Hashing.sqlMd5Long60("'sgn:' || tok")
+        def dot16(a: String, b: String) =
+          s"list_sum(list_transform(generate_series(1, 16), i -> $a[i] * $b[i]))"
+        s"""WITH $toksCte,
+           |tk AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+           |cell AS (
+           |  SELECT doc_id, $h % 16 AS j,
+           |         sum((CASE WHEN $hs % 2 = 0 THEN 1 ELSE -1 END) * tf) AS v
+           |  FROM tf GROUP BY 1, 2),
+           |grid AS (SELECT d.doc_id, r.j FROM (SELECT DISTINCT doc_id FROM tf) d
+           |         CROSS JOIN range(0, 16) r(j)),
+           |vec AS (
+           |  SELECT g.doc_id, list(coalesce(cell.v, 0) ORDER BY g.j) AS vec
+           |  FROM grid g LEFT JOIN cell ON cell.doc_id = g.doc_id AND cell.j = g.j
+           |  GROUP BY g.doc_id),
+           |q AS (SELECT doc_id AS query_id, vec AS qv FROM vec WHERE doc_id < 5),
+           |ps AS (
+           |  SELECT query_id, v2.doc_id AS neighbor_id,
+           |         round(${dot16("qv", "v2.vec")} * 1.0 /
+           |           (sqrt(CAST(${dot16("qv", "qv")} AS DOUBLE)) *
+           |            sqrt(CAST(${dot16("v2.vec", "v2.vec")} AS DOUBLE))), 6) AS cos
+           |  FROM vec v2 CROSS JOIN q
+           |  WHERE query_id <> v2.doc_id
+           |    AND ${dot16("qv", "qv")} > 0 AND ${dot16("v2.vec", "v2.vec")} > 0)
+           |SELECT query_id, rank, neighbor_id, cos FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM ps) WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }),
+
+    // Vocabulary coverage curve: fraction of corpus token OCCURRENCES
+    // covered by the top-k terms, for candidate vocab sizes — the
+    // tokenizer-design diagnostic read before pinning a vocab budget.
+    Q("c93_vocab_coverage",
+      (s, d) => TextAnalysis.vocabCoverage(Tables.documents(s, d), col("text"),
+        sizes = Seq(5, 10, 20, 40)),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents),
+             |counts AS (SELECT tok, count(*) AS cnt FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (ORDER BY cnt DESC, tok) AS rank,
+             |         sum(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM counts),
+             |tot AS (SELECT sum(cnt) AS t FROM counts)
+             |SELECT vocab_size, max(cum) AS covered_tokens, max(t) AS total_tokens,
+             |       round(max(cum) * 1.0 / max(t), 6) AS coverage
+             |FROM ranked CROSS JOIN tot CROSS JOIN (SELECT unnest([5, 10, 20, 40]) AS vocab_size)
+             |WHERE rank <= vocab_size
+             |GROUP BY vocab_size ORDER BY vocab_size""".stripMargin)),
+
+    // Zipf rank-frequency slope: ln(freq) ~ ln(rank) least squares over
+    // the vocabulary — the corpus-health diagnostic (templated corpora
+    // flatten away from natural text's ≈ −1). Regression sums round to
+    // 6 dp before the slope arithmetic on both engines.
+    Q("c94_zipf_slope",
+      (s, d) => TextAnalysis.zipfSlope(Tables.documents(s, d), col("text")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents),
+             |counts AS (SELECT tok, count(*) AS cnt FROM (SELECT unnest(w) AS tok FROM toks) GROUP BY tok),
+             |xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS DOUBLE)) AS x,
+             |              ln(CAST(cnt AS DOUBLE)) AS y
+             |       FROM counts),
+             |s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |             round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+             |             round(sum(x * y), 6) AS sxy, round(sum(x * x), 6) AS sxx
+             |      FROM xy)
+             |SELECT CAST(n AS BIGINT) AS n_vocab,
+             |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+             |       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+             |FROM s""".stripMargin)),
   )
 }

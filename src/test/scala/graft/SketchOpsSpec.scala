@@ -157,6 +157,28 @@ class SketchOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(all(1)._2 < all(2)._2, "boundary vector must lower its cluster's mean")
   }
 
+  test("multi_match ^boost: field score scales before the type combine") {
+    import sp.implicits._
+    val df = Seq(
+      (1L, "spark", "other"),   // hits in a only
+      (2L, "other", "spark")    // hits in b only
+    ).toDF("doc_id", "a", "b")
+    def scores(fields: String) = graft.dsl.EsQueryJson.search(df,
+      s"""{"query": {"multi_match": {"query": "spark", "fields": [$fields]}},
+         | "sort": ["_score", "doc_id"]}""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("_score"))).toMap
+    val plain = scores("\"a\", \"b\"")
+    val boosted = scores("\"a^3\", \"b\"")
+    assert(plain(1L) == plain(2L), "symmetric fixture scores equal unboosted")
+    assert(math.abs(boosted(1L) - 3 * plain(1L)) < 5e-6, "a^3 triples the a-field score")
+    assert(boosted(2L) == plain(2L), "unboosted field unchanged")
+    intercept[IllegalArgumentException] {
+      graft.dsl.EsQueryJson.search(df,
+        """{"query": {"multi_match": {"query": "spark", "fields": ["a^2", "b"],
+          |   "type": "cross_fields"}}, "sort": ["_score", "doc_id"]}""".stripMargin).collect()
+    }
+  }
+
   test("field_masking_span: slop + order across parallel token streams") {
     import sp.implicits._
     val df = Seq(
