@@ -72,6 +72,34 @@ object TextKernels {
 
   def tokenEntropySum(text: Column): Column = column(TokenEntropySumKernel(expression(text)))
 
+  /** Feature-hashed signed-tf vector (the hashing trick) in ONE compiled
+    * pass: cell = md5-60(token) mod dim, sign = parity of
+    * md5-60("sgn:"+token), long[dim] accumulates the signed counts.
+    * Integer sums are order-free, so this is bit-identical to the
+    * explode → groupBy(doc, cell) → densify DataFrame form (and to the
+    * DuckDB oracle) while running narrow — no shuffle at all. */
+  case class FeatureHashKernel(child: Expression, dim: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      val acc = new Array[Long](dim)
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        val j = (md5Hash60(t) % dim).toInt
+        val s = if ((md5Hash60("sgn:" + t) & 1L) == 0L) 1L else -1L
+        acc(j) += s
+        i += 1
+      }
+      new GenericArrayData(acc)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def featureHash(text: Column, dim: Int): Column =
+    column(FeatureHashKernel(expression(text), dim))
+
   /** Distinct space-joined word n-grams of lower(text). */
   case class WordNgramsKernel(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {

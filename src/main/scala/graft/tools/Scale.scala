@@ -361,3 +361,62 @@ object ScaleHamming {
     spark.stop()
   }
 }
+
+/** Round-11 second-half probes (`graft.tools.ScaleSketch`): the sketch,
+  * quota and text operators at 500k docs — Bloom build/probe (constant
+  * filter size vs benchmark), Count-Min one-pass, the two-phase domain
+  * cap under a mega-domain (half the corpus in ONE domain — the skew the
+  * two-phase prune exists for), the compiled entropy kernel on long
+  * docs, and feature-hash vectors at dim 64. */
+object ScaleSketch {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import Scale.t
+    import graft.ext.{Corpus, Sketch, TextAnalysis}
+
+    // synthetic corpus: 500k 12-token docs over a 2000-word vocabulary
+    def word(i: Int) = expr(s"concat('w', pmod(hash(id, $i), 2000))")
+    spark.range(500_000).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(word): _*).as("text"))
+      .write.mode("overwrite").parquet("/tmp/scale/sketchdocs")
+    val corpus = spark.read.parquet("/tmp/scale/sketchdocs")
+
+    // Bloom: 20k-doc benchmark → m=2^22 filter (64 KB words); probe 480k
+    val bench = corpus.filter(col("doc_id") % 25 === 0)
+    val filterWords = t("bloom-build-20k-bench")(
+      Sketch.bloomBuild(bench, col("text"), nGram = 4, mBits = 1 << 22, k = 3))
+    val flagged = t("bloom-probe-480k-docs")(
+      Sketch.bloomContamination(corpus.filter(col("doc_id") % 25 =!= 0),
+        col("doc_id"), col("text"), filterWords, nGram = 4, k = 3)
+        .agg(sum(when(col("flagged"), 1L).otherwise(0L))).collect()(0).getLong(0))
+    println(s"SCALEINFO bloom flagged $flagged of 480k (filter ${filterWords.length} longs)")
+
+    // Count-Min over ~6M tokens, vocab 2000
+    t("cms-heavy-hitters-500k-docs")(
+      Sketch.cmsHeavyHitters(corpus, col("text"), d = 4, w = 1024, topK = 20).collect())
+
+    // domain quota under skew: ONE mega-domain holds HALF the corpus
+    val domains = corpus.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, lit("megahost.com"))
+        .otherwise(concat(lit("host"), pmod(col("doc_id"), lit(5000)))).as("domain"),
+      pmod(hash(col("doc_id")), lit(100000)).as("q"))
+    val kept = t("domain-cap-500k-mega-domain")(
+      Corpus.domainCap(domains, col("doc_id"), col("domain"), col("q"), cap = 100).count())
+    println(s"SCALEINFO domain-cap kept $kept rows (mega-domain capped at 100)")
+
+    // compiled entropy kernel on 100k LONG docs (~600 tokens)
+    val longDocs = spark.range(100_000).select(col("id").as("doc_id"),
+      repeat(concat(concat_ws(" ", (0 until 12).map(word): _*), lit(" ")), 50).as("text"))
+    t("encoding-damage-100k-600tok-docs")(
+      TextAnalysis.encodingDamage(longDocs, col("doc_id"), col("text"))
+        .agg(avg("tok_entropy")).collect())
+
+    // feature-hash vectors at dim 64 over the full 500k
+    t("feature-hash-500k-dim64")(
+      TextAnalysis.featureHashVectors(corpus, col("doc_id"), col("text"), 64)
+        .write.mode("overwrite").format("noop").save())
+
+    spark.stop()
+  }
+}
