@@ -58,17 +58,15 @@ object Sketch {
     * gram. */
   def bloomContamination(corpus: DataFrame, idCol: Column, text: Column,
                          words: Array[Long], nGram: Int = 8, k: Int = 3): DataFrame = {
-    val mBits = words.length * 64
-    val w = lit(words)
-    val pow2 = lit(Array.tabulate(64)(b => 1L << b))
-    def bitSet(p: Column): Column =
-      element_at(w, (p / 64).cast("int") + 1)
-        .bitwiseAND(element_at(pow2, (p % 64).cast("int") + 1)) =!= 0
-    val gHit = (g: Column) => bloomPositions(g, mBits, k).map(bitSet).reduce(_ && _)
-    val grams = graft.functions.TextKernels.wordNgrams(text, nGram)
-    corpus.select(idCol.as("doc_id"),
-        size(grams).as("n_grams"),
-        size(filter(grams, gHit)).as("hit_grams"))
+    // one compiled pass ([[graft.functions.TextKernels.BloomCountKernel]]):
+    // same hash family + positions as [[bloomBuild]], but per-gram cost is
+    // two compiled digests instead of two interpreted builtin-md5 chains —
+    // 3.5 s → sub-second at sf0.1, still zero corpus shuffle
+    val counts = graft.functions.TextKernels.bloomCounts(text, nGram, k, words)
+    corpus.select(idCol.as("doc_id"), counts.as("_bc"))
+      .select(col("doc_id"),
+        element_at(col("_bc"), 1).cast("int").as("n_grams"),
+        element_at(col("_bc"), 2).cast("int").as("hit_grams"))
       .withColumn("flagged", col("hit_grams") > 0)
   }
 

@@ -100,6 +100,54 @@ object TextKernels {
   def featureHash(text: Column, dim: Int): Column =
     column(FeatureHashKernel(expression(text), dim))
 
+  /** Bloom-filter gram probe in ONE compiled pass: distinct word n-grams
+    * (the [[WordNgramsKernel]] set), k Kirsch–Mitzenmacher positions per
+    * gram (h1 + j·h2 mod m over two md5-60 draws — h2 salted "bloom2:",
+    * the [[graft.ext.Sketch]] family), membership = all k bits set in the
+    * supplied word array. Returns [n_grams, hit_grams]. Bit-identical to
+    * the HOF + builtin-md5 chain it replaces (same hashes, same
+    * positions), but the per-gram cost is two compiled digests instead of
+    * two interpreted conv(substring(md5)) evaluations. The words array
+    * rides in the expression (serialized once per task binary — m/64
+    * longs, constant in the benchmark size). */
+  case class BloomCountKernel(child: Expression, n: Int, k: Int, words: Array[Long])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private def mBits = words.length * 64L
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var o = 1
+        while (o < n) { sb.append(' ').append(toks(i + o)); o += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      var hits = 0L
+      val it = seen.iterator()
+      while (it.hasNext) {
+        val g = it.next()
+        val h1 = md5Hash60(g)
+        val h2 = md5Hash60("bloom2:" + g)
+        var j = 0
+        var all = true
+        while (all && j < k) {
+          val p = (h1 + j.toLong * h2) % mBits
+          all = (words((p >> 6).toInt) & (1L << (p & 63L).toInt)) != 0
+          j += 1
+        }
+        if (all) hits += 1
+      }
+      new GenericArrayData(Array(seen.size.toLong, hits))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def bloomCounts(text: Column, n: Int, k: Int, words: Array[Long]): Column =
+    column(BloomCountKernel(expression(text), n, k, words))
+
   /** Distinct space-joined word n-grams of lower(text). */
   case class WordNgramsKernel(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {

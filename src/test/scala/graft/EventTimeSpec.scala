@@ -197,4 +197,29 @@ class EventTimeSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(batchSet == kept && batchJoin == kept)
   }
+
+  test("streaming Bloom scrub: the constant-size filter probes inside a stream") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.ext.Sketch
+    // the Bloom twin of the gram-set test: the filter is the CDC-ingest
+    // scale path (words array constant in the benchmark size), and the
+    // probe kernel is narrow, so it drops into a streaming plan unchanged
+    val bench = Seq((100L, "zz beta gamma delta yy")).toDF("doc_id", "text")
+    val words = Sketch.bloomBuild(bench, col("text"), nGram = 3, mBits = 4096, k = 3)
+    val ms = MemoryStream[(Long, String)]
+    val streamDf = ms.toDF().toDF("doc_id", "text")
+    val q = Sketch.bloomContamination(streamDf, col("doc_id"), col("text"),
+        words, nGram = 3, k = 3)
+      .filter(!col("flagged"))
+      .writeStream.outputMode("append").format("memory").queryName("bloom_out").start()
+    ms.addData(
+      (1L, "alpha beta gamma delta epsilon"), // contaminated (no false negatives)
+      (2L, "one two three four five"))        // clean
+    q.processAllAvailable()
+    q.stop()
+    val kept = sp.table("bloom_out").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L))
+  }
 }
