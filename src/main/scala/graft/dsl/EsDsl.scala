@@ -463,6 +463,44 @@ object EsDsl {
   def termsAgg(df: DataFrame, key: Column, size: Int): DataFrame =
     df.groupBy(key.as("key")).agg(count(lit(1)).as("doc_count"))
       .orderBy(desc("doc_count"), col("key")).limit(size)
+  /** ES distributed `terms` agg error accounting
+    * (`show_term_doc_count_error`): shards — the deterministic md5-60
+    * hash slices of the `slice`/`terminate_after` machinery — each
+    * report their local top-`shardSize` terms; the coordinator sums the
+    * reported counts, and a term ABSENT from some shard's list can hide
+    * at most that shard's last-reported (cutoff) count there, so
+    * `doc_count_error_upper_bound` = Σ cutoff over the shards that did
+    * not report the term (0 from any shard that returned its complete
+    * list). This is the ES 6.5 approximate-top-k contract made explicit
+    * — the engine's own exact [[termsAgg]] is what a single-coordinator
+    * plan gives; this form shows what a sharded deployment would bound.
+    * Plan: one (shard, key) hash agg, per-shard bounded rank windows,
+    * one coordinator-side combine with the (≤ shards)-row cutoff table
+    * broadcast into a narrow HOF sum. */
+  def termsAggWithError(df: DataFrame, key: Column, idCol: Column,
+                        size: Int, shardSize: Int, shards: Int): DataFrame = {
+    val sharded = df.select(key.as("key"),
+      pmod(graft.functions.Hashing.md5Long60(idCol.cast("string")),
+        lit(shards.toLong)).as("_shard"))
+    val perShard = sharded.groupBy("_shard", "key").agg(count(lit(1)).as("cnt"))
+    val wr = Window.partitionBy("_shard").orderBy(desc("cnt"), col("key"))
+    val reported = perShard.withColumn("_rk", row_number().over(wr))
+      .filter(col("_rk") <= shardSize)
+    val cutoffs = reported.groupBy("_shard")
+      .agg(when(count(lit(1)) < shardSize, lit(0L)).otherwise(min(col("cnt"))).as("_cut"))
+    val combined = reported.groupBy("key")
+      .agg(sum("cnt").as("doc_count"), collect_set("_shard").as("_in"))
+    combined
+      .crossJoin(broadcast(cutoffs.agg(
+        collect_list(struct(col("_shard"), col("_cut"))).as("_all"))))
+      .withColumn("doc_count_error_upper_bound",
+        aggregate(
+          filter(col("_all"), s => !array_contains(col("_in"), s.getField("_shard"))),
+          lit(0L), (acc, s) => acc + s.getField("_cut")))
+      .select(col("key"), col("doc_count"), col("doc_count_error_upper_bound"))
+      .orderBy(desc("doc_count"), col("key")).limit(size)
+  }
+
   /** B10 `stats` */
   def statsAgg(df: DataFrame, groups: Seq[Column], value: Column): DataFrame =
     df.groupBy(groups: _*).agg(

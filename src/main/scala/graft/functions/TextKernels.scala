@@ -148,6 +148,35 @@ object TextKernels {
   def bloomCounts(text: Column, n: Int, k: Int, words: Array[Long]): Column =
     column(BloomCountKernel(expression(text), n, k, words))
 
+  /** md5-60 hashes of ALL positional word n-grams (multiplicity kept, in
+    * position order — unlike [[WordNgramsKernel]]'s distinct set) in one
+    * compiled pass; `posexplode` over the result yields (pos, hash)
+    * without a gram string ever leaving the kernel. The interpreted
+    * transform/concat_ws/slice HOF form this replaces costs ~46 µs/gram. */
+  case class PositionalGramHashKernel(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      val m = toks.length - n + 1
+      if (m <= 0) return new GenericArrayData(Array.empty[Long])
+      val hs = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        hs(i) = md5Hash60(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(hs)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def positionalGramHashes(text: Column, n: Int): Column =
+    column(PositionalGramHashKernel(expression(text), n))
+
   /** Distinct space-joined word n-grams of lower(text). */
   case class WordNgramsKernel(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {

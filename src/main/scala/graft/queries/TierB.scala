@@ -4113,5 +4113,34 @@ object TierB {
              |WHERE list_contains(wt, 'spark') OR list_contains(wt, 'web')
              |   OR list_contains(ws, 'spark') OR list_contains(ws, 'web')
              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // terms agg `show_term_doc_count_error`: the ES distributed top-k
+    // contract made explicit — 3 md5-hash shards each report their local
+    // top-5 sources (shard_size), the coordinator sums reported counts,
+    // and the per-term error bound is the sum of the cutoff counts of
+    // shards that did NOT report the term (0 from a shard that returned
+    // its full list). 20 sources vs shard_size 5 forces real truncation,
+    // so the bounds are non-trivial and oracle-checked exactly.
+    Q("a187_es_json_terms_doc_count_error",
+      (s, d) => EsDsl.termsAggWithError(Tables.documents(s, d),
+        col("source"), col("doc_id"), size = 8, shardSize = 5, shards = 3),
+      Some(
+        s"""WITH sh AS (
+           |  SELECT source AS key,
+           |         ${graft.functions.Hashing.sqlMd5Long60("CAST(doc_id AS VARCHAR)")} % 3 AS shard
+           |  FROM documents),
+           |pc AS (SELECT shard, key, count(*) AS cnt FROM sh GROUP BY 1, 2),
+           |rep AS (SELECT * FROM (
+           |          SELECT *, row_number() OVER (PARTITION BY shard ORDER BY cnt DESC, key) AS rk
+           |          FROM pc) WHERE rk <= 5),
+           |cut AS (SELECT shard, CASE WHEN count(*) < 5 THEN 0 ELSE min(cnt) END AS cut
+           |        FROM rep GROUP BY shard),
+           |comb AS (SELECT key, CAST(sum(cnt) AS BIGINT) AS doc_count FROM rep GROUP BY key)
+           |SELECT comb.key, comb.doc_count,
+           |       CAST(COALESCE((SELECT sum(cut.cut) FROM cut WHERE cut.shard NOT IN
+           |          (SELECT shard FROM rep WHERE rep.key = comb.key)), 0) AS BIGINT)
+           |         AS doc_count_error_upper_bound
+           |FROM comb
+           |ORDER BY doc_count DESC, key LIMIT 8""".stripMargin)),
   )
 }

@@ -3001,6 +3001,43 @@ object TierC {
            |ORDER BY query_id, rank""".stripMargin
       }),
 
+    // Contamination RUN lengths (Lee et al. 2022): per contaminated doc,
+    // matched POSITIONAL benchmark 4-grams and the longest consecutive
+    // run — a run of r grams = a shared span of r+3 tokens, the quantity
+    // eval-scrub policies threshold on (e.g. ≥ 50 tokens). The flat c25
+    // count can't distinguish one long overlap from many scattered hits.
+    Q("c95_contamination_runs",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Corpus.contaminationRuns(
+          docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 97 === 0), col("text"), nGram = 4)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $toksCte,
+           |g4 AS (
+           |  SELECT doc_id, CASE WHEN len(w) >= 4
+           |    THEN list_transform(generate_series(1, len(w)-3),
+           |         i -> list_aggregate(w[i:i+3], 'string_agg', ' '))
+           |    ELSE [] END AS grams
+           |  FROM toks),
+           |bg AS (SELECT DISTINCT ${Hashing.sqlMd5Long60("g")} AS gh
+           |       FROM (SELECT unnest(grams) AS g FROM g4 WHERE doc_id % 97 = 0)),
+           |cp AS (SELECT doc_id, i AS pos, ${Hashing.sqlMd5Long60("g")} AS gh
+           |       FROM (SELECT doc_id, unnest(generate_series(1, len(grams))) AS i,
+           |                    unnest(grams) AS g
+           |             FROM g4 WHERE doc_id % 97 <> 0)),
+           |m AS (SELECT doc_id, pos FROM cp JOIN bg USING (gh)),
+           |isl AS (SELECT doc_id,
+           |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+           |        FROM m),
+           |runs AS (SELECT doc_id, isl, count(*) AS run FROM isl GROUP BY 1, 2)
+           |SELECT doc_id, CAST(sum(run) AS BIGINT) AS matched_grams,
+           |       CAST(max(run) AS BIGINT) AS longest_run,
+           |       CAST(max(run) + 3 AS BIGINT) AS longest_run_tokens
+           |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Vocabulary coverage curve: fraction of corpus token OCCURRENCES
     // covered by the top-k terms, for candidate vocab sizes — the
     // tokenizer-design diagnostic read before pinning a vocab budget.

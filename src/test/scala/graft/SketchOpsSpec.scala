@@ -157,6 +157,41 @@ class SketchOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(all(1)._2 < all(2)._2, "boundary vector must lower its cluster's mean")
   }
 
+  test("contaminationRuns: a shared 6-token span reports one run of 3 grams") {
+    import sp.implicits._
+    val bench = Seq((100L, "aa bb cc dd ee ff")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "xx yy aa bb cc dd ee ff zz"), // consecutive 6-token overlap
+      (2L, "aa bb cc dd qq qq cc dd ee ff"), // two separated runs of 1
+      (3L, "nothing shared here at all ok")).toDF("doc_id", "text")
+    val out = graft.ext.Corpus.contaminationRuns(corpus, col("doc_id"), col("text"),
+        bench, col("text"), nGram = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 3L, 6L)), "3 consecutive grams = one 6-token span")
+    assert(out(2L) == ((2L, 1L, 4L)), "two scattered hits never merge into a run")
+    assert(!out.contains(3L), "clean docs emit nothing")
+  }
+
+  test("termsAggWithError: bound brackets the exact count; full shard lists give zero error") {
+    import sp.implicits._
+    val df = (1 to 300).map(i => (i.toLong, s"k${i % 7}")).toDF("id", "key0")
+    val exact = df.groupBy("key0").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.dsl.EsDsl.termsAggWithError(df, col("key0"), col("id"),
+        size = 7, shardSize = 3, shards = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(approx.nonEmpty)
+    approx.foreach { case (k, dc, err) =>
+      assert(dc <= exact(k), s"reported count can only under-count: $k")
+      assert(exact(k) <= dc + err, s"the bound must cover the hidden mass: $k $dc+$err < ${exact(k)}")
+    }
+    // shard_size covering every key => exact counts, zero bound
+    val full = graft.dsl.EsDsl.termsAggWithError(df, col("key0"), col("id"),
+        size = 7, shardSize = 7, shards = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    full.foreach { case (k, dc, err) => assert(dc == exact(k) && err == 0L) }
+  }
+
   test("multi_match ^boost: field score scales before the type combine") {
     import sp.implicits._
     val df = Seq(
