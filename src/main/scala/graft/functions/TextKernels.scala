@@ -177,6 +177,40 @@ object TextKernels {
   def positionalGramHashes(text: Column, n: Int): Column =
     column(PositionalGramHashKernel(expression(text), n))
 
+  /** Per-language marker counts for the two HALVES of the token stream
+    * (head = first ⌊n/2⌋ tokens) in one compiled pass:
+    * [head₀..head_{L−1}, tail₀..tail_{L−1}]. Full-doc counts are the
+    * elementwise sums, so language-ID over doc + head + tail costs ONE
+    * tokenize instead of 3·L interpreted `filter(isin)` rescans. */
+  case class LangMarkerHalvesKernel(child: Expression, markers: Seq[Seq[String]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val sets = markers.map { ms =>
+      val s = new java.util.HashSet[String](); ms.foreach(s.add); s
+    }
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      val l0 = markers.size
+      val out = new Array[Long](2 * l0)
+      val half = toks.length / 2
+      var i = 0
+      while (i < toks.length) {
+        val off = if (i < half) 0 else l0
+        var l = 0
+        while (l < l0) {
+          if (sets(l).contains(toks(i))) out(off + l) += 1
+          l += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def langMarkerHalves(text: Column, markers: Seq[Seq[String]]): Column =
+    column(LangMarkerHalvesKernel(expression(text), markers))
+
   /** Distinct space-joined word n-grams of lower(text). */
   case class WordNgramsKernel(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {

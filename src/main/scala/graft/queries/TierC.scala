@@ -3038,6 +3038,107 @@ object TierC {
            |       CAST(max(run) + 3 AS BIGINT) AS longest_run_tokens
            |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Mixed-language / code-switch detection: language-ID each HALF of
+    // the token stream; disagreement flags bilingual/concatenated docs —
+    // the split check run before trusting a doc-level language label.
+    Q("c96_mixed_language",
+      (s, d) => TextAnalysis.mixedLanguage(Tables.documents(s, d),
+        col("doc_id"), col("text")).orderBy("doc_id"),
+      Some {
+        def scoresOf(w: String, sfx: String): String =
+          TextAnalysis.langMarkers.map { case (l, ms) =>
+            s"len(list_filter($w, t -> t IN (${ms.map(m => s"'$m'").mkString(",")}))) AS s_${l}_$sfx"
+          }.mkString(",\n           ")
+        def predOf(sfx: String, out: String): String = {
+          val mx = s"greatest(${TextAnalysis.langMarkers.map(l => s"s_${l._1}_$sfx").mkString(", ")})"
+          val cases = TextAnalysis.langMarkers.map { case (l, _) =>
+            s"WHEN mx_$sfx > 0 AND s_${l}_$sfx = mx_$sfx THEN '$l'"
+          }.mkString(" ")
+          s"""p_$sfx AS (
+             |  SELECT doc_id, CASE $cases ELSE 'und' END AS $out
+             |  FROM (SELECT *, $mx AS mx_$sfx FROM sc_$sfx))"""
+        }
+        s"""WITH $toksCte,
+           |h AS (SELECT doc_id, w AS wf,
+           |             w[1:(len(w) // 2)] AS wh,
+           |             w[(len(w) // 2)+1:] AS wt
+           |      FROM toks),
+           |sc_f AS (SELECT doc_id, ${scoresOf("wf", "f")} FROM h),
+           |sc_h AS (SELECT doc_id, ${scoresOf("wh", "h")} FROM h),
+           |sc_t AS (SELECT doc_id, ${scoresOf("wt", "t")} FROM h),
+           |${predOf("f", "lang_full").stripMargin},
+           |${predOf("h", "lang_head").stripMargin},
+           |${predOf("t", "lang_tail").stripMargin}
+           |SELECT p_f.doc_id, lang_full, lang_head, lang_tail,
+           |       lang_head <> lang_tail AS mixed
+           |FROM p_f JOIN p_h ON p_h.doc_id = p_f.doc_id
+           |         JOIN p_t ON p_t.doc_id = p_f.doc_id
+           |ORDER BY p_f.doc_id""".stripMargin
+      }),
+
+    // Effective token share per source under soft-dedup weights: raw
+    // token mass vs 1/|cluster|-weighted mass — what each source REALLY
+    // contributes to a training mix once near-duplicates stop
+    // multiple-counting. Shares the memoized LSH→CC pipeline.
+    Q("c97_weighted_token_share",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val wts = Dedup.softDedupWeights(docs, col("doc_id"), lshPairs(s, d))
+          .select(col("doc_id"), col("weight"))
+        val tok = docs.select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+        val per = tok.join(wts, "doc_id")
+          .groupBy("source")
+          .agg(sum("n_tok").as("raw_tokens"),
+            round(sum(col("weight") * col("n_tok")), 4).as("effective_tokens"))
+        val tot = per.agg(sum("effective_tokens").as("_tot"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("share", round(col("effective_tokens") / col("_tot"), 6))
+          .drop("_tot")
+          .orderBy("source")
+      },
+      Some(
+        s"""WITH RECURSIVE $toksCte,
+           |$gramsCte,
+           |$sigCte,
+           |$bandsCte,
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y ON x.j = y.j AND x.band = y.band AND x.doc_id < y.doc_id
+           |),
+           |sizes AS (SELECT doc_id, len(grams) AS n FROM grams),
+           |inter AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+           |  FROM cand c JOIN gx a ON a.doc_id = c.doc_a JOIN gx b ON b.doc_id = c.doc_b AND b.g = a.g
+           |  GROUP BY c.doc_a, c.doc_b
+           |),
+           |pairs AS (
+           |  SELECT doc_a, doc_b FROM inter
+           |  JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+           |  WHERE round(inter*1.0/(sa.n + sb.n - inter), 6) >= 0.5
+           |),
+           |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |      UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT src AS id, src AS r FROM e
+           |  UNION
+           |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+           |),
+           |cc AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+           |cs AS (SELECT cluster, count(*) AS k FROM cc GROUP BY cluster),
+           |wt AS (SELECT d.doc_id, round(CAST(1.0 AS DOUBLE) / COALESCE(cs.k, 1), 6) AS weight
+           |       FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+           |                       LEFT JOIN cs ON cs.cluster = cc.cluster),
+           |tk AS (SELECT d.doc_id, d.source, len(w) AS n_tok
+           |       FROM documents d JOIN toks ON toks.doc_id = d.doc_id),
+           |per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+           |               round(sum(weight * n_tok), 4) AS effective_tokens
+           |        FROM tk JOIN wt ON wt.doc_id = tk.doc_id GROUP BY source),
+           |tot AS (SELECT sum(effective_tokens) AS t FROM per)
+           |SELECT source, raw_tokens, effective_tokens,
+           |       round(effective_tokens / t, 6) AS share
+           |FROM per CROSS JOIN tot ORDER BY source""".stripMargin)),
+
     // Vocabulary coverage curve: fraction of corpus token OCCURRENCES
     // covered by the top-k terms, for candidate vocab sizes — the
     // tokenizer-design diagnostic read before pinning a vocab budget.

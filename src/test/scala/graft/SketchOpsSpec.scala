@@ -192,6 +192,28 @@ class SketchOpsSpec extends AnyFunSuite with SparkTestBase {
     full.foreach { case (k, dc, err) => assert(dc == exact(k) && err == 0L) }
   }
 
+  test("plan shapes: bloom probe and feature-hash are fully narrow; domain cap never cartesian") {
+    import sp.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val words = new Array[Long](64)
+    val bloomPlan = Sketch.bloomContamination(docs, col("doc_id"), col("text"),
+      words, nGram = 4, k = 3).queryExecution.executedPlan.toString
+    assert(!bloomPlan.contains("Exchange"),
+      "bloom probe must stay narrow — the filter broadcasts inside the expression")
+    val fhPlan = TextAnalysis.featureHashVectors(docs, col("doc_id"), col("text"), 16)
+      .queryExecution.executedPlan.toString
+    assert(!fhPlan.contains("Exchange"),
+      "feature-hash vectors are one compiled in-row pass")
+    val entPlan = TextAnalysis.encodingDamage(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!entPlan.contains("Exchange"), "encoding-damage is per-row kernels only")
+    val dcPlan = graft.ext.Corpus.domainCap(docs.withColumn("dom", lit("d")),
+      col("doc_id"), col("dom"), col("doc_id"), cap = 2)
+      .queryExecution.executedPlan.toString
+    assert(!dcPlan.contains("CartesianProduct") && !dcPlan.contains("BroadcastNestedLoop"),
+      "domain cap is windows over hash exchanges, never a product")
+  }
+
   test("multi_match ^boost: field score scales before the type combine") {
     import sp.implicits._
     val df = Seq(
