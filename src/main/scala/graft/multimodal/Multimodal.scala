@@ -495,4 +495,99 @@ object Multimodal {
         }
       }.toDF()
   }
+
+  // ---------------- video container demux (deterministic fake codec) ---
+
+  /** Deterministic synthetic video container "GRV1": 4-byte magic + width
+    * + height + frame count (one byte each) + `n` gray frames of w·h
+    * pixel bytes. The JDK ships NO video codec (the documented stub
+    * territory), so the container is our own — what is REAL here is the
+    * binary demux plumbing a production decoder would plug into: header
+    * parse, per-frame byte slicing, exact-integer frame statistics, the
+    * explode-to-frame-rows shape. Every 4th frame REPEATS frame 0 —
+    * the static-scene/letterbox pattern video near-dup must catch. Pixel
+    * (id, f, x, y) = (id·31 + f·7 + x·11 + y·13) mod 256, the c19
+    * analytic-pattern trick, so a DuckDB oracle reproduces every frame
+    * without touching a byte. */
+  @inline private[graft] def vidPx(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f.toLong * 7 + x.toLong * 11 + y.toLong * 13) % 256).toInt
+
+  def encodeTestVideos(ids: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (id % 5 + 2).toInt
+        val h = ((id * 3) % 4 + 2).toInt
+        val n = (id % 9 + 3).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write('G'); bos.write('R'); bos.write('V'); bos.write('1')
+        bos.write(w); bos.write(h); bos.write(n)
+        var f = 0
+        while (f < n) {
+          val fe = if (f % 4 == 0) 0 else f // static-scene repeats
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { bos.write(vidPx(id, fe, x, y)); x += 1 }
+            y += 1
+          }
+          f += 1
+        }
+        (id, bos.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  case class VideoFrame(doc_id: Long, frame_idx: Int, px_sum: Long,
+                        px_min: Int, px_max: Int)
+
+  /** Demux + per-frame exact-integer stats: one linear pass per payload,
+    * frames explode to rows (the shape frame-level models consume).
+    * Unrecognized magic yields no rows (per-row isolation, the A17
+    * convention). */
+  def videoFrames(payloads: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        if (p.length < 7 || p(0) != 'G' || p(1) != 'R' || p(2) != 'V' || p(3) != '1')
+          Iterator.empty
+        else {
+          val w = p(4) & 0xff; val h = p(5) & 0xff; val n = p(6) & 0xff
+          val fsz = w * h
+          (0 until n).iterator.map { f =>
+            val off = 7 + f * fsz
+            var s = 0L; var mn = 255; var mx = 0
+            var i = off
+            val end = off + fsz
+            while (i < end) {
+              val v = p(i) & 0xff
+              s += v; if (v < mn) mn = v; if (v > mx) mx = v
+              i += 1
+            }
+            VideoFrame(id, f, s, mn, mx)
+          }
+        }
+      }.toDF()
+  }
+
+  /** Static-scene summary per video: frame count, distinct frame
+    * signatures (exact (sum, min, max) triples over the raw bytes), and
+    * how many frames share frame 0's signature — the letterbox/static
+    * fraction a frame-sampling pipeline uses to skip dead footage. One
+    * demux pass + one doc-keyed agg. */
+  def videoStaticScenes(payloads: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val fr = videoFrames(payloads)
+    val f0 = fr.filter(col("frame_idx") === 0)
+      .select(col("doc_id"), col("px_sum").as("_s0"),
+        col("px_min").as("_m0"), col("px_max").as("_x0"))
+    fr.join(f0, "doc_id")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        count_distinct(struct(col("px_sum"), col("px_min"), col("px_max")))
+          .as("n_distinct"),
+        sum(when(col("px_sum") === col("_s0") && col("px_min") === col("_m0") &&
+          col("px_max") === col("_x0"), 1L).otherwise(0L)).as("n_static"))
+      .withColumn("static_ratio",
+        round(col("n_static").cast("double") / col("n_frames"), 4))
+  }
 }

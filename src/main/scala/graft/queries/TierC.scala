@@ -3038,6 +3038,71 @@ object TierC {
            |       CAST(max(run) + 3 AS BIGINT) AS longest_run_tokens
            |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Video container demux (deterministic GRV1 fixture — the JDK ships
+    // no video codec, so the container is ours; the REAL part is the
+    // binary plumbing: header parse, frame slicing, exact-integer frame
+    // stats exploded to rows). Every 4th frame repeats frame 0; the
+    // oracle reproduces every frame analytically from the pixel formula.
+    Q("c98_video_frames",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Multimodal.videoFrames(
+          Multimodal.encodeTestVideos(
+            Tables.documents(s, d).filter(col("doc_id") < 40)))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS w,
+             |         CAST((doc_id * 3) % 4 + 2 AS INT) AS h,
+             |         CAST(doc_id % 9 + 3 AS INT) AS n
+             |  FROM documents WHERE doc_id < 40),
+             |fr AS (SELECT doc_id, w, h, unnest(generate_series(0, n - 1)) AS frame_idx FROM p),
+             |pl AS (SELECT doc_id, frame_idx,
+             |         flatten(list_transform(generate_series(0, h - 1), y ->
+             |           list_transform(generate_series(0, w - 1), x ->
+             |             CAST((doc_id*31 + (CASE WHEN frame_idx % 4 = 0 THEN 0 ELSE frame_idx END)*7
+             |                   + x*11 + y*13) % 256 AS INT)))) AS px
+             |       FROM fr)
+             |SELECT doc_id, frame_idx, CAST(list_sum(px) AS BIGINT) AS px_sum,
+             |       list_min(px) AS px_min, list_max(px) AS px_max
+             |FROM pl ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Static-scene detection over the demuxed frames: distinct frame
+    // signatures + the fraction sharing frame 0's — the dead-footage
+    // skip a frame-sampling pipeline applies before feature extraction.
+    Q("c99_video_static",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Multimodal.videoStaticScenes(
+          Multimodal.encodeTestVideos(
+            Tables.documents(s, d).filter(col("doc_id") < 40)))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS w,
+             |         CAST((doc_id * 3) % 4 + 2 AS INT) AS h,
+             |         CAST(doc_id % 9 + 3 AS INT) AS n
+             |  FROM documents WHERE doc_id < 40),
+             |fr AS (SELECT doc_id, w, h, unnest(generate_series(0, n - 1)) AS frame_idx FROM p),
+             |pl AS (SELECT doc_id, frame_idx,
+             |         flatten(list_transform(generate_series(0, h - 1), y ->
+             |           list_transform(generate_series(0, w - 1), x ->
+             |             CAST((doc_id*31 + (CASE WHEN frame_idx % 4 = 0 THEN 0 ELSE frame_idx END)*7
+             |                   + x*11 + y*13) % 256 AS INT)))) AS px
+             |       FROM fr),
+             |sig AS (SELECT doc_id, frame_idx, CAST(list_sum(px) AS BIGINT) AS s,
+             |               list_min(px) AS mn, list_max(px) AS mx
+             |        FROM pl),
+             |f0 AS (SELECT doc_id, s AS s0, mn AS m0, mx AS x0 FROM sig WHERE frame_idx = 0)
+             |SELECT sig.doc_id, count(*) AS n_frames,
+             |       CAST(count(DISTINCT (sig.s, sig.mn, sig.mx)) AS BIGINT) AS n_distinct,
+             |       CAST(sum(CASE WHEN sig.s = f0.s0 AND sig.mn = f0.m0 AND sig.mx = f0.x0
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_static,
+             |       round(sum(CASE WHEN sig.s = f0.s0 AND sig.mn = f0.m0 AND sig.mx = f0.x0
+             |                      THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS static_ratio
+             |FROM sig JOIN f0 ON f0.doc_id = sig.doc_id
+             |GROUP BY sig.doc_id ORDER BY sig.doc_id""".stripMargin)),
+
     // Mixed-language / code-switch detection: language-ID each HALF of
     // the token stream; disagreement flags bilingual/concatenated docs —
     // the split check run before trusting a doc-level language label.

@@ -214,6 +214,26 @@ class SketchOpsSpec extends AnyFunSuite with SparkTestBase {
       "domain cap is windows over hash exchanges, never a product")
   }
 
+  test("video demux: frame slicing is exact, bad magic isolates, statics repeat frame 0") {
+    import sp.implicits._
+    implicit val s2: org.apache.spark.sql.SparkSession = sp
+    val vids = graft.multimodal.Multimodal.encodeTestVideos(Seq(5L).toDF("doc_id"))
+    val frames = graft.multimodal.Multimodal.videoFrames(vids)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+    // id=5: w=2 (5%5+2), h=5 ((5*3)%4+2), n=8 — frame 4 repeats frame 0
+    assert(frames.size == 8)
+    assert(frames(4) == frames(0), "every 4th frame is the static repeat of frame 0")
+    assert(frames(1) != frames(0))
+    // analytic ground truth for frame 1 over the 2×5 pattern
+    val expected = (0 until 5).flatMap(y => (0 until 2).map(x =>
+      ((5L * 31 + 7 + x * 11 + y * 13) % 256).toInt))
+    assert(frames(1)._1 == expected.sum.toLong &&
+      frames(1)._2 == expected.min && frames(1)._3 == expected.max)
+    val junk = Seq((9L, Array[Byte]('X', 'X', 'X', 'X', 1, 1, 1))).toDF("doc_id", "payload")
+    assert(graft.multimodal.Multimodal.videoFrames(junk).count() == 0,
+      "unrecognized magic yields no rows (per-row isolation)")
+  }
+
   test("multi_match ^boost: field score scales before the type combine") {
     import sp.implicits._
     val df = Seq(
