@@ -1052,7 +1052,32 @@ object EsQueryJson {
     // subset: the body's query must be match/match_phrase.
     val highlighted = Option(body.get("highlight")) match {
       case Some(h) =>
-        val (fname, spec) = single(h.get("fields"))
+        // multiple fields each get their own `_highlight_<field>` column
+        // (the relational shape of ES's per-field fragments map); a single
+        // field keeps the plain `_highlight` name
+        val fieldEntries = h.get("fields").fields().asScala.toSeq
+          .map(e => e.getKey -> e.getValue)
+        def highlightCol(fname: String, spec: JsonNode): Column =
+          highlightFragments(body, h, fname, spec)
+        fieldEntries match {
+          case Seq((fname, spec)) =>
+            withNames.withColumn("_highlight", highlightCol(fname, spec))
+          case entries =>
+            entries.foldLeft(withNames) { case (acc, (fname, spec)) =>
+              acc.withColumn(s"_highlight_$fname", highlightCol(fname, spec))
+            }
+        }
+      case None => withNames
+    }
+    highlightedTail(body, sortSpecs, scriptSorts.map(_._1), highlighted)
+  }
+
+  /** One field's highlight fragments (factored for the multi-field form):
+    * the column is a single fragment at `number_of_fragments` 1, an array
+    * otherwise — see the option comments inline. */
+  private def highlightFragments(body: JsonNode, h: JsonNode,
+                                 fname: String, spec: JsonNode): Column = {
+    {
         val fragSize = Option(spec.get("fragment_size")).map(_.asInt()).getOrElse(100)
         // `number_of_fragments` > 1 switches `_highlight` to an ARRAY of
         // fragments — one per distinct first-occurrence position of each
@@ -1090,18 +1115,25 @@ object EsQueryJson {
             .reduce(coalesce(_, _))
           val start = greatest(pos - 30, lit(1))
           val wrapped = wrapTerms(lowered.substr(start, lit(fragSize)))
-          withNames.withColumn("_highlight", when(pos.isNotNull, wrapped))
+          when(pos.isNotNull, wrapped)
         } else {
           val posArr = array(terms.map(t => instr(lowered, t)): _*)
           val hits = slice(array_sort(array_distinct(
             filter(posArr, p => p > 0))), 1, nFrags)
           val frags = transform(hits, p =>
             wrapTerms(lowered.substr(greatest(p - 30, lit(1)), lit(fragSize))))
-          withNames.withColumn("_highlight",
-            when(org.apache.spark.sql.functions.size(frags) > 0, frags))
+          when(org.apache.spark.sql.functions.size(frags) > 0, frags)
         }
-      case None => withNames
     }
+  }
+
+  /** The post-highlight half of [[search]] (search_after → sort →
+    * collapse → pagination → inner_hits → docvalue/stored/_source
+    * projection), factored so the highlight stage can attach one or many
+    * fragment columns before it. */
+  private def highlightedTail(body: JsonNode,
+      sortSpecs: Seq[(String, Option[String], Option[String])],
+      scriptSortNames: Seq[String], highlighted: DataFrame): DataFrame = {
     // `search_after`: deep pagination as a cursor on the sort tuple — the
     // next page is rows strictly after the cursor in sort order (ES's
     // replacement for deep from/size; no offset scan at scale). Direction-
@@ -1282,7 +1314,8 @@ object EsQueryJson {
     // any engine-computed columns already requested by the body) — the
     // column-pruning hint Catalyst pushes all the way into the scan
     def computedCols = (Seq("_score", "matched_queries", "_highlight", "_inner")
-      ++ withDv.columns.filter(_.endsWith("_dv"))).filter(withDv.columns.contains)
+      ++ withDv.columns.filter(c => c.endsWith("_dv") || c.startsWith("_highlight_")))
+      .filter(withDv.columns.contains)
     val projected = Option(body.get("_source")) match {
       case Some(src) if src.isArray =>
         val wanted = (src.elements().asScala.map(_.asText()).toSeq
@@ -1305,7 +1338,7 @@ object EsQueryJson {
           ++ computedCols.map(col)): _*)
     }
     // script-sort keys are sort machinery, not part of the hit
-    scriptSorts.map(_._1).foldLeft(projected)(_ drop _)
+    scriptSortNames.foldLeft(projected)(_ drop _)
   }
 
   /** ES `_msearch`: several search bodies against one index in a single

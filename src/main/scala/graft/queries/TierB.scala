@@ -4142,5 +4142,29 @@ object TierB {
            |         AS doc_count_error_upper_bound
            |FROM comb
            |ORDER BY doc_count DESC, key LIMIT 8""".stripMargin)),
+
+    // multi-FIELD highlight: each field gets its own fragments column
+    // (the relational shape of ES's per-field fragments map) — `text`
+    // highlighted by the body query, `lang` by its own highlight_query.
+    Q("a188_es_json_highlight_multi_field",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match": {"text": "spark"}},
+          | "highlight": {"fields": {
+          |    "text": {},
+          |    "lang": {"highlight_query": {"match": {"lang": "en"}}}}},
+          | "sort": ["doc_id"], "_source": ["doc_id"], "size": 40}""".stripMargin),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lower(text) AS lt, lang,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents),
+             |m AS (SELECT doc_id, lt, lang,
+             |             strpos(lt, 'spark') AS pt, strpos(lower(lang), 'en') AS pl
+             |      FROM t WHERE list_contains(w, 'spark'))
+             |SELECT doc_id,
+             |       CASE WHEN pt > 0 THEN replace(substr(lt, greatest(pt - 30, 1), 100),
+             |                                     'spark', '<em>spark</em>') END AS _highlight_text,
+             |       CASE WHEN pl > 0 THEN replace(substr(lower(lang), greatest(pl - 30, 1), 100),
+             |                                     'en', '<em>en</em>') END AS _highlight_lang
+             |FROM m ORDER BY doc_id LIMIT 40""".stripMargin)),
   )
 }
