@@ -112,6 +112,7 @@ object TextKernels {
     * longs, constant in the benchmark size). */
   case class BloomCountKernel(child: Expression, n: Int, k: Int, words: Array[Long])
       extends UnaryExpression with CodegenFallback {
+    require(words.nonEmpty, "bloom filter word array must be non-empty")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     private def mBits = words.length * 64L
     override def nullSafeEval(in: Any): Any = {

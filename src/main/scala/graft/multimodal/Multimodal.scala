@@ -554,6 +554,10 @@ object Multimodal {
         else {
           val w = p(4) & 0xff; val h = p(5) & 0xff; val n = p(6) & 0xff
           val fsz = w * h
+          // truncated container (declared frames past the payload end) is
+          // corrupt input → isolate like a bad magic, don't throw
+          if (p.length < 7 + n.toLong * fsz) Iterator.empty
+          else {
           (0 until n).iterator.map { f =>
             val off = 7 + f * fsz
             var s = 0L; var mn = 255; var mx = 0
@@ -565,6 +569,7 @@ object Multimodal {
               i += 1
             }
             VideoFrame(id, f, s, mn, mx)
+          }
           }
         }
       }.toDF()

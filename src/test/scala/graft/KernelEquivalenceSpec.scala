@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property checks that the round-11 compiled kernels are BIT-IDENTICAL
+  * to independent reference implementations written here from the spec
+  * (not by calling the production helpers): the kernels replaced
+  * interpreted HOF pipelines for speed, and these properties are the
+  * evidence the swap changed nothing. Reference md5-60 is re-derived from
+  * `java.security.MessageDigest` in this file; tokenization is re-derived
+  * from the documented `lower` + `\W+` contract. */
+class KernelEquivalenceSpec extends AnyFunSuite {
+
+  private def toks(s: String): Array[String] =
+    s.toLowerCase.split("\\W+").filter(_.nonEmpty)
+
+  /** Independent md5-60: first 15 hex chars of md5 as a long (== the top
+    * 60 bits of the first 8 digest bytes). */
+  private def md560(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  private val genText: Gen[String] = for {
+    n <- Gen.choose(0, 30)
+    ws <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "the", "x9"))
+    seps <- Gen.listOfN(n + 1, Gen.oneOf(" ", ", ", "  ", ". "))
+  } yield seps.head + ws.zip(seps.tail).map { case (w, s) => w + s }.mkString
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("TokenEntropySumKernel == ascending-distinct p·log2(p) fold") {
+    val k = graft.functions.TextKernels.TokenEntropySumKernel(Literal(""))
+    val prop = Prop.forAll(genText) { s =>
+      val t = toks(s)
+      val got = k.nullSafeEval(u(s))
+      if (t.isEmpty) got == null
+      else {
+        val dl = t.length.toDouble
+        var acc = 0.0
+        t.groupBy(identity).toSeq.sortBy(_._1).foreach { case (_, g) =>
+          val p = g.length / dl
+          acc = acc + p * (math.log(p) / math.log(2.0))
+        }
+        got.asInstanceOf[Double] == acc // bit-identical, no tolerance
+      }
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop).passed)
+  }
+
+  test("FeatureHashKernel == signed-tf cell sums under the md5-60 family") {
+    val dim = 8
+    val k = graft.functions.TextKernels.FeatureHashKernel(Literal(""), dim)
+    val prop = Prop.forAll(genText) { s =>
+      val expected = new Array[Long](dim)
+      toks(s).foreach { t =>
+        val j = (md560(t) % dim).toInt
+        val sg = if ((md560("sgn:" + t) & 1L) == 0L) 1L else -1L
+        expected(j) += sg
+      }
+      val got = k.nullSafeEval(u(s)).asInstanceOf[ArrayData].toLongArray()
+      got.sameElements(expected)
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop).passed)
+  }
+
+  test("PositionalGramHashKernel == hashes of space-joined positional n-grams") {
+    val prop = Prop.forAll(genText, Gen.choose(1, 4)) { (s, n) =>
+      val k = graft.functions.TextKernels.PositionalGramHashKernel(Literal(""), n)
+      val t = toks(s)
+      val expected = (0 to t.length - n).map(i => md560(t.slice(i, i + n).mkString(" ")))
+      val got = k.nullSafeEval(u(s)).asInstanceOf[ArrayData].toLongArray().toSeq
+      got == expected
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop).passed)
+  }
+
+  test("BloomCountKernel == distinct-gram membership over the same positions") {
+    val genWords = Gen.listOfN(4, Gen.choose(Long.MinValue, Long.MaxValue)).map(_.toArray)
+    val prop = Prop.forAll(genText, Gen.choose(1, 3), genWords) { (s, n, words) =>
+      val k = graft.functions.TextKernels.BloomCountKernel(Literal(""), n, 3, words)
+      val m = words.length * 64L
+      val grams = toks(s).sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq.distinct
+      val hits = grams.count { g =>
+        val h1 = md560(g); val h2 = md560("bloom2:" + g)
+        (0 until 3).forall { j =>
+          val p = (h1 + j * h2) % m
+          (words((p >> 6).toInt) & (1L << (p & 63L).toInt)) != 0
+        }
+      }
+      val got = k.nullSafeEval(u(s)).asInstanceOf[ArrayData].toLongArray()
+      got.sameElements(Array(grams.size.toLong, hits.toLong))
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop).passed)
+  }
+
+  test("LangMarkerHalvesKernel == per-half marker membership counts") {
+    val markers = Seq(Seq("the", "aa"), Seq("bb", "x9"), Seq("cc"))
+    val k = graft.functions.TextKernels.LangMarkerHalvesKernel(Literal(""), markers)
+    val prop = Prop.forAll(genText) { s =>
+      val t = toks(s)
+      val half = t.length / 2
+      val expected = new Array[Long](2 * markers.size)
+      t.zipWithIndex.foreach { case (tok, i) =>
+        val off = if (i < half) 0 else markers.size
+        markers.zipWithIndex.foreach { case (ms, l) =>
+          if (ms.contains(tok)) expected(off + l) += 1
+        }
+      }
+      val got = k.nullSafeEval(u(s)).asInstanceOf[ArrayData].toLongArray()
+      got.sameElements(expected)
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop).passed)
+  }
+}
