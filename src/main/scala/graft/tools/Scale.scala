@@ -417,6 +417,29 @@ object ScaleSketch {
       TextAnalysis.featureHashVectors(corpus, col("doc_id"), col("text"), 64)
         .write.mode("overwrite").format("noop").save())
 
+    // contamination runs: positional-gram kernel + islands windows,
+    // 480k docs against the 20k benchmark
+    t("contamination-runs-480k")(
+      Corpus.contaminationRuns(corpus.filter(col("doc_id") % 25 =!= 0),
+        col("doc_id"), col("text"),
+        bench, col("text"), nGram = 4)
+        .agg(count(lit(1)), sum("longest_run")).collect())
+
+    // video demux at 100k containers (~600k frames)
+    {
+      implicit val sp2: org.apache.spark.sql.SparkSession = spark
+      import graft.multimodal.Multimodal
+      val vids = Multimodal.encodeTestVideos(spark.range(100_000).select(col("id").as("doc_id")))
+      vids.write.mode("overwrite").parquet("/tmp/scale/vids")
+      val stored = spark.read.parquet("/tmp/scale/vids")
+      t("video-demux-100k")(
+        Multimodal.videoFrames(stored)
+          .agg(count(lit(1)), sum("px_sum")).collect())
+      t("video-static-scenes-100k")(
+        Multimodal.videoStaticScenes(stored)
+          .agg(avg("static_ratio")).collect())
+    }
+
     spark.stop()
   }
 }
