@@ -512,23 +512,34 @@ object Multimodal {
   @inline private[graft] def vidPx(id: Long, f: Int, x: Int, y: Int): Int =
     ((id * 31 + f.toLong * 7 + x.toLong * 11 + y.toLong * 13) % 256).toInt
 
-  def encodeTestVideos(ids: DataFrame)(implicit spark: SparkSession): DataFrame = {
+  /** `introGroup > 0` switches the fixture to SHARED-INTRO mode: videos
+    * in the same group of `introGroup` consecutive ids share dimensions
+    * (derived from the group id) and their static frames render the
+    * GROUP's pattern — byte-identical intro/outro cards across different
+    * videos, the cross-video duplicate-frame case. */
+  def encodeTestVideos(ids: DataFrame, introGroup: Int = 0)
+                      (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     ids.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { id =>
-        val w = (id % 5 + 2).toInt
-        val h = ((id * 3) % 4 + 2).toInt
+        val base = if (introGroup > 0) id - id % introGroup else id
+        val w = (base % 5 + 2).toInt
+        val h = ((base * 3) % 4 + 2).toInt
         val n = (id % 9 + 3).toInt
         val bos = new java.io.ByteArrayOutputStream()
         bos.write('G'); bos.write('R'); bos.write('V'); bos.write('1')
         bos.write(w); bos.write(h); bos.write(n)
         var f = 0
         while (f < n) {
-          val fe = if (f % 4 == 0) 0 else f // static-scene repeats
+          // static-scene repeats of frame 0; in shared-intro mode the
+          // static frames render the GROUP pattern
+          val staticFrame = f % 4 == 0
+          val pid = if (staticFrame && introGroup > 0) base else id
+          val fe = if (staticFrame) 0 else f
           var y = 0
           while (y < h) {
             var x = 0
-            while (x < w) { bos.write(vidPx(id, fe, x, y)); x += 1 }
+            while (x < w) { bos.write(vidPx(pid, fe, x, y)); x += 1 }
             y += 1
           }
           f += 1
@@ -573,6 +584,24 @@ object Multimodal {
           }
         }
       }.toDF()
+  }
+
+  /** Cross-VIDEO duplicate frames: pairs of different videos sharing
+    * byte-identical frames (shared intro/outro cards, syndicated
+    * content) by joining frame signatures — `shared_frames` counts the
+    * matching frame PAIRS (a card appearing twice in each video yields
+    * 2×2). The signature join is the production near-dup shape: work is
+    * quadratic only WITHIN a signature value (the banded-join argument —
+    * a signature shared by k frames contributes k² pairs because those
+    * pairs ARE the answer), and at 100 TB the exact (sum,min,max) triple
+    * would widen to the frame aHash (c77) with the c78 banding. */
+  def crossVideoDupFrames(payloads: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val fr = videoFrames(payloads).select(col("doc_id"),
+      struct(col("px_sum"), col("px_min"), col("px_max")).as("sig"))
+    val a = fr.select(col("doc_id").as("doc_a"), col("sig"))
+    val b = fr.select(col("doc_id").as("doc_b"), col("sig"))
+    a.join(b, Seq("sig")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_frames"))
   }
 
   /** Static-scene summary per video: frame count, distinct frame

@@ -3103,6 +3103,39 @@ object TierC {
              |FROM sig JOIN f0 ON f0.doc_id = sig.doc_id
              |GROUP BY sig.doc_id ORDER BY sig.doc_id""".stripMargin)),
 
+    // Cross-VIDEO duplicate frames: the shared-intro fixture gives every
+    // group of 3 videos byte-identical static cards; the signature join
+    // finds the frame pairs (the banded-near-dup shape — quadratic only
+    // within a signature value, and those pairs ARE the answer).
+    Q("c100_cross_video_dup_frames",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Multimodal.crossVideoDupFrames(
+          Multimodal.encodeTestVideos(
+            Tables.documents(s, d).filter(col("doc_id") < 60), introGroup = 3))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, doc_id - doc_id % 3 AS gid,
+             |         CAST((doc_id - doc_id % 3) % 5 + 2 AS INT) AS w,
+             |         CAST(((doc_id - doc_id % 3) * 3) % 4 + 2 AS INT) AS h,
+             |         CAST(doc_id % 9 + 3 AS INT) AS n
+             |  FROM documents WHERE doc_id < 60),
+             |fr AS (SELECT doc_id, gid, w, h, unnest(generate_series(0, n - 1)) AS f FROM p),
+             |pl AS (SELECT doc_id, f,
+             |         flatten(list_transform(generate_series(0, h - 1), y ->
+             |           list_transform(generate_series(0, w - 1), x ->
+             |             CAST(((CASE WHEN f % 4 = 0 THEN gid ELSE doc_id END)*31
+             |                   + (CASE WHEN f % 4 = 0 THEN 0 ELSE f END)*7
+             |                   + x*11 + y*13) % 256 AS INT)))) AS px
+             |       FROM fr),
+             |sig AS (SELECT doc_id, CAST(list_sum(px) AS BIGINT) AS s,
+             |               list_min(px) AS mn, list_max(px) AS mx FROM pl)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_frames
+             |FROM sig a JOIN sig b ON a.s = b.s AND a.mn = b.mn AND a.mx = b.mx
+             |                     AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Mixed-language / code-switch detection: language-ID each HALF of
     // the token stream; disagreement flags bilingual/concatenated docs —
     // the split check run before trusting a doc-level language label.
