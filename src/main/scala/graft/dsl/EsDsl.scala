@@ -501,6 +501,79 @@ object EsDsl {
       .orderBy(desc("doc_count"), col("key")).limit(size)
   }
 
+  /** ES 6.5's DEFAULT search mode `query_then_fetch`: BM25 statistics
+    * (N, df, avgdl) are SHARD-LOCAL — each shard scores its own hits with
+    * its own index stats and the coordinator merges by score, so the same
+    * doc can rank differently depending on which shard it landed on (the
+    * score-skew ES documents for small/skewed indices; every other scored
+    * query here models `dfs_query_then_fetch`, the global-stats mode the
+    * `search_type` parameter opts into). Shards = md5·60(id) mod `shards`
+    * (the [[termsAggWithError]] shard model). Plan: one corpus pass for
+    * the freq kernel, a shards-row stats agg broadcast back — scoring
+    * itself never shuffles the corpus.
+    * Ref: elasticsearch-observer uses the ES default search path
+    * (reference HbaseDataSyncEsObserver.java delegates all querying to
+    * the ES cluster, which defaults to query_then_fetch). */
+  def matchBm25QueryThenFetch(docs: DataFrame, idCol: Column, text: Column,
+                              terms: Seq[String], shards: Int,
+                              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ts = terms.map(_.toLowerCase)
+    val base = docs
+      .withColumn("_shard", pmod(graft.functions.Hashing.md5Long60(idCol.cast("string")),
+        lit(shards.toLong)))
+      .withColumn("_tfs", graft.functions.TextKernels.termFreqs(text, ts))
+      .withColumn("_dl", element_at(col("_tfs"), ts.size + 1).cast("double"))
+    val statCols = count(lit(1)).cast("double").as("_n") +:
+      avg(col("_dl")).as("_avgdl") +:
+      ts.indices.map { j =>
+        sum(when(element_at(col("_tfs"), j + 1) > 0, 1L).otherwise(0L))
+          .cast("double").as(s"_df$j")
+      }
+    val stats = base.groupBy(col("_shard")).agg(statCols.head, statCols.tail: _*)
+    val joined = base.join(broadcast(stats), "_shard")
+    val score = ts.indices.map { j =>
+      val tf = element_at(col("_tfs"), j + 1).cast("double")
+      val idf = log(lit(1.0) + (col("_n") - col(s"_df$j") + 0.5) / (col(s"_df$j") + 0.5))
+      val norm = lit(k1) * (lit(1 - b) + lit(b) * col("_dl") / col("_avgdl"))
+      idf * (tf * (k1 + 1)) / (tf + norm)
+    }.reduce(_ + _)
+    joined.withColumn("score", round(score, 6))
+      .filter(col("score") > 0)
+      .withColumn("shard", col("_shard").cast("int"))
+      .drop("_shard" +: "_tfs" +: "_dl" +: "_n" +: "_avgdl" +:
+        ts.indices.map(j => s"_df$j"): _*)
+  }
+
+  /** Custom `routing`: at index time each doc routes to shard
+    * md5·60(routing_value) mod `shards`; a search passing `routing=v`
+    * queries ONLY that shard — and sees every doc co-located on it,
+    * including docs indexed under OTHER routing values that hash to the
+    * same shard. That is exactly ES's contract: routing narrows the
+    * shard set searched, not the document set — the query still has to
+    * filter within the shard (the classic "routing is not a filter"
+    * documentation warning, made visible). Pure narrow predicate —
+    * at scale this is the 1/shards IO saving routing exists for. */
+  def routedTo(routingCol: Column, routing: String, shards: Int): Column =
+    pmod(graft.functions.Hashing.md5Long60(routingCol.cast("string")), lit(shards.toLong)) ===
+      pmod(graft.functions.Hashing.md5Long60(lit(routing)), lit(shards.toLong))
+
+  /** ES `terms` agg on a TEXT field (mapping `fielddata: true`): buckets
+    * are the ANALYZED tokens, each doc counts once per DISTINCT token it
+    * contains, and metric sub-aggs run over the docs containing the term
+    * (a doc's value enters a bucket once). ES 6.5 refuses this without
+    * `fielddata: true` in the mapping — an index-time setting, inlined
+    * here like the analyzer registries. Plan: explode distinct tokens
+    * (narrow), one (token) hash agg, TakeOrdered top-k — the standard
+    * word-count shape, no pre-agg sort. */
+  def fielddataTermsAgg(df: DataFrame, text: Column, metric: Column,
+                        metricName: String, size: Int): DataFrame =
+    df.select(explode(array_distinct(graft.ext.TextAnalysis.tokens(text))).as("key"),
+        metric.as("_m"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("doc_count"), round(avg(col("_m")), 6).as(metricName))
+      .orderBy(desc("doc_count"), col("key"))
+      .limit(size)
+
   /** B10 `stats` */
   def statsAgg(df: DataFrame, groups: Seq[Column], value: Column): DataFrame =
     df.groupBy(groups: _*).agg(

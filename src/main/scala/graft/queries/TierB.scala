@@ -4166,5 +4166,74 @@ object TierB {
              |       CASE WHEN pl > 0 THEN replace(substr(lower(lang), greatest(pl - 30, 1), 100),
              |                                     'en', '<em>en</em>') END AS _highlight_lang
              |FROM m ORDER BY doc_id LIMIT 40""".stripMargin)),
+
+    // ES 6.5 DEFAULT search mode query_then_fetch: BM25 stats are
+    // SHARD-LOCAL (each md5-shard scores with its own N/df/avgdl), so
+    // ranks differ from the global-stats dfs_query_then_fetch form every
+    // other scored row models — the documented small-index score skew,
+    // made exact. 4 shards over sf-sized documents gives visibly
+    // different per-shard idf.
+    Q("a189_es_json_query_then_fetch",
+      (s, d) => EsDsl.matchBm25QueryThenFetch(Tables.documents(s, d),
+          col("doc_id"), col("text"), Seq("spark", "web"), shards = 4)
+        .select(col("doc_id"), col("shard"), col("score"))
+        .orderBy(desc("score"), col("doc_id")).limit(20),
+      Some(s"""WITH t AS (
+           |  SELECT doc_id,
+           |         ${Hashing.sqlMd5Long60("CAST(doc_id AS VARCHAR)")} % 4 AS shard,
+           |         list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS w
+           |  FROM documents),
+           |f AS (
+           |  SELECT doc_id, shard,
+           |         CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
+           |         CAST(len(list_filter(w, x -> x = 'web')) AS DOUBLE) AS tf1,
+           |         CAST(len(w) AS DOUBLE) AS dl
+           |  FROM t),
+           |st AS (
+           |  SELECT shard, CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+           |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+           |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+           |  FROM f GROUP BY shard),
+           |sc AS (
+           |  SELECT f.doc_id, CAST(f.shard AS INT) AS shard,
+           |         round(ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0*(1.2+1))/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+           |             + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1*(1.2+1))/(tf1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS score
+           |  FROM f JOIN st ON f.shard = st.shard)
+           |SELECT doc_id, shard, score FROM sc WHERE score > 0
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Custom routing: docs route to md5(source) mod 4; a search with
+    // routing=src3 queries ONLY that shard — and returns docs from OTHER
+    // sources that hash-collide onto it (ES's "routing is not a filter"
+    // contract: it narrows the shards searched, the query still filters
+    // within the shard). The match keeps the row honest: routing + query
+    // compose, neither subsumes the other.
+    Q("a190_es_json_routing",
+      (s, d) => Tables.documents(s, d)
+        .filter(EsDsl.routedTo(col("source"), "src3", shards = 4))
+        .filter(EsDsl.matchQuery(col("text"), Seq("data")))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id").limit(50),
+      Some(s"""SELECT doc_id, source FROM documents
+           |WHERE ${Hashing.sqlMd5Long60("CAST(source AS VARCHAR)")} % 4 =
+           |      ${Hashing.sqlMd5Long60("'src3'")} % 4
+           |  AND list_contains(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> ''), 'data')
+           |ORDER BY doc_id LIMIT 50""".stripMargin)),
+
+    // terms agg on a TEXT field (mapping fielddata:true): buckets are the
+    // ANALYZED tokens, one vote per doc per distinct token; the metric
+    // sub-agg (avg n_chars) aggregates each containing doc once — the
+    // "what does a doc mentioning X look like" slice ES 6.5 only allows
+    // with fielddata enabled in the mapping.
+    Q("a191_es_json_fielddata_terms",
+      (s, d) => EsDsl.fielddataTermsAgg(Tables.documents(s, d),
+        col("text"), col("n_chars"), metricName = "avg_chars", size = 12),
+      Some("""WITH toks AS (
+             |  SELECT n_chars,
+             |         list_distinct(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS w
+             |  FROM documents),
+             |e AS (SELECT unnest(w) AS key, n_chars FROM toks)
+             |SELECT key, count(*) AS doc_count, round(avg(n_chars), 6) AS avg_chars
+             |FROM e GROUP BY key ORDER BY doc_count DESC, key LIMIT 12""".stripMargin)),
   )
 }

@@ -1644,4 +1644,59 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     // longer field length norms its score below docs 1/2
     assert(idx(1L) == idx(2L) && idx(3L) < idx(1L))
   }
+
+  test("query_then_fetch: one shard == global BM25; many shards skew scores") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 3 == 0) "spark streams data" else "web pages and words here"))
+      .toDF("doc_id", "text")
+    // shards=1: shard-local stats ARE the global stats — scores must
+    // equal matchBm25 exactly (same kernel, same fold)
+    val local1 = graft.dsl.EsDsl.matchBm25QueryThenFetch(
+      docs, col("doc_id"), col("text"), Seq("spark"), shards = 1)
+      .select("doc_id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val global = graft.dsl.EsDsl.matchBm25(docs, col("text"), Seq("spark"))
+      .select(col("doc_id"), col("_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(local1 == global)
+    // shards=4: matching docs land on shards with different N/df/avgdl,
+    // so at least two matching docs score differently even though their
+    // tf and dl are identical (the per-shard skew the mode exhibits)
+    val local4 = graft.dsl.EsDsl.matchBm25QueryThenFetch(
+      docs, col("doc_id"), col("text"), Seq("spark"), shards = 4)
+      .select("doc_id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(local4.keySet == global.keySet) // same HITS, different scores
+    assert(local4.values.toSet.size > 1 && local4 != global)
+  }
+
+  test("routing narrows to the shard, not the doc set") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1L to 200L).map(i => (i, s"src${i % 10}", "common text"))
+      .toDF("doc_id", "source", "text")
+    val hit = docs.filter(graft.dsl.EsDsl.routedTo(col("source"), "src3", shards = 4))
+    val sources = hit.select("source").distinct().as[String].collect().toSet
+    // every doc with the routing value is on its shard...
+    assert(sources.contains("src3"))
+    // ...and with 10 sources over 4 shards, colliding sources ride along
+    // (routing is not a filter)
+    assert(sources.size > 1 && sources.size < 10)
+    // shards=1 degenerates to the whole index
+    assert(docs.filter(graft.dsl.EsDsl.routedTo(col("source"), "src3", 1)).count() == 200)
+  }
+
+  test("fielddata terms agg: one vote per doc per distinct token") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "alpha alpha beta", 10),
+                   (2L, "alpha gamma", 20),
+                   (3L, "beta beta beta", 30)).toDF("doc_id", "text", "n")
+    val got = graft.dsl.EsDsl.fielddataTermsAgg(docs, col("text"), col("n"), "avg_n", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    // alpha: docs 1,2 (doc 1 counted ONCE despite tf=2); beta: docs 1,3
+    assert(got.contains(("alpha", 2L, 15.0)))
+    assert(got.contains(("beta", 2L, 20.0)))
+    assert(got.contains(("gamma", 1L, 20.0)))
+  }
 }
