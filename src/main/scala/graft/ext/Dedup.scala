@@ -845,4 +845,30 @@ object Dedup {
             struct(col("seg_idx"), col("seg"))))),
           s => s.getField("seg")), " ").as("text_dedup"))
   }
+
+  /** Content-defined chunking dedup signal (the backup-dedup/FastCDC rule
+    * on word tokens — [[graft.functions.TextKernels.CdcChunksKernel]]):
+    * chunk boundaries are a pure function of local content (2-gram hash ≡
+    * 0 mod `p`, expected chunk ≈ `p` tokens), so a shared token run longer
+    * than a chunk yields IDENTICAL chunk fingerprints in every doc that
+    * contains it regardless of where it sits — the insertion-robust twin
+    * of fixed-size [[segmentDedup]], where one inserted token shifts every
+    * later segment. Returns the corpus-repeated chunks: fingerprint,
+    * token length, containing-doc count, total occurrences.
+    *
+    * Scale shape: chunking is one compiled narrow pass; the only wide
+    * stage is the (fp) hash agg (rows = corpus tokens / p) + TakeOrdered
+    * top-k. No pairwise work. */
+  def cdcSharedChunks(df: DataFrame, idCol: Column, text: Column,
+                      p: Int = 13, minDocs: Int = 2, size: Int = 20): DataFrame =
+    df.select(idCol.as("doc_id"),
+        explode(graft.functions.TextKernels.cdcChunks(text, p)).as("ch"))
+      .select(col("doc_id"), col("ch.fp").as("fp"), col("ch.len").as("len"))
+      .groupBy("fp")
+      .agg(min("len").as("len"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(desc("n_docs"), desc("n_occ"), col("fp"))
+      .limit(size)
 }

@@ -178,6 +178,49 @@ object TextKernels {
   def positionalGramHashes(text: Column, n: Int): Column =
     column(PositionalGramHashKernel(expression(text), n))
 
+  /** Content-defined chunking (the FastCDC/backup-dedup boundary rule on
+    * word tokens): a chunk break falls BEFORE token i (1-based, i ≥ 2)
+    * whenever md5·60(tokenᵢ₋₁ ⧺ ' ' ⧺ tokenᵢ) ≡ 0 (mod `p`) — boundaries
+    * are a pure function of local content, so an insertion re-chunks
+    * only the chunk it lands in and every other chunk keeps its
+    * fingerprint (the property fixed-size segmenting, c60, lacks: there
+    * one insertion shifts every later segment). Emits one
+    * struct<fp: long, len: int> per chunk in position order; fp =
+    * md5·60 of the space-joined chunk tokens. One compiled pass —
+    * the boundary grams and chunk strings never leave the kernel. */
+  case class CdcChunksKernel(child: Expression, p: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(p >= 2, s"CDC modulus must be >= 2, got $p")
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("fp", LongType, nullable = false),
+        StructField("len", IntegerType, nullable = false))), containsNull = false)
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      val m = toks.length
+      if (m == 0) return new GenericArrayData(Array.empty[Any])
+      val out = new scala.collection.mutable.ArrayBuffer[Any]()
+      var start = 0
+      var i = 1
+      while (i <= m) {
+        val break = i == m ||
+          java.lang.Math.floorMod(md5Hash60(toks(i - 1) + " " + toks(i)), p.toLong) == 0L
+        if (break) {
+          val sb = new java.lang.StringBuilder(toks(start))
+          var k = start + 1
+          while (k < i) { sb.append(' ').append(toks(k)); k += 1 }
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](md5Hash60(sb.toString), i - start))
+          start = i
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def cdcChunks(text: Column, p: Int): Column = column(CdcChunksKernel(expression(text), p))
+
   /** Per-language marker counts for the two HALVES of the token stream
     * (head = first ⌊n/2⌋ tokens) in one compiled pass:
     * [head₀..head_{L−1}, tail₀..tail_{L−1}]. Full-doc counts are the

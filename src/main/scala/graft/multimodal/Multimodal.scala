@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -550,7 +551,7 @@ object Multimodal {
   }
 
   case class VideoFrame(doc_id: Long, frame_idx: Int, px_sum: Long,
-                        px_min: Int, px_max: Int)
+                        px_min: Int, px_max: Int, px_n: Int)
 
   /** Demux + per-frame exact-integer stats: one linear pass per payload,
     * frames explode to rows (the shape frame-level models consume).
@@ -579,7 +580,7 @@ object Multimodal {
               s += v; if (v < mn) mn = v; if (v > mx) mx = v
               i += 1
             }
-            VideoFrame(id, f, s, mn, mx)
+            VideoFrame(id, f, s, mn, mx, fsz)
           }
           }
         }
@@ -609,6 +610,29 @@ object Multimodal {
     * how many frames share frame 0's signature — the letterbox/static
     * fraction a frame-sampling pipeline uses to skip dead footage. One
     * demux pass + one doc-keyed agg. */
+  /** Keyframe selection by scene-change detection: a frame starts a new
+    * scene when its mean-pixel delta vs the PREVIOUS frame exceeds
+    * `meanDeltaThreshold` (|Δ px_sum| > threshold · px_n — exact integer
+    * comparison, no float in the cut decision); frame 0 always opens
+    * scene 0. Emits only the keyframes (one per scene), the frames a
+    * sampling pipeline would decode/feature-extract — the "frame-sample"
+    * step of the brief run as change detection instead of a fixed
+    * stride. One shuffle on doc_id; the lag and the running scene count
+    * share the partitioning. Per-video frame counts are bounded, so the
+    * window never sees unbounded partitions at scale. */
+  def videoKeyframes(payloads: DataFrame, meanDeltaThreshold: Int = 32)
+                    (implicit spark: SparkSession): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    videoFrames(payloads)
+      .withColumn("_prev", lag("px_sum", 1).over(w))
+      .withColumn("_cut", col("_prev").isNull ||
+        abs(col("px_sum") - col("_prev")) > lit(meanDeltaThreshold.toLong) * col("px_n"))
+      .withColumn("scene_idx",
+        (sum(when(col("_cut"), 1L).otherwise(0L)).over(w) - 1).cast("int"))
+      .filter(col("_cut"))
+      .select(col("doc_id"), col("frame_idx"), col("scene_idx"), col("px_sum"))
+  }
+
   def videoStaticScenes(payloads: DataFrame)(implicit spark: SparkSession): DataFrame = {
     val fr = videoFrames(payloads)
     val f0 = fr.filter(col("frame_idx") === 0)

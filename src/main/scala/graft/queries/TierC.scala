@@ -3064,7 +3064,8 @@ object TierC {
              |                   + x*11 + y*13) % 256 AS INT)))) AS px
              |       FROM fr)
              |SELECT doc_id, frame_idx, CAST(list_sum(px) AS BIGINT) AS px_sum,
-             |       list_min(px) AS px_min, list_max(px) AS px_max
+             |       list_min(px) AS px_min, list_max(px) AS px_max,
+             |       CAST(len(px) AS INT) AS px_n
              |FROM pl ORDER BY doc_id, frame_idx""".stripMargin)),
 
     // Static-scene detection over the demuxed frames: distinct frame
@@ -3279,5 +3280,106 @@ object TierC {
              |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
              |       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
              |FROM s""".stripMargin)),
+
+    // Keyframe selection by scene-change detection: a frame opens a new
+    // scene when its mean-pixel delta vs the previous frame exceeds 32
+    // (exact integer comparison — |Δsum| > 32·px_n); only keyframes
+    // survive, the frames a sampling pipeline would decode. The fixture's
+    // static-card returns (every 4th frame repeats frame 0) make both cut
+    // and no-cut transitions common.
+    Q("c101_video_keyframes",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Multimodal.videoKeyframes(
+          Multimodal.encodeTestVideos(
+            Tables.documents(s, d).filter(col("doc_id") < 40)))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id, CAST(doc_id % 5 + 2 AS INT) AS w,
+             |         CAST((doc_id * 3) % 4 + 2 AS INT) AS h,
+             |         CAST(doc_id % 9 + 3 AS INT) AS n
+             |  FROM documents WHERE doc_id < 40),
+             |fr AS (SELECT doc_id, w, h, unnest(generate_series(0, n - 1)) AS frame_idx FROM p),
+             |pl AS (SELECT doc_id, w * h AS px_n, frame_idx,
+             |         flatten(list_transform(generate_series(0, h - 1), y ->
+             |           list_transform(generate_series(0, w - 1), x ->
+             |             CAST((doc_id*31 + (CASE WHEN frame_idx % 4 = 0 THEN 0 ELSE frame_idx END)*7
+             |                   + x*11 + y*13) % 256 AS INT)))) AS px
+             |       FROM fr),
+             |st AS (SELECT doc_id, px_n, frame_idx, CAST(list_sum(px) AS BIGINT) AS px_sum FROM pl),
+             |cut AS (SELECT doc_id, frame_idx, px_sum,
+             |          CASE WHEN lag(px_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx) IS NULL
+             |                 OR abs(px_sum - lag(px_sum) OVER (PARTITION BY doc_id ORDER BY frame_idx)) > 32 * px_n
+             |               THEN 1 ELSE 0 END AS c
+             |        FROM st),
+             |sc AS (SELECT doc_id, frame_idx, px_sum, c,
+             |          CAST(sum(c) OVER (PARTITION BY doc_id ORDER BY frame_idx) - 1 AS INT) AS scene_idx
+             |        FROM cut)
+             |SELECT doc_id, frame_idx, scene_idx, px_sum FROM sc WHERE c = 1
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Content-defined chunking dedup: chunk boundaries from local content
+    // (2-gram hash % 13 == 0), so shared token runs produce IDENTICAL
+    // chunk fingerprints wherever they sit — the insertion-robust twin of
+    // fixed-size segment dedup (c60). Output: the corpus-repeated chunks.
+    Q("c102_cdc_chunks",
+      (s, d) => Dedup.cdcSharedChunks(Tables.documents(s, d),
+        col("doc_id"), col("text"), p = 13, minDocs = 2, size = 20),
+      Some(s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS w
+           |  FROM documents),
+           |b AS (
+           |  SELECT doc_id, w,
+           |         [CAST(1 AS BIGINT)] ||
+           |         list_filter(generate_series(2, len(w)), i ->
+           |           (${Hashing.sqlMd5Long60("w[i-1] || ' ' || w[i]")}) % 13 = 0) ||
+           |         [CAST(len(w) + 1 AS BIGINT)] AS bp
+           |  FROM t WHERE len(w) >= 1),
+           |c AS (
+           |  SELECT doc_id, unnest(list_transform(generate_series(1, len(bp) - 1), j ->
+           |           struct_pack(
+           |             fp := ${Hashing.sqlMd5Long60("array_to_string(w[bp[j]:bp[j+1]-1], ' ')")},
+           |             len := CAST(bp[j+1] - bp[j] AS INT)))) AS ch
+           |  FROM b)
+           |SELECT ch.fp AS fp, min(ch.len) AS len,
+           |       count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+           |FROM c GROUP BY ch.fp HAVING count(DISTINCT doc_id) >= 2
+           |ORDER BY n_docs DESC, n_occ DESC, fp LIMIT 20""".stripMargin)),
+
+    // Unicode NFC canonicalization: the same visible text arrives composed
+    // and decomposed from different web sources; without NFC every
+    // hash-based operator (dedup, term stats) treats them as distinct.
+    // Fixture plants decomposed e+U+0301 in every third doc; both engines
+    // (java.text.Normalizer / utf8proc) implement the same Unicode
+    // standard, so the per-source fingerprint XOR pins every normalized
+    // byte.
+    Q("c103_nfc_normalize",
+      (s, d) => {
+        val dec = when(col("doc_id") % 3 === 0,
+          regexp_replace(col("text"), "e", "é")).otherwise(col("text"))
+        Tables.documents(s, d)
+          .withColumn("_dec", dec)
+          .withColumn("_norm", graft.functions.Normalize.nfcNormalize(col("_dec")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("_norm") =!= col("_dec"), 1L).otherwise(0L)).as("n_changed"),
+            sum(length(col("_dec"))).as("pre_chars"),
+            sum(length(col("_norm"))).as("post_chars"),
+            expr("bit_xor(" +
+              "cast(conv(substring(md5(_norm), 1, 15), 16, 10) as bigint))").as("fp_xor"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |         CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'e' || chr(769)) ELSE text END AS dec
+             |  FROM documents),
+             |n AS (SELECT doc_id, source, dec, nfc_normalize(dec) AS norm FROM t)
+             |SELECT source, count(*) AS n_docs,
+             |       CAST(sum(CASE WHEN norm <> dec THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             |       CAST(sum(len(dec)) AS BIGINT) AS pre_chars,
+             |       CAST(sum(len(norm)) AS BIGINT) AS post_chars,
+             |       bit_xor(CAST('0x' || substr(md5(norm), 1, 15) AS BIGINT)) AS fp_xor
+             |FROM n GROUP BY source ORDER BY source""".stripMargin)),
   )
 }

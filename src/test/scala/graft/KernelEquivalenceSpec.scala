@@ -117,4 +117,28 @@ class KernelEquivalenceSpec extends AnyFunSuite {
     }
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop).passed)
   }
+
+  test("CdcChunksKernel == boundary-split reference (cover + exact fingerprints)") {
+    val prop = Prop.forAll(genText, Gen.oneOf(2, 3, 7)) { (s, p) =>
+      val k = graft.functions.TextKernels.CdcChunksKernel(Literal(""), p)
+      val t = toks(s)
+      // reference: boundary BEFORE 0-based token i (i >= 1) iff the
+      // 2-gram hash divides p; chunks = maximal runs between boundaries
+      val breaks = (1 until t.length).filter(i =>
+        java.lang.Math.floorMod(md560(t(i - 1) + " " + t(i)), p.toLong) == 0L)
+      val bounds = (0 +: breaks) :+ t.length
+      val expected = bounds.sliding(2).filter(b => b(1) > b(0)).map { b =>
+        (md560(t.slice(b(0), b(1)).mkString(" ")), b(1) - b(0))
+      }.toList
+      val got = k.nullSafeEval(u(s)) match {
+        case null => Nil
+        case a: ArrayData =>
+          (0 until a.numElements()).map { i =>
+            val r = a.getStruct(i, 2); (r.getLong(0), r.getInt(1))
+          }.toList
+      }
+      got == expected && got.map(_._2).sum == t.length
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop).passed)
+  }
 }

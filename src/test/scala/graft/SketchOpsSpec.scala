@@ -273,4 +273,80 @@ class SketchOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(hits(1, inOrder = false) == Set(1L, 2L))
     assert(hits(3, inOrder = true) == Set(1L, 3L))
   }
+
+  test("video keyframes: frame 0 opens scene 0, cut rule is exact-integer") {
+    import sp.implicits._
+    implicit val s2: org.apache.spark.sql.SparkSession = sp
+    val vids = graft.multimodal.Multimodal.encodeTestVideos(Seq(5L, 7L).toDF("doc_id"))
+    val kf = graft.multimodal.Multimodal.videoKeyframes(vids)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byDoc = kf.groupBy(_._1)
+    // frame 0 is always a keyframe and always scene 0
+    assert(byDoc.values.forall(_.exists(t => t._2 == 0 && t._3 == 0)))
+    // scene indices are consecutive from 0 in frame order
+    byDoc.values.foreach { ks =>
+      assert(ks.sortBy(_._2).map(_._3).toSeq == ks.indices.toSeq)
+    }
+    // the cut rule replayed by hand from the analytic pixel formula
+    def sums(id: Long): Map[Int, Long] = {
+      val w = (id % 5 + 2).toInt; val h = ((id * 3) % 4 + 2).toInt; val n = (id % 9 + 3).toInt
+      (0 until n).map { f =>
+        val fe = if (f % 4 == 0) 0 else f
+        f -> (for { y <- 0 until h; x <- 0 until w }
+          yield (id * 31 + fe * 7 + x * 11 + y * 13) % 256).sum
+      }.toMap
+    }
+    for (id <- Seq(5L, 7L)) {
+      val s = sums(id)
+      val w = (id % 5 + 2).toInt; val h = ((id * 3) % 4 + 2).toInt
+      val expect = (0 until s.size).filter(f =>
+        f == 0 || math.abs(s(f) - s(f - 1)) > 32L * w * h).toSet
+      assert(byDoc(id).map(_._2).toSet == expect)
+    }
+  }
+
+  test("CDC chunking: an insertion re-chunks only the chunk it lands in") {
+    import sp.implicits._
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    // insert one token mid-document
+    val edited = (1 to 80).map(i => if (i == 40) s"w$i INSERTED" else s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val chunks = df.select(col("doc_id"),
+        graft.functions.TextKernels.cdcChunks(col("text"), 7).as("ch"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)).toList).toMap
+    val a = chunks(1L); val b = chunks(2L)
+    assert(a != b, "the edited chunk's fingerprint changes")
+    // every chunk except the one containing the insertion is preserved —
+    // fixed-size segmentation would shift everything after token 40
+    val shared = a.toSet.intersect(b.toSet)
+    assert(shared.size >= a.size - 2,
+      s"only the edited chunk (and at most a re-split neighbor) may change: " +
+        s"${a.size} vs shared ${shared.size}")
+    // chunk lengths sum to the token count
+    val lens = df.filter(col("doc_id") === 1L).select(
+        graft.functions.TextKernels.cdcChunks(col("text"), 7).as("ch"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0).map(_.getInt(1))
+    assert(lens.sum == 80)
+    // shared-run property: both docs contain tokens w50..w80 untouched,
+    // so every chunk fully inside that run is byte-identical
+    assert(shared.nonEmpty)
+  }
+
+  test("NFC normalize: composes decomposed sequences, idempotent, fast-path exact") {
+    import sp.implicits._
+    val dec = "caf" + "e\u0301" + " latte"  // decomposed: e + COMBINING ACUTE
+    val comp = "caf\u00e9 latte"            // composed U+00E9
+    val df = Seq((1L, dec), (2L, comp), (3L, "plain ascii")).toDF("id", "t")
+    val out = df.select(col("id"), graft.functions.Normalize.nfcNormalize(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == comp)
+    assert(out(1L) == out(2L), "decomposed and composed normalize to the same bytes")
+    assert(out(3L) == "plain ascii", "already-normalized text passes through")
+    // idempotence
+    val twice = df.select(graft.functions.Normalize.nfcNormalize(
+      graft.functions.Normalize.nfcNormalize(col("t"))).as("n"))
+      .collect().map(_.getString(0)).toSet
+    assert(twice == out.values.toSet)
+  }
 }
