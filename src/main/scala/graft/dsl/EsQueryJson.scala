@@ -1412,6 +1412,18 @@ object EsQueryJson {
     * three-valued-match behavior (`!coalesce(p, false)`, not SQL's
     * null-dropping NOT). Version conflicts are the snapshot layer's job
     * (BucketedIndex versioned publishes), not the plan's. */
+  /** ES filtered ALIAS (`POST _aliases` with a `filter`): an alias is a
+    * named VIEW of an index whose filter conjoins with EVERY request
+    * against it — hits, counts and aggregations alike — because ES
+    * installs it on the alias's reader rather than into the query (the
+    * day-one multi-tenant pattern). The returned frame IS that view;
+    * search/aggregations against it scope everything accordingly.
+    * Filter-context semantics: no scoring, ES three-valued match (a NULL
+    * predicate does not match). Scale: the filter sits directly over the
+    * scan, so pushdown-eligible alias filters prune at the source. */
+  def filteredAlias(df: DataFrame, filterJson: String): DataFrame =
+    df.filter(coalesce(predicate(parse(filterJson)), lit(false)))
+
   def deleteByQuery(df: DataFrame, bodyJson: String): DataFrame = {
     val body = parse(bodyJson)
     val q = Option(body.get("query")).getOrElse(

@@ -1850,6 +1850,56 @@ object TierB {
              |CROSS JOIN (VALUES (0.25),(0.5),(0.75),(0.95)) v(p)
              |ORDER BY l_returnflag, p""".stripMargin)),
 
+    // HDR-histogram percentiles: log-linear buckets (values keep their
+    // top 8 bits — relative error < 2^-7), percentile = first bucket
+    // whose cumulative count reaches ceil(p·n), reported as the bucket
+    // max (HDR's highestEquivalentValue). Like the t-digest row, the
+    // gate measures the TRUE guarantee: the estimate's rank covers the
+    // target AND the bucket's min strictly precedes it, which pins the
+    // exact percentile inside the bucket — the oracle expects TRUE
+    // everywhere. The sketch is a bounded histogram (buckets ≤ 8·48),
+    // mergeable by addition — the 100 TB percentile path when rank
+    // accuracy beats t-digest's adaptive centroids.
+    Q("b12_percentiles_hdr",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 8
+        val ps = Seq(0.25, 0.5, 0.75, 0.95)
+        val vals = li(s, d).select(col("l_returnflag").as("g"),
+          col("l_extendedprice").cast("long").as("v"))
+          .filter(col("v") >= 1)
+        // bucket via pow-of-2 modulus — no dynamic shifts (Spark's
+        // shiftleft takes only literal counts); bit length via bin()
+        val p2 = array((0 to 47).map(i => lit(1L << i)): _*)
+        val pw = element_at(p2, greatest(length(bin(col("v"))) - lit(k), lit(0)) + 1)
+        val bmin = (col("v") - pmod(col("v"), pw)).as("bmin")
+        val hist = vals.select(col("g"), bmin, (col("v") - pmod(col("v"), pw) + pw - 1).as("rep"))
+          .groupBy("g", "bmin", "rep").agg(count(lit(1)).as("c"))
+        val wcum = Window.partitionBy("g").orderBy("rep")
+        val est = hist
+          .withColumn("cum", sum("c").over(wcum))
+          .withColumn("n", sum("c").over(Window.partitionBy("g")))
+          .select(col("g"), col("bmin"), col("rep"), col("cum"), col("n"),
+            explode(array(ps.map(lit): _*)).as("p"))
+          .filter(col("cum") >= ceil(col("p") * col("n")))
+          .groupBy("g", "p")
+          .agg(min(struct(col("rep"), col("bmin"))).as("e"), max("n").as("n"))
+          .select(col("g"), col("p"), col("e.rep").as("v_est"),
+            col("e.bmin").as("v_bmin"), col("n"))
+        vals.join(broadcast(est), "g")
+          .groupBy(col("g"), col("p"), col("v_est"), col("v_bmin"), col("n"))
+          .agg(sum(when(col("v") <= col("v_est"), 1L).otherwise(0L)).as("cnt_le"),
+            sum(when(col("v") < col("v_bmin"), 1L).otherwise(0L)).as("cnt_lt_bmin"))
+          .select(col("g").as("l_returnflag"), col("p"),
+            (col("cnt_le") >= ceil(col("p") * col("n")) &&
+              col("cnt_lt_bmin") < ceil(col("p") * col("n"))).as("within_band"))
+          .orderBy("l_returnflag", "p")
+      },
+      Some("""SELECT l_returnflag, CAST(p AS DOUBLE) AS p, TRUE AS within_band
+             |FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+             |CROSS JOIN (VALUES (0.25),(0.5),(0.75),(0.95)) v(p)
+             |ORDER BY l_returnflag, p""".stripMargin)),
+
     Q("b12_percentiles",
       (s, d) => li(s, d).groupBy(col("l_returnflag")).agg(
         round(percentileExact(col("l_quantity"), 0.25), 4).as("p25"),
@@ -4235,5 +4285,56 @@ object TierB {
              |e AS (SELECT unnest(w) AS key, n_chars FROM toks)
              |SELECT key, count(*) AS doc_count, round(avg(n_chars), 6) AS avg_chars
              |FROM e GROUP BY key ORDER BY doc_count DESC, key LIMIT 12""".stripMargin)),
+
+    // ES `copy_to` mapping: fields copied into a combined field at index
+    // time; a match on the combined field scores with the COMBINED
+    // tf/df/field-length (the "search-all" field ES users build with
+    // copy_to; distinct from multi_match, which scores per-field and
+    // combines). Here text+source copy into one stream, so "src3" — a
+    // value of a keyword field — becomes full-text-searchable alongside
+    // body terms, with BM25 stats of the merged stream.
+    Q("a192_es_json_copy_to",
+      (s, d) => EsDsl.matchBm25(Tables.documents(s, d),
+          concat_ws(" ", col("text"), col("source")), Seq("spark", "src3"))
+        .select(col("doc_id"), col("_score").as("score"))
+        .orderBy(desc("score"), col("doc_id")).limit(20),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text || ' ' || source), '\W+'), x -> x <> '') AS w
+             |  FROM documents),
+             |f AS (
+             |  SELECT doc_id,
+             |         CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
+             |         CAST(len(list_filter(w, x -> x = 'src3')) AS DOUBLE) AS tf1,
+             |         CAST(len(w) AS DOUBLE) AS dl
+             |  FROM t),
+             |st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+             |  FROM f),
+             |sc AS (
+             |  SELECT doc_id,
+             |         round(ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0*(1.2+1))/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+             |             + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1*(1.2+1))/(tf1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS score
+             |  FROM f CROSS JOIN st)
+             |SELECT doc_id, score FROM sc WHERE score > 0
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ES filtered ALIAS: the alias's filter conjoins with every request
+    // against it — the query AND the aggregation scope (ES installs it on
+    // the alias's reader). Search a src3-only alias with a range query +
+    // terms agg: both see only alias docs.
+    Q("a193_es_json_filtered_alias",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(
+        graft.dsl.EsQueryJson.filteredAlias(Tables.documents(s, d),
+          """{"term": {"source": "src3"}}"""),
+        """{"query": {"range": {"n_chars": {"gte": 200}}},
+          | "aggs": {"by_lang": {"terms": {"field": "lang", "size": 10},
+          |   "aggs": {"avg_len": {"avg": {"field": "n_chars"}}}}}}""".stripMargin)("by_lang"),
+      Some("""SELECT lang AS key, count(*) AS doc_count, round(avg(n_chars), 6) AS avg_len
+             |FROM documents
+             |WHERE source = 'src3' AND n_chars >= 200
+             |GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10""".stripMargin)),
   )
 }

@@ -1686,6 +1686,21 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(docs.filter(graft.dsl.EsDsl.routedTo(col("source"), "src3", 1)).count() == 200)
   }
 
+  test("filtered alias: filter conjoins with query and aggs; null fields do not match") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "a", 10), (2L, "a", 30), (3L, "b", 30), (4L, null, 30))
+      .toDF("id", "grp", "v")
+    val alias = graft.dsl.EsQueryJson.filteredAlias(df, """{"term": {"grp": "a"}}""")
+    // null grp (doc 4) must NOT match — ES three-valued semantics
+    assert(alias.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // a query against the alias composes
+    val hits = graft.dsl.EsQueryJson.search(alias,
+      """{"query": {"range": {"v": {"gte": 20}}}, "sort": ["id"]}""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits == Seq(2L))
+  }
+
   test("fielddata terms agg: one vote per doc per distinct token") {
     val sp = spark
     import sp.implicits._

@@ -222,4 +222,48 @@ class EventTimeSpec extends AnyFunSuite with SparkTestBase {
     val kept = sp.table("bloom_out").select("doc_id").collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(2L))
   }
+
+  test("stateful sessionize: in-batch close, event-time-timeout flush, batch twin agrees") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.streaming.StatefulSessionize
+    val ms = MemoryStream[Ev]
+    val src = ms.toDF().withWatermark("ts", "0 seconds")
+      .as[StatefulSessionize.SessEvent]
+    val q = StatefulSessionize.sessions(src, gapSeconds = 1800)
+      .writeStream.outputMode("append").format("memory").queryName("ss_out").start()
+
+    // user 1: two sessions — the 02:00 event closes session A IN-BATCH
+    ms.addData(
+      ev(1, "2024-01-01 00:00:00", 1, 1.5), ev(2, "2024-01-01 00:10:00", 1, 2.5),
+      ev(3, "2024-01-01 02:00:00", 1, 4.0))
+    q.processAllAvailable()
+    val afterBatch1 = sp.table("ss_out").collect()
+    assert(afterBatch1.map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getDouble(6))).toSeq ==
+      Seq((1L, 1L, 2L, 2L, 4.0)), "session A closes in-batch with its stats")
+
+    // watermark to 06:00 → session B's timeout (02:00 + 30 min) fires
+    ms.addData(ev(9, "2024-01-01 06:00:00", 9, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = sp.table("ss_out").filter(col("user_id") === 1)
+      .orderBy("sstart").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(5), r.getDouble(6))).toSeq
+    assert(rows == Seq(
+      ("2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0", 2L, 4.0),
+      ("2024-01-01 02:00:00.0", "2024-01-01 02:00:00.0", 1L, 4.0)))
+    // user 9's session is still open (watermark never passed its gap) —
+    // nothing emitted for it
+    assert(sp.table("ss_out").filter(col("user_id") === 9).isEmpty)
+    // batch twin: same session structure from ext.Sessionize
+    val batch = ext.Sessionize.userStats(sp.createDataFrame(Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L), (2L, ts("2024-01-01 00:10:00"), 1L),
+      (3L, ts("2024-01-01 02:00:00"), 1L))).toDF("event_id", "ts", "user_id"),
+      gapMinutes = 30).collect()
+    assert(batch.head.getAs[Long]("n_sessions") == 2 &&
+      batch.head.getAs[Long]("max_sess_events") == 2)
+  }
 }
