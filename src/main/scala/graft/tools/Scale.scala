@@ -438,7 +438,37 @@ object ScaleSketch {
       t("video-static-scenes-100k")(
         Multimodal.videoStaticScenes(stored)
           .agg(avg("static_ratio")).collect())
+      t("video-keyframes-100k")(
+        Multimodal.videoKeyframes(stored)
+          .agg(count(lit(1)), max("scene_idx")).collect())
     }
+
+    // CDC chunking at 500k docs, worst-case boilerplate skew: HALF the
+    // corpus shares one identical leading run (one hot fingerprint with
+    // 250k occurrences) — the agg-based shape has no pairwise work, so
+    // the hot chunk is one heavy hash-agg key, nothing more
+    val boiler = "terms of service apply to all content on this site " * 2
+    val cdcDocs = corpus.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, concat(lit(boiler), col("text")))
+        .otherwise(col("text")).as("text"))
+    val hot = t("cdc-chunks-500k-boilerplate-skew")(
+      graft.ext.Dedup.cdcSharedChunks(cdcDocs, col("doc_id"), col("text"),
+        p = 13, minDocs = 2, size = 5).collect())
+    println(s"SCALEINFO cdc hot chunk n_docs=${hot.headOption.map(_.getLong(2))}")
+
+    // NFC normalization over 500k docs (every 3rd doc planted decomposed)
+    t("nfc-normalize-500k")(
+      corpus.select(graft.functions.Normalize.nfcNormalize(
+          when(col("doc_id") % 3 === 0,
+            regexp_replace(col("text"), "w", "é")).otherwise(col("text"))).as("n"))
+        .agg(sum(length(col("n")))).collect())
+
+    // shard-local BM25 (query_then_fetch) over the full 500k: per-shard
+    // stats agg is shards-sized, scoring never shuffles the corpus
+    t("query-then-fetch-bm25-500k")(
+      graft.dsl.EsDsl.matchBm25QueryThenFetch(corpus, col("doc_id"),
+          col("text"), Seq("w0", "w1"), shards = 16)
+        .agg(count(lit(1)), round(sum("score"), 2)).collect())
 
     spark.stop()
   }
