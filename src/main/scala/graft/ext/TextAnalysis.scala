@@ -250,6 +250,59 @@ object TextAnalysis {
     rows.result().toDF("rank", "pair", "freq", "n_tokens_after")
   }
 
+  /** One hard-EM step of a UNIGRAM-LM tokenizer (the SentencePiece
+    * family — the other major subword trainer beside [[bpeTrain]]):
+    *  1. seed pieces = every substring of length 1..`maxPieceLen` of the
+    *     word types (multiplicity kept), corpus-weighted; pieces below
+    *     `minCount` drop except single chars (the base alphabet always
+    *     survives, so every word stays segmentable);
+    *  2. E-step: Viterbi-best segmentation of each word type under
+    *     logp(piece) = ln(occ/total) rounded 6 dp
+    *     ([[graft.functions.TextKernels.ViterbiSegmentKernel]] — one
+    *     compiled DP per word TYPE, not per token);
+    *  3. M-step: corpus-weighted Viterbi counts → re-estimated piece
+    *     probabilities. Emits the top-`topK` pieces with seed and
+    *     re-estimated stats — the movement a full EM run iterates.
+    *
+    * Scale shape: one corpus-sized tokenize+count; everything after is
+    * VOCABULARY-sized (substring explode, piece agg, Viterbi per word
+    * type). The piece table collects to the driver (bounded, the BPE
+    * merge-table class) and rides into the kernel as a literal map.
+    * Words longer than `maxWordLen` chars are excluded from the study on
+    * both engines (keeps the oracle's unrolled DP bounded). */
+  def unigramLmStep(docs: DataFrame, text: Column, minCount: Long = 5,
+                    maxWordLen: Int = 12, maxPieceLen: Int = 4,
+                    topK: Int = 25): DataFrame = {
+    val spark = docs.sparkSession
+    val words = Dedup.persistOnce(docs.select(explode(tokens(text)).as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("wcnt")))
+    val subs = words.select(col("wcnt"), explode(flatten(
+      transform(sequence(lit(1), length(col("word"))), st =>
+        transform(sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - st + 1)),
+          l => col("word").substr(st, l))))).as("piece"))
+    val pieceRows = subs.groupBy("piece").agg(sum("wcnt").as("occ"))
+      .filter(col("occ") >= minCount || length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = pieceRows.map(_._2).sum.toDouble
+    def round6(v: Double): Double =
+      new java.math.BigDecimal(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val lpMap = pieceRows.map { case (p, occ) => p -> round6(math.log(occ / total)) }.toMap
+    import spark.implicits._
+    val lpDf = pieceRows.map { case (p, occ) => (p, occ, lpMap(p)) }
+      .toSeq.toDF("piece", "occ", "logp")
+    val mstep = words
+      .select(col("wcnt"),
+        explode(graft.functions.TextKernels.viterbiSegment(col("word"), lpMap, maxPieceLen))
+          .as("piece"))
+      .groupBy("piece").agg(sum("wcnt").as("vit_cnt"))
+    mstep.join(broadcast(lpDf), "piece")
+      .crossJoin(broadcast(mstep.agg(sum("vit_cnt").as("vt"))))
+      .select(col("piece"), col("occ"), col("logp"), col("vit_cnt"),
+        round(col("vit_cnt") / col("vt"), 6).as("new_p"))
+      .orderBy(desc("vit_cnt"), col("piece")).limit(topK)
+  }
+
   /** BPE ENCODE with a learned merge list — the apply step of
     * [[bpePairCounts]]'s training iteration. Each word becomes a
     * marker-wrapped symbol sequence (`"ab"` → `"<a><b>"`; markers make

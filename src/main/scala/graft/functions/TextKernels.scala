@@ -221,6 +221,63 @@ object TextKernels {
 
   def cdcChunks(text: Column, p: Int): Column = column(CdcChunksKernel(expression(text), p))
 
+  /** Viterbi segmentation of one word under a unigram LM (the
+    * SentencePiece E-step): best = argmax Σ logp(piece) over all
+    * segmentations into pieces of length ≤ `maxPieceLen`. DP over end
+    * positions; candidates at each position are tried LONGEST piece
+    * first with a strict `>`, so ties go to the longer piece — the
+    * DuckDB twin (ORDER BY score DESC, piece-length DESC) replays the
+    * identical rule, and every candidate score is the same
+    * incrementally-built double chain on both engines, so even
+    * float-equal ties resolve identically. Unsegmentable words (a char
+    * absent from `pieces`) return the empty array. */
+  case class ViterbiSegmentKernel(child: Expression, pieces: Map[String, Double],
+                                  maxPieceLen: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    @transient private lazy val lp = {
+      val m = new java.util.HashMap[String, java.lang.Double]()
+      pieces.foreach { case (k, v) => m.put(k, v) }
+      m
+    }
+    override def nullSafeEval(in: Any): Any = {
+      val w = in.asInstanceOf[UTF8String].toString
+      val n = w.length
+      val score = Array.fill(n + 1)(Double.NegativeInfinity)
+      val bp = new Array[Int](n + 1) // length of the piece ending at j
+      score(0) = 0.0
+      var j = 1
+      while (j <= n) {
+        var l = math.min(maxPieceLen, j)
+        while (l >= 1) {
+          if (score(j - l) != Double.NegativeInfinity) {
+            val v = lp.get(w.substring(j - l, j))
+            if (v != null) {
+              val c = score(j - l) + v.doubleValue()
+              if (c > score(j)) { score(j) = c; bp(j) = l }
+            }
+          }
+          l -= 1
+        }
+        j += 1
+      }
+      if (n > 0 && score(n) == Double.NegativeInfinity)
+        return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](Iterator.iterate(n)(p => p - bp(p)).takeWhile(_ > 0).size)
+      var p = n
+      var i = out.length - 1
+      while (p > 0) {
+        out(i) = UTF8String.fromString(w.substring(p - bp(p), p))
+        p -= bp(p); i -= 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def viterbiSegment(word: Column, pieces: Map[String, Double], maxPieceLen: Int): Column =
+    column(ViterbiSegmentKernel(expression(word), pieces, maxPieceLen))
+
   /** Per-language marker counts for the two HALVES of the token stream
     * (head = first ⌊n/2⌋ tokens) in one compiled pass:
     * [head₀..head_{L−1}, tail₀..tail_{L−1}]. Full-doc counts are the

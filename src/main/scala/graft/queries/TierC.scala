@@ -3381,5 +3381,68 @@ object TierC {
              |       CAST(sum(len(norm)) AS BIGINT) AS post_chars,
              |       bit_xor(CAST('0x' || substr(md5(norm), 1, 15) AS BIGINT)) AS fp_xor
              |FROM n GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Unigram-LM tokenizer hard-EM step (the SentencePiece family — the
+    // other major subword trainer beside the BPE loop, c67): seed pieces
+    // from corpus-weighted substrings, Viterbi-segment every word type
+    // under logp = ln(occ/total) @6dp, re-estimate piece probabilities
+    // from the corpus-weighted Viterbi counts. The oracle replays the DP
+    // as 12 unrolled best-per-position CTEs + a 12-step backtrack walk —
+    // candidate scores are the identical incrementally-built double
+    // chains, and ties break longest-piece-first on both engines, so the
+    // segmentations must agree word for word.
+    Q("c104_unigram_lm_step",
+      (s, d) => TextAnalysis.unigramLmStep(Tables.documents(s, d), col("text"),
+        minCount = 5, maxWordLen = 12, maxPieceLen = 4, topK = 25),
+      Some {
+        val maxJ = 12
+        val fwd = (1 to maxJ).map { j =>
+          val branches = (1 to math.min(4, j)).map { l =>
+            val i = j - l
+            s"""    SELECT w.word, w.wcnt, v.s + lp.logp AS cs, $l AS plen, lp.piece
+               |    FROM wt w JOIN v$i v ON v.word = w.word
+               |              JOIN lp ON lp.piece = substr(w.word, ${i + 1}, $l)
+               |    WHERE len(w.word) >= $j""".stripMargin
+          }.mkString("\n    UNION ALL\n")
+          s"""v$j AS MATERIALIZED (
+             |  SELECT word, wcnt, cs AS s, plen, piece FROM (
+             |$branches)
+             |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY cs DESC, plen DESC) = 1)""".stripMargin
+        }.mkString(",\n")
+        val vall = (1 to maxJ).map(j =>
+          s"SELECT $j AS j, word, plen, piece FROM v$j").mkString("\n  UNION ALL ")
+        val back = (1 to maxJ).map { k =>
+          s"""b$k AS MATERIALIZED (
+             |  SELECT b.word, b.wcnt,
+             |         CASE WHEN b.cur > 0 THEN b.cur - v.plen ELSE 0 END AS cur,
+             |         CASE WHEN b.cur > 0 THEN list_prepend(v.piece, b.ps) ELSE b.ps END AS ps
+             |  FROM b${k - 1} b LEFT JOIN vall v ON v.word = b.word AND v.j = b.cur)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $toksCte,
+           |wt AS MATERIALIZED (SELECT tok AS word, count(*) AS wcnt
+           |       FROM (SELECT unnest(w) AS tok FROM toks)
+           |       WHERE len(tok) <= 12 GROUP BY tok),
+           |subs AS (SELECT wcnt, unnest(flatten(list_transform(generate_series(1, len(word)), st ->
+           |           list_transform(generate_series(1, least(4, len(word) - st + 1)), l ->
+           |             substr(word, st, l))))) AS piece
+           |         FROM wt),
+           |pieces AS (SELECT piece, CAST(sum(wcnt) AS BIGINT) AS occ FROM subs GROUP BY piece
+           |           HAVING sum(wcnt) >= 5 OR len(piece) = 1),
+           |lp AS MATERIALIZED (SELECT piece, occ, round(ln(CAST(occ AS DOUBLE) / t.tot), 6) AS logp
+           |       FROM pieces CROSS JOIN (SELECT CAST(sum(occ) AS DOUBLE) AS tot FROM pieces) t),
+           |v0 AS (SELECT word, wcnt, CAST(0 AS DOUBLE) AS s FROM wt),
+           |$fwd,
+           |vall AS MATERIALIZED (
+           |  $vall),
+           |b0 AS (SELECT word, wcnt, len(word) AS cur, []::VARCHAR[] AS ps FROM wt),
+           |$back,
+           |mc AS (SELECT piece, CAST(sum(wcnt) AS BIGINT) AS vit_cnt
+           |       FROM (SELECT wcnt, unnest(ps) AS piece FROM b$maxJ) GROUP BY piece)
+           |SELECT mc.piece, lp.occ, lp.logp, mc.vit_cnt,
+           |       round(mc.vit_cnt / t.vt, 6) AS new_p
+           |FROM mc JOIN lp ON lp.piece = mc.piece
+           |CROSS JOIN (SELECT CAST(sum(vit_cnt) AS BIGINT) AS vt FROM mc) t
+           |ORDER BY vit_cnt DESC, mc.piece LIMIT 25""".stripMargin
+      }),
   )
 }

@@ -141,4 +141,50 @@ class KernelEquivalenceSpec extends AnyFunSuite {
     }
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop).passed)
   }
+
+  test("ViterbiSegmentKernel == brute-force best segmentation (longest-piece ties)") {
+    // small alphabet so multi-char pieces recur; piece set: all chars +
+    // a few multi-char pieces with fixed log-probs
+    val genWord = Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val pieces = Map(
+      "a" -> -3.2, "b" -> -3.5, "c" -> -4.1,
+      "ab" -> -5.0, "bc" -> -5.0, "abc" -> -7.9, "aa" -> -6.4, "ca" -> -7.6)
+    val k = graft.functions.TextKernels.ViterbiSegmentKernel(Literal(""), pieces, 4)
+    def brute(w: String): List[List[String]] =
+      if (w.isEmpty) List(Nil)
+      else (1 to math.min(4, w.length)).toList
+        .filter(l => pieces.contains(w.take(l)))
+        .flatMap(l => brute(w.drop(l)).map(w.take(l) :: _))
+    def refDp(w: String, ps: Map[String, Double]): List[String] = {
+      val n = w.length
+      val sc = Array.fill(n + 1)(Double.NegativeInfinity); sc(0) = 0.0
+      val bp = new Array[Int](n + 1)
+      for (j <- 1 to n; l <- math.min(4, j) to 1 by -1) {
+        val p = w.substring(j - l, j)
+        if (sc(j - l) != Double.NegativeInfinity && ps.contains(p)) {
+          val c = sc(j - l) + ps(p)
+          if (c > sc(j)) { sc(j) = c; bp(j) = l }
+        }
+      }
+      var out = List.empty[String]; var p = n
+      while (p > 0 && bp(p) > 0) { out = w.substring(p - bp(p), p) :: out; p -= bp(p) }
+      out
+    }
+    val prop = Prop.forAll(genWord) { w =>
+      val got = k.nullSafeEval(u(w)).asInstanceOf[ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toList
+      val all = brute(w)
+      if (all.isEmpty) got.isEmpty
+      else {
+        val score = (seg: List[String]) => seg.foldLeft(0.0)((s, p) => s + pieces(p))
+        val best = score(got)
+        // optimal score...
+        all.forall(seg => score(seg) <= best) &&
+          // ...and on ties, the greedy longest-piece-first DP's choice:
+          // recompute via reference DP with the same tie rule
+          got == refDp(w, pieces)
+      }
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop).passed)
+  }
 }
