@@ -580,4 +580,81 @@ object Similarity {
     }: _*)
     vecs.select(idCol.as("vec_id"), proj.as("proj"))
   }
+
+  private def elD(c: Column, i: Int): Column = element_at(c, i + 1).cast("double")
+
+  /** Fit ZCA/Cholesky WHITENING on a `dim`-d vector column: one agg pass
+    * for the mean + upper-triangle second moments (dim·(dim+3)/2 agg
+    * columns, NO explode), then driver-side dim³ algebra (Cholesky of
+    * the ridge-stabilized covariance, triangular inverse) — the bounded
+    * coordinator step, the k-means-centroid class. Returns (mu, W) with
+    * W·Cov·Wᵀ = I − λ·W·Wᵀ ≈ I. Whitening before cosine/ANN is the
+    * standard embedding-space correction (per-dim scale + correlation
+    * removed — the "whitening-k" trick from the sentence-embedding
+    * literature); on a 100 TB corpus the fit pass is one scan and the
+    * apply is narrow arithmetic. */
+  def whitenFit(vecs: DataFrame, vecCol: Column, dim: Int,
+                ridge: Double = 1e-6): (Array[Double], Array[Array[Double]]) = {
+    val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+    val aggs = (0 until dim).map(i => avg(elD(col("_v"), i)).as(s"mu$i")) ++
+      pairs.map { case (i, j) => avg(elD(col("_v"), i) * elD(col("_v"), j)).as(s"m${i}_$j") }
+    val r = vecs.select(vecCol.as("_v")).agg(aggs.head, aggs.tail: _*).collect()(0)
+    val mu = (0 until dim).map(i => r.getAs[Double](s"mu$i")).toArray
+    val c = Array.ofDim[Double](dim, dim)
+    pairs.foreach { case (i, j) =>
+      val v = r.getAs[Double](s"m${i}_$j") - mu(i) * mu(j)
+      c(i)(j) = v; c(j)(i) = v
+    }
+    (0 until dim).foreach(i => c(i)(i) += ridge)
+    val lo = Array.ofDim[Double](dim, dim)
+    for (i <- 0 until dim; j <- 0 to i) {
+      var s = c(i)(j)
+      var k = 0
+      while (k < j) { s -= lo(i)(k) * lo(j)(k); k += 1 }
+      if (i == j) lo(i)(i) = math.sqrt(s) else lo(i)(j) = s / lo(j)(j)
+    }
+    val w = Array.ofDim[Double](dim, dim)
+    for (i <- 0 until dim) {
+      w(i)(i) = 1.0 / lo(i)(i)
+      for (j <- 0 until i) {
+        var s = 0.0
+        var k = j
+        while (k < i) { s -= lo(i)(k) * w(k)(j); k += 1 }
+        w(i)(j) = s / lo(i)(i)
+      }
+    }
+    (mu, w)
+  }
+
+  /** Apply a [[whitenFit]] transform: y = W·(x − mu), built as literal
+    * multiply-add expression trees (codegen'd, narrow, no shuffle). */
+  def whitenApply(vecs: DataFrame, idCol: Column, vecCol: Column,
+                  mu: Array[Double], w: Array[Array[Double]]): DataFrame = {
+    val dim = mu.length
+    val y = array((0 until dim).map { k =>
+      (0 until dim).map(j => lit(w(k)(j)) * (elD(vecCol, j) - lit(mu(j)))).reduce(_ + _)
+    }: _*)
+    vecs.select(idCol.as("vec_id"), y.as("white"))
+  }
+
+  /** The whitening CORRECTNESS gate (the b12pt bounded-error pattern):
+    * measure the empirical covariance of the whitened vectors and assert
+    * every upper-triangle cell within `tol` of the identity — the oracle
+    * expects TRUE for all dim·(dim+1)/2 cells. Two corpus passes total
+    * (fit + gate), both single hash-free aggregates. */
+  def whitenGate(vecs: DataFrame, idCol: Column, vecCol: Column, dim: Int,
+                 ridge: Double = 1e-6, tol: Double = 1e-3): DataFrame = {
+    val spark = vecs.sparkSession
+    val (mu, w) = whitenFit(vecs, vecCol, dim, ridge)
+    val white = whitenApply(vecs, idCol, vecCol, mu, w)
+    val pairs = for { i <- 0 until dim; j <- i until dim } yield (i, j)
+    val gAggs = pairs.map { case (i, j) =>
+      avg(elD(col("white"), i) * elD(col("white"), j)).as(s"g${i}_$j") }
+    val g = white.agg(gAggs.head, gAggs.tail: _*).collect()(0)
+    import spark.implicits._
+    pairs.map { case (i, j) =>
+      val target = if (i == j) 1.0 else 0.0
+      (i, j, math.abs(g.getAs[Double](s"g${i}_$j") - target) <= tol)
+    }.toSeq.toDF("i", "j", "within_band").orderBy("i", "j")
+  }
 }

@@ -3444,5 +3444,24 @@ object TierC {
            |CROSS JOIN (SELECT CAST(sum(vit_cnt) AS BIGINT) AS vt FROM mc) t
            |ORDER BY vit_cnt DESC, mc.piece LIMIT 25""".stripMargin
       }),
+
+    // Embedding whitening (ZCA via Cholesky) on the JL-projected space —
+    // the standard pre-ANN correction (per-dim scale + correlations
+    // removed). The gate is the b12pt bounded-error pattern: empirical
+    // covariance of the whitened vectors must sit within 1e-3 of the
+    // identity on every upper-triangle cell; the oracle expects TRUE for
+    // all 136. Fit = one agg pass + driver 16^3 algebra; apply = narrow
+    // codegen'd multiply-adds.
+    Q("c105_embedding_whitening",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val proj = Similarity.jlProject(e, col("vec_id"), col("embedding"),
+          Similarity.jlSigns(64, 16))
+        Similarity.whitenGate(proj, col("vec_id"), col("proj"), dim = 16)
+      },
+      Some("""SELECT a.i, b.j, TRUE AS within_band
+             |FROM (SELECT unnest(generate_series(0, 15)) AS i) a,
+             |     (SELECT unnest(generate_series(0, 15)) AS j) b
+             |WHERE a.i <= b.j ORDER BY a.i, b.j""".stripMargin)),
   )
 }

@@ -79,6 +79,37 @@ class SketchOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(p(1L) == expected)
   }
 
+  test("whitening: correlated dims decorrelate to unit variance, mean removed") {
+    import sp.implicits._
+    // 2-d vectors with strong correlation and wildly different scales
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 400).map { i =>
+      val a = rnd.nextGaussian() * 10 + 5
+      val b = 0.9 * a + rnd.nextGaussian() * 0.1 - 2
+      (i.toLong, Seq(a, b))
+    }.toDF("vec_id", "v")
+    val (mu, w) = Similarity.whitenFit(vecs, col("v"), dim = 2)
+    val white = Similarity.whitenApply(vecs, col("vec_id"), col("v"), mu, w)
+    val g = white.agg(
+      avg(element_at(col("white"), 1)).as("m0"),
+      avg(element_at(col("white"), 2)).as("m1"),
+      avg(element_at(col("white"), 1) * element_at(col("white"), 1)).as("v00"),
+      avg(element_at(col("white"), 1) * element_at(col("white"), 2)).as("v01"),
+      avg(element_at(col("white"), 2) * element_at(col("white"), 2)).as("v11"))
+      .collect().head
+    assert(math.abs(g.getDouble(0)) < 1e-9 && math.abs(g.getDouble(1)) < 1e-9,
+      "whitened mean is zero")
+    // the ridge (1e-6) costs lambda/sigma^2 on a tiny-residual dim, so
+    // the bound is the gate's 1e-3, not machine epsilon
+    assert(math.abs(g.getDouble(2) - 1) < 1e-3 && math.abs(g.getDouble(4) - 1) < 1e-3,
+      "unit variance per dim")
+    assert(math.abs(g.getDouble(3)) < 1e-3, "correlation removed")
+    // the gate frame reports all-TRUE on this data
+    val gate = Similarity.whitenGate(vecs, col("vec_id"), col("v"), dim = 2)
+      .collect().map(_.getBoolean(2))
+    assert(gate.length == 3 && gate.forall(identity))
+  }
+
   test("canonicalByQuality: highest rank wins, ties to lowest id, singletons self-keep") {
     import sp.implicits._
     val docs = Seq((1L, 5), (2L, 9), (3L, 9), (4L, 7)).toDF("doc_id", "q0")
