@@ -4336,5 +4336,70 @@ object TierB {
              |FROM documents
              |WHERE source = 'src3' AND n_chars >= 200
              |GROUP BY lang ORDER BY doc_count DESC, lang LIMIT 10""".stripMargin)),
+
+    // ES _bulk — the reference's CORE operation (its observer batches
+    // HBase mutations into bulk index/delete items): NDJSON parse + the
+    // per-item response. Fixture classes per id: delete / index /
+    // update(merge) / create-on-existing (conflict, ES 409) /
+    // create-new / update-missing (ES 404).
+    Q("a194_es_json_bulk_items",
+      (s, d) => EsBulkFixture.items(s, d).orderBy("seq"),
+      Some("""WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id < 40)
+             |SELECT seq, id, op, result FROM (
+             |  SELECT 2*id AS seq, id, 'delete' AS op, 'deleted' AS result FROM d WHERE id % 5 = 0
+             |  UNION ALL SELECT 2*id, id, 'index', 'updated' FROM d WHERE id % 5 = 1
+             |  UNION ALL SELECT 2*id, id, 'update', 'updated' FROM d WHERE id % 5 = 2
+             |  UNION ALL SELECT 2*id, id, 'create', 'conflict' FROM d WHERE id % 5 = 3
+             |  UNION ALL SELECT 2*i, i, 'create', 'created' FROM (SELECT unnest(generate_series(100, 104)) AS i)
+             |  UNION ALL SELECT 2*i, i, 'update', 'missing' FROM (SELECT unnest(generate_series(1000, 1004)) AS i)
+             |) ORDER BY seq""".stripMargin)),
+
+    // The post-bulk index state, exploded to (id, key, value) — deletes
+    // gone, index-replaced docs carry only the new doc, updates merged,
+    // conflicted creates untouched, unmentioned ids pass through.
+    Q("a195_es_json_bulk_state",
+      (s, d) => EsBulkFixture.state(s, d).orderBy("id", "key"),
+      Some("""WITH d AS (SELECT doc_id AS id, lang FROM documents WHERE doc_id < 40)
+             |SELECT id, key, value FROM (
+             |  SELECT id, 'lang' AS key, lang AS value FROM d WHERE id % 5 IN (2, 3, 4)
+             |  UNION ALL SELECT id, 'u', 'u1' FROM d WHERE id % 5 = 2
+             |  UNION ALL SELECT id, 'v', 'new-' || id FROM d WHERE id % 5 = 1
+             |  UNION ALL SELECT i, 'v', 'made-' || i FROM (SELECT unnest(generate_series(100, 104)) AS i)
+             |) ORDER BY id, key""".stripMargin)),
   )
+}
+
+/** Deterministic `_bulk` fixture over the documents table: one action
+  * class per id mod 5 + created-new and update-missing id ranges; the
+  * standing index is `documents(doc_id < 40)` as `{lang: <lang>}` docs. */
+private[queries] object EsBulkFixture {
+  import graft.dsl.EsBulk
+
+  private def lines(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val ls = (0L until 40L).flatMap { id =>
+      val a = 2 * id
+      (id % 5) match {
+        case 0 => Seq((a, s"""{"delete": {"_id": $id}}"""))
+        case 1 => Seq((a, s"""{"index": {"_id": $id}}"""), (a + 1, s"""{"v": "new-$id"}"""))
+        case 2 => Seq((a, s"""{"update": {"_id": $id}}"""), (a + 1, s"""{"doc": {"u": "u1"}}"""))
+        case 3 => Seq((a, s"""{"create": {"_id": $id}}"""), (a + 1, s"""{"v": "dup-$id"}"""))
+        case _ => Seq.empty
+      }
+    } ++ (100L to 104L).flatMap(id =>
+      Seq((2 * id, s"""{"create": {"_id": $id}}"""), (2 * id + 1, s"""{"v": "made-$id"}"""))) ++
+      (1000L to 1004L).flatMap(id =>
+        Seq((2 * id, s"""{"update": {"_id": $id}}"""), (2 * id + 1, s"""{"doc": {"u": "u1"}}""")))
+    ls.toDF("seq", "value")
+  }
+
+  private def standing(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") < 40)
+      .select(col("doc_id").as("id"), map(lit("lang"), col("lang")).as("doc"))
+
+  def items(s: SparkSession, d: String): DataFrame =
+    EsBulk.items(standing(s, d), EsBulk.parse(lines(s)))
+
+  def state(s: SparkSession, d: String): DataFrame =
+    EsBulk.state(standing(s, d), EsBulk.parse(lines(s)))
 }

@@ -1686,6 +1686,50 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(docs.filter(graft.dsl.EsDsl.routedTo(col("source"), "src3", 1)).count() == 200)
   }
 
+  test("_bulk: parse + cogroup apply == driver ES fold on randomized batches") {
+    val sp = spark
+    import sp.implicits._
+    import graft.dsl.EsBulk
+    val rnd = new scala.util.Random(42)
+    val opsPlan = (0 until 30).map { n =>
+      val id = 1L + rnd.nextInt(5)
+      val op = Seq("index", "create", "update", "delete")(rnd.nextInt(4))
+      (n.toLong * 2, op, id, s"k${rnd.nextInt(3)}", s"v$n")
+    }
+    val lines = opsPlan.flatMap { case (seq, op, id, k, v) =>
+      val action = (seq, s"""{"$op": {"_id": $id}}""")
+      op match {
+        case "delete" => Seq(action)
+        case "update" => Seq(action, (seq + 1, s"""{"doc": {"$k": "$v"}}"""))
+        case _        => Seq(action, (seq + 1, s"""{"$k": "$v"}"""))
+      }
+    }.toDF("seq", "value")
+    val standing = Seq((2L, Map("a" -> "x")), (4L, Map("a" -> "y")))
+    val idx = standing.toDF("id", "doc")
+    val parsed = EsBulk.parse(lines)
+    val gotItems = EsBulk.items(idx, parsed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    val gotState = EsBulk.state(idx, parsed).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // reference: the same fold run per id driver-side over the plan
+    val byId = opsPlan.groupBy(_._3)
+    val expItems = scala.collection.mutable.Set.empty[(Long, Long, String, String)]
+    val expState = scala.collection.mutable.Set.empty[(Long, String, String)]
+    val allIds = (byId.keySet ++ standing.map(_._1)).toSeq
+    allIds.foreach { id =>
+      val ops = byId.getOrElse(id, Seq.empty).map { case (seq, op, _, k, v) =>
+        EsBulk.BulkOp(seq, op, id, if (op == "delete") null else Map(k -> v))
+      }
+      val (items, fin) = EsBulk.fold(standing.toMap.get(id), ops)
+      items.foreach { case (seq, op, r) => expItems += ((seq, id, op, r)) }
+      fin.foreach(_.foreach { case (k, v) => expState += ((id, k, v)) })
+    }
+    assert(gotItems == expItems.toSet)
+    assert(gotState == expState.toSet)
+    // sanity: the scenario exercised at least one conflict and one delete
+    assert(gotItems.exists(_._4 == "conflict") && gotItems.exists(_._4 == "deleted"))
+  }
+
   test("filtered alias: filter conjoins with query and aggs; null fields do not match") {
     val sp = spark
     import sp.implicits._
