@@ -871,4 +871,31 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
       .orderBy(desc("n_docs"), desc("n_occ"), col("fp"))
       .limit(size)
+
+  /** O(batch) admission over CDC chunks (the [[cdcSharedChunks]] twin of
+    * c55's incremental band join): each INCOMING doc's chunks probe the
+    * standing corpus's distinct-chunk set; a doc mostly made of chunks
+    * the corpus already holds is boilerplate/duplicate material and is
+    * refused when its shared-chunk fraction exceeds `maxSharedFrac`.
+    * At scale the standing chunk set is a maintained artifact (append
+    * admitted docs' chunks per batch — the BucketedIndex pattern), so
+    * per-batch work is chunk(batch) + one join against it; the standing
+    * corpus is never re-chunked. */
+  def cdcIncrementalAdmission(standing: DataFrame, incoming: DataFrame,
+                              idCol: Column, text: Column, p: Int = 13,
+                              maxSharedFrac: Double = 0.5): DataFrame = {
+    import graft.functions.TextKernels
+    val sChunks = standing.select(explode(TextKernels.cdcChunks(text, p)).as("ch"))
+      .select(col("ch.fp").as("fp")).distinct()
+      .withColumn("_hit", lit(true))
+    incoming.select(idCol.as("doc_id"), explode(TextKernels.cdcChunks(text, p)).as("ch"))
+      .select(col("doc_id"), col("ch.fp").as("fp"))
+      .join(sChunks, Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_hit"), 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_chunks"), 6))
+      .withColumn("admit", col("shared_frac") <= maxSharedFrac)
+  }
 }

@@ -3463,5 +3463,40 @@ object TierC {
              |FROM (SELECT unnest(generate_series(0, 15)) AS i) a,
              |     (SELECT unnest(generate_series(0, 15)) AS j) b
              |WHERE a.i <= b.j ORDER BY a.i, b.j""".stripMargin)),
+
+    // O(batch) CDC admission: each incoming doc's chunks probe the
+    // standing corpus's distinct-chunk set; docs mostly made of
+    // already-held chunks are refused (boilerplate/duplicate material).
+    // The incremental twin of c102 — at scale the standing chunk set is
+    // a maintained artifact, the standing corpus never re-chunks.
+    Q("c106_cdc_admission",
+      (s, d) => Dedup.cdcIncrementalAdmission(
+          Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0),
+          Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+          col("doc_id"), col("text"), p = 13, maxSharedFrac = 0.5)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS w
+           |  FROM documents),
+           |b AS (
+           |  SELECT doc_id, w,
+           |         [CAST(1 AS BIGINT)] ||
+           |         list_filter(generate_series(2, len(w)), i ->
+           |           (${graft.functions.Hashing.sqlMd5Long60("w[i-1] || ' ' || w[i]")}) % 13 = 0) ||
+           |         [CAST(len(w) + 1 AS BIGINT)] AS bp
+           |  FROM t WHERE len(w) >= 1),
+           |c AS (
+           |  SELECT doc_id, unnest(list_transform(generate_series(1, len(bp) - 1), j ->
+           |           ${graft.functions.Hashing.sqlMd5Long60("array_to_string(w[bp[j]:bp[j+1]-1], ' ')")})) AS fp
+           |  FROM b),
+           |sset AS (SELECT DISTINCT fp FROM c WHERE doc_id % 10 <> 0),
+           |inc AS (SELECT c.doc_id, c.fp, (sset.fp IS NOT NULL) AS hit
+           |        FROM c LEFT JOIN sset ON c.fp = sset.fp
+           |        WHERE c.doc_id % 10 = 0)
+           |SELECT doc_id, count(*) AS n_chunks,
+           |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           |       round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS shared_frac,
+           |       round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) <= 0.5 AS admit
+           |FROM inc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

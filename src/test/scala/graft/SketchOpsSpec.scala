@@ -305,6 +305,21 @@ class SketchOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(hits(3, inOrder = true) == Set(1L, 3L))
   }
 
+  test("cdc admission: duplicate refused at 1.0, novel admitted at 0.0") {
+    import sp.implicits._
+    val standing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup
+      (20L, "completely novel words nowhere else observed")).toDF("doc_id", "text")
+    val out = Dedup.cdcIncrementalAdmission(standing, incoming,
+        col("doc_id"), col("text"), p = 7)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(10L) == ((1.0, false)), "byte-identical doc shares every chunk")
+    assert(out(20L) == ((0.0, true)), "novel doc shares none")
+  }
+
   test("video keyframes: frame 0 opens scene 0, cut rule is exact-integer") {
     import sp.implicits._
     implicit val s2: org.apache.spark.sql.SparkSession = sp
