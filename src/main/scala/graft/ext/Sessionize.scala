@@ -28,6 +28,65 @@ object Sessionize {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** FUNNEL analysis: how far each user progresses through an ordered
+    * stage sequence (greedy earliest-match: stage k+1 matches the first
+    * qualifying event strictly AFTER the stage-k match — equivalent to
+    * the chained-min formulation the oracle uses; event timestamps are
+    * strictly monotone in event_id, so "strictly after" is unambiguous).
+    * Returns one row per reached stage: user count and the mean
+    * first-to-last-match span in whole seconds.
+    *
+    * Scale shape: ONE shuffle (user_id) — events filter to funnel types
+    * at the scan, per-user lists are bounded (a user's event count), and
+    * the fold is an in-row HOF over that bounded list; the chained-min
+    * SQL form would shuffle once per stage. Covers users with at least
+    * one funnel-stage event. */
+  def funnel(events: DataFrame, stages: Seq[String],
+             withinSeconds: Option[Long] = None): DataFrame = {
+    require(stages.nonEmpty)
+    val evs = events.select(col("user_id"), col("ts"), col("event_type"))
+      .filter(col("event_type").isin(stages: _*))
+    val perUser = evs.groupBy("user_id").agg(
+      array_sort(collect_list(struct(col("ts"), col("event_type")))).as("evs"))
+    val stageArr = array(stages.map(lit): _*)
+    val folded = perUser.select(
+      aggregate(col("evs"),
+        struct(lit(0).as("stage"), lit(null).cast("timestamp").as("t0"),
+          lit(null).cast("timestamp").as("tn"), lit(false).as("dead")),
+        (acc, e) => {
+          // least() guards ANSI element_at when the funnel is complete
+          val want = element_at(stageArr,
+            least(acc.getField("stage") + 1, lit(stages.size)))
+          val qualifies = !acc.getField("dead") &&
+            acc.getField("stage") < stages.size &&
+            e.getField("event_type") === want
+          // conversion window: the FIRST qualifying event decides — on
+          // time advances the stage, late kills the funnel (whole-second
+          // comparison, both engines truncate alike)
+          val within = withinSeconds match {
+            case None => lit(true)
+            case Some(w) => acc.getField("tn").isNull ||
+              unix_timestamp(e.getField("ts")) - unix_timestamp(acc.getField("tn")) <= w
+          }
+          when(coalesce(qualifies && within, lit(false)),
+            struct((acc.getField("stage") + 1).as("stage"),
+              coalesce(acc.getField("t0"), e.getField("ts")).as("t0"),
+              e.getField("ts").as("tn"), lit(false).as("dead")))
+            .when(coalesce(qualifies && !within, lit(false)),
+              struct(acc.getField("stage").as("stage"), acc.getField("t0").as("t0"),
+                acc.getField("tn").as("tn"), lit(true).as("dead")))
+            .otherwise(acc)
+        }).as("f"))
+    folded.select(col("f.stage").as("stage_reached"), col("f.t0").as("t0"),
+        col("f.tn").as("tn"))
+      .groupBy("stage_reached")
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(expr(
+          "timestampdiff(SECOND, date_trunc('second', t0), date_trunc('second', tn))")), 6)
+          .as("avg_span_secs"))
+      .orderBy("stage_reached")
+  }
+
   /** Per-user session stats: session count, events, largest session. */
   def userStats(events: DataFrame, gapMinutes: Int): DataFrame =
     assign(events, gapMinutes)

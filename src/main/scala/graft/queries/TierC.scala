@@ -618,6 +618,42 @@ object TierC {
              |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events, max(n_ev) AS max_sess_events
              |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Funnel analysis: greedy earliest-match progression through
+    // signup -> view -> purchase (stage k+1 = first qualifying event
+    // strictly after stage k's match == the chained-min form below; ts
+    // strictly monotone in event_id, so no tie ambiguity). One user_id
+    // shuffle; the chained-min SQL would shuffle per stage.
+    Q("c107_event_funnel",
+      (s, d) => Sessionize.funnel(Tables.events(s, d),
+        Seq("signup", "view", "purchase"), withinSeconds = Some(3600L)),
+      Some("""WITH e AS (
+             |  SELECT user_id, ts, event_type FROM events
+             |  WHERE event_type IN ('signup', 'view', 'purchase')),
+             |u AS (SELECT DISTINCT user_id FROM e),
+             |s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'signup' GROUP BY user_id),
+             |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+             |       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+             |a2 AS (SELECT s2.user_id, s2.t2 FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+             |       WHERE date_part('epoch', date_trunc('second', s2.t2))
+             |           - date_part('epoch', date_trunc('second', s1.t1)) <= 3600),
+             |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN a2 ON e.user_id = a2.user_id
+             |       WHERE e.event_type = 'purchase' AND e.ts > a2.t2 GROUP BY e.user_id),
+             |a3 AS (SELECT s3.user_id, s3.t3 FROM s3 JOIN a2 ON s3.user_id = a2.user_id
+             |       WHERE date_part('epoch', date_trunc('second', s3.t3))
+             |           - date_part('epoch', date_trunc('second', a2.t2)) <= 3600),
+             |r AS (SELECT u.user_id,
+             |        CASE WHEN a3.user_id IS NOT NULL THEN 3
+             |             WHEN a2.user_id IS NOT NULL THEN 2
+             |             WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+             |        s1.t1 AS t0, COALESCE(a3.t3, a2.t2, s1.t1) AS tn
+             |      FROM u LEFT JOIN s1 ON u.user_id = s1.user_id
+             |             LEFT JOIN a2 ON u.user_id = a2.user_id
+             |             LEFT JOIN a3 ON u.user_id = a3.user_id)
+             |SELECT stage_reached, count(*) AS n_users,
+             |       round(avg(date_diff('second', date_trunc('second', t0),
+             |                           date_trunc('second', tn))), 6) AS avg_span_secs
+             |FROM r GROUP BY stage_reached ORDER BY stage_reached""".stripMargin)),
+
     Q("c13_event_windows",
       (s, d) => Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))

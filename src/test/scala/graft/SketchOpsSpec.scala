@@ -305,6 +305,31 @@ class SketchOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(hits(3, inOrder = true) == Set(1L, 3L))
   }
 
+  test("funnel: greedy first-match, order matters, late first-match kills") {
+    import sp.implicits._
+    def t(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val events = Seq(
+      // user 1: full funnel in order, within windows
+      (1L, t(0), "signup"), (1L, t(5), "view"), (1L, t(10), "purchase"),
+      // user 2: view BEFORE signup doesn't count; no view after -> stage 1
+      (2L, t(0), "view"), (2L, t(5), "signup"), (2L, t(10), "purchase"),
+      // user 3: first view after signup is LATE (dead), an on-time
+      // purchase later must NOT resurrect the funnel
+      (3L, t(0), "signup"), (3L, t(120), "view"), (3L, t(125), "purchase"),
+      // user 4: no funnel event types at all -> absent from the report
+      (4L, t(0), "error")
+    ).toDF("user_id", "ts", "event_type")
+    val out = ext.Sessionize.funnel(events, Seq("signup", "view", "purchase"),
+        withinSeconds = Some(3600L))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out == Map(3 -> 1L, 1 -> 2L), // user1 converts; users 2 and 3 stop at stage 1
+      s"got $out")
+    // without a window, user 3's late view counts
+    val noWin = ext.Sessionize.funnel(events, Seq("signup", "view", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(noWin == Map(3 -> 2L, 1 -> 1L), s"got $noWin")
+  }
+
   test("cdc admission: duplicate refused at 1.0, novel admitted at 0.0") {
     import sp.implicits._
     val standing = Seq(
