@@ -87,6 +87,54 @@ object Sessionize {
       .orderBy("stage_reached")
   }
 
+  /** COHORT RETENTION: users cohort by the week of their FIRST event;
+    * for each (cohort week, week offset) count the users active that
+    * week and the share of the cohort they represent (offset 0 is the
+    * cohort itself — first week is active by construction). Week
+    * arithmetic is exact-integer (epoch difference / 7d of Monday-start
+    * `date_trunc('week')`, identical in both engines).
+    * Scale shape: one (user) agg for cohorts + one distinct over
+    * (user, week) — both map-side-combining hash aggs; the cohort-size
+    * join is broadcast (cohort-week cardinality). */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val wk = date_trunc("week", col("ts"))
+    val cohorts = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val active = events.select(col("user_id"), wk.as("awk")).distinct()
+    val joined = active.join(cohorts, "user_id")
+      .withColumn("week_offset",
+        ((unix_timestamp(col("awk")) - unix_timestamp(col("cohort"))) / (7L * 86400L))
+          .cast("int"))
+    val counts = joined.groupBy("cohort", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = counts.filter(col("week_offset") === 0)
+      .select(col("cohort"), col("n_users").as("_size"))
+    counts.join(broadcast(sizes), "cohort")
+      .withColumn("retention_rate",
+        round(col("n_users").cast("double") / col("_size"), 6))
+      .select(col("cohort"), col("week_offset"), col("n_users"), col("retention_rate"))
+      .orderBy("cohort", "week_offset")
+  }
+
+  /** Event-transition matrix (the user-journey Markov chain): per user,
+    * consecutive event pairs in (ts, event_id) order; P(to|from) =
+    * pair count / from-type outgoing total. One user_id window + one
+    * pair agg; the outgoing totals ride a broadcast join (event-type
+    * cardinality). */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .withColumn("_next", lead(col("event_type"), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = pairs.groupBy("from_type").agg(sum("n").as("_tot"))
+    pairs.join(broadcast(outTotals), "from_type")
+      .withColumn("p", round(col("n").cast("double") / col("_tot"), 6))
+      .select(col("from_type"), col("to_type"), col("n"), col("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Per-user session stats: session count, events, largest session. */
   def userStats(events: DataFrame, gapMinutes: Int): DataFrame =
     assign(events, gapMinutes)

@@ -654,6 +654,43 @@ object TierC {
              |                           date_trunc('second', tn))), 6) AS avg_span_secs
              |FROM r GROUP BY stage_reached ORDER BY stage_reached""".stripMargin)),
 
+    // Cohort retention: users cohort by first-event week; per (cohort,
+    // week offset) the active-user count and cohort share. Exact-integer
+    // week arithmetic (Monday-start date_trunc both engines).
+    Q("c108_cohort_retention",
+      (s, d) => Sessionize.cohortRetention(Tables.events(s, d)),
+      Some("""WITH c AS (
+             |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+             |  FROM events GROUP BY user_id),
+             |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS awk FROM events),
+             |j AS (SELECT a.user_id, c.cohort,
+             |        CAST((date_part('epoch', a.awk) - date_part('epoch', c.cohort))
+             |             / (7 * 86400) AS INT) AS week_offset
+             |      FROM a JOIN c ON a.user_id = c.user_id),
+             |n AS (SELECT cohort, week_offset, count(*) AS n_users FROM j GROUP BY 1, 2),
+             |sz AS (SELECT cohort, n_users AS size FROM n WHERE week_offset = 0)
+             |SELECT n.cohort, n.week_offset, n.n_users,
+             |       round(CAST(n.n_users AS DOUBLE) / sz.size, 6) AS retention_rate
+             |FROM n JOIN sz ON n.cohort = sz.cohort
+             |ORDER BY n.cohort, n.week_offset""".stripMargin)),
+
+    // Event-transition matrix (the user-journey Markov chain):
+    // consecutive event-type pairs per user, P(to|from) = pair count /
+    // outgoing total.
+    Q("c109_event_transitions",
+      (s, d) => Sessionize.eventTransitions(Tables.events(s, d)),
+      Some("""WITH p AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |n AS (SELECT from_type, to_type, count(*) AS n FROM p
+             |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM n GROUP BY from_type)
+             |SELECT n.from_type, n.to_type, n.n,
+             |       round(CAST(n.n AS DOUBLE) / t.tot, 6) AS p
+             |FROM n JOIN t ON n.from_type = t.from_type
+             |ORDER BY n.from_type, n.to_type""".stripMargin)),
+
     Q("c13_event_windows",
       (s, d) => Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))

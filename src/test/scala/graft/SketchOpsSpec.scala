@@ -330,6 +330,26 @@ class SketchOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(noWin == Map(3 -> 2L, 1 -> 1L), s"got $noWin")
   }
 
+  test("cohort retention + transitions: exact week offsets, row-ordered pairs") {
+    import sp.implicits._
+    def t(d: Int, h: Int = 0) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // 2024-01-01 is a Monday: users 1,2 cohort week 0; user 3 cohort week 1
+    val events = Seq(
+      (1L, t(1), 1L, "view"), (2L, t(2), 1L, "click"),   // u1 active wk0
+      (3L, t(9), 1L, "view"),                             // u1 active wk1
+      (4L, t(3), 2L, "view"),                             // u2 wk0 only
+      (5L, t(8), 3L, "view"), (6L, t(16), 3L, "click")    // u3 wk1, wk2
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val ret = ext.Sessionize.cohortRetention(events)
+      .collect().map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1), r.getLong(2))).toSet
+    assert(ret == Set(("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L),
+      ("2024-01-08", 0, 1L), ("2024-01-08", 1, 1L)))
+    val tr = ext.Sessionize.eventTransitions(events)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // u1: view->click->view ; u3: view->click
+    assert(tr == Map(("view", "click") -> ((2L, 1.0)), ("click", "view") -> ((1L, 1.0))))
+  }
+
   test("cdc admission: duplicate refused at 1.0, novel admitted at 0.0") {
     import sp.implicits._
     val standing = Seq(
