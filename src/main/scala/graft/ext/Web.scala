@@ -45,4 +45,41 @@ object Web {
       .agg(min(id).as("doc_id"), count(lit(1)).as("dup_count"))
       .select(col("doc_id"), col("url_canon"),
         host(col("url_canon")).as("host"), col("dup_count"))
+
+  /** PAGERANK over a link graph — the page-authority quality signal
+    * web-corpus pipelines rank crawls by (Common Crawl publishes exactly
+    * this family of host-level ranks). Simplified standard variant:
+    * rank⁰ = 1/N; rankᵏ⁺¹ = (1−d)/N + d·Σ_incoming rankᵏ/outdeg;
+    * dangling mass is dropped (documented). Cross-engine float
+    * determinism: every rank RE-ROUNDS to 6 dp per iteration (the
+    * k-means resync convention) and each node's incoming contributions
+    * fold in ASCENDING-source order via a sorted in-row fold (the a118
+    * sorted-sum trick) — so both engines add the same doubles in the
+    * same order.
+    *
+    * Scale shape per iteration: one join of ranks onto edges (ranks are
+    * node-sized; edges co-partition by src) + one (dst) hash agg whose
+    * per-dst fold runs over the collected in-edge list (bounded by
+    * in-degree; a mega-in-degree node would move to a pre-agg — the
+    * documented skew path). Nodes/edges never leave the cluster. */
+  def pageRank(edges: DataFrame, nNodes: Long, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    val out = edges.groupBy(col("src")).agg(count(lit(1)).as("_outdeg"))
+    val e = edges.join(out, "src")
+    var ranks: DataFrame = e.sparkSession.range(nNodes)
+      .select(col("id").as("node"), round(lit(1.0 / nNodes), 6).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), col("src"), (col("rank") / col("_outdeg")).as("c"))
+      val summed = contribs.groupBy(col("dst"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("src"), col("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("_in"))
+      ranks = ranks.select(col("node")).join(summed, ranks("node") === summed("dst"), "left")
+        .select(col("node"),
+          round(lit((1 - damping) / nNodes) + lit(damping) * coalesce(col("_in"), lit(0.0)), 6)
+            .as("rank"))
+    }
+    ranks
+  }
 }

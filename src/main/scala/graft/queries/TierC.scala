@@ -691,6 +691,45 @@ object TierC {
              |FROM n JOIN t ON n.from_type = t.from_type
              |ORDER BY n.from_type, n.to_type""".stripMargin)),
 
+    // PageRank over a deterministic 200-node link graph (the
+    // page-authority quality signal web-corpus pipelines rank crawls
+    // by). 3 iterations; every rank re-rounds to 6 dp per iteration and
+    // per-node incoming contributions fold in ascending-source order on
+    // BOTH engines (the a118 sorted-sum trick), so the whole iteration
+    // chain is bit-reproducible. Oracle unrolls the 3 iterations.
+    Q("c110_pagerank",
+      (s, d) => {
+        val nodes = s.range(200).select(col("id").as("src"))
+        val edges = nodes
+          .select(col("src"), explode(sequence(lit(1),
+            (col("src") % 4 + 1).cast("int"))).as("k"))
+          .select(col("src"), ((col("src") * 7 + col("k")) % 200).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        graft.ext.Web.pageRank(edges, nNodes = 200, iters = 3)
+          .orderBy("node")
+      },
+      Some {
+        val iters = (1 to 3).map { i =>
+          val prev = s"r${i - 1}"
+          s"""s$i AS MATERIALIZED (
+             |  SELECT e.dst, list_reduce(list($prev.rank / od.outdeg ORDER BY e.src),
+             |                            (a, b) -> a + b) AS m
+             |  FROM edges e JOIN od ON e.src = od.src JOIN $prev ON $prev.node = e.src
+             |  GROUP BY e.dst),
+             |r$i AS MATERIALIZED (
+             |  SELECT n.node, round((1 - 0.85)/200 + 0.85 * COALESCE(s$i.m, 0.0), 6) AS rank
+             |  FROM nodes n LEFT JOIN s$i ON s$i.dst = n.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH nodes AS (SELECT unnest(generate_series(0, 199)) AS node),
+           |ek AS (SELECT node AS src, unnest(generate_series(1, node % 4 + 1)) AS k FROM nodes),
+           |edges AS MATERIALIZED (
+           |  SELECT src, (src * 7 + k) % 200 AS dst FROM ek WHERE src <> (src * 7 + k) % 200),
+           |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+           |r0 AS (SELECT node, round(1.0/200, 6) AS rank FROM nodes),
+           |$iters
+           |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+      }),
+
     Q("c13_event_windows",
       (s, d) => Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))

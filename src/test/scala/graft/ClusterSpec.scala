@@ -65,4 +65,22 @@ class ClusterSpec extends AnyFunSuite with SparkTestBase {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("pageRank: 2-cycle symmetric, hub outranks leaves, mass conserved") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // 2-node cycle: perfectly symmetric ranks at every iteration
+    val cyc = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val rc = graft.ext.Web.pageRank(cyc, nNodes = 2, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rc(0L) == rc(1L) && math.abs(rc(0L) - 0.5) < 1e-6)
+    // star: every leaf links to node 0 — the hub outranks every leaf
+    val star = (1L to 9L).map(i => (i, 0L)).toDF("src", "dst")
+    val rs = graft.ext.Web.pageRank(star, nNodes = 10, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((1L to 9L).forall(i => rs(0L) > rs(i)))
+    // no dangling edges in the cycle graph => total mass stays ~1
+    assert(math.abs(rc.values.sum - 1.0) < 1e-5)
+  }
 }
