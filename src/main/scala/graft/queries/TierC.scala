@@ -730,6 +730,38 @@ object TierC {
            |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
       }),
 
+    // Mergeable HLL sketch tables (the 100 TB distinct-count pattern:
+    // per-DAY sketches materialize once, any date-range distinct count
+    // is a register-max union of sketches — no raw re-scan). Gate:
+    // (a) union-of-daily-sketches estimate == one-shot whole-corpus
+    // sketch estimate EXACTLY (disjoint-partition union is register-max,
+    // lossless at same lgK/type), and (b) the estimate sits within the
+    // 3·rsd HLL band of the exact distinct count. The oracle supplies
+    // the exact count and expects TRUE/TRUE.
+    Q("c111_hll_merge",
+      (s, d) => {
+        val lgK = 12
+        val rsd = 1.04 / math.sqrt((1 << lgK).toDouble)
+        val e = Tables.events(s, d)
+        val daily = e.groupBy(col("event_type"), date_trunc("day", col("ts")).as("_day"))
+          .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+        val merged = daily.groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est_merged"))
+        val direct = e.groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(lgK))).as("est_direct"))
+        val exact = e.groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("n_exact"))
+        exact.join(merged, "event_type").join(direct, "event_type")
+          .select(col("event_type"), col("n_exact"),
+            (col("est_merged") === col("est_direct")).as("merge_consistent"),
+            (abs(col("est_merged") - col("n_exact")) <=
+              lit(3.0) * lit(rsd) * col("n_exact")).as("within_band"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_exact,
+             |       TRUE AS merge_consistent, TRUE AS within_band
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     Q("c13_event_windows",
       (s, d) => Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))

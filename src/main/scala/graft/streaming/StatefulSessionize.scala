@@ -82,4 +82,54 @@ object StatefulSessionize {
           }
       }
   }
+
+  case class TypedEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                        event_type: String)
+  case class FunnelState(stage: Int, t0Ms: Long, tnMs: Long, dead: Boolean)
+  case class Conversion(user_id: Long, t_first: Timestamp, t_last: Timestamp,
+                        span_secs: Long)
+
+  /** STREAMING funnel — [[graft.ext.Sessionize.funnel]]'s greedy
+    * first-qualifying-event-decides rule carried across micro-batches as
+    * per-user state: a conversion record emits the moment a user reaches
+    * the final stage; a late first-match kills the funnel permanently
+    * (no emission, and the state survives so later events can't
+    * resurrect it — identical to the batch fold). Window comparisons use
+    * whole seconds (floor), matching the batch form. State per user is
+    * one constant-size struct. Within a batch events sort by
+    * (ts, event_id); cross-batch disorder is the caller's watermark
+    * problem, as everywhere. Pair with `outputMode("append")`. */
+  def funnelStream(events: Dataset[TypedEvent], stages: Seq[String],
+                   withinSeconds: Option[Long] = None): Dataset[Conversion] = {
+    require(stages.nonEmpty)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(e => stages.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, Conversion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, it, state) =>
+          var st = state.getOption.getOrElse(FunnelState(0, 0L, 0L, dead = false))
+          val out = Seq.newBuilder[Conversion]
+          for (e <- it.toArray.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val qualifies = !st.dead && st.stage < stages.size &&
+              e.event_type == stages(st.stage)
+            if (qualifies) {
+              val within = withinSeconds.forall(w =>
+                st.stage == 0 || e.ts.getTime / 1000 - st.tnMs / 1000 <= w)
+              if (within) {
+                st = FunnelState(st.stage + 1,
+                  if (st.stage == 0) e.ts.getTime else st.t0Ms,
+                  e.ts.getTime, dead = false)
+                if (st.stage == stages.size)
+                  out += Conversion(user, new Timestamp(st.t0Ms),
+                    new Timestamp(st.tnMs),
+                    st.tnMs / 1000 - st.t0Ms / 1000)
+              } else st = st.copy(dead = true)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

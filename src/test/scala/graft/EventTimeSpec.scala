@@ -266,4 +266,33 @@ class EventTimeSpec extends AnyFunSuite with SparkTestBase {
     assert(batch.head.getAs[Long]("n_sessions") == 2 &&
       batch.head.getAs[Long]("max_sess_events") == 2)
   }
+
+  test("streaming funnel: converts across batches, dead funnel stays dead") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.streaming.StatefulSessionize
+    import StatefulSessionize.TypedEvent
+    def te(id: Long, m: Int, u: Long, t: String) =
+      TypedEvent(id, new Timestamp(m * 60000L), u, t)
+    val ms = MemoryStream[TypedEvent]
+    val q = StatefulSessionize.funnelStream(ms.toDS(),
+        Seq("signup", "view", "purchase"), withinSeconds = Some(3600L))
+      .writeStream.outputMode("append").format("memory").queryName("fn_out").start()
+    // batch 1: u1 partway through; u2 signs up
+    ms.addData(te(1, 0, 1, "signup"), te(2, 5, 1, "view"), te(3, 0, 2, "signup"))
+    q.processAllAvailable()
+    assert(sp.table("fn_out").isEmpty, "no conversion before the last stage")
+    // batch 2: u1 completes (span 10 min); u2's first view is LATE ->
+    // dead, and the on-time-looking purchase right after must not emit
+    ms.addData(te(4, 10, 1, "purchase"), te(5, 120, 2, "view"), te(6, 125, 2, "purchase"))
+    q.processAllAvailable()
+    // batch 3: u2 stays dead even given a perfect in-window sequence tail
+    ms.addData(te(7, 126, 2, "view"), te(8, 127, 2, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = sp.table("fn_out").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(rows == Seq((1L, 600L)), s"got ${rows.toList}")
+  }
 }
