@@ -470,6 +470,58 @@ object ScaleSketch {
           col("text"), Seq("w0", "w1"), shards = 16)
         .agg(count(lit(1)), round(sum("score"), 2)).collect())
 
+    // event analytics at 2M events / 50k users: funnel (per-user sorted
+    // fold), cohort retention, transition matrix — all one-shuffle shapes
+    val bigEvents = spark.range(2_000_000).select(
+      col("id").as("event_id"),
+      to_timestamp(lit("2024-01-01 00:00:00")).plus(
+        expr("make_interval(0, 0, 0, 0, 0, cast(id % 100000 as int), 0)")).as("ts"),
+      pmod(hash(col("id")), lit(50000L)).as("user_id"),
+      element_at(array(lit("signup"), lit("view"), lit("click"), lit("purchase")),
+        pmod(hash(col("id"), lit(7)), lit(4)).cast("int") + 1).as("event_type"))
+      .withColumn("value", lit(1.0))
+    bigEvents.write.mode("overwrite").parquet("/tmp/scale/events2m")
+    val ev2m = spark.read.parquet("/tmp/scale/events2m")
+    t("funnel-2m-events-50k-users")(
+      graft.ext.Sessionize.funnel(ev2m, Seq("signup", "view", "purchase"),
+        withinSeconds = Some(36000L)).collect())
+    t("cohort-retention-2m-events")(
+      graft.ext.Sessionize.cohortRetention(ev2m).collect())
+    t("transitions-2m-events")(
+      graft.ext.Sessionize.eventTransitions(ev2m).collect())
+
+    // PageRank: 200k nodes / ~1M edges, 3 iterations
+    val prNodes = 200000L
+    val prEdges = spark.range(prNodes).select(col("id").as("src"),
+        explode(sequence(lit(1), (col("id") % 8 + 2).cast("int"))).as("k"))
+      .select(col("src"), pmod(col("src") * 31 + col("k") * 7919, lit(prNodes)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    t("pagerank-200k-nodes-1m-edges-3iters")(
+      graft.ext.Web.pageRank(prEdges, prNodes, iters = 3)
+        .agg(round(sum("rank"), 4)).collect())
+
+    // _bulk: 500k-item batch (200k index / 100k update / 100k delete /
+    // 100k create) onto a 300k-doc standing index — one cogroup
+    {
+      val sess = spark
+      import sess.implicits._
+      val standing = spark.range(300000).select(col("id"),
+        map(lit("v"), concat(lit("old"), col("id"))).as("doc"))
+      val ops = spark.range(500000).select(
+        col("id").as("seq"),
+        (col("id") % 400000).as("_id"),
+        element_at(array(lit("index"), lit("update"), lit("delete"), lit("create"),
+          lit("index")), pmod(col("id"), lit(5L)).cast("int") + 1).as("op"))
+        .as[(Long, Long, String)]
+        .map { case (seq, id, op) =>
+          graft.dsl.EsBulk.BulkOp(seq, op, id,
+            if (op == "delete") null else Map("v" -> s"n$seq"))
+        }
+      t("bulk-500k-items-300k-index")(
+        graft.dsl.EsBulk.items(standing, ops)
+          .groupBy("result").count().collect())
+    }
+
     spark.stop()
   }
 }

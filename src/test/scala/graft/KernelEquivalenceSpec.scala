@@ -187,4 +187,41 @@ class KernelEquivalenceSpec extends AnyFunSuite {
     }
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop).passed)
   }
+
+  test("EsBulk.fold == independent ES-semantics simulation") {
+    import graft.dsl.EsBulk
+    val genOps: Gen[List[(String, Option[String])]] =
+      Gen.listOf(Gen.zip(
+        Gen.oneOf("index", "create", "update", "delete"),
+        Gen.option(Gen.oneOf("a", "b", "c"))))
+    val genStanding: Gen[Option[Map[String, String]]] =
+      Gen.option(Gen.const(Map("s" -> "0")))
+    val prop = Prop.forAll(genOps, genStanding) { (plan, standing) =>
+      val ops = plan.zipWithIndex.map { case ((op, key), i) =>
+        EsBulk.BulkOp(i.toLong * 2, op, 1L,
+          if (op == "delete") null else key.map(k => Map(k -> s"v$i")).getOrElse(Map.empty))
+      }
+      val (items, fin) = EsBulk.fold(standing, ops)
+      // independent simulation, written from the ES reference semantics
+      var doc: Option[Map[String, String]] = standing
+      val expect = ops.map { o =>
+        o.op match {
+          case "index" =>
+            val r = if (doc.isDefined) "updated" else "created"
+            doc = Some(o.doc); (o.seq, o.op, r)
+          case "create" =>
+            if (doc.isDefined) (o.seq, o.op, "conflict")
+            else { doc = Some(o.doc); (o.seq, o.op, "created") }
+          case "update" =>
+            if (doc.isEmpty) (o.seq, o.op, "missing")
+            else { doc = Some(doc.get ++ o.doc); (o.seq, o.op, "updated") }
+          case "delete" =>
+            if (doc.isEmpty) (o.seq, o.op, "not_found")
+            else { doc = None; (o.seq, o.op, "deleted") }
+        }
+      }
+      items == expect && fin == doc
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop).passed)
+  }
 }
