@@ -303,6 +303,66 @@ object TextAnalysis {
       .orderBy(desc("vit_cnt"), col("piece")).limit(topK)
   }
 
+  /** The unigram-LM trainer LOOP — [[unigramLmStep]]'s hard-EM iterated:
+    * after each Viterbi round the piece log-probs re-estimate from the
+    * corpus-weighted Viterbi counts with +1 Laplace smoothing over the
+    * FULL seed piece set (so unused pieces — and the base alphabet —
+    * keep a floor probability and stay legal DP candidates, the
+    * SentencePiece alphabet-floor convention). Per round: one
+    * vocabulary-sized Viterbi pass + one vocabulary-bounded count
+    * collect; the corpus is touched exactly once for the word table.
+    * Emits the final round's top pieces with the per-round counts, so
+    * the oracle must agree round for round. */
+  def unigramLmLoop(docs: DataFrame, text: Column, rounds: Int = 2,
+                    minCount: Long = 5, maxWordLen: Int = 12,
+                    maxPieceLen: Int = 4, topK: Int = 25): DataFrame = {
+    require(rounds >= 1)
+    val spark = docs.sparkSession
+    val words = Dedup.persistOnce(docs.select(explode(tokens(text)).as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("wcnt")))
+    val pieceRows = words.select(col("wcnt"), explode(flatten(
+        transform(sequence(lit(1), length(col("word"))), st =>
+          transform(sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - st + 1)),
+            l => col("word").substr(st, l))))).as("piece"))
+      .groupBy("piece").agg(sum("wcnt").as("occ"))
+      .filter(col("occ") >= minCount || length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def round6(v: Double): Double =
+      new java.math.BigDecimal(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val seedTotal = pieceRows.map(_._2).sum.toDouble
+    var lpMap = pieceRows.map { case (p, occ) => p -> round6(math.log(occ / seedTotal)) }.toMap
+    val vits = Seq.newBuilder[Map[String, Long]]
+    for (r <- 1 to rounds) {
+      val vit = words
+        .select(col("wcnt"),
+          explode(graft.functions.TextKernels.viterbiSegment(col("word"), lpMap, maxPieceLen))
+            .as("piece"))
+        .groupBy("piece").agg(sum("wcnt").as("vit_cnt"))
+        .collect().map(rr => rr.getString(0) -> rr.getLong(1)).toMap
+      vits += vit
+      if (r < rounds) {
+        val totV = vit.values.sum.toDouble
+        val nP = pieceRows.length.toDouble
+        lpMap = pieceRows.map { case (p, _) =>
+          p -> round6(math.log((vit.getOrElse(p, 0L) + 1.0) / (totV + nP)))
+        }.toMap
+      }
+    }
+    val allVits = vits.result()
+    val last = allVits.last
+    val lastTot = last.values.sum.toDouble
+    import spark.implicits._
+    pieceRows.toSeq
+      .filter { case (p, _) => last.getOrElse(p, 0L) > 0L }
+      .map { case (p, occ) =>
+        (p, occ, allVits.map(_.getOrElse(p, 0L)).mkString(","),
+          last(p), round6(last(p) / lastTot))
+      }
+      .toDF("piece", "occ", "vit_counts", "vit_last", "new_p")
+      .orderBy(desc("vit_last"), col("piece")).limit(topK)
+  }
+
   /** BPE ENCODE with a learned merge list — the apply step of
     * [[bpePairCounts]]'s training iteration. Each word becomes a
     * marker-wrapped symbol sequence (`"ab"` → `"<a><b>"`; markers make

@@ -3589,6 +3589,79 @@ object TierC {
            |ORDER BY vit_cnt DESC, mc.piece LIMIT 25""".stripMargin
       }),
 
+    // Unigram-LM trainer LOOP (c104's hard-EM iterated): round-2 piece
+    // log-probs re-estimate from round-1 Viterbi counts with +1 Laplace
+    // smoothing over the FULL seed piece set (alphabet floor), then the
+    // DP re-runs — the oracle unrolls BOTH rounds' DPs and must agree
+    // segmentation-for-segmentation in each.
+    Q("c112_unigram_lm_loop",
+      (s, d) => TextAnalysis.unigramLmLoop(Tables.documents(s, d), col("text"),
+        rounds = 2, minCount = 5, maxWordLen = 12, maxPieceLen = 4, topK = 25),
+      Some {
+        val maxJ = 12
+        def dpBlock(sfx: String, lpName: String): String = {
+          val fwd = (1 to maxJ).map { j =>
+            val branches = (1 to math.min(4, j)).map { l =>
+              val i = j - l
+              s"""    SELECT w.word, w.wcnt, v.s + lp.logp AS cs, $l AS plen, lp.piece
+                 |    FROM wt w JOIN v${i}_$sfx v ON v.word = w.word
+                 |              JOIN $lpName lp ON lp.piece = substr(w.word, ${i + 1}, $l)
+                 |    WHERE len(w.word) >= $j""".stripMargin
+            }.mkString("\n    UNION ALL\n")
+            s"""v${j}_$sfx AS MATERIALIZED (
+               |  SELECT word, wcnt, cs AS s, plen, piece FROM (
+               |$branches)
+               |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY cs DESC, plen DESC) = 1)""".stripMargin
+          }.mkString(",\n")
+          val vall = (1 to maxJ).map(j =>
+            s"SELECT $j AS j, word, plen, piece FROM v${j}_$sfx").mkString("\n  UNION ALL ")
+          val back = (1 to maxJ).map { k =>
+            s"""b${k}_$sfx AS MATERIALIZED (
+               |  SELECT b.word, b.wcnt,
+               |         CASE WHEN b.cur > 0 THEN b.cur - v.plen ELSE 0 END AS cur,
+               |         CASE WHEN b.cur > 0 THEN list_prepend(v.piece, b.ps) ELSE b.ps END AS ps
+               |  FROM b${k - 1}_$sfx b LEFT JOIN vall_$sfx v ON v.word = b.word AND v.j = b.cur)""".stripMargin
+          }.mkString(",\n")
+          s"""v0_$sfx AS (SELECT word, wcnt, CAST(0 AS DOUBLE) AS s FROM wt),
+             |$fwd,
+             |vall_$sfx AS MATERIALIZED (
+             |  $vall),
+             |b0_$sfx AS (SELECT word, wcnt, len(word) AS cur, []::VARCHAR[] AS ps FROM wt),
+             |$back,
+             |mc_$sfx AS MATERIALIZED (
+             |  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS vit
+             |  FROM (SELECT wcnt, unnest(ps) AS piece FROM b${maxJ}_$sfx) GROUP BY piece)""".stripMargin
+        }
+        s"""WITH $toksCte,
+           |wt AS MATERIALIZED (SELECT tok AS word, count(*) AS wcnt
+           |       FROM (SELECT unnest(w) AS tok FROM toks)
+           |       WHERE len(tok) <= 12 GROUP BY tok),
+           |subs AS (SELECT wcnt, unnest(flatten(list_transform(generate_series(1, len(word)), st ->
+           |           list_transform(generate_series(1, least(4, len(word) - st + 1)), l ->
+           |             substr(word, st, l))))) AS piece
+           |         FROM wt),
+           |pieces AS MATERIALIZED (SELECT piece, CAST(sum(wcnt) AS BIGINT) AS occ FROM subs GROUP BY piece
+           |           HAVING sum(wcnt) >= 5 OR len(piece) = 1),
+           |lp1 AS MATERIALIZED (SELECT piece, round(ln(CAST(occ AS DOUBLE) / t.tot), 6) AS logp
+           |       FROM pieces CROSS JOIN (SELECT CAST(sum(occ) AS DOUBLE) AS tot FROM pieces) t),
+           |${dpBlock("x1", "lp1")},
+           |lp2 AS MATERIALIZED (
+           |  SELECT p.piece,
+           |         round(ln((CAST(COALESCE(m.vit, 0) AS DOUBLE) + 1.0) / (t.totv + t.np)), 6) AS logp
+           |  FROM pieces p LEFT JOIN mc_x1 m ON m.piece = p.piece
+           |  CROSS JOIN (SELECT (SELECT CAST(sum(vit) AS DOUBLE) FROM mc_x1) AS totv,
+           |                     (SELECT CAST(count(*) AS DOUBLE) FROM pieces) AS np) t),
+           |${dpBlock("x2", "lp2")}
+           |SELECT p.piece, p.occ,
+           |       CAST(COALESCE(m1.vit, 0) AS VARCHAR) || ',' || CAST(m2.vit AS VARCHAR) AS vit_counts,
+           |       m2.vit AS vit_last,
+           |       round(CAST(m2.vit AS DOUBLE) / t2.tot, 6) AS new_p
+           |FROM mc_x2 m2 JOIN pieces p ON p.piece = m2.piece
+           |LEFT JOIN mc_x1 m1 ON m1.piece = m2.piece
+           |CROSS JOIN (SELECT CAST(sum(vit) AS DOUBLE) AS tot FROM mc_x2) t2
+           |ORDER BY vit_last DESC, p.piece LIMIT 25""".stripMargin
+      }),
+
     // Embedding whitening (ZCA via Cholesky) on the JL-projected space —
     // the standard pre-ANN correction (per-dim scale + correlations
     // removed). The gate is the b12pt bounded-error pattern: empirical
