@@ -251,6 +251,52 @@ object Multimodal {
       }.toDF()
   }
 
+  case class DHash(doc_id: Long, width: Int, height: Int, dhash: Long)
+
+  /** Perceptual difference-hash (dHash) — the gradient twin of
+    * [[imageAHash]]: bit i set iff luminance(i) > luminance(i+1) in
+    * row-major order (first 64 adjacent pairs). Comparing ADJACENT
+    * pixels instead of the global mean makes the hash invariant to
+    * uniform brightness shifts — the aHash's classic failure mode
+    * (re-encoded/gamma-shifted copies flip many aHash bits but almost
+    * no dHash bits; spec-pinned). Same all-integer math, same LONG
+    * shape, so [[graft.ext.Dedup.hammingPairs64]] bands it unchanged. */
+  def imageDHash(payloads: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, p) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          if (img == null) DHash(id, -1, -1, 0L)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val n = w * h
+            val gray = new Array[Int](n)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                gray(y * w + x) =
+                  (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            var hash = 0L
+            var i = 0
+            val lim = math.min(64, n - 1)
+            while (i < lim) {
+              if (gray(i) > gray(i + 1)) hash |= (1L << i)
+              i += 1
+            }
+            DHash(id, w, h, hash)
+          }
+        }
+      }.toDF()
+  }
+
   case class ResizedPx(doc_id: Long, width: Int, height: Int,
                        ox: Int, oy: Int, r: Int, g: Int, b: Int)
 

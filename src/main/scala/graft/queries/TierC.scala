@@ -762,6 +762,43 @@ object TierC {
              |       TRUE AS merge_consistent, TRUE AS within_band
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // HLL set-INTERSECTION estimates by inclusion-exclusion over merged
+    // sketches (|A∩B| ~ est(A)+est(B)-est(A∪B)) — the audience-overlap
+    // question answered from materialized per-segment sketches without
+    // touching raw data; gate = within 3·rsd of the three estimate
+    // magnitudes vs the exact self-join truth.
+    Q("c114_hll_intersection",
+      (s, d) => {
+        val lgK = 12
+        val rsd = 1.04 / math.sqrt((1 << lgK).toDouble)
+        val e = Tables.events(s, d)
+        val sk = e.groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+        val pairs = sk.as("a").crossJoin(sk.as("b"))
+          .filter(col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+            hll_sketch_estimate(col("a.sk")).as("ea"),
+            hll_sketch_estimate(col("b.sk")).as("eb"),
+            hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))).as("eu"))
+          .withColumn("est_inter", col("ea") + col("eb") - col("eu"))
+        val du = e.select(col("event_type"), col("user_id")).distinct()
+        val exact = du.as("x").join(du.as("y"),
+            col("x.user_id") === col("y.user_id") &&
+              col("x.event_type") < col("y.event_type"))
+          .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_exact"))
+        exact.join(pairs, Seq("type_a", "type_b"))
+          .select(col("type_a"), col("type_b"), col("n_exact"),
+            (abs(col("est_inter") - col("n_exact")) <=
+              lit(3.0) * lit(rsd) * (col("ea") + col("eb") + col("eu"))).as("within_band"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+             |SELECT x.event_type AS type_a, y.event_type AS type_b,
+             |       count(*) AS n_exact, TRUE AS within_band
+             |FROM du x JOIN du y ON x.user_id = y.user_id AND x.event_type < y.event_type
+             |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin)),
+
     Q("c13_event_windows",
       (s, d) => Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
@@ -2444,6 +2481,40 @@ object TierC {
              |FROM px JOIN m ON m.doc_id = px.doc_id
              |GROUP BY px.doc_id, width, height
              |ORDER BY px.doc_id""".stripMargin)),
+
+    // Perceptual difference-hash (dHash): bit i = luminance(i) >
+    // luminance(i+1) — adjacent-pixel gradients instead of the global
+    // mean, so uniform brightness shifts leave the hash untouched (the
+    // aHash failure mode; spec-pinned). Real codec round trip, exact
+    // integers, same LONG shape as c77 for the banded machinery.
+    Q("c113_image_dhash",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Multimodal.imageDHash(
+          Multimodal.encodeTestImages(Tables.documents(s, d)))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id,
+             |         CAST(doc_id % 9 + 2 AS INT) AS width,
+             |         CAST((doc_id * 3) % 7 + 2 AS INT) AS height
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, width, height, y * width + x AS i,
+             |         ((doc_id * 31 + x * 7 + y * 13) % 256
+             |          + (doc_id * 17 + x * 11 + y * 5) % 256
+             |          + (doc_id * 23 + x * 3 + y * 19) % 256) // 3 AS g
+             |  FROM dims,
+             |       unnest(generate_series(0, width - 1)) AS ux(x),
+             |       unnest(generate_series(0, height - 1)) AS uy(y))
+             |SELECT a.doc_id, a.width, a.height,
+             |       CAST(COALESCE(sum(CASE WHEN a.i < 64 AND a.g > b.g THEN
+             |                       CASE WHEN a.i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+             |                            ELSE CAST(CAST(1 AS BIGINT) << CAST(a.i AS INT) AS HUGEINT) END
+             |                     ELSE 0 END), 0) AS BIGINT) AS dhash
+             |FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+             |GROUP BY a.doc_id, a.width, a.height
+             |ORDER BY a.doc_id""".stripMargin)),
 
     // Image NEAR-dup: banded Hamming self-join over the c77 aHash (4×16-bit
     // bands, pigeonhole-exact at ≤3 bits) — the multimodal analog of the

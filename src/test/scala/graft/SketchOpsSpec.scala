@@ -305,6 +305,32 @@ class SketchOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(hits(3, inOrder = true) == Set(1L, 3L))
   }
 
+  test("dHash: invariant under monotone tone mapping where aHash flips") {
+    import sp.implicits._
+    implicit val s2: org.apache.spark.sql.SparkSession = sp
+    def png(f: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val g = f((x * 29 + y * 53) % 200 + 20)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val gamma = (g: Int) => g * g / 255 // strictly monotone tone curve
+    val df = Seq((1L, png(identity)), (2L, png(gamma))).toDF("doc_id", "payload")
+    val dh = graft.multimodal.Multimodal.imageDHash(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(dh(1L) == dh(2L),
+      "adjacent-pixel gradients survive any strictly monotone tone map")
+    val ah = graft.multimodal.Multimodal.imageAHash(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ah(1L) != ah(2L),
+      "the mean threshold moves non-linearly under the same tone map")
+  }
+
   test("funnel: greedy first-match, order matters, late first-match kills") {
     import sp.implicits._
     def t(m: Int) = new java.sql.Timestamp(m * 60000L)
