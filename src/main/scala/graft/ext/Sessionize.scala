@@ -135,6 +135,42 @@ object Sessionize {
       .orderBy("from_type", "to_type")
   }
 
+  /** Top user PATHS: each user's first `depth` event types in
+    * (ts, event_id) order joined with '>' — the entry-journey report.
+    * One user shuffle (rank window) + one path agg. */
+  def topPaths(events: DataFrame, depth: Int = 3, topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= depth)
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_rn"), col("event_type")))),
+        s => s.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), col("path")).limit(topK)
+  }
+
+  /** LAST-TOUCH attribution: for each conversion event, the immediately
+    * preceding event type by the same user (any type, within
+    * `withinSeconds` whole seconds) gets the credit; conversions with no
+    * in-window predecessor attribute to '(none)'. One user window + one
+    * type agg. */
+  def lastTouchAttribution(events: DataFrame, conversionType: String,
+                           withinSeconds: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("_prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("_prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("event_type") === conversionType)
+      .withColumn("credit",
+        when(col("_prev_type").isNotNull &&
+          unix_timestamp(col("ts")) - unix_timestamp(col("_prev_ts")) <= withinSeconds,
+          col("_prev_type")).otherwise(lit("(none)")))
+      .groupBy("credit").agg(count(lit(1)).as("n_conversions"))
+      .orderBy(desc("n_conversions"), col("credit"))
+  }
+
   /** Per-user session stats: session count, events, largest session. */
   def userStats(events: DataFrame, gapMinutes: Int): DataFrame =
     assign(events, gapMinutes)

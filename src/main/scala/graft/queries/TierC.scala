@@ -799,6 +799,38 @@ object TierC {
              |FROM du x JOIN du y ON x.user_id = y.user_id AND x.event_type < y.event_type
              |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin)),
 
+    // Top entry paths: each user's first 3 event types in order,
+    // '>'-joined; the entry-journey report.
+    Q("c115_event_paths",
+      (s, d) => Sessionize.topPaths(Tables.events(s, d), depth = 3, topK = 20),
+      Some("""WITH r AS (
+             |  SELECT user_id, event_type,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+             |      FROM r WHERE rn <= 3 GROUP BY user_id)
+             |SELECT path, count(*) AS n_users FROM p GROUP BY path
+             |ORDER BY n_users DESC, path LIMIT 20""".stripMargin)),
+
+    // Last-touch attribution: the event immediately before each purchase
+    // (same user, within an hour) gets the credit; orphan conversions
+    // attribute to '(none)'.
+    Q("c116_attribution",
+      (s, d) => Sessionize.lastTouchAttribution(Tables.events(s, d),
+        conversionType = "purchase", withinSeconds = 3600L),
+      Some("""WITH l AS (
+             |  SELECT event_type, ts,
+             |         lag(event_type) OVER w AS prev_type,
+             |         lag(ts) OVER w AS prev_ts
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |c AS (SELECT CASE WHEN prev_type IS NOT NULL AND
+             |               date_part('epoch', date_trunc('second', ts))
+             |             - date_part('epoch', date_trunc('second', prev_ts)) <= 3600
+             |             THEN prev_type ELSE '(none)' END AS credit
+             |      FROM l WHERE event_type = 'purchase')
+             |SELECT credit, count(*) AS n_conversions FROM c GROUP BY credit
+             |ORDER BY n_conversions DESC, credit""".stripMargin)),
+
     Q("c13_event_windows",
       (s, d) => Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
