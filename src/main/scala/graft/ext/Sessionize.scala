@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -169,6 +169,43 @@ object Sessionize {
           col("_prev_type")).otherwise(lit("(none)")))
       .groupBy("credit").agg(count(lit(1)).as("n_conversions"))
       .orderBy(desc("n_conversions"), col("credit"))
+  }
+
+  /** RFM segmentation (recency / frequency / monetary) by QUANTILE
+    * CUTOFFS, not rank windows: per-user metrics aggregate once, the
+    * four quintile cutoffs per metric come from ONE 1-row agg
+    * (broadcast), and scores are value comparisons against the rounded
+    * cutoffs — so no global ntile sort exists anywhere in the plan (a
+    * rank-based ntile would funnel every user through one partition at
+    * 100 TB; cutoff assignment is embarrassingly parallel and, unlike
+    * ntile, deterministic under ties by VALUE rather than row order).
+    * Score 5 = best quintile (most recent / most frequent / highest
+    * spend). Returns (segment, n_users). */
+  def rfmSegments(events: DataFrame, value: Column): DataFrame = {
+    val perUser = events.groupBy(col("user_id")).agg(
+      max(unix_timestamp(col("ts"))).as("_last"),
+      count(lit(1)).as("f"),
+      round(sum(value), 4).as("m"))
+    val asOf = perUser.agg(max(col("_last")).as("_as_of"))
+    val u = perUser.crossJoin(broadcast(asOf))
+      .withColumn("r", col("_as_of") - col("_last"))
+    val ps = array(Seq(0.2, 0.4, 0.6, 0.8).map(lit): _*)
+    val cuts = u.agg(
+      percentile(col("r"), ps).as("_cr"),
+      percentile(col("f"), ps).as("_cf"),
+      percentile(col("m"), ps).as("_cm"))
+    def score(v: Column, cutArr: Column, smallerIsBetter: Boolean): Column =
+      (1 to 4).map { k =>
+        val c = round(element_at(cutArr, k), 6)
+        when(if (smallerIsBetter) v < c else v > c, 1).otherwise(0)
+      }.reduce(_ + _) + 1
+    u.crossJoin(broadcast(cuts))
+      .withColumn("segment",
+        score(col("r").cast("double"), col("_cr"), smallerIsBetter = true) * 100 +
+          score(col("f").cast("double"), col("_cf"), smallerIsBetter = false) * 10 +
+          score(col("m"), col("_cm"), smallerIsBetter = false))
+      .groupBy("segment").agg(count(lit(1)).as("n_users"))
+      .orderBy("segment")
   }
 
   /** Per-user session stats: session count, events, largest session. */

@@ -831,6 +831,39 @@ object TierC {
              |SELECT credit, count(*) AS n_conversions FROM c GROUP BY credit
              |ORDER BY n_conversions DESC, credit""".stripMargin)),
 
+    // RFM segmentation by quantile CUTOFFS (no global ntile sort — the
+    // scalable, tie-deterministic form): score 5 = best quintile;
+    // segment = R*100 + F*10 + M.
+    Q("c117_rfm_segments",
+      (s, d) => Sessionize.rfmSegments(Tables.events(s, d), col("value")),
+      Some("""WITH u AS (
+             |  SELECT user_id,
+             |         max(date_part('epoch', date_trunc('second', ts))) AS last_s,
+             |         count(*) AS f, round(sum(value), 4) AS m
+             |  FROM events GROUP BY user_id),
+             |a AS (SELECT max(last_s) AS as_of FROM u),
+             |r AS (SELECT u.*, a.as_of - u.last_s AS rr FROM u CROSS JOIN a),
+             |c AS (SELECT quantile_cont(rr, [0.2, 0.4, 0.6, 0.8]) AS cr,
+             |             quantile_cont(f,  [0.2, 0.4, 0.6, 0.8]) AS cf,
+             |             quantile_cont(m,  [0.2, 0.4, 0.6, 0.8]) AS cm
+             |      FROM r),
+             |sc AS (
+             |  SELECT (1 + (CASE WHEN rr < round(cr[1],6) THEN 1 ELSE 0 END)
+             |            + (CASE WHEN rr < round(cr[2],6) THEN 1 ELSE 0 END)
+             |            + (CASE WHEN rr < round(cr[3],6) THEN 1 ELSE 0 END)
+             |            + (CASE WHEN rr < round(cr[4],6) THEN 1 ELSE 0 END)) * 100
+             |       + (1 + (CASE WHEN f > round(cf[1],6) THEN 1 ELSE 0 END)
+             |            + (CASE WHEN f > round(cf[2],6) THEN 1 ELSE 0 END)
+             |            + (CASE WHEN f > round(cf[3],6) THEN 1 ELSE 0 END)
+             |            + (CASE WHEN f > round(cf[4],6) THEN 1 ELSE 0 END)) * 10
+             |       + (1 + (CASE WHEN m > round(cm[1],6) THEN 1 ELSE 0 END)
+             |            + (CASE WHEN m > round(cm[2],6) THEN 1 ELSE 0 END)
+             |            + (CASE WHEN m > round(cm[3],6) THEN 1 ELSE 0 END)
+             |            + (CASE WHEN m > round(cm[4],6) THEN 1 ELSE 0 END)) AS segment
+             |  FROM r CROSS JOIN c)
+             |SELECT segment, count(*) AS n_users FROM sc GROUP BY segment
+             |ORDER BY segment""".stripMargin)),
+
     Q("c13_event_windows",
       (s, d) => Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))

@@ -331,6 +331,24 @@ class SketchOpsSpec extends AnyFunSuite with SparkTestBase {
       "the mean threshold moves non-linearly under the same tone map")
   }
 
+  test("rfm: cutoff-based scores, no rank window in the plan") {
+    import sp.implicits._
+    def t(m: Int) = new java.sql.Timestamp(m * 60000L)
+    // 10 users with strictly increasing recency/frequency/monetary
+    val events = (1 to 10).flatMap { u =>
+      (1 to u).map(k => (u.toLong * 100 + k, t(u * 10 + k), u.toLong, u * 10.0))
+    }.toDF("event_id", "ts", "user_id", "value")
+    val out = ext.Sessionize.rfmSegments(events, col("value"))
+    // the whole point: no ntile/rank window anywhere — cutoffs broadcast
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "RFM must assign by quantile cutoffs, not a global rank window")
+    val segs = out.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(segs.values.sum == 10)
+    // user 10 (most events, latest, highest value) lands in 555; user 1
+    // (single old cheap event) in 111
+    assert(segs.contains(555) && segs.contains(111), s"got $segs")
+  }
+
   test("funnel: greedy first-match, order matters, late first-match kills") {
     import sp.implicits._
     def t(m: Int) = new java.sql.Timestamp(m * 60000L)
