@@ -331,6 +331,34 @@ class SketchOpsSpec extends AnyFunSuite with SparkTestBase {
       "the mean threshold moves non-linearly under the same tone map")
   }
 
+  test("fold-based event ops are invariant to input partitioning") {
+    import sp.implicits._
+    def t(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val rnd = new scala.util.Random(11)
+    val events = (1 to 400).map { i =>
+      (i.toLong, t(rnd.nextInt(5000)), rnd.nextInt(20).toLong,
+        Seq("signup", "view", "click", "purchase")(rnd.nextInt(4)), rnd.nextDouble())
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def all(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    for (parts <- Seq(1, 13)) {
+      val e = events.repartition(parts)
+      assert(all(ext.Sessionize.funnel(e, Seq("signup", "view", "purchase"),
+        Some(36000L))) == all(ext.Sessionize.funnel(events,
+        Seq("signup", "view", "purchase"), Some(36000L))))
+      assert(all(ext.Sessionize.eventTransitions(e)) ==
+        all(ext.Sessionize.eventTransitions(events)))
+      assert(all(ext.Sessionize.topPaths(e)) == all(ext.Sessionize.topPaths(events)))
+      assert(all(ext.Sessionize.rfmSegments(e, col("value"))) ==
+        all(ext.Sessionize.rfmSegments(events, col("value"))))
+    }
+    // CDC admission likewise (chunking is per-row; the join must not care)
+    val docs = (1 to 60).map(i => (i.toLong, s"w${i % 7} " * 30)).toDF("doc_id", "text")
+    def adm(df: org.apache.spark.sql.DataFrame) =
+      all(Dedup.cdcIncrementalAdmission(df.filter(col("doc_id") % 2 === 0),
+        df.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"), p = 7))
+    assert(adm(docs.repartition(9)) == adm(docs))
+  }
+
   test("rfm: cutoff-based scores, no rank window in the plan") {
     import sp.implicits._
     def t(m: Int) = new java.sql.Timestamp(m * 60000L)
