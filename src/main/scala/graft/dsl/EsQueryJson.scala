@@ -478,7 +478,18 @@ object EsQueryJson {
           // silently become a driver-side collect of the world
           require(values.size <= 65536,
             s"terms lookup $idx/$path exceeds 65536 values (ES max_terms_count)")
-          field(f).isin(values: _*)
+          // small lists stay `isin` (an In-filter pushes to parquet);
+          // large ones become ONE array-literal `array_contains` node —
+          // a 65k-element In would put 65k Literal nodes in the plan
+          // (null semantics agree: both are null→no-match in a filter)
+          if (values.size <= 256) field(f).isin(values: _*)
+          else values.head match {
+            case _: java.lang.Long | _: java.lang.Integer =>
+              array_contains(typedLit(values.map(v => v.asInstanceOf[Number].longValue())),
+                field(f).cast("long"))
+            case _ =>
+              array_contains(typedLit(values.map(String.valueOf)), field(f))
+          }
         } else
           field(f).isin(vs.elements().asScala.map(n =>
             if (n.isNumber) n.asLong().asInstanceOf[Any] else n.asText().asInstanceOf[Any]).toSeq: _*)

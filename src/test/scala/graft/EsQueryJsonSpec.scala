@@ -1730,6 +1730,33 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(gotItems.exists(_._4 == "conflict") && gotItems.exists(_._4 == "deleted"))
   }
 
+  test("terms lookup: large value lists become one array-literal node") {
+    val sp = spark
+    import sp.implicits._
+    // lookup doc resolves to 1000 values — far past the isin threshold
+    val lookup = (1L to 1000L).map(v => (5L, v * 2)).toDF("id", "vals")
+    val docs = (1L to 50L).map(i => (i, i * 2)).toDF("doc_id", "v")
+    val hits = graft.dsl.EsQueryJson.withTables("lk" -> lookup) {
+      val out = graft.dsl.EsQueryJson.search(docs,
+        """{"query": {"terms": {"v": {"index": "lk", "id": 5, "path": "vals"}}},
+          | "sort": ["doc_id"], "size": 100}""".stripMargin)
+      assert(out.queryExecution.analyzed.toString.contains("array_contains"),
+        "a 1000-value lookup must compile to array_contains, not a 1000-literal In")
+      out.collect().map(_.getLong(0)).toSet
+    }
+    assert(hits == (1L to 50L).toSet, "every doc's v = 2i is in {2,4,...,2000}")
+    // small lists keep the pushdown-friendly isin form
+    val smallLookup = Seq((5L, 4L), (5L, 8L)).toDF("id", "vals")
+    val small = graft.dsl.EsQueryJson.withTables("lk" -> smallLookup) {
+      val out = graft.dsl.EsQueryJson.search(docs,
+        """{"query": {"terms": {"v": {"index": "lk", "id": 5, "path": "vals"}}},
+          | "sort": ["doc_id"], "size": 100}""".stripMargin)
+      assert(!out.queryExecution.analyzed.toString.contains("array_contains"))
+      out.collect().map(_.getLong(0)).toSet
+    }
+    assert(small == Set(2L, 4L))
+  }
+
   test("filtered alias: filter conjoins with query and aggs; null fields do not match") {
     val sp = spark
     import sp.implicits._
