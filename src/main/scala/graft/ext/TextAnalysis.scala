@@ -602,22 +602,48 @@ object TextAnalysis {
     docs.select(idCol.as("doc_id"),
       graft.functions.TextKernels.featureHash(text, dim).as("vec"))
 
+  /** Distributed rank + running-sum over a (tok, cnt) vocabulary table,
+    * frequency desc / term asc: the [[graft.ext.Corpus.packTokens]]
+    * prefix-sum shape — range-partition on the sort key, per-partition
+    * (rows, Σcnt) totals to the driver (#partitions values, bounded),
+    * exclusive-prefix offsets broadcast back as a literal CASE, then
+    * intra-partition windows only. No single-partition global Window:
+    * a web-scale vocabulary (10⁸–10⁹ distinct tokens) ranks in
+    * parallel. Emits (tok, cnt, rank, cum). */
+  private def rankedVocab(counts: DataFrame): DataFrame = {
+    val parted = counts.repartitionByRange(col("cnt").desc, col("tok"))
+      .sortWithinPartitions(col("cnt").desc, col("tok"))
+      .withColumn("_pid", spark_partition_id())
+    val pidTotals = parted.groupBy("_pid")
+      .agg(count(lit(1)).as("_rows"), sum(col("cnt")).as("_mass"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val rankOff = pidTotals.map(_._1)
+      .zip(pidTotals.map(_._2).scanLeft(0L)(_ + _))
+    val cumOff = pidTotals.map(_._1)
+      .zip(pidTotals.map(_._3).scanLeft(0L)(_ + _))
+    def caseOf(offs: Array[(Int, Long)]) = offs.foldLeft(lit(0L)) {
+      case (acc, (pid, off)) => when(col("_pid") === pid, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy("_pid").orderBy(desc("cnt"), col("tok"))
+    parted
+      .withColumn("rank", caseOf(rankOff) + row_number().over(w).cast("long"))
+      .withColumn("cum", caseOf(cumOff) + sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_pid")
+  }
+
   /** Vocabulary coverage curve — the tokenizer-design diagnostic: for
     * each candidate vocab size, the fraction of all corpus token
     * OCCURRENCES covered by the top-k terms (frequency desc, term asc
-    * ties). One corpus-sized vocab agg; the rank/cumsum window runs over
-    * the VOCAB table (single partition by necessity — it is the bounded
-    * table, not the corpus). */
+    * ties). One corpus-sized vocab agg; rank and cumulative mass come
+    * from the distributed [[rankedVocab]] prefix sum, so no stage is
+    * single-partition even when the vocabulary itself is huge. */
   def vocabCoverage(docs: DataFrame, text: Column, sizes: Seq[Int]): DataFrame = {
     val counts = docs.select(explode(tokens(text)).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(desc("cnt"), col("tok"))
-    val ranked = counts
-      .withColumn("rank", row_number().over(w))
-      .withColumn("cum", sum("cnt").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val total = counts.agg(sum("cnt").as("_tot"))
-    ranked.crossJoin(broadcast(total))
+    rankedVocab(counts).crossJoin(broadcast(total))
       .select(col("*"), explode(lit(sizes.toArray)).as("vocab_size"))
       .filter(col("rank") <= col("vocab_size"))
       .groupBy("vocab_size")
@@ -632,12 +658,12 @@ object TextAnalysis {
     * text sits near −1; synthetic/templated corpora flatten). The four
     * regression sums each round to 6 dp BEFORE the slope arithmetic (the
     * engine-resync convention — the sums are the only unordered float
-    * folds here). Everything is vocab-sized after the one corpus agg. */
+    * folds here). The global rank comes from the distributed
+    * [[rankedVocab]] prefix sum — no single-partition Window. */
   def zipfSlope(docs: DataFrame, text: Column): DataFrame = {
     val counts = docs.select(explode(tokens(text)).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(desc("cnt"), col("tok"))
-    val xy = counts.withColumn("rank", row_number().over(w))
+    val xy = rankedVocab(counts)
       .select(log(col("rank").cast("double")).as("x"),
         log(col("cnt").cast("double")).as("y"))
     xy.agg(count(lit(1)).cast("double").as("n"),

@@ -134,8 +134,9 @@ object TierC {
     * the ≥0.5 consumers share one pipeline; the 0.5 filter is free. */
   private def lshPairsAll(s: SparkSession, d: String): DataFrame =
     lshPairsCache.getOrElseUpdate((s, d),
-      Dedup.minhashLsh(Tables.documents(s, d), col("doc_id"), col("text"),
-        numHashes = NUM_HASHES, bandSize = BAND_SIZE, threshold = 0.0).persist())
+      graft.CachedFrames.track(
+        Dedup.minhashLsh(Tables.documents(s, d), col("doc_id"), col("text"),
+          numHashes = NUM_HASHES, bandSize = BAND_SIZE, threshold = 0.0).persist()))
 
   private def lshPairs(s: SparkSession, d: String): DataFrame =
     lshPairsAll(s, d).filter(col("jac") >= 0.5)
@@ -157,8 +158,9 @@ object TierC {
 
   private def kmeansFit8(s: SparkSession, d: String): DataFrame =
     kmeansCache.getOrElseUpdate((s, d),
-      Similarity.kmeansFit(Tables.embeddings(s, d),
-        col("vec_id"), col("embedding"), k = 8, iters = 2).persist())
+      graft.CachedFrames.track(
+        Similarity.kmeansFit(Tables.embeddings(s, d),
+          col("vec_id"), col("embedding"), k = 8, iters = 2).persist()))
 
   private val sigCte = {
     val hs = (0 until NUM_HASHES)
@@ -2937,7 +2939,7 @@ object TierC {
            |probes AS (
            |  SELECT t, cnt, r, $cell AS cell
            |  FROM top CROSS JOIN range(0, 3) s(r))
-           |SELECT t AS tok, cnt, min(mass) AS estimate
+           |SELECT t AS tok, cnt, CAST(min(mass) AS BIGINT) AS estimate
            |FROM probes JOIN cells USING (r, cell)
            |GROUP BY tok, cnt ORDER BY cnt DESC, tok""".stripMargin
       }),
@@ -3411,10 +3413,11 @@ object TierC {
              |                   + x*11 + y*13) % 256 AS INT)))) AS px
              |       FROM fr),
              |sig AS (SELECT doc_id, CAST(list_sum(px) AS BIGINT) AS s,
-             |               list_min(px) AS mn, list_max(px) AS mx FROM pl)
+             |               list_min(px) AS mn, list_max(px) AS mx,
+             |               len(px) AS pn FROM pl)
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_frames
              |FROM sig a JOIN sig b ON a.s = b.s AND a.mn = b.mn AND a.mx = b.mx
-             |                     AND a.doc_id < b.doc_id
+             |                     AND a.pn = b.pn AND a.doc_id < b.doc_id
              |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)),
 
     // Mixed-language / code-switch detection: language-ID each HALF of
@@ -3533,7 +3536,8 @@ object TierC {
              |         sum(cnt) OVER (ORDER BY cnt DESC, tok ROWS UNBOUNDED PRECEDING) AS cum
              |  FROM counts),
              |tot AS (SELECT sum(cnt) AS t FROM counts)
-             |SELECT vocab_size, max(cum) AS covered_tokens, max(t) AS total_tokens,
+             |SELECT vocab_size, CAST(max(cum) AS BIGINT) AS covered_tokens,
+             |       CAST(max(t) AS BIGINT) AS total_tokens,
              |       round(max(cum) * 1.0 / max(t), 6) AS coverage
              |FROM ranked CROSS JOIN tot CROSS JOIN (SELECT unnest([5, 10, 20, 40]) AS vocab_size)
              |WHERE rank <= vocab_size

@@ -359,6 +359,45 @@ class SketchOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(adm(docs.repartition(9)) == adm(docs))
   }
 
+  test("CachedFrames.clear unpersists the frames long-lived operators persist") {
+    import sp.implicits._
+    val before = sp.sparkContext.getPersistentRDDs.keySet
+    val docs = Seq((1L, "a a b c"), (2L, "b c d e")).toDF("doc_id", "text")
+    Sketch.cmsHeavyHitters(docs, col("text"), d = 2, w = 8, topK = 5).collect()
+    val added = sp.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "cmsHeavyHitters persists its counts frame")
+    graft.CachedFrames.clear()
+    val after = sp.sparkContext.getPersistentRDDs.keySet
+    assert(added.forall(id => !after.contains(id)),
+      s"tracked frames must unpersist on clear(): still cached $added")
+  }
+
+  test("vocab rank ops: every Window is partitioned, result partitioning-invariant") {
+    import sp.implicits._
+    val rnd = new scala.util.Random(12)
+    val docs = (1 to 200).map { i =>
+      (i.toLong, (1 to 40).map(_ => s"w${rnd.nextInt(120)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    def all(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    for (df <- Seq(TextAnalysis.vocabCoverage(docs, col("text"), Seq(5, 50, 100)),
+                   TextAnalysis.zipfSlope(docs, col("text")))) {
+      // sparkPlan, not executedPlan: AQE hides the tree pre-execution
+      val wins = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, "prefix-sum form still uses intra-partition windows")
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned Window (single-partition funnel) in plan: $w"))
+    }
+    for (parts <- Seq(1, 17)) {
+      val d = docs.repartition(parts)
+      assert(all(TextAnalysis.vocabCoverage(d, col("text"), Seq(5, 50, 100))) ==
+        all(TextAnalysis.vocabCoverage(docs, col("text"), Seq(5, 50, 100))))
+      assert(all(TextAnalysis.zipfSlope(d, col("text"))) ==
+        all(TextAnalysis.zipfSlope(docs, col("text"))))
+    }
+  }
+
   test("rfm: cutoff-based scores, no rank window in the plan") {
     import sp.implicits._
     def t(m: Int) = new java.sql.Timestamp(m * 60000L)

@@ -47,6 +47,18 @@ def main():
             n_skip += 1
             continue
         try:
+            # LINT (round-9/round-11 bug family): DuckDB sum() yields
+            # HUGEINT, which the driver's arrow fetch renders as float64
+            # ("964.0") while Spark writes int64 ("964") — the local
+            # fetchall() hides this (python int), so catch it by TYPE
+            # before the value compare. Any HUGEINT output column must be
+            # CAST (usually AS BIGINT) in the oracle SQL.
+            desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+            huge = [c for c, t, *_ in desc if "HUGEINT" in str(t).upper()]
+            if huge:
+                print(f"FAIL {name}: LINT uncast HUGEINT column(s) {huge} — wrap in CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
             exp = con.execute(sql)
             exp_cols = [d[0] for d in exp.description]
             exp_rows = exp.fetchall()
