@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   * per-id state bounded by doc width. */
 object EsBulk {
 
-  case class BulkOp(seq: Long, op: String, id: Long, doc: Map[String, String])
+  case class BulkOp(seq: Long, op: String, id: Long, doc: Map[String, String],
+                    upsert: Boolean = false)
   case class BulkOut(seq: Long, id: Long, op: String, result: String,
                      key: String, value: String, isState: Boolean)
 
@@ -56,12 +57,19 @@ object EsBulk {
       from_json(col("value"), org.apache.spark.sql.types.DataType.fromDDL(
         "map<string, string>")).as("flat"),
       from_json(col("value"), org.apache.spark.sql.types.DataType.fromDDL(
-        "struct<doc: map<string, string>>")).as("env"))
+        "struct<doc: map<string, string>, doc_as_upsert: boolean>")).as("env"))
     act.join(docs, Seq("seq"), "left")
       .select(col("seq"), col("op"), col("id"),
         when(col("op") === "update", col("env.doc"))
           .when(col("op") === "delete", lit(null))
-          .otherwise(col("flat")).as("doc"))
+          .otherwise(col("flat")).as("doc"),
+        // the reference observer emits EVERY put as
+        // prepareUpdate(...).setDocAsUpsert(true)
+        // (`observer6/HbaseDataSyncEsObserver.java:93-129`) — an update
+        // carrying `"doc_as_upsert": true` creates on a missing id
+        // instead of returning `missing` (404)
+        (col("op") === "update" &&
+          coalesce(col("env.doc_as_upsert"), lit(false))).as("upsert"))
       .as[BulkOp]
   }
 
@@ -80,8 +88,11 @@ object EsBulk {
           if (doc.isDefined) "conflict"
           else { doc = Some(Option(o.doc).getOrElse(Map.empty)); "created" }
         case "update" =>
-          if (doc.isEmpty) "missing"
-          else { doc = Some(doc.get ++ Option(o.doc).getOrElse(Map.empty)); "updated" }
+          if (doc.isEmpty) {
+            // ES doc_as_upsert: the partial doc BECOMES the doc ("created")
+            if (o.upsert) { doc = Some(Option(o.doc).getOrElse(Map.empty)); "created" }
+            else "missing"
+          } else { doc = Some(doc.get ++ Option(o.doc).getOrElse(Map.empty)); "updated" }
         case "delete" =>
           if (doc.isDefined) { doc = None; "deleted" } else "not_found"
       }

@@ -104,7 +104,7 @@ object Sketch {
     * sketches by cell-wise addition instead of shipping vocabularies. */
   def cmsHeavyHitters(docs: DataFrame, text: Column, d: Int = 4, w: Int = 1024,
                       topK: Int = 20): DataFrame = {
-    val counts = tokenCounts(docs, text).persist()
+    val counts = graft.CachedFrames.track(tokenCounts(docs, text).persist())
     val sketch = cmsFromCounts(counts, d, w)
     val top = counts.orderBy(desc("cnt"), col("tok")).limit(topK)
     val probes = top.select(col("tok"), col("cnt"),

@@ -79,6 +79,56 @@ object EditDistance {
   def damerau(a: UTF8String, b: UTF8String): Int =
     damerauStr(a.toString, b.toString)
 
+  /** OSA (Optimal String Alignment, a.k.a. RESTRICTED Damerau-Levenshtein)
+    * — the variant Lucene's fuzzy automata actually implement
+    * (`LevenshteinAutomata` with transpositions: once a pair is
+    * transposed, its substring may not be edited again), so this is the
+    * exact ES 6.5 `fuzziness` semantics. Diverges from [[damerauStr]] on
+    * corner cases like "ca"→"abc" (3 OSA vs 2 true-DL); agrees on
+    * real-word typo pairs, which is why the true-DL default can mirror
+    * DuckDB's `damerau_levenshtein` oracles bit-for-bit on the corpus.
+    * Opt-in via [[osaLev]] for strict Lucene parity; the `a196` oracle
+    * row pins the divergent corner cases analytically. */
+  def osaStr(a: String, b: String): Int = {
+    val n = a.length
+    val m = b.length
+    if (n == 0) return m
+    if (m == 0) return n
+    // three rolling rows: i-2, i-1, current
+    var p2 = new Array[Int](m + 1)
+    var p1 = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { p1(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      j = 1
+      while (j <= m) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        var best = p1(j - 1) + cost                  // substitute / match
+        val ins = cur(j - 1) + 1                     // insert
+        if (ins < best) best = ins
+        val del = p1(j) + 1                          // delete
+        if (del < best) best = del
+        if (i > 1 && j > 1 && a.charAt(i - 1) == b.charAt(j - 2) &&
+            a.charAt(i - 2) == b.charAt(j - 1)) {
+          val tr = p2(j - 2) + 1                     // adjacent transpose
+          if (tr < best) best = tr
+        }
+        cur(j) = best
+        j += 1
+      }
+      val t = p2; p2 = p1; p1 = cur; cur = t
+      i += 1
+    }
+    p1(m)
+  }
+
+  /** Static entry point for generated code. */
+  def osa(a: UTF8String, b: UTF8String): Int =
+    osaStr(a.toString, b.toString)
+
   case class DamerauLevenshtein(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = IntegerType
@@ -93,4 +143,20 @@ object EditDistance {
 
   def damerauLev(a: Column, b: Column): Column =
     column(DamerauLevenshtein(expression(a), expression(b)))
+
+  case class OsaDistance(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      osa(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.EditDistance.osa($a, $b)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(left = l, right = r)
+  }
+
+  /** Lucene-parity fuzzy distance (restricted Damerau / OSA). */
+  def osaLev(a: Column, b: Column): Column =
+    column(OsaDistance(expression(a), expression(b)))
 }

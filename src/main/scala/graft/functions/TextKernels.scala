@@ -52,18 +52,27 @@ object TextKernels {
     override def nullSafeEval(in: Any): Any = {
       val toks = tokenize(in.asInstanceOf[UTF8String])
       if (toks.isEmpty) return null
-      val counts = new java.util.TreeMap[String, Int]()
+      val counts = new java.util.HashMap[String, Int]()
       var i = 0
       while (i < toks.length) {
         counts.merge(toks(i), 1, (a, b) => a + b)
         i += 1
       }
+      // fold in UTF-8 BYTE order (UTF8String.compareTo), not String's
+      // UTF-16 code-unit order — Spark's array_sort and DuckDB list_sort
+      // both sort by bytes, and the two orders diverge on
+      // supplementary-plane code points (surrogates sort above U+E000
+      // chars in UTF-16 but below in UTF-8)
+      val keys = counts.keySet().toArray(new Array[String](counts.size()))
+        .map(UTF8String.fromString)
+      java.util.Arrays.sort(keys, (a: UTF8String, b: UTF8String) => a.compareTo(b))
       val dl = toks.length.toDouble
       var acc = 0.0
-      val it = counts.values().iterator()
-      while (it.hasNext) {
-        val p = it.next().toDouble / dl
+      i = 0
+      while (i < keys.length) {
+        val p = counts.get(keys(i).toString).toDouble / dl
         acc = acc + p * (math.log(p) / math.log(2.0))
+        i += 1
       }
       acc
     }
@@ -135,7 +144,10 @@ object TextKernels {
         var j = 0
         var all = true
         while (all && j < k) {
-          val p = (h1 + j.toLong * h2) % mBits
+          // floorMod, not %: h1 + j·h2 overflows Long for k ≥ 9 (two
+          // 60-bit values), and a negative position would index words[]
+          // out of bounds AND disagree with bloomBuild's Column pmod
+          val p = java.lang.Math.floorMod(h1 + j.toLong * h2, mBits)
           all = (words((p >> 6).toInt) & (1L << (p & 63L).toInt)) != 0
           j += 1
         }

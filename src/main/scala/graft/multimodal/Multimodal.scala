@@ -644,7 +644,9 @@ object Multimodal {
     * would widen to the frame aHash (c77) with the c78 banding. */
   def crossVideoDupFrames(payloads: DataFrame)(implicit spark: SparkSession): DataFrame = {
     val fr = videoFrames(payloads).select(col("doc_id"),
-      struct(col("px_sum"), col("px_min"), col("px_max")).as("sig"))
+      // px_n in the signature: (sum,min,max) alone can collide across
+      // DIFFERENT-SIZED frames, which would not be byte-identical
+      struct(col("px_sum"), col("px_min"), col("px_max"), col("px_n")).as("sig"))
     val a = fr.select(col("doc_id").as("doc_a"), col("sig"))
     val b = fr.select(col("doc_id").as("doc_b"), col("sig"))
     a.join(b, Seq("sig")).filter(col("doc_a") < col("doc_b"))

@@ -22,7 +22,8 @@ object TierA {
 
   def index(spark: SparkSession, sfDir: String): DataFrame =
     indexCache.getOrElseUpdate((spark, sfDir),
-      Merge.fold(ChangeLog.readEvents(spark, sfDir)).persist())
+      graft.CachedFrames.track(
+        Merge.fold(ChangeLog.readEvents(spark, sfDir)).persist()))
 
   /** A3+A4+A5+A6: per-mutation flatten. One row per (mutation, qualifier)
     * with last-wins dedup inside the mutation; no cross-row state. */

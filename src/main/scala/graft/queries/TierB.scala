@@ -4352,6 +4352,7 @@ object TierB {
              |  UNION ALL SELECT 2*id, id, 'create', 'conflict' FROM d WHERE id % 5 = 3
              |  UNION ALL SELECT 2*i, i, 'create', 'created' FROM (SELECT unnest(generate_series(100, 104)) AS i)
              |  UNION ALL SELECT 2*i, i, 'update', 'missing' FROM (SELECT unnest(generate_series(1000, 1004)) AS i)
+             |  UNION ALL SELECT 2*i, i, 'update', 'created' FROM (SELECT unnest(generate_series(2000, 2004)) AS i)
              |) ORDER BY seq""".stripMargin)),
 
     // The post-bulk index state, exploded to (id, key, value) — deletes
@@ -4365,8 +4366,55 @@ object TierB {
              |  UNION ALL SELECT id, 'u', 'u1' FROM d WHERE id % 5 = 2
              |  UNION ALL SELECT id, 'v', 'new-' || id FROM d WHERE id % 5 = 1
              |  UNION ALL SELECT i, 'v', 'made-' || i FROM (SELECT unnest(generate_series(100, 104)) AS i)
+             |  UNION ALL SELECT i, 'u', 'up-' || i FROM (SELECT unnest(generate_series(2000, 2004)) AS i)
              |) ORDER BY id, key""".stripMargin)),
+
+    // Lucene OSA vs true-Damerau fuzzy corner cases: ES 6.5's fuzzy
+    // automata implement the RESTRICTED (OSA) variant — a substring may
+    // not be edited after a transposition — while the engine's default
+    // kernel (and DuckDB's damerau_levenshtein) is TRUE DL. The fixture
+    // pins both on the divergent pairs ("ca"→"abc" family: 2 true-DL vs
+    // 3 OSA) plus agreeing real-typo pairs; `es_match2` is the
+    // fuzziness-2 admission under LUCENE semantics (the opt-in
+    // EditDistance.osaLev kernel), `dl_match2` under the DuckDB-mirroring
+    // default. The OSA pins are analytic (DuckDB has no OSA kernel —
+    // the a168 analytic-pin pattern); true-DL is cross-checked live.
+    Q("a196_es_fuzzy_osa",
+      (s, _) => {
+        import s.implicits._
+        OsaFixture.pairs.toDF("qa", "qb")
+          .withColumn("dl", graft.functions.EditDistance.damerauLev(col("qa"), col("qb")))
+          .withColumn("osa", graft.functions.EditDistance.osaLev(col("qa"), col("qb")))
+          .withColumn("dl_match2", col("dl") <= 2)
+          .withColumn("es_match2", col("osa") <= 2)
+          .orderBy("qa", "qb")
+      },
+      Some {
+        val rows = OsaFixture.pairs.map { case (a, b) =>
+          s"('$a', '$b', ${OsaFixture.osaPins((a, b))})"
+        }.mkString(",\n             ")
+        s"""SELECT qa, qb, CAST(damerau_levenshtein(qa, qb) AS INT) AS dl,
+           |       osa, damerau_levenshtein(qa, qb) <= 2 AS dl_match2,
+           |       osa <= 2 AS es_match2
+           |FROM (VALUES
+           |  $rows) t(qa, qb, osa)
+           |ORDER BY qa, qb""".stripMargin
+      }),
   )
+}
+
+/** The OSA-vs-true-DL corner-case fixture: pairs with hand-derived
+  * (independently recomputed) OSA distances. The divergent rows are the
+  * "ca"→"abc" family, where true DL transposes then inserts BETWEEN the
+  * transposed pair — which OSA (Lucene's automata) forbids. */
+private[queries] object OsaFixture {
+  val osaPins: Map[(String, String), Int] = Map(
+    ("ca", "abc") -> 3, ("ab", "ba") -> 1, ("ab", "bca") -> 3,
+    ("abc", "ca") -> 3, ("high", "hgih") -> 1, ("sprk", "spark") -> 1,
+    ("querry", "query") -> 1, ("abcd", "badc") -> 2, ("abcd", "acbd") -> 1,
+    ("xy", "yxz") -> 2, ("hello", "ehllo") -> 1, ("table", "tbale") -> 1,
+    ("za", "abz") -> 3, ("tabel", "table") -> 1, ("acre", "race") -> 2)
+  val pairs: Seq[(String, String)] = osaPins.keys.toSeq.sorted
 }
 
 /** Deterministic `_bulk` fixture over the documents table: one action
@@ -4389,7 +4437,12 @@ private[queries] object EsBulkFixture {
     } ++ (100L to 104L).flatMap(id =>
       Seq((2 * id, s"""{"create": {"_id": $id}}"""), (2 * id + 1, s"""{"v": "made-$id"}"""))) ++
       (1000L to 1004L).flatMap(id =>
-        Seq((2 * id, s"""{"update": {"_id": $id}}"""), (2 * id + 1, s"""{"doc": {"u": "u1"}}""")))
+        Seq((2 * id, s"""{"update": {"_id": $id}}"""), (2 * id + 1, s"""{"doc": {"u": "u1"}}"""))) ++
+      // the reference's actual wire shape: update + doc_as_upsert on a
+      // MISSING id creates instead of 404ing
+      (2000L to 2004L).flatMap(id =>
+        Seq((2 * id, s"""{"update": {"_id": $id}}"""),
+          (2 * id + 1, s"""{"doc": {"u": "up-$id"}, "doc_as_upsert": true}""")))
     ls.toDF("seq", "value")
   }
 

@@ -79,6 +79,52 @@ class EditDistanceModelSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  /** Reference OSA: the textbook O(n·m) DP with the adjacent-transpose
+    * edge gated on d[i−2][j−2] — written as a full matrix (no rolling
+    * rows), independently of the kernel's implementation. */
+  private def refOsa(a: String, b: String): Int = {
+    val n = a.length; val m = b.length
+    val d = Array.tabulate(n + 1, m + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to n; j <- 1 to m) {
+      val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1), d(i - 1)(j - 1) + cost)
+      if (i > 1 && j > 1 && a(i - 1) == b(j - 2) && a(i - 2) == b(j - 1))
+        d(i)(j) = math.min(d(i)(j), d(i - 2)(j - 2) + 1)
+    }
+    d(n)(m)
+  }
+
+  /** Plain Levenshtein (no transpositions) for the ordering bound. */
+  private def lev(a: String, b: String): Int = {
+    val n = a.length; val m = b.length
+    val d = Array.tabulate(n + 1, m + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to n; j <- 1 to m) {
+      val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1), d(i - 1)(j - 1) + cost)
+    }
+    d(n)(m)
+  }
+
+  test("osa kernel == independent DP; true-DL <= OSA <= Levenshtein") {
+    val genStr = for {
+      n <- Gen.choose(0, 10)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd'))
+    } yield cs.mkString
+    import graft.functions.EditDistance.{damerauStr, osaStr}
+    val prop = Prop.forAll(genStr, genStr) { (a, b) =>
+      val o = osaStr(a, b)
+      o == refOsa(a, b) &&
+      o == osaStr(b, a) &&                  // symmetry
+      (o == 0) == (a == b) &&               // identity
+      damerauStr(a, b) <= o && o <= lev(a, b) // variant ordering
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(600), prop)
+    assert(res.passed, res.status.toString)
+    // the documented Lucene divergence: true-DL admits "ca"→"abc" at 2,
+    // OSA (ES 6.5's automata) does not
+    assert(damerauStr("ca", "abc") == 2 && osaStr("ca", "abc") == 3)
+  }
+
   /** Brute Lucene sloppy phrase: every INJECTIVE assignment of phrase
     * terms to matching token positions (any order, distinct tokens);
     * matches when the shifted positions pᵏ − k span ≤ slop — the

@@ -190,16 +190,18 @@ class KernelEquivalenceSpec extends AnyFunSuite {
 
   test("EsBulk.fold == independent ES-semantics simulation") {
     import graft.dsl.EsBulk
-    val genOps: Gen[List[(String, Option[String])]] =
+    val genOps: Gen[List[(String, Option[String], Boolean)]] =
       Gen.listOf(Gen.zip(
         Gen.oneOf("index", "create", "update", "delete"),
-        Gen.option(Gen.oneOf("a", "b", "c"))))
+        Gen.option(Gen.oneOf("a", "b", "c")),
+        Gen.oneOf(true, false)))
     val genStanding: Gen[Option[Map[String, String]]] =
       Gen.option(Gen.const(Map("s" -> "0")))
     val prop = Prop.forAll(genOps, genStanding) { (plan, standing) =>
-      val ops = plan.zipWithIndex.map { case ((op, key), i) =>
+      val ops = plan.zipWithIndex.map { case ((op, key, up), i) =>
         EsBulk.BulkOp(i.toLong * 2, op, 1L,
-          if (op == "delete") null else key.map(k => Map(k -> s"v$i")).getOrElse(Map.empty))
+          if (op == "delete") null else key.map(k => Map(k -> s"v$i")).getOrElse(Map.empty),
+          upsert = op == "update" && up)
       }
       val (items, fin) = EsBulk.fold(standing, ops)
       // independent simulation, written from the ES reference semantics
@@ -213,8 +215,10 @@ class KernelEquivalenceSpec extends AnyFunSuite {
             if (doc.isDefined) (o.seq, o.op, "conflict")
             else { doc = Some(o.doc); (o.seq, o.op, "created") }
           case "update" =>
-            if (doc.isEmpty) (o.seq, o.op, "missing")
-            else { doc = Some(doc.get ++ o.doc); (o.seq, o.op, "updated") }
+            if (doc.isEmpty) {
+              if (o.upsert) { doc = Some(o.doc); (o.seq, o.op, "created") }
+              else (o.seq, o.op, "missing")
+            } else { doc = Some(doc.get ++ o.doc); (o.seq, o.op, "updated") }
           case "delete" =>
             if (doc.isEmpty) (o.seq, o.op, "not_found")
             else { doc = None; (o.seq, o.op, "deleted") }
