@@ -64,7 +64,7 @@ object EsDsl {
     queryTerms.map(_.toLowerCase).distinct.map { t =>
       val fz = fuzzinessOf(t)
       org.apache.spark.sql.functions.exists(toks, tok => {
-        val dist = graft.functions.EditDistance.damerauLev(tok, lit(t)) <= fz
+        val dist = graft.functions.EditDistance.fuzzyLev(tok, lit(t)) <= fz
         if (prefixLength > 0)
           substring(tok, 1, prefixLength) === lit(t.take(prefixLength)) && dist
         else dist

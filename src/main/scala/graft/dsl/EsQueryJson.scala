@@ -152,6 +152,19 @@ object EsQueryJson {
   def withIndexAnalyzer[T](fieldName: String, analyzer: String)(f: => T): T =
     indexAnalyzers.withValue(indexAnalyzers.value + (fieldName -> analyzer))(f)
 
+  // Index-time analyzers resolve against the same registries as
+  // search-time ones: a [[withShingles]]-registered name bound via
+  // [[withIndexAnalyzer]] applies Lucene's shingle filter at INDEX time
+  // with `token_separator: "_"` — the separator choice that keeps
+  // shingle terms single tokens under the standard `\W+` tokenizer
+  // (underscore is a word character), so the stored-stream re-join
+  // trick stays lossless. Like index-time synonyms (a171), index-time
+  // shingling changes what search-time shingling cannot: the field
+  // length (2n−1 stacked tokens for bigrams+unigrams) inflates BM25's
+  // length normalization for every query, and shingle terms get real
+  // df/tf — a match for "table_hash" hits only docs with the adjacent
+  // pair.
+
   /** The STORED view of a field: the raw text, or — when the field has a
     * registered index analyzer — the expanded token stream re-joined to
     * text (tokens are `\W+`-free, so a space join round-trips through the
@@ -159,10 +172,22 @@ object EsQueryJson {
   private def storedField(f: String): Column =
     indexAnalyzers.value.get(f) match {
       case None => field(f)
+      case Some(an) if shingleAnalyzers.value.contains(an) =>
+        val (mn, mx, uni) = shingleAnalyzers.value(an)
+        val w = graft.ext.TextAnalysis.tokens(field(f))
+        val parts: Seq[Column] = (if (uni) Seq(w) else Nil) ++ (mn to mx).map { n =>
+          // guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
+          when(org.apache.spark.sql.functions.size(w) >= n,
+            transform(sequence(lit(1), org.apache.spark.sql.functions.size(w) - (n - 1)),
+              i => concat_ws("_", slice(w, i, lit(n)))))
+            .otherwise(array().cast("array<string>"))
+        }
+        array_join(concat(parts: _*), " ")
       case Some(an) =>
         val syn = synonymAnalyzers.value.getOrElse(an,
           throw new IllegalArgumentException(
-            s"index analyzer '$an' is not a withSynonyms-registered analyzer"))
+            s"index analyzer '$an' is not a withSynonyms- or " +
+              "withShingleAnalyzer-registered analyzer"))
         require(syn.values.forall(_.forall(!_.contains(" "))),
           s"index-time analyzer '$an' has multi-word synonym members — " +
             "ES corrupts positions there; use search-time expansion")
@@ -748,7 +773,7 @@ object EsQueryJson {
         val transpositions =
           if (v.isObject) Option(v.get("transpositions")).forall(_.asBoolean()) else true
         val dist =
-          if (transpositions) graft.functions.EditDistance.damerauLev(field(f), lit(value))
+          if (transpositions) graft.functions.EditDistance.fuzzyLev(field(f), lit(value))
           else levenshtein(field(f), lit(value))
         val base = dist <= fuzziness
         if (prefixLen == 0) base

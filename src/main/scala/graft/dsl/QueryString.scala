@@ -300,9 +300,9 @@ object QueryString {
       // Lucene's `~` fuzzy defaults to transpositions (Damerau), same as
       // the fuzzy query's ES-6.5 default
       case Fuzzy(Some(f), t, n) =>
-        graft.functions.EditDistance.damerauLev(fld(f), lit(t)) <= n
+        graft.functions.EditDistance.fuzzyLev(fld(f), lit(t)) <= n
       case Fuzzy(None, t, n) =>
-        overDefaults(graft.functions.EditDistance.damerauLev(_, lit(t)) <= n)
+        overDefaults(graft.functions.EditDistance.fuzzyLev(_, lit(t)) <= n)
     }
     go(n)
   }

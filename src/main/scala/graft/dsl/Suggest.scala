@@ -54,9 +54,9 @@ object Suggest {
     val cands = vocabulary(df, idCol, field)
       .join(broadcast(inputs),
         abs(length(col("term")) - length(col("token"))) <= maxEdits &&
-          graft.functions.EditDistance.damerauLev(col("term"), col("token")) <= maxEdits)
+          graft.functions.EditDistance.fuzzyLev(col("term"), col("token")) <= maxEdits)
       .withColumn("distance",
-        graft.functions.EditDistance.damerauLev(col("term"), col("token")))
+        graft.functions.EditDistance.fuzzyLev(col("term"), col("token")))
       .withColumn("_in_df", coalesce(
         max(when(col("distance") === 0, col("doc_freq")))
           .over(Window.partitionBy("token")), lit(0L)))
@@ -114,7 +114,7 @@ object Suggest {
         // exactly — the fuzzy clause degenerates to exact-prefix
         if (lens.isEmpty) col("term").startsWith(p)
         else {
-          val dists = lens.map(j => graft.functions.EditDistance.damerauLev(
+          val dists = lens.map(j => graft.functions.EditDistance.fuzzyLev(
             substring(col("term"), 1, j), lit(p)))
           exact && dists.reduce(least(_, _)) <= fuzziness
         }
@@ -161,7 +161,7 @@ object Suggest {
     val cands = vocab
       .join(broadcast(inputs),
         abs(length(col("term")) - length(col("token"))) <= maxEdits &&
-          graft.functions.EditDistance.damerauLev(col("term"), col("token")) <= maxEdits)
+          graft.functions.EditDistance.fuzzyLev(col("term"), col("token")) <= maxEdits)
       .withColumn("rank", row_number().over(
         Window.partitionBy("pos").orderBy(desc("doc_freq"), col("term"))))
       .filter(col("rank") <= shardSize)

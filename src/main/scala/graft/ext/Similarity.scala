@@ -480,6 +480,46 @@ object Similarity {
     }.reduce(_ unionAll _)
   }
 
+  /** Two-stage IVF-PQ serving with EXACT re-ranking — the standard ANN
+    * serving shape: the ADC stage over-fetches `rerankFactor × topK`
+    * candidates (cheap — code bytes only), then ONLY those candidates'
+    * full vectors are fetched and exactly re-scored (‖v‖² − 2 q·v, the
+    * same ascending-dim fold as the ground-truth side, so re-ranked
+    * distances are bit-comparable to exact search). Per-query work stays
+    * bounded: the candidate set is a broadcast-size list, the exact pass
+    * touches rerankFactor·topK vectors, never the corpus. Fixes the
+    * quantization-order errors ADC alone cannot (a PQ cell's reproduction
+    * value can invert two near-tied neighbors); with re-ranking, recall
+    * against exact top-K is limited only by candidate coverage
+    * (nprobe + over-fetch), not code resolution. */
+  def ivfPqSearchManyRerank(vecs: DataFrame, idCol: Column, vecCol: Column,
+                            coarse: Seq[Seq[Double]], codebook: Seq[Seq[Seq[Double]]],
+                            queries: Seq[(Long, Seq[Double])], nprobe: Int,
+                            topK: Int, rerankFactor: Int = 4): DataFrame = {
+    val v = vecCol.cast("array<double>")
+    val base = Dedup.persistOnce(vecs.select(idCol.as("vec_id"), v.as("_v")))
+    val enc = Dedup.persistOnce(base.select(col("vec_id"),
+      nearestCent(col("_v"), coarse).as("cell"), pqCodes(col("_v"), codebook).as("codes")))
+    queries.map { case (qid, query) =>
+      val qq = query.foldLeft(0.0)((a, x) => a + x * x)
+      val qCells = coarse.zipWithIndex.map { case (c, j) =>
+        val qc = query.indices.foldLeft(0.0)((a, i) => a + query(i) * c(i))
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        (BigDecimal(qq - 2.0 * qc + cc)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, j)
+      }.sortBy(identity).take(nprobe).map(_._2)
+      val cands = pqAdcSearch(
+        enc.filter(col("cell").isin(qCells: _*)).select("vec_id", "codes"),
+        codebook, query, topK * rerankFactor)
+      val qvArr = array(query.map(lit): _*)
+      base.join(org.apache.spark.sql.functions.broadcast(cands), "vec_id")
+        .select(lit(qid).as("query_id"), col("vec_id"),
+          round(graft.functions.VecOps.dotD(col("_v"), col("_v"))
+            - lit(2.0) * graft.functions.VecOps.dotD(col("_v"), qvArr), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(topK)
+    }.reduce(_ unionAll _)
+  }
+
   /** Embedding-space outlier detection: per-label centroid (6-dp
     * re-synced, the c32 determinism trick), per-vector Euclidean distance
     * to its centroid (ascending-dim HOF fold — deterministic order), then

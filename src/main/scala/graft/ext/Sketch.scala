@@ -94,6 +94,112 @@ object Sketch {
       .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
       .agg(sum("cnt").as("mass"))
 
+  /** HDR-style log-linear histogram SKETCH TABLE: one row per
+    * (partition-keys, bucket), where a bucket keeps the value's top `k`
+    * bits (relative error < 2^−(k−1)) — `bmin`/`rep` are the bucket's
+    * inclusive [min, max] and `c` its count. The sketch is EXACTLY
+    * mergeable by adding counts bucket-wise (it is a deterministic
+    * integer histogram, not an adaptive structure like t-digest whose
+    * centroids depend on arrival order) — the property that lets a fleet
+    * materialize per-day sketches once and answer any date range by
+    * union, the percentile twin of the c111 HLL sketch tables. Values
+    * must be ≥ 1. One hash agg over the input; bucket arithmetic is
+    * narrow (pow-of-2 modulus — no dynamic shifts, Spark's shiftleft
+    * takes only literal counts). */
+  def hdrHistogram(df: DataFrame, keys: Seq[Column], value: Column,
+                   k: Int = 8): DataFrame = {
+    val p2 = array((0 to 47).map(i => lit(1L << i)): _*)
+    val v = value.as("_v")
+    val base = df.select(keys :+ v: _*).filter(col("_v") >= 1)
+    val pw = element_at(p2, greatest(length(bin(col("_v"))) - lit(k), lit(0)) + 1)
+    val keyCols = base.columns.dropRight(1).map(col) // everything but _v
+    base
+      .withColumn("bmin", col("_v") - pmod(col("_v"), pw))
+      .withColumn("rep", col("bmin") + pw - 1)
+      .groupBy((keyCols :+ col("bmin")) :+ col("rep"): _*)
+      .agg(count(lit(1)).as("c"))
+      .drop("_v")
+  }
+
+  /** Merge HDR sketch rows over (bmin, rep): the union of any partition
+    * of the data — counts add, buckets align by construction. */
+  def hdrMerge(hist: DataFrame): DataFrame =
+    hist.groupBy("bmin", "rep").agg(sum("c").as("c"))
+
+  /** Percentile estimates from a (bmin, rep, c) histogram: the first
+    * bucket whose cumulative count reaches ceil(p·n), reported as the
+    * bucket max (HDR's highestEquivalentValue). The histogram is
+    * bounded (≤ 2^k · 48 buckets), so the cumulative window over it is
+    * sketch-sized, never data-sized. */
+  def hdrPercentiles(hist: DataFrame, ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wcum = Window.orderBy("rep")
+    hist
+      .withColumn("cum", sum("c").over(
+        wcum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(hist.agg(sum("c").as("n"))))
+      .select(col("bmin"), col("rep"), col("cum"), col("n"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .filter(col("cum") >= ceil(col("p") * col("n")))
+      .groupBy("p")
+      .agg(min(struct(col("rep"), col("bmin"))).as("e"), max("n").as("n"))
+      .select(col("p"), col("e.bmin").as("v_bmin"), col("e.rep").as("v_est"),
+        col("n"))
+  }
+
+  private val Pow60 = 1152921504606846976.0 // 2^60 as double
+
+  /** KMV / Theta sketch TABLE: per set, the k smallest DISTINCT md5-60
+    * element hashes — the sketch whose set algebra (union = merged
+    * k-smallest, INTERSECTION = shared samples below min theta) gives
+    * what HLL cannot: direct intersection estimates with sample-size
+    * error, not inclusion-exclusion's compounded bounds (the c114
+    * contrast). Deterministic given the hash family, so a DuckDB oracle
+    * replays every retained hash exactly. k-smallest runs TWO-PHASE (the
+    * c85/packShards discipline): partition-local prune to k per
+    * (set, partition) first, so a hot set never funnels its whole
+    * element stream through one sort partition; the global pass sees
+    * ≤ k·P candidate rows. Emits (s, h, rk). */
+  def thetaSketches(df: DataFrame, setCol: Column, elemCol: Column,
+                    k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df.select(setCol.as("s"),
+      Hashing.md5Long60(concat(lit("theta:"), elemCol)).as("h")).distinct()
+    val local = hashed.withColumn("_pid", spark_partition_id())
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("s", "_pid").orderBy("h")))
+      .filter(col("_rk") <= k).drop("_pid", "_rk")
+    local.withColumn("rk", row_number().over(Window.partitionBy("s").orderBy("h")))
+      .filter(col("rk") <= k)
+  }
+
+  /** All-pairs intersection estimates from a theta sketch table: per
+    * set, theta = (k-th smallest hash + 1)/2^60 (1.0 when the set fit
+    * entirely — the sketch is then exact); per pair, the retained
+    * hashes BOTH sets kept below min(theta_a, theta_b) are a uniform
+    * sample of the intersection at rate theta, so est = |sample|/theta.
+    * Everything after the sketch build is sketch-sized (k·|sets| rows);
+    * the pair frame is |sets|² — set-cardinality-bounded, broadcast. */
+  def thetaIntersections(sketches: DataFrame, k: Int = 256): DataFrame = {
+    val stats = sketches.groupBy("s")
+      .agg(count(lit(1)).as("nret"), max("h").as("hk"))
+      .select(col("s"), when(col("nret") < k, lit(1.0))
+        .otherwise((col("hk") + 1).cast("double") / Pow60).as("theta"))
+    val pairs = stats.select(col("s").as("sa"), col("theta").as("ta"))
+      .crossJoin(stats.select(col("s").as("sb"), col("theta").as("tb")))
+      .filter(col("sa") < col("sb"))
+      .select(col("sa"), col("sb"), least(col("ta"), col("tb")).as("th"))
+    val m = sketches.select(col("s").as("sa"), col("h"))
+      .join(sketches.select(col("s").as("sb"), col("h")), "h")
+      .filter(col("sa") < col("sb"))
+      .join(broadcast(pairs), Seq("sa", "sb"))
+      .filter((col("h") + 1).cast("double") / Pow60 <= col("th"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("kin"))
+    pairs.join(m, Seq("sa", "sb"), "left")
+      .select(col("sa"), col("sb"), coalesce(col("kin"), lit(0L)).as("kin"),
+        round(coalesce(col("kin"), lit(0L)) / col("th"), 4).as("est"))
+  }
+
   /** Heavy hitters with their Count-Min estimates: the top-`topK` tokens
     * by true count next to the sketch read-back (min over the d row
     * estimates — always ≥ the true count, within εN of it with

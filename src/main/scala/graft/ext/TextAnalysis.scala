@@ -363,6 +363,64 @@ object TextAnalysis {
       .orderBy(desc("vit_last"), col("piece")).limit(topK)
   }
 
+  /** SentencePiece-style PRUNING round — the step the real unigram
+    * trainer runs between EM rounds: segment with the current model,
+    * then DROP the multi-character pieces contributing least likelihood
+    * (here, hard-EM's proxy: the corpus-weighted Viterbi count),
+    * keeping every single-character piece (coverage guarantee) plus the
+    * top `targetMulti` multi-char pieces by (count desc, piece asc);
+    * probabilities Laplace-re-estimate over the SURVIVORS only and the
+    * next Viterbi round runs against the pruned vocabulary. Emits the
+    * full surviving piece set with pre/post-prune counts — the oracle
+    * unrolls both DPs plus the prune filter and must agree on the set.
+    * Scale shape: identical to [[unigramLmLoop]] — all driver state is
+    * vocab-sized, the corpus-sized work is the per-word-TYPE compiled
+    * Viterbi kernel. */
+  def unigramLmPrune(docs: DataFrame, text: Column, targetMulti: Int = 15,
+                     minCount: Long = 5, maxWordLen: Int = 12,
+                     maxPieceLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val words = Dedup.persistOnce(docs.select(explode(tokens(text)).as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("wcnt")))
+    val pieceRows = words.select(col("wcnt"), explode(flatten(
+        transform(sequence(lit(1), length(col("word"))), st =>
+          transform(sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - st + 1)),
+            l => col("word").substr(st, l))))).as("piece"))
+      .groupBy("piece").agg(sum("wcnt").as("occ"))
+      .filter(col("occ") >= minCount || length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def round6(v: Double): Double =
+      new java.math.BigDecimal(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val seedTotal = pieceRows.map(_._2).sum.toDouble
+    val lp1 = pieceRows.map { case (p, occ) => p -> round6(math.log(occ / seedTotal)) }.toMap
+    def vitCounts(lp: Map[String, Double]): Map[String, Long] = words
+      .select(col("wcnt"),
+        explode(graft.functions.TextKernels.viterbiSegment(col("word"), lp, maxPieceLen))
+          .as("piece"))
+      .groupBy("piece").agg(sum("wcnt").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vit1 = vitCounts(lp1)
+    val singles = pieceRows.map(_._1).filter(_.length == 1)
+    val survMulti = vit1.toSeq
+      .collect { case (p, c) if p.length > 1 && c > 0L => (p, c) }
+      .sortBy { case (p, c) => (-c, p) }
+      .take(targetMulti).map(_._1)
+    val surv = (singles ++ survMulti).distinct.sorted
+    val totV2 = surv.map(vit1.getOrElse(_, 0L)).sum.toDouble
+    val np = surv.size.toDouble
+    val lp2 = surv.map(p =>
+      p -> round6(math.log((vit1.getOrElse(p, 0L) + 1.0) / (totV2 + np)))).toMap
+    val vit2 = vitCounts(lp2)
+    val tot2 = vit2.values.sum.toDouble
+    import spark.implicits._
+    surv.toSeq.map { p =>
+      (p, vit1.getOrElse(p, 0L), vit2.getOrElse(p, 0L),
+        round6(vit2.getOrElse(p, 0L) / tot2))
+    }.toDF("piece", "vit_pre", "vit_post", "new_p")
+      .orderBy("piece")
+  }
+
   /** BPE ENCODE with a learned merge list — the apply step of
     * [[bpePairCounts]]'s training iteration. Each word becomes a
     * marker-wrapped symbol sequence (`"ab"` → `"<a><b>"`; markers make

@@ -159,4 +159,23 @@ object EditDistance {
   /** Lucene-parity fuzzy distance (restricted Damerau / OSA). */
   def osaLev(a: Column, b: Column): Column =
     column(OsaDistance(expression(a), expression(b)))
+
+  /** Opt-in STRICT Lucene parity for every fuzzy surface (`fuzzy`,
+    * `match` fuzziness, query_string `~`, suggesters): inside
+    * `withLuceneParity { ... }`, [[fuzzyLev]] compiles the OSA kernel
+    * instead of the DuckDB-mirroring true-DL default. Scoped via
+    * DynamicVariable like the analyzer registries — columns are built
+    * eagerly inside the scope, so the choice is baked into the plan.
+    * The default stays true-DL deliberately: DuckDB's
+    * `damerau_levenshtein` oracles then mirror bit-for-bit, and the two
+    * variants agree on real-word typos (spec-asserted over the corpus
+    * vocabulary); they diverge only on adversarial corner cases (a196). */
+  private val luceneParity = new scala.util.DynamicVariable[Boolean](false)
+
+  def withLuceneParity[T](f: => T): T = luceneParity.withValue(true)(f)
+
+  /** The fuzzy kernel every ES surface compiles: OSA under
+    * [[withLuceneParity]], true-DL otherwise. */
+  def fuzzyLev(a: Column, b: Column): Column =
+    if (luceneParity.value) osaLev(a, b) else damerauLev(a, b)
 }

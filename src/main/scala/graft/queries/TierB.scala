@@ -4400,6 +4400,46 @@ object TierB {
            |  $rows) t(qa, qb, osa)
            |ORDER BY qa, qb""".stripMargin
       }),
+
+    // INDEX-TIME shingle scoring: the shingle filter lives in the field's
+    // index analyzer (token_separator "_", output_unigrams true), so the
+    // stored stream is unigrams + bigram shingles. Two deltas search-time
+    // shingling can NOT produce: (1) the shingle term "table_hash" has
+    // real df/tf - the match hits exactly the docs with the adjacent
+    // pair; (2) every doc's field length inflates to 2n-1, shifting
+    // BM25's length normalization for the plain term "spark" too. Oracle
+    // recomputes BM25 over the same expanded stream.
+    Q("a197_es_json_index_time_shingles",
+      (s, d) => graft.dsl.EsQueryJson.withShingles("sh", outputUnigrams = true) {
+        graft.dsl.EsQueryJson.withIndexAnalyzer("text", "sh") {
+          graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+            """{"query": {"match": {"text": "spark table_hash"}},
+              | "sort": ["_score", "doc_id"], "size": 25}""".stripMargin)
+            .select(col("doc_id"), col("_score").as("score"))
+        }
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents),
+             |e AS (SELECT doc_id,
+             |        w || list_transform(generate_series(1, len(w) - 1),
+             |                            i -> w[i] || '_' || w[i+1]) AS toks
+             |      FROM t),
+             |f AS (SELECT doc_id,
+             |        CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+             |        CAST(len(list_filter(toks, x -> x = 'table_hash')) AS DOUBLE) AS tf1,
+             |        CAST(len(toks) AS DOUBLE) AS dl
+             |      FROM e),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |              CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             |              CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+             |       FROM f),
+             |sc AS (SELECT doc_id,
+             |         round(ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0*(1.2+1))/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+             |             + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1*(1.2+1))/(tf1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS score
+             |       FROM f CROSS JOIN st WHERE tf0 > 0 OR tf1 > 0)
+             |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
   )
 }
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ext.{Corpus, Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, Sessionize, Similarity, Sketch, TextAnalysis}
 import graft.functions.Hashing
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -2726,6 +2726,58 @@ object TierC {
       Some("""SELECT query_id, TRUE AS recall_floor_met
              |FROM (VALUES (5), (123), (240)) v(query_id) ORDER BY query_id""".stripMargin)),
 
+    // Two-stage ANN serving gate: the c80 planted-twin protocol with the
+    // EXACT re-rank stage on (ADC over-fetches 4×K candidates, the full
+    // vectors of only those candidates re-score exactly). Re-ranking
+    // removes code-resolution error, so the floor pins HIGHER than c80's
+    // 0.7 — Precision@10 >= 0.9 per query — while per-query work stays
+    // bounded (40 exact distances, never the corpus).
+    Q("c120_ann_rerank_gate",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e0 = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val qids = Seq(5L, 123L, 240L)
+        val twins = qids.flatMap { qid =>
+          (0 until 10).map { t =>
+            e0.filter(col("vec_id") === qid)
+              .select(lit(10000L + qid * 100 + t).as("vec_id"),
+                transform(col("embedding"), (x, j) => x * (lit(1.0) +
+                  (pmod(hash(lit(qid), lit(t), j), lit(2001)) - 1000)
+                    .cast("double") / 50000.0)).as("embedding"))
+          }
+        }.reduce(_ unionAll _)
+        val e = Dedup.persistOnce(e0.unionAll(twins))
+        val coarse = Similarity.pqCodebookFromIds(e, col("vec_id"), col("embedding"),
+          m = 1, k = 8).head
+        val cb = Similarity.pqCodebookFromIds(e, col("vec_id"), col("embedding"), m = 8, k = 16)
+        val qvs = e.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id"), col("embedding"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("dist"), col("vec_id")) // ≤11 rows per query
+        val hits = Similarity.ivfPqSearchManyRerank(e, col("vec_id"), col("embedding"),
+            coarse, cb, qids.map(q => q -> qvs(q)), nprobe = 2, topK = 11)
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+        val judgments = qids.map { qid =>
+          val qvArr = array(qvs(qid).map(lit): _*)
+          val vd = col("embedding")
+          e.filter(col("vec_id") =!= qid)
+            .select(col("vec_id"), (graft.functions.VecOps.dotD(vd, vd)
+              - lit(2.0) * graft.functions.VecOps.dotD(vd, qvArr)).as("d"))
+            .orderBy(col("d"), col("vec_id")).limit(10)
+            .select(lit(qid).as("query_id"), col("vec_id").as("doc_id"), lit(1).as("grade"))
+        }.reduce(_ unionAll _)
+        graft.dsl.RankEval.rankEval(hits, judgments, k = 10)
+          .select(col("query_id"), (col("precision_k") >= 0.9).as("rerank_floor_met"))
+          .orderBy("query_id")
+      },
+      Some("""SELECT query_id, TRUE AS rerank_floor_met
+             |FROM (VALUES (5), (123), (240)) v(query_id) ORDER BY query_id""".stripMargin)),
+
     // Image RESIZE through the real codec: block-mean (area-average)
     // downscale to 2×2 — source pixel (x,y) belongs to output cell
     // (x·2//w, y·2//h), each cell emits integer channel means. The oracle
@@ -3855,5 +3907,227 @@ object TierC {
            |       round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS shared_frac,
            |       round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) <= 0.5 AS admit
            |FROM inc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Mergeable HDR percentile SKETCH TABLES — the quantile twin of the
+    // c111 HLL sketch tables: per-DAY log-linear histograms materialize
+    // once, any date range answers by bucket-wise count addition, and the
+    // union of dailies equals the one-shot histogram EXACTLY (integer
+    // buckets — unlike t-digest, whose centroids depend on arrival
+    // order). `merge_lossless` pins that identity via a full-outer bucket
+    // compare; `within_band` is the same rank-coverage gate as
+    // b12_percentiles_hdr, measured against the raw values. Values are
+    // floor(value·100) — double×100 is the same IEEE product both
+    // engines, floor avoids the round-half convention split.
+    Q("c118_hdr_sketch_tables",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"),
+          floor(col("value") * 100).cast("long").as("v"))
+        val daily = Sketch.hdrHistogram(ev, Seq(col("day")), col("v"))
+        val merged = Sketch.hdrMerge(daily)
+        val oneshot = Sketch.hdrHistogram(ev, Seq.empty, col("v"))
+        val mism = merged.alias("m")
+          .join(oneshot.alias("o"), Seq("bmin", "rep"), "full_outer")
+          .filter(col("m.c").isNull || col("o.c").isNull || col("m.c") =!= col("o.c"))
+          .agg(count(lit(1)).as("n_mismatch"))
+        val est = Sketch.hdrPercentiles(merged, Seq(0.5, 0.95, 0.99))
+        ev.select(col("v")).filter(col("v") >= 1)
+          .crossJoin(broadcast(est))
+          .groupBy("p", "v_bmin", "v_est", "n")
+          .agg(sum(when(col("v") <= col("v_est"), 1L).otherwise(0L)).as("cnt_le"),
+            sum(when(col("v") < col("v_bmin"), 1L).otherwise(0L)).as("cnt_lt"))
+          .crossJoin(broadcast(mism))
+          .select(col("p"), col("v_est"),
+            (col("cnt_le") >= ceil(col("p") * col("n")) &&
+              col("cnt_lt") < ceil(col("p") * col("n"))).as("within_band"),
+            (col("n_mismatch") === 0L).as("merge_lossless"))
+          .orderBy("p")
+      },
+      Some("""WITH v0 AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             |         CAST(floor(value * 100) AS BIGINT) AS v
+             |  FROM events),
+             |v AS (SELECT * FROM v0 WHERE v >= 1),
+             |b AS (SELECT day, v,
+             |        (CAST(1 AS BIGINT) << greatest(length(bin(v)) - 8, 0)) AS pw
+             |      FROM v),
+             |daily AS (SELECT day, v - (v % pw) AS bmin, v - (v % pw) + pw - 1 AS rep,
+             |                 count(*) AS c
+             |          FROM b GROUP BY 1, 2, 3),
+             |merged AS (SELECT bmin, rep, CAST(sum(c) AS BIGINT) AS c
+             |           FROM daily GROUP BY 1, 2),
+             |oneshot AS (SELECT bmin, rep, count(*) AS c
+             |            FROM (SELECT v - (v % pw) AS bmin, v - (v % pw) + pw - 1 AS rep
+             |                  FROM b) GROUP BY 1, 2),
+             |mism AS (SELECT count(*) AS n_mismatch
+             |         FROM merged m FULL OUTER JOIN oneshot o USING (bmin, rep)
+             |         WHERE m.c IS DISTINCT FROM o.c),
+             |cum AS (SELECT *, CAST(sum(c) OVER (ORDER BY rep) AS BIGINT) AS cum,
+             |               CAST(sum(c) OVER () AS BIGINT) AS n
+             |        FROM merged),
+             |est AS (SELECT p, min(rep) AS v_est, max(n) AS n
+             |        FROM cum CROSS JOIN
+             |          (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS p)
+             |        WHERE cum >= ceil(p * n)
+             |        GROUP BY p),
+             |est2 AS (SELECT est.p, est.v_est, est.n, merged.bmin AS v_bmin
+             |         FROM est JOIN merged ON merged.rep = est.v_est),
+             |gate AS (SELECT p, v_est, n, v_bmin,
+             |           (SELECT count(*) FROM v WHERE v.v <= e.v_est) AS cnt_le,
+             |           (SELECT count(*) FROM v WHERE v.v < e.v_bmin) AS cnt_lt
+             |         FROM est2 e)
+             |SELECT p, v_est,
+             |       (cnt_le >= ceil(p * n) AND cnt_lt < ceil(p * n)) AS within_band,
+             |       (SELECT n_mismatch FROM mism) = 0 AS merge_lossless
+             |FROM gate ORDER BY p""".stripMargin)),
+
+    // Theta/KMV sketch intersections — the DIRECT distinct-intersection
+    // estimate HLL lacks (c114 got it only via inclusion-exclusion):
+    // per-source bigram vocabularies sketch to the k=256 smallest
+    // hashes, every pair's shared-sample count below min-theta scales to
+    // the estimate. Deterministic hash family → the oracle replays every
+    // retained hash, theta, sample count, and the est arithmetic
+    // bit-for-bit; the 3/√|sample| band vs the exact intersection is a
+    // real assertion (measured ≤0.094 rel error at every SF, bound
+    // ≈0.21).
+    Q("c121_theta_intersection",
+      (s, d) => {
+        val bigrams = Tables.documents(s, d).select(col("source"),
+          explode(TextAnalysis.wordNgrams(TextAnalysis.tokens(col("text")), 2)).as("g"))
+          .distinct()
+        val sk = Sketch.thetaSketches(bigrams, col("source"), col("g"), k = 256)
+        val est = Sketch.thetaIntersections(sk, k = 256)
+        val hashed = bigrams.select(col("source").as("s"),
+          graft.functions.Hashing.md5Long60(concat(lit("theta:"), col("g"))).as("h"))
+          .distinct()
+        val exact = hashed.select(col("s").as("sa"), col("h"))
+          .join(hashed.select(col("s").as("sb"), col("h")), "h")
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("exact_n"))
+        est.join(exact, Seq("sa", "sb"), "left")
+          .select(col("sa"), col("sb"), col("kin"), col("est"),
+            coalesce(col("exact_n"), lit(0L)).as("exact_n"),
+            (abs(col("est") - coalesce(col("exact_n"), lit(0L))) <=
+              lit(3.0) * col("est") / sqrt(greatest(col("kin"), lit(1L))))
+              .as("within_band"))
+          .orderBy("sa", "sb")
+      },
+      Some {
+        val h = graft.functions.Hashing.sqlMd5Long60("'theta:' || g")
+        s"""WITH t AS (
+           |  SELECT source, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS w
+           |  FROM documents),
+           |e AS (SELECT DISTINCT source AS s,
+           |        unnest(list_transform(generate_series(1, len(w) - 1),
+           |                              i -> w[i] || ' ' || w[i+1])) AS g
+           |      FROM t),
+           |hd AS (SELECT DISTINCT s, $h AS h FROM e),
+           |sk AS (SELECT s, h FROM hd
+           |       QUALIFY row_number() OVER (PARTITION BY s ORDER BY h) <= 256),
+           |stats AS (SELECT s, count(*) AS nret, max(h) AS hk FROM sk GROUP BY s),
+           |st2 AS (SELECT s, CASE WHEN nret < 256 THEN 1.0
+           |                       ELSE CAST(hk + 1 AS DOUBLE) / 1152921504606846976.0
+           |                  END AS theta FROM stats),
+           |pairs AS (SELECT a.s AS sa, b.s AS sb, least(a.theta, b.theta) AS th
+           |          FROM st2 a JOIN st2 b ON a.s < b.s),
+           |m AS (SELECT x.s AS sa, y.s AS sb, count(*) AS kin
+           |      FROM sk x JOIN sk y ON x.h = y.h AND x.s < y.s
+           |                JOIN pairs p ON p.sa = x.s AND p.sb = y.s
+           |      WHERE CAST(x.h + 1 AS DOUBLE) / 1152921504606846976.0 <= p.th
+           |      GROUP BY 1, 2),
+           |xt AS (SELECT a.s AS sa, b.s AS sb, count(*) AS exact_n
+           |       FROM hd a JOIN hd b ON a.h = b.h AND a.s < b.s GROUP BY 1, 2)
+           |SELECT p.sa, p.sb, COALESCE(m.kin, 0) AS kin,
+           |       round(COALESCE(m.kin, 0) / p.th, 4) AS est,
+           |       COALESCE(xt.exact_n, 0) AS exact_n,
+           |       abs(round(COALESCE(m.kin, 0) / p.th, 4) - COALESCE(xt.exact_n, 0)) <=
+           |         3.0 * round(COALESCE(m.kin, 0) / p.th, 4) /
+           |           sqrt(greatest(COALESCE(m.kin, 0), 1)) AS within_band
+           |FROM pairs p LEFT JOIN m ON m.sa = p.sa AND m.sb = p.sb
+           |             LEFT JOIN xt ON xt.sa = p.sa AND xt.sb = p.sb
+           |ORDER BY p.sa, p.sb""".stripMargin
+      }),
+
+    // SentencePiece PRUNING round (unigramLmPrune): segment with the seed
+    // model, drop every multi-char piece outside the top-15 by Viterbi
+    // count (singles always survive — coverage), Laplace-re-estimate over
+    // the SURVIVORS, segment again. The oracle unrolls BOTH DPs plus the
+    // prune filter and must agree on the surviving piece SET and both
+    // count columns — the c112 machinery with a LIMIT-ed survivor CTE
+    // between the rounds.
+    Q("c119_unigram_lm_prune",
+      (s, d) => TextAnalysis.unigramLmPrune(Tables.documents(s, d), col("text"),
+        targetMulti = 15, minCount = 5, maxWordLen = 12, maxPieceLen = 4),
+      Some {
+        val maxJ = 12
+        def dpBlock(sfx: String, lpName: String): String = {
+          val fwd = (1 to maxJ).map { j =>
+            val branches = (1 to math.min(4, j)).map { l =>
+              val i = j - l
+              s"""    SELECT w.word, w.wcnt, v.s + lp.logp AS cs, $l AS plen, lp.piece
+                 |    FROM wt w JOIN v${i}_$sfx v ON v.word = w.word
+                 |              JOIN $lpName lp ON lp.piece = substr(w.word, ${i + 1}, $l)
+                 |    WHERE len(w.word) >= $j""".stripMargin
+            }.mkString("\n    UNION ALL\n")
+            s"""v${j}_$sfx AS MATERIALIZED (
+               |  SELECT word, wcnt, cs AS s, plen, piece FROM (
+               |$branches)
+               |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY cs DESC, plen DESC) = 1)""".stripMargin
+          }.mkString(",\n")
+          val vall = (1 to maxJ).map(j =>
+            s"SELECT $j AS j, word, plen, piece FROM v${j}_$sfx").mkString("\n  UNION ALL ")
+          val back = (1 to maxJ).map { k =>
+            s"""b${k}_$sfx AS MATERIALIZED (
+               |  SELECT b.word, b.wcnt,
+               |         CASE WHEN b.cur > 0 THEN b.cur - v.plen ELSE 0 END AS cur,
+               |         CASE WHEN b.cur > 0 THEN list_prepend(v.piece, b.ps) ELSE b.ps END AS ps
+               |  FROM b${k - 1}_$sfx b LEFT JOIN vall_$sfx v ON v.word = b.word AND v.j = b.cur)""".stripMargin
+          }.mkString(",\n")
+          s"""v0_$sfx AS (SELECT word, wcnt, CAST(0 AS DOUBLE) AS s FROM wt),
+             |$fwd,
+             |vall_$sfx AS MATERIALIZED (
+             |  $vall),
+             |b0_$sfx AS (SELECT word, wcnt, len(word) AS cur, []::VARCHAR[] AS ps FROM wt),
+             |$back,
+             |mc_$sfx AS MATERIALIZED (
+             |  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS vit
+             |  FROM (SELECT wcnt, unnest(ps) AS piece FROM b${maxJ}_$sfx) GROUP BY piece)""".stripMargin
+        }
+        s"""WITH $toksCte,
+           |wt AS MATERIALIZED (SELECT tok AS word, count(*) AS wcnt
+           |       FROM (SELECT unnest(w) AS tok FROM toks)
+           |       WHERE len(tok) <= 12 GROUP BY tok),
+           |subs AS (SELECT wcnt, unnest(flatten(list_transform(generate_series(1, len(word)), st ->
+           |           list_transform(generate_series(1, least(4, len(word) - st + 1)), l ->
+           |             substr(word, st, l))))) AS piece
+           |         FROM wt),
+           |pieces AS MATERIALIZED (SELECT piece, CAST(sum(wcnt) AS BIGINT) AS occ FROM subs GROUP BY piece
+           |           HAVING sum(wcnt) >= 5 OR len(piece) = 1),
+           |lp1 AS MATERIALIZED (SELECT piece, round(ln(CAST(occ AS DOUBLE) / t.tot), 6) AS logp
+           |       FROM pieces CROSS JOIN (SELECT CAST(sum(occ) AS DOUBLE) AS tot FROM pieces) t),
+           |${dpBlock("x1", "lp1")},
+           |surv AS MATERIALIZED (
+           |  SELECT piece FROM pieces WHERE len(piece) = 1
+           |  UNION
+           |  SELECT piece FROM (
+           |    SELECT piece FROM mc_x1 WHERE len(piece) > 1 AND vit > 0
+           |    ORDER BY vit DESC, piece LIMIT 15)),
+           |sstat AS (SELECT (SELECT CAST(sum(COALESCE(m.vit, 0)) AS DOUBLE)
+           |                  FROM surv s LEFT JOIN mc_x1 m ON m.piece = s.piece) AS totv,
+           |                 (SELECT CAST(count(*) AS DOUBLE) FROM surv) AS np),
+           |lp2 AS MATERIALIZED (
+           |  SELECT s.piece,
+           |         round(ln((CAST(COALESCE(m.vit, 0) AS DOUBLE) + 1.0) / (t.totv + t.np)), 6) AS logp
+           |  FROM surv s LEFT JOIN mc_x1 m ON m.piece = s.piece CROSS JOIN sstat t),
+           |${dpBlock("x2", "lp2")}
+           |SELECT s.piece,
+           |       CAST(COALESCE(m1.vit, 0) AS BIGINT) AS vit_pre,
+           |       CAST(COALESCE(m2.vit, 0) AS BIGINT) AS vit_post,
+           |       round(CAST(COALESCE(m2.vit, 0) AS DOUBLE) / t2.tot, 6) AS new_p
+           |FROM surv s
+           |LEFT JOIN mc_x1 m1 ON m1.piece = s.piece
+           |LEFT JOIN mc_x2 m2 ON m2.piece = s.piece
+           |CROSS JOIN (SELECT CAST(sum(vit) AS DOUBLE) AS tot FROM mc_x2) t2
+           |ORDER BY s.piece""".stripMargin
+      }),
   )
 }

@@ -89,6 +89,89 @@ object StatefulSessionize {
   case class Conversion(user_id: Long, t_first: Timestamp, t_last: Timestamp,
                         span_secs: Long)
 
+  case class UserStamp(event_id: Long, ts: Timestamp, user_id: Long)
+  case class CohortState(cohortMs: Long, emitted: Seq[Int])
+  case class CohortActive(user_id: Long, cohort: Timestamp, week_offset: Int)
+
+  private val WeekMs = 7L * 86400000L
+  /** Monday-00:00-UTC floor (Spark's `date_trunc("week")` in the pinned
+    * UTC session): epoch day 4 (1970-01-05) was a Monday. */
+  private def weekFloorMs(ms: Long): Long = {
+    val day = Math.floorDiv(ms, 86400000L)
+    (day - Math.floorMod(day - 4L, 7L)) * 86400000L
+  }
+
+  /** STREAMING cohort retention — [[graft.ext.Sessionize.cohortRetention]]
+    * as per-user state: the first event pins the user's cohort week, and
+    * ONE `CohortActive(user, cohort, week_offset)` record emits the first
+    * time the user is active in each later week. Downstream,
+    * `groupBy(cohort, week_offset).count()` IS the batch retention table
+    * (the spec proves it across arbitrary batch splits). State per user =
+    * cohort + the distinct offsets already emitted (bounded by the
+    * campaign horizon in weeks, not by event count). Events that arrive
+    * before the user's recorded cohort week (cross-batch disorder past
+    * the watermark) are ignored rather than re-writing history — append
+    * mode cannot retract; same contract as every watermarked op here. */
+  def cohortStream(events: Dataset[UserStamp]): Dataset[CohortActive] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortState, CohortActive](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, it, state) =>
+          val out = Seq.newBuilder[CohortActive]
+          var st = state.getOption.orNull
+          for (e <- it.toArray.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val wk = weekFloorMs(e.ts.getTime)
+            if (st == null) st = CohortState(wk, Seq.empty)
+            val off = ((wk - st.cohortMs) / WeekMs).toInt
+            if (wk >= st.cohortMs && !st.emitted.contains(off)) {
+              st = st.copy(emitted = (st.emitted :+ off).sorted)
+              out += CohortActive(user, new Timestamp(st.cohortMs), off)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
+  case class TouchState(lastType: String, lastMs: Long)
+  case class Attribution(user_id: Long, ts: Timestamp, credit: String)
+
+  /** STREAMING last-touch attribution —
+    * [[graft.ext.Sessionize.lastTouchAttribution]] as per-user state: the
+    * state is simply the user's most recent event (type + time, ANY type
+    * — a previous conversion is a valid last touch, exactly the batch
+    * lag's behavior); each conversion event emits its credit — the last
+    * touch if it landed within the window (whole-second floor, the batch
+    * convention), else "(none)". `groupBy(credit).count()` over the
+    * emissions is the batch report. Constant-size state per user. */
+  def attributionStream(events: Dataset[TypedEvent], conversionType: String,
+                        withinSeconds: Long): Dataset[Attribution] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, it, state) =>
+          val out = Seq.newBuilder[Attribution]
+          var last = state.getOption.orNull
+          for (e <- it.toArray.sortBy(e => (e.ts.getTime, e.event_id))) {
+            if (e.event_type == conversionType) {
+              val credit =
+                if (last != null &&
+                    e.ts.getTime / 1000 - last.lastMs / 1000 <= withinSeconds)
+                  last.lastType
+                else "(none)"
+              out += Attribution(user, e.ts, credit)
+            }
+            last = TouchState(e.event_type, e.ts.getTime)
+          }
+          if (last != null) state.update(last)
+          out.result().iterator
+      }
+  }
+
   /** STREAMING funnel — [[graft.ext.Sessionize.funnel]]'s greedy
     * first-qualifying-event-decides rule carried across micro-batches as
     * per-user state: a conversion record emits the moment a user reaches

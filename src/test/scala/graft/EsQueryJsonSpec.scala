@@ -1772,6 +1772,62 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(hits == Seq(2L))
   }
 
+  test("withLuceneParity: OSA gates the adversarial pair, agrees on real typos") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "ca words here"), (2L, "abc thing")).toDF("doc_id", "text")
+    val body = """{"query": {"match": {"text": {"query": "abc", "fuzziness": 2}}},
+                 | "sort": ["doc_id"]}""".stripMargin
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // true-DL default: "ca"→"abc" = 2 (transpose + insert BETWEEN) — matches
+    assert(ids(graft.dsl.EsQueryJson.search(docs, body)) == Set(1L, 2L))
+    // Lucene's OSA automata: 3 — doc 1 must NOT match at fuzziness 2
+    assert(graft.functions.EditDistance.withLuceneParity {
+      ids(graft.dsl.EsQueryJson.search(docs, body))
+    } == Set(2L))
+    // on the real corpus the variants agree (real-word typos carry no
+    // edit-after-transposition structure) — the evidence the true-DL
+    // default is ES-equal on actual data
+    val corpus = graft.queries.Tables.documents(sp, "/root/testdata/sf0.001")
+    val typo = """{"query": {"match": {"text": {"query": "sprk tble querry",
+                 |  "fuzziness": 1}}}, "sort": ["doc_id"], "size": 500}""".stripMargin
+    val dl = ids(graft.dsl.EsQueryJson.search(corpus, typo))
+    val osa = graft.functions.EditDistance.withLuceneParity {
+      ids(graft.dsl.EsQueryJson.search(corpus, typo))
+    }
+    assert(dl.nonEmpty && dl == osa)
+  }
+
+  test("index-time shingles: shingle terms get df, field length inflates") {
+    val sp = spark
+    import sp.implicits._
+    // unequal lengths: dl/avgdl must differ between the plain stream
+    // (3/4) and the shingled stream (5/8) for the normalization check
+    val docs = Seq((1L, "table hash join"), (2L, "hash table join with padding"))
+      .toDF("doc_id", "text")
+    def score(body: String, indexed: Boolean) = {
+      def run = graft.dsl.EsQueryJson.search(docs, body)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      graft.dsl.EsQueryJson.withShingles("sh", outputUnigrams = true) {
+        if (indexed) graft.dsl.EsQueryJson.withIndexAnalyzer("text", "sh")(run) else run
+      }
+    }
+    val q = """{"query": {"match": {"text": "table_hash"}}, "sort": ["_score", "doc_id"]}"""
+    // search-time-only: "table_hash" is one standard-analyzer token that
+    // exists in no plain document — zero hits
+    assert(score(q, indexed = false).isEmpty)
+    // index-time: only doc 1 has the ADJACENT pair
+    assert(score(q, indexed = true).keySet == Set(1L))
+    // the unigram query scores differently once the stored stream
+    // inflates dl (2n-1 = 5 vs 3) — same docs, different BM25
+    val uq = """{"query": {"match": {"text": "join"}}, "sort": ["_score", "doc_id"]}"""
+    val plain = score(uq, indexed = false)
+    val sh = score(uq, indexed = true)
+    assert(plain.keySet == Set(1L, 2L) && sh.keySet == Set(1L, 2L))
+    assert(plain(1L) != sh(1L), "index-time shingling must shift length normalization")
+  }
+
   test("fielddata terms agg: one vote per doc per distinct token") {
     val sp = spark
     import sp.implicits._

@@ -267,6 +267,67 @@ class EventTimeSpec extends AnyFunSuite with SparkTestBase {
       batch.head.getAs[Long]("max_sess_events") == 2)
   }
 
+  test("streaming cohort retention == batch twin across batch splits") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.streaming.StatefulSessionize
+    import StatefulSessionize.UserStamp
+    val rnd = new scala.util.Random(21)
+    val base = ts("2024-01-01 00:00:00").getTime
+    // 40 users, events spread over ~8 weeks, time-sorted then split into
+    // 3 arbitrary batches (the StatefulSessionize protocol)
+    val evs = (1 to 300).map { i =>
+      UserStamp(i.toLong, new Timestamp(base + rnd.nextInt(8 * 7 * 24) * 3600000L),
+        rnd.nextInt(40).toLong)
+    }.sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[UserStamp]
+    val q = StatefulSessionize.cohortStream(ms.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("coh_out").start()
+    for (b <- Seq(evs.take(90), evs.slice(90, 201), evs.drop(201))) {
+      ms.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = sp.table("coh_out")
+      .groupBy("cohort", "week_offset").agg(count(lit(1)).as("n_users"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getLong(2)))
+      .toSet
+    val batch = graft.ext.Sessionize.cohortRetention(
+        evs.toDF())
+      .collect().map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+  }
+
+  test("streaming last-touch attribution == batch twin across batch splits") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    import graft.streaming.StatefulSessionize
+    import StatefulSessionize.TypedEvent
+    val rnd = new scala.util.Random(22)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val types = Seq("ad", "email", "search", "purchase")
+    val evs = (1 to 400).map { i =>
+      TypedEvent(i.toLong, new Timestamp(base + rnd.nextInt(50000) * 1000L),
+        rnd.nextInt(25).toLong, types(rnd.nextInt(types.size)))
+    }.sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[TypedEvent]
+    val q = StatefulSessionize.attributionStream(ms.toDS(), "purchase", 3600L)
+      .writeStream.outputMode("append").format("memory").queryName("att_out").start()
+    for (b <- Seq(evs.take(133), evs.slice(133, 307), evs.drop(307))) {
+      ms.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = sp.table("att_out")
+      .groupBy("credit").agg(count(lit(1)).as("n_conversions"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.ext.Sessionize.lastTouchAttribution(
+        evs.toDF(), "purchase", 3600L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"stream=$streamed\nbatch=$batch")
+  }
+
   test("streaming funnel: converts across batches, dead funnel stays dead") {
     val sp = spark
     import sp.implicits._

@@ -359,6 +359,47 @@ class SketchOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(adm(docs.repartition(9)) == adm(docs))
   }
 
+  test("theta sketches: partitioning-invariant; exact when the set fits") {
+    import sp.implicits._
+    val rnd = new scala.util.Random(9)
+    val rows = (1 to 3000).map(_ => (s"s${rnd.nextInt(4)}", s"e${rnd.nextInt(800)}"))
+      .toDF("src", "elem")
+    def all(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    val base = Sketch.thetaIntersections(
+      Sketch.thetaSketches(rows, col("src"), col("elem"), k = 64), k = 64)
+    for (parts <- Seq(1, 17)) {
+      val got = Sketch.thetaIntersections(
+        Sketch.thetaSketches(rows.repartition(parts), col("src"), col("elem"), k = 64), k = 64)
+      assert(all(got) == all(base), s"two-phase k-smallest must not depend on partitioning ($parts)")
+    }
+    // sets below k: theta = 1.0 and the estimate IS the exact intersection
+    val tiny = Seq(("a", "x"), ("a", "y"), ("a", "z"), ("b", "y"), ("b", "z"), ("b", "w"))
+      .toDF("src", "elem")
+    val est = Sketch.thetaIntersections(
+      Sketch.thetaSketches(tiny, col("src"), col("elem"), k = 64), k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(est.toSeq == Seq(("a", "b", 2L, 2.0)))
+  }
+
+  test("hdr sketch tables: any split merges losslessly; estimates match one-shot") {
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val vals = (1 to 5000).map(_ => (rnd.nextInt(10).toLong, // arbitrary split key
+      (math.exp(rnd.nextDouble() * 12) + 1).toLong)).toDF("part", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val oneshot = Sketch.hdrHistogram(vals, Seq.empty, col("v"))
+    val merged = Sketch.hdrMerge(Sketch.hdrHistogram(vals, Seq(col("part")), col("v")))
+    assert(rows(merged) == rows(oneshot), "bucket-wise count addition must be exact")
+    assert(rows(Sketch.hdrPercentiles(merged, Seq(0.5, 0.9))) ==
+      rows(Sketch.hdrPercentiles(oneshot, Seq(0.5, 0.9))))
+    // the k-bit bucket keeps relative error < 2^-(k-1): rep/bmin bracket v
+    val est = Sketch.hdrPercentiles(oneshot, Seq(0.5)).collect().head
+    assert(est.getAs[Long]("v_est") >= est.getAs[Long]("v_bmin"))
+    assert(est.getAs[Long]("v_est") - est.getAs[Long]("v_bmin") + 1 <=
+      math.max(1L, est.getAs[Long]("v_bmin") / 128L + 1))
+  }
+
   test("CachedFrames.clear unpersists the frames long-lived operators persist") {
     import sp.implicits._
     val before = sp.sparkContext.getPersistentRDDs.keySet
