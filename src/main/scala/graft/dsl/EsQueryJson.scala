@@ -174,15 +174,9 @@ object EsQueryJson {
       case None => field(f)
       case Some(an) if shingleAnalyzers.value.contains(an) =>
         val (mn, mx, uni) = shingleAnalyzers.value(an)
-        val w = graft.ext.TextAnalysis.tokens(field(f))
-        val parts: Seq[Column] = (if (uni) Seq(w) else Nil) ++ (mn to mx).map { n =>
-          // guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
-          when(org.apache.spark.sql.functions.size(w) >= n,
-            transform(sequence(lit(1), org.apache.spark.sql.functions.size(w) - (n - 1)),
-              i => concat_ws("_", slice(w, i, lit(n)))))
-            .otherwise(array().cast("array<string>"))
-        }
-        array_join(concat(parts: _*), " ")
+        // one compiled pass — the HOF form of this expansion ran
+        // interpreted per token and dominated the a197 BM25 row
+        graft.functions.TextKernels.shingleStream(field(f), mn, mx, uni)
       case Some(an) =>
         val syn = synonymAnalyzers.value.getOrElse(an,
           throw new IllegalArgumentException(

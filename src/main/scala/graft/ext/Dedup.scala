@@ -196,6 +196,43 @@ object Dedup {
       .orderBy(desc("n_shared"), col("doc_a"), col("doc_b"))
   }
 
+  /** Asymmetric CONTAINMENT pairs (Broder 1997's containment coefficient
+    * over winnowing fingerprints): C(A→B) = |fp(A) ∩ fp(B)| / |fp(A)|.
+    * The doc-inside-doc detector the symmetric family misses — a short
+    * doc fully quoted inside a long one has near-zero Jaccard (so
+    * MinHash-LSH never pairs it) but containment ≈ 1. Winnowing keeps
+    * the estimate honest at scale: fingerprints are a deterministic
+    * content sample with the per-window guarantee (any shared run of
+    * ≥ w+n−1 tokens shares a fingerprint), so containment over
+    * fingerprints tracks containment over content.
+    *
+    * Scale shape: ONE kernel pass per doc emits distinct fingerprints
+    * (~2/(w+1) gram density, no gram strings materialized); per-doc
+    * sizes are a hash agg over that same narrow table; the pair join
+    * fans out solely on shared fingerprint values and the minShared
+    * filter runs before the (AQE-broadcast-able) size joins. No
+    * all-pairs stage at any size. */
+  def containmentPairs(df: DataFrame, idCol: Column, text: Column,
+                       n: Int = 5, w: Int = 4, minShared: Int = 2,
+                       minContain: Double = 0.5): DataFrame = {
+    val fp = persistOnce(df.select(idCol.as("doc_id"),
+      explode(graft.functions.TextKernels.winnowFingerprints(text, n, w)).as("h")))
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    fp.as("a").join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b")), "doc_b")
+      .withColumn("contain_a", round(col("n_shared").cast("double") / col("n_fp_a"), 6))
+      .withColumn("contain_b", round(col("n_shared").cast("double") / col("n_fp_b"), 6))
+      .filter(greatest(col("contain_a"), col("contain_b")) >= minContain)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_fp_a"), col("n_fp_b"), col("contain_a"), col("contain_b"))
+      .orderBy(desc("n_shared"), col("doc_a"), col("doc_b"))
+  }
+
   /** LSH threshold-calibration sweep — the "which Jaccard cutoff do we
     * commit to" diagnostic run BEFORE a full dedup: exact-verified Jaccard
     * of every LSH candidate pair, binned into `nBins` uniform bins, with
@@ -424,6 +461,38 @@ object Dedup {
     * row, so no global or per-doc window. No pairwise work anywhere. */
   def scrubDuplicateSpans(df: DataFrame, idCol: Column, text: Column,
                           n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val (toks, covered) = dupCoveredPositions(df, idCol, text, n, minDocs)
+    rebuildWithout(toks, covered)
+  }
+
+  /** The ExactSubstr MINIMUM-MATCH-LENGTH form of [[scrubDuplicateSpans]]
+    * (Lee et al. 2022 scrub duplicated substrings of ≥ 50 tokens, not any
+    * duplicated gram): covered positions are merged into maximal
+    * consecutive runs per doc and only runs of ≥ `minRun` tokens are
+    * removed — short incidental overlaps (common phrases) survive, long
+    * boilerplate/quotation spans go.
+    *
+    * Scale shape: identical to the span scrub up to `covered`, plus ONE
+    * per-doc hash agg whose list is bounded by the doc's own token count —
+    * the same per-doc bound the rebuild agg already carries. The
+    * gaps-and-islands pass is a compiled kernel
+    * ([[graft.functions.TextKernels.PosRunsKernel]]), not an interpreted
+    * per-element HOF. No pairwise work, no windows. */
+  def scrubDuplicateRuns(df: DataFrame, idCol: Column, text: Column,
+                         n: Int = 5, minDocs: Int = 2, minRun: Int = 10): DataFrame = {
+    val (toks, covered) = dupCoveredPositions(df, idCol, text, n, minDocs)
+    val removed = covered.groupBy("doc_id")
+      .agg(graft.functions.TextKernels.posRuns(
+        array_sort(collect_list(col("cp"))), minRun).as("_rp"))
+      .select(col("doc_id"), explode(col("_rp")).as("cp"))
+    rebuildWithout(toks, removed)
+  }
+
+  /** Shared scrub-family core: tokenized docs plus the per-doc DISTINCT
+    * 1-based positions covered by any corpus-duplicated word n-gram
+    * occurrence (a gram is duplicated when seen in ≥ `minDocs` docs). */
+  private def dupCoveredPositions(df: DataFrame, idCol: Column, text: Column,
+                                  n: Int, minDocs: Int): (DataFrame, DataFrame) = {
     val toks = df.select(idCol.as("doc_id"),
       graft.ext.TextAnalysis.tokens(text).as("w"))
     // every gram occurrence with its 1-based start position
@@ -438,12 +507,20 @@ object Dedup {
     val covered = occ.join(dup, "gh")
       .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("cp"))
       .distinct()
+    (toks, covered)
+  }
+
+  /** Rebuild scrubbed text from every token position NOT in `removed`
+    * (`(doc_id, cp)`): in-row sort inside one per-doc hash agg — no
+    * global or per-doc window. Docs whose every position is removed (or
+    * that tokenize empty) drop out, mirroring the oracle's group-by. */
+  private def rebuildWithout(toks: DataFrame, removed: DataFrame): DataFrame = {
     val posToks = toks
       .select(col("doc_id"), size(col("w")).as("n_tokens"),
         posexplode(col("w")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("tp"), col("tok"), col("n_tokens"))
-    posToks.join(covered,
-        posToks("doc_id") === covered("doc_id") && col("tp") === col("cp"), "left_anti")
+    posToks.join(removed,
+        posToks("doc_id") === removed("doc_id") && col("tp") === col("cp"), "left_anti")
       .groupBy(col("doc_id"), col("n_tokens"))
       .agg(
         concat_ws(" ", transform(

@@ -161,10 +161,15 @@ object Sketch {
     * element stream through one sort partition; the global pass sees
     * ≤ k·P candidate rows. Emits (s, h, rk). */
   def thetaSketches(df: DataFrame, setCol: Column, elemCol: Column,
-                    k: Int = 256): DataFrame = {
+                    k: Int = 256): DataFrame =
+    thetaSketchesFromHashes(df.select(setCol.as("s"),
+      Hashing.md5Long60(concat(lit("theta:"), elemCol)).as("h")).distinct(), k)
+
+  /** [[thetaSketches]] from a pre-built DISTINCT (s, h) frame — callers
+    * that also need the exact side (or several k values) hash once and
+    * share the frame instead of re-running the element pipeline. */
+  def thetaSketchesFromHashes(hashed: DataFrame, k: Int = 256): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hashed = df.select(setCol.as("s"),
-      Hashing.md5Long60(concat(lit("theta:"), elemCol)).as("h")).distinct()
     val local = hashed.withColumn("_pid", spark_partition_id())
       .withColumn("_rk", row_number().over(
         Window.partitionBy("s", "_pid").orderBy("h")))

@@ -250,6 +250,72 @@ object TextAnalysis {
     rows.result().toDF("rank", "pair", "freq", "n_tokens_after")
   }
 
+  /** WordPiece training rounds (Schuster & Nakajima 2012; the BERT
+    * tokenizer) — [[bpeTrain]] with the argmax swapped: instead of the
+    * raw pair count, each round merges the pair maximizing
+    * score = count(ab) / (count(a)·count(b)) — the corpus-likelihood
+    * GAIN of the merge under a unigram model, which prefers pairs whose
+    * parts rarely occur apart (BPE's raw count just prefers frequent
+    * parts). Completes the subword-trainer trio beside [[bpeTrain]] and
+    * [[unigramLmStep]]/[[unigramLmPrune]].
+    *
+    * Scale shape identical to [[bpeTrain]]: ONE corpus-sized word-freq
+    * agg, then every round is vocabulary-sized (symbol-count agg +
+    * pair-count agg + a 1-row driver argmax + narrow boundary-exact
+    * replace). Score ties break on pair asc; the score arithmetic is
+    * IEEE double over exact long counts on both engines, so the argmax
+    * is cross-engine deterministic. */
+  def wordPieceTrain(docs: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var wf = Dedup.persistOnce(docs.select(explode(tokens(text)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), regexp_replace(col("word"), "(.)", "<$1>").as("w")))
+    val rows = Seq.newBuilder[(Int, String, Long, Double, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val syms = wf.select(col("freq"),
+          explode(expr("regexp_extract_all(w, '<([^<>]*)>', 1)")).as("sym"))
+        .groupBy("sym").agg(sum(col("freq")).as("sf"))
+      val best = wf
+        .select(col("freq"), expr("regexp_extract_all(w, '<([^<>]*)>', 1)").as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(s) - 1),
+            |  i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))""".stripMargin))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("pf"))
+        .withColumn("a", split(col("pair"), " ").getItem(0))
+        .withColumn("b", split(col("pair"), " ").getItem(1))
+        .join(syms.select(col("sym").as("a"), col("sf").as("sfa")), "a")
+        .join(syms.select(col("sym").as("b"), col("sf").as("sfb")), "b")
+        .withColumn("score", col("pf").cast("double") /
+          (col("sfa").cast("double") * col("sfb").cast("double")))
+        .orderBy(desc("score"), col("pair")).limit(1)
+        .select("pair", "pf", "score")
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val pair = best(0).getString(0)
+        val pf = best(0).getLong(1)
+        val score = best(0).getDouble(2)
+        val Array(a, b) = pair.split(' ')
+        val next = Dedup.persistOnce(wf.select(col("freq"),
+          replace(col("w"), lit(s"<$a><$b>"), lit(s"<$a$b>")).as("w")))
+        val nTok = next.agg(sum(col("freq") *
+            (length(col("w")) - length(replace(col("w"), lit("<"), lit("")))))
+          .cast("long")).collect()(0).getLong(0)
+        rows += ((r, pair, pf,
+          new java.math.BigDecimal(score).setScale(9, java.math.RoundingMode.HALF_UP)
+            .doubleValue(), nTok))
+        wf = next
+        r += 1
+      }
+    }
+    rows.result().toDF("rank", "pair", "freq", "score", "n_tokens_after")
+  }
+
   /** One hard-EM step of a UNIGRAM-LM tokenizer (the SentencePiece
     * family — the other major subword trainer beside [[bpeTrain]]):
     *  1. seed pieces = every substring of length 1..`maxPieceLen` of the
@@ -795,5 +861,51 @@ object TextAnalysis {
         when(ent.isNotNull, round(lit(0.0) - ent, 4)).otherwise(lit(0.0))
           .as("tok_entropy"))
       .withColumn("damaged", col("n_repl") > 0 || col("n_ctrl") > 0)
+  }
+
+  /** Heaps'-law vocabulary-growth curve — the corpus-composition
+    * diagnostic paired with [[zipfSlope]]: at `k` doc_id-cutoff
+    * checkpoints (cutoff_j = ⌊max_id·j/k⌋, a deterministic prefix of the
+    * corpus in ingestion-id order), the running document count, token
+    * count, and vocabulary size, plus the local Heaps exponent
+    * β_j = ln(V_j/V_{j−1}) / ln(N_j/N_{j−1}) between consecutive
+    * checkpoints (β drifting upward flags novelty-heavy tail sources;
+    * β → 0 flags a corpus gone repetitive).
+    *
+    * Scale shape: vocabulary growth needs each type's FIRST occurrence,
+    * not a per-prefix re-count — one (tok → min(doc_id)) hash agg is the
+    * whole corpus-sized vocabulary pass. Doc stats ride a k-way broadcast
+    * cutoff replication of the (doc_id, token-count) projection (k fixed
+    * and small) into a k-row hash agg; the vocab side replicates only the
+    * first-occurrence TABLE (vocab-sized, never occurrence-sized). The β
+    * join is k×k-row broadcast arithmetic. No windows, no sorts, nothing
+    * single-partition. */
+  def heapsCurve(docs: DataFrame, idCol: Column, text: Column,
+                 k: Int = 8): DataFrame = {
+    val toks = docs.select(idCol.as("doc_id"), tokens(text).as("w"))
+    val maxId = docs.agg(max(idCol).cast("long")).head().getLong(0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ck = (1 to k).map(j => (j.toLong, maxId * j / k)).toDF("ckpt", "cutoff")
+    val docStats = toks.select(col("doc_id"), size(col("w")).cast("long").as("tc"))
+      .join(broadcast(ck), col("doc_id") <= col("cutoff"))
+      .groupBy("ckpt", "cutoff")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tokens"))
+    val firstDoc = toks.select(explode(col("w")).as("tok"), col("doc_id"))
+      .groupBy("tok").agg(min(col("doc_id")).as("fd"))
+    val vocabAt = firstDoc
+      .join(broadcast(ck), col("fd") <= col("cutoff"))
+      .groupBy("ckpt").agg(count(lit(1)).as("vocab"))
+    val pts = docStats.join(vocabAt, "ckpt")
+      .select(col("ckpt"), col("cutoff"), col("n_docs"), col("n_tokens"), col("vocab"))
+    val prev = pts.select(col("ckpt").as("_pk"),
+      col("n_tokens").as("_pn"), col("vocab").as("_pv"))
+    pts.join(broadcast(prev), col("_pk") === col("ckpt") - 1, "left")
+      .select(col("ckpt"), col("cutoff"), col("n_docs"), col("n_tokens"), col("vocab"),
+        when(col("_pn").isNull || col("_pn") === col("n_tokens"), lit(null).cast("double"))
+          .otherwise(round(
+            log(col("vocab").cast("double") / col("_pv")) /
+              log(col("n_tokens").cast("double") / col("_pn")), 6)).as("beta"))
+      .orderBy("ckpt")
   }
 }

@@ -21,9 +21,11 @@ object TierA {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def index(spark: SparkSession, sfDir: String): DataFrame =
-    indexCache.getOrElseUpdate((spark, sfDir),
+    indexCache.getOrElseUpdate((spark, sfDir), {
+      graft.CachedFrames.onClear(() => { indexCache.remove((spark, sfDir)); () })
       graft.CachedFrames.track(
-        Merge.fold(ChangeLog.readEvents(spark, sfDir)).persist()))
+        Merge.fold(ChangeLog.readEvents(spark, sfDir)).persist())
+    })
 
   /** A3+A4+A5+A6: per-mutation flatten. One row per (mutation, qualifier)
     * with last-wins dedup inside the mutation; no cross-row state. */

@@ -133,10 +133,12 @@ object TierC {
   /** Cached at threshold 0 (ALL verified candidates) so the c72 sweep and
     * the ≥0.5 consumers share one pipeline; the 0.5 filter is free. */
   private def lshPairsAll(s: SparkSession, d: String): DataFrame =
-    lshPairsCache.getOrElseUpdate((s, d),
+    lshPairsCache.getOrElseUpdate((s, d), {
+      graft.CachedFrames.onClear(() => { lshPairsCache.remove((s, d)); () })
       graft.CachedFrames.track(
         Dedup.minhashLsh(Tables.documents(s, d), col("doc_id"), col("text"),
-          numHashes = NUM_HASHES, bandSize = BAND_SIZE, threshold = 0.0).persist()))
+          numHashes = NUM_HASHES, bandSize = BAND_SIZE, threshold = 0.0).persist())
+    })
 
   private def lshPairs(s: SparkSession, d: String): DataFrame =
     lshPairsAll(s, d).filter(col("jac") >= 0.5)
@@ -157,10 +159,48 @@ object TierC {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def kmeansFit8(s: SparkSession, d: String): DataFrame =
-    kmeansCache.getOrElseUpdate((s, d),
+    kmeansCache.getOrElseUpdate((s, d), {
+      graft.CachedFrames.onClear(() => { kmeansCache.remove((s, d)); () })
       graft.CachedFrames.track(
         Similarity.kmeansFit(Tables.embeddings(s, d),
-          col("vec_id"), col("embedding"), k = 8, iters = 2).persist()))
+          col("vec_id"), col("embedding"), k = 8, iters = 2).persist())
+    })
+
+  /** The planted-twin ANN gate fixture (corpus + twins, coarse + PQ
+    * codebooks, query vectors) is the shared input of c80 (ADC recall)
+    * and c120 (re-rank) — memoized per (session, sfDir) so the codebook
+    * fits run once. */
+  private val annFixtureCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      (DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Map[Long, Seq[Double]])]
+
+  private[queries] val annQids = Seq(5L, 123L, 240L)
+
+  private def annFixture(s: SparkSession, d: String)
+      : (DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Map[Long, Seq[Double]]) =
+    annFixtureCache.getOrElseUpdate((s, d), {
+      graft.CachedFrames.onClear(() => { annFixtureCache.remove((s, d)); () })
+      val e0 = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val twins = annQids.flatMap { qid =>
+        (0 until 10).map { t =>
+          e0.filter(col("vec_id") === qid)
+            .select(lit(10000L + qid * 100 + t).as("vec_id"),
+              transform(col("embedding"), (x, j) => x * (lit(1.0) +
+                (pmod(hash(lit(qid), lit(t), j), lit(2001)) - 1000)
+                  .cast("double") / 50000.0)).as("embedding"))
+        }
+      }.reduce(_ unionAll _)
+      val e = graft.CachedFrames.track(e0.unionAll(twins).persist())
+      val coarse = Similarity.pqCodebookFromIds(e, col("vec_id"), col("embedding"),
+        m = 1, k = 8).head
+      val cb = Similarity.pqCodebookFromIds(e, col("vec_id"), col("embedding"),
+        m = 8, k = 16)
+      val qvs = e.filter(col("vec_id").isin(annQids: _*))
+        .select(col("vec_id"), col("embedding"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      (e, coarse, cb, qvs)
+    })
 
   private val sigCte = {
     val hs = (0 until NUM_HASHES)
@@ -2677,31 +2717,16 @@ object TierC {
     Q("c80_ann_recall_gate",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val e0 = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-        val qids = Seq(5L, 123L, 240L)
         // the driver embeddings are UNSTRUCTURED random vectors (no
         // cluster geometry), so raw ANN recall on them is noise by
         // construction; the gate plants 10 deterministic near-twins
         // (±2% coordinate perturbation) per query — exact L2 top-10 IS
         // the twin set, and losing twins means a real index regression
-        // (cell assignment, codebook, ADC math), not data geometry
-        val twins = qids.flatMap { qid =>
-          (0 until 10).map { t =>
-            e0.filter(col("vec_id") === qid)
-              .select(lit(10000L + qid * 100 + t).as("vec_id"),
-                transform(col("embedding"), (x, j) => x * (lit(1.0) +
-                  (pmod(hash(lit(qid), lit(t), j), lit(2001)) - 1000)
-                    .cast("double") / 50000.0)).as("embedding"))
-          }
-        }.reduce(_ unionAll _)
-        val e = Dedup.persistOnce(e0.unionAll(twins))
-        val coarse = Similarity.pqCodebookFromIds(e, col("vec_id"), col("embedding"),
-          m = 1, k = 8).head
-        val cb = Similarity.pqCodebookFromIds(e, col("vec_id"), col("embedding"), m = 8, k = 16)
-        val qvs = e.filter(col("vec_id").isin(qids: _*))
-          .select(col("vec_id"), col("embedding"))
-          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+        // (cell assignment, codebook, ADC math), not data geometry.
+        // Fixture (corpus+twins, codebooks, query vectors) is memoized —
+        // shared with the c120 re-rank gate.
+        val (e, coarse, cb, qvs) = annFixture(s, d)
+        val qids = annQids
         val w = Window.partitionBy("query_id")
           .orderBy(col("adist"), col("vec_id")) // ≤11 rows per query
         val hits = Similarity.ivfPqSearchMany(e, col("vec_id"), col("embedding"),
@@ -2735,25 +2760,8 @@ object TierC {
     Q("c120_ann_rerank_gate",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val e0 = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-        val qids = Seq(5L, 123L, 240L)
-        val twins = qids.flatMap { qid =>
-          (0 until 10).map { t =>
-            e0.filter(col("vec_id") === qid)
-              .select(lit(10000L + qid * 100 + t).as("vec_id"),
-                transform(col("embedding"), (x, j) => x * (lit(1.0) +
-                  (pmod(hash(lit(qid), lit(t), j), lit(2001)) - 1000)
-                    .cast("double") / 50000.0)).as("embedding"))
-          }
-        }.reduce(_ unionAll _)
-        val e = Dedup.persistOnce(e0.unionAll(twins))
-        val coarse = Similarity.pqCodebookFromIds(e, col("vec_id"), col("embedding"),
-          m = 1, k = 8).head
-        val cb = Similarity.pqCodebookFromIds(e, col("vec_id"), col("embedding"), m = 8, k = 16)
-        val qvs = e.filter(col("vec_id").isin(qids: _*))
-          .select(col("vec_id"), col("embedding"))
-          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+        val (e, coarse, cb, qvs) = annFixture(s, d)
+        val qids = annQids
         val w = Window.partitionBy("query_id")
           .orderBy(col("dist"), col("vec_id")) // ≤11 rows per query
         val hits = Similarity.ivfPqSearchManyRerank(e, col("vec_id"), col("embedding"),
@@ -3991,14 +3999,18 @@ object TierC {
     // ≈0.21).
     Q("c121_theta_intersection",
       (s, d) => {
-        val bigrams = Tables.documents(s, d).select(col("source"),
-          explode(TextAnalysis.wordNgrams(TextAnalysis.tokens(col("text")), 2)).as("g"))
-          .distinct()
-        val sk = Sketch.thetaSketches(bigrams, col("source"), col("g"), k = 256)
+        // hash ONCE (compiled per-doc distinct-gram kernel, one distinct
+        // shuffle) and share the (s, h) frame between the sketch build
+        // and the exact side — the first cut recomputed the bigram
+        // pipeline three times and measured 9.6 s at sf0.1
+        val hashed = Dedup.persistOnce(Tables.documents(s, d)
+          .select(col("source").as("s"),
+            explode(graft.functions.TextKernels.wordNgrams(col("text"), 2)).as("g"))
+          .select(col("s"),
+            graft.functions.Hashing.md5Long60(concat(lit("theta:"), col("g"))).as("h"))
+          .distinct())
+        val sk = Sketch.thetaSketchesFromHashes(hashed, k = 256)
         val est = Sketch.thetaIntersections(sk, k = 256)
-        val hashed = bigrams.select(col("source").as("s"),
-          graft.functions.Hashing.md5Long60(concat(lit("theta:"), col("g"))).as("h"))
-          .distinct()
         val exact = hashed.select(col("s").as("sa"), col("h"))
           .join(hashed.select(col("s").as("sb"), col("h")), "h")
           .filter(col("sa") < col("sb"))
@@ -4128,6 +4140,165 @@ object TierC {
            |LEFT JOIN mc_x2 m2 ON m2.piece = s.piece
            |CROSS JOIN (SELECT CAST(sum(vit) AS DOUBLE) AS tot FROM mc_x2) t2
            |ORDER BY s.piece""".stripMargin
+      }),
+
+    // ExactSubstr MIN-RUN scrub (Lee et al. 2022's actual rule: remove
+    // duplicated substrings of >= L tokens, not any duplicated gram — the
+    // c31 any-gram scrub over-removes common phrases). Covered positions
+    // merge into maximal consecutive runs per doc (compiled
+    // gaps-and-islands kernel over a per-doc-bounded list); only runs of
+    // >= 8 tokens are scrubbed. At sf0.01 the corpus has ~450 covered
+    // islands of length 3-7 (kept) vs ~1000 of >= 8 (scrubbed), so the
+    // row exercises both outcomes. Oracle replays the islands with a
+    // row_number gaps-and-islands + windowed run length.
+    Q("c122_dup_run_scrub",
+      (s, d) => Dedup.scrubDuplicateRuns(Tables.documents(s, d),
+        col("doc_id"), col("text"), n = 3, minDocs = 2, minRun = 8)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH $toksCte,
+           |occ AS (
+           |  SELECT doc_id, i AS pos,
+           |         ${Hashing.sqlMd5Long60("list_aggregate(w[i:i+2], 'string_agg', ' ')")} AS gh
+           |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks)),
+           |dup AS (
+           |  SELECT gh FROM (SELECT DISTINCT doc_id, gh FROM occ)
+           |  GROUP BY gh HAVING count(*) >= 2),
+           |cov AS (
+           |  SELECT DISTINCT doc_id, pos + o AS cp
+           |  FROM occ JOIN dup USING (gh) CROSS JOIN range(0, 3) r(o)),
+           |isl AS (
+           |  SELECT doc_id, cp,
+           |         cp - row_number() OVER (PARTITION BY doc_id ORDER BY cp) AS grp
+           |  FROM cov),
+           |runs AS (
+           |  SELECT doc_id, cp FROM (
+           |    SELECT doc_id, cp, count(*) OVER (PARTITION BY doc_id, grp) AS rl FROM isl)
+           |  WHERE rl >= 8),
+           |pt AS (
+           |  SELECT doc_id, unnest(generate_series(1, len(w))) AS tp, w, len(w) AS n_tokens
+           |  FROM toks),
+           |kept AS (
+           |  SELECT pt.doc_id, tp, w[tp] AS tok, n_tokens
+           |  FROM pt LEFT JOIN runs ON pt.doc_id = runs.doc_id AND tp = cp
+           |  WHERE cp IS NULL)
+           |SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS scrubbed,
+           |       CAST(n_tokens AS INT) AS n_tokens, count(*) AS n_kept
+           |FROM kept GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin)),
+
+    // Heaps'-law vocabulary-growth curve: doc/token/vocab counts at 8
+    // doc_id-cutoff prefixes plus the local Heaps exponent between
+    // consecutive checkpoints. The vocabulary pass is ONE
+    // (tok -> min(doc_id)) hash agg — prefixes re-count nothing; the
+    // checkpoint replication broadcasts 8 cutoff rows against the
+    // (doc_id, token-count) projection and the vocab TABLE (never raw
+    // occurrences). Beta is 8x8-row broadcast arithmetic — no windows.
+    Q("c123_heaps_curve",
+      (s, d) => TextAnalysis.heapsCurve(Tables.documents(s, d),
+        col("doc_id"), col("text"), k = 8),
+      Some(
+        s"""WITH $toksCte,
+           |mx AS (SELECT max(doc_id) AS m FROM documents),
+           |ck AS (SELECT j AS ckpt, (m * j) // 8 AS cutoff
+           |       FROM mx CROSS JOIN range(1, 9) r(j)),
+           |dt AS (SELECT doc_id, len(w) AS tc FROM toks),
+           |ta AS (SELECT ckpt, cutoff, count(*) AS n_docs,
+           |              CAST(sum(tc) AS BIGINT) AS n_tokens
+           |       FROM ck JOIN dt ON doc_id <= cutoff GROUP BY 1, 2),
+           |fst AS (SELECT t, min(doc_id) AS fd
+           |        FROM (SELECT doc_id, unnest(w) AS t FROM toks) GROUP BY t),
+           |va AS (SELECT ckpt, count(*) AS vocab
+           |       FROM ck JOIN fst ON fd <= cutoff GROUP BY 1),
+           |pts AS (SELECT ta.ckpt, cutoff, n_docs, n_tokens, vocab
+           |        FROM ta JOIN va USING (ckpt))
+           |SELECT a.ckpt, a.cutoff, a.n_docs, a.n_tokens, a.vocab,
+           |       CASE WHEN b.ckpt IS NULL OR a.n_tokens = b.n_tokens THEN NULL
+           |            ELSE round(ln(CAST(a.vocab AS DOUBLE) / b.vocab) /
+           |                       ln(CAST(a.n_tokens AS DOUBLE) / b.n_tokens), 6)
+           |       END AS beta
+           |FROM pts a LEFT JOIN pts b ON b.ckpt = a.ckpt - 1
+           |ORDER BY a.ckpt""".stripMargin)),
+
+    // Asymmetric CONTAINMENT pairs (Broder's containment coefficient over
+    // winnowing fingerprints): the doc-inside-doc detector — a short doc
+    // quoted inside a long one has near-zero Jaccard (MinHash-LSH never
+    // pairs it) but containment ~= 1. Shares c58's fingerprint shape; the
+    // pair join fans out only on shared fingerprints, sizes join after
+    // the minShared prune. Spec demonstrates the LSH-miss/containment-hit
+    // case on a constructed contained doc.
+    Q("c124_containment_pairs",
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d), col("doc_id"),
+        col("text"), n = 5, w = 4, minShared = 2, minContain = 0.5),
+      Some(s"""WITH $toksCte,
+             |hs AS (SELECT doc_id,
+             |         list_transform(generate_series(1, len(w)-4),
+             |           i -> ${Hashing.sqlMd5Long60("w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]")}) AS h
+             |       FROM toks WHERE len(w) >= 8),
+             |fp AS (SELECT DISTINCT doc_id,
+             |         unnest(list_transform(generate_series(1, len(h)-3),
+             |           i -> list_min(h[i:i+3]))) AS f
+             |       FROM hs),
+             |sz AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY 1),
+             |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+             |       FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT doc_a, doc_b, n_shared, sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+             |       round(CAST(n_shared AS DOUBLE) / sa.n_fp, 6) AS contain_a,
+             |       round(CAST(n_shared AS DOUBLE) / sb.n_fp, 6) AS contain_b
+             |FROM sh JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+             |WHERE greatest(round(CAST(n_shared AS DOUBLE) / sa.n_fp, 6),
+             |               round(CAST(n_shared AS DOUBLE) / sb.n_fp, 6)) >= 0.5
+             |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin)),
+
+    // WordPiece training rounds (the BERT tokenizer): bpeTrain's loop
+    // with the argmax swapped to the likelihood-gain score
+    // count(ab)/(count(a)*count(b)) over CURRENT symbol counts — prefers
+    // pairs whose parts rarely occur apart, vs BPE's raw frequency.
+    // Oracle unrolls all 6 rounds (the c67 machinery + a per-round
+    // symbol-count CTE and score argmax); the trainer trio (BPE /
+    // unigram-LM / WordPiece) is complete.
+    Q("c126_wordpiece_train",
+      (s, d) => TextAnalysis.wordPieceTrain(Tables.documents(s, d), col("text"),
+        nMerges = 6).orderBy("rank"),
+      Some {
+        val n = 6
+        val iters = (1 to n).map { i =>
+          val prev = if (i == 1) "w0" else s"w${i - 1}"
+          s"""s$i AS MATERIALIZED (
+             |  SELECT sym, CAST(sum(freq) AS BIGINT) AS sf FROM (
+             |    SELECT freq, unnest(regexp_extract_all(w, '<([^<>]*)>', 1)) AS sym
+             |    FROM $prev)
+             |  GROUP BY sym),
+             |p$i AS MATERIALIZED (
+             |  SELECT pair, CAST(sum(freq) AS BIGINT) AS pf FROM (
+             |    SELECT freq, unnest(list_transform(generate_series(1, len(s) - 1),
+             |             j -> s[j] || ' ' || s[j + 1])) AS pair
+             |    FROM (SELECT freq, regexp_extract_all(w, '<([^<>]*)>', 1) AS s FROM $prev)
+             |    WHERE len(s) >= 2)
+             |  GROUP BY pair),
+             |b$i AS MATERIALIZED (
+             |        SELECT pair, pf, pf / (CAST(sa.sf AS DOUBLE) * sb.sf) AS score
+             |        FROM p$i JOIN s$i sa ON sa.sym = split_part(pair, ' ', 1)
+             |                 JOIN s$i sb ON sb.sym = split_part(pair, ' ', 2)
+             |        ORDER BY score DESC, pair LIMIT 1),
+             |w$i AS MATERIALIZED (SELECT freq,
+             |          replace(w, '<' || split_part(b$i.pair, ' ', 1) ||
+             |                     '><' || split_part(b$i.pair, ' ', 2) || '>',
+             |                  '<' || replace(b$i.pair, ' ', '') || '>') AS w
+             |        FROM $prev, b$i),
+             |t$i AS (SELECT CAST(sum(freq * (len(w) - len(replace(w, '<', '')))) AS BIGINT) AS nt
+             |        FROM w$i)""".stripMargin
+        }.mkString(",\n")
+        val unions = (1 to n).map(i =>
+          s"SELECT $i AS rank, b$i.pair, b$i.pf AS freq, round(b$i.score, 9) AS score, t$i.nt AS n_tokens_after FROM b$i, t$i")
+          .mkString("\n|UNION ALL ").stripMargin
+        s"""WITH $toksCte,
+           |tf AS (SELECT unnest(w) AS word FROM toks),
+           |w0 AS (SELECT count(*) AS freq, regexp_replace(word, '(.)', '<\\1>', 'g') AS w
+           |       FROM tf GROUP BY word),
+           |$iters
+           |$unions
+           |ORDER BY rank""".stripMargin
       }),
   )
 }

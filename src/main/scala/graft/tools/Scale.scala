@@ -525,3 +525,68 @@ object ScaleSketch {
     spark.stop()
   }
 }
+
+/** Round-12 probes: HDR sketch tables, theta intersections, index-time
+  * shingle BM25, IVF-PQ re-rank — the new ops at 10–100× bench SF. */
+object ScaleRound12 {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import Scale.t
+    import graft.ext.{Sketch, Similarity}
+
+    // HDR sketch tables: 20M values over 60 days; dailies → merge →
+    // percentiles (sketch-sized after the one hash agg)
+    val vals = spark.range(20_000_000).select(
+      concat(lit("d"), pmod(col("id"), lit(60))).as("day"),
+      (pmod(hash(col("id")), lit(1_000_000L)) + 1_000_001L).as("v"))
+    val daily = t("hdr-daily-20m-60days")(
+      graft.ext.Dedup.persistOnce(
+        Sketch.hdrHistogram(vals, Seq(col("day")), col("v"))))
+    println(s"SCALEINFO hdr daily rows ${daily.count()}")
+    t("hdr-merge-plus-percentiles")(
+      Sketch.hdrPercentiles(Sketch.hdrMerge(daily), Seq(0.5, 0.95, 0.99)).collect())
+
+    // theta sketches: 2M (set, elem) pairs over 50 sets (~40k distinct
+    // elements each, overlapping) → 1225 pair estimates
+    val elems = spark.range(2_000_000).select(
+      concat(lit("s"), pmod(col("id"), lit(50))).as("src"),
+      concat(lit("e"), pmod(hash(col("id")), lit(60_000L))).as("elem"))
+    t("theta-sketch-2m-50sets")(
+      Sketch.thetaIntersections(
+        Sketch.thetaSketches(elems, col("src"), col("elem"), k = 256), k = 256)
+        .agg(count(lit(1)), round(avg("est"), 2)).collect())
+
+    // index-time shingle BM25: 500k 12-token docs, scored match with
+    // unigram + shingle terms over the kernel-expanded stored stream
+    def word(i: Int) = expr(s"concat('w', pmod(hash(id, $i), 2000))")
+    val docs = spark.range(500_000).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(word): _*).as("text"))
+    t("shingle-bm25-500k-docs")(
+      graft.dsl.EsQueryJson.withShingles("sh", outputUnigrams = true) {
+        graft.dsl.EsQueryJson.withIndexAnalyzer("text", "sh") {
+          graft.dsl.EsQueryJson.search(docs,
+            """{"query": {"match": {"text": "w17 w17_w42"}},
+              | "sort": ["_score", "doc_id"], "size": 20}""".stripMargin).collect()
+        }
+      })
+
+    // IVF-PQ + exact re-rank over 200k 16-d vectors, 3 queries
+    val vecs = graft.ext.Dedup.persistOnce(spark.range(200_000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        j => pmod(hash(col("id"), j), lit(1000)).cast("double") / 500.0 - 1.0)
+        .as("embedding")))
+    val coarse = Similarity.pqCodebookFromIds(vecs, col("vec_id"), col("embedding"),
+      m = 1, k = 16).head
+    val cb = Similarity.pqCodebookFromIds(vecs, col("vec_id"), col("embedding"),
+      m = 8, k = 16)
+    val qs = Seq(1L, 2L, 3L).map(q => q ->
+      vecs.filter(col("vec_id") === q).collect()(0).getSeq[Double](1).toSeq)
+    t("ivfpq-rerank-200k-3queries")(
+      Similarity.ivfPqSearchManyRerank(vecs, col("vec_id"), col("embedding"),
+        coarse, cb, qs, nprobe = 4, topK = 10).collect())
+
+    spark.stop()
+  }
+}

@@ -188,6 +188,41 @@ class KernelEquivalenceSpec extends AnyFunSuite {
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop).passed)
   }
 
+  test("ShingleStreamKernel == unigrams-then-shingles reference join") {
+    val prop = Prop.forAll(genText, Gen.choose(2, 3), Gen.choose(0, 1),
+      Gen.oneOf(true, false)) { (s, mn, extra, uni) =>
+      val mx = mn + extra
+      val t = toks(s)
+      val parts = (if (uni) t.toSeq else Seq.empty) ++
+        (mn to mx).flatMap(n => t.sliding(n).filter(_.length == n).map(_.mkString("_")))
+      val got = graft.functions.TextKernels.ShingleStreamKernel(
+        Literal(u(s)), mn, mx, uni).eval(null).asInstanceOf[UTF8String].toString
+      got == parts.mkString(" ")
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(400), prop).passed)
+  }
+
+  test("PosRunsKernel == islands fold (keep runs >= minRun)") {
+    val genPos: Gen[List[Int]] = for {
+      n <- Gen.choose(0, 40)
+      xs <- Gen.listOfN(n, Gen.choose(1, 60))
+    } yield xs.distinct.sorted
+    val prop = Prop.forAll(genPos, Gen.choose(1, 6)) { (ps, minRun) =>
+      // reference: split into maximal consecutive islands, keep long ones
+      val islands = ps.foldLeft(List.empty[List[Int]]) {
+        case (acc @ (h :: t), p) if h.head == p - 1 => (p :: h) :: t
+        case (acc, p) => List(p) :: acc
+      }
+      val want = islands.filter(_.length >= minRun).flatten.sorted
+      val got = graft.functions.TextKernels.PosRunsKernel(
+        Literal.create(ps.toArray, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, containsNull = false)), minRun)
+        .eval(null).asInstanceOf[ArrayData].toIntArray().toList
+      got == want
+    }
+    assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop).passed)
+  }
+
   test("EsBulk.fold == independent ES-semantics simulation") {
     import graft.dsl.EsBulk
     val genOps: Gen[List[(String, Option[String], Boolean)]] =

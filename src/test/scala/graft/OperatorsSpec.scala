@@ -693,6 +693,85 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.contains(3L))
   }
 
+  test("duplicate-RUN scrub: short covered islands survive, long runs go") {
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "p q a b c d e z"), // run a..e (pos 3-7, len 5 >= 4) scrubbed
+      (2L, "a b c d e"),       // one full-length run -> drops out
+      (3L, "u v a b w x"))     // island {3,4} (len 2 < 4) SURVIVES
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicateRuns(docs, col("doc_id"), col("text"),
+        n = 2, minDocs = 2, minRun = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getLong(3))).toMap
+    assert(out(1L) == (("p q z", 8, 3L)))
+    assert(!out.contains(2L))
+    assert(out(3L) == (("u v a b w x", 6, 6L))) // any-gram scrub would cut "a b"
+  }
+
+  test("duplicate-RUN scrub at minRun=1 == duplicate-span scrub (real docs)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val spans = Dedup.scrubDuplicateSpans(docs, col("doc_id"), col("text"),
+      n = 3, minDocs = 2)
+    val runs1 = Dedup.scrubDuplicateRuns(docs, col("doc_id"), col("text"),
+      n = 3, minDocs = 2, minRun = 1)
+    assert(spans.exceptAll(runs1).isEmpty && runs1.exceptAll(spans).isEmpty)
+  }
+
+  test("containmentPairs catches doc-inside-doc that MinHash-LSH misses") {
+    import sp.implicits._
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ") // 12-token quoted doc
+    val filler = (1 to 120).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                     // the short original
+      (2L, s"$filler $quote"),         // quoted verbatim inside a long doc
+      (3L, "other words entirely here aa bb cc dd"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+        n = 5, w = 4, minShared = 1, minContain = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5), r.getDouble(6)))
+    assert(out.length == 1)
+    val (a, b, ca, cb) = out.head
+    assert(a == 1L && b == 2L)
+    assert(ca == 1.0)  // every fingerprint of the short doc is in the long one
+    assert(cb < 0.5)   // the long doc is NOT contained in the short one
+    // the symmetric detector misses the same pair: Jaccard ~= 12/132
+    assert(Dedup.minhashLsh(docs, col("doc_id"), col("text"),
+      threshold = 0.5).count() == 0)
+  }
+
+  test("wordPieceTrain argmax diverges from BPE on exclusive pairs") {
+    import sp.implicits._
+    // "a b" is the most FREQUENT pair (3) but a and b are everywhere
+    // (count 13 each); "c d" occurs only together (2/(2*2)=0.5 beats
+    // 3/(13*13)). BPE merges ab first; WordPiece merges cd first.
+    val docs = Seq((1L,
+      (Seq.fill(3)("ab") ++ Seq.fill(10)("a") ++ Seq.fill(10)("b") ++
+        Seq.fill(2)("cd")).mkString(" "))).toDF("doc_id", "text")
+    val wp = TextAnalysis.wordPieceTrain(docs, col("text"), nMerges = 1).collect()
+    assert(wp.head.getString(1) == "c d")
+    assert(wp.head.getDouble(3) == 0.5)
+    val bpe = TextAnalysis.bpeTrain(docs, col("text"), nMerges = 1).collect()
+    assert(bpe.head.getString(1) == "a b")
+  }
+
+  test("heapsCurve: one first-occurrence pass reproduces per-prefix recounts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextAnalysis.heapsCurve(docs, col("doc_id"), col("text"), k = 4)
+      .collect()
+    assert(out.length == 4)
+    val vocab = out.map(_.getLong(4))
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b }) // monotone
+    assert(out.head.isNullAt(5) && out.tail.forall(!_.isNullAt(5)))
+    // last checkpoint == whole-corpus recount; a middle one == brute prefix
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("t"))
+    assert(out.last.getLong(4) == toks.select("t").distinct().count())
+    assert(out.last.getLong(3) == toks.count())
+    val cut1 = out.head.getLong(1)
+    assert(out.head.getLong(4) ==
+      toks.filter(col("doc_id") <= cut1).select("t").distinct().count())
+  }
+
   test("segment dedup keeps first (doc_id, seg_idx) occurrence, drops fully-dup docs") {
     import sp.implicits._
     val docs = Seq(
