@@ -144,6 +144,26 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** MOSS's over-common-fingerprint guard (Schleimer et al. 2003 §5:
+    * matches appearing in too many documents are boilerplate — license
+    * headers, navigation chrome, templates — and are excluded): drop
+    * fingerprint VALUES whose document frequency exceeds `maxDf` before
+    * any pairwise work. A fingerprint shared by k docs contributes k²
+    * rows to the pair self-join, so ONE web-scale boilerplate value is
+    * quadratic — the same hot-key class as the Hamming hot bands, solved
+    * here by the standard documented drop (the pairs an over-common
+    * fingerprint witnesses are boilerplate matches by definition). The
+    * cap is a pure function of the corpus, so the oracle replays it
+    * exactly. Adaptive: one scalar agg decides; a clean corpus (every
+    * df ≤ maxDf, the bench-SF case) keeps the unfiltered frame and an
+    * unchanged join plan. */
+  private def dropHotFingerprints(fp: DataFrame, maxDf: Int): DataFrame = {
+    val dfreq = persistOnce(fp.groupBy("h").agg(count(lit(1)).as("_df")))
+    val maxObserved = dfreq.agg(max(col("_df"))).collect()(0).getLong(0)
+    if (maxObserved <= maxDf) fp
+    else persistOnce(fp.join(dfreq.filter(col("_df") <= maxDf).select("h"), "h"))
+  }
+
   /** Mod-p fingerprint sampling (Manber 1994, "Finding similar files" —
     * the pre-winnowing selection scheme): per doc, the word-`n`-gram
     * hashes ≡ 0 (mod p) form its fingerprint set. The selection is a
@@ -155,14 +175,18 @@ object Dedup {
     * per-window guarantee — a ~p·n-token overlap can go unsampled;
     * density is 1/p in expectation. Scale shape: kernel gramming, the
     * mod filter drops (p−1)/p of rows before the ONLY shuffle, and the
-    * pair join fans out solely on shared fingerprints. */
+    * pair join fans out solely on shared fingerprints — over-common
+    * (boilerplate) fingerprint values dropped first, see
+    * [[dropHotFingerprints]]. */
   def modpFingerprintPairs(df: DataFrame, idCol: Column, text: Column,
-                           n: Int = 5, p: Int = 8, minShared: Int = 2): DataFrame = {
-    val fp = df.select(idCol.as("doc_id"),
-        explode(graft.functions.TextKernels.wordNgrams(text, n)).as("g"))
-      .select(col("doc_id"), graft.functions.Hashing.md5Long60(col("g")).as("h"))
-      .filter(pmod(col("h"), lit(p.toLong)) === 0)
-      .distinct()
+                           n: Int = 5, p: Int = 8, minShared: Int = 2,
+                           maxDf: Int = 1000): DataFrame = {
+    val fp = dropHotFingerprints(persistOnce(
+      df.select(idCol.as("doc_id"),
+          explode(graft.functions.TextKernels.wordNgrams(text, n)).as("g"))
+        .select(col("doc_id"), graft.functions.Hashing.md5Long60(col("g")).as("h"))
+        .filter(pmod(col("h"), lit(p.toLong)) === 0)
+        .distinct()), maxDf)
     fp.as("a").join(fp.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -181,13 +205,16 @@ object Dedup {
     * .WinnowKernel]] — positional grams, no gram strings materialized,
     * no shuffle), only the ~2m/(w+1) distinct fingerprints explode into
     * the one shuffle, and the pair join fans out solely on shared
-    * fingerprint values. */
+    * fingerprint values — over-common (boilerplate) values dropped
+    * first, see [[dropHotFingerprints]]. */
   def winnowingPairs(df: DataFrame, idCol: Column, text: Column,
-                     n: Int = 5, w: Int = 4, minShared: Int = 2): DataFrame = {
+                     n: Int = 5, w: Int = 4, minShared: Int = 2,
+                     maxDf: Int = 1000): DataFrame = {
     // the kernel emits per-doc DISTINCT fingerprints, so (doc_id, h) rows
     // are distinct by construction — no dedup shuffle before the join
-    val fp = df.select(idCol.as("doc_id"),
-      explode(graft.functions.TextKernels.winnowFingerprints(text, n, w)).as("h"))
+    val fp = dropHotFingerprints(persistOnce(
+      df.select(idCol.as("doc_id"),
+        explode(graft.functions.TextKernels.winnowFingerprints(text, n, w)).as("h"))), maxDf)
     fp.as("a").join(fp.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -214,9 +241,12 @@ object Dedup {
     * all-pairs stage at any size. */
   def containmentPairs(df: DataFrame, idCol: Column, text: Column,
                        n: Int = 5, w: Int = 4, minShared: Int = 2,
-                       minContain: Double = 0.5): DataFrame = {
-    val fp = persistOnce(df.select(idCol.as("doc_id"),
-      explode(graft.functions.TextKernels.winnowFingerprints(text, n, w)).as("h")))
+                       minContain: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    // sizes come from the RETAINED fingerprints (MOSS semantics: dropped
+    // boilerplate positions don't exist), so a doc made largely of
+    // boilerplate can still reach containment 1 with its true container
+    val fp = dropHotFingerprints(persistOnce(df.select(idCol.as("doc_id"),
+      explode(graft.functions.TextKernels.winnowFingerprints(text, n, w)).as("h"))), maxDf)
     val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     fp.as("a").join(fp.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

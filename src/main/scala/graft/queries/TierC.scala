@@ -2085,9 +2085,11 @@ object TierC {
              |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
              |       FROM toks WHERE len(w) >= 5),
              |fp AS (SELECT DISTINCT doc_id, ${Hashing.sqlMd5Long60("g")} AS h FROM gs),
-             |fp8 AS (SELECT * FROM fp WHERE h % 8 = 0)
+             |fp8 AS (SELECT * FROM fp WHERE h % 8 = 0),
+             |fpk AS (SELECT fp8.doc_id, fp8.h FROM fp8
+             |        JOIN (SELECT h FROM fp8 GROUP BY h HAVING count(*) <= 1000) k USING (h))
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-             |FROM fp8 a JOIN fp8 b ON a.h = b.h AND a.doc_id < b.doc_id
+             |FROM fpk a JOIN fpk b ON a.h = b.h AND a.doc_id < b.doc_id
              |GROUP BY doc_a, doc_b HAVING count(*) >= 2
              |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin)),
 
@@ -2106,9 +2108,11 @@ object TierC {
              |fp AS (SELECT DISTINCT doc_id,
              |         unnest(list_transform(generate_series(1, len(h)-3),
              |           i -> list_min(h[i:i+3]))) AS f
-             |       FROM hs)
+             |       FROM hs),
+             |fpk AS (SELECT fp.doc_id, fp.f FROM fp
+             |        JOIN (SELECT f FROM fp GROUP BY f HAVING count(*) <= 1000) k USING (f))
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-             |FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+             |FROM fpk a JOIN fpk b ON a.f = b.f AND a.doc_id < b.doc_id
              |GROUP BY doc_a, doc_b HAVING count(*) >= 3
              |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin)),
 
@@ -4238,9 +4242,11 @@ object TierC {
              |         unnest(list_transform(generate_series(1, len(h)-3),
              |           i -> list_min(h[i:i+3]))) AS f
              |       FROM hs),
-             |sz AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY 1),
+             |fpk AS (SELECT fp.doc_id, fp.f FROM fp
+             |        JOIN (SELECT f FROM fp GROUP BY f HAVING count(*) <= 1000) k USING (f)),
+             |sz AS (SELECT doc_id, count(*) AS n_fp FROM fpk GROUP BY 1),
              |sh AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-             |       FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+             |       FROM fpk a JOIN fpk b ON a.f = b.f AND a.doc_id < b.doc_id
              |       GROUP BY 1, 2 HAVING count(*) >= 2)
              |SELECT doc_a, doc_b, n_shared, sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
              |       round(CAST(n_shared AS DOUBLE) / sa.n_fp, 6) AS contain_a,

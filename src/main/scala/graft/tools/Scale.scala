@@ -590,3 +590,28 @@ object ScaleRound12 {
     spark.stop()
   }
 }
+
+/** Round-12 probe: the over-common-fingerprint guard. 50k docs all
+  * sharing one 12-token boilerplate sentence (plus unique content, and
+  * 50 planted genuine near-dup pairs) — without the guard the
+  * boilerplate fingerprints alone witness ~1.25e9 candidate pairs; with
+  * it the pair join sees only rare fingerprints. */
+object ScaleFpGuard {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import Scale.t
+    def tok(tag: String, i: Int) = expr(s"concat('$tag', pmod(hash(id, $i), 100000))")
+    val boiler = (1 to 12).map(i => s"bp$i").mkString(" ")
+    // 50k docs: boilerplate + 12 unique tokens; ids 2k/2k+1 share content
+    val docs = spark.range(50_000).select(col("id").as("doc_id"),
+      concat_ws(" ", lit(boiler) +:
+        (0 until 12).map(i => expr(s"concat('u', pmod(hash(floor(id / 2), $i), 100000))")): _*)
+        .as("text"))
+    val n = t("fp-guard-50k-docs-hot-boilerplate")(
+      graft.ext.Dedup.winnowingPairs(docs, col("doc_id"), col("text"),
+        n = 5, w = 4, minShared = 1, maxDf = 100).count())
+    println(s"SCALEINFO fp-guard pairs $n (25000 planted + incidental rare overlaps, 0 boilerplate)")
+    spark.stop()
+  }
+}

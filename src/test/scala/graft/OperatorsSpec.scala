@@ -739,6 +739,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       threshold = 0.5).count() == 0)
   }
 
+  test("fingerprint maxDf guard drops boilerplate pairs, keeps real overlaps") {
+    import sp.implicits._
+    val boiler = (1 to 12).map(i => s"bp$i").mkString(" ")
+    val shared = (1 to 12).map(i => s"sh$i").mkString(" ")
+    val docs = ((1 to 30).map(i =>
+        (i.toLong, s"$boiler tail$i more$i words$i here$i now$i end$i")) ++
+      Seq((100L, s"$shared extra100 x100 y100 z100"),
+          (101L, s"$shared extra101 x101 y101 z101"))).toDF("doc_id", "text")
+    // capped: the 30-doc boilerplate fingerprints (df=30 > 10) vanish
+    // BEFORE the self-join; only the genuine df=2 overlap survives
+    val capped = Dedup.winnowingPairs(docs, col("doc_id"), col("text"),
+        n = 5, w = 4, minShared = 1, maxDf = 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq((100L, 101L)))
+    // uncapped: the same corpus pays all C(30,2) boilerplate pairs
+    assert(Dedup.winnowingPairs(docs, col("doc_id"), col("text"),
+      n = 5, w = 4, minShared = 1).count() == 435 + 1)
+    // containment inherits the guard with sizes over RETAINED fingerprints
+    // (docs 100/101 keep 3 fps each, 2 shared -> containment 2/3)
+    val cont = Dedup.containmentPairs(docs, col("doc_id"), col("text"),
+        n = 5, w = 4, minShared = 1, minContain = 0.6, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(cont.toSeq == Seq((100L, 101L, 0.666667)))
+  }
+
   test("wordPieceTrain argmax diverges from BPE on exclusive pairs") {
     import sp.implicits._
     // "a b" is the most FREQUENT pair (3) but a and b are everywhere
