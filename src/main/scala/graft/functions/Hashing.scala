@@ -23,6 +23,10 @@ object Hashing {
   def seeded(i: Int, c: Column): Column =
     md5Long60(concat(lit(s"$i:"), c))
 
+  /** JVM-side md5-60 (same value as [[md5Long60]]) — for fixture
+    * generators that synthesize payloads in plain Scala loops. */
+  def md5Long60Jvm(s: String): Long = TextKernels.md5Hash60(s)
+
   /** DuckDB SQL twin builders (used by the oracle strings). */
   def sqlMd5Long60(x: String): String = s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
   def sqlSeeded(i: Int, x: String): String = sqlMd5Long60(s"'$i:' || $x")

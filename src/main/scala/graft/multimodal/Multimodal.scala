@@ -543,6 +543,104 @@ object Multimodal {
       }.toDF()
   }
 
+  /** md5-mixed test waveform for the NEAR-DUP fixture: sample i of doc
+    * `id` is a 60-bit md5 draw folded to 16-bit signed. Unlike [[patS]]'s
+    * linear ramp (whose energy contour is a near-monotone V — every doc's
+    * contour hash collides), md5 mixing makes unrelated docs' contours
+    * independent (measured: unrelated same-length pairs ≥ 12 bits apart,
+    * planted twins 0), so Hamming ≤ 3 separates cleanly. */
+  @inline private[graft] def patA(id: Long, i: Int): Int =
+    (graft.functions.Hashing.md5Long60Jvm(s"aud:$id:$i") % 65536L).toInt - 32768
+
+  /** Near-dup audio fixture: every doc gets an md5-mixed waveform
+    * ([[patA]], 96..127 samples, 8 kHz) through the real JDK WAV writer;
+    * docs with `id % twinEvery == 0` additionally emit a TWIN
+    * (id + 10_000_000) — the same signal re-leveled by s − ⌊s/8⌋ (≈ −1 dB,
+    * floor division so both engines agree on negatives), the re-encoded/
+    * re-mastered copy an audio dedup must catch. */
+  def encodeTestWavsTwinned(ids: DataFrame, twinEvery: Long = 97)
+                           (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        val n = (96 + id % 32).toInt
+        val base = Array.tabulate(n)(i => patA(id, i))
+        def wav(samples: Array[Int]): Array[Byte] = {
+          val pcm = new Array[Byte](samples.length * 2)
+          var i = 0
+          while (i < samples.length) {
+            pcm(i * 2) = (samples(i) & 0xff).toByte
+            pcm(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            8000f, 16, 1, 2, 8000f, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          bos.toByteArray
+        }
+        val orig = (id, wav(base))
+        if (id % twinEvery == 0)
+          Seq(orig, (id + 10_000_000L,
+            wav(base.map(s => s - Math.floorDiv(s, 8)))))
+        else Seq(orig)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  case class AudioHash(doc_id: Long, n_frames: Long, ehash: Long)
+
+  /** Energy-contour perceptual hash — the audio analog of [[imageDHash]]:
+    * bit f = energy(frame f) > energy(frame f+1) over fixed
+    * `frameSize`-sample frames (tail partials dropped). Level-invariant
+    * for any monotone gain (comparisons see relative energies only), so a
+    * re-mastered copy hashes identically while unrelated md5-mixed
+    * signals land ~half the bits apart. Exact LONG integer math through
+    * the REAL codec parse; near-dup pairs ride the banded
+    * [[graft.ext.Dedup.hammingPairs64]] machinery unchanged. */
+  def audioEnergyHash(payloads: DataFrame, frameSize: Int = 2)
+                     (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(p))
+            try {
+              val bytes = ais.readAllBytes()
+              val n = bytes.length / 2
+              def sample(i: Int): Int =
+                (bytes(i * 2 + 1).toInt << 8) | (bytes(i * 2) & 0xff)
+              val nf = n / frameSize
+              val e = new Array[Long](nf)
+              var f = 0
+              while (f < nf) {
+                var j = f * frameSize
+                val end = j + frameSize
+                var acc = 0L
+                while (j < end) { val s = sample(j); acc += s.toLong * s; j += 1 }
+                e(f) = acc
+                f += 1
+              }
+              var h = 0L
+              var b = 0
+              val lim = math.min(nf - 1, 63)
+              while (b < lim) { if (e(b) > e(b + 1)) h |= 1L << b; b += 1 }
+              AudioHash(id, nf.toLong, h)
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException => AudioHash(id, 0L, 0L)
+          }
+        }
+      }.toDF()
+  }
+
   // ---------------- video container demux (deterministic fake codec) ---
 
   /** Deterministic synthetic video container "GRV1": 4-byte magic + width

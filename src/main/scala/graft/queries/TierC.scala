@@ -4256,6 +4256,52 @@ object TierC {
              |               round(CAST(n_shared AS DOUBLE) / sb.n_fp, 6)) >= 0.5
              |ORDER BY n_shared DESC, doc_a, doc_b""".stripMargin)),
 
+    // Cross-file AUDIO near-dup — the re-mastered-copy detector closing
+    // the multimodal near-dup family (image c78, video c100): energy-
+    // contour perceptual hash (bit f = E_f > E_{f+1}, level-invariant
+    // under monotone gain) over real-codec WAVs, pairs via the banded
+    // Hamming machinery. Fixture plants a -1 dB re-leveled twin per 97th
+    // doc (md5-mixed samples: unrelated same-length contours measured
+    // >= 12 bits apart, twins 0 — Hamming <= 3 separates cleanly).
+    Q("c125_audio_neardup",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        val h = Dedup.persistOnce(Multimodal.audioEnergyHash(
+          Multimodal.encodeTestWavsTwinned(Tables.documents(s, d))))
+        Dedup.hammingPairs64(h.select(col("doc_id"), col("ehash")), "ehash", maxDist = 3)
+          .join(h.select(col("doc_id").as("doc_a"), col("n_frames").as("nf")), "doc_a")
+          .join(h.select(col("doc_id").as("doc_b"), col("n_frames").as("nf_b")), "doc_b")
+          .filter(col("nf") === col("nf_b"))
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ids AS (SELECT doc_id FROM documents),
+             |base AS (
+             |  SELECT doc_id, i,
+             |         ${Hashing.sqlMd5Long60("'aud:' || doc_id || ':' || i")} % 65536 - 32768 AS s
+             |  FROM ids, unnest(generate_series(0, CAST(96 + doc_id % 32 AS INT) - 1)) AS u(i)),
+             |sm AS (SELECT doc_id, i, s FROM base
+             |       UNION ALL
+             |       SELECT doc_id + 10000000, i, s - (s // 8) FROM base WHERE doc_id % 97 = 0),
+             |fe AS (SELECT doc_id, i // 2 AS f, CAST(sum(s * s) AS BIGINT) AS e, count(*) AS k
+             |       FROM sm GROUP BY 1, 2),
+             |ff AS (SELECT doc_id, f, e FROM fe WHERE k = 2),
+             |hh AS (SELECT a.doc_id,
+             |              CAST(COALESCE(sum(CASE WHEN a.e > b.e
+             |                   THEN CAST(CAST(1 AS BIGINT) << CAST(a.f AS INT) AS HUGEINT)
+             |                   ELSE 0 END), 0) AS BIGINT) AS ehash
+             |       FROM ff a JOIN ff b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+             |       WHERE a.f < 63
+             |       GROUP BY a.doc_id),
+             |nf AS (SELECT doc_id, count(*) AS n_frames FROM ff GROUP BY 1)
+             |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             |       CAST(bit_count(xor(x.ehash, y.ehash)) AS INT) AS hamming
+             |FROM hh x JOIN hh y ON y.doc_id > x.doc_id
+             |JOIN nf na ON na.doc_id = x.doc_id JOIN nf nb ON nb.doc_id = y.doc_id
+             |WHERE na.n_frames = nb.n_frames
+             |  AND bit_count(xor(x.ehash, y.ehash)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // WordPiece training rounds (the BERT tokenizer): bpeTrain's loop
     // with the argmax swapped to the likelihood-gain score
     // count(ab)/(count(a)*count(b)) over CURRENT symbol counts — prefers

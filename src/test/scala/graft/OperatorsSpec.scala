@@ -316,6 +316,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(u.getAs[String]("fmt") == "unknown" && u.getAs[Long]("n_px") == 0L)
   }
 
+  test("audioEnergyHash: invariant under monotone gain, deterministic") {
+    import graft.multimodal.Multimodal
+    implicit val sp2: org.apache.spark.sql.SparkSession = sp
+    import sp2.implicits._
+    // twinned fixture: every 5th id emits a -1 dB re-leveled copy — the
+    // contour hash must agree exactly (comparisons see relative energies)
+    val h = Multimodal.audioEnergyHash(
+        Multimodal.encodeTestWavsTwinned((0L to 9L).toDF("doc_id"), twinEvery = 5))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h.size == 12)
+    for (id <- Seq(0L, 5L)) assert(h(id) == h(id + 10_000_000L))
+    // determinism of the full encode→decode→hash path across sessions
+    val again = Multimodal.audioEnergyHash(
+      Multimodal.encodeTestWavsTwinned((0L to 0L).toDF("doc_id"), twinEvery = 1000)
+    ).collect()(0).getLong(2)
+    assert(again == h(0L)._2)
+    assert(h.values.map(_._2).toSet.size > 1) // different docs differ
+  }
+
   test("wav round trip: JDK codec encode/decode is bit-exact; junk isolated") {
     import graft.multimodal.Multimodal
     implicit val sp2: org.apache.spark.sql.SparkSession = sp
@@ -762,6 +781,28 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         n = 5, w = 4, minShared = 1, minContain = 0.6, maxDf = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
     assert(cont.toSeq == Seq((100L, 101L, 0.666667)))
+  }
+
+  test("round-12 op plans: no cartesian, no unpartitioned Window") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // heapsCurve's k-row cutoff joins are non-equi against a BROADCAST
+    // 4-row side — BroadcastNestedLoopJoin with a constant build is the
+    // designed shape there, so only the dedup ops forbid it
+    val plans = Seq(
+      (Dedup.scrubDuplicateRuns(docs, col("doc_id"), col("text"), 3, 2, 8), false),
+      (TextAnalysis.heapsCurve(docs, col("doc_id"), col("text"), k = 4), true),
+      (Dedup.containmentPairs(docs, col("doc_id"), col("text")), false))
+    plans.foreach { case (df, bnljOk) =>
+      val s = df.queryExecution.sparkPlan.toString
+      assert(!s.contains("CartesianProduct"), s"cartesian in plan: $s")
+      if (!bnljOk) assert(!s.contains("BroadcastNestedLoopJoin"),
+        s"pairwise blowup in plan: $s")
+      val wins = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned Window (single-partition funnel): $w"))
+    }
   }
 
   test("wordPieceTrain argmax diverges from BPE on exclusive pairs") {
