@@ -615,3 +615,38 @@ object ScaleFpGuard {
     spark.stop()
   }
 }
+
+/** Round-12 probes, continued: ExactSubstr run scrub + Heaps curve at
+  * 10-20x bench document counts (synthetic corpus with planted
+  * cross-doc duplicated runs). */
+object ScaleRound12c {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import Scale.t
+
+    // 100k docs x ~60 tokens; every 10th doc embeds a shared 12-token
+    // boilerplate run (duplicated across 10k docs -> scrubbed), the rest
+    // unique-ish tokens from a 200k vocab
+    val boiler = (1 to 12).map(i => s"bp$i").mkString(" ")
+    val docs = graft.ext.Dedup.persistOnce(spark.range(100_000)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          (0 until 24).map(i => expr(s"concat('u', pmod(hash(id, $i), 200000))")) ++
+          Seq(when(col("id") % 10 === 0, boiler).otherwise(
+            concat_ws(" ", (24 until 36).map(i =>
+              expr(s"concat('u', pmod(hash(id, $i), 200000))")): _*))) ++
+          (36 until 60).map(i => expr(s"concat('u', pmod(hash(id, $i), 200000))")): _*)
+          .as("text")))
+    println(s"SCALEINFO docs ${docs.count()}")
+    val scrub = t("run-scrub-100k-docs")(
+      graft.ext.Dedup.scrubDuplicateRuns(docs, col("doc_id"), col("text"),
+        n = 3, minDocs = 2, minRun = 8).count())
+    println(s"SCALEINFO scrubbed-docs-remaining $scrub")
+    val heaps = t("heaps-curve-100k-docs-6m-tokens")(
+      graft.ext.TextAnalysis.heapsCurve(docs, col("doc_id"), col("text"), k = 8)
+        .collect())
+    println(s"SCALEINFO heaps last row ${heaps.last}")
+    spark.stop()
+  }
+}
