@@ -487,6 +487,72 @@ object TextAnalysis {
       .orderBy("piece")
   }
 
+  /** The full SentencePiece PRUNING LOOP — [[unigramLmPrune]]'s round
+    * repeated down a DECREASING multi-piece target schedule, the way the
+    * real trainer shrinks its seed vocabulary a fraction per round
+    * toward the target size: segment under the current model, keep every
+    * single-char piece (coverage) plus the top `targets(r)` multi-char
+    * pieces by corpus-weighted Viterbi count, Laplace-re-estimate over
+    * the survivors, repeat; one final Viterbi under the last model
+    * yields the reported counts. Emits
+    * `(piece, vit_pre, vit_post, new_p)` over the FINAL survivor set,
+    * where `vit_pre` is the piece's count under the seed model.
+    * Scale shape identical to [[unigramLmPrune]]: the one corpus-sized
+    * pass is the word-frequency agg; every round is a compiled
+    * per-word-TYPE DP plus vocab-sized driver state. */
+  def unigramLmPruneLoop(docs: DataFrame, text: Column,
+                         targets: Seq[Int] = Seq(15, 8),
+                         minCount: Long = 5, maxWordLen: Int = 12,
+                         maxPieceLen: Int = 4): DataFrame = {
+    require(targets.nonEmpty && targets.zip(targets.tail).forall { case (a, b) => b <= a },
+      s"targets must be a non-increasing schedule, got $targets")
+    val spark = docs.sparkSession
+    val words = Dedup.persistOnce(docs.select(explode(tokens(text)).as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("wcnt")))
+    val pieceRows = words.select(col("wcnt"), explode(flatten(
+        transform(sequence(lit(1), length(col("word"))), st =>
+          transform(sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - st + 1)),
+            l => col("word").substr(st, l))))).as("piece"))
+      .groupBy("piece").agg(sum("wcnt").as("occ"))
+      .filter(col("occ") >= minCount || length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def round6(v: Double): Double =
+      new java.math.BigDecimal(v).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def vitCounts(lp: Map[String, Double]): Map[String, Long] = words
+      .select(col("wcnt"),
+        explode(graft.functions.TextKernels.viterbiSegment(col("word"), lp, maxPieceLen))
+          .as("piece"))
+      .groupBy("piece").agg(sum("wcnt").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val seedTotal = pieceRows.map(_._2).sum.toDouble
+    val singles = pieceRows.map(_._1).filter(_.length == 1)
+    var lp = pieceRows.map { case (p, occ) => p -> round6(math.log(occ / seedTotal)) }.toMap
+    var vitSeed: Map[String, Long] = null
+    var surv: Seq[String] = Nil
+    for (t <- targets) {
+      val vit = vitCounts(lp)
+      if (vitSeed == null) vitSeed = vit
+      val topMulti = vit.toSeq
+        .collect { case (p, c) if p.length > 1 && c > 0L => (p, c) }
+        .sortBy { case (p, c) => (-c, p) }
+        .take(t).map(_._1)
+      surv = (singles ++ topMulti).distinct.sorted
+      val totV = surv.map(vit.getOrElse(_, 0L)).sum.toDouble
+      val np = surv.size.toDouble
+      lp = surv.map(p =>
+        p -> round6(math.log((vit.getOrElse(p, 0L) + 1.0) / (totV + np)))).toMap
+    }
+    val vitF = vitCounts(lp)
+    val totF = vitF.values.sum.toDouble
+    import spark.implicits._
+    surv.map { p =>
+      (p, vitSeed.getOrElse(p, 0L), vitF.getOrElse(p, 0L),
+        round6(vitF.getOrElse(p, 0L) / totF))
+    }.toDF("piece", "vit_pre", "vit_post", "new_p")
+      .orderBy("piece")
+  }
+
   /** BPE ENCODE with a learned merge list — the apply step of
     * [[bpePairCounts]]'s training iteration. Each word becomes a
     * marker-wrapped symbol sequence (`"ab"` → `"<a><b>"`; markers make

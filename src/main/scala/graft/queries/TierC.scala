@@ -23,6 +23,47 @@ object TierC {
       |  FROM documents
       |)""".stripMargin
 
+  /** Shared SentencePiece Viterbi-DP CTE block (the c112/c119/c127
+    * machinery): forward best-score DP over word TYPES under the logp
+    * table `lpName`, backtrace, and the corpus-weighted Viterbi piece
+    * counts as `mc_<sfx>`. Every stage is MATERIALIZED — the backtrace
+    * references each level from several successors and un-materialized
+    * CTEs re-evaluate multiplicatively (the c126 lesson). */
+  private def spDpBlock(sfx: String, lpName: String, maxJ: Int = 12,
+                        pieceLen: Int = 4): String = {
+    val fwd = (1 to maxJ).map { j =>
+      val branches = (1 to math.min(pieceLen, j)).map { l =>
+        val i = j - l
+        s"""    SELECT w.word, w.wcnt, v.s + lp.logp AS cs, $l AS plen, lp.piece
+           |    FROM wt w JOIN v${i}_$sfx v ON v.word = w.word
+           |              JOIN $lpName lp ON lp.piece = substr(w.word, ${i + 1}, $l)
+           |    WHERE len(w.word) >= $j""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      s"""v${j}_$sfx AS MATERIALIZED (
+         |  SELECT word, wcnt, cs AS s, plen, piece FROM (
+         |$branches)
+         |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY cs DESC, plen DESC) = 1)""".stripMargin
+    }.mkString(",\n")
+    val vall = (1 to maxJ).map(j =>
+      s"SELECT $j AS j, word, plen, piece FROM v${j}_$sfx").mkString("\n  UNION ALL ")
+    val back = (1 to maxJ).map { k =>
+      s"""b${k}_$sfx AS MATERIALIZED (
+         |  SELECT b.word, b.wcnt,
+         |         CASE WHEN b.cur > 0 THEN b.cur - v.plen ELSE 0 END AS cur,
+         |         CASE WHEN b.cur > 0 THEN list_prepend(v.piece, b.ps) ELSE b.ps END AS ps
+         |  FROM b${k - 1}_$sfx b LEFT JOIN vall_$sfx v ON v.word = b.word AND v.j = b.cur)""".stripMargin
+    }.mkString(",\n")
+    s"""v0_$sfx AS (SELECT word, wcnt, CAST(0 AS DOUBLE) AS s FROM wt),
+       |$fwd,
+       |vall_$sfx AS MATERIALIZED (
+       |  $vall),
+       |b0_$sfx AS (SELECT word, wcnt, len(word) AS cur, []::VARCHAR[] AS ps FROM wt),
+       |$back,
+       |mc_$sfx AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS vit
+       |  FROM (SELECT wcnt, unnest(ps) AS piece FROM b${maxJ}_$sfx) GROUP BY piece)""".stripMargin
+  }
+
   private val gramsCte =
     """grams AS (
       |  SELECT doc_id,
@@ -4074,40 +4115,7 @@ object TierC {
       (s, d) => TextAnalysis.unigramLmPrune(Tables.documents(s, d), col("text"),
         targetMulti = 15, minCount = 5, maxWordLen = 12, maxPieceLen = 4),
       Some {
-        val maxJ = 12
-        def dpBlock(sfx: String, lpName: String): String = {
-          val fwd = (1 to maxJ).map { j =>
-            val branches = (1 to math.min(4, j)).map { l =>
-              val i = j - l
-              s"""    SELECT w.word, w.wcnt, v.s + lp.logp AS cs, $l AS plen, lp.piece
-                 |    FROM wt w JOIN v${i}_$sfx v ON v.word = w.word
-                 |              JOIN $lpName lp ON lp.piece = substr(w.word, ${i + 1}, $l)
-                 |    WHERE len(w.word) >= $j""".stripMargin
-            }.mkString("\n    UNION ALL\n")
-            s"""v${j}_$sfx AS MATERIALIZED (
-               |  SELECT word, wcnt, cs AS s, plen, piece FROM (
-               |$branches)
-               |  QUALIFY row_number() OVER (PARTITION BY word ORDER BY cs DESC, plen DESC) = 1)""".stripMargin
-          }.mkString(",\n")
-          val vall = (1 to maxJ).map(j =>
-            s"SELECT $j AS j, word, plen, piece FROM v${j}_$sfx").mkString("\n  UNION ALL ")
-          val back = (1 to maxJ).map { k =>
-            s"""b${k}_$sfx AS MATERIALIZED (
-               |  SELECT b.word, b.wcnt,
-               |         CASE WHEN b.cur > 0 THEN b.cur - v.plen ELSE 0 END AS cur,
-               |         CASE WHEN b.cur > 0 THEN list_prepend(v.piece, b.ps) ELSE b.ps END AS ps
-               |  FROM b${k - 1}_$sfx b LEFT JOIN vall_$sfx v ON v.word = b.word AND v.j = b.cur)""".stripMargin
-          }.mkString(",\n")
-          s"""v0_$sfx AS (SELECT word, wcnt, CAST(0 AS DOUBLE) AS s FROM wt),
-             |$fwd,
-             |vall_$sfx AS MATERIALIZED (
-             |  $vall),
-             |b0_$sfx AS (SELECT word, wcnt, len(word) AS cur, []::VARCHAR[] AS ps FROM wt),
-             |$back,
-             |mc_$sfx AS MATERIALIZED (
-             |  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS vit
-             |  FROM (SELECT wcnt, unnest(ps) AS piece FROM b${maxJ}_$sfx) GROUP BY piece)""".stripMargin
-        }
+        def dpBlock(sfx: String, lpName: String): String = spDpBlock(sfx, lpName)
         s"""WITH $toksCte,
            |wt AS MATERIALIZED (SELECT tok AS word, count(*) AS wcnt
            |       FROM (SELECT unnest(w) AS tok FROM toks)
@@ -4351,6 +4359,62 @@ object TierC {
            |$iters
            |$unions
            |ORDER BY rank""".stripMargin
+      }),
+
+    // The FULL SentencePiece pruning loop (c119 iterated down a shrinking
+    // target schedule, the real trainer's shape: prune a fraction per
+    // round toward the target vocab): 15 -> 8 multi-char survivors over
+    // two prune rounds + a final Viterbi. Oracle unrolls THREE DP blocks
+    // with a survivor/Laplace CTE between each pair (the shared spDpBlock
+    // machinery, everything MATERIALIZED) and must agree on the final
+    // surviving SET and both count columns.
+    Q("c127_unigram_lm_prune_loop",
+      (s, d) => TextAnalysis.unigramLmPruneLoop(Tables.documents(s, d), col("text"),
+        targets = Seq(15, 8), minCount = 5, maxWordLen = 12, maxPieceLen = 4),
+      Some {
+        val targets = Seq(15, 8)
+        val R = targets.length
+        val rounds = (1 to R).map { r =>
+          val t = targets(r - 1)
+          val mc = s"mc_x$r"
+          s"""surv$r AS MATERIALIZED (
+             |  SELECT piece FROM pieces WHERE len(piece) = 1
+             |  UNION
+             |  SELECT piece FROM (
+             |    SELECT piece FROM $mc WHERE len(piece) > 1 AND vit > 0
+             |    ORDER BY vit DESC, piece LIMIT $t)),
+             |sstat$r AS (SELECT (SELECT CAST(sum(COALESCE(m.vit, 0)) AS DOUBLE)
+             |                    FROM surv$r s LEFT JOIN $mc m ON m.piece = s.piece) AS totv,
+             |                   (SELECT CAST(count(*) AS DOUBLE) FROM surv$r) AS np),
+             |lp${r + 1} AS MATERIALIZED (
+             |  SELECT s.piece,
+             |         round(ln((CAST(COALESCE(m.vit, 0) AS DOUBLE) + 1.0) / (t.totv + t.np)), 6) AS logp
+             |  FROM surv$r s LEFT JOIN $mc m ON m.piece = s.piece CROSS JOIN sstat$r t),
+             |${spDpBlock(s"x${r + 1}", s"lp${r + 1}")}""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $toksCte,
+           |wt AS MATERIALIZED (SELECT tok AS word, count(*) AS wcnt
+           |       FROM (SELECT unnest(w) AS tok FROM toks)
+           |       WHERE len(tok) <= 12 GROUP BY tok),
+           |subs AS (SELECT wcnt, unnest(flatten(list_transform(generate_series(1, len(word)), st ->
+           |           list_transform(generate_series(1, least(4, len(word) - st + 1)), l ->
+           |             substr(word, st, l))))) AS piece
+           |         FROM wt),
+           |pieces AS MATERIALIZED (SELECT piece, CAST(sum(wcnt) AS BIGINT) AS occ FROM subs GROUP BY piece
+           |           HAVING sum(wcnt) >= 5 OR len(piece) = 1),
+           |lp1 AS MATERIALIZED (SELECT piece, round(ln(CAST(occ AS DOUBLE) / t.tot), 6) AS logp
+           |       FROM pieces CROSS JOIN (SELECT CAST(sum(occ) AS DOUBLE) AS tot FROM pieces) t),
+           |${spDpBlock("x1", "lp1")},
+           |$rounds
+           |SELECT s.piece,
+           |       CAST(COALESCE(m1.vit, 0) AS BIGINT) AS vit_pre,
+           |       CAST(COALESCE(mf.vit, 0) AS BIGINT) AS vit_post,
+           |       round(CAST(COALESCE(mf.vit, 0) AS DOUBLE) / tf.tot, 6) AS new_p
+           |FROM surv$R s
+           |LEFT JOIN mc_x1 m1 ON m1.piece = s.piece
+           |LEFT JOIN mc_x${R + 1} mf ON mf.piece = s.piece
+           |CROSS JOIN (SELECT CAST(sum(vit) AS DOUBLE) AS tot FROM mc_x${R + 1}) tf
+           |ORDER BY s.piece""".stripMargin
       }),
   )
 }

@@ -805,6 +805,20 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("unigramLmPruneLoop at one round == unigramLmPrune; loop shrinks the set") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val one = TextAnalysis.unigramLmPruneLoop(docs, col("text"), targets = Seq(15))
+    val single = TextAnalysis.unigramLmPrune(docs, col("text"), targetMulti = 15)
+    assert(one.exceptAll(single).isEmpty && single.exceptAll(one).isEmpty)
+    // a second, tighter round prunes multis but never singles
+    val looped = TextAnalysis.unigramLmPruneLoop(docs, col("text"), targets = Seq(15, 8))
+      .collect().map(_.getString(0))
+    val multis = looped.filter(_.length > 1)
+    assert(multis.length == 8)
+    val singles = single.collect().map(_.getString(0)).filter(_.length == 1)
+    assert(singles.forall(looped.contains)) // coverage set survives pruning
+  }
+
   test("wordPieceTrain argmax diverges from BPE on exclusive pairs") {
     import sp.implicits._
     // "a b" is the most FREQUENT pair (3) but a and b are everywhere
