@@ -783,6 +783,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(cont.toSeq == Seq((100L, 101L, 0.666667)))
   }
 
+  test("round-12 ops are partitioning-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def all(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val ops: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq(
+      d => Dedup.scrubDuplicateRuns(d, col("doc_id"), col("text"), 3, 2, 8),
+      d => TextAnalysis.heapsCurve(d, col("doc_id"), col("text"), k = 4),
+      d => Dedup.containmentPairs(d, col("doc_id"), col("text")))
+    for (op <- ops) {
+      val base = all(op(docs))
+      assert(base.nonEmpty)
+      for (parts <- Seq(1, 17)) assert(all(op(docs.repartition(parts))) == base)
+    }
+  }
+
   test("round-12 op plans: no cartesian, no unpartitioned Window") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // heapsCurve's k-row cutoff joins are non-equi against a BROADCAST

@@ -231,4 +231,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     q.stop()
     assert(indexMap(Pipeline.readCurrent(sp, indexDir)) == Map("b" -> Map("y" -> "2")))
   }
+
+  test("streaming Bloom decontamination == batch, across batch splits") {
+    // the streaming twin of c83: the filter is a constant literal word
+    // array and the probe a narrow codegen'd kernel, so it drops straight
+    // into a streaming query — no state, no watermark; stream == batch is
+    // the whole claim, proven over an arbitrary 3-way batch split
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val docs = sp.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val bench = docs.filter(_._1 % 97 == 0).toDF("doc_id", "text")
+    val words = graft.ext.Sketch.bloomBuild(bench, col("text"), nGram = 8)
+    val corpus = docs.filterNot(_._1 % 97 == 0)
+    def report(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Sketch.bloomContamination(df, col("doc_id"), col("text"), words, nGram = 8)
+    val want = report(corpus.toDF("doc_id", "text"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(want.exists(_.contains("true"))) // fixture really flags docs
+    val ms = MemoryStream[(Long, String)]
+    val q = report(ms.toDF().toDF("doc_id", "text")).writeStream
+      .outputMode("append").format("memory").queryName("bloom_stream")
+      .option("checkpointLocation", tmpDir("graft-bloom-ckpt")).start()
+    corpus.grouped(math.max(1, corpus.size / 3)).foreach { b =>
+      ms.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val got = sp.table("bloom_stream").collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
 }
