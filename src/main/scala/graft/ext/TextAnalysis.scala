@@ -952,7 +952,10 @@ object TextAnalysis {
     val maxId = docs.agg(max(idCol).cast("long")).head().getLong(0)
     val spark = docs.sparkSession
     import spark.implicits._
-    val ck = (1 to k).map(j => (j.toLong, maxId * j / k)).toDF("ckpt", "cutoff")
+    // BigInt on the driver: ids near 2^60 (snapshot-prefixed, hash-derived)
+    // would overflow maxId * j in Long before the divide
+    val ck = (1 to k).map(j => (j.toLong, (BigInt(maxId) * j / k).toLong))
+      .toDF("ckpt", "cutoff")
     val docStats = toks.select(col("doc_id"), size(col("w")).cast("long").as("tc"))
       .join(broadcast(ck), col("doc_id") <= col("cutoff"))
       .groupBy("ckpt", "cutoff")
