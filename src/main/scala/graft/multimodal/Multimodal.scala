@@ -641,6 +641,57 @@ object Multimodal {
       }.toDF()
   }
 
+  case class WalshRow(doc_id: Long, frame: Int, k: Int, w: Long, power: Long)
+
+  /** Sequency-domain (Walsh–Hadamard) band coefficients per fixed-size
+    * frame — the spectral-feature step of an audio pipeline with an
+    * INTEGER-EXACT transform: W_k(frame) = Σ_i (−1)^popcount(i∧k)·s_i
+    * over the frame's samples (i = position within the frame), power =
+    * W_k². A production MFCC swaps the DFT + mel filterbank in here —
+    * the decode/frame/transform/feature-row plumbing is identical — but
+    * Walsh's ±1 coefficients keep every value exact-integer, so the
+    * oracle replays it bit-for-bit where a float cos() could differ by
+    * an ulp across engines. Tail-partial frames drop (the
+    * [[audioEnergyHash]] rule); |W_k| ≤ frameSize·32768, so power fits
+    * LONG with ~20 bits to spare. One linear codec pass per file, no
+    * shuffle. */
+  def audioWalshBands(payloads: DataFrame, frameSize: Int = 16,
+                      bands: Seq[Int] = Seq(1, 5, 15))
+                     (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(bands.forall(k => k >= 0 && k < frameSize),
+      s"bands must be in [0, $frameSize), got $bands")
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(p))
+            try {
+              val bytes = ais.readAllBytes()
+              val n = bytes.length / 2
+              def sample(i: Int): Int =
+                (bytes(i * 2 + 1).toInt << 8) | (bytes(i * 2) & 0xff)
+              val nf = n / frameSize
+              for (f <- 0 until nf; k <- bands) yield {
+                var w = 0L
+                var i = 0
+                while (i < frameSize) {
+                  val s = sample(f * frameSize + i).toLong
+                  w += (if (java.lang.Integer.bitCount(i & k) % 2 == 1) -s else s)
+                  i += 1
+                }
+                WalshRow(id, f, k, w, w * w)
+              }
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException => Seq.empty[WalshRow]
+          }
+        }
+      }.toDF()
+  }
+
   // ---------------- video container demux (deterministic fake codec) ---
 
   /** Deterministic synthetic video container "GRV1": 4-byte magic + width

@@ -4324,6 +4324,35 @@ object TierC {
              |  AND bit_count(xor(x.ehash, y.ehash)) <= 3
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Sequency-domain (Walsh-Hadamard) band features per audio frame —
+    // the spectral step of an audio pipeline with an INTEGER-EXACT
+    // transform (a production MFCC swaps the DFT in here; Walsh's +/-1
+    // coefficients make the oracle replay bit-exact where cos() could
+    // differ by an ulp across engines). Real JDK codec parse; frames of
+    // 16 over the c75 fixture; sign = parity of popcount(i AND k).
+    Q("c128_audio_walsh",
+      (s, d) => {
+        implicit val sp: SparkSession = s
+        Multimodal.audioWalshBands(
+          Multimodal.encodeTestWavs(Tables.documents(s, d)),
+          frameSize = 16, bands = Seq(1, 5, 15))
+          .orderBy("doc_id", "frame", "k")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+             |sm AS (
+             |  SELECT doc_id, i, i // 16 AS f, i % 16 AS j,
+             |         ((doc_id * 31 + i * 7) % 65536) - 32768 AS s
+             |  FROM ids, unnest(generate_series(0, CAST(64 + doc_id % 64 AS INT) - 1)) AS u(i)),
+             |full_f AS (SELECT doc_id, f FROM sm GROUP BY 1, 2 HAVING count(*) = 16),
+             |w AS (
+             |  SELECT sm.doc_id, CAST(sm.f AS INT) AS frame, CAST(kk AS INT) AS k,
+             |         CAST(sum(CASE WHEN bit_count(j & kk) % 2 = 1 THEN -s ELSE s END) AS BIGINT) AS w
+             |  FROM sm JOIN full_f ON full_f.doc_id = sm.doc_id AND full_f.f = sm.f
+             |       CROSS JOIN (VALUES (1), (5), (15)) t(kk)
+             |  GROUP BY 1, 2, 3)
+             |SELECT doc_id, frame, k, w, w * w AS power
+             |FROM w ORDER BY doc_id, frame, k""".stripMargin)),
+
     // WordPiece training rounds (the BERT tokenizer): bpeTrain's loop
     // with the argmax swapped to the likelihood-gain score
     // count(ab)/(count(a)*count(b)) over CURRENT symbol counts — prefers

@@ -335,6 +335,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(h.values.map(_._2).toSet.size > 1) // different docs differ
   }
 
+  test("audioWalshBands satisfies Parseval: sum of all 16 powers == 16 x frame energy") {
+    import graft.multimodal.Multimodal
+    implicit val sp2: org.apache.spark.sql.SparkSession = sp
+    import sp2.implicits._
+    val ids = (1L to 8L).toDF("doc_id")
+    val rows = Multimodal.audioWalshBands(Multimodal.encodeTestWavs(ids),
+        frameSize = 16, bands = 0 until 16)
+      .groupBy("doc_id", "frame").agg(sum("power").as("pw"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case ((id, f), pw) =>
+      val e = (0 until 16).map { j =>
+        val s = Multimodal.patS(id, f * 16 + j).toLong; s * s
+      }.sum
+      assert(pw == 16L * e, s"Parseval violated for doc $id frame $f")
+    }
+  }
+
   test("wav round trip: JDK codec encode/decode is bit-exact; junk isolated") {
     import graft.multimodal.Multimodal
     implicit val sp2: org.apache.spark.sql.SparkSession = sp
