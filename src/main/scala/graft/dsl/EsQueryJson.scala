@@ -913,6 +913,33 @@ object EsQueryJson {
     * sort-key column (6 dp, engine-stable order), dropped from the hit;
     * a `mode` (min/max/sum/avg over a multi-valued field) or a `missing`
     * substitute likewise materialize internal computed sort keys. */
+  /** ES 6.5 `_validate/query`: parse + compile each body WITHOUT
+    * executing. The full [[search]] compilation runs against the frame's
+    * schema — Spark analyzes plans eagerly at Dataset construction, so
+    * malformed JSON, unsupported constructs, and unknown fields all
+    * surface exactly as execution would see them, while no job ever
+    * runs (ES semantics: validate touches no shard). Reports the error
+    * CLASS, the stable contract part of the diagnostic (messages carry
+    * engine-specific positions/names): `ok`, `parse_error` (body is not
+    * JSON), `invalid_query` (well-formed but unsupported/ill-typed
+    * construct), `unknown_field` (resolution failure against the
+    * schema). Driver-only by design — the result is |bodies| rows. */
+  def validateQuery(df: DataFrame, bodies: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bodies.map { case (qid, body) =>
+      val cls =
+        try { search(df, body).queryExecution.analyzed; "ok" }
+        catch {
+          case _: com.fasterxml.jackson.core.JsonProcessingException => "parse_error"
+          case _: org.apache.spark.sql.AnalysisException => "unknown_field"
+          case _: IllegalArgumentException | _: IllegalStateException |
+               _: NullPointerException | _: MatchError => "invalid_query"
+        }
+      (qid, cls == "ok", cls)
+    }.toDF("query_id", "valid", "error_class").orderBy("query_id")
+  }
+
   def search(df: DataFrame, bodyJson: String): DataFrame = {
     val body = parse(bodyJson)
     // (field, explicitOrder, nullsPlacement) triples; _score defaults

@@ -4440,7 +4440,48 @@ object TierB {
              |             + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1*(1.2+1))/(tf1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS score
              |       FROM f CROSS JOIN st WHERE tf0 > 0 OR tf1 > 0)
              |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
+
+    // _validate/query: parse + compile WITHOUT executing (ES semantics —
+    // validate touches no shard). The fixture exercises all four error
+    // classes: ok, parse_error (not JSON), invalid_query (well-formed but
+    // unsupported construct), unknown_field (schema resolution failure).
+    // Outcomes are analytic pins (the a196 pattern) — the oracle is the
+    // expected classification table.
+    Q("a198_es_json_validate",
+      (s, d) => graft.dsl.EsQueryJson.validateQuery(Tables.documents(s, d),
+        ValidateFixture.bodies),
+      Some {
+        val rows = ValidateFixture.expected.map { case (q, cls) =>
+          s"('$q', ${cls == "ok"}, '$cls')"
+        }.mkString(",\n             ")
+        s"""SELECT query_id, valid, error_class FROM (VALUES
+           |  $rows) t(query_id, valid, error_class)
+           |ORDER BY query_id""".stripMargin
+      }),
   )
+}
+
+/** `_validate/query` fixture: bodies spanning the four outcome classes,
+  * with hand-derived expected classifications (analytic pins). */
+private[queries] object ValidateFixture {
+  val cases: Seq[(String, String, String)] = Seq(
+    ("q1_ok_term", """{"query": {"term": {"lang": "en"}}}""", "ok"),
+    ("q2_ok_bool_aggs",
+      """{"query": {"bool": {"must": [{"match": {"text": "spark"}}],
+        | "filter": [{"range": {"n_chars": {"gte": 10}}}]}},
+        | "aggs": {"by_lang": {"terms": {"field": "lang"}}}}""".stripMargin, "ok"),
+    ("q3_parse_error", """{"query": {"term": {"lang": "en"}""", "parse_error"),
+    ("q4_unknown_kind", """{"query": {"frobnicate": {"lang": "en"}}}""", "invalid_query"),
+    ("q5_unknown_field", """{"query": {"term": {"nope_field": "x"}}}""", "unknown_field"),
+    ("q6_bad_sort_mode",
+      """{"query": {"match_all": {}}, "sort": [{"n_chars": {"mode": "frob"}}]}""",
+      "invalid_query"),
+    ("q7_ok_sorted_page",
+      """{"query": {"match_phrase": {"text": "spark engine"}},
+        | "sort": ["_score", "doc_id"], "from": 2, "size": 5}""".stripMargin, "ok"))
+  val bodies: Seq[(String, String)] = cases.map { case (q, b, _) => (q, b) }
+  val expected: Seq[(String, String)] =
+    cases.map { case (q, _, cls) => (q, cls) }.sortBy(_._1)
 }
 
 /** The OSA-vs-true-DL corner-case fixture: pairs with hand-derived
