@@ -1574,7 +1574,12 @@ object EsQueryJson {
     * rendered body runs through [[search]]. Unresolved placeholders are
     * rejected loudly rather than silently rendered as ES's empty
     * string (an empty term is never what a relational caller wants). */
-  def searchTemplate(df: DataFrame, templateJson: String): DataFrame = {
+  /** Template rendering shared by [[searchTemplate]] and the
+    * `_render/template` API (which returns the substituted body WITHOUT
+    * executing): mustache-param substitution over inline or stored
+    * (`_scripts/{id}`) template source; unresolved placeholders reject
+    * loudly, exactly as execution would. */
+  def renderTemplate(templateJson: String): String = {
     val t = parse(templateJson)
     // stored search templates live in the same `_scripts/{id}` namespace
     // as stored painless scripts (ES 6.5), so `{"id": ...}` resolves
@@ -1587,8 +1592,11 @@ object EsQueryJson {
     }
     require(!rendered.matches("(?s).*\\{\\{[A-Za-z0-9_]+\\}\\}.*"),
       s"unresolved template placeholders in: $rendered")
-    search(df, rendered)
+    rendered
   }
+
+  def searchTemplate(df: DataFrame, templateJson: String): DataFrame =
+    search(df, renderTemplate(templateJson))
 
   /** ES `_explain`-style score decomposition for a `match` query: each
     * hit row is exploded per query term with (term, tf, df, idf, weight)

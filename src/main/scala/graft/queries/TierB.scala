@@ -4458,7 +4458,49 @@ object TierB {
            |  $rows) t(query_id, valid, error_class)
            |ORDER BY query_id""".stripMargin
       }),
+
+    // _render/template: mustache substitution WITHOUT executing (the
+    // template analog of a198's validate) — exposes the exact body
+    // searchTemplate would run, the debugging surface ES gives template
+    // authors. Renderings analytic-pinned; the render path IS
+    // searchTemplate's (shared method), so the pin also locks a133's
+    // substitution semantics.
+    Q("a199_es_json_render_template",
+      (s, _) => {
+        import s.implicits._
+        RenderFixture.templates.map { case (id, tj) =>
+          (id, graft.dsl.EsQueryJson.renderTemplate(tj))
+        }.toDF("template_id", "rendered").orderBy("template_id")
+      },
+      Some {
+        val rows = RenderFixture.expected.map { case (i, r) =>
+          s"('$i', '${r.replace("'", "''")}')"
+        }.mkString(",\n             ")
+        s"""SELECT template_id, rendered FROM (VALUES
+           |  $rows) t(template_id, rendered)
+           |ORDER BY template_id""".stripMargin
+      }),
   )
+}
+
+/** `_render/template` fixture: inline templates with string and numeric
+  * params; expected renderings are hand-derived analytic pins. */
+private[queries] object RenderFixture {
+  val cases: Seq[(String, String, String)] = Seq(
+    ("t1_string_param",
+      """{"source": "{\"query\": {\"term\": {\"lang\": \"{{lang}}\"}}}",
+        | "params": {"lang": "en"}}""".stripMargin,
+      """{"query": {"term": {"lang": "en"}}}"""),
+    ("t2_numeric_params",
+      """{"source": "{\"query\": {\"range\": {\"n_chars\": {\"gte\": {{lo}}, \"lt\": {{hi}}}}}, \"size\": {{k}}}",
+        | "params": {"lo": 10, "hi": 500, "k": 7}}""".stripMargin,
+      """{"query": {"range": {"n_chars": {"gte": 10, "lt": 500}}}, "size": 7}"""),
+    ("t3_repeated_param",
+      """{"source": "{\"query\": {\"multi_match\": {\"query\": \"{{q}}\", \"fields\": [\"text\"]}}, \"highlight\": {\"fields\": {\"text\": {}}}, \"_name\": \"{{q}}\"}",
+        | "params": {"q": "spark"}}""".stripMargin,
+      """{"query": {"multi_match": {"query": "spark", "fields": ["text"]}}, "highlight": {"fields": {"text": {}}}, "_name": "spark"}"""))
+  val templates: Seq[(String, String)] = cases.map { case (i, t, _) => (i, t) }
+  val expected: Seq[(String, String)] = cases.map { case (i, _, r) => (i, r) }
 }
 
 /** `_validate/query` fixture: bodies spanning the four outcome classes,
