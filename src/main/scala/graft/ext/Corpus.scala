@@ -520,6 +520,45 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** Epoch allocation under a token budget with REPETITION DECAY — the
+    * data-constrained-scaling planner (Muennighoff et al. 2023: repeated
+    * tokens are worth less each epoch; beyond ~4 epochs roughly nothing):
+    * taking epoch `e` of source `s` spends its full `n_tokens` of budget
+    * but yields utility `n_tokens · decay^(e−1)`. Utility DENSITY per
+    * token is `decay^(e−1)` — identical across sources within an epoch —
+    * so the greedy optimum fills whole epoch tiers in order (ties inside
+    * a tier broken by source asc, the deterministic rule), with one
+    * partial chunk where the budget runs out. Emits
+    * `(source, epoch, n_tokens, take_tokens, utility)` for every chunk
+    * with take_tokens > 0 — the "how many epochs of what" answer beside
+    * [[tokenBudget]]'s single-pass temperature mix.
+    *
+    * Scale shape: ONE corpus-sized token agg; the greedy runs as a
+    * cumsum window over the |sources|·maxEpochs grid — bounded by
+    * construction (the hdrPercentiles sketch-window class), never
+    * data-sized. */
+  def epochAllocation(df: DataFrame, text: Column, sourceCol: Column,
+                      budget: Long, decay: Double = 0.5,
+                      maxEpochs: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.select(sourceCol.as("source"),
+        size(TextAnalysis.tokens(text)).cast("long").as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+    val grid = n.select(col("source"), col("n_tokens"),
+        explode(sequence(lit(1), lit(maxEpochs))).as("epoch"))
+    val w = Window.orderBy(col("epoch"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid
+      .withColumn("_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("take_tokens",
+        greatest(lit(0L), least(col("n_tokens"), lit(budget) - col("_before"))))
+      .filter(col("take_tokens") > 0)
+      .withColumn("utility", round(col("take_tokens").cast("double") *
+        pow(lit(decay), col("epoch") - 1), 4))
+      .select("source", "epoch", "n_tokens", "take_tokens", "utility")
+      .orderBy("epoch", "source")
+  }
+
   /** DSIR importance log-weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): hashed-unigram bag
     * features; add-½-smoothed bucket distributions p (TARGET corpus) and

@@ -2128,6 +2128,38 @@ object TierC {
              |       round(alloc_tokens / n_tokens, 6) AS epochs
              |FROM a ORDER BY source""".stripMargin)),
 
+    // Epoch allocation under a token budget with REPETITION DECAY (the
+    // data-constrained-scaling planner: repeated tokens are worth less
+    // each epoch) — utility density is uniform within an epoch tier, so
+    // the greedy optimum fills whole tiers in (epoch, source) order with
+    // one partial chunk at the budget cut. 70k over ~27k/tier corpora
+    // cuts mid-tier-3 at both SFs: full tiers, a partial chunk, AND a
+    // dropped tail all exercised. The c56 temperature mix answers "what
+    // fraction of each source"; this answers "how many epochs of what".
+    Q("c129_epoch_allocation",
+      (s, d) => Corpus.epochAllocation(Tables.documents(s, d), col("text"),
+        col("source"), budget = 70000L, decay = 0.5, maxEpochs = 4),
+      Some("""WITH n AS (
+             |  SELECT source,
+             |         CAST(sum(len(list_filter(string_split_regex(lower(text), '\W+'),
+             |             x -> x <> ''))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |g AS (SELECT source, n_tokens, CAST(e AS INT) AS epoch
+             |      FROM n CROSS JOIN range(1, 5) r(e)),
+             |c AS (SELECT source, n_tokens, epoch,
+             |             COALESCE(CAST(sum(n_tokens) OVER (
+             |               ORDER BY epoch, source
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             |               0) AS bef
+             |      FROM g),
+             |t AS (SELECT source, epoch, n_tokens,
+             |             CAST(greatest(0, least(n_tokens, 70000 - bef)) AS BIGINT) AS take_tokens
+             |      FROM c)
+             |SELECT source, epoch, n_tokens, take_tokens,
+             |       round(CAST(take_tokens AS DOUBLE) * pow(0.5, epoch - 1), 4) AS utility
+             |FROM t WHERE take_tokens > 0
+             |ORDER BY epoch, source""".stripMargin)),
+
     // Mod-p fingerprint sampling (Manber 1994): content-keyed ~1/p gram
     // sampling — overlapping regions sample the SAME grams in both docs,
     // so shared fingerprints witness local overlap. (p−1)/p of rows drop

@@ -852,6 +852,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(singles.forall(looped.contains)) // coverage set survives pruning
   }
 
+  test("epochAllocation: fills epoch tiers in order, cuts exactly at the budget") {
+    import sp.implicits._
+    // sources of 4 / 2 / 1 tokens; budget 10 = tier1 (7) + 3 into tier2:
+    // a2 takes its full 4, b2 takes the remaining 2 of... order within
+    // tier 2 is (a, b, c) => a:4, b:2 would overshoot — b takes 2? cum
+    // after a2 = 11 > 10, so a2 is the partial chunk (takes 3), b2/c2
+    // and tier 3+ drop.
+    val docs = Seq(
+      (1L, "a", "w x y z"), (2L, "b", "p q"), (3L, "c", "m"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.ext.Corpus.epochAllocation(docs, col("text"), col("source"),
+        budget = 10L, decay = 0.5, maxEpochs = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("a", 1, 4L, 4.0), ("b", 1, 2L, 2.0), ("c", 1, 1L, 1.0),
+      ("a", 2, 3L, 1.5)))
+    assert(out.map(_._3).sum == 10L) // budget exactly consumed
+  }
+
   test("wordPieceTrain argmax diverges from BPE on exclusive pairs") {
     import sp.implicits._
     // "a b" is the most FREQUENT pair (3) but a and b are everywhere
