@@ -182,6 +182,32 @@ object Corpus {
       .withColumn("pass", size(col("fail_reasons")) === 0)
   }
 
+  /** Filter ABLATION / overlap report over the [[gopherFilter]] rules —
+    * the threshold-tuning view a dataset team reads before committing a
+    * filter stack: per rule, how many docs (and how much token mass) it
+    * flags at all, and how many it flags UNIQUELY (no other rule fires —
+    * the docs that rule alone is responsible for removing; a rule with
+    * high flagged but near-zero unique is redundant with the rest of the
+    * stack). One corpus pass (the filter itself) + a rules-sized agg —
+    * the explode is over per-doc reason lists of ≤ |rules| entries. */
+  def filterAblation(df: DataFrame, idCol: Column, text: Column,
+                     minWords: Int = 20, maxWords: Int = 100000,
+                     minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
+                     minStopwords: Int = 2, maxTopTokFrac: Double = 0.2): DataFrame = {
+    val g = gopherFilter(df, idCol, text, minWords, maxWords,
+      minMeanLen, maxMeanLen, minStopwords, maxTopTokFrac)
+    g.select(col("n_tokens").cast("long").as("_nt"),
+        size(col("fail_reasons")).as("_k"),
+        explode(col("fail_reasons")).as("rule"))
+      .groupBy("rule")
+      .agg(
+        count(lit(1)).as("docs_flagged"),
+        sum(col("_nt")).as("tokens_flagged"),
+        sum(when(col("_k") === 1, 1L).otherwise(0L)).as("docs_unique"),
+        sum(when(col("_k") === 1, col("_nt")).otherwise(0L)).as("tokens_unique"))
+      .orderBy("rule")
+  }
+
   /** Temperature-scaled source mixing (the multilingual/multi-source
     * sampling rule: p(source) ∝ n^alpha, alpha<1 upweights small sources):
     * per-source keep-rates hit an expected `targetTotal` docs, applied by

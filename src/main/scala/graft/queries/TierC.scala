@@ -2128,6 +2128,53 @@ object TierC {
              |       round(alloc_tokens / n_tokens, 6) AS epochs
              |FROM a ORDER BY source""".stripMargin)),
 
+    // Filter ABLATION / overlap report over the c27 rule stack — per
+    // rule: docs + token mass flagged at all, and flagged UNIQUELY (no
+    // other rule fires). High flagged + near-zero unique = the rule is
+    // redundant with the stack; the view a team reads before committing
+    // thresholds. One corpus pass + a rules-sized agg; oracle reuses
+    // c27's reason derivation and unnests the list.
+    Q("c130_filter_ablation",
+      (s, d) => Corpus.filterAblation(Tables.documents(s, d), col("doc_id"),
+        col("text"), minWords = 40, maxWords = 100000, minMeanLen = 3.5,
+        maxMeanLen = 6.0, minStopwords = 2, maxTopTokFrac = 0.15),
+      Some {
+        val stopList = graft.functions.TextKernels.englishStopwordList
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH $toksCte,
+           |topt AS (
+           |  SELECT doc_id, max(c) AS top_c FROM (
+           |    SELECT doc_id, t, count(*) AS c
+           |    FROM (SELECT doc_id, unnest(w) AS t FROM toks) GROUP BY doc_id, t)
+           |  GROUP BY doc_id),
+           |b AS (
+           |  SELECT toks.doc_id, len(w) AS n,
+           |         CASE WHEN len(w) > 0
+           |              THEN CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+           |              ELSE 0.0 END AS meanlen,
+           |         len(list_filter(list_distinct(w), x -> list_contains($stopList, x))) AS nstop,
+           |         CASE WHEN len(w) > 0
+           |              THEN CAST(coalesce(top_c, 0) AS DOUBLE) / len(w)
+           |              ELSE 0.0 END AS topfrac
+           |  FROM toks LEFT JOIN topt ON toks.doc_id = topt.doc_id),
+           |r AS (
+           |  SELECT doc_id, n, list_filter(
+           |    [CASE WHEN n < 40 THEN 'too_few_words' END,
+           |     CASE WHEN n > 100000 THEN 'too_many_words' END,
+           |     CASE WHEN meanlen < 3.5 OR meanlen > 6.0 THEN 'mean_word_length' END,
+           |     CASE WHEN nstop < 2 THEN 'too_few_stopwords' END,
+           |     CASE WHEN topfrac > 0.15 THEN 'repetitive' END],
+           |    x -> x IS NOT NULL) AS reasons
+           |  FROM b),
+           |e AS (SELECT doc_id, n, len(reasons) AS k, unnest(reasons) AS rule FROM r)
+           |SELECT rule,
+           |       count(*) AS docs_flagged,
+           |       CAST(sum(n) AS BIGINT) AS tokens_flagged,
+           |       CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_unique,
+           |       CAST(sum(CASE WHEN k = 1 THEN n ELSE 0 END) AS BIGINT) AS tokens_unique
+           |FROM e GROUP BY rule ORDER BY rule""".stripMargin
+      }),
+
     // Epoch allocation under a token budget with REPETITION DECAY (the
     // data-constrained-scaling planner: repeated tokens are worth less
     // each epoch) — utility density is uniform within an epoch tier, so
