@@ -36,4 +36,38 @@ object Redact {
     }
     df.select(idCol.as("doc_id") +: masked.as("redacted") +: counts: _*)
   }
+
+  /** Luhn checksum over a digit string (the payment-card check): sum
+    * digits right-to-left, doubling every second one (subtracting 9 when
+    * the double exceeds 9); valid iff ≡ 0 (mod 10). Bounded in-row HOF
+    * arithmetic over ≤ 19 digits — stays in codegen. */
+  def luhnValid(digits: Column): Column = {
+    val s = aggregate(sequence(lit(1), length(digits)), lit(0), (acc, i) => {
+      val d = ascii(substring(reverse(digits), i, lit(1))) - 48
+      val dd = when(pmod(i, lit(2)) === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      acc + dd
+    })
+    pmod(s, lit(10)) === 0
+  }
+
+  /** Checksum-GATED card redaction — what separates a production PII
+    * scrubber from plain regex: 13–19 digit runs are only masked when
+    * they pass the Luhn check (a random digit run false-positives the
+    * regex ~10% of the time; Luhn filters the other 90%). Emits the
+    * audit counts (candidates seen, candidates valid) plus the text with
+    * VALID runs masked and invalid runs left untouched. Fully narrow:
+    * candidate extraction is one regexp pass, the Luhn fold and the
+    * conditional masking are bounded in-row HOFs over the per-doc
+    * candidate list. */
+  def luhnRedact(df: DataFrame, idCol: Column, text: Column): DataFrame = {
+    df.select(idCol.as("doc_id"), text.as("_t"))
+      .withColumn("_c", expr("regexp_extract_all(_t, '\\\\b\\\\d{13,19}\\\\b', 0)"))
+      .withColumn("_v", filter(col("_c"), c => luhnValid(c)))
+      .select(col("doc_id"),
+        size(col("_c")).as("n_candidates"),
+        size(col("_v")).as("n_valid"),
+        aggregate(col("_v"), col("_t"),
+          (acc, c) => replace(acc, c, lit("<CARD>"))).as("redacted"))
+  }
 }

@@ -2128,6 +2128,80 @@ object TierC {
              |       round(alloc_tokens / n_tokens, 6) AS epochs
              |FROM a ORDER BY source""".stripMargin)),
 
+    // Checksum-GATED card redaction: 13-19 digit runs masked ONLY when
+    // they pass the Luhn check (plain regex false-positives ~10% of
+    // random digit runs; the checksum filters the rest) — the production
+    // PII rule c28's regex family can't express. Fixture appends a
+    // VALID md5-derived 16-digit card to every 3rd doc, the same number
+    // with a broken check digit to the next third, nothing to the rest —
+    // so the row exercises mask / keep-invalid / no-candidate. The
+    // oracle replays fixture construction, candidate extraction, the
+    // digit-fold checksum, and the masking (fixture has <= 1 candidate
+    // per doc, so its single-replace CASE equals the engine's fold).
+    Q("c131_pii_luhn",
+      (s, d) => {
+        val digits = transform(sequence(lit(1), lit(15)),
+          i => pmod(Hashing.md5Long60(concat(lit("card:"),
+            col("doc_id").cast("string"), lit(":"), i.cast("string"))), lit(10L))
+            .cast("int"))
+        val base = Tables.documents(s, d)
+          .withColumn("_ds", digits)
+          .withColumn("_tsum", aggregate(sequence(lit(1), lit(15)), lit(0), (acc, i) => {
+            val dv = element_at(col("_ds"), i)
+            acc + when(pmod(i, lit(2)) === 1,
+              when(dv * 2 > 9, dv * 2 - 9).otherwise(dv * 2)).otherwise(dv)
+          }))
+          .withColumn("_chk", pmod(lit(10) - pmod(col("_tsum"), lit(10)), lit(10)))
+          .withColumn("_numstr",
+            concat(array_join(transform(col("_ds"), x => x.cast("string")), ""),
+              when(col("doc_id") % 3 === 1, pmod(col("_chk") + 1, lit(10)))
+                .otherwise(col("_chk")).cast("string")))
+          .withColumn("_t2",
+            when(col("doc_id") % 3 === 2, col("text"))
+              .otherwise(concat(col("text"), lit(" acct "), col("_numstr"))))
+        graft.ext.Redact.luhnRedact(base, col("doc_id"), col("_t2"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val h = Hashing.sqlMd5Long60("'card:' || doc_id || ':' || i")
+        s"""WITH d AS (
+           |  SELECT doc_id, text, list_transform(generate_series(1, 15),
+           |           i -> CAST($h % 10 AS INT)) AS ds
+           |  FROM documents),
+           |s AS (SELECT doc_id, text, ds,
+           |        CAST(list_sum(list_transform(generate_series(1, 15), i ->
+           |          CASE WHEN i % 2 = 1
+           |               THEN CASE WHEN ds[i] * 2 > 9 THEN ds[i] * 2 - 9 ELSE ds[i] * 2 END
+           |               ELSE ds[i] END)) AS INT) AS tsum
+           |      FROM d),
+           |c AS (SELECT doc_id, text,
+           |        list_aggregate(list_transform(ds, x -> CAST(x AS VARCHAR)), 'string_agg', '')
+           |          || CAST(CASE WHEN doc_id % 3 = 1
+           |                       THEN ((10 - tsum % 10) % 10 + 1) % 10
+           |                       ELSE (10 - tsum % 10) % 10 END AS VARCHAR) AS numstr
+           |      FROM s),
+           |t2t AS (SELECT doc_id,
+           |          CASE WHEN doc_id % 3 = 2 THEN text
+           |               ELSE text || ' acct ' || numstr END AS t2
+           |        FROM c),
+           |cand AS (SELECT doc_id, t2,
+           |           regexp_extract_all(t2, '\\b\\d{13,19}\\b', 0) AS cs
+           |         FROM t2t),
+           |v AS (SELECT doc_id, t2, cs, list_filter(cs, c ->
+           |        list_sum(list_transform(generate_series(1, len(c)), i ->
+           |          CASE WHEN i % 2 = 0 THEN
+           |            CASE WHEN (ascii(substr(reverse(c), i, 1)) - 48) * 2 > 9
+           |                 THEN (ascii(substr(reverse(c), i, 1)) - 48) * 2 - 9
+           |                 ELSE (ascii(substr(reverse(c), i, 1)) - 48) * 2 END
+           |          ELSE ascii(substr(reverse(c), i, 1)) - 48 END)) % 10 = 0) AS vs
+           |      FROM cand)
+           |SELECT doc_id, CAST(len(cs) AS INT) AS n_candidates,
+           |       CAST(len(vs) AS INT) AS n_valid,
+           |       CASE WHEN len(vs) >= 1 THEN replace(t2, vs[1], '<CARD>')
+           |            ELSE t2 END AS redacted
+           |FROM v ORDER BY doc_id""".stripMargin
+      }),
+
     // Filter ABLATION / overlap report over the c27 rule stack — per
     // rule: docs + token mass flagged at all, and flagged UNIQUELY (no
     // other rule fires). High flagged + near-zero unique = the rule is

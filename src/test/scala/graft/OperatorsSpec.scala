@@ -852,6 +852,20 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(singles.forall(looped.contains)) // coverage set survives pruning
   }
 
+  test("luhnRedact masks valid card numbers only; regex-lookalikes survive") {
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "pay 4539578763621486 now"),   // valid Luhn 16-digit
+      (2L, "pay 4539578763621487 now"),   // same digits, broken check
+      (3L, "order 12345 of 99"))          // no 13-19 digit run
+      .toDF("doc_id", "text")
+    val out = graft.ext.Redact.luhnRedact(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((1, 1, "pay <CARD> now")))
+    assert(out(2L) == ((1, 0, "pay 4539578763621487 now"))) // kept: fails Luhn
+    assert(out(3L) == ((0, 0, "order 12345 of 99")))
+  }
+
   test("epochAllocation: fills epoch tiers in order, cuts exactly at the budget") {
     import sp.implicits._
     // sources of 4 / 2 / 1 tokens; budget 10 = tier1 (7) + 3 into tier2:
