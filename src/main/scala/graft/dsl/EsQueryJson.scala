@@ -47,6 +47,16 @@ object EsQueryJson {
   def withTables[T](tables: (String, DataFrame)*)(f: => T): T =
     lookupTables.withValue(tables.toMap)(f)
 
+  /** Validate-only mode ([[validateQuery]]): three constructs need
+    * driver-side STATS during compilation — the terms-lookup value
+    * fetch, `common` terms' cutoff-frequency document counts, and
+    * `auto_date_histogram`'s min/max span probe. Under this flag those
+    * collects are replaced by deterministic placeholders (the plans are
+    * still BUILT, so Spark's eager analysis keeps catching unknown
+    * fields / type errors in the same subtrees) and validation runs no
+    * Spark job — matching ES's no-shard-touched `_validate` contract. */
+  private val validateOnly = new scala.util.DynamicVariable[Boolean](false)
+
   /** Stored-script registry (ES `PUT _scripts/{id}` / `GET _scripts/{id}`):
     * wherever a body accepts an inline painless `source`, `{"script":
     * {"id": "..."}}` resolves through here instead — same scoping
@@ -164,6 +174,17 @@ object EsQueryJson {
   // length normalization for every query, and shingle terms get real
   // df/tf — a match for "table_hash" hits only docs with the adjacent
   // pair.
+  //
+  // DOCUMENTED DIVERGENCE (the a171 class): only the STORED stream is
+  // shingle-expanded here; real ES 6.5 defaults `search_analyzer` to
+  // the index analyzer, so a multi-term match query against a shingled
+  // field ALSO emits query-side shingle terms ("hash table" queries the
+  // terms {hash, table, hash_table}) and scores/hits differently than
+  // this engine, where query text goes through the standard search
+  // analyzer unless the caller passes pre-shingled terms explicitly
+  // (the mapping-with-explicit-`search_analyzer: "standard"` setup).
+  // Behavior is self-consistent and oracle-pinned (a197); callers who
+  // want ES's default need the query terms pre-expanded.
 
   /** The STORED view of a field: the raw text, or — when the field has a
     * registered index analyzer — the expanded token stream re-joined to
@@ -490,8 +511,12 @@ object EsQueryJson {
             case Some(id) => t.filter(col(t.columns.head) === litOf(id))
             case None => t
           }
-          val values = lookedUp.select(col(path)).limit(65537).collect().map(_.get(0)).toSeq
-          require(values.nonEmpty, s"terms lookup $idx/$path resolved no values")
+          val projected = lookedUp.select(col(path)) // eager analysis checks `path`
+          val values =
+            if (validateOnly.value) Seq(null: Any) // no fetch; null In-literal coerces to any type
+            else projected.limit(65537).collect().map(_.get(0)).toSeq
+          if (!validateOnly.value)
+            require(values.nonEmpty, s"terms lookup $idx/$path resolved no values")
           // ES caps inlined lookup terms (index.max_terms_count, default
           // 65536) — same guard here, so an unbounded lookup table can't
           // silently become a driver-side collect of the world
@@ -918,7 +943,13 @@ object EsQueryJson {
     * schema — Spark analyzes plans eagerly at Dataset construction, so
     * malformed JSON, unsupported constructs, and unknown fields all
     * surface exactly as execution would see them, while no job ever
-    * runs (ES semantics: validate touches no shard). Reports the error
+    * runs (ES semantics: validate touches no shard). The three
+    * compilation steps that normally collect driver-side stats
+    * (terms-lookup values, `common` cutoff-frequency counts,
+    * `auto_date_histogram` span) run under [[validateOnly]] with
+    * placeholder stats, so validating those bodies is O(plan) too —
+    * their schema/field errors still surface because the stats frames
+    * are constructed (and thus analyzed) either way. Reports the error
     * CLASS, the stable contract part of the diagnostic (messages carry
     * engine-specific positions/names): `ok`, `parse_error` (body is not
     * JSON), `invalid_query` (well-formed but unsupported/ill-typed
@@ -929,7 +960,10 @@ object EsQueryJson {
     import spark.implicits._
     bodies.map { case (qid, body) =>
       val cls =
-        try { search(df, body).queryExecution.analyzed; "ok" }
+        try {
+          validateOnly.withValue(true) { search(df, body).queryExecution.analyzed }
+          "ok"
+        }
         catch {
           case _: com.fasterxml.jackson.core.JsonProcessingException => "parse_error"
           case _: org.apache.spark.sql.AnalysisException => "unknown_field"
@@ -1694,10 +1728,17 @@ object EsQueryJson {
       terms.zipWithIndex.map { case (t, i) =>
         sum(when(array_contains(toks, t), 1L).otherwise(0L)).cast("double").as(s"_df$i")
       }
-    val r = df.agg(aggCols.head, aggCols.tail: _*).collect()(0)
-    val n = r.getDouble(0)
-    val threshold = if (cutoff < 1.0) cutoff * n else cutoff
-    val isHigh = terms.indices.map(i => r.getDouble(i + 1) > threshold)
+    val statsFrame = df.agg(aggCols.head, aggCols.tail: _*) // analysis checks the field
+    // validate-only: skip the corpus df-counts; all-low-freq is the
+    // placeholder shape (plan construction below is identical either way)
+    val isHigh =
+      if (validateOnly.value) terms.map(_ => false)
+      else {
+        val r = statsFrame.collect()(0)
+        val n = r.getDouble(0)
+        val threshold = if (cutoff < 1.0) cutoff * n else cutoff
+        terms.indices.map(i => r.getDouble(i + 1) > threshold)
+      }
     val low = terms.zip(isHigh).collect { case (t, false) => t }
     val high = terms.zip(isHigh).collect { case (t, true) => t }
     val lowOp = Option(spec.get("low_freq_operator")).map(_.asText()).getOrElse("or")
@@ -2642,9 +2683,16 @@ object EsQueryJson {
         val (ms2, buckets2, topHits2, pipes2) = subAggs(node)
         require(buckets2.isEmpty && topHits2.isEmpty && pipes2.isEmpty,
           "auto_date_histogram supports metric sub-aggs only")
-        val mm = df.agg(min(f).cast("date").as("mn"), max(f).cast("date").as("mx"))
-          .collect().head
-        val (mn, mx) = (mm.getDate(0).toLocalDate, mm.getDate(1).toLocalDate)
+        val mmFrame = df.agg(min(f).cast("date").as("mn"), max(f).cast("date").as("mx"))
+        // validate-only: the span probe is data work — a 1-day placeholder
+        // span keeps the downstream plan shape without running a job
+        val (mn, mx) =
+          if (validateOnly.value) {
+            val e = java.time.LocalDate.EPOCH; (e, e)
+          } else {
+            val mm = mmFrame.collect().head
+            (mm.getDate(0).toLocalDate, mm.getDate(1).toLocalDate)
+          }
         val days = java.time.temporal.ChronoUnit.DAYS.between(mn, mx) + 1
         val months = (mx.getYear - mn.getYear) * 12L + (mx.getMonthValue - mn.getMonthValue) + 1
         val unit =

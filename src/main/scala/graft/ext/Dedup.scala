@@ -159,7 +159,10 @@ object Dedup {
     * unchanged join plan. */
   private def dropHotFingerprints(fp: DataFrame, maxDf: Int): DataFrame = {
     val dfreq = persistOnce(fp.groupBy("h").agg(count(lit(1)).as("_df")))
-    val maxObserved = dfreq.agg(max(col("_df"))).collect()(0).getLong(0)
+    // coalesce: max() is NULL on an empty fingerprint frame (empty
+    // corpus / all docs shorter than n) — 0 keeps the no-op branch
+    val maxObserved = dfreq.agg(coalesce(max(col("_df")), lit(0L)))
+      .collect()(0).getLong(0)
     if (maxObserved <= maxDf) fp
     else persistOnce(fp.join(dfreq.filter(col("_df") <= maxDf).select("h"), "h"))
   }

@@ -67,7 +67,13 @@ object Redact {
       .select(col("doc_id"),
         size(col("_c")).as("n_candidates"),
         size(col("_v")).as("n_valid"),
+        // boundary-anchored per-candidate mask: a raw substring replace
+        // would also rewrite the same 13-19 digits INSIDE a longer
+        // (>19-digit, hence never-extracted) run; \b re-asserts exactly
+        // what the extractor matched (candidates are all-digit, so no
+        // regex metacharacter escaping is needed)
         aggregate(col("_v"), col("_t"),
-          (acc, c) => replace(acc, c, lit("<CARD>"))).as("redacted"))
+          (acc, c) => regexp_replace(acc,
+            concat(lit("\\b"), c, lit("\\b")), lit("<CARD>"))).as("redacted"))
   }
 }

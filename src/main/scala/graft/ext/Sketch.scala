@@ -26,7 +26,13 @@ object Sketch {
   private def bloomPositions(g: Column, mBits: Int, k: Int): Seq[Column] = {
     val h1 = Hashing.md5Long60(g)
     val h2 = Hashing.md5Long60(concat(lit("bloom2:"), g))
-    (0 until k).map(j => pmod(h1 + lit(j.toLong) * h2, lit(mBits.toLong)))
+    // mod-reduce BEFORE the multiply-add: h1 + j·h2 on two ~2^60 draws
+    // overflows Long for j ≥ 8, which errors under ANSI (the Spark 4
+    // default) — the reduced form is the true (h1 + j·h2) mod m, stays
+    // ≤ (k+1)·m, and matches the probe kernel's identical reduction
+    (0 until k).map(j => pmod(
+      pmod(h1, lit(mBits.toLong)) + lit(j.toLong) * pmod(h2, lit(mBits.toLong)),
+      lit(mBits.toLong)))
   }
 
   /** Build the filter word-array from the benchmark's n-gram stream. The
@@ -108,14 +114,21 @@ object Sketch {
     * takes only literal counts). */
   def hdrHistogram(df: DataFrame, keys: Seq[Column], value: Column,
                    k: Int = 8): DataFrame = {
-    val p2 = array((0 to 47).map(i => lit(1L << i)): _*)
+    // Shifts 0..62 cover every positive Long (bit length ≤ 63 ⇒ shift
+    // = bitlen − k ≤ 62 for k ≥ 1): epoch-nanosecond latencies (~2^60,
+    // HDR's canonical input) land in real buckets instead of a silent
+    // NULL bucket from element_at past the array end.
+    require(k >= 1, s"hdrHistogram: k must be >= 1 (got $k)")
+    val p2 = array((0 to 62).map(i => lit(1L << i)): _*)
     val v = value.as("_v")
     val base = df.select(keys :+ v: _*).filter(col("_v") >= 1)
     val pw = element_at(p2, greatest(length(bin(col("_v"))) - lit(k), lit(0)) + 1)
     val keyCols = base.columns.dropRight(1).map(col) // everything but _v
     base
       .withColumn("bmin", col("_v") - pmod(col("_v"), pw))
-      .withColumn("rep", col("bmin") + pw - 1)
+      // bmin + (pw − 1), NOT (bmin + pw) − 1: the latter intermediate
+      // hits 2^63 for Long.MaxValue inputs and errors under ANSI
+      .withColumn("rep", col("bmin") + (pw - lit(1L)))
       .groupBy((keyCols :+ col("bmin")) :+ col("rep"): _*)
       .agg(count(lit(1)).as("c"))
       .drop("_v")

@@ -949,7 +949,10 @@ object TextAnalysis {
   def heapsCurve(docs: DataFrame, idCol: Column, text: Column,
                  k: Int = 8): DataFrame = {
     val toks = docs.select(idCol.as("doc_id"), tokens(text).as("w"))
-    val maxId = docs.agg(max(idCol).cast("long")).head().getLong(0)
+    // coalesce: max() is NULL on an empty corpus — 0 yields k empty
+    // checkpoints instead of an NPE at getLong
+    val maxId = docs.agg(coalesce(max(idCol).cast("long"), lit(0L)))
+      .head().getLong(0)
     val spark = docs.sparkSession
     import spark.implicits._
     // BigInt on the driver: ids near 2^60 (snapshot-prefixed, hash-derived)

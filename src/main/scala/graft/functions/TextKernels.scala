@@ -144,10 +144,15 @@ object TextKernels {
         var j = 0
         var all = true
         while (all && j < k) {
-          // floorMod, not %: h1 + j·h2 overflows Long for k ≥ 9 (two
-          // 60-bit values), and a negative position would index words[]
-          // out of bounds AND disagree with bloomBuild's Column pmod
-          val p = java.lang.Math.floorMod(h1 + j.toLong * h2, mBits)
+          // mod-reduce BEFORE the multiply-add (and floorMod, not %):
+          // h1 + j·h2 overflows Long for j ≥ 8 (two 60-bit values) —
+          // the raw sum would wrap, and a `%` of the wrapped value can
+          // go negative and index words[] out of bounds. The reduced
+          // form is the true (h1 + j·h2) mod m for ANY m, matching
+          // bloomBuild's identically-reduced (ANSI-safe) Column pmod.
+          val p = java.lang.Math.floorMod(
+            java.lang.Math.floorMod(h1, mBits) + j.toLong * java.lang.Math.floorMod(h2, mBits),
+            mBits)
           all = (words((p >> 6).toInt) & (1L << (p & 63L).toInt)) != 0
           j += 1
         }

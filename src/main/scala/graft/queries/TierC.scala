@@ -2136,8 +2136,9 @@ object TierC {
     // with a broken check digit to the next third, nothing to the rest —
     // so the row exercises mask / keep-invalid / no-candidate. The
     // oracle replays fixture construction, candidate extraction, the
-    // digit-fold checksum, and the masking (fixture has <= 1 candidate
-    // per doc, so its single-replace CASE equals the engine's fold).
+    // digit-fold checksum, and the \b-anchored masking (fixture has
+    // <= 1 candidate per doc, so its single-regexp CASE equals the
+    // engine's fold).
     Q("c131_pii_luhn",
       (s, d) => {
         val digits = transform(sequence(lit(1), lit(15)),
@@ -2197,7 +2198,8 @@ object TierC {
            |      FROM cand)
            |SELECT doc_id, CAST(len(cs) AS INT) AS n_candidates,
            |       CAST(len(vs) AS INT) AS n_valid,
-           |       CASE WHEN len(vs) >= 1 THEN replace(t2, vs[1], '<CARD>')
+           |       CASE WHEN len(vs) >= 1
+           |            THEN regexp_replace(t2, '\\b' || vs[1] || '\\b', '<CARD>', 'g')
            |            ELSE t2 END AS redacted
            |FROM v ORDER BY doc_id""".stripMargin
       }),
@@ -3241,11 +3243,18 @@ object TierC {
     // entropy — the crawl-ingest pre-filter. Damage is injected by a
     // shared md5-free fixture (doc_id arithmetic) since the driver tables
     // are clean; entropy folds over the ASCENDING distinct token list on
-    // both engines (DuckDB list_sort, Spark array_sort) at 4 dp.
+    // both engines (DuckDB list_sort, Spark array_sort) at 4 dp. Every
+    // 5th doc also carries SUPPLEMENTARY-PLANE text (emoji U+1F600,
+    // U+1D518) spliced mid-word: both engines must treat the
+    // surrogate-pair code points as `\W` separators and count them once
+    // in char lengths — the oracle-pinned surface of the UTF-8-byte
+    // fold-order contract (TextKernels.scala:61).
     Q("c86_encoding_damage",
       (s, d) => {
         val fix = Tables.documents(s, d).select(col("doc_id"),
           concat(col("text"),
+            when(col("doc_id") % 5 === 0, lit(" zq\uD83D\uDE00vx\uD835\uDD18wy"))
+              .otherwise(lit("")),
             when(col("doc_id") % 7 === 0, lit(" \uFFFD\uFFFD")).otherwise(lit("")),
             when(col("doc_id") % 11 === 0, lit("\u0001")).otherwise(lit(""))).as("text"))
         TextAnalysis.encodingDamage(fix, col("doc_id"), col("text"))
@@ -3253,6 +3262,9 @@ object TierC {
       },
       Some("""WITH fx AS (
              |  SELECT doc_id, text ||
+             |         CASE WHEN doc_id % 5 = 0
+             |              THEN ' zq' || chr(128512) || 'vx' || chr(120088) || 'wy'
+             |              ELSE '' END ||
              |         CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(65533) || chr(65533) ELSE '' END ||
              |         CASE WHEN doc_id % 11 = 0 THEN chr(1) ELSE '' END AS text
              |  FROM documents),

@@ -1841,4 +1841,37 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains(("beta", 2L, 20.0)))
     assert(got.contains(("gamma", 1L, 20.0)))
   }
+
+  test("validateQuery runs no corpus work, even for stats-collecting constructs") {
+    // The three compile-time stats collects (terms-lookup fetch, common
+    // cutoff_frequency df counts, auto_date_histogram span probe) must
+    // be SKIPPED under validate — proven by validating against frames
+    // whose evaluation throws: any executed job fails the classification
+    // below. Schema errors in those same subtrees must still surface.
+    val sp = spark
+    import sp.implicits._
+    val boom = udf { () =>
+      if (true) throw new RuntimeException("corpus scan ran during validate")
+      "x"
+    }.asNondeterministic()
+    val df = sp.range(3).select(col("id").as("doc_id"), boom().as("text"),
+      boom().cast("date").as("ship_date"))
+    val lookup = sp.range(2).select(col("id").as("doc_id"), boom().as("name"))
+    val bodies = Seq(
+      "v_common" -> """{"query": {"common": {"text": {"query": "the quick fox", "cutoff_frequency": 0.01}}}}""",
+      "v_lookup" -> """{"query": {"terms": {"text": {"index": "lk", "path": "name"}}}}""",
+      "v_adh" -> """{"size": 0, "aggs": {"d": {"auto_date_histogram": {"field": "ship_date", "buckets": 5}}}}""",
+      "v_bad_field" -> """{"query": {"common": {"nope": {"query": "the fox"}}}}""",
+      "v_bad_lookup_path" -> """{"query": {"terms": {"text": {"index": "lk", "path": "nope"}}}}""")
+    val out = graft.dsl.EsQueryJson.withTables("lk" -> lookup) {
+      graft.dsl.EsQueryJson.validateQuery(df, bodies)
+    }.collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    assert(out("v_common") == ((true, "ok")))
+    assert(out("v_lookup") == ((true, "ok")))
+    assert(out("v_adh") == ((true, "ok")))
+    assert(out("v_bad_field")._1 == false)
+    assert(out("v_bad_lookup_path")._1 == false)
+    // sanity: the fixture genuinely explodes when anything executes
+    intercept[Exception] { df.collect() }
+  }
 }

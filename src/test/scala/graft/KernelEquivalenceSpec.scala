@@ -53,6 +53,50 @@ class KernelEquivalenceSpec extends AnyFunSuite {
     assert(SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop).passed)
   }
 
+  test("entropy fold with supplementary-plane text: non-ASCII are separators, fold pinned") {
+    // Failure-point pin for the UTF-8-byte fold order (TextKernels.scala
+    // :61-68). The UTF-16 vs UTF-8 sort orders diverge ONLY when a
+    // supplementary-plane code point (surrogate pair in UTF-16) compares
+    // against a char >= U+E000 — but the analyzer contract (`lower` +
+    // Java/RE2 `\W+`, BOTH ASCII word classes) makes every such char a
+    // SEPARATOR, so distinct tokens are always [a-z0-9_]+ and the two
+    // orders agree on everything the fold can see. This test pins both
+    // halves of that argument: (a) emoji / 𝔘-block / private-use chars
+    // embedded mid-word split tokens exactly like spaces do, on the
+    // kernel AND on the independent reference tokenizer; (b) the fold
+    // over the resulting ASCII tokens is bit-identical to the
+    // ascending-order reference — so a regression to UTF-16 String order
+    // stays unobservable-by-construction, and if the tokenizer contract
+    // ever widens to non-ASCII word chars, (a) fails loudly first.
+    val k = graft.functions.TextKernels.TokenEntropySumKernel(Literal(""))
+    val cases = Seq(
+      "b😀a ea",                       // emoji U+1F600 splits b|a
+      "zz𝔘zz \uE000 qa",              // 𝔘 U+1D518 + PUA U+E000
+      "😀😀 only emoji 𝔘",
+      "café naïve x9")                // BMP non-ASCII also split
+    cases.foreach { s =>
+      val t = toks(s)
+      assert(t.forall(_.matches("[a-z0-9_]+")),
+        s"tokens of '$s' must be ASCII word runs, got ${t.toSeq}")
+      val got = k.nullSafeEval(u(s))
+      val dl = t.length.toDouble
+      var acc = 0.0
+      t.groupBy(identity).toSeq.sortBy(_._1).foreach { case (_, g) =>
+        val p = g.length / dl
+        acc = acc + p * (math.log(p) / math.log(2.0))
+      }
+      assert(got.asInstanceOf[Double] == acc, s"fold mismatch on '$s'")
+    }
+    // the divergence itself, demonstrated at the comparator level: the
+    // emoji string sorts BELOW U+E000 in UTF-16 code units but ABOVE it
+    // in UTF-8 bytes — the exact pair the kernel's UTF8String.compareTo
+    // choice (matching Spark array_sort and DuckDB list_sort) resolves
+    val emoji = "😀"
+    val pua = "\uE000"
+    assert(emoji.compareTo(pua) < 0, "UTF-16 code-unit order: surrogate < U+E000")
+    assert(u(emoji).compareTo(u(pua)) > 0, "UTF-8 byte order: U+1F600 > U+E000")
+  }
+
   test("FeatureHashKernel == signed-tf cell sums under the md5-60 family") {
     val dim = 8
     val k = graft.functions.TextKernels.FeatureHashKernel(Literal(""), dim)

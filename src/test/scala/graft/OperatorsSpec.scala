@@ -866,6 +866,31 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3L) == ((0, 0, "order 12345 of 99")))
   }
 
+  test("luhnRedact masking is boundary-anchored: digits inside longer runs survive") {
+    import sp.implicits._
+    val card = "4539578763621486" // valid Luhn
+    // the same 16 digits also appear INSIDE a 20-digit run, which the
+    // \b-anchored extractor never matched — a raw substring replace
+    // would corrupt it; the anchored mask must not
+    val docs = Seq((1L, s"ref 9${card}000 pay $card now")).toDF("doc_id", "text")
+    val out = graft.ext.Redact.luhnRedact(docs, col("doc_id"), col("text")).collect().head
+    assert(out.getInt(1) == 1 && out.getInt(2) == 1)
+    assert(out.getString(3) == s"ref 9${card}000 pay <CARD> now")
+  }
+
+  test("fingerprint pair ops and heapsCurve tolerate empty / too-short input") {
+    import sp.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val short = Seq((1L, "only two")).toDF("doc_id", "text") // < n tokens
+    // NPE pin: the hot-fingerprint guard's max(_df) is NULL on an empty
+    // fingerprint frame; both cases must return empty frames, not throw
+    assert(graft.ext.Dedup.winnowingPairs(empty, col("doc_id"), col("text")).isEmpty)
+    assert(graft.ext.Dedup.winnowingPairs(short, col("doc_id"), col("text")).isEmpty)
+    assert(graft.ext.Dedup.containmentPairs(empty, col("doc_id"), col("text")).isEmpty)
+    assert(graft.ext.TextAnalysis.heapsCurve(empty, col("doc_id"), col("text"))
+      .filter(col("n_docs") > 0).isEmpty)
+  }
+
   test("epochAllocation: fills epoch tiers in order, cuts exactly at the budget") {
     import sp.implicits._
     // sources of 4 / 2 / 1 tokens; budget 10 = tier1 (7) + 3 into tier2:

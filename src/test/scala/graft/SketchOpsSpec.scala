@@ -592,4 +592,73 @@ class SketchOpsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.getString(0)).toSet
     assert(twice == out.values.toSet)
   }
+
+  test("hdr buckets cover the full Long range: epoch-nano values land in real buckets") {
+    import sp.implicits._
+    // values with bit length > 55 used to index past the 0..47 shift
+    // array and collapse into one NULL bucket silently (non-ANSI
+    // element_at) — epoch-nanosecond latencies are exactly this range
+    val nanos = Seq(1723700000000000000L, // ~2^60.6, a 2024 epoch-nano
+      1723700001234567890L, 9223372036854775807L, // Long.MaxValue
+      1L, 1000L).toDF("v")
+    val hist = Sketch.hdrHistogram(nanos, Seq.empty, col("v")).collect()
+    assert(hist.forall(r => !r.isNullAt(0) && !r.isNullAt(1)), s"null bucket: ${hist.toSeq}")
+    assert(hist.map(_.getLong(2)).sum == 5L, "every value must be counted")
+    hist.foreach { r =>
+      assert(r.getLong(0) >= 1L && r.getLong(1) >= r.getLong(0),
+        s"bucket [${r.getLong(0)}, ${r.getLong(1)}] must be a real range")
+    }
+    // relative error contract holds out there too: p50 brackets its value
+    val est = Sketch.hdrPercentiles(Sketch.hdrHistogram(nanos, Seq.empty, col("v")),
+      Seq(0.99)).collect().head
+    assert(est.getAs[Long]("v_est") >= 9223372036854775807L / 256L * 255L,
+      "p99 must land in Long.MaxValue's bucket")
+    intercept[IllegalArgumentException] {
+      Sketch.hdrHistogram(nanos, Seq.empty, col("v"), k = 0)
+    }
+  }
+
+  test("bloom probes at k >= 9: h1 + j*h2 overflows Long; build == probe positions") {
+    // Failure-point pin for the floorMod fix (TextKernels.scala:150): at
+    // k = 10 the Kirsch–Mitzenmacher sum h1 + j·h2 (two ~2^60 draws)
+    // exceeds Long.MaxValue for high j, wrapping negative. Both the
+    // Column build side (Spark pmod of the wrapped sum) and the compiled
+    // probe kernel (Math.floorMod) must land on the SAME bit — a
+    // regression to `%` on either side breaks the one-sided-error
+    // contract below. The fixture is chosen so overflow provably occurs
+    // (asserted via an independent md5-60 reimplementation).
+    import sp.implicits._
+    val benchText = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val n = 4
+    val k = 10
+    def md560(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val grams = benchText.split(" ").sliding(n).map(_.mkString(" ")).toSeq
+    val overflows = grams.exists { g =>
+      val h1 = BigInt(md560(g)); val h2 = BigInt(md560("bloom2:" + g))
+      (0 until k).exists(j => h1 + h2 * j > Long.MaxValue)
+    }
+    assert(overflows, "fixture must exercise the Long-overflow branch at k=10")
+    val words = Sketch.bloomBuild(bench, col("text"), nGram = n, mBits = 4096, k = k)
+    // every bench gram must hit its own filter through the probe KERNEL
+    val out = Sketch.bloomContamination(bench, col("doc_id"), col("text"),
+        words, nGram = n, k = k).collect().head
+    assert(out.getAs[Int]("n_grams") == grams.distinct.size)
+    assert(out.getAs[Int]("hit_grams") == out.getAs[Int]("n_grams"),
+      "no false negatives: kernel probe positions must equal build positions at k=10")
+    // and an independent reference probe (wrapped-Long floorMod — the
+    // documented semantics both sides implement) agrees bit-for-bit
+    grams.distinct.foreach { g =>
+      val h1 = md560(g); val h2 = md560("bloom2:" + g)
+      (0 until k).foreach { j =>
+        val p = java.lang.Math.floorMod(h1 + j.toLong * h2, 4096L)
+        assert((words((p >> 6).toInt) & (1L << (p & 63L).toInt)) != 0L,
+          s"build must have set bit $p for gram '$g' probe $j")
+      }
+    }
+  }
 }
