@@ -28,7 +28,9 @@ import org.apache.spark.sql.functions._
 object EsBulk {
 
   case class BulkOp(seq: Long, op: String, id: Long, doc: Map[String, String],
-                    upsert: Boolean = false)
+                    upsert: Boolean = false, script: String = null,
+                    upsertDoc: Map[String, String] = null,
+                    scriptedUpsert: Boolean = false)
   case class BulkOut(seq: Long, id: Long, op: String, result: String,
                      key: String, value: String, isState: Boolean)
 
@@ -57,10 +59,41 @@ object EsBulk {
       from_json(col("value"), org.apache.spark.sql.types.DataType.fromDDL(
         "map<string, string>")).as("flat"),
       from_json(col("value"), org.apache.spark.sql.types.DataType.fromDDL(
-        "struct<doc: map<string, string>, doc_as_upsert: boolean>")).as("env"))
+        "struct<doc: map<string, string>, doc_as_upsert: boolean, " +
+          "script: struct<source: string>, upsert: map<string, string>, " +
+          "scripted_upsert: boolean, retry_on_conflict: int>")).as("env"))
+    // reject-loudly validation of the update ENVELOPE (an unsupported
+    // key silently dropped would change write semantics): every key must
+    // be one this front-end implements, `script` must be the
+    // `{"source": ...}` struct shape (stored-script ids and the bare
+    // string shorthand are not wired here), and `doc`/`script` are
+    // mutually exclusive (ES 400s that too). `retry_on_conflict` is
+    // accepted and IGNORED: the per-id fold is serialized, so the
+    // version conflicts it retries cannot occur. The checks ride the
+    // `doc` column (evaluated for every update row), raising at action
+    // time like ES's per-request validation.
+    val knownEnv = typedLit(Seq(
+      "doc", "doc_as_upsert", "script", "upsert", "scripted_upsert", "retry_on_conflict"))
+    val unknownKeys = array_except(map_keys(col("flat")), knownEnv)
+    val updDoc =
+      when(size(unknownKeys) > 0, raise_error(concat(
+        lit("unsupported _bulk update envelope keys: "),
+        concat_ws(", ", unknownKeys))).cast("map<string, string>"))
+      .when(array_contains(map_keys(col("flat")), "script") &&
+          col("env.script.source").isNull,
+        raise_error(lit("_bulk update script must be {\"script\": {\"source\": ...}} " +
+          "(stored-script ids / bare-string shorthand unsupported)"))
+          .cast("map<string, string>"))
+      .when(col("env.doc").isNotNull && col("env.script.source").isNotNull,
+        raise_error(lit("_bulk update cannot carry both doc and script"))
+          .cast("map<string, string>"))
+      .when(col("env.doc").isNull && col("env.script.source").isNull,
+        raise_error(lit("_bulk update action needs a doc or a script"))
+          .cast("map<string, string>"))
+      .otherwise(col("env.doc"))
     act.join(docs, Seq("seq"), "left")
       .select(col("seq"), col("op"), col("id"),
-        when(col("op") === "update", col("env.doc"))
+        when(col("op") === "update", updDoc)
           .when(col("op") === "delete", lit(null))
           .otherwise(col("flat")).as("doc"),
         // the reference observer emits EVERY put as
@@ -69,8 +102,94 @@ object EsBulk {
         // carrying `"doc_as_upsert": true` creates on a missing id
         // instead of returning `missing` (404)
         (col("op") === "update" &&
-          coalesce(col("env.doc_as_upsert"), lit(false))).as("upsert"))
+          coalesce(col("env.doc_as_upsert"), lit(false))).as("upsert"),
+        when(col("op") === "update", col("env.script.source")).as("script"),
+        when(col("op") === "update", col("env.upsert")).as("upsertDoc"),
+        (col("op") === "update" &&
+          coalesce(col("env.scripted_upsert"), lit(false))).as("scriptedUpsert"))
       .as[BulkOp]
+  }
+
+  /** Painless-SUBSET update script for the bulk fold:
+    * `ctx._source.<field> = <expr>` where the rhs is Long arithmetic
+    * (`+ - * / %`, parentheses, unary minus) over integer literals and
+    * `ctx._source.<field>` refs whose values parse as Long; `/` truncates
+    * toward zero (painless integer division — DuckDB's `//` on
+    * non-negative operands). The same assignment grammar
+    * [[EsQueryJson.updateByQuery]] compiles relationally; here it runs
+    * against the per-id map inside the fold, so it is evaluated by a
+    * ~30-line driver of the identical semantics. Unknown constructs and
+    * missing/non-numeric refs throw — loudly, per the contract above. */
+  private[dsl] def runUpdateScript(src: String, doc: Map[String, String])
+      : Map[String, String] = {
+    val asn = "ctx\\._source\\.([A-Za-z0-9_]+)\\s*=\\s*(.+)".r
+    src.trim match {
+      case asn(target, rhs) =>
+        val bound = "ctx\\._source\\.([A-Za-z0-9_]+)".r.replaceAllIn(rhs, m => {
+          val k = m.group(1)
+          val v = doc.getOrElse(k, throw new IllegalArgumentException(
+            s"update script references missing field '$k'"))
+          require(v.matches("-?[0-9]+"),
+            s"update script field '$k' is not an integer: '$v'")
+          // parenthesize so negative values survive substitution into
+          // any operator position (e.g. `2 * ctx._source.x` with x=-3)
+          s"($v)"
+        })
+        require(bound.matches("[0-9+\\-*/%() ]+"),
+          s"unsupported update script rhs after binding: $bound")
+        doc + (target -> evalLong(bound).toString)
+      case other => throw new IllegalArgumentException(
+        s"update script must be 'ctx._source.<field> = <expr>', got: $other")
+    }
+  }
+
+  /** Recursive-descent Long arithmetic: expr := term (('+'|'-') term)*;
+    * term := factor (('*'|'/'|'%') factor)*; factor := '-' factor |
+    * '(' expr ')' | literal. Division/modulo truncate toward zero (JVM
+    * Long semantics == painless). */
+  private def evalLong(s: String): Long = {
+    var i = 0
+    def skip(): Unit = while (i < s.length && s.charAt(i) == ' ') i += 1
+    def factor(): Long = {
+      skip()
+      if (i < s.length && s.charAt(i) == '-') { i += 1; -factor() }
+      else if (i < s.length && s.charAt(i) == '(') {
+        i += 1; val v = expr(); skip()
+        require(i < s.length && s.charAt(i) == ')', s"unbalanced parens in: $s")
+        i += 1; v
+      } else {
+        val st = i
+        while (i < s.length && s.charAt(i).isDigit) i += 1
+        require(i > st, s"expected a number at offset $st in: $s")
+        s.substring(st, i).toLong
+      }
+    }
+    def term(): Long = {
+      var v = factor()
+      skip()
+      while (i < s.length && "*/%".indexOf(s.charAt(i)) >= 0) {
+        val op = s.charAt(i); i += 1
+        val r = factor()
+        v = op match { case '*' => v * r; case '/' => v / r; case _ => v % r }
+        skip()
+      }
+      v
+    }
+    def expr(): Long = {
+      var v = term()
+      skip()
+      while (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) {
+        val op = s.charAt(i); i += 1
+        val r = term()
+        v = if (op == '+') v + r else v - r
+        skip()
+      }
+      v
+    }
+    val v = expr()
+    skip()
+    require(i == s.length, s"trailing input at offset $i in: $s")
+    v
   }
 
   /** The per-id ordered fold (public: the property spec runs the same
@@ -87,10 +206,25 @@ object EsBulk {
         case "create" =>
           if (doc.isDefined) "conflict"
           else { doc = Some(Option(o.doc).getOrElse(Map.empty)); "created" }
+        case "update" if o.script != null =>
+          // scripted update (ES update-with-script): run against the
+          // existing doc; on a missing id an `upsert` doc is indexed
+          // as-is ("created", script NOT run) unless `scripted_upsert`
+          // asks for the script to run over the upsert doc first
+          if (doc.isDefined) { doc = Some(runUpdateScript(o.script, doc.get)); "updated" }
+          else if (o.upsertDoc != null) {
+            doc = Some(
+              if (o.scriptedUpsert) runUpdateScript(o.script, o.upsertDoc)
+              else o.upsertDoc)
+            "created"
+          } else "missing"
         case "update" =>
           if (doc.isEmpty) {
-            // ES doc_as_upsert: the partial doc BECOMES the doc ("created")
+            // ES doc_as_upsert: the partial doc BECOMES the doc; a
+            // doc-VALUED `upsert` is indexed as-is instead (the partial
+            // doc is NOT merged over it — ES semantics). Both "created".
             if (o.upsert) { doc = Some(Option(o.doc).getOrElse(Map.empty)); "created" }
+            else if (o.upsertDoc != null) { doc = Some(o.upsertDoc); "created" }
             else "missing"
           } else { doc = Some(doc.get ++ Option(o.doc).getOrElse(Map.empty)); "updated" }
         case "delete" =>

@@ -4480,6 +4480,73 @@ object TierB {
            |  $rows) t(template_id, rendered)
            |ORDER BY template_id""".stripMargin
       }),
+
+    // _update_by_query: the write API a reference user reaches for after
+    // _reindex (a178) — query-scoped painless-subset assignment, every
+    // other row passes through unchanged. The script mixes both bound
+    // ref forms (doc['f'].value and ctx._source.f) and the target keeps
+    // its original column type. One narrow conditional column — no
+    // shuffle, no join; at scale this is a pure map over the index.
+    Q("a200_es_json_update_by_query",
+      (s, d) => graft.dsl.EsQueryJson.updateByQuery(
+        Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
+        """{"query": {"term": {"lang": "en"}},
+          | "script": {"source": "ctx._source.n_chars = doc['n_chars'].value * 2 + ctx._source.doc_id"}}""".stripMargin)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source,
+             |       CASE WHEN lang = 'en'
+             |            THEN n_chars * 2 + doc_id
+             |            ELSE n_chars END AS n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // _delete_by_query: bool-scoped deletion; survivors are the rows
+    // where the predicate is false OR null (ES deletes only matches —
+    // the engine coalesces the predicate to false before negating).
+    Q("a201_es_json_delete_by_query",
+      (s, d) => graft.dsl.EsQueryJson.deleteByQuery(
+        Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
+        """{"query": {"bool": {"must": [
+          |   {"term": {"lang": "en"}},
+          |   {"range": {"n_chars": {"gte": 200}}}]}}}""".stripMargin)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+             |WHERE NOT (lang = 'en' AND n_chars >= 200)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // _bulk scripted updates — the update-envelope surface beyond a194's
+    // partial docs: painless-subset scripts (incl. truncating division),
+    // doc-valued upsert (as-is on missing, ignored on existing),
+    // scripted_upsert, retry_on_conflict (accepted, ignored — the
+    // serialized per-id fold cannot conflict). Response items here;
+    // post-bulk state in a203.
+    Q("a202_es_json_bulk_script_items",
+      (s, d) => EsBulkScriptFixture.items(s, d).orderBy("seq"),
+      Some("""WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id < 30)
+             |SELECT seq, id, op, result FROM (
+             |  SELECT 2*id AS seq, id, 'update' AS op, 'updated' AS result FROM d
+             |  UNION ALL SELECT 2*i, i, 'update', 'missing' FROM (SELECT unnest(generate_series(40, 44)) AS i)
+             |  UNION ALL SELECT 2*i, i, 'update', 'created' FROM (SELECT unnest(generate_series(50, 54)) AS i)
+             |  UNION ALL SELECT 2*i, i, 'update', 'created' FROM (SELECT unnest(generate_series(60, 64)) AS i)
+             |  UNION ALL SELECT 2*i, i, 'update', 'created' FROM (SELECT unnest(generate_series(70, 74)) AS i)
+             |) ORDER BY seq""".stripMargin)),
+
+    // Post-bulk state for a202: scripted arithmetic replayed by the
+    // oracle over the same n_chars values (// = truncating division on
+    // the non-negative operands here, matching painless/JVM).
+    Q("a203_es_json_bulk_script_state",
+      (s, d) => EsBulkScriptFixture.state(s, d).orderBy("id", "key"),
+      Some("""WITH d AS (SELECT doc_id AS id, lang, n_chars FROM documents WHERE doc_id < 30)
+             |SELECT id, key, value FROM (
+             |  SELECT id, 'lang' AS key, lang AS value FROM d
+             |  UNION ALL SELECT id, 'n', CAST(n_chars * 2 + 10 AS VARCHAR) FROM d WHERE id % 3 = 0
+             |  UNION ALL SELECT id, 'n', CAST(n_chars AS VARCHAR) FROM d WHERE id % 3 = 1
+             |  UNION ALL SELECT id, 'u', 'x' FROM d WHERE id % 3 = 1
+             |  UNION ALL SELECT id, 'n', CAST((n_chars + 3) // 4 AS VARCHAR) FROM d WHERE id % 3 = 2
+             |  UNION ALL SELECT i, 'n', '7' FROM (SELECT unnest(generate_series(50, 54)) AS i)
+             |  UNION ALL SELECT i, 'n', '24' FROM (SELECT unnest(generate_series(60, 64)) AS i)
+             |  UNION ALL SELECT i, 'n', '1' FROM (SELECT unnest(generate_series(70, 74)) AS i)
+             |  UNION ALL SELECT i, 'w', 'z' FROM (SELECT unnest(generate_series(70, 74)) AS i)
+             |) ORDER BY id, key""".stripMargin)),
   )
 }
 
@@ -4572,6 +4639,61 @@ private[queries] object EsBulkFixture {
   private def standing(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).filter(col("doc_id") < 40)
       .select(col("doc_id").as("id"), map(lit("lang"), col("lang")).as("doc"))
+
+  def items(s: SparkSession, d: String): DataFrame =
+    EsBulk.items(standing(s, d), EsBulk.parse(lines(s)))
+
+  def state(s: SparkSession, d: String): DataFrame =
+    EsBulk.state(standing(s, d), EsBulk.parse(lines(s)))
+}
+
+/** `_bulk` SCRIPTED-update fixture (a202/a203): the update-envelope
+  * surface beyond partial docs — `script` (painless-subset Long
+  * arithmetic, incl. truncating division), doc-valued `upsert` with and
+  * without `scripted_upsert`, partial-doc + `upsert`, and
+  * `retry_on_conflict` (accepted, no relational effect). Standing docs
+  * carry `n` = n_chars as a numeric string so the DuckDB oracle replays
+  * every script result arithmetically. */
+private[queries] object EsBulkScriptFixture {
+  import graft.dsl.EsBulk
+
+  private val doubler = """ctx._source.n = ctx._source.n * 2 + 10"""
+  private val quarter = """ctx._source.n = (ctx._source.n + 3) / 4"""
+
+  private def lines(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val ls = (0L until 30L).flatMap { id =>
+      val a = 2 * id
+      (id % 3) match {
+        case 0 => Seq((a, s"""{"update": {"_id": $id}}"""),
+          (a + 1, s"""{"script": {"source": "$doubler"}, "retry_on_conflict": 2}"""))
+        case 1 => Seq((a, s"""{"update": {"_id": $id}}"""),
+          // doc + doc-valued upsert on an EXISTING id: upsert ignored, doc merges
+          (a + 1, s"""{"doc": {"u": "x"}, "upsert": {"n": "1"}}"""))
+        case _ => Seq((a, s"""{"update": {"_id": $id}}"""),
+          (a + 1, s"""{"script": {"source": "$quarter"}}"""))
+      }
+    } ++ (40L to 44L).flatMap(id => // script, missing id, no upsert -> 404
+      Seq((2 * id, s"""{"update": {"_id": $id}}"""),
+        (2 * id + 1, s"""{"script": {"source": "$doubler"}}"""))) ++
+      (50L to 54L).flatMap(id => // upsert doc indexed AS-IS, script not run
+        Seq((2 * id, s"""{"update": {"_id": $id}}"""),
+          (2 * id + 1, s"""{"script": {"source": "$doubler"}, "upsert": {"n": "7"}}"""))) ++
+      (60L to 64L).flatMap(id => // scripted_upsert: script runs over the upsert doc
+        Seq((2 * id, s"""{"update": {"_id": $id}}"""),
+          (2 * id + 1,
+            s"""{"script": {"source": "$doubler"}, "upsert": {"n": "7"}, "scripted_upsert": true}"""))) ++
+      (70L to 74L).flatMap(id => // partial doc + upsert on missing id: upsert wins as-is
+        Seq((2 * id, s"""{"update": {"_id": $id}}"""),
+          (2 * id + 1, s"""{"doc": {"u": "x"}, "upsert": {"n": "1", "w": "z"}}""")))
+    ls.toDF("seq", "value")
+  }
+
+  private def standing(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") < 30)
+      .select(col("doc_id").as("id"),
+        map(lit("lang"), col("lang"),
+          lit("n"), col("n_chars").cast("string")).as("doc"))
 
   def items(s: SparkSession, d: String): DataFrame =
     EsBulk.items(standing(s, d), EsBulk.parse(lines(s)))

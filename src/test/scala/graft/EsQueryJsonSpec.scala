@@ -1730,6 +1730,49 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(gotItems.exists(_._4 == "conflict") && gotItems.exists(_._4 == "deleted"))
   }
 
+  test("_bulk update envelope: unsupported shapes reject loudly, supported ones apply") {
+    val sp = spark
+    import sp.implicits._
+    import graft.dsl.EsBulk
+    val idx = Seq((1L, Map("n" -> "5"))).toDF("id", "doc")
+    def run(envelope: String): Set[(Long, String, String)] = {
+      val lines = Seq(
+        (0L, """{"update": {"_id": 1}}"""), (1L, envelope)).toDF("seq", "value")
+      EsBulk.state(idx, EsBulk.parse(lines)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    }
+    // supported: script arithmetic with parens / truncating division /
+    // negative intermediate; retry_on_conflict accepted and ignored
+    assert(run("""{"script": {"source": "ctx._source.n = (ctx._source.n - 9) / 3 + 100"}, "retry_on_conflict": 3}""")
+      == Set((1L, "n", "99"))) // (5-9)/3 = -1 (truncation toward zero, not floor -2), +100
+    assert(run("""{"doc": {"m": "y"}}""") == Set((1L, "n", "5"), (1L, "m", "y")))
+    // rejected: unknown envelope key (silent drop would change writes)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    def fails(envelope: String, frag: String): Unit = {
+      val e = intercept[Exception] { run(envelope) }
+      assert(msgs(e).exists(_.contains(frag)), s"expected '$frag' in: ${msgs(e)}")
+    }
+    fails("""{"doc": {"m": "y"}, "_source": ["m"]}""", "unsupported _bulk update envelope keys")
+    // rejected: bare-string / stored-id script shapes
+    fails("""{"script": "ctx._source.n = 1"}""", "script must be")
+    fails("""{"script": {"id": "stored1"}}""", "script must be")
+    // rejected: doc and script together (ES 400s this too)
+    fails("""{"doc": {"m": "y"}, "script": {"source": "ctx._source.n = 1"}}""",
+      "cannot carry both doc and script")
+    // rejected: neither doc nor script
+    fails("""{"doc_as_upsert": true}""", "needs a doc or a script")
+    // rejected inside the fold: unsupported script grammar / non-numeric ref
+    fails("""{"script": {"source": "ctx._source.n = ctx._source.n.length()"}}""",
+      "unsupported update script")
+    val idx2 = Seq((1L, Map("n" -> "abc"))).toDF("id", "doc")
+    val lines2 = Seq((0L, """{"update": {"_id": 1}}"""),
+      (1L, """{"script": {"source": "ctx._source.n = ctx._source.n + 1"}}""")).toDF("seq", "value")
+    val e2 = intercept[Exception] { EsBulk.state(idx2, EsBulk.parse(lines2)).collect() }
+    assert(msgs(e2).exists(_.contains("not an integer")))
+  }
+
   test("terms lookup: large value lists become one array-literal node") {
     val sp = spark
     import sp.implicits._
