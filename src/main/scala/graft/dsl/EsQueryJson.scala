@@ -198,6 +198,25 @@ object EsQueryJson {
         // one compiled pass — the HOF form of this expansion ran
         // interpreted per token and dominated the a197 BM25 row
         graft.functions.TextKernels.shingleStream(field(f), mn, mx, uni)
+      case Some("english") =>
+        // index-time `english` (the ES mapping `"analyzer": "english"`):
+        // the stored stream is the stopped+S-stemmed token stream. What
+        // search-time `english` analysis cannot change, this does: dl
+        // SHRINKS (stopwords leave the field length), df/tf move onto
+        // the stems, and avgdl shifts for every query against the field.
+        // Stemmed tokens stay `[a-z0-9_]+`, so the space re-join
+        // round-trips through the standard tokenizer losslessly — the
+        // same stored-view trick as synonyms/shingles. (`cjk` CANNOT use
+        // this trick: its bigram tokens are non-ASCII, which the
+        // standard `\W+` re-tokenize would destroy — an index-time cjk
+        // mapping needs a stored token-array view, rejected loudly
+        // below rather than silently corrupted.)
+        array_join(graft.functions.TextKernels.englishTokens(field(f)), " ")
+      case Some("cjk") =>
+        throw new IllegalArgumentException(
+          "index-time 'cjk' is unsupported: CJK bigram tokens do not survive " +
+            "the standard-tokenizer round trip of the stored-view trick " +
+            "(use search-time cjk analysis)")
       case Some(an) =>
         val syn = synonymAnalyzers.value.getOrElse(an,
           throw new IllegalArgumentException(

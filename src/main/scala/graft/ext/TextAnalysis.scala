@@ -800,10 +800,18 @@ object TextAnalysis {
     * intra-partition windows only. No single-partition global Window:
     * a web-scale vocabulary (10⁸–10⁹ distinct tokens) ranks in
     * parallel. Emits (tok, cnt, rank, cum). */
-  private def rankedVocab(counts: DataFrame): DataFrame = {
-    val parted = counts.repartitionByRange(col("cnt").desc, col("tok"))
+  private[graft] def rankedVocab(counts: DataFrame): DataFrame = {
+    // persistOnce is LOAD-BEARING, not a speedup: repartitionByRange
+    // SAMPLES boundaries per job, and two jobs over the same input can
+    // assign rows to different range partitions (verified empirically at
+    // 12M distinct tokens — ScaleRound13's invariant check fails without
+    // the cache; small vocabularies mask it because sub-sample-size
+    // partitions make the boundaries exact). The totals job below and
+    // the window job must read the SAME materialized assignment.
+    val parted = Dedup.persistOnce(counts
+      .repartitionByRange(col("cnt").desc, col("tok"))
       .sortWithinPartitions(col("cnt").desc, col("tok"))
-      .withColumn("_pid", spark_partition_id())
+      .withColumn("_pid", spark_partition_id()))
     val pidTotals = parted.groupBy("_pid")
       .agg(count(lit(1)).as("_rows"), sum(col("cnt")).as("_mass"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

@@ -4547,6 +4547,37 @@ object TierB {
              |  UNION ALL SELECT i, 'n', '1' FROM (SELECT unnest(generate_series(70, 74)) AS i)
              |  UNION ALL SELECT i, 'w', 'z' FROM (SELECT unnest(generate_series(70, 74)) AS i)
              |) ORDER BY id, key""".stripMargin)),
+
+    // INDEX-TIME `english` analyzer (the ES mapping `"analyzer":
+    // "english"`): the stored stream is the stopped+S-stemmed token
+    // stream, so BM25's dl SHRINKS (stopwords leave the field length),
+    // avgdl shifts for the whole corpus, and df/tf sit on the stems —
+    // none of which search-time english analysis (a55, a filter) can
+    // reproduce. Completes the index-time analyzer family: synonyms
+    // (a171), shingles (a197), english (here). The oracle scores the
+    // identical stemmed stream.
+    Q("a204_es_json_index_time_english",
+      (s, d) => graft.dsl.EsQueryJson.withIndexAnalyzer("text", "english") {
+        graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+          """{"query": {"match": {"text": "table"}},
+            | "sort": ["_score", "doc_id"], "size": 25}""".stripMargin)
+          .select(col("doc_id"), col("_score").as("score"))
+      },
+      Some(s"""WITH t2 AS (
+             |  SELECT doc_id, ${graft.functions.TextKernels.sqlEnglishTokens("text")} AS toks,
+             |         CAST(len(${graft.functions.TextKernels.sqlEnglishTokens("text")}) AS DOUBLE) AS dl
+             |  FROM documents),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |              CAST(sum(CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END) AS DOUBLE) AS df0
+             |       FROM t2),
+             |tf AS (SELECT doc_id, dl, n, avgdl, df0,
+             |              CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) AS tf0
+             |       FROM t2 CROSS JOIN st),
+             |sc AS (SELECT doc_id,
+             |              round(ln(1 + (n - df0 + 0.5)/(df0 + 0.5))
+             |                    * (tf0*(1.2+1))/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS score
+             |       FROM tf WHERE tf0 > 0)
+             |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
   )
 }
 

@@ -42,7 +42,8 @@ object Pipeline {
       quarantineDir: Option[String] = None,
       triggerSeconds: Int = 30, // reference flush period, `observer6/ElasticSearchBulkOperator.java:61`
       maxFilesPerTrigger: Int = 16,
-      vacuumEveryBatches: Int = 0) // incremental mode: GC superseded bucket versions every N batches (0 = never)
+      vacuumEveryBatches: Int = 0, // incremental mode: GC superseded bucket versions every N batches (0 = never)
+      sketchDir: Option[String] = None) // maintain per-day HDR/HLL sketch tables ([[SketchTable]])
 
   object Config {
     /** Parse from string options (e.g. spark-submit --conf graft.*). */
@@ -53,12 +54,14 @@ object Pipeline {
       quarantineDir = m.get("graft.quarantine.dir"),
       triggerSeconds = m.getOrElse("graft.trigger.seconds", "30").toInt,
       maxFilesPerTrigger = m.getOrElse("graft.maxFilesPerTrigger", "16").toInt,
-      vacuumEveryBatches = m.getOrElse("graft.vacuum.everyBatches", "0").toInt)
+      vacuumEveryBatches = m.getOrElse("graft.vacuum.everyBatches", "0").toInt,
+      sketchDir = m.get("graft.sketch.dir"))
   }
 
   def start(spark: SparkSession, cfg: Config): StreamingQuery =
     start(spark, cfg.changeLogDir, cfg.indexDir, cfg.checkpointDir, cfg.quarantineDir,
-      Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"), cfg.maxFilesPerTrigger)
+      Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"), cfg.maxFilesPerTrigger,
+      cfg.sketchDir)
 
   def isMalformed = col("row_key").isNull || !col("op").isin("U", "D")
 
@@ -66,7 +69,14 @@ object Pipeline {
     * next snapshot version. Public so batch jobs and tests drive the exact
     * code the stream runs. */
   def applyBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
-                 batchId: Long, quarantineDir: Option[String] = None): Unit = {
+                 batchId: Long, quarantineDir: Option[String] = None,
+                 sketchDir: Option[String] = None): Unit = {
+    // Sketch tables update FIRST (each publish is individually
+    // idempotent on batchId): "index published" then implies "sketches
+    // published", so a crash between the two publishes replays cleanly —
+    // the sketch side skips, the index side applies.
+    sketchDir.foreach(sd =>
+      SketchTable.updateForBatch(spark, sd, batch.filter(!isMalformed), batchId))
     // Retry safety: _CURRENT already at this version means the previous
     // attempt published before crashing (only the checkpoint commit was
     // lost). Re-merging would read v<batchId> and overwrite the same path —
@@ -91,14 +101,15 @@ object Pipeline {
   def start(spark: SparkSession, changeLogDir: String, indexDir: String,
             checkpointDir: String, quarantineDir: Option[String] = None,
             trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
-            maxFilesPerTrigger: Int = 16): StreamingQuery =
+            maxFilesPerTrigger: Int = 16,
+            sketchDir: Option[String] = None): StreamingQuery =
     ChangeLog.readStreamMutations(spark, changeLogDir, maxFilesPerTrigger)
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch.sparkSession, batch, indexDir, batchId, quarantineDir)
+        applyBatch(batch.sparkSession, batch, indexDir, batchId, quarantineDir, sketchDir)
       }
       .start()
 
@@ -116,6 +127,9 @@ object Pipeline {
           bad.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite").parquet(s"$qd/b$batchId")
         }
+        // sketches before the index (see applyBatch): idempotent pair
+        cfg.sketchDir.foreach(sd => SketchTable.updateForBatch(
+          batch.sparkSession, sd, batch.filter(!isMalformed), batchId))
         BucketedIndex.applyBatch(batch.sparkSession, cfg.indexDir,
           batch.filter(!isMalformed), batchId, nBuckets)
         // periodic GC of superseded bucket versions. Vacuum only deletes

@@ -650,3 +650,59 @@ object ScaleRound12c {
     spark.stop()
   }
 }
+
+/** Round-13 probe: [[graft.ext.TextAnalysis.rankedVocab]] at web-scale
+  * vocabulary size — the round-12 rewrite's load-bearing claim is that
+  * the rank + running-sum prefix scan stays distributed (range partition
+  * + per-partition offsets, NO single-partition Window) even when the
+  * vocabulary itself is 10⁷+ distinct tokens. 12M distinct tokens here
+  * (~100× the sf0.1 vocab); the probe validates rank/cum invariants so
+  * a silent correctness regression can't hide behind the timing. Also
+  * probes the round-13 streaming sketch tables: 10 micro-batches of 1M
+  * mutations each — per-batch maintenance must stay O(sketch), flat
+  * across batches, not grow with the table's accumulated history. */
+object ScaleRound13 {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import Scale.t
+
+    // ---- rankedVocab: 12M distinct tokens, Zipf-ish counts ----
+    val counts = graft.ext.Dedup.persistOnce(spark.range(12_000_000).select(
+      concat(lit("t"), col("id")).as("tok"),
+      ((lit(1_000_000L) / (pmod(hash(col("id")), lit(999_999L)) + 1L)).cast("long") + 1L)
+        .as("cnt")))
+    val totalMass = counts.agg(sum("cnt")).collect()(0).getLong(0)
+    val ranked = t("ranked-vocab-12m-distinct")(
+      graft.ext.Dedup.persistOnce(graft.ext.TextAnalysis.rankedVocab(counts)))
+    val n = ranked.count()
+    val inv = ranked.agg(max("rank"), count_distinct(col("rank")), max("cum"))
+      .collect()(0)
+    println(s"SCALEINFO ranked-vocab rows $n maxRank ${inv.getLong(0)} " +
+      s"distinctRanks ${inv.getLong(1)} cumMass ${inv.getLong(2)} expected $totalMass")
+    require(n == 12_000_000L && inv.getLong(0) == n && inv.getLong(1) == n &&
+      inv.getLong(2) == totalMass, "rankedVocab invariants violated at 12M tokens")
+    // rank order must agree with (cnt desc, tok asc): spot-check boundaries
+    val head = ranked.orderBy("rank").limit(3).collect().map(_.getLong(1)) // cnt at ranks 1..3
+    require(head.sliding(2).forall(p => p(0) >= p(1)), "rank order broken at head")
+
+    // ---- streaming sketch tables: 10 batches x 1M mutations ----
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale-sketch").toString
+    (0 until 10).foreach { b =>
+      val batch = spark.range(1_000_000).select(
+        concat(lit("u"), pmod(hash(col("id"), lit(b)), lit(300_000L))).as("row_key"),
+        lit("U").as("op"),
+        timestamp_micros(lit(1700000000000000L) + (col("id") % 30) * 86400000000L).as("ts"),
+        col("id").as("seq"),
+        array(struct(lit("f").as("family"), lit("q").as("qualifier"),
+          repeat(lit("x"), (pmod(hash(col("id"), lit(b + 100)), lit(500)) + 1).cast("int"))
+            .as("value"))).as("cells"))
+      t(s"sketch-batch-$b-1m-mutations")(
+        graft.streaming.SketchTable.updateForBatch(spark, dir, batch, b.toLong))
+    }
+    val hdrRows = graft.streaming.SketchTable.readHdr(spark, dir).count()
+    val days = graft.streaming.SketchTable.distinctKeysByDay(spark, dir).count()
+    println(s"SCALEINFO sketch-table hdr-rows $hdrRows days $days (10M mutations in)")
+    spark.stop()
+  }
+}

@@ -1871,6 +1871,38 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(plain(1L) != sh(1L), "index-time shingling must shift length normalization")
   }
 
+  test("index-time english: stems and stopwords live in the stored stream; cjk rejects") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "the tables of the database"), // stored: [table, database] — dl 2, not 5
+      (2L, "table layout table notes"),
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    def hits(indexed: Boolean) = {
+      val q = """{"query": {"match": {"text": "table"}}, "sort": ["_score", "doc_id"]}"""
+      val run = if (indexed)
+        graft.dsl.EsQueryJson.withIndexAnalyzer("text", "english") {
+          graft.dsl.EsQueryJson.search(docs, q) }
+      else graft.dsl.EsQueryJson.search(docs, q)
+      run.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("_score")).toMap
+    }
+    // plain analysis: doc 1 holds the token "tables", not "table" — miss
+    assert(hits(indexed = false).keySet == Set(2L))
+    // index-time english: the stored stream holds the STEM — doc 1 hits,
+    // and stopword removal shrank its dl to 2 (higher score than raw dl 5
+    // would give); tf=2 on doc 2 keeps it scoring too
+    val st = hits(indexed = true)
+    assert(st.keySet == Set(1L, 2L))
+    // index-time cjk cannot round-trip the stored view — loud rejection
+    val e = intercept[IllegalArgumentException] {
+      graft.dsl.EsQueryJson.withIndexAnalyzer("text", "cjk") {
+        graft.dsl.EsQueryJson.search(docs, """{"query": {"match": {"text": "table"}}}""")
+          .collect()
+      }
+    }
+    assert(e.getMessage.contains("cjk"))
+  }
+
   test("fielddata terms agg: one vote per doc per distinct token") {
     val sp = spark
     import sp.implicits._

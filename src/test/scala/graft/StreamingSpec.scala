@@ -57,6 +57,71 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(quarantined == 2)
   }
 
+  test("streaming sketch tables == one-shot batch sketches, across batch splits") {
+    import graft.streaming.SketchTable
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    // three days, repeated keys within/across days, a delete, a large
+    // payload (bucket width > 1 at k=8), and a malformed row (must be
+    // excluded from the sketches like it is from the index)
+    val log = Seq(
+      mut("u1", "U", "2024-01-01 08:00:00", 1, ("f", "a", "x" * 12)),
+      mut("u2", "U", "2024-01-01 09:00:00", 2, ("f", "a", "y" * 40)),
+      mut("u1", "U", "2024-01-01 10:00:00", 3, ("f", "b", "z" * 7)),
+      mut("u1", "D", "2024-01-02 08:00:00", 4),
+      mut("u3", "U", "2024-01-02 09:00:00", 5, ("f", "a", "w" * 300)),
+      mut("u2", "U", "2024-01-03 08:00:00", 6, ("f", "a", "q" * 5), ("f", "b", "r" * 9)),
+      mut("u4", "U", "2024-01-03 09:00:00", 7),
+      mut(null, "U", "2024-01-03 10:00:00", 8, ("f", "bad", "nope"))) // quarantined
+    def hdrRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    def hllEst(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("day"), hll_sketch_estimate(col("sk")))
+        .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    def runSplit(splits: Seq[Seq[Int]]): (String, String) = {
+      val indexDir = tmpDir("graft-sk-index")
+      val sketchDir = tmpDir("graft-sk-sketch")
+      val ms = MemoryStream[Mutation]
+      val q = ms.toDF().writeStream
+        .outputMode("update")
+        .option("checkpointLocation", tmpDir("graft-sk-ckpt"))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          Pipeline.applyBatch(b.sparkSession, b, indexDir, id,
+            quarantineDir = None, sketchDir = Some(sketchDir))
+        }
+        .start()
+      splits.foreach { ix => ms.addData(ix.map(log)); q.processAllAvailable() }
+      q.stop()
+      (indexDir, sketchDir)
+    }
+    val (_, skA) = runSplit(Seq(Seq(0, 1), Seq(2, 3, 4), Seq(5, 6, 7)))
+    val (_, skB) = runSplit(Seq(Seq(0), Seq(1, 2, 3, 4, 5), Seq(6), Seq(7)))
+    val (bHdr, bHll) = SketchTable.oneShot(mutDf(log).filter(!Pipeline.isMalformed))
+    // HDR: integer buckets union losslessly — EXACT row equality with the
+    // one-shot twin, independent of the split
+    assert(hdrRows(SketchTable.readHdr(spark, skA)) == hdrRows(bHdr))
+    assert(hdrRows(SketchTable.readHdr(spark, skB)) == hdrRows(bHdr))
+    // HLL: per-day distinct-key estimates match the one-shot sketch on
+    // both splits (register-max union; exact at this cardinality)
+    val exp = hllEst(bHll)
+    assert(hllEst(SketchTable.readHll(spark, skA)) == exp)
+    assert(hllEst(SketchTable.readHll(spark, skB)) == exp)
+    assert(exp == Map("2024-01-01" -> 2L, "2024-01-02" -> 2L, "2024-01-03" -> 2L))
+    // the serving views
+    val dk = SketchTable.distinctKeysByDay(spark, skA).collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(dk == exp)
+    val p = SketchTable.payloadPercentiles(spark, skA, "2024-01-01", "2024-01-02",
+      Seq(0.5)).collect().head
+    // day-1+2 payloads: {12, 40, 7, 300}; p50 -> first bucket with cum >= 2
+    assert(p.getAs[Long]("v_bmin") <= 12L && p.getAs[Long]("v_est") >= 12L)
+    // retry idempotence: replaying the last batch id changes nothing
+    val before = hdrRows(SketchTable.readHdr(spark, skA))
+    SketchTable.updateForBatch(spark, skA, mutDf(log.slice(5, 8)).filter(!Pipeline.isMalformed), 2L)
+    assert(hdrRows(SketchTable.readHdr(spark, skA)) == before)
+  }
+
   test("applyBatch retry after publish is a no-op (stream can recover)") {
     // Crash between publish and checkpoint commit → the stream re-runs the
     // same batch id. Re-merging would read v<id> and overwrite the same
