@@ -212,42 +212,66 @@ object TextAnalysis {
     * in BOTH engines ([[bpeEncode]]'s convention). Production tokenizers
     * run ~50k merges — there you'd batch top-B non-overlapping pairs per
     * round; this per-merge-exact form is the oracle-checkable algorithm. */
-  def bpeTrain(docs: DataFrame, text: Column, nMerges: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Shared round driver for the MERGE-trainer family ([[bpeTrain]],
+    * [[wordPieceTrain]]; a future variant — e.g. BPE-dropout — is one
+    * more `pickPair` config, not another loop). Owns the shared
+    * plumbing: the ONE corpus-sized word-frequency agg into the
+    * `<a><b>` marker form, the per-round { vocab-sized argmax via
+    * `pickPair`, boundary-exact merge replace, corpus symbol recount },
+    * and the per-round re-persist that truncates lineage (the
+    * connected-components precedent). `pickPair(wf)` returns the
+    * winning space-separated pair plus its selection-time stats, or
+    * None to stop early. Emits (rank, pair, stats, n_tokens_after).
+    *
+    * The unigram-LM trainers ([[unigramLmPrune]]/[[unigramLmPruneLoop]])
+    * deliberately do NOT ride this driver: their per-round state is a
+    * driver-side probability MODEL re-estimated from Viterbi counts,
+    * not a merged word frame — forcing them through a frame-state
+    * harness would obscure both algorithms. */
+  private def mergeTrainLoop[S](docs: DataFrame, text: Column, nMerges: Int)
+      (pickPair: DataFrame => Option[(String, S)]): Seq[(Int, String, S, Long)] = {
     var wf = Dedup.persistOnce(docs.select(explode(tokens(text)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("freq"), regexp_replace(col("word"), "(.)", "<$1>").as("w")))
-    val rows = Seq.newBuilder[(Int, String, Long, Long)]
+    val rows = Seq.newBuilder[(Int, String, S, Long)]
     var r = 1
     var done = false
     while (r <= nMerges && !done) {
-      val best = wf
-        .select(col("freq"), expr("regexp_extract_all(w, '<([^<>]*)>', 1)").as("s"))
-        .filter(size(col("s")) >= 2)
-        .select(col("freq"), explode(expr(
-          """transform(sequence(1, size(s) - 1),
-            |  i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))""".stripMargin))
-          .as("pair"))
-        .groupBy("pair").agg(sum(col("freq")).as("pf"))
-        .orderBy(desc("pf"), col("pair")).limit(1)
-        .collect()
-      if (best.isEmpty) done = true
-      else {
-        val pair = best(0).getString(0)
-        val pf = best(0).getLong(1)
-        val Array(a, b) = pair.split(' ')
-        val next = Dedup.persistOnce(wf.select(col("freq"),
-          replace(col("w"), lit(s"<$a><$b>"), lit(s"<$a$b>")).as("w")))
-        val nTok = next.agg(sum(col("freq") *
-            (length(col("w")) - length(replace(col("w"), lit("<"), lit("")))))
-          .cast("long")).collect()(0).getLong(0)
-        rows += ((r, pair, pf, nTok))
-        wf = next
-        r += 1
+      pickPair(wf) match {
+        case None => done = true
+        case Some((pair, stats)) =>
+          val Array(a, b) = pair.split(' ')
+          val next = Dedup.persistOnce(wf.select(col("freq"),
+            replace(col("w"), lit(s"<$a><$b>"), lit(s"<$a$b>")).as("w")))
+          val nTok = next.agg(sum(col("freq") *
+              (length(col("w")) - length(replace(col("w"), lit("<"), lit("")))))
+            .cast("long")).collect()(0).getLong(0)
+          rows += ((r, pair, stats, nTok))
+          wf = next
+          r += 1
       }
     }
-    rows.result().toDF("rank", "pair", "freq", "n_tokens_after")
+    rows.result()
+  }
+
+  /** Adjacent-pair counts over a marker-form word-frequency frame — the
+    * argmax candidate table both merge trainers score. */
+  private def mergePairCounts(wf: DataFrame): DataFrame = wf
+    .select(col("freq"), expr("regexp_extract_all(w, '<([^<>]*)>', 1)").as("s"))
+    .filter(size(col("s")) >= 2)
+    .select(col("freq"), explode(expr(
+      """transform(sequence(1, size(s) - 1),
+        |  i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))""".stripMargin))
+      .as("pair"))
+    .groupBy("pair").agg(sum(col("freq")).as("pf"))
+
+  def bpeTrain(docs: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    mergeTrainLoop[Long](docs, text, nMerges) { wf =>
+      mergePairCounts(wf).orderBy(desc("pf"), col("pair")).limit(1)
+        .collect().headOption.map(r => r.getString(0) -> r.getLong(1))
+    }.toDF("rank", "pair", "freq", "n_tokens_after")
   }
 
   /** WordPiece training rounds (Schuster & Nakajima 2012; the BERT
@@ -268,24 +292,11 @@ object TextAnalysis {
   def wordPieceTrain(docs: DataFrame, text: Column, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var wf = Dedup.persistOnce(docs.select(explode(tokens(text)).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(col("freq"), regexp_replace(col("word"), "(.)", "<$1>").as("w")))
-    val rows = Seq.newBuilder[(Int, String, Long, Double, Long)]
-    var r = 1
-    var done = false
-    while (r <= nMerges && !done) {
+    mergeTrainLoop[(Long, Double)](docs, text, nMerges) { wf =>
       val syms = wf.select(col("freq"),
           explode(expr("regexp_extract_all(w, '<([^<>]*)>', 1)")).as("sym"))
         .groupBy("sym").agg(sum(col("freq")).as("sf"))
-      val best = wf
-        .select(col("freq"), expr("regexp_extract_all(w, '<([^<>]*)>', 1)").as("s"))
-        .filter(size(col("s")) >= 2)
-        .select(col("freq"), explode(expr(
-          """transform(sequence(1, size(s) - 1),
-            |  i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))""".stripMargin))
-          .as("pair"))
-        .groupBy("pair").agg(sum(col("freq")).as("pf"))
+      mergePairCounts(wf)
         .withColumn("a", split(col("pair"), " ").getItem(0))
         .withColumn("b", split(col("pair"), " ").getItem(1))
         .join(syms.select(col("sym").as("a"), col("sf").as("sfa")), "a")
@@ -294,26 +305,13 @@ object TextAnalysis {
           (col("sfa").cast("double") * col("sfb").cast("double")))
         .orderBy(desc("score"), col("pair")).limit(1)
         .select("pair", "pf", "score")
-        .collect()
-      if (best.isEmpty) done = true
-      else {
-        val pair = best(0).getString(0)
-        val pf = best(0).getLong(1)
-        val score = best(0).getDouble(2)
-        val Array(a, b) = pair.split(' ')
-        val next = Dedup.persistOnce(wf.select(col("freq"),
-          replace(col("w"), lit(s"<$a><$b>"), lit(s"<$a$b>")).as("w")))
-        val nTok = next.agg(sum(col("freq") *
-            (length(col("w")) - length(replace(col("w"), lit("<"), lit("")))))
-          .cast("long")).collect()(0).getLong(0)
-        rows += ((r, pair, pf,
-          new java.math.BigDecimal(score).setScale(9, java.math.RoundingMode.HALF_UP)
-            .doubleValue(), nTok))
-        wf = next
-        r += 1
-      }
-    }
-    rows.result().toDF("rank", "pair", "freq", "score", "n_tokens_after")
+        .collect().headOption.map { r =>
+          r.getString(0) -> (r.getLong(1),
+            new java.math.BigDecimal(r.getDouble(2))
+              .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
+        }
+    }.map { case (r, pair, (pf, score), nTok) => (r, pair, pf, score, nTok) }
+      .toDF("rank", "pair", "freq", "score", "n_tokens_after")
   }
 
   /** One hard-EM step of a UNIGRAM-LM tokenizer (the SentencePiece
