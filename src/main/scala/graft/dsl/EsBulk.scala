@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   *  - `create` — insert-only: `conflict` (ES 409) if the doc EXISTS at
   *    that point in the batch, doc untouched;
   *  - `update` — partial-doc merge (`{"doc": {...}}`): new keys add,
-  *    shared keys overwrite; `missing` (ES 404) if absent;
+  *    shared keys overwrite; a merge that changes nothing is `noop`
+  *    (ES detect_noop, default true — `"detect_noop": false` forces
+  *    the write); `missing` (ES 404) if absent;
   *  - `delete` — `deleted` / `not_found`.
   *
   * Items apply in LINE ORDER per id — ES's intra-batch contract (later
@@ -30,7 +32,7 @@ object EsBulk {
   case class BulkOp(seq: Long, op: String, id: Long, doc: Map[String, String],
                     upsert: Boolean = false, script: String = null,
                     upsertDoc: Map[String, String] = null,
-                    scriptedUpsert: Boolean = false)
+                    scriptedUpsert: Boolean = false, detectNoop: Boolean = true)
   case class BulkOut(seq: Long, id: Long, op: String, result: String,
                      key: String, value: String, isState: Boolean)
 
@@ -61,7 +63,8 @@ object EsBulk {
       from_json(col("value"), org.apache.spark.sql.types.DataType.fromDDL(
         "struct<doc: map<string, string>, doc_as_upsert: boolean, " +
           "script: struct<source: string>, upsert: map<string, string>, " +
-          "scripted_upsert: boolean, retry_on_conflict: int>")).as("env"))
+          "scripted_upsert: boolean, retry_on_conflict: int, " +
+          "detect_noop: boolean>")).as("env"))
     // reject-loudly validation of the update ENVELOPE (an unsupported
     // key silently dropped would change write semantics): every key must
     // be one this front-end implements, `script` must be the
@@ -73,7 +76,8 @@ object EsBulk {
     // `doc` column (evaluated for every update row), raising at action
     // time like ES's per-request validation.
     val knownEnv = typedLit(Seq(
-      "doc", "doc_as_upsert", "script", "upsert", "scripted_upsert", "retry_on_conflict"))
+      "doc", "doc_as_upsert", "script", "upsert", "scripted_upsert",
+      "retry_on_conflict", "detect_noop"))
     val unknownKeys = array_except(map_keys(col("flat")), knownEnv)
     val updDoc =
       when(size(unknownKeys) > 0, raise_error(concat(
@@ -106,7 +110,9 @@ object EsBulk {
         when(col("op") === "update", col("env.script.source")).as("script"),
         when(col("op") === "update", col("env.upsert")).as("upsertDoc"),
         (col("op") === "update" &&
-          coalesce(col("env.scripted_upsert"), lit(false))).as("scriptedUpsert"))
+          coalesce(col("env.scripted_upsert"), lit(false))).as("scriptedUpsert"),
+        (col("op") =!= "update" ||
+          coalesce(col("env.detect_noop"), lit(true))).as("detectNoop"))
       .as[BulkOp]
   }
 
@@ -226,7 +232,14 @@ object EsBulk {
             if (o.upsert) { doc = Some(Option(o.doc).getOrElse(Map.empty)); "created" }
             else if (o.upsertDoc != null) { doc = Some(o.upsertDoc); "created" }
             else "missing"
-          } else { doc = Some(doc.get ++ Option(o.doc).getOrElse(Map.empty)); "updated" }
+          } else {
+            // ES detect_noop (default TRUE): a partial-doc merge that
+            // changes nothing reports "noop" and writes no new version;
+            // `"detect_noop": false` forces the write
+            val merged = doc.get ++ Option(o.doc).getOrElse(Map.empty)
+            if (o.detectNoop && merged == doc.get) "noop"
+            else { doc = Some(merged); "updated" }
+          }
         case "delete" =>
           if (doc.isDefined) { doc = None; "deleted" } else "not_found"
       }

@@ -1790,8 +1790,33 @@ object EsQueryJson {
     kind match {
       case "match" =>
         val (f, v) = single(body)
-        val (text, boost, msm) = textBoostMsm(v)
-        val terms = text.split("\\s+").toSeq
+        val (text, boost, msm0) = textBoostMsm(v)
+        // SCORED-match search analyzer: `english` analyzes the QUERY side
+        // (stop + S-stem, one clause per surviving token; msm counts
+        // ANALYZED distinct terms like the filter branch) against the
+        // field's stored stream — with an index-time english mapping this
+        // is exactly ES 6.5's default english field (both sides stemmed).
+        // Other analyzers reject loudly instead of being silently
+        // dropped, the same contract the bulk envelope enforces.
+        val analyzer = if (v.isObject) Option(v.get("analyzer")).map(_.asText()) else None
+        val (terms, msm) = analyzer match {
+          case None => (text.split("\\s+").toSeq, msm0)
+          case Some("english") =>
+            val ts = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+              .filterNot(graft.functions.TextKernels.englishStopwords.contains)
+              .map(graft.functions.TextKernels.stemEnglish)
+            require(ts.nonEmpty,
+              s"english analyzer removed every query term of a scored match: $text")
+            val enOpAnd = Option(v.get("operator")).map(_.asText()).contains("and")
+            val m =
+              if (enOpAnd) ts.distinct.length
+              else Option(v.get("minimum_should_match"))
+                .map(msmOf(_, ts.distinct.length)).getOrElse(1)
+            (ts, m)
+          case Some(other) => throw new IllegalArgumentException(
+            s"scored match supports the default or 'english' analyzer, got '$other' " +
+              "(use filter context, or an index-time analyzer for scored expansion)")
+        }
         // scored match runs over the STORED field view: with an index-time
         // analyzer on the field, tf/df/avgdl all reflect the expanded
         // stream (index-time synonym scoring, provably different from

@@ -4517,8 +4517,9 @@ object TierB {
     // partial docs: painless-subset scripts (incl. truncating division),
     // doc-valued upsert (as-is on missing, ignored on existing),
     // scripted_upsert, retry_on_conflict (accepted, ignored — the
-    // serialized per-id fold cannot conflict). Response items here;
-    // post-bulk state in a203.
+    // serialized per-id fold cannot conflict), and detect_noop (an
+    // unchanged merge reports "noop" by default; false forces the
+    // write). Response items here; post-bulk state in a203.
     Q("a202_es_json_bulk_script_items",
       (s, d) => EsBulkScriptFixture.items(s, d).orderBy("seq"),
       Some("""WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id < 30)
@@ -4528,6 +4529,11 @@ object TierB {
              |  UNION ALL SELECT 2*i, i, 'update', 'created' FROM (SELECT unnest(generate_series(50, 54)) AS i)
              |  UNION ALL SELECT 2*i, i, 'update', 'created' FROM (SELECT unnest(generate_series(60, 64)) AS i)
              |  UNION ALL SELECT 2*i, i, 'update', 'created' FROM (SELECT unnest(generate_series(70, 74)) AS i)
+             |  UNION ALL SELECT 1000 + 10*(i-80), i, 'update', 'created' FROM (SELECT unnest(generate_series(80, 84)) AS i)
+             |  UNION ALL SELECT 1002 + 10*(i-80), i, 'update', 'noop' FROM (SELECT unnest(generate_series(80, 84)) AS i)
+             |  UNION ALL SELECT 1004 + 10*(i-80), i, 'update', 'updated' FROM (SELECT unnest(generate_series(80, 84)) AS i)
+             |  UNION ALL SELECT 2000 + 10*(i-90), i, 'update', 'created' FROM (SELECT unnest(generate_series(90, 94)) AS i)
+             |  UNION ALL SELECT 2002 + 10*(i-90), i, 'update', 'updated' FROM (SELECT unnest(generate_series(90, 94)) AS i)
              |) ORDER BY seq""".stripMargin)),
 
     // Post-bulk state for a202: scripted arithmetic replayed by the
@@ -4546,6 +4552,8 @@ object TierB {
              |  UNION ALL SELECT i, 'n', '24' FROM (SELECT unnest(generate_series(60, 64)) AS i)
              |  UNION ALL SELECT i, 'n', '1' FROM (SELECT unnest(generate_series(70, 74)) AS i)
              |  UNION ALL SELECT i, 'w', 'z' FROM (SELECT unnest(generate_series(70, 74)) AS i)
+             |  UNION ALL SELECT i, 'u', 'y' FROM (SELECT unnest(generate_series(80, 84)) AS i)
+             |  UNION ALL SELECT i, 'u', 'x' FROM (SELECT unnest(generate_series(90, 94)) AS i)
              |) ORDER BY id, key""".stripMargin)),
 
     // INDEX-TIME `english` analyzer (the ES mapping `"analyzer":
@@ -4573,6 +4581,36 @@ object TierB {
              |tf AS (SELECT doc_id, dl, n, avgdl, df0,
              |              CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) AS tf0
              |       FROM t2 CROSS JOIN st),
+             |sc AS (SELECT doc_id,
+             |              round(ln(1 + (n - df0 + 0.5)/(df0 + 0.5))
+             |                    * (tf0*(1.2+1))/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS score
+             |       FROM tf WHERE tf0 > 0)
+             |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
+
+    // SEARCH-time english on a SCORED match — a204's counterpart: the
+    // QUERY side stems ("tables" → clause "table") while the document
+    // stream stays standard-analyzed (ES 6.5 semantics for a standard-
+    // mapped field queried with search_analyzer english). dl/avgdl here
+    // are the RAW stream's — provably different scores from a204, where
+    // the stream itself is stopped+stemmed. Previously a scored match
+    // silently IGNORED its analyzer; now english scores and anything
+    // else rejects loudly (spec).
+    Q("a205_es_json_scored_english_match",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match": {"text": {"query": "tables", "analyzer": "english"}}},
+          | "sort": ["_score", "doc_id"], "size": 25}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some("""WITH t2 AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |t3 AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM t2),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |              CAST(sum(CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END) AS DOUBLE) AS df0
+             |       FROM t3),
+             |tf AS (SELECT doc_id, dl, n, avgdl, df0,
+             |              CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) AS tf0
+             |       FROM t3 CROSS JOIN st),
              |sc AS (SELECT doc_id,
              |              round(ln(1 + (n - df0 + 0.5)/(df0 + 0.5))
              |                    * (tf0*(1.2+1))/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS score
@@ -4716,7 +4754,23 @@ private[queries] object EsBulkScriptFixture {
             s"""{"script": {"source": "$doubler"}, "upsert": {"n": "7"}, "scripted_upsert": true}"""))) ++
       (70L to 74L).flatMap(id => // partial doc + upsert on missing id: upsert wins as-is
         Seq((2 * id, s"""{"update": {"_id": $id}}"""),
-          (2 * id + 1, s"""{"doc": {"u": "x"}, "upsert": {"n": "1", "w": "z"}}""")))
+          (2 * id + 1, s"""{"doc": {"u": "x"}, "upsert": {"n": "1", "w": "z"}}"""))) ++
+      (80L to 84L).flatMap { id => // detect_noop (default): unchanged merge -> noop
+        val b = 1000 + 10 * (id - 80)
+        Seq((b, s"""{"update": {"_id": $id}}"""),
+          (b + 1, s"""{"doc": {"u": "x"}, "doc_as_upsert": true}"""), // created
+          (b + 2, s"""{"update": {"_id": $id}}"""),
+          (b + 3, s"""{"doc": {"u": "x"}}"""), // identical merge -> noop
+          (b + 4, s"""{"update": {"_id": $id}}"""),
+          (b + 5, s"""{"doc": {"u": "y"}}""")) // changes -> updated
+      } ++
+      (90L to 94L).flatMap { id => // detect_noop: false forces the write
+        val b = 2000 + 10 * (id - 90)
+        Seq((b, s"""{"update": {"_id": $id}}"""),
+          (b + 1, s"""{"doc": {"u": "x"}, "doc_as_upsert": true}"""),
+          (b + 2, s"""{"update": {"_id": $id}}"""),
+          (b + 3, s"""{"doc": {"u": "x"}, "detect_noop": false}""")) // forced "updated"
+      }
     ls.toDF("seq", "value")
   }
 

@@ -1901,6 +1901,25 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
       }
     }
     assert(e.getMessage.contains("cjk"))
+    // SCORED match with search-time english: the query side stems —
+    // "tables" reaches doc 1 only when the stream is also stemmed
+    // (index-time english), and reaches doc 2 either way via the stem
+    val qe = """{"query": {"match": {"text": {"query": "tables", "analyzer": "english"}}},
+               | "sort": ["_score", "doc_id"]}""".stripMargin
+    val plainScored = graft.dsl.EsQueryJson.search(docs, qe)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(plainScored == Set(2L), "query stem 'table' vs raw stream: only doc 2")
+    val bothSides = graft.dsl.EsQueryJson.withIndexAnalyzer("text", "english") {
+      graft.dsl.EsQueryJson.search(docs, qe).collect().map(_.getAs[Long]("doc_id")).toSet
+    }
+    assert(bothSides == Set(1L, 2L), "ES-default english field: both sides stemmed")
+    // other analyzers on a SCORED match reject loudly (were silently dropped)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.dsl.EsQueryJson.search(docs,
+        """{"query": {"match": {"text": {"query": "table", "analyzer": "whitespace"}}},
+          | "sort": ["_score"]}""".stripMargin).collect()
+    }
+    assert(e2.getMessage.contains("scored match supports"))
   }
 
   test("fielddata terms agg: one vote per doc per distinct token") {

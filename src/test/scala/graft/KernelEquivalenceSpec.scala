@@ -297,7 +297,12 @@ class KernelEquivalenceSpec extends AnyFunSuite {
             if (doc.isEmpty) {
               if (o.upsert) { doc = Some(o.doc); (o.seq, o.op, "created") }
               else (o.seq, o.op, "missing")
-            } else { doc = Some(doc.get ++ o.doc); (o.seq, o.op, "updated") }
+            } else {
+              // ES detect_noop default: an unchanged merge is "noop"
+              val merged = doc.get ++ o.doc
+              if (merged == doc.get) (o.seq, o.op, "noop")
+              else { doc = Some(merged); (o.seq, o.op, "updated") }
+            }
           case "delete" =>
             if (doc.isEmpty) (o.seq, o.op, "not_found")
             else { doc = None; (o.seq, o.op, "deleted") }
