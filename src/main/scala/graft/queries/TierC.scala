@@ -4624,5 +4624,53 @@ object TierC {
            |CROSS JOIN (SELECT CAST(sum(vit) AS DOUBLE) AS tot FROM mc_x${R + 1}) tf
            |ORDER BY s.piece""".stripMargin
       }),
+
+    // CDC day-sketch composition (the SketchTable kernels as a BATCH
+    // row): per day of the mutation log — upsert count, payload-bucket
+    // count, total payload mass (exact here: payloads < 2^k so HDR
+    // buckets are width-1), exact distinct keys touched, and the HLL
+    // estimate's 3-rsd band check (the c111 TRUE pattern — DuckDB has
+    // no HLL to replay, the exact count adjudicates the band). This is
+    // the one-shot twin the StreamingSpec proves equal to N incremental
+    // foreachBatch updates, so a green row here pins the streaming
+    // table's numbers too.
+    Q("c132_cdc_day_sketches",
+      (s, d) => {
+        val good = graft.ChangeLog.readEvents(s, d)
+          .filter(!graft.streaming.Pipeline.isMalformed)
+        val (hdr, hll) = graft.streaming.SketchTable.oneShot(good)
+        val lgK = 12
+        val rsd = 1.04 / math.sqrt((1 << lgK).toDouble)
+        val hdrAgg = hdr.groupBy("day").agg(
+          sum("c").as("n_upserts"),
+          count(lit(1)).as("n_buckets"),
+          sum(col("bmin") * col("c")).as("payload_mass"))
+        val est = hll.select(col("day"), hll_sketch_estimate(col("sk")).as("_est"))
+        val exact = good.groupBy(to_date(col("ts")).as("day"))
+          .agg(count_distinct(col("row_key")).as("n_exact"))
+        hdrAgg.join(est, "day").join(exact, "day")
+          .select(col("day"), col("n_upserts"), col("n_buckets"),
+            col("payload_mass"), col("n_exact"),
+            (abs(col("_est") - col("n_exact")) <=
+              lit(3.0) * lit(rsd) * col("n_exact")).as("within_band"))
+          .orderBy("day")
+      },
+      Some("""WITH u AS (
+             |  SELECT CAST(user_id AS VARCHAR) AS rk, CAST(ts AS DATE) AS day,
+             |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             |         event_type, value, props
+             |  FROM events),
+             |p AS (SELECT day, greatest(1,
+             |        len(event_type) + len(printf('%.2f', value)) +
+             |        coalesce(len(json_extract_string(props, '$.k')), 0)) AS pay
+             |      FROM u WHERE op = 'U'),
+             |d2 AS (SELECT day, count(*) AS n_upserts,
+             |              count(DISTINCT pay) AS n_buckets,
+             |              CAST(sum(pay) AS BIGINT) AS payload_mass
+             |       FROM p GROUP BY day),
+             |d1 AS (SELECT day, count(DISTINCT rk) AS n_exact FROM u GROUP BY day)
+             |SELECT day, n_upserts, n_buckets, payload_mass, n_exact,
+             |       TRUE AS within_band
+             |FROM d2 JOIN d1 USING (day) ORDER BY day""".stripMargin)),
   )
 }
