@@ -61,7 +61,7 @@ object Pipeline {
   def start(spark: SparkSession, cfg: Config): StreamingQuery =
     start(spark, cfg.changeLogDir, cfg.indexDir, cfg.checkpointDir, cfg.quarantineDir,
       Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"), cfg.maxFilesPerTrigger,
-      cfg.sketchDir)
+      cfg.sketchDir, cfg.vacuumEveryBatches)
 
   def isMalformed = col("row_key").isNull || !col("op").isin("U", "D")
 
@@ -102,7 +102,8 @@ object Pipeline {
             checkpointDir: String, quarantineDir: Option[String] = None,
             trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
             maxFilesPerTrigger: Int = 16,
-            sketchDir: Option[String] = None): StreamingQuery =
+            sketchDir: Option[String] = None,
+            vacuumEveryBatches: Int = 0): StreamingQuery =
     ChangeLog.readStreamMutations(spark, changeLogDir, maxFilesPerTrigger)
       .writeStream
       .outputMode("update")
@@ -110,8 +111,31 @@ object Pipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch.sparkSession, batch, indexDir, batchId, quarantineDir, sketchDir)
+        // snapshot mode accumulates one full v<id> dir per batch — GC
+        // superseded versions on the same cadence the incremental shell
+        // uses (same reader-race tradeoff, documented there)
+        if (vacuumEveryBatches > 0 && batchId > 0 && batchId % vacuumEveryBatches == 0) {
+          vacuumSnapshots(indexDir)
+          sketchDir.foreach(SketchTable.vacuum)
+        }
       }
       .start()
+
+  /** Remove index snapshot versions other than `_CURRENT` (the snapshot
+    * twin of [[BucketedIndex.vacuum]] / [[SketchTable.vacuum]]). */
+  def vacuumSnapshots(indexDir: String): Unit = {
+    val keep = currentSnapshot(indexDir).getOrElse(return)
+    val root = Paths.get(indexDir)
+    if (!Files.exists(root)) return
+    import scala.jdk.CollectionConverters._
+    Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("v") &&
+        p.getFileName.toString != keep && Files.isDirectory(p))
+      .foreach { p =>
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(Files.delete)
+      }
+  }
 
   /** The 100 TB variant of [[start]]: per-batch cost O(batch + touched
     * buckets) via [[BucketedIndex]] instead of a full snapshot rewrite. */
@@ -137,8 +161,10 @@ object Pipeline {
         // resolved the manifest before the latest swap can still race it
         // (the Delta-VACUUM-retention tradeoff) — size vacuumEveryBatches
         // to exceed the longest expected reader
-        if (cfg.vacuumEveryBatches > 0 && batchId > 0 && batchId % cfg.vacuumEveryBatches == 0)
+        if (cfg.vacuumEveryBatches > 0 && batchId > 0 && batchId % cfg.vacuumEveryBatches == 0) {
           BucketedIndex.vacuum(cfg.indexDir)
+          cfg.sketchDir.foreach(SketchTable.vacuum)
+        }
         ()
       }
       .start()

@@ -4,6 +4,7 @@ import graft.ext.Sketch
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 
 /** Streaming-maintained SKETCH TABLES for the CDC pipeline — the
   * composition the batch rows prove algebraically (c118: per-day HDR
@@ -110,6 +111,26 @@ object SketchTable {
   def currentVersion(dir: String): Option[String] = {
     val p = Paths.get(dir, "_CURRENT")
     if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
+  /** Remove snapshot versions other than `_CURRENT` — a long-running
+    * stream otherwise accumulates one (tiny) superseded dir per batch.
+    * Same reader-race tradeoff as [[BucketedIndex.vacuum]]: a reader
+    * that resolved `_CURRENT` before the latest swap can race a vacuum;
+    * run it on a cadence longer than the longest expected reader. The
+    * current version is never touched, so a crash mid-vacuum loses
+    * nothing. */
+  def vacuum(dir: String): Unit = {
+    val keep = currentVersion(dir).getOrElse(return)
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) return
+    Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("v") &&
+        p.getFileName.toString != keep && Files.isDirectory(p))
+      .foreach { p =>
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(Files.delete)
+      }
   }
 
   private def publish(dir: String, version: String): Unit = {

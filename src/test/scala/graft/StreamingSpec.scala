@@ -120,6 +120,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val before = hdrRows(SketchTable.readHdr(spark, skA))
     SketchTable.updateForBatch(spark, skA, mutDf(log.slice(5, 8)).filter(!Pipeline.isMalformed), 2L)
     assert(hdrRows(SketchTable.readHdr(spark, skA)) == before)
+    // vacuum removes superseded versions, keeps _CURRENT intact
+    def versions(dir: String) = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("v")).toSet
+    assert(versions(skA) == Set("v0", "v1", "v2"))
+    SketchTable.vacuum(skA)
+    assert(versions(skA) == Set("v2"))
+    assert(hdrRows(SketchTable.readHdr(spark, skA)) == before, "vacuum must not touch _CURRENT")
   }
 
   test("applyBatch retry after publish is a no-op (stream can recover)") {
@@ -295,6 +302,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     q.processAllAvailable()
     q.stop()
     assert(indexMap(Pipeline.readCurrent(sp, indexDir)) == Map("b" -> Map("y" -> "2")))
+    // snapshot vacuum keeps only the published version
+    Pipeline.applyBatch(sp, mutDf(Seq(
+      mut("c", "U", "2024-01-01 00:00:03", 4, ("f", "z", "3")))), indexDir, 99L)
+    Pipeline.vacuumSnapshots(indexDir)
+    def vdirs() = java.nio.file.Files.list(java.nio.file.Paths.get(indexDir))
+      .iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("v")).toSet
+    assert(vdirs() == Set("v99"))
+    assert(indexMap(Pipeline.readCurrent(sp, indexDir)) ==
+      Map("b" -> Map("y" -> "2"), "c" -> Map("z" -> "3")))
+  }
+
+  test("startIncremental maintains sketch tables alongside the bucketed index") {
+    // the Config.sketchDir wiring through the REAL incremental stream
+    // shell: sketches update in the same foreachBatch as the index, and
+    // the scheduled vacuum sweeps both artifact families
+    val sp = spark
+    import graft.streaming.SketchTable
+    val changeDir = tmpDir("graft-sk-changes")
+    val log = Seq(
+      mut("a", "U", "2024-01-01 00:00:00", 1, ("f", "x", "pay")),
+      mut("b", "U", "2024-01-02 00:00:01", 2, ("f", "y", "load")),
+      mut("a", "D", "2024-01-02 00:00:02", 3))
+    mutDf(log).write.mode("overwrite").parquet(changeDir)
+    val cfg = Pipeline.Config(
+      changeLogDir = changeDir, indexDir = tmpDir("graft-sk-idx"),
+      checkpointDir = tmpDir("graft-sk-ckpt2"), triggerSeconds = 1,
+      vacuumEveryBatches = 1, sketchDir = Some(tmpDir("graft-sk-tbl")))
+    val q = Pipeline.startIncremental(sp, cfg, nBuckets = 4)
+    q.processAllAvailable()
+    q.stop()
+    val sd = cfg.sketchDir.get
+    val dk = SketchTable.distinctKeysByDay(sp, sd).collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(dk == Map("2024-01-01" -> 1L, "2024-01-02" -> 2L))
+    val (bHdr, _) = SketchTable.oneShot(mutDf(log))
+    val got = SketchTable.readHdr(sp, sd).collect().map(_.toString).sorted.toSeq
+    assert(got == bHdr.collect().map(_.toString).sorted.toSeq)
+    // index state and sketch vacuum both held
+    assert(indexMap(graft.streaming.BucketedIndex.read(sp, cfg.indexDir)) ==
+      Map("b" -> Map("y" -> "load")))
   }
 
   test("streaming Bloom decontamination == batch, across batch splits") {
