@@ -336,9 +336,13 @@ object Corpus {
     require(budget > 0, "budget must be positive")
     val base = df.select(idCol.as("doc_id"), size(TextAnalysis.tokens(text)).as("n"))
       .filter(col("n") > 0)
-    val parted = base.repartitionByRange(col("doc_id"))
+    // persistOnce is LOAD-BEARING (the rankedVocab lesson, TextAnalysis
+    // :802): repartitionByRange samples boundaries PER JOB, so the
+    // totals job and the window job must read the same materialized
+    // assignment or the offsets are wrong at scale
+    val parted = graft.ext.Dedup.persistOnce(base.repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
-      .withColumn("_pid", spark_partition_id())
+      .withColumn("_pid", spark_partition_id()))
     val pidTotals = parted.groupBy("_pid").agg(sum(col("n")).as("_tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     // offset of pid p = sum of totals of pids < p (exclusive prefix sum)
@@ -414,9 +418,11 @@ object Corpus {
           least(size(TextAnalysis.tokens(text)), lit(seqLen)).as("n"))
         .filter(col("n") > 0))
     def strategy(name: String, sortCols: Seq[Column]): DataFrame = {
-      val parted = base.repartitionByRange(sortCols: _*)
+      // persistOnce load-bearing: cross-job range-assignment determinism
+      // (TextAnalysis.rankedVocab:802 has the full story)
+      val parted = graft.ext.Dedup.persistOnce(base.repartitionByRange(sortCols: _*)
         .sortWithinPartitions(sortCols: _*)
-        .withColumn("_pid", spark_partition_id())
+        .withColumn("_pid", spark_partition_id()))
       val pidCounts = parted.groupBy("_pid").agg(count(lit(1)).as("_c"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
       val pidOffsets = pidCounts.map(_._1)
@@ -481,9 +487,12 @@ object Corpus {
     require(nShards > 0, "nShards must be positive")
     val base = df.select(idCol.as("doc_id"),
       size(TextAnalysis.tokens(text)).cast("long").as("n"))
-    val parted = base.repartitionByRange(col("n").desc, col("doc_id"))
-      .sortWithinPartitions(col("n").desc, col("doc_id"))
-      .withColumn("_pid", spark_partition_id())
+    // persistOnce load-bearing: cross-job range-assignment determinism
+    // (TextAnalysis.rankedVocab:802 has the full story)
+    val parted = graft.ext.Dedup.persistOnce(
+      base.repartitionByRange(col("n").desc, col("doc_id"))
+        .sortWithinPartitions(col("n").desc, col("doc_id"))
+        .withColumn("_pid", spark_partition_id()))
     val pidCounts = parted.groupBy("_pid").agg(count(lit(1)).as("_c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val pidOffsets = pidCounts.map(_._1)

@@ -686,6 +686,25 @@ object ScaleRound13 {
     val head = ranked.orderBy("rank").limit(3).collect().map(_.getLong(1)) // cnt at ranks 1..3
     require(head.sliding(2).forall(p => p(0) >= p(1)), "rank order broken at head")
 
+    // ---- packShards at 5M docs: the serpentine shard assignment is a
+    // permutation of ranks, so shard doc-counts must balance to ±1 —
+    // rank collisions from the cross-job range-assignment bug (fixed by
+    // the load-bearing persistOnce, same class as rankedVocab) would
+    // skew them. Probes the fix in Corpus.packShards/packTokens/
+    // paddingWaste, which share the pattern.
+    val sdocs = spark.range(5_000_000).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 3).map(i =>
+        expr(s"repeat('w$i ', pmod(hash(id, $i), 4) + 1)")): _*).as("text"))
+    val shards = t("pack-shards-5m-docs")(
+      graft.ext.Corpus.packShards(sdocs, col("doc_id"), col("text"), nShards = 64)
+        .collect())
+    val docCounts = shards.map(_.getLong(1))
+    println(s"SCALEINFO pack-shards shards ${shards.length} docBalance " +
+      s"${docCounts.max - docCounts.min} totalDocs ${docCounts.sum}")
+    require(shards.length == 64 && docCounts.sum == 5_000_000L &&
+      docCounts.max - docCounts.min <= 1,
+      "packShards rank permutation broken at 5M docs")
+
     // ---- streaming sketch tables: 10 batches x 1M mutations ----
     val dir = java.nio.file.Files.createTempDirectory("graft-scale-sketch").toString
     (0 until 10).foreach { b =>
