@@ -707,21 +707,37 @@ object ScaleRound13 {
 
     // ---- streaming sketch tables: 10 batches x 1M mutations ----
     val dir = java.nio.file.Files.createTempDirectory("graft-scale-sketch").toString
+    def mkBatch(b: Int) = spark.range(1_000_000).select(
+      concat(lit("u"), pmod(hash(col("id"), lit(b)), lit(300_000L))).as("row_key"),
+      lit("U").as("op"),
+      timestamp_micros(lit(1700000000000000L) + (col("id") % 30) * 86400000000L).as("ts"),
+      col("id").as("seq"),
+      array(struct(lit("f").as("family"), lit("q").as("qualifier"),
+        repeat(lit("x"), (pmod(hash(col("id"), lit(b + 100)), lit(500)) + 1).cast("int"))
+          .as("value"))).as("cells"))
     (0 until 10).foreach { b =>
-      val batch = spark.range(1_000_000).select(
-        concat(lit("u"), pmod(hash(col("id"), lit(b)), lit(300_000L))).as("row_key"),
-        lit("U").as("op"),
-        timestamp_micros(lit(1700000000000000L) + (col("id") % 30) * 86400000000L).as("ts"),
-        col("id").as("seq"),
-        array(struct(lit("f").as("family"), lit("q").as("qualifier"),
-          repeat(lit("x"), (pmod(hash(col("id"), lit(b + 100)), lit(500)) + 1).cast("int"))
-            .as("value"))).as("cells"))
       t(s"sketch-batch-$b-1m-mutations")(
-        graft.streaming.SketchTable.updateForBatch(spark, dir, batch, b.toLong))
+        graft.streaming.SketchTable.updateForBatch(spark, dir, mkBatch(b), b.toLong))
     }
     val hdrRows = graft.streaming.SketchTable.readHdr(spark, dir).count()
     val days = graft.streaming.SketchTable.distinctKeysByDay(spark, dir).count()
     println(s"SCALEINFO sketch-table hdr-rows $hdrRows days $days (10M mutations in)")
+    // DENSE-mode HLL invariant: at ~300k distinct keys/day the sketches
+    // are far past exact list/set mode — the 10-fold union-of-unions
+    // estimate must still equal the one-shot sketch over the full 10M-row
+    // log (register-max union is associative; this is the 100 TB
+    // incremental-maintenance claim at a cardinality where it could
+    // actually diverge if the union were lossy)
+    val full = (0 until 10).map(mkBatch).reduce(_ unionByName _)
+    val oneShotEst = graft.streaming.SketchTable.oneShot(full)._2
+      .select(col("day"), hll_sketch_estimate(col("sk")).as("e"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val incEst = graft.streaming.SketchTable.distinctKeysByDay(spark, dir)
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    require(incEst == oneShotEst,
+      s"incremental HLL diverged from one-shot in dense mode: " +
+        s"${incEst.toSeq.sorted.take(3)} vs ${oneShotEst.toSeq.sorted.take(3)}")
+    println(s"SCALEINFO hll dense-mode union == one-shot across ${incEst.size} days")
     spark.stop()
   }
 }

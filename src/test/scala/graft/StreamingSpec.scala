@@ -270,6 +270,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       Map("b" -> Map("y" -> "2"), "c" -> Map("z" -> "9")))
   }
 
+  test("restart from checkpoint continues sketch tables exactly-once") {
+    // the sketch twin of the restart test: a stop/restart (including the
+    // replay of any batch id whose checkpoint commit was lost) must leave
+    // the sketch table equal to the one-shot sketch of the WHOLE log —
+    // no double-counted days, no missed batches
+    import graft.streaming.SketchTable
+    val sp = spark
+    val changeDir = tmpDir("graft-changes-skr")
+    val indexDir = tmpDir("graft-index-skr")
+    val sketchDir = tmpDir("graft-sketch-skr")
+    val ckpt = tmpDir("graft-ckpt-skr")
+    val part1 = Seq(
+      mut("a", "U", "2024-01-01 00:00:00", 1, ("f", "x", "payload-one")),
+      mut("b", "U", "2024-01-02 00:00:01", 2, ("f", "y", "pp")))
+    val part2 = Seq(
+      mut("a", "D", "2024-01-02 00:00:02", 3),
+      mut("c", "U", "2024-01-03 00:00:03", 4, ("f", "z", "a-much-longer-payload")))
+    mutDf(part1).write.mode("append").parquet(changeDir)
+    val q1 = Pipeline.start(sp, changeDir, indexDir, ckpt, sketchDir = Some(sketchDir))
+    q1.processAllAvailable(); q1.stop()
+    mutDf(part2).write.mode("append").parquet(changeDir)
+    val q2 = Pipeline.start(sp, changeDir, indexDir, ckpt, sketchDir = Some(sketchDir))
+    q2.processAllAvailable(); q2.stop()
+    // ALSO simulate the crash-replay: re-apply the last batch id manually
+    // (the checkpoint-commit-lost case) — must be a no-op
+    Pipeline.applyBatch(sp, mutDf(part2), indexDir,
+      batchId = SketchTable.currentVersion(sketchDir).get.stripPrefix("v").toLong,
+      sketchDir = Some(sketchDir))
+    val (bHdr, bHll) = SketchTable.oneShot(mutDf(part1 ++ part2))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(rows(SketchTable.readHdr(sp, sketchDir)) == rows(bHdr))
+    val est = SketchTable.distinctKeysByDay(sp, sketchDir).collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val expEst = bHll.select(col("day"), hll_sketch_estimate(col("sk")))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(est == expEst)
+    assert(est == Map("2024-01-01" -> 1L, "2024-01-02" -> 2L, "2024-01-03" -> 1L))
+  }
+
   test("JSON and CSV change-log sources fold identically to parquet") {
     val sp = spark
     val log = Seq(
