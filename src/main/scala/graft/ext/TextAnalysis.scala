@@ -229,26 +229,41 @@ object TextAnalysis {
     * not a merged word frame — forcing them through a frame-state
     * harness would obscure both algorithms. */
   private def mergeTrainLoop[S](docs: DataFrame, text: Column, nMerges: Int)
-      (pickPair: DataFrame => Option[(String, S)]): Seq[(Int, String, S, Long)] = {
+      (pickPair: DataFrame => Option[(String, S)]): Seq[(Int, String, S, Long)] =
+    mergeTrainRounds[S](docs, text, nMerges)(wf => pickPair(wf).toSeq)
+      .map { case (_, rank, pair, stats, nTok) => (rank, pair, stats, nTok) }
+
+  /** The multi-pick core under [[mergeTrainLoop]]: each round applies
+    * EVERY pair `pickPairs` returns (they must be symbol-disjoint, so
+    * the replaces commute) in one chained replace pass, then recounts
+    * once per ROUND. Emits (round, overall rank, pair, stats,
+    * n_tokens_after_round). */
+  private def mergeTrainRounds[S](docs: DataFrame, text: Column, maxRounds: Int)
+      (pickPairs: DataFrame => Seq[(String, S)]): Seq[(Int, Int, String, S, Long)] = {
     var wf = Dedup.persistOnce(docs.select(explode(tokens(text)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("freq"), regexp_replace(col("word"), "(.)", "<$1>").as("w")))
-    val rows = Seq.newBuilder[(Int, String, S, Long)]
+    val rows = Seq.newBuilder[(Int, Int, String, S, Long)]
     var r = 1
+    var rank = 1
     var done = false
-    while (r <= nMerges && !done) {
-      pickPair(wf) match {
-        case None => done = true
-        case Some((pair, stats)) =>
+    while (r <= maxRounds && !done) {
+      val picks = pickPairs(wf)
+      if (picks.isEmpty) done = true
+      else {
+        val merged = picks.foldLeft(col("w")) { case (acc, (pair, _)) =>
           val Array(a, b) = pair.split(' ')
-          val next = Dedup.persistOnce(wf.select(col("freq"),
-            replace(col("w"), lit(s"<$a><$b>"), lit(s"<$a$b>")).as("w")))
-          val nTok = next.agg(sum(col("freq") *
-              (length(col("w")) - length(replace(col("w"), lit("<"), lit("")))))
-            .cast("long")).collect()(0).getLong(0)
-          rows += ((r, pair, stats, nTok))
-          wf = next
-          r += 1
+          replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+        }
+        val next = Dedup.persistOnce(wf.select(col("freq"), merged.as("w")))
+        val nTok = next.agg(sum(col("freq") *
+            (length(col("w")) - length(replace(col("w"), lit("<"), lit("")))))
+          .cast("long")).collect()(0).getLong(0)
+        picks.foreach { case (pair, stats) =>
+          rows += ((r, rank, pair, stats, nTok)); rank += 1
+        }
+        wf = next
+        r += 1
       }
     }
     rows.result()
@@ -272,6 +287,53 @@ object TextAnalysis {
       mergePairCounts(wf).orderBy(desc("pf"), col("pair")).limit(1)
         .collect().headOption.map(r => r.getString(0) -> r.getLong(1))
     }.toDF("rank", "pair", "freq", "n_tokens_after")
+  }
+
+  /** BATCHED BPE training — the 50k-merge production form [[bpeTrain]]'s
+    * docstring promises: each round pulls the top `lookahead` candidate
+    * pairs (driver-bounded), greedily keeps up to `batchSize` that are
+    * SYMBOL-DISJOINT (no shared member with an earlier keep, so their
+    * replaces commute and one chained pass applies them all), and
+    * recounts once per round. Round count drops ~batchSize-fold; the
+    * merge table stays [[bpeEncode]]-compatible (ranks are the greedy
+    * selection order). batchSize = 1 is EXACTLY [[bpeTrain]]
+    * (spec-pinned). The bounded lookahead is part of the algorithm
+    * contract — a round where the top `lookahead` candidates all collide
+    * keeps fewer than `batchSize` pairs (never zero: the top-1 always
+    * qualifies) — which keeps the driver pull bounded at any corpus
+    * size and lets the DuckDB oracle replay the selection exactly.
+    * Emits (rank, round, pair, freq, n_tokens_after) where
+    * `n_tokens_after` is the corpus symbol count after the pair's whole
+    * ROUND (recounts are per round, not per merge — the batching's
+    * point). */
+  def bpeTrainBatched(docs: DataFrame, text: Column, nMerges: Int,
+                      batchSize: Int, lookahead: Int = 0): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val la = if (lookahead > 0) lookahead else math.max(8 * batchSize, 16)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var remaining = nMerges
+    mergeTrainRounds[Long](docs, text, maxRounds = nMerges) { wf =>
+      if (remaining <= 0) Seq.empty
+      else {
+        val cands = mergePairCounts(wf)
+          .orderBy(desc("pf"), col("pair")).limit(la)
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+        val used = scala.collection.mutable.Set.empty[String]
+        val picks = Seq.newBuilder[(String, Long)]
+        var kept = 0
+        cands.foreach { case (pair, pf) =>
+          val Array(a, b) = pair.split(' ')
+          if (kept < math.min(batchSize, remaining) &&
+              !used.contains(a) && !used.contains(b)) {
+            picks += (pair -> pf); used += a; used += b; kept += 1
+          }
+        }
+        remaining -= kept
+        picks.result()
+      }
+    }.map { case (round, rank, pair, pf, nTok) => (rank, round, pair, pf, nTok) }
+      .toDF("rank", "round", "pair", "freq", "n_tokens_after")
   }
 
   /** WordPiece training rounds (Schuster & Nakajima 2012; the BERT

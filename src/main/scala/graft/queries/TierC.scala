@@ -2579,6 +2579,60 @@ object TierC {
            |ORDER BY rank""".stripMargin
       }),
 
+    // BATCHED BPE trainer (c67's 50k-merge production form): each round
+    // keeps the top-2 SYMBOL-DISJOINT pairs from a 16-candidate lookahead
+    // and applies both in one pass — round count halves, recounts are
+    // per-round. The oracle replays candidate pull, greedy disjoint
+    // selection, the commuting double replace, and the round recount; a
+    // collision round (fewer than 2 keeps) would change the row count
+    // and fail loudly.
+    Q("c133_bpe_train_batched",
+      (s, d) => TextAnalysis.bpeTrainBatched(Tables.documents(s, d), col("text"),
+        nMerges = 6, batchSize = 2, lookahead = 16).orderBy("rank"),
+      Some {
+        val rounds = 3
+        val iters = (1 to rounds).map { i =>
+          val prev = if (i == 1) "w0" else s"w${i - 1}"
+          s"""p$i AS (
+             |  SELECT pair, CAST(sum(freq) AS BIGINT) AS pf FROM (
+             |    SELECT freq, unnest(list_transform(generate_series(1, len(s) - 1),
+             |             j -> s[j] || ' ' || s[j + 1])) AS pair
+             |    FROM (SELECT freq, regexp_extract_all(w, '<([^<>]*)>', 1) AS s FROM $prev)
+             |    WHERE len(s) >= 2)
+             |  GROUP BY pair),
+             |top$i AS (SELECT pair, pf FROM p$i ORDER BY pf DESC, pair LIMIT 16),
+             |b${i}a AS (SELECT pair, pf FROM top$i ORDER BY pf DESC, pair LIMIT 1),
+             |b${i}b AS (SELECT t.pair, t.pf FROM top$i t, b${i}a o
+             |           WHERE split_part(t.pair, ' ', 1) NOT IN
+             |                   (split_part(o.pair, ' ', 1), split_part(o.pair, ' ', 2))
+             |             AND split_part(t.pair, ' ', 2) NOT IN
+             |                   (split_part(o.pair, ' ', 1), split_part(o.pair, ' ', 2))
+             |           ORDER BY t.pf DESC, t.pair LIMIT 1),
+             |w$i AS (SELECT freq,
+             |          replace(
+             |            replace(w, '<' || split_part(a.pair, ' ', 1) ||
+             |                       '><' || split_part(a.pair, ' ', 2) || '>',
+             |                    '<' || replace(a.pair, ' ', '') || '>'),
+             |            '<' || split_part(b.pair, ' ', 1) ||
+             |              '><' || split_part(b.pair, ' ', 2) || '>',
+             |            '<' || replace(b.pair, ' ', '') || '>') AS w
+             |        FROM $prev, b${i}a a, b${i}b b),
+             |t$i AS (SELECT CAST(sum(freq * (len(w) - len(replace(w, '<', '')))) AS BIGINT) AS nt
+             |        FROM w$i)""".stripMargin
+        }.mkString(",\n")
+        val unions = (1 to rounds).flatMap(i => Seq(
+          s"SELECT ${2 * i - 1} AS rank, $i AS round, a.pair, a.pf AS freq, t$i.nt AS n_tokens_after FROM b${i}a a, t$i",
+          s"SELECT ${2 * i}, $i, b.pair, b.pf, t$i.nt FROM b${i}b b, t$i"))
+          .mkString("\n|UNION ALL ").stripMargin
+        s"""WITH $toksCte,
+           |tf AS (SELECT unnest(w) AS word FROM toks),
+           |w0 AS (SELECT count(*) AS freq, regexp_replace(word, '(.)', '<\\1>', 'g') AS w
+           |       FROM tf GROUP BY word),
+           |$iters
+           |$unions
+           |ORDER BY rank""".stripMargin
+      }),
+
     // Tokenizer fertility per language: subword-tokens-per-word under the
     // corpus-trained 10-merge BPE — the multilingual tokenizer-cost
     // diagnostic. Oracle replays the same merges (c41's recursive replay)

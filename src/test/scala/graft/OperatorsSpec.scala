@@ -852,6 +852,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(singles.forall(looped.contains)) // coverage set survives pruning
   }
 
+  test("bpeTrainBatched: batchSize=1 == bpeTrain exactly; batches are symbol-disjoint") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val seqTable = graft.ext.TextAnalysis.bpeTrain(docs, col("text"), nMerges = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val b1 = graft.ext.TextAnalysis.bpeTrainBatched(docs, col("text"),
+        nMerges = 6, batchSize = 1)
+      .collect().map(r => (r.getInt(0), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(b1 == seqTable, "batchSize=1 must degenerate to the sequential trainer")
+    val b3 = graft.ext.TextAnalysis.bpeTrainBatched(docs, col("text"),
+        nMerges = 6, batchSize = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(4)))
+    assert(b3.length == 6)
+    val rounds = b3.groupBy(_._2)
+    assert(rounds.size < 6, "batching must reduce the round count")
+    rounds.values.foreach { rs =>
+      // within a round: symbol-disjoint picks, one shared recount
+      val syms = rs.flatMap(_._3.split(' '))
+      assert(syms.distinct.length == syms.length, s"round shares symbols: $rs")
+      assert(rs.map(_._4).distinct.length == 1, "per-round n_tokens_after must agree")
+    }
+    // round-1's FIRST pick is the global argmax — same as sequential rank 1
+    assert(b3.minBy(_._1)._3 == seqTable.head._2)
+    // trajectory: token count strictly decreases round over round
+    val traj = b3.groupBy(_._2).toSeq.sortBy(_._1).map(_._2.head._4)
+    assert(traj.sliding(2).forall(p => p.length < 2 || p(1) < p(0)))
+  }
+
   test("luhnRedact masks valid card numbers only; regex-lookalikes survive") {
     import sp.implicits._
     val docs = Seq(
