@@ -175,16 +175,16 @@ object EsQueryJson {
   // df/tf — a match for "table_hash" hits only docs with the adjacent
   // pair.
   //
-  // DOCUMENTED DIVERGENCE (the a171 class): only the STORED stream is
-  // shingle-expanded here; real ES 6.5 defaults `search_analyzer` to
-  // the index analyzer, so a multi-term match query against a shingled
-  // field ALSO emits query-side shingle terms ("hash table" queries the
-  // terms {hash, table, hash_table}) and scores/hits differently than
-  // this engine, where query text goes through the standard search
-  // analyzer unless the caller passes pre-shingled terms explicitly
-  // (the mapping-with-explicit-`search_analyzer: "standard"` setup).
-  // Behavior is self-consistent and oracle-pinned (a197); callers who
-  // want ES's default need the query terms pre-expanded.
+  // SEARCH-ANALYZER DEFAULTING (ES 6.5): a `match` with no body-level
+  // `analyzer` against an index-analyzed field analyzes the QUERY with
+  // the same chain ([[defaultSearchTerms]]) — a shingled field expands
+  // "hash table" to the terms {hash, table, hash_table} (the "_" is
+  // the index chain's token_separator), an english field stops+stems
+  // the query. Oracle rows: a197/a206 (shingles), a204 (english).
+  // Synonym index analyzers are the exception BY MAPPING: this engine
+  // models the `search_analyzer: "standard"` configuration ES itself
+  // recommends once synonyms live in the index chain (query-side
+  // re-expansion would double-expand), documented at [[storedField]].
 
   /** The STORED view of a field: the raw text, or — when the field has a
     * registered index analyzer — the expanded token stream re-joined to
@@ -228,6 +228,37 @@ object EsQueryJson {
         array_join(flatten(transform(graft.ext.TextAnalysis.tokens(field(f)),
           t => coalesce(element_at(typedLit(syn), t), array(t)))), " ")
     }
+
+  /** ES 6.5 defaults a field's `search_analyzer` to its index analyzer:
+    * when the field is index-analyzed and the body names no analyzer,
+    * the QUERY text runs through the same chain. Returns the analyzed
+    * query terms, or None when the query side stays standard-analyzed
+    * (no index analyzer on the field, or a synonym index analyzer —
+    * the documented explicit-`search_analyzer: "standard"` mapping).
+    * Shingle terms join with "_", the index chain's token_separator,
+    * so they hit the stored stream's shingle tokens exactly. */
+  private def defaultSearchTerms(f: String, text: String): Option[Seq[String]] =
+    indexAnalyzers.value.get(f).flatMap {
+      case an if shingleAnalyzers.value.contains(an) =>
+        val (mn, mx, uni) = shingleAnalyzers.value(an)
+        val qToks = text.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+        Some(((mn to mx).flatMap(n => qToks.sliding(n).filter(_.length == n)
+          .map(_.mkString("_"))) ++ (if (uni) qToks else Nil)).distinct)
+      case "english" =>
+        Some(text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+          .filterNot(graft.functions.TextKernels.englishStopwords.contains)
+          .map(graft.functions.TextKernels.stemEnglish).distinct)
+      case _ => None // synonyms: search_analyzer stays standard by mapping
+    }
+
+  /** Body-derived msm over ANALYZED clause count (operator:and = all
+    * clauses; percentages/negatives resolve against the analyzed total) —
+    * the counting every analyzer-aware match branch shares. */
+  private def analyzedMsm(v: JsonNode, nClauses: Int): Int =
+    if (v.isObject && Option(v.get("operator")).map(_.asText()).contains("and")) nClauses
+    else if (v.isObject)
+      Option(v.get("minimum_should_match")).map(msmOf(_, nClauses)).getOrElse(1)
+    else 1
 
   def withSynonyms[T](name: String, rules: Seq[String])(f: => T): T = {
     val m = scala.collection.mutable.Map.empty[String, Seq[String]]
@@ -711,9 +742,16 @@ object EsQueryJson {
                 val pl = Option(v.get("prefix_length")).map(_.asInt()).getOrElse(0)
                 EsDsl.matchQueryFuzzy(field(f), text.split("\\s+").toSeq, fOf, msm, pl)
               // plain match consults the field's INDEX analyzer (mapping-
-              // scoped): the doc side is the expanded stream, query terms
-              // stay standard-analyzed
-              case None => EsDsl.matchQuery(storedField(f), text.split("\\s+").toSeq, msm)
+              // scoped): the doc side is the expanded stream and — ES 6.5's
+              // search_analyzer default — the query side analyzes with the
+              // same chain; msm then counts ANALYZED clauses
+              case None => defaultSearchTerms(f, text) match {
+                case Some(ts) =>
+                  require(ts.nonEmpty,
+                    s"index-default search analyzer removed every query term: $text")
+                  EsDsl.matchQuery(storedField(f), ts, analyzedMsm(v, ts.length))
+                case None => EsDsl.matchQuery(storedField(f), text.split("\\s+").toSeq, msm)
+              }
             }
         }
       case "match_phrase" =>
@@ -1800,7 +1838,17 @@ object EsQueryJson {
         // dropped, the same contract the bulk envelope enforces.
         val analyzer = if (v.isObject) Option(v.get("analyzer")).map(_.asText()) else None
         val (terms, msm) = analyzer match {
-          case None => (text.split("\\s+").toSeq, msm0)
+          // no body analyzer: ES defaults search_analyzer to the field's
+          // INDEX analyzer — a shingled field expands the query into
+          // "_"-joined shingle terms (+unigrams per config), an english
+          // field stops+stems it; msm counts the analyzed clauses
+          case None => defaultSearchTerms(f, text) match {
+            case Some(ts) =>
+              require(ts.nonEmpty,
+                s"index-default search analyzer removed every query term: $text")
+              (ts, analyzedMsm(v, ts.length))
+            case None => (text.split("\\s+").toSeq, msm0)
+          }
           case Some("english") =>
             val ts = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
               .filterNot(graft.functions.TextKernels.englishStopwords.contains)

@@ -4616,6 +4616,50 @@ object TierB {
              |                    * (tf0*(1.2+1))/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS score
              |       FROM tf WHERE tf0 > 0)
              |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
+
+    // SEARCH-ANALYZER DEFAULTING on a shingled field (ES 6.5: a field's
+    // search_analyzer defaults to its index analyzer) — the natural
+    // query "hash table" analyzes QUERY-side with the same shingle
+    // chain and emits the terms {hash_table, hash, table}: the shingle
+    // clause rewards docs with the ADJACENT pair on top of the unigram
+    // clauses. Closes the a197-era documented deviation where query
+    // text stayed standard-analyzed and callers pre-expanded shingles
+    // by hand. Oracle scores the identical three clauses over the
+    // identical expanded stream.
+    Q("a206_es_json_shingle_search_analyzer",
+      (s, d) => graft.dsl.EsQueryJson.withShingles("sh", outputUnigrams = true) {
+        graft.dsl.EsQueryJson.withIndexAnalyzer("text", "sh") {
+          graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+            """{"query": {"match": {"text": "hash table"}},
+              | "sort": ["_score", "doc_id"], "size": 25}""".stripMargin)
+            .select(col("doc_id"), col("_score").as("score"))
+        }
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents),
+             |e AS (SELECT doc_id,
+             |        w || list_transform(generate_series(1, len(w) - 1),
+             |                            i -> w[i] || '_' || w[i+1]) AS toks
+             |      FROM t),
+             |f AS (SELECT doc_id,
+             |        CAST(len(list_filter(toks, x -> x = 'hash_table')) AS DOUBLE) AS tf0,
+             |        CAST(len(list_filter(toks, x -> x = 'hash')) AS DOUBLE) AS tf1,
+             |        CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) AS tf2,
+             |        CAST(len(toks) AS DOUBLE) AS dl
+             |      FROM e),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |              CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             |              CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             |              CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+             |       FROM f),
+             |sc AS (SELECT doc_id,
+             |         round(ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0*(1.2+1))/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+             |             + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1*(1.2+1))/(tf1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+             |             + ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * (tf2*(1.2+1))/(tf2 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS score
+             |       FROM f CROSS JOIN st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0)
+             |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
   )
 }
 

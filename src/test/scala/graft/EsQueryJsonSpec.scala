@@ -1869,6 +1869,31 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     val sh = score(uq, indexed = true)
     assert(plain.keySet == Set(1L, 2L) && sh.keySet == Set(1L, 2L))
     assert(plain(1L) != sh(1L), "index-time shingling must shift length normalization")
+    // ES 6.5 search_analyzer default: a NATURAL multi-term query against
+    // the shingled field expands query-side too — "hash table" emits
+    // {hash_table, hash, table}, so doc 2 (the adjacent pair) outscores
+    // doc 1 (both unigrams, not adjacent) despite doc 1's shorter field
+    val nat = score("""{"query": {"match": {"text": "hash table"}},
+                      | "sort": ["_score", "doc_id"]}""".stripMargin, indexed = true)
+    assert(nat.keySet == Set(1L, 2L))
+    assert(nat(2L) > nat(1L), "adjacent-pair doc must win via the shingle clause")
+    // operator:and counts ANALYZED clauses: all three must hit — only the
+    // doc with the adjacent pair survives
+    val natAnd = score("""{"query": {"match": {"text": {"query": "hash table",
+                         |  "operator": "and"}}}, "sort": ["_score", "doc_id"]}""".stripMargin,
+      indexed = true)
+    assert(natAnd.keySet == Set(2L), "operator:and over analyzed shingle clauses")
+    // filter context takes the same default: bool/filter match on the
+    // shingled field expands the query and honors analyzed-clause msm
+    val filt = graft.dsl.EsQueryJson.withShingles("sh", outputUnigrams = true) {
+      graft.dsl.EsQueryJson.withIndexAnalyzer("text", "sh") {
+        graft.dsl.EsQueryJson.search(docs,
+          """{"query": {"bool": {"filter": [{"match": {"text": {"query": "hash table",
+            |  "operator": "and"}}}]}}, "sort": ["doc_id"]}""".stripMargin)
+          .collect().map(_.getLong(0)).toSet
+      }
+    }
+    assert(filt == Set(2L), "filter-context match honors the index-default search analyzer")
   }
 
   test("index-time english: stems and stopwords live in the stored stream; cjk rejects") {
