@@ -238,11 +238,13 @@ object TextAnalysis {
     * the replaces commute) in one chained replace pass, then recounts
     * once per ROUND. Emits (round, overall rank, pair, stats,
     * n_tokens_after_round). */
-  private def mergeTrainRounds[S](docs: DataFrame, text: Column, maxRounds: Int)
+  private def mergeTrainRounds[S](docs: DataFrame, text: Column, maxRounds: Int,
+      toMarkers: Column => Column = w => regexp_replace(w, "(.)", "<$1>"),
+      pretokenize: Column => Column = tokens)
       (pickPairs: DataFrame => Seq[(String, S)]): Seq[(Int, Int, String, S, Long)] = {
-    var wf = Dedup.persistOnce(docs.select(explode(tokens(text)).as("word"))
+    var wf = Dedup.persistOnce(docs.select(explode(pretokenize(text)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(col("freq"), regexp_replace(col("word"), "(.)", "<$1>").as("w")))
+      .select(col("freq"), toMarkers(col("word")).as("w")))
     val rows = Seq.newBuilder[(Int, Int, String, S, Long)]
     var r = 1
     var rank = 1
@@ -334,6 +336,41 @@ object TextAnalysis {
       }
     }.map { case (round, rank, pair, pf, nTok) => (rank, round, pair, pf, nTok) }
       .toDF("rank", "round", "pair", "freq", "n_tokens_after")
+  }
+
+  /** BYTE-LEVEL BPE training (the GPT-2 tokenizer family, Radford et al.
+    * 2019) — the [[mergeTrainRounds]] harness with one config swap: the
+    * initial alphabet is the word's UTF-8 BYTES (each rendered as a
+    * two-hex-digit symbol, `hex()`'s uppercase convention on both
+    * engines), not its characters. Consequences the char-level trainer
+    * cannot deliver: (1) NO unk is possible — any text decomposes into
+    * the ≤256 base symbols, so the trained vocab covers every input by
+    * construction; (2) non-ASCII characters start as their multi-byte
+    * UTF-8 sequences and must EARN whole-character symbols through
+    * merges (e.g. é = c3 a9 merges to "c3a9" only if frequent enough) —
+    * the behavior that keeps rare-script vocab cost proportional to
+    * corpus frequency. Pre-tokenization is whitespace (lowercased), the
+    * byte-level convention: unlike [[tokens]]'s `\W+` split, punctuation
+    * and non-ASCII BYTES stay inside the words and train like any other
+    * symbol (GPT-2's regex pre-tokenizer differs in the split; the
+    * byte-merge algorithm is identical). Symbols are hex strings, so a
+    * merged symbol is the byte-sequence spelling (rank table entries
+    * like "74 68" → th). Emits the same (rank, pair, freq,
+    * n_tokens_after) table as [[bpeTrain]]; on a pure-ASCII
+    * alnum-and-space corpus the merge sequence corresponds 1:1 with
+    * [[bpeTrain]]'s modulo symbol spelling (spec-pinned). Same scale
+    * shape: ONE corpus-sized pass, then vocabulary-sized rounds with a
+    * 1-row driver argmax. */
+  def bpeTrainByteLevel(docs: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    mergeTrainRounds[Long](docs, text, maxRounds = nMerges,
+      toMarkers = w => regexp_replace(hex(encode(w, "UTF-8")), "(..)", "<$1>"),
+      pretokenize = t => filter(split(lower(t), "\\s+"), x => x =!= "")) { wf =>
+      mergePairCounts(wf).orderBy(desc("pf"), col("pair")).limit(1)
+        .collect().headOption.map(r => r.getString(0) -> r.getLong(1)).toSeq
+    }.map { case (_, rank, pair, pf, nTok) => (rank, pair, pf, nTok) }
+      .toDF("rank", "pair", "freq", "n_tokens_after")
   }
 
   /** WordPiece training rounds (Schuster & Nakajima 2012; the BERT

@@ -2633,6 +2633,52 @@ object TierC {
            |ORDER BY rank""".stripMargin
       }),
 
+    // BYTE-LEVEL BPE (the GPT-2 config): initial alphabet = UTF-8 bytes
+    // as 2-hex-digit symbols, no unk possible by construction. Same
+    // learn→merge→recount replay as c67, but pre-tokenization is
+    // WHITESPACE (the byte-level convention — punctuation bytes stay in
+    // the words and train) and w0 hexes the word's bytes: non-ASCII
+    // chars start multi-byte and must EARN whole-char symbols through
+    // merges. hex() is uppercase on both engines, so the pair/rank
+    // tables agree byte-for-byte.
+    Q("c134_bpe_train_byte_level",
+      (s, d) => TextAnalysis.bpeTrainByteLevel(Tables.documents(s, d), col("text"),
+        nMerges = 6).orderBy("rank"),
+      Some {
+        val n = 6
+        val iters = (1 to n).map { i =>
+          val prev = if (i == 1) "w0" else s"w${i - 1}"
+          s"""p$i AS (
+             |  SELECT pair, CAST(sum(freq) AS BIGINT) AS pf FROM (
+             |    SELECT freq, unnest(list_transform(generate_series(1, len(s) - 1),
+             |             j -> s[j] || ' ' || s[j + 1])) AS pair
+             |    FROM (SELECT freq, regexp_extract_all(w, '<([^<>]*)>', 1) AS s FROM $prev)
+             |    WHERE len(s) >= 2)
+             |  GROUP BY pair),
+             |b$i AS (SELECT pair, pf FROM p$i ORDER BY pf DESC, pair LIMIT 1),
+             |w$i AS (SELECT freq,
+             |          replace(w, '<' || split_part(b$i.pair, ' ', 1) ||
+             |                     '><' || split_part(b$i.pair, ' ', 2) || '>',
+             |                  '<' || replace(b$i.pair, ' ', '') || '>') AS w
+             |        FROM $prev, b$i),
+             |t$i AS (SELECT CAST(sum(freq * (len(w) - len(replace(w, '<', '')))) AS BIGINT) AS nt
+             |        FROM w$i)""".stripMargin
+        }.mkString(",\n")
+        val unions = (1 to n).map(i =>
+          s"SELECT $i AS rank, b$i.pair, b$i.pf AS freq, t$i.nt AS n_tokens_after FROM b$i, t$i")
+          .mkString("\n|UNION ALL ").stripMargin
+        s"""WITH bl AS (
+           |  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+           |  FROM documents),
+           |tf AS (SELECT unnest(w) AS word FROM bl),
+           |w0 AS (SELECT count(*) AS freq,
+           |              regexp_replace(hex(encode(word)), '(..)', '<\\1>', 'g') AS w
+           |       FROM tf GROUP BY word),
+           |$iters
+           |$unions
+           |ORDER BY rank""".stripMargin
+      }),
+
     // Tokenizer fertility per language: subword-tokens-per-word under the
     // corpus-trained 10-merge BPE — the multilingual tokenizer-cost
     // diagnostic. Oracle replays the same merges (c41's recursive replay)

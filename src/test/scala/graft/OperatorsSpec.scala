@@ -879,6 +879,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     assert(traj.sliding(2).forall(p => p.length < 2 || p(1) < p(0)))
   }
 
+  test("bpeTrainByteLevel: ASCII merges mirror char-level in hex; multi-byte chars earn symbols") {
+    import sp.implicits._
+    def hexOf(s: String) =
+      s.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+    // pure alnum+space corpus (whitespace split == \W+ split there): the
+    // byte trainer must pick the SAME merges as the char trainer, spelled
+    // in hex (1 char == 1 byte), with identical freq and n_tokens_after
+    // at every rank
+    val ascii = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), regexp_replace(lower(col("text")), "[^a-z0-9]+", " ").as("text"))
+    val chars = graft.ext.TextAnalysis.bpeTrain(ascii, col("text"), nMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val bytes = graft.ext.TextAnalysis.bpeTrainByteLevel(ascii, col("text"), nMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val charsAsHex = chars.map { case (rk, pair, f, nt) =>
+      val Array(a, b) = pair.split(' '); (rk, s"${hexOf(a)} ${hexOf(b)}", f, nt)
+    }
+    assert(bytes == charsAsHex, "byte-level must mirror char-level on ASCII")
+    // non-ASCII: é is two bytes (C3 A9) — frequent enough, the FIRST merge
+    // glues exactly that byte pair into a whole-character symbol
+    val fr = Seq.tabulate(40)(i => (i.toLong, "été café")).toDF("doc_id", "text")
+    val m = graft.ext.TextAnalysis.bpeTrainByteLevel(fr, col("text"), nMerges = 3)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m(1) == "C3 A9", s"first merge must be é's UTF-8 byte pair, got ${m(1)}")
+    // no unk by construction: every merged symbol decomposes to base bytes
+    m.values.foreach { p =>
+      p.split(' ').foreach(sym => assert(sym.length % 2 == 0 &&
+        sym.matches("[0-9A-F]+"), s"non-hex symbol $sym"))
+    }
+  }
+
   test("luhnRedact masks valid card numbers only; regex-lookalikes survive") {
     import sp.implicits._
     val docs = Seq(
