@@ -37,8 +37,16 @@ object EsDsl {
     * non-capturing full anchor. (The span_multi and terms-agg
     * include/exclude paths were already anchored; this closes the last
     * substring-semantics regexp site.) */
-  def regexp(c: Column, pattern: String): Column =
+  def regexp(c: Column, pattern: String): Column = {
+    // ES validates the pattern at PARSE time (RegexpQuery construction
+    // throws on a malformed expression); rlike compiles lazily inside the
+    // task, so without this eager compile a bad pattern classifies as a
+    // valid query and then explodes executor-side (found by EsJsonFuzzSpec).
+    // PatternSyntaxException is an IllegalArgumentException — the
+    // invalid_query class.
+    java.util.regex.Pattern.compile(pattern)
     c.rlike("^(?:" + pattern + ")$")
+  }
   /** B5 `match`: analyzed OR-of-terms with minimum_should_match. Term set
     * is deduped (array_intersect) — ES scores per unique term too. */
   def matchCount(text: Column, queryTerms: Seq[String]): Column =

@@ -57,6 +57,21 @@ object EsQueryJson {
     * Spark job — matching ES's no-shard-touched `_validate` contract. */
   private val validateOnly = new scala.util.DynamicVariable[Boolean](false)
 
+  /** Schema of the frame the current request runs against, set by the
+    * df-bearing entry points ([[search]], [[deleteByQuery]], ...). Lets
+    * leaf compilers make FIELD-TYPE-aware parse decisions the way ES's
+    * mapping does — e.g. a textual range bound against a numeric field
+    * must coerce at PARSE time (junk → invalid_query, ES's
+    * number_format_exception) instead of compiling into a lazy ANSI cast
+    * that explodes executor-side (found by EsJsonFuzzSpec). Empty when a
+    * predicate is built standalone — checks then degrade to the old
+    * behavior, never to a false rejection. */
+  private val querySchema =
+    new scala.util.DynamicVariable[Option[org.apache.spark.sql.types.StructType]](None)
+
+  private def withSchemaOf[T](df: DataFrame)(f: => T): T =
+    querySchema.withValue(Some(df.schema))(f)
+
   /** Stored-script registry (ES `PUT _scripts/{id}` / `GET _scripts/{id}`):
     * wherever a body accepts an inline painless `source`, `{"script":
     * {"id": "..."}}` resolves through here instead — same scoping
@@ -589,6 +604,15 @@ object EsQueryJson {
             if (n.isNumber) n.asLong().asInstanceOf[Any] else n.asText().asInstanceOf[Any]).toSeq: _*)
       case "range" =>
         val (f, b) = single(body)
+        // mapping-aware bound parse (ES): a textual bound against a
+        // NUMERIC field coerces at parse time — numeric strings become
+        // numbers (ES accepts "50"), junk rejects as invalid_query
+        // (number_format_exception) instead of becoming a lazy ANSI cast
+        // that explodes executor-side. Dotted / unknown / non-numeric
+        // fields skip the check (string ranges are lexicographic, as ES
+        // keyword ranges are).
+        val numericField = querySchema.value.exists(_.fields.exists(sf =>
+          sf.name == f && sf.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
         def bound(n: JsonNode): Column =
           if (n.isTextual && DateMath.isDateMath(n.asText())) {
             val anchor = Option(b.get("now")).map(x => java.time.Instant.parse(x.asText()))
@@ -596,6 +620,12 @@ object EsQueryJson {
               .getOrElse(throw new IllegalArgumentException(
                 s"date math '${n.asText()}' needs an injected clock (withNow or a 'now' body key)"))
             to_timestamp(lit(DateMath.literal(n.asText(), anchor)))
+          } else if (n.isTextual && numericField) {
+            val d = try n.asText().trim.toDouble catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"range bound '${n.asText()}' is not a number for numeric field '$f'")
+            }
+            if (d.isWhole && d.abs <= Long.MaxValue.toDouble) lit(d.toLong) else lit(d)
           } else litOf(n)
         Seq(
           Option(b.get("gte")).map(field(f) >= bound(_)),
@@ -1031,7 +1061,10 @@ object EsQueryJson {
     }.toDF("query_id", "valid", "error_class").orderBy("query_id")
   }
 
-  def search(df: DataFrame, bodyJson: String): DataFrame = {
+  def search(df: DataFrame, bodyJson: String): DataFrame =
+    withSchemaOf(df)(searchImpl(df, bodyJson))
+
+  private def searchImpl(df: DataFrame, bodyJson: String): DataFrame = {
     val body = parse(bodyJson)
     // (field, explicitOrder, nullsPlacement) triples; _score defaults
     // desc, fields asc, missing docs last (the ES default). _script /
@@ -1570,9 +1603,9 @@ object EsQueryJson {
     * predicate does not match). Scale: the filter sits directly over the
     * scan, so pushdown-eligible alias filters prune at the source. */
   def filteredAlias(df: DataFrame, filterJson: String): DataFrame =
-    df.filter(coalesce(predicate(parse(filterJson)), lit(false)))
+    withSchemaOf(df)(df.filter(coalesce(predicate(parse(filterJson)), lit(false))))
 
-  def deleteByQuery(df: DataFrame, bodyJson: String): DataFrame = {
+  def deleteByQuery(df: DataFrame, bodyJson: String): DataFrame = withSchemaOf(df) {
     val body = parse(bodyJson)
     val q = Option(body.get("query")).getOrElse(
       throw new IllegalArgumentException("_delete_by_query needs a query"))
@@ -1586,7 +1619,7 @@ object EsQueryJson {
     * interpreter); the target keeps its original type when it already
     * exists. A scriptless body degenerates to the identity (ES uses that
     * form to bump versions — no relational effect). */
-  def updateByQuery(df: DataFrame, bodyJson: String): DataFrame = {
+  def updateByQuery(df: DataFrame, bodyJson: String): DataFrame = withSchemaOf(df) {
     val body = parse(bodyJson)
     val matches = Option(body.get("query"))
       .map(q => coalesce(predicate(q), lit(false))).getOrElse(lit(true))

@@ -4700,7 +4700,18 @@ private[queries] object ValidateFixture {
       "invalid_query"),
     ("q7_ok_sorted_page",
       """{"query": {"match_phrase": {"text": "spark engine"}},
-        | "sort": ["_score", "doc_id"], "from": 2, "size": 5}""".stripMargin, "ok"))
+        | "sort": ["_score", "doc_id"], "from": 2, "size": 5}""".stripMargin, "ok"),
+    // found by EsJsonFuzzSpec (round 14): a malformed regexp used to
+    // classify ok (rlike compiles task-side) and explode at execution;
+    // ES rejects it at parse time — now an eager Pattern.compile
+    ("q8_bad_regexp", """{"query": {"regexp": {"lang": "[a-"}}}""", "invalid_query"),
+    // found by EsJsonFuzzSpec (round 14): a junk bound against a numeric
+    // field used to classify ok (lazy ANSI cast) and explode at
+    // execution; ES coerces numeric strings and rejects junk at parse
+    ("q9_bad_numeric_bound",
+      """{"query": {"range": {"n_chars": {"gte": "abc"}}}}""", "invalid_query"),
+    ("q9b_coerced_numeric_bound",
+      """{"query": {"range": {"n_chars": {"gte": "50"}}}}""", "ok"))
   val bodies: Seq[(String, String)] = cases.map { case (q, b, _) => (q, b) }
   val expected: Seq[(String, String)] =
     cases.map { case (q, _, cls) => (q, cls) }.sortBy(_._1)

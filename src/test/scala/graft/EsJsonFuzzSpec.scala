@@ -1,0 +1,207 @@
+package graft
+
+import graft.dsl.EsQueryJson
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial fuzz of the ES-JSON front-end (round-14 task): every
+  * generated body — valid, type-skewed, structurally mangled, or
+  * truncated — must either compile to a plan or reject loudly with one
+  * of the four stable `validateQuery` error classes (`ok`,
+  * `parse_error`, `invalid_query`, `unknown_field` — the a198
+  * contract). An exception type escaping [[EsQueryJson.validateQuery]]
+  * IS the bug this spec hunts: it means some parse path throws outside
+  * the classified set (a silent-misparse hazard for callers that
+  * branch on the class). Bodies classified `ok` additionally EXECUTE
+  * against a live frame — "compiles but explodes at runtime" is the
+  * other silent failure mode.
+  *
+  * The generator is seeded (ScalaCheck `pureApply`), so the corpus is
+  * deterministic run-to-run: a found bug stays found. */
+class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
+
+  // ---- generator ------------------------------------------------------
+  private val strFields = Seq("id", "lang", "source", "text")
+  private val numFields = Seq("doc_id", "n_chars")
+  private def mixIn(good: Seq[String]): Gen[String] =
+    Gen.frequency(9 -> Gen.oneOf(good), 1 -> Gen.const("no_such_field"))
+  private val strField = mixIn(strFields)
+  private val numField = mixIn(numFields)
+  private val anyField = mixIn(strFields ++ numFields)
+
+  private val words = Gen.oneOf("alpha", "beta", "hash", "table", "spark",
+    "join", "the", "quick")
+  private val phrase = Gen.chooseNum(1, 3)
+    .flatMap(n => Gen.listOfN(n, words).map(_.mkString(" ")))
+  private val strVal = Gen.oneOf("en", "de", "fr", "web", "wiki", "alpha")
+  private val numVal = Gen.chooseNum(-5, 500)
+
+  private def termGen: Gen[String] = Gen.oneOf(
+    for { f <- strField; v <- strVal } yield s"""{"term": {"$f": "$v"}}""",
+    for { f <- numField; v <- numVal } yield s"""{"term": {"$f": $v}}""")
+
+  private def termsGen: Gen[String] =
+    for { f <- strField; a <- strVal; b <- strVal }
+      yield s"""{"terms": {"$f": ["$a", "$b"]}}"""
+
+  private def rangeGen: Gen[String] = for {
+    f <- numField; lo <- numVal; span <- Gen.chooseNum(1, 200)
+    ops <- Gen.oneOf(Seq("gte", "lt"), Seq("gt"), Seq("gte", "lte"))
+  } yield {
+    val bounds = ops.map {
+      case o @ ("gte" | "gt") => s""""$o": $lo"""
+      case o => s""""$o": ${lo + span}"""
+    }.mkString(", ")
+    s"""{"range": {"$f": {$bounds}}}"""
+  }
+
+  private def existsGen: Gen[String] =
+    anyField.map(f => s"""{"exists": {"field": "$f"}}""")
+
+  private def patternGen: Gen[String] = for {
+    f <- strField
+    q <- Gen.oneOf(
+      s"""{"prefix": {"$f": "a"}}""",
+      s"""{"wildcard": {"$f": "a*"}}""",
+      s"""{"regexp": {"$f": "[a-z]+"}}""",
+      s"""{"regexp": {"$f": "[a-"}}""") // invalid pattern → must classify
+  } yield q
+
+  private def idsGen: Gen[String] =
+    Gen.listOfN(2, strVal).map(vs =>
+      s"""{"ids": {"values": [${vs.map(v => s""""$v"""").mkString(", ")}]}}""")
+
+  private def matchGen: Gen[String] = for {
+    f <- Gen.frequency(8 -> Gen.const("text"), 1 -> strField, 1 -> numField)
+    q <- phrase
+    form <- Gen.oneOf(1, 2, 3, 4, 5, 6)
+    msm <- Gen.oneOf("1", "2", "\"75%\"", "\"-25%\"", "\"2<75%\"") // last: unsupported form
+    an <- Gen.oneOf("english", "whitespace", "keyword", "klingon") // last: unknown analyzer
+    fz <- Gen.oneOf("1", "\"AUTO\"", "\"MAX\"") // last: invalid
+  } yield form match {
+    case 1 => s"""{"match": {"$f": "$q"}}"""
+    case 2 => s"""{"match": {"$f": {"query": "$q", "operator": "and"}}}"""
+    case 3 => s"""{"match": {"$f": {"query": "$q", "minimum_should_match": $msm}}}"""
+    case 4 => s"""{"match": {"$f": {"query": "$q", "analyzer": "$an"}}}"""
+    case 5 => s"""{"match": {"$f": {"query": "$q", "fuzziness": $fz}}}"""
+    case 6 => s"""{"match_phrase": {"$f": "$q"}}"""
+  }
+
+  private def malformedLeafGen: Gen[String] = Gen.oneOf(
+    """{"frobnicate": {"text": "x"}}""",          // unknown query kind
+    """{"term": {"lang": "en", "source": "web"}}""", // two fields in a single-field body
+    """{"term": {}}""",                            // empty body
+    """{"range": {"n_chars": {"gte": "abc"}}}""",  // non-numeric bound on numeric field
+    """{"ids": {}}""",                             // missing values
+    """{"match": {}}""",                           // no field
+    """{"bool": {"must": 3}}""")                   // clause list is a scalar
+
+  private def leafGen: Gen[String] = Gen.frequency(
+    3 -> termGen, 2 -> termsGen, 3 -> rangeGen, 2 -> existsGen,
+    2 -> patternGen, 1 -> idsGen, 4 -> matchGen, 2 -> malformedLeafGen)
+
+  private def boolGen(depth: Int): Gen[String] = for {
+    nMust <- Gen.chooseNum(0, 2)
+    nShould <- Gen.chooseNum(0, 2)
+    nNot <- Gen.chooseNum(0, 1)
+    nFilter <- Gen.chooseNum(0, 1)
+    sub = if (depth <= 0) leafGen else queryGen(depth - 1)
+    must <- Gen.listOfN(nMust, sub)
+    should <- Gen.listOfN(nShould, sub)
+    mnot <- Gen.listOfN(nNot, sub)
+    filt <- Gen.listOfN(nFilter, sub)
+    msm <- Gen.option(Gen.chooseNum(0, 3))
+  } yield {
+    val parts = Seq(
+      if (must.nonEmpty) Some(s""""must": [${must.mkString(", ")}]""") else None,
+      if (should.nonEmpty) Some(s""""should": [${should.mkString(", ")}]""") else None,
+      if (mnot.nonEmpty) Some(s""""must_not": [${mnot.mkString(", ")}]""") else None,
+      if (filt.nonEmpty) Some(s""""filter": [${filt.mkString(", ")}]""") else None,
+      msm.filter(_ => should.nonEmpty).map(m => s""""minimum_should_match": $m""")
+    ).flatten
+    s"""{"bool": {${parts.mkString(", ")}}}"""
+  }
+
+  private def queryGen(depth: Int): Gen[String] =
+    Gen.frequency(7 -> leafGen, 3 -> boolGen(depth))
+
+  private def aggsGen: Gen[String] = for {
+    f <- anyField; nf <- numField
+    a <- Gen.oneOf(
+      s"""{"terms": {"field": "$f", "size": 5}}""",
+      s"""{"stats": {"field": "$nf"}}""",
+      s"""{"avg": {"field": "$nf"}}""",
+      s"""{"histogram": {"field": "$nf", "interval": 50}}""",
+      s"""{"cardinality": {"field": "$f"}}""")
+  } yield s""""aggs": {"g": $a}"""
+
+  private def sortGen: Gen[String] = Gen.oneOf(
+    """"sort": ["doc_id"]""",
+    """"sort": [{"n_chars": {"order": "desc"}}, "doc_id"]""",
+    """"sort": ["_score", "doc_id"]""",
+    """"sort": ["no_such_field"]""")
+
+  private def bodyGen: Gen[String] = for {
+    q <- queryGen(2)
+    size <- Gen.option(Gen.chooseNum(0, 50).map(n => s""""size": $n"""))
+    from <- Gen.option(Gen.chooseNum(0, 10).map(n => s""""from": $n"""))
+    sort <- Gen.option(sortGen)
+    aggs <- Gen.frequency(4 -> Gen.const(None), 1 -> aggsGen.map(Some(_)))
+    mangle <- Gen.frequency(9 -> Gen.const(0), 1 -> Gen.chooseNum(1, 8))
+  } yield {
+    val parts = Seq(Some(s""""query": $q"""), size, from, sort, aggs).flatten
+    val body = s"{${parts.mkString(", ")}}"
+    if (mangle == 0) body else body.dropRight(mangle) // truncation → parse_error
+  }
+
+  // ---- the corpus (deterministic) --------------------------------------
+  private val N = 1500
+  private val corpus: Seq[String] =
+    Gen.listOfN(N, bodyGen).pureApply(Gen.Parameters.default, Seed(20260815L))
+
+  private def docs = {
+    val sp = spark
+    import sp.implicits._
+    (0 until 30).map { i =>
+      (s"d$i", i.toLong, Seq("en", "de", "fr")(i % 3), Seq("web", "wiki")(i % 2),
+        s"alpha beta doc $i hash table spark join", (i * 17 + 3).toLong)
+    }.toDF("id", "doc_id", "lang", "source", "text", "n_chars")
+  }
+
+  test(s"fuzz: $N random bodies all classify into the a198 error classes") {
+    val classified = EsQueryJson.validateQuery(docs,
+        corpus.zipWithIndex.map { case (b, i) => (f"q$i%04d", b) })
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+    assert(classified.length == N)
+    val classes = classified.map(_._3).toSet
+    assert(classes.subsetOf(Set("ok", "parse_error", "invalid_query", "unknown_field")))
+    // generator coverage sanity: every class actually occurs, and the
+    // corpus is not degenerate (mostly-valid bodies with a real error tail)
+    val byClass = classified.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byClass.keySet == Set("ok", "parse_error", "invalid_query", "unknown_field"),
+      s"missing class: $byClass")
+    assert(byClass("ok") > N / 3, s"generator degenerated: $byClass")
+  }
+
+  test("fuzz: every ok-classified body also EXECUTES (compiles ⇒ runs)") {
+    val d = docs.cache()
+    try {
+      val ok = EsQueryJson.validateQuery(d,
+          corpus.zipWithIndex.map { case (b, i) => (f"q$i%04d", b) })
+        .filter(col("error_class") === "ok")
+        .collect().map(_.getString(0).stripPrefix("q").toInt)
+      // bounded run budget: a deterministic stratified sample (every k-th
+      // ok body) — still covers all generator arms over a 1500-body corpus
+      val sample = ok.zipWithIndex.collect { case (i, j) if j % 5 == 0 => i }
+      assert(sample.length >= 80, s"too few ok bodies to fuzz-execute: ${ok.length}")
+      sample.foreach { i =>
+        try EsQueryJson.search(d, corpus(i)).collect()
+        catch { case e: Throwable =>
+          fail(s"ok-classified body q$i failed at execution: ${e.getMessage}\n${corpus(i)}")
+        }
+      }
+    } finally { d.unpersist(); () }
+  }
+}
