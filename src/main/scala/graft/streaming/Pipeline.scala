@@ -137,6 +137,37 @@ object Pipeline {
       }
   }
 
+  /** One COMPOSED incremental micro-batch — quarantine + sketch tables +
+    * bucketed index + scheduled vacuum, the full 100 TB-operator shape in
+    * one body. Public so the streaming shell, batch replays, and the
+    * ScaleRound14 soak all drive the exact code (the [[applyBatch]]
+    * discipline). Ordering is load-bearing: sketches BEFORE the index,
+    * so the only torn-publish state a crash can leave is "sketches
+    * ahead", which replay converges (both publishes are individually
+    * idempotent on batchId — StreamingSpec's crash-window case). */
+  def applyIncrementalBatch(spark: SparkSession, cfg: Config, batch: DataFrame,
+                            batchId: Long, nBuckets: Int = 256): Unit = {
+    val bad = batch.filter(isMalformed)
+    cfg.quarantineDir.foreach { qd =>
+      bad.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").parquet(s"$qd/b$batchId")
+    }
+    // sketches before the index (see applyBatch): idempotent pair
+    cfg.sketchDir.foreach(sd => SketchTable.updateForBatch(
+      spark, sd, batch.filter(!isMalformed), batchId))
+    BucketedIndex.applyBatch(spark, cfg.indexDir,
+      batch.filter(!isMalformed), batchId, nBuckets)
+    // periodic GC of superseded bucket versions. Vacuum only deletes
+    // dirs the manifest no longer references; an external reader that
+    // resolved the manifest before the latest swap can still race it
+    // (the Delta-VACUUM-retention tradeoff) — size vacuumEveryBatches
+    // to exceed the longest expected reader
+    if (cfg.vacuumEveryBatches > 0 && batchId > 0 && batchId % cfg.vacuumEveryBatches == 0) {
+      BucketedIndex.vacuum(cfg.indexDir)
+      cfg.sketchDir.foreach(SketchTable.vacuum)
+    }
+  }
+
   /** The 100 TB variant of [[start]]: per-batch cost O(batch + touched
     * buckets) via [[BucketedIndex]] instead of a full snapshot rewrite. */
   def startIncremental(spark: SparkSession, cfg: Config, nBuckets: Int = 256): StreamingQuery =
@@ -146,26 +177,7 @@ object Pipeline {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(Trigger.ProcessingTime(s"${cfg.triggerSeconds} seconds"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val bad = batch.filter(isMalformed)
-        cfg.quarantineDir.foreach { qd =>
-          bad.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite").parquet(s"$qd/b$batchId")
-        }
-        // sketches before the index (see applyBatch): idempotent pair
-        cfg.sketchDir.foreach(sd => SketchTable.updateForBatch(
-          batch.sparkSession, sd, batch.filter(!isMalformed), batchId))
-        BucketedIndex.applyBatch(batch.sparkSession, cfg.indexDir,
-          batch.filter(!isMalformed), batchId, nBuckets)
-        // periodic GC of superseded bucket versions. Vacuum only deletes
-        // dirs the manifest no longer references; an external reader that
-        // resolved the manifest before the latest swap can still race it
-        // (the Delta-VACUUM-retention tradeoff) — size vacuumEveryBatches
-        // to exceed the longest expected reader
-        if (cfg.vacuumEveryBatches > 0 && batchId > 0 && batchId % cfg.vacuumEveryBatches == 0) {
-          BucketedIndex.vacuum(cfg.indexDir)
-          cfg.sketchDir.foreach(SketchTable.vacuum)
-        }
-        ()
+        applyIncrementalBatch(batch.sparkSession, cfg, batch, batchId, nBuckets)
       }
       .start()
 

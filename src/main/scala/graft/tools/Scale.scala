@@ -741,3 +741,239 @@ object ScaleRound13 {
     spark.stop()
   }
 }
+
+/** Round-14 composed soak — the FULL reference workflow under sustained
+  * load, every piece in the same `foreachBatch` body the production
+  * stream runs ([[graft.streaming.Pipeline.applyIncrementalBatch]]):
+  * 20 batches × 1M mutations into { bucketed incremental index + per-day
+  * HDR/HLL sketch tables + quarantine }, vacuum every 5 batches, then a
+  * mixed serving battery (ES-JSON search over the materialized index +
+  * sketch-table date-range percentile/distinct reads) checked against
+  * the one-shot batch oracle over the whole 20M-row log. The reference
+  * contract this composes: `observer6/ElasticSearchBulkOperator.java:79-101`
+  * — the observable is "the index stays query-consistent while ingesting
+  * forever". Asserted: steady-state per-batch time FLAT (key space
+  * saturates at 2M docs by ~batch 4; after that every batch pays
+  * O(batch + index) with hash-scattered keys — the honest uniform-update
+  * shape — so times must plateau, not grow), mid-soak replay idempotence
+  * (the checkpoint-lost crash), and end-state equality on all three
+  * artifact families. */
+object ScaleRound14 {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.{BucketedIndex, Pipeline, SketchTable}
+
+    val root = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    val cfg = Pipeline.Config(
+      changeLogDir = "unused", indexDir = s"$root/index",
+      checkpointDir = "unused", quarantineDir = Some(s"$root/quarantine"),
+      vacuumEveryBatches = 5, sketchDir = Some(s"$root/sketch"))
+
+    // one micro-batch: 1M mutations over a 2M-key space (every batch
+    // revisits ~39% of a saturated index — the steady-update regime),
+    // ~5% deletes, ~0.2% malformed (null key / bad op → quarantine),
+    // HALF a day of traffic per batch (CDC arrival order tracks event
+    // time — the incremental path applies batches in arrival order, so
+    // the one-shot (ts, seq) fold agrees exactly when ts is cross-batch
+    // monotone, as a change-capture stream's is; each sketch-table day
+    // then unions TWO batches' sketches, keeping the cross-batch
+    // union-vs-one-shot claim live), payload sizes spread over HDR
+    // buckets
+    def mkBatch(b: Int) = spark.range(1_000_000).select(
+      when(pmod(hash(col("id"), lit(b * 7 + 1)), lit(500)) === 0, lit(null: String))
+        .otherwise(concat(lit("u"), pmod(hash(col("id"), lit(b)), lit(2_000_000L))))
+        .as("row_key"),
+      when(pmod(hash(col("id"), lit(b * 7 + 2)), lit(500)) === 1, lit("X"))
+        .when(pmod(hash(col("id"), lit(b * 7 + 3)), lit(20)) === 0, lit("D"))
+        .otherwise(lit("U")).as("op"),
+      timestamp_micros(lit(1700000000000000L) + lit((b / 2).toLong) * 86400000000L +
+        lit((b % 2).toLong) * 43200000000L + (col("id") % 43000L) * 1000000L).as("ts"),
+      (lit(b.toLong * 1_000_000L) + col("id")).as("seq"),
+      array(
+        struct(lit("f").as("family"), lit("etype").as("qualifier"),
+          element_at(typedLit(Seq("purchase", "click", "view")),
+            (pmod(hash(col("id"), lit(b + 50)), lit(3)) + 1).cast("int")).as("value")),
+        struct(lit("f").as("family"), lit("val").as("qualifier"),
+          repeat(lit("x"), (pmod(hash(col("id"), lit(b + 100)), lit(500)) + 1).cast("int"))
+            .as("value"))).as("cells"))
+
+    val nBatches = 20
+    val times = (0 until nBatches).map { b =>
+      val t0 = System.nanoTime()
+      Pipeline.applyIncrementalBatch(spark, cfg, mkBatch(b), b.toLong, nBuckets = 256)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE soak-batch-$b%02d-1m $dt%.2f s")
+      // mid-soak crash replay: the checkpoint-commit-lost case — replaying
+      // the just-committed batch id must change nothing in either table
+      if (b == 10) {
+        val manifestBefore = BucketedIndex.readManifest(cfg.indexDir)
+        val skBefore = SketchTable.currentVersion(cfg.sketchDir.get)
+        Pipeline.applyIncrementalBatch(spark, cfg, mkBatch(b), b.toLong, nBuckets = 256)
+        require(BucketedIndex.readManifest(cfg.indexDir) == manifestBefore &&
+          SketchTable.currentVersion(cfg.sketchDir.get) == skBefore,
+          "mid-soak replay of batch 10 mutated published state")
+        println("SCALEINFO mid-soak replay of batch 10: no-op (exactly-once held)")
+      }
+      dt
+    }
+    // steady-state flatness: key space saturates by ~batch 4; the last 5
+    // batches must not exceed 1.5x the post-saturation plateau (8..12)
+    val plateau = times.slice(8, 13).sum / 5
+    val tail = times.slice(15, 20).sum / 5
+    println(f"SCALEINFO soak per-batch plateau $plateau%.2f s tail $tail%.2f s " +
+      f"ratio ${tail / plateau}%.2f")
+    require(tail <= plateau * 1.5,
+      f"per-batch time grew with history: plateau $plateau%.2f s -> tail $tail%.2f s")
+
+    // ---- one-shot batch oracle over the whole 20M-row log ----
+    val all = (0 until nBatches).map(mkBatch).reduce(_ unionByName _)
+    val good = all.filter(!Pipeline.isMalformed)
+    val folded = graft.ext.Dedup.persistOnce(Merge.fold(good))
+
+    // index == one-shot fold (20M mutations -> ~1.9M live docs), FULL doc
+    // state: (id, sorted info entries) anti-joined both ways
+    val streamedIdx = BucketedIndex.read(spark, cfg.indexDir)
+    def docState(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), array_sort(map_entries(col("info"))).as("doc"))
+    val diff = Scale.t("soak-index-vs-oneshot-antijoin")(
+      docState(streamedIdx).exceptAll(docState(folded)).count() +
+        docState(folded).exceptAll(docState(streamedIdx)).count())
+    require(diff == 0L, s"index state diverged from one-shot fold: $diff rows")
+
+    // ES-JSON battery over the MATERIALIZED index vs the fold (the a19
+    // path): selective bool query, full row compare
+    val body =
+      """{"query": {"bool": {
+        |  "must": [{"term": {"info.etype": "purchase"}}],
+        |  "filter": [{"exists": {"field": "info.val"}}]}},
+        | "size": 100, "sort": ["id"]}""".stripMargin
+    def serve(df: org.apache.spark.sql.DataFrame) =
+      graft.dsl.EsQueryJson.search(df, body)
+        .select(col("id"), length(element_at(col("info"), "val")).as("n"))
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    val servedStream = Scale.t("soak-es-query-streamed")(serve(streamedIdx))
+    val servedBatch = Scale.t("soak-es-query-oneshot")(serve(folded))
+    require(servedStream == servedBatch && servedStream.length == 100,
+      s"served ES-JSON query diverged: ${servedStream.length} vs ${servedBatch.length}")
+    println(s"SCALEINFO soak es-json served rows ${servedStream.length} == one-shot")
+
+    // sketch battery: HDR rows exact, HLL per-day estimates equal, and a
+    // date-range percentile read (sketch-sized work end to end)
+    val (bHdr, bHll) = SketchTable.oneShot(good)
+    val hdrStream = SketchTable.readHdr(spark, cfg.sketchDir.get)
+    val hdrDiff = hdrStream.exceptAll(bHdr).count() + bHdr.exceptAll(hdrStream).count()
+    require(hdrDiff == 0L, s"HDR sketch table diverged from one-shot: $hdrDiff rows")
+    val estS = SketchTable.distinctKeysByDay(spark, cfg.sketchDir.get)
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val estB = bHll.select(col("day"), hll_sketch_estimate(col("sk")).as("e"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    require(estS == estB, "HLL distinct-keys-by-day diverged from one-shot")
+    val p = SketchTable.payloadPercentiles(spark, cfg.sketchDir.get,
+      "2023-11-15", "2023-12-05", Seq(0.5, 0.99)).collect()
+    require(p.length == 2, s"percentile read returned ${p.length} rows")
+    println(s"SCALEINFO soak sketch hdr-rows ${hdrStream.count()} days ${estS.size} " +
+      s"p50/p99 read ok; hll == one-shot on all days")
+
+    // quarantine: exactly the malformed rows, per batch
+    val qCount = spark.read.parquet(s"${cfg.quarantineDir.get}/*").count()
+    val expBad = all.filter(Pipeline.isMalformed).count()
+    require(qCount == expBad, s"quarantine $qCount != malformed $expBad")
+    println(s"SCALEINFO soak quarantined $qCount of 20M (matches malformed count)")
+
+    // vacuum held: superseded batch dirs are gone (vacuum ran at 5,10,15;
+    // batches 16..19 may still hold superseded versions - bound, not zero)
+    import scala.jdk.CollectionConverters._
+    val batchDirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(cfg.indexDir, "batches"))
+      .iterator().asScala.size
+    require(batchDirs <= 6, s"vacuum left $batchDirs batch dirs (expected <= 6)")
+    println(s"SCALEINFO soak batch dirs after vacuum: $batchDirs")
+    spark.stop()
+  }
+}
+
+/** Round-14 SKEW soak for the event/session family: ONE user with 5M
+  * events (beside 10k normal users × 100 events) through sessionize /
+  * funnel / transitions / paths / attribution / RFM. Every operator here
+  * partitions by user_id, so the whale is the worst case: its 5M rows
+  * land in ONE window partition / ONE collect_list — the in-row sorted
+  * folds and single-pass windows must absorb it without a straggler
+  * blowing up (the c71-class probe the round-13 verdict asked for). The
+  * fixture is analytic (types cycle view→click→cart→purchase; the whale
+  * gaps every 1000 events), so each report has an exact expected shape —
+  * a silent skew-truncation can't hide behind the timing. */
+object ScaleRound14b {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ext.Sessionize
+    import Scale.t
+
+    val types = typedLit(Seq("view", "click", "cart", "purchase"))
+    val base = 1700000000000000L
+    // the whale: 5M events, 1 s apart, a 2 h gap every 1000 events
+    // (=> exactly 5000 sessions of 1000 events)
+    val whale = spark.range(5_000_000).select(
+      lit(9_999_999L).as("user_id"),
+      col("id").as("event_id"),
+      timestamp_micros(lit(base) + col("id") * 1000000L +
+        (col("id") / 1000L).cast("long") * 7200L * 1000000L).as("ts"),
+      element_at(types, (col("id") % 4 + 1).cast("int")).as("event_type"),
+      lit(1.0).as("value"))
+    // 10k normal users × 100 events, 10 s apart (one session each)
+    val normal = spark.range(1_000_000).select(
+      (col("id") % 10000L).as("user_id"),
+      col("id").as("event_id"),
+      timestamp_micros(lit(base) + (col("id") / 10000L).cast("long") * 10L * 1000000L).as("ts"),
+      element_at(types, ((col("id") / 10000L).cast("long") % 4 + 1).cast("int")).as("event_type"),
+      lit(1.0).as("value"))
+    val events = graft.ext.Dedup.persistOnce(whale.unionByName(normal))
+    require(events.count() == 6_000_000L)
+
+    // sessionize: the whale's 5M rows sort in ONE window partition
+    val stats = t("skew-sessionize-userstats")(
+      Sessionize.userStats(events, gapMinutes = 30)
+        .filter(col("user_id") === 9_999_999L).collect())
+    require(stats.length == 1 && stats(0).getLong(1) == 5000L &&
+      stats(0).getLong(2) == 5_000_000L && stats(0).getLong(3) == 1000L,
+      s"whale session stats wrong: ${stats.toSeq}")
+    println(s"SCALEINFO skew whale sessions ${stats(0).getLong(1)} " +
+      s"events ${stats(0).getLong(2)} maxSess ${stats(0).getLong(3)}")
+
+    // funnel: the whale's 5M funnel-relevant events fold in ONE in-row
+    // aggregate; types cycle, so EVERY user completes all 4 stages
+    val fun = t("skew-funnel-4stage")(
+      Sessionize.funnel(events, Seq("view", "click", "cart", "purchase")).collect())
+    require(fun.length == 1 && fun(0).getInt(0) == 4 && fun(0).getLong(1) == 10001L,
+      s"funnel rows: ${fun.toSeq}")
+    println(s"SCALEINFO skew funnel complete-stage users ${fun(0).getLong(1)}")
+
+    // transitions: the cycle makes every from->to deterministic (p = 1.0)
+    val tr = t("skew-transitions")(Sessionize.eventTransitions(events).collect())
+    require(tr.length == 4 && tr.forall(_.getDouble(3) == 1.0),
+      s"transitions: ${tr.toSeq}")
+
+    // paths: every user's first 3 events are view>click>cart
+    val paths = t("skew-top-paths")(Sessionize.topPaths(events).collect())
+    require(paths.length == 1 && paths(0).getString(0) == "view>click>cart" &&
+      paths(0).getLong(1) == 10001L, s"paths: ${paths.toSeq}")
+
+    // attribution: cart always precedes purchase within the hour (the
+    // whale's 2 h gaps never land before a purchase: gap idx % 1000 == 0
+    // is a view)
+    val attr = t("skew-attribution")(
+      Sessionize.lastTouchAttribution(events, "purchase", withinSeconds = 3600L).collect())
+    require(attr.length == 1 && attr(0).getString(0) == "cart",
+      s"attribution: ${attr.toSeq}")
+    val nConv = attr(0).getLong(1)
+    require(nConv == 1_250_000L + 10000L * 25L, s"conversions $nConv")
+
+    // RFM: quantile cutoffs, no global ntile — whale lands in one segment
+    val rfm = t("skew-rfm")(Sessionize.rfmSegments(events, col("value")).collect())
+    require(rfm.map(_.getLong(1)).sum == 10001L, s"rfm users ${rfm.map(_.getLong(1)).sum}")
+    println(s"SCALEINFO skew rfm segments ${rfm.length} users ${rfm.map(_.getLong(1)).sum}")
+    println("SCALEINFO skew soak complete: whale absorbed by every operator")
+    spark.stop()
+  }
+}

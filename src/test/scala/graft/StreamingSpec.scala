@@ -309,6 +309,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(est == Map("2024-01-01" -> 1L, "2024-01-02" -> 2L, "2024-01-03" -> 1L))
   }
 
+  test("crash BETWEEN sketch publish and index publish: replay converges both tables") {
+    // The torn-publish window SketchTable.scala documents: applyBatch
+    // publishes sketches FIRST, then the index. A crash in between leaves
+    // sketches at v<id> and the index one version behind. On restart the
+    // stream replays the batch id: the sketch side must SKIP (already
+    // published — re-unioning would double-count the batch), the index
+    // side must APPLY. After replay both tables equal the one-shot fold.
+    import graft.streaming.SketchTable
+    val indexDir = tmpDir("graft-torn-idx")
+    val sketchDir = tmpDir("graft-torn-sk")
+    val b0 = Seq(
+      mut("a", "U", "2024-01-01 00:00:00", 1, ("f", "x", "payload-one")),
+      mut("b", "U", "2024-01-02 00:00:01", 2, ("f", "y", "pp")))
+    val b1 = Seq(
+      mut("a", "U", "2024-01-02 00:00:02", 3, ("f", "x", "reissued")),
+      mut("c", "U", "2024-01-03 00:00:03", 4, ("f", "z", "a-much-longer-payload")),
+      mut("b", "D", "2024-01-03 00:00:04", 5))
+    Pipeline.applyBatch(spark, mutDf(b0), indexDir, 0, sketchDir = Some(sketchDir))
+    // ---- batch 1, TORN: the sketch publish happens, then "crash" ----
+    SketchTable.updateForBatch(spark, sketchDir, mutDf(b1).filter(!Pipeline.isMalformed), 1L)
+    assert(SketchTable.currentVersion(sketchDir).contains("v1"))
+    assert(Pipeline.currentSnapshot(indexDir).contains("v0"),
+      "fixture must model the torn window: sketches ahead of the index")
+    // ---- restart: the checkpoint replays batch id 1 through applyBatch ----
+    Pipeline.applyBatch(spark, mutDf(b1), indexDir, 1, sketchDir = Some(sketchDir))
+    assert(Pipeline.currentSnapshot(indexDir).contains("v1"))
+    // index == one-shot batch fold
+    assert(indexMap(Pipeline.readCurrent(spark, indexDir)) ==
+      indexMap(Merge.fold(mutDf(b0 ++ b1))))
+    // sketches == one-shot over the whole log (no double-counted batch 1)
+    val (bHdr, bHll) = SketchTable.oneShot(mutDf(b0 ++ b1))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(rows(SketchTable.readHdr(spark, sketchDir)) == rows(bHdr))
+    val est = SketchTable.distinctKeysByDay(spark, sketchDir).collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val expEst = bHll.select(col("day"), hll_sketch_estimate(col("sk")))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(est == expEst)
+    // the OTHER torn shape never exists by ordering: index at v<id> with
+    // sketches behind would double-apply sketches on replay — assert the
+    // invariant applyBatch maintains (sketch version >= index version)
+    val sv = SketchTable.currentVersion(sketchDir).get.stripPrefix("v").toLong
+    val iv = Pipeline.currentSnapshot(indexDir).get.stripPrefix("v").toLong
+    assert(sv >= iv)
+  }
+
   test("JSON and CSV change-log sources fold identically to parquet") {
     val sp = spark
     val log = Seq(
@@ -381,6 +427,63 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     // index state and sketch vacuum both held
     assert(indexMap(graft.streaming.BucketedIndex.read(sp, cfg.indexDir)) ==
       Map("b" -> Map("y" -> "load")))
+  }
+
+  test("composed shell: index + sketches + quarantine in one foreachBatch, ES-JSON-served") {
+    // The full reference workflow in ONE stream (round-14 soak's spec
+    // twin): the real startIncremental shell folds good rows into the
+    // bucketed index, maintains the sketch tables, quarantines malformed
+    // rows, and vacuums both artifact families — then the materialized
+    // index SERVES an ES-JSON search that must equal the same body over
+    // the one-shot batch fold (the a18/a19 composed-system observable).
+    val sp = spark
+    import graft.streaming.{BucketedIndex, SketchTable}
+    val changeDir = tmpDir("graft-comp-changes")
+    val log = Seq(
+      mut("u1", "U", "2024-01-01 08:00:00", 1, ("f", "etype", "purchase"), ("f", "val", "45.0")),
+      mut("u2", "U", "2024-01-01 09:00:00", 2, ("f", "etype", "click"), ("f", "val", "12.0")),
+      mut("u3", "U", "2024-01-02 08:00:00", 3, ("f", "etype", "purchase"), ("f", "val", "19.5")),
+      mut("u1", "U", "2024-01-02 09:00:00", 4, ("f", "val", "61.0")),
+      mut("u4", "U", "2024-01-02 10:00:00", 5, ("f", "etype", "purchase")),
+      mut("u2", "D", "2024-01-03 08:00:00", 6),
+      mut(null, "U", "2024-01-03 09:00:00", 7, ("f", "bad", "x")), // → quarantine
+      mut("u5", "X", "2024-01-03 10:00:00", 8, ("f", "bad", "y"))) // → quarantine
+    // two file-arrival waves so the stream takes >1 micro-batch
+    mutDf(log.take(4)).write.mode("append").parquet(changeDir)
+    val cfg = Pipeline.Config(
+      changeLogDir = changeDir, indexDir = tmpDir("graft-comp-idx"),
+      checkpointDir = tmpDir("graft-comp-ckpt"), triggerSeconds = 1,
+      quarantineDir = Some(tmpDir("graft-comp-q")),
+      vacuumEveryBatches = 1, sketchDir = Some(tmpDir("graft-comp-sk")))
+    val q1 = Pipeline.startIncremental(sp, cfg, nBuckets = 8)
+    q1.processAllAvailable()
+    mutDf(log.drop(4)).write.mode("append").parquet(changeDir)
+    q1.processAllAvailable(); q1.stop()
+    val body =
+      """{"query": {"bool": {
+        |  "must": [{"term": {"info.etype": "purchase"}}],
+        |  "filter": [{"range": {"info.val": {"gte": "20"}}}]}},
+        | "sort": ["id"]}""".stripMargin
+    def serve(df: org.apache.spark.sql.DataFrame) =
+      graft.dsl.EsQueryJson.search(df, body)
+        .select(col("id"), element_at(col("info"), "val").as("val"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val good = mutDf(log).filter(!Pipeline.isMalformed)
+    val streamed = serve(BucketedIndex.read(sp, cfg.indexDir))
+    assert(streamed == serve(Merge.fold(good)), "served query must equal the batch fold")
+    assert(streamed == Seq(("u1", "61.0"))) // u3 below 20? no — 19.5 < 20; u4 has no val
+    // quarantine captured exactly the malformed rows
+    val quarantined = sp.read.parquet(s"${cfg.quarantineDir.get}/*").count()
+    assert(quarantined == 2)
+    // sketch tables equal the one-shot sketches of the good log
+    val (bHdr, bHll) = SketchTable.oneShot(good)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    assert(rows(SketchTable.readHdr(sp, cfg.sketchDir.get)) == rows(bHdr))
+    val est = SketchTable.distinctKeysByDay(sp, cfg.sketchDir.get).collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val expEst = bHll.select(col("day"), hll_sketch_estimate(col("sk")))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(est == expEst)
   }
 
   test("streaming Bloom decontamination == batch, across batch splits") {
