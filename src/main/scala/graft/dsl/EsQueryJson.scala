@@ -266,6 +266,39 @@ object EsQueryJson {
       case _ => None // synonyms: search_analyzer stays standard by mapping
     }
 
+  /** Phrase queries against an index-analyzed field: ES defaults the
+    * search analyzer to the index analyzer here too, so the phrase runs
+    * over the STORED stream with the query analyzed by the same chain —
+    * never over the raw text (which the index does not contain).
+    * Supported for `english`: both sides are the stop-dropped stemmed
+    * stream, so the semantic is "phrase over the stop-COLLAPSED stream"
+    * (the stored-view re-join collapses the position gaps ES's stop
+    * filter leaves, on both sides — a stopword inside the doc or the
+    * query does not break adjacency; documented deviation, stopword-free
+    * phrases are ES-exact). Shingle and synonym index chains REJECT
+    * loudly: their stored views interleave expansion tokens between word
+    * positions, which would corrupt phrase adjacency silently (for a
+    * shingled field the shingle `match` IS the phrase surrogate; for
+    * synonyms use search-time expansion, whose multi-word members
+    * already run as phrase alternatives). Returns (doc-side column,
+    * analyzed phrase terms). */
+  private def phraseField(f: String, terms: Seq[String]): (Column, Seq[String]) =
+    indexAnalyzers.value.get(f) match {
+      case None => (field(f), terms)
+      case Some("english") =>
+        val ts = terms.map(_.toLowerCase)
+          .filterNot(graft.functions.TextKernels.englishStopwords.contains)
+          .map(graft.functions.TextKernels.stemEnglish)
+        require(ts.nonEmpty,
+          s"english analyzer removed every phrase term: ${terms.mkString(" ")}")
+        (storedField(f), ts)
+      case Some(an) => throw new IllegalArgumentException(
+        s"match_phrase against field '$f' with index analyzer '$an' is unsupported: " +
+          "the expanded stored stream interleaves tokens between word positions " +
+          "(use the match form — shingle matches ARE the phrase surrogate; " +
+          "english index analyzers support phrases)")
+    }
+
   /** Body-derived msm over ANALYZED clause count (operator:and = all
     * clauses; percentages/negatives resolve against the analyzed total) —
     * the counting every analyzer-aware match branch shares. */
@@ -791,28 +824,47 @@ object EsQueryJson {
         // kernel) — shifted-position span ≤ slop, out-of-order
         // arrangements included (a transposed pair costs 2)
         val slop = if (v.isObject) Option(v.get("slop")).map(_.asInt()).getOrElse(0) else 0
-        if (slop == 0) EsDsl.matchPhrase(field(f), text.split("\\s+").toSeq)
-        else graft.functions.Spans.phraseSlop(field(f), text.split("\\s+").toSeq, slop)
+        val (docSide, ph) = phraseField(f, text.split("\\s+").toSeq)
+        if (slop == 0) EsDsl.matchPhrase(docSide, ph)
+        else graft.functions.Spans.phraseSlop(docSide, ph, slop)
       case "multi_match" =>
         // `^boost` suffixes affect scoring only — the match predicate
         // strips them
-        val fields = body.get("fields").elements().asScala.toSeq
-          .map(f => field(splitFieldBoost(f.asText())._1))
-        val terms = body.get("query").asText().split("\\s+").toSeq
+        val fnames = body.get("fields").elements().asScala.toSeq
+          .map(f => splitFieldBoost(f.asText())._1)
+        val fields = fnames.map(field)
+        val qtext = body.get("query").asText()
+        val terms = qtext.split("\\s+").toSeq
         val mmType = Option(body.get("type")).map(_.asText())
+        val anyIndexed = fnames.exists(indexAnalyzers.value.contains)
         // type:phrase = match_phrase in ANY field (ES runs one phrase
         // query per field, dis-max'd; as a predicate that's an OR);
         // type:phrase_prefix likewise with the last term a prefix
         if (mmType.contains("phrase_prefix")) {
+          // a stemmed PREFIX is not a prefix of the stemmed stream —
+          // reject rather than silently matching raw text the index
+          // doesn't hold
+          require(!anyIndexed,
+            "phrase_prefix against index-analyzed fields is unsupported")
           val ws = terms.map(_.toLowerCase)
           fields.map(f => graft.functions.Spans.phrasePrefix(f, ws.init, ws.last)).reduce(_ || _)
-        } else if (mmType.contains("phrase")) fields.map(EsDsl.matchPhrase(_, terms)).reduce(_ || _)
+        } else if (mmType.contains("phrase"))
+          fnames.map { f =>
+            val (docSide, ph) = phraseField(f, terms)
+            EsDsl.matchPhrase(docSide, ph)
+          }.reduce(_ || _)
         else {
           // cross_fields `operator: and` = every term in SOME field
           // (term-centric); field-centric types leave msm within one field.
           // In ES operator:and makes EVERY term a must regardless of any
           // explicit minimum_should_match — and wins, msm is ignored.
           val crossFields = mmType.contains("cross_fields")
+          // cross_fields blends df across fields under ONE shared analyzer
+          // (ES groups fields by analyzer; differently-analyzed groups
+          // score separately — out of scope, reject rather than blend
+          // incompatible streams)
+          require(!crossFields || !anyIndexed,
+            "cross_fields over index-analyzed fields is unsupported (ES groups by analyzer)")
           val opAnd = Option(body.get("operator")).map(_.asText()).contains("and")
           val msm =
             if (crossFields && opAnd) terms.size
@@ -823,6 +875,9 @@ object EsQueryJson {
           Option(body.get("fuzziness")) match {
             case Some(n) =>
               require(!crossFields, "fuzziness is not supported with cross_fields (as in ES)")
+              require(!anyIndexed,
+                "fuzziness against index-analyzed fields is unsupported (edit distance " +
+                  "over an expanded stored stream has no ES-comparable semantics)")
               def autoOf(t: String) = if (t.length < 3) 0 else if (t.length <= 5) 1 else 2
               val fOf: String => Int =
                 if (n.isTextual) { require(n.asText() == "AUTO",
@@ -832,7 +887,25 @@ object EsQueryJson {
               fields.map(f => EsDsl.matchQueryFuzzy(f, terms, fOf, msm, pl)).reduce(_ || _)
             case None =>
               if (crossFields) EsDsl.multiMatchCrossFields(fields, terms, msm)
-              else EsDsl.multiMatch(fields, terms, msm)
+              else
+                // per-field search-analyzer defaulting (ES: each field's
+                // match runs under its OWN analyzer): an index-analyzed
+                // field gets query-side expansion + the stored stream and
+                // its msm counts ITS analyzed clauses; plain fields keep
+                // the body-level msm over raw terms
+                fnames.map { f =>
+                  defaultSearchTerms(f, qtext) match {
+                    case Some(ts) =>
+                      require(ts.nonEmpty,
+                        s"index-default search analyzer removed every query term: $qtext")
+                      val fMsm =
+                        if (opAnd) ts.length
+                        else Option(body.get("minimum_should_match"))
+                          .map(msmOf(_, ts.length)).getOrElse(1)
+                      EsDsl.matchQuery(storedField(f), ts, fMsm)
+                    case None => EsDsl.matchQuery(field(f), terms, msm)
+                  }
+                }.reduce(_ || _)
           }
         }
       case "match_phrase_prefix" =>
@@ -1918,9 +1991,11 @@ object EsQueryJson {
         // would change tf — reject loudly rather than silently ignore
         if (v.isObject) Option(v.get("slop")).foreach(s => require(s.asInt() == 0,
           "slop on a SCORED match_phrase is unsupported (predicate context supports it)"))
-        val ph = text.split("\\s+").toSeq
+        // index-analyzed fields: phrase tf/df/dl all come from the stored
+        // stream with the query analyzed by the same chain (phraseField)
+        val (docSide, ph) = phraseField(f, text.split("\\s+").toSeq)
         val (joined, scores, internals) =
-          EsDsl.bm25ScoresMixed(df, Seq(EsDsl.PhraseBm25(field(f), ph)))
+          EsDsl.bm25ScoresMixed(df, Seq(EsDsl.PhraseBm25(docSide, ph)))
         joined.withColumn("_score", round(boosted(boost, scores.head), 6))
           .filter(col("_score") > 0).drop(internals: _*)
       case "multi_match" =>
@@ -1932,14 +2007,20 @@ object EsQueryJson {
         val fBoosts = fbs.map(_._2)
         def fieldBoosted(scores: Seq[Column]): Seq[Column] =
           scores.zip(fBoosts).map { case (s0, b0) => if (b0 == 1.0) s0 else s0 * lit(b0) }
-        val ts = body.get("query").asText().split("\\s+").toSeq
+        val qtext = body.get("query").asText()
+        val ts = qtext.split("\\s+").toSeq
         val boost = Option(body.get("boost")).map(_.asDouble()).getOrElse(1.0)
+        val anyIndexed = fs.exists(indexAnalyzers.value.contains)
         if (Option(body.get("type")).map(_.asText()).contains("phrase")) {
           // type:phrase scored: per-field phrase-frequency BM25, dis-max'd
           // (best field wins, ES's per-field phrase run) — one corpus pass
-          // for all fields via the shared slot machinery
+          // for all fields via the shared slot machinery; index-analyzed
+          // fields run their phrase over the stored stream (phraseField)
           val (joined, scores, internals) =
-            EsDsl.bm25ScoresMixed(df, fs.map(f => EsDsl.PhraseBm25(field(f), ts)))
+            EsDsl.bm25ScoresMixed(df, fs.map { f =>
+              val (docSide, ph) = phraseField(f, ts)
+              EsDsl.PhraseBm25(docSide, ph)
+            })
           val fscores = fieldBoosted(scores)
           val best = if (fscores.size == 1) fscores.head else greatest(fscores: _*)
           return joined.withColumn("_score", round(boosted(boost, best), 6))
@@ -1948,14 +2029,25 @@ object EsQueryJson {
         val crossFields = Option(body.get("type")).map(_.asText()).contains("cross_fields")
         require(!crossFields || fBoosts.forall(_ == 1.0),
           "per-field ^boosts are not supported with cross_fields (term-centric blended df)")
+        require(!crossFields || !anyIndexed,
+          "cross_fields over index-analyzed fields is unsupported (ES groups by analyzer)")
         // operator:and wins over an explicit minimum_should_match (ES: and
         // makes every term a must, msm is ignored)
         val opAnd = Option(body.get("operator")).map(_.asText()).contains("and")
         val msm =
           if (crossFields && opAnd) ts.size
           else Option(body.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
+        // per-field search-analyzer defaulting (ES: each field's clause
+        // runs under its own analyzer): index-analyzed fields get
+        // query-side expansion + the stored stream for tf/df/dl
+        val fieldTerms = fs.map(f => f -> defaultSearchTerms(f, qtext).getOrElse(ts))
+        fieldTerms.foreach { case (f, tsF) => require(tsF.nonEmpty,
+          s"index-default search analyzer removed every query term of '$f': $qtext") }
+        def docSide(f: String) =
+          if (indexAnalyzers.value.contains(f)) storedField(f) else field(f)
         val (joined, scores, internals) =
-          EsDsl.bm25ScoresMixed(df, fs.map(f => EsDsl.TermsBm25(field(f), ts)))
+          EsDsl.bm25ScoresMixed(df, fieldTerms.map { case (f, tsF) =>
+            EsDsl.TermsBm25(docSide(f), tsF) })
         val combined =
           if (crossFields)
             EsDsl.crossFieldsScore(fs.indices, ts.size,
@@ -1965,7 +2057,11 @@ object EsQueryJson {
           .filter(col("_score") > 0).drop(internals: _*)
         if (msm > 1) scored.filter(
           if (crossFields) EsDsl.multiMatchCrossFields(fs.map(field), ts, msm)
-          else EsDsl.multiMatch(fs.map(field), ts, msm))
+          else fieldTerms.map { case (f, tsF) =>
+            EsDsl.matchQuery(docSide(f), tsF,
+              if (indexAnalyzers.value.contains(f))
+                math.min(msm, tsF.length) else msm)
+          }.reduce(_ || _))
         else scored
       case "constant_score" =>
         val boost = Option(body.get("boost")).map(_.asDouble()).getOrElse(1.0)

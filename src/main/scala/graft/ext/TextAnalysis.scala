@@ -676,6 +676,28 @@ object TextAnalysis {
         round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
   }
 
+  /** BYTE-LEVEL BPE encode — [[bpeEncode]]'s walk with
+    * [[bpeTrainByteLevel]]'s conventions: whitespace pre-tokenization and
+    * 2-hex-digit byte symbols, so the trained byte merge table applies
+    * verbatim (train→encode round trip). `n_bytes` counts UTF-8 bytes
+    * (the byte-level "character" count); compression = bytes per emitted
+    * token. One narrow pass, no shuffle at any corpus size. */
+  def bpeEncodeByteLevel(docs: DataFrame, id: Column, text: Column,
+                         merges: Seq[String]): DataFrame = {
+    val wrapped = concat_ws("|",
+      transform(filter(split(lower(text), "\\s+"), x => x =!= ""),
+        w => regexp_replace(hex(encode(w, "UTF-8")), "(..)", "<$1>")))
+    val encoded = merges.foldLeft(wrapped) { (acc, m) =>
+      val Array(a, b) = m.split(' ')
+      replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+    }
+    def nSym(c: Column): Column = length(c) - length(replace(c, lit("<"), lit("")))
+    docs.select(id.as("doc_id"), nSym(wrapped).cast("long").as("n_bytes"),
+        nSym(encoded).cast("long").as("n_bpe_tokens"))
+      .withColumn("compression",
+        round(col("n_bytes").cast("double") / col("n_bpe_tokens"), 6))
+  }
+
   /** Tokenizer FERTILITY per language — the "how many subword tokens per
     * word does this tokenizer cost each language" diagnostic every
     * multilingual-tokenizer evaluation reports (high fertility = the

@@ -4660,6 +4660,89 @@ object TierB {
              |             + ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * (tf2*(1.2+1))/(tf2 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS score
              |       FROM f CROSS JOIN st WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0)
              |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
+
+    // PHRASE against an index-analyzed field (round 14): ES analyzes the
+    // phrase with the field's chain and matches the STORED stream — never
+    // the raw text (the index doesn't hold it). Here "hash tables" stems
+    // to [hash, table] and its phrase frequency / df / dl all come from
+    // the stop-dropped stemmed stream, so docs saying "hash tables" and
+    // "hash table" score identically (raw-text phrase matching could
+    // never reach the plural). Stop-collapsed adjacency documented at
+    // phraseField. Oracle counts consecutive stem pairs over the same
+    // stream.
+    Q("a207_es_json_phrase_index_english",
+      (s, d) => graft.dsl.EsQueryJson.withIndexAnalyzer("text", "english") {
+        graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+          """{"query": {"match_phrase": {"text": "hash tables"}},
+            | "sort": ["_score", "doc_id"], "size": 25}""".stripMargin)
+          .select(col("doc_id"), col("_score").as("score"))
+      },
+      Some(s"""WITH t2 AS (
+             |  SELECT doc_id, ${graft.functions.TextKernels.sqlEnglishTokens("text")} AS toks
+             |  FROM documents),
+             |f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             |        CAST(len(list_filter(generate_series(1, len(toks) - 1),
+             |               i -> toks[i] = 'hash' AND toks[i+1] = 'table')) AS DOUBLE) AS tf0
+             |      FROM t2),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |              CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0
+             |       FROM f),
+             |sc AS (SELECT doc_id,
+             |              round(ln(1 + (n - df0 + 0.5)/(df0 + 0.5))
+             |                    * (tf0*(1.2+1))/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)), 6) AS score
+             |       FROM f CROSS JOIN st WHERE tf0 > 0)
+             |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
+
+    // multi_match with PER-FIELD analyzers (ES: each field's clause runs
+    // under its own mapping): 'source' is plain (query term "web" matches
+    // literally), 'text' is english-indexed (query "tables" stems to
+    // "table" and scores against the stemmed stream's tf/df/dl).
+    // best_fields = max of the two per-field BM25 sums. Before round 14
+    // the text clause silently ran over the raw stream and could never
+    // reach the stem.
+    Q("a208_es_json_multi_match_per_field_analyzer",
+      (s, d) => graft.dsl.EsQueryJson.withIndexAnalyzer("text", "english") {
+        graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+          """{"query": {"multi_match": {"query": "tables web",
+            |  "fields": ["source", "text"]}},
+            | "sort": ["_score", "doc_id"], "size": 25}""".stripMargin)
+          .select(col("doc_id"), col("_score").as("score"))
+      },
+      Some(s"""WITH src AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(source), '\\W+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |sf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             |         CAST(len(list_filter(toks, x -> x = 'tables')) AS DOUBLE) AS tfa,
+             |         CAST(len(list_filter(toks, x -> x = 'web')) AS DOUBLE) AS tfb
+             |       FROM src),
+             |sst AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |               CAST(sum(CASE WHEN tfa > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfa,
+             |               CAST(sum(CASE WHEN tfb > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfb
+             |        FROM sf),
+             |ssc AS (SELECT doc_id,
+             |          ln(1 + (n - dfa + 0.5)/(dfa + 0.5)) * (tfa*(1.2+1))/(tfa + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+             |        + ln(1 + (n - dfb + 0.5)/(dfb + 0.5)) * (tfb*(1.2+1))/(tfb + 1.2*(1 - 0.75 + 0.75*dl/avgdl)) AS s
+             |        FROM sf CROSS JOIN sst),
+             |txt AS (
+             |  SELECT doc_id, ${graft.functions.TextKernels.sqlEnglishTokens("text")} AS toks
+             |  FROM documents),
+             |tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             |         CAST(len(list_filter(toks, x -> x = 'table')) AS DOUBLE) AS tfa,
+             |         CAST(len(list_filter(toks, x -> x = 'web')) AS DOUBLE) AS tfb
+             |       FROM txt),
+             |tst AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |               CAST(sum(CASE WHEN tfa > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfa,
+             |               CAST(sum(CASE WHEN tfb > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS dfb
+             |        FROM tf),
+             |tsc AS (SELECT doc_id,
+             |          ln(1 + (n - dfa + 0.5)/(dfa + 0.5)) * (tfa*(1.2+1))/(tfa + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+             |        + ln(1 + (n - dfb + 0.5)/(dfb + 0.5)) * (tfb*(1.2+1))/(tfb + 1.2*(1 - 0.75 + 0.75*dl/avgdl)) AS s
+             |        FROM tf CROSS JOIN tst),
+             |best AS (SELECT ssc.doc_id, round(greatest(ssc.s, tsc.s), 6) AS score
+             |         FROM ssc JOIN tsc ON ssc.doc_id = tsc.doc_id)
+             |SELECT doc_id, score FROM best WHERE score > 0
+             |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
   )
 }
 

@@ -2679,6 +2679,70 @@ object TierC {
            |ORDER BY rank""".stripMargin
       }),
 
+    // BYTE-LEVEL BPE train→ENCODE round trip (c134's merges applied):
+    // per-doc byte count, token count under the 6 learned merges, and
+    // bytes/token compression. The oracle RETRAINS the 6 merges (c134's
+    // iters chain) and replays the encode recursively (c68's pattern) —
+    // so a rank-order or replace-semantics drift in either engine fails
+    // the row.
+    Q("c135_bpe_byte_encode",
+      (s, d) => {
+        val merges = TextAnalysis.bpeTrainByteLevel(Tables.documents(s, d),
+          col("text"), nMerges = 6).orderBy("rank").collect().map(_.getString(1)).toSeq
+        TextAnalysis.bpeEncodeByteLevel(Tables.documents(s, d),
+          col("doc_id"), col("text"), merges).orderBy("doc_id")
+      },
+      Some {
+        val n = 6
+        val iters = (1 to n).map { i =>
+          val prev = if (i == 1) "w0" else s"w${i - 1}"
+          s"""p$i AS (
+             |  SELECT pair, CAST(sum(freq) AS BIGINT) AS pf FROM (
+             |    SELECT freq, unnest(list_transform(generate_series(1, len(s) - 1),
+             |             j -> s[j] || ' ' || s[j + 1])) AS pair
+             |    FROM (SELECT freq, regexp_extract_all(w, '<([^<>]*)>', 1) AS s FROM $prev)
+             |    WHERE len(s) >= 2)
+             |  GROUP BY pair),
+             |b$i AS (SELECT pair FROM p$i ORDER BY pf DESC, pair LIMIT 1),
+             |w$i AS (SELECT freq,
+             |          replace(w, '<' || split_part(b$i.pair, ' ', 1) ||
+             |                     '><' || split_part(b$i.pair, ' ', 2) || '>',
+             |                  '<' || replace(b$i.pair, ' ', '') || '>') AS w
+             |        FROM $prev, b$i)""".stripMargin
+        }.mkString(",\n")
+        val mUnion = (1 to n).map(i =>
+          s"""SELECT $i AS rk, '<' || split_part(b$i.pair, ' ', 1) || '><' || split_part(b$i.pair, ' ', 2) || '>' AS pat,
+             |       '<' || replace(b$i.pair, ' ', '') || '>' AS rep FROM b$i""".stripMargin)
+          .mkString("\n|UNION ALL ").stripMargin
+        s"""WITH RECURSIVE bl AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+           |  FROM documents),
+           |tf AS (SELECT unnest(w) AS word FROM bl),
+           |w0 AS (SELECT count(*) AS freq,
+           |              regexp_replace(hex(encode(word)), '(..)', '<\\1>', 'g') AS w
+           |       FROM tf GROUP BY word),
+           |$iters,
+           |m AS ($mUnion),
+           |d0 AS (SELECT doc_id,
+           |              list_aggregate(list_transform(w,
+           |                x -> regexp_replace(hex(encode(x)), '(..)', '<\\1>', 'g')),
+           |                'string_agg', '|') AS s
+           |       FROM bl),
+           |rec(doc_id, k, s) AS (
+           |  SELECT doc_id, 0, s FROM d0
+           |  UNION ALL
+           |  SELECT rec.doc_id, rec.k + 1, replace(rec.s, m.pat, m.rep)
+           |  FROM rec JOIN m ON m.rk = rec.k + 1),
+           |enc AS (SELECT doc_id, s FROM rec WHERE k = $n)
+           |SELECT d0.doc_id,
+           |       CAST(len(d0.s) - len(replace(d0.s, '<', '')) AS BIGINT) AS n_bytes,
+           |       CAST(len(enc.s) - len(replace(enc.s, '<', '')) AS BIGINT) AS n_bpe_tokens,
+           |       round((len(d0.s) - len(replace(d0.s, '<', ''))) * 1.0 /
+           |             (len(enc.s) - len(replace(enc.s, '<', ''))), 6) AS compression
+           |FROM d0 JOIN enc USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // Tokenizer fertility per language: subword-tokens-per-word under the
     // corpus-trained 10-merge BPE — the multilingual tokenizer-cost
     // diagnostic. Oracle replays the same merges (c41's recursive replay)

@@ -89,6 +89,40 @@ class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
     case 6 => s"""{"match_phrase": {"$f": "$q"}}"""
   }
 
+  private def phraseGen: Gen[String] = for {
+    q <- phrase
+    form <- Gen.oneOf(1, 2, 3)
+  } yield form match {
+    case 1 => s"""{"match_phrase": {"text": "$q"}}"""
+    case 2 => s"""{"match_phrase": {"text": {"query": "$q", "slop": 1}}}"""
+    case 3 => s"""{"match_phrase_prefix": {"text": "$q"}}"""
+  }
+
+  // query_string: the Lucene query-bar PARSER — fuzz both well-formed
+  // syntax (fields, boolean ops, ranges, fuzzy, grouping) and mangled
+  // syntax (unbalanced parens/quotes/brackets, dangling operators)
+  private def queryStringGen: Gen[String] = for {
+    w1 <- words; w2 <- words; f <- strField; lo <- numVal
+    syntax <- Gen.oneOf(
+      s"$w1 $w2",
+      s"$w1 AND $w2",
+      s"$w1 OR NOT $w2",
+      s"$f:$w1",
+      s"$w1 AND ($w2 OR $f:$w1)",
+      s"""\"$w1 $w2\"""",
+      s"$w1~1",
+      s"n_chars:[$lo TO ${lo + 100}]",
+      s"n_chars:>=$lo",
+      s"$w1*",
+      // mangled: each must classify, not escape
+      s"($w1 AND",
+      s"""\"$w1""",
+      s"n_chars:[$lo TO",
+      s"$w1 AND OR $w2",
+      ":", "~", "()")
+    df <- Gen.oneOf("text", "lang")
+  } yield s"""{"query_string": {"query": "${syntax.replace("\"", "\\\"")}", "default_field": "$df"}}"""
+
   private def malformedLeafGen: Gen[String] = Gen.oneOf(
     """{"frobnicate": {"text": "x"}}""",          // unknown query kind
     """{"term": {"lang": "en", "source": "web"}}""", // two fields in a single-field body
@@ -100,7 +134,8 @@ class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
 
   private def leafGen: Gen[String] = Gen.frequency(
     3 -> termGen, 2 -> termsGen, 3 -> rangeGen, 2 -> existsGen,
-    2 -> patternGen, 1 -> idsGen, 4 -> matchGen, 2 -> malformedLeafGen)
+    2 -> patternGen, 1 -> idsGen, 4 -> matchGen, 2 -> phraseGen,
+    3 -> queryStringGen, 2 -> malformedLeafGen)
 
   private def boolGen(depth: Int): Gen[String] = for {
     nMust <- Gen.chooseNum(0, 2)
@@ -129,12 +164,20 @@ class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
 
   private def aggsGen: Gen[String] = for {
     f <- anyField; nf <- numField
+    sub <- Gen.oneOf(
+      "", // no sub-agg
+      s""", "aggs": {"sub": {"avg": {"field": "$nf"}}}""",
+      s""", "aggs": {"sub": {"stats": {"field": "$nf"}}}""")
     a <- Gen.oneOf(
-      s"""{"terms": {"field": "$f", "size": 5}}""",
+      s"""{"terms": {"field": "$f", "size": 5}$sub}""",
+      s"""{"terms": {"field": "$f", "size": 5, "order": {"_key": "desc"}}$sub}""",
       s"""{"stats": {"field": "$nf"}}""",
       s"""{"avg": {"field": "$nf"}}""",
-      s"""{"histogram": {"field": "$nf", "interval": 50}}""",
-      s"""{"cardinality": {"field": "$f"}}""")
+      s"""{"histogram": {"field": "$nf", "interval": 50}$sub}""",
+      s"""{"histogram": {"field": "$nf", "interval": 0}}""", // invalid: zero interval
+      s"""{"cardinality": {"field": "$f"}}""",
+      s"""{"filters": {"filters": {"a": {"term": {"lang": "en"}}, "b": {"term": {"lang": "de"}}}}$sub}""",
+      s"""{"composite": {"size": 5, "sources": [{"l": {"terms": {"field": "lang"}}}]}}""")
   } yield s""""aggs": {"g": $a}"""
 
   private def sortGen: Gen[String] = Gen.oneOf(

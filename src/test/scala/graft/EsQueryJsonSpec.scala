@@ -1947,6 +1947,89 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage.contains("scored match supports"))
   }
 
+  test("match_phrase over an index-analyzed field runs on the stored stream") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "the hash tables of the engine"), // stemmed: [hash, table, engin]
+      (2L, "a hash of the table"),           // stemmed: [hash, table] — stop-collapse adjacency
+      (3L, "table hash order swapped"),      // wrong order — no phrase
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val q = """{"query": {"match_phrase": {"text": "hash tables"}},
+              | "sort": ["_score", "doc_id"]}""".stripMargin
+    // raw field: neither "hash tables" (doc 1 has it! plural matches raw)...
+    val raw = graft.dsl.EsQueryJson.search(docs, q)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(raw == Set(1L), "raw phrase matches only the literal plural")
+    // english-indexed: the phrase stems to [hash, table] and runs over the
+    // stemmed stream — doc 2 joins via stop-collapse (documented), doc 3
+    // stays out (order matters)
+    val st = graft.dsl.EsQueryJson.withIndexAnalyzer("text", "english") {
+      graft.dsl.EsQueryJson.search(docs, q)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    }
+    assert(st == Set(1L, 2L))
+    // predicate context takes the same path (bool/filter)
+    val filt = graft.dsl.EsQueryJson.withIndexAnalyzer("text", "english") {
+      graft.dsl.EsQueryJson.search(docs,
+        """{"query": {"bool": {"filter": [{"match_phrase": {"text": "hash tables"}}]}},
+          | "sort": ["doc_id"]}""".stripMargin)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    }
+    assert(filt == Set(1L, 2L))
+    // shingle/synonym index chains reject loudly instead of silently
+    // matching the raw text (their stored views interleave tokens)
+    val e = intercept[IllegalArgumentException] {
+      graft.dsl.EsQueryJson.withShingles("sh", outputUnigrams = true) {
+        graft.dsl.EsQueryJson.withIndexAnalyzer("text", "sh") {
+          graft.dsl.EsQueryJson.search(docs, q).collect()
+        }
+      }
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+
+  test("multi_match consults each field's index analyzer (per-field search analyzer)") {
+    val sp = spark
+    import sp.implicits._
+    // 'body' is english-indexed (stemmed stream), 'title' is plain
+    val docs = Seq(
+      (1L, "spark engine", "the hash table of the engine"), // singular: only the STEM matches "tables"
+      (2L, "hash tables", "nothing relevant"),
+      (3L, "other title", "also nothing")).toDF("doc_id", "title", "body")
+    val q = """{"query": {"multi_match": {"query": "tables",
+              |  "fields": ["title", "body"]}}, "sort": ["_score", "doc_id"]}""".stripMargin
+    def run = graft.dsl.EsQueryJson.search(docs, q)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // plain: only the literal plural in title matches (doc 2)
+    assert(run == Set(2L))
+    // body english-indexed: the body clause stems query+stream → doc 1
+    // joins via its stemmed body; doc 2 keeps its raw title match
+    val mixed = graft.dsl.EsQueryJson.withIndexAnalyzer("body", "english") {
+      graft.dsl.EsQueryJson.search(docs, q)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    }
+    assert(mixed == Set(1L, 2L))
+    // predicate context (bool/filter) takes the same per-field defaulting
+    val filt = graft.dsl.EsQueryJson.withIndexAnalyzer("body", "english") {
+      graft.dsl.EsQueryJson.search(docs,
+        """{"query": {"bool": {"filter": [{"multi_match": {"query": "tables",
+          |  "fields": ["title", "body"]}}]}}, "sort": ["doc_id"]}""".stripMargin)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    }
+    assert(filt == Set(1L, 2L))
+    // cross_fields + index-analyzed fields reject loudly (ES groups by
+    // analyzer; blending differently-analyzed dfs is undefined here)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.dsl.EsQueryJson.withIndexAnalyzer("body", "english") {
+        graft.dsl.EsQueryJson.search(docs,
+          """{"query": {"multi_match": {"query": "tables", "type": "cross_fields",
+            |  "fields": ["title", "body"]}}, "sort": ["_score"]}""".stripMargin).collect()
+      }
+    }
+    assert(e3.getMessage.contains("cross_fields over index-analyzed"))
+  }
+
   test("fielddata terms agg: one vote per doc per distinct token") {
     val sp = spark
     import sp.implicits._
