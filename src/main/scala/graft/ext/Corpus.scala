@@ -737,6 +737,118 @@ object Corpus {
     * = 10% of the web) therefore never funnels through a single sort
     * partition — the hot key is split P ways before the global window
     * sees it. */
+  /** Composed data-prep pipeline — the end-to-end chain a training-corpus
+    * build runs as ONE job, in the production order:
+    *
+    *   exact dedup (content fingerprint, min-id representative)
+    *     → Gopher quality filter ([[gopherFilter]], pass only)
+    *     → benchmark decontamination ([[decontaminate]], shared exact
+    *       word n-gram vs the eval set)
+    *     → temperature-scaled source mixing ([[temperatureMixture]])
+    *
+    * Every stage is the library's own operator; composing them pins the
+    * INTERACTIONS the per-stage rows cannot: dedup runs first so a
+    * duplicate cannot rescue a failing doc (and quality runs once per
+    * distinct content, not per copy); decontamination sees only quality
+    * survivors; the mix's per-source counts are POST-filter counts, so
+    * keep-rates reflect what actually survives — the same chain run
+    * stage-per-job would resample against pre-filter counts and miss the
+    * target.
+    *
+    * Returns the selected docs `(doc_id, source, n_tokens)`. Scale shape:
+    * one fingerprint agg (dedup) + a narrow quality pass + the broadcast
+    * eval-gram semi-join + broadcast mix rates — the corpus is touched
+    * once per stage, nothing data-sized reaches the driver, and every
+    * join after dedup is broadcast-sized. */
+  def prepPipeline(docs: DataFrame, idCol: Column, text: Column,
+                   sourceCol: Column, evalDocs: DataFrame, evalText: Column,
+                   nGram: Int = 4, alpha: Double = 0.6,
+                   targetTotal: Long = 100L,
+                   minWords: Int = 20, maxWords: Int = 100000,
+                   minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
+                   minStopwords: Int = 2,
+                   maxTopTokFrac: Double = 0.2): DataFrame =
+    prepStages(docs, idCol, text, sourceCol, evalDocs, evalText, nGram,
+      alpha, targetTotal, minWords, maxWords, minMeanLen, maxMeanLen,
+      minStopwords, maxTopTokFrac).selected
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+
+  /** The funnel-report twin of [[prepPipeline]] — per stage, docs in /
+    * kept / dropped (the [[filterFunnel]] shape over the REAL composed
+    * chain). Stage counts are one tiny agg per stage over the shared
+    * persisted intermediates; the corpus work is identical to
+    * [[prepPipeline]]. */
+  def prepPipelineFunnel(docs: DataFrame, idCol: Column, text: Column,
+                         sourceCol: Column, evalDocs: DataFrame,
+                         evalText: Column, nGram: Int = 4,
+                         alpha: Double = 0.6, targetTotal: Long = 100L,
+                         minWords: Int = 20, maxWords: Int = 100000,
+                         minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
+                         minStopwords: Int = 2,
+                         maxTopTokFrac: Double = 0.2): DataFrame = {
+    val st = prepStages(docs, idCol, text, sourceCol, evalDocs, evalText,
+      nGram, alpha, targetTotal, minWords, maxWords, minMeanLen, maxMeanLen,
+      minStopwords, maxTopTokFrac)
+    // one tiny count per stage, assembled via a 1-row broadcast chain
+    val counts = st.input.agg(count(lit(1)).as("c0"))
+      .crossJoin(broadcast(st.deduped.agg(count(lit(1)).as("c1"))))
+      .crossJoin(broadcast(st.quality.agg(count(lit(1)).as("c2"))))
+      .crossJoin(broadcast(st.clean.agg(count(lit(1)).as("c3"))))
+      .crossJoin(broadcast(st.selected.agg(count(lit(1)).as("c4"))))
+    counts.select(explode(array(
+        struct(lit(0).as("stage_idx"), lit("input").as("stage"),
+          col("c0").as("n_in"), col("c0").as("n_kept")),
+        struct(lit(1).as("stage_idx"), lit("exact_dedup").as("stage"),
+          col("c0").as("n_in"), col("c1").as("n_kept")),
+        struct(lit(2).as("stage_idx"), lit("gopher_quality").as("stage"),
+          col("c1").as("n_in"), col("c2").as("n_kept")),
+        struct(lit(3).as("stage_idx"), lit("decontaminate").as("stage"),
+          col("c2").as("n_in"), col("c3").as("n_kept")),
+        struct(lit(4).as("stage_idx"), lit("temperature_mix").as("stage"),
+          col("c3").as("n_in"), col("c4").as("n_kept")))).as("r"))
+      .select(col("r.*"))
+      .withColumn("n_dropped", col("n_in") - col("n_kept"))
+  }
+
+  private case class PrepStages(input: DataFrame, deduped: DataFrame,
+                                quality: DataFrame, clean: DataFrame,
+                                selected: DataFrame)
+
+  private def prepStages(docs: DataFrame, idCol: Column, text: Column,
+                         sourceCol: Column, evalDocs: DataFrame,
+                         evalText: Column, nGram: Int, alpha: Double,
+                         targetTotal: Long, minWords: Int, maxWords: Int,
+                         minMeanLen: Double, maxMeanLen: Double,
+                         minStopwords: Int, maxTopTokFrac: Double): PrepStages = {
+    val input = docs.select(idCol.as("doc_id"), text.as("_text"),
+      sourceCol.as("source"))
+    // exact dedup by content fingerprint: keep the min-id representative
+    // (one agg + a self-semi-join on (fp, min_id) — no window)
+    val withFp = input.withColumn("_fp",
+      graft.ext.TextAnalysis.fingerprint(col("_text")))
+    val keepIds = withFp.groupBy(col("_fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = graft.ext.Dedup.persistOnce(
+      withFp.join(keepIds, Seq("doc_id"), "left_semi").drop("_fp"))
+    // quality: gopherFilter verdicts joined back (both sides already
+    // deduped; the join key is the unique doc_id)
+    val verdicts = gopherFilter(deduped, col("doc_id"), col("_text"),
+      minWords, maxWords, minMeanLen, maxMeanLen, minStopwords,
+      maxTopTokFrac)
+      .filter(col("pass")).select(col("doc_id"), col("n_tokens"))
+    val quality = graft.ext.Dedup.persistOnce(
+      deduped.join(verdicts, "doc_id"))
+    // decontamination vs the (tiny) eval side — broadcast gram set
+    val clean = graft.ext.Dedup.persistOnce(
+      decontaminate(quality, col("doc_id"), col("_text"),
+        evalDocs, evalText, nGram))
+    // temperature mix over POST-filter source counts
+    val selected = temperatureMixture(clean, col("doc_id"), col("source"),
+      alpha, targetTotal)
+    PrepStages(input, deduped, quality, clean, selected)
+  }
+
   def domainCap(docs: DataFrame, idCol: Column, domain: Column, rank: Column,
                 cap: Int): DataFrame = {
     val base = docs.select(idCol.as("doc_id"), domain.as("domain"), rank.as("r"))

@@ -2743,6 +2743,169 @@ object TierC {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // Composed data-prep pipeline (Corpus.prepPipeline): exact dedup →
+    // Gopher quality → benchmark decontamination → temperature mix, run
+    // as ONE job in the production order. The per-stage rows (c01, c27,
+    // c25, c29) prove each operator; this row pins their INTERACTIONS —
+    // quality runs once per distinct content, decon sees only survivors,
+    // and the mix's keep-rates resolve against POST-filter source counts.
+    // Eval side = the c25 split (doc_id % 97 == 0); corpus = the rest.
+    Q("c136_prep_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Corpus.prepPipeline(
+          docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+          col("source"), docs.filter(col("doc_id") % 97 === 0), col("text"),
+          nGram = 4, alpha = 0.6, targetTotal = 120L,
+          minWords = 40, maxWords = 100000, minMeanLen = 3.5,
+          maxMeanLen = 6.0, minStopwords = 2, maxTopTokFrac = 0.15)
+          .orderBy("doc_id")
+      },
+      Some {
+        val stopList = graft.functions.TextKernels.englishStopwordList
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH $toksCte,
+           |inp AS (SELECT doc_id, w FROM toks WHERE doc_id % 97 <> 0),
+           |fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS f
+           |       FROM inp),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+           |ded AS (SELECT i.doc_id, i.w FROM inp i JOIN keep USING (doc_id)),
+           |topt AS (
+           |  SELECT doc_id, max(c) AS top_c FROM (
+           |    SELECT doc_id, t, count(*) AS c
+           |    FROM (SELECT doc_id, unnest(w) AS t FROM ded) GROUP BY doc_id, t)
+           |  GROUP BY doc_id),
+           |b AS (
+           |  SELECT ded.doc_id, len(w) AS n, w,
+           |         CASE WHEN len(w) > 0
+           |              THEN CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+           |              ELSE 0.0 END AS meanlen,
+           |         len(list_filter(list_distinct(w), x -> list_contains($stopList, x))) AS nstop,
+           |         CASE WHEN len(w) > 0
+           |              THEN CAST(coalesce(top_c, 0) AS DOUBLE) / len(w)
+           |              ELSE 0.0 END AS topfrac
+           |  FROM ded LEFT JOIN topt ON ded.doc_id = topt.doc_id),
+           |qual AS (
+           |  SELECT doc_id, CAST(n AS INT) AS n_tokens, w FROM b
+           |  WHERE NOT (n < 40) AND NOT (n > 100000)
+           |    AND NOT (meanlen < 3.5 OR meanlen > 6.0)
+           |    AND NOT (nstop < 2) AND NOT (topfrac > 0.15)),
+           |g4 AS (
+           |  SELECT doc_id, CASE WHEN len(w) >= 4
+           |    THEN list_distinct(list_transform(generate_series(1, len(w)-3),
+           |         i -> list_aggregate(w[i:i+3], 'string_agg', ' ')))
+           |    ELSE [] END AS grams
+           |  FROM qual),
+           |e4 AS (
+           |  SELECT CASE WHEN len(w) >= 4
+           |    THEN list_distinct(list_transform(generate_series(1, len(w)-3),
+           |         i -> list_aggregate(w[i:i+3], 'string_agg', ' ')))
+           |    ELSE [] END AS grams
+           |  FROM toks WHERE doc_id % 97 = 0),
+           |bg AS (SELECT DISTINCT ${Hashing.sqlMd5Long60("g")} AS gh
+           |       FROM (SELECT unnest(grams) AS g FROM e4)),
+           |cg AS (SELECT doc_id, ${Hashing.sqlMd5Long60("g")} AS gh
+           |       FROM (SELECT doc_id, unnest(grams) AS g FROM g4)),
+           |bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gh)),
+           |clean AS (SELECT doc_id, n_tokens FROM qual
+           |          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+           |cs AS (SELECT d.source AS src, count(*) AS n
+           |       FROM clean c JOIN documents d USING (doc_id) GROUP BY d.source),
+           |ws AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.6)) AS wsum FROM cs),
+           |r AS (SELECT src, CAST(floor(least(1.0,
+           |        120.0 * pow(CAST(n AS DOUBLE), 0.6) / wsum / n) * 1e6) AS BIGINT) AS thr
+           |      FROM cs CROSS JOIN ws)
+           |SELECT c.doc_id, d.source, c.n_tokens
+           |FROM clean c JOIN documents d USING (doc_id) JOIN r ON d.source = r.src
+           |WHERE ${Hashing.sqlMd5Long60("CAST(c.doc_id AS VARCHAR)")} % 1000000 < thr
+           |ORDER BY c.doc_id""".stripMargin
+      }),
+
+    // The funnel-report twin: per-stage in/kept/dropped counts over the
+    // SAME composed chain — the audit view a dataset build publishes.
+    Q("c137_prep_funnel",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Corpus.prepPipelineFunnel(
+          docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+          col("source"), docs.filter(col("doc_id") % 97 === 0), col("text"),
+          nGram = 4, alpha = 0.6, targetTotal = 120L,
+          minWords = 40, maxWords = 100000, minMeanLen = 3.5,
+          maxMeanLen = 6.0, minStopwords = 2, maxTopTokFrac = 0.15)
+          .orderBy("stage_idx")
+      },
+      Some {
+        val stopList = graft.functions.TextKernels.englishStopwordList
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH $toksCte,
+           |inp AS (SELECT doc_id, w FROM toks WHERE doc_id % 97 <> 0),
+           |fp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS f
+           |       FROM inp),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+           |ded AS (SELECT i.doc_id, i.w FROM inp i JOIN keep USING (doc_id)),
+           |topt AS (
+           |  SELECT doc_id, max(c) AS top_c FROM (
+           |    SELECT doc_id, t, count(*) AS c
+           |    FROM (SELECT doc_id, unnest(w) AS t FROM ded) GROUP BY doc_id, t)
+           |  GROUP BY doc_id),
+           |b AS (
+           |  SELECT ded.doc_id, len(w) AS n, w,
+           |         CASE WHEN len(w) > 0
+           |              THEN CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)
+           |              ELSE 0.0 END AS meanlen,
+           |         len(list_filter(list_distinct(w), x -> list_contains($stopList, x))) AS nstop,
+           |         CASE WHEN len(w) > 0
+           |              THEN CAST(coalesce(top_c, 0) AS DOUBLE) / len(w)
+           |              ELSE 0.0 END AS topfrac
+           |  FROM ded LEFT JOIN topt ON ded.doc_id = topt.doc_id),
+           |qual AS (
+           |  SELECT doc_id, w FROM b
+           |  WHERE NOT (n < 40) AND NOT (n > 100000)
+           |    AND NOT (meanlen < 3.5 OR meanlen > 6.0)
+           |    AND NOT (nstop < 2) AND NOT (topfrac > 0.15)),
+           |g4 AS (
+           |  SELECT doc_id, CASE WHEN len(w) >= 4
+           |    THEN list_distinct(list_transform(generate_series(1, len(w)-3),
+           |         i -> list_aggregate(w[i:i+3], 'string_agg', ' ')))
+           |    ELSE [] END AS grams
+           |  FROM qual),
+           |e4 AS (
+           |  SELECT CASE WHEN len(w) >= 4
+           |    THEN list_distinct(list_transform(generate_series(1, len(w)-3),
+           |         i -> list_aggregate(w[i:i+3], 'string_agg', ' ')))
+           |    ELSE [] END AS grams
+           |  FROM toks WHERE doc_id % 97 = 0),
+           |bg AS (SELECT DISTINCT ${Hashing.sqlMd5Long60("g")} AS gh
+           |       FROM (SELECT unnest(grams) AS g FROM e4)),
+           |cg AS (SELECT doc_id, ${Hashing.sqlMd5Long60("g")} AS gh
+           |       FROM (SELECT doc_id, unnest(grams) AS g FROM g4)),
+           |bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gh)),
+           |clean AS (SELECT doc_id FROM qual
+           |          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+           |cs AS (SELECT d.source AS src, count(*) AS n
+           |       FROM clean c JOIN documents d USING (doc_id) GROUP BY d.source),
+           |ws AS (SELECT sum(pow(CAST(n AS DOUBLE), 0.6)) AS wsum FROM cs),
+           |r AS (SELECT src, CAST(floor(least(1.0,
+           |        120.0 * pow(CAST(n AS DOUBLE), 0.6) / wsum / n) * 1e6) AS BIGINT) AS thr
+           |      FROM cs CROSS JOIN ws),
+           |sel AS (SELECT c.doc_id FROM clean c
+           |        JOIN documents d USING (doc_id) JOIN r ON d.source = r.src
+           |        WHERE ${Hashing.sqlMd5Long60("CAST(c.doc_id AS VARCHAR)")} % 1000000 < thr),
+           |n0 AS (SELECT count(*) AS c FROM inp),
+           |n1 AS (SELECT count(*) AS c FROM ded),
+           |n2 AS (SELECT count(*) AS c FROM qual),
+           |n3 AS (SELECT count(*) AS c FROM clean),
+           |n4 AS (SELECT count(*) AS c FROM sel)
+           |SELECT * FROM (
+           |  SELECT 0 AS stage_idx, 'input' AS stage, n0.c AS n_in, n0.c AS n_kept,
+           |         n0.c - n0.c AS n_dropped FROM n0
+           |  UNION ALL SELECT 1, 'exact_dedup', n0.c, n1.c, n0.c - n1.c FROM n0, n1
+           |  UNION ALL SELECT 2, 'gopher_quality', n1.c, n2.c, n1.c - n2.c FROM n1, n2
+           |  UNION ALL SELECT 3, 'decontaminate', n2.c, n3.c, n2.c - n3.c FROM n2, n3
+           |  UNION ALL SELECT 4, 'temperature_mix', n3.c, n4.c, n3.c - n4.c FROM n3, n4)
+           |ORDER BY stage_idx""".stripMargin
+      }),
+
     // Tokenizer fertility per language: subword-tokens-per-word under the
     // corpus-trained 10-merge BPE — the multilingual tokenizer-cost
     // diagnostic. Oracle replays the same merges (c41's recursive replay)

@@ -1052,6 +1052,64 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
     rows.foreach { r => assert(r._4 <= r._3 && r._5 == r._3 - r._4) }
   }
 
+  test("prep pipeline: equals the hand-chained stages, funnel chains, no cartesian") {
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = all.filter(col("doc_id") % 97 =!= 0)
+    val eval = all.filter(col("doc_id") % 97 === 0)
+    val piped = graft.ext.Corpus.prepPipeline(docs, col("doc_id"), col("text"),
+      col("source"), eval, col("text"), nGram = 4, alpha = 0.6,
+      targetTotal = 120L, minWords = 40, maxWords = 100000,
+      minMeanLen = 3.5, maxMeanLen = 6.0, minStopwords = 2,
+      maxTopTokFrac = 0.15)
+    // hand-chain the same four library ops in the same order
+    val fp = docs.withColumn("_fp", graft.ext.TextAnalysis.fingerprint(col("text")))
+    val keep = fp.groupBy("_fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val ded = docs.join(keep, Seq("doc_id"), "left_semi")
+    val qual = ded.join(
+      graft.ext.Corpus.gopherFilter(ded, col("doc_id"), col("text"),
+        40, 100000, 3.5, 6.0, 2, 0.15)
+        .filter(col("pass")).select("doc_id"), "doc_id")
+    val clean = graft.ext.Corpus.decontaminate(qual, col("doc_id"),
+      col("text"), eval, col("text"), nGram = 4)
+    val sel = graft.ext.Corpus.temperatureMixture(clean, col("doc_id"),
+      col("source"), alpha = 0.6, targetTotal = 120L)
+    val got = piped.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == sel.select("doc_id").collect().map(_.getLong(0)).toSet)
+    assert(got.nonEmpty)
+    // funnel: stages chain, drops reconcile, tail equals the pipeline
+    val f = graft.ext.Corpus.prepPipelineFunnel(docs, col("doc_id"),
+      col("text"), col("source"), eval, col("text"), nGram = 4,
+      alpha = 0.6, targetTotal = 120L, minWords = 40, maxWords = 100000,
+      minMeanLen = 3.5, maxMeanLen = 6.0, minStopwords = 2,
+      maxTopTokFrac = 0.15)
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(f.map(_._2).toSeq == Seq("input", "exact_dedup", "gopher_quality",
+      "decontaminate", "temperature_mix"))
+    assert(f(0)._3 == docs.count() && f(0)._4 == f(0)._3)
+    f.sliding(2).foreach { case Array(prev, next) =>
+      assert(next._3 == prev._4, s"stage ${next._2} n_in must chain") }
+    f.foreach { r => assert(r._4 <= r._3 && r._5 == r._3 - r._4) }
+    assert(f.last._4 == got.size.toLong)
+    // interaction pin: a later duplicate of a quality-FAILING doc cannot
+    // survive via dedup order (dedup keeps min id; quality then kills the
+    // representative — both copies gone)
+    val sp2 = spark; import sp2.implicits._
+    val bad = Seq((1L, "tiny doc", "s0"), (2L, "tiny doc", "s0"),
+      (3L, ("the quick brown fox jumps over the lazy dog and then " * 8).trim, "s1"))
+      .toDF("doc_id", "text", "source")
+    val out2 = graft.ext.Corpus.prepPipeline(bad, col("doc_id"), col("text"),
+      col("source"), bad.limit(0), col("text"), nGram = 4, alpha = 1.0,
+      targetTotal = 10L, minWords = 20, maxWords = 100000,
+      minMeanLen = 2.0, maxMeanLen = 10.0, minStopwords = 2,
+      maxTopTokFrac = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out2 == Set(3L)) // 1 and 2 share a failing fingerprint
+    // plan audit: nothing cartesian on data-sized frames
+    val plan = piped.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
   test("exact-k sample: exactly k, deterministic, stable under repartitioning, TakeOrdered plan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def ids(df: org.apache.spark.sql.DataFrame) =
