@@ -39,7 +39,28 @@ object EsBulk {
   /** Parse `_bulk` NDJSON lines (`seq` = line number, `value` = raw
     * line). Action lines carry one of the four action keys; `index`/
     * `create`/`update` consume the FOLLOWING line as their doc
-    * (`update` unwraps ES's `{"doc": {...}}` envelope). */
+    * (`update` unwraps ES's `{"doc": {...}}` envelope).
+    *
+    * STRICT WIRE VALIDATION (the EsBulkFuzzSpec contract — no silent
+    * misparse): every line must be either a well-formed action line or
+    * the source doc of the immediately preceding doc-taking action.
+    * Violations raise at first materialization with a stable error
+    * class (ES 6.5 400s the whole request the same way):
+    *  - `malformed action line` — an action-keyed line with several
+    *    action keys, a non-integer/missing `_id`, or a non-object body;
+    *  - `malformed action/metadata line` — a line where an action was
+    *    expected that carries no action key (ES's exact failure, e.g.
+    *    a stray doc after a `delete`);
+    *  - `ambiguous bulk line` — a line positioned as a source doc that
+    *    itself carries a bulk action key. ES silently treats it as the
+    *    doc; unvalidated, this front-end would read it TWICE (as doc
+    *    and as action) — rejecting loudly is the documented deviation;
+    *  - `truncated bulk body` — a doc-taking action with no following
+    *    line;
+    *  - `malformed source doc line` — a doc line that is not a JSON
+    *    object.
+    * The checks are a fixed set of seq-joins + one tiny agg folded into
+    * a 1-row broadcast guard — no window, no driver collect. */
   def parse(lines: DataFrame): Dataset[BulkOp] = {
     val spark = lines.sparkSession
     import spark.implicits._
@@ -57,6 +78,11 @@ object EsBulk {
       .select(col("seq"), col("op"),
         coalesce(col("a.index._id"), col("a.create._id"),
           col("a.update._id"), col("a.delete._id")).as("id"))
+      // a null/uncoercible _id cannot flow into the typed ops (the
+      // encoder would NOT_NULL-assert before the wire guard fires);
+      // dropping it here is safe because badMeta below rejects the
+      // line loudly via the guard
+      .filter(col("id").isNotNull)
     val docs = lines.select((col("seq") - 1).as("seq"),
       from_json(col("value"), org.apache.spark.sql.types.DataType.fromDDL(
         "map<string, string>")).as("flat"),
@@ -95,6 +121,70 @@ object EsBulk {
         raise_error(lit("_bulk update action needs a doc or a script"))
           .cast("map<string, string>"))
       .otherwise(col("env.doc"))
+    // strict wire validation (contract in the scaladoc above): classify
+    // every line by CONTENT (top-level keys of the flat parse), derive
+    // doc positions from the action positions, and reject any line the
+    // two views disagree on. All seq-joins + one global agg — the guard
+    // is a 1-row broadcast the result filters on, so it evaluates
+    // whenever the parse is consumed.
+    val actionKeyList = typedLit(Seq("index", "create", "update", "delete"))
+    val cls = lines.select(col("seq"),
+      from_json(col("value"), org.apache.spark.sql.types.DataType.fromDDL(
+        "map<string, string>")).as("_flat"))
+      .select(col("seq"), col("_flat").isNotNull.as("obj"),
+        array_intersect(
+          map_keys(coalesce(col("_flat"), map_from_arrays(
+            array().cast("array<string>"), array().cast("array<string>")))),
+          actionKeyList).as("ak"))
+    val aSet = cls.filter(size(col("ak")) > 0)
+      .select(col("seq"), size(col("ak")).as("nk"),
+        (element_at(col("ak"), 1) =!= "delete").as("docTaking"))
+    val dSeqs = aSet.filter(col("nk") === 1 && col("docTaking"))
+      .select((col("seq") + 1).as("seq"))
+    val multiKey = aSet.filter(col("nk") > 1).select(col("seq"),
+      lit("malformed action line (multiple action keys)").as("r"))
+    val badMeta = aSet.filter(col("nk") === 1)
+      .join(act.select(col("seq"), col("id").as("_aid"),
+        lit(true).as("_hasOp")), Seq("seq"), "left")
+      .filter(not(coalesce(col("_hasOp"), lit(false))) || col("_aid").isNull)
+      .select(col("seq"),
+        lit("malformed action line (bad or missing _id)").as("r"))
+    val ambiguous = dSeqs.join(aSet.select("seq"), Seq("seq"), "left_semi")
+      .select(col("seq"),
+        lit("ambiguous bulk line (source doc carries a bulk action key)").as("r"))
+    val truncated = dSeqs.join(lines.select("seq"), Seq("seq"), "left_anti")
+      .select((col("seq") - 1).as("seq"),
+        lit("truncated bulk body (action expects a source doc)").as("r"))
+    val orphan = lines.select("seq")
+      .join(aSet.select("seq").union(dSeqs), Seq("seq"), "left_anti")
+      .select(col("seq"),
+        lit("malformed action/metadata line (expected an action)").as("r"))
+    val badDoc = dSeqs.join(cls, Seq("seq"))
+      .filter(not(col("obj")))
+      .select(col("seq"),
+        lit("malformed source doc line (not a JSON object)").as("r"))
+    // The guard CANNOT be a crossJoin+filter on the ops frame: a batch of
+    // pure garbage parses to ZERO ops, and a filter over zero rows never
+    // evaluates its predicate — the malformed batch would apply as a
+    // silent no-op (found by EsBulkFuzzSpec). Instead the guard is a
+    // 1-row aggregate UNIONED in as an extra (normally empty) partition:
+    // evaluating its filter either passes (0 rows appended) or raises —
+    // and union partitions always evaluate when the parse is consumed.
+    val guard =
+      multiKey.union(badMeta).union(ambiguous).union(truncated)
+        .union(orphan).union(badDoc)
+        .select(struct(col("seq"), col("r")).as("v"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("v"))
+        .select(when(col("n") > 0, raise_error(concat(
+            lit("_bulk: "), col("v.r"), lit(" [line "),
+            col("v.seq").cast("string"), lit("]"))).cast("boolean"))
+          .otherwise(lit(true)).as("_wire_ok"))
+    val guardOps = guard.filter(not(col("_wire_ok")))
+      .select(lit(-1L).as("seq"), lit("delete").as("op"), lit(-1L).as("id"),
+        lit(null).cast("map<string, string>").as("doc"),
+        lit(false).as("upsert"), lit(null).cast("string").as("script"),
+        lit(null).cast("map<string, string>").as("upsertDoc"),
+        lit(false).as("scriptedUpsert"), lit(true).as("detectNoop"))
     act.join(docs, Seq("seq"), "left")
       .select(col("seq"), col("op"), col("id"),
         when(col("op") === "update", updDoc)
@@ -113,6 +203,7 @@ object EsBulk {
           coalesce(col("env.scripted_upsert"), lit(false))).as("scriptedUpsert"),
         (col("op") =!= "update" ||
           coalesce(col("env.detect_noop"), lit(true))).as("detectNoop"))
+      .union(guardOps)
       .as[BulkOp]
   }
 
