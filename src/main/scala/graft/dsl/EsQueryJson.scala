@@ -69,8 +69,16 @@ object EsQueryJson {
   private val querySchema =
     new scala.util.DynamicVariable[Option[org.apache.spark.sql.types.StructType]](None)
 
+  /** The frame the current request runs against — the statistics source
+    * for constructs whose QUERY CONSTRUCTION needs corpus stats the way
+    * ES's coordinating node uses index stats (`more_like_this` term
+    * selection). Scoped with [[querySchema]] by every df-bearing entry
+    * point. */
+  private val queryFrame = new scala.util.DynamicVariable[Option[DataFrame]](None)
+
   private def withSchemaOf[T](df: DataFrame)(f: => T): T =
-    querySchema.withValue(Some(df.schema))(f)
+    querySchema.withValue(Some(df.schema))(
+      queryFrame.withValue(Some(df))(f))
 
   /** Stored-script registry (ES `PUT _scripts/{id}` / `GET _scripts/{id}`):
     * wherever a body accepts an inline painless `source`, `{"script":
@@ -696,6 +704,7 @@ object EsQueryJson {
         EsDsl.regexp(field(f), (if (v.isObject) v.get("value") else v).asText())
       case "ids" =>
         EsDsl.ids(col("id"), body.get("values").elements().asScala.map(_.asText(): Any).toSeq)
+      case "more_like_this" => mltPredicate(body, field)
       case "match" =>
         val (f, v) = single(body)
         val (text, _, msm) = textBoostMsm(v)
@@ -1929,6 +1938,138 @@ object EsQueryJson {
     * it matches, any other clause kind filters without scoring. `filter`
     * clauses never score (ES semantics). bool-level `minimum_should_match`
     * defaults ES-faithfully: 1 when the bool is should-only, else 0. */
+  /** `more_like_this` query construction — the coordinating-node step ES
+    * runs before searching: gather the like sources (doc refs fetched by
+    * id — a |like|-bounded collect — plus free-text likes), count their
+    * term frequencies, keep candidates with `min_term_freq`, score
+    * tf·ln(N/df) against the CORPUS stats (the engine-wide MLT selection
+    * formula, [[graft.ext.TextAnalysis.tfIdfTopK]] — ES uses Lucene's
+    * 1+log form; same ordering on any one corpus, documented choice),
+    * drop `min_doc_freq` failures, take `max_query_terms` by (score
+    * desc, term asc). The candidate scoring runs as ONE bounded Spark
+    * job (candidate terms ≤ the like docs' vocabulary), so round/log
+    * semantics match the engine everywhere. Doc refs resolve `_id`
+    * against `doc_id` when the frame has it, else `id` (the engine's two
+    * id conventions); `include` defaults false (like docs excluded from
+    * results); `minimum_should_match` defaults ES's "30%". `like` and
+    * `unlike` accept free-text strings, `{"_id": n}` doc refs, and
+    * `{"doc": {...}}` artificial documents; terms appearing in any
+    * `unlike` source are skipped during selection (ES's exclusion set).
+    * Unsupported options (per-field boosts, analyzer overrides, ...)
+    * reject loudly. */
+  private case class MltSpec(f: String, terms: Seq[String], likeIds: Seq[Long],
+                             msm: Int, idColName: String)
+  private def mltSpec(body: JsonNode): MltSpec = {
+    val fields = Option(body.get("fields")).map(_.elements().asScala.toSeq.map(_.asText()))
+      .getOrElse(throw new IllegalArgumentException("more_like_this needs 'fields'"))
+    require(fields.size == 1,
+      s"more_like_this supports exactly one field, got ${fields.mkString(", ")}")
+    val f = fields.head
+    require(!indexAnalyzers.value.contains(f),
+      s"more_like_this against index-analyzed field '$f' is unsupported " +
+        "(term selection over an expanded stream is not wired)")
+    val known = Set("fields", "like", "unlike", "max_query_terms",
+      "min_term_freq", "min_doc_freq", "minimum_should_match", "include",
+      "boost")
+    val unknown = body.fieldNames().asScala.toSeq.filterNot(known)
+    require(unknown.isEmpty,
+      s"unsupported more_like_this options: ${unknown.sorted.mkString(", ")}")
+    // like/unlike entries: free-text strings, {"_id": n} doc refs, or
+    // artificial documents {"doc": {"<field>": "..."}} (ES's third form —
+    // the doc's value for the queried field stands in as like text)
+    def entries(node: JsonNode, what: String): (Seq[Long], Seq[String]) = {
+      val es = if (node.isArray) node.elements().asScala.toSeq else Seq(node)
+      require(es.nonEmpty, s"more_like_this '$what' must not be empty")
+      val (objs, texts) = es.partition(_.isObject)
+      require(texts.forall(_.isTextual),
+        s"more_like_this '$what' entries must be strings, {\"_id\": n} doc refs, " +
+          "or {\"doc\": {...}} artificial documents")
+      val (artificial, refs) = objs.partition(_.has("doc"))
+      val ids = refs.map { n =>
+        val keys = n.fieldNames().asScala.toSeq
+        require(keys.forall(Set("_id", "_index", "_type")),
+          s"more_like_this doc ref supports _id/_index/_type, got ${keys.mkString(", ")}")
+        Option(n.get("_id")).map(_.asLong()).getOrElse(
+          throw new IllegalArgumentException("more_like_this doc ref needs _id"))
+      }
+      val artTexts = artificial.map { n =>
+        require(n.fieldNames().asScala.toSeq.forall(Set("doc", "_index", "_type")),
+          "more_like_this artificial document supports doc/_index/_type keys")
+        Option(n.get("doc").get(f)).map(_.asText()).getOrElse(
+          throw new IllegalArgumentException(
+            s"more_like_this artificial document must carry the queried field '$f'"))
+      }
+      (ids, texts.map(_.asText()) ++ artTexts)
+    }
+    val likeNode = Option(body.get("like"))
+      .getOrElse(throw new IllegalArgumentException("more_like_this needs 'like'"))
+    val (likeIds, likeTexts) = entries(likeNode, "like")
+    val (unlikeIds, unlikeTexts) =
+      Option(body.get("unlike")).map(entries(_, "unlike")).getOrElse((Seq.empty, Seq.empty))
+    val maxQ = Option(body.get("max_query_terms")).map(_.asInt()).getOrElse(25)
+    val minTf = Option(body.get("min_term_freq")).map(_.asInt()).getOrElse(2)
+    val minDf = Option(body.get("min_doc_freq")).map(_.asInt()).getOrElse(5)
+    val include = Option(body.get("include")).exists(_.asBoolean())
+    val exclude = if (include) Seq.empty else likeIds
+    if (validateOnly.value)
+      return MltSpec(f, Seq("placeholder"), exclude, 1, "doc_id")
+    val df = queryFrame.value.getOrElse(throw new IllegalArgumentException(
+      "more_like_this needs the search frame for term statistics " +
+        "(run it through a df-bearing entry point)"))
+    val idColName = if (df.columns.contains("doc_id")) "doc_id" else "id"
+    def fetchTexts(ids: Seq[Long]): Seq[String] =
+      if (ids.isEmpty) Seq.empty
+      else df.filter(col(idColName).isin(ids: _*))
+        .select(field(f).cast("string")).collect()
+        .map(r => Option(r.getString(0)).getOrElse("")).toSeq
+    // driver tokenization mirrors TextAnalysis.tokens (lower, \W+ split)
+    def toks(ss: Seq[String]): Seq[String] =
+      ss.flatMap(_.toLowerCase.split("\\W+").filter(_.nonEmpty))
+    val tf = toks(fetchTexts(likeIds) ++ likeTexts)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    // ES `unlike`: terms appearing in any unlike source are skipped
+    // during selection (the "interesting terms" exclusion set)
+    val skip = toks(fetchTexts(unlikeIds) ++ unlikeTexts).toSet
+    val cands = tf.filter { case (t, c) => c >= minTf && !skip(t) }
+      .keys.toSeq.sorted
+    val msmNode = Option(body.get("minimum_should_match"))
+    def msmFor(n: Int) =
+      math.max(1, msmNode.map(msmOf(_, n)).getOrElse(msmOf(parse("\"30%\""), n)))
+    if (cands.isEmpty) return MltSpec(f, Seq.empty, exclude, 1, idColName)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val candDf = cands.map(t => (t, tf(t).toLong)).toDF("term", "ltf")
+    val terms = df
+      .select(explode(array_distinct(graft.ext.TextAnalysis.tokens(field(f)))).as("term"))
+      .filter(col("term").isin(cands: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .join(broadcast(candDf), "term")
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("n_docs"))))
+      .withColumn("tfidf",
+        round(col("ltf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .orderBy(desc("tfidf"), col("term")).limit(maxQ)
+      .select("term").collect().map(_.getString(0)).toSeq
+    MltSpec(f, terms, exclude, msmFor(terms.size), idColName)
+  }
+
+  /** The document-level `more_like_this` predicate (filter context): the
+    * doc shares at least msm of the selected terms, like docs excluded.
+    * Narrow — one token-set intersect against a literal term array. */
+  private def mltPredicate(body: JsonNode, fld: String => Column): Column = {
+    val spec = mltSpec(body)
+    if (spec.terms.isEmpty) lit(false)
+    else {
+      val shared = size(array_intersect(
+        array_distinct(graft.ext.TextAnalysis.tokens(fld(spec.f))),
+        typedLit(spec.terms)))
+      val base = shared >= lit(spec.msm)
+      if (spec.likeIds.nonEmpty)
+        base && !col(spec.idColName).isin(spec.likeIds: _*)
+      else base
+    }
+  }
+
   private def scoredSearch(df: DataFrame, q: JsonNode): DataFrame = {
     val (kind, body) = single(q)
     kind match {
@@ -1984,6 +2125,28 @@ object EsQueryJson {
               .filter(col("_score") > 0).drop(internals: _*)
           }
         if (msm > 1) scored.filter(EsDsl.matchQuery(stored, terms, msm)) else scored
+      case "more_like_this" =>
+        // BM25 over the selected terms (the [[EsDsl.moreLikeThisBm25]]
+        // scoring, sorted-term fold for a deterministic double), msm as a
+        // shared-term-count gate, like docs excluded
+        val spec = mltSpec(body)
+        val boost = Option(body.get("boost")).map(_.asDouble()).getOrElse(1.0)
+        if (spec.terms.isEmpty) df.withColumn("_score", lit(0.0)).filter(lit(false))
+        else {
+          val sortedTerms = spec.terms.sorted
+          val (joined, scores, internals) =
+            EsDsl.bm25Scores(df, Seq(field(spec.f) -> sortedTerms))
+          val scored = joined
+            .withColumn("_score", round(boosted(boost, scores.head), 6))
+            .filter(col("_score") > 0).drop(internals: _*)
+          val gated =
+            if (spec.msm > 1)
+              scored.filter(EsDsl.matchQuery(field(spec.f), sortedTerms, spec.msm))
+            else scored
+          if (spec.likeIds.nonEmpty)
+            gated.filter(!col(spec.idColName).isin(spec.likeIds: _*))
+          else gated
+        }
       case "match_phrase" =>
         val (f, v) = single(body)
         val (text, boost, _) = textBoostMsm(v)
@@ -2115,7 +2278,8 @@ object EsQueryJson {
 
   /** Query kinds [[scoredSearch]] can attach a `_score` to. */
   private val scoringKinds = Set("match", "match_phrase", "multi_match",
-    "constant_score", "bool", "dis_max", "boosting", "function_score")
+    "constant_score", "bool", "dis_max", "boosting", "function_score",
+    "more_like_this")
 
   /** `function_score`: reshape the inner query's score with document-value
     * functions — ES's "boost by recency/popularity" workhorse. Supported

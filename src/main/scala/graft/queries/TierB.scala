@@ -4743,6 +4743,126 @@ object TierB {
              |         FROM ssc JOIN tsc ON ssc.doc_id = tsc.doc_id)
              |SELECT doc_id, score FROM best WHERE score > 0
              |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
+
+    // more_like_this through the ES-JSON front-end (the DSL op a-mlt
+    // wired as a QUERY clause): mixed like sources (doc ref + free
+    // text), explicit min_term_freq/min_doc_freq/max_query_terms, msm
+    // as a shared-term gate, like doc excluded, BM25-scored. Oracle
+    // replays the coordinating-node term selection (tf over the like
+    // sources × ln(N/df), top-k with the term tiebreak) and the
+    // sorted-term BM25 fold.
+    Q("a209_es_json_more_like_this",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"more_like_this": {
+          |   "fields": ["text"], "like": [{"_id": 7}, "hash table"],
+          |   "min_term_freq": 1, "min_doc_freq": 2, "max_query_terms": 6,
+          |   "minimum_should_match": 2}},
+          | "sort": ["_score", "doc_id"], "size": 15}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents),
+             |lt AS (
+             |  SELECT unnest(w) AS term FROM toks WHERE doc_id = 7
+             |  UNION ALL
+             |  SELECT unnest(list_filter(string_split_regex(lower('hash table'), '\W+'), x -> x <> ''))),
+             |ltf AS (SELECT term, count(*) AS ltf FROM lt GROUP BY term),
+             |td AS (SELECT doc_id, unnest(w) AS term FROM toks),
+             |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM td GROUP BY term),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+             |q AS (SELECT term FROM (
+             |        SELECT l.term, round(l.ltf * ln(n_docs/df), 6) AS tfidf
+             |        FROM ltf l JOIN dfq USING (term) CROSS JOIN nn WHERE df >= 2)
+             |      ORDER BY tfidf DESC, term LIMIT 6),
+             |tf0 AS (SELECT doc_id, term, count(*) AS tf FROM td GROUP BY doc_id, term),
+             |dls AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dls),
+             |c AS (SELECT d.doc_id, q.term,
+             |             ln(1 + (st.n - dfq.df + 0.5)/(dfq.df + 0.5))
+             |               * (COALESCE(tf0.tf, 0)*(1.2+1))
+             |               / (COALESCE(tf0.tf, 0) + 1.2*(1 - 0.75 + 0.75*d.dl/st.avgdl)) AS contrib
+             |      FROM dls d CROSS JOIN q
+             |      JOIN dfq ON dfq.term = q.term CROSS JOIN st
+             |      LEFT JOIN tf0 ON tf0.doc_id = d.doc_id AND tf0.term = q.term),
+             |s AS (SELECT doc_id,
+             |             list_reduce(list(contrib ORDER BY term), (a, b) -> a + b) AS raw
+             |      FROM c GROUP BY doc_id),
+             |shared AS (SELECT doc_id, count(*) AS sh
+             |           FROM (SELECT DISTINCT td.doc_id, td.term FROM td JOIN q USING (term))
+             |           GROUP BY doc_id)
+             |SELECT s.doc_id, round(raw, 6) AS score
+             |FROM s JOIN shared USING (doc_id)
+             |WHERE round(raw, 6) > 0 AND sh >= 2 AND s.doc_id <> 7
+             |ORDER BY score DESC, s.doc_id LIMIT 15""".stripMargin)),
+
+    // more_like_this in FILTER context (inside bool.filter, free-text
+    // like only): pure shared-term predicate, no scoring, composed with
+    // a term filter — the "find related, then filter" shape.
+    Q("a210_es_json_mlt_filter",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"bool": {"filter": [
+          |   {"more_like_this": {
+          |      "fields": ["text"], "like": "spark hash table query",
+          |      "min_term_freq": 1, "min_doc_freq": 2,
+          |      "max_query_terms": 4, "minimum_should_match": 2}},
+          |   {"term": {"lang": "en"}}]}},
+          | "sort": ["doc_id"], "size": 50}""".stripMargin)
+        .select(col("doc_id"), col("lang")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents),
+             |lt AS (SELECT unnest(list_filter(string_split_regex(lower('spark hash table query'), '\W+'), x -> x <> '')) AS term),
+             |ltf AS (SELECT term, count(*) AS ltf FROM lt GROUP BY term),
+             |td AS (SELECT doc_id, unnest(w) AS term FROM toks),
+             |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM td GROUP BY term),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+             |q AS (SELECT term FROM (
+             |        SELECT l.term, round(l.ltf * ln(n_docs/df), 6) AS tfidf
+             |        FROM ltf l JOIN dfq USING (term) CROSS JOIN nn WHERE df >= 2)
+             |      ORDER BY tfidf DESC, term LIMIT 4),
+             |shared AS (SELECT doc_id, count(*) AS sh
+             |           FROM (SELECT DISTINCT td.doc_id, td.term FROM td JOIN q USING (term))
+             |           GROUP BY doc_id)
+             |SELECT d.doc_id, d.lang FROM documents d JOIN shared USING (doc_id)
+             |WHERE sh >= 2 AND d.lang = 'en'
+             |ORDER BY d.doc_id LIMIT 50""".stripMargin)),
+
+    // more_like_this third like form + the exclusion set: an ARTIFICIAL
+    // document ({"doc": ...}) drives selection and `unlike` terms are
+    // skipped (ES's interesting-terms exclusion) — selection = top terms
+    // of the artificial text minus the unlike tokens.
+    Q("a211_es_json_mlt_unlike",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"bool": {"filter": [
+          |   {"more_like_this": {
+          |      "fields": ["text"],
+          |      "like": [{"doc": {"text": "spark hash table query join"}}],
+          |      "unlike": "table query",
+          |      "min_term_freq": 1, "min_doc_freq": 2,
+          |      "max_query_terms": 3, "minimum_should_match": 2}},
+          |   {"range": {"n_chars": {"gte": 40}}}]}},
+          | "sort": ["doc_id"], "size": 40}""".stripMargin)
+        .select(col("doc_id"), col("n_chars")),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents),
+             |lt AS (SELECT unnest(list_filter(string_split_regex(lower('spark hash table query join'), '\W+'), x -> x <> '')) AS term),
+             |ul AS (SELECT DISTINCT unnest(list_filter(string_split_regex(lower('table query'), '\W+'), x -> x <> '')) AS term),
+             |ltf AS (SELECT term, count(*) AS ltf FROM lt
+             |        WHERE term NOT IN (SELECT term FROM ul) GROUP BY term),
+             |td AS (SELECT doc_id, unnest(w) AS term FROM toks),
+             |dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM td GROUP BY term),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+             |q AS (SELECT term FROM (
+             |        SELECT l.term, round(l.ltf * ln(n_docs/df), 6) AS tfidf
+             |        FROM ltf l JOIN dfq USING (term) CROSS JOIN nn WHERE df >= 2)
+             |      ORDER BY tfidf DESC, term LIMIT 3),
+             |shared AS (SELECT doc_id, count(*) AS sh
+             |           FROM (SELECT DISTINCT td.doc_id, td.term FROM td JOIN q USING (term))
+             |           GROUP BY doc_id)
+             |SELECT d.doc_id, d.n_chars FROM documents d JOIN shared USING (doc_id)
+             |WHERE sh >= 2 AND d.n_chars >= 40
+             |ORDER BY d.doc_id LIMIT 40""".stripMargin)),
   )
 }
 

@@ -903,6 +903,96 @@ object ScaleRound14 {
   * fixture is analytic (types cycle view→click→cart→purchase; the whale
   * gaps every 1000 events), so each report has an exact expected shape —
   * a silent skew-truncation can't hide behind the timing. */
+/** Round-14c: the composed prep pipeline (c136/c137) under the skew a
+  * web-scale corpus actually has — a 200k-copy mass duplicate (ONE hot
+  * fingerprint key), a mega-source holding ~90% of docs (temperature
+  * mix must still hit the target from post-filter counts), and an eval
+  * split whose 4-grams contaminate a slice of the corpus. Asserts the
+  * funnel chains, the mass-dup collapses to ONE survivor, and the mix
+  * lands within Bernoulli noise of the target. */
+object ScaleRound14c {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import Scale.t
+
+    val vocab = typedLit((0 until 997).map(i => s"w$i"))
+    // 2M base docs, 24 deterministic vocab tokens each; source skew:
+    // 90% "web", the rest across 9 small sources
+    val base = spark.range(2_000_000).select(
+      col("id").as("doc_id"),
+      // 23 progression tokens + ONE per-doc unique token: without the
+      // unique suffix the mod-997 progression yields only 997 distinct
+      // texts and dedup collapses the whole corpus (this probe's first
+      // run did exactly that — the funnel made it obvious)
+      concat(array_join(transform(sequence(lit(0), lit(22)),
+        i => element_at(vocab, pmod(col("id") * 31 + i.cast("long") * 7, lit(997L))
+          .cast("int") + 1)), " "),
+        lit(" u"), col("id")).as("text"),
+      when(pmod(col("id"), lit(10L)) < 9, "web")
+        .otherwise(concat(lit("src"), pmod(col("id"), lit(10L)))).as("source"))
+    // the mass duplicate: 200k copies of one fixed text in the mega-source
+    val dupText = (0 until 24).map(i => s"w${(31 + i * 7) % 997}").mkString(" ")
+    val dups = spark.range(200_000).select(
+      (col("id") + 2_000_000L).as("doc_id"),
+      lit(dupText).as("text"), lit("web").as("source"))
+    val docs = graft.ext.Dedup.persistOnce(base.unionByName(dups))
+    // eval set: each eval gram is an arithmetic token progression that
+    // matches one residue class of corpus 4-gram starts — each eval doc
+    // contaminates ~21/997 of the corpus, so TEN eval docs flag ~19%
+    // (1000 would cover every residue and scrub the whole corpus — the
+    // first cut of this probe did exactly that)
+    val eval_ = spark.range(10).select(
+      (col("id") + 9_000_000L).as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(3)),
+        i => element_at(vocab, pmod(col("id") * 2000L * 31 + i.cast("long") * 7, lit(997L))
+          .cast("int") + 1)), " ").as("text"))
+
+    val funnel = t("prep-pipeline-funnel-2.2M")(
+      graft.ext.Corpus.prepPipelineFunnel(docs, col("doc_id"), col("text"),
+        col("source"), eval_, col("text"), nGram = 4, alpha = 0.6,
+        targetTotal = 50_000L, minWords = 10, maxWords = 100000,
+        minMeanLen = 1.0, maxMeanLen = 10.0, minStopwords = 0,
+        maxTopTokFrac = 1.0)
+        .orderBy("stage_idx").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))))
+    funnel.foreach { case (s, in, kept) => println(s"SCALEINFO prep stage $s in $in kept $kept") }
+    require(funnel(0)._2 == 2_200_000L, s"input ${funnel(0)._2}")
+    // funnel chains
+    funnel.sliding(2).foreach { case Array(p, n) =>
+      require(n._2 == p._3, s"stage ${n._1} n_in must chain") }
+    // the 200k-copy duplicate collapses to its min-id survivor: dedup
+    // removes AT LEAST 199_999 rows (deterministic generator may add a
+    // handful of organic collisions on top)
+    val dedupRemoved = funnel(1)._2 - funnel(1)._3
+    require(dedupRemoved >= 199_999L, s"dedup removed only $dedupRemoved")
+    // quality passes everything (thresholds open) minus nothing at 24
+    // clean tokens; decon drops a nonzero contaminated slice; mix lands
+    // within 5 sigma of the 50k target (hash-Bernoulli)
+    require(funnel(3)._2 > funnel(3)._3, "decontamination removed nothing")
+    val selected = funnel(4)._3
+    val tol = 5 * math.sqrt(50_000.0)
+    require(math.abs(selected - 50_000L) <= tol,
+      s"mix landed at $selected, target 50000 +- $tol")
+    // per-source balance: small sources upweighted by alpha<1 — every
+    // small source must keep MORE than its raw share would give
+    val bySource = t("prep-pipeline-select-by-source")(
+      graft.ext.Corpus.prepPipeline(docs, col("doc_id"), col("text"),
+        col("source"), eval_, col("text"), nGram = 4, alpha = 0.6,
+        targetTotal = 50_000L, minWords = 10, maxWords = 100000,
+        minMeanLen = 1.0, maxMeanLen = 10.0, minStopwords = 0,
+        maxTopTokFrac = 1.0)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap)
+    val webShare = bySource("web").toDouble / bySource.values.sum
+    println(s"SCALEINFO prep mix web share ${math.round(webShare * 1000) / 1000.0} " +
+      s"(raw corpus share ~0.9)")
+    require(webShare < 0.85, s"temperature mix did not downweight the mega-source: $webShare")
+    println("SCALEINFO prep pipeline soak complete")
+    spark.stop()
+  }
+}
+
 object ScaleRound14b {
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

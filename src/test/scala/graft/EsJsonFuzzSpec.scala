@@ -123,6 +123,26 @@ class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
     df <- Gen.oneOf("text", "lang")
   } yield s"""{"query_string": {"query": "${syntax.replace("\"", "\\\"")}", "default_field": "$df"}}"""
 
+  // more_like_this: valid doc-ref / free-text likes plus every reject
+  // shape (missing fields/like, unsupported options, bad like entries)
+  private def mltGen: Gen[String] = for {
+    id <- Gen.chooseNum(0, 29)
+    p <- phrase
+    form <- Gen.oneOf(
+      s"""{"more_like_this": {"fields": ["text"], "like": [{"_id": $id}], "min_term_freq": 1, "min_doc_freq": 1}}""",
+      s"""{"more_like_this": {"fields": ["text"], "like": "$p", "min_term_freq": 1, "min_doc_freq": 1, "max_query_terms": 4}}""",
+      s"""{"more_like_this": {"fields": ["text"], "like": [{"_id": $id}, "$p"], "min_term_freq": 1, "minimum_should_match": 1}}""",
+      s"""{"more_like_this": {"fields": ["text"], "like": "$p", "include": true, "min_term_freq": 1}}""",
+      s"""{"more_like_this": {"fields": ["text"], "like": "$p", "unlike": "table", "min_term_freq": 1}}""",
+      s"""{"more_like_this": {"fields": ["text"], "like": [{"doc": {"text": "$p"}}], "min_term_freq": 1, "min_doc_freq": 1}}""",
+      s"""{"more_like_this": {"like": "$p"}}""",                       // missing fields
+      s"""{"more_like_this": {"fields": ["text"]}}""",                 // missing like
+      s"""{"more_like_this": {"fields": ["text", "lang"], "like": "$p"}}""", // >1 field
+      s"""{"more_like_this": {"fields": ["text"], "like": [{"doc": {"lang": "en"}}]}}""", // artificial doc missing the queried field
+      s"""{"more_like_this": {"fields": ["text"], "like": "$p", "stop_words": ["x"]}}""", // unsupported option
+      s"""{"more_like_this": {"fields": ["text"], "like": []}}""")     // empty like
+  } yield form
+
   private def malformedLeafGen: Gen[String] = Gen.oneOf(
     """{"frobnicate": {"text": "x"}}""",          // unknown query kind
     """{"term": {"lang": "en", "source": "web"}}""", // two fields in a single-field body
@@ -135,7 +155,7 @@ class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
   private def leafGen: Gen[String] = Gen.frequency(
     3 -> termGen, 2 -> termsGen, 3 -> rangeGen, 2 -> existsGen,
     2 -> patternGen, 1 -> idsGen, 4 -> matchGen, 2 -> phraseGen,
-    3 -> queryStringGen, 2 -> malformedLeafGen)
+    3 -> queryStringGen, 2 -> mltGen, 2 -> malformedLeafGen)
 
   private def boolGen(depth: Int): Gen[String] = for {
     nMust <- Gen.chooseNum(0, 2)

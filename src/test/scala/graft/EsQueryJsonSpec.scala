@@ -2076,4 +2076,74 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     // sanity: the fixture genuinely explodes when anything executes
     intercept[Exception] { df.collect() }
   }
+
+  test("more_like_this: selection, msm gate, include flag, reject shapes") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "spark hash table join spark"),   // the like doc
+      (2L, "spark hash table lookup"),       // shares 3 selected terms
+      (3L, "hash table of contents"),        // shares 2
+      (4L, "spark only here"),               // shares 1
+      (5L, "nothing relevant at all"),       // shares 0
+      (6L, "spark hash crash")               // shares 2
+    ).toDF("doc_id", "text")
+    def ids(body: String): Seq[Long] =
+      graft.dsl.EsQueryJson.search(docs, body)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    // min_doc_freq=2 drops like-only terms (join appears once in corpus →
+    // df=1); selected = {spark, hash, table} (plus none beyond); msm=2
+    val base = """{"query": {"bool": {"filter": [{"more_like_this": {
+                 |  "fields": ["text"], "like": [{"_id": 1}],
+                 |  "min_term_freq": 1, "min_doc_freq": 2,
+                 |  "max_query_terms": 10, "minimum_should_match": 2%s}}]}},
+                 | "sort": ["doc_id"], "size": 10}""".stripMargin
+    assert(ids(base.format("")) == Seq(2L, 3L, 6L)) // like doc excluded, msm≥2
+    // include: true keeps the like doc (it trivially shares everything)
+    assert(ids(base.format(""", "include": true""")) == Seq(1L, 2L, 3L, 6L))
+    // msm above every doc's overlap → empty, never an error
+    val strict = base.replace(""""minimum_should_match": 2""",
+      """"minimum_should_match": 9""")
+    assert(ids(strict.format("")).isEmpty)
+    // no candidate survives min_term_freq → matches nothing (ES behavior)
+    assert(ids("""{"query": {"bool": {"filter": [{"more_like_this": {
+                 |  "fields": ["text"], "like": "zzz yyy",
+                 |  "min_term_freq": 2}}]}}, "size": 10}""".stripMargin).isEmpty)
+    // scored form orders by shared-term BM25 and excludes the like doc
+    val scored = graft.dsl.EsQueryJson.search(docs,
+      """{"query": {"more_like_this": {
+        |  "fields": ["text"], "like": [{"_id": 1}],
+        |  "min_term_freq": 1, "min_doc_freq": 2, "minimum_should_match": 1}},
+        | "sort": ["_score", "doc_id"], "size": 10}""".stripMargin)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(!scored.contains(1L) && scored.nonEmpty)
+    assert(scored.head == 2L) // highest term overlap wins
+    // unlike: terms from the unlike source leave the selection — with
+    // {spark, hash} skipped only {table} remains, so doc 6 (no 'table')
+    // drops and doc 4 ('spark' only) was never in
+    val unliked = """{"query": {"bool": {"filter": [{"more_like_this": {
+                    |  "fields": ["text"], "like": [{"_id": 1}],
+                    |  "unlike": "spark hash crash",
+                    |  "min_term_freq": 1, "min_doc_freq": 2,
+                    |  "max_query_terms": 10, "minimum_should_match": 1}}]}},
+                    | "sort": ["doc_id"], "size": 10}""".stripMargin
+    assert(ids(unliked) == Seq(2L, 3L))
+    // artificial document like: the {"doc": ...} text drives selection
+    val art = """{"query": {"bool": {"filter": [{"more_like_this": {
+                |  "fields": ["text"], "like": [{"doc": {"text": "spark hash table"}}],
+                |  "min_term_freq": 1, "min_doc_freq": 2,
+                |  "max_query_terms": 10, "minimum_should_match": 2}}]}},
+                | "sort": ["doc_id"], "size": 10}""".stripMargin
+    assert(ids(art) == Seq(1L, 2L, 3L, 6L)) // no doc ref → nothing excluded
+    // reject shapes: two fields / artificial doc without the queried
+    // field / unsupported option / empty like
+    def rejects(body: String): Unit =
+      intercept[IllegalArgumentException] {
+        graft.dsl.EsQueryJson.search(docs, body)
+      }
+    rejects("""{"query": {"more_like_this": {"fields": ["text", "lang"], "like": "x"}}}""")
+    rejects("""{"query": {"more_like_this": {"fields": ["text"], "like": [{"doc": {"lang": "en"}}]}}}""")
+    rejects("""{"query": {"more_like_this": {"fields": ["text"], "like": "x", "stop_words": ["y"]}}}""")
+    rejects("""{"query": {"more_like_this": {"fields": ["text"], "like": []}}}""")
+  }
 }
