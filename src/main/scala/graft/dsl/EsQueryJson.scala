@@ -2725,6 +2725,15 @@ object EsQueryJson {
       case "max" => Seq(aggName -> round(max(f), 4))
       case "value_count" => Seq(aggName -> count(f))
       case "cardinality" => Seq(aggName -> EsDsl.cardinality(f))
+      case "stats" =>
+        // the 5-value ES stats response (count/min/max/avg/sum) flattened
+        // to columns — same rounding as the single-value forms above
+        Seq(
+          s"${aggName}_count" -> count(f),
+          s"${aggName}_min" -> round(min(f), 4),
+          s"${aggName}_max" -> round(max(f), 4),
+          s"${aggName}_avg" -> round(avg(f), 6),
+          s"${aggName}_sum" -> round(sum(f), 4))
       case "extended_stats" =>
         // stats + POPULATION variance/std-dev (6 dp both engines) — the
         // exact ES-6.5 response moments (DuckDB var_pop/stddev_pop are the

@@ -4863,6 +4863,28 @@ object TierB {
              |SELECT d.doc_id, d.n_chars FROM documents d JOIN shared USING (doc_id)
              |WHERE sh >= 2 AND d.n_chars >= 40
              |ORDER BY d.doc_id LIMIT 40""".stripMargin)),
+
+    // ES `stats` metric (the plain 5-value count/min/max/avg/sum form —
+    // the most common multi-value metric) per terms bucket, both on a
+    // plain field and on a painless script (net price), sharing ONE
+    // hash-aggregate pass.
+    Q("a212_es_json_stats_agg",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(li(s, d),
+        """{"aggs": {"rf": {"terms": {"field": "l_returnflag", "size": 10},
+          | "aggs": {"st": {"stats": {"field": "l_extendedprice"}},
+          |          "net": {"stats": {"script": {"source":
+          |            "doc['l_extendedprice'].value * (1 - doc['l_discount'].value)"}}}}}}}""".stripMargin)("rf"),
+      Some("""SELECT l_returnflag AS key, count(*) AS doc_count,
+             |       count(l_extendedprice) AS st_count, round(min(l_extendedprice), 4) AS st_min,
+             |       round(max(l_extendedprice), 4) AS st_max,
+             |       round(avg(l_extendedprice), 6) AS st_avg,
+             |       round(sum(l_extendedprice), 4) AS st_sum,
+             |       count(*) AS net_count,
+             |       round(min(l_extendedprice * (1 - l_discount)), 4) AS net_min,
+             |       round(max(l_extendedprice * (1 - l_discount)), 4) AS net_max,
+             |       round(avg(l_extendedprice * (1 - l_discount)), 6) AS net_avg,
+             |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS net_sum
+             |FROM lineitem GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
   )
 }
 

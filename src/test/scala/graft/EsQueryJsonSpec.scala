@@ -41,6 +41,28 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("stats metric: 5-value response, nulls skipped, missing substitutes") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(10.0)), ("a", None), ("a", Some(30.0)),
+      ("b", Some(5.0))).toDF("g", "v")
+    val rows = EsQueryJson.aggregations(df,
+      """{"aggs": {"g": {"terms": {"field": "g", "size": 5},
+        | "aggs": {"st": {"stats": {"field": "v"}},
+        |          "sm": {"stats": {"field": "v", "missing": 0}}}}}}""".stripMargin)("g")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = rows("a")
+    // nulls skipped: count 2 of 3 docs; avg over present values only
+    assert(a.getAs[Long]("st_count") == 2L && a.getAs[Double]("st_min") == 10.0 &&
+      a.getAs[Double]("st_max") == 30.0 && a.getAs[Double]("st_avg") == 20.0 &&
+      a.getAs[Double]("st_sum") == 40.0)
+    // `missing` folds the null doc in as 0
+    assert(a.getAs[Long]("sm_count") == 3L && a.getAs[Double]("sm_min") == 0.0 &&
+      a.getAs[Double]("sm_avg") == (40.0 / 3 * 1e6).round / 1e6)
+    assert(rows("b").getAs[Long]("st_count") == 1L &&
+      rows("b").getAs[Double]("st_sum") == 5.0)
+  }
+
   test("fuzzy prefix_length prunes non-matching prefixes; transpositions default Damerau") {
     def ids(body: String) = EsQueryJson.search(orders, body)
       .select("o_orderpriority").distinct().collect().map(_.getString(0)).toSet
