@@ -609,11 +609,25 @@ object EsDsl {
   def percentileExact(c: Column, p: Double): Column = percentile(c, lit(p))
   def percentileApprox(c: Column, p: Seq[Double], accuracy: Int = 10000): Column =
     percentile_approx(c, lit(p.toArray), lit(accuracy))
-  /** B13 `histogram` (fixed interval) */
-  def histogramBucket(c: Column, interval: Double): Column =
+  /** B13 `histogram` (fixed interval). ES rejects a non-positive interval
+    * at parse; unvalidated it reaches codegen as a DIVIDE_BY_ZERO (found
+    * by the round-14 fuzz). */
+  def histogramBucket(c: Column, interval: Double): Column = {
+    require(interval > 0, s"histogram interval must be > 0, got $interval")
     (floor(c / interval) * interval).cast("long")
-  /** B14 `date_histogram` (calendar interval: 'day'|'week'|'month'|...) */
-  def dateHistogramBucket(ts: Column, interval: String): Column = date_trunc(interval, ts)
+  }
+  /** B14 `date_histogram` (calendar interval: 'day'|'week'|'month'|...).
+    * The unit is validated against the ES 6.5 calendar intervals: Spark's
+    * `date_trunc` silently returns NULL for an unknown format, which would
+    * bucket every doc under a null key (silent misparse, found by the
+    * round-14 fuzz; ES rejects unknown intervals at parse). */
+  def dateHistogramBucket(ts: Column, interval: String): Column = {
+    val units = Set("year", "quarter", "month", "week", "day",
+      "hour", "minute", "second")
+    require(units(interval),
+      s"unsupported date_histogram interval '$interval' (ES 6.5 calendar units: ${units.toSeq.sorted.mkString(", ")})")
+    date_trunc(interval, ts)
+  }
   /** B15 `top_hits` per bucket: top-`n` docs per group by sort. Window
     * top-k — at scale AQE splits skewed groups; no global sort. */
   def topHits(df: DataFrame, bucket: Seq[Column], sort: Seq[Column], n: Int): DataFrame =

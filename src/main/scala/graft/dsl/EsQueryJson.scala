@@ -1130,7 +1130,14 @@ object EsQueryJson {
     bodies.map { case (qid, body) =>
       val cls =
         try {
-          validateOnly.withValue(true) { search(df, body).queryExecution.analyzed }
+          validateOnly.withValue(true) {
+            search(df, body).queryExecution.analyzed
+            // a body with aggs must also COMPILE its aggregations —
+            // ES validates the whole body, not just the hits query
+            val parsed = parse(body)
+            if (parsed.has("aggs") || parsed.has("aggregations"))
+              aggregations(df, body).values.foreach(_.queryExecution.analyzed)
+          }
           "ok"
         }
         catch {
@@ -2270,9 +2277,17 @@ object EsQueryJson {
         joined.filter(posPred)
           .withColumn("_score", round(score, 6))
           .drop(internals: _*)
-      case other =>
-        throw new IllegalArgumentException(
-          s"_score sort requires match/match_phrase/multi_match/constant_score/bool/dis_max/boosting/function_score, got $other")
+      case _ =>
+        // ES 6.5 scores EVERY query in query context: filter-like kinds
+        // (term/terms/range/exists/ids/prefix/wildcard/regexp/...) rewrite
+        // to a constant score per matching doc (keyword fields index no
+        // norms, so Lucene's per-term constant ordering is flat across
+        // matches) — emitted as the constant_score convention, 1.0.
+        // Ordering under a _score sort then falls to the tiebreak, exactly
+        // ES behavior for these kinds. The predicate compile still rejects
+        // unknown kinds loudly. (Pre-round-14 this threw "unsupported
+        // _score sort" — found as a false reject by the widened fuzz.)
+        df.filter(predicate(q)).withColumn("_score", lit(1.0))
     }
   }
 
@@ -2631,7 +2646,10 @@ object EsQueryJson {
     * doc_count within the enclosing bucket, exactly ES's
     * count-desc-then-key order. Like ES, a `query` in the same body scopes
     * the aggregations. */
-  def aggregations(df: DataFrame, bodyJson: String): Map[String, DataFrame] = {
+  def aggregations(df: DataFrame, bodyJson: String): Map[String, DataFrame] =
+    withSchemaOf(df)(aggregationsImpl(df, bodyJson))
+
+  private def aggregationsImpl(df: DataFrame, bodyJson: String): Map[String, DataFrame] = {
     val body = parse(bodyJson)
     val aggs = Option(body.get("aggs"))
       .orElse(Option(body.get("aggregations")))
@@ -2905,6 +2923,7 @@ object EsQueryJson {
         // stay longs like the unshifted form)
         val f = field(spec.get("field").asText())
         val interval = spec.get("interval").asDouble()
+        require(interval > 0, s"histogram interval must be > 0, got $interval")
         Option(spec.get("offset")).map(_.asDouble()) match {
           case Some(off) =>
             (floor((f - off) / interval) * interval + off).cast("long").as(name)
@@ -3431,6 +3450,7 @@ object EsQueryJson {
     val full = l.kind match {
       case "histogram" =>
         val iv = l.spec.get("interval").asDouble().toLong
+        require(iv > 0, s"histogram interval must be > 0, got $iv")
         val (lo, hi) = (b.get("min").asLong(), b.get("max").asLong())
         require(lo % iv == 0 && hi % iv == 0,
           s"extended_bounds must align to the interval, got [$lo, $hi] @ $iv")
@@ -3494,7 +3514,8 @@ object EsQueryJson {
       case "ip_range" => Net.aton(field(spec.get("field").asText()))
       case _ => field(spec.get("field").asText())
     }
-    val ranges = spec.get("ranges").elements().asScala.toSeq
+    val ranges = Option(spec.get("ranges")).toSeq.flatMap(_.elements().asScala)
+    require(ranges.nonEmpty, s"$kind agg needs a non-empty ranges array")
     val buckets = ranges.map { r =>
       def bound(nm: String): Option[Column] = Option(r.get(nm)).map(n =>
         if (dateRange) to_timestamp(lit(n.asText()))

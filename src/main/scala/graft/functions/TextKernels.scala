@@ -39,6 +39,13 @@ object TextKernels {
     top >>> 4
   }
 
+  /** Analysis-time input contract for the string-input kernels: without
+    * it Catalyst accepts ANY child type and a non-string column reaches
+    * `nullSafeEval` as a runtime ClassCastException (found by the
+    * round-14 fuzz: scored match_phrase against a numeric field). */
+  private[graft] trait StringInputKernel
+    extends org.apache.spark.sql.graftbridge.StringInput
+
   /** Σ p·log2(p) over the doc's token distribution, folded in ASCENDING
     * distinct-token order — bit-identical to the HOF form
     * `aggregate(array_sort(array_distinct(toks)), 0.0, acc + p·log2 p)`
@@ -47,7 +54,7 @@ object TextKernels {
     * O(distinct × tokens) interpreted rescan (the c20 lesson: Spark HOFs
     * don't codegen). Callers negate+round; empty docs → null. */
   case class TokenEntropySumKernel(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(in: Any): Any = {
       val toks = tokenize(in.asInstanceOf[UTF8String])
@@ -88,7 +95,7 @@ object TextKernels {
     * explode → groupBy(doc, cell) → densify DataFrame form (and to the
     * DuckDB oracle) while running narrow — no shuffle at all. */
   case class FeatureHashKernel(child: Expression, dim: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(in: Any): Any = {
       val toks = tokenize(in.asInstanceOf[UTF8String])
@@ -120,7 +127,7 @@ object TextKernels {
     * rides in the expression (serialized once per task binary — m/64
     * longs, constant in the benchmark size). */
   case class BloomCountKernel(child: Expression, n: Int, k: Int, words: Array[Long])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
     require(words.nonEmpty, "bloom filter word array must be non-empty")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     private def mBits = words.length * 64L
@@ -172,7 +179,7 @@ object TextKernels {
     * without a gram string ever leaving the kernel. The interpreted
     * transform/concat_ws/slice HOF form this replaces costs ~46 µs/gram. */
   case class PositionalGramHashKernel(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(in: Any): Any = {
       val toks = tokenize(in.asInstanceOf[UTF8String])
@@ -206,7 +213,7 @@ object TextKernels {
     * md5·60 of the space-joined chunk tokens. One compiled pass —
     * the boundary grams and chunk strings never leave the kernel. */
   case class CdcChunksKernel(child: Expression, p: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
     require(p >= 2, s"CDC modulus must be >= 2, got $p")
     override def dataType: DataType = ArrayType(
       StructType(Seq(StructField("fp", LongType, nullable = false),
@@ -250,7 +257,7 @@ object TextKernels {
     * absent from `pieces`) return the empty array. */
   case class ViterbiSegmentKernel(child: Expression, pieces: Map[String, Double],
                                   maxPieceLen: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     @transient private lazy val lp = {
       val m = new java.util.HashMap[String, java.lang.Double]()
@@ -301,7 +308,7 @@ object TextKernels {
     * elementwise sums, so language-ID over doc + head + tail costs ONE
     * tokenize instead of 3·L interpreted `filter(isin)` rescans. */
   case class LangMarkerHalvesKernel(child: Expression, markers: Seq[Seq[String]])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     @transient private lazy val sets = markers.map { ms =>
       val s = new java.util.HashSet[String](); ms.foreach(s.add); s
@@ -339,7 +346,7 @@ object TextKernels {
     * ran interpreted per token — 8 s on the sf0.1 BM25 row vs ~1 s
     * compiled. */
   case class ShingleStreamKernel(child: Expression, mn: Int, mx: Int, uni: Boolean)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
     override def dataType: DataType = StringType
     override def nullSafeEval(in: Any): Any = {
       val toks = tokenize(in.asInstanceOf[UTF8String])
@@ -379,7 +386,7 @@ object TextKernels {
     * (transform-with-index + a second rescan per island), which is the
     * interpreted-rescan smell the entropy/shingle kernels fixed. */
   case class PosRunsKernel(child: Expression, minRun: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with org.apache.spark.sql.graftbridge.IntArrayInput {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullSafeEval(in: Any): Any = {
       val a = in.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
@@ -404,7 +411,7 @@ object TextKernels {
     column(PosRunsKernel(expression(sortedPositions), minRun))
 
   case class WordNgramsKernel(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(in: Any): Any = {
       val toks = tokenize(in.asInstanceOf[UTF8String])
@@ -431,7 +438,7 @@ object TextKernels {
     * positional), then the distinct minima of every `w`-hash window, in
     * one compiled pass with no gram strings leaving the kernel. */
   case class WinnowKernel(child: Expression, n: Int, w: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(in: Any): Any = {
       val toks = tokenize(in.asInstanceOf[UTF8String])
@@ -464,7 +471,7 @@ object TextKernels {
 
   /** 60-bit md5 hash of every token (multiplicity kept) — feeds SimHash. */
   case class TokenHashes60(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(in: Any): Any = {
       val toks = tokenize(in.asInstanceOf[UTF8String])
@@ -512,7 +519,7 @@ object TextKernels {
     * `size(filter(tokens, = t))` chains in the BM25 scorer (which Catalyst
     * re-evaluates in both the filter condition and the projection). */
   case class TermFreqsKernel(child: Expression, terms: Seq[String])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     @transient private lazy val termArr: Array[String] = terms.toArray
     override def nullSafeEval(in: Any): Any = {
@@ -538,7 +545,7 @@ object TextKernels {
     * exact-phrase freq — "a a a" contains "a a" twice). Feeds BM25 phrase
     * scoring; the DuckDB twin is the list_filter position scan. */
   case class PhraseFreqKernel(child: Expression, phrase: Seq[String])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
     require(phrase.nonEmpty, "empty phrase")
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     @transient private lazy val p: Array[String] = phrase.toArray
@@ -564,7 +571,7 @@ object TextKernels {
     * join formulation shuffled the corpus's entire bigram set to score ~25
     * candidate phrases (5.5 s of the old 7.4 s a43 at sf0.1). */
   case class BigramFreqsKernel(child: Expression, phrases: Seq[String])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     @transient private lazy val idx: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer]()
@@ -591,7 +598,7 @@ object TextKernels {
     * transform/filter chains per counter and needed an explode+join for
     * the mode; measured ~29 s vs sub-second at sf0.1). */
   case class RepetitionStatsKernel(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
     override def nullSafeEval(in: Any): Any = {
       val toks = tokenize(in.asInstanceOf[UTF8String])
@@ -641,7 +648,7 @@ object TextKernels {
     * stopwords, S-stem. The default analyzer everywhere else stays
     * lowercase+`\W+` so existing oracles never shift. */
   case class EnglishTokensKernel(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(in: Any): Any = {
       val toks = tokenize(in.asInstanceOf[UTF8String])
@@ -703,7 +710,7 @@ object TextKernels {
 
   /** [[analyzeCjk]] as a one-pass per-document kernel. */
   case class CjkTokensKernel(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(in: Any): Any =
       new GenericArrayData(analyzeCjk(in.asInstanceOf[UTF8String].toString)

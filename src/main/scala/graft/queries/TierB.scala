@@ -4885,6 +4885,19 @@ object TierB {
              |       round(avg(l_extendedprice * (1 - l_discount)), 6) AS net_avg,
              |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS net_sum
              |FROM lineitem GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
+
+    // `_score` sort with a FILTER-LIKE query kind (term): ES 6.5 scores
+    // every query-context query — filter-like kinds carry a constant
+    // score, so ordering falls to the tiebreak. (Pre-round-14 the engine
+    // loud-rejected this shape; the widened fuzz flagged the false
+    // reject.)
+    Q("a213_es_json_score_sort_term",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"term": {"lang": "en"}},
+          | "sort": ["_score", "doc_id"], "size": 25}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some("""SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
+             |WHERE lang = 'en' ORDER BY doc_id LIMIT 25""".stripMargin)),
   )
 }
 

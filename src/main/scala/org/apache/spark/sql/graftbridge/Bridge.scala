@@ -11,6 +11,21 @@ import org.apache.spark.storage.StorageLevel
   * conversion lives in `classic.ExpressionUtils`, which is `private[sql]`.
   * This bridge re-exports the two conversions for the engine's custom
   * Catalyst expressions. */
+/** Analysis-time input contracts for the engine's custom kernels.
+  * `AbstractDataType` is `private[sql]` at the Scala level, so the traits
+  * naming it live here in the sql namespace; kernels mix them in to get
+  * Catalyst's DATATYPE_MISMATCH at analysis instead of a runtime
+  * ClassCastException when a wrongly-typed column reaches nullSafeEval. */
+trait StringInput extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+}
+
+trait IntArrayInput extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType))
+}
+
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)

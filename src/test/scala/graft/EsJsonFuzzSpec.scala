@@ -182,23 +182,80 @@ class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
   private def queryGen(depth: Int): Gen[String] =
     Gen.frequency(7 -> leafGen, 3 -> boolGen(depth))
 
+  // metric sub-agg arm: every 6.5 metric kind, script metrics, `missing`,
+  // plus reject shapes (unsupported kind, empty spec)
+  private def metricGen: Gen[String] = numField.flatMap(nf => Gen.frequency(
+    3 -> Gen.const(s"""{"avg": {"field": "$nf"}}"""),
+    2 -> Gen.const(s"""{"sum": {"field": "$nf"}}"""),
+    2 -> Gen.const(s"""{"min": {"field": "$nf", "missing": 0}}"""),
+    2 -> Gen.const(s"""{"max": {"field": "$nf"}}"""),
+    2 -> Gen.const(s"""{"value_count": {"field": "$nf"}}"""),
+    3 -> Gen.const(s"""{"stats": {"field": "$nf"}}"""),
+    2 -> Gen.const(s"""{"extended_stats": {"field": "$nf", "sigma": 3}}"""),
+    2 -> Gen.const(s"""{"percentiles": {"field": "$nf", "percents": [25, 50, 75]}}"""),
+    1 -> Gen.const(s"""{"percentile_ranks": {"field": "$nf", "values": [10, 100]}}"""),
+    2 -> Gen.const(s"""{"cardinality": {"field": "$nf"}}"""),
+    1 -> Gen.const(s"""{"weighted_avg": {"value": {"field": "$nf"}, "weight": {"field": "doc_id"}}}"""),
+    2 -> Gen.const(s"""{"avg": {"script": "doc['$nf'].value * 2"}}"""),
+    1 -> Gen.const(s"""{"sum": {"script": "doc['$nf'].value ** 2"}}"""), // bad script op
+    1 -> Gen.const(s"""{"median_absolute_deviation": {"field": "$nf"}}"""), // not a 6.5 metric
+    1 -> Gen.const("""{"avg": {}}""")))                                     // no field
+
+  // parent-pipeline arm riding a date_histogram with a metric `m`
+  private def pipelineGen: Gen[String] = for {
+    nf <- numField
+    p <- Gen.oneOf(
+      """{"cumulative_sum": {"buckets_path": "m"}}""",
+      """{"derivative": {"buckets_path": "m"}}""",
+      """{"moving_avg": {"buckets_path": "m", "window": 3}}""",
+      """{"serial_diff": {"buckets_path": "m", "lag": 2}}""",
+      """{"bucket_script": {"buckets_path": {"x": "m"}, "script": "params.x * 2"}}""",
+      """{"bucket_selector": {"buckets_path": {"x": "m"}, "script": "params.x > 10"}}""",
+      """{"bucket_sort": {"sort": [{"m": {"order": "desc"}}], "size": 3}}""",
+      """{"cumulative_sum": {"buckets_path": "nope"}}""", // dangling path
+      """{"derivative": {}}""")                           // missing path
+  } yield s"""{"date_histogram": {"field": "ts", "interval": "day"},
+             | "aggs": {"m": {"avg": {"field": "$nf"}}, "p": $p}}""".stripMargin
+
+  private def bucketGen: Gen[String] = for {
+    f <- anyField; nf <- numField; m <- metricGen
+    sub <- Gen.frequency(2 -> Gen.const(""), 3 -> Gen.const(s""", "aggs": {"sub": $m}"""))
+    a <- Gen.frequency(
+      4 -> Gen.const(s"""{"terms": {"field": "$f", "size": 5}$sub}"""),
+      3 -> Gen.const(s"""{"terms": {"field": "$f", "size": 5, "order": {"_key": "desc"}}$sub}"""),
+      2 -> Gen.const(s"""{"terms": {"field": "lang", "size": 5, "missing": "none"}$sub}"""),
+      1 -> Gen.const(s"""{"terms": {"size": 5}}"""), // no field
+      3 -> Gen.const(s"""{"histogram": {"field": "$nf", "interval": 50, "min_doc_count": 1}$sub}"""),
+      1 -> Gen.const(s"""{"histogram": {"field": "$nf", "interval": 0}}"""), // invalid: zero interval
+      3 -> Gen.const(s"""{"date_histogram": {"field": "ts", "interval": "month"}$sub}"""),
+      1 -> Gen.const(s"""{"date_histogram": {"field": "ts", "interval": "fortnight"}}"""), // bad interval
+      3 -> Gen.const(s"""{"range": {"field": "$nf", "ranges": [{"to": 50}, {"from": 50, "to": 200}, {"from": 200}]}$sub}"""),
+      1 -> Gen.const(s"""{"range": {"field": "$nf", "ranges": []}}"""), // empty ranges
+      2 -> Gen.const(s"""{"date_range": {"field": "ts", "ranges": [{"to": "2024-06-01"}, {"from": "2024-06-01"}]}}"""),
+      2 -> Gen.const(s"""{"missing": {"field": "$f"}$sub}"""),
+      2 -> Gen.const(s"""{"global": {}$sub}"""),
+      2 -> Gen.const(s"""{"sampler": {"shard_size": 10}$sub}"""),
+      2 -> Gen.const(s"""{"significant_terms": {"field": "lang", "size": 3}}"""),
+      2 -> Gen.const(s"""{"adjacency_matrix": {"filters": {"en": {"term": {"lang": "en"}}, "big": {"range": {"n_chars": {"gte": 100}}}}}}"""),
+      3 -> Gen.const(s"""{"filters": {"filters": {"a": {"term": {"lang": "en"}}, "b": {"term": {"lang": "de"}}}}$sub}"""),
+      1 -> Gen.const(s"""{"filters": {"filters": {"a": {"frobnicate": {}}}}}"""), // bad inner query
+      2 -> Gen.const(s"""{"composite": {"size": 5, "sources": [{"l": {"terms": {"field": "lang"}}}, {"s": {"terms": {"field": "source"}}}]}}"""),
+      2 -> Gen.const(s"""{"composite": {"size": 5, "sources": [{"l": {"terms": {"field": "lang"}}}], "after": {"l": "de"}}}"""),
+      1 -> Gen.const(s"""{"nested": {"path": "items"}$sub}"""), // no nested field in the frame
+      1 -> Gen.const(s"""{"frobnicate": {"field": "$f"}}"""))   // unknown agg kind
+  } yield a
+
   private def aggsGen: Gen[String] = for {
-    f <- anyField; nf <- numField
-    sub <- Gen.oneOf(
-      "", // no sub-agg
-      s""", "aggs": {"sub": {"avg": {"field": "$nf"}}}""",
-      s""", "aggs": {"sub": {"stats": {"field": "$nf"}}}""")
-    a <- Gen.oneOf(
-      s"""{"terms": {"field": "$f", "size": 5}$sub}""",
-      s"""{"terms": {"field": "$f", "size": 5, "order": {"_key": "desc"}}$sub}""",
-      s"""{"stats": {"field": "$nf"}}""",
-      s"""{"avg": {"field": "$nf"}}""",
-      s"""{"histogram": {"field": "$nf", "interval": 50}$sub}""",
-      s"""{"histogram": {"field": "$nf", "interval": 0}}""", // invalid: zero interval
-      s"""{"cardinality": {"field": "$f"}}""",
-      s"""{"filters": {"filters": {"a": {"term": {"lang": "en"}}, "b": {"term": {"lang": "de"}}}}$sub}""",
-      s"""{"composite": {"size": 5, "sources": [{"l": {"terms": {"field": "lang"}}}]}}""")
-  } yield s""""aggs": {"g": $a}"""
+    a <- Gen.frequency(5 -> bucketGen, 2 -> metricGen, 2 -> pipelineGen)
+    // sibling pipeline beside `g` (valid only when `g` is a bucket agg
+    // with metric `sub` — the generator doesn't know, so both classes
+    // arise: compile or loud classify)
+    sib <- Gen.frequency(
+      5 -> Gen.const(""),
+      1 -> Gen.const(""", "sib": {"avg_bucket": {"buckets_path": "g>sub"}}"""),
+      1 -> Gen.const(""", "sib": {"max_bucket": {"buckets_path": "g>_count"}}"""),
+      1 -> Gen.const(""", "sib": {"sum_bucket": {"buckets_path": "nosuch>m"}}"""))
+  } yield s""""aggs": {"g": $a$sib}"""
 
   private def sortGen: Gen[String] = Gen.oneOf(
     """"sort": ["doc_id"]""",
@@ -211,7 +268,7 @@ class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
     size <- Gen.option(Gen.chooseNum(0, 50).map(n => s""""size": $n"""))
     from <- Gen.option(Gen.chooseNum(0, 10).map(n => s""""from": $n"""))
     sort <- Gen.option(sortGen)
-    aggs <- Gen.frequency(4 -> Gen.const(None), 1 -> aggsGen.map(Some(_)))
+    aggs <- Gen.frequency(2 -> Gen.const(None), 1 -> aggsGen.map(Some(_)))
     mangle <- Gen.frequency(9 -> Gen.const(0), 1 -> Gen.chooseNum(1, 8))
   } yield {
     val parts = Seq(Some(s""""query": $q"""), size, from, sort, aggs).flatten
@@ -221,6 +278,8 @@ class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
 
   // ---- the corpus (deterministic) --------------------------------------
   private val N = 1500
+  private[graft] def diagCorpus: Seq[String] = corpus
+  private[graft] def diagDocs = docs
   private val corpus: Seq[String] =
     Gen.listOfN(N, bodyGen).pureApply(Gen.Parameters.default, Seed(20260815L))
 
@@ -229,8 +288,9 @@ class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
     import sp.implicits._
     (0 until 30).map { i =>
       (s"d$i", i.toLong, Seq("en", "de", "fr")(i % 3), Seq("web", "wiki")(i % 2),
-        s"alpha beta doc $i hash table spark join", (i * 17 + 3).toLong)
-    }.toDF("id", "doc_id", "lang", "source", "text", "n_chars")
+        s"alpha beta doc $i hash table spark join", (i * 17 + 3).toLong,
+        java.sql.Timestamp.valueOf(f"2024-${i % 12 + 1}%02d-${i % 27 + 1}%02d 08:30:00"))
+    }.toDF("id", "doc_id", "lang", "source", "text", "n_chars", "ts")
   }
 
   test(s"fuzz: $N random bodies all classify into the a198 error classes") {
@@ -260,7 +320,13 @@ class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
       val sample = ok.zipWithIndex.collect { case (i, j) if j % 5 == 0 => i }
       assert(sample.length >= 80, s"too few ok bodies to fuzz-execute: ${ok.length}")
       sample.foreach { i =>
-        try EsQueryJson.search(d, corpus(i)).collect()
+        try {
+          EsQueryJson.search(d, corpus(i)).collect()
+          // validate compiles aggs too — so ok bodies with aggs must
+          // also EXECUTE their aggregations
+          if (corpus(i).contains("\"aggs\""))
+            EsQueryJson.aggregations(d, corpus(i)).values.foreach(_.collect())
+        }
         catch { case e: Throwable =>
           fail(s"ok-classified body q$i failed at execution: ${e.getMessage}\n${corpus(i)}")
         }

@@ -63,6 +63,37 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
       rows("b").getAs[Double]("st_sum") == 5.0)
   }
 
+  test("round-14 fuzz finds stay found: interval/ranges/type-contract rejects") {
+    import spark.implicits._
+    val df = Seq(("a", 1L)).toDF("g", "v")
+    // histogram interval must be > 0 (was a runtime DIVIDE_BY_ZERO)
+    intercept[IllegalArgumentException] {
+      EsQueryJson.aggregations(df,
+        """{"aggs": {"g": {"histogram": {"field": "v", "interval": 0}}}}""")
+    }
+    // unknown date_histogram unit (date_trunc would silently NULL-bucket)
+    intercept[IllegalArgumentException] {
+      graft.dsl.EsDsl.dateHistogramBucket(col("v"), "fortnight")
+    }
+    // empty ranges array (was NoSuchElementException: head of empty list)
+    intercept[IllegalArgumentException] {
+      EsQueryJson.aggregations(df,
+        """{"aggs": {"g": {"range": {"field": "v", "ranges": []}}}}""")
+    }
+    // scored match_phrase on a numeric field: analysis-time reject via the
+    // kernel input contract (was a runtime ClassCastException)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      EsQueryJson.search(df,
+        """{"query": {"match_phrase": {"v": "x y"}}, "sort": ["_score"]}""")
+        .queryExecution.analyzed
+    }
+    // _score sort over a filter-like kind compiles and scores 1.0
+    val r = EsQueryJson.search(df,
+      """{"query": {"term": {"g": "a"}}, "sort": ["_score"], "size": 5}""")
+      .select("_score").collect()
+    assert(r.map(_.getDouble(0)).toSeq == Seq(1.0))
+  }
+
   test("fuzzy prefix_length prunes non-matching prefixes; transpositions default Damerau") {
     def ids(body: String) = EsQueryJson.search(orders, body)
       .select("o_orderpriority").distinct().collect().map(_.getString(0)).toSet
