@@ -1153,8 +1153,24 @@ object EsQueryJson {
   def search(df: DataFrame, bodyJson: String): DataFrame =
     withSchemaOf(df)(searchImpl(df, bodyJson))
 
+  /** Top-level `_search` body keys the engine implements. ES 6.5 rejects
+    * any unrecognized body key; silently ignoring one (say a typo'd
+    * `"sorrt"`) would return un-sorted hits with no diagnostic — the
+    * silent-misparse class this front-end rejects everywhere else.
+    * `suggest` is allowed through: a combined search+suggest body is
+    * legal ES, the hits path just doesn't consume it (the suggest entry
+    * point does). */
+  private val knownSearchKeys = Set(
+    "query", "sort", "from", "size", "search_after", "collapse",
+    "min_score", "post_filter", "_source", "stored_fields",
+    "docvalue_fields", "highlight", "rescore", "track_scores",
+    "indices_boost", "slice", "aggs", "aggregations", "suggest")
+
   private def searchImpl(df: DataFrame, bodyJson: String): DataFrame = {
     val body = parse(bodyJson)
+    val unknownTop = body.fieldNames().asScala.toSeq.filterNot(knownSearchKeys)
+    require(unknownTop.isEmpty,
+      s"unknown top-level search key(s): ${unknownTop.sorted.mkString(", ")}")
     // (field, explicitOrder, nullsPlacement) triples; _score defaults
     // desc, fields asc, missing docs last (the ES default). _script /
     // mode / custom-missing entries materialize as internal computed

@@ -263,15 +263,33 @@ class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
     """"sort": ["_score", "doc_id"]""",
     """"sort": ["no_such_field"]""")
 
+  // top-level search-body options: paging/fetch/score controls, valid and
+  // reject shapes (incl. a typo'd key — ES rejects unknown body keys, and
+  // pre-round-14 this engine silently IGNORED them)
+  private def topOptGen: Gen[String] = Gen.oneOf(
+    """"min_score": 0.5""",
+    """"post_filter": {"term": {"lang": "en"}}""",
+    """"post_filter": {"frobnicate": {}}""",
+    """"_source": ["doc_id", "lang"]""",
+    """"_source": false""",
+    """"collapse": {"field": "lang"}""",
+    """"search_after": [5], "sort": ["doc_id"]""",
+    """"highlight": {"fields": {"text": {}}}""",
+    """"rescore": {"window_size": 10, "query": {"rescore_query": {"match": {"text": "hash table"}}}}""",
+    """"track_scores": true""",
+    """"sorrt": ["doc_id"]""", // typo'd key → must reject, not silently ignore
+    """"terminate_after": 5""") // unsupported body key → loud reject
+
   private def bodyGen: Gen[String] = for {
     q <- queryGen(2)
     size <- Gen.option(Gen.chooseNum(0, 50).map(n => s""""size": $n"""))
     from <- Gen.option(Gen.chooseNum(0, 10).map(n => s""""from": $n"""))
     sort <- Gen.option(sortGen)
     aggs <- Gen.frequency(2 -> Gen.const(None), 1 -> aggsGen.map(Some(_)))
+    opt <- Gen.frequency(3 -> Gen.const(None), 1 -> topOptGen.map(Some(_)))
     mangle <- Gen.frequency(9 -> Gen.const(0), 1 -> Gen.chooseNum(1, 8))
   } yield {
-    val parts = Seq(Some(s""""query": $q"""), size, from, sort, aggs).flatten
+    val parts = Seq(Some(s""""query": $q"""), size, from, sort, aggs, opt).flatten
     val body = s"{${parts.mkString(", ")}}"
     if (mangle == 0) body else body.dropRight(mangle) // truncation → parse_error
   }
