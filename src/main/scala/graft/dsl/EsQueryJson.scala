@@ -2686,6 +2686,7 @@ object EsQueryJson {
     // (`buckets_path: "sibling>metric"`), evaluated on the finished frame
     base ++ siblingPipes.map { case (k, v) =>
       val (kind, spec) = single(v)
+      checkAggSpec(kind, spec)
       val parts = spec.get("buckets_path").asText().split(">")
       require(parts.length == 2, s"sibling buckets_path must be 'agg>metric', got ${parts.toSeq}")
       val src = base.getOrElse(parts(0),
@@ -2885,6 +2886,97 @@ object EsQueryJson {
     }
   }
 
+  /** Per-kind agg option allowlists (the keys this engine implements,
+    * plus accuracy-/rendering-only knobs that cannot change row-level
+    * results: shard_size, execution_hint, collect_mode,
+    * show_term_doc_count_error, precision_threshold, keyed, format).
+    * ES 6.5 rejects unknown agg params; silently ignoring a SEMANTIC one
+    * (a typo'd `sizee`, an unimplemented `distance_type`) would return
+    * plausible-but-wrong buckets — the silent-misparse class the
+    * round-14 strictness sweep closes. Kinds whose spec is a query body
+    * (`filter`) or fully dynamic are absent → unchecked here, validated
+    * by their own parse. */
+  private val aggSpecKeys: Map[String, Set[String]] = Map(
+    "terms" -> Set("field", "script", "value_type", "size", "order",
+      "missing", "include", "exclude", "min_doc_count", "shard_size",
+      "execution_hint", "collect_mode", "show_term_doc_count_error"),
+    "histogram" -> Set("field", "interval", "offset", "min_doc_count",
+      "extended_bounds", "keyed", "format"),
+    "date_histogram" -> Set("field", "interval", "calendar_interval",
+      "time_zone", "offset", "min_doc_count", "extended_bounds", "keyed",
+      "format"),
+    "geotile_grid" -> Set("field", "precision"),
+    "geohash_grid" -> Set("field", "precision"),
+    "range" -> Set("field", "ranges", "keyed", "script"),
+    "date_range" -> Set("field", "ranges", "keyed", "format"),
+    "ip_range" -> Set("field", "ranges", "keyed"),
+    "geo_distance" -> Set("field", "origin", "unit", "ranges", "keyed"),
+    "missing" -> Set("field"),
+    "global" -> Set(),
+    "nested" -> Set("path"),
+    "reverse_nested" -> Set("path"),
+    "children" -> Set("type"),
+    "sampler" -> Set("shard_size"),
+    "diversified_sampler" -> Set("shard_size", "max_docs_per_value", "field"),
+    "significant_terms" -> Set("field", "size", "min_doc_count",
+      "background_filter", "shard_size", "jlh", "chi_square"),
+    "significant_text" -> Set("field", "size", "min_doc_count",
+      "background_filter", "shard_size", "filter_duplicate_text", "jlh",
+      "chi_square"),
+    "adjacency_matrix" -> Set("filters", "separator"),
+    "composite" -> Set("size", "sources", "after"),
+    "auto_date_histogram" -> Set("field", "buckets", "format"),
+    "matrix_stats" -> Set("fields", "missing"),
+    "filters" -> Set("filters", "other_bucket", "other_bucket_key"),
+    // metrics
+    "avg" -> Set("field", "script", "missing"),
+    "sum" -> Set("field", "script", "missing"),
+    "min" -> Set("field", "script", "missing"),
+    "max" -> Set("field", "script", "missing"),
+    "value_count" -> Set("field", "script", "missing"),
+    "cardinality" -> Set("field", "script", "missing", "precision_threshold"),
+    "stats" -> Set("field", "script", "missing"),
+    "extended_stats" -> Set("field", "script", "missing", "sigma"),
+    "percentiles" -> Set("field", "script", "missing", "percents", "keyed",
+      "tdigest", "hdr"),
+    "percentile_ranks" -> Set("field", "script", "missing", "values", "keyed"),
+    "weighted_avg" -> Set("value", "weight", "format"),
+    "geo_centroid" -> Set("field"),
+    "geo_bounds" -> Set("field", "wrap_longitude"),
+    "scripted_metric" -> Set("init_script", "map_script", "combine_script",
+      "reduce_script", "params"),
+    "top_hits" -> Set("size", "sort", "_source", "from"),
+    // pipelines
+    "cumulative_sum" -> Set("buckets_path", "format"),
+    "derivative" -> Set("buckets_path", "format", "gap_policy", "unit"),
+    "serial_diff" -> Set("buckets_path", "format", "gap_policy", "lag"),
+    "moving_avg" -> Set("buckets_path", "format", "gap_policy", "window",
+      "model", "settings", "predict", "minimize"),
+    "moving_fn" -> Set("buckets_path", "window", "script", "shift",
+      "gap_policy"),
+    "bucket_script" -> Set("buckets_path", "script", "format", "gap_policy"),
+    "bucket_selector" -> Set("buckets_path", "script", "gap_policy"),
+    "bucket_sort" -> Set("sort", "from", "size", "gap_policy"),
+    "avg_bucket" -> Set("buckets_path", "format", "gap_policy"),
+    "sum_bucket" -> Set("buckets_path", "format", "gap_policy"),
+    "min_bucket" -> Set("buckets_path", "format", "gap_policy"),
+    "max_bucket" -> Set("buckets_path", "format", "gap_policy"),
+    "stats_bucket" -> Set("buckets_path", "format", "gap_policy"),
+    "extended_stats_bucket" -> Set("buckets_path", "format", "gap_policy",
+      "sigma"),
+    "percentiles_bucket" -> Set("buckets_path", "format", "gap_policy",
+      "percents"))
+
+  /** Reject unknown option keys for a known agg kind (see [[aggSpecKeys]]). */
+  private def checkAggSpec(kind: String, spec: JsonNode): Unit =
+    aggSpecKeys.get(kind).foreach { allowed =>
+      if (spec != null && spec.isObject) {
+        val unknown = spec.fieldNames().asScala.toSeq.filterNot(allowed)
+        require(unknown.isEmpty,
+          s"unknown $kind option(s): ${unknown.sorted.mkString(", ")}")
+      }
+    }
+
   private val bucketKinds =
     Set("terms", "histogram", "date_histogram", "geotile_grid", "geohash_grid")
 
@@ -2919,16 +3011,20 @@ object EsQueryJson {
     }
     val ms = metrics.flatMap { case (nm, n) =>
       val (kind, spec) = single(n)
+      checkAggSpec(kind, spec)
       metricCols(nm, kind, spec, cond)
     }
     val pipes = pipeEntries.map { case (nm, n) =>
-      val (kind, spec) = single(n); (nm, kind, spec)
+      val (kind, spec) = single(n)
+      checkAggSpec(kind, spec)
+      (nm, kind, spec)
     }
     (ms, buckets, topHits, pipes)
   }
 
   /** One bucket level of a (possibly nested) chain. */
   private case class Level(name: String, kind: String, spec: JsonNode, node: JsonNode) {
+    checkAggSpec(kind, spec)
     def key: Column = kind match {
       case "terms" =>
         // `missing`: docs with a null key bucket under the given value
@@ -3030,6 +3126,7 @@ object EsQueryJson {
   private def oneAgg(df: DataFrame, bg: DataFrame, name: String, node: JsonNode): DataFrame = {
     val kind = node.fieldNames().asScala.toSeq.filterNot(_ == "aggs").head
     val spec = node.get(kind)
+    checkAggSpec(kind, spec)
     kind match {
       case "composite" => compositeAgg(df, spec)
       case "filters" => filtersAgg(df, node)
@@ -3457,25 +3554,40 @@ object EsQueryJson {
     * the aggregated buckets; metric sub-aggs stay null in empty buckets
     * (ES behavior). */
   private def zeroFill(df: DataFrame, l: Level, g: DataFrame): DataFrame = {
+    // ES `min_doc_count: 0` fills EVERY interval between the observed key
+    // bounds (with or without extended_bounds — pre-round-14 the fill only
+    // ran with bounds, silently behaving as min_doc_count 1 otherwise);
+    // `extended_bounds` can only EXTEND that span, never shrink it, so a
+    // data key outside the bounds stays (the old full-LEFT-join dropped
+    // it). Bounds come from a 1-row agg over the FINISHED bucket frame —
+    // the ES coordinator step, never a raw-row pass.
     val wantsFill = Option(l.spec.get("min_doc_count")).exists(_.asInt() == 0) &&
-      l.spec.has("extended_bounds") &&
       (l.kind == "histogram" || l.kind == "date_histogram")
     if (!wantsFill) return g
-    val b = l.spec.get("extended_bounds")
-    val one = df.sparkSession.range(1)
+    val eb = Option(l.spec.get("extended_bounds"))
+    val dataBounds = g.agg(min(col("key")).as("_lo"), max(col("key")).as("_hi"))
     val full = l.kind match {
       case "histogram" =>
         val iv = l.spec.get("interval").asDouble().toLong
         require(iv > 0, s"histogram interval must be > 0, got $iv")
-        val (lo, hi) = (b.get("min").asLong(), b.get("max").asLong())
-        require(lo % iv == 0 && hi % iv == 0,
-          s"extended_bounds must align to the interval, got [$lo, $hi] @ $iv")
-        one.select(explode(sequence(lit(lo), lit(hi), lit(iv))).as("key"))
+        val bounds = eb.map { b =>
+          val (lo, hi) = (b.get("min").asLong(), b.get("max").asLong())
+          require(lo % iv == 0 && hi % iv == 0,
+            s"extended_bounds must align to the interval, got [$lo, $hi] @ $iv")
+          // least/greatest skip nulls: empty data under bounds still fills
+          dataBounds.select(least(col("_lo"), lit(lo)).as("_lo"),
+            greatest(col("_hi"), lit(hi)).as("_hi"))
+        }.getOrElse(dataBounds)
+        bounds.select(explode(sequence(col("_lo"), col("_hi"), lit(iv))).as("key"))
       case _ =>
         val iv = Option(l.spec.get("calendar_interval")).getOrElse(l.spec.get("interval")).asText()
-        one.select(explode(expr(
-          s"sequence(timestamp'${b.get("min").asText()}', " +
-            s"timestamp'${b.get("max").asText()}', interval 1 $iv)")).as("key"))
+        val bounds = eb.map { b =>
+          dataBounds.select(
+            least(col("_lo"), to_timestamp(lit(b.get("min").asText()))).as("_lo"),
+            greatest(col("_hi"), to_timestamp(lit(b.get("max").asText()))).as("_hi"))
+        }.getOrElse(dataBounds)
+        bounds.select(explode(sequence(col("_lo"), col("_hi"),
+          expr(s"interval 1 $iv"))).as("key"))
     }
     full.join(g, Seq("key"), "left_outer").na.fill(0L, Seq("doc_count"))
   }
@@ -3487,6 +3599,12 @@ object EsQueryJson {
     * prune first, so a parent's rank reflects its full child population. */
   private def nestedLevels(df: DataFrame, levels: Seq[Level], ms: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // per-parent zero-fill / rare-bucket pruning inside a nested chain is
+    // not implemented — reject rather than silently treat as the default
+    levels.foreach { l =>
+      require(!Option(l.spec.get("min_doc_count")).exists(_.asInt() != 1),
+        s"min_doc_count inside a nested bucket chain is not supported (level ${l.name})")
+    }
     val names = levels.map(_.name)
     var g = df.groupBy(levels.map(_.key): _*).agg(count(lit(1)).as("doc_count"), ms: _*)
     levels.zipWithIndex.foreach { case (l, i) =>

@@ -1096,7 +1096,9 @@ object TierB {
              |  FROM orders
              |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 400000
              |  GROUP BY key),
-             |f AS (SELECT unnest(generate_series(TIMESTAMP '1994-01-01', TIMESTAMP '1998-08-01', INTERVAL 1 MONTH)) AS key)
+             |bb AS (SELECT least(min(key), TIMESTAMP '1994-01-01') AS lo,
+             |              greatest(max(key), TIMESTAMP '1998-08-01') AS hi FROM b),
+             |f AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS key FROM bb)
              |SELECT f.key AS key, coalesce(b.doc_count, 0) AS doc_count,
              |       CAST(CAST(sum(coalesce(b.doc_count, 0)) OVER (ORDER BY f.key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE) AS cum,
              |       CAST(coalesce(b.doc_count, 0) - lag(coalesce(b.doc_count, 0), 2) OVER (ORDER BY f.key) AS DOUBLE) AS sd2
@@ -4898,6 +4900,25 @@ object TierB {
         .select(col("doc_id"), col("_score").as("score")),
       Some("""SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
              |WHERE lang = 'en' ORDER BY doc_id LIMIT 25""".stripMargin)),
+
+    // histogram `min_doc_count: 0` WITHOUT extended_bounds: ES fills every
+    // interval between the observed min and max keys (pre-round-14 the
+    // engine only filled under extended_bounds, silently acting as
+    // min_doc_count 1). The high-price filter makes the tail sparse, so
+    // genuine zero buckets appear inside the span.
+    Q("a214_es_json_histogram_datafill",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"query": {"range": {"o_totalprice": {"gte": 420000}}},
+          | "aggs": {"p": {"histogram": {"field": "o_totalprice",
+          |   "interval": 10000, "min_doc_count": 0}}}}""".stripMargin)("p"),
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(o_totalprice / 10000) * 10000 AS BIGINT) AS key,
+             |         count(*) AS doc_count
+             |  FROM orders WHERE o_totalprice >= 420000 GROUP BY key),
+             |bb AS (SELECT min(key) AS lo, max(key) AS hi FROM b),
+             |f AS (SELECT unnest(generate_series(lo, hi, 10000)) AS key FROM bb)
+             |SELECT f.key AS key, coalesce(b.doc_count, 0) AS doc_count
+             |FROM f LEFT JOIN b ON f.key = b.key ORDER BY key""".stripMargin)),
   )
 }
 

@@ -242,7 +242,10 @@ class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
       2 -> Gen.const(s"""{"composite": {"size": 5, "sources": [{"l": {"terms": {"field": "lang"}}}, {"s": {"terms": {"field": "source"}}}]}}"""),
       2 -> Gen.const(s"""{"composite": {"size": 5, "sources": [{"l": {"terms": {"field": "lang"}}}], "after": {"l": "de"}}}"""),
       1 -> Gen.const(s"""{"nested": {"path": "items"}$sub}"""), // no nested field in the frame
-      1 -> Gen.const(s"""{"frobnicate": {"field": "$f"}}"""))   // unknown agg kind
+      1 -> Gen.const(s"""{"frobnicate": {"field": "$f"}}"""),   // unknown agg kind
+      2 -> Gen.const(s"""{"histogram": {"field": "$nf", "interval": 50, "min_doc_count": 0}}"""), // data-bounds zero fill
+      1 -> Gen.const(s"""{"terms": {"field": "$f", "sizee": 5}}"""), // typo'd option → reject
+      1 -> Gen.const(s"""{"avg": {"field": "$nf", "compression": 9}}""")) // unknown metric option → reject
   } yield a
 
   private def aggsGen: Gen[String] = for {
