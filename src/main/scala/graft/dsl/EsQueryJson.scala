@@ -425,9 +425,93 @@ object EsQueryJson {
 
   /** As [[predicate]], with a pluggable field resolver — the `nested`
     * query rebinds field names to struct members of the array element. */
+  /** Query-clause option allowlists, split by body shape. ES 6.5 rejects
+    * unknown clause params; silently ignoring one is the worst of the
+    * misparse classes — a typo'd range bound (`"ltee"`) turns the clause
+    * into match-all with no diagnostic. Body-level kinds check the clause
+    * body's keys; field-keyed kinds ({"term": {field: spec}}) check the
+    * SPEC keys when the value is an object. Kinds with dynamic bodies
+    * (terms, the geo family, percolate) are absent → validated by their
+    * own parse. Accuracy-only knobs (rewrite, max_expansions,
+    * max_determinized_states — this engine evaluates exactly what ES
+    * approximates) and response-metadata-only ones (_name, boost in
+    * filter context) are allowed through. */
+  private val queryBodyKeys: Map[String, Set[String]] = Map(
+    "exists" -> Set("field", "boost"),
+    "ids" -> Set("values", "type", "boost"),
+    "bool" -> Set("must", "should", "must_not", "filter",
+      "minimum_should_match", "boost", "adjust_pure_negative", "_name"),
+    "multi_match" -> Set("query", "fields", "type", "operator",
+      "minimum_should_match", "tie_breaker", "boost", "fuzziness",
+      "prefix_length", "slop"),
+    "query_string" -> Set("query", "default_field", "fields",
+      "default_operator", "boost"),
+    "simple_query_string" -> Set("query", "default_field", "fields",
+      "default_operator", "boost"),
+    "constant_score" -> Set("filter", "boost"),
+    "dis_max" -> Set("queries", "tie_breaker", "boost"),
+    "function_score" -> Set("query", "functions", "score_mode",
+      "boost_mode", "boost"),
+    "boosting" -> Set("positive", "negative", "negative_boost", "boost"),
+    "nested" -> Set("path", "query", "score_mode", "inner_hits"),
+    "has_child" -> Set("type", "query", "score_mode", "min_children",
+      "max_children"),
+    "has_parent" -> Set("parent_type", "query", "score"),
+    "parent_id" -> Set("type", "id"),
+    "wrapper" -> Set("query"),
+    "span_near" -> Set("clauses", "slop", "in_order", "boost"),
+    "span_first" -> Set("match", "end", "boost"),
+    "span_or" -> Set("clauses", "boost"),
+    "span_not" -> Set("include", "exclude", "pre", "post", "boost"),
+    "span_containing" -> Set("big", "little", "boost"),
+    "span_within" -> Set("big", "little", "boost"),
+    "script" -> Set("script", "boost"),
+    "match_all" -> Set("boost"),
+    "match_none" -> Set[String]())
+
+  private val fieldQuerySpecKeys: Map[String, Set[String]] = Map(
+    "term" -> Set("value", "boost"),
+    "range" -> Set("gte", "gt", "lte", "lt", "boost", "now"),
+    "prefix" -> Set("value", "boost", "rewrite"),
+    "wildcard" -> Set("value", "boost", "rewrite"),
+    "regexp" -> Set("value", "boost", "rewrite", "max_determinized_states"),
+    "fuzzy" -> Set("value", "fuzziness", "prefix_length", "transpositions",
+      "boost", "max_expansions", "rewrite"),
+    "match" -> Set("query", "operator", "minimum_should_match", "analyzer",
+      "fuzziness", "prefix_length", "zero_terms_query", "boost"),
+    "match_phrase" -> Set("query", "slop", "analyzer", "boost"),
+    "match_phrase_prefix" -> Set("query", "max_expansions", "boost"),
+    "common" -> Set("query", "cutoff_frequency"),
+    "terms_set" -> Set("terms", "minimum_should_match_field", "boost"),
+    "span_term" -> Set("value", "boost"))
+
+  private def checkQuerySpec(kind: String, body: JsonNode): Unit = {
+    // `_name` (named queries, a74) rides on ANY clause
+    queryBodyKeys.get(kind).foreach { allowed =>
+      if (body != null && body.isObject) {
+        val unknown = body.fieldNames().asScala.toSeq
+          .filterNot(k => allowed(k) || k == "_name")
+        require(unknown.isEmpty,
+          s"unknown $kind option(s): ${unknown.sorted.mkString(", ")}")
+      }
+    }
+    fieldQuerySpecKeys.get(kind).foreach { allowed =>
+      if (body != null && body.isObject && body.size() == 1) {
+        val spec = body.elements().next()
+        if (spec.isObject) {
+          val unknown = spec.fieldNames().asScala.toSeq
+            .filterNot(k => allowed(k) || k == "_name")
+          require(unknown.isEmpty,
+            s"unknown $kind option(s): ${unknown.sorted.mkString(", ")}")
+        }
+      }
+    }
+  }
+
   private def predicateWith(q: JsonNode, fld: String => Column): Column = {
     def field(name: String): Column = fld(name) // shadow: all cases resolve through fld
     val (kind, body) = single(q)
+    checkQuerySpec(kind, body)
     kind match {
       case "match_all" => lit(true)
       case "match_none" => lit(false)
@@ -2095,6 +2179,7 @@ object EsQueryJson {
 
   private def scoredSearch(df: DataFrame, q: JsonNode): DataFrame = {
     val (kind, body) = single(q)
+    checkQuerySpec(kind, body)
     kind match {
       case "match" =>
         val (f, v) = single(body)

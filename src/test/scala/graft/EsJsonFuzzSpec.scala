@@ -148,6 +148,10 @@ class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
     """{"term": {"lang": "en", "source": "web"}}""", // two fields in a single-field body
     """{"term": {}}""",                            // empty body
     """{"range": {"n_chars": {"gte": "abc"}}}""",  // non-numeric bound on numeric field
+    """{"range": {"n_chars": {"gte": 1, "ltee": 5}}}""", // typo'd bound → reject, not match-all
+    """{"term": {"lang": {"value": "en", "boosst": 2}}}""", // typo'd term option
+    """{"match": {"text": {"query": "hash", "operatr": "and"}}}""", // typo'd match option
+    """{"bool": {"must": [{"term": {"lang": "en"}}], "shuold": []}}""", // typo'd bool clause
     """{"ids": {}}""",                             // missing values
     """{"match": {}}""",                           // no field
     """{"bool": {"must": 3}}""")                   // clause list is a scalar
