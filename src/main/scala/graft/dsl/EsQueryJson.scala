@@ -1247,7 +1247,8 @@ object EsQueryJson {
   private val knownSearchKeys = Set(
     "query", "sort", "from", "size", "search_after", "collapse",
     "min_score", "post_filter", "_source", "stored_fields",
-    "docvalue_fields", "highlight", "rescore", "track_scores",
+    "docvalue_fields", "script_fields", "highlight", "rescore",
+    "track_scores",
     "indices_boost", "slice", "aggs", "aggregations", "suggest")
 
   private def searchImpl(df: DataFrame, bodyJson: String): DataFrame = {
@@ -1667,6 +1668,25 @@ object EsQueryJson {
         }
       case None => withInner
     }
+    // `script_fields`: per-hit computed values from the painless-arithmetic
+    // subset (the same doc['f'].value binding as script sorts and metric
+    // scripts — codegen'd columns, no per-row interpreter). Like _score,
+    // they ride the hit through `_source` filtering (ES returns script
+    // fields regardless of source filtering).
+    val scriptFieldNames = Option(body.get("script_fields")).toSeq
+      .flatMap(_.fieldNames().asScala.toSeq)
+    val withSf = Option(body.get("script_fields")) match {
+      case Some(sfn) =>
+        sfn.fields().asScala.toSeq.foldLeft(withDv) { (acc, e) =>
+          val raw = scriptSource(e.getValue.get("script"))
+          val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
+            .replaceAllIn(raw, m => m.group(1))
+          require(bound.matches("[A-Za-z0-9_.+\\-*/() ]+"),
+            s"unsupported script_fields expression after doc-ref binding: $bound")
+          acc.withColumn(e.getKey, round(expr(bound), 6))
+        }
+      case None => withDv
+    }
     // `stored_fields`: the explicit field-return list ("_none_" = return
     // no stored fields at all — metadata-only hits). The named fields join
     // the projection alongside `_source`; with `"_source": false` they ARE
@@ -1684,27 +1704,28 @@ object EsQueryJson {
     // any engine-computed columns already requested by the body) — the
     // column-pruning hint Catalyst pushes all the way into the scan
     def computedCols = (Seq("_score", "matched_queries", "_highlight", "_inner")
-      ++ withDv.columns.filter(c => c.endsWith("_dv") || c.startsWith("_highlight_")))
-      .filter(withDv.columns.contains)
+      ++ scriptFieldNames
+      ++ withSf.columns.filter(c => c.endsWith("_dv") || c.startsWith("_highlight_")))
+      .filter(withSf.columns.contains)
     val projected = Option(body.get("_source")) match {
       case Some(src) if src.isArray =>
         val wanted = (src.elements().asScala.map(_.asText()).toSeq
           ++ storedWanted).distinct
-        withDv.select((wanted.map(f => field(f).as(f)) ++ computedCols.map(col)): _*)
+        withSf.select((wanted.map(f => field(f).as(f)) ++ computedCols.map(col)): _*)
       case Some(other) =>
         require(other.isBoolean, "_source supports an include list or a boolean")
-        if (other.asBoolean()) withDv
+        if (other.asBoolean()) withSf
         else {
           // `"_source": false`: hits carry only stored fields + computed
           // columns (the ES metadata-only / fields-only response shape)
           val cols = (storedWanted.map(f => field(f).as(f)) ++ computedCols.map(col))
           require(cols.nonEmpty,
             "_source:false needs stored_fields or computed columns to return")
-          withDv.select(cols: _*)
+          withSf.select(cols: _*)
         }
       case None =>
-        if (storedWanted.isEmpty) withDv
-        else withDv.select((storedWanted.map(f => field(f).as(f))
+        if (storedWanted.isEmpty) withSf
+        else withSf.select((storedWanted.map(f => field(f).as(f))
           ++ computedCols.map(col)): _*)
     }
     // script-sort keys are sort machinery, not part of the hit

@@ -4919,6 +4919,23 @@ object TierB {
              |f AS (SELECT unnest(generate_series(lo, hi, 10000)) AS key FROM bb)
              |SELECT f.key AS key, coalesce(b.doc_count, 0) AS doc_count
              |FROM f LEFT JOIN b ON f.key = b.key ORDER BY key""".stripMargin)),
+
+    // top-level `script_fields`: per-hit painless-subset computed values,
+    // returned even under `_source` filtering (ES behavior) — the last
+    // body key the strictness allowlist had to loud-reject, now
+    // implemented on the shared doc-ref binding.
+    Q("a215_es_json_script_fields",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.orders(s, d),
+        """{"query": {"range": {"o_totalprice": {"gte": 400000}}},
+          | "script_fields": {
+          |   "taxed": {"script": {"source": "doc['o_totalprice'].value * 1.1"}},
+          |   "key3": {"script": "doc['o_orderkey'].value * 3 + 1"}},
+          | "_source": ["o_orderkey"],
+          | "sort": ["o_orderkey"], "size": 30}""".stripMargin),
+      Some("""SELECT o_orderkey, round(o_totalprice * 1.1, 6) AS taxed,
+             |       o_orderkey * 3 + 1 AS key3
+             |FROM orders WHERE o_totalprice >= 400000
+             |ORDER BY o_orderkey LIMIT 30""".stripMargin)),
   )
 }
 

@@ -285,7 +285,9 @@ class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
     """"rescore": {"window_size": 10, "query": {"rescore_query": {"match": {"text": "hash table"}}}}""",
     """"track_scores": true""",
     """"sorrt": ["doc_id"]""", // typo'd key → must reject, not silently ignore
-    """"terminate_after": 5""") // unsupported body key → loud reject
+    """"terminate_after": 5""", // unsupported body key → loud reject
+    """"script_fields": {"dbl": {"script": "doc['n_chars'].value * 2"}}""",
+    """"script_fields": {"bad": {"script": "doc['n_chars'].value ** 2"}}""") // bad op → reject
 
   private def bodyGen: Gen[String] = for {
     q <- queryGen(2)
