@@ -1138,8 +1138,20 @@ object EsQueryJson {
     val sug = Option(root.get("suggest")).getOrElse(root)
     val (_, spec) = single(sug)
     val idCol = field(idField)
+    // same strictness as the search surface: unknown suggester options
+    // (a typo'd `max_editz`, an unimplemented `string_distance`) reject
+    // loudly instead of silently using defaults
+    def checkKeys(node: JsonNode, what: String, allowed: Set[String]): Unit = {
+      val unknown = node.fieldNames().asScala.toSeq.filterNot(allowed)
+      require(unknown.isEmpty,
+        s"unknown $what option(s): ${unknown.sorted.mkString(", ")}")
+    }
+    checkKeys(spec, "suggester", Set("text", "prefix", "term", "phrase",
+      "completion"))
     if (spec.has("term")) {
       val t = spec.get("term")
+      checkKeys(t, "term suggester", Set("field", "size", "max_edits",
+        "suggest_mode"))
       Suggest.termSuggest(df, idCol, field(t.get("field").asText()),
         spec.get("text").asText(),
         size = Option(t.get("size")).map(_.asInt()).getOrElse(5),
@@ -1147,6 +1159,8 @@ object EsQueryJson {
         mode = Option(t.get("suggest_mode")).map(_.asText()).getOrElse("always"))
     } else if (spec.has("phrase")) {
       val p = spec.get("phrase")
+      checkKeys(p, "phrase suggester", Set("field", "size", "shard_size",
+        "max_edits"))
       Suggest.phraseSuggest(df, idCol, field(p.get("field").asText()),
         spec.get("text").asText(),
         size = Option(p.get("size")).map(_.asInt()).getOrElse(3),
@@ -1154,6 +1168,8 @@ object EsQueryJson {
         maxEdits = Option(p.get("max_edits")).map(_.asInt()).getOrElse(1))
     } else if (spec.has("completion")) {
       val c = spec.get("completion")
+      checkKeys(c, "completion suggester", Set("field", "size", "fuzzy",
+        "contexts"))
       // `fuzzy` may be `true` (defaults: fuzziness AUTO over the prefix
       // length, prefix_length 1) or an options object, as in ES
       val prefix = spec.get("prefix").asText()

@@ -94,6 +94,23 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(r.map(_.getDouble(0)).toSeq == Seq(1.0))
   }
 
+  test("suggesters reject unknown options loudly") {
+    import spark.implicits._
+    val df = Seq(("a", 1L)).toDF("g", "doc_id")
+    intercept[IllegalArgumentException] {
+      EsQueryJson.suggest(df,
+        """{"s": {"text": "x", "term": {"field": "g", "max_editz": 2}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      EsQueryJson.suggest(df,
+        """{"s": {"text": "x", "phrase": {"field": "g", "string_distance": "ngram"}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      EsQueryJson.suggest(df,
+        """{"s": {"prefix": "x", "completion": {"field": "g", "skip_duplicates": true}}}""")
+    }
+  }
+
   test("fuzzy prefix_length prunes non-matching prefixes; transpositions default Damerau") {
     def ids(body: String) = EsQueryJson.search(orders, body)
       .select("o_orderpriority").distinct().collect().map(_.getString(0)).toSet
