@@ -1067,3 +1067,138 @@ object ScaleRound14b {
     spark.stop()
   }
 }
+
+/** Round-14d: the END-TO-END bridge — CDC mutations through the
+  * incremental bucketed index, then the composed prep pipeline run ON the
+  * materialized doc state (the "mutations → training selection" workflow a
+  * 100 TB operator composes from this library's two halves). What only the
+  * bridge can pin: LAST-WINS text must feed prep — a doc whose EARLIER
+  * versions were mass duplicates but whose final version is unique must
+  * survive dedup (a stale-version feed would collapse it), a doc whose
+  * FINAL version joins a duplicate family must collapse, and deleted keys
+  * must be absent from the corpus prep sees. Selection from the index must
+  * equal selection from the one-shot (ts, seq) fold exactly. */
+object ScaleRound14d {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.{BucketedIndex, Pipeline}
+    import Scale.t
+
+    val root = java.nio.file.Files.createTempDirectory("graft-bridge").toString
+    val cfg = Pipeline.Config(
+      changeLogDir = "unused", indexDir = s"$root/index",
+      checkpointDir = "unused", quarantineDir = Some(s"$root/quarantine"),
+      vacuumEveryBatches = 4)
+
+    val vocab = typedLit((0 until 997).map(i => s"w$i"))
+    // batch b rewrites keys [(b*500k) mod 1M, +500k): keys < 500k last
+    // written by batch 6, keys >= 500k by batch 7 — deterministic final
+    // state. First 23 tokens depend on the KEY only (so the eval residue
+    // construction below contaminates a stable slice); the unique suffix
+    // carries the BATCH so every rewrite changes content (last-wins is
+    // observable). Special blocks:
+    //   keys 100k..110k: batches 0/2/4 write ONE shared text (mass dup),
+    //     batch 6 rewrites each to unique — final state must NOT dedup
+    //   keys 600k..610k: batches 1/3/5 unique, batch 7 writes the shared
+    //     text — final state MUST dedup to one survivor
+    //   keys 900k..905k: batch 7 deletes them
+    val dupText = (0 until 24).map(i => s"dup${i % 7}").mkString(" ")
+    def mkBatch(b: Int) = {
+      val k = pmod(lit(b.toLong) * 500000L + col("id"), lit(1000000L))
+      val earlyDup = k >= 100000L && k < 110000L && lit(b % 2 == 0 && b < 6)
+      val lateDup = k >= 600000L && k < 610000L && lit(b == 7)
+      val del = k >= 900000L && k < 905000L && lit(b == 7)
+      val uniq = concat(lit(" u"), k, lit("b"), lit(b))
+      val text = when(earlyDup || lateDup, lit(dupText)).otherwise(
+        concat(array_join(transform(sequence(lit(0), lit(22)),
+          i => element_at(vocab, pmod(k * 31 + i.cast("long") * 7, lit(997L))
+            .cast("int") + 1)), " "), uniq))
+      val source = when(pmod(k, lit(10L)) < 9, "web")
+        .otherwise(concat(lit("src"), pmod(k, lit(10L))))
+      spark.range(500000).select(
+        concat(lit("d"), k).as("row_key"),
+        when(del, "D").otherwise("U").as("op"),
+        timestamp_micros(lit(1700000000000000L) + lit(b.toLong) * 3600000000L +
+          col("id") * 1000L).as("ts"),
+        (lit(b.toLong) * 500000L + col("id")).as("seq"),
+        array(
+          struct(lit("f").as("family"), lit("text").as("qualifier"),
+            text.as("value")),
+          struct(lit("f").as("family"), lit("source").as("qualifier"),
+            source.as("value"))).as("cells"))
+    }
+
+    val nBatches = 8
+    (0 until nBatches).foreach { b =>
+      val dt = t(f"bridge-batch-$b%02d-500k")(
+        Pipeline.applyIncrementalBatch(spark, cfg, mkBatch(b), b.toLong,
+          nBuckets = 128))
+    }
+
+    def corpus(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("id").as("doc_id"),
+      element_at(col("info"), "text").as("text"),
+      element_at(col("info"), "source").as("source"))
+    val fromIndex = graft.ext.Dedup.persistOnce(
+      corpus(BucketedIndex.read(spark, cfg.indexDir)))
+    val all = (0 until nBatches).map(mkBatch).reduce(_ unionByName _)
+    val fromFold = graft.ext.Dedup.persistOnce(
+      corpus(Merge.fold(all.filter(!Pipeline.isMalformed))))
+
+    // live doc state: 1M keys - 5k deletes
+    val n = fromIndex.count()
+    require(n == 995000L, s"live corpus from index: $n (expected 995000)")
+    val key = substring(col("doc_id"), 2, 10).cast("long")
+    require(fromIndex.filter(key >= 900000L && key < 905000L).count() == 0L,
+      "deleted keys leaked into the prep corpus")
+
+    // the eval residue construction of ScaleRound14c against the
+    // key-only leading tokens
+    val eval_ = spark.range(10).select(
+      (col("id") + 9000000L).cast("string").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(3)),
+        i => element_at(vocab, pmod(col("id") * 2000L * 31 + i.cast("long") * 7,
+          lit(997L)).cast("int") + 1)), " ").as("text"))
+
+    def funnelOf(docs: org.apache.spark.sql.DataFrame) =
+      graft.ext.Corpus.prepPipelineFunnel(docs, col("doc_id"), col("text"),
+        col("source"), eval_, col("text"), nGram = 4, alpha = 0.6,
+        targetTotal = 50000L, minWords = 10, maxWords = 100000,
+        minMeanLen = 1.0, maxMeanLen = 10.0, minStopwords = 0,
+        maxTopTokFrac = 1.0)
+        .orderBy("stage_idx").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val funnel = t("bridge-prep-funnel-995k")(funnelOf(fromIndex))
+    funnel.foreach { case (s, in, kept) =>
+      println(s"SCALEINFO bridge stage $s in $in kept $kept") }
+
+    // LAST-WINS dedup semantics: only the late-dup block collapses
+    // (9_999 removed); the early-dup-then-unique block must survive.
+    val dedupRemoved = funnel(1)._2 - funnel(1)._3
+    require(dedupRemoved >= 9999L && dedupRemoved <= 10050L,
+      s"dedup removed $dedupRemoved (expected ~9999: late-dup collapses, " +
+        "early-dup-rewritten-unique survives)")
+    require(funnel(3)._2 > funnel(3)._3, "decontamination removed nothing")
+    val selected = funnel(4)._3
+    require(math.abs(selected - 50000L) <= 5 * math.sqrt(50000.0),
+      s"mix landed at $selected")
+
+    // selection from the materialized index == selection from the
+    // one-shot fold, row for row
+    def select(docs: org.apache.spark.sql.DataFrame) =
+      graft.ext.Corpus.prepPipeline(docs, col("doc_id"), col("text"),
+        col("source"), eval_, col("text"), nGram = 4, alpha = 0.6,
+        targetTotal = 50000L, minWords = 10, maxWords = 100000,
+        minMeanLen = 1.0, maxMeanLen = 10.0, minStopwords = 0,
+        maxTopTokFrac = 1.0)
+    val sIdx = select(fromIndex)
+    val sFold = select(fromFold)
+    val diff = t("bridge-select-index-vs-fold")(
+      sIdx.exceptAll(sFold).count() + sFold.exceptAll(sIdx).count())
+    require(diff == 0L, s"selection diverged between index and fold: $diff rows")
+    println(s"SCALEINFO bridge selection from index == from one-shot fold " +
+      s"($selected docs); mutations -> index -> prep pipeline closed end to end")
+    spark.stop()
+  }
+}
