@@ -305,8 +305,6 @@ class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
 
   // ---- the corpus (deterministic) --------------------------------------
   private val N = 1500
-  private[graft] def diagCorpus: Seq[String] = corpus
-  private[graft] def diagDocs = docs
   private val corpus: Seq[String] =
     Gen.listOfN(N, bodyGen).pureApply(Gen.Parameters.default, Seed(20260815L))
 
