@@ -64,33 +64,92 @@ object EsBulk {
   def parse(lines: DataFrame): Dataset[BulkOp] = {
     val spark = lines.sparkSession
     import spark.implicits._
-    val act = lines.select(col("seq"), from_json(col("value"),
-      org.apache.spark.sql.types.DataType.fromDDL(
-        "struct<index: struct<_id: bigint>, create: struct<_id: bigint>, " +
-          "update: struct<_id: bigint>, delete: struct<_id: bigint>>"))
-      .as("a"))
+    val actionKeyList = typedLit(Seq("index", "create", "update", "delete"))
+    // ONE parse pass computes every view of a line together (flat map =
+    // content classification + index/create source doc; action struct;
+    // update envelope) — the first cut of the validation built six
+    // per-violation frames each re-scanning and re-parsing the lines,
+    // which doubled the per-request cost of every bulk row in the gate
+    val p = lines.select(col("seq"),
+        from_json(col("value"), org.apache.spark.sql.types.DataType.fromDDL(
+          "map<string, string>")).as("flat"),
+        from_json(col("value"), org.apache.spark.sql.types.DataType.fromDDL(
+          "struct<index: struct<_id: bigint>, create: struct<_id: bigint>, " +
+            "update: struct<_id: bigint>, delete: struct<_id: bigint>>"))
+          .as("a"),
+        from_json(col("value"), org.apache.spark.sql.types.DataType.fromDDL(
+          "struct<doc: map<string, string>, doc_as_upsert: boolean, " +
+            "script: struct<source: string>, upsert: map<string, string>, " +
+            "scripted_upsert: boolean, retry_on_conflict: int, " +
+            "detect_noop: boolean>")).as("env"))
+      .withColumn("ak", array_intersect(
+        map_keys(coalesce(col("flat"), map_from_arrays(
+          array().cast("array<string>"), array().cast("array<string>")))),
+        actionKeyList))
+      .withColumn("nk", size(col("ak")))
+      .withColumn("docTaking",
+        col("nk") === 1 && element_at(col("ak"), 1) =!= "delete")
       .withColumn("op",
         when(col("a.index").isNotNull, "index")
           .when(col("a.create").isNotNull, "create")
           .when(col("a.update").isNotNull, "update")
           .when(col("a.delete").isNotNull, "delete"))
-      .filter(col("op").isNotNull)
-      .select(col("seq"), col("op"),
-        coalesce(col("a.index._id"), col("a.create._id"),
-          col("a.update._id"), col("a.delete._id")).as("id"))
-      // a null/uncoercible _id cannot flow into the typed ops (the
-      // encoder would NOT_NULL-assert before the wire guard fires);
-      // dropping it here is safe because badMeta below rejects the
-      // line loudly via the guard
-      .filter(col("id").isNotNull)
-    val docs = lines.select((col("seq") - 1).as("seq"),
-      from_json(col("value"), org.apache.spark.sql.types.DataType.fromDDL(
-        "map<string, string>")).as("flat"),
-      from_json(col("value"), org.apache.spark.sql.types.DataType.fromDDL(
-        "struct<doc: map<string, string>, doc_as_upsert: boolean, " +
-          "script: struct<source: string>, upsert: map<string, string>, " +
-          "scripted_upsert: boolean, retry_on_conflict: int, " +
-          "detect_noop: boolean>")).as("env"))
+      .withColumn("id", coalesce(col("a.index._id"), col("a.create._id"),
+        col("a.update._id"), col("a.delete._id")))
+
+    // strict wire validation (contract in the scaladoc above): each line
+    // classifies against its PREDECESSOR (is it an expected source-doc
+    // position?) and its SUCCESSOR's existence (truncation) — ONE
+    // prev-join + ONE next-join, then a per-line violation expression.
+    // Where several violations co-occur on one line the chain picks one;
+    // the guard reports a single violation per batch anyway (ES 400s the
+    // whole request), and the fuzz contract is class MEMBERSHIP.
+    val withNbr = p
+      .join(p.select((col("seq") + 1).as("seq"),
+        (col("nk") === 1 && col("docTaking")).as("_pd")), Seq("seq"), "left")
+      .withColumn("_expDoc", coalesce(col("_pd"), lit(false)))
+    val violation =
+      when(col("nk") > 1, lit("malformed action line (multiple action keys)"))
+        .when(col("_expDoc") && col("nk") > 0,
+          lit("ambiguous bulk line (source doc carries a bulk action key)"))
+        .when(col("_expDoc") && col("flat").isNull,
+          lit("malformed source doc line (not a JSON object)"))
+        .when(not(col("_expDoc")) && col("nk") === 0,
+          lit("malformed action/metadata line (expected an action)"))
+        .when(col("nk") === 1 && (col("op").isNull || col("id").isNull),
+          lit("malformed action line (bad or missing _id)"))
+    // truncation (a doc-taking action with no following line) is checked
+    // on the final act⋈docs join below — the absent doc row is already
+    // observable there, so it costs no extra join
+    // The guard CANNOT be a crossJoin+filter on the ops frame: a batch of
+    // pure garbage parses to ZERO ops, and a filter over zero rows never
+    // evaluates its predicate — the malformed batch would apply as a
+    // silent no-op (found by EsBulkFuzzSpec). Instead the guard is a
+    // 1-row aggregate UNIONED in as an extra (normally empty) partition:
+    // evaluating its filter either passes (0 rows appended) or raises —
+    // and union partitions always evaluate when the parse is consumed.
+    val guard = withNbr
+      .select(struct(col("seq"), violation.as("r")).as("v"))
+      .filter(col("v.r").isNotNull)
+      .agg(count(lit(1)).as("n"), min(col("v")).as("v"))
+      .select(when(col("n") > 0, raise_error(concat(
+          lit("_bulk: "), col("v.r"), lit(" [line "),
+          col("v.seq").cast("string"), lit("]"))).cast("boolean"))
+        .otherwise(lit(true)).as("_wire_ok"))
+    val guardOps = guard.filter(not(col("_wire_ok")))
+      .select(lit(-1L).as("seq"), lit("delete").as("op"), lit(-1L).as("id"),
+        lit(null).cast("map<string, string>").as("doc"),
+        lit(false).as("upsert"), lit(null).cast("string").as("script"),
+        lit(null).cast("map<string, string>").as("upsertDoc"),
+        lit(false).as("scriptedUpsert"), lit(true).as("detectNoop"))
+
+    // a null/uncoercible _id cannot flow into the typed ops (the encoder
+    // would NOT_NULL-assert before the wire guard fires); dropping such
+    // lines here is safe because the guard rejects them loudly
+    val act = p.filter(col("op").isNotNull && col("id").isNotNull)
+      .select(col("seq"), col("op"), col("id"), col("nk"))
+    val docs = p.select((col("seq") - 1).as("seq"), col("flat"), col("env"),
+      lit(true).as("_dl"))
     // reject-loudly validation of the update ENVELOPE (an unsupported
     // key silently dropped would change write semantics): every key must
     // be one this front-end implements, `script` must be the
@@ -121,73 +180,16 @@ object EsBulk {
         raise_error(lit("_bulk update action needs a doc or a script"))
           .cast("map<string, string>"))
       .otherwise(col("env.doc"))
-    // strict wire validation (contract in the scaladoc above): classify
-    // every line by CONTENT (top-level keys of the flat parse), derive
-    // doc positions from the action positions, and reject any line the
-    // two views disagree on. All seq-joins + one global agg — the guard
-    // is a 1-row broadcast the result filters on, so it evaluates
-    // whenever the parse is consumed.
-    val actionKeyList = typedLit(Seq("index", "create", "update", "delete"))
-    val cls = lines.select(col("seq"),
-      from_json(col("value"), org.apache.spark.sql.types.DataType.fromDDL(
-        "map<string, string>")).as("_flat"))
-      .select(col("seq"), col("_flat").isNotNull.as("obj"),
-        array_intersect(
-          map_keys(coalesce(col("_flat"), map_from_arrays(
-            array().cast("array<string>"), array().cast("array<string>")))),
-          actionKeyList).as("ak"))
-    val aSet = cls.filter(size(col("ak")) > 0)
-      .select(col("seq"), size(col("ak")).as("nk"),
-        (element_at(col("ak"), 1) =!= "delete").as("docTaking"))
-    val dSeqs = aSet.filter(col("nk") === 1 && col("docTaking"))
-      .select((col("seq") + 1).as("seq"))
-    val multiKey = aSet.filter(col("nk") > 1).select(col("seq"),
-      lit("malformed action line (multiple action keys)").as("r"))
-    val badMeta = aSet.filter(col("nk") === 1)
-      .join(act.select(col("seq"), col("id").as("_aid"),
-        lit(true).as("_hasOp")), Seq("seq"), "left")
-      .filter(not(coalesce(col("_hasOp"), lit(false))) || col("_aid").isNull)
-      .select(col("seq"),
-        lit("malformed action line (bad or missing _id)").as("r"))
-    val ambiguous = dSeqs.join(aSet.select("seq"), Seq("seq"), "left_semi")
-      .select(col("seq"),
-        lit("ambiguous bulk line (source doc carries a bulk action key)").as("r"))
-    val truncated = dSeqs.join(lines.select("seq"), Seq("seq"), "left_anti")
-      .select((col("seq") - 1).as("seq"),
-        lit("truncated bulk body (action expects a source doc)").as("r"))
-    val orphan = lines.select("seq")
-      .join(aSet.select("seq").union(dSeqs), Seq("seq"), "left_anti")
-      .select(col("seq"),
-        lit("malformed action/metadata line (expected an action)").as("r"))
-    val badDoc = dSeqs.join(cls, Seq("seq"))
-      .filter(not(col("obj")))
-      .select(col("seq"),
-        lit("malformed source doc line (not a JSON object)").as("r"))
-    // The guard CANNOT be a crossJoin+filter on the ops frame: a batch of
-    // pure garbage parses to ZERO ops, and a filter over zero rows never
-    // evaluates its predicate — the malformed batch would apply as a
-    // silent no-op (found by EsBulkFuzzSpec). Instead the guard is a
-    // 1-row aggregate UNIONED in as an extra (normally empty) partition:
-    // evaluating its filter either passes (0 rows appended) or raises —
-    // and union partitions always evaluate when the parse is consumed.
-    val guard =
-      multiKey.union(badMeta).union(ambiguous).union(truncated)
-        .union(orphan).union(badDoc)
-        .select(struct(col("seq"), col("r")).as("v"))
-        .agg(count(lit(1)).as("n"), min(col("v")).as("v"))
-        .select(when(col("n") > 0, raise_error(concat(
-            lit("_bulk: "), col("v.r"), lit(" [line "),
-            col("v.seq").cast("string"), lit("]"))).cast("boolean"))
-          .otherwise(lit(true)).as("_wire_ok"))
-    val guardOps = guard.filter(not(col("_wire_ok")))
-      .select(lit(-1L).as("seq"), lit("delete").as("op"), lit(-1L).as("id"),
-        lit(null).cast("map<string, string>").as("doc"),
-        lit(false).as("upsert"), lit(null).cast("string").as("script"),
-        lit(null).cast("map<string, string>").as("upsertDoc"),
-        lit(false).as("scriptedUpsert"), lit(true).as("detectNoop"))
     act.join(docs, Seq("seq"), "left")
       .select(col("seq"), col("op"), col("id"),
-        when(col("op") === "update", updDoc)
+        // nk==1 keeps this raise off multi-action-key lines — those are
+        // the guard's multiKey class, and two racing raise sites would
+        // make the reported class nondeterministic
+        when(col("op") =!= "delete" && col("nk") === 1 && col("_dl").isNull,
+          raise_error(concat(
+          lit("_bulk: truncated bulk body (action expects a source doc) [line "),
+          col("seq").cast("string"), lit("]"))).cast("map<string, string>"))
+          .when(col("op") === "update", updDoc)
           .when(col("op") === "delete", lit(null))
           .otherwise(col("flat")).as("doc"),
         // the reference observer emits EVERY put as
