@@ -3501,7 +3501,37 @@ object EsQueryJson {
           .foldLeft(df)((acc, p) => acc.filter(p))
         if (levels.size == 1) singleLevel(keyFiltered, levels.head, aliased, pipes)
         else {
-          val g = nestedLevels(keyFiltered, levels, aliased)
+          val g0 = nestedLevels(keyFiltered, levels, aliased)
+          val leaf = levels.last
+          val leafMdc = Option(leaf.spec.get("min_doc_count")).map(_.asInt())
+          val histLeaf = leaf.kind == "histogram" || leaf.kind == "date_histogram"
+          val g =
+            if (histLeaf && leafMdc.contains(0)) {
+              // per-SERIES zero fill (the terms×date_histogram dashboard
+              // shape): each outer-key combination fills every interval
+              // between ITS OWN observed leaf bounds — ES's per-parent
+              // min_doc_count:0 semantics. Spans come from a groupBy over
+              // the FINISHED bucket frame (coordinator-sized); filled
+              // buckets carry doc_count 0 and null metrics, and the
+              // per-series pipelines below see the zeros.
+              val outer = levels.init.map(l => col(l.name))
+              val leafName = leaf.name
+              val step = leaf.kind match {
+                case "histogram" => lit(leaf.spec.get("interval").asDouble().toLong)
+                case _ =>
+                  val iv = Option(leaf.spec.get("calendar_interval"))
+                    .getOrElse(leaf.spec.get("interval")).asText()
+                  expr(s"interval 1 $iv")
+              }
+              val spans = g0.groupBy(outer: _*)
+                .agg(min(col(leafName)).as("_lo"), max(col(leafName)).as("_hi"))
+              val full = spans.select(
+                outer :+ explode(sequence(col("_lo"), col("_hi"), step)).as(leafName): _*)
+              full.join(g0, levels.init.map(_.name) :+ leafName, "left")
+                .na.fill(0L, Seq("doc_count"))
+            } else if (histLeaf && leafMdc.exists(_ > 1))
+              g0.filter(col("doc_count") >= leafMdc.get)
+            else g0
           if (pipes.isEmpty) g
           else {
             // per-series pipelines: window partitioned by the outer bucket
@@ -3721,12 +3751,20 @@ object EsQueryJson {
     * prune first, so a parent's rank reflects its full child population. */
   private def nestedLevels(df: DataFrame, levels: Seq[Level], ms: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // per-parent zero-fill / rare-bucket pruning inside a nested chain is
-    // not implemented — reject rather than silently treat as the default
-    levels.foreach { l =>
+    // min_doc_count inside a nested chain: supported on a histogram-kind
+    // LEAF (per-parent fill/prune, handled by the caller on the finished
+    // frame); anything else rejects rather than silently acting as the
+    // default (a terms leaf would need the prune BEFORE size ranking)
+    levels.init.foreach { l =>
       require(!Option(l.spec.get("min_doc_count")).exists(_.asInt() != 1),
-        s"min_doc_count inside a nested bucket chain is not supported (level ${l.name})")
+        s"min_doc_count on a non-leaf nested level is not supported (level ${l.name})")
     }
+    val leaf0 = levels.last
+    require(!Option(leaf0.spec.get("min_doc_count")).exists(_.asInt() != 1) ||
+        leaf0.kind == "histogram" || leaf0.kind == "date_histogram",
+      s"min_doc_count on a nested ${leaf0.kind} leaf is not supported")
+    require(!(leaf0.spec.has("min_doc_count") && leaf0.spec.has("extended_bounds")),
+      "extended_bounds with min_doc_count inside a nested chain is not supported")
     val names = levels.map(_.name)
     var g = df.groupBy(levels.map(_.key): _*).agg(count(lit(1)).as("doc_count"), ms: _*)
     levels.zipWithIndex.foreach { case (l, i) =>

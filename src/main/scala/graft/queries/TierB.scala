@@ -4936,6 +4936,34 @@ object TierB {
              |       o_orderkey * 3 + 1 AS key3
              |FROM orders WHERE o_totalprice >= 400000
              |ORDER BY o_orderkey LIMIT 30""".stripMargin)),
+
+    // per-SERIES zero fill — the terms × date_histogram dashboard shape
+    // with `min_doc_count: 0` on the leaf plus a per-series
+    // cumulative_sum that must see the filled zeros. Each priority
+    // series fills every month between ITS OWN first and last active
+    // month (ES per-parent semantics); the high-price filter makes the
+    // series sparse so genuine gaps appear.
+    Q("a216_es_json_series_zero_fill",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.orders(s, d),
+        """{"query": {"range": {"o_totalprice": {"gte": 430000}}},
+          | "aggs": {"pri": {"terms": {"field": "o_orderpriority", "size": 10},
+          |   "aggs": {"m": {"date_histogram": {"field": "o_orderdate",
+          |       "calendar_interval": "month", "min_doc_count": 0},
+          |     "aggs": {"cum": {"cumulative_sum": {"buckets_path": "_count"}}}}}}}}""".stripMargin)("pri")
+        .orderBy("pri", "m"),
+      Some("""WITH b AS (
+             |  SELECT o_orderpriority AS pri,
+             |         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+             |         count(*) AS doc_count
+             |  FROM orders WHERE o_totalprice >= 430000 GROUP BY pri, m),
+             |spans AS (SELECT pri, min(m) AS lo, max(m) AS hi FROM b GROUP BY pri),
+             |f AS (SELECT pri, unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m FROM spans)
+             |SELECT f.pri AS pri, f.m AS m, coalesce(b.doc_count, 0) AS doc_count,
+             |       CAST(CAST(sum(coalesce(b.doc_count, 0)) OVER (
+             |         PARTITION BY f.pri ORDER BY f.m
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE) AS cum
+             |FROM f LEFT JOIN b ON f.pri = b.pri AND f.m = b.m
+             |ORDER BY pri, m""".stripMargin)),
   )
 }
 

@@ -248,6 +248,8 @@ class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
       1 -> Gen.const(s"""{"nested": {"path": "items"}$sub}"""), // no nested field in the frame
       1 -> Gen.const(s"""{"frobnicate": {"field": "$f"}}"""),   // unknown agg kind
       2 -> Gen.const(s"""{"histogram": {"field": "$nf", "interval": 50, "min_doc_count": 0}}"""), // data-bounds zero fill
+      2 -> Gen.const(s"""{"terms": {"field": "lang", "size": 5}, "aggs": {"m": {"date_histogram": {"field": "ts", "interval": "month", "min_doc_count": 0}}}}"""), // per-series fill
+      1 -> Gen.const(s"""{"terms": {"field": "lang", "size": 5}, "aggs": {"m": {"terms": {"field": "$f", "size": 3, "min_doc_count": 0}}}}"""), // terms leaf fill → reject
       1 -> Gen.const(s"""{"terms": {"field": "$f", "sizee": 5}}"""), // typo'd option → reject
       1 -> Gen.const(s"""{"avg": {"field": "$nf", "compression": 9}}""")) // unknown metric option → reject
   } yield a
