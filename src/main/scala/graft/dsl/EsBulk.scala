@@ -54,14 +54,23 @@ object EsBulk {
     *  - `ambiguous bulk line` — a line positioned as a source doc that
     *    itself carries a bulk action key. ES silently treats it as the
     *    doc; unvalidated, this front-end would read it TWICE (as doc
-    *    and as action) — rejecting loudly is the documented deviation;
+    *    and as action) — rejecting loudly is the strict default.
+    *    `ambiguousDocsAsSource = true` selects the ES-compatible mode
+    *    instead: the line is consumed as the source doc (round-15 —
+    *    the former documented deviation, now an option). Doc positions
+    *    are then decided by the sequential ES walk (action/doc
+    *    alternation), computed as a run-parity over ONE bounded window
+    *    (the request's line list — coordinator-sized wire input, never
+    *    corpus rows);
     *  - `truncated bulk body` — a doc-taking action with no following
     *    line;
     *  - `malformed source doc line` — a doc line that is not a JSON
     *    object.
-    * The checks are a fixed set of seq-joins + one tiny agg folded into
-    * a 1-row broadcast guard — no window, no driver collect. */
-  def parse(lines: DataFrame): Dataset[BulkOp] = {
+    * In strict mode the checks are a fixed set of seq-joins + one tiny
+    * agg folded into a 1-row broadcast guard — no window, no driver
+    * collect. */
+  def parse(lines: DataFrame,
+            ambiguousDocsAsSource: Boolean = false): Dataset[BulkOp] = {
     val spark = lines.sparkSession
     import spark.implicits._
     val actionKeyList = typedLit(Seq("index", "create", "update", "delete"))
@@ -104,23 +113,56 @@ object EsBulk {
     // Where several violations co-occur on one line the chain picks one;
     // the guard reports a single violation per batch anyway (ES 400s the
     // whole request), and the fuzz contract is class MEMBERSHIP.
-    val withNbr = p
-      .join(p.select((col("seq") + 1).as("seq"),
-        (col("nk") === 1 && col("docTaking")).as("_pd")), Seq("seq"), "left")
-      .withColumn("_expDoc", coalesce(col("_pd"), lit(false)))
+    val withNbr0 =
+      if (!ambiguousDocsAsSource)
+        // strict mode: a doc position is simply "the predecessor is a
+        // doc-taking action" — exact because an action-keyed line in doc
+        // position rejects loudly, so runs of doc-taking lines cannot
+        // validly chain
+        p.join(p.select((col("seq") + 1).as("seq"),
+            (col("nk") === 1 && col("docTaking")).as("_pd")), Seq("seq"), "left")
+          .withColumn("_expDoc", coalesce(col("_pd"), lit(false)))
+      else {
+        // ES-compatible mode: doc positions follow the sequential walk
+        // (a doc line, even action-keyed, is CONSUMED — the next line is
+        // an action again). Within a maximal run of doc-taking-shaped
+        // lines after a boundary, positions alternate: line i is a doc
+        // iff its distance from the last non-doc-taking line is odd.
+        // One window over the request's line list — bounded wire input.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy("seq")
+        val dtr = col("nk") === 1 && col("docTaking")
+        p.withColumn("_pos", row_number().over(w))
+          .withColumn("_lastBoundary", max(when(not(dtr), col("_pos"))).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("_expDoc",
+            pmod(col("_pos") - coalesce(col("_lastBoundary"), lit(0L)), lit(2)) === 0)
+          .drop("_pos", "_lastBoundary")
+      }
+    val withNbr = withNbr0
+      .join(p.select((col("seq") - 1).as("seq"), lit(true).as("_hasNext")),
+        Seq("seq"), "left")
+    val ambiguous =
+      if (ambiguousDocsAsSource) lit(null).cast("string")
+      else when(col("_expDoc") && col("nk") > 0,
+        lit("ambiguous bulk line (source doc carries a bulk action key)"))
     val violation =
-      when(col("nk") > 1, lit("malformed action line (multiple action keys)"))
-        .when(col("_expDoc") && col("nk") > 0,
-          lit("ambiguous bulk line (source doc carries a bulk action key)"))
-        .when(col("_expDoc") && col("flat").isNull,
-          lit("malformed source doc line (not a JSON object)"))
-        .when(not(col("_expDoc")) && col("nk") === 0,
+      when(col("nk") > 1 && not(col("_expDoc")),
+        lit("malformed action line (multiple action keys)"))
+        .when(col("_expDoc"), coalesce(ambiguous,
+          when(col("flat").isNull,
+            lit("malformed source doc line (not a JSON object)"))))
+        .when(col("nk") === 0,
           lit("malformed action/metadata line (expected an action)"))
         .when(col("nk") === 1 && (col("op").isNull || col("id").isNull),
           lit("malformed action line (bad or missing _id)"))
-    // truncation (a doc-taking action with no following line) is checked
-    // on the final act⋈docs join below — the absent doc row is already
-    // observable there, so it costs no extra join
+        // truncation (a doc-taking action with no following line) lives
+        // IN the guard: riding the ops frame's `doc` column instead left
+        // it prunable — a consumer projecting only op/id (or a
+        // constant-folded pushed filter) would skip the raise entirely
+        // (ADVICE round 14)
+        .when(col("docTaking") && col("_hasNext").isNull,
+          lit("truncated bulk body (action expects a source doc)"))
     // The guard CANNOT be a crossJoin+filter on the ops frame: a batch of
     // pure garbage parses to ZERO ops, and a filter over zero rows never
     // evaluates its predicate — the malformed batch would apply as a
@@ -145,9 +187,13 @@ object EsBulk {
 
     // a null/uncoercible _id cannot flow into the typed ops (the encoder
     // would NOT_NULL-assert before the wire guard fires); dropping such
-    // lines here is safe because the guard rejects them loudly
-    val act = p.filter(col("op").isNotNull && col("id").isNotNull)
-      .select(col("seq"), col("op"), col("id"), col("nk"))
+    // lines here is safe because the guard rejects them loudly. Doc-
+    // position lines are NOT actions — in ES-compatible mode an
+    // action-keyed source doc would otherwise be read twice (the exact
+    // hazard the strict default rejects).
+    val act = withNbr
+      .filter(not(col("_expDoc")) && col("op").isNotNull && col("id").isNotNull)
+      .select(col("seq"), col("op"), col("id"))
     val docs = p.select((col("seq") - 1).as("seq"), col("flat"), col("env"),
       lit(true).as("_dl"))
     // reject-loudly validation of the update ENVELOPE (an unsupported
@@ -182,14 +228,10 @@ object EsBulk {
       .otherwise(col("env.doc"))
     act.join(docs, Seq("seq"), "left")
       .select(col("seq"), col("op"), col("id"),
-        // nk==1 keeps this raise off multi-action-key lines — those are
-        // the guard's multiKey class, and two racing raise sites would
-        // make the reported class nondeterministic
-        when(col("op") =!= "delete" && col("nk") === 1 && col("_dl").isNull,
-          raise_error(concat(
-          lit("_bulk: truncated bulk body (action expects a source doc) [line "),
-          col("seq").cast("string"), lit("]"))).cast("map<string, string>"))
-          .when(col("op") === "update", updDoc)
+        // a truncated trailing action leaves `flat` null here; the union
+        // guard's truncation class raises at the same materialization,
+        // and unlike a doc-column raise it cannot be projection-pruned
+        when(col("op") === "update", updDoc)
           .when(col("op") === "delete", lit(null))
           .otherwise(col("flat")).as("doc"),
         // the reference observer emits EVERY put as

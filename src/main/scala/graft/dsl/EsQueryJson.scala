@@ -1607,9 +1607,14 @@ object EsQueryJson {
       if (sortSpecs.isEmpty) collapsed
       else collapsed.orderBy(sortCols: _*)
     val from = Option(body.get("from")).map(_.asInt()).getOrElse(0)
-    val size = Option(body.get("size")).map(_.asInt())
+    // ES defaults `size` to 10 on every search — pre-round-15 an absent
+    // size returned ALL hits, an answer-level deviation the differential
+    // fuzz caught on its first run (and a scale hazard: an unsized query
+    // over a 100 TB corpus must not return the corpus). `"size": 0` stays
+    // meaningful (aggs-only request).
+    val size = Option(body.get("size")).map(_.asInt()).getOrElse(10)
     val offs = if (from > 0) sorted.offset(from) else sorted
-    val limited = size.map(offs.limit).getOrElse(offs)
+    val limited = offs.limit(size)
     // `inner_hits` on a top-level `nested` query: per returned PARENT hit,
     // the matching child docs land in an `_inner` struct column — one row
     // per inner hit (ES returns a per-hit child list; the exploded rows
@@ -2155,8 +2160,16 @@ object EsQueryJson {
     val minDf = Option(body.get("min_doc_freq")).map(_.asInt()).getOrElse(5)
     val include = Option(body.get("include")).exists(_.asBoolean())
     val exclude = if (include) Seq.empty else likeIds
-    if (validateOnly.value)
-      return MltSpec(f, Seq("placeholder"), exclude, 1, "doc_id")
+    if (validateOnly.value) {
+      // resolve the id column from the schema (available in validate
+      // mode) — a hardcoded "doc_id" would make mltPredicate build a
+      // nonexistent column on an "id"-keyed frame and _validate would
+      // falsely classify a valid body (ADVICE round 14)
+      val idc = querySchema.value
+        .map(sch => if (sch.fieldNames.contains("doc_id")) "doc_id" else "id")
+        .getOrElse("doc_id")
+      return MltSpec(f, Seq("placeholder"), exclude, 1, idc)
+    }
     val df = queryFrame.value.getOrElse(throw new IllegalArgumentException(
       "more_like_this needs the search frame for term statistics " +
         "(run it through a df-bearing entry point)"))
@@ -2425,8 +2438,30 @@ object EsQueryJson {
         // ES behavior for these kinds. The predicate compile still rejects
         // unknown kinds loudly. (Pre-round-14 this threw "unsupported
         // _score sort" — found as a false reject by the widened fuzz.)
-        df.filter(predicate(q)).withColumn("_score", lit(1.0))
+        // A clause `boost` multiplies the constant (ES returns boost as
+        // the score for a boosted filter-like clause; ADVICE round 14).
+        df.filter(predicate(q)).withColumn("_score",
+          round(lit(filterClauseBoost(q)), 6))
     }
+  }
+
+  /** The `boost` of a FILTER-LIKE clause (the constant-score fallback of
+    * [[scoredSearch]]): `boost` at the body level (`terms`/`exists`/
+    * `ids`/`match_all`) or inside the single field's option object
+    * (`term`/`range`/`prefix`/`wildcard`/`regexp`/`fuzzy`); 1.0 when
+    * absent. The allowlists already admit the key on these kinds. */
+  private def filterClauseBoost(q: JsonNode): Double = {
+    val (_, body) = single(q)
+    if (!body.isObject) return 1.0
+    Option(body.get("boost")).filter(_.isNumber).map(_.asDouble())
+      .orElse {
+        body.fieldNames().asScala.toSeq.filterNot(_ == "boost") match {
+          case Seq(f) => Option(body.get(f)).filter(_.isObject)
+            .flatMap(v => Option(v.get("boost")).filter(_.isNumber))
+            .map(_.asDouble())
+          case _ => None
+        }
+      }.getOrElse(1.0)
   }
 
   /** Query kinds [[scoredSearch]] can attach a `_score` to. */
@@ -3147,11 +3182,18 @@ object EsQueryJson {
   /** One bucket level of a (possibly nested) chain. */
   private case class Level(name: String, kind: String, spec: JsonNode, node: JsonNode) {
     checkAggSpec(kind, spec)
-    def key: Column = kind match {
+    def key: Column = keyExpr.as(name)
+    /** Docs whose computed key is null form NO bucket — ES drops
+      * unindexed docs from every bucket agg (`missing` substitution in
+      * [[keyExpr]] already made the key non-null when requested).
+      * Pre-round-15 the groupBy kept a null-key bucket ES never returns —
+      * an answer-level deviation EsJsonDifferentialSpec caught. */
+    def keyNotNull: Column = keyExpr.isNotNull
+    private def keyExpr: Column = kind match {
       case "terms" =>
         // `missing`: docs with a null key bucket under the given value
         Option(spec.get("missing")).map(m => coalesce(termsRawKey, litOf(m)))
-          .getOrElse(termsRawKey).as(name)
+          .getOrElse(termsRawKey)
       case "histogram" =>
         // `offset` shifts the bucket boundaries (integral offsets — keys
         // stay longs like the unshifted form)
@@ -3160,8 +3202,8 @@ object EsQueryJson {
         require(interval > 0, s"histogram interval must be > 0, got $interval")
         Option(spec.get("offset")).map(_.asDouble()) match {
           case Some(off) =>
-            (floor((f - off) / interval) * interval + off).cast("long").as(name)
-          case None => EsDsl.histogramBucket(f, interval).as(name)
+            (floor((f - off) / interval) * interval + off).cast("long")
+          case None => EsDsl.histogramBucket(f, interval)
         }
       case "date_histogram" =>
         val interval = Option(spec.get("calendar_interval")).getOrElse(spec.get("interval")).asText()
@@ -3186,17 +3228,17 @@ object EsQueryJson {
             val iv = expr(s"INTERVAL '$n' $unit")
             val shifted = if (neg) f + iv else f - iv
             val bucket = EsDsl.dateHistogramBucket(shifted, interval)
-            backToUtc(if (neg) bucket - iv else bucket + iv).as(name)
-          case None => backToUtc(EsDsl.dateHistogramBucket(f, interval)).as(name)
+            backToUtc(if (neg) bucket - iv else bucket + iv)
+          case None => backToUtc(EsDsl.dateHistogramBucket(f, interval))
         }
       case "geotile_grid" =>
         val f = spec.get("field").asText()
         Geo.geotileKey(field(s"${f}_lat"), field(s"${f}_lon"),
-          Option(spec.get("precision")).map(_.asInt()).getOrElse(7)).as(name)
+          Option(spec.get("precision")).map(_.asInt()).getOrElse(7))
       case "geohash_grid" =>
         val f = spec.get("field").asText()
         Geo.geohashKey(field(s"${f}_lat"), field(s"${f}_lon"),
-          Option(spec.get("precision")).map(_.asInt()).getOrElse(5)).as(name)
+          Option(spec.get("precision")).map(_.asInt()).getOrElse(5))
     }
     def termsSize: Option[Int] =
       if (kind == "terms") Some(Option(spec.get("size")).map(_.asInt()).getOrElse(10)) else None
@@ -3499,7 +3541,7 @@ object EsQueryJson {
         // their full doc_count) and pushes toward the scan
         val keyFiltered = levels.flatMap(_.termsKeyFilter)
           .foldLeft(df)((acc, p) => acc.filter(p))
-        if (levels.size == 1) singleLevel(keyFiltered, levels.head, aliased, pipes)
+        if (levels.size == 1) singleLevel(keyFiltered, bg, levels.head, aliased, pipes)
         else {
           val g0 = nestedLevels(keyFiltered, levels, aliased)
           val leaf = levels.last
@@ -3517,7 +3559,7 @@ object EsQueryJson {
               val outer = levels.init.map(l => col(l.name))
               val leafName = leaf.name
               val step = leaf.kind match {
-                case "histogram" => lit(leaf.spec.get("interval").asDouble().toLong)
+                case "histogram" => lit(wholeInterval(leaf.spec))
                 case _ =>
                   val iv = Option(leaf.spec.get("calendar_interval"))
                     .getOrElse(leaf.spec.get("interval")).asText()
@@ -3531,7 +3573,31 @@ object EsQueryJson {
                 .na.fill(0L, Seq("doc_count"))
             } else if (histLeaf && leafMdc.exists(_ > 1))
               g0.filter(col("doc_count") >= leafMdc.get)
-            else g0
+            else if (leaf.kind == "terms" && leafMdc.contains(0)) {
+              // per-parent terms fill: every surviving parent bucket gets
+              // a (zero-count, null-metric) bucket for every term of the
+              // field in the INDEX (ES per-parent min_doc_count: 0) —
+              // parents × the broadcast term dictionary, left-joined onto
+              // the finished frame. The leaf `size` re-ranks AFTER the
+              // fill; since zero buckets order below every real bucket
+              // under `_count` desc, the pre-fill prune inside
+              // nestedLevels kept exactly the real buckets that survive —
+              // re-ranking only appends zero tails where a parent has
+              // fewer than `size` real buckets.
+              val outerNames = levels.init.map(_.name)
+              val domain = termsFillDomain(bg, leaf, leaf.name)
+              val parents = g0.select(outerNames.map(col): _*).distinct()
+              val filled = parents.crossJoin(broadcast(domain))
+                .join(g0, outerNames :+ leaf.name, "left")
+                .na.fill(0L, Seq("doc_count"))
+              leaf.termsSize.map { size =>
+                val rk = dense_rank().over(
+                  org.apache.spark.sql.expressions.Window
+                    .partitionBy(outerNames.map(col): _*)
+                    .orderBy(col("doc_count").desc, col(leaf.name)))
+                filled.withColumn("_rk", rk).filter(col("_rk") <= size).drop("_rk")
+              }.getOrElse(filled)
+            } else g0
           if (pipes.isEmpty) g
           else {
             // per-series pipelines: window partitioned by the outer bucket
@@ -3558,14 +3624,29 @@ object EsQueryJson {
     * pipeline aggs (`pipes`) run over the FINISHED bucket frame with a
     * window ordered by key — the frame is the bounded bucket set (what ES's
     * coordinator holds), so the single-partition window is fine. */
-  private def singleLevel(df: DataFrame, l: Level, ms: Seq[Column],
+  private def singleLevel(df: DataFrame, bg: DataFrame, l: Level, ms: Seq[Column],
                           pipes: Seq[(String, String, JsonNode)] = Nil): DataFrame = {
-    val g0 = zeroFill(df, l,
-      df.groupBy(l.key.as("key")).agg(count(lit(1)).as("doc_count"), ms: _*))
+    val mdc = Option(l.spec.get("min_doc_count")).map(_.asInt())
+    val grouped = df.filter(l.keyNotNull)
+      .groupBy(l.key.as("key")).agg(count(lit(1)).as("doc_count"), ms: _*)
+    val g0 =
+      if (l.kind == "terms" && mdc.contains(0))
+        // terms `min_doc_count: 0`: ES emits a zero-count bucket for
+        // EVERY term of the field in the INDEX (global ordinals), not
+        // just the query scope — the fill domain is one distinct over
+        // the unscoped frame (the term-dictionary read), include/
+        // exclude-filtered like the scoped side. Zero buckets carry
+        // null metrics (the histogram-fill convention) and rank last
+        // under the default `_count` order. (Pre-round-15 this silently
+        // acted as min_doc_count 1.)
+        termsFillDomain(bg, l, l.name).withColumnRenamed(l.name, "key")
+          .join(grouped, Seq("key"), "full_outer")
+          .na.fill(0L, Seq("doc_count"))
+      else zeroFill(df, l, grouped)
     // terms `min_doc_count` > 1: prune rare buckets BEFORE the size
     // truncation (ES semantics; 1 is the default and a no-op, 0 is the
-    // histogram zero-fill path handled above)
-    val g = Option(l.spec.get("min_doc_count")).map(_.asInt()).filter(_ > 1)
+    // fill path handled above)
+    val g = mdc.filter(_ > 1)
       .map(m => g0.filter(col("doc_count") >= m)).getOrElse(g0)
     val based = l.termsSize match {
       case Some(size) =>
@@ -3699,6 +3780,31 @@ object EsQueryJson {
     if (pipes.exists(_._2 == "bucket_sort")) out else out.orderBy(defaultOrder: _*)
   }
 
+  /** The index-wide term set of a `terms` level — the fill domain for
+    * `min_doc_count: 0` (ES reads the field's global ordinals, i.e. the
+    * term dictionary of the whole index, not the query scope): one
+    * distinct over the UNSCOPED frame, include/exclude-filtered like the
+    * scoped side, null keys dropped (null is not a term; `missing`
+    * substitution happens inside [[Level.key]] before the null check).
+    * Output is coordinator-sized — the bucket set ES itself would
+    * materialize for this request. */
+  private def termsFillDomain(bg: DataFrame, l: Level, as: String): DataFrame = {
+    val filtered = l.termsKeyFilter.foldLeft(bg)((b, p) => b.filter(p))
+    filtered.select(l.key.as(as)).filter(col(as).isNotNull).distinct()
+  }
+
+  /** Histogram interval for the zero-fill paths, which generate LONG
+    * bucket keys with `sequence`: must be a positive WHOLE number — a
+    * fractional interval would silently truncate (0.5 → step 0, 2.5 →
+    * misaligned fill keys; ADVICE round 14). The plain (non-fill)
+    * histogram path keeps fractional intervals. */
+  private def wholeInterval(spec: JsonNode): Long = {
+    val ivd = spec.get("interval").asDouble()
+    require(ivd > 0 && ivd == math.floor(ivd) && !ivd.isInfinite,
+      s"histogram interval with min_doc_count: 0 must be a positive whole number, got $ivd")
+    ivd.toLong
+  }
+
   /** `min_doc_count: 0` + `extended_bounds` on histogram/date_histogram:
     * emit EVERY bucket of the bounded range, zero for empty ones (the
     * gap-free series dashboards chart). The full key range generates from
@@ -3720,8 +3826,7 @@ object EsQueryJson {
     val dataBounds = g.agg(min(col("key")).as("_lo"), max(col("key")).as("_hi"))
     val full = l.kind match {
       case "histogram" =>
-        val iv = l.spec.get("interval").asDouble().toLong
-        require(iv > 0, s"histogram interval must be > 0, got $iv")
+        val iv = wholeInterval(l.spec)
         val bounds = eb.map { b =>
           val (lo, hi) = (b.get("min").asLong(), b.get("max").asLong())
           require(lo % iv == 0 && hi % iv == 0,
@@ -3752,21 +3857,27 @@ object EsQueryJson {
   private def nestedLevels(df: DataFrame, levels: Seq[Level], ms: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // min_doc_count inside a nested chain: supported on a histogram-kind
-    // LEAF (per-parent fill/prune, handled by the caller on the finished
-    // frame); anything else rejects rather than silently acting as the
-    // default (a terms leaf would need the prune BEFORE size ranking)
+    // LEAF (per-parent fill/prune) and on a terms LEAF with value 0
+    // (per-parent term-dictionary fill) — both handled by the caller on
+    // the finished frame; anything else rejects rather than silently
+    // acting as the default (a terms leaf with min_doc_count > 1 would
+    // need the prune BEFORE size ranking)
     levels.init.foreach { l =>
       require(!Option(l.spec.get("min_doc_count")).exists(_.asInt() != 1),
         s"min_doc_count on a non-leaf nested level is not supported (level ${l.name})")
     }
     val leaf0 = levels.last
-    require(!Option(leaf0.spec.get("min_doc_count")).exists(_.asInt() != 1) ||
-        leaf0.kind == "histogram" || leaf0.kind == "date_histogram",
+    require(Option(leaf0.spec.get("min_doc_count")).map(_.asInt()).forall(v =>
+        v == 1 || leaf0.kind == "histogram" || leaf0.kind == "date_histogram" ||
+          (leaf0.kind == "terms" && v == 0)),
       s"min_doc_count on a nested ${leaf0.kind} leaf is not supported")
     require(!(leaf0.spec.has("min_doc_count") && leaf0.spec.has("extended_bounds")),
       "extended_bounds with min_doc_count inside a nested chain is not supported")
     val names = levels.map(_.name)
-    var g = df.groupBy(levels.map(_.key): _*).agg(count(lit(1)).as("doc_count"), ms: _*)
+    // a doc with a null key at ANY level forms no bucket (ES drops
+    // unindexed docs level-by-level; a null parent key has no child list)
+    val nonNull = levels.foldLeft(df)((acc, l) => acc.filter(l.keyNotNull))
+    var g = nonNull.groupBy(levels.map(_.key): _*).agg(count(lit(1)).as("doc_count"), ms: _*)
     levels.zipWithIndex.foreach { case (l, i) =>
       l.termsSize.foreach { size =>
         val isLeaf = i == levels.size - 1

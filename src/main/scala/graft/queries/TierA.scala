@@ -117,7 +117,7 @@ object TierA {
         |  "must": [{"term": {"info.etype": "click"}},
         |           {"range": {"info.val": {"gte": "20"}}}],
         |  "must_not": [{"term": {"info.k": "42"}}]}},
-        | "sort": ["id"]}""".stripMargin)
+        | "sort": ["id"], "size": 10000}""".stripMargin)
       .select(col("id"), element_at(col("info"), "val").as("val"))
   }
 

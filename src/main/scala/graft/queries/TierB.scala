@@ -237,7 +237,7 @@ object TierB {
         """{"query": {"query_string": {
           |   "query": "lang:en AND (spark OR \"the data\") AND source:src1* -customer",
           |   "default_field": "text"}},
-          | "sort": ["doc_id"]}""".stripMargin)
+          | "sort": ["doc_id"], "size": 10000}""".stripMargin)
         .select(col("doc_id"), col("lang"), col("source")),
       Some("""WITH t AS (SELECT doc_id, lang, source,
              |                  string_split_regex(lower(text),'\W+') AS tw,
@@ -260,7 +260,7 @@ object TierB {
         """{"query": {"simple_query_string": {
           |   "query": "spark + \"the data\" | merge -customer",
           |   "fields": ["text"]}},
-          | "sort": ["doc_id"]}""".stripMargin)
+          | "sort": ["doc_id"], "size": 10000}""".stripMargin)
         .select(col("doc_id")),
       Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(text),'\W+') AS tw,
              |                  list_filter(string_split_regex(lower(text),'\W+'), x -> x <> '') AS tf
@@ -1683,7 +1683,7 @@ object TierB {
           """{"query": {"nested": {"path": "items", "query":
             |  {"bool": {"must": [{"range": {"items.l_quantity": {"gte": 49}}},
             |                     {"range": {"items.l_discount": {"gt": 0.09}}}]}}}},
-            | "sort": ["o_orderkey"]}""".stripMargin)
+            | "sort": ["o_orderkey"], "size": 10000}""".stripMargin)
           .select(col("o_orderkey"), col("o_orderstatus"))
       },
       Some("""SELECT o_orderkey, o_orderstatus FROM orders
@@ -2302,7 +2302,7 @@ object TierB {
             |     {"has_child": {"type": "item", "min_children": 2,
             |        "query": {"range": {"item.l_quantity": {"gte": 48}}}}}],
             |   "must_not": [{"parent_id": {"type": "order", "id": 1}}]}},
-            | "sort": ["o_orderkey"]}""".stripMargin)
+            | "sort": ["o_orderkey"], "size": 10000}""".stripMargin)
           .select("o_orderkey", "o_custkey", "o_orderstatus")
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
@@ -2365,7 +2365,7 @@ object TierB {
           graft.dsl.EsQueryJson.search(docs,
             s"""{"query": {"range": {"n_chars": {"gte": 100}}},
                | "slice": {"id": $i, "max": 3, "field": "doc_id"},
-               | "sort": ["doc_id"]}""".stripMargin)
+               | "sort": ["doc_id"], "size": 10000}""".stripMargin)
             .select(col("doc_id"), col("n_chars"))
         }.reduce(_ unionAll _).orderBy("doc_id")
       },
@@ -3024,7 +3024,7 @@ object TierB {
         """{"query": {"bool": {"must": [
           |   {"match": {"text": {"query": "spark table", "analyzer": "whitespace", "operator": "and"}}},
           |   {"match": {"lang": {"query": "en", "analyzer": "keyword"}}}]}},
-          | "sort": ["doc_id"], "_source": ["doc_id", "lang"]}""".stripMargin),
+          | "sort": ["doc_id"], "size": 10000, "_source": ["doc_id", "lang"]}""".stripMargin),
       Some("""SELECT doc_id, lang FROM documents
              |WHERE len(list_intersect(string_split_regex(text, '\s+'), ['spark', 'table'])) >= 2
              |  AND lang = 'en'
@@ -3393,7 +3393,7 @@ object TierB {
         Seq("rapid, quick, spark")) {
         graft.dsl.EsQueryJson.search(Tables.documents(s, d),
           """{"query": {"match": {"text": {"query": "rapid", "analyzer": "syn"}}},
-            | "sort": ["doc_id"], "_source": ["doc_id", "lang"]}""".stripMargin)
+            | "sort": ["doc_id"], "size": 10000, "_source": ["doc_id", "lang"]}""".stripMargin)
       },
       Some("""WITH t AS (
              |  SELECT doc_id, lang,
@@ -3440,7 +3440,7 @@ object TierB {
         graft.dsl.EsQueryJson.search(fix,
           """{"query": {"match": {"text": {"query": "spark 数据",
             |   "analyzer": "cjk", "operator": "and"}}},
-            | "sort": ["doc_id"], "_source": ["doc_id"]}""".stripMargin)
+            | "sort": ["doc_id"], "size": 10000, "_source": ["doc_id"]}""".stripMargin)
       },
       Some({
         def ch(i: Int) =
@@ -3555,7 +3555,7 @@ object TierB {
         graft.dsl.EsQueryJson.search(Tables.documents(s, d),
           """{"query": {"match": {"text": {"query": "the data merge",
             |  "analyzer": "sh2", "minimum_should_match": 2}}},
-            | "sort": ["doc_id"], "_source": ["doc_id", "source"]}""".stripMargin)
+            | "sort": ["doc_id"], "size": 10000, "_source": ["doc_id", "source"]}""".stripMargin)
       },
       Some("""WITH t AS (
              |  SELECT doc_id, source,
@@ -3577,7 +3577,7 @@ object TierB {
       (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
         """{"query": {"match": {"text": {"query": "sprk tble",
           |  "fuzziness": "AUTO", "minimum_should_match": 2}}},
-          | "sort": ["doc_id"], "_source": ["doc_id", "source"]}""".stripMargin),
+          | "sort": ["doc_id"], "size": 10000, "_source": ["doc_id", "source"]}""".stripMargin),
       Some("""WITH t AS (
              |  SELECT doc_id, source,
              |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
@@ -3593,7 +3593,7 @@ object TierB {
     Q("a162_es_json_phrase_slop",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
         """{"query": {"match_phrase": {"text": {"query": "the data merge", "slop": 1}}},
-          | "sort": ["doc_id"], "_source": ["doc_id", "source"]}""".stripMargin),
+          | "sort": ["doc_id"], "size": 10000, "_source": ["doc_id", "source"]}""".stripMargin),
       Some("""WITH t AS (
              |  SELECT doc_id, source,
              |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
@@ -3620,7 +3620,7 @@ object TierB {
       (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
         """{"query": {"query_string": {
           |   "query": "\"spark merge\"~3", "default_field": "text"}},
-          | "sort": ["doc_id"], "_source": ["doc_id", "source"]}""".stripMargin),
+          | "sort": ["doc_id"], "size": 10000, "_source": ["doc_id", "source"]}""".stripMargin),
       Some("""WITH t AS (
              |  SELECT doc_id, source,
              |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
@@ -3645,7 +3645,7 @@ object TierB {
     Q("a170_es_json_phrase_slop_transposed",
       (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
         """{"query": {"match_phrase": {"text": {"query": "merge data", "slop": 2}}},
-          | "sort": ["doc_id"], "_source": ["doc_id", "source"]}""".stripMargin),
+          | "sort": ["doc_id"], "size": 10000, "_source": ["doc_id", "source"]}""".stripMargin),
       Some("""WITH t AS (
              |  SELECT doc_id, source,
              |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
@@ -3705,7 +3705,7 @@ object TierB {
       (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
         """{"query": {"multi_match": {"query": "sprk",
           |  "fields": ["text", "source"], "fuzziness": "AUTO"}},
-          | "sort": ["doc_id"], "_source": ["doc_id", "source"]}""".stripMargin),
+          | "sort": ["doc_id"], "size": 10000, "_source": ["doc_id", "source"]}""".stripMargin),
       Some("""WITH t AS (
              |  SELECT doc_id, source,
              |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS wt,
@@ -3927,7 +3927,7 @@ object TierB {
             |    {"span_term": {"text": "spark"}},
             |    {"field_masking_span": {"query": {"span_term": {"tags": "ent"}}, "field": "text"}}],
             |  "slop": 2, "in_order": false}},
-            | "sort": ["doc_id"], "_source": ["doc_id"]}""".stripMargin)
+            | "sort": ["doc_id"], "size": 10000, "_source": ["doc_id"]}""".stripMargin)
       },
       Some("""WITH t AS (
              |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
@@ -4964,6 +4964,74 @@ object TierB {
              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE) AS cum
              |FROM f LEFT JOIN b ON f.pri = b.pri AND f.m = b.m
              |ORDER BY pri, m""".stripMargin)),
+
+    // terms `min_doc_count: 0` at the TOP level: ES emits a zero-count
+    // bucket for every term of the field in the INDEX (global ordinals),
+    // not just the query scope — the n_chars cutoff eliminates whole
+    // languages, which must come back as zero buckets. (Pre-round-15 the
+    // engine silently acted as min_doc_count 1 here.)
+    Q("a217_es_json_terms_zero_fill",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.documents(s, d),
+        """{"query": {"range": {"n_chars": {"gte": 545}}},
+          | "aggs": {"l": {"terms": {"field": "lang", "size": 10,
+          |   "min_doc_count": 0}}}}""".stripMargin)("l"),
+      Some("""WITH b AS (SELECT lang AS key, count(*) AS doc_count
+             |  FROM documents WHERE n_chars >= 545 GROUP BY 1),
+             |dom AS (SELECT DISTINCT lang AS key FROM documents WHERE lang IS NOT NULL)
+             |SELECT dom.key AS key, coalesce(b.doc_count, 0) AS doc_count
+             |FROM dom LEFT JOIN b USING (key)
+             |ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
+
+    // per-PARENT terms-leaf fill — the year × status dashboard shape with
+    // `min_doc_count: 0` on a terms LEAF inside a nested chain: every
+    // year bucket carries all three order statuses, zero-filled (TPC-H
+    // status correlates with date, so early years are all-F and late
+    // years all-O — structural zeros at any scale factor). This was the
+    // last loud-rejected ES-6.5 agg semantic (round-14 verdict item 2).
+    Q("a218_es_json_terms_leaf_fill",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.orders(s, d),
+        """{"aggs": {"y": {"date_histogram": {"field": "o_orderdate",
+          |   "calendar_interval": "year"},
+          |  "aggs": {"st": {"terms": {"field": "o_orderstatus", "size": 10,
+          |   "min_doc_count": 0}}}}}}""".stripMargin)("y"),
+      Some("""WITH b AS (SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS y,
+             |         o_orderstatus AS st, count(*) AS doc_count
+             |  FROM orders GROUP BY 1, 2),
+             |dom AS (SELECT DISTINCT o_orderstatus AS st FROM orders),
+             |par AS (SELECT DISTINCT y FROM b)
+             |SELECT par.y AS y, dom.st AS st, coalesce(b.doc_count, 0) AS doc_count
+             |FROM par CROSS JOIN dom LEFT JOIN b USING (y, st)
+             |ORDER BY y, st""".stripMargin)),
+
+    // ES defaults `size` to 10 on every search — pinned after
+    // EsJsonDifferentialSpec caught the engine returning ALL hits for a
+    // size-less body on its first run (an answer-level deviation, and a
+    // scale hazard: an unsized query over a 100 TB corpus must not
+    // return the corpus).
+    Q("a219_es_json_default_size",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.orders(s, d),
+        """{"query": {"range": {"o_totalprice": {"gte": 100000}}},
+          | "sort": ["o_orderkey"]}""".stripMargin)
+        .select("o_orderkey", "o_orderpriority"),
+      Some("""SELECT o_orderkey, o_orderpriority FROM orders
+             |WHERE o_totalprice >= 100000 ORDER BY o_orderkey LIMIT 10""".stripMargin)),
+
+    // ES bucket aggs form NO bucket for docs missing the field: a null
+    // key is dropped, not grouped — pinned after EsJsonDifferentialSpec
+    // caught the engine returning a null-key terms bucket ES never
+    // emits. The frame derives a genuinely-null column (nullif) so the
+    // drop is observable; the doc_counts of the surviving buckets are
+    // unchanged by the fix.
+    Q("a220_es_json_no_null_bucket",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(
+        Tables.documents(s, d).withColumn("lang_opt",
+          org.apache.spark.sql.functions.expr("nullif(lang, 'en')")),
+        """{"aggs": {"l": {"terms": {"field": "lang_opt", "size": 10},
+          |  "aggs": {"mx": {"max": {"field": "n_chars"}}}}}}""".stripMargin)("l"),
+      Some("""SELECT nullif(lang, 'en') AS key, count(*) AS doc_count,
+             |       CAST(round(max(n_chars), 4) AS BIGINT) AS mx
+             |FROM documents WHERE nullif(lang, 'en') IS NOT NULL
+             |GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
   )
 }
 

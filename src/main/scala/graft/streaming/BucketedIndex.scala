@@ -95,8 +95,14 @@ object BucketedIndex {
       val slice = readBuckets(spark, dir, manifest, touched)
       val merged = Merge.mergeFolded(slice, folded.drop("bucket"))
         .withColumn("bucket", bucketOf(nBuckets))
-      merged.write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$dir/batches/b$batchId")
+      // repartition BY BUCKET before the partitioned write: without it
+      // every shuffle partition holding rows of a bucket writes its own
+      // file there (up to spark.sql.shuffle.partitions small files per
+      // bucket per publish — the read-amplification debt the round-15
+      // 100-batch soak measures). After it each touched bucket's state
+      // is exactly ONE file.
+      merged.repartition(col("bucket")).write.mode("overwrite")
+        .partitionBy("bucket").parquet(s"$dir/batches/b$batchId")
       // buckets whose merged state is empty (all docs deleted) leave the
       // manifest; partitionBy writes no dir for them
       val live = Files.list(Paths.get(s"$dir/batches/b$batchId")).iterator().asScala
@@ -106,6 +112,40 @@ object BucketedIndex {
       writeManifest(dir, newManifest)
       touched
     } finally folded.unpersist()
+  }
+
+  /** Maintenance compaction (SURVEY §4's deferred small-file job): fold
+    * EVERY live bucket into one consolidated batch dir `b<compactId>` and
+    * repoint the whole manifest at it. Long ingest histories leave the
+    * manifest fanned out over many old batch dirs (each cold bucket pinned
+    * to the batch that last touched it); a reader then globs one directory
+    * per bucket. Compaction collapses that to a single directory — the
+    * LSM major compaction, expressed as one partitioned parquet write.
+    *
+    * Crash-safe under the exact applyBatch manifest protocol:
+    *  - crash BEFORE the swap: the manifest still references the old dirs
+    *    (never the half-written `b<compactId>`); a retry overwrites it;
+    *  - crash AFTER the swap: the manifest (atomically) references
+    *    `compactId` — the guard skips, re-running would overwrite the very
+    *    dirs it reads.
+    * `compactId` joins the batch-id lineage, so it must be FRESH — larger
+    * than every id the manifest references (required loudly). Superseded
+    * dirs become [[vacuum]] garbage. Run it between batches (same writer
+    * discipline as applyBatch — one mutator at a time). */
+  def compact(spark: SparkSession, dir: String, compactId: Long,
+              nBuckets: Int = 256): Unit = {
+    val manifest = readManifest(dir)
+    if (manifest.isEmpty) return
+    if (manifest.values.exists(_ == compactId)) return // already published
+    require(compactId > manifest.values.max,
+      s"compactId $compactId must exceed every live batch id (${manifest.values.max})")
+    val full = read(spark, dir).withColumn("bucket", bucketOf(nBuckets))
+    full.repartition(col("bucket")).write.mode("overwrite")
+      .partitionBy("bucket").parquet(s"$dir/batches/b$compactId")
+    val live = Files.list(Paths.get(s"$dir/batches/b$compactId")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toInt).toSet
+    writeManifest(dir, live.map(_ -> compactId).toMap)
   }
 
   /** Remove bucket dirs no longer referenced by the manifest. */

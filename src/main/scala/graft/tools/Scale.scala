@@ -1202,3 +1202,126 @@ object ScaleRound14d {
     spark.stop()
   }
 }
+
+/** Round-15 probe: COMPACTION DEBT over a long ingest history. 100
+  * batches × 100k mutations against a 300k-key space leave the manifest
+  * fanned out over many batch dirs (every cold bucket pinned to the batch
+  * that last touched it). Measures the served battery + the physical
+  * read shape (manifest dir fan-out, live file count) at batch 10 vs
+  * batch 100, then runs [[graft.streaming.BucketedIndex.compact]] and
+  * re-measures — the maintenance job must collapse the fan-out to one
+  * dir with one file per bucket while preserving state (== the one-shot
+  * fold) and leaving ingest able to continue. */
+object ScaleRound15 {
+  import org.apache.spark.sql.DataFrame
+  import scala.jdk.CollectionConverters._
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.BucketedIndex
+
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val dir = s"$root/index"
+    // fan-out regime: with hash bucketing, any batch whose DISTINCT key
+    // count ≫ nBuckets touches every bucket and the manifest never fans
+    // out (the round-15 first cut proved that: 100k uniform keys × 64
+    // buckets stayed at ONE live dir throughout). The debt appears in
+    // TRICKLE/HOT-KEY ingest — batches over few keys — where cold
+    // buckets stay pinned to ever-older batch dirs. Model exactly that:
+    // one bulk seed of 300k keys, then 99 batches of 2k mutations over
+    // ~50 hot keys each against 1024 buckets.
+    val nBuckets = 1024
+
+    def cellsOf(b: Int) = array(
+      struct(lit("f").as("family"), lit("etype").as("qualifier"),
+        element_at(typedLit(Seq("purchase", "click", "view")),
+          (pmod(hash(col("id"), lit(b + 50)), lit(3)) + 1).cast("int")).as("value")),
+      struct(lit("f").as("family"), lit("val").as("qualifier"),
+        repeat(lit("x"), (pmod(hash(col("id"), lit(b + 100)), lit(200)) + 1).cast("int"))
+          .as("value"))).as("cells")
+
+    def mkBatch(b: Int): DataFrame =
+      if (b == 0) spark.range(300_000).select(
+        concat(lit("u"), col("id")).as("row_key"),
+        lit("U").as("op"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 1000L).as("ts"),
+        col("id").as("seq"),
+        cellsOf(0))
+      else spark.range(2_000).select(
+        concat(lit("u"), pmod(hash(col("id"), lit(b)), lit(50L)) * 6000L +
+          lit(b % 50)).as("row_key"),
+        when(pmod(hash(col("id"), lit(b * 7 + 3)), lit(25)) === 0, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        timestamp_micros(lit(1700000000000000L) + lit(b.toLong) * 3600000000L +
+          (col("id") % 3500L) * 1000000L).as("ts"),
+        (lit(b.toLong * 100_000L) + col("id")).as("seq"),
+        cellsOf(b))
+
+    // physical read shape: how many batch dirs a full read globs, and how
+    // many parquet files those live bucket paths hold
+    def readShape(): (Int, Long) = {
+      val m = BucketedIndex.readManifest(dir)
+      val dirs = m.values.toSet.size
+      val files = m.toSeq.map { case (k, v) =>
+        val p = java.nio.file.Paths.get(dir, "batches", s"b$v", s"bucket=$k")
+        if (!java.nio.file.Files.exists(p)) 0L
+        else java.nio.file.Files.list(p).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet")).toLong
+      }.sum
+      (dirs, files)
+    }
+
+    def serve(tag: String): Long = Scale.t(s"serve-$tag") {
+      val idx = BucketedIndex.read(spark, dir)
+      graft.dsl.EsQueryJson.search(idx,
+        """{"query": {"bool": {
+          |  "must": [{"term": {"info.etype": "purchase"}}],
+          |  "filter": [{"exists": {"field": "info.val"}}]}},
+          | "size": 100, "sort": ["id"]}""".stripMargin).collect().length.toLong +
+        idx.count()
+    }
+
+    val nBatches = 100
+    (0 until nBatches).foreach { b =>
+      val t0 = System.nanoTime()
+      BucketedIndex.applyBatch(spark, dir, mkBatch(b), b.toLong, nBuckets = nBuckets)
+      if (b > 0 && b % 10 == 0) BucketedIndex.vacuum(dir)
+      if (b == 10) {
+        val (d, f) = readShape()
+        println(f"SCALEINFO batch-10 read shape: $d batch dirs, $f live files")
+        serve("batch-10")
+      }
+      if (b % 20 == 0)
+        println(f"SCALE soak-batch-$b%03d ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    BucketedIndex.vacuum(dir)
+    val (d100, f100) = readShape()
+    println(f"SCALEINFO batch-100 read shape: $d100 batch dirs, $f100 live files")
+    val served100 = serve("batch-100")
+
+    // the maintenance compaction: one dir, one file per bucket, same state
+    val foldOracle = graft.Merge.fold(
+      (0 until nBatches).map(mkBatch).reduce(_ unionByName _))
+    Scale.t("compact-300k-docs")(
+      BucketedIndex.compact(spark, dir, compactId = 1000L, nBuckets = nBuckets))
+    BucketedIndex.vacuum(dir)
+    val (dC, fC) = readShape()
+    println(f"SCALEINFO post-compact read shape: $dC batch dirs, $fC live files")
+    val servedC = serve("post-compact")
+    require(servedC == served100, s"compaction changed the served answer: $servedC vs $served100")
+    require(dC == 1, s"compaction left $dC batch dirs")
+    // exploded (id, key, value) form: set ops reject MAP columns
+    def cells(df: DataFrame) = df.select(col("id"), explode(col("info")))
+    val diff = Scale.t("compact-vs-oracle")(
+      cells(BucketedIndex.read(spark, dir)).exceptAll(cells(foldOracle)).count() +
+        cells(foldOracle).exceptAll(cells(BucketedIndex.read(spark, dir))).count())
+    require(diff == 0L, s"compacted state diverged from the one-shot fold: $diff rows")
+
+    // ingest continues on the compacted lineage
+    BucketedIndex.applyBatch(spark, dir, mkBatch(1001), 1001L, nBuckets = nBuckets)
+    val servedAfter = serve("post-compact-ingest")
+    println(s"SCALEINFO post-compact ingest continues (served $servedAfter rows)")
+    spark.stop()
+  }
+}

@@ -78,6 +78,54 @@ class BucketedIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(indexMap(BucketedIndex.read(spark, dir)) == once)
   }
 
+  test("compact: one consolidated dir, crash windows converge, ingest continues") {
+    val dir = tmp()
+    val log = randomLog(300, seed = 11)
+    log.grouped(30).toSeq.zipWithIndex.foreach { case (c, i) =>
+      BucketedIndex.applyBatch(spark, dir, mutDf(c), i, nBuckets = 16)
+    }
+    val before = indexMap(BucketedIndex.read(spark, dir))
+    val fanOut = BucketedIndex.readManifest(dir).values.toSet
+    assert(fanOut.size > 1, "fixture must fan the manifest over several batch dirs")
+    // compactId must be FRESH (joins the batch-id lineage)
+    intercept[IllegalArgumentException] {
+      BucketedIndex.compact(spark, dir, compactId = 3, nBuckets = 16)
+    }
+    // crash BEFORE the swap: a half-written consolidated dir exists but the
+    // manifest still references the old versions — the retry overwrites it
+    Files.createDirectories(Paths.get(dir, "batches", "b100", "bucket=0"))
+    Files.writeString(Paths.get(dir, "batches", "b100", "bucket=0", "junk.parquet"), "garbage")
+    BucketedIndex.compact(spark, dir, compactId = 100, nBuckets = 16)
+    assert(indexMap(BucketedIndex.read(spark, dir)) == before)
+    val m = BucketedIndex.readManifest(dir)
+    assert(m.values.toSet == Set(100L), s"manifest not fully repointed: $m")
+    // crash AFTER the swap: the manifest already references compactId —
+    // re-running must skip (re-merging would overwrite the dirs it reads)
+    def partFiles() = Files.walk(Paths.get(dir, "batches", "b100")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    val f0 = partFiles()
+    BucketedIndex.compact(spark, dir, compactId = 100, nBuckets = 16)
+    assert(partFiles() == f0, "compaction retry rewrote the published dir")
+    // vacuum drops every superseded dir; exactly one batch dir remains and
+    // each live bucket is ONE file (the repartition-by-bucket write)
+    BucketedIndex.vacuum(dir)
+    val batchDirs = Files.list(Paths.get(dir, "batches")).iterator().asScala.toSeq
+    assert(batchDirs.map(_.getFileName.toString) == Seq("b100"))
+    m.keys.foreach { k =>
+      val files = Files.list(Paths.get(dir, "batches", "b100", s"bucket=$k"))
+        .iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      assert(files == 1, s"bucket $k has $files files after compaction")
+    }
+    assert(indexMap(BucketedIndex.read(spark, dir)) == before)
+    // ingest continues on top of the compacted state
+    BucketedIndex.applyBatch(spark, dir,
+      mutDf(Seq(mut("k1", "U", "2024-01-01 00:09:00", 9999, ("f", "a", "post")))),
+      batchId = 101, nBuckets = 16)
+    val after = indexMap(BucketedIndex.read(spark, dir))
+    assert(after("k1")("a") == "post")
+    assert((after - "k1") == (before - "k1"))
+  }
+
   test("vacuum removes superseded bucket versions, state still readable") {
     val dir = tmp()
     (0 to 3).foreach { i =>

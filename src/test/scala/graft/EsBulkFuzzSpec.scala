@@ -243,4 +243,148 @@ class EsBulkFuzzSpec extends AnyFunSuite with SparkTestBase {
     assert(ok.map(_.getString(3)).sorted.toSeq ==
       Seq("created", "deleted", "updated", "updated"))
   }
+
+  // ---- state differential (round-15 task): ≥300 wire-valid batches ----
+  // an INDEPENDENT ~40-line fold simulation (reimplements the ES bulk
+  // semantics from the contract — never calls EsBulk.fold) must agree
+  // with the engine's final index STATE for every generated valid batch.
+  // This is the a195 oracle generalized: the wire fuzz proves accept/
+  // reject; this proves the APPLIED ANSWER.
+
+  private val goodBatchGen: Gen[Seq[String]] = for {
+    n <- Gen.chooseNum(1, 7)
+    items <- Gen.listOfN(n, goodItem)
+  } yield items.flatten
+
+  import scala.jdk.CollectionConverters._
+
+  private def objMap(n: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+    n.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+
+  /** ES bulk fold, re-derived from the contract (NOT EsBulk.fold): walk
+    * action/doc line pairs mutating a standing map. Covers exactly the
+    * goodItem shapes: index / create / delete / update{doc,
+    * doc_as_upsert} / update{script "ctx._source.k0 = N + 1",
+    * upsert {"k0": "0"}}. */
+  private def simState(lines: Seq[String]): Map[Long, Map[String, String]] = {
+    var st = Map(1L -> Map("k0" -> "5"), 2L -> Map("k1" -> "b"), 3L -> Map("v" -> "z"))
+    var expect: Option[(String, Long)] = None
+    for (l <- lines) {
+      val node = mapper.readTree(l)
+      expect match {
+        case Some((op, id)) =>
+          op match {
+            case "index" => st += id -> objMap(node)
+            case "create" => if (!st.contains(id)) st += id -> objMap(node)
+            case "update" =>
+              if (node.has("doc")) {
+                if (st.contains(id)) st += id -> (st(id) ++ objMap(node.get("doc")))
+                else if (node.has("doc_as_upsert") && node.get("doc_as_upsert").asBoolean())
+                  st += id -> objMap(node.get("doc"))
+              } else { // script arm
+                if (st.contains(id)) {
+                  val src = node.get("script").get("source").asText()
+                  val n = "ctx\\._source\\.k0 = (\\d+) \\+ 1".r
+                    .findFirstMatchIn(src).get.group(1).toLong
+                  st += id -> (st(id) + ("k0" -> (n + 1).toString))
+                } else if (node.has("upsert")) st += id -> objMap(node.get("upsert"))
+              }
+          }
+          expect = None
+        case None =>
+          val op = actionKeys.find(node.has).get
+          val id = node.get(op).get("_id").asLong()
+          if (op == "delete") st -= id else expect = Some((op, id))
+      }
+    }
+    st
+  }
+
+  private def engineState(lines: Seq[String]): Map[Long, Map[String, String]] = {
+    val sp = spark
+    import sp.implicits._
+    val df = lines.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("seq", "value")
+    EsBulk.state(standing, EsBulk.parse(df)).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => r.getString(1) -> r.getString(2)).toMap }
+  }
+
+  test("bulk state differential: 300+ valid batches match the independent fold sim") {
+    val M = 300
+    val valid = Gen.listOfN(M, goodBatchGen)
+      .pureApply(Gen.Parameters.default, Seed(15082027L))
+    assert(valid.size == M)
+    valid.zipWithIndex.foreach { case (batch, i) =>
+      val got = engineState(batch)
+      val want = simState(batch)
+      assert(got == want,
+        s"batch $i final state diverges:\n${batch.mkString("\n")}\n got: $got\nwant: $want")
+    }
+  }
+
+  // ---- ES-compatible ambiguous-doc mode (round-15 task) ---------------
+
+  test("ambiguousDocsAsSource: action-keyed source docs consume as docs (ES mode)") {
+    val sp = spark
+    import sp.implicits._
+    def run2(lines: Seq[String], compat: Boolean) = {
+      val df = lines.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+        .toDF("seq", "value")
+      (EsBulk.items(standing, EsBulk.parse(df, ambiguousDocsAsSource = compat)),
+        EsBulk.state(standing, EsBulk.parse(df, ambiguousDocsAsSource = compat)))
+    }
+    // the canonical ambiguity: an index action whose doc line carries a
+    // bulk action key. Strict rejects (pinned in the minimal-batch test);
+    // ES mode takes the line as the source doc — id 2 is NOT deleted.
+    val lines = Seq("""{"index": {"_id": 1}}""", """{"delete": {"_id": 2}}""")
+    val (items, state) = run2(lines, compat = true)
+    val out = items.collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 1L && out.head.getString(3) == "updated")
+    val st = state.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // id 1's doc is the action-keyed line (its nested value survives as
+    // JSON text under the flat map model); id 2 untouched, id 3 untouched
+    assert(st.map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(st.filter(_._1 == 1L).map(_._2) == Seq("delete"))
+    // the ES walk CHAINS: after consuming line 2 as a doc, line 3 is an
+    // action position again (delete id 3), and line 4 is its... none —
+    // delete takes no doc, so a trailing doc line must still reject
+    val chained = Seq(
+      """{"index": {"_id": 1}}""", """{"index": {"_id": 9}}""",
+      """{"delete": {"_id": 3}}""")
+    val (items2, state2) = run2(chained, compat = true)
+    assert(items2.collect().length == 2) // index 1 + delete 3; NO doc for id 9
+    val st2 = state2.collect().map(_.getLong(0)).toSet
+    assert(st2 == Set(1L, 2L)) // id 3 deleted; id 9 never indexed
+    // strict mode still rejects the same batch loudly
+    val e = intercept[Throwable] { run2(chained, compat = false)._1.collect() }
+    assert(rootMessage(e).contains("ambiguous bulk line"))
+    // and compat mode still rejects genuine garbage in action position
+    val e2 = intercept[Throwable] {
+      run2(Seq("""{"delete": {"_id": 1}}""", """{"k": "v"}"""), compat = true)._1.collect()
+    }
+    assert(rootMessage(e2).contains("malformed action/metadata line"))
+  }
+
+  test("wire validation survives column pruning and pushed filters (ADVICE r14)") {
+    // pre-fix the truncation raise rode the `doc` column: a consumer
+    // projecting only op/id (or a constant-foldable pushed filter)
+    // pruned the raise away and the malformed batch read as clean
+    val sp = spark
+    import sp.implicits._
+    val truncated = Seq((0L, """{"delete": {"_id": 4}}"""),
+      (1L, """{"index": {"_id": 1}}""")).toDF("seq", "value")
+    def msgOf(f: => Any): String = rootMessage(intercept[Throwable](f))
+    assert(msgOf(EsBulk.parse(truncated).select("op", "id").count())
+      .contains("truncated bulk body"))
+    assert(msgOf(EsBulk.parse(truncated)
+        .filter(org.apache.spark.sql.functions.col("op") === "delete").count())
+      .contains("truncated bulk body"))
+    // a fully-consumed clean batch still passes the same projections
+    val clean = Seq((0L, """{"index": {"_id": 1}}"""), (1L, """{"k": "v"}"""))
+      .toDF("seq", "value")
+    assert(EsBulk.parse(clean).select("op", "id").count() == 1L)
+  }
 }

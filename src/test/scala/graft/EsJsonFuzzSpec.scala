@@ -249,7 +249,9 @@ class EsJsonFuzzSpec extends AnyFunSuite with SparkTestBase {
       1 -> Gen.const(s"""{"frobnicate": {"field": "$f"}}"""),   // unknown agg kind
       2 -> Gen.const(s"""{"histogram": {"field": "$nf", "interval": 50, "min_doc_count": 0}}"""), // data-bounds zero fill
       2 -> Gen.const(s"""{"terms": {"field": "lang", "size": 5}, "aggs": {"m": {"date_histogram": {"field": "ts", "interval": "month", "min_doc_count": 0}}}}"""), // per-series fill
-      1 -> Gen.const(s"""{"terms": {"field": "lang", "size": 5}, "aggs": {"m": {"terms": {"field": "$f", "size": 3, "min_doc_count": 0}}}}"""), // terms leaf fill → reject
+      3 -> Gen.const(s"""{"terms": {"field": "lang", "size": 5}, "aggs": {"m": {"terms": {"field": "$f", "size": 3, "min_doc_count": 0}}}}"""), // per-parent terms-leaf fill (round 15)
+      2 -> Gen.const(s"""{"terms": {"field": "lang", "size": 5, "min_doc_count": 0}$sub}"""), // single-level terms fill (round 15)
+      1 -> Gen.const(s"""{"terms": {"field": "lang", "size": 5}, "aggs": {"m": {"terms": {"field": "$f", "size": 3, "min_doc_count": 2}}}}"""), // terms leaf mdc>1 → reject
       1 -> Gen.const(s"""{"terms": {"field": "$f", "sizee": 5}}"""), // typo'd option → reject
       1 -> Gen.const(s"""{"avg": {"field": "$nf", "compression": 9}}""")) // unknown metric option → reject
   } yield a

@@ -283,7 +283,7 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
   test("zero_terms_query: stopword-only english match -> all / none / loud default") {
     def q(extra: String) = EsQueryJson.search(orders.limit(50),
       s"""{"query": {"match": {"o_orderpriority":
-         |  {"query": "the and of", "analyzer": "english"$extra}}}}""".stripMargin).count()
+         |  {"query": "the and of", "analyzer": "english"$extra}}}, "size": 1000}""".stripMargin).count()
     assert(q(""", "zero_terms_query": "all"""") == 50)
     assert(q(""", "zero_terms_query": "none"""") == 0)
     val e = intercept[IllegalArgumentException] { q("") }
@@ -297,7 +297,7 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
          |   {"term": {"o_orderpriority": "1-URGENT"}},
          |   {"range": {"o_totalprice": {"gte": 100000}}},
          |   {"range": {"o_orderdate": {"lt": "1995-01-01"}}}],
-         |  "minimum_should_match": $msm}}}""".stripMargin).count()
+         |  "minimum_should_match": $msm}}, "size": 100000}""".stripMargin).count()
     assert(n("\"50%\"") == n("2"))   // floor(4 * 50%) = 2
     assert(n("\"75%\"") == n("3"))
     assert(n("-1") == n("3"))        // 4 optional - 1 allowed missing
@@ -549,7 +549,7 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
       """{"query": {"range": {"o_totalprice": {"gte": 100000}}},
         | "post_filter": {"term": {"o_orderstatus": "F"}},
         | "aggs": {"st": {"terms": {"field": "o_orderstatus", "size": 10}}},
-        | "sort": ["o_orderkey"]}""".stripMargin
+        | "sort": ["o_orderkey"], "size": 100000}""".stripMargin
     val hits = EsQueryJson.search(orders, body)
     // hits honor BOTH the query and the post_filter
     assert(hits.count() ==
@@ -844,7 +844,7 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
   test("multi_match fires on any field; terms order by metric sub-agg") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = EsQueryJson.search(docs,
-      """{"query": {"multi_match": {"query": "spark web", "fields": ["text", "source"]}}, "sort": ["doc_id"]}""")
+      """{"query": {"multi_match": {"query": "spark web", "fields": ["text", "source"]}}, "sort": ["doc_id"], "size": 10000}""")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val want = docs.filter(
         graft.dsl.EsDsl.matchQuery(col("text"), Seq("spark", "web")) ||
@@ -868,7 +868,7 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
   test("match query on documents") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = EsQueryJson.search(docs,
-      """{"query": {"match": {"text": {"query": "spark query join", "minimum_should_match": 2}}}, "sort": ["doc_id"]}""")
+      """{"query": {"match": {"text": {"query": "spark query join", "minimum_should_match": 2}}}, "sort": ["doc_id"], "size": 10000}""")
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     val want = docs.filter(graft.dsl.EsDsl.matchQuery(col("text"), Seq("spark", "query", "join"), 2))
       .orderBy("doc_id").select("doc_id").collect().map(_.getLong(0)).toSeq
@@ -881,7 +881,7 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     // constant_score alone: every passing doc scores exactly the boost
     val cs = EsQueryJson.search(docs,
       """{"query": {"constant_score": {"filter": {"term": {"lang": "en"}}, "boost": 1.7}},
-        | "sort": ["_score", "doc_id"]}""".stripMargin)
+        | "sort": ["_score", "doc_id"], "size": 10000}""".stripMargin)
     assert(cs.select("_score").distinct().collect().map(_.getDouble(0)).toSeq == Seq(1.7))
     assert(cs.count() == docs.filter(col("lang") === "en").count())
     // bool: 2×BM25(match) + 0.5 constant + 3.0 term, vs hand-built
@@ -909,10 +909,10 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
       """{"query": {"bool": {
         |   "must": [{"match": {"text": "spark"}}],
         |   "filter": [{"term": {"lang": "en"}}]}},
-        | "sort": ["_score", "doc_id"]}""".stripMargin)
+        | "sort": ["_score", "doc_id"], "size": 10000}""".stripMargin)
       .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val unfiltered = EsQueryJson.search(docs,
-      """{"query": {"match": {"text": "spark"}}, "sort": ["_score", "doc_id"]}""")
+      """{"query": {"match": {"text": "spark"}}, "sort": ["_score", "doc_id"], "size": 10000}""")
       .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     assert(filtered.nonEmpty)
     filtered.foreach { case (id, s) => assert(unfiltered(id) == s) }
@@ -931,7 +931,7 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(pf == Seq(2, 1))
     // scored phrase: every returned doc contains the phrase; scores desc
     val ph = EsQueryJson.search(docs,
-      """{"query": {"match_phrase": {"text": "the data"}}, "sort": ["_score", "doc_id"]}""")
+      """{"query": {"match_phrase": {"text": "the data"}}, "sort": ["_score", "doc_id"], "size": 10000}""")
     val phRows = ph.select("doc_id", "_score").collect()
     assert(phRows.nonEmpty)
     val phIds = phRows.map(_.getLong(0)).toSet
@@ -961,7 +961,7 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     val dm0 = EsQueryJson.search(docs,
       """{"query": {"dis_max": {"queries": [
         |   {"match": {"text": "spark"}}, {"match": {"source": "src3"}}]}},
-        | "sort": ["_score", "doc_id"]}""".stripMargin)
+        | "sort": ["_score", "doc_id"], "size": 10000}""".stripMargin)
       .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     val byText = EsDsl.matchBm25(docs, col("text"), Seq("spark"))
       .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
@@ -975,12 +975,12 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     // boosting demotes but never drops: same doc set as the positive alone,
     // negative-matching docs scored at nb × positive
     val pos = EsQueryJson.search(docs,
-      """{"query": {"match": {"text": "spark"}}, "sort": ["_score", "doc_id"]}""")
+      """{"query": {"match": {"text": "spark"}}, "sort": ["_score", "doc_id"], "size": 10000}""")
       .select("doc_id", "_score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
     val bo = EsQueryJson.search(docs,
       """{"query": {"boosting": {"positive": {"match": {"text": "spark"}},
         |   "negative": {"term": {"lang": "zh"}}, "negative_boost": 0.2}},
-        | "sort": ["_score", "doc_id"]}""".stripMargin)
+        | "sort": ["_score", "doc_id"], "size": 10000}""".stripMargin)
       .select("doc_id", "lang", "_score").collect()
     assert(bo.map(_.getLong(0)).toSet == pos.keySet)
     bo.foreach { r =>
@@ -1086,7 +1086,7 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
       """{"query": {"query_string": {
         |   "query": "lang:en AND (spark OR \"the data\") -customer",
         |   "default_field": "text"}},
-        | "sort": ["doc_id"]}""".stripMargin)
+        | "sort": ["doc_id"], "size": 10000}""".stripMargin)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     import graft.dsl.EsDsl
     val want = docs.filter(
@@ -1099,7 +1099,7 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     // multi-field default list ORs across fields
     val mf = EsQueryJson.search(docs,
       """{"query": {"simple_query_string": {"query": "spark | web", "fields": ["text", "source"]}},
-        | "sort": ["doc_id"]}""".stripMargin).count()
+        | "sort": ["doc_id"], "size": 10000}""".stripMargin).count()
     val mfWant = docs.filter(
       EsDsl.matchQuery(col("text"), Seq("spark")) || EsDsl.matchQuery(col("source"), Seq("spark")) ||
       EsDsl.matchQuery(col("text"), Seq("web")) || EsDsl.matchQuery(col("source"), Seq("web"))).count()
@@ -1254,7 +1254,7 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
   test("min_score cuts scored hits; random_score is a seeded deterministic shuffle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val all = EsQueryJson.search(docs,
-      """{"query": {"match": {"text": "spark"}}, "sort": ["_score", "doc_id"]}""")
+      """{"query": {"match": {"text": "spark"}}, "sort": ["_score", "doc_id"], "size": 10000}""")
     val cut = EsQueryJson.search(docs,
       """{"query": {"match": {"text": "spark"}}, "min_score": 1.0, "sort": ["_score", "doc_id"]}""")
     assert(cut.count() == all.filter(col("_score") >= 1.0).count())
@@ -1405,7 +1405,7 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     val total = docs.count()
     val parts = (0 until 3).map { i =>
       EsQueryJson.search(docs,
-        s"""{"slice": {"id": $i, "max": 3, "field": "doc_id"}, "sort": ["doc_id"]}""")
+        s"""{"slice": {"id": $i, "max": 3, "field": "doc_id"}, "sort": ["doc_id"], "size": 10000}""")
         .select("doc_id").collect().map(_.getLong(0)).toSeq
     }
     assert(parts.map(_.size.toLong).sum == total)      // covering
@@ -2215,5 +2215,133 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     rejects("""{"query": {"more_like_this": {"fields": ["text"], "like": [{"doc": {"lang": "en"}}]}}}""")
     rejects("""{"query": {"more_like_this": {"fields": ["text"], "like": "x", "stop_words": ["y"]}}}""")
     rejects("""{"query": {"more_like_this": {"fields": ["text"], "like": []}}}""")
+  }
+
+  test("_validate classifies mlt doc refs ok on an 'id'-keyed frame (ADVICE r14)") {
+    // pre-fix: validate mode hardcoded idColName "doc_id", so a valid
+    // more_like_this body with doc refs against a frame using the other
+    // id convention built a nonexistent column and falsely classified
+    val sp = spark
+    import sp.implicits._
+    val idFrame = Seq((1L, "spark hash table"), (2L, "hash join table"))
+      .toDF("id", "text")
+    val out = graft.dsl.EsQueryJson.validateQuery(idFrame, Seq(
+      "v_mlt" -> """{"query": {"more_like_this": {"fields": ["text"],
+                   | "like": [{"_id": 1}], "min_term_freq": 1}}}""".stripMargin))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out("v_mlt") == "ok")
+  }
+
+  test("constant-score fallback multiplies the clause boost (ADVICE r14)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L))
+      .toDF("doc_id", "lang", "n_chars")
+    def scores(body: String): Seq[Double] =
+      graft.dsl.EsQueryJson.search(docs, body)
+        .select("_score").collect().map(_.getDouble(0)).toSeq
+    // field-object boost (term/range), body-level boost (exists — the
+    // allowlisted form; `terms` takes no body-level key), default 1.0
+    assert(scores("""{"query": {"term": {"lang": {"value": "en", "boost": 3}}},
+                    | "sort": ["_score", "doc_id"]}""".stripMargin) == Seq(3.0, 3.0))
+    assert(scores("""{"query": {"exists": {"field": "lang", "boost": 0.5}},
+                    | "sort": ["_score", "doc_id"]}""".stripMargin) == Seq(0.5, 0.5, 0.5))
+    assert(scores("""{"query": {"term": {"lang": "en"}},
+                    | "sort": ["_score", "doc_id"]}""".stripMargin) == Seq(1.0, 1.0))
+    // range with a boost inside the field object
+    assert(scores("""{"query": {"range": {"n_chars": {"gte": 15, "boost": 4}}},
+                    | "sort": ["_score", "doc_id"]}""".stripMargin) == Seq(4.0, 4.0))
+  }
+
+  test("terms min_doc_count 0: zero buckets for index terms outside the scope") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      ("en", "web", 10L), ("en", "wiki", 20L), ("de", "web", 30L),
+      ("fr", "wiki", 40L), ("de", "web", 50L)).toDF("lang", "source", "n")
+    // query scopes to n >= 30: en drops out of scope but must come back
+    // as a zero bucket (ES reads the term dictionary of the INDEX)
+    val got = graft.dsl.EsQueryJson.aggregations(df,
+      """{"query": {"range": {"n": {"gte": 30}}},
+        | "aggs": {"l": {"terms": {"field": "lang", "size": 10, "min_doc_count": 0},
+        |   "aggs": {"s": {"sum": {"field": "n"}}}}}}""".stripMargin)("l")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2)))).toSeq
+    // default order: _count desc, key asc; the zero bucket ranks last
+    // and carries a null metric (the fill convention)
+    assert(got == Seq(("de", 2L, Some(80.0)), ("fr", 1L, Some(40.0)), ("en", 0L, None)))
+    // size truncation happens AFTER the fill: size 2 cuts the zero tail
+    val cut = graft.dsl.EsQueryJson.aggregations(df,
+      """{"query": {"range": {"n": {"gte": 30}}},
+        | "aggs": {"l": {"terms": {"field": "lang", "size": 2, "min_doc_count": 0}}}}""".stripMargin)("l")
+      .collect().map(_.getString(0)).toSeq
+    assert(cut == Seq("de", "fr"))
+    // exclude prunes the fill domain too
+    val excl = graft.dsl.EsQueryJson.aggregations(df,
+      """{"query": {"range": {"n": {"gte": 30}}},
+        | "aggs": {"l": {"terms": {"field": "lang", "size": 10,
+        |   "min_doc_count": 0, "exclude": "en"}}}}""".stripMargin)("l")
+      .collect().map(_.getString(0)).toSeq
+    assert(excl == Seq("de", "fr"))
+  }
+
+  test("nested terms leaf min_doc_count 0: per-parent term-dictionary fill") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      ("p1", "a", 5L), ("p1", "a", 6L), ("p1", "b", 7L),
+      ("p2", "b", 8L), ("p2", "c", 9L), ("p3", "c", 1L)).toDF("g", "t", "n")
+    // scope drops p3 entirely and thins the rest; every SURVIVING parent
+    // must carry a bucket per index term of t ({a,b,c}), zeros filled
+    val got = graft.dsl.EsQueryJson.aggregations(df,
+      """{"query": {"range": {"n": {"gte": 5}}},
+        | "aggs": {"g": {"terms": {"field": "g", "size": 10},
+        |   "aggs": {"t": {"terms": {"field": "t", "size": 10, "min_doc_count": 0}}}}}}""".stripMargin)("g")
+      .orderBy("g", "t")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("p1", "a", 2L), ("p1", "b", 1L), ("p1", "c", 0L),
+      ("p2", "a", 0L), ("p2", "b", 1L), ("p2", "c", 1L)))
+    // leaf size ranks AFTER the fill: real buckets beat zeros, zero tail
+    // fills by key only up to size
+    val sized = graft.dsl.EsQueryJson.aggregations(df,
+      """{"query": {"range": {"n": {"gte": 5}}},
+        | "aggs": {"g": {"terms": {"field": "g", "size": 10},
+        |   "aggs": {"t": {"terms": {"field": "t", "size": 2, "min_doc_count": 0}}}}}}""".stripMargin)("g")
+      .orderBy("g", "t")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(sized == Seq(
+      ("p1", "a", 2L), ("p1", "b", 1L),
+      ("p2", "b", 1L), ("p2", "c", 1L)))
+    // a terms leaf with min_doc_count > 1 still rejects loudly
+    intercept[IllegalArgumentException] {
+      graft.dsl.EsQueryJson.aggregations(df,
+        """{"aggs": {"g": {"terms": {"field": "g", "size": 10},
+          |   "aggs": {"t": {"terms": {"field": "t", "size": 2, "min_doc_count": 2}}}}}}""".stripMargin)("g")
+        .collect()
+    }
+  }
+
+  test("zero-fill rejects fractional histogram intervals (ADVICE r14)") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("a", 1.0), ("a", 5.0), ("b", 2.0)).toDF("g", "v")
+    // 0.5 truncated to step 0 pre-fix (runtime sequence failure); 2.5
+    // filled misaligned keys — both must reject at parse time, on both
+    // the single-level and the per-series fill paths
+    def rejects(body: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        graft.dsl.EsQueryJson.aggregations(df, body).values.foreach(_.collect())
+      }
+      assert(e.getMessage.contains("positive whole number"), e.getMessage)
+    }
+    rejects("""{"aggs": {"h": {"histogram": {"field": "v", "interval": 0.5, "min_doc_count": 0}}}}""")
+    rejects("""{"aggs": {"h": {"histogram": {"field": "v", "interval": 2.5, "min_doc_count": 0}}}}""")
+    rejects("""{"aggs": {"g": {"terms": {"field": "g", "size": 5},
+              | "aggs": {"h": {"histogram": {"field": "v", "interval": 2.5, "min_doc_count": 0}}}}}}""".stripMargin)
+    // whole intervals still fill: keys 0,2,4 with the gap at 2 zeroed
+    val filled = graft.dsl.EsQueryJson.aggregations(df,
+      """{"aggs": {"h": {"histogram": {"field": "v", "interval": 2, "min_doc_count": 0}}}}""")("h")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(filled == Seq((0L, 1L), (2L, 1L), (4L, 1L)))
   }
 }

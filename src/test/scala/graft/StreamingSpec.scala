@@ -211,6 +211,70 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(indexMap(BucketedIndex.read(spark, cfg.indexDir)) == Map("k1" -> Map("a" -> "4")))
   }
 
+  test("concurrent reader during ingest sees only complete manifest states") {
+    // Round-15 task: a 100 TB operator serves DURING ingest, not just
+    // between batches. The _MANIFEST swap is a single atomic file move, so
+    // any reader must observe a complete post-batch state — never a torn
+    // one. A reader thread hammers the index (raw read + an ES-JSON term
+    // query) while the writer publishes 25 batches; each batch writes a
+    // marker doc plus 10 data docs, so "complete" is checkable: if marker
+    // B is visible, every doc of batches 0..B must be too, with final
+    // values. Vacuum runs every 3 batches — a reader that raced a vacuum
+    // into deleted files retries (the documented grace-window contract);
+    // what it must NEVER see is a SUCCESSFUL read of a torn state.
+    import graft.streaming.BucketedIndex
+    val dir = tmpDir("graft-concread-idx")
+    val nBatches = 25
+    val torn = new java.util.concurrent.atomic.AtomicInteger(0)
+    val complete = new java.util.concurrent.atomic.AtomicInteger(0)
+    val transient0 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val esServed = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var writing = true
+    val sp = spark
+    val reader = new Thread(() => {
+      while (writing || complete.get() < 5) {
+        try {
+          val st = indexMap(BucketedIndex.read(sp, dir))
+          val markers = st.keys.filter(_.startsWith("batch_"))
+            .map(_.stripPrefix("batch_").toInt)
+          if (markers.nonEmpty) {
+            val b = markers.max
+            val ok = (0 to b).forall { i =>
+              st.contains(s"batch_$i") &&
+                (0 until 10).forall(j => st.get(s"k${i}_$j").exists(_.get("b").contains(i.toString)))
+            }
+            if (ok) complete.incrementAndGet() else torn.incrementAndGet()
+            // the ES-JSON battery rides the same snapshot frame
+            val hits = graft.dsl.EsQueryJson.search(
+              BucketedIndex.read(sp, dir),
+              s"""{"query": {"term": {"info.b": "${b}"}},
+                 | "sort": ["id"], "size": 100}""".stripMargin).count()
+            if (hits >= 1) esServed.incrementAndGet()
+          }
+        } catch { case _: Throwable => transient0.incrementAndGet() }
+      }
+    })
+    reader.start()
+    (0 until nBatches).foreach { i =>
+      val docs = (0 until 10).map(j =>
+        mut(s"k${i}_$j", "U", f"2024-01-01 00:${i}%02d:${j}%02d", i.toLong * 100 + j,
+          ("f", "b", i.toString))) :+
+        mut(s"batch_$i", "U", f"2024-01-01 00:${i}%02d:59", i.toLong * 100 + 99,
+          ("f", "m", "1"))
+      BucketedIndex.applyBatch(spark, dir, mutDf(docs), batchId = i, nBuckets = 8)
+      if (i > 0 && i % 3 == 0) BucketedIndex.vacuum(dir)
+    }
+    writing = false
+    reader.join(120000)
+    assert(!reader.isAlive, "reader thread wedged")
+    assert(torn.get() == 0, s"reader observed ${torn.get()} torn states")
+    assert(complete.get() >= 5, s"too few complete reads: ${complete.get()}")
+    assert(esServed.get() >= 1, "ES-JSON battery never served during ingest")
+    // final state is the full fold
+    val fin = indexMap(BucketedIndex.read(spark, dir))
+    assert((0 until nBatches).forall(i => fin.contains(s"batch_$i")))
+  }
+
   test("streaming incremental dedup: standing corpus grows per batch, later dups rejected") {
     val sp = spark
     import sp.implicits._
