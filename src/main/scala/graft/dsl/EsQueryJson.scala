@@ -3874,11 +3874,19 @@ object EsQueryJson {
     require(!(leaf0.spec.has("min_doc_count") && leaf0.spec.has("extended_bounds")),
       "extended_bounds with min_doc_count inside a nested chain is not supported")
     val names = levels.map(_.name)
-    // a doc with a null key at ANY level forms no bucket (ES drops
-    // unindexed docs level-by-level; a null parent key has no child list)
-    val nonNull = levels.foldLeft(df)((acc, l) => acc.filter(l.keyNotNull))
-    var g = nonNull.groupBy(levels.map(_.key): _*).agg(count(lit(1)).as("doc_count"), ms: _*)
+    // Group with DEEPER-level null keys kept: a doc missing an inner field
+    // still belongs to (and counts toward the ranking of) every ancestor
+    // bucket — ES drops unindexed docs level-by-level, so an outer terms
+    // `size` ranks on the FULL outer bucket count, not on the docs that
+    // happen to carry the inner field. (Differential-fuzz find, round-15
+    // second front: the old all-levels pre-filter truncated a 22-doc
+    // outer bucket in favor of a 21-doc one whenever the 22-doc bucket
+    // held more inner-null docs — a222 pins it.) Each level's own null
+    // rows are dropped as the walk reaches it: they form no bucket at
+    // that level and contribute nothing deeper.
+    var g = df.groupBy(levels.map(_.key): _*).agg(count(lit(1)).as("doc_count"), ms: _*)
     levels.zipWithIndex.foreach { case (l, i) =>
+      g = g.filter(col(names(i)).isNotNull)
       l.termsSize.foreach { size =>
         val isLeaf = i == levels.size - 1
         val withCnt =
@@ -3943,8 +3951,12 @@ object EsQueryJson {
     require(buckets.map(_._1).distinct.size == buckets.size,
       s"range bucket keys must be unique, got ${buckets.map(_._1)}")
     val metricNames = subAggs(node)._1.map(_._1)
+    // count(when(...)), not sum(when(...).otherwise(0)): a global agg over
+    // an EMPTY query scope returns one all-null row, and ES emits
+    // doc_count 0 for every range bucket there (differential-fuzz find,
+    // round 15 second front — a221 pins it)
     val aggCols = buckets.zipWithIndex.flatMap { case ((_, p), i) =>
-      sum(when(p, 1L).otherwise(0L)).as(s"_c$i") +:
+      count(when(p, 1L)).as(s"_c$i") +:
         subAggs(node, cond = Some(p))._1.map { case (mn, c) => c.as(s"_m${i}_$mn") }
     }
     val one = df.agg(aggCols.head, aggCols.tail: _*)
@@ -3993,8 +4005,10 @@ object EsQueryJson {
         val nm = Option(spec.get("other_bucket_key")).map(_.asText()).getOrElse("_other_")
         preds :+ (nm -> preds.map(p => !coalesce(p._2, lit(false))).reduce(_ && _))
       } else preds
+    // count(when(...)): doc_count 0 per filter bucket on an empty query
+    // scope, where sum() would null (same empty-scope rule as rangeAgg)
     val cols = withOther.flatMap { case (nm, p) =>
-      sum(when(p, 1L).otherwise(0L)).as(nm) +:
+      count(when(p, 1L)).as(nm) +:
         subAggs(node, cond = Some(p))._1.map { case (mn, c) => c.as(s"${nm}_$mn") }
     }
     df.agg(count(lit(1)).as("doc_count"), cols: _*)

@@ -5032,6 +5032,63 @@ object TierB {
              |       CAST(round(max(n_chars), 4) AS BIGINT) AS mx
              |FROM documents WHERE nullif(lang, 'en') IS NOT NULL
              |GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin)),
+
+    // range agg over an EMPTY query scope: ES still returns every range
+    // bucket, each with doc_count 0 (and null metrics). Pinned after the
+    // round-15 widened differential (EsJsonDifferentialNestedSpec) caught
+    // the engine returning null doc_counts — a global aggregate over zero
+    // rows yields one all-null row, and the per-bucket sum(when) rode it.
+    // Same root cause fixed in the filters agg (spec-covered).
+    Q("a221_es_json_range_agg_empty_scope",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.orders(s, d),
+        """{"query": {"range": {"o_totalprice": {"lt": 0}}},
+          | "aggs": {"g": {"range": {"field": "o_totalprice", "ranges": [
+          |   {"key": "r1", "to": 100000},
+          |   {"key": "r2", "from": 100000, "to": 250000},
+          |   {"key": "r3", "from": 250000}]},
+          | "aggs": {"m": {"avg": {"field": "o_totalprice"}}}}}}""".stripMargin)("g"),
+      Some("""SELECT key, doc_count, m FROM (
+             |  SELECT 'r1' AS key, count(CASE WHEN o_totalprice < 100000 THEN 1 END) AS doc_count,
+             |         round(avg(CASE WHEN o_totalprice < 100000 THEN o_totalprice END), 6) AS m
+             |  FROM orders WHERE o_totalprice < 0
+             |  UNION ALL
+             |  SELECT 'r2', count(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 250000 THEN 1 END),
+             |         round(avg(CASE WHEN o_totalprice >= 100000 AND o_totalprice < 250000 THEN o_totalprice END), 6)
+             |  FROM orders WHERE o_totalprice < 0
+             |  UNION ALL
+             |  SELECT 'r3', count(CASE WHEN o_totalprice >= 250000 THEN 1 END),
+             |         round(avg(CASE WHEN o_totalprice >= 250000 THEN o_totalprice END), 6)
+             |  FROM orders WHERE o_totalprice < 0)
+             |ORDER BY key""".stripMargin)),
+
+    // Outer terms `size` ranking inside a nested chain counts the FULL
+    // outer bucket (docs missing the inner field included) — ES drops
+    // unindexed docs level-by-level, so a doc with a null inner key still
+    // belongs to its outer bucket and to that bucket's ranking. The
+    // fixture nulls the inner field for 7/8 of 'en' docs: 'en' stays the
+    // top outer bucket by full count (and keeps a size-3 slot) even
+    // though its inner-visible count falls below every other language.
+    // Pinned after the widened differential caught the engine ranking on
+    // the inner-joined frame (kept a 21-doc bucket over three 22-doc
+    // ones).
+    Q("a222_es_json_nested_terms_rank",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(
+        Tables.documents(s, d).withColumn("mch",
+          org.apache.spark.sql.functions.expr(
+            "CASE WHEN lang = 'en' AND doc_id % 8 <> 0 THEN NULL ELSE n_chars END")),
+        """{"aggs": {"lang_k": {"terms": {"field": "lang", "size": 3},
+          |  "aggs": {"bucket": {"histogram": {"field": "mch", "interval": 200}}}}}}""".stripMargin)("lang_k")
+        .orderBy("lang_k", "bucket"),
+      Some("""WITH d AS (SELECT lang,
+             |    CASE WHEN lang = 'en' AND doc_id % 8 <> 0 THEN NULL ELSE n_chars END AS mch
+             |  FROM documents),
+             |tot AS (SELECT lang, count(*) AS c FROM d WHERE lang IS NOT NULL
+             |        GROUP BY 1 ORDER BY c DESC, lang LIMIT 3),
+             |b AS (SELECT lang, CAST(floor(mch / 200) * 200 AS BIGINT) AS bucket,
+             |             count(*) AS doc_count
+             |      FROM d WHERE lang IS NOT NULL AND mch IS NOT NULL GROUP BY 1, 2)
+             |SELECT b.lang AS lang_k, b.bucket AS bucket, b.doc_count AS doc_count
+             |FROM b JOIN tot USING (lang) ORDER BY lang_k, bucket""".stripMargin)),
   )
 }
 
