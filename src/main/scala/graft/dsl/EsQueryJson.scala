@@ -4072,12 +4072,27 @@ object EsQueryJson {
       .agg(count(lit(1)).as("doc_count"))
     val afterFiltered = Option(spec.get("after")) match {
       case Some(a) =>
-        // lexicographic (k1..kn) > (a1..an)
+        // lexicographic (k1..kn) > (a1..an) under nulls-FIRST ascending
+        // order: a null cursor value (resuming past a missing_bucket
+        // page) means "equal" is IS NULL and "greater" is IS NOT NULL —
+        // the plain ===/> forms go null against a null cursor and
+        // silently dropped every remaining sibling bucket (composite
+        // cursor-walk property find, round-15 second front; a223 pins
+        // it). Bucket keys themselves may also be null (missing_bucket),
+        // which plain === would likewise drop mid-prefix.
+        def eqAt(j: Int): Column = {
+          val n = a.get(sources(j)._1)
+          if (n == null || n.isNull) col(sources(j)._1).isNull
+          else col(sources(j)._1) === litOf(n)
+        }
+        def gtAt(i: Int): Column = {
+          val n = a.get(sources(i)._1)
+          if (n == null || n.isNull) col(sources(i)._1).isNotNull
+          else col(sources(i)._1) > litOf(n)
+        }
         val pred = sources.indices.map { i =>
-          val eqPrefix = (0 until i).map { j =>
-            col(sources(j)._1) === litOf(a.get(sources(j)._1))
-          }.reduceOption(_ && _).getOrElse(lit(true))
-          eqPrefix && col(sources(i)._1) > litOf(a.get(sources(i)._1))
+          val eqPrefix = (0 until i).map(eqAt).reduceOption(_ && _).getOrElse(lit(true))
+          eqPrefix && gtAt(i)
         }.reduce(_ || _)
         g.filter(pred)
       case None => g

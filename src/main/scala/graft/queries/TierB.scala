@@ -5089,6 +5089,31 @@ object TierB {
              |      FROM d WHERE lang IS NOT NULL AND mch IS NOT NULL GROUP BY 1, 2)
              |SELECT b.lang AS lang_k, b.bucket AS bucket, b.doc_count AS doc_count
              |FROM b JOIN tot USING (lang) ORDER BY lang_k, bucket""".stripMargin)),
+
+    // composite `after` cursor carrying a NULL key (resuming past a
+    // missing_bucket page): under ES's nulls-first ascending key order a
+    // null cursor value means "equal" = IS NULL and "greater" = IS NOT
+    // NULL — the old ===/> predicate went null and silently dropped every
+    // remaining bucket (the cursor-walk property in
+    // EsJsonDifferentialNestedSpec caught pages vanishing mid-walk). The
+    // cursor here resumes INSIDE the null-keyed group (s0 null, past
+    // lang 'de'), so both the null-eq prefix and the null-gt arm are
+    // load-bearing.
+    Q("a223_es_json_composite_null_cursor",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(
+        Tables.documents(s, d).withColumn("maybe_src",
+          org.apache.spark.sql.functions.expr(
+            "CASE WHEN doc_id % 7 <> 0 THEN source END")),
+        """{"aggs": {"c": {"composite": {"size": 10, "sources": [
+          |  {"src": {"terms": {"field": "maybe_src", "missing_bucket": true}}},
+          |  {"lng": {"terms": {"field": "lang"}}}],
+          | "after": {"src": null, "lng": "de"}}}}}""".stripMargin)("c"),
+      Some("""WITH d AS (SELECT CASE WHEN doc_id % 7 <> 0 THEN source END AS src, lang
+             |  FROM documents)
+             |SELECT src, lang AS lng, count(*) AS doc_count FROM d
+             |WHERE lang IS NOT NULL
+             |  AND ((src IS NULL AND lang > 'de') OR src IS NOT NULL)
+             |GROUP BY 1, 2 ORDER BY src ASC NULLS FIRST, lng ASC LIMIT 10""".stripMargin)),
   )
 }
 

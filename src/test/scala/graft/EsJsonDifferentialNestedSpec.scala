@@ -435,4 +435,97 @@ class EsJsonDifferentialNestedSpec extends AnyFunSuite with SparkTestBase {
     assert(nFilters >= 30, s"too few filters comparisons: $nFilters")
     assert(nRange >= 30, s"too few range comparisons: $nRange")
   }
+
+  // ---- composite pagination property -------------------------------------
+  // Mechanical invariant: walking composite pages with `after` cursors
+  // (cursor = the last row of the previous page, nulls included when
+  // missing_bucket admits them) reassembles EXACTLY the unpaged key list
+  // in nulls-first ascending key order, every page within `size`. The
+  // full list comes from the SQL twin, so both the page contents and the
+  // cursor arithmetic are checked against an independent path.
+
+  private case class CompSrc(name: String, json: String, keySql: String,
+                             guard: Option[String])
+
+  private def compSrcGen(idx: Int): Gen[CompSrc] = Gen.oneOf(
+    for { f <- Gen.oneOf("lang", "source"); mb <- Gen.oneOf(true, false) }
+      yield CompSrc(s"s$idx",
+        s"""{"s$idx": {"terms": {"field": "$f", "missing_bucket": $mb}}}""",
+        f, if (mb) None else Some(s"$f IS NOT NULL")),
+    Gen.const(CompSrc(s"s$idx",
+      s"""{"s$idx": {"histogram": {"field": "n_chars", "interval": 50}}}""",
+      "CAST(floor(n_chars / 50) * 50 AS BIGINT)", Some("n_chars IS NOT NULL"))),
+    Gen.const(CompSrc(s"s$idx",
+      s"""{"s$idx": {"date_histogram": {"field": "ts", "calendar_interval": "month"}}}""",
+      "date_trunc('month', ts)", Some("ts IS NOT NULL"))))
+
+  private case class CompBody(q: String, srcs: Seq[CompSrc], size: Int)
+
+  private def compBodyGen: Gen[CompBody] = for {
+    q <- queryGen
+    n <- Gen.chooseNum(1, 2)
+    srcs <- Gen.sequence[Seq[CompSrc], CompSrc]((0 until n).map(compSrcGen))
+    size <- Gen.oneOf(3, 5, 7)
+  } yield CompBody(q, srcs, size)
+
+  private def cursorJson(v: Any): String = v match {
+    case null => "null"
+    case s: String => s""""$s""""
+    case t: java.sql.Timestamp => s""""${t.toString}""""
+    case n => n.toString
+  }
+
+  test("composite: cursor-walked pages reassemble the unpaged SQL key list") {
+    val d = docs.cache()
+    d.createOrReplaceTempView("ddocs")
+    val bodies = Gen.listOfN(120, compBodyGen)
+      .pureApply(Gen.Parameters.default, Seed(160820262L))
+    var nWalked = 0; var nNullCursor = 0
+    try {
+      bodies.zipWithIndex.foreach { case (b, i) =>
+        val where = qSql(mapper.readTree(b.q))
+        def body(after: Option[Seq[Any]]): String = {
+          val aft = after.map { vs =>
+            val kv = b.srcs.zip(vs).map { case (s, v) => s""""${s.name}": ${cursorJson(v)}""" }
+            s""", "after": {${kv.mkString(", ")}}"""
+          }.getOrElse("")
+          s"""{"query": ${b.q}, "aggs": {"c": {"composite": {
+             |  "size": ${b.size}, "sources": [${b.srcs.map(_.json).mkString(", ")}]$aft}}}}""".stripMargin
+        }
+        // walk the cursor until a short page
+        var assembled = Vector.empty[Seq[Any]]
+        var after: Option[Seq[Any]] = None
+        var pages = 0
+        var done = false
+        while (!done) {
+          val page = graft.dsl.EsQueryJson.aggregations(d, body(after))("c").collect()
+          assert(page.length <= b.size, s"body $i page ${pages} over size:\n${body(after)}")
+          assembled ++= page.map(r => (0 until r.length).map(j => norm(r.get(j))))
+          pages += 1
+          assert(pages <= 200, s"body $i cursor walk did not terminate")
+          if (page.length < b.size) done = true
+          else {
+            val last = page.last
+            val key = b.srcs.indices.map(j => last.get(j))
+            if (key.exists(_ == null)) nNullCursor += 1
+            after = Some(key)
+          }
+        }
+        val keys = b.srcs.map(s => s"${s.keySql} AS ${s.name}").mkString(", ")
+        val guards = b.srcs.flatMap(_.guard)
+        val whereAll = (s"($where)" +: guards).mkString(" AND ")
+        val ord = b.srcs.map(s => s"${s.name} ASC NULLS FIRST").mkString(", ")
+        val want = rows(spark.sql(
+          s"""SELECT $keys, count(*) AS doc_count FROM ddocs
+             |WHERE $whereAll GROUP BY ${b.srcs.indices.map(_ + 1).mkString(", ")}
+             |ORDER BY $ord""".stripMargin))
+        assert(assembled == want,
+          s"body $i composite walk diverges (${assembled.size} vs ${want.size} rows):\n${body(None)}")
+        nWalked += 1
+      }
+    } finally { d.unpersist(); () }
+    assert(nWalked >= 120)
+    // missing_bucket pages must have genuinely exercised a null cursor
+    assert(nNullCursor >= 3, s"too few null-cursor resumes: $nNullCursor")
+  }
 }
