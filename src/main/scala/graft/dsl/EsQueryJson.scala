@@ -4019,16 +4019,31 @@ object EsQueryJson {
   private def topHitsAgg(df: DataFrame, level: Level, name: String, spec: JsonNode): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = Option(spec.get("size")).map(_.asInt()).getOrElse(3)
+    // hit sort inside a bucket: `missing: _last` for BOTH directions (the
+    // ES default the body-level sort already honors — top_hits previously
+    // used Spark's asc=nulls-first and put null-sort-key hits on top;
+    // top_hits differential find, round-15 second front)
     val sortCols = Option(spec.get("sort")).toSeq.flatMap(_.elements().asScala.toSeq).map { e =>
-      if (e.isTextual) field(e.asText()).asc
+      if (e.isTextual) field(e.asText()).asc_nulls_last
       else {
         val (f, s) = single(e)
-        if (Option(s.get("order")).map(_.asText()).contains("desc")) field(f).desc else field(f).asc
+        if (Option(s.get("order")).map(_.asText()).contains("desc")) field(f).desc_nulls_last
+        else field(f).asc_nulls_last
       }
     }
     val source = Option(spec.get("_source")).toSeq
       .flatMap(_.elements().asScala.toSeq.map(_.asText()))
-    val keyed = if (level == null) df.withColumn("key", lit(0)) else df.withColumn("key", level.key)
+    // a doc with a null bucket key forms no bucket (same drop every other
+    // bucket path applies), and a terms bucket list is ranked/truncated
+    // by `size` (count desc, key asc) BEFORE hits are selected — both
+    // were skipped here (differential find; a224 pins the combination)
+    val keyed0 = if (level == null) df.withColumn("key", lit(0))
+                 else df.filter(level.keyNotNull).withColumn("key", level.key)
+    val keyed = Option(level).flatMap(_.termsSize).map { sz =>
+      val keep = keyed0.groupBy("key").agg(count(lit(1)).as("_kc"))
+        .orderBy(col("_kc").desc, col("key").asc).limit(sz).select("key")
+      keyed0.join(broadcast(keep), "key")
+    }.getOrElse(keyed0)
     val effSort = if (sortCols.nonEmpty) sortCols else Seq(monotonically_increasing_id().asc)
     val w = Window.partitionBy(col("key")).orderBy(effSort: _*)
     val ranked = keyed.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)

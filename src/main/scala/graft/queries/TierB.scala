@@ -5114,6 +5114,36 @@ object TierB {
              |WHERE lang IS NOT NULL
              |  AND ((src IS NULL AND lang > 'de') OR src IS NOT NULL)
              |GROUP BY 1, 2 ORDER BY src ASC NULLS FIRST, lng ASC LIMIT 10""".stripMargin)),
+
+    // top_hits under terms with all three bucket rules load-bearing at
+    // once (the top_hits differential caught the engine skipping each):
+    // docs with a null bucket key form NO bucket; the bucket list is
+    // ranked/truncated by the terms `size` (count desc, key asc) BEFORE
+    // hits are picked; and the hit sort treats missing values as `_last`
+    // in both directions (Spark's ascending default is nulls-FIRST, so a
+    // nullable sort field put null hits on top).
+    Q("a224_es_json_top_hits_bucket_rules",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(
+        Tables.documents(s, d)
+          .withColumn("maybe_src", org.apache.spark.sql.functions.expr(
+            "CASE WHEN doc_id % 7 <> 0 THEN source END"))
+          .withColumn("mch", org.apache.spark.sql.functions.expr(
+            "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END")),
+        """{"aggs": {"g": {"terms": {"field": "maybe_src", "size": 2},
+          |  "aggs": {"th": {"top_hits": {"size": 2,
+          |    "sort": [{"mch": {"order": "desc"}}, "doc_id"],
+          |    "_source": ["doc_id", "mch"]}}}}}}""".stripMargin)("g")
+        .orderBy("key", "rank"),
+      Some("""WITH d AS (SELECT CASE WHEN doc_id % 7 <> 0 THEN source END AS k,
+             |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END AS mch, doc_id
+             |  FROM documents),
+             |tot AS (SELECT k, count(*) AS c FROM d WHERE k IS NOT NULL
+             |        GROUP BY 1 ORDER BY c DESC, k LIMIT 2),
+             |r AS (SELECT k, row_number() OVER (PARTITION BY k
+             |        ORDER BY mch DESC NULLS LAST, doc_id) AS rn, doc_id, mch
+             |      FROM d WHERE k IS NOT NULL)
+             |SELECT r.k AS key, CAST(rn AS INT) AS rank, r.doc_id AS doc_id, r.mch AS mch
+             |FROM r JOIN tot USING (k) WHERE rn <= 2 ORDER BY key, rank""".stripMargin)),
   )
 }
 

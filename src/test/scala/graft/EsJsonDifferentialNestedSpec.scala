@@ -528,4 +528,56 @@ class EsJsonDifferentialNestedSpec extends AnyFunSuite with SparkTestBase {
     // missing_bucket pages must have genuinely exercised a null cursor
     assert(nNullCursor >= 3, s"too few null-cursor resumes: $nNullCursor")
   }
+
+  // ---- top_hits differential ----------------------------------------------
+  // top_hits inside a terms bucket: ES truncates the BUCKETS by the terms
+  // size (count desc, key asc) first, drops null-key docs, and sorts hits
+  // within each bucket with `missing: _last` for BOTH directions; rank is
+  // 1-based per bucket. Twin: count-ranked key list joined to a
+  // row_number window.
+
+  private case class ThBody(q: String, f: String, tSize: Int, n: Int,
+                            sf: String, dir: String)
+
+  private def thGen: Gen[ThBody] = for {
+    q <- queryGen
+    f <- Gen.oneOf("lang", "source")
+    tSize <- Gen.oneOf(2, 3, 10)
+    n <- Gen.chooseNum(1, 3)
+    sf <- Gen.oneOf("score", "n_chars", "doc_id")
+    dir <- Gen.oneOf("asc", "desc")
+  } yield ThBody(q, f, tSize, n, sf, dir)
+
+  test("top_hits: 150 bodies answer-match the window-function SQL twin") {
+    val d = docs.cache()
+    d.createOrReplaceTempView("ddocs")
+    val bodies = Gen.listOfN(150, thGen)
+      .pureApply(Gen.Parameters.default, Seed(160820263L))
+    try {
+      bodies.zipWithIndex.foreach { case (b, i) =>
+        val json =
+          s"""{"query": ${b.q}, "aggs": {"g": {"terms": {"field": "${b.f}", "size": ${b.tSize}},
+             |  "aggs": {"th": {"top_hits": {"size": ${b.n},
+             |    "sort": [{"${b.sf}": {"order": "${b.dir}"}}, "doc_id"],
+             |    "_source": ["doc_id"]}}}}}}""".stripMargin
+        val where = qSql(mapper.readTree(json).get("query"))
+        val got = rows(graft.dsl.EsQueryJson.aggregations(d, json)("g")
+          .orderBy("key", "rank"))
+        val twin =
+          s"""WITH tot AS (SELECT ${b.f} AS key, count(*) AS c FROM ddocs
+             |  WHERE ($where) AND ${b.f} IS NOT NULL GROUP BY 1
+             |  ORDER BY c DESC, key ASC LIMIT ${b.tSize}),
+             |r AS (SELECT ${b.f} AS key,
+             |    row_number() OVER (PARTITION BY ${b.f}
+             |      ORDER BY ${b.sf} ${b.dir.toUpperCase} NULLS LAST, doc_id ASC) AS rank,
+             |    doc_id
+             |  FROM ddocs WHERE ($where) AND ${b.f} IS NOT NULL)
+             |SELECT r.key, r.rank, r.doc_id FROM r JOIN tot ON r.key = tot.key
+             |WHERE r.rank <= ${b.n} ORDER BY key, rank""".stripMargin
+        val want = rows(spark.sql(twin))
+        assert(got == want,
+          s"body $i top_hits diverges:\n$json\ntwin:\n$twin\n got: $got\nwant: $want")
+      }
+    } finally { d.unpersist(); () }
+  }
 }
