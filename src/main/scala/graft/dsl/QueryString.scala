@@ -286,9 +286,13 @@ object QueryString {
       case Rng(f, lo, hi, loInc, hiInc) =>
         def b(s: String): Column = numericLit(s).getOrElse(lit(s))
         val c = fld(f)
+        // `f:[* TO *]`: a range query with both bounds open is still a
+        // range query ON THE FIELD — Lucene matches only docs that HAVE
+        // it (the `_exists_:f` equivalence), not every doc (query_string
+        // differential find, round-15 second front; a225 pins it)
         Seq(lo.map(v => if (loInc) c >= b(v) else c > b(v)),
             hi.map(v => if (hiInc) c <= b(v) else c < b(v)))
-          .flatten.reduceOption(_ && _).getOrElse(lit(true))
+          .flatten.reduceOption(_ && _).getOrElse(c.isNotNull)
       case Cmp(f, op, v) =>
         val b = numericLit(v).getOrElse(lit(v))
         op match {

@@ -5144,6 +5144,25 @@ object TierB {
              |      FROM d WHERE k IS NOT NULL)
              |SELECT r.k AS key, CAST(rn AS INT) AS rank, r.doc_id AS doc_id, r.mch AS mch
              |FROM r JOIN tot USING (k) WHERE rn <= 2 ORDER BY key, rank""".stripMargin)),
+
+    // query_string `f:[* TO *]`: a range with both bounds open is still a
+    // range query ON the field — Lucene matches only docs that HAVE it
+    // (the `_exists_:f` equivalence). The engine compiled it to
+    // match-all, admitting null-field docs (query_string differential
+    // find). The fixture's derived field is null for doc_id % 5 = 0, so
+    // the existence read is load-bearing at any SF.
+    Q("a225_es_json_qs_star_range",
+      (s, d) => graft.dsl.EsQueryJson.search(
+        Tables.documents(s, d).withColumn("mch",
+          org.apache.spark.sql.functions.expr(
+            "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END")),
+        """{"query": {"query_string": {"query": "mch:[* TO *] AND NOT lang:de"}},
+          | "sort": ["doc_id"], "size": 2000}""".stripMargin)
+        .select("doc_id", "lang"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE (CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END) IS NOT NULL
+             |  AND NOT coalesce(lang = 'de', FALSE)
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
   )
 }
 

@@ -580,4 +580,109 @@ class EsJsonDifferentialNestedSpec extends AnyFunSuite with SparkTestBase {
       }
     } finally { d.unpersist(); () }
   }
+
+  // ---- query_string differential ------------------------------------------
+  // The Lucene-syntax front-end: the generator builds the AST first and
+  // prints BOTH the query string and its SQL meaning (fully parenthesized,
+  // so operator text — not precedence conventions — is under test), then
+  // the parser+compiler must reproduce the same hit set. Covers fielded
+  // term equality, inclusive/exclusive/star numeric ranges, comparison
+  // atoms, _exists_, keyword wildcards, and AND/OR/NOT nesting with ES
+  // null rules (a positive atom never matches a missing field; NOT keeps
+  // null-field docs).
+
+  private sealed trait QsNode { def lucene: String; def sql: String }
+  private case class QsTerm(f: String, v: String) extends QsNode {
+    def lucene = s"$f:$v"
+    def sql = s"coalesce($f = '$v', FALSE)"
+  }
+  private case class QsNum(f: String, v: Long) extends QsNode {
+    def lucene = s"$f:$v"
+    def sql = s"coalesce($f = $v, FALSE)"
+  }
+  private case class QsRange(f: String, lo: Option[Long], hi: Option[Long],
+                             loInc: Boolean, hiInc: Boolean) extends QsNode {
+    def lucene = {
+      val lb = if (loInc) "[" else "{"
+      val rb = if (hiInc) "]" else "}"
+      s"$f:$lb${lo.map(_.toString).getOrElse("*")} TO ${hi.map(_.toString).getOrElse("*")}$rb"
+    }
+    def sql = {
+      val parts = lo.map(v => s"$f ${if (loInc) ">=" else ">"} $v").toSeq ++
+        hi.map(v => s"$f ${if (hiInc) "<=" else "<"} $v").toSeq
+      if (parts.isEmpty) s"$f IS NOT NULL"
+      else s"coalesce(${parts.mkString(" AND ")}, FALSE)"
+    }
+  }
+  private case class QsCmp(f: String, op: String, v: Long) extends QsNode {
+    def lucene = s"$f:$op$v"
+    def sql = s"coalesce($f $op $v, FALSE)"
+  }
+  private case class QsExists(f: String) extends QsNode {
+    def lucene = s"_exists_:$f"
+    def sql = s"$f IS NOT NULL"
+  }
+  private case class QsWild(f: String, pat: String) extends QsNode {
+    def lucene = s"$f:$pat"
+    def sql = s"coalesce($f LIKE '${pat.flatMap { case '*' => "%"; case '?' => "_"; case c => s"$c" }}', FALSE)"
+  }
+  private case class QsAnd(l: QsNode, r: QsNode) extends QsNode {
+    def lucene = s"(${l.lucene} AND ${r.lucene})"
+    def sql = s"((${l.sql}) AND (${r.sql}))"
+  }
+  private case class QsOr(l: QsNode, r: QsNode) extends QsNode {
+    def lucene = s"(${l.lucene} OR ${r.lucene})"
+    def sql = s"((${l.sql}) OR (${r.sql}))"
+  }
+  private case class QsNot(n: QsNode) extends QsNode {
+    def lucene = s"(NOT ${n.lucene})"
+    def sql = s"(NOT (${n.sql}))"
+  }
+
+  private def qsAtomGen: Gen[QsNode] = Gen.frequency(
+    3 -> strFieldVal.map { case (f, v) => QsTerm(f, v) },
+    2 -> (for { f <- Gen.oneOf("n_chars", "doc_id"); v <- Gen.chooseNum(0L, 300L) }
+      yield QsNum(f, v)),
+    3 -> (for {
+      f <- Gen.oneOf("n_chars", "doc_id")
+      lo <- Gen.option(Gen.chooseNum(0L, 200L))
+      w <- Gen.chooseNum(20L, 200L)
+      hi <- Gen.option(Gen.const(lo.getOrElse(0L) + w))
+      loInc <- Gen.oneOf(true, false)
+      hiInc <- Gen.oneOf(true, false)
+    } yield QsRange(f, lo, hi, loInc, hiInc)),
+    2 -> (for { f <- Gen.oneOf("n_chars", "doc_id"); op <- Gen.oneOf(">=", ">", "<=", "<")
+                v <- Gen.chooseNum(0L, 300L) } yield QsCmp(f, op, v)),
+    1 -> Gen.oneOf("lang", "n_chars", "source").map(QsExists),
+    2 -> (for { (f, v) <- strFieldVal
+                pat <- Gen.oneOf(s"${v.take(1)}*", s"*${v.takeRight(1)}", s"?${v.drop(1)}") }
+      yield QsWild(f, pat)))
+
+  private def qsNodeGen(depth: Int): Gen[QsNode] =
+    if (depth <= 0) qsAtomGen
+    else Gen.frequency(
+      4 -> qsAtomGen,
+      2 -> (for { l <- qsNodeGen(depth - 1); r <- qsNodeGen(depth - 1) } yield QsAnd(l, r)),
+      2 -> (for { l <- qsNodeGen(depth - 1); r <- qsNodeGen(depth - 1) } yield QsOr(l, r)),
+      1 -> qsNodeGen(depth - 1).map(QsNot))
+
+  test("query_string: 300 generated Lucene strings answer-match the AST's SQL meaning") {
+    val d = docs.cache()
+    d.createOrReplaceTempView("ddocs")
+    val nodes = Gen.listOfN(300, qsNodeGen(2))
+      .pureApply(Gen.Parameters.default, Seed(160820264L))
+    try {
+      nodes.zipWithIndex.foreach { case (n, i) =>
+        val json =
+          s"""{"size": 500, "query": {"query_string": {"query":
+             | ${new ObjectMapper().writeValueAsString(n.lucene)}}}}""".stripMargin
+        val got = graft.dsl.EsQueryJson.search(d, json)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val want = spark.sql(s"SELECT doc_id FROM ddocs WHERE ${n.sql}")
+          .collect().map(_.getLong(0)).toSet
+        assert(got == want,
+          s"qs $i diverges: ${n.lucene}\nsql: ${n.sql}\n got: ${got.toSeq.sorted}\nwant: ${want.toSeq.sorted}")
+      }
+    } finally { d.unpersist(); () }
+  }
 }
