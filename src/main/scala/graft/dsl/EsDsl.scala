@@ -51,8 +51,18 @@ object EsDsl {
     * is deduped (array_intersect) — ES scores per unique term too. */
   def matchCount(text: Column, queryTerms: Seq[String]): Column =
     size(array_intersect(split(lower(text), "\\W+"), lit(queryTerms.map(_.toLowerCase).toArray)))
-  def matchQuery(text: Column, queryTerms: Seq[String], minShouldMatch: Int = 1): Column =
-    matchCount(text, queryTerms) >= minShouldMatch
+  /** Boolean form: counts satisfied CLAUSES, one per query-term
+    * OCCURRENCE (Lucene keeps duplicate term clauses — `operator: and`
+    * over "alpha gamma alpha" is satisfied by one occurrence of each
+    * distinct term because both alpha clauses see the same posting;
+    * pre-round-15 the deduped intersect count could never reach an
+    * msm that counted duplicates, so such queries matched NOTHING —
+    * match-family differential find, a226 pins it). */
+  def matchQuery(text: Column, queryTerms: Seq[String], minShouldMatch: Int = 1): Column = {
+    val toks = split(lower(text), "\\W+")
+    queryTerms.map(t => array_contains(toks, t.toLowerCase).cast("int"))
+      .reduce(_ + _) >= minShouldMatch
+  }
 
   /** B5 `match` with `fuzziness`: each (deduped) query term is one clause
     * that matches when SOME doc token is within its edit budget — Damerau

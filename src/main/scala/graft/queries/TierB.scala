@@ -5163,6 +5163,23 @@ object TierB {
              |WHERE (CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END) IS NOT NULL
              |  AND NOT coalesce(lang = 'de', FALSE)
              |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // match `operator: and` with a REPEATED query token: Lucene keeps
+    // duplicate term clauses, and duplicate MUST clauses are satisfied by
+    // the same posting — "spark join spark" matches docs containing spark
+    // and join once each. The engine's deduped intersect count (2 unique
+    // terms) could never reach the duplicate-counting msm (3), so such
+    // queries matched NOTHING (match-family differential find).
+    Q("a226_es_json_match_and_dup_term",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match": {"text": {"query": "spark join spark", "operator": "and"}}},
+          | "sort": ["doc_id"], "size": 2000}""".stripMargin)
+        .select("doc_id"),
+      Some("""SELECT doc_id FROM (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents)
+             |WHERE list_contains(w, 'spark') AND list_contains(w, 'join')
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
   )
 }
 

@@ -40,6 +40,8 @@ class EsJsonDifferentialNestedSpec extends AnyFunSuite with SparkTestBase {
   private lazy val docs: DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
     val rows = (0 until 240).map { i =>
       val lang = if (i % 11 == 0) null else Seq("en", "de", "fr", "es", "zh")(i % 5)
       val source = Seq("web", "wiki", "book", "code")(i % 4)
@@ -47,7 +49,12 @@ class EsJsonDifferentialNestedSpec extends AnyFunSuite with SparkTestBase {
       val score = (i * 31 % 100) / 10.0
       val ts = java.sql.Timestamp.valueOf(
         f"${2023 + (i % 24) / 12}-${i % 12 + 1}%02d-${i % 27 + 1}%02d 06:00:00")
-      Row(i.toLong, lang, source, n, score, ts)
+      // deterministic word soup: single-space, lowercase, alnum-only —
+      // the standard analyzer's token stream IS the whitespace split,
+      // which keeps the match-family SQL twin mechanical
+      val text = if (i % 17 == 0) null
+        else (0 until 10).map(j => vocab((i * 7 + j * 3 + j * j) % 12)).mkString(" ")
+      Row(i.toLong, lang, source, n, score, ts, text)
     }
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -55,7 +62,8 @@ class EsJsonDifferentialNestedSpec extends AnyFunSuite with SparkTestBase {
       StructField("source", StringType, nullable = false),
       StructField("n_chars", LongType, nullable = true),
       StructField("score", DoubleType, nullable = false),
-      StructField("ts", TimestampType, nullable = false)))
+      StructField("ts", TimestampType, nullable = false),
+      StructField("text", StringType, nullable = true)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
   }
 
@@ -529,6 +537,25 @@ class EsJsonDifferentialNestedSpec extends AnyFunSuite with SparkTestBase {
     assert(nNullCursor >= 3, s"too few null-cursor resumes: $nNullCursor")
   }
 
+  test("composite: the after-cursor predicate is pushed below the aggregation") {
+    // the cursor filter references only grouping keys, so Catalyst must
+    // push it through the Aggregate — at scale the cursor prunes rows
+    // BEFORE the shuffle, not buckets after it. Top-down treeString: a
+    // pushed filter appears on a LATER line than the Aggregate; an
+    // unpushed one would sit above it.
+    val body =
+      """{"aggs": {"c": {"composite": {"size": 5, "sources": [
+        |  {"s0": {"terms": {"field": "source"}}}], "after": {"s0": "web"}}}}}""".stripMargin
+    val plan = graft.dsl.EsQueryJson.aggregations(docs, body)("c")
+      .queryExecution.optimizedPlan.treeString
+    val lines = plan.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(_.contains("Aggregate"))
+    val filterIdxs = lines.zipWithIndex.filter(_._1.contains("Filter")).map(_._2)
+    assert(aggIdx >= 0 && filterIdxs.nonEmpty, s"unexpected plan shape:\n$plan")
+    assert(filterIdxs.forall(_ > aggIdx),
+      s"after-cursor filter not pushed below the Aggregate:\n$plan")
+  }
+
   // ---- top_hits differential ----------------------------------------------
   // top_hits inside a terms bucket: ES truncates the BUCKETS by the terms
   // size (count desc, key asc) first, drops null-key docs, and sorts hits
@@ -682,6 +709,81 @@ class EsJsonDifferentialNestedSpec extends AnyFunSuite with SparkTestBase {
           .collect().map(_.getLong(0)).toSet
         assert(got == want,
           s"qs $i diverges: ${n.lucene}\nsql: ${n.sql}\n got: ${got.toSeq.sorted}\nwant: ${want.toSeq.sorted}")
+      }
+    } finally { d.unpersist(); () }
+  }
+
+  // ---- match-family differential --------------------------------------------
+  // Hit sets for match / match_phrase / match_phrase_prefix over the
+  // synthetic text column. The fixture's text is lowercase single-space
+  // word soup, so the standard analyzer's token stream equals the
+  // whitespace split and the SQL twin stays mechanical:
+  //   match OR            any query token present (array_contains)
+  //   match AND           every query token present
+  //   minimum_should_match at least N tokens present
+  //   match_phrase        consecutive tokens (padded LIKE '% w1 w2 %')
+  //   match_phrase_prefix phrase with the LAST token a prefix
+  // Null-text docs match nothing.
+
+  private val mfVocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+    "eta", "theta", "iota", "kappa", "lambda", "mu")
+
+  private sealed trait MfBody { def json: String; def sql: String }
+  private case class MfMatch(ws: Seq[String], op: String, msm: Option[Int]) extends MfBody {
+    def json = {
+      val msmPart = msm.map(m => s""", "minimum_should_match": $m""").getOrElse("")
+      s"""{"match": {"text": {"query": "${ws.mkString(" ")}", "operator": "$op"$msmPart}}}"""
+    }
+    def sql = {
+      val contains = ws.map(w => s"array_contains(split(text, ' '), '$w')")
+      val pred =
+        if (op == "and") contains.mkString("(", ") AND (", ")")
+        else msm match {
+          case Some(m) => contains.map(c => s"(CASE WHEN $c THEN 1 ELSE 0 END)")
+            .mkString("(", " + ", s") >= $m")
+          case None => contains.mkString("(", ") OR (", ")")
+        }
+      s"coalesce($pred, FALSE)"
+    }
+  }
+  private case class MfPhrase(ws: Seq[String], prefix: Boolean) extends MfBody {
+    def json =
+      if (prefix) s"""{"match_phrase_prefix": {"text": "${ws.mkString(" ")}"}}"""
+      else s"""{"match_phrase": {"text": "${ws.mkString(" ")}"}}"""
+    def sql = {
+      val tail = if (prefix) "%" else " %"
+      s"coalesce(concat(' ', text, ' ') LIKE '% ${ws.mkString(" ")}$tail', FALSE)"
+    }
+  }
+
+  private def mfGen: Gen[MfBody] = Gen.frequency(
+    4 -> (for {
+      k <- Gen.chooseNum(1, 3)
+      ws <- Gen.listOfN(k, Gen.oneOf(mfVocab))
+      op <- Gen.oneOf("or", "and")
+      msm <- if (op == "or") Gen.option(Gen.chooseNum(1, k)) else Gen.const(None)
+    } yield MfMatch(ws, op, msm)),
+    2 -> (for {
+      k <- Gen.chooseNum(2, 3)
+      ws <- Gen.listOfN(k, Gen.oneOf(mfVocab))
+      // prefix arm truncates the last word so the prefix read is live
+      pfx <- Gen.oneOf(true, false)
+    } yield MfPhrase(if (pfx) ws.init :+ ws.last.take(2) else ws, pfx)))
+
+  test("match family: 250 generated bodies answer-match the token-twin SQL") {
+    val d = docs.cache()
+    d.createOrReplaceTempView("ddocs")
+    val bodies = Gen.listOfN(250, mfGen)
+      .pureApply(Gen.Parameters.default, Seed(160820265L))
+    try {
+      bodies.zipWithIndex.foreach { case (b, i) =>
+        val json = s"""{"size": 500, "query": ${b.json}}"""
+        val got = graft.dsl.EsQueryJson.search(d, json)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val want = spark.sql(s"SELECT doc_id FROM ddocs WHERE ${b.sql}")
+          .collect().map(_.getLong(0)).toSet
+        assert(got == want,
+          s"mf $i diverges: ${b.json}\nsql: ${b.sql}\n got: ${got.toSeq.sorted}\nwant: ${want.toSeq.sorted}")
       }
     } finally { d.unpersist(); () }
   }
