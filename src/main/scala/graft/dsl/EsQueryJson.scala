@@ -1533,12 +1533,28 @@ object EsQueryJson {
         def colOf(f: String) = if (f == "_score") col("_score") else field(f)
         def dirOf(spec: (String, Option[String], Option[String])) =
           spec._2.getOrElse(if (spec._1 == "_score") "desc" else "asc")
+        // null-aware tuple comparison under the sort's missing placement
+        // (default `_last`): a null-keyed hit sorts after every value, so
+        // "after the cursor" at a non-null cursor INCLUDES the null tail,
+        // and a null cursor (the walk is inside the tail) advances on the
+        // tiebreak levels only. The plain ===/> form went null on both
+        // and silently LOST every null-keyed doc past page one (same
+        // cursor-walk property find as the composite fix; a227 pins it).
         val pred = sortSpecs.indices.map { i =>
           val eqPrefix = (0 until i).map { j =>
-            colOf(sortSpecs(j)._1) === litOf(vals(j))
+            val cj = colOf(sortSpecs(j)._1)
+            if (vals(j).isNull) cj.isNull else cj === litOf(vals(j))
           }.reduceOption(_ && _).getOrElse(lit(true))
+          val (_, _, missing) = sortSpecs(i)
           val c = colOf(sortSpecs(i)._1)
-          val cmp = if (dirOf(sortSpecs(i)) == "desc") c < litOf(vals(i)) else c > litOf(vals(i))
+          val nullsFirst = missing.contains("_first")
+          val cmp =
+            if (vals(i).isNull) { if (nullsFirst) c.isNotNull else lit(false) }
+            else {
+              val base = if (dirOf(sortSpecs(i)) == "desc") c < litOf(vals(i))
+                         else c > litOf(vals(i))
+              if (nullsFirst) base else base || c.isNull
+            }
           eqPrefix && cmp
         }.reduce(_ || _)
         highlighted.filter(pred)

@@ -5180,6 +5180,28 @@ object TierB {
              |  FROM documents)
              |WHERE list_contains(w, 'spark') AND list_contains(w, 'join')
              |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // search_after past a NON-NULL cursor on a nullable sort field: the
+    // null-keyed docs sort `missing: _last`, i.e. AFTER every value, so
+    // they belong to every later page — the old ===/> cursor predicate
+    // went null on them and deep pagination silently LOST the null tail
+    // (search_after cursor-walk property find, the hits-side twin of the
+    // composite a223 fix).
+    Q("a227_es_json_search_after_null_tail",
+      (s, d) => graft.dsl.EsQueryJson.search(
+        Tables.documents(s, d).withColumn("mch",
+          org.apache.spark.sql.functions.expr(
+            "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END")),
+        """{"query": {"match_all": {}},
+          | "sort": [{"mch": {"order": "asc"}}, "doc_id"],
+          | "search_after": [900, 250], "size": 10000}""".stripMargin)
+        .select("doc_id", "mch"),
+      Some("""WITH d AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END AS mch
+             |  FROM documents)
+             |SELECT doc_id, mch FROM d
+             |WHERE mch > 900 OR (mch = 900 AND doc_id > 250) OR mch IS NULL
+             |ORDER BY mch ASC NULLS LAST, doc_id LIMIT 10000""".stripMargin)),
   )
 }
 

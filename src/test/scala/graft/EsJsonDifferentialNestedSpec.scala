@@ -556,6 +556,70 @@ class EsJsonDifferentialNestedSpec extends AnyFunSuite with SparkTestBase {
       s"after-cursor filter not pushed below the Aggregate:\n$plan")
   }
 
+  // ---- search_after cursor-walk property ----------------------------------
+  // Walking sorted pages with search_after cursors must reassemble EXACTLY
+  // the full sorted hit list (SQL twin) — including docs whose sort key is
+  // null (they sort `missing: _last` by default, so they arrive on the
+  // LAST pages, after non-null cursors) and resumes FROM a null cursor
+  // value once the walk is inside the null tail. The doc_id tiebreak makes
+  // every cursor unique, so the walk is deterministic.
+
+  private case class SaBody(q: String, sf: String, dir: String, first: Boolean, size: Int)
+
+  private def saGen: Gen[SaBody] = for {
+    q <- queryGen
+    sf <- Gen.oneOf("n_chars", "score", "doc_id")
+    dir <- Gen.oneOf("asc", "desc")
+    first <- if (sf == "n_chars") Gen.oneOf(true, false) else Gen.const(false)
+    size <- Gen.oneOf(5, 9)
+  } yield SaBody(q, sf, dir, first, size)
+
+  test("search_after: cursor-walked pages reassemble the full sorted list") {
+    val d = docs.cache()
+    d.createOrReplaceTempView("ddocs")
+    val bodies = Gen.listOfN(100, saGen)
+      .pureApply(Gen.Parameters.default, Seed(160820266L))
+    var nNullCursor = 0
+    try {
+      bodies.zipWithIndex.foreach { case (b, i) =>
+        val where = qSql(mapper.readTree(b.q))
+        val missing = if (b.first) s""", "missing": "_first"""" else ""
+        def body(after: Option[(Any, Long)]): String = {
+          val aft = after.map { case (v, id) =>
+            s""", "search_after": [${cursorJson(v)}, $id]"""
+          }.getOrElse("")
+          s"""{"query": ${b.q}, "size": ${b.size},
+             | "sort": [{"${b.sf}": {"order": "${b.dir}"$missing}}, "doc_id"]$aft}""".stripMargin
+        }
+        var assembled = Vector.empty[Long]
+        var after: Option[(Any, Long)] = None
+        var done = false; var pages = 0
+        while (!done) {
+          val page = graft.dsl.EsQueryJson.search(d, body(after))
+            .select(b.sf, "doc_id").collect()
+          assembled ++= page.map(_.getLong(1))
+          pages += 1
+          assert(pages <= 100, s"body $i search_after walk did not terminate")
+          if (page.length < b.size) done = true
+          else {
+            val last = page.last
+            if (last.isNullAt(0)) nNullCursor += 1
+            after = Some((last.get(0), last.getLong(1)))
+          }
+        }
+        val nulls = if (b.first) "NULLS FIRST" else "NULLS LAST"
+        val want = spark.sql(
+          s"""SELECT doc_id FROM ddocs WHERE $where
+             |ORDER BY ${b.sf} ${b.dir.toUpperCase} $nulls, doc_id""".stripMargin)
+          .collect().map(_.getLong(0)).toVector
+        assert(assembled == want,
+          s"body $i search_after walk diverges (${assembled.size} vs ${want.size}):\n${body(None)}")
+      }
+    } finally { d.unpersist(); () }
+    // the walk must have genuinely resumed from null cursors
+    assert(nNullCursor >= 3, s"too few null-cursor resumes: $nNullCursor")
+  }
+
   // ---- top_hits differential ----------------------------------------------
   // top_hits inside a terms bucket: ES truncates the BUCKETS by the terms
   // size (count desc, key asc) first, drops null-key docs, and sorts hits
