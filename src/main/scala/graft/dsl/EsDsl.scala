@@ -58,13 +58,31 @@ object EsDsl {
     * pre-round-15 the deduped intersect count could never reach an
     * msm that counted duplicates, so such queries matched NOTHING —
     * match-family differential find, a226 pins it). */
-  def matchQuery(text: Column, queryTerms: Seq[String], minShouldMatch: Int = 1): Column = {
-    val toks = split(lower(text), "\\W+")
-    queryTerms.map(t => array_contains(toks, t.toLowerCase).cast("int"))
-      .reduce(_ + _) >= minShouldMatch
+  def matchQuery(text: Column, queryTerms: Seq[String], minShouldMatch: Int = 1): Column =
+    occurrenceMatchCount(split(lower(text), "\\W+"),
+      queryTerms.map(_.toLowerCase)) >= minShouldMatch
+
+  /** Satisfied-clause count with ONE clause per query-term occurrence and
+    * ONE tokenization per row: the doc tokens intersect the DISTINCT term
+    * set once (codegen'd array_intersect — the round-15 per-occurrence
+    * `array_contains` chain re-split the text per clause, with no CSE
+    * guarantee), and each matched distinct term then contributes its
+    * occurrence multiplicity. The duplicate-free common case stays the
+    * pure size(array_intersect) plan; only a query with repeated tokens
+    * pays the (tiny, ≤ #distinct-terms array) HOF fold. */
+  private def occurrenceMatchCount(toks: Column, terms: Seq[String]): Column = {
+    val distinct = terms.distinct
+    if (distinct.size == terms.size)
+      size(array_intersect(toks, lit(distinct.toArray)))
+    else {
+      val mult = map_from_arrays(lit(distinct.toArray),
+        lit(distinct.map(t => terms.count(_ == t)).toArray))
+      aggregate(array_intersect(toks, lit(distinct.toArray)), lit(0),
+        (acc, t) => acc + element_at(mult, t))
+    }
   }
 
-  /** B5 `match` with `fuzziness`: each (deduped) query term is one clause
+  /** B5 `match` with `fuzziness`: each query-term OCCURRENCE is one clause
     * that matches when SOME doc token is within its edit budget — Damerau
     * distance, ES's `fuzzy_transpositions: true` default; AUTO budgets are
     * per-TERM length (ES semantics), and `prefix_length` prunes with an
@@ -79,15 +97,21 @@ object EsDsl {
     // let short terms match punctuation-only gaps; the oracle's token CTE
     // filters '' too)
     val toks = filter(split(lower(text), "\\W+"), t => t =!= "")
-    queryTerms.map(_.toLowerCase).distinct.map { t =>
-      val fz = fuzzinessOf(t)
-      org.apache.spark.sql.functions.exists(toks, tok => {
-        val dist = graft.functions.EditDistance.fuzzyLev(tok, lit(t)) <= fz
-        if (prefixLength > 0)
-          substring(tok, 1, prefixLength) === lit(t.take(prefixLength)) && dist
-        else dist
-      }).cast("int")
-    }.reduce(_ + _) >= minShouldMatch
+    // one existential per DISTINCT term (the expensive kernel runs once),
+    // weighted by the term's occurrence count so msm — which counts raw
+    // occurrences, like Lucene's duplicate clauses — stays reachable: a
+    // repeated token under `operator: and` matched NOTHING pre-round-16
+    // (the a226 bug class; the advisor flagged this fuzzy-path twin)
+    queryTerms.map(_.toLowerCase).groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (t, occ) =>
+        val fz = fuzzinessOf(t)
+        org.apache.spark.sql.functions.exists(toks, tok => {
+          val dist = graft.functions.EditDistance.fuzzyLev(tok, lit(t)) <= fz
+          if (prefixLength > 0)
+            substring(tok, 1, prefixLength) === lit(t.take(prefixLength)) && dist
+          else dist
+        }).cast("int") * lit(occ.size)
+      }.reduce(_ + _) >= minShouldMatch
   }
 
   /** B5 `match` with a SHINGLE analyzer (ES `shingle` token filter): the
@@ -138,10 +162,13 @@ object EsDsl {
   /** B5 `match` with the `whitespace` analyzer: tokens split on
     * whitespace ONLY — case and punctuation survive (ES's whitespace
     * analyzer has no lowercase filter), so "Spark!" matches "Spark!"
-    * and not "spark". */
+    * and not "spark". Clauses count per query-term OCCURRENCE (the same
+    * Lucene duplicate-clause convention as [[matchQuery]] — the caller's
+    * msm counts raw occurrences, so the round-15 deduped intersect made
+    * `operator: and` with a repeated token unsatisfiable). */
   def matchQueryWhitespace(text: Column, queryTerms: Seq[String],
                            minShouldMatch: Int = 1): Column =
-    size(array_intersect(split(text, "\\s+"), lit(queryTerms.distinct.toArray))) >= minShouldMatch
+    occurrenceMatchCount(split(text, "\\s+"), queryTerms) >= minShouldMatch
 
   /** B5 `match` with the opt-in `cjk` analyzer: the RAW query string (not
     * pre-split terms — bigramming needs the original character runs) and

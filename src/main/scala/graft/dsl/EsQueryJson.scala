@@ -948,9 +948,10 @@ object EsQueryJson {
           }.reduce(_ || _)
         else {
           // cross_fields `operator: and` = every term in SOME field
-          // (term-centric); field-centric types leave msm within one field.
-          // In ES operator:and makes EVERY term a must regardless of any
-          // explicit minimum_should_match — and wins, msm is ignored.
+          // (term-centric); best/most_fields `operator: and` = ALL terms in
+          // one field (field-centric — the per-field match runs with every
+          // term a MUST). In ES operator:and makes EVERY term a must
+          // regardless of any explicit minimum_should_match — and wins.
           val crossFields = mmType.contains("cross_fields")
           // cross_fields blends df across fields under ONE shared analyzer
           // (ES groups fields by analyzer; differently-analyzed groups
@@ -959,8 +960,11 @@ object EsQueryJson {
           require(!crossFields || !anyIndexed,
             "cross_fields over index-analyzed fields is unsupported (ES groups by analyzer)")
           val opAnd = Option(body.get("operator")).map(_.asText()).contains("and")
+          // and → all terms for EVERY type (pre-round-16 only cross_fields
+          // honored it; best_fields `operator: and` admitted any-term docs
+          // — round-16 score-differential find)
           val msm =
-            if (crossFields && opAnd) terms.size
+            if (opAnd) terms.size
             else Option(body.get("minimum_should_match")).map(msmOf(_, terms.size)).getOrElse(1)
           // `fuzziness` (best_fields/most_fields only — ES rejects it for
           // cross_fields too): the per-field clause becomes the fuzzy
@@ -2369,10 +2373,13 @@ object EsQueryJson {
         require(!crossFields || !anyIndexed,
           "cross_fields over index-analyzed fields is unsupported (ES groups by analyzer)")
         // operator:and wins over an explicit minimum_should_match (ES: and
-        // makes every term a must, msm is ignored)
+        // makes every term a must, msm is ignored) — for EVERY type:
+        // best/most_fields require all terms in SOME field (field-centric),
+        // cross_fields every term somewhere (pre-round-16 only cross_fields
+        // honored it; score-differential find)
         val opAnd = Option(body.get("operator")).map(_.asText()).contains("and")
         val msm =
-          if (crossFields && opAnd) ts.size
+          if (opAnd) ts.size
           else Option(body.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
         // per-field search-analyzer defaulting (ES: each field's clause
         // runs under its own analyzer): index-analyzed fields get
@@ -2645,15 +2652,19 @@ object EsQueryJson {
     if (v.isObject) {
       val text = v.get("query").asText()
       val nTerms = text.split("\\s+").length
-      // `operator: and` is ES sugar for minimum_should_match = all terms
-      val opMsm = Option(v.get("operator")).map(_.asText()).map {
-        case "and" => nTerms
-        case "or" => 1
-        case other => throw new IllegalArgumentException(s"unsupported match operator: $other")
+      // `operator: and` turns every term clause into a MUST (Lucene
+      // MatchQuery); minimum_should_match applies to SHOULD clauses only,
+      // so with both present `and` WINS and msm is moot — pre-round-16 the
+      // explicit msm silently overrode the operator (score-differential
+      // find: `operator: and, minimum_should_match: 1` matched any-term)
+      val msm = Option(v.get("operator")).map(_.asText()) match {
+        case Some("and") => nTerms
+        case Some("or") | None =>
+          Option(v.get("minimum_should_match")).map(msmOf(_, nTerms)).getOrElse(1)
+        case Some(other) =>
+          throw new IllegalArgumentException(s"unsupported match operator: $other")
       }
-      (text,
-        Option(v.get("boost")).map(_.asDouble()).getOrElse(1.0),
-        Option(v.get("minimum_should_match")).map(msmOf(_, nTerms)).orElse(opMsm).getOrElse(1))
+      (text, Option(v.get("boost")).map(_.asDouble()).getOrElse(1.0), msm)
     } else (v.asText(), 1.0, 1)
 
   private def boosted(boost: Double, raw: Column): Column =
@@ -2664,7 +2675,11 @@ object EsQueryJson {
   private def mmCombine(body: JsonNode, scores: Seq[Column]): Column =
     Option(body.get("type")).map(_.asText()).getOrElse("best_fields") match {
       case "best_fields" => if (scores.size == 1) scores.head else greatest(scores: _*)
-      case "most_fields" => scores.reduce(_ + _)
+      // greatest() skips nulls but + does not: a doc missing ONE nullable
+      // field null-poisoned the most_fields sum and was dropped where ES
+      // scores it on the fields it has (round-16 score-differential find;
+      // the crossFieldsScore tie_breaker had the same fix in round 13)
+      case "most_fields" => scores.map(coalesce(_, lit(0.0))).reduce(_ + _)
       case other => throw new IllegalArgumentException(
         s"unsupported multi_match type: $other")
     }
@@ -2678,19 +2693,37 @@ object EsQueryJson {
       : Seq[Seq[Column] => (Column, Option[Column])] =
     nodes.map[Seq[Column] => (Column, Option[Column])] { n =>
       val (k, b) = single(n)
+      // A clause's score counts ONLY when the clause matches (Lucene: a
+      // non-matching SHOULD contributes nothing; a doc missing the field
+      // scores null). Ungated raws let (a) a partially-matched
+      // `operator: and` clause leak its partial BM25 into bool/dis_max
+      // totals and (b) a null raw poison the whole doc's score — both
+      // round-16 score-differential finds. when(pred, …).otherwise(0)
+      // also normalizes a null pred (missing field) to 0.
+      def gated(pred: Column, raw: Column): Column =
+        when(pred, raw).otherwise(lit(0.0))
       k match {
         case "match" =>
           val (f, v) = single(b)
-          val (text, boost, _) = textBoostMsm(v)
+          // clause-internal operator/minimum_should_match gates the CLAUSE
+          // (pre-round-16 the pred ignored msm: a must `operator: and`
+          // match inside bool admitted any-term docs — differential find)
+          val (text, boost, msm) = textBoostMsm(v)
           val ts = text.split("\\s+").toSeq
           val idx = slots.size; slots += EsDsl.TermsBm25(field(f), ts)
-          raws => (EsDsl.matchQuery(field(f), ts), Some(boosted(boost, raws(idx))))
+          raws => {
+            val pred = EsDsl.matchQuery(field(f), ts, msm)
+            (pred, Some(gated(pred, boosted(boost, raws(idx)))))
+          }
         case "match_phrase" =>
           val (f, v) = single(b)
           val (text, boost, _) = textBoostMsm(v)
           val ph = text.split("\\s+").toSeq
           val idx = slots.size; slots += EsDsl.PhraseBm25(field(f), ph)
-          raws => (EsDsl.matchPhrase(field(f), ph), Some(boosted(boost, raws(idx))))
+          raws => {
+            val pred = EsDsl.matchPhrase(field(f), ph)
+            (pred, Some(gated(pred, boosted(boost, raws(idx)))))
+          }
         case "multi_match" =>
           // best_fields (default): max over per-field BM25; most_fields:
           // sum (ES's multi-analyzer recall type); cross_fields: term-
@@ -2705,24 +2738,29 @@ object EsQueryJson {
           val crossFields = Option(b.get("type")).map(_.asText()).contains("cross_fields")
           require(!crossFields || fBoosts.forall(_ == 1.0),
             "per-field ^boosts are not supported with cross_fields (term-centric blended df)")
-          // same operator:and → all-terms rule as the top-level paths — a
-          // cross_fields clause nested in a scored bool must not match more
-          // docs than the identical query at top level
+          // operator:and → all-terms rule for EVERY multi_match type: the
+          // field-centric types (best/most_fields) require all terms in
+          // SOME field, cross_fields requires every term somewhere
+          // (pre-round-16 only cross_fields honored it here and at top
+          // level — a best_fields `operator: and` clause admitted
+          // any-term docs; score-differential find)
           val opAnd = Option(b.get("operator")).map(_.asText()).contains("and")
           val msm =
-            if (crossFields && opAnd) ts.size
+            if (opAnd) ts.size
             else Option(b.get("minimum_should_match")).map(_.asInt()).getOrElse(1)
           val idxs = fs.map { f => val i = slots.size; slots += EsDsl.TermsBm25(field(f), ts); i }
           raws => {
             if (crossFields) {
               val sc = EsDsl.crossFieldsScore(idxs, ts.size,
                 tieBreaker = Option(b.get("tie_breaker")).map(_.asDouble()).getOrElse(0.0))
-              (EsDsl.multiMatchCrossFields(fs.map(field), ts, msm), Some(boosted(boost, sc)))
+              val pred = EsDsl.multiMatchCrossFields(fs.map(field), ts, msm)
+              (pred, Some(gated(pred, boosted(boost, sc))))
             } else {
               val perField = idxs.map(raws).zip(fBoosts)
                 .map { case (s0, b0) => if (b0 == 1.0) s0 else s0 * lit(b0) }
               val combined = mmCombine(b, perField)
-              (EsDsl.multiMatch(fs.map(field), ts, msm), Some(boosted(boost, combined)))
+              val pred = EsDsl.multiMatch(fs.map(field), ts, msm)
+              (pred, Some(gated(pred, boosted(boost, combined))))
             }
           }
         case "constant_score" =>

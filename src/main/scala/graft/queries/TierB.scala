@@ -5202,6 +5202,181 @@ object TierB {
              |SELECT doc_id, mch FROM d
              |WHERE mch > 900 OR (mch = 900 AND doc_id > 250) OR mch IS NULL
              |ORDER BY mch ASC NULLS LAST, doc_id LIMIT 10000""".stripMargin)),
+
+    // whitespace analyzer + `operator: and` + a REPEATED query token: the
+    // round-15 a226 fix covered only the default analyzer — the whitespace
+    // path still deduped its clause set against an occurrence-counting msm,
+    // so "spark join spark" matched NOTHING (ADVICE r15; duplicate MUST
+    // clauses are satisfied by one posting each, as in Lucene).
+    Q("a228_es_json_match_ws_and_dup_term",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match": {"text": {"query": "spark join spark",
+          |  "analyzer": "whitespace", "operator": "and"}}},
+          | "sort": ["doc_id"], "size": 2000}""".stripMargin)
+        .select("doc_id"),
+      Some("""SELECT doc_id FROM (
+             |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)
+             |WHERE list_contains(w, 'spark') AND list_contains(w, 'join')
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // fuzziness + `operator: and` + a repeated query token: the fuzzy path's
+    // deduped clause set vs occurrence msm — the same a226 bug class (ADVICE
+    // r15). "sprk" is 4 chars → AUTO budget 1 Damerau edit; msm counts 3
+    // occurrence clauses, both sprk clauses satisfied by one fuzzy posting.
+    Q("a229_es_json_match_fuzzy_and_dup_term",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match": {"text": {"query": "sprk join sprk",
+          |  "fuzziness": "AUTO", "operator": "and"}}},
+          | "sort": ["doc_id"], "size": 2000}""".stripMargin)
+        .select("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents)
+             |SELECT doc_id FROM t
+             |WHERE len(list_filter(w, x -> damerau_levenshtein(x, 'sprk') <= 1)) > 0
+             |  AND len(list_filter(w, x -> damerau_levenshtein(x, 'join') <= 1)) > 0
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // search_after with a CUSTOM sort `missing` substitute: missing docs
+    // sort AS the given value (here 0, the head of the ascending order), so
+    // the sort key is a coalesced computed column and the cursor carries the
+    // SUBSTITUTED value — a resume from inside the substituted zone must
+    // keep later null-field docs and drop earlier ones by the tiebreak
+    // (ADVICE r15 asked for a loud reject; the coalesce compilation makes
+    // the composition correct instead, and this row pins it).
+    Q("a230_es_json_search_after_custom_missing",
+      (s, d) => graft.dsl.EsQueryJson.search(
+        Tables.documents(s, d).withColumn("mch",
+          org.apache.spark.sql.functions.expr(
+            "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END")),
+        """{"query": {"match_all": {}},
+          | "sort": [{"mch": {"order": "asc", "missing": 0}}, "doc_id"],
+          | "search_after": [0, 250], "size": 10000}""".stripMargin)
+        .select("doc_id"),
+      Some("""WITH d AS (SELECT doc_id,
+             |    coalesce(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END, 0) AS k
+             |  FROM documents)
+             |SELECT doc_id FROM d
+             |WHERE k > 0 OR (k = 0 AND doc_id > 250)
+             |ORDER BY k ASC, doc_id LIMIT 10000""".stripMargin)),
+
+    // `operator: and` WINS over an explicit minimum_should_match: Lucene's
+    // MatchQuery turns every term clause into a MUST under and, so msm
+    // (which applies to SHOULD clauses) is moot — pre-round-16 the explicit
+    // msm silently overrode the operator and this matched any-term docs
+    // (round-16 score-differential find).
+    Q("a231_es_json_match_and_wins_msm",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"match": {"text": {"query": "spark join",
+          |  "operator": "and", "minimum_should_match": 1}}},
+          | "sort": ["doc_id"], "size": 2000}""".stripMargin)
+        .select("doc_id"),
+      Some("""SELECT doc_id FROM (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents)
+             |WHERE list_contains(w, 'spark') AND list_contains(w, 'join')
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // clause-internal `operator: and` inside a SCORED bool: the clause-slot
+    // predicate ignored the clause's msm entirely (a must match with
+    // operator:and admitted any-term docs under a _score sort — round-16
+    // score-differential find; the hit SET is pinned here, clause-score
+    // gating by the differential spec).
+    Q("a232_es_json_scored_bool_clause_and",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"bool": {
+          |   "must": [{"match": {"text": {"query": "spark join", "operator": "and"}}}],
+          |   "filter": [{"range": {"n_chars": {"gte": 50}}}]}},
+          | "sort": ["_score", "doc_id"], "size": 2000}""".stripMargin)
+        .select("doc_id"),
+      Some("""SELECT doc_id FROM (
+             |  SELECT doc_id, n_chars, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents)
+             |WHERE list_contains(w, 'spark') AND list_contains(w, 'join') AND n_chars >= 50
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // multi_match best_fields `operator: and` is FIELD-centric all-terms:
+    // the doc matches when SOME field contains EVERY query term (each
+    // field's match runs with all terms MUST) — pre-round-16 only
+    // cross_fields honored the operator and best/most_fields degraded to
+    // any-term OR (round-16 score-differential find).
+    Q("a233_es_json_multi_match_and",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"multi_match": {"query": "spark join",
+          |  "fields": ["text", "source"], "operator": "and"}},
+          | "sort": ["doc_id"], "size": 2000}""".stripMargin)
+        .select("doc_id"),
+      Some("""SELECT doc_id FROM (
+             |  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents)
+             |WHERE (list_contains(w, 'spark') AND list_contains(w, 'join'))
+             |   OR (source = 'spark' AND source = 'join')
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // most_fields over a doc MISSING one field: greatest() skips nulls but
+    // + does not — the per-field sum null-poisoned and the doc was DROPPED
+    // where ES scores it on the fields it has (round-16 score-differential
+    // find). mtext nulls every 5th doc; those docs must still hit via text.
+    Q("a234_es_json_most_fields_null_field",
+      (s, d) => graft.dsl.EsQueryJson.search(
+        Tables.documents(s, d).withColumn("mtext",
+          org.apache.spark.sql.functions.expr(
+            "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE text END")),
+        """{"query": {"multi_match": {"query": "spark",
+          |  "fields": ["text", "mtext"], "type": "most_fields"}},
+          | "sort": ["_score", "doc_id"], "size": 2000}""".stripMargin)
+        .select("doc_id"),
+      Some("""SELECT doc_id FROM (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents)
+             |WHERE list_contains(w, 'spark')
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // scored bool SHOULD-clause gating, score VALUES pinned: a partially
+    // matched `operator: and` should clause leaked its partial BM25 into
+    // the bool total (a doc with only "spark" gained the spark term score
+    // from the and-gated clause — round-16 score-differential find). The
+    // twin gates the two-term clause's sum behind the full-match CASE and
+    // adds the one-term clause, mirroring the engine's fold association.
+    Q("a235_es_json_scored_bool_should_gating",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"bool": {"should": [
+          |   {"match": {"text": {"query": "spark join", "operator": "and"}}},
+          |   {"match": {"text": "merge"}}]}},
+          | "sort": ["_score", "doc_id"], "size": 2000}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS toks,
+             |         CAST(len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS DOUBLE) AS dl
+             |  FROM documents
+             |), st AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |         CAST(sum(CASE WHEN list_contains(toks,'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             |         CAST(sum(CASE WHEN list_contains(toks,'join') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             |         CAST(sum(CASE WHEN list_contains(toks,'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+             |  FROM t
+             |), tf AS (
+             |  SELECT doc_id, toks, dl, n, avgdl, df0, df1, df2,
+             |         CAST(len(list_filter(toks, x -> x = 'spark')) AS DOUBLE) AS tf0,
+             |         CAST(len(list_filter(toks, x -> x = 'join')) AS DOUBLE) AS tf1,
+             |         CAST(len(list_filter(toks, x -> x = 'merge')) AS DOUBLE) AS tf2
+             |  FROM t CROSS JOIN st
+             |), sc AS (
+             |  SELECT doc_id, toks,
+             |         round((CASE WHEN list_contains(toks,'spark') AND list_contains(toks,'join')
+             |           THEN ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0*(1.2+1))/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+             |              + ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1*(1.2+1))/(tf1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+             |           ELSE 0 END)
+             |         + (CASE WHEN list_contains(toks,'merge')
+             |           THEN ln(1 + (n - df2 + 0.5)/(df2 + 0.5)) * (tf2*(1.2+1))/(tf2 + 1.2*(1 - 0.75 + 0.75*dl/avgdl))
+             |           ELSE 0 END), 6) AS score
+             |  FROM tf
+             |)
+             |SELECT doc_id, score FROM sc
+             |WHERE (list_contains(toks,'spark') AND list_contains(toks,'join'))
+             |   OR list_contains(toks,'merge')
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
   )
 }
 

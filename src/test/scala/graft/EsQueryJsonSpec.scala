@@ -2344,4 +2344,66 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
     assert(filled == Seq((0L, 1L), (2L, 1L), (4L, 1L)))
   }
+
+  test("whitespace/fuzzy match count duplicate clauses per occurrence (ADVICE r15)") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "Alpha beta Alpha"),   // has Alpha (x2 in doc, irrelevant) and beta
+      (2L, "Alpha gamma"),        // has Alpha, missing beta
+      (3L, "alpha beta"),         // lowercase — whitespace analyzer is case-sensitive
+      (4L, "beta Alpha delta")    // has both
+    ).toDF("id", "t")
+    // whitespace analyzer, operator:and, repeated query token: msm counts 3
+    // occurrence clauses; both Alpha clauses are satisfied by one posting
+    // (pre-fix the deduped intersect capped the count at 2 → matched NOTHING)
+    val ws = EsQueryJson.search(df,
+      """{"query": {"match": {"t": {"query": "Alpha beta Alpha",
+        | "analyzer": "whitespace", "operator": "and"}}},
+        | "sort": ["id"], "size": 10}""".stripMargin)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ws == Seq(1L, 4L))
+    // fuzziness + operator:and with a repeated token: same clause math, the
+    // per-distinct-term existential weighted by multiplicity
+    val fz = EsQueryJson.search(df,
+      """{"query": {"match": {"t": {"query": "alpha beta alpha",
+        | "fuzziness": 0, "operator": "and"}}},
+        | "sort": ["id"], "size": 10}""".stripMargin)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(fz == Seq(1L, 3L, 4L))  // default analyzer lowercases → 3 matches too
+    // partial msm over duplicate clauses: "alpha alpha gamma" msm=2 — a doc
+    // with only alpha satisfies TWO clauses (Lucene counts clauses, not terms)
+    val msm2 = EsQueryJson.search(df,
+      """{"query": {"match": {"t": {"query": "alpha alpha gamma",
+        | "minimum_should_match": 2}}},
+        | "sort": ["id"], "size": 10}""".stripMargin)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(msm2 == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("search_after composes with a custom sort `missing` substitute (ADVICE r15)") {
+    val sp = spark
+    import sp.implicits._
+    // v null on even ids; missing:0 sorts them AS value 0 (ES substitute
+    // semantics) — the sort key compiles to a coalesced computed column, so
+    // the cursor compares against the substituted value and the null-tail
+    // arms of the search_after predicate never engage
+    val df = (1L to 8L).map(i => (i, if (i % 2 == 0) None else Some(i * 10.0)))
+      .toDF("id", "v")
+    val body = (after: String) =>
+      s"""{"query": {"match_all": {}},
+         | "sort": [{"v": {"order": "asc", "missing": 0}}, "id"],
+         | $after"size": 3}""".stripMargin
+    val p1 = EsQueryJson.search(df, body("")).select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(p1 == Seq(2L, 4L, 6L))
+    // the cursor carries the SUBSTITUTED sort value (what ES returns in the
+    // hit's sort array): 0 for a missing-v doc
+    val p2 = EsQueryJson.search(df, body(""""search_after": [0, 6], """))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(p2 == Seq(8L, 1L, 3L))
+    val p3 = EsQueryJson.search(df, body(""""search_after": [30, 3], """))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(p3 == Seq(5L, 7L))
+  }
 }
