@@ -2547,7 +2547,13 @@ object EsQueryJson {
           val decay = Option(s.get("decay")).map(_.asDouble()).getOrElse(0.5)
           val dist0 = abs(field(f) - lit(origin))
           val dist = if (offset == 0.0) dist0 else greatest(dist0 - lit(offset), lit(0.0))
-          Some(shape match {
+          // ES: a doc MISSING the decay field gets 1.0 from the function
+          // (decay docs, "function will return 1.0"); the raw arithmetic
+          // instead null-poisoned gauss/exp — and LINEAR's zero-clamp
+          // greatest() SWALLOWED the null into 0.0, silently zeroing the
+          // function (both round-16 score-differential finds). An explicit
+          // isNull branch restores the ES constant for all three shapes.
+          Some(when(field(f).isNull, lit(1.0)).otherwise(shape match {
             // gauss(x) = decay ^ ((dist/scale)²) — the closed form of
             // exp(−dist²/2σ²) with σ² = −scale²/(2 ln decay)
             case "gauss" => pow(lit(decay), pow(dist / lit(scale), lit(2.0)))
@@ -2556,7 +2562,7 @@ object EsQueryJson {
             // linear(x) = max(1 − dist·(1−decay)/scale, 0) — the only shape
             // that reaches exactly zero (past scale/(1−decay) from origin)
             case _ => greatest(lit(1.0) - lit(1.0 - decay) * dist / lit(scale), lit(0.0))
-          })
+          }))
         } else if (fn.has("script_score")) {
           // painless-arithmetic subset: `doc['f'].value` refs become
           // column refs, the rest must be plain arithmetic — compiled
@@ -3733,15 +3739,36 @@ object EsQueryJson {
       pipes: Seq[(String, String, JsonNode)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     var out = based
-    pipes.foreach { case (nm, kind, spec) =>
+    // ES contract: VALUE pipes (derivative/moving_*/…) compute over the
+    // FULL bucket list; bucket_selector then drops buckets from the
+    // response and bucket_sort sorts/truncates the FINAL result. Applying
+    // them in JSON order instead made a value pipe after a sort/selector
+    // window over the truncated frame (round-16 pipeline-differential
+    // find) — and a selector/sort may now reference any pipe column
+    // regardless of where it appears in the (unordered, per the JSON spec)
+    // aggs map. Relative order within each group is preserved (forward
+    // chaining between value pipes keeps working).
+    val orderedPipes = {
+      val (rearrangers, values) =
+        pipes.partition(p => p._2 == "bucket_selector" || p._2 == "bucket_sort")
+      val (selectors, sorts) = rearrangers.partition(_._2 == "bucket_selector")
+      values ++ selectors ++ sorts
+    }
+    orderedPipes.foreach { case (nm, kind, spec) =>
       def path: Column = spec.get("buckets_path").asText() match {
         case "_count" => col("doc_count")
         case p => col(p)
       }
       kind match {
         case "cumulative_sum" => // double like ES's value (a _count path is long)
-          out = out.withColumn(nm, round(sum(path).over(
-            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4).cast("double"))
+          // ES emits the running sum for EVERY bucket, null inputs
+          // contributing nothing (CumulativeSumPipelineAggregator starts
+          // at 0 and skips null/NaN) — the raw window sum instead returned
+          // NULL over an all-null prefix, e.g. chained on a derivative's
+          // first bucket (round-16 pipeline-differential find)
+          out = out.withColumn(nm, round(coalesce(sum(path).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+            lit(0.0)), 4).cast("double"))
         case "derivative" => // null for the first bucket, ES behavior
           out = out.withColumn(nm, round(path - lag(path, 1).over(wOrd), 4).cast("double"))
         case "serial_diff" => // derivative at a configurable lag
@@ -3760,15 +3787,21 @@ object EsQueryJson {
               //   w₁=(1−α)^(m−1), wᵢ=α·(1−α)^(m−i) for i>1
               val alpha = Option(spec.get("settings"))
                 .flatMap(s => Option(s.get("alpha"))).map(_.asDouble()).getOrElse(0.3)
+              // collect_list skips nulls: a window of only-gap buckets
+              // (e.g. chained on a derivative's first bucket) is EMPTY —
+              // ES emits no value there (the raw fold emitted 0.0; the
+              // linear twin below divided by zero) — round-16
+              // pipeline-differential find, guarded on both models
               out = out
                 .withColumn("_mvals",
                   collect_list(path.cast("double")).over(wOrd.rowsBetween(-(n - 1), 0)))
                 .withColumn(nm, round(expr(
-                  s"""aggregate(
+                  s"""CASE WHEN size(_mvals) = 0 THEN CAST(NULL AS DOUBLE) ELSE
+                     |aggregate(
                      |  transform(_mvals, (x, i) ->
                      |    CASE WHEN i = 0 THEN pow(1.0d - $alpha, size(_mvals) - 1) * x
                      |         ELSE $alpha * pow(1.0d - $alpha, size(_mvals) - 1 - i) * x END),
-                     |  0.0d, (acc, x) -> acc + x)""".stripMargin), 6).cast("double"))
+                     |  0.0d, (acc, x) -> acc + x) END""".stripMargin), 6).cast("double"))
                 .drop("_mvals")
             case "linear" =>
               // ES linear model: weights 1..m increasing toward the newest
@@ -3778,9 +3811,10 @@ object EsQueryJson {
                 .withColumn("_mvals",
                   collect_list(path.cast("double")).over(wOrd.rowsBetween(-(n - 1), 0)))
                 .withColumn(nm, round(expr(
-                  """aggregate(transform(_mvals, (x, i) -> (i + 1) * x),
+                  """CASE WHEN size(_mvals) = 0 THEN CAST(NULL AS DOUBLE) ELSE
+                    |aggregate(transform(_mvals, (x, i) -> (i + 1) * x),
                     |  0.0d, (acc, x) -> acc + x)
-                    |/ (size(_mvals) * (size(_mvals) + 1) / 2)""".stripMargin), 6)
+                    |/ (size(_mvals) * (size(_mvals) + 1) / 2) END""".stripMargin), 6)
                   .cast("double"))
                 .drop("_mvals")
             case other => throw new IllegalArgumentException(

@@ -5377,6 +5377,78 @@ object TierB {
              |WHERE (list_contains(toks,'spark') AND list_contains(toks,'join'))
              |   OR list_contains(toks,'merge')
              |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // function_score decay over a doc MISSING the field: ES documents the
+    // function returns 1.0 — the raw arithmetic null-poisoned gauss/exp,
+    // and linear's zero-clamp greatest() swallowed the null into 0.0,
+    // silently zeroing the function (round-16 score-differential finds;
+    // both shapes pinned here through the multiply fold). mch nulls every
+    // 5th doc; those docs must score exactly 1.0 × 1.0.
+    Q("a236_es_json_decay_missing_field",
+      (s, d) => graft.dsl.EsQueryJson.search(
+        Tables.documents(s, d).withColumn("mch",
+          org.apache.spark.sql.functions.expr(
+            "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END")),
+        """{"query": {"function_score": {"functions": [
+          |   {"gauss": {"mch": {"origin": 500.0, "scale": 300.0}}},
+          |   {"linear": {"mch": {"origin": 500.0, "scale": 400.0, "decay": 0.3}}}]}},
+          | "sort": ["_score", "doc_id"], "size": 10000}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("score")),
+      Some("""SELECT doc_id,
+             |  round(1.0 * (
+             |    (CASE WHEN mch IS NULL THEN 1.0
+             |          ELSE pow(0.5, pow(abs(mch - 500.0) / 300.0, 2.0)) END)
+             |  * (CASE WHEN mch IS NULL THEN 1.0
+             |          ELSE greatest(1.0 - (1.0 - 0.3) * abs(mch - 500.0) / 400.0, 0.0) END)), 6) AS score
+             |FROM (SELECT doc_id,
+             |        CAST(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END AS DOUBLE) AS mch
+             |      FROM documents)
+             |ORDER BY doc_id LIMIT 10000""".stripMargin)),
+
+    // CHAINED pipelines across a gap: cumulative_sum over a derivative's
+    // null first bucket must emit the running sum from 0 (ES's
+    // CumulativeSumPipelineAggregator skips null inputs but emits EVERY
+    // bucket — the raw window sum returned NULL over the all-null prefix);
+    // moving_avg (simple) over the same path emits nothing while its
+    // window holds only gaps (round-16 pipeline-differential finds).
+    Q("a237_es_json_pipeline_gap_chain",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.documents(s, d),
+        """{"aggs": {"h": {"histogram": {"field": "n_chars", "interval": 50},
+          | "aggs": {"d": {"derivative": {"buckets_path": "_count"}},
+          |          "cs": {"cumulative_sum": {"buckets_path": "d"}},
+          |          "ma": {"moving_avg": {"buckets_path": "d", "window": 3}}}}}}""".stripMargin)("h"),
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(n_chars / 50.0) * 50.0 AS BIGINT) AS key, count(*) AS doc_count
+             |  FROM documents GROUP BY key),
+             |p AS (
+             |  SELECT key, doc_count,
+             |         round(doc_count - lag(doc_count) OVER (ORDER BY key), 4) AS d
+             |  FROM b)
+             |SELECT key, doc_count, d,
+             |       round(coalesce(sum(d) OVER (ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 4) AS cs,
+             |       round(avg(d) OVER (ORDER BY key ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma
+             |FROM p ORDER BY key""".stripMargin)),
+
+    // Pipeline JSON-order independence: the aggs map is UNORDERED per the
+    // JSON spec, so a bucket_sort declared BEFORE a value pipe must not
+    // starve it — value pipes compute over the FULL bucket list, then
+    // bucket_sort truncates the final result (ES contract; the engine
+    // applied pipes in JSON order and windowed the derivative over the
+    // truncated frame — round-16 pipeline-differential find). The kept
+    // buckets' derivatives reference predecessors OUTSIDE the kept set.
+    Q("a238_es_json_bucket_sort_before_pipe",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.documents(s, d),
+        """{"aggs": {"h": {"histogram": {"field": "n_chars", "interval": 200},
+          | "aggs": {"srt": {"bucket_sort": {"sort": [{"key": {"order": "desc"}}], "size": 3}},
+          |          "d": {"derivative": {"buckets_path": "_count"}}}}}}""".stripMargin)("h"),
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(n_chars / 200.0) * 200.0 AS BIGINT) AS key, count(*) AS doc_count
+             |  FROM documents GROUP BY key),
+             |p AS (
+             |  SELECT key, doc_count,
+             |         round(doc_count - lag(doc_count) OVER (ORDER BY key), 4) AS d
+             |  FROM b)
+             |SELECT key, doc_count, d FROM p ORDER BY key DESC LIMIT 3""".stripMargin)),
   )
 }
 

@@ -244,12 +244,18 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
                 (0 until 10).forall(j => st.get(s"k${i}_$j").exists(_.get("b").contains(i.toString)))
             }
             if (ok) complete.incrementAndGet() else torn.incrementAndGet()
-            // the ES-JSON battery rides the same snapshot frame
-            val hits = graft.dsl.EsQueryJson.search(
-              BucketedIndex.read(sp, dir),
-              s"""{"query": {"term": {"info.b": "${b}"}},
-                 | "sort": ["id"], "size": 100}""".stripMargin).count()
-            if (hits >= 1) esServed.incrementAndGet()
+            // the ES-JSON battery rides the same snapshot frame — but only
+            // while ingest runs (post-ingest laps just need the complete
+            // count; skipping the extra jobs keeps the drain fast when the
+            // machine is loaded — this test once hit the join timeout
+            // during a round-16 full-suite run under ambient load)
+            if (writing) {
+              val hits = graft.dsl.EsQueryJson.search(
+                BucketedIndex.read(sp, dir),
+                s"""{"query": {"term": {"info.b": "${b}"}},
+                   | "sort": ["id"], "size": 100}""".stripMargin).count()
+              if (hits >= 1) esServed.incrementAndGet()
+            }
           }
         } catch { case _: Throwable => transient0.incrementAndGet() }
       }
@@ -265,7 +271,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       if (i > 0 && i % 3 == 0) BucketedIndex.vacuum(dir)
     }
     writing = false
-    reader.join(120000)
+    reader.join(300000)
     assert(!reader.isAlive, "reader thread wedged")
     assert(torn.get() == 0, s"reader observed ${torn.get()} torn states")
     assert(complete.get() >= 5, s"too few complete reads: ${complete.get()}")
