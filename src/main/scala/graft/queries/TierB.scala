@@ -5449,6 +5449,26 @@ object TierB {
              |         round(doc_count - lag(doc_count) OVER (ORDER BY key), 4) AS d
              |  FROM b)
              |SELECT key, doc_count, d FROM p ORDER BY key DESC LIMIT 3""".stripMargin)),
+
+    // moving_fn with the ES shift frame: default shift 0 EXCLUDES the
+    // current bucket (frame [-window, -1]); shift = 1 slides one right
+    // (frame [-window+1, 0], trailing-inclusive). Window aggregates over
+    // an empty leading frame emit nothing. Pinned at the corpus level —
+    // previously only the pipeline-differential spec exercised moving_fn.
+    Q("a239_es_json_moving_fn_shift",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.documents(s, d),
+        """{"aggs": {"h": {"histogram": {"field": "n_chars", "interval": 50},
+          | "aggs": {"mx": {"moving_fn": {"buckets_path": "_count", "window": 3,
+          |                 "script": "MovingFunctions.max(values)"}},
+          |          "sm": {"moving_fn": {"buckets_path": "_count", "window": 2, "shift": 1,
+          |                 "script": "MovingFunctions.sum(values)"}}}}}}""".stripMargin)("h"),
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(n_chars / 50.0) * 50.0 AS BIGINT) AS key, count(*) AS doc_count
+             |  FROM documents GROUP BY key)
+             |SELECT key, doc_count,
+             |       round(max(doc_count) OVER (ORDER BY key ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS mx,
+             |       round(sum(doc_count) OVER (ORDER BY key ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 4) AS sm
+             |FROM b ORDER BY key""".stripMargin)),
   )
 }
 
