@@ -41,15 +41,46 @@ object BucketedIndex {
   def readManifest(dir: String): Map[Int, Long] = {
     val p = Paths.get(dir, "_MANIFEST")
     if (!Files.exists(p)) Map.empty
-    else Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
-      val Array(k, v) = l.split("="); k.toInt -> v.toLong
-    }.toMap
+    else parseManifest(Files.readAllLines(p).asScala.toSeq)
   }
 
-  private def writeManifest(dir: String, m: Map[Int, Long]): Unit = {
-    Files.createDirectories(Paths.get(dir))
+  private def parseManifest(lines: Seq[String]): Map[Int, Long] =
+    lines.filter(_.nonEmpty).map { l =>
+      val Array(k, v) = l.split("="); k.toInt -> v.toLong
+    }.toMap
+
+  /** Ordered ids of the retained manifest versions (the version log under
+    * `dir/manifests/`). Each successful publish — applyBatch or compact —
+    * appends one entry; [[vacuum]]'s grace window is expressed over this
+    * log (keep the newest N). Empty for pre-log index dirs. */
+  def manifestVersions(dir: String): Seq[Long] = {
+    val mdir = Paths.get(dir, "manifests")
+    if (!Files.exists(mdir)) Seq.empty
+    else Files.list(mdir).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("m")).map(_.stripPrefix("m").toLong).toSeq.sorted
+  }
+
+  /** The manifest as of a logged version id — the snapshot handle for
+    * [[readAt]]. Fails loudly if the version was vacuumed past. */
+  def readManifestAt(dir: String, version: Long): Map[Int, Long] = {
+    val p = Paths.get(dir, "manifests", s"m$version")
+    require(Files.exists(p),
+      s"manifest version $version is not retained (vacuumed past, or never published)")
+    parseManifest(Files.readAllLines(p).asScala.toSeq)
+  }
+
+  private def writeManifest(dir: String, m: Map[Int, Long], version: Long): Unit = {
+    Files.createDirectories(Paths.get(dir, "manifests"))
+    val body = m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n")
+    // version log FIRST (crash between the two writes leaves a logged
+    // version that never became current — harmless: vacuum counts it in
+    // the grace window, readers only pin versions they observed current)
+    val vtmp = Paths.get(dir, "manifests", s"m$version.tmp")
+    Files.writeString(vtmp, body)
+    Files.move(vtmp, Paths.get(dir, "manifests", s"m$version"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val tmp = Paths.get(dir, "_MANIFEST.tmp")
-    Files.writeString(tmp, m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+    Files.writeString(tmp, body)
     Files.move(tmp, Paths.get(dir, "_MANIFEST"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -58,11 +89,20 @@ object BucketedIndex {
     s"$dir/batches/b$ver/bucket=$bucket"
 
   /** Read the full current index (id, info). */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val m = readManifest(dir)
-    if (m.isEmpty) Merge.emptyIndex(spark)
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readAt(spark, dir, readManifest(dir))
+
+  /** Read the index PINNED to a resolved manifest — the point-in-time /
+    * scroll-context primitive (ES pins a scroll to the segments live at
+    * open time; here the manifest map IS that segment list). A cursor
+    * walk (search_after, composite, sliced scroll) during ingest resolves
+    * the manifest ONCE and serves every page from this call, so pages
+    * never straddle a publish. Pair with [[vacuum]]'s `keepLast` grace
+    * window so the pinned version's dirs outlive the walk. */
+  def readAt(spark: SparkSession, dir: String, manifest: Map[Int, Long]): DataFrame = {
+    if (manifest.isEmpty) Merge.emptyIndex(spark)
     else spark.read.schema(graft.Model.indexSchema)
-      .parquet(m.toSeq.map { case (k, v) => bucketPath(dir, k, v) }: _*)
+      .parquet(manifest.toSeq.map { case (k, v) => bucketPath(dir, k, v) }: _*)
   }
 
   /** Read only the given buckets' current state. */
@@ -109,7 +149,7 @@ object BucketedIndex {
         .map(_.getFileName.toString).filter(_.startsWith("bucket="))
         .map(_.stripPrefix("bucket=").toInt).toSet
       val newManifest = (manifest -- touched) ++ touched.filter(live).map(_ -> batchId)
-      writeManifest(dir, newManifest)
+      writeManifest(dir, newManifest, batchId)
       touched
     } finally folded.unpersist()
   }
@@ -145,13 +185,30 @@ object BucketedIndex {
     val live = Files.list(Paths.get(s"$dir/batches/b$compactId")).iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith("bucket="))
       .map(_.stripPrefix("bucket=").toInt).toSet
-    writeManifest(dir, live.map(_ -> compactId).toMap)
+    writeManifest(dir, live.map(_ -> compactId).toMap, compactId)
   }
 
-  /** Remove bucket dirs no longer referenced by the manifest. */
-  def vacuum(dir: String): Unit = {
-    val m = readManifest(dir)
-    val liveDirs = m.map { case (k, v) => Paths.get(bucketPath(dir, k, v)).normalize }.toSet
+  /** Remove bucket dirs no longer referenced by the RETAINED manifests.
+    *
+    * `keepLast` is the grace window (in manifest publishes): bucket dirs
+    * referenced by any of the newest `keepLast` manifest versions — plus
+    * the current `_MANIFEST`, always — survive, and older version-log
+    * entries are pruned. A reader that pinned a manifest ([[readAt]])
+    * within the last `keepLast` publishes therefore never races a delete;
+    * size it to exceed the longest expected cursor walk, the
+    * Delta-VACUUM-retention tradeoff. `keepLast = 1` (the default) keeps
+    * only the current version — the pre-grace behavior, where concurrent
+    * readers rely on catch-and-retry. */
+  def vacuum(dir: String, keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val logged = manifestVersions(dir)
+    val retained = logged.takeRight(keepLast)
+    logged.dropRight(keepLast).foreach(v =>
+      Files.deleteIfExists(Paths.get(dir, "manifests", s"m$v")))
+    val live: Seq[Map[Int, Long]] =
+      retained.map(v => readManifestAt(dir, v)) :+ readManifest(dir)
+    val liveDirs = live.flatten
+      .map { case (k, v) => Paths.get(bucketPath(dir, k, v)).normalize }.toSet
     val batches = Paths.get(dir, "batches")
     if (!Files.exists(batches)) return
     Files.list(batches).iterator().asScala.foreach { b =>

@@ -43,7 +43,9 @@ object Pipeline {
       triggerSeconds: Int = 30, // reference flush period, `observer6/ElasticSearchBulkOperator.java:61`
       maxFilesPerTrigger: Int = 16,
       vacuumEveryBatches: Int = 0, // incremental mode: GC superseded bucket versions every N batches (0 = never)
-      sketchDir: Option[String] = None) // maintain per-day HDR/HLL sketch tables ([[SketchTable]])
+      sketchDir: Option[String] = None, // maintain per-day HDR/HLL sketch tables ([[SketchTable]])
+      vacuumKeepManifests: Int = 1, // vacuum grace window: newest N manifest versions survive (readAt pinning)
+      compactAfterDirs: Int = 0) // auto-compact when the manifest fans out past N batch dirs (0 = manual only)
 
   object Config {
     /** Parse from string options (e.g. spark-submit --conf graft.*). */
@@ -55,7 +57,9 @@ object Pipeline {
       triggerSeconds = m.getOrElse("graft.trigger.seconds", "30").toInt,
       maxFilesPerTrigger = m.getOrElse("graft.maxFilesPerTrigger", "16").toInt,
       vacuumEveryBatches = m.getOrElse("graft.vacuum.everyBatches", "0").toInt,
-      sketchDir = m.get("graft.sketch.dir"))
+      sketchDir = m.get("graft.sketch.dir"),
+      vacuumKeepManifests = m.getOrElse("graft.vacuum.keepManifests", "1").toInt,
+      compactAfterDirs = m.getOrElse("graft.compact.afterDirs", "0").toInt)
   }
 
   def start(spark: SparkSession, cfg: Config): StreamingQuery =
@@ -155,15 +159,35 @@ object Pipeline {
     // sketches before the index (see applyBatch): idempotent pair
     cfg.sketchDir.foreach(sd => SketchTable.updateForBatch(
       spark, sd, batch.filter(!isMalformed), batchId))
+    // Auto-compaction needs a compaction id FRESH against every batch id
+    // (BucketedIndex.compact's lineage rule) without colliding with the
+    // NEXT stream batch — a collision would trip applyBatch's retry-skip
+    // guard and silently drop that batch. With compaction enabled the
+    // index therefore maps stream batch N to even id 2N and compactions
+    // to odd 2N+1 (both monotone, disjoint). The mapping is a property of
+    // the index LINEAGE: pick it at index birth (fresh dir + checkpoint),
+    // like any batch-id scheme change.
+    val indexId = if (cfg.compactAfterDirs > 0) 2 * batchId else batchId
     BucketedIndex.applyBatch(spark, cfg.indexDir,
-      batch.filter(!isMalformed), batchId, nBuckets)
-    // periodic GC of superseded bucket versions. Vacuum only deletes
-    // dirs the manifest no longer references; an external reader that
-    // resolved the manifest before the latest swap can still race it
-    // (the Delta-VACUUM-retention tradeoff) — size vacuumEveryBatches
-    // to exceed the longest expected reader
+      batch.filter(!isMalformed), indexId, nBuckets)
+    // fan-out policy: when the manifest references more than
+    // compactAfterDirs distinct batch dirs (each cold bucket pinned to
+    // the batch that last touched it), fold the whole index into one
+    // consolidated dir — bounds a reader's dirs-per-read at the policy
+    // knob. Crash between applyBatch and compact converges: the next
+    // trigger re-evaluates fan-out and the half-written odd dir is
+    // vacuum garbage.
+    if (cfg.compactAfterDirs > 0 &&
+        BucketedIndex.readManifest(cfg.indexDir).values.toSet.size > cfg.compactAfterDirs) {
+      BucketedIndex.compact(spark, cfg.indexDir, compactId = 2 * batchId + 1, nBuckets)
+    }
+    // periodic GC of superseded bucket versions. Vacuum keeps the newest
+    // vacuumKeepManifests manifest versions (the readAt grace window); a
+    // reader pinned FURTHER back than that can still race it (the
+    // Delta-VACUUM-retention tradeoff) — size keepLast × trigger period
+    // to exceed the longest expected cursor walk
     if (cfg.vacuumEveryBatches > 0 && batchId > 0 && batchId % cfg.vacuumEveryBatches == 0) {
-      BucketedIndex.vacuum(cfg.indexDir)
+      BucketedIndex.vacuum(cfg.indexDir, cfg.vacuumKeepManifests)
       cfg.sketchDir.foreach(SketchTable.vacuum)
     }
   }

@@ -126,6 +126,94 @@ class BucketedIndexSpec extends AnyFunSuite with SparkTestBase {
     assert((after - "k1") == (before - "k1"))
   }
 
+  test("readAt pins a manifest: cursor walk during ingest serves one snapshot") {
+    val dir = tmp()
+    val log = randomLog(240, seed = 23)
+    val chunks = log.grouped(40).toSeq // 6 batches
+    chunks.take(3).zipWithIndex.foreach { case (c, i) =>
+      BucketedIndex.applyBatch(spark, dir, mutDf(c), i, nBuckets = 8)
+    }
+    // the scroll/PIT open: resolve the manifest ONCE
+    val pinned = BucketedIndex.readManifest(dir)
+    assert(BucketedIndex.readManifestAt(dir, 2) == pinned,
+      "version log must record the manifest as of its publish")
+    val snapState = indexMap(BucketedIndex.readAt(spark, dir, pinned))
+    assert(snapState == indexMap(Merge.fold(mutDf(chunks.take(3).flatten))))
+    // walk the pinned snapshot in pages WHILE ingest continues; every page
+    // must come from the pinned version (reassembled walk == pinned state)
+    val pageSize = 7
+    var walked = Seq.empty[String]
+    var page = 0
+    var done = false
+    while (!done) {
+      // interleave: one more batch lands between pages while batches remain
+      if (page < chunks.size - 3)
+        BucketedIndex.applyBatch(spark, dir, mutDf(chunks(3 + page)), 3 + page, nBuckets = 8)
+      val ids = BucketedIndex.readAt(spark, dir, pinned)
+        .select("id").orderBy("id")
+        .collect().map(_.getString(0)).toSeq
+      val p = ids.slice(page * pageSize, (page + 1) * pageSize)
+      walked ++= p
+      done = p.size < pageSize
+      page += 1
+    }
+    assert(walked == snapState.keys.toSeq.sorted,
+      "pages straddled a publish: the pinned read drifted during ingest")
+    // the live read moved on
+    assert(indexMap(BucketedIndex.read(spark, dir)) == indexMap(Merge.fold(mutDf(log))))
+  }
+
+  test("vacuum grace window: a pinned reader within keepLast never races a delete") {
+    val dir = tmp()
+    (0 to 4).foreach { i =>
+      BucketedIndex.applyBatch(spark, dir,
+        mutDf(Seq(mut(s"k${i % 2}", "U", s"2024-01-01 00:00:0$i", i, ("f", "a", s"v$i")))),
+        i, nBuckets = 2)
+    }
+    assert(BucketedIndex.manifestVersions(dir) == Seq(0L, 1L, 2L, 3L, 4L))
+    val m2 = BucketedIndex.readManifestAt(dir, 2)
+    val at2 = indexMap(BucketedIndex.readAt(spark, dir, m2))
+    assert(at2 == Map("k0" -> Map("a" -> "v2"), "k1" -> Map("a" -> "v1")))
+    // grace window 3 retains versions {2,3,4}: the reader pinned at 2 is safe
+    BucketedIndex.vacuum(dir, keepLast = 3)
+    assert(BucketedIndex.manifestVersions(dir) == Seq(2L, 3L, 4L))
+    assert(indexMap(BucketedIndex.readAt(spark, dir, m2)) == at2,
+      "pinned read inside the grace window hit a vacuumed file")
+    // shrinking the window to 1 drops version 2's superseded dirs AND its
+    // log entry — a later pin attempt fails loudly instead of reading air
+    BucketedIndex.vacuum(dir, keepLast = 1)
+    assert(BucketedIndex.manifestVersions(dir) == Seq(4L))
+    intercept[IllegalArgumentException] { BucketedIndex.readManifestAt(dir, 2) }
+    assert(indexMap(BucketedIndex.read(spark, dir)) ==
+      Map("k0" -> Map("a" -> "v4"), "k1" -> Map("a" -> "v3")))
+  }
+
+  test("auto-compaction policy bounds manifest fan-out across a trickle soak") {
+    import graft.streaming.Pipeline
+    val dir = tmp()
+    val cfg = Pipeline.Config(
+      changeLogDir = "unused", indexDir = dir, checkpointDir = "unused",
+      vacuumEveryBatches = 3, vacuumKeepManifests = 2, compactAfterDirs = 4)
+    val log = randomLog(400, seed = 31)
+    val chunks = log.grouped(10).toSeq // 40 trickle batches
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      Pipeline.applyIncrementalBatch(spark, cfg, mutDf(c), i, nBuckets = 16)
+      val fanOut = BucketedIndex.readManifest(dir).values.toSet.size
+      assert(fanOut <= cfg.compactAfterDirs,
+        s"batch $i: manifest fans out over $fanOut dirs (policy ${cfg.compactAfterDirs})")
+    }
+    assert(indexMap(BucketedIndex.read(spark, dir)) == indexMap(Merge.fold(mutDf(log))),
+      "auto-compacted state diverged from the one-shot fold")
+    // compaction ids are odd (2N+1), stream ids even (2N): a RETRY of the
+    // last batch must hit the skip guard, not re-merge over its own dirs
+    val before = indexMap(BucketedIndex.read(spark, dir))
+    Pipeline.applyIncrementalBatch(spark, cfg, mutDf(chunks.last), chunks.size - 1, nBuckets = 16)
+    assert(indexMap(BucketedIndex.read(spark, dir)) == before)
+    // the policy actually fired at least once (odd id in the lineage)
+    assert(BucketedIndex.manifestVersions(dir).exists(_ % 2 == 1),
+      "fixture never triggered auto-compaction — weaken compactAfterDirs")
+  }
+
   test("vacuum removes superseded bucket versions, state still readable") {
     val dir = tmp()
     (0 to 3).foreach { i =>
