@@ -127,6 +127,35 @@ object EsQueryJson {
       shingleAnalyzers.value + (name -> ((minSize, maxSize, outputUnigrams))))(f)
   }
 
+  /** (edge_)ngram-analyzer registry (ES `edge_ngram` / `ngram` token
+    * filters in a custom analyzer — the canonical production autocomplete
+    * mapping): `withEdgeNgrams("ac", 1, 8) { ... }` makes a field bound
+    * via [[withIndexAnalyzer]] store each token's PREFIXES of length
+    * [min, max] ([[withNgrams]]: every substring of those lengths). The
+    * engine models the mapping ES itself documents for autocomplete —
+    * `search_analyzer: "standard"` — so the QUERY text stays
+    * standard-analyzed: typing "spa" term-matches docs whose stream
+    * stores the gram, while gramming the query too would make "spa" also
+    * match any doc sharing "s" (the documented footgun). Values are
+    * (minGram, maxGram, edge). Same DynamicVariable scoping as
+    * [[withTables]]. */
+  private val ngramAnalyzers =
+    new scala.util.DynamicVariable[Map[String, (Int, Int, Boolean)]](Map.empty)
+
+  def withEdgeNgrams[T](name: String, minGram: Int = 1, maxGram: Int = 20)(f: => T): T = {
+    require(minGram >= 1 && maxGram >= minGram,
+      s"edge_ngram sizes must satisfy 1 <= min <= max, got [$minGram, $maxGram]")
+    ngramAnalyzers.withValue(
+      ngramAnalyzers.value + (name -> ((minGram, maxGram, true))))(f)
+  }
+
+  def withNgrams[T](name: String, minGram: Int, maxGram: Int)(f: => T): T = {
+    require(minGram >= 1 && maxGram >= minGram,
+      s"ngram sizes must satisfy 1 <= min <= max, got [$minGram, $maxGram]")
+    ngramAnalyzers.withValue(
+      ngramAnalyzers.value + (name -> ((minGram, maxGram, false))))(f)
+  }
+
   /** ES `_analyze` honoring the REGISTERED analyzer chains: a synonym
     * analyzer emits expansion members at the ORIGINAL token's position
     * (type `SYNONYM` for added members, `word` for the surviving
@@ -163,6 +192,19 @@ object EsQueryJson {
           .withColumn("token_type", lit("word")))
       else Nil)
       parts.reduce(_ unionAll _)
+    } else if (ngramAnalyzers.value.contains(analyzer)) {
+      // (edge_)ngram filter: grams share the SOURCE token's position
+      // (filters emit at posIncrement 0 after the first gram; ES's
+      // _analyze reports the token position), type "word" as Lucene's
+      // (Edge)NGramTokenFilter leaves it
+      val (mn, mx, edge) = ngramAnalyzers.value(analyzer)
+      df.select(idCol.as("doc_id"),
+          posexplode(graft.ext.TextAnalysis.tokens(text)).as(Seq("position", "_tok")))
+        .select(col("doc_id"), col("position"),
+          explode(split(graft.functions.TextKernels.ngramStream(col("_tok"), mn, mx, edge), " "))
+            .as("token"))
+        .filter(col("token") =!= "")
+        .withColumn("token_type", lit("word"))
     } else EsDsl.analyzeApi(df, idCol, text, analyzer)
 
   /** Per-FIELD index-time analyzer binding — the ES mapping's `analyzer`
@@ -221,6 +263,14 @@ object EsQueryJson {
         // one compiled pass — the HOF form of this expansion ran
         // interpreted per token and dominated the a197 BM25 row
         graft.functions.TextKernels.shingleStream(field(f), mn, mx, uni)
+      case Some(an) if ngramAnalyzers.value.contains(an) =>
+        // index-time (edge_)ngram: the stored stream is the per-token
+        // gram expansion — gram terms get real df/tf and dl inflates to
+        // the gram count, the two deltas a search-time wildcard/prefix
+        // query cannot produce (and the reason autocomplete BM25 ranks
+        // short docs above long ones)
+        val (mn, mx, edge) = ngramAnalyzers.value(an)
+        graft.functions.TextKernels.ngramStream(field(f), mn, mx, edge)
       case Some("english") =>
         // index-time `english` (the ES mapping `"analyzer": "english"`):
         // the stored stream is the stopped+S-stemmed token stream. What
@@ -271,7 +321,9 @@ object EsQueryJson {
         Some(text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
           .filterNot(graft.functions.TextKernels.englishStopwords.contains)
           .map(graft.functions.TextKernels.stemEnglish).distinct)
-      case _ => None // synonyms: search_analyzer stays standard by mapping
+      case _ => None // synonyms + (edge_)ngrams: search_analyzer stays
+                     // standard by mapping (ES's own autocomplete setup —
+                     // gramming the query would match every shared 1-gram)
     }
 
   /** Phrase queries against an index-analyzed field: ES defaults the

@@ -378,6 +378,51 @@ object TextKernels {
   def shingleStream(text: Column, mn: Int, mx: Int, uni: Boolean): Column =
     column(ShingleStreamKernel(expression(text), mn, mx, uni))
 
+  /** The (edge_)ngram-filter token stream, space-joined (the stored-view
+    * trick — grams are `[a-z0-9_]+` substrings of standard tokens, so the
+    * re-join survives a `\W+` re-tokenize losslessly). Per standard token:
+    * `edge` emits its prefixes of length [mn, min(mx, len)] (Lucene's
+    * EdgeNGramTokenFilter — a token shorter than mn vanishes, exactly the
+    * ES 6.5 filter's behavior, no preserve_original); non-edge emits every
+    * substring of each length in [mn, mx] in (length, offset) order.
+    * Multiplicity kept: tf counts every emitted gram, dl counts the whole
+    * expanded stream (FieldInvertState.length counts all stacked tokens,
+    * the a197 shingle precedent). One compiled pass per row. */
+  case class NgramStreamKernel(child: Expression, mn: Int, mx: Int, edge: Boolean)
+      extends UnaryExpression with CodegenFallback with StringInputKernel {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(in: Any): Any = {
+      val toks = tokenize(in.asInstanceOf[UTF8String])
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        var n = mn
+        val top = math.min(mx, t.length)
+        while (n <= top) {
+          if (edge) {
+            if (sb.length > 0) sb.append(' ')
+            sb.append(t, 0, n)
+          } else {
+            var off = 0
+            while (off + n <= t.length) {
+              if (sb.length > 0) sb.append(' ')
+              sb.append(t, off, off + n)
+              off += 1
+            }
+          }
+          n += 1
+        }
+        i += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def ngramStream(text: Column, mn: Int, mx: Int, edge: Boolean): Column =
+    column(NgramStreamKernel(expression(text), mn, mx, edge))
+
   /** Gaps-and-islands filter over a SORTED ascending distinct int array:
     * keeps only elements belonging to maximal CONSECUTIVE runs of length
     * ≥ `minRun` (the ExactSubstr minimum-match-length rule applied to

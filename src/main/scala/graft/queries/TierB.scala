@@ -5469,6 +5469,48 @@ object TierB {
              |       round(max(doc_count) OVER (ORDER BY key ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS mx,
              |       round(sum(doc_count) OVER (ORDER BY key ROWS BETWEEN 1 PRECEDING AND CURRENT ROW), 4) AS sm
              |FROM b ORDER BY key""".stripMargin)),
+
+    // INDEX-TIME edge_ngram — the canonical ES autocomplete mapping
+    // (custom analyzer with the edge_ngram filter on the field, explicit
+    // search_analyzer: standard). Search-as-you-type: the typed prefixes
+    // "spa"/"st" term-match the stored gram stream, with REAL BM25 stats
+    // over it — gram df (how many docs contain a token with that prefix),
+    // gram tf (prefix multiplicity), and dl inflated to the gram count —
+    // none of which a search-time prefix/wildcard query produces. Oracle
+    // replays the expansion (prefixes of length [2, min(6, len)]) and the
+    // a197 BM25 form over it. Reference surface: ES 6.5 ships the filter
+    // built-in (`pom.xml:25-26` pins the delegated version).
+    Q("a240_es_json_edge_ngram_autocomplete",
+      (s, d) => graft.dsl.EsQueryJson.withEdgeNgrams("ac", minGram = 2, maxGram = 6) {
+        graft.dsl.EsQueryJson.withIndexAnalyzer("text", "ac") {
+          graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+            """{"query": {"match": {"text": "spa st"}},
+              | "sort": ["_score", "doc_id"], "size": 25}""".stripMargin)
+            .select(col("doc_id"), col("_score").as("score"))
+        }
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+             |  FROM documents),
+             |e AS (SELECT doc_id,
+             |        flatten(list_transform(w, tok ->
+             |          list_transform(generate_series(2, least(6, len(tok))), n -> tok[1:n]))) AS toks
+             |      FROM t),
+             |f AS (SELECT doc_id,
+             |        CAST(len(list_filter(toks, x -> x = 'spa')) AS DOUBLE) AS tf0,
+             |        CAST(len(list_filter(toks, x -> x = 'st')) AS DOUBLE) AS tf1,
+             |        CAST(len(toks) AS DOUBLE) AS dl
+             |      FROM e),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+             |              CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             |              CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+             |       FROM f),
+             |sc AS (SELECT doc_id,
+             |         round(CASE WHEN tf0 > 0 THEN ln(1 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0*(1.2+1))/(tf0 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)) ELSE 0 END
+             |             + CASE WHEN tf1 > 0 THEN ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1*(1.2+1))/(tf1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)) ELSE 0 END, 6) AS score
+             |       FROM f CROSS JOIN st WHERE tf0 > 0 OR tf1 > 0)
+             |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
   )
 }
 

@@ -1966,6 +1966,54 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(filt == Set(2L), "filter-context match honors the index-default search analyzer")
   }
 
+  test("index-time edge_ngram/ngram: prefix grams get df/tf, bounds and rejects hold") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "spark sql"), (2L, "spa"), (3L, "a")).toDF("doc_id", "text")
+    def hits(q: String, edge: Boolean) = {
+      def run = graft.dsl.EsQueryJson.search(docs,
+        s"""{"query": {"match": {"text": "$q"}}, "sort": ["_score", "doc_id"]}""")
+        .collect().map(_.getLong(0)).toSet
+      if (edge) graft.dsl.EsQueryJson.withEdgeNgrams("ac", 2, 4) {
+        graft.dsl.EsQueryJson.withIndexAnalyzer("text", "ac")(run)
+      } else graft.dsl.EsQueryJson.withNgrams("ng", 3, 3) {
+        graft.dsl.EsQueryJson.withIndexAnalyzer("text", "ng")(run)
+      }
+    }
+    // edge stored streams: doc1 = [sp spa spar sq sql], doc2 = [sp spa]
+    assert(hits("spar", edge = true) == Set(1L), "4-prefix isolates the longer word")
+    assert(hits("spa", edge = true) == Set(1L, 2L), "3-prefix matches both docs")
+    // the max_gram gotcha, faithfully: the FULL word exceeds max_gram=4,
+    // so no stored gram equals it — ES's documented autocomplete limit
+    assert(hits("spark", edge = true).isEmpty, "terms past max_gram must not match")
+    // a token shorter than min_gram vanishes from the stream entirely
+    assert(hits("a", edge = true).isEmpty, "sub-min_gram token must vanish")
+    // inner substrings: only the non-edge ngram filter stores them
+    assert(hits("par", edge = false) == Set(1L), "ngram stores inner substrings")
+    assert(hits("par", edge = true).isEmpty, "edge_ngram stores prefixes only")
+    // _analyze over the registered chain: grams carry the SOURCE token's
+    // position, lengths ascending per token
+    val toks = graft.dsl.EsQueryJson.withEdgeNgrams("ac", 2, 4) {
+      graft.dsl.EsQueryJson.analyzeApi(docs.filter($"doc_id" === 1L),
+        $"doc_id", $"text", "ac")
+        .select("position", "token").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    }
+    assert(toks == Seq((0, "sp"), (0, "spa"), (0, "spar"), (1, "sq"), (1, "sql")))
+    // phrase adjacency over a grammed stream would be silently corrupt —
+    // loud reject, as for shingle/synonym chains
+    intercept[IllegalArgumentException] {
+      graft.dsl.EsQueryJson.withEdgeNgrams("ac", 2, 4) {
+        graft.dsl.EsQueryJson.withIndexAnalyzer("text", "ac") {
+          graft.dsl.EsQueryJson.search(docs,
+            """{"query": {"match_phrase": {"text": "spark sql"}}}""").collect()
+        }
+      }
+    }
+    // size bounds reject loudly at registration
+    intercept[IllegalArgumentException] { graft.dsl.EsQueryJson.withEdgeNgrams("x", 0, 3)(()) }
+    intercept[IllegalArgumentException] { graft.dsl.EsQueryJson.withNgrams("x", 4, 2)(()) }
+  }
+
   test("index-time english: stems and stopwords live in the stored stream; cjk rejects") {
     val sp = spark
     import sp.implicits._
