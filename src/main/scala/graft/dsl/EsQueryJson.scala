@@ -815,20 +815,13 @@ object EsQueryJson {
         if (f.startsWith("info.")) EsDsl.existsKey(col("info"), f.stripPrefix("info."))
         else EsDsl.exists(col(f))
       case "script" =>
-        // filter-context `script` query: the painless-arithmetic/boolean
-        // subset — doc['f'].value refs bind to columns, painless's
-        // && / || / == spell SQL's AND / OR / =, and the result compiles
-        // through the SQL parser (codegen'd predicate, no interpreter —
-        // the script_score approach in filter position)
+        // filter-context `script` query: the painless subset
+        // ([[Painless.compile]] — doc refs, string methods, ternaries,
+        // Math.*) compiled through the SQL parser: a codegen'd
+        // predicate, no interpreter — the script_score approach in
+        // filter position
         val sNode = body.get("script")
-        val raw = scriptSource(sNode)
-        val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
-          .replaceAllIn(raw, m => m.group(1))
-          .replace("&&", " AND ").replace("||", " OR ")
-          .replace("!=", " <> ").replace("==", " = ")
-        require(bound.matches("[A-Za-z0-9_.+\\-*/()<>= ]+"),
-          s"unsupported script query after doc-ref binding: $bound")
-        expr(bound)
+        expr(Painless.compile(scriptSource(sNode)))
       case "prefix" =>
         val (f, v) = single(body)
         EsDsl.prefix(field(f), (if (v.isObject) v.get("value") else v).asText())
@@ -1346,12 +1339,12 @@ object EsQueryJson {
           val order = Option(spec.get("order")).map(_.asText())
           if (f == "_script") {
             val sNode = spec.get("script")
-            val raw = scriptSource(sNode)
-            val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
-              .replaceAllIn(raw, m => m.group(1))
-            require(bound.matches("[A-Za-z0-9_.+\\-*/() ]+"),
-              s"unsupported sort script after doc-ref binding: $bound")
-            (computed(round(expr(bound), 6)), order, None)
+            val bound = Painless.compile(scriptSource(sNode))
+            // ES script sorts declare "type": number|string; numeric keys
+            // take the 6-dp engine-stable rounding, string keys sort raw
+            val key = if (Option(spec.get("type")).map(_.asText()).contains("string"))
+              expr(bound) else round(expr(bound), 6)
+            (computed(key), order, None)
           } else if (f == "_geo_distance") {
             // geo sort: great-circle distance from an origin. The key is
             // the 4-dp haversine km ([[Geo.haversineKm]]) so boundary rows
@@ -1772,11 +1765,17 @@ object EsQueryJson {
       case Some(sfn) =>
         sfn.fields().asScala.toSeq.foldLeft(withDv) { (acc, e) =>
           val raw = scriptSource(e.getValue.get("script"))
-          val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
-            .replaceAllIn(raw, m => m.group(1))
-          require(bound.matches("[A-Za-z0-9_.+\\-*/() ]+"),
-            s"unsupported script_fields expression after doc-ref binding: $bound")
-          acc.withColumn(e.getKey, round(expr(bound), 6))
+          val c = expr(Painless.compile(raw))
+          val withIt = acc.withColumn(e.getKey, c)
+          // float outputs take the 6-dp engine-stable rounding; the
+          // string/int/boolean values the widened subset can now produce
+          // pass through exactly
+          withIt.schema(e.getKey).dataType match {
+            case org.apache.spark.sql.types.DoubleType |
+                 org.apache.spark.sql.types.FloatType =>
+              acc.withColumn(e.getKey, round(c, 6))
+            case _ => withIt
+          }
         }
       case None => withDv
     }
@@ -1940,11 +1939,10 @@ object EsQueryJson {
     val asn = "ctx\\._source\\.([A-Za-z0-9_]+)\\s*=\\s*(.+)".r
     raw match {
       case asn(target, rhs) =>
-        val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r.replaceAllIn(
-          "ctx\\._source\\.([A-Za-z0-9_.]+)".r.replaceAllIn(rhs, m => m.group(1)),
-          m => m.group(1))
-        require(bound.matches("[A-Za-z0-9_.+\\-*/() ]+"),
-          s"unsupported update script rhs after binding: $bound")
+        val ctxRe = "ctx\\._source\\.([A-Za-z0-9_.]+)".r
+        val ctxIds = ctxRe.findAllMatchIn(rhs).map(_.group(1)).toSet
+        val bound = Painless.compile(
+          ctxRe.replaceAllIn(rhs, m => m.group(1)), extraIds = ctxIds)
         val value =
           if (df.columns.contains(target)) expr(bound).cast(df.schema(target).dataType)
           else expr(bound)
@@ -2621,12 +2619,7 @@ object EsQueryJson {
           // through the SQL parser (codegen, no interpreter), the
           // bucket_script approach at the document level
           val sNode = fn.get("script_score").get("script")
-          val raw = scriptSource(sNode)
-          val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
-            .replaceAllIn(raw, m => m.group(1))
-          require(bound.matches("[A-Za-z0-9_.+\\-*/() ]+"),
-            s"unsupported script_score after doc-ref binding: $bound")
-          Some(expr(bound))
+          Some(expr(Painless.compile(scriptSource(sNode))))
         } else if (fn.has("random_score")) {
           // deterministic uniform [0,1): md5 of seed:field — ES's seeded
           // random_score is likewise a hash of (seed, field value), not an
@@ -3009,12 +3002,7 @@ object EsQueryJson {
     // shape as a plain column.
     lazy val raw0 = Option(spec.get("script")) match {
       case Some(sNode) =>
-        val src = scriptSource(sNode)
-        val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
-          .replaceAllIn(src, m => m.group(1))
-        require(bound.matches("[A-Za-z0-9_.+\\-*/() ]+"),
-          s"unsupported metric script after doc-ref binding: $bound")
-        expr(bound)
+        expr(Painless.compile(scriptSource(sNode)))
       case None => field(spec.get("field").asText())
     }
     // metric `missing`: docs without the field aggregate AS this value
@@ -3117,20 +3105,10 @@ object EsQueryJson {
         // aggregate: map-side combine for free, no per-doc interpreter,
         // same codegen as any built-in metric.
         require(cond.isEmpty, "scripted_metric inside a filters bucket is not supported")
-        def painless(raw: String): String = {
-          val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
-            .replaceAllIn(raw.trim, m => m.group(1))
-          require(!bound.startsWith("info."),
-            s"scripted_metric doc refs must be plain columns, got $bound")
-          val sql =
-            if (bound.contains("?")) { // one top-level ternary, painless `c ? a : b`
-              val Array(c, rest) = bound.split("\\?", 2)
-              val Array(a, b) = rest.split(":", 2)
-              s"IF(${c.trim}, ${a.trim}, ${b.trim})"
-            } else bound
-          require(sql.matches("[A-Za-z0-9_.+\\-*/()<>=!,' ]+"),
-            s"unsupported scripted_metric expression after binding: $sql")
-          sql
+        def painless(raw: String, extra: Set[String] = Set.empty): String = {
+          require(!raw.contains("doc['info."),
+            s"scripted_metric doc refs must be plain columns, got $raw")
+          Painless.compile(raw, extraIds = extra)
         }
         val stateRe = "state\\.([A-Za-z_][A-Za-z0-9_]*)\\s*\\+=\\s*(.+)".r
         val sums = spec.get("map_script").asText().split(";").map(_.trim).filter(_.nonEmpty)
@@ -3150,7 +3128,13 @@ object EsQueryJson {
         }
         require(!reduceSql.contains("states."),
           s"reduce_script references a state the map_script never accumulated: $reduceRaw")
-        Seq(aggName -> round(expr(painless(reduceSql)), 6).cast("double"))
+        // the substituted reduce text embeds the already-compiled
+        // sum(<map expr>) partials — allow the aggregate name and the
+        // map script's bound columns through the outer compile
+        val mapCols = "doc\\['([A-Za-z0-9_.]+)'\\]".r
+          .findAllMatchIn(spec.get("map_script").asText()).map(_.group(1)).toSet
+        Seq(aggName ->
+          round(expr(painless(reduceSql, extra = mapCols + "sum")), 6).cast("double"))
       case other => throw new IllegalArgumentException(s"unsupported metric: $other")
     }
   }
@@ -3360,14 +3344,8 @@ object EsQueryJson {
       * codegen'd like script_fields but at the bucket-key level. */
     private def termsRawKey: Column = Option(spec.get("script")) match {
       case Some(sNode) =>
-        val src = scriptSource(sNode)
-        val bound = "doc\\['([A-Za-z0-9_.]+)'\\]\\.value".r
-          .replaceAllIn(src, m => m.group(1))
-        val sql = if (Option(spec.get("value_type")).map(_.asText()).contains("string"))
-          bound.replace("+", "||") else bound
-        require(sql.matches("[A-Za-z0-9_.+\\-*/()|' ]+"),
-          s"unsupported terms script after doc-ref binding: $sql")
-        expr(sql)
+        expr(Painless.compile(scriptSource(sNode), stringConcat =
+          Option(spec.get("value_type")).map(_.asText()).contains("string")))
       case None => field(spec.get("field").asText())
     }
     /** ES terms `include`/`exclude`: bucket keys must (not) FULLY match
@@ -3900,10 +3878,10 @@ object EsQueryJson {
           val paths = spec.get("buckets_path").fields().asScala.toSeq
             .map(e => e.getKey -> (e.getValue.asText() match {
               case "_count" => "doc_count"; case p => p }))
-          val script = paths.foldLeft(spec.get("script").asText()) {
+          val substituted = paths.foldLeft(spec.get("script").asText()) {
             case (acc, (p, c)) => acc.replace(s"params.$p", c) }
-          require(script.matches("[A-Za-z0-9_.+\\-*/()<>=!& |]+"),
-            s"unsupported bucket script after param binding: $script")
+          val script = Painless.compile(substituted,
+            extraIds = paths.map(_._2).toSet)
           if (kind == "bucket_script")
             out = out.withColumn(nm, round(expr(script), 6).cast("double"))
           else out = out.filter(expr(script))

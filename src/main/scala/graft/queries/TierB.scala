@@ -5511,6 +5511,75 @@ object TierB {
              |             + CASE WHEN tf1 > 0 THEN ln(1 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1*(1.2+1))/(tf1 + 1.2*(1 - 0.75 + 0.75*dl/avgdl)) ELSE 0 END, 6) AS score
              |       FROM f CROSS JOIN st WHERE tf0 > 0 OR tf1 > 0)
              |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
+
+    // Widened painless subset, context 1 — script_fields: string methods
+    // (substring with Java's 0-based end-exclusive offsets, contains),
+    // ternary with STRING arms, Math.min/log. The compiled columns are
+    // codegen'd expressions (no interpreter); non-double outputs pass
+    // through unrounded.
+    Q("a241_es_json_painless_script_fields",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"term": {"lang": "en"}},
+          | "script_fields": {
+          |   "src_tail": {"script": "doc['source'].value.substring(3)"},
+          |   "has1": {"script": "doc['source'].value.contains('1') ? 'yes' : 'no'"},
+          |   "cap": {"script": "Math.min(doc['n_chars'].value, 500)"},
+          |   "lg": {"script": "Math.log(doc['n_chars'].value + 1)"}},
+          | "sort": ["doc_id"], "size": 50}""".stripMargin)
+        .select("doc_id", "src_tail", "has1", "cap", "lg"),
+      Some("""SELECT doc_id, substring(source, 4) AS src_tail,
+             |       CASE WHEN contains(source, '1') THEN 'yes' ELSE 'no' END AS has1,
+             |       least(n_chars, 500) AS cap, round(ln(n_chars + 1), 6) AS lg
+             |FROM documents WHERE lang = 'en' ORDER BY doc_id LIMIT 50""".stripMargin)),
+
+    // Widened painless subset, context 2 — filter-context script query:
+    // a ternary whose arms are a numeric comparison and a string
+    // startsWith — one codegen'd predicate, pushdown-friendly.
+    Q("a242_es_json_painless_script_query",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"bool": {"filter": [{"script": {"script":
+          |   "doc['lang'].value == 'en' ? doc['n_chars'].value > 600 : doc['source'].value.startsWith('src1')"
+          | }}]}},
+          | "sort": ["doc_id"], "size": 10000}""".stripMargin)
+        .select("doc_id", "lang", "source", "n_chars"),
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+             |WHERE CASE WHEN lang = 'en' THEN n_chars > 600
+             |           ELSE starts_with(source, 'src1') END
+             |ORDER BY doc_id LIMIT 10000""".stripMargin)),
+
+    // Widened painless subset, context 3 — script_score: Math.log and a
+    // ternary multiplier inside the function_score fold (a96's shape).
+    Q("a243_es_json_painless_script_score",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"function_score": {
+          |   "query": {"match": {"text": "spark"}},
+          |   "functions": [{"script_score": {"script": {
+          |      "source": "Math.log(1 + doc['n_chars'].value) * (doc['lang'].value == 'en' ? 2 : 1)"}}}],
+          |   "boost_mode": "multiply"}},
+          | "sort": [{"_score": {}}, "doc_id"], "size": 25}""".stripMargin)
+        .select(col("doc_id"), col("_score").as("fscore")),
+      Some(bm25Sql(Seq("spark"), extraCols = Seq("n_chars", "lang")) +
+        """
+          |SELECT doc_id, round(score * (ln(1 + n_chars) * (CASE WHEN lang = 'en' THEN 2 ELSE 1 END)), 6) AS fscore
+          |FROM sc WHERE score > 0
+          |ORDER BY fscore DESC, doc_id LIMIT 25""".stripMargin)),
+
+    // Widened painless subset, context 4 — bucket_script: ternary +
+    // Math.sqrt over buckets_path params (pipeline position).
+    Q("a244_es_json_painless_bucket_script",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(ord(s, d),
+        """{"aggs": {"by_m": {"date_histogram": {"field": "o_orderdate", "calendar_interval": "month"},
+          | "aggs": {"rev": {"sum": {"field": "o_totalprice"}},
+          |          "shaped": {"bucket_script": {
+          |             "buckets_path": {"r": "rev"},
+          |             "script": "params.r > 100000 ? Math.sqrt(params.r) : params.r / 1000.0"}}}}}}""".stripMargin)("by_m"),
+      Some("""WITH b AS (
+             |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS key,
+             |         count(*) AS doc_count, round(sum(o_totalprice), 4) AS rev
+             |  FROM orders GROUP BY key)
+             |SELECT key, doc_count, rev,
+             |       CAST(round(CASE WHEN rev > 100000 THEN sqrt(rev) ELSE rev / 1000.0 END, 6) AS DOUBLE) AS shaped
+             |FROM b ORDER BY key""".stripMargin)),
   )
 }
 

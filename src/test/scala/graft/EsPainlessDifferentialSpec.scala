@@ -1,0 +1,252 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Differential front 5 — the widened painless subset.
+  *
+  * Seeded generators produce painless-subset expressions as an AST that
+  * prints BOTH the painless source (compiled by [[graft.dsl.Painless]]
+  * through the engine's script contexts) and an independent plain-Scala
+  * evaluation (Java string semantics, IEEE double arithmetic mirroring
+  * the expression tree's association). Numeric and string expressions run
+  * through `script_fields`, booleans through the filter-context `script`
+  * query — the two ends of the script surface. Any divergence is an
+  * engine compile bug (offset-base shifts, precedence, ternary nesting,
+  * method-arg recursion).
+  *
+  * Deliberate subset contracts the twin ENCODES (not ES-painless-exact,
+  * documented at [[graft.dsl.Painless]]): out-of-range substring
+  * truncates (SQL) instead of throwing (Java), and `/` is SQL division
+  * (the generator always divides by a double literal, where painless and
+  * SQL agree).
+  */
+case class PainlessDoc(doc_id: Long, n_chars: Long, lang: String, source: String)
+
+class EsPainlessDifferentialSpec extends AnyFunSuite with SparkTestBase {
+
+  type Doc = PainlessDoc
+  private def Doc(id: Long, nc: Long, l: String, s: String) = PainlessDoc(id, nc, l, s)
+
+  private val fixture: Seq[Doc] = {
+    val langs = Seq("en", "de", "fr", "zz")
+    val srcs = Seq("", "a", "src1", "web_archive", "crawl9", "s", "src16")
+    (1L to 40L).map(i => Doc(i, (i * 37) % 997, langs((i % 4).toInt), srcs((i % 7).toInt)))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // generator node: painless text + the independent evaluation
+  case class NumG(p: String, f: Doc => Double)
+  case class StrG(p: String, f: Doc => String)
+  case class BoolG(p: String, f: Doc => Boolean)
+
+  private val needles = Seq("a", "src", "web", "1", "rc", "en")
+
+  private def numG(rnd: Random, depth: Int): NumG = {
+    val c = if (depth <= 0) rnd.nextInt(4) else 4 + rnd.nextInt(9)
+    c match {
+      case 0 => val v = rnd.nextInt(9) + 1; NumG(v.toString, _ => v.toDouble)
+      case 1 => val v = (rnd.nextInt(40) + 5) / 10.0; NumG(v.toString, _ => v)
+      case 2 => NumG("doc['n_chars'].value", _.n_chars.toDouble)
+      case 3 => NumG("doc['doc_id'].value", _.doc_id.toDouble)
+      case 4 | 5 =>
+        val op = Seq("+", "-", "*")(rnd.nextInt(3))
+        val a = numG(rnd, depth - 1); val b = numG(rnd, depth - 1)
+        NumG(s"(${a.p} $op ${b.p})", d => op match {
+          case "+" => a.f(d) + b.f(d)
+          case "-" => a.f(d) - b.f(d)
+          case _ => a.f(d) * b.f(d)
+        })
+      case 6 =>
+        val a = numG(rnd, depth - 1); val v = rnd.nextInt(8) + 2
+        NumG(s"(${a.p} / $v.0)", d => a.f(d) / v)
+      case 7 =>
+        val a = numG(rnd, depth - 1); val v = rnd.nextInt(8) + 2
+        NumG(s"(${a.p} % $v)", d => a.f(d) % v)
+      case 8 =>
+        val a = numG(rnd, depth - 1); val b = numG(rnd, depth - 1)
+        val fn = Seq("min", "max")(rnd.nextInt(2))
+        NumG(s"Math.$fn(${a.p}, ${b.p})",
+          d => if (fn == "min") math.min(a.f(d), b.f(d)) else math.max(a.f(d), b.f(d)))
+      case 9 =>
+        val a = numG(rnd, depth - 1)
+        rnd.nextInt(4) match {
+          case 0 => NumG(s"Math.abs(${a.p})", d => math.abs(a.f(d)))
+          case 1 => NumG(s"Math.log(Math.abs(${a.p}) + 1)", d => math.log(math.abs(a.f(d)) + 1))
+          case 2 => NumG(s"Math.sqrt(Math.abs(${a.p}))", d => math.sqrt(math.abs(a.f(d))))
+          case _ => NumG(s"Math.floor(${a.p})", d => math.floor(a.f(d)))
+        }
+      case 10 =>
+        // methods attach to doc refs only (the subset's one-method-per-ref rule)
+        val (p, f) = strRef(rnd)
+        if (rnd.nextBoolean()) NumG(s"$p.length()", d => f(d).length.toDouble)
+        else {
+          val n = needles(rnd.nextInt(needles.size))
+          NumG(s"$p.indexOf('$n')", d => f(d).indexOf(n).toDouble)
+        }
+      case _ =>
+        val c0 = boolG(rnd, depth - 1); val a = numG(rnd, depth - 1); val b = numG(rnd, depth - 1)
+        NumG(s"(${c0.p} ? ${a.p} : ${b.p})", d => if (c0.f(d)) a.f(d) else b.f(d))
+    }
+  }
+
+  // string method receivers must be doc refs (the subset binds ONE method
+  // per ref) — string COMPOSITION happens through the ternary
+  private def strRef(rnd: Random): (String, Doc => String) =
+    if (rnd.nextBoolean()) ("doc['source'].value", (d: Doc) => d.source)
+    else ("doc['lang'].value", (d: Doc) => d.lang)
+
+  private def strG(rnd: Random, depth: Int): StrG = {
+    val c = if (depth <= 0) rnd.nextInt(2) else rnd.nextInt(5)
+    c match {
+      case 0 =>
+        val (p, f) = strRef(rnd); StrG(p, f)
+      case 1 =>
+        val (p, f) = strRef(rnd)
+        rnd.nextInt(3) match {
+          case 0 =>
+            val a = rnd.nextInt(4)
+            // Java substring(begin): SQL truncation past the end (subset contract)
+            StrG(s"$p.substring($a)", d => f(d).drop(a))
+          case 1 =>
+            val a = rnd.nextInt(3); val b = a + rnd.nextInt(4)
+            StrG(s"$p.substring($a, $b)", d => f(d).slice(a, b))
+          case _ =>
+            val m = if (rnd.nextBoolean()) "toLowerCase" else "toUpperCase"
+            StrG(s"$p.$m()", d => if (m == "toLowerCase") f(d).toLowerCase else f(d).toUpperCase)
+        }
+      case _ =>
+        val c0 = boolG(rnd, depth - 1); val a = strG(rnd, depth - 1); val b = strG(rnd, depth - 1)
+        StrG(s"(${c0.p} ? ${a.p} : ${b.p})", d => if (c0.f(d)) a.f(d) else b.f(d))
+    }
+  }
+
+  private def boolG(rnd: Random, depth: Int): BoolG = {
+    val c = if (depth <= 0) rnd.nextInt(3) else rnd.nextInt(6)
+    c match {
+      case 0 =>
+        val op = Seq(">", ">=", "<", "<=", "==", "!=")(rnd.nextInt(6))
+        val a = numG(rnd, math.max(0, depth - 1)); val b = numG(rnd, math.max(0, depth - 1))
+        BoolG(s"(${a.p} $op ${b.p})", d => op match {
+          case ">" => a.f(d) > b.f(d)
+          case ">=" => a.f(d) >= b.f(d)
+          case "<" => a.f(d) < b.f(d)
+          case "<=" => a.f(d) <= b.f(d)
+          case "==" => a.f(d) == b.f(d)
+          case _ => a.f(d) != b.f(d)
+        })
+      case 1 =>
+        val (p, f) = strRef(rnd)
+        val m = Seq("contains", "startsWith", "endsWith")(rnd.nextInt(3))
+        val n = needles(rnd.nextInt(needles.size))
+        BoolG(s"$p.$m('$n')", d => m match {
+          case "contains" => f(d).contains(n)
+          case "startsWith" => f(d).startsWith(n)
+          case _ => f(d).endsWith(n)
+        })
+      case 2 =>
+        val (p, f) = strRef(rnd)
+        val lit = Seq("en", "de", "src1", "a")(rnd.nextInt(4))
+        val eq = rnd.nextBoolean()
+        BoolG(s"($p ${if (eq) "==" else "!="} '$lit')",
+          d => if (eq) f(d) == lit else f(d) != lit)
+      case 3 | 4 =>
+        val op = if (rnd.nextBoolean()) "&&" else "||"
+        val a = boolG(rnd, depth - 1); val b = boolG(rnd, depth - 1)
+        BoolG(s"(${a.p} $op ${b.p})",
+          d => if (op == "&&") a.f(d) && b.f(d) else a.f(d) || b.f(d))
+      case _ =>
+        val c0 = boolG(rnd, depth - 1); val a = boolG(rnd, depth - 1); val b = boolG(rnd, depth - 1)
+        BoolG(s"(${c0.p} ? ${a.p} : ${b.p})", d => if (c0.f(d)) a.f(d) else b.f(d))
+    }
+  }
+
+  private def df = {
+    val sp = spark
+    import sp.implicits._
+    fixture.toDF()
+  }
+
+  test("numeric + string script_fields match the independent twin (120 exprs)") {
+    val rnd = new Random(20260816L)
+    val nums = Seq.fill(80)(numG(rnd, 3))
+    val strs = Seq.fill(40)(strG(rnd, 2))
+    val d = df
+    // batched: 20 expressions per search body
+    nums.grouped(20).zipWithIndex.foreach { case (batch, bi) =>
+      val sf = batch.zipWithIndex.map { case (g, i) =>
+        s""""e$i": {"script": "${g.p.replace("\"", "\\\"")}"}"""
+      }.mkString(", ")
+      val body =
+        s"""{"query": {"match_all": {}}, "script_fields": {$sf},
+           | "sort": ["doc_id"], "size": ${fixture.size}}""".stripMargin
+      val rows = graft.dsl.EsQueryJson.search(d, body).collect()
+      assert(rows.length == fixture.size)
+      rows.foreach { r =>
+        val doc = fixture((r.getAs[Long]("doc_id") - 1).toInt)
+        batch.zipWithIndex.foreach { case (g, i) =>
+          val t = g.f(doc)
+          val ev = r.getAs[Any](s"e$i") match {
+            case l: Long => l.toDouble
+            case i2: Int => i2.toDouble
+            case x: Double => x
+            case other => fail(s"unexpected engine type for ${g.p}: $other")
+          }
+          assert(math.abs(ev - t) < 1e-9 || math.abs(ev - round6(t)) < 1e-9,
+            s"numeric divergence (batch $bi, e$i): ${g.p}\n doc=$doc engine=$ev twin=$t")
+        }
+      }
+    }
+    strs.grouped(20).zipWithIndex.foreach { case (batch, bi) =>
+      val sf = batch.zipWithIndex.map { case (g, i) =>
+        s""""s$i": {"script": "${g.p.replace("\"", "\\\"")}"}"""
+      }.mkString(", ")
+      val body =
+        s"""{"query": {"match_all": {}}, "script_fields": {$sf},
+           | "sort": ["doc_id"], "size": ${fixture.size}}""".stripMargin
+      val rows = graft.dsl.EsQueryJson.search(d, body).collect()
+      rows.foreach { r =>
+        val doc = fixture((r.getAs[Long]("doc_id") - 1).toInt)
+        batch.zipWithIndex.foreach { case (g, i) =>
+          assert(r.getAs[String](s"s$i") == g.f(doc),
+            s"string divergence (batch $bi, s$i): ${g.p}\n doc=$doc " +
+              s"engine=${r.getAs[String](s"s$i")} twin=${g.f(doc)}")
+        }
+      }
+    }
+  }
+
+  test("boolean script queries match the independent twin (60 predicates)") {
+    val rnd = new Random(99173L)
+    val d = df
+    Seq.fill(60)(boolG(rnd, 3)).zipWithIndex.foreach { case (g, i) =>
+      val body =
+        s"""{"query": {"bool": {"filter": [{"script": {"script":
+           |   "${g.p.replace("\"", "\\\"")}"}}]}},
+           | "sort": ["doc_id"], "size": ${fixture.size}}""".stripMargin
+      val got = graft.dsl.EsQueryJson.search(d, body)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      val want = fixture.filter(g.f).map(_.doc_id).toSet
+      assert(got == want,
+        s"predicate divergence ($i): ${g.p}\n engine=$got twin=$want")
+    }
+  }
+
+  test("loud rejects: unknown method, unknown identifier, Math.*, leftover syntax") {
+    import graft.dsl.Painless
+    intercept[IllegalArgumentException] { Painless.compile("doc['f'].value.reverse()") }
+    intercept[IllegalArgumentException] { Painless.compile("bogus(doc['f'].value)") }
+    intercept[IllegalArgumentException] { Painless.compile("Math.tan(doc['f'].value)") }
+    intercept[IllegalArgumentException] { Painless.compile("doc['f'].value ? 1 :") }
+    intercept[IllegalArgumentException] { Painless.compile("params.x + 1") }
+    intercept[IllegalArgumentException] { Painless.compile("doc['f'].date.year") }
+    intercept[IllegalArgumentException] { Painless.compile("doc['f'].value.substring(1, 2, 3)") }
+    // and the happy paths the rejects bracket
+    assert(Painless.compile("doc['f'].value.substring(1, 3)") == "substring(f, (1) + 1, (3) - (1))")
+    assert(Painless.compile("a > 1 ? 2 : b < 3 ? 4 : 5", extraIds = Set("a", "b")) ==
+      "IF(a > 1, 2, IF(b < 3, 4, 5))")
+    assert(Painless.compile("Math.pow(doc['x'].value, 2) != 4") == "power(x, 2)  <>  4")
+  }
+}
