@@ -2083,13 +2083,19 @@ object EsQueryJson {
         .withColumn("rank", row_number().over(w).cast("long"))
         .select(lit(name).as("request"), col(idCol).as("_doc"), col("rank"))
     }.reduce(_.unionByName(_))
-    val rated = hits.join(
+    // ES metrics consider the top min(k, retrieved) hits ONLY — a body
+    // `size` past k must not leak extra hits into the metrics — and
+    // precision's denominator is the RETRIEVED count, not k (ES's
+    // PrecisionAtK contract; short hit lists otherwise under-score).
+    // Differential find (EsApiDifferentialSpec); the sibling
+    // RankEval.rankEval always had the retrieved-count form.
+    val rated = hits.filter(col("rank") <= k).join(
       broadcast(ratings.select(col("request"), col("doc").as("_doc"),
         col("rating").cast("double").as("rating"))),
       Seq("request", "_doc"), "left")
       .withColumn("rel", coalesce(col("rating"), lit(0.0)) > 0)
     rated.groupBy("request").agg(
-      round(sum(when(col("rel"), 1.0).otherwise(0.0)) / k, 6).as("precision"),
+      round(sum(when(col("rel"), 1.0).otherwise(0.0)) / count(lit(1)), 6).as("precision"),
       round(coalesce(max(when(col("rel"), lit(1.0) / col("rank"))), lit(0.0)), 6)
         .as("reciprocal_rank"),
       round(sum(when(col("rel"),

@@ -5580,6 +5580,59 @@ object TierB {
              |SELECT key, doc_count, rev,
              |       CAST(round(CASE WHEN rev > 100000 THEN sqrt(rev) ELSE rev / 1000.0 END, 6) AS DOUBLE) AS shaped
              |FROM b ORDER BY key""".stripMargin)),
+
+    // _rank_eval edge shapes the a126 row cannot see (differential find,
+    // EsApiDifferentialSpec): a hit list SHORTER than k (precision's
+    // denominator is the RETRIEVED count — ES's PrecisionAtK contract)
+    // and a body size PAST k (metrics consider the top k hits only).
+    Q("a245_es_json_rank_eval_short_and_overfetch",
+      (s, d) => {
+        val o = ord(s, d)
+        def body(pri: String, size: Int) =
+          s"""{"query": {"term": {"o_orderpriority": "$pri"}},
+             | "sort": [{"o_totalprice": {"order": "desc"}}, "o_orderkey"],
+             | "size": $size}""".stripMargin
+        val rating = when(col("o_totalprice") > 250000, 3)
+          .when(col("o_totalprice") > 200000, 2)
+          .when(col("o_totalprice") > 150000, 1).otherwise(0)
+        def rated(name: String, pri: String) =
+          o.filter(col("o_orderpriority") === pri)
+            .select(lit(name).as("request"), col("o_orderkey").as("doc"),
+              rating.as("rating"))
+            .filter(col("rating") > 0)
+        graft.dsl.EsQueryJson.rankEval(o,
+          Seq(
+            ("overfetch", body("2-HIGH", 15),
+              Seq(col("o_totalprice").desc, col("o_orderkey").asc)),
+            ("shortlist", body("1-URGENT", 6),
+              Seq(col("o_totalprice").desc, col("o_orderkey").asc))),
+          idCol = "o_orderkey",
+          ratings = rated("shortlist", "1-URGENT").unionByName(rated("overfetch", "2-HIGH")),
+          k = 10)
+      },
+      Some("""WITH hits AS (
+             |  SELECT * FROM (
+             |    SELECT 'shortlist' AS request, o_orderkey AS doc, o_totalprice,
+             |           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+             |    FROM orders WHERE o_orderpriority = '1-URGENT') WHERE rank <= 6
+             |  UNION ALL
+             |  SELECT * FROM (
+             |    SELECT 'overfetch' AS request, o_orderkey AS doc, o_totalprice,
+             |           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+             |    FROM orders WHERE o_orderpriority = '2-HIGH') WHERE rank <= 15),
+             |r AS (SELECT request, rank,
+             |             CASE WHEN o_totalprice > 250000 THEN 3
+             |                  WHEN o_totalprice > 200000 THEN 2
+             |                  WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS rating
+             |      FROM hits WHERE rank <= 10)
+             |SELECT request,
+             |       round(sum(CASE WHEN rating > 0 THEN 1.0 ELSE 0.0 END) / count(*), 6) AS "precision",
+             |       round(COALESCE(max(CASE WHEN rating > 0 THEN 1.0 / rank END), 0.0), 6)
+             |         AS reciprocal_rank,
+             |       round(sum(CASE WHEN rating > 0
+             |                 THEN (pow(2.0, rating) - 1) / log2(rank + 1.0)
+             |                 ELSE 0.0 END), 6) AS dcg
+             |FROM r GROUP BY request ORDER BY request""".stripMargin)),
   )
 }
 
