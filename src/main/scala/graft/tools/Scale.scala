@@ -1325,3 +1325,75 @@ object ScaleRound15 {
     spark.stop()
   }
 }
+
+/** Round-16 serving-path scale probe (VERDICT item 6): synthesize a 10×
+  * corpus — `documents` and `orders` replicated 10× with perturbed ids,
+  * dimension tables kept 1× (the realistic fact/dim shape) — and run the
+  * slowest ES-JSON serving rows at 1× and 10×. Linear scaling shows as a
+  * ratio near 10 minus fixed overhead; a ratio well past it flags a
+  * hidden superlinear term the sf0.1 corpus is too small to surface.
+  * Results recorded in BASELINE.md. */
+object ScaleRound16 {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = "/tmp/scale16/sf10x"
+
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    // build the 10× dir: replicate the two fact tables with id
+    // perturbation (text/keys otherwise identical — df and N scale
+    // together, so BM25 work scales with the corpus), pass dims through
+    val rep = spark.range(10).select(col("id").as("_rep"))
+    spark.read.parquet(s"$src/documents.parquet").crossJoin(rep)
+      .withColumn("doc_id", col("doc_id") * 10 + col("_rep")).drop("_rep")
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    spark.read.parquet(s"$src/orders.parquet").crossJoin(rep)
+      .withColumn("o_orderkey", col("o_orderkey") * 16 + col("_rep")).drop("_rep")
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    Seq("customer", "supplier", "part", "nation", "region", "lineitem",
+      "events", "embeddings").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    println("SCALEINFO 10x dir built")
+
+    val rows = Seq(
+      "a118_more_like_this_bm25", "a38_more_like_this", "a209_es_json_more_like_this",
+      "a171_es_json_index_time_synonyms", "a197_es_json_index_time_shingles",
+      "a204_es_json_index_time_english", "a206_es_json_shingle_search_analyzer",
+      "a240_es_json_edge_ngram_autocomplete", "a235_es_json_scored_bool_should_gating",
+      "a39_es_json_rescore", "a31_es_json_bool_score", "a21_es_json_top_hits",
+      "a22_es_json_percentiles", "a131_es_json_nested_sort", "a122_es_json_sort_mode",
+      "a28_es_json_nested", "a94_es_json_reverse_nested", "a79_es_json_nested_agg",
+      "a103_es_json_parent_join", "a113_es_json_children_agg", "a143_es_json_inner_hits")
+
+    // warm both dirs so neither side pays first-scan costs
+    Seq(src, dst).foreach { d =>
+      materialize(spark.read.parquet(s"$d/documents.parquet"))
+      materialize(spark.read.parquet(s"$d/orders.parquet"))
+    }
+
+    def time(name: String, dir: String): Double =
+      (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        materialize(graft.SparkEntry.queries(name)(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    println(f"${"row"}%-42s ${"t1x"}%8s ${"t10x"}%8s ${"ratio"}%7s")
+    var worst = ("", 0.0)
+    rows.foreach { n =>
+      val t1 = time(n, src)
+      val t10 = time(n, dst)
+      val r = t10 / t1
+      if (r > worst._2) worst = (n, r)
+      println(f"SCALE16 $n%-40s $t1%8.2f $t10%8.2f $r%7.2fx")
+    }
+    println(f"SCALE16 worst ratio: ${worst._1} ${worst._2}%.2fx")
+    spark.stop()
+  }
+}
