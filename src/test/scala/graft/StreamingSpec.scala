@@ -281,6 +281,62 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert((0 until nBatches).forall(i => fin.contains(s"batch_$i")))
   }
 
+  test("pinned reader inside the vacuum grace window: zero retries, stable pages") {
+    // The round-16 contract upgrade over catch-and-retry: a cursor walk
+    // pins the manifest once (readAt) and every page comes from that
+    // snapshot; vacuum(keepLast) guarantees the pinned version's dirs
+    // survive the next keepLast−1 publishes. Maximal delete pressure —
+    // vacuum after EVERY batch — with keepLast=8 while a reader thread
+    // loops pin → 3 page reads → verify stability. ANY exception in the
+    // reader is a failed contract (the old reader needed catch-and-retry
+    // here; StreamingSpec's concread test shows those retries firing).
+    import graft.streaming.BucketedIndex
+    val dir = tmpDir("graft-grace-idx")
+    val nBatches = 25
+    val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val drift = new java.util.concurrent.atomic.AtomicInteger(0)
+    val walks = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var writing = true
+    val sp = spark
+    BucketedIndex.applyBatch(spark, dir,
+      mutDf(Seq(mut("seed", "U", "2024-01-01 00:00:00", 0, ("f", "b", "s")))),
+      batchId = 0, nBuckets = 8)
+    val reader = new Thread(() => {
+      while (writing || walks.get() < 3) {
+        try {
+          val pinned = BucketedIndex.readManifest(dir)
+          val first = indexMap(BucketedIndex.readAt(sp, dir, pinned))
+          (1 to 2).foreach { _ =>
+            val page = indexMap(BucketedIndex.readAt(sp, dir, pinned))
+            if (page != first) drift.incrementAndGet()
+          }
+          walks.incrementAndGet()
+        } catch { case _: Throwable => retries.incrementAndGet() }
+      }
+    })
+    reader.start()
+    (1 until nBatches).foreach { i =>
+      val docs = (0 until 8).map(j =>
+        mut(s"g${i}_$j", "U", f"2024-01-01 00:${i}%02d:${j}%02d", i.toLong * 100 + j,
+          ("f", "b", i.toString)))
+      BucketedIndex.applyBatch(spark, dir, mutDf(docs), batchId = i, nBuckets = 8)
+      BucketedIndex.vacuum(dir, keepLast = 8) // delete pressure every publish
+    }
+    writing = false
+    reader.join(300000)
+    assert(!reader.isAlive, "pinned reader wedged")
+    assert(retries.get() == 0,
+      s"pinned reader inside the grace window hit ${retries.get()} vacuumed files")
+    assert(drift.get() == 0, s"${drift.get()} pages drifted off their pinned snapshot")
+    assert(walks.get() >= 3, s"too few completed walks: ${walks.get()}")
+    // the window is a GRACE, not a leak: only the retained manifests'
+    // dirs survive on disk (25 publishes, far fewer batch dirs left)
+    BucketedIndex.vacuum(dir, keepLast = 1)
+    val left = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "batches"))
+      .iterator().asScala.size
+    assert(left <= 8, s"vacuum leaked $left batch dirs")
+  }
+
   test("streaming incremental dedup: standing corpus grows per batch, later dups rejected") {
     val sp = spark
     import sp.implicits._
