@@ -12,6 +12,14 @@ import scala.util.Random
   * internal` ES 6.5 ships — own ranking. The term-suggest twin skips the
   * engine's length PRE-FILTER entirely, so it also adjudicates the claim
   * that |len(term) − len(token)| ≤ maxEdits is implied by OSA ≤ maxEdits.
+  *
+  * Engine calls run inside [[graft.functions.EditDistance.withLuceneParity]]
+  * (= OSA, the twin's DP). The engine DEFAULT is true-DL (the
+  * DuckDB-mirrorable variant the oracle rows pin); the two diverge
+  * exactly on the a196 family — the first fresh-seed sweep surfaced
+  * osa("stream","setam")=3 vs DL=2 (delete the interleaved 'r', THEN
+  * transpose) before this scoping, confirming the routed modes differ
+  * where documented.
   */
 class EsSuggestDifferentialSpec extends AnyFunSuite with SparkTestBase {
 
@@ -92,9 +100,10 @@ class EsSuggestDifferentialSpec extends AnyFunSuite with SparkTestBase {
       val mode = Seq("always", "missing", "popular")(ci % 3)
       val maxEdits = 1 + rnd.nextInt(2)
       val size = 3 + rnd.nextInt(3)
-      val got = graft.dsl.Suggest.termSuggest(d, col("doc_id"), col("text"),
+      val got = graft.functions.EditDistance.withLuceneParity {
+        graft.dsl.Suggest.termSuggest(d, col("doc_id"), col("text"),
           text, size = size, maxEdits = maxEdits, mode = mode)
-        .collect().map(r => (r.getAs[String]("token"), r.getAs[Int]("rank"),
+      }.collect().map(r => (r.getAs[String]("token"), r.getAs[Int]("rank"),
           r.getAs[String]("suggestion"), r.getAs[Int]("distance"),
           r.getAs[Long]("doc_freq"))).toSet
       val want = toks(text).distinct.flatMap { tok =>
@@ -128,9 +137,10 @@ class EsSuggestDifferentialSpec extends AnyFunSuite with SparkTestBase {
       val prefix = if (fuzz == 0) p0 else typo(p0, 1, rnd)
       val fpl = 1 + rnd.nextInt(2)
       val size = 4
-      val got = graft.dsl.Suggest.completionSuggest(d, col("doc_id"), col("text"),
+      val got = graft.functions.EditDistance.withLuceneParity {
+        graft.dsl.Suggest.completionSuggest(d, col("doc_id"), col("text"),
           prefix, size = size, fuzziness = fuzz, fuzzyPrefixLength = fpl)
-        .collect().map(r => (r.getAs[String]("suggestion"), r.getAs[Long]("weight"))).toSeq
+      }.collect().map(r => (r.getAs[String]("suggestion"), r.getAs[Long]("weight"))).toSeq
       val p = prefix.toLowerCase
       def matches(term: String): Boolean =
         if (fuzz == 0) term.startsWith(p)
@@ -162,9 +172,10 @@ class EsSuggestDifferentialSpec extends AnyFunSuite with SparkTestBase {
         typo(vocabWords(rnd.nextInt(vocabWords.size)), rnd.nextInt(2), rnd)).mkString(" ")
       val shardSize = 3 + rnd.nextInt(3)
       val size = 3
-      val got = graft.dsl.Suggest.phraseSuggest(d, col("doc_id"), col("text"),
+      val got = graft.functions.EditDistance.withLuceneParity {
+        graft.dsl.Suggest.phraseSuggest(d, col("doc_id"), col("text"),
           text, size = size, shardSize = shardSize, maxEdits = 1)
-        .collect().map(r => (r.getAs[String]("suggestion"), r.getAs[Long]("score"))).toSeq
+      }.collect().map(r => (r.getAs[String]("suggestion"), r.getAs[Long]("score"))).toSeq
       val ts = toks(text)
       val byPos: Seq[Seq[(String, Long, Long)]] = ts.map { tok =>
         vocab.toSeq.map { case (term, (dfq, tf)) => (term, dfq, tf) }
