@@ -1397,3 +1397,82 @@ object ScaleRound16 {
     spark.stop()
   }
 }
+
+/** Round-16b streaming probe: the continuation's index features at scale —
+  * auto-compaction policy + manifest-pinned readers under a vacuum grace
+  * window — against a 300k-key standing index with hot-key trickle
+  * batches (the ScaleRound15 fan-out regime). Proves at probe scale what
+  * BucketedIndexSpec proves at unit scale: dirs-per-read stays bounded at
+  * the policy knob, and a reader pinned inside the grace window never
+  * retries while vacuum runs after every publish. */
+object ScaleRound16b {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.DataFrame
+    import graft.streaming.{BucketedIndex, Pipeline}
+    import scala.jdk.CollectionConverters._
+
+    val root = java.nio.file.Files.createTempDirectory("graft-r16b").toString
+    val dir = s"$root/index"
+    val cfg = Pipeline.Config(
+      changeLogDir = "unused", indexDir = dir, checkpointDir = "unused",
+      vacuumEveryBatches = 1, vacuumKeepManifests = 4, compactAfterDirs = 6)
+    val nBuckets = 1024
+
+    def cells(b: Int) = array(
+      struct(lit("f").as("family"), lit("v").as("qualifier"),
+        repeat(lit("x"), (pmod(hash(col("id"), lit(b + 9)), lit(120)) + 1).cast("int"))
+          .as("value"))).as("cells")
+
+    def mkBatch(b: Int): DataFrame =
+      if (b == 0) spark.range(300_000).select(
+        concat(lit("u"), col("id")).as("row_key"), lit("U").as("op"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 1000L).as("ts"),
+        col("id").as("seq"), cells(0))
+      else spark.range(2_000).select(
+        concat(lit("u"), pmod(hash(col("id"), lit(b)), lit(40L)) * 7000L +
+          lit(b % 40)).as("row_key"),
+        lit("U").as("op"),
+        timestamp_micros(lit(1700000000000000L) + lit(b.toLong) * 3600000000L +
+          (col("id") % 3500L) * 1000000L).as("ts"),
+        (lit(b.toLong * 100_000L) + col("id")).as("seq"), cells(b))
+
+    val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val walks = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var writing = true
+    val sp = spark
+    Pipeline.applyIncrementalBatch(spark, cfg, mkBatch(0), 0, nBuckets)
+    val reader = new Thread(() => {
+      while (writing) {
+        try {
+          val pinned = BucketedIndex.readManifest(dir)
+          val n0 = BucketedIndex.readAt(sp, dir, pinned).count()
+          val n1 = BucketedIndex.readAt(sp, dir, pinned).count()
+          require(n0 == n1, s"pinned snapshot drifted: $n0 != $n1")
+          walks.incrementAndGet()
+        } catch { case _: Throwable => retries.incrementAndGet() }
+      }
+    })
+    reader.start()
+    var maxFan = 0
+    val t0 = System.nanoTime()
+    (1 until 60).foreach { b =>
+      Pipeline.applyIncrementalBatch(spark, cfg, mkBatch(b), b, nBuckets)
+      val fan = BucketedIndex.readManifest(dir).values.toSet.size
+      maxFan = math.max(maxFan, fan)
+    }
+    val ingestS = (System.nanoTime() - t0) / 1e9
+    writing = false
+    reader.join(300000)
+    val rows = BucketedIndex.read(spark, dir).count()
+    val dirsLeft = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "batches"))
+      .iterator().asScala.size
+    println(f"SCALE16B 60 trickle batches onto 300k keys in $ingestS%.1f s " +
+      f"(maxFan=$maxFan policy=${cfg.compactAfterDirs} dirsOnDisk=$dirsLeft rows=$rows)")
+    println(s"SCALE16B pinned reader: walks=${walks.get()} retries=${retries.get()}")
+    require(maxFan <= cfg.compactAfterDirs, s"fan-out $maxFan exceeded policy")
+    require(retries.get() == 0, s"pinned reader retried ${retries.get()} times")
+    spark.stop()
+  }
+}
