@@ -3701,10 +3701,7 @@ object EsQueryJson {
             // dashboard shape)
             val part = levels.init.map(l => col(l.name))
             val ord = col(levels.last.name)
-            applyBucketPipes(g,
-              org.apache.spark.sql.expressions.Window
-                .partitionBy(part: _*).orderBy(ord),
-              part :+ ord, pipes)
+            applyBucketPipes(g, part, Seq(ord), part :+ ord, pipes)
           }
         }
       case "top_hits" => // bare top_hits: global top-n (one implicit bucket)
@@ -3758,39 +3755,64 @@ object EsQueryJson {
       case None => g.orderBy("key")
     }
     if (pipes.isEmpty) return based
-    applyBucketPipes(based,
-      org.apache.spark.sql.expressions.Window.orderBy(col("key")),
-      Seq(col("key")), pipes)
+    applyBucketPipes(based, Seq.empty, Seq(col("key")), Seq(col("key")), pipes)
   }
 
-  /** Parent pipeline aggs over a finished bucket frame. `wOrd` supplies
-    * the series window — key-ordered for single-level buckets,
-    * PARTITIONED BY the outer bucket keys for nested ones (derivative /
+  /** Parent pipeline aggs over a finished bucket frame — the series
+    * window is key-ordered for single-level buckets, PARTITIONED BY the
+    * outer bucket keys (`partCols`) for nested ones (derivative /
     * moving_avg PER SERIES, the terms×date_histogram dashboard shape);
     * each partition is one series' bounded bucket list, so the window
-    * never sees raw rows. */
+    * never sees raw rows.
+    *
+    * Execution order is ES 6.5's own (`AggregatorFactories.Builder#
+    * resolvePipelineAggregatorOrder`): a STABLE DECLARATION-ORDER DFS
+    * topological sort over buckets_path references among the sibling
+    * pipes, cycles rejected with ES's own error. The ordered pipes then
+    * reduce SEQUENTIALLY over the evolving bucket list, exactly like
+    * ES's reduce phase: a bucket_selector ordered before a value pipe
+    * removes buckets from the series that pipe windows over, and a
+    * bucket_sort reorders/truncates the list later pipes iterate (a
+    * derivative after a desc bucket_sort diffs desc-consecutive
+    * buckets). ES parses aggs with order-preserving XContent, so JSON
+    * declaration order is meaningful — the round-16 values-first
+    * regrouping (justified by "the JSON aggs map is unordered") matched
+    * only its own twin; ADVICE r16 flagged it. */
   private def applyBucketPipes(based: DataFrame,
-      wOrd: org.apache.spark.sql.expressions.WindowSpec,
+      partCols: Seq[Column], keyOrd: Seq[Column],
       defaultOrder: Seq[Column],
       pipes: Seq[(String, String, JsonNode)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     var out = based
-    // ES contract: VALUE pipes (derivative/moving_*/…) compute over the
-    // FULL bucket list; bucket_selector then drops buckets from the
-    // response and bucket_sort sorts/truncates the FINAL result. Applying
-    // them in JSON order instead made a value pipe after a sort/selector
-    // window over the truncated frame (round-16 pipeline-differential
-    // find) — and a selector/sort may now reference any pipe column
-    // regardless of where it appears in the (unordered, per the JSON spec)
-    // aggs map. Relative order within each group is preserved (forward
-    // chaining between value pipes keeps working).
-    val orderedPipes = {
-      val (rearrangers, values) =
-        pipes.partition(p => p._2 == "bucket_selector" || p._2 == "bucket_sort")
-      val (selectors, sorts) = rearrangers.partition(_._2 == "bucket_selector")
-      values ++ selectors ++ sorts
+    val byName = pipes.map(p => p._1 -> p).toMap
+    def deps(kind: String, spec: JsonNode): Seq[String] = {
+      val raw: Seq[String] = kind match {
+        case "bucket_script" | "bucket_selector" =>
+          spec.get("buckets_path").fields().asScala.toSeq.map(_.getValue.asText())
+        case "bucket_sort" =>
+          Option(spec.get("sort")).map(_.elements().asScala.toSeq.map(e => single(e)._1))
+            .getOrElse(Nil)
+        case _ => Seq(spec.get("buckets_path").asText())
+      }
+      raw.map(_.split(">")(0).split("\\.")(0)).filter(byName.contains)
     }
-    orderedPipes.foreach { case (nm, kind, spec) =>
+    val orderedNames = scala.collection.mutable.LinkedHashSet.empty[String]
+    val visiting = scala.collection.mutable.Set.empty[String]
+    def visit(n: String): Unit = if (!orderedNames.contains(n)) {
+      require(visiting.add(n),
+        s"Cyclical dependency found with pipeline aggregator [$n]")
+      val (_, k, sp) = byName(n)
+      deps(k, sp).foreach(visit)
+      visiting -= n
+      orderedNames += n
+    }
+    pipes.foreach(p => visit(p._1))
+    // the CURRENT list order: bucket-key order until a bucket_sort
+    // replaces it (ES reducers iterate the list in its current order)
+    var curOrd: Seq[Column] = keyOrd
+    var sorted = false
+    def wOrd = Window.partitionBy(partCols: _*).orderBy(curOrd: _*)
+    orderedNames.toSeq.map(byName).foreach { case (nm, kind, spec) =>
       def path: Column = spec.get("buckets_path").asText() match {
         case "_count" => col("doc_count")
         case p => col(p)
@@ -3892,16 +3914,35 @@ object EsQueryJson {
             out = out.withColumn(nm, round(expr(script), 6).cast("double"))
           else out = out.filter(expr(script))
         case "bucket_sort" => // reorder/truncate the bucket list itself
-          val sorts = spec.get("sort").elements().asScala.toSeq.map { e =>
-            val (f, s) = single(e)
+          val sorts = Option(spec.get("sort")).map(_.elements().asScala.toSeq.map { e =>
+            val (f0, s) = single(e)
+            val f = f0 match { case "_key" => "key"; case "_count" => "doc_count"; case x => x }
             if (Option(s.get("order")).map(_.asText()).contains("desc")) col(f).desc else col(f).asc
+          }).getOrElse(Nil)
+          // new list order, key as deterministic tie-break (ES's heap
+          // breaks ties arbitrarily); sort absent = truncate in the
+          // current order (the ES from/size-only form)
+          val ord = (if (sorts.nonEmpty) sorts else curOrd) ++ keyOrd
+          val from = Option(spec.get("from")).map(_.asInt()).getOrElse(0)
+          val szOpt = Option(spec.get("size")).map(_.asInt())
+          if (from > 0 || szOpt.isDefined) {
+            // per-PARENT truncation: ES sorts/truncates EACH parent
+            // bucket's list (a global limit() starved whole series in the
+            // nested dashboard shape); the rank frame is bucket-frame
+            // sized, never raw rows
+            val rk = org.apache.spark.sql.functions.row_number()
+              .over(Window.partitionBy(partCols: _*).orderBy(ord: _*))
+            out = out.withColumn("_bs_rk", rk)
+              .filter(col("_bs_rk") > from &&
+                szOpt.map(n => col("_bs_rk") <= from + n).getOrElse(lit(true)))
+              .drop("_bs_rk")
           }
-          out = out.orderBy(sorts: _*)
-          Option(spec.get("size")).map(_.asInt()).foreach(n => out = out.limit(n))
+          curOrd = ord
+          sorted = true
       }
     }
     // deterministic output order: key order unless bucket_sort chose one
-    if (pipes.exists(_._2 == "bucket_sort")) out else out.orderBy(defaultOrder: _*)
+    if (sorted) out.orderBy((partCols ++ curOrd): _*) else out.orderBy(defaultOrder: _*)
   }
 
   /** The index-wide term set of a `terms` level — the fill domain for

@@ -62,6 +62,11 @@ object Painless {
     sql = replaceOutsideQuotes(sql, "!=", " <> ")
     sql = replaceOutsideQuotes(sql, "==", " = ")
     if (stringConcat) sql = replaceOutsideQuotes(sql, "+", "||")
+    // restore the compiler's OWN offset arithmetic (substring begin+1 etc.),
+    // emitted as a sentinel so the stringConcat '+'→'||' rewrite cannot turn
+    // generated numeric '+' into string concat (substring(f, (2) || 1) would
+    // silently concat '21' — the reject-loudly contract forbids silent wrong)
+    sql = sql.replace(GenPlus, "+")
     validate(sql, cols ++ extraIds, raw)
     // LAST (the D suffix would read as an identifier to the validator):
     // painless float literals are IEEE doubles, but the SQL parser reads
@@ -131,6 +136,10 @@ object Painless {
     (out.toString, cols)
   }
 
+  /** Sentinel for '+' signs the COMPILER generates (offset-base shifts):
+    * exempt from the stringConcat '+'→'||' rewrite, restored at the end. */
+  private val GenPlus = "\u0001"
+
   /** Painless (Java) string method → the SQL spelling with the SAME
     * value semantics (offset bases shifted textually). */
   private def method(col: String, name: String, args: String): String = name match {
@@ -150,8 +159,8 @@ object Painless {
       splitTopLevel(args, ',') match {
         // Java substring(begin) / substring(begin, end): 0-based,
         // end-exclusive → SQL substring(col, begin+1[, end−begin])
-        case Seq(a) => s"substring($col, ($a) + 1)"
-        case Seq(a, b) => s"substring($col, ($a) + 1, ($b) - ($a))"
+        case Seq(a) => s"substring($col, ($a) $GenPlus 1)"
+        case Seq(a, b) => s"substring($col, ($a) $GenPlus 1, ($b) - ($a))"
         case other => throw new IllegalArgumentException(
           s"substring takes 1 or 2 arguments, got ${other.size}")
       }

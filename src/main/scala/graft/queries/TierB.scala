@@ -5429,13 +5429,13 @@ object TierB {
              |       round(avg(d) OVER (ORDER BY key ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma
              |FROM p ORDER BY key""".stripMargin)),
 
-    // Pipeline JSON-order independence: the aggs map is UNORDERED per the
-    // JSON spec, so a bucket_sort declared BEFORE a value pipe must not
-    // starve it — value pipes compute over the FULL bucket list, then
-    // bucket_sort truncates the final result (ES contract; the engine
-    // applied pipes in JSON order and windowed the derivative over the
-    // truncated frame — round-16 pipeline-differential find). The kept
-    // buckets' derivatives reference predecessors OUTSIDE the kept set.
+    // Pipeline declaration order, ES 6.5 semantics (AggregatorFactories.
+    // Builder#resolvePipelineAggregatorOrder): sibling pipes execute in
+    // DECLARATION order after buckets_path dependencies resolve first —
+    // a bucket_sort declared BEFORE an (unreferenced) derivative runs
+    // first, so the derivative diffs the kept buckets in the SORTED list
+    // order (desc here), its first list entry null. Round-16's
+    // values-first regrouping matched only its own twin; ADVICE r16.
     Q("a238_es_json_bucket_sort_before_pipe",
       (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.documents(s, d),
         """{"aggs": {"h": {"histogram": {"field": "n_chars", "interval": 200},
@@ -5444,11 +5444,28 @@ object TierB {
       Some("""WITH b AS (
              |  SELECT CAST(floor(n_chars / 200.0) * 200.0 AS BIGINT) AS key, count(*) AS doc_count
              |  FROM documents GROUP BY key),
+             |k AS (SELECT key, doc_count FROM b ORDER BY key DESC LIMIT 3)
+             |SELECT key, doc_count,
+             |       round(doc_count - lag(doc_count) OVER (ORDER BY key DESC), 4) AS d
+             |FROM k ORDER BY key DESC""".stripMargin)),
+
+    // The dependency-INVERTED declaration: a bucket_sort declared FIRST
+    // whose sort path references a pipe declared AFTER it — ES's stable
+    // DFS topo resolver orders the cumulative_sum before the sort (a
+    // cycle would reject loudly with ES's own error).
+    Q("a246_es_json_pipeline_topo_order",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.documents(s, d),
+        """{"aggs": {"h": {"histogram": {"field": "n_chars", "interval": 100},
+          | "aggs": {"srt": {"bucket_sort": {"sort": [{"cs": {"order": "desc"}}], "size": 4}},
+          |          "cs": {"cumulative_sum": {"buckets_path": "_count"}}}}}}""".stripMargin)("h"),
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(n_chars / 100.0) * 100.0 AS BIGINT) AS key, count(*) AS doc_count
+             |  FROM documents GROUP BY key),
              |p AS (
              |  SELECT key, doc_count,
-             |         round(doc_count - lag(doc_count) OVER (ORDER BY key), 4) AS d
+             |         round(CAST(sum(doc_count) OVER (ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS cs
              |  FROM b)
-             |SELECT key, doc_count, d FROM p ORDER BY key DESC LIMIT 3""".stripMargin)),
+             |SELECT key, doc_count, cs FROM p ORDER BY cs DESC, key LIMIT 4""".stripMargin)),
 
     // moving_fn with the ES shift frame: default shift 0 EXCLUDES the
     // current bucket (frame [-window, -1]); shift = 1 slides one right

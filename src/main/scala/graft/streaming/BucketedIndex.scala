@@ -44,8 +44,25 @@ object BucketedIndex {
     else parseManifest(Files.readAllLines(p).asScala.toSeq)
   }
 
+  /** Header metadata lines (`#key=value`) of the current manifest. Carries
+    * `appliedBatch` — the last applied STREAM batch id, the retry-skip
+    * guard's source of truth (dir-id membership alone is defeated by
+    * same-trigger auto-compaction repointing the manifest at the compact
+    * dir) — and `scheme`, the batch-id→index-id mapping pinned at index
+    * birth. Empty for pre-header index dirs. */
+  def readHeader(dir: String): Map[String, String] = {
+    val p = Paths.get(dir, "_MANIFEST")
+    if (!Files.exists(p)) Map.empty
+    else parseHeader(Files.readAllLines(p).asScala.toSeq)
+  }
+
+  private def parseHeader(lines: Seq[String]): Map[String, String] =
+    lines.filter(_.startsWith("#")).map { l =>
+      val Array(k, v) = l.stripPrefix("#").split("=", 2); k -> v
+    }.toMap
+
   private def parseManifest(lines: Seq[String]): Map[Int, Long] =
-    lines.filter(_.nonEmpty).map { l =>
+    lines.filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
       val Array(k, v) = l.split("="); k.toInt -> v.toLong
     }.toMap
 
@@ -56,8 +73,11 @@ object BucketedIndex {
   def manifestVersions(dir: String): Seq[Long] = {
     val mdir = Paths.get(dir, "manifests")
     if (!Files.exists(mdir)) Seq.empty
+    // strict pattern: a crash between the vtmp write and the atomic move
+    // leaves "m<v>.tmp" here, and "<v>.tmp".toLong would throw, wedging
+    // every later vacuum()/manifestVersions() until hand-cleaned
     else Files.list(mdir).iterator().asScala.map(_.getFileName.toString)
-      .filter(_.startsWith("m")).map(_.stripPrefix("m").toLong).toSeq.sorted
+      .filter(_.matches("m\\d+")).map(_.stripPrefix("m").toLong).toSeq.sorted
   }
 
   /** The manifest as of a logged version id — the snapshot handle for
@@ -69,9 +89,16 @@ object BucketedIndex {
     parseManifest(Files.readAllLines(p).asScala.toSeq)
   }
 
-  private def writeManifest(dir: String, m: Map[Int, Long], version: Long): Unit = {
+  private def writeManifest(dir: String, m: Map[Int, Long], version: Long,
+                            header: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(Paths.get(dir, "manifests"))
-    val body = m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n")
+    // sweep tmp leftovers from a crashed prior publish (single-mutator
+    // discipline makes this safe: no concurrent writer owns a live .tmp)
+    Files.list(Paths.get(dir, "manifests")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".tmp"))
+      .foreach(Files.deleteIfExists(_))
+    val body = (header.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++
+      m.toSeq.sorted.map { case (k, v) => s"$k=$v" }).mkString("\n")
     // version log FIRST (crash between the two writes leaves a logged
     // version that never became current — harmless: vacuum counts it in
     // the grace window, readers only pin versions they observed current)
@@ -113,17 +140,33 @@ object BucketedIndex {
     else spark.read.schema(graft.Model.indexSchema).parquet(paths: _*)
   }
 
-  /** Apply one mutation batch. Returns the touched bucket ids. */
+  /** Apply one mutation batch. Returns the touched bucket ids.
+    *
+    * `streamBatchId` is the checkpoint-lineage id the retry-skip guard
+    * records (header `appliedBatch`) — pass it when the index id differs
+    * from the stream batch id (the even/odd auto-compaction scheme);
+    * defaults to `batchId` itself. `scheme` (when non-empty) is pinned
+    * into the header at every publish so lineage rules are enforceable. */
   def applyBatch(spark: SparkSession, dir: String, batch: DataFrame,
-                 batchId: Long, nBuckets: Int = 256): Seq[Int] = {
-    // Retry safety: if the manifest already references this batch id, the
-    // previous attempt completed the write AND the atomic swap — the crash
-    // was after publish (e.g. before the checkpoint commit). Re-merging here
-    // would read the live dirs under b<batchId> while overwrite-deleting
-    // their parent (Spark's same-path check misses the ancestor relation),
-    // destroying the touched buckets. The batch is already applied: skip.
+                 batchId: Long, nBuckets: Int = 256,
+                 streamBatchId: Long = -1L, scheme: String = ""): Seq[Int] = {
+    val mark = if (streamBatchId >= 0) streamBatchId else batchId
+    // Retry safety: a crash after publish but before the checkpoint commit
+    // redelivers the batch. The authoritative guard is the header's
+    // appliedBatch (last applied STREAM id): dir-id membership alone is
+    // defeated when a same-trigger compaction repointed the manifest at
+    // the compact dir — the redelivered batch would re-merge (content-
+    // idempotent) but overwrite-delete b<batchId>, a dir still referenced
+    // by a retained manifest version, transiently breaking the pinned-
+    // reader grace guarantee. Membership stays as the legacy fallback for
+    // pre-header manifests. Re-merging after a completed publish is also
+    // unsafe in itself: it reads the live dirs under b<batchId> while
+    // overwrite-deleting their parent (Spark's same-path check misses the
+    // ancestor relation). Already applied: skip.
     val manifest0 = readManifest(dir)
-    if (manifest0.values.exists(_ == batchId))
+    val lastApplied = readHeader(dir).get("appliedBatch").map(_.toLong)
+    if (lastApplied.exists(_ >= mark) ||
+        (lastApplied.isEmpty && manifest0.values.exists(_ == batchId)))
       return manifest0.collect { case (k, v) if v == batchId => k }.toSeq.sorted
     val folded = Merge.foldChanges(batch)
       .withColumn("bucket", bucketOf(nBuckets)).persist()
@@ -149,7 +192,9 @@ object BucketedIndex {
         .map(_.getFileName.toString).filter(_.startsWith("bucket="))
         .map(_.stripPrefix("bucket=").toInt).toSet
       val newManifest = (manifest -- touched) ++ touched.filter(live).map(_ -> batchId)
-      writeManifest(dir, newManifest, batchId)
+      val header = Map("appliedBatch" -> mark.toString) ++
+        (if (scheme.nonEmpty) Map("scheme" -> scheme) else Map.empty)
+      writeManifest(dir, newManifest, batchId, header)
       touched
     } finally folded.unpersist()
   }
@@ -185,7 +230,9 @@ object BucketedIndex {
     val live = Files.list(Paths.get(s"$dir/batches/b$compactId")).iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith("bucket="))
       .map(_.stripPrefix("bucket=").toInt).toSet
-    writeManifest(dir, live.map(_ -> compactId).toMap, compactId)
+    // compaction is not a stream batch: the header (appliedBatch, scheme)
+    // carries FORWARD unchanged so the retry-skip guard stays authoritative
+    writeManifest(dir, live.map(_ -> compactId).toMap, compactId, readHeader(dir))
   }
 
   /** Remove bucket dirs no longer referenced by the RETAINED manifests.

@@ -165,11 +165,27 @@ object Pipeline {
     // guard and silently drop that batch. With compaction enabled the
     // index therefore maps stream batch N to even id 2N and compactions
     // to odd 2N+1 (both monotone, disjoint). The mapping is a property of
-    // the index LINEAGE: pick it at index birth (fresh dir + checkpoint),
-    // like any batch-id scheme change.
+    // the index LINEAGE, pinned into the manifest header at first publish
+    // and enforced here: flipping compactAfterDirs across 0 on a live
+    // index would re-use ids from the other scheme (e.g. indexId 2N
+    // colliding with an old plain batch dir) and silently skip batches.
+    val scheme = if (cfg.compactAfterDirs > 0) "evenOdd" else "plain"
+    val header = BucketedIndex.readHeader(cfg.indexDir)
+    header.get("scheme") match {
+      case Some(s) => require(s == scheme,
+        s"index ${cfg.indexDir} was born with id scheme '$s' but compactAfterDirs=" +
+          s"${cfg.compactAfterDirs} implies '$scheme' — the id lineages collide; " +
+          "pick the scheme at index birth (fresh dir + checkpoint)")
+      case None => require(
+        scheme == "plain" || BucketedIndex.readManifest(cfg.indexDir).isEmpty,
+        s"cannot enable compactAfterDirs on index ${cfg.indexDir}: its manifest " +
+          "predates the even/odd id scheme — indexId 2N can collide with an old " +
+          "plain batch id and silently skip a batch; start a fresh index dir")
+    }
     val indexId = if (cfg.compactAfterDirs > 0) 2 * batchId else batchId
     BucketedIndex.applyBatch(spark, cfg.indexDir,
-      batch.filter(!isMalformed), indexId, nBuckets)
+      batch.filter(!isMalformed), indexId, nBuckets,
+      streamBatchId = batchId, scheme = scheme)
     // fan-out policy: when the manifest references more than
     // compactAfterDirs distinct batch dirs (each cold bucket pinned to
     // the batch that last touched it), fold the whole index into one

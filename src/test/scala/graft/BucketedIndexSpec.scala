@@ -214,6 +214,97 @@ class BucketedIndexSpec extends AnyFunSuite with SparkTestBase {
       "fixture never triggered auto-compaction — weaken compactAfterDirs")
   }
 
+  test("manifest tmp leftover from a crashed publish: log still parses, next publish sweeps it") {
+    val dir = tmp()
+    BucketedIndex.applyBatch(spark, dir,
+      mutDf(Seq(mut("k1", "U", "2024-01-01 00:00:00", 1, ("f", "a", "1")))), 0, nBuckets = 4)
+    // simulate a crash between the m<v>.tmp write and the atomic move
+    Files.writeString(Paths.get(dir, "manifests", "m99.tmp"), "0=99")
+    assert(BucketedIndex.manifestVersions(dir) == Seq(0L),
+      "a stray m99.tmp leaked into (or wedged) the version log")
+    BucketedIndex.vacuum(dir) // pre-fix: NumberFormatException on "99.tmp"
+    BucketedIndex.applyBatch(spark, dir,
+      mutDf(Seq(mut("k2", "U", "2024-01-01 00:00:01", 2, ("f", "a", "2")))), 1, nBuckets = 4)
+    assert(!Files.exists(Paths.get(dir, "manifests", "m99.tmp")),
+      "publish did not sweep the crashed-publish tmp leftover")
+    assert(BucketedIndex.manifestVersions(dir) == Seq(0L, 1L))
+  }
+
+  test("redelivered batch after same-trigger compaction: header guard skips, pinned dirs survive") {
+    import graft.streaming.Pipeline
+    val dir = tmp()
+    val cfg = Pipeline.Config(
+      changeLogDir = "unused", indexDir = dir, checkpointDir = "unused",
+      vacuumKeepManifests = 4, compactAfterDirs = 1)
+    // fan-out after every batch ≥ 2 ({prev compact id, new even id}) > 1 →
+    // EVERY trigger from batch 1 on also runs compact(2N+1), repointing
+    // every bucket at the odd id — the exact redelivery hazard window
+    val chunks = (0 until 6).map(i =>
+      Seq(mut(s"k$i", "U", s"2024-01-01 00:00:0$i", i, ("f", "a", s"$i"))))
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      Pipeline.applyIncrementalBatch(spark, cfg, mutDf(c), i, nBuckets = 8)
+    }
+    val lastId = chunks.size - 1L
+    val manifest = BucketedIndex.readManifest(dir)
+    assert(manifest.values.forall(_ % 2 == 1),
+      "fixture did not end on a same-trigger compaction — tune compactAfterDirs")
+    assert(!manifest.values.exists(_ == 2 * lastId),
+      "fixture invalid: membership guard would catch this redelivery anyway")
+    val state = indexMap(BucketedIndex.read(spark, dir))
+    def partFiles(id: Long) = Files.walk(Paths.get(dir, "batches", s"b$id"))
+      .iterator().asScala.map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    val evenBefore = partFiles(2 * lastId)
+    val logBefore = BucketedIndex.manifestVersions(dir)
+    // crash before the checkpoint commit → the stream redelivers batch N.
+    // Pre-fix: the manifest references only 2N+1, so the dir-id membership
+    // guard misses, the batch re-merges and overwrite-deletes b<2N> — a dir
+    // still referenced by retained manifest m<2N> (pinned-reader grace hole)
+    Pipeline.applyIncrementalBatch(spark, cfg, mutDf(chunks.last), lastId, nBuckets = 8)
+    assert(partFiles(2 * lastId) == evenBefore, "redelivery rewrote the published even dir")
+    assert(BucketedIndex.readManifest(dir) == manifest, "redelivery moved the manifest")
+    assert(BucketedIndex.manifestVersions(dir) == logBefore)
+    assert(indexMap(BucketedIndex.read(spark, dir)) == state)
+    // and a reader pinned at the even version still reads clean
+    val pinned = BucketedIndex.readManifestAt(dir, 2 * lastId)
+    assert(indexMap(BucketedIndex.readAt(spark, dir, pinned)) == state)
+  }
+
+  test("id scheme is pinned at index birth; flipping compactAfterDirs is rejected loudly") {
+    import graft.streaming.Pipeline
+    val dir = tmp()
+    val plain = Pipeline.Config(
+      changeLogDir = "unused", indexDir = dir, checkpointDir = "unused")
+    Pipeline.applyIncrementalBatch(spark, plain,
+      mutDf(Seq(mut("k1", "U", "2024-01-01 00:00:00", 1, ("f", "a", "1")))), 0, nBuckets = 4)
+    val flipped = plain.copy(compactAfterDirs = 2)
+    val e1 = intercept[IllegalArgumentException] {
+      Pipeline.applyIncrementalBatch(spark, flipped,
+        mutDf(Seq(mut("k2", "U", "2024-01-01 00:00:01", 2, ("f", "a", "2")))), 1, nBuckets = 4)
+    }
+    assert(e1.getMessage.contains("scheme"))
+    // and the reverse flip on an evenOdd-born index
+    val dir2 = tmp()
+    val eo = plain.copy(indexDir = dir2, compactAfterDirs = 2)
+    Pipeline.applyIncrementalBatch(spark, eo,
+      mutDf(Seq(mut("k1", "U", "2024-01-01 00:00:00", 1, ("f", "a", "1")))), 0, nBuckets = 4)
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.applyIncrementalBatch(spark, eo.copy(compactAfterDirs = 0),
+        mutDf(Seq(mut("k2", "U", "2024-01-01 00:00:01", 2, ("f", "a", "2")))), 1, nBuckets = 4)
+    }
+    assert(e2.getMessage.contains("scheme"))
+    // legacy pre-header manifest (no #appliedBatch/#scheme lines): enabling
+    // compaction must be rejected — indexId 2N can collide with an old
+    // plain batch id and silently skip a batch
+    val dir3 = tmp()
+    Files.createDirectories(Paths.get(dir3))
+    Files.writeString(Paths.get(dir3, "_MANIFEST"), "0=0")
+    val e3 = intercept[IllegalArgumentException] {
+      Pipeline.applyIncrementalBatch(spark, eo.copy(indexDir = dir3),
+        mutDf(Seq(mut("k1", "U", "2024-01-01 00:00:00", 1, ("f", "a", "1")))), 1, nBuckets = 4)
+    }
+    assert(e3.getMessage.contains("predates"))
+  }
+
   test("vacuum removes superseded bucket versions, state still readable") {
     val dir = tmp()
     (0 to 3).foreach { i =>

@@ -248,5 +248,11 @@ class EsPainlessDifferentialSpec extends AnyFunSuite with SparkTestBase {
     assert(Painless.compile("a > 1 ? 2 : b < 3 ? 4 : 5", extraIds = Set("a", "b")) ==
       "IF(a > 1, 2, IF(b < 3, 4, 5))")
     assert(Painless.compile("Math.pow(doc['x'].value, 2) != 4") == "power(x, 2)  <>  4")
+    // stringConcat rewrites USER '+' to || but never the compiler's own
+    // offset arithmetic (ADVICE r16: substring(f, (2) || 1) concatenated '21')
+    assert(Painless.compile("doc['s'].value.substring(2)", stringConcat = true) ==
+      "substring(s, (2) + 1)")
+    assert(Painless.compile("doc['s'].value.substring(1, 3) + '!'", stringConcat = true) ==
+      "substring(s, (1) + 1, (3) - (1)) || '!'")
   }
 }

@@ -70,6 +70,8 @@ class EsPipelineDifferentialSpec extends AnyFunSuite with SparkTestBase {
   private sealed trait Pipe {
     def name: String
     def json: String
+    /** buckets_path references (dependency inputs for the topo order). */
+    def deps: Seq[String]
     /** Transform the ordered bucket list (append a column / filter / sort). */
     def apply(bs: Seq[Bucket]): Seq[Bucket]
   }
@@ -77,6 +79,7 @@ class EsPipelineDifferentialSpec extends AnyFunSuite with SparkTestBase {
     b.cols(if (p == "_count") "doc_count" else p)
 
   private case class PCumSum(name: String, path: String) extends Pipe {
+    def deps = Seq(path)
     def json = s""""$name": {"cumulative_sum": {"buckets_path": "$path"}}"""
     def apply(bs: Seq[Bucket]) = {
       var acc = 0.0
@@ -87,6 +90,7 @@ class EsPipelineDifferentialSpec extends AnyFunSuite with SparkTestBase {
     }
   }
   private case class PDeriv(name: String, path: String) extends Pipe {
+    def deps = Seq(path)
     def json = s""""$name": {"derivative": {"buckets_path": "$path"}}"""
     def apply(bs: Seq[Bucket]) = bs.zipWithIndex.map { case (b, i) =>
       val v = if (i == 0) None
@@ -95,6 +99,7 @@ class EsPipelineDifferentialSpec extends AnyFunSuite with SparkTestBase {
     }
   }
   private case class PSerialDiff(name: String, path: String, lag: Int) extends Pipe {
+    def deps = Seq(path)
     def json = s""""$name": {"serial_diff": {"buckets_path": "$path", "lag": $lag}}"""
     def apply(bs: Seq[Bucket]) = bs.zipWithIndex.map { case (b, i) =>
       val v = if (i < lag) None
@@ -104,6 +109,7 @@ class EsPipelineDifferentialSpec extends AnyFunSuite with SparkTestBase {
   }
   private case class PMovAvg(name: String, path: String, window: Int,
                              model: String, alpha: Double) extends Pipe {
+    def deps = Seq(path)
     def json = {
       val extra = model match {
         case "simple" => ""
@@ -137,6 +143,7 @@ class EsPipelineDifferentialSpec extends AnyFunSuite with SparkTestBase {
   }
   private case class PMovFn(name: String, path: String, window: Int,
                             shift: Int, fn: String) extends Pipe {
+    def deps = Seq(path)
     def json = {
       val sh = if (shift != 0) s""", "shift": $shift""" else ""
       s""""$name": {"moving_fn": {"buckets_path": "$path", "window": $window$sh,
@@ -164,6 +171,7 @@ class EsPipelineDifferentialSpec extends AnyFunSuite with SparkTestBase {
     }
   }
   private case class PScript(name: String, a: String, b: String, form: String) extends Pipe {
+    def deps = Seq(a, b)
     def json =
       s""""$name": {"bucket_script": {"buckets_path": {"a": "$a", "b": "$b"},
          | "script": "${form.replace("A", "params.a").replace("B", "params.b")}"}}""".stripMargin
@@ -176,20 +184,27 @@ class EsPipelineDifferentialSpec extends AnyFunSuite with SparkTestBase {
     }
   }
   private case class PSelector(name: String, a: String, threshold: Double) extends Pipe {
+    def deps = Seq(a)
     def json =
       s""""$name": {"bucket_selector": {"buckets_path": {"a": "$a"},
          | "script": "params.a > $threshold"}}""".stripMargin
     // a null path value compares false in SQL — the bucket drops
     def apply(bs: Seq[Bucket]) = bs.filter(b => pathOf(b, a).exists(_ > threshold))
   }
-  private case class PBucketSort(name: String, desc: Boolean, size: Option[Int]) extends Pipe {
-    // sorts on the (unique) bucket key so size-truncation is deterministic
+  private case class PBucketSort(name: String, sortCol: Option[String],
+                                 desc: Boolean, size: Option[Int]) extends Pipe {
+    // sorts on the (unique) bucket key, or on a sibling pipe column with
+    // the key as tie-break (the engine documents the deterministic
+    // tie-break; ES's heap breaks ties arbitrarily)
+    def deps = sortCol.toSeq
     def json = {
       val sz = size.map(n => s""", "size": $n""").getOrElse("")
-      s""""$name": {"bucket_sort": {"sort": [{"key": {"order": "${if (desc) "desc" else "asc"}"}}]$sz}}"""
+      val f = sortCol.getOrElse("key")
+      s""""$name": {"bucket_sort": {"sort": [{"$f": {"order": "${if (desc) "desc" else "asc"}"}}]$sz}}"""
     }
     def apply(bs: Seq[Bucket]) = {
-      val s = if (desc) bs.sortBy(-_.key) else bs
+      def prim(b: Bucket) = sortCol.map(c => b.cols(c).get).getOrElse(b.key.toDouble)
+      val s = bs.sortBy(b => (if (desc) -prim(b) else prim(b), b.key))
       size.fold(s)(s.take)
     }
   }
@@ -223,7 +238,7 @@ class EsPipelineDifferentialSpec extends AnyFunSuite with SparkTestBase {
         yield PScript(nm, a, b, f)),
       1 -> (for { a <- pathG; t <- Gen.oneOf(2.0, 5.0, 40.0) } yield PSelector(nm, a, t)),
       1 -> (for { d <- Gen.oneOf(true, false); sz <- Gen.option(Gen.chooseNum(2, 6)) }
-        yield PBucketSort(nm, d, sz)))
+        yield PBucketSort(nm, None, d, sz)))
   }
 
   private case class PipeBody(iv: Long, metric: Option[(String, String)], pipes: Seq[Pipe]) {
@@ -234,31 +249,49 @@ class EsPipelineDifferentialSpec extends AnyFunSuite with SparkTestBase {
       s"""{"aggs": {"h": {"histogram": {"field": "n", "interval": $iv},
          | "aggs": {$subs}}}}""".stripMargin
     }
-    // ES contract (mirrored by the engine): value pipes compute over the
-    // FULL bucket list; bucket_selector then filters and bucket_sort
-    // sorts/truncates the final result — regardless of JSON position
+    // ES contract (AggregatorFactories.Builder#resolvePipelineAggregator-
+    // Order, mirrored by the engine): sibling pipes execute in DECLARATION
+    // order after a stable DFS resolves buckets_path dependencies first;
+    // each pipe reduces the CURRENT bucket list — a selector ordered
+    // before a value pipe shrinks the series it windows over, a
+    // bucket_sort reorders/truncates the list later pipes iterate
     def eval: Seq[Bucket] = {
-      val (rearr, values) = pipes.partition {
-        case _: PSelector | _: PBucketSort => true; case _ => false }
-      val (sel, srt) = rearr.partition { case _: PSelector => true; case _ => false }
-      (values ++ sel ++ srt).foldLeft(baseBuckets(iv, metric))((bs, p) => p.apply(bs))
+      val byName = pipes.map(p => p.name -> p).toMap
+      val done = scala.collection.mutable.LinkedHashSet.empty[String]
+      def visit(p: Pipe): Unit = if (!done.contains(p.name)) {
+        p.deps.filter(byName.contains).foreach(d => visit(byName(d)))
+        done += p.name
+      }
+      pipes.foreach(visit)
+      done.toSeq.map(byName).foldLeft(baseBuckets(iv, metric))((bs, p) => p.apply(bs))
     }
   }
 
-  private def bodyGen: Gen[PipeBody] = for {
-    iv <- Gen.oneOf(20L, 25L, 50L)
-    metric <- Gen.option(Gen.oneOf("sum", "avg", "min", "max").map(k => ("met", k)))
-    base = metric.map(_._1).toSeq :+ "_count"
-    p1 <- pipeGen(1, base)
-    // a second pipe may CHAIN on the first's output column (unless the
-    // first reorders/filters the frame, where ES wouldn't expose a value)
-    more <- Gen.frequency(
-      2 -> Gen.const(Seq.empty[Pipe]),
-      3 -> pipeGen(2, base ++ (p1 match {
-        case _: PSelector | _: PBucketSort => Nil
-        case _ => Seq(p1.name)
-      })).map(Seq(_)))
-  } yield PipeBody(iv, metric, p1 +: more)
+  private def bodyGen: Gen[PipeBody] = Gen.frequency(
+    9 -> (for {
+      iv <- Gen.oneOf(20L, 25L, 50L)
+      metric <- Gen.option(Gen.oneOf("sum", "avg", "min", "max").map(k => ("met", k)))
+      base = metric.map(_._1).toSeq :+ "_count"
+      p1 <- pipeGen(1, base)
+      // a second pipe may CHAIN on the first's output column (unless the
+      // first reorders/filters the frame, where ES wouldn't expose a value)
+      more <- Gen.frequency(
+        2 -> Gen.const(Seq.empty[Pipe]),
+        3 -> pipeGen(2, base ++ (p1 match {
+          case _: PSelector | _: PBucketSort => Nil
+          case _ => Seq(p1.name)
+        })).map(Seq(_)))
+    } yield PipeBody(iv, metric, p1 +: more)),
+    // dependency-INVERTED declaration: a bucket_sort declared FIRST whose
+    // sort path references a pipe declared AFTER it — the topo resolver
+    // must order the cumulative_sum before the sort (cum_sum: total on
+    // every bucket, so the sort key is never null on either side)
+    1 -> (for {
+      iv <- Gen.oneOf(20L, 25L, 50L)
+      d <- Gen.oneOf(true, false)
+      sz <- Gen.option(Gen.chooseNum(2, 6))
+    } yield PipeBody(iv, None,
+      Seq(PBucketSort("p1", Some("p2"), d, sz), PCumSum("p2", "_count")))))
 
   // ---- the differential -------------------------------------------------
   test("parent pipelines: 200 generated chains answer-match the list-fold twin") {

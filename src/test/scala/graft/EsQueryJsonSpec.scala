@@ -1604,6 +1604,21 @@ class EsQueryJsonSpec extends AnyFunSuite with SparkTestBase {
     assert(got.sameElements(want))
   }
 
+  test("terms script key: generated substring offsets stay numeric under value_type string") {
+    // the stringConcat '+'→'||' rewrite must not touch the compiler's OWN
+    // offset arithmetic: substring(f, (0) + 1, ...) concatenating to '01'
+    // would silently shift every key (ADVICE r16)
+    val got = EsQueryJson.aggregations(orders,
+      """{"aggs": {"combo": {"terms": {
+        |   "script": {"source": "doc['o_orderpriority'].value.substring(0, 2) + doc['o_orderstatus'].value"},
+        |   "value_type": "string", "size": 5}}}}""".stripMargin)("combo")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = orders.groupBy(concat(substring(col("o_orderpriority"), 1, 2), col("o_orderstatus")).as("k"))
+      .count().orderBy(desc("count"), col("k")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(want))
+  }
+
   test("multi_match phrase_prefix fires on ANY field") {
     import org.apache.spark.sql.SparkSession
     val sp: SparkSession = spark
