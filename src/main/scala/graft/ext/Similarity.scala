@@ -225,16 +225,88 @@ object Similarity {
     * no vector surface; this is the BASELINE.json LLM-pipeline component. */
   def embeddingNearDupsBanded(corpus: DataFrame, threshold: Double,
                               nBits: Int = 60, bandBits: Int = 5,
-                              dim: Int = 64): DataFrame = {
-    val bandRows = corpus.select(col("vec_id"),
+                              dim: Int = 64, hotBandCap: Int = 256): DataFrame = {
+    val nBands = nBits / bandBits
+    // Collapse IDENTICAL sign signatures first (ScaleRound17 find: a
+    // dup-heavy corpus — every doc replicated m ways — multiplied each
+    // band bucket by m and the self-join by m², 84× wall at 10× data).
+    // Band-sharing is a property of the SIGNATURE, so the pairwise stage
+    // runs over distinct signatures (the [[Dedup.hammingClusters64]]
+    // distinct-hash idea): duplicate groups cost one node each, and the
+    // m² expansion happens only on verified-candidate groups.
+    // Adaptive (the ngramJaccardCapped discipline): ONE scalar agg — the
+    // largest vec-level band bucket — routes the plan. Under the cap the
+    // per-bucket self-join work is bounded by cap², so the direct
+    // pre-guard plan runs untouched (the guard must not tax the common
+    // case; the bench row is the regression tripwire). Past the cap —
+    // duplicate groups inflating every bucket m-fold, or a clustered
+    // corpus concentrating band values — the grouped plan takes over;
+    // only that rare branch pays for the signature table.
+    // not persisted: the band kernel over a scan is cheaper to recompute
+    // in each consumer than a cache round-trip (measured on the bench row)
+    val vBandRows = corpus.select(col("vec_id"),
       posexplode(graft.functions.VecOps.signBands(col("embedding"), nBits, bandBits, dim))
         .as(Seq("band_idx", "band_val")))
-    val cand = bandRows.alias("x").join(bandRows.alias("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_val") === col("y.band_val") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+    val maxBdf = vBandRows.groupBy("band_idx", "band_val")
+      .agg(count(lit(1)).as("_bdf")).agg(max(col("_bdf"))).collect()(0).getLong(0)
+    if (maxBdf <= hotBandCap) {
+      val cand = vBandRows.alias("x").join(vBandRows.alias("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_val") === col("y.band_val") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+        .distinct()
+      return verifyCosine(corpus, cand, threshold)
+    }
+    val sigs = corpus.select(col("vec_id"),
+      graft.functions.VecOps.signBands(col("embedding"), nBits, bandBits, dim).as("_bands"))
+    val bySig = Dedup.persistOnce(sigs.groupBy("_bands")
+      .agg(collect_list(col("vec_id")).as("_ids"), min(col("vec_id")).as("_sid")))
+    val bandRows = bySig.select(col("_sid"), col("_bands"),
+      posexplode(col("_bands")).as(Seq("band_idx", "band_val")))
+    // Hot-band guard (same df-cap discipline as [[Dedup.containmentPairs]]
+    // / hammingPairsBanded): a band value shared by > hotBandCap DISTINCT
+    // signatures would go quadratic; refine those buckets with the NEXT
+    // band's value as a composite key. Deterministic and subset-safe: a
+    // pair can only be dropped if EVERY band it shares is hot AND it
+    // differs on each such band's successor — identical signatures are
+    // never affected (they pair intra-group below). The cap never engages
+    // at oracle SF (buckets are far below it); it bounds the 100 TB case.
+    val bdf = bandRows.groupBy("band_idx", "band_val").agg(count(lit(1)).as("_bdf"))
+    val withDf = bandRows.join(bdf, Seq("band_idx", "band_val"))
+    val rare = withDf.filter(col("_bdf") <= hotBandCap)
+    val hot = withDf.filter(col("_bdf") > hotBandCap)
+      .withColumn("band_val2",
+        element_at(col("_bands"), pmod(col("band_idx") + 1, lit(nBands)) + 1))
+    def selfJoin(b: DataFrame, keys: Seq[String]) =
+      b.as("x").join(b.as("y"),
+          keys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+            col("x._sid") < col("y._sid"))
+        .select(col("x._sid").as("sa"), col("y._sid").as("sb"))
+    val sigPairs = selfJoin(rare, Seq("band_idx", "band_val"))
+      .union(selfJoin(hot, Seq("band_idx", "band_val", "band_val2")))
       .distinct()
+    val idsOf = bySig.select(col("_sid"), col("_ids"))
+    val cross = sigPairs
+      .join(idsOf.select(col("_sid").as("sa"), col("_ids").as("_ia")), "sa")
+      .join(idsOf.select(col("_sid").as("sb"), col("_ids").as("_ib")), "sb")
+      .select(explode(col("_ia")).as("da"), col("_ib"))
+      .select(col("da"), explode(col("_ib")).as("db"))
+      .select(least(col("da"), col("db")).as("vec_a"),
+        greatest(col("da"), col("db")).as("vec_b"))
+    val intra = bySig.filter(size(col("_ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(_ids, (a, i) ->
+          |  transform(slice(_ids, i + 2, size(_ids)), b ->
+          |    struct(least(a, b) AS vec_a, greatest(a, b) AS vec_b))))""".stripMargin)).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"))
+    verifyCosine(corpus, cross.union(intra).distinct(), threshold)
+  }
+
+  /** Exact-cosine verification of a candidate pair table against the
+    * corpus — the shared tail of both banded plans. */
+  private def verifyCosine(corpus: DataFrame, cand: DataFrame,
+                           threshold: Double): DataFrame = {
     val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       norm(col("embedding")).as("na"))
     val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),

@@ -5467,6 +5467,28 @@ object TierB {
              |  FROM b)
              |SELECT key, doc_count, cs FROM p ORDER BY cs DESC, key LIMIT 4""".stripMargin)),
 
+    // Per-PARENT bucket_sort in the nested dashboard shape: ES truncates
+    // EACH series' bucket list (a global limit starved whole series), and
+    // a later-declared value pipe computes over the kept buckets in the
+    // sorted per-series list order.
+    Q("a247_es_json_nested_bucket_sort",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.documents(s, d),
+        """{"aggs": {"by_lang": {"terms": {"field": "lang", "size": 50},
+          | "aggs": {"h": {"histogram": {"field": "n_chars", "interval": 100},
+          |   "aggs": {"srt": {"bucket_sort": {"sort": [{"doc_count": {"order": "desc"}}], "size": 2}},
+          |            "cs": {"cumulative_sum": {"buckets_path": "_count"}}}}}}}}""".stripMargin)("by_lang"),
+      Some("""WITH b AS (
+             |  SELECT lang AS by_lang, CAST(floor(n_chars / 100.0) * 100.0 AS BIGINT) AS h,
+             |         count(*) AS doc_count
+             |  FROM documents GROUP BY 1, 2),
+             |k AS (SELECT by_lang, h, doc_count,
+             |        row_number() OVER (PARTITION BY by_lang ORDER BY doc_count DESC, h) AS rk
+             |      FROM b)
+             |SELECT by_lang, h, doc_count,
+             |       round(CAST(sum(doc_count) OVER (PARTITION BY by_lang ORDER BY doc_count DESC, h
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS cs
+             |FROM k WHERE rk <= 2 ORDER BY by_lang, doc_count DESC, h""".stripMargin)),
+
     // moving_fn with the ES shift frame: default shift 0 EXCLUDES the
     // current bucket (frame [-window, -1]); shift = 1 slides one right
     // (frame [-window+1, 0], trailing-inclusive). Window aggregates over

@@ -1476,3 +1476,82 @@ object ScaleRound16b {
     spark.stop()
   }
 }
+
+/** Round-17 probe: the Tier-C pairwise/serving family at 10× data.
+  * Replicating the corpus with id perturbation but IDENTICAL text makes
+  * every document a 10-way duplicate group — the dup-heavy regime these
+  * operators exist for — so the probe simultaneously measures scaling AND
+  * stresses the candidate-bounding machinery (banded LSH, df caps,
+  * distinct-hash clustering) where a naive pairwise pass would go 100×.
+  * knnBrute rides along as the documented quadratic baseline the IVF/PQ
+  * serving paths are measured against. Rows run through the exact
+  * SparkEntry.queries harness the correctness gate uses. */
+object ScaleRound17 {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = "/tmp/scale17/sf10x"
+
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    val rep = spark.range(10).select(col("id").as("_rep"))
+    spark.read.parquet(s"$src/documents.parquet").crossJoin(rep)
+      .withColumn("doc_id", col("doc_id") * 10 + col("_rep")).drop("_rep")
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    // keep rep-0 ids ORIGINAL: the ANN rows' query fixtures reference them
+    spark.read.parquet(s"$src/embeddings.parquet").crossJoin(rep)
+      .withColumn("vec_id", col("vec_id") + col("_rep") * 1000000L).drop("_rep")
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    // events: 10× USERS (per-user journeys unchanged — the realistic axis)
+    spark.read.parquet(s"$src/events.parquet").crossJoin(rep)
+      .withColumn("user_id", col("user_id") + col("_rep") * 1000000L)
+      .withColumn("event_id", col("event_id") * 16 + col("_rep")).drop("_rep")
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    Seq("customer", "supplier", "part", "nation", "region", "lineitem",
+      "orders").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    println("SCALEINFO 10x dir built (docs+embeddings replicated, events 10x users)")
+
+    val rows = Seq(
+      // dedup family: candidate-bounded paths under 10-way dup groups
+      "c01_dedup_exact", "c02_minhash_lsh", "c03_simhash_pairs",
+      "c04_ngram_jaccard_capped", "c24_dedup_clusters", "c30_dup_spans",
+      "c102_cdc_chunks", "c124_containment_pairs", "c25_decontaminate",
+      // similarity serving: quadratic baseline vs the indexed paths
+      "c06_knn_brute", "c07_knn_ivf", "c05_embed_neardup_banded",
+      "c120_ann_rerank_gate",
+      // event/sketch ops that must stay user- or sketch-bounded
+      "c12_sessionize", "c107_event_funnel", "c110_pagerank",
+      "c118_hdr_sketch_tables", "c121_theta_intersection")
+
+    Seq(src, dst).foreach { d =>
+      Seq("documents", "embeddings", "events").foreach(t =>
+        materialize(spark.read.parquet(s"$d/$t.parquet")))
+    }
+
+    def time(name: String, dir: String): Double =
+      (1 to 2).map { _ =>
+        graft.CachedFrames.clear()
+        val t0 = System.nanoTime()
+        materialize(graft.SparkEntry.queries(name)(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    println(f"${"row"}%-32s ${"t1x"}%8s ${"t10x"}%8s ${"ratio"}%7s")
+    var worst = ("", 0.0)
+    rows.foreach { n =>
+      val t1 = time(n, src)
+      val t10 = time(n, dst)
+      val r = t10 / t1
+      if (n != "c06_knn_brute" && r > worst._2) worst = (n, r)
+      println(f"SCALE17 $n%-32s $t1%8.2f $t10%8.2f $r%7.2fx")
+    }
+    println(f"SCALE17 worst indexed-path ratio: ${worst._1} ${worst._2}%.2fx")
+    spark.stop()
+  }
+}

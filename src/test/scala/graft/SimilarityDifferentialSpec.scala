@@ -231,5 +231,14 @@ class SimilarityDifferentialSpec extends AnyFunSuite with SparkTestBase {
     // the planted exact duplicates can never be missed (identical sign bands)
     val dups = want.filter(_._3 == 1.0)
     assert(dups.subsetOf(banded), s"banded missed identical pairs: ${dups -- banded}")
+    // hot-band guard engaged (cap 1): candidates shrink to composite-band
+    // + intra-signature pairs — still a verified subset, and identical
+    // vectors are STILL never missed (they pair inside their signature
+    // group, which the cap by construction cannot touch)
+    val capped = graft.ext.Similarity.embeddingNearDupsBanded(corpusDf, threshold,
+        nBits = 60, bandBits = 5, dim = dim, hotBandCap = 1).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"), r.getAs[Double]("cos"))).toSet
+    assert(capped.subsetOf(want), s"capped banded produced non-pairs: ${capped -- want}")
+    assert(dups.subsetOf(capped), s"capped banded missed identical pairs: ${dups -- capped}")
   }
 }
