@@ -36,6 +36,17 @@ import scala.jdk.CollectionConverters._
   */
 object BucketedIndex {
 
+  /** Test-only crash injection (BucketedIndexFuzzSpec): invoked at each
+    * named point between durable file-system effects; a test throws from
+    * it to simulate the process dying mid-publish / mid-vacuum. Null (the
+    * default) in production — the call sites are a null check and a
+    * string literal, nothing else. */
+  @volatile private[graft] var faultHook: String => Unit = null
+  @inline private def fp(point: String): Unit = {
+    val h = faultHook
+    if (h != null) h(point)
+  }
+
   private def bucketOf(n: Int) = pmod(hash(col("id")), lit(n))
 
   def readManifest(dir: String): Map[Int, Long] = {
@@ -92,6 +103,7 @@ object BucketedIndex {
   private def writeManifest(dir: String, m: Map[Int, Long], version: Long,
                             header: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(Paths.get(dir, "manifests"))
+    fp("manifest.begin")
     // sweep tmp leftovers from a crashed prior publish (single-mutator
     // discipline makes this safe: no concurrent writer owns a live .tmp)
     Files.list(Paths.get(dir, "manifests")).iterator().asScala
@@ -104,10 +116,13 @@ object BucketedIndex {
     // the grace window, readers only pin versions they observed current)
     val vtmp = Paths.get(dir, "manifests", s"m$version.tmp")
     Files.writeString(vtmp, body)
+    fp("manifest.vtmpWritten")
     Files.move(vtmp, Paths.get(dir, "manifests", s"m$version"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    fp("manifest.versionLogged")
     val tmp = Paths.get(dir, "_MANIFEST.tmp")
     Files.writeString(tmp, body)
+    fp("manifest.currentTmpWritten")
     Files.move(tmp, Paths.get(dir, "_MANIFEST"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -184,8 +199,10 @@ object BucketedIndex {
       // bucket per publish — the read-amplification debt the round-15
       // 100-batch soak measures). After it each touched bucket's state
       // is exactly ONE file.
+      fp("apply.beforeBucketWrite")
       merged.repartition(col("bucket")).write.mode("overwrite")
         .partitionBy("bucket").parquet(s"$dir/batches/b$batchId")
+      fp("apply.bucketsWritten")
       // buckets whose merged state is empty (all docs deleted) leave the
       // manifest; partitionBy writes no dir for them
       val live = Files.list(Paths.get(s"$dir/batches/b$batchId")).iterator().asScala
@@ -195,6 +212,7 @@ object BucketedIndex {
       val header = Map("appliedBatch" -> mark.toString) ++
         (if (scheme.nonEmpty) Map("scheme" -> scheme) else Map.empty)
       writeManifest(dir, newManifest, batchId, header)
+      fp("apply.published")
       touched
     } finally folded.unpersist()
   }
@@ -224,15 +242,18 @@ object BucketedIndex {
     if (manifest.values.exists(_ == compactId)) return // already published
     require(compactId > manifest.values.max,
       s"compactId $compactId must exceed every live batch id (${manifest.values.max})")
+    fp("compact.beforeDirWrite")
     val full = read(spark, dir).withColumn("bucket", bucketOf(nBuckets))
     full.repartition(col("bucket")).write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$dir/batches/b$compactId")
+    fp("compact.dirWritten")
     val live = Files.list(Paths.get(s"$dir/batches/b$compactId")).iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith("bucket="))
       .map(_.stripPrefix("bucket=").toInt).toSet
     // compaction is not a stream batch: the header (appliedBatch, scheme)
     // carries FORWARD unchanged so the retry-skip guard stays authoritative
     writeManifest(dir, live.map(_ -> compactId).toMap, compactId, readHeader(dir))
+    fp("compact.published")
   }
 
   /** Remove bucket dirs no longer referenced by the RETAINED manifests.
@@ -250,8 +271,10 @@ object BucketedIndex {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val logged = manifestVersions(dir)
     val retained = logged.takeRight(keepLast)
-    logged.dropRight(keepLast).foreach(v =>
-      Files.deleteIfExists(Paths.get(dir, "manifests", s"m$v")))
+    logged.dropRight(keepLast).foreach { v =>
+      Files.deleteIfExists(Paths.get(dir, "manifests", s"m$v"))
+      fp("vacuum.logPruned")
+    }
     val live: Seq[Map[Int, Long]] =
       retained.map(v => readManifestAt(dir, v)) :+ readManifest(dir)
     val liveDirs = live.flatten
@@ -262,7 +285,7 @@ object BucketedIndex {
       Files.list(b).iterator().asScala.foreach { bd =>
         if (bd.getFileName.toString.startsWith("bucket=") && !liveDirs.contains(bd.normalize)) {
           Files.walk(bd).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .iterator().asScala.foreach(Files.delete)
+            .iterator().asScala.foreach { p => Files.delete(p); fp("vacuum.fileDeleted") }
         }
       }
       // a batch dir whose buckets are all superseded is garbage including
@@ -271,7 +294,7 @@ object BucketedIndex {
         .exists(_.getFileName.toString.startsWith("bucket="))
       if (noBuckets) {
         Files.walk(b).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(Files.delete)
+          .iterator().asScala.foreach { p => Files.delete(p); fp("vacuum.fileDeleted") }
       }
     }
   }
