@@ -396,6 +396,22 @@ object EsQueryJson {
     }
     else sNode.asText()
 
+  /** Script node → its `"params": {...}` bindings (every ES script
+    * context carries the same shape). Empty for inline-string scripts. */
+  private def scriptParams(sNode: JsonNode): Map[String, Any] =
+    if (sNode == null || !sNode.isObject) Map.empty
+    else Option(sNode.get("params")).map(_.fields().asScala.map { e =>
+      val v = e.getValue
+      val any: Any =
+        if (v.isTextual) v.asText()
+        else if (v.isBoolean) v.asBoolean()
+        else if (v.isIntegralNumber) v.asLong()
+        else if (v.isNumber) v.asDouble()
+        else throw new IllegalArgumentException(
+          s"unsupported script param JSON type for '${e.getKey}': $v")
+      e.getKey -> any
+    }.toMap).getOrElse(Map.empty)
+
   /** ES field name → Column (map-doc aware). `<field>.keyword` resolves
     * to the raw column: ES's default text mapping adds an UN-ANALYZED
     * keyword sub-field holding the source string verbatim, and
@@ -821,7 +837,7 @@ object EsQueryJson {
         // predicate, no interpreter — the script_score approach in
         // filter position
         val sNode = body.get("script")
-        expr(Painless.compile(scriptSource(sNode)))
+        expr(Painless.compile(scriptSource(sNode), params = scriptParams(sNode)))
       case "prefix" =>
         val (f, v) = single(body)
         EsDsl.prefix(field(f), (if (v.isObject) v.get("value") else v).asText())
@@ -1339,7 +1355,7 @@ object EsQueryJson {
           val order = Option(spec.get("order")).map(_.asText())
           if (f == "_script") {
             val sNode = spec.get("script")
-            val bound = Painless.compile(scriptSource(sNode))
+            val bound = Painless.compile(scriptSource(sNode), params = scriptParams(sNode))
             // ES script sorts declare "type": number|string; numeric keys
             // take the 6-dp engine-stable rounding, string keys sort raw
             val key = if (Option(spec.get("type")).map(_.asText()).contains("string"))
@@ -1764,8 +1780,9 @@ object EsQueryJson {
     val withSf = Option(body.get("script_fields")) match {
       case Some(sfn) =>
         sfn.fields().asScala.toSeq.foldLeft(withDv) { (acc, e) =>
-          val raw = scriptSource(e.getValue.get("script"))
-          val c = expr(Painless.compile(raw))
+          val sfNode = e.getValue.get("script")
+          val raw = scriptSource(sfNode)
+          val c = expr(Painless.compile(raw, params = scriptParams(sfNode)))
           val withIt = acc.withColumn(e.getKey, c)
           // float outputs take the 6-dp engine-stable rounding; the
           // string/int/boolean values the widened subset can now produce
@@ -1942,7 +1959,8 @@ object EsQueryJson {
         val ctxRe = "ctx\\._source\\.([A-Za-z0-9_.]+)".r
         val ctxIds = ctxRe.findAllMatchIn(rhs).map(_.group(1)).toSet
         val bound = Painless.compile(
-          ctxRe.replaceAllIn(rhs, m => m.group(1)), extraIds = ctxIds)
+          ctxRe.replaceAllIn(rhs, m => m.group(1)), extraIds = ctxIds,
+          params = scriptParams(sNode))
         val value =
           if (df.columns.contains(target)) expr(bound).cast(df.schema(target).dataType)
           else expr(bound)
@@ -2625,7 +2643,7 @@ object EsQueryJson {
           // through the SQL parser (codegen, no interpreter), the
           // bucket_script approach at the document level
           val sNode = fn.get("script_score").get("script")
-          Some(expr(Painless.compile(scriptSource(sNode))))
+          Some(expr(Painless.compile(scriptSource(sNode), params = scriptParams(sNode))))
         } else if (fn.has("random_score")) {
           // deterministic uniform [0,1): md5 of seed:field — ES's seeded
           // random_score is likewise a hash of (seed, field value), not an
@@ -3008,7 +3026,7 @@ object EsQueryJson {
     // shape as a plain column.
     lazy val raw0 = Option(spec.get("script")) match {
       case Some(sNode) =>
-        expr(Painless.compile(scriptSource(sNode)))
+        expr(Painless.compile(scriptSource(sNode), params = scriptParams(sNode)))
       case None => field(spec.get("field").asText())
     }
     // metric `missing`: docs without the field aggregate AS this value
@@ -3114,7 +3132,9 @@ object EsQueryJson {
         def painless(raw: String, extra: Set[String] = Set.empty): String = {
           require(!raw.contains("doc['info."),
             s"scripted_metric doc refs must be plain columns, got $raw")
-          Painless.compile(raw, extraIds = extra)
+          // scripted_metric params live at the aggregation level and are
+          // shared by map/combine/reduce scripts (ES 6.5 shape)
+          Painless.compile(raw, extraIds = extra, params = scriptParams(spec))
         }
         val stateRe = "state\\.([A-Za-z_][A-Za-z0-9_]*)\\s*\\+=\\s*(.+)".r
         val sums = spec.get("map_script").asText().split(";").map(_.trim).filter(_.nonEmpty)
@@ -3351,7 +3371,8 @@ object EsQueryJson {
     private def termsRawKey: Column = Option(spec.get("script")) match {
       case Some(sNode) =>
         expr(Painless.compile(scriptSource(sNode), stringConcat =
-          Option(spec.get("value_type")).map(_.asText()).contains("string")))
+          Option(spec.get("value_type")).map(_.asText()).contains("string"),
+          params = scriptParams(sNode)))
       case None => field(spec.get("field").asText())
     }
     /** ES terms `include`/`exclude`: bucket keys must (not) FULLY match

@@ -19,7 +19,18 @@ package graft.dsl
   *   - the ternary `c ? a : b`, nested, including inside call arguments;
   *   - `Math.min/max/abs/log/sqrt/floor/ceil/pow` (→ least/greatest/
   *     abs/ln/sqrt/floor/ceil/power — log is the NATURAL log in Java);
-  *   - single-quoted string literals and numeric literals.
+  *   - single-quoted string literals and numeric literals;
+  *   - `params.<name>` references, bound from the request's `"params"`
+  *     object in EVERY context (unbound refs reject loudly);
+  *   - local declarations before the final expression —
+  *     `def x = ...; double y = ...; [return] <expr>` — inlined
+  *     textually (SQL has no bindings; a local may reference priors);
+  *   - `.equals(x)` / `.isEmpty()` on a ref;
+  *   - Joda date accessors on a date-typed ref: `.millis` property,
+  *     `.getMillis()/.getYear()/.getMonthOfYear()/.getDayOfMonth()/
+  *     .getHourOfDay()/.getMinuteOfHour()/.getSecondOfMinute()/
+  *     .getDayOfWeek()/.getDayOfYear()` (Joda bases: months 1-12,
+  *     Monday=1 weekdays — mapped where SQL differs).
   *
   * Everything else rejects LOUDLY (unknown method, unknown identifier,
   * unterminated ref, leftover `?`/`!`) — the subset never silently
@@ -44,7 +55,10 @@ object Painless {
   private val allowedTokens = Set(
     "least", "greatest", "abs", "ln", "sqrt", "floor", "ceil", "power",
     "length", "contains", "startswith", "endswith", "substring", "instr",
-    "lower", "upper", "if", "and", "or", "not")
+    "lower", "upper", "if", "and", "or", "not", "true", "false",
+    // the Joda date-accessor family compiles to these
+    "unix_millis", "cast", "as", "timestamp", "year", "month", "day",
+    "hour", "minute", "second", "weekday", "dayofyear")
 
   /** Compile a painless-subset source string to a Spark-SQL expression
     * string. `extraIds` are identifiers bound by the CALLING context
@@ -53,8 +67,11 @@ object Painless {
     * `stringConcat` turns painless's string `+` into SQL `||` (the terms
     * `value_type: "string"` computed-key form). */
   def compile(raw: String, extraIds: Set[String] = Set.empty,
-              stringConcat: Boolean = false): String = {
-    val (bound, cols) = bindRefs(raw.trim)
+              stringConcat: Boolean = false,
+              params: Map[String, Any] = Map.empty): String = {
+    val withParams = substituteParams(raw.trim, params)
+    val single = inlineLocals(withParams)
+    val (bound, cols) = bindRefs(single)
     val math = bindMath(bound)
     val tern = rewriteTernaries(math)
     var sql = replaceOutsideQuotes(tern, "&&", " AND ")
@@ -75,6 +92,98 @@ object Painless {
     // Differential find (EsPainlessDifferentialSpec); the D suffix pins
     // every float literal to DoubleType.
     doubleLiterals(sql)
+  }
+
+  /** Bind `params.<name>` references to the request's params map as SQL
+    * literals (every script context carries the same `"params": {...}`
+    * object in ES). Unbound `params.*` references reject loudly. */
+  private def substituteParams(s: String, params: Map[String, Any]): String = {
+    val afterSub = params.foldLeft(s) { case (acc, (k, v)) =>
+      mapOutsideQuotes(acc)(_.replaceAll(
+        "params\\." + java.util.regex.Pattern.quote(k) + "(?![A-Za-z0-9_])",
+        java.util.regex.Matcher.quoteReplacement(literal(v))))
+    }
+    var unbound = false
+    mapOutsideQuotes(afterSub) { seg =>
+      if (seg.contains("params.")) unbound = true; seg
+    }
+    require(!unbound,
+      s"unbound params.* reference in painless source (params: " +
+        s"${params.keys.toSeq.sorted.mkString(",")}): $s")
+    afterSub
+  }
+
+  /** A param value as a SQL literal. Doubles render as plain decimal text
+    * (never scientific notation — the validator would see the exponent's
+    * E as an identifier); the final [[doubleLiterals]] pass then pins them
+    * to DoubleType with the D suffix like any float literal. */
+  private def literal(v: Any): String = v match {
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case d: Double =>
+      val plain = if (d.toString.exists(c => c == 'E' || c == 'e'))
+        BigDecimal(d).bigDecimal.toPlainString else d.toString
+      if (plain.contains('.')) plain else plain + ".0"
+    case f: Float => literal(f.toDouble)
+    case b: Boolean => b.toString
+    case n: Number => n.toString
+    case other => throw new IllegalArgumentException(
+      s"unsupported painless param type: ${other.getClass.getSimpleName}")
+  }
+
+  /** Local-variable statements: `def x = <expr>; [def y = ...;] <result>`
+    * (painless-style typed declarations too — `double x = ...`), with the
+    * result optionally spelled `return <expr>;`. SQL has no local
+    * bindings, so each local is inlined textually (token-boundary, outside
+    * string literals) into everything after it — earlier locals first, so
+    * a local may reference prior locals. Anything before the final
+    * expression that is NOT a declaration rejects loudly (loops and
+    * mutation stay outside the subset). */
+  private def inlineLocals(s: String): String = {
+    val stmts = splitTopLevel(s, ';').map(_.trim).filter(_.nonEmpty)
+    require(stmts.nonEmpty, s"empty painless source: $s")
+    if (stmts.size == 1 && !stmts.head.startsWith("return "))
+      return stmts.head
+    val declRe = "(?s)^(?:def|int|long|float|double|boolean|String)\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*=\\s*(.+)$".r
+    var bindings = Seq.empty[(String, String)]
+    stmts.init.foreach {
+      case declRe(name, rhs) =>
+        bindings :+= (name -> ("(" + substLocals(rhs, bindings) + ")"))
+      case other => throw new IllegalArgumentException(
+        s"only local declarations (def x = ...) may precede the final expression " +
+          s"in the painless subset, got: $other")
+    }
+    val last = stmts.last
+    val result = declRe.findFirstIn(last) match {
+      case Some(_) => throw new IllegalArgumentException(
+        s"painless source ends on a declaration with no result expression: $s")
+      case None => if (last.startsWith("return ")) last.stripPrefix("return ").trim else last
+    }
+    substLocals(result, bindings)
+  }
+
+  private def substLocals(s: String, bindings: Seq[(String, String)]): String =
+    bindings.foldLeft(s) { case (acc, (name, repl)) =>
+      mapOutsideQuotes(acc)(_.replaceAll(
+        "(?<![A-Za-z0-9_.'])" + java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_(])",
+        java.util.regex.Matcher.quoteReplacement(repl)))
+    }
+
+  /** Apply `f` to every segment of `s` outside single-quoted literals. */
+  private def mapOutsideQuotes(s: String)(f: String => String): String = {
+    val out = new java.lang.StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') {
+        val end = s.indexOf('\'', i + 1)
+        require(end > 0, s"unterminated literal: $s")
+        out.append(s, i, end + 1); i = end + 1
+      } else {
+        val next = s.indexOf('\'', i)
+        val seg = if (next < 0) s.substring(i) else s.substring(i, next)
+        out.append(f(seg)); i += seg.length
+      }
+    }
+    out.toString
   }
 
   private val floatLit = "(?<![A-Za-z0-9_.])(\\d+\\.\\d+)(?![A-Za-z0-9_.D])".r
@@ -118,10 +227,16 @@ object Painless {
         require(s.startsWith(".value", j),
           s"doc['$f'] must be followed by .value (painless subset)")
         j += ".value".length
-        if (j < s.length && s.charAt(j) == '.') {
+        if (s.startsWith(".millis", j) &&
+            (j + 7 >= s.length || !s.charAt(j + 7).isLetterOrDigit && s.charAt(j + 7) != '(' && s.charAt(j + 7) != '_')) {
+          // Joda property access (no parens): doc['ts'].value.millis
+          out.append(s"unix_millis(cast($f as timestamp))")
+          i = j + ".millis".length
+        } else if (j < s.length && s.charAt(j) == '.') {
           // ONE string-method call on the ref
           val open = s.indexOf('(', j + 1)
-          require(open > 0, s"expected a method call after doc['$f'].value.")
+          require(open > 0, s"expected a method call after doc['$f'].value. " +
+            s"(or the .millis property)")
           val name = s.substring(j + 1, open)
           val close = matchingParen(s, open)
           val rawArgs = s.substring(open + 1, close).trim
@@ -164,9 +279,41 @@ object Painless {
         case other => throw new IllegalArgumentException(
           s"substring takes 1 or 2 arguments, got ${other.size}")
       }
+    // Java Object.equals / String.isEmpty — value equality either way in
+    // the subset's types (painless strings compare by value with == too,
+    // but 6.5 users write .equals out of Java habit)
+    case "equals" => s"($col = $args)"
+    case "isEmpty" =>
+      require(args.isEmpty, "isEmpty() takes no arguments"); s"(length($col) = 0)"
+    // the Joda accessors an ES 6.5 date doc-value exposes
+    // (doc['ts'].value is a ReadableDateTime; UTC, matching the engine's
+    // pinned session timezone)
+    case "getMillis" =>
+      require(args.isEmpty, "getMillis() takes no arguments")
+      s"unix_millis(cast($col as timestamp))"
+    case "getYear" =>
+      require(args.isEmpty, "getYear() takes no arguments"); s"year($col)"
+    case "getMonthOfYear" => // Joda months are 1-12, same as SQL month()
+      require(args.isEmpty, "getMonthOfYear() takes no arguments"); s"month($col)"
+    case "getDayOfMonth" =>
+      require(args.isEmpty, "getDayOfMonth() takes no arguments"); s"day($col)"
+    case "getHourOfDay" =>
+      require(args.isEmpty, "getHourOfDay() takes no arguments"); s"hour($col)"
+    case "getMinuteOfHour" =>
+      require(args.isEmpty, "getMinuteOfHour() takes no arguments"); s"minute($col)"
+    case "getSecondOfMinute" =>
+      require(args.isEmpty, "getSecondOfMinute() takes no arguments"); s"second($col)"
+    case "getDayOfWeek" => // Joda: Monday=1..Sunday=7; weekday(): Monday=0
+      require(args.isEmpty, "getDayOfWeek() takes no arguments")
+      s"(weekday($col) $GenPlus 1)"
+    case "getDayOfYear" =>
+      require(args.isEmpty, "getDayOfYear() takes no arguments"); s"dayofyear($col)"
     case other => throw new IllegalArgumentException(
       s"unsupported painless string method: .$other(...) " +
-        "(subset: length/contains/startsWith/endsWith/indexOf/substring/toLowerCase/toUpperCase)")
+        "(subset: length/contains/startsWith/endsWith/indexOf/substring/" +
+        "toLowerCase/toUpperCase/equals/isEmpty, date: millis/getMillis/" +
+        "getYear/getMonthOfYear/getDayOfMonth/getHourOfDay/getMinuteOfHour/" +
+        "getSecondOfMinute/getDayOfWeek/getDayOfYear)")
   }
 
   private def bindMath(s: String): String = {

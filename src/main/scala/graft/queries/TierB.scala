@@ -5489,6 +5489,106 @@ object TierB {
              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS cs
              |FROM k WHERE rk <= 2 ORDER BY by_lang, doc_count DESC, h""".stripMargin)),
 
+    // Painless widening 2 (VERDICT r16 item 3) — `params.*` bindings in
+    // the two ends of the script surface: a parameterized script_fields
+    // value and a parameterized filter-context script query, one request.
+    Q("a248_es_json_painless_params",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"bool": {"filter": [{"script": {"script":
+          |   {"source": "doc['n_chars'].value > params.min && doc['lang'].value != params.skip",
+          |    "params": {"min": 300, "skip": "zz"}}}}]}},
+          | "script_fields": {
+          |   "scaled": {"script": {"source": "doc['n_chars'].value * params.factor + params.base",
+          |              "params": {"factor": 2, "base": 10}}},
+          |   "tag": {"script": {"source": "doc['lang'].value.equals(params.l) ? 'hit' : 'miss'",
+          |           "params": {"l": "en"}}}},
+          | "sort": ["doc_id"], "size": 60}""".stripMargin)
+        .select("doc_id", "scaled", "tag"),
+      Some("""SELECT doc_id, n_chars * 2 + 10 AS scaled,
+             |       CASE WHEN lang = 'en' THEN 'hit' ELSE 'miss' END AS tag
+             |FROM documents WHERE n_chars > 300 AND lang <> 'zz'
+             |ORDER BY doc_id LIMIT 60""".stripMargin)),
+
+    // Painless widening 2 — local variable declarations inlined before
+    // the final (optionally `return`ed) expression, in script_fields and
+    // in a script query.
+    Q("a249_es_json_painless_locals",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"script": {"script":
+          |   "def t = doc['n_chars'].value % 10; t >= 3 && t <= 7"}},
+          | "script_fields": {
+          |   "poly": {"script": "def r = doc['n_chars'].value / 100.0; def s2 = r * r; return s2 + r + 1"},
+          |   "pick": {"script": "String p = doc['source'].value.substring(0, 3); p == 'src' ? p : doc['lang'].value"}},
+          | "sort": ["doc_id"], "size": 80}""".stripMargin)
+        .select("doc_id", "poly", "pick"),
+      Some("""SELECT doc_id,
+             |       round((n_chars/100.0)*(n_chars/100.0) + n_chars/100.0 + 1, 6) AS poly,
+             |       CASE WHEN substring(source, 1, 3) = 'src' THEN substring(source, 1, 3) ELSE lang END AS pick
+             |FROM documents WHERE (n_chars % 10) BETWEEN 3 AND 7
+             |ORDER BY doc_id LIMIT 80""".stripMargin)),
+
+    // Painless widening 2 — Joda date accessors on a date doc-value:
+    // .millis property, getter methods incl. the Monday=1 getDayOfWeek
+    // base (DuckDB's isodow shares it).
+    Q("a250_es_json_painless_dates",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.orders(s, d),
+        """{"query": {"script": {"script": {"source":
+          |   "doc['o_orderdate'].value.getYear() == params.y", "params": {"y": 1995}}}},
+          | "script_fields": {
+          |   "ms": {"script": "doc['o_orderdate'].value.millis"},
+          |   "ym": {"script": "doc['o_orderdate'].value.getYear() * 100 + doc['o_orderdate'].value.getMonthOfYear()"},
+          |   "dow": {"script": "doc['o_orderdate'].value.getDayOfWeek()"},
+          |   "doy": {"script": "doc['o_orderdate'].value.getDayOfYear()"}},
+          | "sort": ["o_orderkey"], "size": 90}""".stripMargin)
+        .select("o_orderkey", "ms", "ym", "dow", "doy"),
+      Some("""SELECT o_orderkey, epoch_ms(o_orderdate) AS ms,
+             |       year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+             |       isodow(o_orderdate) AS dow, dayofyear(o_orderdate) AS doy
+             |FROM orders WHERE year(o_orderdate) = 1995
+             |ORDER BY o_orderkey LIMIT 90""".stripMargin)),
+
+    // Painless widening 2 — a parameterized date-keyed terms script (the
+    // computed-bucket-key context) and a parameterized metric script in
+    // the same aggregation request.
+    Q("a251_es_json_painless_terms_script",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.orders(s, d),
+        """{"aggs": {"ym": {"terms": {
+          |   "script": {"source": "doc['o_orderdate'].value.getYear() * 100 + doc['o_orderdate'].value.getMonthOfYear()"},
+          |   "size": 200},
+          | "aggs": {"rev": {"sum": {"script": {"source": "doc['o_totalprice'].value * params.rate",
+          |                          "params": {"rate": 0.25}}}}}}}}""".stripMargin)("ym")
+        .orderBy("key"),
+      Some("""SELECT year(o_orderdate) * 100 + month(o_orderdate) AS key,
+             |       count(*) AS doc_count,
+             |       round(sum(o_totalprice * 0.25), 4) AS rev
+             |FROM orders GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // Painless widening 2 — parameterized _script sort (numeric type,
+    // 6-dp engine-stable key) with locals in the sort script.
+    Q("a252_es_json_painless_script_sort",
+      (s, d) => graft.dsl.EsQueryJson.search(Tables.documents(s, d),
+        """{"query": {"term": {"lang": "de"}},
+          | "sort": [{"_script": {"type": "number", "order": "desc",
+          |   "script": {"source": "def m = doc['n_chars'].value % params.m; m * 2",
+          |              "params": {"m": 13}}}}, "doc_id"],
+          | "size": 40}""".stripMargin)
+        .select("doc_id", "n_chars"),
+      Some("""SELECT doc_id, n_chars FROM documents WHERE lang = 'de'
+             |ORDER BY (n_chars % 13) * 2 DESC, doc_id LIMIT 40""".stripMargin)),
+
+    // Painless widening 2 — params + equals in _update_by_query's
+    // assignment context (ctx._source targets compose with params).
+    Q("a253_es_json_painless_update_params",
+      (s, d) => graft.dsl.EsQueryJson.updateByQuery(
+        Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
+        """{"query": {"term": {"lang": "fr"}},
+          | "script": {"source": "ctx._source.n_chars = ctx._source.n_chars * params.f + params.b",
+          |            "params": {"f": 3, "b": 7}}}""".stripMargin)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source,
+             |       CASE WHEN lang = 'fr' THEN n_chars * 3 + 7 ELSE n_chars END AS n_chars
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // moving_fn with the ES shift frame: default shift 0 EXCLUDES the
     // current bucket (frame [-window, -1]); shift = 1 slides one right
     // (frame [-window+1, 0], trailing-inclusive). Window aggregates over

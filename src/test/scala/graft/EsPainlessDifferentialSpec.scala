@@ -21,12 +21,15 @@ import scala.util.Random
   * (the generator always divides by a double literal, where painless and
   * SQL agree).
   */
-case class PainlessDoc(doc_id: Long, n_chars: Long, lang: String, source: String)
+case class PainlessDoc(doc_id: Long, n_chars: Long, lang: String, source: String,
+                       ts: java.sql.Timestamp)
 
 class EsPainlessDifferentialSpec extends AnyFunSuite with SparkTestBase {
 
   type Doc = PainlessDoc
-  private def Doc(id: Long, nc: Long, l: String, s: String) = PainlessDoc(id, nc, l, s)
+  private def Doc(id: Long, nc: Long, l: String, s: String) =
+    // ~2.74 h apart: hour/minute/second/day-of-week/day-of-year all vary
+    PainlessDoc(id, nc, l, s, new java.sql.Timestamp(1700000000000L + id * 9876543L))
 
   private val fixture: Seq[Doc] = {
     val langs = Seq("en", "de", "fr", "zz")
@@ -232,6 +235,111 @@ class EsPainlessDifferentialSpec extends AnyFunSuite with SparkTestBase {
       assert(got == want,
         s"predicate divergence ($i): ${g.p}\n engine=$got twin=$want")
     }
+  }
+
+  test("widening 2: params/locals/equals/date accessors match the twin (160 exprs)") {
+    import java.time.ZoneOffset
+    val rnd = new Random(4471823L)
+    val d = df
+    // generated case: painless source + params JSON + independent eval
+    case class Case(src: String, params: String, f: Doc => Double)
+    def zdt(doc: Doc) = doc.ts.toInstant.atZone(ZoneOffset.UTC)
+    def gen(): Case = rnd.nextInt(6) match {
+      case 0 => // numeric params over a generated sub-expression
+        val a = rnd.nextInt(9) + 1; val b = (rnd.nextInt(40) + 5) / 10.0
+        val sub = numG(rnd, 2)
+        Case(s"(${sub.p}) * params.a + params.b", s"""{"a": $a, "b": $b}""",
+          doc => sub.f(doc) * a + b)
+      case 1 => // string param through .equals() gating two sub-expressions
+        val l = Seq("en", "de", "fr", "zz", "xx")(rnd.nextInt(5))
+        val a = numG(rnd, 1); val b = numG(rnd, 1)
+        Case(s"doc['lang'].value.equals(params.l) ? ${a.p} : ${b.p}",
+          s"""{"l": "$l"}""",
+          doc => if (doc.lang == l) a.f(doc) else b.f(doc))
+      case 2 => // local declarations, result referencing locals twice
+        val sub = numG(rnd, 2); val m = rnd.nextInt(5) + 2
+        Case(s"def r = ${sub.p}; def s2 = r * $m; return s2 + r", "{}",
+          doc => { val r = sub.f(doc); r * m + r })
+      case 3 => // typed local + isEmpty + string-method composition
+        val n = rnd.nextInt(3) + 1
+        Case(s"double w = doc['source'].value.isEmpty() ? $n : doc['source'].value.length(); w * 2",
+          "{}",
+          doc => { val w: Double = if (doc.source.isEmpty) n else doc.source.length; w * 2 })
+      case 4 => // Joda getters (weekday base Monday=1, months 1-12)
+        val (expr, f): (String, Doc => Double) = rnd.nextInt(5) match {
+          case 0 => ("doc['ts'].value.getYear()", doc => zdt(doc).getYear)
+          case 1 => ("doc['ts'].value.getMonthOfYear() * 100 + doc['ts'].value.getDayOfMonth()",
+            doc => zdt(doc).getMonthValue * 100 + zdt(doc).getDayOfMonth)
+          case 2 => ("doc['ts'].value.getDayOfWeek() * 10 + doc['ts'].value.getHourOfDay()",
+            doc => zdt(doc).getDayOfWeek.getValue * 10 + zdt(doc).getHour)
+          case 3 => ("doc['ts'].value.getMinuteOfHour() + doc['ts'].value.getSecondOfMinute()",
+            doc => zdt(doc).getMinute + zdt(doc).getSecond)
+          case _ => ("doc['ts'].value.getDayOfYear()", doc => zdt(doc).getDayOfYear.toDouble)
+        }
+        Case(expr, "{}", f)
+      case _ => // .millis arithmetic with a param
+        val k = rnd.nextInt(86400) + 1000
+        Case(s"doc['ts'].value.millis % params.k", s"""{"k": $k}""",
+          doc => (doc.ts.getTime % k).toDouble)
+    }
+    Seq.fill(160)(gen()).grouped(20).zipWithIndex.foreach { case (batch, bi) =>
+      val sf = batch.zipWithIndex.map { case (c, i) =>
+        s""""e$i": {"script": {"source": "${c.src.replace("\"", "\\\"")}", "params": ${c.params}}}"""
+      }.mkString(", ")
+      val body =
+        s"""{"query": {"match_all": {}}, "script_fields": {$sf},
+           | "sort": ["doc_id"], "size": ${fixture.size}}""".stripMargin
+      val rows = graft.dsl.EsQueryJson.search(d, body).collect()
+      assert(rows.length == fixture.size)
+      rows.foreach { r =>
+        val doc = fixture((r.getAs[Long]("doc_id") - 1).toInt)
+        batch.zipWithIndex.foreach { case (c, i) =>
+          val t = c.f(doc)
+          val ev = r.getAs[Any](s"e$i") match {
+            case l: Long => l.toDouble
+            case i2: Int => i2.toDouble
+            case x: Double => x
+            case other => fail(s"unexpected engine type for ${c.src}: $other")
+          }
+          assert(math.abs(ev - t) < 1e-9 || math.abs(ev - round6(t)) < 1e-9,
+            s"widening-2 divergence (batch $bi, e$i): ${c.src} params=${c.params}\n" +
+              s" doc=$doc engine=$ev twin=$t")
+        }
+      }
+    }
+  }
+
+  test("widening 2: compiled-SQL pins and loud rejects") {
+    import graft.dsl.Painless
+    // params bind as literals (doubles keep the D suffix), locals inline
+    assert(Painless.compile("doc['n'].value * params.f", params = Map("f" -> 2L)) ==
+      "n * 2")
+    assert(Painless.compile("params.s", params = Map("s" -> "a'b")) == "'a''b'")
+    assert(Painless.compile("def x = doc['a'].value + 1; x * x", extraIds = Set("a")) ==
+      "(a + 1) * (a + 1)")
+    assert(Painless.compile("def x = doc['a'].value; def y = x + 1; return y * 2") ==
+      "((a) + 1) * 2")
+    assert(Painless.compile("doc['s'].value.equals('x')") == "(s = 'x')")
+    assert(Painless.compile("doc['ts'].value.millis") ==
+      "unix_millis(cast(ts as timestamp))")
+    assert(Painless.compile("doc['ts'].value.getDayOfWeek()") == "(weekday(ts) + 1)")
+    // rejects: unbound param, non-declaration statement, trailing
+    // declaration, unknown date accessor, params in a doc ref
+    intercept[IllegalArgumentException] {
+      Painless.compile("params.missing + 1", params = Map("other" -> 1L))
+    }
+    intercept[IllegalArgumentException] {
+      Painless.compile("doc['a'].value = 2; doc['a'].value")
+    }
+    intercept[IllegalArgumentException] {
+      Painless.compile("def x = doc['a'].value; def y = x + 1")
+    }
+    intercept[IllegalArgumentException] {
+      Painless.compile("doc['ts'].value.getEra()")
+    }
+    // a local name never rewrites inside string literals
+    assert(Painless.compile("def en = 1; doc['lang'].value == 'en' ? en : 0") ==
+      "IF(lang  =  'en', (1), 0)")
   }
 
   test("loud rejects: unknown method, unknown identifier, Math.*, leftover syntax") {
