@@ -95,6 +95,55 @@ object TierA {
       |SELECT id, qualifier, arg_max(value, seq) AS value
       |FROM cells GROUP BY id, qualifier ORDER BY id, qualifier""".stripMargin
 
+  /** A11+B17 composed — the `_search?scroll` API over the incremental
+    * index: build the index from the first half of the change-log, open a
+    * scroll (pins the manifest), land the second half + a vacuum MID-WALK,
+    * and reassemble every page. The pages must serve the pinned snapshot —
+    * the oracle is the half-log fold, which the live (moved-on) index no
+    * longer matches. */
+  def scrollWalk(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.dsl.EsScroll
+    import graft.streaming.BucketedIndex
+    val changes = ChangeLog.readEvents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-a254").toString
+    BucketedIndex.applyBatch(spark, dir, changes.filter(col("seq") < 5000L), 0, nBuckets = 16)
+    val (sid, first) = EsScroll.open(spark, dir,
+      """{"query": {"match_all": {}}, "size": 500}""")
+    // live ingest + grace-windowed GC land between pages
+    BucketedIndex.applyBatch(spark, dir, changes.filter(col("seq") >= 5000L), 1, nBuckets = 16)
+    BucketedIndex.vacuum(dir, keepLast = 2)
+    var pages = Seq(first)
+    var n = first.count()
+    while (n == 500) {
+      val p = EsScroll.next(spark, sid)
+      pages :+= p
+      n = p.count()
+    }
+    EsScroll.clear(sid)
+    pages.reduce(_ union _)
+      .select(col("id"), explode(col("info")).as(Seq("qualifier", "value")))
+      .orderBy("id", "qualifier")
+  }
+
+  private val halfChCte =
+    """WITH ch AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS id,
+      |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |         event_id AS seq, event_type, value, props
+      |  FROM events WHERE event_id < 5000
+      |), dmax AS (
+      |  SELECT id, max(CASE WHEN op = 'D' THEN seq END) AS dseq FROM ch GROUP BY id
+      |), u AS (
+      |  SELECT ch.* FROM ch JOIN dmax USING (id)
+      |  WHERE op = 'U' AND (dseq IS NULL OR seq > dseq)
+      |), cells AS (
+      |  SELECT id, 'etype' AS qualifier, event_type AS value, seq FROM u
+      |  UNION ALL SELECT id, 'val', printf('%.2f', value), seq FROM u
+      |  UNION ALL SELECT id, 'k', json_extract_string(props, '$.k'), seq FROM u
+      |)
+      |SELECT id, qualifier, arg_max(value, seq) AS value
+      |FROM cells GROUP BY id, qualifier ORDER BY id, qualifier""".stripMargin
+
   /** The composed-system workflow: ES-style DSL query over the MATERIALIZED
     * index (what the reference exists to enable, `README_zh.md:3`) — fold
     * the change-log, then term + exists + range over the dynamic map docs. */
@@ -160,6 +209,7 @@ object TierA {
         |) ORDER BY seq, qualifier""".stripMargin)),
     Q("a13_merge", mergeFold, Some(mergeOracle)),
     Q("a13_merge_incremental", mergeIncremental, Some(mergeOracle)),
+    Q("a254_es_scroll_pinned_walk", scrollWalk, Some(halfChCte)),
     Q("a08_deleted_keys", deletedKeys,
       Some("""WITH ch AS (
         |  SELECT CAST(user_id AS VARCHAR) AS id,
