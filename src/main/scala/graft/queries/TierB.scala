@@ -5589,6 +5589,46 @@ object TierB {
              |       CASE WHEN lang = 'fr' THEN n_chars * 3 + 7 ELSE n_chars END AS n_chars
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Multi-index wildcard resolution (VERDICT r16 item 6): `docs-*`
+    // expands against the registry; the union frame's BM25 stats come
+    // from the COMBINED corpus, so with partitioning indices the scores
+    // equal the single-table stats (the a179 contract, now via the
+    // resolver instead of a hand-built union).
+    Q("a255_es_json_multi_index_wildcard",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val registry = Seq("en", "de", "fr", "zh", "es").map(l =>
+          s"docs-$l" -> docs.filter(col("lang") === l)).toMap
+        graft.dsl.EsQueryJson.search(
+          graft.dsl.EsIndices.resolve(registry, "docs-*"),
+          """{"query": {"match": {"text": "vector"}},
+            | "sort": ["_score", "doc_id"], "size": 25}""".stripMargin)
+          .select(col("doc_id"), col("_index"), col("_score").as("score"))
+      },
+      Some(bm25Sql(Seq("vector"), extraCols = Seq("lang")) +
+        """
+          |SELECT doc_id, 'docs-' || lang AS _index, score
+          |FROM sc WHERE score > 0
+          |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin)),
+
+    // Multi-index comma list + `-pattern` exclusion, consumed by an
+    // aggregation keyed on `_index` (the cross-index dashboard shape).
+    Q("a256_es_json_multi_index_exclusion",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val registry = Seq("en", "de", "fr", "zh", "es").map(l =>
+          s"docs-$l" -> docs.filter(col("lang") === l)).toMap
+        graft.dsl.EsQueryJson.aggregations(
+          graft.dsl.EsIndices.resolve(registry, "docs-*,-docs-z*"),
+          """{"aggs": {"by_idx": {"terms": {"field": "_index", "size": 10},
+            | "aggs": {"nc": {"avg": {"field": "n_chars"}}}}}}""".stripMargin)("by_idx")
+          .orderBy("key")
+      },
+      Some("""SELECT 'docs-' || lang AS key, count(*) AS doc_count,
+             |       round(avg(n_chars), 6) AS nc
+             |FROM documents WHERE lang NOT LIKE 'z%'
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
     // moving_fn with the ES shift frame: default shift 0 EXCLUDES the
     // current bucket (frame [-window, -1]); shift = 1 slides one right
     // (frame [-window+1, 0], trailing-inclusive). Window aggregates over
