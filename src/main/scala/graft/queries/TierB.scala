@@ -5629,6 +5629,23 @@ object TierB {
              |FROM documents WHERE lang NOT LIKE 'z%'
              |GROUP BY 1 ORDER BY key""".stripMargin)),
 
+    // Painless widening 2 — scripted_metric with agg-level `params`
+    // shared by the map/reduce scripts (the ES 6.5 shape), plus a local
+    // declaration inside the map expression's value.
+    Q("a257_es_json_scripted_metric_params",
+      (s, d) => graft.dsl.EsQueryJson.aggregations(Tables.documents(s, d),
+        """{"aggs": {"by_lang": {"terms": {"field": "lang", "size": 10},
+          |  "aggs": {"wsum": {"scripted_metric": {
+          |    "init_script": "state.t = 0",
+          |    "map_script": "state.t += doc['n_chars'].value > params.cut ? doc['n_chars'].value * params.w : 0",
+          |    "combine_script": "return state",
+          |    "reduce_script": "return states.t / params.div",
+          |    "params": {"cut": 250, "w": 2, "div": 10.0}}}}}}}""".stripMargin)("by_lang")
+        .orderBy("key"),
+      Some("""SELECT lang AS key, count(*) AS doc_count,
+             |       round(sum(CASE WHEN n_chars > 250 THEN n_chars * 2 ELSE 0 END) / 10.0, 6) AS wsum
+             |FROM documents GROUP BY key ORDER BY key""".stripMargin)),
+
     // moving_fn with the ES shift frame: default shift 0 EXCLUDES the
     // current bucket (frame [-window, -1]); shift = 1 slides one right
     // (frame [-window+1, 0], trailing-inclusive). Window aggregates over

@@ -1555,3 +1555,180 @@ object ScaleRound17 {
     spark.stop()
   }
 }
+
+/** Round-17 second-decade gate (VERDICT r16 item 2): the round-16 10×
+  * probe left several serving rows at 5–8.4× for 10× data — sub-linear,
+  * but close enough to linear that a quadratic term could hide under it
+  * (a k² term contributes ratio ≈ 10 at small k and only reveals itself
+  * another decade up). Replicates documents to 100× (ids offset so rep-0
+  * keeps the originals any fixture references resolve against) and
+  * re-times the TEN closest-to-linear rows from the r16 table; a ratio
+  * near 100 is linear scan growth, materially above it is superlinear. */
+object ScaleRound17b {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = "/tmp/scale17/sf100x"
+
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    val rep = spark.range(100).select(col("id").as("_rep"))
+    spark.read.parquet(s"$src/documents.parquet").crossJoin(rep)
+      .withColumn("doc_id", col("doc_id") + col("_rep") * 10000000L).drop("_rep")
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    println("SCALEINFO 100x documents built")
+
+    val rows = Seq(
+      "a39_es_json_rescore", "a206_es_json_shingle_search_analyzer",
+      "a235_es_json_scored_bool_should_gating", "a240_es_json_edge_ngram_autocomplete",
+      "a171_es_json_index_time_synonyms", "a197_es_json_index_time_shingles",
+      "a204_es_json_index_time_english", "a38_more_like_this",
+      "a209_es_json_more_like_this", "a118_more_like_this_bm25")
+
+    Seq(src, dst).foreach(d => materialize(spark.read.parquet(s"$d/documents.parquet")))
+
+    def time(name: String, dir: String): Double =
+      (1 to 2).map { _ =>
+        graft.CachedFrames.clear()
+        val t0 = System.nanoTime()
+        materialize(graft.SparkEntry.queries(name)(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    println(f"${"row"}%-42s ${"t1x"}%8s ${"t100x"}%9s ${"ratio"}%8s")
+    var worst = ("", 0.0)
+    rows.foreach { n =>
+      val t1 = time(n, src)
+      val t100 = time(n, dst)
+      val r = t100 / t1
+      if (r > worst._2) worst = (n, r)
+      println(f"SCALE17B $n%-40s $t1%8.2f $t100%9.2f $r%7.2fx")
+    }
+    println(f"SCALE17B worst ratio: ${worst._1} ${worst._2}%.2fx (100 = linear)")
+    spark.stop()
+  }
+}
+
+/** Round-17: build the sf1.0-equivalent dir (10× sf0.1, every table, FK
+  * structure preserved — both sides of each key get the same rep offset,
+  * rep-0 keeps original ids so fixture references resolve). The full
+  * corpus bench then runs over it: SPARK_GRAFT_SF_DIR=/tmp/scale17/sf1.0
+  * runMain graft.Bench — the second-scale regression gate BASELINE.md
+  * records. */
+object ScaleRound17c {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = "/tmp/scale17/sf1.0"
+    val rep = spark.range(10).select(col("id").as("_rep"))
+
+    def build(table: String, offsets: (String, Long)*): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      val out =
+        if (offsets.isEmpty) base
+        else offsets.foldLeft(base.crossJoin(rep)) { case (df, (c, o)) =>
+          df.withColumn(c, col(c) + col("_rep") * o)
+        }.drop("_rep")
+      out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
+    }
+
+    build("documents", "doc_id" -> 10000000L)
+    build("embeddings", "vec_id" -> 1000000L)
+    build("events", "event_id" -> 1000000000L, "user_id" -> 1000000L)
+    build("orders", "o_orderkey" -> 1000000000L, "o_custkey" -> 10000000L)
+    build("lineitem", "l_orderkey" -> 1000000000L, "l_partkey" -> 1000000L,
+      "l_suppkey" -> 10000L)
+    build("customer", "c_custkey" -> 10000000L)
+    build("part", "p_partkey" -> 1000000L)
+    build("supplier", "s_suppkey" -> 10000L)
+    build("nation") // dimensions stay 1× (join targets unchanged)
+    build("region")
+    println(s"SCALEINFO sf1.0 dir built at $dst")
+    spark.stop()
+  }
+}
+
+/** Round-17 write-amplification accounting (VERDICT r16 item 7): the cost
+  * model an operator needs to SET the compaction knobs. For each
+  * (compactAfterDirs × keepLast) combination, run the same trickle soak
+  * and record bytes WRITTEN (every publish's batch/compact dir, at
+  * publish time) against logical bytes (the final one-dir index), plus
+  * the reader-side dirs-per-read the policy bounds. Write amp rises with
+  * aggressive compaction (each compact rewrites the whole index); read
+  * amp rises without it — the LSM tradeoff, measured. */
+object ScaleRound17d {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.{BucketedIndex, Pipeline}
+    import java.nio.file.{Files, Paths}
+
+    // a standing 20k-key index, then HOT-KEY trickle batches (200 muts
+    // over ~40 keys each): each trigger touches a few dozen of the 256
+    // buckets, so the manifest fans out and the policy knobs actually
+    // engage (a batch that touches every bucket repoints the whole
+    // manifest by itself and no knob matters — first-cut mistake)
+    val nKeys = 20000
+    val nBatches = 24
+    val nBuckets = 256
+
+    def dirBytes(p: String): Long = {
+      val root = Paths.get(p)
+      if (!Files.exists(root)) 0L
+      else Files.walk(root).filter(Files.isRegularFile(_))
+        .mapToLong(f => Files.size(f)).sum()
+    }
+
+    def mutRows(i: Int, n: Int, keyPool: Int) = {
+      val rnd = new scala.util.Random(1000 + i)
+      val hot = Seq.fill(40)(rnd.nextInt(keyPool))
+      (0 until n).map { j =>
+        val k = f"k${if (i == 0) j else hot(rnd.nextInt(hot.size))}%06d"
+        val seq = i.toLong * 1000000 + j
+        graft.Mutation(k, "U", new java.sql.Timestamp(1700000000000L + seq),
+          seq, Seq(graft.Cell("f", "q" + (j % 3), s"v$seq")))
+      }
+    }
+    def batch(i: Int) = {
+      import spark.implicits._
+      (if (i == 0) mutRows(0, nKeys, nKeys) else mutRows(i, 200, nKeys)).toDF()
+    }
+
+    println(f"${"compactAfter"}%12s ${"keepLast"}%8s ${"written(MB)"}%12s " +
+      f"${"logical(MB)"}%12s ${"writeAmp"}%9s ${"peakDisk(MB)"}%13s ${"maxDirs"}%8s ${"sec"}%7s")
+    for (compactAfter <- Seq(0, 4, 8); keepLast <- Seq(1, 4)) {
+      val dir = Files.createTempDirectory(s"graft-wamp-c$compactAfter-k$keepLast").toString
+      val cfg = Pipeline.Config(
+        changeLogDir = "unused", indexDir = dir, checkpointDir = "unused",
+        vacuumEveryBatches = 1, vacuumKeepManifests = keepLast,
+        compactAfterDirs = compactAfter)
+      var written = 0L
+      var peakDisk = 0L
+      var maxDirs = 0
+      val t0 = System.nanoTime()
+      (0 until nBatches).foreach { i =>
+        val before = BucketedIndex.manifestVersions(dir).toSet
+        Pipeline.applyIncrementalBatch(spark, cfg, batch(i), i, nBuckets)
+        // every NEW manifest version's dir was written this trigger
+        (BucketedIndex.manifestVersions(dir).toSet -- before)
+          .foreach(v => written += dirBytes(s"$dir/batches/b$v"))
+        peakDisk = math.max(peakDisk, dirBytes(s"$dir/batches"))
+        maxDirs = math.max(maxDirs, BucketedIndex.readManifest(dir).values.toSet.size)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // logical size: a single full compaction of the end state
+      val logicalDir = Files.createTempDirectory("graft-wamp-logical").toString
+      graft.Merge.writeIndex(BucketedIndex.read(spark, dir), logicalDir, buckets = nBuckets)
+      val logical = dirBytes(logicalDir)
+      println(f"WAMP $compactAfter%8d $keepLast%8d ${written / 1e6}%12.1f " +
+        f"${logical / 1e6}%12.1f ${written.toDouble / logical}%9.2f " +
+        f"${peakDisk / 1e6}%13.1f $maxDirs%8d $sec%7.1f")
+    }
+    spark.stop()
+  }
+}
