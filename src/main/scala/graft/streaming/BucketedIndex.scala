@@ -87,8 +87,8 @@ object BucketedIndex {
     // strict pattern: a crash between the vtmp write and the atomic move
     // leaves "m<v>.tmp" here, and "<v>.tmp".toLong would throw, wedging
     // every later vacuum()/manifestVersions() until hand-cleaned
-    else Files.list(mdir).iterator().asScala.map(_.getFileName.toString)
-      .filter(_.matches("m\\d+")).map(_.stripPrefix("m").toLong).toSeq.sorted
+    else FsOps.listDir(mdir).map(_.getFileName.toString)
+      .filter(_.matches("m\\d+")).map(_.stripPrefix("m").toLong).sorted
   }
 
   /** The manifest as of a logged version id — the snapshot handle for
@@ -106,7 +106,7 @@ object BucketedIndex {
     fp("manifest.begin")
     // sweep tmp leftovers from a crashed prior publish (single-mutator
     // discipline makes this safe: no concurrent writer owns a live .tmp)
-    Files.list(Paths.get(dir, "manifests")).iterator().asScala
+    FsOps.listDir(Paths.get(dir, "manifests"))
       .filter(_.getFileName.toString.endsWith(".tmp"))
       .foreach(Files.deleteIfExists(_))
     val body = (header.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++
@@ -205,7 +205,7 @@ object BucketedIndex {
       fp("apply.bucketsWritten")
       // buckets whose merged state is empty (all docs deleted) leave the
       // manifest; partitionBy writes no dir for them
-      val live = Files.list(Paths.get(s"$dir/batches/b$batchId")).iterator().asScala
+      val live = FsOps.listDir(Paths.get(s"$dir/batches/b$batchId"))
         .map(_.getFileName.toString).filter(_.startsWith("bucket="))
         .map(_.stripPrefix("bucket=").toInt).toSet
       val newManifest = (manifest -- touched) ++ touched.filter(live).map(_ -> batchId)
@@ -247,7 +247,7 @@ object BucketedIndex {
     full.repartition(col("bucket")).write.mode("overwrite")
       .partitionBy("bucket").parquet(s"$dir/batches/b$compactId")
     fp("compact.dirWritten")
-    val live = Files.list(Paths.get(s"$dir/batches/b$compactId")).iterator().asScala
+    val live = FsOps.listDir(Paths.get(s"$dir/batches/b$compactId"))
       .map(_.getFileName.toString).filter(_.startsWith("bucket="))
       .map(_.stripPrefix("bucket=").toInt).toSet
     // compaction is not a stream batch: the header (appliedBatch, scheme)
@@ -281,20 +281,20 @@ object BucketedIndex {
       .map { case (k, v) => Paths.get(bucketPath(dir, k, v)).normalize }.toSet
     val batches = Paths.get(dir, "batches")
     if (!Files.exists(batches)) return
-    Files.list(batches).iterator().asScala.foreach { b =>
-      Files.list(b).iterator().asScala.foreach { bd =>
+    FsOps.listDir(batches).foreach { b =>
+      FsOps.listDir(b).foreach { bd =>
         if (bd.getFileName.toString.startsWith("bucket=") && !liveDirs.contains(bd.normalize)) {
-          Files.walk(bd).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .iterator().asScala.foreach { p => Files.delete(p); fp("vacuum.fileDeleted") }
+          FsOps.walkReverse(bd)
+            .foreach { p => Files.delete(p); fp("vacuum.fileDeleted") }
         }
       }
       // a batch dir whose buckets are all superseded is garbage including
       // its writer marker files (_SUCCESS)
-      val noBuckets = !Files.list(b).iterator().asScala
+      val noBuckets = !FsOps.listDir(b)
         .exists(_.getFileName.toString.startsWith("bucket="))
       if (noBuckets) {
-        Files.walk(b).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach { p => Files.delete(p); fp("vacuum.fileDeleted") }
+        FsOps.walkReverse(b)
+          .foreach { p => Files.delete(p); fp("vacuum.fileDeleted") }
       }
     }
   }

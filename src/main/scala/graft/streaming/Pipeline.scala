@@ -131,14 +131,10 @@ object Pipeline {
     val keep = currentSnapshot(indexDir).getOrElse(return)
     val root = Paths.get(indexDir)
     if (!Files.exists(root)) return
-    import scala.jdk.CollectionConverters._
-    Files.list(root).iterator().asScala
+    FsOps.listDir(root)
       .filter(p => p.getFileName.toString.startsWith("v") &&
         p.getFileName.toString != keep && Files.isDirectory(p))
-      .foreach { p =>
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(Files.delete)
-      }
+      .foreach(p => FsOps.walkReverse(p).foreach(Files.delete))
   }
 
   /** One COMPOSED incremental micro-batch — quarantine + sketch tables +

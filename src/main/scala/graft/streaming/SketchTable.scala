@@ -124,13 +124,10 @@ object SketchTable {
     val keep = currentVersion(dir).getOrElse(return)
     val root = Paths.get(dir)
     if (!Files.exists(root)) return
-    Files.list(root).iterator().asScala
+    FsOps.listDir(root)
       .filter(p => p.getFileName.toString.startsWith("v") &&
         p.getFileName.toString != keep && Files.isDirectory(p))
-      .foreach { p =>
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(Files.delete)
-      }
+      .foreach(p => FsOps.walkReverse(p).foreach(Files.delete))
   }
 
   private def publish(dir: String, version: String): Unit = {

@@ -884,9 +884,8 @@ object ScaleRound14 {
     // vacuum held: superseded batch dirs are gone (vacuum ran at 5,10,15;
     // batches 16..19 may still hold superseded versions - bound, not zero)
     import scala.jdk.CollectionConverters._
-    val batchDirs = java.nio.file.Files.list(
-        java.nio.file.Paths.get(cfg.indexDir, "batches"))
-      .iterator().asScala.size
+    val batchDirs = graft.streaming.FsOps.listDir(
+        java.nio.file.Paths.get(cfg.indexDir, "batches")).size
     require(batchDirs <= 6, s"vacuum left $batchDirs batch dirs (expected <= 6)")
     println(s"SCALEINFO soak batch dirs after vacuum: $batchDirs")
     spark.stop()
@@ -1266,7 +1265,7 @@ object ScaleRound15 {
       val files = m.toSeq.map { case (k, v) =>
         val p = java.nio.file.Paths.get(dir, "batches", s"b$v", s"bucket=$k")
         if (!java.nio.file.Files.exists(p)) 0L
-        else java.nio.file.Files.list(p).iterator().asScala
+        else graft.streaming.FsOps.listDir(p)
           .count(_.getFileName.toString.endsWith(".parquet")).toLong
       }.sum
       (dirs, files)
@@ -1466,8 +1465,8 @@ object ScaleRound16b {
     writing = false
     reader.join(300000)
     val rows = BucketedIndex.read(spark, dir).count()
-    val dirsLeft = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "batches"))
-      .iterator().asScala.size
+    val dirsLeft = graft.streaming.FsOps.listDir(
+      java.nio.file.Paths.get(dir, "batches")).size
     println(f"SCALE16B 60 trickle batches onto 300k keys in $ingestS%.1f s " +
       f"(maxFan=$maxFan policy=${cfg.compactAfterDirs} dirsOnDisk=$dirsLeft rows=$rows)")
     println(s"SCALE16B pinned reader: walks=${walks.get()} retries=${retries.get()}")
@@ -1680,8 +1679,11 @@ object ScaleRound17d {
     def dirBytes(p: String): Long = {
       val root = Paths.get(p)
       if (!Files.exists(root)) 0L
-      else Files.walk(root).filter(Files.isRegularFile(_))
-        .mapToLong(f => Files.size(f)).sum()
+      else {
+        val st = Files.walk(root)
+        try st.filter(Files.isRegularFile(_)).mapToLong(f => Files.size(f)).sum()
+        finally st.close()
+      }
     }
 
     def mutRows(i: Int, n: Int, keyPool: Int) = {
