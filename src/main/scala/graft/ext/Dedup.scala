@@ -309,15 +309,27 @@ object Dedup {
   /** Shared gram machinery: persisted shingle table, hashed exploded grams,
     * per-doc set sizes. Grams join by their 60-bit hash (long keys shuffle/
     * compare far cheaper than gram strings; the oracle mirrors the same
-    * hash). The persisted table is materialized once — the self-join's two
-    * branches run as concurrent stages and would otherwise both compute the
-    * shingling. */
+    * hash).
+    *
+    * Both stages are persisted AND materialized once: the r16 form cached
+    * only the gram arrays, so the explode+md5 pass re-ran for every
+    * consumer — the self-join's two branches plus (in the capped variant)
+    * the df-agg re-hashed the whole corpus 3-4×. The doc frame is fanned
+    * across the session's cores first: the shingle+md5 kernel pass is the
+    * expensive linear stage, and a single-split input (the bench fixture
+    * is one row group; at 100 TB a scan has natural splits) would
+    * serialize it on one core (guide §2.5 input skew). Hash-partitioned
+    * by the unique doc id — deterministic under retries. (A/B at sf0.1,
+    * min of 4 passes: cache-g 0.52/2.40/0.63 s for nj/njc/lsh-gate vs
+    * cache-sh-only 1.24/2.56/1.11 — cache-g wins every row.) */
   private def gramTables(df: DataFrame, idCol: Column, text: Column,
                          shingleN: Int): (DataFrame, DataFrame) = {
-    val sh = persistOnce(shingles(df, idCol, text, shingleN))
-    sh.count()
-    val g = sh.select(col("doc_id"), explode(col("grams")).as("gs"))
-      .select(col("doc_id"), Hashing.md5Long60(col("gs")).as("g"))
+    val fanned = df.repartition(
+      df.sparkSession.sparkContext.defaultParallelism, idCol)
+    val sh = persistOnce(shingles(fanned, idCol, text, shingleN))
+    val g = persistOnce(sh.select(col("doc_id"), explode(col("grams")).as("gs"))
+      .select(col("doc_id"), Hashing.md5Long60(col("gs")).as("g")))
+    g.count()
     val sizes = sh.select(col("doc_id"), size(col("grams")).as("n"))
     (g, sizes)
   }
@@ -526,8 +538,16 @@ object Dedup {
     * occurrence (a gram is duplicated when seen in ≥ `minDocs` docs). */
   private def dupCoveredPositions(df: DataFrame, idCol: Column, text: Column,
                                   n: Int, minDocs: Int): (DataFrame, DataFrame) = {
-    val toks = df.select(idCol.as("doc_id"),
-      graft.ext.TextAnalysis.tokens(text).as("w"))
+    // fan across cores + persist: the tokenize pass feeds BOTH the gram
+    // occurrence explode (below) and the rebuild's token posexplode — the
+    // r16 form re-tokenized from the (single-split at bench scale) scan
+    // for each consumer, serializing the kernel work on one core
+    // (guide §2.5 input skew; hash on the unique doc id, deterministic
+    // under retries).
+    val fanned = df.repartition(
+      df.sparkSession.sparkContext.defaultParallelism, idCol)
+    val toks = persistOnce(fanned.select(idCol.as("doc_id"),
+      graft.ext.TextAnalysis.tokens(text).as("w")))
     // every gram occurrence with its 1-based start position
     val occ = persistOnce(toks
       .select(col("doc_id"), col("w"),

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -79,39 +79,65 @@ object Similarity {
     *    both engines hold bit-identical centroids again, so cross-engine
     *    float drift cannot compound across iterations.
     * Returns `(cluster, n_assigned, centroid)` after `iters` rounds; empty
-    * clusters drop out. Scale shape: centroids broadcast (k rows), the
-    * assignment is one narrow pass over the corpus, the update is a
-    * (cluster, dim) hash agg — the standard distributed Lloyd layout. */
+    * clusters drop out. Scale shape: centroids live on the DRIVER between
+    * rounds (k·dim doubles — the bounded coordinator step, the BPE
+    * merge-table class) and ride into each round as literal vectors, so
+    * one round is ONE job: a narrow codegen'd argmin pass over the corpus
+    * feeding a k-row hash agg (map-side partials, k·dim shuffle bytes).
+    * The r16 form kept centroids as a broadcast frame instead — each round
+    * paid a broadcast-subplan job, a corpus-wide groupBy(_vid) shuffle that
+    * carried the vectors, a posexplode (|corpus|·dim rows) shuffle and a
+    * collect_list re-assembly: 4 exchanges per round vs 0. */
   def kmeansFit(vecs: DataFrame, idCol: Column, vecCol: Column,
                 k: Int, iters: Int): DataFrame = {
+    val (spark, rows) = kmeansFitLocal(vecs, idCol, vecCol, k, iters)
+    import spark.implicits._
+    rows.map { case (c, n, cv) => (c, n, cv.toSeq) }
+      .toDF("cluster", "n_assigned", "centroid")
+  }
+
+  /** [[kmeansFit]] with the fitted model returned to the driver — the
+    * bounded (k × dim) artifact consumers like [[semDedup]] inline as
+    * literal vectors instead of re-joining a frame. */
+  private[graft] def kmeansFitLocal(vecs: DataFrame, idCol: Column, vecCol: Column,
+      k: Int, iters: Int): (SparkSession, Seq[(Int, Long, Array[Double])]) = {
     require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
+    val spark = vecs.sparkSession
     val base = Dedup.persistOnce(
       vecs.select(idCol.as("_vid"), vecCol.cast("array<double>").as("_v")))
     val seedKey = graft.functions.Hashing.md5Long60(col("_vid").cast("string"))
-    // TakeOrdered down to k rows FIRST; the numbering window then sees only
-    // those k rows (never a global single-partition sort of the corpus)
-    var cents = base
+    // TakeOrdered down to k rows (never a global single-partition sort of
+    // the corpus); numbering happens on the driver in the same order.
+    var cents: Seq[(Int, Array[Double])] = base
       .orderBy(seedKey, col("_vid")).limit(k)
-      .withColumn("cluster", row_number().over(Window.orderBy(seedKey, col("_vid"))))
-      .select(col("cluster"), col("_v").as("cvec"))
-    val d2 = round(expr(
-      "aggregate(zip_with(_v, cvec, (x, y) -> (x - y) * (x - y)), 0.0d, (a, x) -> a + x)"), 6)
-    var assigned: DataFrame = null
+      .select(col("_v")).collect().toSeq
+      .map(_.getSeq[Double](0).toArray).zipWithIndex
+      .map { case (v, i) => (i + 1, v) }
+    val dim = cents.head._2.length
+    var out: Seq[(Int, Long, Array[Double])] = null
     for (_ <- 1 to iters) {
-      assigned = base.crossJoin(broadcast(cents))
-        .withColumn("_d", d2)
-        .groupBy("_vid")
-        .agg(min_by(col("cluster"), struct(col("_d"), col("cluster"))).as("cluster"),
-          first(col("_v")).as("_v"))
-      cents = assigned
-        .select(col("cluster"), posexplode(col("_v")).as(Seq("dim", "x")))
-        .groupBy("cluster", "dim").agg(round(avg("x"), 6).as("m"))
-        .groupBy("cluster")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m")).as("cvec"))
+      // argmin over k literal centroid vectors: least((d, cluster), ...)
+      // reproduces the (distance, cluster) min_by tie order exactly;
+      // distances are the codegen'd SqDist kernel rounded to 6 dp (HOF-
+      // and oracle-identical numerics).
+      val scored = cents.map { case (c, cv) =>
+        struct(round(graft.functions.VecOps.sqDistD(
+          col("_v"), lit(cv)), 6).as("d"), lit(c).as("c"))
+      }
+      val assignC =
+        (if (scored.size == 1) scored.head else least(scored: _*)).getField("c")
+      // update = ONE k-row hash agg: per-dim mean (6-dp re-sync) + count
+      val aggs = (0 until dim).map(j =>
+        round(avg(elD(col("_v"), j)), 6).as(s"m$j")) :+ count(lit(1)).as("_n")
+      val upd = base.select(assignC.as("cluster"), col("_v"))
+        .groupBy("cluster").agg(aggs.head, aggs.tail: _*)
+        .collect()
+      out = upd.map(r => (r.getInt(0), r.getLong(dim + 1),
+        (0 until dim).map(j => r.getDouble(j + 1)).toArray)).toSeq
+        .sortBy(_._1)
+      cents = out.map { case (c, _, cv) => (c, cv) }
     }
-    cents.join(assigned.groupBy("cluster").agg(count(lit(1)).as("n_assigned")), "cluster")
-      .select(col("cluster"), col("n_assigned"), col("cvec").as("centroid"))
+    (spark, out)
   }
 
   /** Top principal component by matrix-free POWER ITERATION — the
@@ -129,23 +155,26 @@ object Similarity {
     val spark = base.sparkSession
     val d = base.select(size(col("_v"))).head().getInt(0) // bounded scalar
     import spark.implicits._
-    var v = Seq(Seq.fill(d)(BigDecimal(1.0 / math.sqrt(d.toDouble))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toDF("varr")
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // v lives on the driver between rounds (dim doubles — the bounded
+    // coordinator artifact, same class as the k-means centroids). One
+    // round = ONE job: s = x·v via the codegen'd dot kernel against the
+    // literal v, then a single hash-free global agg of the dim sums
+    // Σ s·xₔ — no posexplode (the r16 form shuffled |corpus|·dim rows
+    // through a groupBy(dim) plus a collect_list re-assembly per round,
+    // behind a broadcast-subplan job for v: 3 exchanges per round vs 0).
+    var v: Array[Double] = Array.fill(d)(round6(1.0 / math.sqrt(d.toDouble)))
     for (_ <- 1 to iters) {
-      val acc = base.crossJoin(broadcast(v))
-        .withColumn("_s", expr(
-          "aggregate(zip_with(_v, varr, (x, y) -> x * y), 0.0d, (a, x) -> a + x)"))
-        .select(col("_s"), posexplode(col("_v")).as(Seq("dim", "x")))
-        .groupBy("dim").agg(sum(col("x") * col("_s")).as("a"))
-      val withNorm = acc.crossJoin(broadcast(
-        acc.agg(sqrt(sum(col("a") * col("a"))).as("_n"))))
-      v = withNorm
-        .select(col("dim"), round(col("a") / col("_n"), 6).as("c"))
-        .groupBy()
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-          s => s.getField("c")).as("varr"))
+      val aggs = (0 until d).map(j => sum(elD(col("_v"), j) * col("_s")).as(s"a$j"))
+      val r = base
+        .select(col("_v"), graft.functions.VecOps.dotD(col("_v"), lit(v)).as("_s"))
+        .agg(aggs.head, aggs.tail: _*).collect()(0)
+      val a = (0 until d).map(j => r.getDouble(j)).toArray
+      val n = math.sqrt(a.map(x => x * x).sum)
+      v = a.map(x => round6(x / n))
     }
-    v.select(posexplode(col("varr")).as(Seq("dim", "component")))
+    v.toSeq.zipWithIndex.map { case (c, j) => (j, c) }.toDF("dim", "component")
   }
 
   /** IVF-style ANN: centroids = a deterministic sample of the corpus
@@ -335,15 +364,19 @@ object Similarity {
   def semDedup(vecs: DataFrame, k: Int, iters: Int, threshold: Double): DataFrame = {
     val base = Dedup.persistOnce(vecs.select(col("vec_id"), col("embedding"),
       col("embedding").cast("array<double>").as("_v")))
-    val cents = broadcast(kmeansFit(base, col("vec_id"), col("embedding"), k, iters)
-      .select(col("cluster").as("_c"), col("centroid").as("cvec")))
-    val d2 = round(expr(
-      "aggregate(zip_with(_v, cvec, (x, y) -> (x - y) * (x - y)), 0.0d, (a, x) -> a + x)"), 6)
-    val assigned = Dedup.persistOnce(base.crossJoin(cents)
-      .withColumn("_d", d2)
-      .groupBy("vec_id")
-      .agg(min_by(col("_c"), struct(col("_d"), col("_c"))).as("cluster"),
-        first(col("embedding")).as("embedding")))
+    // fitted centroids are a bounded driver artifact (k × dim doubles);
+    // assignment is then a NARROW codegen'd argmin over literal vectors —
+    // no crossJoin, no corpus-wide groupBy(vec_id) shuffle (the r16 form
+    // shuffled every embedding k-fold through a min_by agg).
+    val cents = kmeansFitLocal(base, col("vec_id"), col("embedding"), k, iters)._2
+    val scored = cents.map { case (c, _, cv) =>
+      struct(round(graft.functions.VecOps.sqDistD(
+        col("_v"), lit(cv)), 6).as("d"), lit(c).as("c"))
+    }
+    val assignC =
+      (if (scored.size == 1) scored.head else least(scored: _*)).getField("c")
+    val assigned = Dedup.persistOnce(base
+      .select(col("vec_id"), col("embedding"), assignC.as("cluster")))
     val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
       col("embedding").as("ea"), norm(col("embedding")).as("na"))
     val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
@@ -359,11 +392,18 @@ object Similarity {
   }
 
   def embeddingNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+    // fan the streamed side across cores: the O(n²) pair loop below is the
+    // whole cost of this (deliberately exact, ground-truth) operator, and a
+    // single-split input serializes it on one core (guide §2.5); the
+    // repartition is one linear corpus pass. Hash on the unique id —
+    // deterministic under retries.
+    val fanned = corpus.repartition(
+      corpus.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+    val a = fanned.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
       norm(col("embedding")).as("na"))
     val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
       norm(col("embedding")).as("nb"))
-    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+    a.crossJoin(broadcast(b)).filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cos"))
@@ -390,8 +430,7 @@ object Similarity {
       vecs.select(idCol.as("_vid"), vecCol.cast("array<double>").as("_v")))
     val seed = base.orderBy("_vid").limit(1).collect().head
     var chosen = Vector((seed.getLong(0), seed.getSeq[Double](1), 0.0))
-    def dotAgg(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    def dotAgg(a: Column, b: Column): Column = graft.functions.VecOps.dotD(a, b)
     // per-center cosine as a flat expression list (k of them, k small) —
     // the whole round is narrow scan + TakeOrdered(1), zero shuffles
     def distTo(cv: Column): Column = lit(1.0) - round(
@@ -613,9 +652,8 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("_dim"), col("_c")))),
         s => s.getField("_c")).as("_cvec"))
     val dist = x.join(broadcast(cent), "label")
-      .withColumn("dist", round(sqrt(aggregate(
-        zip_with(col("_v"), col("_cvec"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, y) => acc + y)), 6))
+      .withColumn("dist", round(sqrt(
+        graft.functions.VecOps.sqDistD(col("_v"), col("_cvec"))), 6))
     val stats = dist.groupBy("label")
       .agg(avg("dist").as("_mu"), stddev_samp("dist").as("_sd"))
     dist.join(broadcast(stats), "label")
@@ -641,8 +679,8 @@ object Similarity {
                  centroids: DataFrame): DataFrame = {
     val base = vecs.select(idCol.as("vec_id"), vecCol.cast("array<double>").as("_v"))
     val cents = centroids.select(col("cluster"), col("centroid").as("_c"))
-    val d = round(sqrt(round(expr(
-      "aggregate(zip_with(_v, _c, (x, y) -> (x - y) * (x - y)), 0.0d, (a, x) -> a + x)"), 6)), 6)
+    val d = round(sqrt(round(
+      graft.functions.VecOps.sqDistD(col("_v"), col("_c")), 6)), 6)
     val w = Window.partitionBy("vec_id").orderBy(col("_d"), col("cluster"))
     val ranked = base.crossJoin(broadcast(cents))
       .withColumn("_d", d)
@@ -685,10 +723,14 @@ object Similarity {
     * (zip_with+aggregate == the oracle's list_sum association). */
   def jlProject(vecs: DataFrame, idCol: Column, vecCol: Column,
                 signs: Seq[Seq[Int]]): DataFrame = {
+    // x·sign_row via the codegen'd dot kernel against literal ±1 vectors —
+    // the zip_with+aggregate HOF form allocated an intermediate array and
+    // paid an interpreted lambda per element, per output dim, per row.
+    // Numerics identical: float→double widening is exact, same products,
+    // same accumulation order.
+    val xd = vecCol.cast("array<double>")
     val proj = array(signs.map { row =>
-      round(aggregate(
-        zip_with(vecCol, lit(row.toArray), (v, s0) => v.cast("double") * s0),
-        lit(0.0), (acc, x) => acc + x), 6)
+      round(graft.functions.VecOps.dotD(xd, lit(row.map(_.toDouble).toArray)), 6)
     }: _*)
     vecs.select(idCol.as("vec_id"), proj.as("proj"))
   }

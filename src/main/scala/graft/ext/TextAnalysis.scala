@@ -229,46 +229,63 @@ object TextAnalysis {
     * not a merged word frame — forcing them through a frame-state
     * harness would obscure both algorithms. */
   private def mergeTrainLoop[S](docs: DataFrame, text: Column, nMerges: Int)
-      (pickPair: DataFrame => Option[(String, S)]): Seq[(Int, String, S, Long)] =
-    mergeTrainRounds[S](docs, text, nMerges)(wf => pickPair(wf).toSeq)
-      .map { case (_, rank, pair, stats, nTok) => (rank, pair, stats, nTok) }
+      (pickPair: (DataFrame, DataFrame) => (Option[(String, S)], Option[Long])): Seq[(Int, String, S, Long)] =
+    mergeTrainRounds[S](docs, text, nMerges) { (wf, tot) =>
+      val (p, t) = pickPair(wf, tot); (p.toSeq, t)
+    }.map { case (_, rank, pair, stats, nTok) => (rank, pair, stats, nTok) }
 
   /** The multi-pick core under [[mergeTrainLoop]]: each round applies
     * EVERY pair `pickPairs` returns (they must be symbol-disjoint, so
-    * the replaces commute) in one chained replace pass, then recounts
-    * once per ROUND. Emits (round, overall rank, pair, stats,
-    * n_tokens_after_round). */
+    * the replaces commute) in one chained replace pass. Emits (round,
+    * overall rank, pair, stats, n_tokens_after_round).
+    *
+    * One Spark ACTION per round: `pickPairs(wf, tot)` receives the 1-row
+    * `tot` frame (the current frame's corpus symbol count) to crossJoin
+    * under its own argmax collect and returns the value back, which IS
+    * round r−1's post-merge recount — the recount that used to be a
+    * second standalone action per round rides the next round's argmax
+    * job for free (both scan the same cached frame). Only the LAST
+    * applied round still pays a standalone 1-row recount after the
+    * loop. Driver round-trips per round: 2 → 1. */
   private def mergeTrainRounds[S](docs: DataFrame, text: Column, maxRounds: Int,
       toMarkers: Column => Column = w => regexp_replace(w, "(.)", "<$1>"),
       pretokenize: Column => Column = tokens)
-      (pickPairs: DataFrame => Seq[(String, S)]): Seq[(Int, Int, String, S, Long)] = {
+      (pickPairs: (DataFrame, DataFrame) => (Seq[(String, S)], Option[Long])): Seq[(Int, Int, String, S, Long)] = {
+    val totExpr = sum(col("freq") *
+      (length(col("w")) - length(replace(col("w"), lit("<"), lit("")))))
+      .cast("long").as("_tot")
     var wf = Dedup.persistOnce(docs.select(explode(pretokenize(text)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("freq"), toMarkers(col("word")).as("w")))
-    val rows = Seq.newBuilder[(Int, Int, String, S, Long)]
+    val recs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, S)]
+    val nTokByRound = scala.collection.mutable.Map.empty[Int, Long]
+    var lastApplied = 0
     var r = 1
     var rank = 1
     var done = false
     while (r <= maxRounds && !done) {
-      val picks = pickPairs(wf)
+      val (picks, totOpt) = pickPairs(wf, wf.agg(totExpr))
+      if (r > 1) totOpt.foreach(t => nTokByRound(r - 1) = t)
       if (picks.isEmpty) done = true
       else {
         val merged = picks.foldLeft(col("w")) { case (acc, (pair, _)) =>
           val Array(a, b) = pair.split(' ')
           replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
         }
-        val next = Dedup.persistOnce(wf.select(col("freq"), merged.as("w")))
-        val nTok = next.agg(sum(col("freq") *
-            (length(col("w")) - length(replace(col("w"), lit("<"), lit("")))))
-          .cast("long")).collect()(0).getLong(0)
         picks.foreach { case (pair, stats) =>
-          rows += ((r, rank, pair, stats, nTok)); rank += 1
+          recs += ((r, rank, pair, stats)); rank += 1
         }
-        wf = next
+        wf = Dedup.persistOnce(wf.select(col("freq"), merged.as("w")))
+        lastApplied = r
         r += 1
       }
     }
-    rows.result()
+    if (lastApplied >= 1 && !nTokByRound.contains(lastApplied))
+      nTokByRound(lastApplied) =
+        wf.agg(totExpr).collect()(0).getLong(0)
+    recs.toSeq.map { case (rd, rk, pair, stats) =>
+      (rd, rk, pair, stats, nTokByRound(rd))
+    }
   }
 
   /** Adjacent-pair counts over a marker-form word-frequency frame — the
@@ -285,9 +302,11 @@ object TextAnalysis {
   def bpeTrain(docs: DataFrame, text: Column, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    mergeTrainLoop[Long](docs, text, nMerges) { wf =>
-      mergePairCounts(wf).orderBy(desc("pf"), col("pair")).limit(1)
-        .collect().headOption.map(r => r.getString(0) -> r.getLong(1))
+    mergeTrainLoop[Long](docs, text, nMerges) { (wf, tot) =>
+      val rows = mergePairCounts(wf).crossJoin(tot)
+        .orderBy(desc("pf"), col("pair")).limit(1).collect()
+      (rows.headOption.map(r => r.getString(0) -> r.getLong(1)),
+        rows.headOption.map(_.getAs[Long]("_tot")))
     }.toDF("rank", "pair", "freq", "n_tokens_after")
   }
 
@@ -315,12 +334,13 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     var remaining = nMerges
-    mergeTrainRounds[Long](docs, text, maxRounds = nMerges) { wf =>
-      if (remaining <= 0) Seq.empty
+    mergeTrainRounds[Long](docs, text, maxRounds = nMerges) { (wf, tot) =>
+      if (remaining <= 0) (Seq.empty, None)
       else {
-        val cands = mergePairCounts(wf)
+        val rows = mergePairCounts(wf).crossJoin(tot)
           .orderBy(desc("pf"), col("pair")).limit(la)
-          .collect().map(r => r.getString(0) -> r.getLong(1))
+          .collect()
+        val cands = rows.map(r => r.getString(0) -> r.getLong(1))
         val used = scala.collection.mutable.Set.empty[String]
         val picks = Seq.newBuilder[(String, Long)]
         var kept = 0
@@ -332,7 +352,7 @@ object TextAnalysis {
           }
         }
         remaining -= kept
-        picks.result()
+        (picks.result(), rows.headOption.map(_.getAs[Long]("_tot")))
       }
     }.map { case (round, rank, pair, pf, nTok) => (rank, round, pair, pf, nTok) }
       .toDF("rank", "round", "pair", "freq", "n_tokens_after")
@@ -366,9 +386,11 @@ object TextAnalysis {
     import spark.implicits._
     mergeTrainRounds[Long](docs, text, maxRounds = nMerges,
       toMarkers = w => regexp_replace(hex(encode(w, "UTF-8")), "(..)", "<$1>"),
-      pretokenize = t => filter(split(lower(t), "\\s+"), x => x =!= "")) { wf =>
-      mergePairCounts(wf).orderBy(desc("pf"), col("pair")).limit(1)
-        .collect().headOption.map(r => r.getString(0) -> r.getLong(1)).toSeq
+      pretokenize = t => filter(split(lower(t), "\\s+"), x => x =!= "")) { (wf, tot) =>
+      val rows = mergePairCounts(wf).crossJoin(tot)
+        .orderBy(desc("pf"), col("pair")).limit(1).collect()
+      (rows.headOption.map(r => r.getString(0) -> r.getLong(1)).toSeq,
+        rows.headOption.map(_.getAs[Long]("_tot")))
     }.map { case (_, rank, pair, pf, nTok) => (rank, pair, pf, nTok) }
       .toDF("rank", "pair", "freq", "n_tokens_after")
   }
@@ -391,24 +413,26 @@ object TextAnalysis {
   def wordPieceTrain(docs: DataFrame, text: Column, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    mergeTrainLoop[(Long, Double)](docs, text, nMerges) { wf =>
+    mergeTrainLoop[(Long, Double)](docs, text, nMerges) { (wf, tot) =>
       val syms = wf.select(col("freq"),
           explode(expr("regexp_extract_all(w, '<([^<>]*)>', 1)")).as("sym"))
         .groupBy("sym").agg(sum(col("freq")).as("sf"))
-      mergePairCounts(wf)
+      val rows = mergePairCounts(wf)
         .withColumn("a", split(col("pair"), " ").getItem(0))
         .withColumn("b", split(col("pair"), " ").getItem(1))
         .join(syms.select(col("sym").as("a"), col("sf").as("sfa")), "a")
         .join(syms.select(col("sym").as("b"), col("sf").as("sfb")), "b")
         .withColumn("score", col("pf").cast("double") /
           (col("sfa").cast("double") * col("sfb").cast("double")))
+        .crossJoin(tot)
         .orderBy(desc("score"), col("pair")).limit(1)
-        .select("pair", "pf", "score")
-        .collect().headOption.map { r =>
-          r.getString(0) -> (r.getLong(1),
-            new java.math.BigDecimal(r.getDouble(2))
-              .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
-        }
+        .select("pair", "pf", "score", "_tot")
+        .collect()
+      (rows.headOption.map { r =>
+        r.getString(0) -> (r.getLong(1),
+          new java.math.BigDecimal(r.getDouble(2))
+            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue())
+      }, rows.headOption.map(_.getAs[Long]("_tot")))
     }.map { case (r, pair, (pf, score), nTok) => (r, pair, pf, score, nTok) }
       .toDF("rank", "pair", "freq", "score", "n_tokens_after")
   }

@@ -197,8 +197,43 @@ object VecOps {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Σ (a[i]−b[i])² in double, element order — the squared-distance twin of
+    * [[DotProductDouble]]; replaces the interpreted
+    * `aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0.0d, +)` HOF form in
+    * the k-means / ANN assignment hot paths with a codegen'd loop.
+    * Numerics identical: same per-element expression, same accumulation
+    * order (the HOF and the DuckDB oracle both fold left in element order). */
+  case class SqDistDouble(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0; var i = 0
+      while (i < n) { val d = x.getDouble(i) - y.getDouble(i); acc += d * d; i += 1 }
+      acc
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = $a.getDouble($i) - $b.getDouble($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   def dotF(a: Column, b: Column): Column = column(DotProductFloat(expression(a), expression(b)))
   def dotD(a: Column, b: Column): Column = column(DotProductDouble(expression(a), expression(b)))
+  def sqDistD(a: Column, b: Column): Column = column(SqDistDouble(expression(a), expression(b)))
   def simhash60(hashes: Column): Column = column(SimHash60(expression(hashes)))
   def signBands(e: Column, nBits: Int, bandBits: Int, dim: Int): Column =
     column(SignBandsExpr(expression(e), nBits, bandBits, dim))
