@@ -29,11 +29,41 @@ object CachedFrames {
     * Safe to call repeatedly; cleanup errors (e.g. a stopped session)
     * are swallowed so teardown always completes. */
   def clear(): Unit = {
+    dropScratch()
     var f = cleanups.poll()
     while (f != null) {
       try f()
       catch { case scala.util.control.NonFatal(_) => }
       f = cleanups.poll()
+    }
+  }
+
+  // ---- per-operator scratch persists --------------------------------
+  // Operators persist intermediates that several branches of ONE query
+  // plan share (persistOnce). Those frames outlive the operator call —
+  // the returned plan references them — but not the QUERY: once the
+  // caller has materialized its result they are dead weight, and a
+  // process that runs many queries in one session (Bench, Verify, a
+  // serving driver) accumulates hundreds of cached frames whose eviction
+  // churn and GC pressure tax every later query. Harness drop point:
+  // after each query's action, dropScratch() releases them while the
+  // MEMOIZED cross-query fixtures above (registered via track/onClear)
+  // stay cached.
+
+  private val scratchFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  /** Register a per-query scratch persist, released at the caller's next
+    * [[dropScratch]]. Returns the frame for inline use. */
+  def scratch(df: DataFrame): DataFrame = { scratchFrames.add(df); df }
+
+  /** Unpersist every scratch frame registered since the last drop. */
+  def dropScratch(): Unit = {
+    var df = scratchFrames.poll()
+    while (df != null) {
+      try df.unpersist(false)
+      catch { case scala.util.control.NonFatal(_) => }
+      df = scratchFrames.poll()
     }
   }
 }

@@ -20,6 +20,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release per-query scratch persists (see Bench) — 424 dumps in one
+      // session otherwise accumulate every operator's cached intermediates
+      CachedFrames.dropScratch()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

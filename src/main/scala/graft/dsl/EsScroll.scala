@@ -50,6 +50,18 @@ object EsScroll {
     @volatile var expiresAt: Long = 0L
     @volatile var after: Option[Seq[Any]] = None
     @volatile var exhausted: Boolean = false
+    /** The pinned snapshot, PERSISTED for the context's lifetime — the
+      * Spark expression of ES holding the scroll's segment readers open:
+      * every page is a bounded cursor query against the same data, and
+      * re-scanning + re-decoding the pinned parquet once per page made
+      * the walk O(pages × |snapshot|) in scan work. Spilled to disk when
+      * it outgrows memory (the same bound ES's held readers have);
+      * released on clear/expiry. */
+    @volatile var frame: DataFrame = null
+    def release(): Unit = {
+      val f = frame
+      if (f != null) { frame = null; try f.unpersist(false) catch { case _: Throwable => () } }
+    }
   }
 
   private val contexts = scala.collection.concurrent.TrieMap[String, Context]()
@@ -117,7 +129,7 @@ object EsScroll {
            scroll: Option[String] = None): DataFrame = {
     val ctx = contexts.get(scrollId).filter(c => clock() <= c.expiresAt)
       .getOrElse {
-        contexts.remove(scrollId)
+        contexts.remove(scrollId).foreach(_.release())
         throw new IllegalArgumentException(
           s"No search context found for id [$scrollId]")
       }
@@ -125,11 +137,15 @@ object EsScroll {
     page(spark, ctx)
   }
 
-  /** `DELETE _search/scroll` — free the context. */
-  def clear(scrollId: String): Unit = contexts.remove(scrollId)
+  /** `DELETE _search/scroll` — free the context (and its cached snapshot). */
+  def clear(scrollId: String): Unit = contexts.remove(scrollId).foreach(_.release())
 
   private def page(spark: SparkSession, ctx: Context): DataFrame = {
-    val frame = BucketedIndex.readAt(spark, ctx.indexDir, ctx.manifest)
+    var frame = ctx.frame
+    if (frame == null) {
+      frame = BucketedIndex.readAt(spark, ctx.indexDir, ctx.manifest).persist()
+      ctx.frame = frame
+    }
     if (ctx.exhausted) return frame.limit(0)
     val body = ctx.body.deepCopy()
     body.put("size", ctx.size)

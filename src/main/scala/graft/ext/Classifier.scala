@@ -63,6 +63,7 @@ object Classifier {
       .select("doc_id", "y", "fidx").distinct()
       .repartition(col("doc_id")) // iterations group/join on doc_id shuffle-free
       .persist()
+    graft.CachedFrames.scratch(feat)
     val nDocs = feat.select("doc_id").distinct().count().toDouble
     val mu = Array.fill(dim)(0.0)
     feat.groupBy("fidx").agg(round(count(lit(1)) / lit(nDocs), 6).as("m"))
@@ -78,6 +79,7 @@ object Classifier {
           (lit(1.0) + exp(-(col("dots") - lit(c) + lit(b)))), 6))
         .select(col("doc_id"), (col("p") - col("y")).as("err"))
         .persist() // read twice inside ONE job (feature grads + bias grad)
+      graft.CachedFrames.scratch(perDoc)
       // one collect job yields every feature gradient AND the bias
       // gradient (unioned in as fidx −1) — identical per-key arithmetic
       // to separate jobs, half the job count

@@ -56,7 +56,9 @@ object Dedup {
   }
 
   private[graft] def persistOnce(df: DataFrame): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist() else df
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      graft.CachedFrames.scratch(df.persist())
+    else df
 
   /** C1: exact dedup — one deterministic representative (min id) per key
     * group. (`dropDuplicates` keeps an arbitrary row; min-per-group is the
