@@ -669,7 +669,7 @@ object Corpus {
     // hash, so counts match exactly; 60-bit collisions are negligible).
     // Gramming runs in the one-pass TextKernels kernel (per-doc distinct,
     // which the source-level distinct subsumes), not the interpreted HOF.
-    val grams = df
+    val grams = Dedup.fan(df, idCol) // fan: the gram-kernel map side (guide §2.5)
       .select(sourceCol.as("source"),
         explode(graft.functions.TextKernels.wordNgrams(text, n)).as("gs"))
       .select(col("source"), graft.functions.Hashing.md5Long60(col("gs")).as("g"))

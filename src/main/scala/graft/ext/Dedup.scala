@@ -55,6 +55,17 @@ object Dedup {
         round(col("n_shared") * 1.0 / col("n_sentences"), 6))
   }
 
+  /** Fan a frame across the session's cores by a (near-)unique key — the
+    * guide §2.5 input-skew fix for kernel-heavy NARROW passes: a
+    * single-split scan (the bench fixtures are one parquet row group
+    * each; a gzip file or a hot table partition at 100 TB) serializes
+    * the whole per-row kernel pass on one core. One linear shuffle of
+    * the input buys full-width execution of everything narrow above it.
+    * Hash partitioning on a deterministic key — stable under retries
+    * (guide §2.5's rand() warning). */
+  private[graft] def fan(df: DataFrame, key: Column): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
   private[graft] def persistOnce(df: DataFrame): DataFrame =
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       graft.CachedFrames.scratch(df.persist())
@@ -951,7 +962,8 @@ object Dedup {
     * shape is identical (one hash agg + one same-key join). */
   def segmentDedup(df: DataFrame, idCol: Column, text: Column,
                    segTokens: Int = 64, withinDoc: Boolean = false): DataFrame = {
-    val toks = df.select(idCol.as("doc_id"),
+    val toks = fan(df, idCol) // fan: tokenize+segment map side (guide §2.5)
+      .select(idCol.as("doc_id"),
         graft.ext.TextAnalysis.tokens(text).as("w"))
       .filter(size(col("w")) > 0)
     val segs = toks.select(col("doc_id"),

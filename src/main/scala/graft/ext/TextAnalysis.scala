@@ -687,6 +687,10 @@ object TextAnalysis {
     * One narrow pass — no shuffle at any corpus size. */
   def bpeEncode(docs: DataFrame, id: Column, text: Column,
                 merges: Seq[String]): DataFrame = {
+    // fan across cores (guide §2.5): the marker wrap + |merges| chained
+    // replaces are a per-row string-kernel pass that a single-split scan
+    // would serialize on one core
+    val fanned = Dedup.fan(docs, id)
     val wrapped = concat_ws("|",
       transform(tokens(text), w => regexp_replace(w, "(.)", "<$1>")))
     val encoded = merges.foldLeft(wrapped) { (acc, m) =>
@@ -694,7 +698,7 @@ object TextAnalysis {
       replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
     }
     def nSym(c: Column): Column = length(c) - length(replace(c, lit("<"), lit("")))
-    docs.select(id.as("doc_id"), nSym(wrapped).cast("long").as("n_chars"),
+    fanned.select(id.as("doc_id"), nSym(wrapped).cast("long").as("n_chars"),
         nSym(encoded).cast("long").as("n_bpe_tokens"))
       .withColumn("compression",
         round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
@@ -708,6 +712,7 @@ object TextAnalysis {
     * token. One narrow pass, no shuffle at any corpus size. */
   def bpeEncodeByteLevel(docs: DataFrame, id: Column, text: Column,
                          merges: Seq[String]): DataFrame = {
+    val fanned = Dedup.fan(docs, id) // see bpeEncode
     val wrapped = concat_ws("|",
       transform(filter(split(lower(text), "\\s+"), x => x =!= ""),
         w => regexp_replace(hex(encode(w, "UTF-8")), "(..)", "<$1>")))
@@ -716,7 +721,7 @@ object TextAnalysis {
       replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
     }
     def nSym(c: Column): Column = length(c) - length(replace(c, lit("<"), lit("")))
-    docs.select(id.as("doc_id"), nSym(wrapped).cast("long").as("n_bytes"),
+    fanned.select(id.as("doc_id"), nSym(wrapped).cast("long").as("n_bytes"),
         nSym(encoded).cast("long").as("n_bpe_tokens"))
       .withColumn("compression",
         round(col("n_bytes").cast("double") / col("n_bpe_tokens"), 6))
@@ -738,7 +743,7 @@ object TextAnalysis {
       replace(acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
     }
     def nSym(c: Column): Column = length(c) - length(replace(c, lit("<"), lit("")))
-    docs.filter(text.isNotNull)
+    Dedup.fan(docs, text).filter(text.isNotNull) // fan: see bpeEncode (no unique id in scope; text is near-unique)
       .select(lang.as("lang"),
         size(tokens(text)).cast("long").as("_w"),
         nSym(wrapped).cast("long").as("_c"),
@@ -781,7 +786,8 @@ object TextAnalysis {
     * Docs with <2 tokens emit nothing. */
   def bigramPerplexity(docs: DataFrame, idCol: Column, text: Column,
                        k: Double = 0.5): DataFrame = {
-    val base = docs.select(idCol.as("doc_id"), tokens(text).as("w"))
+    val base = Dedup.fan(docs, idCol) // fan: the tokenize+bigram explode map side (guide §2.5)
+      .select(idCol.as("doc_id"), tokens(text).as("w"))
       .withColumn("n", size(col("w"))).filter(col("n") >= 2)
     // three consumers (c12 agg, c1 agg, the scoring join) — materialize
     // the exploded bigrams once instead of re-tokenizing per subtree
@@ -817,7 +823,8 @@ object TextAnalysis {
     * explode and the (w1,w2) scoring join — identical to c45's plan. */
   def knPerplexity(docs: DataFrame, idCol: Column, text: Column,
                    discount: Double = 0.75): DataFrame = {
-    val base = docs.select(idCol.as("doc_id"), tokens(text).as("w"))
+    val base = Dedup.fan(docs, idCol) // fan: the tokenize+bigram explode map side (guide §2.5)
+      .select(idCol.as("doc_id"), tokens(text).as("w"))
       .withColumn("n", size(col("w"))).filter(col("n") >= 2)
     val big = Dedup.persistOnce(base
       .select(col("doc_id"), col("w"),
@@ -851,7 +858,8 @@ object TextAnalysis {
     * bounded sort-limit. */
   def pmiCollocations(docs: DataFrame, idCol: Column, text: Column,
                       minCount: Int, topK: Int): DataFrame = {
-    val base = docs.select(idCol.as("doc_id"), tokens(text).as("w"))
+    val base = Dedup.fan(docs, idCol) // fan: the tokenize+bigram explode map side (guide §2.5)
+      .select(idCol.as("doc_id"), tokens(text).as("w"))
       .withColumn("n", size(col("w"))).filter(col("n") >= 2)
     val big = base
       .select(col("w"), explode(sequence(lit(1), col("n") - 1)).as("i"))

@@ -4556,6 +4556,8 @@ object TierC {
         // and the exact side — the first cut recomputed the bigram
         // pipeline three times and measured 9.6 s at sf0.1
         val hashed = Dedup.persistOnce(Tables.documents(s, d)
+          // fan the gram kernel across cores (guide §2.5 input skew)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("source").as("s"),
             explode(graft.functions.TextKernels.wordNgrams(col("text"), 2)).as("g"))
           .select(col("s"),
