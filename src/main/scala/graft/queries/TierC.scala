@@ -226,6 +226,21 @@ object TierC {
         Multimodal.encodeTestWavsTwinned(Tables.documents(s, d))).persist())
     })
 
+  /** The c77/c78/c79 image aHash table memoized once per (session,
+    * sfDir) — the image twin of [[audioHashFixture]]: the real JDK
+    * codec encode+decode of every doc dominates all three rows' cost
+    * and is a pure function of the corpus. */
+  private val imageHashCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def imageHashFixture(s: SparkSession, d: String): DataFrame =
+    imageHashCache.getOrElseUpdate((s, d), {
+      graft.CachedFrames.onClear(() => { imageHashCache.remove((s, d)); () })
+      implicit val sp: SparkSession = s
+      graft.CachedFrames.track(Multimodal.imageAHash(
+        Multimodal.encodeTestImages(Tables.documents(s, d))).persist())
+    })
+
   private val annFixtureCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String),
       (DataFrame, Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Map[Long, Seq[Double]])]
@@ -238,15 +253,18 @@ object TierC {
       graft.CachedFrames.onClear(() => { annFixtureCache.remove((s, d)); () })
       val e0 = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val twins = annQids.flatMap { qid =>
-        (0 until 10).map { t =>
-          e0.filter(col("vec_id") === qid)
-            .select(lit(10000L + qid * 100 + t).as("vec_id"),
-              transform(col("embedding"), (x, j) => x * (lit(1.0) +
-                (pmod(hash(lit(qid), lit(t), j), lit(2001)) - 1000)
-                  .cast("double") / 50000.0)).as("embedding"))
-        }
-      }.reduce(_ unionAll _)
+      // one scan × an exploded twin index replaces the old 30-branch
+      // union (one filtered scan per (qid, t) — 30 scan subtrees in the
+      // plan). Identical values: hash(vec_id, _t, j) sees the same
+      // (long, int, int)-typed children the per-branch literals fed it.
+      val twins = e0.filter(col("vec_id").isin(annQids: _*))
+        .select(col("vec_id"), col("embedding"),
+          explode(array((0 until 10).map(lit): _*)).as("_t"))
+        .select(
+          (lit(10000L) + col("vec_id") * lit(100L) + col("_t").cast("long")).as("vec_id"),
+          transform(col("embedding"), (x, j) => x * (lit(1.0) +
+            (pmod(hash(col("vec_id"), col("_t"), j), lit(2001)) - 1000)
+              .cast("double") / 50000.0)).as("embedding"))
       val e = graft.CachedFrames.track(e0.unionAll(twins).persist())
       val coarse = Similarity.pqCodebookFromIds(e, col("vec_id"), col("embedding"),
         m = 1, k = 8).head
@@ -3102,12 +3120,7 @@ object TierC {
     // integer luminance/mean/threshold math, so the 64-bit hash is
     // engine-exact; the oracle replays the pattern analytically.
     Q("c77_image_ahash",
-      (s, d) => {
-        implicit val sp: SparkSession = s
-        Multimodal.imageAHash(
-          Multimodal.encodeTestImages(Tables.documents(s, d)))
-          .orderBy("doc_id")
-      },
+      (s, d) => imageHashFixture(s, d).orderBy("doc_id"),
       Some("""WITH dims AS (
              |  SELECT doc_id,
              |         CAST(doc_id % 9 + 2 AS INT) AS width,
@@ -3170,14 +3183,9 @@ object TierC {
     // SimHash text path. Oracle computes the full pairwise ground truth,
     // which the banding must reproduce exactly.
     Q("c78_image_neardup",
-      (s, d) => {
-        implicit val sp: SparkSession = s
-        Dedup.hammingPairs64(
-          Multimodal.imageAHash(
-            Multimodal.encodeTestImages(Tables.documents(s, d))),
+      (s, d) => Dedup.hammingPairs64(imageHashFixture(s, d),
           hashCol = "ahash", maxDist = 3)
-          .orderBy("doc_a", "doc_b")
-      },
+        .orderBy("doc_a", "doc_b"),
       Some("""WITH dims AS (
              |  SELECT doc_id,
              |         CAST(doc_id % 9 + 2 AS INT) AS width,
@@ -3211,9 +3219,7 @@ object TierC {
     // pairwise recompute of each incoming image's standing neighbors.
     Q("c79_image_neardup_incremental",
       (s, d) => {
-        implicit val sp: SparkSession = s
-        val sig = Dedup.persistOnce(Multimodal.imageAHash(
-          Multimodal.encodeTestImages(Tables.documents(s, d))))
+        val sig = imageHashFixture(s, d)
         Dedup.hammingIncremental64(
           sig.filter(col("doc_id") % 10 =!= 0),
           sig.filter(col("doc_id") % 10 === 0),
