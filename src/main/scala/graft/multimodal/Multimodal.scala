@@ -133,16 +133,16 @@ object Multimodal {
     * an exact round trip through a real compressor (PNG goes through
     * zlib/deflate; these are not hand-laid header bytes like c18's). */
   def encodeTestImages(ids: DataFrame)(implicit spark: SparkSession): DataFrame = {
-    // fan across cores before the codec loop (guide §2.5 input skew: the
-    // bench fixture is one parquet row group → one split → one core).
-    // ImageIO readers/writers are per-instance, so 32-way encode scales;
-    // the WAV encoders deliberately stay single-split — parallel
-    // javax.sound.sampled SPI calls contend on global provider state and
-    // measured 2.5× SLOWER fanned (c75/c76/c82 0.88 → 2.3 s).
+    // NOT fanned (guide §2.5 would suggest it, but measured): the image
+    // table is small and memoized once (TierC.imageHashFixture), so a
+    // repartition + 32-way sort bought c78 nothing measurable while the
+    // range-exchange sampling pass put a 2× parallelism tax on the tiny
+    // c77 row; the WAV encoders additionally contend on global
+    // javax.sound SPI state when parallel (measured 2.5× slower fanned).
+    // The VIDEO encoder below keeps its fan: per-row work there (frame
+    // synthesis × n frames) is an order of magnitude heavier.
     import spark.implicits._
-    ids.select(col("doc_id"))
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .as[Long].mapPartitions { it =>
+    ids.select(col("doc_id")).as[Long].mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
       it.map { id =>
         val w = (id % 9 + 2).toInt

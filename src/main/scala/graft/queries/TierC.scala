@@ -185,10 +185,17 @@ object TierC {
     lshPairsAll(s, d).filter(col("jac") >= 0.5)
 
   /** Materialize the memoized shared inputs (Bench warm-up hook, so
-    * per-query numbers don't depend on which c02 runs first). */
+    * per-query numbers don't depend on which member of a fixture-sharing
+    * family runs first — the c02/c32 rationale, now covering ALL the
+    * memoized fixtures: without it the first image row (c77) pays the
+    * whole codec fixture build and gate-compares 1.9× against rounds
+    * where a sibling happened to pay it). */
   def warmShared(s: SparkSession, d: String): Unit = {
     lshPairsAll(s, d).count()
     kmeansFit8(s, d).count()
+    imageHashFixture(s, d).count()
+    audioHashFixture(s, d).count()
+    annFixture(s, d)._1.count()
     ()
   }
 
